@@ -1,13 +1,569 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-equivalent in [[oracleSql]]
+  * unless the operator is not SQL-expressible (then the driver records a
+  * rows-only check). Determinism rules applied throughout so Spark and
+  * DuckDB hash-match bit-for-bit:
+  *  - sums of doubles go through an exact DECIMAL(25,6) accumulator, then
+  *    cast back to double (addition order no longer matters);
+  *  - averages are decimal-sum / count (double division, IEEE-identical);
+  *  - every query ends in a total ORDER BY (no ties);
+  *  - NULL ordering is written explicitly (Spark asc = NULLS FIRST,
+  *    DuckDB default = NULLS LAST).
+  */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as Long ns.
+    * Convert via integer division (ns magnitudes overflow double math).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Exact sum of a double expression: decimal accumulator, double result. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+  /** Deterministic average (decimal sum / count). */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val registry = scala.collection.mutable.LinkedHashMap.empty[String, (Q, Option[String])]
+
+  private def register(name: String, oracle: String)(q: Q): Unit =
+    registry.put(name, (q, Some(oracle)))
+  private def registerNoOracle(name: String)(q: Q): Unit =
+    registry.put(name, (q, None))
+
+  def queries: Map[String, Q] = { init(); registry.view.mapValues(_._1).toMap }
+  def oracleSql: Map[String, String] =
+    { init(); registry.toSeq.flatMap { case (k, (_, o)) => o.map(k -> _) }.toMap }
+
+  @volatile private var initialized = false
+  private def init(): Unit = synchronized {
+    if (initialized) return
+    initialized = true
+    relationalQueries()
+    nativeOperatorQueries()
+    pipelineQueries()
+  }
+
+  // =================================================================
+  // §2.2 delegated relational surface — one query per operator family
+  // =================================================================
+  private def relationalQueries(): Unit = {
+
+    // --- aggregation: groupBy + sum/avg/min/max/count (TPC-H Q1 shape)
+    register("q01_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
+    // --- filter + projection (pushdown check: both reach the parquet scan)
+    register("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+
+    // --- broadcast equi-join + agg (small dim broadcast, no big-side shuffle)
+    register("q03_join_broadcast",
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }
+
+    // --- left outer join with null side
+    register("q04_join_left",
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }
+
+    // --- left semi join (EXISTS)
+    register("q05_join_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    }
+
+    // --- left anti join (NOT EXISTS)
+    register("q06_join_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }
+
+    // --- window: ranking within partition (top-3 orders per customer)
+    register("q07_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(col("o_custkey"), col("rn"))
+    }
+
+    // --- window: running aggregate with an explicit frame
+    register("q08_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(25, 6))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+
+    // --- window: lag/lead analytics
+    register("q09_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+
+    // --- top-k: orderBy + limit plans as TakeOrderedAndProject (no full sort)
+    register("q10_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }
+
+    // --- dedup keep-first-after-sort (the reference's drop_duplicates
+    //     keep='first' contract — window row_number, not dropDuplicates)
+    register("q11_dedup_keepfirst",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) x
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"))
+    }
+
+    // --- set ops: union / intersect / except
+    register("q12_union",
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION SELECT s_nationkey AS nk FROM supplier) x
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy(col("nk"))
+    }
+
+    register("q13_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    }
+
+    register("q14_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    }
+
+    // --- cube / rollup (multi-dimensional aggregates)
+    register("q15_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+
+    register("q16_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+
+    // --- string functions
+    register("q17_string_fns",
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_upper,
+        |  LOWER(p_type) AS type_lower,
+        |  SUBSTRING(p_name, 1, 8) AS name_prefix,
+        |  LENGTH(p_name) AS name_len,
+        |  CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+        |  REPLACE(p_type, ' ', '_') AS type_snake,
+        |  REGEXP_EXTRACT(p_type, '^([A-Za-z]+)', 1) AS first_word
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        regexp_extract(col("p_type"), "^([A-Za-z]+)", 1).as("first_word"))
+        .orderBy(col("p_partkey"))
+    }
+
+    // --- date/time functions
+    register("q18_date_fns",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  CAST(day(o_orderdate) AS INT) AS order_day,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("due_ts"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_98"))
+        .orderBy(col("o_orderkey"))
+    }
+
+    // --- math functions (IEEE-deterministic subset: see file Scaladoc)
+    register("q19_math_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS abs_c,
+        |  FLOOR(l_extendedprice) AS floor_p,
+        |  CEIL(l_extendedprice) AS ceil_p,
+        |  SQRT(l_quantity) AS sqrt_q,
+        |  l_extendedprice * l_extendedprice AS sq_p,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(25,6)), 2) AS DOUBLE) AS round_p
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_c"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        sqrt(col("l_quantity")).as("sqrt_q"),
+        (col("l_extendedprice") * col("l_extendedprice")).as("sq_p"),
+        round(col("l_extendedprice").cast(DecimalType(25, 6)), 2).cast("double").as("round_p"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+
+    // --- conditional: CASE WHEN / COALESCE
+    register("q20_case_when",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_label"))
+        .orderBy(col("o_orderkey"))
+    }
+
+    // --- HAVING (post-aggregation filter)
+    register("q21_having",
+      """SELECT o_custkey, COUNT(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 12
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 12)
+        .orderBy(col("o_custkey"))
+    }
+
+    // --- multi-way join (TPC-H Q5 shape): region -> nation -> customer -> orders -> lineitem
+    register("q22_multi_join",
+      """SELECT r.r_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin) { (s, dir) =>
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      // dims are tiny -> broadcast; the single shuffle is orders><lineitem.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("r_name"))
+    }
+
+    // --- grouped distinct counts
+    register("q23_count_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"))
+        .orderBy(col("l_returnflag"))
+    }
+
+    // --- scalar subquery shape: filter against a global aggregate
+    register("q24_global_avg_filter",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val avgDf = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("__avg"))
+      o.join(broadcast(avgDf))           // 1-row cross join, broadcast: no shuffle
+        .filter(col("o_totalprice") > lit(2) * col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey"))
+    }
+
+    // --- pivot as conditional aggregation
+    register("q25_pivot_condagg",
+      """SELECT o_custkey,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey")).agg(
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_filled"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_partial"))
+        .orderBy(col("o_custkey"))
+    }
+
+    // --- non-equi (theta) join: parts priced within a band of their size class
+    register("q26_theta_join",
+      """SELECT a.p_partkey, b.p_partkey AS other_key
+        |FROM part a JOIN part b
+        |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |  AND ABS(a.p_retailprice - b.p_retailprice) < 10
+        |ORDER BY a.p_partkey, other_key""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "part").select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      val b = a.select(col("p_partkey").as("other_key"),
+        col("p_size").as("b_size"), col("p_retailprice").as("b_price"))
+      // equi component on p_size keeps this a hash join (the theta parts
+      // become residual filters) instead of a nested-loop cross product.
+      a.join(b, col("p_size") === col("b_size")
+          && col("p_partkey") < col("other_key")
+          && abs(col("p_retailprice") - col("b_price")) < 10)
+        .select(col("p_partkey"), col("other_key"))
+        .orderBy(col("p_partkey"), col("other_key"))
+    }
+
+    // --- events: JSON extraction + time bucketing (tumbling window as batch)
+    register("q27_events_json",
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(25,6))) AS DOUBLE) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }
+
+    register("q28_events_window",
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }
+  }
+
+  // =================================================================
+  // §2.1 native operators exercised through the correctness gate
+  // =================================================================
+  private def nativeOperatorQueries(): Unit = {
+    import graft.core.{JsonFlatten, MagicTable, TableGraph}
+    import graft.functions.NlCompiler
+
+    // --- C3: the NL compiler drives a real query; oracle is the SQL the
+    //     compiled plan must be equivalent to (README.md:44-46 contract).
+    register("c3_transform_topk",
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+        |      o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_orderpriority) AS rn
+        |  FROM orders) x WHERE rn = 1
+        |ORDER BY o_totalprice DESC, o_orderkey, o_orderstatus, o_orderdate, o_orderpriority
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      // "top 5 unique by custkey, by totalprice desc" — the ipynb query class
+      val compiled = NlCompiler.compile(
+        "top 5 unique by o_custkey by o_totalprice desc showing o_orderkey, o_totalprice and o_orderdate",
+        t(s, dir, "orders").columns.toSeq)
+      compiled.apply(t(s, dir, "orders"))
+    }
+
+    // --- C3: filter + projection through the NL grammar
+    register("c3_transform_filter",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val compiled = NlCompiler.compile(
+        "top 20 where o_totalprice > 400000 by o_totalprice desc showing o_orderkey and o_totalprice",
+        t(s, dir, "orders").columns.toSeq)
+      // NL grammar has no tie-break; append a deterministic one for the gate
+      compiled.apply(t(s, dir, "orders"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }
+
+    // --- C2: distributed flatten of a nested struct/array column built from
+    //     events.props JSON (from_json -> flattenAll fixpoint)
+    register("c2_flatten_json",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("props"))
+      JsonFlatten.flattenAll(ev)
+        .withColumnRenamed("props.k", "k")
+        .orderBy(col("event_id"))
+    }
+  }
+
+  // =================================================================
+  // §2.4 beyond-reference: LLM-data-pipeline operators
+  // =================================================================
+  private def pipelineQueries(): Unit = {
+    // populated in a later milestone (dedup / similarity / text analysis)
+  }
 }

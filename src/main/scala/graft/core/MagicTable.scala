@@ -1,0 +1,153 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.Instant
+import graft.sources.{Fetcher, FileFetcher, GenerativeSource, Source}
+import graft.functions.NlCompiler
+import graft.operators.Chain
+
+/** The user-facing table (reference: class MagicTable(pl.DataFrame),
+  * magictable.py:39-42). Scala can't usefully subclass Dataset, so this is
+  * composition: every forwarder re-wraps the resulting DataFrame so lineage
+  * (name + sources) survives the call — the Scala equivalent of the
+  * reference's blanket Polars-method wrapper (magictable.py:28-36,451-459).
+  * `mapDf` is the escape hatch: ANY Spark transformation stays inside the
+  * MagicTable world.
+  */
+class MagicTable(
+    val df: DataFrame,
+    val name: String,
+    val sources: Seq[Source],
+    val graph: TableGraph) {
+
+  private def wrap(d: DataFrame, newName: String = name): MagicTable =
+    new MagicTable(d, newName, sources, graph)
+
+  /** The blanket-wrapper equivalent: apply any DataFrame -> DataFrame fn. */
+  def mapDf(f: DataFrame => DataFrame): MagicTable = wrap(f(df))
+
+  // ---- forwarders (delegated relational surface, SURVEY §2.2) -----------
+  def select(cols: Column*): MagicTable = wrap(df.select(cols: _*))
+  def selectNames(cols: String*): MagicTable = wrap(df.select(cols.head, cols.tail: _*))
+  def filter(cond: Column): MagicTable = wrap(df.filter(cond))
+  def where(cond: Column): MagicTable = filter(cond)
+  def withColumn(n: String, c: Column): MagicTable = wrap(df.withColumn(n, c))
+  def withColumnRenamed(a: String, b: String): MagicTable = wrap(df.withColumnRenamed(a, b))
+  def drop(cols: String*): MagicTable = wrap(df.drop(cols: _*))
+  def distinct(): MagicTable = wrap(df.distinct())
+  def dropDuplicates(cols: Seq[String]): MagicTable = wrap(df.dropDuplicates(cols))
+  def orderBy(cols: Column*): MagicTable = wrap(df.orderBy(cols: _*))
+  def sort(cols: Column*): MagicTable = orderBy(cols: _*)
+  def limit(n: Int): MagicTable = wrap(df.limit(n))
+  def join(other: MagicTable, on: Seq[String], how: String = "inner"): MagicTable =
+    new MagicTable(df.join(other.df, on, how), name, sources ++ other.sources, graph)
+  def join(other: MagicTable, cond: Column, how: String): MagicTable =
+    new MagicTable(df.join(other.df, cond, how), name, sources ++ other.sources, graph)
+  def union(other: MagicTable): MagicTable =
+    new MagicTable(df.unionByName(other.df, allowMissingColumns = true),
+      name, sources ++ other.sources, graph)
+  def intersect(other: MagicTable): MagicTable = wrap(df.intersect(other.df))
+  def except(other: MagicTable): MagicTable = wrap(df.except(other.df))
+  def groupByAgg(groupCols: Seq[Column], aggs: Seq[Column]): MagicTable =
+    wrap(df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*))
+  def flatten(): MagicTable = wrap(JsonFlatten.flattenAll(df))
+  def cache(): MagicTable = wrap(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def columns: Seq[String] = df.columns.toSeq
+  def count(): Long = df.count()
+
+  /** One-line profile (reference magictable.py:145-146): rows x cols,
+    * names, dtypes, first row. Feeds the NL compiler context. */
+  def summary: String = {
+    val first = df.head(1).headOption.map(_.toString).getOrElse("<empty>")
+    s"${df.count()} rows x ${df.columns.length} cols; " +
+      s"columns=${df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}; " +
+      s"first=$first"
+  }
+
+  // ---- native operators --------------------------------------------------
+
+  /** NL transform (reference C3, magictable.py:148-200): compile the query
+    * against this schema, cache the compiled plan by "{name}_{query}"
+    * (magictable.py:150), execute, register result + lineage. The result
+    * name and the GenerativeSource lineage marker mirror
+    * magictable.py:180-184.
+    */
+  def transform(query: String, model: String = "deterministic"): MagicTable = {
+    val cacheKey = s"${name}_$query"
+    val compiled = NlCompiler.compile(query, df.columns.toSeq)
+    graph.transformations.put(cacheKey, compiled.describe)
+    val out = compiled.apply(df)
+    val newName = s"${name}_query:${query}_model:$model"
+    val result = new MagicTable(out, newName, sources :+ GenerativeSource(name), graph)
+    graph.addChain(ChainRecord(name, newName, newName, "transform",
+      query, "", Map("describe" -> compiled.describe), graph.clock()))
+    result
+  }
+
+  /** Per-row API fan-out (reference C1). Whole-chain result cache keyed by
+    * source ids with the 1 h TTL (magictable.py:221-230). */
+  def chain(
+      urlTemplate: String,
+      fetcher: Fetcher = MagicTable.defaultFetcher,
+      sourceKey: Option[String] = None,
+      targetKey: Option[String] = None): MagicTable = {
+    val newName = s"${name}_chain_${Jsons.md5Hex(urlTemplate).take(12)}"
+    if (graph.isFresh(newName)) {
+      graph.getTable(df.sparkSession, newName) match {
+        case Some(cached) => return new MagicTable(cached, newName, sources, graph)
+        case None =>
+      }
+    }
+    val urlCacheDir = java.nio.file.Paths.get(graph.warehouseDir, "_urls").toString
+    val (out, keyCols) = Chain(df, urlTemplate, fetcher, sourceKey, targetKey, Some(urlCacheDir))
+    graph.addTable(newName, out, MagicTable.sourceInfo(sources))
+    graph.addChain(ChainRecord(name, newName, newName, "api_chain",
+      keyCols.mkString(","), "", Map("api_url_template" -> urlTemplate), graph.clock()))
+    new MagicTable(graph.getTable(df.sparkSession, newName).get, newName, sources, graph)
+  }
+
+  /** Register this table in the catalog (Parquet write + node). */
+  def register(): MagicTable = {
+    graph.addTable(name, df, MagicTable.sourceInfo(sources))
+    this
+  }
+}
+
+object MagicTable {
+
+  def defaultFetcher: Fetcher =
+    new FileFetcher(sys.env.getOrElse("GRAFT_FIXTURES",
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures").toString))
+
+  def sourceInfo(sources: Seq[Source]): Seq[Map[String, Any]] =
+    sources.map(s => Map(
+      "type" -> s.getType, "identifier" -> s.getIdentifier, "params" -> s.getParams))
+
+  /** Ingestion entry point (reference C5, magictable.py:56-67): source-id
+    * cache lookup; on miss fetch -> flatten -> infer -> register. Table
+    * name = "_"-joined source ids (magictable.py:102).
+    */
+  def fromSource(
+      spark: SparkSession,
+      source: Source,
+      fetcher: Fetcher = defaultFetcher,
+      graph: TableGraph = TableGraph.defaultGraph): MagicTable = {
+    val tableName = source.getId
+    graph.getTable(spark, tableName) match {
+      case Some(cached) => new MagicTable(cached, tableName, Seq(source), graph)
+      case None =>
+        import spark.implicits._
+        val lines = source.fetchRows(fetcher)
+        val df = spark.read.json(spark.createDataset(lines))
+        graph.addTable(tableName, df, sourceInfo(Seq(source)))
+        new MagicTable(graph.getTable(spark, tableName).get, tableName, Seq(source), graph)
+    }
+  }
+
+  /** Wrap an existing DataFrame (no registration until .register()). */
+  def fromDataFrame(df: DataFrame, name: String,
+      graph: TableGraph = TableGraph.defaultGraph): MagicTable =
+    new MagicTable(df, name, Seq.empty, graph)
+}

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Pluggable LLM boundary (reference: utils.py:83-164, call_ai_model).
+  * The environment is zero-egress, so the default implementation is the
+  * deterministic compiler below; an online client can be swapped in.
+  * Contract carried over from the reference: callers sample at most 10 rows
+  * / 20 000 chars of context (utils.py:129) — enforced by PromptBudget.
+  */
+trait LlmClient extends Serializable {
+  def completeJson(prompt: String, context: String): String
+  def completeCode(prompt: String, context: String): String
+}
+
+object PromptBudget {
+  val MaxRows = 10
+  val MaxChars = 20000
+  def clip(sampleRows: Seq[String]): String = {
+    val s = sampleRows.take(MaxRows).mkString("\n")
+    if (s.length > MaxChars) s.substring(0, MaxChars) else s
+  }
+}
+
+/** Deterministic NL -> DataFrame-plan compiler (reference C3,
+  * magictable.py:148-200). The reference asks an LLM for pandas code and
+  * `exec`s it; here the observed operation classes (example.ipynb generated
+  * code: pd.to_datetime(errors='coerce'), sort_values desc,
+  * drop_duplicates(subset, keep='first'), head(k), column projection, and
+  * simple comparison filters) compile directly to Catalyst plans — no code
+  * execution, fully distributed, optimizable.
+  *
+  * Grammar (case-insensitive, clause order free):
+  *   top|first|head <k>            -> limit k (after any sort)
+  *   by <col> [asc|desc]           -> orderBy (desc default for "top")
+  *   unique|distinct by <col>      -> keep-first-after-sort dedup (window)
+  *   show|showing|select <c1, c2 and c3>   -> projection
+  *   where <col> <op> <value>      -> filter (op: = != > < >= <=, is null)
+  *   parse <col> as date|timestamp -> to_timestamp (null on failure — the
+  *                                    pandas errors='coerce' analogue)
+  */
+object NlCompiler {
+
+  case class Compiled(describe: String, apply: DataFrame => DataFrame)
+
+  def compile(query: String, columns: Seq[String]): Compiled = {
+    val q = " " + query.trim + " "
+    val lower = q.toLowerCase
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def resolve(name: String): Option[String] = {
+      val n = name.trim.stripPrefix("`").stripSuffix("`")
+      columns.find(_.equalsIgnoreCase(n))
+        .orElse(columns.find(_.equalsIgnoreCase(n.replace(' ', '_'))))
+        .orElse(columns.find(c => c.equalsIgnoreCase(n + "s") || (c + "s").equalsIgnoreCase(n)))
+    }
+
+    // ---- parse clauses ----------------------------------------------------
+    val topK = """(?i)\b(?:top|first|head)\s+(\d+)\b""".r
+      .findFirstMatchIn(lower).map(_.group(1).toInt)
+
+    val uniqueRx = """(?i)\b(?:unique|distinct|dedup(?:licated?)?)\s+(?:by\s+)?([a-z0-9_]+)""".r
+    val uniqueBy = uniqueRx.findFirstMatchIn(lower).flatMap(m => resolve(m.group(1)))
+
+    // the unique-clause's own "by" must not be mistaken for the sort clause
+    val sortSearch = uniqueRx.replaceAllIn(lower, " ")
+    val sortCol = """(?i)\bby\s+([a-z0-9_\. ]+?)(?:\s+(asc|desc|ascending|descending))?\s*(?:,|\band\b|\bshow|\bwhere|$)""".r
+      .findFirstMatchIn(sortSearch)
+      .flatMap { m =>
+        resolve(m.group(1)).map { c =>
+          val asc = Option(m.group(2)).exists(s => s.startsWith("asc"))
+          (c, asc)
+        }
+      }
+
+    val showCols = """(?i)\b(?:showing|show|select|return(?:ing)?)\s+((?:[a-z0-9_]+)(?:\s*(?:,|and)\s*[a-z0-9_]+)*)""".r
+      .findFirstMatchIn(lower).map { m =>
+        m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
+          .flatMap(tok => resolve(tok))
+      }.filter(_.nonEmpty)
+
+    val filters = """(?i)\bwhere\s+([a-z0-9_]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-z0-9_\.\-]+)?""".r
+      .findAllMatchIn(lower).toSeq.flatMap { m =>
+        resolve(m.group(1)).map { c =>
+          (c, m.group(2), Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
+        }
+      }
+
+    val dateParse = """(?i)\b(?:parse|convert)\s+([a-z0-9_]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
+      .findAllMatchIn(lower).toSeq.flatMap(m => resolve(m.group(1)))
+
+    // ---- assemble plan ----------------------------------------------------
+    val fn: DataFrame => DataFrame = { df0 =>
+      var df = df0
+      dateParse.foreach { c =>
+        df = df.withColumn(c, to_timestamp(col(c)))
+      }
+      filters.foreach { case (c, op, v) =>
+        val column = col(c)
+        val lhsIsNumeric = v.nonEmpty && v.forall(ch => ch.isDigit || ch == '.' || ch == '-')
+        val value: Column = if (lhsIsNumeric) lit(v.toDouble) else lit(v)
+        val pred = op match {
+          case "=" => column === value
+          case "!=" => column =!= value
+          case ">" => column > value
+          case "<" => column < value
+          case ">=" => column >= value
+          case "<=" => column <= value
+          case "is null" => column.isNull
+          case "is not null" => column.isNotNull
+        }
+        df = df.filter(pred)
+      }
+      val ordered = sortCol match {
+        case Some((c, asc)) =>
+          val primary = if (asc) col(c).asc else col(c).desc
+          // pandas keep='first' depends on input order, which has no
+          // distributed equivalent; pin a DETERMINISTIC total order by
+          // tie-breaking on every remaining column ascending.
+          val tieBreak = df0.columns.toSeq.filterNot(_ == c).map(col(_).asc)
+          val ord = primary +: tieBreak
+          uniqueBy match {
+            case Some(u) =>
+              // drop_duplicates(subset=u, keep='first' after sort) — Spark's
+              // dropDuplicates keeps an arbitrary row, so pin it with a window.
+              val w = Window.partitionBy(col(u)).orderBy(ord: _*)
+              df.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn")
+                .orderBy(ord: _*)
+            case None => df.orderBy(ord: _*)
+          }
+        case None =>
+          uniqueBy.map(u => df.dropDuplicates(u)).getOrElse(df)
+      }
+      val limited = topK.map(ordered.limit).getOrElse(ordered)
+      showCols.map(cs => limited.select(cs.map(col): _*)).getOrElse(limited)
+    }
+
+    topK.foreach(k => steps += s"limit=$k")
+    sortCol.foreach { case (c, asc) => steps += s"orderBy=$c:${if (asc) "asc" else "desc"}" }
+    uniqueBy.foreach(c => steps += s"dedupKeepFirst=$c")
+    showCols.foreach(cs => steps += s"select=${cs.mkString("|")}")
+    filters.foreach { case (c, op, v) => steps += s"filter=$c$op$v" }
+    dateParse.foreach(c => steps += s"toTimestamp=$c")
+
+    Compiled(steps.mkString(";"), fn)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Jsons, TableGraph}
+import graft.sources.Fetcher
+
+/** The reference's signature operator: per-row parameterized API fan-out
+  * (reference C1, magictable.py:202-315). Semantically a left lateral join:
+  * for each row, build a URL from row values, fetch JSON, lateral-join the
+  * 1..N response records back as api_* columns.
+  *
+  * The reference builds URLs in a driver-side row loop (magictable.py:
+  * 250-266), fetches with asyncio, and aligns results to rows POSITIONALLY
+  * (magictable.py:273-281). None of that survives 100 TB. The distributed
+  * decomposition here:
+  *   (a) URL build    -> a single concat() Catalyst expression per row
+  *   (b) fetch        -> distinct URLs only (mirrors the reference's
+  *                       per-URL cache, magictable.py:355-366), fetched in
+  *                       mapPartitions on EXECUTORS via the injected Fetcher
+  *   (c) re-join      -> left equi-join on __url (duplicate URLs across rows
+  *                       reuse one fetch; empty/failed responses keep the
+  *                       row with all-null api_* — magictable.py:340,389)
+  *   (d) parse+infer  -> responses wrapped as JSON lines, schema inferred by
+  *                       spark.read.json (permissive-nullable, key-union —
+  *                       magictable.py:284-289)
+  *   (e) fan-out      -> one output row per response element (the explode
+  *                       happens while wrapping: element-level JSON lines)
+  *   (f) prefixing    -> response fields surfaced as api_<field>
+  */
+object Chain {
+
+  /** Build the per-row URL as a pure Catalyst expression. Placeholders
+    * mapped to columns substitute the column value; unmapped placeholders
+    * stay literal "{p}" (magictable.py:434-437).
+    */
+  def urlExpression(template: String, mapping: Map[String, String]): Column = {
+    val rx = """\{([^{}]+)\}""".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    rx.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      val ph = m.group(1)
+      mapping.get(ph) match {
+        case Some(column) => parts += col(column).cast("string")
+        case None => parts += lit(s"{$ph}")
+      }
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit(template) else concat(parts.toSeq: _*)
+  }
+
+  /** Fetch each distinct URL (executor-side), returning one JSON line per
+    * response ELEMENT: {"__url": u, "resp": <element>}. A failed or empty
+    * fetch emits {"__url": u} so the later left join keeps provenance
+    * explicit. List responses fan out 1..N; object responses yield 1.
+    */
+  def fetchResponses(
+      urls: Dataset[String],
+      fetcher: Fetcher,
+      urlCacheDir: Option[String],
+      maxSleepMs: Long = 30000L): Dataset[String] = {
+    import urls.sparkSession.implicits._
+    urls.mapPartitions { it =>
+      it.flatMap { url =>
+        val cached = urlCacheDir.flatMap { dir =>
+          val p = java.nio.file.Paths.get(dir, Jsons.md5Hex(url) + ".json")
+          if (java.nio.file.Files.exists(p))
+            Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          else None
+        }
+        val body = cached.orElse {
+          val fetched = fetcher.fetchWithRetry(url, maxSleepMs = maxSleepMs)
+          for (dir <- urlCacheDir; b <- fetched) {
+            val p = java.nio.file.Paths.get(dir, Jsons.md5Hex(url) + ".json")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, b.getBytes("UTF-8"))
+          }
+          fetched
+        }
+        val elements: Seq[Any] = body.flatMap(b => Jsons.parseOpt(b)) match {
+          case Some(list: Seq[_]) => list
+          case Some(obj) => Seq(obj)
+          case None => Seq.empty
+        }
+        if (elements.isEmpty) Iterator.single(Jsons.render(Map("__url" -> url)))
+        else elements.iterator.map(e => Jsons.render(Map("__url" -> url, "resp" -> e)))
+      }
+    }
+  }
+
+  /** Full chain. Returns (result, resolvedKeyColumns). */
+  def apply(
+      df: DataFrame,
+      template: String,
+      fetcher: Fetcher,
+      sourceKey: Option[String] = None,
+      targetKey: Option[String] = None,
+      urlCacheDir: Option[String] = None,
+      maxSleepMs: Long = 30000L): (DataFrame, Seq[String]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val mapping = KeyResolver.resolve(template, df.columns.toSeq, sourceKey, targetKey)
+    val withUrl = df.withColumn("__url", urlExpression(template, mapping))
+
+    val distinctUrls = withUrl.select($"__url").distinct().as[String]
+    val respLines = fetchResponses(distinctUrls, fetcher, urlCacheDir, maxSleepMs)
+    val respDf = spark.read.json(respLines)
+
+    val result =
+      if (!respDf.columns.contains("resp")) {
+        // every fetch failed/empty: keep rows, no api_* columns to add
+        withUrl.drop("__url")
+      } else {
+        // left join preserves source rows; element rows fan out per URL.
+        // The distinct-URL side is usually small relative to the input —
+        // broadcast it so the lateral join needs no shuffle of the big side.
+        val joined = withUrl.join(broadcast(respDf), Seq("__url"), "left")
+        val respFields = respDf.schema("resp").dataType match {
+          case st: org.apache.spark.sql.types.StructType => st.fields.toSeq
+          case _ => Seq.empty
+        }
+        val baseCols = df.columns.toSeq.map(c => col(s"`$c`"))
+        val apiCols =
+          if (respFields.nonEmpty)
+            respFields.map(f => col("resp").getField(f.name).as(s"api_${f.name}"))
+          else Seq(col("resp").as("api_resp"))
+        joined.select(baseCols ++ apiCols: _*)
+      }
+    (result, mapping.values.toSeq)
+  }
+}
