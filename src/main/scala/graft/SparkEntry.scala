@@ -562,8 +562,212 @@ object SparkEntry {
 
   // =================================================================
   // §2.4 beyond-reference: LLM-data-pipeline operators
+  // (dedup / similarity search / text analysis / multimodal)
   // =================================================================
   private def pipelineQueries(): Unit = {
-    // populated in a later milestone (dedup / similarity / text analysis)
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, Multimodal, Similarity}
+
+    // Shared DuckDB fragments. Tokenization/shingling must match
+    // TextFunctions bit-for-bit: whitespace split, empties dropped,
+    // word-3-grams joined by single spaces.
+    val toksSql = """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
+    val toksLowerSql = """list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"""
+    def shinglesSql(toks: String) =
+      s"""CASE WHEN len($toks) < 3 THEN []::VARCHAR[]
+         |     ELSE list_transform(range(1, len($toks)-1),
+         |            i -> array_to_string(list_slice($toks, i, i+2), ' ')) END""".stripMargin
+
+    // --- text analysis: token/subword counts, char-class stats
+    register("p01_text_stats",
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+         |  length(text) AS n_chars_actual,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         |  length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS punct_chars,
+         |  CASE WHEN len($toksSql) = 0 THEN 0.0
+         |       ELSE list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE / len($toksSql)
+         |  END AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"),
+        length(col("text")).as("n_chars_actual"),
+        alphaChars(col("text")).as("alpha_chars"),
+        punctChars(col("text")).as("punct_chars"),
+        meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- language ID (stopword-vote heuristic) + quality score
+    val langs = stopwords.keys.toSeq.sorted
+    def hitsSql(l: String) =
+      s"len(list_filter($toksLowerSql, t -> t IN (" +
+        stopwords(l).map(w => s"'$w'").mkString(", ") + ")))"
+    val greatestSql = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    register("p02_lang_quality",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $greatestSql = 0 THEN 'und'
+         |${langs.map(l => s"       WHEN h_$l = $greatestSql THEN '$l'").mkString("\n")}
+         |  END AS lang_pred,
+         |  least(n_tok / 200.0, 1.0) * 0.4
+         |    + (CASE WHEN n_char = 0 THEN 0.0 ELSE n_alpha / n_char END) * 0.3
+         |    + (CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en / n_tok END) * 0.2
+         |    + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0 ELSE n_punct / n_char END) * 5.0, 1.0)) * 0.1
+         |    AS quality
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len($toksSql)::DOUBLE AS n_tok,
+         |    length(text)::DOUBLE AS n_char,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         |    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS n_punct,
+         |${langs.map(l => s"    ${hitsSql(l)} AS h_$l").mkString(",\n")}
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- document fingerprinting: exact + winnowing-style robust
+    register("p03_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(array_to_string($toksLowerSql, ' ')) AS fingerprint,
+         |  array_to_string(list_slice(list_sort(
+         |    list_transform(${shinglesSql(toksLowerSql)}, s -> md5(s))), 1, 4), '|') AS winnow
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fingerprint"),
+        winnowFingerprint(col("text"), 3, 4).as("winnow"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- exact dedup: hash-groupBy on the normalized fingerprint
+    register("p04_dedup_exact",
+      s"""SELECT md5(array_to_string($toksLowerSql, ' ')) AS fingerprint,
+         |  min(doc_id) AS canonical_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    }
+
+    // --- MinHash + LSH near-dup pairs, Jaccard-verified (8 hashes, 1-row
+    //     bands: candidate recall at j=0.8 is 1-(1-0.8)^8 ≈ 0.9999997)
+    val mhSeeds = 0 until 8
+    register("p05_minhash_lsh",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS shingles
+         |  FROM t),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |sig AS (SELECT doc_id,
+         |${mhSeeds.map(i => s"  min(md5('$i:' || s)) AS h$i").mkString(",\n")}
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE
+         |    AS jaccard_sim
+         |FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
+         |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.nearDupPairsMinhash(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- SimHash 64-bit signatures (bit voting over token md5 nibbles)
+    register("p06_simhash",
+      s"""WITH t AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, substring(md5(tok), 1, 16) AS hx FROM t),
+         |v AS (SELECT doc_id,
+         |${(0 until 64).map(j =>
+             s"  SUM(((('0x' || substring(hx, ${j / 4 + 1}, 1))::BIGINT >> ${3 - j % 4}) & 1) * 2 - 1) AS v$j")
+             .mkString(",\n")}
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, concat(
+         |${(0 until 64).map(j => s"  CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(",\n")}
+         |) AS simhash FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- similarity search: exact brute-force cosine top-5 (decimal-exact
+    //     dot products -> bit-identical across engines)
+    val dotSql = "list_sum(list_transform(list_zip(qv, e.embedding), " +
+      "x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE"
+    val normSql = "sqrt(list_sum(list_transform(embedding, " +
+      "x -> CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(38,18))))::DOUBLE)"
+    register("p07_embed_knn",
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 25),
+         |p AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |        $dotSql / (qn * e.nrm) AS cosine
+         |      FROM q JOIN e ON e.vec_id != query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      // ranking uses the raw double; the REPORTED value is rounded to 9
+      // decimals because decimal->double casts differ by 1 ulp across
+      // engines (DuckDB's int128/1e18 path vs JVM BigDecimal).
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 25), "vec_id", "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // --- similarity search, scale path: sign-random-projection LSH with
+    //     multi-probe + exact re-rank. Not SQL-expressible compactly ->
+    //     rows-only check; recall vs brute force is asserted in
+    //     SimilaritySpec.
+    registerNoOracle("p08_embed_ann") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 25), "vec_id", "embedding",
+          k = 5, nBits = 8)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // --- multimodal: binary payload + typed metadata + frame sampling
+    //     (decode itself is a stub — no codecs in this container; the
+    //     schema/explode/byte-slicing plumbing is what's verified)
+    register("p09_multimodal",
+      """WITH d AS (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents),
+        |f AS (SELECT doc_id, count(*) AS n_frames, sum(least(32, n - off)) AS total
+        |      FROM (SELECT doc_id, n, unnest(range(0, n, 32)) AS off FROM d)
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id, 'text/plain' AS mime, d.n::BIGINT AS n_bytes,
+        |  md5(d.text) AS checksum, f.n_frames::BIGINT AS n_frames,
+        |  f.total::BIGINT AS total_frame_bytes
+        |FROM d JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Multimodal.attachBinary(t(s, dir, "documents"), "text", "text/plain")
+      Multimodal.frameSample(d, "media", 32, 32)
+        .groupBy(col("doc_id"))
+        .agg(
+          min(col("media_meta.mime")).as("mime"),
+          min(col("media_meta.n_bytes")).as("n_bytes"),
+          min(col("media_meta.checksum")).as("checksum"),
+          count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).as("total_frame_bytes"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM training-data pipelines (beyond the
+  * reference's surface — mandated by BASELINE.json's north star; the
+  * reference's closest artifact is the dead embedding helper at
+  * /root/reference/magictables/utils.py:179-242).
+  *
+  * Everything here is a pure Catalyst expression tree over built-ins —
+  * codegen-friendly, no UDFs, no shuffles — so it composes into any scan,
+  * stays inside WholeStageCodegen, and scales linearly with the data.
+  *
+  * Hashing is md5-based on purpose: md5 hex is bit-identical across Spark
+  * and ANSI SQL engines (DuckDB oracle), unlike xxhash64/murmur which are
+  * engine-specific. Where a numeric hash is needed, the first 15 hex chars
+  * (60 bits) are converted — still portable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed (leading/trailing space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs and single non-space symbols
+    * each count as one token — a cheap, deterministic stand-in for a real
+    * BPE vocabulary that tracks it within a few percent on English text.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Empty if < n tokens.
+    * (Guarded: sequence(1, 0) would yield a DESCENDING [1,0] range.) */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Deterministic 60-bit hash of a string, identical in Spark and DuckDB:
+    * integer value of the first 15 hex chars of md5. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash permutations: hash of "seed:value". */
+  def seededMd5(seed: Int, c: Column): Column = md5(concat(lit(s"$seed:"), c))
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text (rolling-hash-free exact fingerprint). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))))
+
+  /** Winnowing-style robust fingerprint: the k lexicographically smallest
+    * md5 hex digests of the document's n-gram shingles, concatenated. Two
+    * documents differing by a few tokens still collide on most mins. */
+  def winnowFingerprint(text: Column, n: Int, k: Int): Column =
+    concat_ws("|", slice(array_sort(transform(shingles(lower(text), n), s => md5(s))), 1, k))
+
+  // ---------------------------------------------------------------- language ID
+
+  /** Tiny deterministic stopword lists per language (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "un", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "que", "est", "pour"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf", "ist"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一", "他"))
+
+  /** Stopword hit count for one language (token occurrences, not types). */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(stopwords(lang))))
+
+  /** N-gram-heuristic language ID: the language with the most stopword hits;
+    * "und" (undetermined) when no list scores > 0. Ties break by language
+    * code ascending (deterministic). */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    // array_max on (hits, lang) structs: max hits, then max lang — to get
+    // the TIE-BREAK-ASCENDING winner compare on (hits, reversed-rank).
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      struct(stopwordHits(text, l).as("hits"), lit(-i).as("rank"), lit(l).as("lang"))
+    }
+    val winner = array_max(array(best: _*))
+    when(winner.getField("hits") > 0, winner.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Alphabetic-character count. */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  /** Punctuation-character count. */
+  def punctChars(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: weights length (saturating at 200
+    * tokens), alphabetic ratio, and English-stopword ratio; penalizes
+    * punctuation overload. All-double math in a fixed evaluation order so
+    * Spark and the oracle agree bitwise. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val lenScore = least(nTok / lit(200.0), lit(1.0))
+    val alphaRatio = when(nChar === 0, lit(0.0)).otherwise(alphaChars(text).cast("double") / nChar)
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(stopwordHits(text, "en").cast("double") / nTok)
+    val punctRatio = when(nChar === 0, lit(0.0)).otherwise(punctChars(text).cast("double") / nChar)
+    lenScore * lit(0.4) + alphaRatio * lit(0.3) + stopRatio * lit(0.2) +
+      (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.1)
+  }
+}

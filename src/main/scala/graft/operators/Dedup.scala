@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (beyond-reference,
+  * SURVEY.md §2.4; the reference has no dedup of its own — its closest
+  * surface is Polars' unique() reached through the blanket wrapper,
+  * /root/reference/magictables/magictable.py:451-459).
+  *
+  * Scale design (the 100 TB rules):
+  *  - exact dedup is a hash-groupBy on an md5 fingerprint — one shuffle of
+  *    (fingerprint, id), never of document text;
+  *  - MinHash signatures come from explode+groupBy so Spark's partial
+  *    aggregation combines per-(doc, seed) minima map-side before the
+  *    shuffle — shuffle volume is O(docs × seeds), not O(shingles);
+  *  - LSH banding turns the quadratic all-pairs problem into a self-join on
+  *    (band, bucket) — only same-bucket pairs are verified, and the final
+  *    jaccard check joins shingle arrays only for the candidate pairs;
+  *  - every hash is md5-based so results are bit-identical in the DuckDB
+  *    oracle (engine-specific xxhash64/murmur are deliberately avoided).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact duplicate groups keyed by the normalized-text fingerprint:
+    * (fingerprint, canonical_id = min id, n_docs). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Keep one row per exact-duplicate group (the min-id row). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = exactGroups(df, idCol, textCol).select(col("canonical_id").as(idCol))
+    df.join(groups, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------ MinHash + LSH
+
+  /** Distinct word-n-gram shingle sets: (id, __shingles). Docs with fewer
+    * than n tokens drop out (no shingles -> nothing to compare). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol),
+        array_distinct(TextFunctions.shingles(lower(col(textCol)), shingleN)).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+
+  /** MinHash signature: one column h0..h{k-1} per seeded permutation, each
+    * the lexicographic min of md5("seed:shingle") over the doc's shingles.
+    * Partial-aggregation-friendly: min is computed map-side per partition. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val ex = shingleSets(df, idCol, textCol, shingleN)
+      .select(col(idCol), explode(col("__shingles")).as("__s"))
+    val aggs = (0 until numHashes).map(s =>
+      min(TextFunctions.seededMd5(s, col("__s"))).as(s"h$s"))
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures. With rowsPerBand hashes per
+    * band, a pair lands in the same bucket of a band iff all that band's
+    * hashes agree; P(candidate) = 1-(1-j^r)^b — tune (r, b) to the target
+    * similarity. Returns distinct (id_a, id_b) with id_a < id_b. */
+  def lshCandidates(signatures: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    val buckets = signatures
+      .select(col(idCol), explode(array(bands: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+    val a = buckets.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified: candidates from banding,
+    * then exact shingle-set Jaccard >= threshold. Output
+    * (id_a, id_b, jaccard_sim). */
+  def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignature(df, idCol, textCol, shingleN, numHashes)
+    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sa = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val sb = sets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+  }
+
+  /** Brute-force n-gram Jaccard pairs (all pairs — O(n²), for tests and
+    * small blocks only; the LSH path above is the scale path). */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sa = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val sb = sets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    sa.crossJoin(sb).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash per document, as a 64-char '0'/'1' string (a bit string
+    * avoids signed-long pitfalls and is directly comparable in the oracle).
+    * Token hash bits come from the first 16 md5 hex nibbles; each token
+    * votes ±1 per bit; the signature bit is 1 iff the vote sum is > 0.
+    * One explode + one groupBy with 64 map-side-combinable sums. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+      .withColumn("__hx", substring(md5(col("__t")), 1, 16))
+    val votes = (0 until 64).map { j =>
+      val nibble = conv(substring(col("__hx"), j / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nibble, 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"__v$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    agg.select(col(idCol),
+      concat((0 until 64).map(j =>
+        when(col(s"__v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-duplicate pairs: block on 4 x 16-bit segments (two docs
+    * within hamming distance 3 of each other share at least one intact
+    * segment — pigeonhole), verify hamming <= maxHamming. */
+  def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash64(df, idCol, textCol)
+    val segs = sig.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map(s =>
+          struct(lit(s).as("seg"), substring(col("simhash"), s * 16 + 1, 16).as("key"))): _*)).as("__s"))
+      .select(col(idCol), col("simhash"), col("__s.seg").as("__seg"), col("__s.key").as("__key"))
+    val a = segs.select(col("__seg"), col("__key"), col(idCol).as("id_a"), col("simhash").as("__siga"))
+    val b = segs.select(col("__seg"), col("__key"), col(idCol).as("id_b"), col("simhash").as("__sigb"))
+    a.join(b, Seq("__seg", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingBits(col("__siga"), col("__sigb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------ embeddings
+
+  /** Embedding-cosine near-duplicate pairs >= threshold. Exact within LSH
+    * buckets at scale (Similarity.lshTopK machinery); this brute-force
+    * variant is for oracle checks and small blocks. */
+  def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__n", sqrt(Similarity.normSq(col("__v"))))
+    val a = withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]) — beyond-reference per SURVEY.md §2.4; the reference's
+  * only embedding artifact is the dead generate_embeddings helper at
+  * /root/reference/magictables/utils.py:179-242.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine over (queries x corpus). The query
+  *    side is broadcast, so the corpus is scanned once with NO shuffle of
+  *    the corpus vectors; per-row work is a codegen'd array aggregate.
+  *    Correct at any corpus size as long as the QUERY set is small.
+  *  - [[lshTopK]] — sign-random-projection LSH: corpus bucketed by an
+  *    n-bit hyperplane-sign signature (deterministic planes derived from
+  *    md5), multi-probe on the corpus side (each corpus row indexed under
+  *    its bucket plus all hamming-1 buckets), exact re-rank inside the
+  *    probed buckets. Shuffle volume is O(corpus x (nBits+1)) bucket keys,
+  *    and the quadratic pair space is cut to same-bucket pairs — this is
+  *    the 100 TB path.
+  *
+  * Dot products quantize per-element double products to DECIMAL(38,18) and
+  * sum exactly, so results are order-independent and bit-identical in the
+  * DuckDB oracle.
+  */
+object Similarity {
+
+  private val Dec = DecimalType(38, 18)
+
+  /** Exact, order-independent dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  /** Exact squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Exact top-k cosine neighbors for each query vector. Norms are
+    * precomputed per side (never recomputed per pair), queries broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(normSq(col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(normSq(col("__cv"))))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // ------------------------------------------------------------ LSH (SRP)
+
+  /** Deterministic ±1 hyperplanes: component (p, d) is +1 iff the low bit
+    * of the first md5 byte of "p:d" is 0. Reproducible on any node with no
+    * RNG state to ship. */
+  def planes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map { p =>
+      Array.tabulate(dim) { d =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))
+        if ((digest(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** n-bit sign signature of a vector under the given planes, as a '0'/'1'
+    * string. Plain double accumulation — the LSH bucketing tolerates ulp
+    * noise (only exact re-rank results are surfaced). */
+  def signSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    concat(planes.map { pl =>
+      val w = array(pl.map(lit(_)): _*)
+      val proj = aggregate(
+        zip_with(vec, w, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** The signature bucket plus every hamming-1 neighbor bucket. */
+  private def probeBuckets(sig: Column, nBits: Int): Column = {
+    val flips = (1 to nBits).map { i =>
+      val flipped = when(substring(sig, i, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(sig, 1, i - 1), flipped, substring(sig, i + 1, nBits - i))
+    }
+    array(sig +: flips: _*)
+  }
+
+  /** ANN top-k via sign-random-projection LSH with corpus-side multi-probe:
+    * each corpus vector is indexed under nBits+1 buckets (its own + all
+    * 1-bit flips), each query probes exactly its own bucket, candidates are
+    * exactly re-ranked by cosine. Recall is tested against
+    * [[bruteForceTopK]] in SimilaritySpec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val planeSeq = planes(nBits, dimOf(corpus, vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(normSq(col("__cv"))))
+      .withColumn("__sig", signSignature(col("__cv"), planeSeq))
+      .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
+      .drop("__sig")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(normSq(col("__qv"))))
+      .withColumn("__bucket", signSignature(col("__qv"), planeSeq))
+    val cand = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // compute cosine BEFORE deduping pair hits from multiple probe
+      // buckets: the dedup shuffle then carries (ids, cosine), never the
+      // vectors themselves.
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}
