@@ -626,10 +626,29 @@ object SparkEntry {
          |${langs.map(l => s"    ${hitsSql(l)} AS h_$l").mkString(",\n")}
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        langId(col("text")).as("lang_pred"),
-        qualityScore(col("text")).as("quality"))
+      // tokenStats fast path: one codegen'd token-stream aggregation
+      // instead of per-row interpreted lambdas (value-identical to
+      // langId/qualityScore; ~10x faster on whole-corpus scoring).
+      val d = t(s, dir, "documents")
+      val stats = tokenStats(d, "doc_id", "text")
+      val chars = d.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("double").as("__n_char"),
+        alphaChars(col("text")).cast("double").as("__n_alpha"),
+        punctChars(col("text")).cast("double").as("__n_punct"))
+      val nTok = col("n_tok").cast("double")
+      val lenScore = least(nTok / lit(200.0), lit(1.0))
+      val alphaRatio = when(col("__n_char") === 0, lit(0.0))
+        .otherwise(col("__n_alpha") / col("__n_char"))
+      val stopRatio = when(nTok === 0, lit(0.0))
+        .otherwise(col("h_en").cast("double") / nTok)
+      val punctRatio = when(col("__n_char") === 0, lit(0.0))
+        .otherwise(col("__n_punct") / col("__n_char"))
+      chars.join(stats, Seq("doc_id"))
+        .withColumn("lang_pred", langPredFromStats)
+        .withColumn("quality",
+          lenScore * lit(0.4) + alphaRatio * lit(0.3) + stopRatio * lit(0.2) +
+            (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.1))
+        .select("doc_id", "lang", "lang_pred", "quality")
         .orderBy(col("doc_id"))
     }
 

@@ -52,9 +52,13 @@ object TextFunctions {
   def seededMd5(seed: Int, c: Column): Column = md5(concat(lit(s"$seed:"), c))
 
   /** Canonical document fingerprint: md5 of the whitespace-normalized,
-    * lowercased text (rolling-hash-free exact fingerprint). */
+    * lowercased text (rolling-hash-free exact fingerprint). Implemented as
+    * pure regex (collapse runs, strip edges) — value-identical to
+    * md5(concat_ws(" ", tokens(lower(text)))) but fully codegen'd instead
+    * of an interpreted array lambda. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(lower(text))))
+    md5(regexp_replace(
+      regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+", " "))
 
   /** Winnowing-style robust fingerprint: the k lexicographically smallest
     * md5 hex digests of the document's n-gram shingles, concatenated. Two
@@ -81,7 +85,6 @@ object TextFunctions {
     * code ascending (deterministic). */
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
     // array_max on (hits, lang) structs: max hits, then max lang — to get
     // the TIE-BREAK-ASCENDING winner compare on (hits, reversed-rank).
     val best = langs.zipWithIndex.map { case (l, i) =>
@@ -107,6 +110,47 @@ object TextFunctions {
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  // ------------------------------------------------------------ doc stats
+  // (DataFrame-level: one codegen'd token-stream aggregation instead of
+  //  per-row interpreted lambdas — the fast path for whole-corpus scoring)
+
+  /** Per-document token statistics via a posexplode token stream: n_tok,
+    * mean token length, and per-language stopword hit counts (columns
+    * h_<lang>), all in ONE map-side-combinable aggregation. Documents with
+    * zero tokens keep a row (left join back to ids) with zero counts.
+    * Value-identical to the Column-level helpers above. */
+  def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val langAggs = stopwords.keys.toSeq.sorted.map { l =>
+      sum(when(col("__tok").isInCollection(stopwords(l)), 1L).otherwise(0L)).as(s"h_$l")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_tok"),
+      sum(length(col("__tok")).cast("long")).as("__sum_tok_len")) ++ langAggs
+    val stats = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol) +:
+        (Seq("n_tok", "__sum_tok_len") ++ stopwords.keys.toSeq.sorted.map(l => s"h_$l"))
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .withColumn("mean_tok_len",
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(col("__sum_tok_len").cast("double") / col("n_tok")))
+      .drop("__sum_tok_len")
+  }
+
+  /** Language argmax over tokenStats hit columns (same tie-break-ascending
+    * semantics as [[langId]]). */
+  def langPredFromStats: Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val top = greatest(langs.map(l => col(s"h_$l")): _*)
+    langs.foldLeft(when(top === 0, lit("und"))) { (acc, l) =>
+      acc.when(col(s"h_$l") === top, lit(l))
+    }
   }
 
   /** Composite quality score in [0,1]: weights length (saturating at 200

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 
 /** Deduplication operators for training-data pipelines (beyond-reference,
@@ -40,22 +41,47 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash + LSH
 
+  /** Word-n-gram shingles as a row stream (id, shingle), WITH duplicates.
+    *
+    * Deliberately avoids exploding a higher-order-function result: Spark
+    * evaluates a lambda-bearing generator expression per OUTPUT row (and
+    * HOFs never enter whole-stage codegen), which measured ~25x slower at
+    * sf0.1 than this posexplode(split) + window-lead pipeline, which stays
+    * fully codegen'd. One shuffle (tokens by doc for the lead window).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    require(shingleN >= 1)
+    val toks = df
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    if (shingleN == 1) toks.select(col(idCol), col("__tok").as("shingle"))
+    else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      val leads = (1 until shingleN).map(i => lead(col("__tok"), i).over(w).as(s"__t$i"))
+      toks.select(col(idCol) +: col("__tok") +: leads: _*)
+        .filter(col(s"__t${shingleN - 1}").isNotNull)
+        .select(col(idCol),
+          concat_ws(" ", col("__tok") +: (1 until shingleN).map(i => col(s"__t$i")): _*).as("shingle"))
+    }
+  }
+
   /** Distinct word-n-gram shingle sets: (id, __shingles). Docs with fewer
     * than n tokens drop out (no shingles -> nothing to compare). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol),
-        array_distinct(TextFunctions.shingles(lower(col(textCol)), shingleN)).as("__shingles"))
-      .filter(size(col("__shingles")) > 0)
+    shingleRows(df, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__shingles"))
 
   /** MinHash signature: one column h0..h{k-1} per seeded permutation, each
     * the lexicographic min of md5("seed:shingle") over the doc's shingles.
-    * Partial-aggregation-friendly: min is computed map-side per partition. */
+    * Works on the raw shingle stream (duplicates cannot change a min) and
+    * is partial-aggregation-friendly: minima combine map-side, so the
+    * shuffle carries O(docs x seeds), not O(shingles). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
-    val ex = shingleSets(df, idCol, textCol, shingleN)
-      .select(col(idCol), explode(col("__shingles")).as("__s"))
+    val ex = shingleRows(df, idCol, textCol, shingleN)
     val aggs = (0 until numHashes).map(s =>
-      min(TextFunctions.seededMd5(s, col("__s"))).as(s"h$s"))
+      min(TextFunctions.seededMd5(s, col("shingle"))).as(s"h$s"))
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -92,11 +118,23 @@ object Dedup {
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignature(df, idCol, textCol, shingleN, numHashes)
-    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
-    val sets = shingleSets(df, idCol, textCol, shingleN)
-    val sa = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
-    val sb = sets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    // ONE groupBy computes both the signature minima and the shingle sets
+    // (the window in shingleRows already hash-partitions by id, so this
+    // aggregation adds no extra shuffle). The result feeds three consumers
+    // (candidate generation + both verify-join sides); column pruning
+    // specializes each copy of the subtree, defeating ReuseExchange, so
+    // materialize it ONCE with an eager localCheckpoint — the cluster
+    // analogue is staging this doc-sized intermediate to storage, which a
+    // caller can do instead via TableGraph.addTable.
+    val aggs = collect_set(col("shingle")).as("__shingles") +:
+      (0 until numHashes).map(i =>
+        min(TextFunctions.seededMd5(i, col("shingle"))).as(s"h$i"))
+    val perDoc = shingleRows(df, idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val cands = lshCandidates(perDoc, idCol, numHashes, rowsPerBand)
+    val sa = perDoc.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val sb = perDoc.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard_sim") >= threshold)
@@ -125,7 +163,8 @@ object Dedup {
     * One explode + one groupBy with 64 map-side-combinable sums. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
-      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "") // filter AFTER the explode: no HOF in the generator
       .withColumn("__hx", substring(md5(col("__t")), 1, 16))
     val votes = (0 until 64).map { j =>
       val nibble = conv(substring(col("__hx"), j / 4 + 1, 1), 16, 10).cast("int")
