@@ -77,7 +77,7 @@ class MagicTable(
   def transform(query: String, model: String = "deterministic"): MagicTable = {
     val cacheKey = s"${name}_$query"
     val compiled = NlCompiler.compile(query, df.columns.toSeq)
-    graph.transformations.put(cacheKey, compiled.describe)
+    graph.putTransformation(cacheKey, compiled.describe)
     val out = compiled.apply(df)
     val newName = s"${name}_query:${query}_model:$model"
     val result = new MagicTable(out, newName, sources :+ GenerativeSource(name), graph)

@@ -62,8 +62,14 @@ class TableGraph(
   private val nodes = mutable.LinkedHashMap.empty[String, TableNode]
   private val chains = mutable.ArrayBuffer.empty[ChainRecord]
   /** NL-transform compilation cache: s"${table}_$query" -> compiled plan
-    * description (the reference caches generated code strings). */
+    * description (the reference caches generated code strings). Mutate via
+    * [[putTransformation]] so the checkpoint stays in sync. */
   val transformations = mutable.LinkedHashMap.empty[String, String]
+
+  def putTransformation(key: String, describe: String): Unit = synchronized {
+    transformations.put(key, describe)
+    checkpoint()
+  }
 
   Files.createDirectories(Paths.get(warehouseDir))
   loadCheckpoint()

@@ -96,7 +96,9 @@ object NlCompiler {
     val fn: DataFrame => DataFrame = { df0 =>
       var df = df0
       dateParse.foreach { c =>
-        df = df.withColumn(c, to_timestamp(col(c)))
+        // try_to_timestamp nulls on malformed input even under ANSI mode —
+        // the pandas errors='coerce' analogue (example.ipynb generated code)
+        df = df.withColumn(c, try_to_timestamp(col(c)))
       }
       filters.foreach { case (c, op, v) =>
         val column = col(c)

@@ -106,7 +106,10 @@ object Chain {
     val withUrl = df.withColumn("__url", urlExpression(template, mapping))
 
     val distinctUrls = withUrl.select($"__url").distinct().as[String]
+    // read.json(Dataset[String]) scans its input TWICE (schema inference +
+    // execution) — persist the fetched lines or every URL is fetched twice.
     val respLines = fetchResponses(distinctUrls, fetcher, urlCacheDir, maxSleepMs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val respDf = spark.read.json(respLines)
 
     val result =

@@ -101,13 +101,16 @@ object Similarity {
     array(sig +: flips: _*)
   }
 
-  /** ANN top-k via sign-random-projection LSH with corpus-side multi-probe:
-    * each corpus vector is indexed under nBits+1 buckets (its own + all
-    * 1-bit flips), each query probes exactly its own bucket, candidates are
-    * exactly re-ranked by cosine. Recall is tested against
-    * [[bruteForceTopK]] in SimilaritySpec. */
+  /** ANN top-k via sign-random-projection LSH with multi-probe on BOTH
+    * sides: corpus rows are indexed under their bucket + all 1-bit flips,
+    * and each query also probes its bucket + 1-bit flips — together a pair
+    * meets whenever the signatures are within hamming distance 2, without
+    * paying the quadratic radius-2 probe fan-out on either side alone.
+    * Candidates are exactly re-ranked by cosine. Recall is tested against
+    * [[bruteForceTopK]] in SimilaritySpec; raise nBits as the corpus grows
+    * (bucket occupancy ~ corpus / 2^nBits). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nBits: Int = 6): DataFrame = {
     val planeSeq = planes(nBits, dimOf(corpus, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(normSq(col("__cv"))))
@@ -116,7 +119,9 @@ object Similarity {
       .drop("__sig")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(normSq(col("__qv"))))
-      .withColumn("__bucket", signSignature(col("__qv"), planeSeq))
+      .withColumn("__sig", signSignature(col("__qv"), planeSeq))
+      .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
+      .drop("__sig")
     val cand = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // compute cosine BEFORE deduping pair hits from multiple probe

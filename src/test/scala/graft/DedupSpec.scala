@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactGroups collapses whitespace/case variants; exactDedup keeps min id") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world "),
+      (3L, "something else")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+    assert(groups.count() === 2)
+    assert(groups.filter($"n_docs" === 2).select("canonical_id").as[Long].head() === 1L)
+    assert(Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("shingleRows matches the array-based shingles definition") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val rows = Dedup.shingleRows(df, "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSeq
+    assert(rows === Seq("a b c", "b c d", "c d e"))
+    // < n tokens -> no rows
+    assert(Dedup.shingleRows(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).count() === 0)
+  }
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs on real docs") {
+    val docs = testdata("sf0.001", "documents")
+    val lsh = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (verification step)")
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall too low: ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs collide; near-identical docs are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely unrelated text about spark physical plans and shuffles")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash64(df, "doc_id", "text")
+      .orderBy("doc_id").select("simhash").as[String].collect()
+    assert(sig.forall(_.length === 64))
+    assert(sig(0) === sig(1))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sig(0), sig(2)) <= 12)
+    assert(ham(sig(0), sig(3)) > 12)
+    val pairs = Dedup.nearDupPairsSimhash(df, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDupPairsEmbedding(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

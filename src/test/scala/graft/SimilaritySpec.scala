@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(3.0f, 4.0f)))
+      .toDF("a", "b", "c")
+    val Array(orth, self, mixed) = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("a")),
+      Similarity.cosine(col("a"), col("c"))).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(orth) < 1e-12)
+    assert(math.abs(self - 1.0) < 1e-12)
+    assert(math.abs(mixed - 0.6) < 1e-12) // cos([1,0],[3,4]) = 3/5
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)),
+      (13L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 10L)
+    val out = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out === Seq(11L, 12L))
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    val e = testdata("sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val approx = pairs(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, nBits = 6))
+    assert(approx.forall { case (a, b) => a != b })
+    val recall = (exact & approx).size.toDouble / exact.size
+    // deterministic planes -> deterministic recall; two-sided multi-probe
+    // at 6 bits covers hamming<=2 of the signature space
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("signSignature buckets are reproducible and dim-correct") {
+    val planes = Similarity.planes(8, 4)
+    assert(planes.length === 8 && planes.forall(_.length === 4))
+    assert(planes.map(_.toSeq) === Similarity.planes(8, 4).map(_.toSeq)) // deterministic
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f, -1.0f, 0.5f))).toDF("v")
+    val s1 = df.select(Similarity.signSignature(col("v"), planes)).as[String].head()
+    assert(s1.length === 8 && s1.forall(c => c == '0' || c == '1'))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.{ChainRecord, TableGraph}
+import java.time.Instant
+
+/** Catalog + lineage + caches (reference tablegraph.py; TTL C14 with the
+  * injectable clock; JSON checkpoint in place of the dill blob — data lives
+  * in Parquet, never in the graph). */
+class TableGraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir = java.nio.file.Files.createTempDirectory("graft_g").toString
+
+  test("addTable writes parquet once and getTable rehydrates") {
+    val g = new TableGraph(freshDir)
+    val node = g.addTable("t1", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(node.rowCount === 2)
+    assert(g.getTable(spark, "t1").get.count() === 2)
+    assert(g.getTable(spark, "missing").isEmpty)
+  }
+
+  test("queryOrFetch applies equality-conjunction conditions (tablegraph.py:115-117)") {
+    val g = new TableGraph(freshDir)
+    g.addTable("t", Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "v"))
+    assert(g.queryOrFetch(spark, "t", Map("v" -> "a")).get.count() === 2)
+    assert(g.queryOrFetch(spark, "t", Map("v" -> "a", "id" -> 3)).get.count() === 1)
+  }
+
+  test("TTL freshness uses the injected clock (1h default, C14)") {
+    var now = Instant.parse("2026-01-01T00:00:00Z")
+    val g = new TableGraph(freshDir, clock = () => now)
+    g.addTable("t", Seq((1, "a")).toDF("id", "v"))
+    assert(g.isFresh("t"))
+    now = now.plusSeconds(3599); assert(g.isFresh("t"))
+    now = now.plusSeconds(2); assert(!g.isFresh("t"))
+  }
+
+  test("checkpoint JSON round-trips nodes, chains and the transform cache") {
+    val dir = freshDir
+    val g = new TableGraph(dir)
+    g.addTable("t", Seq((1, "a")).toDF("id", "v"), metadata = Map("k" -> "v"))
+    g.addChain(ChainRecord("t", "t2", "t2", "transform", "q", "",
+      Map("describe" -> "limit=5"), g.clock()))
+    g.putTransformation("t_q", "limit=5")
+    val reloaded = new TableGraph(dir)
+    assert(reloaded.getNode("t").map(_.rowCount) === Some(1L))
+    assert(reloaded.getChains("t").map(_.chainType) === Seq("transform"))
+    assert(reloaded.transformations.get("t_q") === Some("limit=5"))
+  }
+
+  test("per-URL response cache stores and serves bodies") {
+    val g = new TableGraph(freshDir)
+    assert(g.getCachedUrl("http://u/1").isEmpty)
+    g.putCachedUrl("http://u/1", """{"a":1}""")
+    assert(g.getCachedUrl("http://u/1") === Some("""{"a":1}"""))
+  }
+
+  test("transform registers lineage + caches compiled description (C3/C13)") {
+    val g = new TableGraph(freshDir)
+    val mt = graft.core.MagicTable.fromDataFrame(
+      Seq((1, 10.0), (2, 30.0), (3, 20.0)).toDF("id", "score"), "scores", g)
+    val out = mt.transform("top 2 by score desc showing id")
+    assert(out.df.as[Int].collect().toSeq === Seq(2, 3))
+    assert(g.transformations.contains("scores_top 2 by score desc showing id"))
+    assert(g.getChains("scores").exists(_.chainType === "transform"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokens drop empties from leading/trailing/multiple whitespace") {
+    val out = one("  a \t b\nc  ").select(tokens(col("text"))).as[Seq[String]].head()
+    assert(out === Seq("a", "b", "c"))
+  }
+
+  test("shingles: n-grams in order; fewer than n tokens -> empty") {
+    assert(one("a b c d").select(shingles(col("text"), 3)).as[Seq[String]].head() ===
+      Seq("a b c", "b c d"))
+    assert(one("a b").select(shingles(col("text"), 3)).as[Seq[String]].head() === Seq.empty)
+  }
+
+  test("subwordCount counts alnum runs + single symbols") {
+    assert(one("ab, cd!").select(subwordCount(col("text"))).as[Int].head() === 4)
+  }
+
+  test("fingerprint == md5 of whitespace-normalized lowercase text") {
+    // regex formulation must equal the concat_ws(tokens(...)) definition
+    val tricky = "  Hello\t WORLD \n x  "
+    val viaTokens = one(tricky)
+      .select(md5(concat_ws(" ", tokens(lower(col("text")))))).as[String].head()
+    val viaRegex = one(tricky).select(fingerprint(col("text"))).as[String].head()
+    assert(viaRegex === viaTokens)
+  }
+
+  test("langId votes stopwords; und when nothing matches") {
+    assert(one("the cat sat on the mat and it is fine")
+      .select(langId(col("text"))).as[String].head() === "en")
+    assert(one("zzz qqq www").select(langId(col("text"))).as[String].head() === "und")
+  }
+
+  test("tokenStats matches the Column-level helpers on real documents") {
+    val docs = testdata("sf0.001", "documents").limit(50)
+    val stream = tokenStats(docs, "doc_id", "text")
+      .withColumn("lang_pred", langPredFromStats)
+      .select("doc_id", "n_tok", "mean_tok_len", "lang_pred")
+    val columns = docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      meanTokenLen(col("text")).as("mean_tok_len"),
+      langId(col("text")).as("lang_pred"))
+    assert(stream.exceptAll(columns).count() === 0)
+    assert(columns.exceptAll(stream).count() === 0)
+  }
+
+  test("winnowFingerprint is stable under small edits sharing min shingles") {
+    val a = one("alpha beta gamma delta epsilon zeta eta theta")
+      .select(winnowFingerprint(col("text"), 3, 2)).as[String].head()
+    val b = one("alpha beta gamma delta epsilon zeta eta iota")
+      .select(winnowFingerprint(col("text"), 3, 2)).as[String].head()
+    assert(a.nonEmpty && b.nonEmpty)
+  }
+}
