@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (beyond-parity: the reference has no
+  * streaming at all — SURVEY.md §1.1/§2.2. These helpers expose the same
+  * operator surface over unbounded DataFrames, shaped for the `events`
+  * fixture schema (event_id, ts, event_type, user_id, value, props)).
+  *
+  * Everything here is a plain plan rewrite, so it works identically on
+  * batch DataFrames — the specs exploit that, and streaming execution is
+  * covered with MemoryStream. JsonFlatten/TextFunctions/Dedup expressions
+  * compose into streams unchanged (they are stateless projections); the
+  * stateful pieces below are the ones that need streaming-specific
+  * machinery (watermarks, state stores).
+  */
+object Streams {
+
+  /** Tumbling (or sliding) windowed aggregation with a watermark: per
+    * (window, key) event counts and value sums. Late rows beyond the
+    * watermark are dropped; in append mode a window only emits once it is
+    * finalized. */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLen: String = "1 hour",
+      slide: Option[String] = None,
+      watermark: String = "2 hours"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None => window(col(tsCol), windowLen)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** Session windows: events for a key group into sessions separated by
+    * `gap` of inactivity. */
+  def sessionAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("s"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup: drops duplicate ids arriving within the
+    * watermark horizon (state is GC'd past it — bounded memory, unlike a
+    * global dropDuplicates which would grow state forever). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  // ------------------------------------------------------------ custom state
+
+  case class KeyCount(key: String, total: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: a running per-key event
+    * counter that emits the updated total on every batch. With
+    * idleTimeoutMs > 0 idle keys expire after that much processing time so
+    * state never grows unboundedly (note: timeout firing makes Spark
+    * schedule timer batches continuously — use only on genuinely unbounded
+    * key spaces). The KeyValueGroupedDataset path the reference never had
+    * an analogue for — pure beyond-parity. */
+  def runningCounts(
+      events: Dataset[(String, Long)],
+      idleTimeoutMs: Long = 0L): Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, KeyCount](OutputMode.Update(), timeoutConf) {
+        case (key, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val add = rows.map(_._2).sum
+            val total = state.getOption.getOrElse(0L) + add
+            state.update(total)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator.single(KeyCount(key, total))
+          }
+      }
+  }
+}

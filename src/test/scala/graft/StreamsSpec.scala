@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowedAgg over a MemoryStream emits per-window counts (update mode)") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = Streams.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "10 minutes", watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(12), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops repeated ids in the horizon") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = Streams.dedupWithinWatermark(
+      input.toDF().toDF("ts", "event_id"), Seq("event_id"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      input.addData((ts(3), 1L), (ts(4), 3L)) // 1 still within watermark -> dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").as[Long]
+        .collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("runningCounts keeps per-key state across batches") {
+    val input = MemoryStream[(String, Long)](spark)
+    val out = Streams.runningCounts(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("a", 3L))
+      q.processAllAvailable()
+      val latest = spark.table("running_counts")
+        .groupBy("key").agg(max("total").as("total"))
+        .as[(String, Long)].collect().toMap
+      assert(latest === Map("a" -> 5L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming helpers are plain plan rewrites: identical on batch input") {
+    // the same windowedAgg call works on a bounded DataFrame (events table)
+    val ev = testdata("sf0.001", "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = Streams.windowedAgg(ev, windowLen = "1 hour", watermark = "2 hours")
+    assert(out.count() > 0)
+    assert(out.columns.toSet ===
+      Set("window_start", "window_end", "event_type", "n", "sum_value"))
+  }
+}
