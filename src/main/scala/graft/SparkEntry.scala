@@ -493,6 +493,64 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }
 
+    // --- as-of join: each event picks up the user's most recent purchase
+    //     value (union+window technique vs DuckDB's native ASOF JOIN)
+    register("q29_asof_join",
+      """WITH markers AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, MAX(value) AS marker_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.marker_value AS asof_marker_value
+        |FROM events l
+        |ASOF LEFT JOIN markers r
+        |  ON l.user_id = r.user_id AND CAST(l.ts AS TIMESTAMP) >= r.mts
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val markers = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("mts"))
+        .agg(max(col("value")).as("marker_value"))
+      graft.operators.AsofJoin(
+          ev.select("event_id", "user_id", "ts"), markers,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "mts",
+          valueCols = Seq("marker_value"))
+        .select("event_id", "user_id", "asof_marker_value")
+        .orderBy(col("event_id"))
+    }
+
+    // --- grouping sets (beyond rollup/cube: explicit set list)
+    register("q30_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, cnt""".stripMargin)
+    }
+
+    // --- array functions over real array data (no arithmetic: float
+    //     passthrough/comparison only, so values hash-match bit-for-bit)
+    register("q31_array_fns",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  embedding[1] AS first_val,
+        |  list_max(list_slice(embedding, 1, 8)) AS max_head,
+        |  list_min(list_slice(embedding, 1, 8)) AS min_head,
+        |  list_contains(list_slice(embedding, 1, 8), list_max(list_slice(embedding, 1, 8))) AS has_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        col("embedding").getItem(0).as("first_val"),
+        array_max(slice(col("embedding"), 1, 8)).as("max_head"),
+        array_min(slice(col("embedding"), 1, 8)).as("min_head"),
+        array_contains(slice(col("embedding"), 1, 8),
+          array_max(slice(col("embedding"), 1, 8))).as("has_max"))
+        .orderBy(col("vec_id"))
+    }
+
     register("q28_events_window",
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
         |  event_type, COUNT(*) AS n,

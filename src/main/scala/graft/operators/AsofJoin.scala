@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (backward) join: each left row picks up the most recent right row
+  * with rightTs <= leftTs for the same key. The reference exposes Polars'
+  * join_asof only through the blanket method wrapper (SURVEY.md §2.2 joins
+  * table); Spark has no native asof join, and a naive range join explodes
+  * into BroadcastNestedLoop. This is the scalable union+window technique:
+  *
+  *   union both sides tagged by origin -> ONE shuffle by key ->
+  *   last(value, ignoreNulls) over (key ORDER BY time, side) -> keep left
+  *
+  * Cost is a single hash partition + per-partition sort — linear, no pair
+  * blow-up, skew handled by AQE like any window. Right rows sort BEFORE
+  * left rows at equal timestamps, so an exact-timestamp match is taken
+  * (DuckDB ASOF `l.ts >= r.ts` semantics).
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side columns to attach (surfaced as
+    *                  `asof_<name>`); must not collide with left columns.
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asof join needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+
+    val l = left
+      .withColumn("__t", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__t") :+ col("__side")) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"asof_$v")): _*)
+    val r = right
+      .withColumn("__t", col(rightTsCol))
+      .withColumn("__side", lit(0))
+      .select((leftCols.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ col("__t") :+ col("__side")) ++
+        valueCols.map(v => col(v).as(s"asof_$v")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(l.unionByName(r)) { (df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

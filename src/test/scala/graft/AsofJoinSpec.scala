@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.AsofJoin
+import java.sql.Timestamp
+
+class AsofJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("backward asof: latest right row at or before each left timestamp") {
+    val left = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(20)), (2L, ts(10))
+    ).toDF("k", "t")
+    val right = Seq(
+      (1L, ts(5), "a"), (1L, ts(10), "b"), (1L, ts(30), "c"), (3L, ts(0), "z")
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").select("k", "asof_v").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq(
+      (1L, None),       // t=0: nothing at or before
+      (1L, Some("b")),  // t=10: exact match wins over t=5
+      (1L, Some("b")),  // t=20: latest <= 20 is t=10
+      (2L, None)))      // no right rows for key 2
+  }
+
+  test("multiple value columns and duplicate left timestamps") {
+    val left = Seq((1L, ts(10)), (1L, ts(10))).toDF("k", "t")
+    val right = Seq((1L, ts(1), 5.0, "x")).toDF("k", "rt", "price", "tag")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("price", "tag"))
+    assert(out.count() === 2)
+    assert(out.select("asof_price").as[Double].collect().toSeq === Seq(5.0, 5.0))
+  }
+
+  test("value-column name collision is rejected") {
+    val left = Seq((1L, ts(0), "v")).toDF("k", "t", "asharedname")
+    val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "asharedname")
+    intercept[IllegalArgumentException] {
+      AsofJoin(left, right, Seq("k"), "t", "rt", Seq("asharedname"))
+    }
+  }
+}
