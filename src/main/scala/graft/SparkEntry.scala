@@ -823,6 +823,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // --- feature-hash embedding (C20 Embedder offline default): per-doc
+    //     token counts per md5 bucket — the raw-count columns are exactly
+    //     reproducible in SQL, the normalized array feeds Similarity/ANN
+    val embDim = 8
+    register("p10_hash_embedding",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
+         |b AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT % $embDim AS bkt FROM toks),
+         |c AS (SELECT doc_id,
+         |${(0 until embDim).map(d => s"  SUM(CASE WHEN bkt = $d THEN 1 ELSE 0 END) AS h$d").mkString(",\n")}
+         |  FROM b GROUP BY doc_id)
+         |SELECT d.doc_id, ${(0 until embDim).map(d => s"COALESCE(c.h$d, 0) AS h$d").mkString(", ")}
+         |FROM documents d LEFT JOIN c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.FeatureHashEmbedder
+        .hashCountColumns(t(s, dir, "documents"), "doc_id", "text", embDim)
+        .orderBy(col("doc_id"))
+    }
+
     // --- multimodal: binary payload + typed metadata + frame sampling
     //     (decode itself is a stub — no codecs in this container; the
     //     schema/explode/byte-slicing plumbing is what's verified)
