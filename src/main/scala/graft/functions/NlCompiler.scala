@@ -61,7 +61,7 @@ object NlCompiler {
     val topK = """(?i)\b(?:top|first|head)\s+(\d+)\b""".r
       .findFirstMatchIn(lower).map(_.group(1).toInt)
 
-    val uniqueRx = """(?i)\b(?:unique|distinct|dedup(?:licated?)?)\s+(?:by\s+)?([a-z0-9_]+)""".r
+    val uniqueRx = """(?i)\b(?:unique|distinct|dedup(?:licated?)?)\s+(?:by\s+)?([a-z0-9_\.]+)""".r
     val uniqueBy = uniqueRx.findFirstMatchIn(lower).flatMap(m => resolve(m.group(1)))
 
     // the unique-clause's own "by" must not be mistaken for the sort clause
@@ -75,13 +75,13 @@ object NlCompiler {
         }
       }
 
-    val showCols = """(?i)\b(?:showing|show|select|return(?:ing)?)\s+((?:[a-z0-9_]+)(?:\s*(?:,|and)\s*[a-z0-9_]+)*)""".r
+    val showCols = """(?i)\b(?:showing|show|select|return(?:ing)?)\s+((?:[a-z0-9_\.]+)(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
       .findFirstMatchIn(lower).map { m =>
         m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
           .flatMap(tok => resolve(tok))
       }.filter(_.nonEmpty)
 
-    val filters = """(?i)\bwhere\s+([a-z0-9_]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-z0-9_\.\-]+)?""".r
+    val filters = """(?i)\bwhere\s+([a-z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-z0-9_\.\-]+)?""".r
       .findAllMatchIn(lower).toSeq.flatMap { m =>
         resolve(m.group(1)).map { c =>
           (c, m.group(2), Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
@@ -89,19 +89,22 @@ object NlCompiler {
         }
       }
 
-    val dateParse = """(?i)\b(?:parse|convert)\s+([a-z0-9_]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
+    val dateParse = """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
       .findAllMatchIn(lower).toSeq.flatMap(m => resolve(m.group(1)))
 
     // ---- assemble plan ----------------------------------------------------
+    // resolved names may contain dots (flattened key.subKey columns) —
+    // always reference them backticked so col() doesn't parse a struct path
+    def cref(name: String): Column = col(s"`${name.replace("`", "``")}`")
     val fn: DataFrame => DataFrame = { df0 =>
       var df = df0
       dateParse.foreach { c =>
         // try_to_timestamp nulls on malformed input even under ANSI mode —
         // the pandas errors='coerce' analogue (example.ipynb generated code)
-        df = df.withColumn(c, try_to_timestamp(col(c)))
+        df = df.withColumn(c, try_to_timestamp(cref(c)))
       }
       filters.foreach { case (c, op, v) =>
-        val column = col(c)
+        val column = cref(c)
         val lhsIsNumeric = v.nonEmpty && v.forall(ch => ch.isDigit || ch == '.' || ch == '-')
         val value: Column = if (lhsIsNumeric) lit(v.toDouble) else lit(v)
         val pred = op match {
@@ -118,17 +121,17 @@ object NlCompiler {
       }
       val ordered = sortCol match {
         case Some((c, asc)) =>
-          val primary = if (asc) col(c).asc else col(c).desc
+          val primary = if (asc) cref(c).asc else cref(c).desc
           // pandas keep='first' depends on input order, which has no
           // distributed equivalent; pin a DETERMINISTIC total order by
           // tie-breaking on every remaining column ascending.
-          val tieBreak = df0.columns.toSeq.filterNot(_ == c).map(col(_).asc)
+          val tieBreak = df0.columns.toSeq.filterNot(_ == c).map(cref(_).asc)
           val ord = primary +: tieBreak
           uniqueBy match {
             case Some(u) =>
               // drop_duplicates(subset=u, keep='first' after sort) — Spark's
               // dropDuplicates keeps an arbitrary row, so pin it with a window.
-              val w = Window.partitionBy(col(u)).orderBy(ord: _*)
+              val w = Window.partitionBy(cref(u)).orderBy(ord: _*)
               df.withColumn("__rn", row_number().over(w))
                 .filter(col("__rn") === 1).drop("__rn")
                 .orderBy(ord: _*)
@@ -138,7 +141,7 @@ object NlCompiler {
           uniqueBy.map(u => df.dropDuplicates(u)).getOrElse(df)
       }
       val limited = topK.map(ordered.limit).getOrElse(ordered)
-      showCols.map(cs => limited.select(cs.map(col): _*)).getOrElse(limited)
+      showCols.map(cs => limited.select(cs.map(cref): _*)).getOrElse(limited)
     }
 
     topK.foreach(k => steps += s"limit=$k")

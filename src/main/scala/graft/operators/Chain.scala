@@ -42,7 +42,9 @@ object Chain {
       if (m.start > last) parts += lit(template.substring(last, m.start))
       val ph = m.group(1)
       mapping.get(ph) match {
-        case Some(column) => parts += col(column).cast("string")
+        case Some(column) =>
+          // dotted names (flattened key.subKey) must be backticked
+          parts += col(s"`${column.replace("`", "``")}`").cast("string")
         case None => parts += lit(s"{$ph}")
       }
       last = m.end
@@ -79,13 +81,15 @@ object Chain {
           }
           fetched
         }
-        val elements: Seq[Any] = body.flatMap(b => Jsons.parseOpt(b)) match {
-          case Some(list: Seq[_]) => list
-          case Some(obj) => Seq(obj)
+        // flatten each response like the reference does BEFORE exploding
+        // (utils.py:36-80): a nested detail object fans out into one row
+        // per nested-list element with dotted key.subKey columns.
+        val flatRows: Seq[Map[String, Any]] = body.flatMap(b => Jsons.parseOpt(b)) match {
+          case Some(v) => graft.core.JsonFlatten.flattenValue(v)
           case None => Seq.empty
         }
-        if (elements.isEmpty) Iterator.single(Jsons.render(Map("__url" -> url)))
-        else elements.iterator.map(e => Jsons.render(Map("__url" -> url, "resp" -> e)))
+        if (flatRows.isEmpty) Iterator.single(Jsons.render(Map("__url" -> url)))
+        else flatRows.iterator.map(r => Jsons.render(Map("__url" -> url, "resp" -> r)))
       }
     }
   }
