@@ -551,6 +551,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }
 
+    // --- map + JSON functions: parse props to a map, inspect keys/values
+    register("q32_map_json_fns",
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS key_list,
+        |  len(json_keys(props)) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      events(s, dir).select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(m))).as("key_list"),
+        size(map_keys(m)).as("n_keys"),
+        element_at(m, "k").as("k_val"),
+        element_at(m, "missing").as("missing_val"))
+        .orderBy(col("event_id"))
+    }
+
     register("q28_events_window",
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
         |  event_type, COUNT(*) AS n,

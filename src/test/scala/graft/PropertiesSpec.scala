@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.{JsonFlatten, Jsons}
+import graft.sources.RawSource
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2 item 4), using raw ScalaCheck
+  * generators with fixed seeds (no scalatest bridge in the offline cache —
+  * sampling is explicit and deterministic). */
+class PropertiesSpec extends SparkSpecBase {
+
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default.withSize(8), Seed(i.toLong)))
+
+  private val scalarGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)), Gen.choose(-1000L, 1000L),
+    Gen.choose(-10.0, 10.0), Gen.oneOf(true, false))
+
+  private val keyGen: Gen[String] = Gen.alphaLowerStr.map(s => "k" + s.take(5))
+
+  private def valueGen(depth: Int): Gen[Any] =
+    if (depth <= 0) scalarGen
+    else Gen.frequency(
+      4 -> scalarGen,
+      1 -> Gen.mapOf(Gen.zip(keyGen, valueGen(depth - 1))).map(m => m.take(3): Any),
+      1 -> Gen.listOf(valueGen(depth - 1)).map(l => l.take(3): Any))
+
+  private val docGen: Gen[Map[String, Any]] =
+    Gen.mapOf(Gen.zip(keyGen, valueGen(2))).map(_.take(4))
+
+  test("one-level docs flatten to fully scalar rows (single-pass contract)") {
+    // flattenValue is single-pass like the reference (utils.py:36-80): only
+    // depth-1 nesting is guaranteed gone; deeper values survive as values
+    // and are handled by later passes / spark.read.json struct inference.
+    val shallowDoc: Gen[Map[String, Any]] =
+      Gen.mapOf(Gen.zip(keyGen, valueGen(1))).map(_.take(4))
+    samples(shallowDoc).foreach { doc =>
+      JsonFlatten.flattenValue(doc).foreach { row =>
+        row.values.foreach {
+          case m: scala.collection.Map[_, _] => fail(s"nested map survived: $m in $row")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("flattenValue row count = sum(list sizes) + dict count (or 1 if flat)") {
+    samples(docGen).foreach { doc =>
+      val lists = doc.values.collect { case l: Seq[_] => l.size }
+      val dicts = doc.values.count(_.isInstanceOf[scala.collection.Map[_, _]])
+      val expected = if (lists.isEmpty && dicts == 0) 1 else lists.sum + dicts
+      assert(JsonFlatten.flattenValue(doc).size === expected, s"doc=$doc")
+    }
+  }
+
+  test("source id is invariant under map insertion order") {
+    samples(Gen.listOfN(4, Gen.zip(keyGen, scalarGen))).foreach { kvs0 =>
+      val kvs = kvs0.distinctBy(_._1) // duplicate keys would make the two
+      assert(RawSource(Seq(kvs.toMap)).getId === // maps genuinely different
+        RawSource(Seq(kvs.reverse.toMap)).getId)
+    }
+  }
+
+  test("canonical JSON is key-order independent") {
+    samples(docGen).foreach { doc =>
+      assert(Jsons.canonical(doc) === Jsons.canonical(doc.toSeq.reverse.toMap))
+    }
+  }
+
+  test("canonical JSON round-trips through parse") {
+    val flatDoc: Gen[Map[String, Any]] = Gen.mapOf(Gen.zip(keyGen, Gen.oneOf(
+      Gen.alphaNumStr.map(s => s.take(8): Any),
+      Gen.choose(-1000L, 1000L).map(x => x: Any)))).map(_.take(4))
+    samples(flatDoc).foreach { doc =>
+      val rendered = Jsons.canonical(doc)
+      assert(Jsons.canonical(Jsons.parse(rendered)) === rendered)
+    }
+  }
+}
