@@ -54,6 +54,34 @@ class MagicTable(
   def flatten(): MagicTable = wrap(JsonFlatten.flattenAll(df))
   def cache(): MagicTable = wrap(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // ---- wider delegated surface (C22: the reference wraps every Polars
+  //      method and the LLM emits arbitrary pandas — these cover the
+  //      operation families actually reachable there; mapDf covers the rest)
+  def withColumns(cols: Map[String, Column]): MagicTable =
+    wrap(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+  def renameAll(mapping: Map[String, String]): MagicTable =
+    wrap(mapping.foldLeft(df) { case (d, (a, b)) => d.withColumnRenamed(a, b) })
+  def crossJoin(other: MagicTable): MagicTable =
+    new MagicTable(df.crossJoin(other.df), name, sources ++ other.sources, graph)
+  def sample(fraction: Double, seed: Long = 42L): MagicTable =
+    wrap(df.sample(fraction, seed))
+  def fillNa(value: Any, cols: Seq[String] = Seq.empty): MagicTable = wrap(value match {
+    case v: Long => if (cols.isEmpty) df.na.fill(v) else df.na.fill(v, cols)
+    case v: Int => if (cols.isEmpty) df.na.fill(v.toLong) else df.na.fill(v.toLong, cols)
+    case v: Double => if (cols.isEmpty) df.na.fill(v) else df.na.fill(v, cols)
+    case v: String => if (cols.isEmpty) df.na.fill(v) else df.na.fill(v, cols)
+    case v: Boolean => if (cols.isEmpty) df.na.fill(v) else df.na.fill(v, cols)
+    case other => throw new IllegalArgumentException(s"unsupported fill value: $other")
+  })
+  def dropNa(cols: Seq[String] = Seq.empty): MagicTable =
+    wrap(if (cols.isEmpty) df.na.drop() else df.na.drop(cols))
+  def explodeCol(column: String, as: String): MagicTable =
+    wrap(df.withColumn(as, explode_outer(col(s"`$column`"))))
+  def pivotAgg(groupCol: String, pivotCol: String, agg: Column): MagicTable =
+    wrap(df.groupBy(col(s"`$groupCol`")).pivot(pivotCol).agg(agg))
+  def describeStats(cols: String*): MagicTable = wrap(df.describe(cols: _*))
+  def head(n: Int): Seq[org.apache.spark.sql.Row] = df.head(n).toSeq
+
   def columns: Seq[String] = df.columns.toSeq
   def count(): Long = df.count()
 

@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.{MagicTable, TableGraph}
+import org.apache.spark.sql.functions._
+
+/** The wrapper surface (C22): every forwarder re-wraps so lineage (name +
+  * sources) survives — the Scala equivalent of the reference's blanket
+  * Polars-method wrapper (magictable.py:28-36,451-459). */
+class MagicTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def graph = new TableGraph(
+    java.nio.file.Files.createTempDirectory("graft_mt").toString)
+
+  private def mt = MagicTable.fromDataFrame(
+    Seq((1L, "a", Some(10.0)), (2L, "b", None), (3L, "a", Some(30.0)))
+      .toDF("id", "grp", "v"), "t", graph)
+
+  test("forwarders re-wrap and preserve name/sources") {
+    val out = mt.filter(col("grp") === "a").select(col("id"), col("v"))
+      .orderBy(col("id").desc).limit(1)
+    assert(out.name === "t" && out.isInstanceOf[MagicTable])
+    assert(out.df.select("id").as[Long].head() === 3L)
+  }
+
+  test("na handling: fillNa and dropNa") {
+    assert(mt.fillNa(0.0).df.filter(col("v").isNull).count() === 0)
+    assert(mt.dropNa(Seq("v")).count() === 2)
+  }
+
+  test("withColumns / renameAll apply in bulk") {
+    val out = mt.withColumns(Map("double_v" -> col("v") * 2, "tag" -> lit("x")))
+      .renameAll(Map("grp" -> "category"))
+    assert(out.columns.toSet === Set("id", "category", "v", "double_v", "tag"))
+  }
+
+  test("pivotAgg produces one column per pivot value") {
+    val out = mt.pivotAgg("grp", "grp", count(lit(1)))
+    assert(out.columns.toSet === Set("grp", "a", "b"))
+  }
+
+  test("explodeCol fans out array columns") {
+    val arr = MagicTable.fromDataFrame(
+      Seq((1L, Seq("x", "y"))).toDF("id", "xs"), "arr", graph)
+    assert(arr.explodeCol("xs", "x").count() === 2)
+  }
+
+  test("union aligns by name and allows missing columns (diagonal concat)") {
+    val a = MagicTable.fromDataFrame(Seq((1L, "x")).toDF("id", "s"), "a", graph)
+    val b = MagicTable.fromDataFrame(Seq((2L, 5.0)).toDF("id", "d"), "b", graph)
+    val u = a.union(b)
+    assert(u.columns.toSet === Set("id", "s", "d"))
+    assert(u.count() === 2)
+  }
+
+  test("mapDf escape hatch keeps results inside the MagicTable world") {
+    val out = mt.mapDf(_.groupBy("grp").agg(count(lit(1)).as("n")))
+    assert(out.isInstanceOf[MagicTable] && out.count() === 2)
+  }
+}
