@@ -81,14 +81,13 @@ object Similarity {
     }
 
   /** n-bit sign signature of a vector under the given planes, as a '0'/'1'
-    * string. Plain double accumulation — the LSH bucketing tolerates ulp
-    * noise (only exact re-rank results are surfaced). */
+    * string. Projections use the native codegen'd FloatArrayDot (±1 plane
+    * components are exact floats) — the LSH bucketing tolerates ulp noise
+    * (only exact re-rank results are surfaced). */
   def signSignature(vec: Column, planes: Seq[Array[Double]]): Column =
     concat(planes.map { pl =>
-      val w = array(pl.map(lit(_)): _*)
-      val proj = aggregate(
-        zip_with(vec, w, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
+      val w = array(pl.map(v => lit(v.toFloat)): _*)
+      val proj = graft.functions.FloatArrayDot.dot(vec, w)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
@@ -113,12 +112,12 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nBits: Int = 6): DataFrame = {
     val planeSeq = planes(nBits, dimOf(corpus, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", sqrt(normSq(col("__cv"))))
+      .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
       .withColumn("__sig", signSignature(col("__cv"), planeSeq))
       .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
       .drop("__sig")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qn", sqrt(normSq(col("__qv"))))
+      .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
       .withColumn("__sig", signSignature(col("__qv"), planeSeq))
       .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
       .drop("__sig")
@@ -127,7 +126,8 @@ object Similarity {
       // compute cosine BEFORE deduping pair hits from multiple probe
       // buckets: the dedup shuffle then carries (ids, cosine), never the
       // vectors themselves.
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__qv"), col("__cv"))
+        / (col("__qn") * col("__cn")))
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))

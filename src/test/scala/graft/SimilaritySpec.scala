@@ -44,6 +44,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("native FloatArrayDot matches the decimal dot within 1e-9 on real data") {
+    val e = testdata("sf0.001", "embeddings").limit(100)
+    val both = e.select(
+      graft.functions.FloatArrayDot.dot(col("embedding"), col("embedding")).as("fast"),
+      Similarity.dot(col("embedding"), col("embedding")).as("exact"))
+    val maxDiff = both.select(max(abs(col("fast") - col("exact")))).as[Double].head()
+    assert(maxDiff < 1e-9, s"maxDiff $maxDiff")
+  }
+
   test("signSignature buckets are reproducible and dim-correct") {
     val planes = Similarity.planes(8, 4)
     assert(planes.length === 8 && planes.forall(_.length === 4))
