@@ -49,19 +49,34 @@ object Similarity {
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Exact top-k cosine neighbors for each query vector. Norms are
-    * precomputed per side (never recomputed per pair), queries broadcast. */
+    * precomputed per side (never recomputed per pair), queries broadcast.
+    *
+    * Two-phase: ALL pairs are ranked with the native codegen'd double dot
+    * (FloatArrayDot, ~ns per pair), then only a 3k-per-query margin is
+    * re-scored with the order-independent decimal dot that the DuckDB
+    * oracle reproduces bit-for-bit. The margin is orders of magnitude
+    * wider than the double-vs-decimal discrepancy (<1e-12 vs typical
+    * cosine gaps), so the final top-k is the exact decimal ranking — the
+    * oracle gate verifies this on every run. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.FloatArrayDot
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(normSq(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(normSq(col("__cv"))))
-    val pairs = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("__fast").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__fast",
+        FloatArrayDot.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__frank", row_number().over(wFast))
+      .filter(col("__frank") <= math.max(3 * k, k + 10))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
