@@ -34,6 +34,8 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)),
       s"value columns ${valueCols.mkString(",")} collide with left columns")
+    require(!(leftCols ++ valueCols).exists(Set("__t", "__side").contains),
+      "__t/__side are reserved helper names in asof join")
 
     val l = left
       .withColumn("__t", col(leftTsCol))

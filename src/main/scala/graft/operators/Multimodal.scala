@@ -41,7 +41,8 @@ object Multimodal {
       frameBytes: Int, stride: Int): DataFrame = {
     val n = octet_length(col(binCol))
     val offsets = sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))
-    df.withColumn("__off", explode(offsets))
+    df.filter(n > 0) // empty payload -> zero frames (sequence(0,0) is [0])
+      .withColumn("__off", explode(offsets))
       .withColumn("frame_idx", (col("__off") / stride).cast("int"))
       .withColumn("frame", expr(s"substring($binCol, __off + 1, $frameBytes)"))
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
