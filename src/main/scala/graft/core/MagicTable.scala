@@ -121,7 +121,11 @@ class MagicTable(
       fetcher: Fetcher = MagicTable.defaultFetcher,
       sourceKey: Option[String] = None,
       targetKey: Option[String] = None): MagicTable = {
-    val newName = s"${name}_chain_${Jsons.md5Hex(urlTemplate).take(12)}"
+    // the cache key must cover everything that changes the result: the
+    // template AND any explicit key mapping (two calls differing only in
+    // sourceKey must not share a cache entry)
+    val newName = s"${name}_chain_" +
+      Jsons.md5Hex(s"$urlTemplate|${sourceKey.getOrElse("")}|${targetKey.getOrElse("")}").take(12)
     if (graph.isFresh(newName)) {
       graph.getTable(df.sparkSession, newName) match {
         case Some(cached) => return new MagicTable(cached, newName, sources, graph)
@@ -163,7 +167,9 @@ object MagicTable {
       fetcher: Fetcher = defaultFetcher,
       graph: TableGraph = TableGraph.defaultGraph): MagicTable = {
     val tableName = source.getId
-    graph.getTable(spark, tableName) match {
+    // honor the same TTL as chain (C14): a stale node is refetched, not
+    // served forever
+    (if (graph.isFresh(tableName)) graph.getTable(spark, tableName) else None) match {
       case Some(cached) => new MagicTable(cached, tableName, Seq(source), graph)
       case None =>
         import spark.implicits._

@@ -88,7 +88,17 @@ class TableGraph(
       sourceInfo: Seq[Map[String, Any]] = Seq.empty,
       metadata: Map[String, String] = Map.empty): TableNode = synchronized {
     val path = tablePath(name)
-    df.write.mode("overwrite").parquet(path)
+    // write to a temp dir and swap: the DataFrame being registered may
+    // itself read from `path` (a cache-hydrated table), and Spark refuses
+    // to overwrite a path that is also being read from
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(path)
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.move(Paths.get(tmp), target)
     val count = df.sparkSession.read.parquet(path).count()
     val node = TableNode(name, path, clock(), count, sourceInfo, metadata)
     nodes.put(name, node)

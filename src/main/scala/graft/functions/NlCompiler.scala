@@ -81,10 +81,13 @@ object NlCompiler {
           .flatMap(tok => resolve(tok))
       }.filter(_.nonEmpty)
 
-    val filters = """(?i)\bwhere\s+([a-z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-z0-9_\.\-]+)?""".r
-      .findAllMatchIn(lower).toSeq.flatMap { m =>
+    // run against the ORIGINAL query (with (?i) flags), not the lowered
+    // copy: filter literals must keep their case ("where flag = R" compares
+    // against "R", not "r")
+    val filters = """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?""".r
+      .findAllMatchIn(q).toSeq.flatMap { m =>
         resolve(m.group(1)).map { c =>
-          (c, m.group(2), Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
+          (c, m.group(2).toLowerCase, Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
             .stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
         }
       }
@@ -105,8 +108,10 @@ object NlCompiler {
       }
       filters.foreach { case (c, op, v) =>
         val column = cref(c)
-        val lhsIsNumeric = v.nonEmpty && v.forall(ch => ch.isDigit || ch == '.' || ch == '-')
-        val value: Column = if (lhsIsNumeric) lit(v.toDouble) else lit(v)
+        // a value is numeric only if it actually parses ("2024-01-01" and
+        // "1.2.3" pass a digits/./- character test but are strings)
+        val numeric = scala.util.Try(v.toDouble).toOption
+        val value: Column = numeric.map(lit(_)).getOrElse(lit(v))
         val pred = op match {
           case "=" => column === value
           case "!=" => column =!= value

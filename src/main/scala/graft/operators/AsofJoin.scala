@@ -32,8 +32,8 @@ object AsofJoin {
       valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "asof join needs at least one equi-key")
     val leftCols = left.columns.toSeq
-    require(valueCols.forall(!leftCols.contains(_)),
-      s"value columns ${valueCols.mkString(",")} collide with left columns")
+    require(valueCols.forall(v => !leftCols.contains(s"asof_$v")),
+      s"output columns ${valueCols.map("asof_" + _).mkString(",")} collide with left columns")
     require(!(leftCols ++ valueCols).exists(Set("__t", "__side").contains),
       "__t/__side are reserved helper names in asof join")
 

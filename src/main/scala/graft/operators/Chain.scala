@@ -102,14 +102,18 @@ object Chain {
       sourceKey: Option[String] = None,
       targetKey: Option[String] = None,
       urlCacheDir: Option[String] = None,
-      maxSleepMs: Long = 30000L): (DataFrame, Seq[String]) = {
+      maxSleepMs: Long = 30000L,
+      maxBroadcastResponses: Long = 1000000L): (DataFrame, Seq[String]) = {
     val spark = df.sparkSession
     import spark.implicits._
 
     val mapping = KeyResolver.resolve(template, df.columns.toSeq, sourceKey, targetKey)
     val withUrl = df.withColumn("__url", urlExpression(template, mapping))
 
-    val distinctUrls = withUrl.select($"__url").distinct().as[String]
+    // rows whose key columns are null produce a null __url: keep the ROW
+    // (all-null api_* after the left join) but never fetch a null URL
+    val distinctUrls = withUrl.select($"__url")
+      .filter($"__url".isNotNull).distinct().as[String]
     // read.json(Dataset[String]) scans its input TWICE (schema inference +
     // execution) — persist the fetched lines or every URL is fetched twice.
     val respLines = fetchResponses(distinctUrls, fetcher, urlCacheDir, maxSleepMs)
@@ -122,9 +126,13 @@ object Chain {
         withUrl.drop("__url")
       } else {
         // left join preserves source rows; element rows fan out per URL.
-        // The distinct-URL side is usually small relative to the input —
-        // broadcast it so the lateral join needs no shuffle of the big side.
-        val joined = withUrl.join(broadcast(respDf), Seq("__url"), "left")
+        // Broadcast the response side only while it is actually small —
+        // with per-row-unique keys it scales with the input, and a forced
+        // broadcast hint would bypass Spark's size checks and OOM. The
+        // count is free here: respLines is already persisted.
+        val respSide =
+          if (respLines.count() <= maxBroadcastResponses) broadcast(respDf) else respDf
+        val joined = withUrl.join(respSide, Seq("__url"), "left")
         val respFields = respDf.schema("resp").dataType match {
           case st: org.apache.spark.sql.types.StructType => st.fields.toSeq
           case _ => Seq.empty

@@ -71,6 +71,9 @@ object Scale {
       keys: Seq[String],
       how: String = "inner",
       saltBuckets: Int = 8): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti").contains(how.toLowerCase),
+      s"saltedJoin: '$how' would surface unmatched right rows once per salt replica")
     val b = big.withColumn("__salt",
       pmod(hash(keys.map(c => col(s"`$c`")) :+ spark_partition_id(): _*), lit(saltBuckets)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -148,9 +148,15 @@ class ApiPartitionReader(urls: Seq[String], schema: StructType, fetcher: Fetcher
     case (null, _) => null
     case (x: String, StringType) => UTF8String.fromString(x)
     case (x, StringType) => UTF8String.fromString(String.valueOf(x))
-    case (x: Number, LongType) => x.longValue()
-    case (x: Number, IntegerType) => x.intValue()
+    // permissive like the JSON reader: a fractional value in a column the
+    // sample inferred as integral becomes null, never a silent truncation
+    case (x: Number, LongType) =>
+      if (x.doubleValue() == math.floor(x.doubleValue())) x.longValue() else null
+    case (x: Number, IntegerType) =>
+      if (x.doubleValue() == math.floor(x.doubleValue())) x.intValue() else null
     case (x: Number, DoubleType) => x.doubleValue()
+    case (x: Number, dt: DecimalType) =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(x.toString), dt.precision, dt.scale)
     case (x: Boolean, BooleanType) => x
     case (x: Seq[_], ArrayType(elem, _)) => new GenericArrayData(x.map(convert(_, elem)))
     case (x: scala.collection.Map[_, _], st: StructType) =>

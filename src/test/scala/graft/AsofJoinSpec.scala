@@ -32,11 +32,16 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.select("asof_price").as[Double].collect().toSeq === Seq(5.0, 5.0))
   }
 
-  test("value-column name collision is rejected") {
-    val left = Seq((1L, ts(0), "v")).toDF("k", "t", "asharedname")
-    val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "asharedname")
+  test("output-name collision (asof_<v>) is rejected; same bare name is fine") {
+    val left = Seq((1L, ts(0), "x")).toDF("k", "t", "asof_v")
+    val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")
     intercept[IllegalArgumentException] {
-      AsofJoin(left, right, Seq("k"), "t", "rt", Seq("asharedname"))
+      AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
     }
+    // a left column with the same BARE name as a value column is legal:
+    // the output lands under asof_<v>, which does not collide
+    val left2 = Seq((1L, ts(5), "keep")).toDF("k", "t", "v")
+    val out = AsofJoin(left2, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.columns.toSet === Set("k", "t", "v", "asof_v"))
   }
 }

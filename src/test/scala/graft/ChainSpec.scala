@@ -77,6 +77,15 @@ class ChainSpec extends SparkSpecBase {
     assert(ChainSpec.fetchCount.get() === 2) // but only 2 distinct fetches
   }
 
+  test("null key values keep their row all-null instead of NPEing (review regression)") {
+    val df = Seq((Some(1), "us"), (None, "fr")).toDF("id", "cc")
+    val fetcher = new MapFetcher(Map("http://api/1" -> """{"v":10}"""))
+    val (out, _) = Chain(df, "http://api/{id}", fetcher, maxSleepMs = 0)
+    assert(out.count() === 2)
+    assert(out.filter($"id".isNull && $"api_v".isNull).count() === 1)
+    assert(out.filter($"id" === 1 && $"api_v" === 10).count() === 1)
+  }
+
   test("all fetches failing keeps every row with no api_* columns") {
     val (out, _) = Chain(base, "http://api/{id}", new MapFetcher(Map.empty), maxSleepMs = 0)
     assert(out.count() === 3)

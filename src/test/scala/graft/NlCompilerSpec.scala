@@ -43,6 +43,18 @@ class NlCompilerSpec extends SparkSpecBase {
     assert(c.apply(df).columns.toSeq === Seq("id"))
   }
 
+  test("filter literals keep their case (review regression)") {
+    val d = Seq((1, "R"), (2, "r"), (3, "N")).toDF("id", "flag")
+    val c = NlCompiler.compile("where flag = R showing id", d.columns.toSeq)
+    assert(c.apply(d).as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("date-like filter values are strings, not a toDouble crash (review regression)") {
+    val d = Seq((1, "2024-01-01"), (2, "2024-06-01")).toDF("id", "day")
+    val c = NlCompiler.compile("where day >= 2024-03-01 showing id", d.columns.toSeq)
+    assert(c.apply(d).as[Int].collect().toSeq === Seq(2))
+  }
+
   test("compiled plan is cached-description stable") {
     val c1 = NlCompiler.compile("top 2 by score desc", df.columns.toSeq)
     val c2 = NlCompiler.compile("top 2 by score desc", df.columns.toSeq)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.{ChainRecord, TableGraph}
+import org.apache.spark.sql.functions.col
 import java.time.Instant
 
 /** Catalog + lineage + caches (reference tablegraph.py; TTL C14 with the
