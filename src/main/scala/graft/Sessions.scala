@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One session-builder for Verify, Bench, and the test suite — the gate,
+  * the benchmark, and the specs must all run under the SAME engine
+  * configuration or they verify different semantics (this config had
+  * already drifted three ways before being centralized).
+  */
+object Sessions {
+  def local(cores: String, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // SURVEY.md §4.2 config parity: null-on-bad-cast (pandas
+      // errors='coerce') semantics, not ANSI errors
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+      // default; read as long and convert (SparkEntry.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
+  }
+}

@@ -63,10 +63,13 @@ object SparkEntry {
   @volatile private var initialized = false
   private def init(): Unit = synchronized {
     if (initialized) return
-    initialized = true
+    // flag only AFTER registration: a mid-registration throw must not leave
+    // a permanently partial registry that later calls silently accept
+    // (re-running the blocks is safe: puts are idempotent by key)
     relationalQueries()
     nativeOperatorQueries()
     pipelineQueries()
+    initialized = true
   }
 
   // =================================================================
@@ -522,12 +525,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, cnt""".stripMargin)
+      // Column-API grouping sets: pure plan, no temp-view side effect
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("cnt"))
     }
 
     // --- array functions over real array data (no arithmetic: float
@@ -735,10 +740,11 @@ object SparkEntry {
          |  array_to_string(list_slice(list_sort(
          |    list_transform(${shinglesSql(toksLowerSql)}, s -> md5(s))), 1, 4), '|') AS winnow
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        fingerprint(col("text")).as("fingerprint"),
-        winnowFingerprint(col("text"), 3, 4).as("winnow"))
+      // winnow via the codegen'd shingle stream (value-identical to the
+      // Column-level winnowFingerprint; see Dedup.winnowFingerprints)
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+        .join(Dedup.winnowFingerprints(d, "doc_id", "text", 3, 4), Seq("doc_id"))
         .orderBy(col("doc_id"))
     }
 

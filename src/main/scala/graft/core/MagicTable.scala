@@ -81,6 +81,8 @@ class MagicTable(
     wrap(df.groupBy(col(s"`$groupCol`")).pivot(pivotCol).agg(agg))
   def describeStats(cols: String*): MagicTable = wrap(df.describe(cols: _*))
   def head(n: Int): Seq[org.apache.spark.sql.Row] = df.head(n).toSeq
+  /** Sink escape hatch (delegated write surface: parquet/csv/json/orc...). */
+  def write: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = df.write
 
   def columns: Seq[String] = df.columns.toSeq
   def count(): Long = df.count()

@@ -36,7 +36,11 @@ object Streams {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(win.as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal accumulator: order-independent double sums (the same
+      // determinism rule the batch gate queries follow)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
   }
@@ -52,7 +56,9 @@ object Streams {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap).as("s"), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("sum_value"))
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
@@ -63,10 +69,12 @@ object Streams {
       events: DataFrame,
       idCols: Seq[String],
       tsCol: String = "ts",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(idCols.nonEmpty, "dedupWithinWatermark needs at least one id column")
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+      .dropDuplicatesWithinWatermark(idCols)
+  }
 
   // ------------------------------------------------------------ custom state
 

@@ -53,6 +53,17 @@ class MagicTableSpec extends SparkSpecBase {
     assert(u.count() === 2)
   }
 
+  test("write escape hatch + approx_count_distinct (HLL) within 5% of exact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    mt.write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).count() === 3)
+    // HLL sketch: free via Catalyst, sanity-checked against exact distinct
+    val o = testdata("sf0.001", "orders")
+    val exact = o.select(countDistinct(col("o_custkey"))).as[Long].head()
+    val approx = o.select(approx_count_distinct(col("o_custkey"), 0.01)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("mapDf escape hatch keeps results inside the MagicTable world") {
     val out = mt.mapDf(_.groupBy("grp").agg(count(lit(1)).as("n")))
     assert(out.isInstanceOf[MagicTable] && out.count() === 2)
