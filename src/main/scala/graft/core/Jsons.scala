@@ -80,8 +80,10 @@ object Jsons {
     case i: Int => sb.append(i)
     case l: Long => sb.append(l)
     case d: Double =>
-      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) sb.append(d.toLong)
-      else sb.append(d)
+      // keep the ".0": rendering 8.0 as "8" would make a column of whole
+      // doubles infer LongType downstream — a silent f64 -> i64 divergence
+      // from the reference's schema inference
+      sb.append(d)
     case f: Float => write(f.toDouble, sb, sortKeys)
     case other => writeString(other.toString, sb)
   }

@@ -68,6 +68,16 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("whole doubles render with their fraction marker (type stability)") {
+    assert(Jsons.render(Map("x" -> 8.0)) === """{"x":8.0}""")
+    assert(Jsons.render(Map("x" -> 8L)) === """{"x":8}""")
+    // roundtrip preserves the double-ness through spark.read.json inference
+    val df = spark.read.json(
+      spark.createDataset(Seq(Jsons.render(Map("v" -> 8.0))))(
+        org.apache.spark.sql.Encoders.STRING))
+    assert(df.schema("v").dataType.typeName === "double")
+  }
+
   test("canonical JSON round-trips through parse") {
     val flatDoc: Gen[Map[String, Any]] = Gen.mapOf(Gen.zip(keyGen, Gen.oneOf(
       Gen.alphaNumStr.map(s => s.take(8): Any),
