@@ -224,6 +224,28 @@ object Dedup {
 
   // ------------------------------------------------------------ embeddings
 
+  /** Embedding-cosine near-dup pairs at scale: candidates from SRP-LSH
+    * sign buckets (near-dup vectors nearly always share their bucket or a
+    * 1-flip neighbor), verified by exact cosine >= threshold. */
+  def nearDupPairsEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val planes = Similarity.planes(nBits,
+      df.select(size(col(vecCol))).head().getInt(0))
+    val sig = df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__n", sqrt(Similarity.normSq(col("__v"))))
+      .withColumn("__sig", Similarity.signSignature(col("__v"), planes))
+    val a = sig.select(col("__sig"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = sig.select(col("__sig"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__va"), col("__vb"))
+        / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs >= threshold. Exact within LSH
     * buckets at scale (Similarity.lshTopK machinery); this brute-force
     * variant is for oracle checks and small blocks. */

@@ -152,6 +152,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  // ------------------------------------------------------------ IVF
+
+  /** Deterministic coarse centroids: the nCells corpus vectors whose ids
+    * hash lowest (md5 of the id) — no RNG, no training loop to ship, and
+    * at 100 TB the "training" is a tiny broadcastable sample anyway. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Seq[(Int, Array[Float])] =
+    corpus.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h", md5(col("__id")))
+      .orderBy(col("__h"))
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      .toSeq
+
+  private def nearestCells(vec: Column, centroids: Seq[(Int, Array[Float])],
+      nProbe: Int): Column = {
+    // rank cells by codegen'd dot distance proxy (cosine numerator over
+    // unit-ish data); take the nProbe best as an array of cell ids
+    val scored = centroids.map { case (cid, c) =>
+      val w = array(c.map(lit(_)): _*)
+      struct(graft.functions.FloatArrayDot.dot(vec, w).as("s"), lit(cid).as("cell"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+      .getField("cell")
+  }
+
+  /** ANN top-k via IVF (inverted-file) cells: corpus vectors live in their
+    * single nearest cell; each query probes its nProbe nearest cells; exact
+    * cosine re-rank inside the probed cells. The alternative scale path to
+    * [[lshTopK]] — better when the data is clustered, since cells adapt to
+    * the corpus (centroids are corpus vectors) while hyperplanes do not. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
+      .withColumn("__cell", nearestCells(col("__cv"), centroids, 1).getItem(0))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
+      .withColumn("__cell", explode(nearestCells(col("__qv"), centroids, nProbe)))
+    val cand = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__qv"), col("__cv"))
+        / (col("__qn") * col("__cn")))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 }

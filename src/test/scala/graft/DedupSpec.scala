@@ -61,6 +61,22 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("LSH-bucketed embedding near-dup finds the same pairs as brute force") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.01f, 0.0f)),
+      (2L, Seq(0.99f, 0.03f, 0.0f, 0.01f)),   // near-dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.02f, 0.0f)),
+      (4L, Seq(0.01f, 0.98f, 0.0f, 0.03f)),   // near-dup of 3
+      (5L, Seq(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.nearDupPairsEmbedding(df, "vec_id", "embedding", 0.99))
+    val lsh = pairs(Dedup.nearDupPairsEmbeddingLsh(df, "vec_id", "embedding", 0.99, nBits = 4))
+    assert(exact === Set((1L, 2L), (3L, 4L)))
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "near-identical vectors should share their sign bucket")
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

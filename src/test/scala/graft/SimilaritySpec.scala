@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val e = testdata("sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val approx = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 6))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("native FloatArrayDot matches the decimal dot within 1e-9 on real data") {
     val e = testdata("sf0.001", "embeddings").limit(100)
     val both = e.select(
