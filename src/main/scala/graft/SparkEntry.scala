@@ -865,6 +865,84 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // --- the full curation funnel in one query: quality filter -> exact
+    //     dedup (keep min id per fingerprint) -> minhash near-dup drop
+    //     (drop the higher id of each verified pair). The one-query shape a
+    //     training-data pipeline actually runs.
+    register("p11_curation",
+      s"""WITH stats AS (
+         |  SELECT doc_id,
+         |    len($toksSql)::DOUBLE AS n_tok,
+         |    length(text)::DOUBLE AS n_char,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         |    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS n_punct,
+         |    ${hitsSql("en")} AS h_en
+         |  FROM documents),
+         |kept AS (SELECT doc_id FROM stats
+         |  WHERE least(n_tok / 200.0, 1.0) * 0.4
+         |    + (CASE WHEN n_char = 0 THEN 0.0 ELSE n_alpha / n_char END) * 0.3
+         |    + (CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en / n_tok END) * 0.2
+         |    + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0 ELSE n_punct / n_char END) * 5.0, 1.0)) * 0.1
+         |    >= 0.45),
+         |kd AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+         |fp AS (SELECT doc_id, md5(array_to_string($toksLowerSql, ' ')) AS f FROM kd),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |cd AS (SELECT kd.* FROM kd JOIN canon USING (doc_id)),
+         |t2 AS (SELECT doc_id, $toksLowerSql AS toks FROM cd),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS shingles
+         |  FROM t2),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |sig AS (SELECT doc_id,
+         |${mhSeeds.map(i => s"  min(md5('$i:' || s)) AS h$i").mkString(",\n")}
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
+         |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.8)
+         |SELECT doc_id FROM canon
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      // stage 1: quality filter (identical math to p02)
+      val stats = tokenStats(d, "doc_id", "text")
+      val chars = d.select(col("doc_id"),
+        length(col("text")).cast("double").as("__n_char"),
+        alphaChars(col("text")).cast("double").as("__n_alpha"),
+        punctChars(col("text")).cast("double").as("__n_punct"))
+      val nTok = col("n_tok").cast("double")
+      val quality =
+        least(nTok / lit(200.0), lit(1.0)) * lit(0.4) +
+          when(col("__n_char") === 0, lit(0.0))
+            .otherwise(col("__n_alpha") / col("__n_char")) * lit(0.3) +
+          when(nTok === 0, lit(0.0))
+            .otherwise(col("h_en").cast("double") / nTok) * lit(0.2) +
+          (lit(1.0) - least(when(col("__n_char") === 0, lit(0.0))
+            .otherwise(col("__n_punct") / col("__n_char")) * lit(5.0), lit(1.0))) * lit(0.1)
+      val kept = chars.join(stats, Seq("doc_id"))
+        .filter(quality >= 0.45).select("doc_id")
+      val keptDocs = d.join(kept, Seq("doc_id"), "left_semi")
+      // stage 2: exact dedup (keep min id per fingerprint)
+      val canon = graft.operators.Dedup.exactGroups(keptDocs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val canonDocs = keptDocs.join(canon, Seq("doc_id"), "left_semi")
+      // stage 3: minhash near-dup drop (higher id of each verified pair)
+      val drop = graft.operators.Dedup
+        .nearDupPairsMinhash(canonDocs, "doc_id", "text", 3, 8, 1, 0.8)
+        .select(col("id_b").as("doc_id"))
+      canonDocs.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy(col("doc_id"))
+    }
+
     // --- multimodal: binary payload + typed metadata + frame sampling
     //     (decode itself is a stub — no codecs in this container; the
     //     schema/explode/byte-slicing plumbing is what's verified)
