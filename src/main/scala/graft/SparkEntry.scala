@@ -769,11 +769,12 @@ object SparkEntry {
          |  FROM t),
          |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |h AS (SELECT doc_id, md5(s) AS m FROM ex),
          |sig AS (SELECT doc_id,
-         |${mhSeeds.map(i => s"  min(md5('$i:' || s)) AS h$i").mkString(",\n")}
-         |  FROM ex GROUP BY doc_id),
+         |${mhSeeds.map(i => s"  min(('0x' || substring(m, 1, 14))::BIGINT + $i * ('0x' || substring(m, 17, 14))::BIGINT) AS h$i").mkString(",\n")}
+         |  FROM h GROUP BY doc_id),
          |bands AS (
-         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
+         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i::VARCHAR) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
          |),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -896,11 +897,12 @@ object SparkEntry {
          |  FROM t2),
          |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |h AS (SELECT doc_id, md5(s) AS m FROM ex),
          |sig AS (SELECT doc_id,
-         |${mhSeeds.map(i => s"  min(md5('$i:' || s)) AS h$i").mkString(",\n")}
-         |  FROM ex GROUP BY doc_id),
+         |${mhSeeds.map(i => s"  min(('0x' || substring(m, 1, 14))::BIGINT + $i * ('0x' || substring(m, 17, 14))::BIGINT) AS h$i").mkString(",\n")}
+         |  FROM h GROUP BY doc_id),
          |bands AS (
-         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
+         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i::VARCHAR) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
          |),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket

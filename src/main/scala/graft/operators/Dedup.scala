@@ -92,16 +92,28 @@ object Dedup {
       .select(col(idCol), coalesce(col(outCol), lit("")).as(outCol))
   }
 
-  /** MinHash signature: one column h0..h{k-1} per seeded permutation, each
-    * the lexicographic min of md5("seed:shingle") over the doc's shingles.
-    * Works on the raw shingle stream (duplicates cannot change a min) and
-    * is partial-aggregation-friendly: minima combine map-side, so the
-    * shuffle carries O(docs x seeds), not O(shingles). */
+  /** Carter-Wegman-style hash family from ONE md5 per shingle: with
+    * b1/b2 = the first/second 56-bit halves of md5(shingle), permutation i
+    * is b1 + i*b2 (distinct linear combos of two independent uniform
+    * values; i*b2 <= 15*2^56 < 2^63, no overflow, no modulus needed).
+    * One digest instead of numHashes digests — at scale the md5 is the
+    * dominant cost of signature building. */
+  def minhashHash(md5Col: Column, seed: Int): Column =
+    conv(substring(md5Col, 1, 14), 16, 10).cast("long") +
+      lit(seed.toLong) * conv(substring(md5Col, 17, 14), 16, 10).cast("long")
+
+  /** MinHash signature: one column h0..h{k-1} per hash-family member, each
+    * the numeric min over the doc's shingles. Works on the raw shingle
+    * stream (duplicates cannot change a min) and is partial-aggregation-
+    * friendly: minima combine map-side, so the shuffle carries
+    * O(docs x seeds), not O(shingles). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= 16, "linear family overflows beyond 16 members")
     val ex = shingleRows(df, idCol, textCol, shingleN)
-    val aggs = (0 until numHashes).map(s =>
-      min(TextFunctions.seededMd5(s, col("shingle"))).as(s"h$s"))
+      .withColumn("__md5", md5(col("shingle"))) // ONE digest per shingle
+    val aggs = (0 until numHashes).map(i =>
+      min(minhashHash(col("__md5"), i)).as(s"h$i"))
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -148,8 +160,9 @@ object Dedup {
     // caller can do instead via TableGraph.addTable.
     val aggs = collect_set(col("shingle")).as("__shingles") +:
       (0 until numHashes).map(i =>
-        min(TextFunctions.seededMd5(i, col("shingle"))).as(s"h$i"))
+        min(minhashHash(col("__md5"), i)).as(s"h$i"))
     val perDoc = shingleRows(df, idCol, textCol, shingleN)
+      .withColumn("__md5", md5(col("shingle")))
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
     val cands = lshCandidates(perDoc, idCol, numHashes, rowsPerBand)
