@@ -48,9 +48,6 @@ object TextFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant for MinHash permutations: hash of "seed:value". */
-  def seededMd5(seed: Int, c: Column): Column = md5(concat(lit(s"$seed:"), c))
-
   /** Canonical document fingerprint: md5 of the whitespace-normalized,
     * lowercased text (rolling-hash-free exact fingerprint). Implemented as
     * pure regex (collapse runs, strip edges) — value-identical to
