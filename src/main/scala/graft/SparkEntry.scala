@@ -348,8 +348,8 @@ object SparkEntry {
     register("q19_math_fns",
       """SELECT l_orderkey, l_linenumber,
         |  ABS(l_discount - 0.05) AS abs_c,
-        |  FLOOR(l_extendedprice) AS floor_p,
-        |  CEIL(l_extendedprice) AS ceil_p,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p,
         |  SQRT(l_quantity) AS sqrt_q,
         |  l_extendedprice * l_extendedprice AS sq_p,
         |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(25,6)), 2) AS DOUBLE) AS round_p
@@ -837,10 +837,52 @@ object SparkEntry {
     }
 
     // --- similarity search, scale path: sign-random-projection LSH with
-    //     multi-probe + exact re-rank. Not SQL-expressible compactly ->
-    //     rows-only check; recall vs brute force is asserted in
-    //     SimilaritySpec.
-    registerNoOracle("p08_embed_ann") { (s, dir) =>
+    //     multi-probe on both sides + exact re-rank. The SRP planes are
+    //     md5-derived (Similarity.planes), so the WHOLE pipeline —
+    //     signatures, 1-flip probe buckets, candidate join, cosine rank —
+    //     is reproducible in DuckDB SQL. Every float product is exact in
+    //     double (24-bit x 24-bit mantissas < 53), so only summation order
+    //     could differ; both engines fold element-wise sums sequentially,
+    //     and SimilaritySpec asserts recall vs brute force besides.
+    register("p08_embed_ann",
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT p, list(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 0
+        |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+        |  FROM (SELECT p, unnest(range((SELECT dim FROM dims))) AS d FROM range(8) t(p))
+        |  GROUP BY p),
+        |proj AS (
+        |  SELECT e.vec_id, p.p,
+        |    list_sum(list_transform(list_zip(e.embedding, p.pl), x -> x[1]::DOUBLE * x[2])) AS proj
+        |  FROM embeddings e CROSS JOIN planes p),
+        |sigs AS (
+        |  SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM proj GROUP BY vec_id),
+        |buckets AS (
+        |  SELECT vec_id, sig AS bucket FROM sigs
+        |  UNION ALL
+        |  SELECT vec_id, substring(sig,1,i::INT-1) ||
+        |         (CASE WHEN substring(sig,i::INT,1)='1' THEN '0' ELSE '1' END) ||
+        |         substring(sig,i::INT+1,8-i::INT) AS bucket
+        |  FROM sigs, range(1,9) t(i)),
+        |nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb USING (bucket)
+        |  WHERE qb.vec_id < 25 AND cb.vec_id != qb.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |      / (nq.n * nc.n) AS cosine
+        |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+        |            JOIN embeddings ec ON ec.vec_id = neighbor_id
+        |            JOIN nrm nq ON nq.vec_id = query_id
+        |            JOIN nrm nc ON nc.vec_id = neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 25), "vec_id", "embedding",
           k = 5, nBits = 8)
@@ -856,9 +898,9 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
          |b AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT % $embDim AS bkt FROM toks),
          |c AS (SELECT doc_id,
-         |${(0 until embDim).map(d => s"  SUM(CASE WHEN bkt = $d THEN 1 ELSE 0 END) AS h$d").mkString(",\n")}
+         |${(0 until embDim).map(d => s"  CAST(SUM(CASE WHEN bkt = $d THEN 1 ELSE 0 END) AS BIGINT) AS h$d").mkString(",\n")}
          |  FROM b GROUP BY doc_id)
-         |SELECT d.doc_id, ${(0 until embDim).map(d => s"COALESCE(c.h$d, 0) AS h$d").mkString(", ")}
+         |SELECT d.doc_id, ${(0 until embDim).map(d => s"CAST(COALESCE(c.h$d, 0) AS BIGINT) AS h$d").mkString(", ")}
          |FROM documents d LEFT JOIN c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       graft.functions.FeatureHashEmbedder

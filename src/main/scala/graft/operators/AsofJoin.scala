@@ -11,7 +11,13 @@ import org.apache.spark.sql.expressions.Window
   * into BroadcastNestedLoop. This is the scalable union+window technique:
   *
   *   union both sides tagged by origin -> ONE shuffle by key ->
-  *   last(value, ignoreNulls) over (key ORDER BY time, side) -> keep left
+  *   last(struct(values), ignoreNulls) over (key ORDER BY time, side) ->
+  *   keep left, project the struct fields
+  *
+  * The values ride in ONE struct so every output column comes from the SAME
+  * most-recent right row — a NULL in one value column of the matched row
+  * surfaces as NULL (DuckDB ASOF JOIN row semantics), instead of
+  * per-column forward-filling an older row's value.
   *
   * Cost is a single hash partition + per-partition sort — linear, no pair
   * blow-up, skew handled by AQE like any window. Right rows sort BEFORE
@@ -34,29 +40,36 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(valueCols.forall(v => !leftCols.contains(s"asof_$v")),
       s"output columns ${valueCols.map("asof_" + _).mkString(",")} collide with left columns")
-    require(!(leftCols ++ valueCols).exists(Set("__t", "__side").contains),
-      "__t/__side are reserved helper names in asof join")
+    require(!(leftCols ++ valueCols).exists(Set("__t", "__side", "__asof").contains),
+      "__t/__side/__asof are reserved helper names in asof join")
+
+    // One struct per right row (never null, even if every value inside is
+    // null) so last(ignoreNulls) selects whole ROWS, not per-column values.
+    val asofType = org.apache.spark.sql.types.StructType(
+      valueCols.map(v => org.apache.spark.sql.types.StructField(
+        v, right.schema(v).dataType, nullable = true)))
 
     val l = left
       .withColumn("__t", col(leftTsCol))
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__t") :+ col("__side")) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"asof_$v")): _*)
+      .select(leftCols.map(col) :+ col("__t") :+ col("__side") :+
+        lit(null).cast(asofType).as("__asof"): _*)
     val r = right
       .withColumn("__t", col(rightTsCol))
       .withColumn("__side", lit(0))
-      .select((leftCols.map { c =>
+      .select(leftCols.map { c =>
         if (keyCols.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } :+ col("__t") :+ col("__side")) ++
-        valueCols.map(v => col(v).as(s"asof_$v")): _*)
+      } :+ col("__t") :+ col("__side") :+
+        struct(valueCols.map(v => col(v).as(v)): _*).as("__asof"): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
   }
 }

@@ -117,12 +117,60 @@ object Dedup {
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Default cap on per-bucket membership for pairwise candidate joins —
+    * see [[cappedBucketPairs]]. */
+  val DefaultMaxBucket = 1000
+
+  /** Candidate pairs from bucket co-membership with a HOT-BUCKET CAP.
+    *
+    * The (bucket) self-join is quadratic in bucket occupancy; real corpora
+    * have degenerate buckets (empty docs, boilerplate headers), and at
+    * 100 TB one bucket with 10^6 members would mean 10^12 pairs on one
+    * reducer. Buckets with <= maxBucket members join all-pairs as usual;
+    * an OVERSIZED bucket is by construction a near-duplicate cluster, so
+    * its members instead pair only with the bucket's min-id representative
+    * (star pattern, O(n) per bucket). Downstream verify + drop-the-higher-id
+    * dedup removes the same documents either way; only the exhaustive pair
+    * LIST differs, and only on degenerate data.
+    *
+    * Input: one row per (bucket membership), bucket key in bucketCols,
+    * doc id in idCol, plus any per-doc payload columns to carry. Output:
+    * (id_a, id_b, <payload_a as <c>_a>, <payload_b as <c>_b>) distinct by
+    * (id_a, id_b), id_a < id_b. One shuffle for the occupancy window (the
+    * pair join then reuses that partitioning).
+    */
+  def cappedBucketPairs(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String, payloadCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val ann = buckets.withColumn("__n", count(lit(1)).over(w))
+      // min id AND its payload from the same row: min over structs orders
+      // by id first (ids are distinct within a bucket)
+      .withColumn("__min", min(struct(col(idCol) +: payloadCols.map(col): _*)).over(w))
+    def side(suffix: String)(df: DataFrame): DataFrame =
+      df.select(bucketCols.map(col) ++
+        (col(idCol).as(s"id_$suffix") +: payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    val small = ann.filter(col("__n") <= maxBucket)
+    val pairsSmall = side("a")(small).join(side("b")(small), bucketCols)
+      .filter(col("id_a") < col("id_b"))
+    val pairsBig = ann.filter(col("__n") > maxBucket)
+      .filter(col(idCol) =!= col("__min")(idCol))
+      .select((col("__min")(idCol).as("id_a") +:
+        payloadCols.map(c => col("__min")(c).as(s"${c}_a"))) ++
+        (col(idCol).as("id_b") +: payloadCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val outCols = ("id_a" +: payloadCols.map(_ + "_a")) ++ ("id_b" +: payloadCols.map(_ + "_b"))
+    pairsSmall.select(outCols.map(col): _*)
+      .unionByName(pairsBig.select(outCols.map(col): _*))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** LSH candidate pairs from banded signatures. With rowsPerBand hashes per
     * band, a pair lands in the same bucket of a band iff all that band's
     * hashes agree; P(candidate) = 1-(1-j^r)^b — tune (r, b) to the target
-    * similarity. Returns distinct (id_a, id_b) with id_a < id_b. */
+    * similarity. Returns distinct (id_a, id_b) with id_a < id_b. Buckets
+    * over maxBucket members degrade to star pairs ([[cappedBucketPairs]]). */
   def lshCandidates(signatures: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
+      numHashes: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
@@ -131,11 +179,7 @@ object Dedup {
     val buckets = signatures
       .select(col(idCol), explode(array(bands: _*)).as("__b"))
       .select(col(idCol), col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
-    val a = buckets.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    cappedBucketPairs(buckets, Seq("__band", "__bucket"), idCol, Nil, maxBucket)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
@@ -218,43 +262,50 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: block on 4 x 16-bit segments (two docs
     * within hamming distance 3 of each other share at least one intact
-    * segment — pigeonhole), verify hamming <= maxHamming. */
+    * segment — pigeonhole), verify hamming <= maxHamming. Segments with
+    * more than maxBucket members degrade to star pairs
+    * ([[cappedBucketPairs]]). */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = simhash64(df, idCol, textCol)
     val segs = sig.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map(s =>
           struct(lit(s).as("seg"), substring(col("simhash"), s * 16 + 1, 16).as("key"))): _*)).as("__s"))
       .select(col(idCol), col("simhash"), col("__s.seg").as("__seg"), col("__s.key").as("__key"))
-    val a = segs.select(col("__seg"), col("__key"), col(idCol).as("id_a"), col("simhash").as("__siga"))
-    val b = segs.select(col("__seg"), col("__key"), col(idCol).as("id_b"), col("simhash").as("__sigb"))
-    a.join(b, Seq("__seg", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hammingBits(col("__siga"), col("__sigb")).as("hamming"))
-      .distinct()
+    cappedBucketPairs(segs, Seq("__seg", "__key"), idCol, Seq("simhash"), maxBucket)
+      .select(col("id_a"), col("id_b"),
+        hammingBits(col("simhash_a"), col("simhash_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------------ embeddings
 
   /** Embedding-cosine near-dup pairs at scale: candidates from SRP-LSH
-    * sign buckets (near-dup vectors nearly always share their bucket or a
-    * 1-flip neighbor), verified by exact cosine >= threshold. */
+    * sign buckets with 1-flip multi-probe on ONE side (a pair meets
+    * whenever its signatures are within hamming distance 1 — probing one
+    * side suffices for radius 1 and avoids the two-sided fan-out), then
+    * exact cosine >= threshold verification. Buckets over maxBucket
+    * members degrade to star pairs ([[cappedBucketPairs]]). */
   def nearDupPairsEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8): DataFrame = {
+      threshold: Double, nBits: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val planes = Similarity.planes(nBits,
       df.select(size(col(vecCol))).head().getInt(0))
     val sig = df.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__n", sqrt(Similarity.normSq(col("__v"))))
       .withColumn("__sig", Similarity.signSignature(col("__v"), planes))
-    val a = sig.select(col("__sig"), col(idCol).as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = sig.select(col("__sig"), col(idCol).as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("__sig"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__va"), col("__vb"))
-        / (col("__na") * col("__nb")))
+    // one side indexed under its bucket + all 1-flip neighbors, the other
+    // under its exact bucket; same-bucket AND 1-flip-apart pairs both meet
+    val probed = sig.withColumn("__bucket",
+      explode(Similarity.probeBuckets(col("__sig"), nBits)))
+    val exact = sig.withColumn("__bucket", col("__sig"))
+    val buckets = probed.unionByName(exact)
+      // tag rows so a pair is emitted once: probed-side id must be the
+      // smaller (dedup below collapses multi-bucket hits)
+      .drop("__sig")
+    cappedBucketPairs(buckets, Seq("__bucket"), idCol, Seq("__v", "__n"), maxBucket)
+      .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__v_a"), col("__v_b"))
+        / (col("__n_a") * col("__n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -32,6 +32,22 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.select("asof_price").as[Double].collect().toSeq === Seq(5.0, 5.0))
   }
 
+  test("matched-row semantics: NULL value in the most recent right row is " +
+    "returned as NULL, not forward-filled from an older row") {
+    val left = Seq((1L, ts(20)), (1L, ts(40))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts(0), Option(1.0), Option("old")),
+      (1L, ts(10), Option.empty[Double], Option("mid")), // price NULL here
+      (1L, ts(30), Option(3.0), Option.empty[String])    // tag NULL here
+    ).toDF("k", "rt", "price", "tag")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("price", "tag"))
+      .orderBy("t").select("asof_price", "asof_tag")
+      .as[(Option[Double], Option[String])].collect().toSeq
+    // t=20 matches the rt=10 row: its price is NULL (must NOT pick up 1.0
+    // from rt=0); t=40 matches rt=30: its tag is NULL (must NOT pick "mid").
+    assert(out === Seq((None, Some("mid")), (Some(3.0), None)))
+  }
+
   test("output-name collision (asof_<v>) is rejected; same bare name is fine") {
     val left = Seq((1L, ts(0), "x")).toDF("k", "t", "asof_v")
     val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")

@@ -5,7 +5,11 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB with
 each <sfDir>/*.parquet registered as a view, load the Spark result parquet,
-sort columns by name, and compare row counts, schemas (loosely) and values.
+sort columns by name, and compare row counts, schemas, and RENDERED values.
+
+The driver's hash check renders every cell to text before hashing, so an
+int64 `5` vs float64 `5.0` IS a failure even though the values are equal.
+This gate must predict that: no dtype coercion, compare the rendering.
 """
 import json
 import sys
@@ -13,20 +17,33 @@ import sys
 import duckdb
 import pandas as pd
 
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def render_cell(v) -> str:
+    """Text rendering of one cell, the way a hash-of-values sees it."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip: 5.0 -> '5.0', distinct from int 5
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(render_cell(x) for x in v) + "]"
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for comparison
+    """Sort columns by name, render every cell to text. NO dtype coercion —
+    the driver compares rendered values, so neither do we."""
+    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    out = pd.DataFrame(index=df.index)
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("Int64")
-    return df.reset_index(drop=True)
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            # both engines print timestamps identically at whole-us precision
+            col = pd.to_datetime(col).astype("datetime64[us]")
+        out[c] = [render_cell(v) for v in col.tolist()]
+    return out
 
 
 def main(sf_dir: str, out_dir: str) -> None:
@@ -54,7 +71,7 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(got, expect, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(got, expect, check_exact=True)
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
         except AssertionError as e:
