@@ -127,11 +127,15 @@ object Dedup {
     * have degenerate buckets (empty docs, boilerplate headers), and at
     * 100 TB one bucket with 10^6 members would mean 10^12 pairs on one
     * reducer. Buckets with <= maxBucket members join all-pairs as usual;
-    * an OVERSIZED bucket is by construction a near-duplicate cluster, so
-    * its members instead pair only with the bucket's min-id representative
-    * (star pattern, O(n) per bucket). Downstream verify + drop-the-higher-id
-    * dedup removes the same documents either way; only the exhaustive pair
-    * LIST differs, and only on degenerate data.
+    * an OVERSIZED bucket is usually a near-duplicate cluster, so its
+    * members instead pair only with the bucket's min-id representative
+    * (star pattern, O(n) per bucket). This is a RECALL trade-off, not an
+    * equivalence: with a verification filter downstream (hamming/cosine/
+    * jaccard), a member whose pair with the representative fails
+    * verification loses all its candidate pairs from this bucket, so a
+    * handful of documents that all-pairs would have removed can survive.
+    * The miss is confined to degenerate (over-cap) buckets; raise
+    * maxBucket or pre-filter boilerplate if that matters for a corpus.
     *
     * Input: one row per (bucket membership), bucket key in bucketCols,
     * doc id in idCol, plus any per-doc payload columns to carry. Output:
@@ -141,21 +145,24 @@ object Dedup {
     */
   def cappedBucketPairs(buckets: DataFrame, bucketCols: Seq[String],
       idCol: String, payloadCols: Seq[String], maxBucket: Int): DataFrame = {
+    val reserved = Seq("__cbp_n", "__cbp_min")
+    require((bucketCols ++ payloadCols :+ idCol).forall(!reserved.contains(_)),
+      s"column names ${reserved.mkString(", ")} are reserved by cappedBucketPairs")
     val w = Window.partitionBy(bucketCols.map(col): _*)
-    val ann = buckets.withColumn("__n", count(lit(1)).over(w))
+    val ann = buckets.withColumn("__cbp_n", count(lit(1)).over(w))
       // min id AND its payload from the same row: min over structs orders
       // by id first (ids are distinct within a bucket)
-      .withColumn("__min", min(struct(col(idCol) +: payloadCols.map(col): _*)).over(w))
+      .withColumn("__cbp_min", min(struct(col(idCol) +: payloadCols.map(col): _*)).over(w))
     def side(suffix: String)(df: DataFrame): DataFrame =
       df.select(bucketCols.map(col) ++
         (col(idCol).as(s"id_$suffix") +: payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
-    val small = ann.filter(col("__n") <= maxBucket)
+    val small = ann.filter(col("__cbp_n") <= maxBucket)
     val pairsSmall = side("a")(small).join(side("b")(small), bucketCols)
       .filter(col("id_a") < col("id_b"))
-    val pairsBig = ann.filter(col("__n") > maxBucket)
-      .filter(col(idCol) =!= col("__min")(idCol))
-      .select((col("__min")(idCol).as("id_a") +:
-        payloadCols.map(c => col("__min")(c).as(s"${c}_a"))) ++
+    val pairsBig = ann.filter(col("__cbp_n") > maxBucket)
+      .filter(col(idCol) =!= col("__cbp_min")(idCol))
+      .select((col("__cbp_min")(idCol).as("id_a") +:
+        payloadCols.map(c => col("__cbp_min")(c).as(s"${c}_a"))) ++
         (col(idCol).as("id_b") +: payloadCols.map(c => col(c).as(s"${c}_b"))): _*)
     val outCols = ("id_a" +: payloadCols.map(_ + "_a")) ++ ("id_b" +: payloadCols.map(_ + "_b"))
     pairsSmall.select(outCols.map(col): _*)
@@ -281,28 +288,24 @@ object Dedup {
   // ------------------------------------------------------------ embeddings
 
   /** Embedding-cosine near-dup pairs at scale: candidates from SRP-LSH
-    * sign buckets with 1-flip multi-probe on ONE side (a pair meets
-    * whenever its signatures are within hamming distance 1 — probing one
-    * side suffices for radius 1 and avoids the two-sided fan-out), then
-    * exact cosine >= threshold verification. Buckets over maxBucket
-    * members degrade to star pairs ([[cappedBucketPairs]]). */
+    * sign buckets with 1-flip multi-probe. Every row is indexed under its
+    * exact bucket plus all 1-flip neighbor buckets ([[Similarity.probeBuckets]]
+    * emits both), and candidates are same-bucket pairs — so any pair whose
+    * signatures are within hamming distance 2 meets (both sides carry
+    * radius-1 probes). Candidates are then verified by exact cosine >=
+    * threshold, so the probe radius only affects recall/fan-out, never
+    * precision. Buckets over maxBucket members degrade to star pairs
+    * ([[cappedBucketPairs]]). */
   def nearDupPairsEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val planes = Similarity.planes(nBits,
       df.select(size(col(vecCol))).head().getInt(0))
-    val sig = df.select(col(idCol), col(vecCol).as("__v"))
+    val buckets = df.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__n", sqrt(Similarity.normSq(col("__v"))))
-      .withColumn("__sig", Similarity.signSignature(col("__v"), planes))
-    // one side indexed under its bucket + all 1-flip neighbors, the other
-    // under its exact bucket; same-bucket AND 1-flip-apart pairs both meet
-    val probed = sig.withColumn("__bucket",
-      explode(Similarity.probeBuckets(col("__sig"), nBits)))
-    val exact = sig.withColumn("__bucket", col("__sig"))
-    val buckets = probed.unionByName(exact)
-      // tag rows so a pair is emitted once: probed-side id must be the
-      // smaller (dedup below collapses multi-bucket hits)
-      .drop("__sig")
+      .withColumn("__bucket",
+        explode(Similarity.probeBuckets(
+          Similarity.signSignature(col("__v"), planes), nBits)))
     cappedBucketPairs(buckets, Seq("__bucket"), idCol, Seq("__v", "__n"), maxBucket)
       .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__v_a"), col("__v_b"))
         / (col("__n_a") * col("__n_b")))

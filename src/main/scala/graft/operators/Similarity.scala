@@ -107,7 +107,7 @@ object Similarity {
     }: _*)
 
   /** The signature bucket plus every hamming-1 neighbor bucket. */
-  private def probeBuckets(sig: Column, nBits: Int): Column = {
+  def probeBuckets(sig: Column, nBits: Int): Column = {
     val flips = (1 to nBits).map { i =>
       val flipped = when(substring(sig, i, 1) === "1", lit("0")).otherwise(lit("1"))
       concat(substring(sig, 1, i - 1), flipped, substring(sig, i + 1, nBits - i))
