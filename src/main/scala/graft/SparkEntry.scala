@@ -707,15 +707,19 @@ object SparkEntry {
          |${langs.map(l => s"    ${hitsSql(l)} AS h_$l").mkString(",\n")}
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // tokenStats fast path: one codegen'd token-stream aggregation
-      // instead of per-row interpreted lambdas (value-identical to
+      // tokenStats fast path: ONE scan — the doc-level char counts are
+      // computed in the pre-explode projection and ride the token-stream
+      // aggregation as carry keys (functionally dependent on doc_id), so
+      // there is no second documents scan and no join (value-identical to
       // langId/qualityScore; ~10x faster on whole-corpus scoring).
       val d = t(s, dir, "documents")
-      val stats = tokenStats(d, "doc_id", "text")
-      val chars = d.select(col("doc_id"), col("lang"),
+      val withChars = d.select(col("doc_id"), col("lang"),
         length(col("text")).cast("double").as("__n_char"),
         alphaChars(col("text")).cast("double").as("__n_alpha"),
-        punctChars(col("text")).cast("double").as("__n_punct"))
+        punctChars(col("text")).cast("double").as("__n_punct"),
+        col("text"))
+      val stats = tokenStats(withChars, "doc_id", "text",
+        carryCols = Seq("lang", "__n_char", "__n_alpha", "__n_punct"))
       val nTok = col("n_tok").cast("double")
       val lenScore = least(nTok / lit(200.0), lit(1.0))
       val alphaRatio = when(col("__n_char") === 0, lit(0.0))
@@ -724,7 +728,7 @@ object SparkEntry {
         .otherwise(col("h_en").cast("double") / nTok)
       val punctRatio = when(col("__n_char") === 0, lit(0.0))
         .otherwise(col("__n_punct") / col("__n_char"))
-      chars.join(stats, Seq("doc_id"))
+      stats
         .withColumn("lang_pred", langPredFromStats)
         .withColumn("quality",
           lenScore * lit(0.4) + alphaRatio * lit(0.3) + stopRatio * lit(0.2) +

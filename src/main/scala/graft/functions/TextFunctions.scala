@@ -113,27 +113,34 @@ object TextFunctions {
   // (DataFrame-level: one codegen'd token-stream aggregation instead of
   //  per-row interpreted lambdas — the fast path for whole-corpus scoring)
 
-  /** Per-document token statistics via a posexplode token stream: n_tok,
+  /** Per-document token statistics via an exploded token stream: n_tok,
     * mean token length, and per-language stopword hit counts (columns
-    * h_<lang>), all in ONE map-side-combinable aggregation. Documents with
-    * zero tokens keep a row (left join back to ids) with zero counts.
-    * Value-identical to the Column-level helpers above. */
-  def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
-      : org.apache.spark.sql.DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
-      .filter(col("__tok") =!= "")
+    * h_<lang>), all in ONE map-side-combinable aggregation over ONE scan.
+    *
+    * carryCols are extra per-document columns (must be functionally
+    * dependent on idCol — e.g. doc-level char counts computed in a select
+    * before the call) that ride through as additional grouping keys, so a
+    * caller needs no second scan + join to get doc-level attributes next
+    * to the token stats.
+    *
+    * Zero-token documents keep a row WITHOUT a join-back: split always
+    * returns at least one element (an empty string for blank text), so the
+    * explode emits a placeholder row per doc and every aggregate guards on
+    * `__tok != ""`. Value-identical to the Column-level helpers above. */
+  def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"): _*)
+    val isTok = col("__tok") =!= ""
     val langAggs = stopwords.keys.toSeq.sorted.map { l =>
-      sum(when(col("__tok").isInCollection(stopwords(l)), 1L).otherwise(0L)).as(s"h_$l")
+      sum(when(isTok && col("__tok").isInCollection(stopwords(l)), 1L).otherwise(0L)).as(s"h_$l")
     }
     val aggs = Seq(
-      count(lit(1)).as("n_tok"),
-      sum(length(col("__tok")).cast("long")).as("__sum_tok_len")) ++ langAggs
-    val stats = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    df.select(col(idCol)).join(stats, Seq(idCol), "left")
-      .select(col(idCol) +:
-        (Seq("n_tok", "__sum_tok_len") ++ stopwords.keys.toSeq.sorted.map(l => s"h_$l"))
-          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      sum(when(isTok, 1L).otherwise(0L)).as("n_tok"),
+      sum(when(isTok, length(col("__tok")).cast("long")).otherwise(0L)).as("__sum_tok_len")) ++
+      langAggs
+    toks.groupBy(col(idCol) +: carryCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .withColumn("mean_tok_len",
         when(col("n_tok") === 0, lit(0.0))
           .otherwise(col("__sum_tok_len").cast("double") / col("n_tok")))

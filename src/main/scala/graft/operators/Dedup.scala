@@ -244,18 +244,24 @@ object Dedup {
     * avoids signed-long pitfalls and is directly comparable in the oracle).
     * Token hash bits come from the first 16 md5 hex nibbles; each token
     * votes ±1 per bit; the signature bit is 1 iff the vote sum is > 0.
-    * One explode + one groupBy with 64 map-side-combinable sums. */
+    * One explode + one groupBy with 64 map-side-combinable sums. The hex
+    * decode is hoisted into the pre-aggregation projection as four 16-bit
+    * words (4 substring+conv per token, not 64) — the per-bit vote is then
+    * a cheap shift/mask on an int column inside codegen. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("__t"))
       .filter(col("__t") =!= "") // filter AFTER the explode: no HOF in the generator
       .withColumn("__hx", substring(md5(col("__t")), 1, 16))
+    val words = (0 until 4).map { w =>
+      conv(substring(col("__hx"), w * 4 + 1, 4), 16, 10).cast("int").as(s"__w$w")
+    }
+    val wordToks = toks.select(col(idCol) +: words: _*)
     val votes = (0 until 64).map { j =>
-      val nibble = conv(substring(col("__hx"), j / 4 + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(nibble, 3 - j % 4).bitwiseAND(lit(1))
+      val bit = shiftright(col(s"__w${j / 16}"), 15 - j % 16).bitwiseAND(lit(1))
       sum(bit * 2 - 1).as(s"__v$j")
     }
-    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val agg = wordToks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     agg.select(col(idCol),
       concat((0 until 64).map(j =>
         when(col(s"__v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))

@@ -52,6 +52,19 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(columns.exceptAll(stream).count() === 0)
   }
 
+  test("tokenStats keeps zero-token docs and carries doc-level columns in one scan") {
+    val docs = Seq(("d1", "the cat", 7), ("d2", "   ", 3), ("d3", "", 0))
+      .toDF("doc_id", "text", "n_char")
+    val stats = tokenStats(docs, "doc_id", "text", carryCols = Seq("n_char"))
+    val rows = stats.select("doc_id", "n_char", "n_tok").as[(String, Int, Long)]
+      .collect().map { case (id, nc, nt) => id -> ((nc, nt)) }.toMap
+    assert(rows === Map("d1" -> ((7, 2L)), "d2" -> ((3, 0L)), "d3" -> ((0, 0L))))
+    // one scan, no join: the whole point of carryCols
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+    assert("LocalTableScan".r.findAllIn(plan).size === 1)
+  }
+
   test("winnowFingerprint is stable under small edits sharing min shingles") {
     val a = one("alpha beta gamma delta epsilon zeta eta theta")
       .select(winnowFingerprint(col("text"), 3, 2)).as[String].head()
