@@ -626,6 +626,25 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }
 
+    // --- C3/NL join: the reference DECLARES join_with_query
+    //     (notsomagictable.py:15-18) but its MagicTable half is absent;
+    //     compileJoin implements the declared surface. Key inference + the
+    //     post-join clause pipeline, oracle-checked.
+    register("c3_transform_join",
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val compiled = NlCompiler.compileJoin(
+        "top 25 join with customer on o_custkey = c_custkey where c_mktsegment = BUILDING " +
+          "by o_totalprice desc showing o_orderkey, o_totalprice and c_name",
+        o.columns.toSeq, c.columns.toSeq)
+      // NL grammar has no tie-break; append a deterministic one for the gate
+      compiled.apply(o, c).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }
+
     // --- C2: distributed flatten of a nested struct/array column built from
     //     events.props JSON (from_json -> flattenAll fixpoint)
     register("c2_flatten_json",

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.time.Instant
-import graft.sources.{Fetcher, FileFetcher, GenerativeSource, Source}
+import graft.sources.{ApiSource, Fetcher, FileFetcher, GenerativeSource, Source}
 import graft.functions.NlCompiler
 import graft.operators.Chain
 
@@ -116,13 +116,50 @@ class MagicTable(
     result
   }
 
+  /** NL join (reference intent: notsomagictable.py:15-18 declares
+    * join_with_query forwarding to a MagicTable method that does not exist
+    * — the declared surface, implemented). The query names the join type
+    * and key ("left join on custkey where ..."); remaining NL clauses run
+    * on the joined frame. Lineage merges both tables' sources. */
+  def joinWithQuery(other: MagicTable, query: String): MagicTable = {
+    val compiled = NlCompiler.compileJoin(query, df.columns.toSeq, other.df.columns.toSeq)
+    graph.putTransformation(s"${name}_join_${other.name}_$query", compiled.describe)
+    val out = compiled.apply(df, other.df)
+    val newName = s"${name}_join_${other.name}"
+    graph.addChain(ChainRecord(name, other.name, newName, "nl_join",
+      query, "", Map("describe" -> compiled.describe), graph.clock()))
+    new MagicTable(out, newName, sources ++ other.sources, graph)
+  }
+
   /** Per-row API fan-out (reference C1). Whole-chain result cache keyed by
     * source ids with the 1 h TTL (magictable.py:221-230). */
   def chain(
       urlTemplate: String,
       fetcher: Fetcher = MagicTable.defaultFetcher,
       sourceKey: Option[String] = None,
-      targetKey: Option[String] = None): MagicTable = {
+      targetKey: Option[String] = None): MagicTable =
+    chainImpl(urlTemplate, sources :+ ApiSource(urlTemplate), fetcher, sourceKey, targetKey)
+
+  /** Chain off ANOTHER table (reference magictable.py:202-219): the URL
+    * template is the other table's LAST source identifier, and the result
+    * carries BOTH tables' source lineage (new_sources = self + other). */
+  def chain(other: MagicTable): MagicTable =
+    chain(other, MagicTable.defaultFetcher, None, None)
+
+  def chain(other: MagicTable, fetcher: Fetcher,
+      sourceKey: Option[String], targetKey: Option[String]): MagicTable = {
+    require(other.sources.nonEmpty,
+      "Invalid input for chaining: expected MagicTable with sources or an API URL template string")
+    chainImpl(other.sources.last.getIdentifier, sources ++ other.sources,
+      fetcher, sourceKey, targetKey)
+  }
+
+  private def chainImpl(
+      urlTemplate: String,
+      newSources: Seq[Source],
+      fetcher: Fetcher,
+      sourceKey: Option[String],
+      targetKey: Option[String]): MagicTable = {
     // the cache key must cover everything that changes the result: the
     // template AND any explicit key mapping (two calls differing only in
     // sourceKey must not share a cache entry)
@@ -130,16 +167,16 @@ class MagicTable(
       Jsons.md5Hex(s"$urlTemplate|${sourceKey.getOrElse("")}|${targetKey.getOrElse("")}").take(12)
     if (graph.isFresh(newName)) {
       graph.getTable(df.sparkSession, newName) match {
-        case Some(cached) => return new MagicTable(cached, newName, sources, graph)
+        case Some(cached) => return new MagicTable(cached, newName, newSources, graph)
         case None =>
       }
     }
     val urlCacheDir = java.nio.file.Paths.get(graph.warehouseDir, "_urls").toString
     val (out, keyCols) = Chain(df, urlTemplate, fetcher, sourceKey, targetKey, Some(urlCacheDir))
-    graph.addTable(newName, out, MagicTable.sourceInfo(sources))
+    graph.addTable(newName, out, MagicTable.sourceInfo(newSources))
     graph.addChain(ChainRecord(name, newName, newName, "api_chain",
       keyCols.mkString(","), "", Map("api_url_template" -> urlTemplate), graph.clock()))
-    new MagicTable(graph.getTable(df.sparkSession, newName).get, newName, sources, graph)
+    new MagicTable(graph.getTable(df.sparkSession, newName).get, newName, newSources, graph)
   }
 
   /** Register this table in the catalog (Parquet write + node). */

@@ -158,4 +158,78 @@ object NlCompiler {
 
     Compiled(steps.mkString(";"), fn)
   }
+
+  case class CompiledJoin(describe: String, apply: (DataFrame, DataFrame) => DataFrame)
+
+  /** NL JOIN -> plan (reference intent: notsomagictable.py:15-18 declares
+    * join_with_query, but the MagicTable method it forwards to does not
+    * exist — the declared surface is implemented here). Grammar, on top of
+    * [[compile]]'s clauses (which run against the JOINED frame):
+    *
+    *   [inner|left|right|full|outer|semi|anti] join [with <name>]
+    *     [on <col> [= <rightCol>]]
+    *
+    * Without an `on` clause the key is inferred from common column names
+    * (the C4 inference posture): key- or id-suffixed columns win, then the
+    * first common column. semi/anti keep left columns only (Spark
+    * left_semi/left_anti).
+    */
+  def compileJoin(query: String, leftCols: Seq[String], rightCols: Seq[String]): CompiledJoin = {
+    val q = " " + query.trim + " "
+    val typeRx =
+      """(?i)\b(?:(inner|left|right|full|outer|semi|anti)(?:\s+outer)?\s+)?join(?:\s+with)?(?:\s+(?!on\b)[a-z0-9_\.]+)?""".r
+    val tm = typeRx.findFirstMatchIn(q).getOrElse(
+      throw new IllegalArgumentException(s"no join clause in: $query"))
+    val joinType = Option(tm.group(1)).map(_.toLowerCase) match {
+      case Some("semi") => "left_semi"
+      case Some("anti") => "left_anti"
+      case Some("outer") => "full"
+      case Some(t) => t
+      case None => "inner"
+    }
+    def res(cols: Seq[String], n: String): Option[String] = {
+      val nn = n.trim
+      cols.find(_.equalsIgnoreCase(nn))
+        .orElse(cols.find(_.equalsIgnoreCase(nn.replace(' ', '_'))))
+        .orElse(cols.find(c => c.toLowerCase.endsWith("_" + nn.toLowerCase)))
+    }
+    val onRx = """(?i)\bon\s+([a-z0-9_\.]+)(?:\s*=\s*([a-z0-9_\.]+))?""".r
+    val onM = onRx.findFirstMatchIn(q)
+    val (leftKey, rightKey) = onM match {
+      case Some(m) =>
+        val a = m.group(1)
+        val b = Option(m.group(2))
+        val lk = res(leftCols, a).getOrElse(
+          throw new IllegalArgumentException(s"join key $a not in left columns"))
+        val rk = res(rightCols, b.getOrElse(a)).getOrElse(
+          throw new IllegalArgumentException(s"join key ${b.getOrElse(a)} not in right columns"))
+        (lk, rk)
+      case None =>
+        val common = leftCols.filter(lc => rightCols.exists(_.equalsIgnoreCase(lc)))
+        require(common.nonEmpty,
+          s"no `on` clause and no common column between [${leftCols.mkString(",")}] and [${rightCols.mkString(",")}]")
+        val pick = common.find { c =>
+          val l = c.toLowerCase; l.endsWith("key") || l.endsWith("id")
+        }.getOrElse(common.head)
+        (pick, rightCols.find(_.equalsIgnoreCase(pick)).get)
+    }
+    // the remaining clauses compile against the joined schema
+    val rest = onRx.replaceAllIn(typeRx.replaceAllIn(q, " "), " ")
+    val mergedCols =
+      if (joinType.startsWith("left_")) leftCols // semi/anti: left side only
+      else if (leftKey.equalsIgnoreCase(rightKey))
+        leftCols ++ rightCols.filterNot(_.equalsIgnoreCase(rightKey))
+      else leftCols ++ rightCols.filterNot(_.equalsIgnoreCase(rightKey))
+    val post = compile(rest, mergedCols)
+
+    val fn: (DataFrame, DataFrame) => DataFrame = { (l, r) =>
+      val joined =
+        if (leftKey.equalsIgnoreCase(rightKey)) l.join(r, Seq(leftKey), joinType)
+        else l.join(r, l(leftKey) === r(rightKey), joinType).drop(r(rightKey))
+      post.apply(joined)
+    }
+    val describe = (s"join=$joinType:$leftKey=$rightKey" +
+      (if (post.describe.nonEmpty) ";" + post.describe else ""))
+    CompiledJoin(describe, fn)
+  }
 }

@@ -103,7 +103,7 @@ object Chain {
       targetKey: Option[String] = None,
       urlCacheDir: Option[String] = None,
       maxSleepMs: Long = 30000L,
-      maxBroadcastResponses: Long = 1000000L): (DataFrame, Seq[String]) = {
+      maxBroadcastBytes: Long = 64L << 20): (DataFrame, Seq[String]) = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -128,10 +128,14 @@ object Chain {
         // left join preserves source rows; element rows fan out per URL.
         // Broadcast the response side only while it is actually small —
         // with per-row-unique keys it scales with the input, and a forced
-        // broadcast hint would bypass Spark's size checks and OOM. The
-        // count is free here: respLines is already persisted.
+        // broadcast hint would bypass Spark's size checks and OOM. Decide
+        // by BYTES, not row count: a handful of rows with megabyte JSON
+        // payloads must not be driver-collected. The size scan is cheap —
+        // respLines is already persisted.
+        val respBytes = respLines.toDF("value")
+          .agg(coalesce(sum(length($"value")), lit(0L)).cast("long")).as[Long].head()
         val respSide =
-          if (respLines.count() <= maxBroadcastResponses) broadcast(respDf) else respDf
+          if (respBytes <= maxBroadcastBytes) broadcast(respDf) else respDf
         val joined = withUrl.join(respSide, Seq("__url"), "left")
         val respFields = respDf.schema("resp").dataType match {
           case st: org.apache.spark.sql.types.StructType => st.fields.toSeq

@@ -200,22 +200,24 @@ object Dedup {
     * (id_a, id_b, jaccard_sim). */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     // ONE groupBy computes both the signature minima and the shingle sets
     // (the window in shingleRows already hash-partitions by id, so this
     // aggregation adds no extra shuffle). The result feeds three consumers
     // (candidate generation + both verify-join sides); column pruning
     // specializes each copy of the subtree, defeating ReuseExchange, so
-    // materialize it ONCE with an eager localCheckpoint — the cluster
-    // analogue is staging this doc-sized intermediate to storage, which a
-    // caller can do instead via TableGraph.addTable.
+    // materialize it ONCE via the pluggable Stager — LocalCheckpoint for
+    // local mode, Stager.Parquet(graph) for cluster jobs that must survive
+    // executor loss (see Stager's scaladoc for the trade-offs).
     val aggs = collect_set(col("shingle")).as("__shingles") +:
       (0 until numHashes).map(i =>
         min(minhashHash(col("__md5"), i)).as(s"h$i"))
-    val perDoc = shingleRows(df, idCol, textCol, shingleN)
-      .withColumn("__md5", md5(col("shingle")))
-      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
+    val perDoc = stager.stage(
+      shingleRows(df, idCol, textCol, shingleN)
+        .withColumn("__md5", md5(col("shingle")))
+        .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*),
+      "minhash_perdoc_" + java.util.UUID.randomUUID().toString.take(8))
     val cands = lshCandidates(perDoc, idCol, numHashes, rowsPerBand)
     val sa = perDoc.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
     val sb = perDoc.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))

@@ -75,23 +75,27 @@ object Multimodal {
     }
   }
 
-  /** Per-partition batch decode: mapPartitions so a real decoder can
-    * amortize model/codec setup once per partition (the Scala analogue of
-    * mapInPandas batching). Appends `features: array<float>`. */
+  /** Per-partition batch decode: Dataset-native mapPartitions so a real
+    * decoder can amortize model/codec setup once per partition (the Scala
+    * analogue of mapInPandas batching). Appends `features: array<float>`.
+    *
+    * Stays inside the Dataset plan (DeserializeToObject -> MapPartitions ->
+    * SerializeFromObject) rather than dropping to `df.rdd`: the single plan
+    * keeps AQE + downstream whole-stage codegen, and avoids the RDD scan
+    * barrier that re-analyzes the frame from scratch. */
   def decodeFeatures(df: DataFrame, binCol: String, decoder: MediaDecoder,
       outCol: String = "features"): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false)))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
       // real decoders initialize their codec/session HERE, once per partition
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val feats = decoder.decode(if (bytes == null) Array.emptyByteArray else bytes)
         Row.fromSeq(row.toSeq :+ feats.toSeq)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(enc)
   }
 }

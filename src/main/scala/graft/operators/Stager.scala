@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import graft.core.TableGraph
+
+/** Strategy for materializing a multiply-consumed intermediate EXACTLY once.
+  *
+  * Several operators (minhash dedup most of all) build an intermediate that
+  * feeds 3+ consumers; Catalyst's column pruning specializes each copy of
+  * the subtree, defeating ReuseExchange, so without an explicit
+  * materialization the whole upstream recomputes per consumer. HOW to
+  * materialize is a deployment decision, so it is pluggable:
+  *
+  *  - [[Stager.LocalCheckpoint]] (default): eager in-memory/disk checkpoint.
+  *    Fast and right for local mode and tests, but it TRUNCATES LINEAGE —
+  *    on a real cluster a lost executor cannot recompute its blocks and the
+  *    job dies. Use it where re-running the job is an acceptable recovery.
+  *  - [[Stager.Persist]]: MEMORY_AND_DISK persist, lineage retained —
+  *    executor loss recomputes. Blocks are still cluster-local (no
+  *    durability across driver restart), and consumers that run before the
+  *    first action may still see partial recompute.
+  *  - [[Stager.Parquet]]: stage through the [[TableGraph]] warehouse
+  *    (durable storage — HDFS/S3 on a cluster). The cluster-safe mode:
+  *    lineage restarts from the staged files, any executor can re-read
+  *    them, and the staged table participates in graph lineage/TTL.
+  */
+trait Stager {
+  /** Return a DataFrame equivalent to `df` that consumers can scan
+    * repeatedly without recomputing `df`'s plan. */
+  def stage(df: DataFrame, name: String): DataFrame
+}
+
+object Stager {
+
+  /** Eager local checkpoint (lineage-truncating — local mode / tests). */
+  object LocalCheckpoint extends Stager {
+    override def stage(df: DataFrame, name: String): DataFrame = df.localCheckpoint()
+  }
+
+  /** MEMORY_AND_DISK persist; lineage retained, not durable. */
+  object Persist extends Stager {
+    override def stage(df: DataFrame, name: String): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Durable parquet staging through the TableGraph warehouse. */
+  final case class Parquet(graph: TableGraph) extends Stager {
+    override def stage(df: DataFrame, name: String): DataFrame = {
+      graph.addTable(name, df, metadata = Map("role" -> "stage"))
+      graph.getTable(df.sparkSession, name)
+        .getOrElse(sys.error(s"stage $name vanished from the graph"))
+    }
+  }
+}

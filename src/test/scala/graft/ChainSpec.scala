@@ -92,6 +92,30 @@ class ChainSpec extends SparkSpecBase {
     assert(out.columns.toSet === Set("id", "cc"))
   }
 
+  test("chain(other: MagicTable) derives the template from other's last source " +
+      "and merges lineage (magictable.py:210-219)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chain_other").toString
+    val graph = new graft.core.TableGraph(tmp)
+    val fetcher = new MapFetcher(Map(
+      "http://api/detail/1" -> """{"v":10}""",
+      "http://api/detail/2" -> """{"v":20}""",
+      "http://api/detail/3" -> """{"v":30}"""))
+    val mt = graft.core.MagicTable.fromDataFrame(base, "base", graph)
+    // `other` is a table whose last source is an API template — chaining off
+    // it must reuse that template (NOT require the caller to restate it)
+    val other = new graft.core.MagicTable(base, "details",
+      Seq(graft.sources.ApiSource("http://api/detail/{id}")), graph)
+    val out = mt.chain(other, fetcher, None, None)
+    assert(out.df.orderBy("id").select("api_v").as[Long].collect().toSeq ===
+      Seq(10L, 20L, 30L))
+    // result lineage = self.sources ++ other.sources (reference new_sources)
+    assert(out.sources.map(_.getIdentifier).contains("http://api/detail/{id}"))
+    // a source-less other is the reference's ValueError
+    intercept[IllegalArgumentException] {
+      mt.chain(graft.core.MagicTable.fromDataFrame(base, "nosrc", graph), fetcher, None, None)
+    }
+  }
+
   test("MagicTable.chain caches the whole-chain result with a TTL (C14)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chain_wh").toString
     var now = java.time.Instant.parse("2026-01-01T00:00:00Z")

@@ -41,6 +41,22 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.95, s"recall $recall too low: ${exact -- lsh}")
   }
 
+  test("minhash staging is pluggable: Parquet stager matches LocalCheckpoint") {
+    val docs = testdata("sf0.001", "documents").limit(200)
+    def pairs(stager: graft.operators.Stager) =
+      Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8,
+          stager = stager)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_wh").toString
+    val graph = new graft.core.TableGraph(tmp)
+    val viaParquet = pairs(graft.operators.Stager.Parquet(graph))
+    val viaCheckpoint = pairs(graft.operators.Stager.LocalCheckpoint)
+    assert(viaParquet === viaCheckpoint)
+    // the durable mode really staged through the warehouse
+    assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_perdoc_")))
+  }
+
   test("simhash: identical docs collide; near-identical docs are close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

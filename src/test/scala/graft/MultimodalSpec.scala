@@ -35,5 +35,9 @@ class MultimodalSpec extends SparkSpecBase {
     val out = Multimodal.decodeFeatures(df, "media", dec)
     assert(out.schema("features").dataType.typeName === "array")
     assert(out.select(size(col("features"))).as[Int].collect().toSeq === Seq(8, 8))
+    // Dataset-native mapPartitions: one plan, no RDD scan barrier
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
   }
 }

@@ -60,4 +60,60 @@ class NlCompilerSpec extends SparkSpecBase {
     val c2 = NlCompiler.compile("top 2 by score desc", df.columns.toSeq)
     assert(c1.describe === c2.describe)
   }
+
+  private def orders = Seq(
+    (100, 1, 10.0), (101, 1, 30.0), (102, 2, 20.0), (103, 9, 99.0)
+  ).toDF("order_id", "cust_id", "total")
+  private def custs = Seq((1, "ann", "emea"), (2, "bob", "amer"), (3, "cy", "emea"))
+    .toDF("cust_id", "cname", "segment")
+
+  test("join with explicit on-key; post-join clauses run on the joined frame") {
+    val c = NlCompiler.compileJoin(
+      "join with customers on cust_id where segment = emea showing order_id and cname",
+      orders.columns.toSeq, custs.columns.toSeq)
+    val out = c.apply(orders, custs).orderBy("order_id")
+      .as[(Int, String)].collect().toSeq
+    assert(out === Seq((100, "ann"), (101, "ann")))
+  }
+
+  test("join infers a common *id key when no on-clause is given") {
+    val c = NlCompiler.compileJoin("join showing order_id and segment",
+      orders.columns.toSeq, custs.columns.toSeq)
+    assert(c.describe.startsWith("join=inner:cust_id=cust_id"))
+    assert(c.apply(orders, custs).count() === 3)
+  }
+
+  test("left/semi/anti join types; semi keeps left columns only") {
+    val left = NlCompiler.compileJoin("left join on cust_id showing order_id and cname",
+      orders.columns.toSeq, custs.columns.toSeq)
+    val lrows = left.apply(orders, custs).orderBy("order_id")
+      .as[(Int, Option[String])].collect().toSeq
+    assert(lrows === Seq((100, Some("ann")), (101, Some("ann")),
+      (102, Some("bob")), (103, None)))
+    val anti = NlCompiler.compileJoin("anti join on cust_id",
+      orders.columns.toSeq, custs.columns.toSeq)
+    val a = anti.apply(orders, custs)
+    // using-column joins surface the key first; same column SET as the left
+    assert(a.columns.toSet === orders.columns.toSet)
+    assert(a.select("order_id").as[Int].collect().toSeq === Seq(103))
+  }
+
+  test("join keys with different names resolve left/right independently") {
+    val c2 = custs.withColumnRenamed("cust_id", "customer_id")
+    val c = NlCompiler.compileJoin("join on cust_id = customer_id showing order_id, cname",
+      orders.columns.toSeq, c2.columns.toSeq)
+    assert(c.apply(orders, c2).count() === 3)
+  }
+
+  test("MagicTable.joinWithQuery records lineage from both tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nljoin_wh").toString
+    val graph = new graft.core.TableGraph(tmp)
+    val mo = graft.core.MagicTable.fromDataFrame(orders, "orders_t", graph)
+    val mc = new graft.core.MagicTable(custs, "custs_t",
+      Seq(graft.sources.ApiSource("http://api/custs")), graph)
+    val out = mo.joinWithQuery(mc, "left join on cust_id showing order_id and cname")
+    assert(out.name === "orders_t_join_custs_t")
+    assert(out.count() === 4)
+    assert(out.sources.exists(_.getIdentifier === "http://api/custs"))
+  }
 }
