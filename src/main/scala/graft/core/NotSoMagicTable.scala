@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import graft.sources.Fetcher
+
+/** C21: the reference's NotSoMagicTable (notsomagictable.py:6-50) is a
+  * pandas.DataFrame subclass whose `__getattribute__` lazily forwards any
+  * MagicTable method by wrapping itself into a temp-labeled MagicTable and
+  * unwrapping the result back to a plain frame. (Its headline method,
+  * join_with_query at notsomagictable.py:15-18, forwards to a MagicTable
+  * method that does not exist in the reference — implemented for real here
+  * via [[graft.functions.NlCompiler.compileJoin]].)
+  *
+  * The idiomatic Scala analogue of attribute-forwarding is an implicit
+  * enrichment: `import NotSoMagicTable._` and every DataFrame gains the
+  * MagicTable verbs, each call round-tripping through a temp-labeled
+  * MagicTable exactly like the reference's `temp_label` wrapper. Results
+  * come back as plain DataFrames (the "not so magic" contract — no lineage
+  * is retained across calls, which is also the reference's behavior: each
+  * call re-wraps from scratch).
+  */
+object NotSoMagicTable {
+
+  implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
+
+    private def mt: MagicTable = MagicTable.fromDataFrame(df, "temp_label")
+
+    /** Per-row API fan-out (forwards to [[MagicTable.chain]]). */
+    def chain(urlTemplate: String,
+        fetcher: Fetcher = MagicTable.defaultFetcher): DataFrame =
+      mt.chain(urlTemplate, fetcher).df
+
+    /** NL transform (named transformNl: Dataset already has transform). */
+    def transformNl(query: String): DataFrame = mt.transform(query).df
+
+    /** NL join against another plain DataFrame. */
+    def joinWithQuery(other: DataFrame, query: String): DataFrame =
+      mt.joinWithQuery(MagicTable.fromDataFrame(other, "temp_label_other"), query).df
+  }
+}

@@ -68,4 +68,17 @@ class MagicTableSpec extends SparkSpecBase {
     val out = mt.mapDf(_.groupBy("grp").agg(count(lit(1)).as("n")))
     assert(out.isInstanceOf[MagicTable] && out.count() === 2)
   }
+
+  test("NotSoMagicTable enrichment: plain DataFrames gain the MagicTable verbs (C21)") {
+    import graft.core.NotSoMagicTable._
+    val orders = Seq((100, 1, 10.0), (101, 2, 30.0)).toDF("order_id", "cust_id", "total")
+    val custs = Seq((1, "ann"), (2, "bob")).toDF("cust_id", "cname")
+    // transformNl: NL pipeline on a bare frame, result is a bare frame
+    val top = orders.transformNl("top 1 by total desc showing order_id")
+    assert(top.as[Int].collect().toSeq === Seq(101))
+    // joinWithQuery: the method the reference declares but never implemented
+    val j = orders.joinWithQuery(custs, "join on cust_id showing order_id and cname")
+    assert(j.orderBy("order_id").as[(Int, String)].collect().toSeq ===
+      Seq((100, "ann"), (101, "bob")))
+  }
 }
