@@ -980,12 +980,15 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = t(s, dir, "documents")
-      // stage 1: quality filter (identical math to p02)
-      val stats = tokenStats(d, "doc_id", "text")
-      val chars = d.select(col("doc_id"),
+      // stage 1: quality filter (identical math to p02; same single-scan
+      // carryCols shape — doc-level char counts ride the token stream)
+      val withChars = d.select(col("doc_id"),
         length(col("text")).cast("double").as("__n_char"),
         alphaChars(col("text")).cast("double").as("__n_alpha"),
-        punctChars(col("text")).cast("double").as("__n_punct"))
+        punctChars(col("text")).cast("double").as("__n_punct"),
+        col("text"))
+      val stats = tokenStats(withChars, "doc_id", "text",
+        carryCols = Seq("__n_char", "__n_alpha", "__n_punct"))
       val nTok = col("n_tok").cast("double")
       val quality =
         least(nTok / lit(200.0), lit(1.0)) * lit(0.4) +
@@ -995,8 +998,7 @@ object SparkEntry {
             .otherwise(col("h_en").cast("double") / nTok) * lit(0.2) +
           (lit(1.0) - least(when(col("__n_char") === 0, lit(0.0))
             .otherwise(col("__n_punct") / col("__n_char")) * lit(5.0), lit(1.0))) * lit(0.1)
-      val kept = chars.join(stats, Seq("doc_id"))
-        .filter(quality >= 0.45).select("doc_id")
+      val kept = stats.filter(quality >= 0.45).select("doc_id")
       val keptDocs = d.join(kept, Seq("doc_id"), "left_semi")
       // stage 2: exact dedup (keep min id per fingerprint)
       val canon = graft.operators.Dedup.exactGroups(keptDocs, "doc_id", "text")

@@ -22,11 +22,25 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def render_cell(v) -> str:
-    """Text rendering of one cell, the way a hash-of-values sees it."""
-    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+    """Text rendering of one cell, the way a hash-of-values sees it.
+
+    Rendering rules (NORMALIZED so the same logical value renders one way
+    regardless of which engine produced it — both result frames come to us
+    through pandas, so the forms below are the only divergences we can see):
+      - missing (None / NaN / NaT / pd.NA)  -> "NULL"
+      - bool (incl. numpy.bool_)            -> "true" / "false"
+      - float                               -> Python repr (shortest
+        round-trip; '5.0' stays distinct from int '5' — dtype differences
+        MUST fail, the driver's hash sees them)
+      - list/array                          -> "[a,b,...]" recursively
+      - everything else                     -> str(v)
+    """
+    if v is None or v is pd.NaT or v is pd.NA or (isinstance(v, float) and v != v):
         return "NULL"
+    if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
+        return "true" if v else "false"
     if isinstance(v, float):
-        return repr(v)  # shortest round-trip: 5.0 -> '5.0', distinct from int 5
+        return repr(v)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(render_cell(x) for x in v) + "]"
     return str(v)
