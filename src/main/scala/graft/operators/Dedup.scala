@@ -202,29 +202,42 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       threshold: Double = 0.8,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
-    // ONE groupBy computes both the signature minima and the shingle sets
-    // (the window in shingleRows already hash-partitions by id, so this
-    // aggregation adds no extra shuffle). The result feeds three consumers
-    // (candidate generation + both verify-join sides); column pruning
-    // specializes each copy of the subtree, defeating ReuseExchange, so
-    // materialize it ONCE via the pluggable Stager. Default stays
-    // LocalCheckpoint: A/B at sf0.1 showed lazy Persist doubles the
-    // curation-funnel time (9.4s vs 4.1s — its InMemoryRelation keeps the
-    // full upstream lineage in-plan), while the eager cut is consistently
-    // fast. Cluster jobs that must survive executor loss should pass
-    // Stager.Persist or Stager.Parquet(graph) explicitly (trade-offs in
-    // Stager's scaladoc).
-    val aggs = collect_set(col("shingle")).as("__shingles") +:
-      (0 until numHashes).map(i =>
-        min(minhashHash(col("__md5"), i)).as(s"h$i"))
-    val perDoc = stager.stage(
-      shingleRows(df, idCol, textCol, shingleN)
-        .withColumn("__md5", md5(col("shingle")))
-        .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*),
-      "minhash_perdoc_" + java.util.UUID.randomUUID().toString.take(8))
-    val cands = lshCandidates(perDoc, idCol, numHashes, rowsPerBand)
-    val sa = perDoc.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
-    val sb = perDoc.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    // Shuffle economics at 100 TB: the signature aggregation's shuffle is
+    // O(docs x seeds) longs (minima combine map-side), but shingle SETS
+    // are corpus-sized — so sets are built ONLY for documents that appear
+    // in a candidate pair (a tiny fraction), via a second pass over the
+    // shingle stream semi-joined to candidate ids. Two scans of the input
+    // beat one corpus-sized set shuffle. The small candidate-pair frame
+    // feeds three consumers (id extraction + both verify joins), so THAT —
+    // not a corpus-sized intermediate — is what the pluggable Stager
+    // materializes. Default stays LocalCheckpoint: an sf0.1 A/B showed
+    // lazy Persist doubles the curation-funnel time (9.4s vs 4.1s — its
+    // InMemoryRelation keeps the full upstream lineage in-plan); cluster
+    // jobs that must survive executor loss pass Stager.Persist or
+    // Stager.Parquet(graph) explicitly (trade-offs in Stager's scaladoc).
+    // signatures are a few longs per doc — staging them is cheap, and the
+    // banded self-join downstream references its input from several plan
+    // branches (occupancy window + both join sides), which would otherwise
+    // recompute the whole shingle pipeline per branch
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val sig = stager.stage(
+      minhashSignature(df, idCol, textCol, shingleN, numHashes),
+      s"minhash_sig_$runId")
+    val cands = stager.stage(
+      lshCandidates(sig, idCol, numHashes, rowsPerBand),
+      s"minhash_cands_$runId")
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // filter docs BEFORE shingling: the semi-join runs on raw (id, text)
+    // rows, so the explode/window/md5 work happens only for candidate
+    // docs. AQE broadcasts the semi-join when candIds is small (the staged
+    // cands frame has exact size stats); degenerate corpora fall back to a
+    // shuffle join rather than OOMing a forced broadcast.
+    val candSets = shingleRows(
+        df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__shingles"))
+    val sa = candSets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val sb = candSets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard_sim") >= threshold)

@@ -54,7 +54,8 @@ class DedupSpec extends SparkSpecBase {
     val viaCheckpoint = pairs(graft.operators.Stager.LocalCheckpoint)
     assert(viaParquet === viaCheckpoint)
     // the durable mode really staged through the warehouse
-    assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_perdoc_")))
+    assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_sig_")))
+    assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_cands_")))
   }
 
   test("simhash: identical docs collide; near-identical docs are close") {
