@@ -298,8 +298,14 @@ object Dedup {
     * more than maxBucket members degrade to star pairs
     * ([[cappedBucketPairs]]). */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = simhash64(df, idCol, textCol)
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    // the banded pair join references its input from three plan branches
+    // (occupancy window + both sides); without materialization the whole
+    // explode + 64-vote aggregation runs three times (verified: 3 FileScans
+    // / 6 HashAggregates / 0 ReusedExchange in the unstaged plan)
+    val sig = stager.stage(simhash64(df, idCol, textCol),
+      "simhash_sig_" + java.util.UUID.randomUUID().toString.take(8))
     val segs = sig.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map(s =>
           struct(lit(s).as("seg"), substring(col("simhash"), s * 16 + 1, 16).as("key"))): _*)).as("__s"))
@@ -323,14 +329,22 @@ object Dedup {
     * ([[cappedBucketPairs]]). */
   def nearDupPairsEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     val planes = Similarity.planes(nBits,
       df.select(size(col(vecCol))).head().getInt(0))
-    val buckets = df.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("__n", sqrt(Similarity.normSq(col("__v"))))
-      .withColumn("__bucket",
-        explode(Similarity.probeBuckets(
-          Similarity.signSignature(col("__v"), planes), nBits)))
+    // stage BEFORE the probe explode: the nBits plane projections are the
+    // expensive part and the pair join's three plan branches would rerun
+    // them; the explode itself is cheap string work, and staging pre-explode
+    // keeps the materialized footprint at one row per vector, not nBits+1
+    val sig = stager.stage(
+      df.select(col(idCol), col(vecCol).as("__v"))
+        .withColumn("__n", sqrt(Similarity.normSq(col("__v"))))
+        .withColumn("__sig", Similarity.signSignature(col("__v"), planes)),
+      "emblsh_sig_" + java.util.UUID.randomUUID().toString.take(8))
+    val buckets = sig
+      .withColumn("__bucket", explode(Similarity.probeBuckets(col("__sig"), nBits)))
+      .drop("__sig")
     cappedBucketPairs(buckets, Seq("__bucket"), idCol, Seq("__v", "__n"), maxBucket)
       .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__v_a"), col("__v_b"))
         / (col("__n_a") * col("__n_b")))
