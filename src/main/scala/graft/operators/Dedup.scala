@@ -128,14 +128,15 @@ object Dedup {
     * 100 TB one bucket with 10^6 members would mean 10^12 pairs on one
     * reducer. Buckets with <= maxBucket members join all-pairs as usual;
     * an OVERSIZED bucket is usually a near-duplicate cluster, so its
-    * members instead pair only with the bucket's min-id representative
-    * (star pattern, O(n) per bucket). This is a RECALL trade-off, not an
-    * equivalence: with a verification filter downstream (hamming/cosine/
-    * jaccard), a member whose pair with the representative fails
-    * verification loses all its candidate pairs from this bucket, so a
-    * handful of documents that all-pairs would have removed can survive.
-    * The miss is confined to degenerate (over-cap) buckets; raise
-    * maxBucket or pre-filter boilerplate if that matters for a corpus.
+    * members instead pair only with the bucket's hotBucketReps lowest-id
+    * representatives (star pattern, O(k*n) per bucket). This is a RECALL
+    * trade-off, not an equivalence: with a verification filter downstream
+    * (hamming/cosine/jaccard), a member whose pairs with ALL k
+    * representatives fail verification loses its candidate pairs from this
+    * bucket, so documents that all-pairs would have removed can survive.
+    * The miss is confined to degenerate (over-cap) buckets and its
+    * probability falls geometrically with hotBucketReps; raise
+    * hotBucketReps/maxBucket or pre-filter boilerplate if it matters.
     *
     * Input: one row per (bucket membership), bucket key in bucketCols,
     * doc id in idCol, plus any per-doc payload columns to carry. Output:
@@ -144,26 +145,31 @@ object Dedup {
     * pair join then reuses that partitioning).
     */
   def cappedBucketPairs(buckets: DataFrame, bucketCols: Seq[String],
-      idCol: String, payloadCols: Seq[String], maxBucket: Int): DataFrame = {
-    val reserved = Seq("__cbp_n", "__cbp_min")
+      idCol: String, payloadCols: Seq[String], maxBucket: Int,
+      hotBucketReps: Int = 3): DataFrame = {
+    require(hotBucketReps >= 1, "need at least one hot-bucket representative")
+    val reserved = Seq("__cbp_n", "__cbp_rk")
     require((bucketCols ++ payloadCols :+ idCol).forall(!reserved.contains(_)),
       s"column names ${reserved.mkString(", ")} are reserved by cappedBucketPairs")
     val w = Window.partitionBy(bucketCols.map(col): _*)
+    // ids are distinct within a bucket, so the rank is total and the k
+    // representatives are exactly the k smallest ids — which means every
+    // rep-vs-member pair already satisfies id_rep < id_member or is a
+    // rep-rep pair caught by the id_a < id_b filter. Both window functions
+    // share one partitioning (a single exchange).
+    val wOrd = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
     val ann = buckets.withColumn("__cbp_n", count(lit(1)).over(w))
-      // min id AND its payload from the same row: min over structs orders
-      // by id first (ids are distinct within a bucket)
-      .withColumn("__cbp_min", min(struct(col(idCol) +: payloadCols.map(col): _*)).over(w))
+      .withColumn("__cbp_rk", row_number().over(wOrd))
     def side(suffix: String)(df: DataFrame): DataFrame =
       df.select(bucketCols.map(col) ++
         (col(idCol).as(s"id_$suffix") +: payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
     val small = ann.filter(col("__cbp_n") <= maxBucket)
     val pairsSmall = side("a")(small).join(side("b")(small), bucketCols)
       .filter(col("id_a") < col("id_b"))
-    val pairsBig = ann.filter(col("__cbp_n") > maxBucket)
-      .filter(col(idCol) =!= col("__cbp_min")(idCol))
-      .select((col("__cbp_min")(idCol).as("id_a") +:
-        payloadCols.map(c => col("__cbp_min")(c).as(s"${c}_a"))) ++
-        (col(idCol).as("id_b") +: payloadCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val big = ann.filter(col("__cbp_n") > maxBucket)
+    val pairsBig = side("a")(big.filter(col("__cbp_rk") <= hotBucketReps))
+      .join(side("b")(big), bucketCols)
+      .filter(col("id_a") < col("id_b"))
     val outCols = ("id_a" +: payloadCols.map(_ + "_a")) ++ ("id_b" +: payloadCols.map(_ + "_b"))
     pairsSmall.select(outCols.map(col): _*)
       .unionByName(pairsBig.select(outCols.map(col): _*))

@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.95, s"recall $recall too low: ${exact -- lsh}")
   }
 
+  test("cappedBucketPairs: hot buckets degrade to k-representative stars") {
+    // one bucket of 5 members with maxBucket=3 -> star pairs only
+    val b = Seq(1L, 2L, 3L, 4L, 5L).map(i => ("x", i)).toDF("__bucket", "id")
+    def pairs(k: Int) = graft.operators.Dedup
+      .cappedBucketPairs(b, Seq("__bucket"), "id", Nil, maxBucket = 3, hotBucketReps = k)
+      .as[(Long, Long)].collect().toSet
+    // k=1: members pair with the min id only
+    assert(pairs(1) === Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    // k=2: both reps pair with everyone above them (rep-rep pair included)
+    assert(pairs(2) === Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (2L, 4L), (2L, 5L)))
+    // under the cap: all pairs
+    val small = Seq(1L, 2L, 3L).map(i => ("x", i)).toDF("__bucket", "id")
+    val all = graft.operators.Dedup
+      .cappedBucketPairs(small, Seq("__bucket"), "id", Nil, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("minhash staging is pluggable: Parquet stager matches LocalCheckpoint") {
     val docs = testdata("sf0.001", "documents").limit(200)
     def pairs(stager: graft.operators.Stager) =
