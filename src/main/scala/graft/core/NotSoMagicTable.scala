@@ -37,4 +37,9 @@ object NotSoMagicTable {
     def joinWithQuery(other: DataFrame, query: String): DataFrame =
       mt.joinWithQuery(MagicTable.fromDataFrame(other, "temp_label_other"), query).df
   }
+
+  /** Wipe every cache level of a graph (reference notsomagictable.py:30-32,
+    * whose MagicTable target does not exist there). */
+  def clearAllData(graph: TableGraph = TableGraph.defaultGraph): Unit =
+    graph.clearAllData()
 }

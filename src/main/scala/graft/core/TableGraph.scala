@@ -146,6 +146,23 @@ class TableGraph(
 
   def allChains: Seq[ChainRecord] = synchronized { chains.toSeq }
 
+  /** Wipe every cache level: nodes, chains, transformation cache, the
+    * warehouse Parquet payloads, the per-URL response cache, and the
+    * checkpoint (reference intent: notsomagictable.py:30-32 forwards
+    * clear_all_data to a MagicTable method that does not exist there). */
+  def clearAllData(): Unit = synchronized {
+    nodes.clear()
+    chains.clear()
+    transformations.clear()
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(warehouseDir)
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .filterNot(_ == root).foreach(Files.deleteIfExists(_))
+    }
+    checkpoint()
+  }
+
   // ------------------------------------------------------------ URL cache
 
   private def urlCachePath(url: String): Path =

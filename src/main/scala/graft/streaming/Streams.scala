@@ -76,6 +76,27 @@ object Streams {
       .dropDuplicatesWithinWatermark(idCols)
   }
 
+  /** Streaming curation funnel: the batch pipeline's first two stages
+    * (quality gate -> exact dedup) over an unbounded document stream.
+    * Quality scoring and fingerprinting are stateless codegen'd
+    * projections, so they stream for free; the dedup is the only stateful
+    * stage and bounds its state to the watermark horizon. Near-dup LSH
+    * stages need cross-batch candidate joins — run those as periodic batch
+    * jobs over the stream's sink (the classic lambda split), not in-stream.
+    */
+  def curationStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      minQuality: Double = 0.45,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fingerprint", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
   // ------------------------------------------------------------ custom state
 
   case class KeyCount(key: String, total: Long)

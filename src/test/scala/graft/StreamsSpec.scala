@@ -43,6 +43,25 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("curationStream gates quality then dedups by fingerprint in-stream") {
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine day " * 4
+    val out = Streams.curationStream(
+      input.toDF().toDF("ts", "doc_id", "text"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), 1L, good),
+        (ts(1), 2L, good),          // exact dup of 1 -> dropped
+        (ts(2), 3L, "!!! ??? ..."), // low quality -> dropped
+        (ts(3), 4L, good + " extra tail words here"))
+      q.processAllAvailable()
+      assert(spark.table("curated").select("doc_id").as[Long]
+        .collect().sorted.toSeq === Seq(1L, 4L))
+    } finally q.stop()
+  }
+
   test("runningCounts keeps per-key state across batches") {
     val input = MemoryStream[(String, Long)](spark)
     val out = Streams.runningCounts(input.toDS())

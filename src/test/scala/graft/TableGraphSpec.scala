@@ -56,6 +56,20 @@ class TableGraphSpec extends SparkSpecBase {
     assert(g.getCachedUrl("http://u/1") === Some("""{"a":1}"""))
   }
 
+  test("clearAllData wipes nodes, chains, caches, payloads and checkpoint") {
+    val dir = freshDir
+    val g = new TableGraph(dir)
+    g.addTable("t", Seq((1, "a")).toDF("id", "v"))
+    g.putCachedUrl("http://u/1", """{"a":1}""")
+    g.putTransformation("t_q", "limit=5")
+    g.clearAllData()
+    assert(g.getNode("t").isEmpty && g.allChains.isEmpty && g.transformations.isEmpty)
+    assert(g.getCachedUrl("http://u/1").isEmpty)
+    // a fresh graph over the same warehouse sees nothing either
+    val reloaded = new TableGraph(dir)
+    assert(reloaded.getNode("t").isEmpty)
+  }
+
   test("transform registers lineage + caches compiled description (C3/C13)") {
     val g = new TableGraph(freshDir)
     val mt = graft.core.MagicTable.fromDataFrame(
