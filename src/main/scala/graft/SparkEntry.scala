@@ -1003,7 +1003,13 @@ object SparkEntry {
       // stage 2: exact dedup (keep min id per fingerprint)
       val canon = graft.operators.Dedup.exactGroups(keptDocs, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
-      val canonDocs = keptDocs.join(canon, Seq("doc_id"), "left_semi")
+      // stage the funnel's survivor frame: downstream the minhash pass
+      // scans it twice (signatures + candidate shingle sets) and the final
+      // anti-join once more — unstaged, each rescans the quality+dedup
+      // subtree from the source (12 parquet scans in the funnel plan). A
+      // production funnel stages exactly here via TableGraph.addTable.
+      val canonDocs = graft.operators.Stager.LocalCheckpoint.stage(
+        keptDocs.join(canon, Seq("doc_id"), "left_semi"), "p11_canon")
       // stage 3: minhash near-dup drop (higher id of each verified pair)
       val drop = graft.operators.Dedup
         .nearDupPairsMinhash(canonDocs, "doc_id", "text", 3, 8, 1, 0.8)
