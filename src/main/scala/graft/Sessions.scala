@@ -18,6 +18,12 @@ object Sessions {
       // errors='coerce') semantics, not ANSI errors
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime skew handling: AQE splits oversized shuffle partitions in
+      // joins (complements the explicit salting in operators/Scale) and
+      // coalesces tiny ones — both default-on in Spark 4, pinned here so
+      // the gate/bench/specs can't drift from the cluster posture
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
       // default; read as long and convert (SparkEntry.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

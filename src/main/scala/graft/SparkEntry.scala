@@ -815,6 +815,79 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // --- exact n-gram Jaccard pairs (the documented small-block/oracle
+    //     path; LSH above is the scale path). Subset doc_id < 300 keeps
+    //     the deliberate O(n^2) crossJoin bounded at every SF while still
+    //     containing planted near-dups (7 pairs at sf0.01).
+    register("p12_jaccard_pairs",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents WHERE doc_id < 300),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t),
+         |f AS (SELECT * FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 9) AS jaccard_sim
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.jaccardPairsExact(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text", 3, 0.8)
+        .withColumn("jaccard_sim", round(col("jaccard_sim"), 9))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- embedding-cosine near-dup via SRP-LSH (scale path), oracle
+    //     reproducing the full machinery: deterministic planes, sign
+    //     signatures, 1-flip probe buckets on both sides (hamming<=2 meet),
+    //     exact-cosine verify. The fixture has no planted vector near-dups
+    //     (max cosine ~0.6), so the threshold exercises the pipeline rather
+    //     than a semantic "duplicate" notion.
+    register("p13_embed_neardup",
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT p, list(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 0
+        |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+        |  FROM (SELECT p, unnest(range((SELECT dim FROM dims))) AS d FROM range(8) t(p))
+        |  GROUP BY p),
+        |proj AS (
+        |  SELECT e.vec_id, p.p,
+        |    list_sum(list_transform(list_zip(e.embedding, p.pl), x -> x[1]::DOUBLE * x[2])) AS proj
+        |  FROM embeddings e CROSS JOIN planes p),
+        |sigs AS (
+        |  SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        |  FROM proj GROUP BY vec_id),
+        |buckets AS (
+        |  SELECT vec_id, sig AS bucket FROM sigs
+        |  UNION ALL
+        |  SELECT vec_id, substring(sig,1,i::INT-1) ||
+        |         (CASE WHEN substring(sig,i::INT,1)='1' THEN '0' ELSE '1' END) ||
+        |         substring(sig,i::INT+1,8-i::INT) AS bucket
+        |  FROM sigs, range(1,9) t(i)),
+        |nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b USING (bucket)
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    / (na.n * nb.n), 9) AS cosine
+        |FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+        |          JOIN embeddings eb ON eb.vec_id = id_b
+        |          JOIN nrm na ON na.vec_id = id_a
+        |          JOIN nrm nb ON nb.vec_id = id_b
+        |WHERE list_sum(list_transform(list_zip(ea.embedding, eb.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    / (na.n * nb.n) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.nearDupPairsEmbeddingLsh(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35, nBits = 8)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
     // --- SimHash 64-bit signatures (bit voting over token md5 nibbles)
     register("p06_simhash",
       s"""WITH t AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
