@@ -626,6 +626,21 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }
 
+    // --- C3: NL aggregation — "count per <group>" with a pre-agg filter
+    //     and post-agg sort, compiled to groupBy().agg() (COUNT is used
+    //     because it is order-independent; double-sum determinism rules
+    //     live in the oracle notes)
+    register("c3_transform_agg",
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val compiled = NlCompiler.compile(
+        "count per o_orderstatus where o_orderpriority = 1-URGENT by o_orderstatus asc",
+        t(s, dir, "orders").columns.toSeq)
+      compiled.apply(t(s, dir, "orders"))
+    }
+
     // --- C3/NL join: the reference DECLARES join_with_query
     //     (notsomagictable.py:15-18) but its MagicTable half is absent;
     //     compileJoin implements the declared surface. Key inference + the

@@ -40,10 +40,21 @@ object PromptBudget {
   *   where <col> <op> <value>      -> filter (op: = != > < >= <=, is null)
   *   parse <col> as date|timestamp -> to_timestamp (null on failure — the
   *                                    pandas errors='coerce' analogue)
+  *   count|sum|avg|min|max [of] [col]
+  *     per|group(ed) by <g1[, g2]> -> groupBy(g...).agg(...); filters parse
+  *                                    against the INPUT schema and run
+  *                                    pre-aggregation, every other clause
+  *                                    compiles against the aggregated
+  *                                    schema (count -> "n", else "<fn>_<col>")
   */
 object NlCompiler {
 
   case class Compiled(describe: String, apply: DataFrame => DataFrame)
+
+  private val aggRx =
+    """(?i)\b(count|sum|total|avg|average|mean|min|max)\s+(?:of\s+)?(?:([a-z0-9_\.]+)\s+)?(?:per|grouped\s+by|group\s+by)\s+([a-z0-9_\.]+(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
+  private val filterRx =
+    """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?""".r
 
   def compile(query: String, columns: Seq[String]): Compiled = {
     val q = " " + query.trim + " "
@@ -55,6 +66,54 @@ object NlCompiler {
       columns.find(_.equalsIgnoreCase(n))
         .orElse(columns.find(_.equalsIgnoreCase(n.replace(' ', '_'))))
         .orElse(columns.find(c => c.equalsIgnoreCase(n + "s") || (c + "s").equalsIgnoreCase(n)))
+    }
+
+    // ---- aggregation clause: handled by recursion ------------------------
+    // Filters (and date parses) resolve against the INPUT schema and run
+    // before the groupBy; the query REMAINDER (sort/limit/show/...) compiles
+    // against the aggregated schema, so "count per grp by n desc top 3"
+    // sorts the group counts.
+    val aggM = aggRx.findFirstMatchIn(q)
+    if (aggM.isDefined) {
+      val m = aggM.get
+      val fn = m.group(1).toLowerCase
+      val valCol = Option(m.group(2)).map(_.trim).filter(_.nonEmpty).flatMap(resolve)
+      val groupCols = m.group(3).split("""(?i)\s*(?:,|\band\b)\s*""").toSeq
+        .flatMap(g => resolve(g))
+      require(groupCols.nonEmpty, s"no resolvable grouping column in: ${m.group(3)}")
+      def gref(c: String) = col(s"`${c.replace("`", "``")}`")
+      val (aggCol, outName) = fn match {
+        case "count" => (count(lit(1)), "n")
+        case f =>
+          val c = valCol.getOrElse(throw new IllegalArgumentException(
+            s"aggregate '$f' needs a value column ('$f of <col> per ...')"))
+          val canon = Map("total" -> "sum", "average" -> "avg", "mean" -> "avg")
+            .getOrElse(f, f)
+          val column = canon match {
+            case "sum" => sum(gref(c))
+            case "avg" => avg(gref(c))
+            case "min" => min(gref(c))
+            case "max" => max(gref(c))
+          }
+          (column, s"${canon}_$c")
+      }
+      val preFilters = filterRx.findAllMatchIn(q).toSeq.flatMap { fm =>
+        resolve(fm.group(1)).map { c =>
+          (c, fm.group(2).toLowerCase, Option(fm.group(3)).map(_.stripPrefix("'")
+            .stripSuffix("'").stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
+        }
+      }
+      val rest = filterRx.replaceAllIn(aggRx.replaceAllIn(q, " "), " ")
+      val post = compile(rest, groupCols :+ outName)
+      val describe = (s"groupAgg=$fn:${valCol.getOrElse("*")}->$outName:by=${groupCols.mkString("|")}" +
+        preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
+        (if (post.describe.nonEmpty) ";" + post.describe else ""))
+      return Compiled(describe, { df0 =>
+        val filtered = preFilters.foldLeft(df0) { case (d, (c, op, v)) =>
+          d.filter(comparison(gref(c), op, v))
+        }
+        post.apply(filtered.groupBy(groupCols.map(gref): _*).agg(aggCol.as(outName)))
+      })
     }
 
     // ---- parse clauses ----------------------------------------------------
@@ -84,7 +143,7 @@ object NlCompiler {
     // run against the ORIGINAL query (with (?i) flags), not the lowered
     // copy: filter literals must keep their case ("where flag = R" compares
     // against "R", not "r")
-    val filters = """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?""".r
+    val filters = filterRx
       .findAllMatchIn(q).toSeq.flatMap { m =>
         resolve(m.group(1)).map { c =>
           (c, m.group(2).toLowerCase, Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
@@ -107,22 +166,7 @@ object NlCompiler {
         df = df.withColumn(c, try_to_timestamp(cref(c)))
       }
       filters.foreach { case (c, op, v) =>
-        val column = cref(c)
-        // a value is numeric only if it actually parses ("2024-01-01" and
-        // "1.2.3" pass a digits/./- character test but are strings)
-        val numeric = scala.util.Try(v.toDouble).toOption
-        val value: Column = numeric.map(lit(_)).getOrElse(lit(v))
-        val pred = op match {
-          case "=" => column === value
-          case "!=" => column =!= value
-          case ">" => column > value
-          case "<" => column < value
-          case ">=" => column >= value
-          case "<=" => column <= value
-          case "is null" => column.isNull
-          case "is not null" => column.isNotNull
-        }
-        df = df.filter(pred)
+        df = df.filter(comparison(cref(c), op, v))
       }
       val ordered = sortCol match {
         case Some((c, asc)) =>
@@ -157,6 +201,23 @@ object NlCompiler {
     dateParse.foreach(c => steps += s"toTimestamp=$c")
 
     Compiled(steps.mkString(";"), fn)
+  }
+
+  /** Comparison predicate shared by the filter and pre-aggregation paths.
+    * A value is numeric only if it actually parses ("2024-01-01" and
+    * "1.2.3" pass a digits/./- character test but are strings). */
+  private def comparison(column: Column, op: String, v: String): Column = {
+    val value: Column = scala.util.Try(v.toDouble).toOption.map(lit(_)).getOrElse(lit(v))
+    op match {
+      case "=" => column === value
+      case "!=" => column =!= value
+      case ">" => column > value
+      case "<" => column < value
+      case ">=" => column >= value
+      case "<=" => column <= value
+      case "is null" => column.isNull
+      case "is not null" => column.isNotNull
+    }
   }
 
   case class CompiledJoin(describe: String, apply: (DataFrame, DataFrame) => DataFrame)

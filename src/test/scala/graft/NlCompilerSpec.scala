@@ -61,6 +61,25 @@ class NlCompilerSpec extends SparkSpecBase {
     assert(c1.describe === c2.describe)
   }
 
+  test("count per group, with post-agg sort and limit on the count") {
+    val c = NlCompiler.compile("count per grp by n desc top 1", df.columns.toSeq)
+    assert(c.describe.startsWith("groupAgg=count:*->n:by=grp"))
+    assert(c.apply(df).as[(String, Long)].collect().toSeq === Seq(("a", 2L)))
+  }
+
+  test("sum/avg of a column per group; filters run pre-aggregation") {
+    val s = NlCompiler.compile("sum of score per grp", df.columns.toSeq)
+    assert(s.apply(df).orderBy("grp").as[(String, Double)].collect().toSeq ===
+      Seq(("a", 40.0), ("b", 60.0)))
+    val filtered = NlCompiler.compile(
+      "where score > 15 average score per grp showing grp and avg_score", df.columns.toSeq)
+    assert(filtered.apply(df).orderBy("grp").as[(String, Double)].collect().toSeq ===
+      Seq(("a", 30.0), ("b", 30.0)))
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("sum per grp", df.columns.toSeq)
+    }
+  }
+
   private def orders = Seq(
     (100, 1, 10.0), (101, 1, 30.0), (102, 2, 20.0), (103, 9, 99.0)
   ).toDF("order_id", "cust_id", "total")
