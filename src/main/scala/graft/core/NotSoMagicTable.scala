@@ -23,7 +23,13 @@ object NotSoMagicTable {
 
   implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
 
-    private def mt: MagicTable = MagicTable.fromDataFrame(df, "temp_label")
+    // the temp label must distinguish FRAMES, or two different DataFrames
+    // chained with the same URL template would share chainImpl's
+    // name-keyed result cache and the second would get the first's rows.
+    // The logical plan string is stable for the same frame (so caching
+    // still works) and distinct across different ones.
+    private def mt: MagicTable = MagicTable.fromDataFrame(df,
+      "temp_label_" + Jsons.md5Hex(df.queryExecution.logical.toString).take(12))
 
     /** Per-row API fan-out (forwards to [[MagicTable.chain]]). */
     def chain(urlTemplate: String,

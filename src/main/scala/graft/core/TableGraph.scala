@@ -94,10 +94,7 @@ class TableGraph(
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite").parquet(tmp)
     val target = Paths.get(path)
-    if (Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    deleteRecursively(target)
     Files.move(Paths.get(tmp), target)
     val count = df.sparkSession.read.parquet(path).count()
     val node = TableNode(name, path, clock(), count, sourceInfo, metadata)
@@ -146,6 +143,17 @@ class TableGraph(
 
   def allChains: Seq[ChainRecord] = synchronized { chains.toSeq }
 
+  /** Deepest-first recursive delete; the walk stream is closed before any
+    * deletion happens (an open stream holds directory handles, which on
+    * some filesystems blocks deleting the very dirs being walked). */
+  private def deleteRecursively(root: Path, keepRoot: Boolean = false): Unit = {
+    if (!Files.exists(root)) return
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(root)
+    val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+    paths.filterNot(p => keepRoot && p == root).foreach(Files.deleteIfExists(_))
+  }
+
   /** Wipe every cache level: nodes, chains, transformation cache, the
     * warehouse Parquet payloads, the per-URL response cache, and the
     * checkpoint (reference intent: notsomagictable.py:30-32 forwards
@@ -154,13 +162,20 @@ class TableGraph(
     nodes.clear()
     chains.clear()
     transformations.clear()
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(warehouseDir)
-    if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .filterNot(_ == root).foreach(Files.deleteIfExists(_))
-    }
+    deleteRecursively(Paths.get(warehouseDir), keepRoot = true)
     checkpoint()
+  }
+
+  /** Drop every staging table ([[graft.operators.Stager.Parquet]] registers
+    * its UUID-named intermediates with metadata role=stage; their names can
+    * never cache-hit, so a periodic job should reclaim them). */
+  def dropStages(): Unit = synchronized {
+    val staged = nodes.values.filter(_.metadata.get("role").contains("stage")).toSeq
+    staged.foreach { n =>
+      deleteRecursively(Paths.get(n.path))
+      nodes.remove(n.name)
+    }
+    if (staged.nonEmpty) checkpoint()
   }
 
   // ------------------------------------------------------------ URL cache

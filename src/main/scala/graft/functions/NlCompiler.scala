@@ -103,7 +103,13 @@ object NlCompiler {
             .stripSuffix("'").stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
         }
       }
-      val rest = filterRx.replaceAllIn(aggRx.replaceAllIn(q, " "), " ")
+      // strip only the filters that resolved PRE-agg; a filter naming the
+      // aggregate output (e.g. "where n > 2" — a HAVING) stays in the
+      // remainder and compiles against the aggregated schema below
+      val rest = aggRx.replaceAllIn(
+        filterRx.replaceSomeIn(q,
+          fm => if (resolve(fm.group(1)).isDefined) Some(" ") else None),
+        " ")
       val post = compile(rest, groupCols :+ outName)
       val describe = (s"groupAgg=$fn:${valCol.getOrElse("*")}->$outName:by=${groupCols.mkString("|")}" +
         preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
@@ -237,8 +243,11 @@ object NlCompiler {
     */
   def compileJoin(query: String, leftCols: Seq[String], rightCols: Seq[String]): CompiledJoin = {
     val q = " " + query.trim + " "
+    // a table NAME is only consumed after an explicit "with" — a bare
+    // token after "join" is the next clause's keyword (where/showing/by/
+    // top/on), which must survive for the post-join compile
     val typeRx =
-      """(?i)\b(?:(inner|left|right|full|outer|semi|anti)(?:\s+outer)?\s+)?join(?:\s+with)?(?:\s+(?!on\b)[a-z0-9_\.]+)?""".r
+      """(?i)\b(?:(inner|left|right|full|outer|semi|anti)(?:\s+outer)?\s+)?join(?:\s+with\s+[a-z0-9_\.]+)?""".r
     val tm = typeRx.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(s"no join clause in: $query"))
     val joinType = Option(tm.group(1)).map(_.toLowerCase) match {
@@ -278,8 +287,6 @@ object NlCompiler {
     val rest = onRx.replaceAllIn(typeRx.replaceAllIn(q, " "), " ")
     val mergedCols =
       if (joinType.startsWith("left_")) leftCols // semi/anti: left side only
-      else if (leftKey.equalsIgnoreCase(rightKey))
-        leftCols ++ rightCols.filterNot(_.equalsIgnoreCase(rightKey))
       else leftCols ++ rightCols.filterNot(_.equalsIgnoreCase(rightKey))
     val post = compile(rest, mergedCols)
 

@@ -123,15 +123,16 @@ object TextFunctions {
     * caller needs no second scan + join to get doc-level attributes next
     * to the token stats.
     *
-    * Zero-token documents keep a row WITHOUT a join-back: split always
-    * returns at least one element (an empty string for blank text), so the
-    * explode emits a placeholder row per doc and every aggregate guards on
-    * `__tok != ""`. Value-identical to the Column-level helpers above. */
+    * Zero-token documents keep a row WITHOUT a join-back: split of non-null
+    * text always returns at least one element (an empty string for blank
+    * text) and NULL text is coalesced to "" first — so the explode emits a
+    * placeholder row per doc and every aggregate guards on `__tok != ""`.
+    * Value-identical to the Column-level helpers above. */
   def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val toks = df.select(
       (col(idCol) +: carryCols.map(col)) :+
-        explode(split(lower(col(textCol)), "\\s+")).as("__tok"): _*)
+        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("__tok"): _*)
     val isTok = col("__tok") =!= ""
     val langAggs = stopwords.keys.toSeq.sorted.map { l =>
       sum(when(isTok && col("__tok").isInCollection(stopwords(l)), 1L).otherwise(0L)).as(s"h_$l")

@@ -130,10 +130,13 @@ object Chain {
         // with per-row-unique keys it scales with the input, and a forced
         // broadcast hint would bypass Spark's size checks and OOM. Decide
         // by BYTES, not row count: a handful of rows with megabyte JSON
-        // payloads must not be driver-collected. The size scan is cheap —
-        // respLines is already persisted.
+        // payloads must not be driver-collected. octet_length counts UTF-8
+        // bytes (length counts chars — up to 4x off on multibyte text); the
+        // parsed struct rows broadcast larger than their JSON text, so keep
+        // maxBroadcastBytes well under the real driver budget. The size
+        // scan is cheap — respLines is already persisted.
         val respBytes = respLines.toDF("value")
-          .agg(coalesce(sum(length($"value")), lit(0L)).cast("long")).as[Long].head()
+          .agg(coalesce(sum(octet_length($"value")), lit(0L)).cast("long")).as[Long].head()
         val respSide =
           if (respBytes <= maxBroadcastBytes) broadcast(respDf) else respDf
         val joined = withUrl.join(respSide, Seq("__url"), "left")

@@ -99,7 +99,25 @@ class NlCompilerSpec extends SparkSpecBase {
     val c = NlCompiler.compileJoin("join showing order_id and segment",
       orders.columns.toSeq, custs.columns.toSeq)
     assert(c.describe.startsWith("join=inner:cust_id=cust_id"))
-    assert(c.apply(orders, custs).count() === 3)
+    val out = c.apply(orders, custs)
+    // the clause keyword right after "join" must survive (review
+    // regression: the old table-name token swallowed it)
+    assert(out.columns.toSeq === Seq("order_id", "segment"))
+    assert(out.count() === 3)
+  }
+
+  test("clause directly after bare join is not eaten as a table name") {
+    val c = NlCompiler.compileJoin("join where segment = emea showing order_id",
+      orders.columns.toSeq, custs.columns.toSeq)
+    val out = c.apply(orders, custs)
+    assert(out.columns.toSeq === Seq("order_id"))
+    assert(out.as[Int].collect().sorted.toSeq === Seq(100, 101))
+  }
+
+  test("filter on the aggregate output acts as HAVING") {
+    val c = NlCompiler.compile("count per cust_id where n >= 2 showing cust_id and n",
+      orders.columns.toSeq)
+    assert(c.apply(orders).as[(Int, Long)].collect().toSeq === Seq((1, 2L)))
   }
 
   test("left/semi/anti join types; semi keeps left columns only") {

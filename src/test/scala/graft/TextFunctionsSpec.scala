@@ -53,12 +53,16 @@ class TextFunctionsSpec extends SparkSpecBase {
   }
 
   test("tokenStats keeps zero-token docs and carries doc-level columns in one scan") {
-    val docs = Seq(("d1", "the cat", 7), ("d2", "   ", 3), ("d3", "", 0))
+    // d4's NULL text must keep its row too (split(null) explodes to zero
+    // rows without the coalesce — review regression)
+    val docs = Seq(("d1", Some("the cat"), 7), ("d2", Some("   "), 3),
+        ("d3", Some(""), 0), ("d4", None, 0))
       .toDF("doc_id", "text", "n_char")
     val stats = tokenStats(docs, "doc_id", "text", carryCols = Seq("n_char"))
     val rows = stats.select("doc_id", "n_char", "n_tok").as[(String, Int, Long)]
       .collect().map { case (id, nc, nt) => id -> ((nc, nt)) }.toMap
-    assert(rows === Map("d1" -> ((7, 2L)), "d2" -> ((3, 0L)), "d3" -> ((0, 0L))))
+    assert(rows === Map("d1" -> ((7, 2L)), "d2" -> ((3, 0L)), "d3" -> ((0, 0L)),
+      "d4" -> ((0, 0L))))
     // one scan, no join: the whole point of carryCols
     val plan = stats.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"))
