@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions for the 100 TB rules: filters and projections
+  * must reach the parquet scan, small dims must broadcast, top-k must be
+  * TakeOrderedAndProject — the properties that keep these plans viable at
+  * 1000x the test data. The queries audited are the live gate queries, so
+  * a regression in plan shape fails CI, not just a bench eyeball. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+    def strip(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: strip(p).flatMap(all)
+    all(plan).collect { case s: FileSourceScanExec => s }
+  }
+
+  test("q02: filter is pushed to the scan and the schema is pruned") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.tableIdentifier.isEmpty).getOrElse(scans(df.queryExecution.executedPlan).head)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_returnflag"), pushed)
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag"))
+  }
+
+  test("q03: the dimension side of the join broadcasts") {
+    val df = SparkEntry.queries("q03_join_broadcast")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q10: top-k compiles to TakeOrderedAndProject, not global sort") {
+    val df = SparkEntry.queries("q10_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("p01: text stats stay in one scan with no shuffle beyond the agg") {
+    val df = SparkEntry.queries("p01_text_stats")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    assert(scans(plan).size === 1, plan.toString)
+  }
+}

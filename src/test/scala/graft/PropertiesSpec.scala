@@ -87,4 +87,32 @@ class PropertiesSpec extends SparkSpecBase {
       assert(Jsons.canonical(Jsons.parse(rendered)) === rendered)
     }
   }
+
+  test("cappedBucketPairs invariants: orientation, subset-of-all-pairs, small-bucket exactness") {
+    import spark.implicits._
+    // random bucket assignments: ids 0..n-1 over b buckets
+    val assignGen = for {
+      n <- Gen.choose(2, 40)
+      b <- Gen.choose(1, 5)
+      buckets <- Gen.listOfN(n, Gen.choose(0, b - 1))
+    } yield buckets.zipWithIndex.map { case (bk, id) => (s"b$bk", id.toLong) }
+    samples(assignGen, n = 12).foreach { rows =>
+      val df = rows.toDF("__bucket", "id")
+      val maxBucket = 5
+      val pairs = graft.operators.Dedup
+        .cappedBucketPairs(df, Seq("__bucket"), "id", Nil, maxBucket)
+        .as[(Long, Long)].collect().toSet
+      // orientation + no self-pairs
+      pairs.foreach { case (a, b) => assert(a < b) }
+      // subset of true co-bucket pairs
+      val byBucket = rows.groupBy(_._1).values.map(_.map(_._2).sorted)
+      val allPairs = byBucket.flatMap(ids =>
+        for (i <- ids; j <- ids if i < j) yield (i, j)).toSet
+      assert(pairs.subsetOf(allPairs))
+      // buckets under the cap contribute ALL their pairs
+      val smallPairs = byBucket.filter(_.size <= maxBucket).flatMap(ids =>
+        for (i <- ids; j <- ids if i < j) yield (i, j)).toSet
+      assert(smallPairs.subsetOf(pairs))
+    }
+  }
 }
