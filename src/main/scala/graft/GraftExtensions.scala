@@ -1,12 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions entry point: registers the engine's native
-  * expressions as SQL functions so they're reachable from spark.sql(...)
-  * and ANSI SQL pipelines, not just the Column API.
+/** SparkSessionExtensions entry point: registers the engine's native and
+  * composite expressions as SQL functions so they're reachable from
+  * spark.sql(...) and ANSI SQL pipelines, not just the Column API. The
+  * function list lives in org.apache.spark.sql.graft.GraftFunctions and is
+  * shared with the running-session registration path.
   *
   * Usage:
   *   SparkSession.builder()
@@ -14,15 +14,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   // or spark.sql.extensions=graft.GraftExtensions  // config-driven
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("float_array_dot"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.graft.FloatArrayDot].getName,
-        "float_array_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "float_array_dot(a, b) takes two arrays")
-        org.apache.spark.sql.graft.FloatArrayDot(children.head, children(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    org.apache.spark.sql.graft.GraftFunctions.functions.foreach(ext.injectFunction)
 }

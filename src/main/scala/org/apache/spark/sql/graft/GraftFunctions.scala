@@ -3,18 +3,54 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Runtime function registration into an EXISTING session (sessionState is
   * private[sql], hence this bridge). GraftExtensions covers the
   * config-driven path (spark.sql.extensions) for new sessions; this covers
-  * sessions already running. */
+  * sessions already running.
+  *
+  * Besides the native codegen'd FloatArrayDot, the engine's composite text
+  * operators are exposed to SQL by building their Column expression trees
+  * from the call's child expressions — they stay fully codegen'd (each is
+  * a composition of built-in expressions), there is no UDF anywhere.
+  */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("float_array_dot"),
-      new ExpressionInfo(classOf[FloatArrayDot].getName, "float_array_dot"),
+
+  private def asCol(e: Expression) = ExpressionUtils.column(e)
+  // ExpressionUtils.expression only WRAPS the ColumnNode; from a function
+  // builder the analyzer never unwraps it, so convert eagerly — the
+  // converted tree's remaining UnresolvedFunctions are ordinary built-ins
+  // the analyzer resolves in later passes.
+  private def asExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  private def fn(name: String, arity: Int)(build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[FloatArrayDot].getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "float_array_dot(a, b) takes two arrays")
-        FloatArrayDot(children.head, children(1))
+        require(children.length == arity, s"$name takes $arity argument(s)")
+        build(children)
       })
+
+  /** (identifier, info, builder) triples shared by both registration paths
+    * (GraftExtensions for new sessions, [[register]] for running ones). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("float_array_dot", 2)(cs => FloatArrayDot(cs.head, cs(1))),
+    fn("graft_fingerprint", 1)(cs =>
+      asExpr(graft.functions.TextFunctions.fingerprint(asCol(cs.head)))),
+    fn("graft_quality_score", 1)(cs =>
+      asExpr(graft.functions.TextFunctions.qualityScore(asCol(cs.head)))),
+    fn("graft_lang_id", 1)(cs =>
+      asExpr(graft.functions.TextFunctions.langId(asCol(cs.head)))),
+    fn("graft_token_count", 1)(cs =>
+      asExpr(graft.functions.TextFunctions.tokenCount(asCol(cs.head)))),
+    fn("graft_hamming_bits", 2)(cs =>
+      asExpr(graft.operators.Dedup.hammingBits(asCol(cs.head), asCol(cs(1))))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

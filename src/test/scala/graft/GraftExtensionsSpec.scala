@@ -13,6 +13,27 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r === 11.0)
   }
 
+  test("composite text operators are callable from SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_token_count('the cat sat') AS n, " +
+        "graft_lang_id('the cat sat on the mat and it is fine') AS lang, " +
+        "graft_fingerprint('  A  b ') = graft_fingerprint('a b') AS same, " +
+        "graft_hamming_bits('1010', '1001') AS h").head()
+    assert(row.getInt(0) === 3)
+    assert(row.getString(1) === "en")
+    assert(row.getBoolean(2))
+    assert(row.getInt(3) === 2)
+    // quality score matches the Column-level helper bitwise
+    val viaSql = spark.sql("SELECT graft_quality_score('the cat sat on the mat') AS q")
+      .head().getDouble(0)
+    import spark.implicits._
+    val viaCol = Seq(Tuple1("the cat sat on the mat")).toDF("text")
+      .select(graft.functions.TextFunctions.qualityScore(org.apache.spark.sql.functions.col("text")))
+      .head().getDouble(0)
+    assert(viaSql === viaCol)
+  }
+
   test("GraftExtensions wires the same builder (smoke)") {
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions
