@@ -641,6 +641,21 @@ object SparkEntry {
       compiled.apply(t(s, dir, "orders"))
     }
 
+    // --- NL-over-the-graph (reference README.md:250-277, the WIP
+    //     "Unified Data Graph and Natural Language Querying"): embeddings
+    //     route the plain-English query to the right registered table,
+    //     NlCompiler compiles it there. Registered tables are the two
+    //     fixed-size TPC-H dims so the graph copy stays trivial at any SF.
+    register("c20_graph_query",
+      """SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY n_name""") { (s, dir) =>
+      val g = new TableGraph(
+        java.nio.file.Files.createTempDirectory("graft_gq_gate").toString)
+      g.addTable("region", t(s, dir, "region"))
+      g.addTable("nation", t(s, dir, "nation"))
+      graft.functions.GraphQuery.queryNl(s, g,
+        "where n_regionkey = 0 by n_name asc showing n_name")
+    }
+
     // --- C3/NL join: the reference DECLARES join_with_query
     //     (notsomagictable.py:15-18) but its MagicTable half is absent;
     //     compileJoin implements the declared surface. Key inference + the

@@ -105,6 +105,8 @@ class TableGraph(
 
   def getNode(name: String): Option[TableNode] = synchronized { nodes.get(name) }
 
+  def allNodes: Seq[TableNode] = synchronized { nodes.values.toSeq }
+
   def getTable(spark: SparkSession, name: String): Option[DataFrame] =
     getNode(name).map(n => spark.read.parquet(n.path))
 

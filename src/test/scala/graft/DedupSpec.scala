@@ -75,6 +75,11 @@ class DedupSpec extends SparkSpecBase {
     // the durable mode really staged through the warehouse
     assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_sig_")))
     assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_cands_")))
+    // staged intermediates are reclaimable: role=stage nodes only
+    graph.addTable("keep_me", docs.select("doc_id"))
+    graph.dropStages()
+    assert(!new java.io.File(tmp).listFiles().exists(_.getName.startsWith("minhash_")))
+    assert(graph.getNode("keep_me").isDefined)
   }
 
   test("simhash: identical docs collide; near-identical docs are close") {

@@ -1,0 +1,44 @@
+package graft
+
+import graft.core.TableGraph
+import graft.functions.GraphQuery
+
+/** NL querying over the whole graph (reference README.md:250-277, the
+  * WIP feature whose embedding half was dead code there). */
+class GraphQuerySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshGraph = new TableGraph(
+    java.nio.file.Files.createTempDirectory("graft_gq").toString)
+
+  private def seeded: TableGraph = {
+    val g = freshGraph
+    g.addTable("orders", Seq((100, 1, 10.0), (101, 1, 30.0), (102, 2, 20.0))
+      .toDF("order_id", "cust_id", "total_price"))
+    g.addTable("customers", Seq((1, "ann", "emea"), (2, "bob", "amer"))
+      .toDF("cust_id", "cust_name", "segment"))
+    g.addTable("events", Seq((1L, "click"), (2L, "view"))
+      .toDF("event_id", "event_type"))
+    g
+  }
+
+  test("rankTables routes a query to the table it talks about") {
+    val g = seeded
+    def top(q: String) = GraphQuery.rankTables(spark, g, q).head._1.name
+    assert(top("top 2 orders by total price") === "orders")
+    assert(top("customers in segment emea") === "customers")
+    assert(top("count events per event type") === "events")
+  }
+
+  test("queryNl routes + compiles + executes in one call") {
+    val out = GraphQuery.queryNl(spark, seeded,
+      "top 2 by total_price desc showing order_id and total_price")
+    assert(out.as[(Int, Double)].collect().toSeq === Seq((101, 30.0), (102, 20.0)))
+  }
+
+  test("queryNl refuses an empty graph") {
+    intercept[IllegalArgumentException] {
+      GraphQuery.queryNl(spark, freshGraph, "top 5 anything")
+    }
+  }
+}
