@@ -34,32 +34,64 @@ object GraphQuery {
     (Seq(node.name) ++ cols ++ fragments ++ sources).mkString(" ")
   }
 
+  /** True cosine — normalizes both sides (the [[Embedder]] trait does not
+    * promise unit vectors; an online client's raw vectors would otherwise
+    * rank tables by profile magnitude, not relevance). Dimensions must
+    * agree: silently truncating a mismatch would compare different spaces. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    while (i < a.length && i < b.length) { d += a(i).toDouble * b(i); i += 1 }
-    d // embedder output is L2-normalized, so the dot IS the cosine
+    require(a.length == b.length,
+      s"embedding dims differ: ${a.length} vs ${b.length} (mixed embedders?)")
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
-  /** Rank every table in the graph by embedding similarity to the query. */
+  // profiles depend only on (table, registration time): memoize so a query
+  // against an N-table graph does not pay N parquet-footer reads every call
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, java.time.Instant), String]()
+
+  /** Rank every table in the graph by embedding similarity to the query.
+    * A node whose parquet payload has gone missing is skipped (with a
+    * stderr note) rather than failing queries about healthy tables. */
   def rankTables(spark: SparkSession, graph: TableGraph, query: String,
       embedder: Embedder = new FeatureHashEmbedder(64)): Seq[(TableNode, Double)] = {
     val qv = embedder.embed(query)
-    graph.allNodes
-      .map(n => n -> cosine(qv, embedder.embed(profile(spark, n))))
-      .sortBy { case (n, s) => (-s, n.name) }
+    graph.allNodes.flatMap { n =>
+      scala.util.Try(
+        profileCache.computeIfAbsent((n.name, n.createdAt), _ => profile(spark, n))
+      ) match {
+        case scala.util.Success(p) => Some(n -> cosine(qv, embedder.embed(p)))
+        case scala.util.Failure(e) =>
+          System.err.println(s"[graph-query] skipping unreadable table ${n.name}: ${e.getMessage}")
+          None
+      }
+    }.sortBy { case (n, s) => (-s, n.name) }
   }
 
   /** Query the graph in plain English: route to the best-matching table,
-    * then compile and run the query against it. */
+    * then compile and run the query against it. Refuses to run when NO
+    * clause of the query resolved against the chosen table's schema —
+    * with feature hashing some token almost always collides into a
+    * nonzero score, and silently returning every row of a vaguely-related
+    * table is worse than an error. */
   def queryNl(spark: SparkSession, graph: TableGraph, query: String,
       embedder: Embedder = new FeatureHashEmbedder(64)): DataFrame = {
     val ranked = rankTables(spark, graph, query, embedder)
-    require(ranked.nonEmpty, "the graph has no registered tables to query")
+    require(ranked.nonEmpty, "the graph has no registered (readable) tables to query")
     val (best, score) = ranked.head
     require(score > 0.0,
       s"no table matches '$query' (best candidate ${best.name} scored 0)")
     val df = graph.getTable(spark, best.name).getOrElse(
       sys.error(s"table ${best.name} vanished from the graph"))
-    NlCompiler.compile(query, df.columns.toSeq).apply(df)
+    val compiled = NlCompiler.compile(query, df.columns.toSeq)
+    require(compiled.describe.nonEmpty,
+      s"query '$query' routed to table ${best.name} but no clause resolved " +
+        s"against its columns [${df.columns.mkString(", ")}] — refusing to " +
+        "return the unfiltered table")
+    compiled.apply(df)
   }
 }

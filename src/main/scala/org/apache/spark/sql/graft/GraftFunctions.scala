@@ -12,8 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
   *
   * Besides the native codegen'd FloatArrayDot, the engine's composite text
   * operators are exposed to SQL by building their Column expression trees
-  * from the call's child expressions — they stay fully codegen'd (each is
-  * a composition of built-in expressions), there is no UDF anywhere.
+  * from the call's child expressions. No UDF anywhere — each is a
+  * composition of built-in expressions; note the token/lang/quality/hamming
+  * ones contain higher-order functions (ArrayFilter/ArrayAggregate), which
+  * evaluate interpreted (CodegenFallback), same as their Column-API forms.
   */
 object GraftFunctions {
 
@@ -25,10 +27,10 @@ object GraftFunctions {
   private def asExpr(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
-  private def fn(name: String, arity: Int)(build: Seq[Expression] => Expression)
+  private def fn(name: String, arity: Int, clazz: Class[_])(build: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo(classOf[FloatArrayDot].getName, name),
+      new ExpressionInfo(clazz.getName, name),
       (children: Seq[Expression]) => {
         require(children.length == arity, s"$name takes $arity argument(s)")
         build(children)
@@ -37,16 +39,16 @@ object GraftFunctions {
   /** (identifier, info, builder) triples shared by both registration paths
     * (GraftExtensions for new sessions, [[register]] for running ones). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    fn("float_array_dot", 2)(cs => FloatArrayDot(cs.head, cs(1))),
-    fn("graft_fingerprint", 1)(cs =>
+    fn("float_array_dot", 2, classOf[FloatArrayDot])(cs => FloatArrayDot(cs.head, cs(1))),
+    fn("graft_fingerprint", 1, graft.functions.TextFunctions.getClass)(cs =>
       asExpr(graft.functions.TextFunctions.fingerprint(asCol(cs.head)))),
-    fn("graft_quality_score", 1)(cs =>
+    fn("graft_quality_score", 1, graft.functions.TextFunctions.getClass)(cs =>
       asExpr(graft.functions.TextFunctions.qualityScore(asCol(cs.head)))),
-    fn("graft_lang_id", 1)(cs =>
+    fn("graft_lang_id", 1, graft.functions.TextFunctions.getClass)(cs =>
       asExpr(graft.functions.TextFunctions.langId(asCol(cs.head)))),
-    fn("graft_token_count", 1)(cs =>
+    fn("graft_token_count", 1, graft.functions.TextFunctions.getClass)(cs =>
       asExpr(graft.functions.TextFunctions.tokenCount(asCol(cs.head)))),
-    fn("graft_hamming_bits", 2)(cs =>
+    fn("graft_hamming_bits", 2, graft.operators.Dedup.getClass)(cs =>
       asExpr(graft.operators.Dedup.hammingBits(asCol(cs.head), asCol(cs(1))))))
 
   def register(spark: SparkSession): Unit =

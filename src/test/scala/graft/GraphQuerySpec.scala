@@ -41,4 +41,21 @@ class GraphQuerySpec extends SparkSpecBase {
       GraphQuery.queryNl(spark, freshGraph, "top 5 anything")
     }
   }
+
+  test("queryNl refuses when no clause resolves on the routed table (review regression)") {
+    // hash collisions make SOME table score > 0 for almost any text; if the
+    // query's clauses then resolve nowhere, running it would return the
+    // routed table unfiltered — must error instead
+    intercept[IllegalArgumentException] {
+      GraphQuery.queryNl(spark, seeded, "where n_regionkey = 0 showing n_name")
+    }
+  }
+
+  test("cosine normalizes (non-unit embedders rank by relevance, not magnitude)") {
+    assert(GraphQuery.cosine(Array(2f, 0f), Array(4f, 0f)) === 1.0)
+    assert(GraphQuery.cosine(Array(1f, 0f), Array(0f, 3f)) === 0.0)
+    intercept[IllegalArgumentException] {
+      GraphQuery.cosine(Array(1f), Array(1f, 2f))
+    }
+  }
 }
