@@ -80,4 +80,22 @@ class GoldenReplaySpec extends SparkSpecBase {
     // lineage recorded (C13)
     assert(graph.getChains("popular_chained").exists(_.chainType === "transform"))
   }
+
+  test("chain(other: MagicTable): the notebook call shape, template from other's source") {
+    val graph = freshGraph
+    val mt = MagicTable.fromSource(spark,
+      ApiSource("https://api.tmdb.example/movie/popular"), fetcher, graph)
+    // the reference derives the template from the OTHER table's last source
+    // (magictable.py:210-219) — the user never restates the URL
+    val details = new MagicTable(mt.df, "movie_details",
+      Seq(ApiSource("https://api.tmdb.example/movie/{id}")), graph)
+    val out = mt.chain(details, fetcher, None, None)
+    assert(out.count() === 209)
+    assert(out.df.columns.count(_.startsWith("api_")) === 14)
+    // merged lineage: both the popular source and the detail template
+    assert(out.sources.map(_.getIdentifier).toSet ===
+      Set("https://api.tmdb.example/movie/popular", "https://api.tmdb.example/movie/{id}"))
+    // whole-chain result registered + fresh (C14 cache posture)
+    assert(graph.isFresh(out.name))
+  }
 }
