@@ -70,39 +70,46 @@ object JsonFlatten {
 
   // ---------------------------------------------------------------- distributed
 
-  /** One flatten pass over a DataFrame, mirroring flattenValue's row
-    * semantics on StructType / ArrayType columns. Scalar (non-nested)
-    * columns replicate; each ArrayType column explodes into its own row
-    * group (other array columns null in that group); StructType columns
-    * unnest with the `key.subKey` / collision naming rule.
+  /** One flatten pass over a DataFrame, mirroring flattenValue's PER-ROW
+    * semantics on StructType / ArrayType columns exactly (union of
+    * branches, NOT a cartesian product — utils.py:49-61):
+    *  - per array column A: explode(A) rows — zero rows when A is null or
+    *    empty, matching the driver path where a null value is a scalar
+    *    (no branch) and an empty list contributes no elements;
+    *  - per struct column S: ONE row when S is non-null (the dict branch);
+    *  - a residual branch keeps rows whose nested columns are ALL null
+    *    (the driver's "no nested items -> one base row" case);
+    *  - in every branch the OTHER nested columns are nulled — the
+    *    reference's output simply lacks those keys on that branch's rows;
+    *  - then struct columns unnest with the `key.subKey` / collision rule.
     */
   def flattenOnce(df: DataFrame): DataFrame = {
     val schema = df.schema
     val arrayCols = schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
     val structCols = schema.fields.filter(_.dataType.isInstanceOf[StructType]).map(_.name)
     if (arrayCols.isEmpty && structCols.isEmpty) return df
+    val nestedCols = (arrayCols ++ structCols).toSet
 
-    // 1. union-of-explodes over array columns: per array column A, one branch
-    //    exploding A with every OTHER array column dropped (null in reference
-    //    output means the key is absent from those rows; a null column keeps
-    //    schemas unionable).
-    val afterArrays: DataFrame =
-      if (arrayCols.isEmpty) df
-      else {
-        val branches = arrayCols.toSeq.map { a =>
-          val others = arrayCols.filterNot(_ == a)
-          val cols = schema.fields.map { f =>
-            if (f.name == a) explode_outer(col(quoted(a))).as(a)
-            else if (others.contains(f.name)) lit(null).cast(nullElem(f.dataType)).as(f.name)
-            else col(quoted(f.name))
-          }
-          df.select(cols.toSeq: _*)
-        }
-        branches.reduce(_.unionByName(_))
-      }
+    def branchCols(own: String, explodeOwn: Boolean) = schema.fields.map { f =>
+      if (f.name == own && explodeOwn) explode(col(quoted(f.name))).as(f.name)
+      else if (f.name == own) col(quoted(f.name))
+      else if (nestedCols.contains(f.name))
+        lit(null).cast(nullElem(f.dataType)).as(f.name)
+      else col(quoted(f.name))
+    }.toSeq
 
-    // 2. unnest struct columns (including structs that were array elements).
-    unnestStructs(afterArrays)
+    val arrayBranches = arrayCols.toSeq.map(a => df.select(branchCols(a, explodeOwn = true): _*))
+    val structBranches = structCols.toSeq.map(s =>
+      df.filter(col(quoted(s)).isNotNull).select(branchCols(s, explodeOwn = false): _*))
+    val residual = df
+      .filter(nestedCols.toSeq.map(c => col(quoted(c)).isNull).reduce(_ && _))
+      .select(schema.fields.map { f =>
+        if (nestedCols.contains(f.name)) lit(null).cast(nullElem(f.dataType)).as(f.name)
+        else col(quoted(f.name))
+      }.toSeq: _*)
+
+    val unioned = (arrayBranches ++ structBranches :+ residual).reduce(_.unionByName(_))
+    unnestStructs(unioned)
   }
 
   private def nullElem(dt: DataType): DataType = dt match {

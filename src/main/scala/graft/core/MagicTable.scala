@@ -107,7 +107,12 @@ class MagicTable(
   def transform(query: String, model: String = "deterministic"): MagicTable = {
     val cacheKey = s"${name}_$query"
     val compiled = NlCompiler.compile(query, df.columns.toSeq)
-    graph.putTransformation(cacheKey, compiled.describe)
+    // write the compilation cache only on first sight: the entry's purpose
+    // is skipping a pluggable-LLM recompile (an online LlmClient should
+    // consult it), and re-putting identical entries would checkpoint the
+    // graph to disk on every call
+    if (!graph.transformations.contains(cacheKey))
+      graph.putTransformation(cacheKey, compiled.describe)
     val out = compiled.apply(df)
     val newName = s"${name}_query:${query}_model:$model"
     val result = new MagicTable(out, newName, sources :+ GenerativeSource(name), graph)
@@ -171,9 +176,10 @@ class MagicTable(
         case None =>
       }
     }
-    val urlCacheDir = java.nio.file.Paths.get(graph.warehouseDir, "_urls").toString
-    val (out, keyCols) = Chain(df, urlTemplate, fetcher, sourceKey, targetKey, Some(urlCacheDir))
+    val (out, keyCols, cleanup) =
+      Chain.staged(df, urlTemplate, fetcher, sourceKey, targetKey, Some(graph.urlCacheDir))
     graph.addTable(newName, out, MagicTable.sourceInfo(newSources))
+    cleanup() // result is parquet now; release the persisted response blocks
     graph.addChain(ChainRecord(name, newName, newName, "api_chain",
       keyCols.mkString(","), "", Map("api_url_template" -> urlTemplate), graph.clock()))
     new MagicTable(graph.getTable(df.sparkSession, newName).get, newName, newSources, graph)

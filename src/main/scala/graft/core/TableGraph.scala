@@ -79,8 +79,14 @@ class TableGraph(
   def tablePath(name: String): String =
     Paths.get(warehouseDir, sanitize(name)).toString
 
-  private def sanitize(name: String): String =
-    name.map(c => if (c.isLetterOrDigit || "._-".contains(c)) c else '_').take(200)
+  private def sanitize(name: String): String = {
+    val s = name.map(c => if (c.isLetterOrDigit || "._-".contains(c)) c else '_').take(200)
+    // lossy sanitization (special chars flattened or name truncated) could
+    // collide two DISTINCT table names onto one path — the second addTable
+    // would silently overwrite the first's parquet while both catalog nodes
+    // remain. Disambiguate with a hash of the original name.
+    if (s == name) s else s.take(187) + "-" + Jsons.md5Hex(name).take(12)
+  }
 
   def addTable(
       name: String,
@@ -182,19 +188,14 @@ class TableGraph(
 
   // ------------------------------------------------------------ URL cache
 
-  private def urlCachePath(url: String): Path =
-    Paths.get(warehouseDir, "_urls", Jsons.md5Hex(url) + ".json")
+  /** The per-URL cache dir Chain wires into executor-side fetches. */
+  def urlCacheDir: String = Paths.get(warehouseDir, "_urls").toString
 
-  def getCachedUrl(url: String): Option[String] = {
-    val p = urlCachePath(url)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8")) else None
-  }
+  def getCachedUrl(url: String): Option[String] =
+    graft.sources.UrlDiskCache.get(urlCacheDir, url)
 
-  def putCachedUrl(url: String, body: String): Unit = {
-    val p = urlCachePath(url)
-    Files.createDirectories(p.getParent)
-    Files.write(p, body.getBytes("UTF-8"))
-  }
+  def putCachedUrl(url: String, body: String): Unit =
+    graft.sources.UrlDiskCache.put(urlCacheDir, url, body)
 
   // ------------------------------------------------------------ persistence
 

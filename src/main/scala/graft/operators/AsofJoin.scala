@@ -55,6 +55,10 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col("__t") :+ col("__side") :+
         lit(null).cast(asofType).as("__asof"): _*)
     val r = right
+      // a null right timestamp can never satisfy l.ts >= r.ts (DuckDB ASOF
+      // comparison semantics) — but unfiltered it would sort FIRST under
+      // nulls-first ascending and back-fill every pre-first-event left row
+      .filter(col(rightTsCol).isNotNull)
       .withColumn("__t", col(rightTsCol))
       .withColumn("__side", lit(0))
       .select(leftCols.map { c =>

@@ -66,19 +66,11 @@ object Chain {
     import urls.sparkSession.implicits._
     urls.mapPartitions { it =>
       it.flatMap { url =>
-        val cached = urlCacheDir.flatMap { dir =>
-          val p = java.nio.file.Paths.get(dir, Jsons.md5Hex(url) + ".json")
-          if (java.nio.file.Files.exists(p))
-            Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          else None
-        }
+        val cached = urlCacheDir.flatMap(dir => graft.sources.UrlDiskCache.get(dir, url))
         val body = cached.orElse {
           val fetched = fetcher.fetchWithRetry(url, maxSleepMs = maxSleepMs)
-          for (dir <- urlCacheDir; b <- fetched) {
-            val p = java.nio.file.Paths.get(dir, Jsons.md5Hex(url) + ".json")
-            java.nio.file.Files.createDirectories(p.getParent)
-            java.nio.file.Files.write(p, b.getBytes("UTF-8"))
-          }
+          for (dir <- urlCacheDir; b <- fetched)
+            graft.sources.UrlDiskCache.put(dir, url, b)
           fetched
         }
         // flatten each response like the reference does BEFORE exploding
@@ -94,7 +86,10 @@ object Chain {
     }
   }
 
-  /** Full chain. Returns (result, resolvedKeyColumns). */
+  /** Full chain. Returns (result, resolvedKeyColumns). The fetched-response
+    * dataset stays persisted (the result plan reads it lazily) — a caller
+    * that MATERIALIZES the result should use [[staged]] and invoke the
+    * cleanup afterwards so the block-manager entry is released. */
   def apply(
       df: DataFrame,
       template: String,
@@ -104,9 +99,27 @@ object Chain {
       urlCacheDir: Option[String] = None,
       maxSleepMs: Long = 30000L,
       maxBroadcastBytes: Long = 64L << 20): (DataFrame, Seq[String]) = {
+    val (result, keys, _) = staged(df, template, fetcher, sourceKey, targetKey,
+      urlCacheDir, maxSleepMs, maxBroadcastBytes)
+    (result, keys)
+  }
+
+  /** [[apply]] plus a cleanup thunk that unpersists the fetched-response
+    * dataset — call it AFTER materializing the result. */
+  def staged(
+      df: DataFrame,
+      template: String,
+      fetcher: Fetcher,
+      sourceKey: Option[String] = None,
+      targetKey: Option[String] = None,
+      urlCacheDir: Option[String] = None,
+      maxSleepMs: Long = 30000L,
+      maxBroadcastBytes: Long = 64L << 20): (DataFrame, Seq[String], () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
 
+    require(!df.columns.contains("__url"),
+      "__url is a reserved helper name in chain (rename the input column)")
     val mapping = KeyResolver.resolve(template, df.columns.toSeq, sourceKey, targetKey)
     val withUrl = df.withColumn("__url", urlExpression(template, mapping))
 
@@ -149,8 +162,13 @@ object Chain {
           if (respFields.nonEmpty)
             respFields.map(f => col("resp").getField(f.name).as(s"api_${f.name}"))
           else Seq(col("resp").as("api_resp"))
+        val apiNames =
+          if (respFields.nonEmpty) respFields.map(f => s"api_${f.name}") else Seq("api_resp")
+        require(apiNames.forall(!df.columns.contains(_)),
+          s"response columns ${apiNames.filter(df.columns.contains).mkString(", ")} " +
+            "collide with input columns (a previous chain output? rename before re-chaining)")
         joined.select(baseCols ++ apiCols: _*)
       }
-    (result, mapping.values.toSeq)
+    (result, mapping.values.toSeq, () => { respLines.unpersist(blocking = false); () })
   }
 }

@@ -337,8 +337,7 @@ object Dedup {
       threshold: Double, nBits: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
-    val planes = Similarity.planes(nBits,
-      df.select(size(col(vecCol))).head().getInt(0))
+    val planes = Similarity.planes(nBits, Similarity.dimOf(df, vecCol))
     // stage BEFORE the probe explode: the nBits plane projections are the
     // expensive part and the pair join's three plan branches would rerun
     // them; the explode itself is cheap string work, and staging pre-explode

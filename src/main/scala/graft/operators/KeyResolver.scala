@@ -29,8 +29,18 @@ object KeyResolver {
       targetKey: Option[String] = None): Map[String, String] = {
     val phs = placeholders(template)
     (sourceKey, targetKey) match {
-      case (Some(sk), Some(tk)) if columns.contains(sk) && phs.contains(tk) =>
+      case (Some(sk), Some(tk)) =>
+        // an explicit override WINS — and an invalid one must fail loudly,
+        // not silently fall back to heuristics that may bind a different
+        // column and fetch wrong URLs
+        require(columns.contains(sk),
+          s"explicit sourceKey '$sk' is not a column (have: ${columns.mkString(", ")})")
+        require(phs.contains(tk),
+          s"explicit targetKey '$tk' is not a placeholder of template $template")
         Map(tk -> sk)
+      case (Some(_), None) | (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "sourceKey and targetKey must be provided together (one without the other is ambiguous)")
       case _ =>
         val mapping = phs.flatMap { p =>
           val exact = columns.find(_ == p)

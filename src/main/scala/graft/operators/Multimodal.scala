@@ -39,12 +39,15 @@ object Multimodal {
     * Pure explode over a sequence expression: distributed, no UDF. */
   def frameSample(df: DataFrame, binCol: String,
       frameBytes: Int, stride: Int): DataFrame = {
-    val n = octet_length(col(binCol))
+    val bin = col(s"`${binCol.replace("`", "``")}`")
+    val n = octet_length(bin)
     val offsets = sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))
     df.filter(n > 0) // empty payload -> zero frames (sequence(0,0) is [0])
       .withColumn("__off", explode(offsets))
       .withColumn("frame_idx", (col("__off") / stride).cast("int"))
-      .withColumn("frame", expr(s"substring($binCol, __off + 1, $frameBytes)"))
+      // Column-API substr, NOT a SQL-string expr: dotted payload names
+      // (JsonFlatten's key.subKey) would parse as struct access there
+      .withColumn("frame", bin.substr(col("__off") + 1, lit(frameBytes)))
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
       .drop("__off")
   }

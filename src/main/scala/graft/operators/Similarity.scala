@@ -208,6 +208,11 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  private def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  private[operators] def dimOf(df: DataFrame, vecCol: String): Int = {
+    val first = df.select(size(col(vecCol))).head(1)
+    require(first.nonEmpty, s"cannot infer $vecCol dimension from an empty frame")
+    val d = first.head.getInt(0)
+    require(d > 0, s"first $vecCol value is null/empty — cannot infer dimension")
+    d
+  }
 }

@@ -48,6 +48,19 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out === Seq((None, Some("mid")), (Some(3.0), None)))
   }
 
+  test("null right timestamps never match (DuckDB l.ts >= r.ts semantics)") {
+    // a null-ts right row would sort FIRST (nulls-first asc) and back-fill
+    // every pre-first-event left row if not filtered — review regression
+    val left = Seq((1L, ts(5))).toDF("k", "t")
+    val right = Seq(
+      (1L, Option.empty[java.sql.Timestamp], Option(99.0)),
+      (1L, Option(ts(10)), Option(1.0))
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("asof_v").as[Option[Double]].collect().toSeq
+    assert(out === Seq(None)) // t=5 precedes every REAL right ts -> no match
+  }
+
   test("output-name collision (asof_<v>) is rejected; same bare name is fine") {
     val left = Seq((1L, ts(0), "x")).toDF("k", "t", "asof_v")
     val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")

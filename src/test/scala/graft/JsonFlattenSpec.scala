@@ -55,6 +55,37 @@ class JsonFlattenSpec extends SparkSpecBase {
       (7L, Some(1L), None), (7L, Some(2L), None), (7L, None, Some(3L))))
   }
 
+  test("flattenOnce matches driver semantics on null/empty arrays and mixed nesting") {
+    // driver reference: null array = scalar (replicates, no branch); empty
+    // array = a branch with zero elements (can kill the whole record);
+    // non-null dict = its own single-row branch; all-nested-null = one base row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("d", StructType(Seq(StructField("k", LongType))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, Seq(10L, 20L), Row(5L)), // 2 array rows + 1 dict row
+        Row(2L, null, null),             // base row only
+        Row(3L, Seq.empty[Long], null),  // empty list, null dict -> NO rows
+        Row(4L, null, Row(7L))),         // dict row only
+      schema)
+    val out = JsonFlatten.flattenOnce(df)
+      .select("id", "xs", "`d.k`").collect()
+      .map(r => (r.get(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out === Set(
+      (1L, Some(10L), None), (1L, Some(20L), None), (1L, None, Some(5L)),
+      (2L, None, None),
+      (4L, None, Some(7L))))
+    // cross-check against the driver path on the same logical records
+    val driverRows =
+      JsonFlatten.flattenValue(Map("id" -> 1L, "xs" -> Seq(10L, 20L), "d" -> Map("k" -> 5L))).size +
+      JsonFlatten.flattenValue(Map("id" -> 2L)).size +
+      JsonFlatten.flattenValue(Map("id" -> 3L, "xs" -> Seq.empty[Long])).size +
+      JsonFlatten.flattenValue(Map("id" -> 4L, "d" -> Map("k" -> 7L))).size
+    assert(driverRows === out.size)
+  }
+
   test("distributed struct unnest applies the collision naming rule") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(Row("crime", 2L))),
