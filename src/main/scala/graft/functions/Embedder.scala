@@ -22,7 +22,9 @@ trait Embedder extends Serializable {
 final class FeatureHashEmbedder(val dim: Int = 16) extends Embedder {
   def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+    // Locale.ROOT: default-locale lowercasing (tr-TR dotless i) would
+    // diverge from Spark's lower() in the distributed variant
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).foreach { t =>
       v(FeatureHashEmbedder.bucket(t, dim)) += 1f
     }
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum)

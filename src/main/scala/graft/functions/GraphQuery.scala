@@ -92,6 +92,11 @@ object GraphQuery {
       s"query '$query' routed to table ${best.name} but no clause resolved " +
         s"against its columns [${df.columns.mkString(", ")}] — refusing to " +
         "return the unfiltered table")
+    // strict mode: a PARTIALLY-resolved query (typo'd filter column, say)
+    // would silently widen the result — error instead
+    require(compiled.warnings.isEmpty,
+      s"query '$query' routed to table ${best.name} but some clauses were " +
+        s"dropped: ${compiled.warnings.mkString("; ")}")
     compiled.apply(df)
   }
 }

@@ -49,12 +49,19 @@ object PromptBudget {
   */
 object NlCompiler {
 
-  case class Compiled(describe: String, apply: DataFrame => DataFrame)
+  /** warnings lists clauses that PARSED but did not resolve against the
+    * schema (typo'd column, etc.) and were therefore dropped — the
+    * reference's best-effort posture. Strict callers (GraphQuery) refuse
+    * to run when warnings is non-empty rather than silently widen results. */
+  case class Compiled(describe: String, apply: DataFrame => DataFrame,
+      warnings: Seq[String] = Nil)
 
   private val aggRx =
     """(?i)\b(count|sum|total|avg|average|mean|min|max)\s+(?:of\s+)?(?:([a-z0-9_\.]+)\s+)?(?:per|grouped\s+by|group\s+by)\s+([a-z0-9_\.]+(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
   private val filterRx =
-    """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is null|is not null)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?""".r
+    """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is\s+null|is\s+not\s+null)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?""".r
+  private val dateRx =
+    """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
 
   def compile(query: String, columns: Seq[String]): Compiled = {
     val q = " " + query.trim + " "
@@ -99,27 +106,34 @@ object NlCompiler {
       }
       val preFilters = filterRx.findAllMatchIn(q).toSeq.flatMap { fm =>
         resolve(fm.group(1)).map { c =>
-          (c, fm.group(2).toLowerCase, Option(fm.group(3)).map(_.stripPrefix("'")
-            .stripSuffix("'").stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
+          (c, fm.group(2).toLowerCase.replaceAll("\\s+", " "),
+            Option(fm.group(3)).map(_.stripPrefix("'")
+              .stripSuffix("'").stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
         }
       }
-      // strip only the filters that resolved PRE-agg; a filter naming the
+      // date parses name INPUT columns — apply them before the groupBy
+      val preDates = dateRx.findAllMatchIn(q).toSeq.flatMap(m => resolve(m.group(1)))
+      // strip only the clauses that resolved PRE-agg; a filter naming the
       // aggregate output (e.g. "where n > 2" — a HAVING) stays in the
       // remainder and compiles against the aggregated schema below
       val rest = aggRx.replaceAllIn(
-        filterRx.replaceSomeIn(q,
-          fm => if (resolve(fm.group(1)).isDefined) Some(" ") else None),
+        dateRx.replaceSomeIn(
+          filterRx.replaceSomeIn(q,
+            fm => if (resolve(fm.group(1)).isDefined) Some(" ") else None),
+          dm => if (resolve(dm.group(1)).isDefined) Some(" ") else None),
         " ")
       val post = compile(rest, groupCols :+ outName)
       val describe = (s"groupAgg=$fn:${valCol.getOrElse("*")}->$outName:by=${groupCols.mkString("|")}" +
+        preDates.map(c => s";toTimestamp=$c").mkString +
         preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
         (if (post.describe.nonEmpty) ";" + post.describe else ""))
       return Compiled(describe, { df0 =>
-        val filtered = preFilters.foldLeft(df0) { case (d, (c, op, v)) =>
+        val dated = preDates.foldLeft(df0)((d, c) => d.withColumn(c, try_to_timestamp(gref(c))))
+        val filtered = preFilters.foldLeft(dated) { case (d, (c, op, v)) =>
           d.filter(comparison(gref(c), op, v))
         }
         post.apply(filtered.groupBy(groupCols.map(gref): _*).agg(aggCol.as(outName)))
-      })
+      }, post.warnings)
     }
 
     // ---- parse clauses ----------------------------------------------------
@@ -129,36 +143,58 @@ object NlCompiler {
     val uniqueRx = """(?i)\b(?:unique|distinct|dedup(?:licated?)?)\s+(?:by\s+)?([a-z0-9_\.]+)""".r
     val uniqueBy = uniqueRx.findFirstMatchIn(lower).flatMap(m => resolve(m.group(1)))
 
-    // the unique-clause's own "by" must not be mistaken for the sort clause
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // the unique-clause's own "by" must not be mistaken for the sort clause.
+    // The terminator set must include EVERY clause keyword — a keyword the
+    // lazy capture can swallow silently kills the sort (review regression:
+    // "by price top 5" used to limit unsorted rows).
     val sortSearch = uniqueRx.replaceAllIn(lower, " ")
-    val sortCol = """(?i)\bby\s+([a-z0-9_\. ]+?)(?:\s+(asc|desc|ascending|descending))?\s*(?:,|\band\b|\bshow|\bwhere|$)""".r
+    val sortCol = ("""(?i)\bby\s+([a-z0-9_\. ]+?)(?:\s+(asc|desc|ascending|descending))?\s*""" +
+      """(?:,|\band\b|\btop\b|\bfirst\b|\bhead\b|\bshow|\bselect\b|\breturn|\bwhere\b|\bparse\b|\bconvert\b|$)""").r
       .findFirstMatchIn(sortSearch)
       .flatMap { m =>
-        resolve(m.group(1)).map { c =>
-          val asc = Option(m.group(2)).exists(s => s.startsWith("asc"))
-          (c, asc)
+        resolve(m.group(1)) match {
+          case Some(c) =>
+            val asc = Option(m.group(2)).exists(s => s.startsWith("asc"))
+            Some((c, asc))
+          case None =>
+            warnings += s"sort column '${m.group(1).trim}' did not resolve"
+            None
         }
       }
 
     val showCols = """(?i)\b(?:showing|show|select|return(?:ing)?)\s+((?:[a-z0-9_\.]+)(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
-      .findFirstMatchIn(lower).map { m =>
-        m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
-          .flatMap(tok => resolve(tok))
-      }.filter(_.nonEmpty)
+      .findFirstMatchIn(lower).flatMap { m =>
+        val toks = m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
+        val resolved = toks.flatMap(tok => resolve(tok))
+        toks.filter(t => resolve(t).isEmpty)
+          .foreach(t => warnings += s"projection column '$t' did not resolve")
+        if (resolved.nonEmpty) Some(resolved) else None
+      }
 
     // run against the ORIGINAL query (with (?i) flags), not the lowered
     // copy: filter literals must keep their case ("where flag = R" compares
     // against "R", not "r")
     val filters = filterRx
       .findAllMatchIn(q).toSeq.flatMap { m =>
-        resolve(m.group(1)).map { c =>
-          (c, m.group(2).toLowerCase, Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
-            .stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
+        resolve(m.group(1)) match {
+          case Some(c) =>
+            Some((c, m.group(2).toLowerCase.replaceAll("\\s+", " "),
+              Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
+                .stripPrefix("\"").stripSuffix("\"")).getOrElse("")))
+          case None =>
+            warnings += s"filter column '${m.group(1)}' did not resolve"
+            None
         }
       }
 
-    val dateParse = """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
-      .findAllMatchIn(lower).toSeq.flatMap(m => resolve(m.group(1)))
+    val dateParse = dateRx
+      .findAllMatchIn(lower).toSeq.flatMap { m =>
+        val r = resolve(m.group(1))
+        if (r.isEmpty) warnings += s"date-parse column '${m.group(1)}' did not resolve"
+        r
+      }
 
     // ---- assemble plan ----------------------------------------------------
     // resolved names may contain dots (flattened key.subKey columns) —
@@ -206,7 +242,7 @@ object NlCompiler {
     filters.foreach { case (c, op, v) => steps += s"filter=$c$op$v" }
     dateParse.foreach(c => steps += s"toTimestamp=$c")
 
-    Compiled(steps.mkString(";"), fn)
+    Compiled(steps.mkString(";"), fn, warnings.toSeq)
   }
 
   /** Comparison predicate shared by the filter and pre-aggregation paths.
@@ -226,7 +262,8 @@ object NlCompiler {
     }
   }
 
-  case class CompiledJoin(describe: String, apply: (DataFrame, DataFrame) => DataFrame)
+  case class CompiledJoin(describe: String, apply: (DataFrame, DataFrame) => DataFrame,
+      warnings: Seq[String] = Nil)
 
   /** NL JOIN -> plan (reference intent: notsomagictable.py:15-18 declares
     * join_with_query, but the MagicTable method it forwards to does not
@@ -285,19 +322,35 @@ object NlCompiler {
     }
     // the remaining clauses compile against the joined schema
     val rest = onRx.replaceAllIn(typeRx.replaceAllIn(q, " "), " ")
+    // non-key columns present on BOTH sides would be ambiguous to every
+    // post-join clause — keep the left copy (pandas-suffix semantics are
+    // not in the grammar; dropping the right duplicate is the predictable
+    // choice and is documented in describe)
+    val dupRight = rightCols.filter(rc =>
+      !rc.equalsIgnoreCase(rightKey) && leftCols.exists(_.equalsIgnoreCase(rc)))
     val mergedCols =
       if (joinType.startsWith("left_")) leftCols // semi/anti: left side only
-      else leftCols ++ rightCols.filterNot(_.equalsIgnoreCase(rightKey))
+      else leftCols ++ rightCols.filterNot(rc =>
+        rc.equalsIgnoreCase(rightKey) || dupRight.contains(rc))
     val post = compile(rest, mergedCols)
 
-    val fn: (DataFrame, DataFrame) => DataFrame = { (l, r) =>
+    val fn: (DataFrame, DataFrame) => DataFrame = { (l, r0) =>
+      val r = dupRight.foldLeft(r0)((d, c) => d.drop(d(c)))
       val joined =
         if (leftKey.equalsIgnoreCase(rightKey)) l.join(r, Seq(leftKey), joinType)
-        else l.join(r, l(leftKey) === r(rightKey), joinType).drop(r(rightKey))
+        else {
+          // coalesce the two key columns so right/full-outer rows with no
+          // left match keep their key (Spark's using-join does the same)
+          val j = l.join(r, l(leftKey) === r(rightKey), joinType)
+          if (joinType == "right" || joinType == "full")
+            j.withColumn(leftKey, coalesce(l(leftKey), r(rightKey))).drop(r(rightKey))
+          else j.drop(r(rightKey))
+        }
       post.apply(joined)
     }
     val describe = (s"join=$joinType:$leftKey=$rightKey" +
+      (if (dupRight.nonEmpty) s";dropRightDups=${dupRight.mkString("|")}" else "") +
       (if (post.describe.nonEmpty) ";" + post.describe else ""))
-    CompiledJoin(describe, fn)
+    CompiledJoin(describe, fn, post.warnings)
   }
 }

@@ -120,12 +120,21 @@ case class GenerativeSource(query: String) extends Source {
   private val DateRange =
     """(?i).*from\s+(\d{4}-\d{2}-\d{2})\s+(?:to|through|until)\s+(\d{4}-\d{2}-\d{2}).*""".r
 
+  /** Generated rows materialize on the DRIVER (they seed spark.read.json)
+    * — cap the count so a runaway range in the NL query ("pages 1 to 2
+    * billion") errors instead of OOMing the driver. */
+  val MaxGeneratedRows = 1000000L
+
   override def fetchRows(fetcher: Fetcher): Seq[String] = query match {
     case PageRange(a, b) =>
+      require(b.toLong - a.toLong + 1 <= MaxGeneratedRows,
+        s"page range $a..$b exceeds $MaxGeneratedRows driver-side rows")
       (a.toLong to b.toLong).map(p => Jsons.render(Map("page" -> p)))
     case DateRange(a, b) =>
       val start = java.time.LocalDate.parse(a)
       val end = java.time.LocalDate.parse(b)
+      require(java.time.temporal.ChronoUnit.DAYS.between(start, end) < MaxGeneratedRows,
+        s"date range $a..$b exceeds $MaxGeneratedRows driver-side rows")
       Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
         .map(d => Jsons.render(Map("date" -> d.toString))).toSeq
     case _ => Seq(Jsons.render(Map("query" -> query, "generated" -> true)))

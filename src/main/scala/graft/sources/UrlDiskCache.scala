@@ -21,6 +21,14 @@ object UrlDiskCache {
   def put(dir: String, url: String, body: String): Unit = {
     val p = path(dir, url)
     Files.createDirectories(p.getParent)
-    Files.write(p, body.getBytes("UTF-8"))
+    // write-to-temp + atomic move: concurrent fetchers of the same URL (a
+    // chain fan-out across partitions) must never observe a half-written
+    // body — a torn read would poison the cache for every future run
+    val tmp = Files.createTempFile(p.getParent, ".url-", ".tmp")
+    try {
+      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
   }
 }

@@ -153,7 +153,10 @@ class ApiPartitionReader(urls: Seq[String], schema: StructType, fetcher: Fetcher
     case (x: Number, LongType) =>
       if (x.doubleValue() == math.floor(x.doubleValue())) x.longValue() else null
     case (x: Number, IntegerType) =>
-      if (x.doubleValue() == math.floor(x.doubleValue())) x.intValue() else null
+      // also range-check: intValue() would WRAP an out-of-int long
+      if (x.doubleValue() == math.floor(x.doubleValue()) &&
+        x.longValue() >= Int.MinValue && x.longValue() <= Int.MaxValue) x.intValue()
+      else null
     case (x: Number, DoubleType) => x.doubleValue()
     case (x: Number, dt: DecimalType) =>
       org.apache.spark.sql.types.Decimal(BigDecimal(x.toString), dt.precision, dt.scale)
@@ -161,7 +164,10 @@ class ApiPartitionReader(urls: Seq[String], schema: StructType, fetcher: Fetcher
     case (x: Seq[_], ArrayType(elem, _)) => new GenericArrayData(x.map(convert(_, elem)))
     case (x: scala.collection.Map[_, _], st: StructType) =>
       convertRow(x.map { case (k, vv) => k.toString -> vv }.toMap, st)
-    case (x, other) =>
-      throw new IllegalStateException(s"cannot convert $x to $other")
+    case _ =>
+      // permissive-mode contract: runtime type drift past the sampled
+      // schema (a string where the sample said number, etc.) nulls the
+      // CELL — it must not kill the scan like a thrown error would
+      null
   }
 }

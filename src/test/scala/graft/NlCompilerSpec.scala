@@ -142,6 +142,49 @@ class NlCompilerSpec extends SparkSpecBase {
     assert(c.apply(orders, c2).count() === 3)
   }
 
+  test("sort clause survives a following top/select keyword (review regression)") {
+    val c = NlCompiler.compile("by score top 2 showing id", df.columns.toSeq)
+    assert(c.describe.contains("orderBy=score:desc") && c.warnings.isEmpty)
+    assert(c.apply(df).as[Int].collect().toSeq === Seq(4, 2))
+  }
+
+  test("clauses that parse but do not resolve surface as warnings") {
+    val c = NlCompiler.compile("top 5 where salry > 100 by scoar desc showing id",
+      df.columns.toSeq)
+    assert(c.warnings.exists(_.contains("salry")))
+    assert(c.warnings.exists(_.contains("scoar")))
+  }
+
+  test("right join with differently-named keys keeps unmatched right keys (coalesce)") {
+    val c2 = custs.withColumnRenamed("cust_id", "customer_id")
+    val c = NlCompiler.compileJoin("right join on cust_id = customer_id",
+      orders.columns.toSeq, c2.columns.toSeq)
+    val out = c.apply(orders, c2)
+    // customer 3 has no orders; its key must survive under the left name
+    assert(out.filter(col("cname") === "cy").select("cust_id").as[Int]
+      .collect().toSeq === Seq(3))
+  }
+
+  test("duplicate non-key columns keep the left copy; post-clauses are unambiguous") {
+    val rightWithDup = custs.withColumn("total", lit(-1.0)) // clashes with orders.total
+    val c = NlCompiler.compileJoin("join on cust_id where total > 15 showing order_id",
+      orders.columns.toSeq, rightWithDup.columns.toSeq)
+    assert(c.describe.contains("dropRightDups=total"))
+    // left totals filtered (not the right's -1.0): orders 101 (30.0), 102 (20.0)
+    assert(c.apply(orders, rightWithDup).as[Int].collect().sorted.toSeq === Seq(101, 102))
+  }
+
+  test("date parse runs before the aggregation (agg-branch review regression)") {
+    val d = Seq(("u1", "2024-01-05"), ("u1", "not-a-date"), ("u2", "2024-02-01"))
+      .toDF("user", "ts")
+    val c = NlCompiler.compile("parse ts as date count per user where ts is not null",
+      d.columns.toSeq)
+    assert(c.describe.contains("toTimestamp=ts"))
+    // the malformed date coerces to null BEFORE the filter and the count
+    assert(c.apply(d).orderBy("user").as[(String, Long)].collect().toSeq ===
+      Seq(("u1", 1L), ("u2", 1L)))
+  }
+
   test("MagicTable.joinWithQuery records lineage from both tables") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_nljoin_wh").toString
     val graph = new graft.core.TableGraph(tmp)
