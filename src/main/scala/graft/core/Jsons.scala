@@ -28,7 +28,7 @@ object Jsons {
     case null => null
     case o: ObjectNode =>
       val b = scala.collection.immutable.ListMap.newBuilder[String, Any]
-      o.fields().asScala.foreach(e => b += (e.getKey -> fromNode(e.getValue)))
+      o.properties().asScala.foreach(e => b += (e.getKey -> fromNode(e.getValue)))
       b.result()
     case a: ArrayNode => a.elements().asScala.map(fromNode).toVector
     case v if v.isTextual => v.asText()

@@ -101,7 +101,7 @@ object Similarity {
     * (only exact re-rank results are surfaced). */
   def signSignature(vec: Column, planes: Seq[Array[Double]]): Column =
     concat(planes.map { pl =>
-      val w = array(pl.map(v => lit(v.toFloat)): _*)
+      val w = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(pl.map(v => lit(v.toFloat))): _*)
       val proj = graft.functions.FloatArrayDot.dot(vec, w)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
@@ -173,7 +173,7 @@ object Similarity {
     // rank cells by codegen'd dot distance proxy (cosine numerator over
     // unit-ish data); take the nProbe best as an array of cell ids
     val scored = centroids.map { case (cid, c) =>
-      val w = array(c.map(lit(_)): _*)
+      val w = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
       struct(graft.functions.FloatArrayDot.dot(vec, w).as("s"), lit(cid).as("cell"))
     }
     slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
