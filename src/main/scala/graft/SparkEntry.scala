@@ -741,6 +741,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // --- the registered SQL function surface, driven end-to-end through
+    //     spark.sql (the whole point of GraftFunctions/GraftExtensions is
+    //     that ANSI SQL pipelines can call these without the Column API)
+    register("p14_sql_functions",
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tok,
+         |  md5(array_to_string($toksLowerSql, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("p14_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_token_count(text) AS n_tok,
+          |  graft_fingerprint(text) AS fp
+          |FROM p14_docs ORDER BY doc_id""".stripMargin)
+    }
+
     // --- language ID (stopword-vote heuristic) + quality score
     val langs = stopwords.keys.toSeq.sorted
     def hitsSql(l: String) =
