@@ -625,7 +625,8 @@ object SparkEntry {
       val compiled = NlCompiler.compile(
         "top 20 where o_totalprice > 400000 by o_totalprice desc showing o_orderkey and o_totalprice",
         t(s, dir, "orders").columns.toSeq)
-      // NL grammar has no tie-break; append a deterministic one for the gate
+      // the compiled sort tie-breaks on EVERY remaining column; re-order
+      // to the oracle's simpler (primary, key) collation for the compare
       compiled.apply(t(s, dir, "orders"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }
@@ -681,7 +682,8 @@ object SparkEntry {
         "top 25 join with customer on o_custkey = c_custkey where c_mktsegment = BUILDING " +
           "by o_totalprice desc showing o_orderkey, o_totalprice and c_name",
         o.columns.toSeq, c.columns.toSeq)
-      // NL grammar has no tie-break; append a deterministic one for the gate
+      // the compiled sort tie-breaks on EVERY remaining column; re-order
+      // to the oracle's simpler (primary, key) collation for the compare
       compiled.apply(o, c).orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }
 
