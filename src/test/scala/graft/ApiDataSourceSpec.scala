@@ -48,4 +48,20 @@ class ApiDataSourceSpec extends SparkSpecBase {
     assert(df.rdd.getNumPartitions === 2)
     assert(df.count() === 2)
   }
+
+  test("runtime type drift past the sampled schema nulls the cell, not the scan") {
+    // schema sampled from URL 1 types id as BIGINT; URL 3 returns a string
+    // there — permissive contract: the cell nulls, every row survives
+    val dir = fixturesDir
+    FileFetcher.writeFixture(dir, "http://api/items/3",
+      """{"batch":3,"items":[{"id":"n/a","name":"d"}]}""")
+    val df = spark.read.format("graft-api")
+      .option("urls", "http://api/items/1,http://api/items/3")
+      .option("schemaSampleUrls", "1")
+      .option("fixtures", dir)
+      .load()
+    assert(df.count() === 3)
+    assert(df.filter(col("`items.id`").isNull).select(col("`items.name`"))
+      .as[String].collect().toSeq === Seq("d"))
+  }
 }
