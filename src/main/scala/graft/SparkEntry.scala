@@ -597,7 +597,7 @@ object SparkEntry {
   // §2.1 native operators exercised through the correctness gate
   // =================================================================
   private def nativeOperatorQueries(): Unit = {
-    import graft.core.{JsonFlatten, MagicTable, TableGraph}
+    import graft.core.{JsonFlatten, TableGraph}
     import graft.functions.NlCompiler
 
     // --- C3: the NL compiler drives a real query; oracle is the SQL the

@@ -2,7 +2,6 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.time.Instant
 import graft.sources.{ApiSource, Fetcher, FileFetcher, GenerativeSource, Source}
 import graft.functions.NlCompiler
 import graft.operators.Chain

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.core.{Jsons, TableGraph}
+import graft.core.Jsons
 import graft.sources.Fetcher
 
 /** The reference's signature operator: per-row parameterized API fan-out
