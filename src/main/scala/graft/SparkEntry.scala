@@ -954,6 +954,54 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // --- IVF ANN, oracle reproducing the whole pipeline: deterministic
+    //     md5-ordered sampled centroids, argmax-dot cell assignment (ties
+    //     to the HIGHER cell id, matching reverse(array_sort) on
+    //     (score, cell) structs), nProbe probing, exact cosine re-rank.
+    register("p15_embed_ivf",
+      """WITH cent AS (
+        |  SELECT cell, cv FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+        |           embedding AS cv
+        |    FROM embeddings) WHERE cell < 16),
+        |score AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS s
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |  FROM score),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 25),
+        |nrm AS (SELECT vec_id,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a USING (cell)
+        |  WHERE a.vec_id != p.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nq.n * nc.n) AS cosine
+        |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+        |            JOIN embeddings ec ON ec.vec_id = neighbor_id
+        |            JOIN nrm nq ON nq.vec_id = query_id
+        |            JOIN nrm nc ON nc.vec_id = neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 25), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // --- SimHash 64-bit signatures (bit voting over token md5 nibbles)
     register("p06_simhash",
       s"""WITH t AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
