@@ -58,8 +58,20 @@ object NlCompiler {
 
   private val aggRx =
     """(?i)\b(count|sum|total|avg|average|mean|min|max)\s+(?:of\s+)?(?:([a-z0-9_\.]+)\s+)?(?:per|grouped\s+by|group\s+by)\s+([a-z0-9_\.]+(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
+  // comparison ops take a value; null-checks must NOT (an optional value
+  // group after "is null" would swallow the next clause's keyword, and the
+  // agg branch strips whole matches from the remainder)
   private val filterRx =
-    """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(>=|<=|!=|=|>|<|is\s+null|is\s+not\s+null)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?""".r
+    """(?i)\bwhere\s+([a-zA-Z0-9_\.]+)\s*(?:(>=|<=|!=|=|>|<)\s*('[^']*'|"[^"]*"|[a-zA-Z0-9_\.\-]+)?|(is\s+(?:not\s+)?null))""".r
+
+  /** Normalized (op, value) of a filterRx match. */
+  private def filterOpValue(m: scala.util.matching.Regex.Match): (String, String) =
+    Option(m.group(2)) match {
+      case Some(cmp) =>
+        (cmp, Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
+      case None => (m.group(4).toLowerCase.replaceAll("\\s+", " "), "")
+    }
   private val dateRx =
     """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
 
@@ -106,9 +118,8 @@ object NlCompiler {
       }
       val preFilters = filterRx.findAllMatchIn(q).toSeq.flatMap { fm =>
         resolve(fm.group(1)).map { c =>
-          (c, fm.group(2).toLowerCase.replaceAll("\\s+", " "),
-            Option(fm.group(3)).map(_.stripPrefix("'")
-              .stripSuffix("'").stripPrefix("\"").stripSuffix("\"")).getOrElse(""))
+          val (op, v) = filterOpValue(fm)
+          (c, op, v)
         }
       }
       // date parses name INPUT columns — apply them before the groupBy
@@ -164,13 +175,21 @@ object NlCompiler {
         }
       }
 
-    val showCols = """(?i)\b(?:showing|show|select|return(?:ing)?)\s+((?:[a-z0-9_\.]+)(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
+    // filler words between the verb and the first column ("show me the id")
+    // are skipped so plain-English phrasing neither breaks the clause nor
+    // surfaces spurious warnings
+    val showCols = """(?i)\b(?:showing|show|select|return(?:ing)?)\s+(?:(?:me|us|the|all|only|just|columns?|of)\s+)*((?:[a-z0-9_\.]+)(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
       .findFirstMatchIn(lower).flatMap { m =>
         val toks = m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
-        val resolved = toks.flatMap(tok => resolve(tok))
-        toks.filter(t => resolve(t).isEmpty)
-          .foreach(t => warnings += s"projection column '$t' did not resolve")
-        if (resolved.nonEmpty) Some(resolved) else None
+        val resolved = toks.map(t => t -> resolve(t))
+        val hits = resolved.flatMap(_._2)
+        // warn only when the WHOLE clause resolved nothing: NL filler
+        // ("show me the n_name") routinely puts non-column words here, and
+        // a single resolved column means the user's intent was understood
+        if (hits.isEmpty) {
+          warnings += s"projection '${m.group(1)}' resolved no columns"
+          None
+        } else Some(hits)
       }
 
     // run against the ORIGINAL query (with (?i) flags), not the lowered
@@ -180,9 +199,8 @@ object NlCompiler {
       .findAllMatchIn(q).toSeq.flatMap { m =>
         resolve(m.group(1)) match {
           case Some(c) =>
-            Some((c, m.group(2).toLowerCase.replaceAll("\\s+", " "),
-              Option(m.group(3)).map(_.stripPrefix("'").stripSuffix("'")
-                .stripPrefix("\"").stripSuffix("\"")).getOrElse("")))
+            val (op, v) = filterOpValue(m)
+            Some((c, op, v))
           case None =>
             warnings += s"filter column '${m.group(1)}' did not resolve"
             None
@@ -335,18 +353,34 @@ object NlCompiler {
     val post = compile(rest, mergedCols)
 
     val fn: (DataFrame, DataFrame) => DataFrame = { (l, r0) =>
-      val r = dupRight.foldLeft(r0)((d, c) => d.drop(d(c)))
+      val outer = joinType == "right" || joinType == "full"
+      val sameKey = leftKey.equalsIgnoreCase(rightKey)
+      // inner/left/semi/anti: duplicate right columns add nothing — drop
+      // pre-join. right/full: KEEP them and coalesce per column below, so
+      // unmatched right rows keep their own values (key treated likewise).
+      val r = if (outer) r0 else dupRight.foldLeft(r0)((d, c) => d.drop(d(c)))
       val joined =
-        if (leftKey.equalsIgnoreCase(rightKey)) l.join(r, Seq(leftKey), joinType)
+        if (sameKey) l.join(r, Seq(leftKey), joinType)
+        else l.join(r, l(leftKey) === r(rightKey), joinType)
+      val out =
+        if (joinType.startsWith("left_")) joined // semi/anti: left cols only
         else {
-          // coalesce the two key columns so right/full-outer rows with no
-          // left match keep their key (Spark's using-join does the same)
-          val j = l.join(r, l(leftKey) === r(rightKey), joinType)
-          if (joinType == "right" || joinType == "full")
-            j.withColumn(leftKey, coalesce(l(leftKey), r(rightKey))).drop(r(rightKey))
-          else j.drop(r(rightKey))
+          val leftSide = leftCols.map { c =>
+            if (outer && dupRight.exists(_.equalsIgnoreCase(c)))
+              coalesce(l(c), r(c)).as(c)
+            else if (c.equalsIgnoreCase(leftKey) && !sameKey && outer)
+              coalesce(l(leftKey), r(rightKey)).as(leftKey)
+            else if (c.equalsIgnoreCase(leftKey) && sameKey)
+              col(s"`${c.replace("`", "``")}`") // using-join key, already coalesced
+            else l(c)
+          }
+          val rightSide = r.columns.toSeq
+            .filterNot(_.equalsIgnoreCase(rightKey))
+            .filterNot(c => leftCols.exists(_.equalsIgnoreCase(c)))
+            .map(c => r(c))
+          joined.select(leftSide ++ rightSide: _*)
         }
-      post.apply(joined)
+      post.apply(out)
     }
     val describe = (s"join=$joinType:$leftKey=$rightKey" +
       (if (dupRight.nonEmpty) s";dropRightDups=${dupRight.mkString("|")}" else "") +

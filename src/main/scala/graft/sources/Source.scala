@@ -127,9 +127,13 @@ case class GenerativeSource(query: String) extends Source {
 
   override def fetchRows(fetcher: Fetcher): Seq[String] = query match {
     case PageRange(a, b) =>
-      require(b.toLong - a.toLong + 1 <= MaxGeneratedRows,
+      val (lo, hi) = (a.toLong, b.toLong)
+      require(hi >= lo, s"page range $a..$b is inverted")
+      // check the DIFFERENCE (non-negative, cannot overflow), not count
+      // via +1, which wraps for hi = Long.MaxValue and bypasses the cap
+      require(hi - lo < MaxGeneratedRows,
         s"page range $a..$b exceeds $MaxGeneratedRows driver-side rows")
-      (a.toLong to b.toLong).map(p => Jsons.render(Map("page" -> p)))
+      (lo to hi).map(p => Jsons.render(Map("page" -> p)))
     case DateRange(a, b) =>
       val start = java.time.LocalDate.parse(a)
       val end = java.time.LocalDate.parse(b)

@@ -57,8 +57,13 @@ class ApiDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // reject unsupported leaf types UP FRONT: the runtime converter nulls
+    // cells on value drift (permissive contract), which would silently
+    // null an ENTIRE column whose declared type it can never produce
+    ApiDataSource.validateSupported(schema, path = "")
     new ApiTable(schema, new CaseInsensitiveStringMap(properties))
+  }
 }
 
 object ApiDataSource {
@@ -71,6 +76,22 @@ object ApiDataSource {
     new FileFetcher(Option(options.get("fixtures")).getOrElse(
       sys.env.getOrElse("GRAFT_FIXTURES",
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures").toString)))
+
+  /** Leaf types the runtime converter can actually produce. */
+  private[v2] def validateSupported(dt: org.apache.spark.sql.types.DataType, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | DoubleType | BooleanType => ()
+      case _: DecimalType => ()
+      case ArrayType(e, _) => validateSupported(e, s"$path[]")
+      case st: StructType =>
+        st.fields.foreach(f => validateSupported(f.dataType, s"$path.${f.name}"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-api cannot produce $other at '$path' — supported leaf types: " +
+            "string, long, int, double, boolean, decimal (and arrays/structs of those)")
+    }
+  }
 }
 
 class ApiTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -151,7 +172,13 @@ class ApiPartitionReader(urls: Seq[String], schema: StructType, fetcher: Fetcher
     // permissive like the JSON reader: a fractional value in a column the
     // sample inferred as integral becomes null, never a silent truncation
     case (x: Number, LongType) =>
-      if (x.doubleValue() == math.floor(x.doubleValue())) x.longValue() else null
+      val d = x.doubleValue()
+      // range-check too: Number.longValue() SATURATES an out-of-long
+      // double (1e300 -> Long.MaxValue) — fabricated extremes are worse
+      // than a null cell
+      if (d == math.floor(d) && !d.isInfinity &&
+        d >= -9.223372036854775e18 && d <= 9.223372036854775e18) x.longValue()
+      else null
     case (x: Number, IntegerType) =>
       // also range-check: intValue() would WRAP an out-of-int long
       if (x.doubleValue() == math.floor(x.doubleValue()) &&

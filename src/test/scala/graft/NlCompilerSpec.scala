@@ -185,6 +185,36 @@ class NlCompilerSpec extends SparkSpecBase {
       Seq(("u1", 1L), ("u2", 1L)))
   }
 
+  test("is-null filter does not swallow the following clause keyword (review regression)") {
+    val d = Seq(("u1", Some(1.0)), ("u1", None), ("u2", Some(2.0)), ("u2", Some(3.0)))
+      .toDF("user", "v")
+    // "by" after "is not null" must survive as the sort clause in the
+    // agg remainder, not be eaten as the filter's value
+    val c = NlCompiler.compile("count per user where v is not null by n desc",
+      d.columns.toSeq)
+    assert(c.describe.contains("orderBy=n:desc"), c.describe)
+    assert(c.apply(d).as[(String, Long)].collect().toSeq ===
+      Seq(("u2", 2L), ("u1", 1L)))
+  }
+
+  test("right join coalesces duplicate non-key columns for unmatched rows") {
+    val rightWithDup = custs.withColumn("total", lit(500.0))
+    val c = NlCompiler.compileJoin("right join on cust_id showing cname and total",
+      orders.columns.toSeq, rightWithDup.columns.toSeq)
+    val out = c.apply(orders, rightWithDup).orderBy("cname")
+      .as[(String, Double)].collect().toSeq
+    // cy has no orders: the RIGHT side's total must survive, not null
+    assert(out.contains(("cy", 500.0)))
+    // matched rows keep the LEFT total
+    assert(out.filter(_._1 == "ann").map(_._2).toSet === Set(10.0, 30.0))
+  }
+
+  test("NL filler words in a projection do not fail strict consumers") {
+    val c = NlCompiler.compile("show me the id where score > 25", df.columns.toSeq)
+    assert(c.warnings.isEmpty, c.warnings.mkString("; "))
+    assert(c.apply(df).columns.toSeq === Seq("id"))
+  }
+
   test("MagicTable.joinWithQuery records lineage from both tables") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_nljoin_wh").toString
     val graph = new graft.core.TableGraph(tmp)
