@@ -954,6 +954,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // --- exact percentiles (Spark `percentile` and DuckDB quantile_cont
+    //     share the (1-g)*a + g*b interpolation; rounded to 9 decimals for
+    //     cross-engine float identity)
+    register("q33_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 9) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 9) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 9).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 9).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }
+
     // --- IVF ANN, oracle reproducing the whole pipeline: deterministic
     //     md5-ordered sampled centroids, argmax-dot cell assignment (ties
     //     to the HIGHER cell id, matching reverse(array_sort) on
