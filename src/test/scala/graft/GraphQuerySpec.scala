@@ -51,6 +51,17 @@ class GraphQuerySpec extends SparkSpecBase {
     }
   }
 
+  test("profile carries name, columns, underscore fragments and source lineage") {
+    val g = freshGraph
+    val mt = new graft.core.MagicTable(
+      Seq((1, 2.0)).toDF("o_orderkey", "o_totalprice"), "orders_t",
+      Seq(graft.sources.ApiSource("http://api/orders")), g)
+    mt.register()
+    val p = GraphQuery.profile(spark, g.getNode("orders_t").get)
+    for (tok <- Seq("orders_t", "o_orderkey", "orderkey", "totalprice", "http://api/orders"))
+      assert(p.contains(tok), s"missing $tok in: $p")
+  }
+
   test("cosine normalizes (non-unit embedders rank by relevance, not magnitude)") {
     assert(GraphQuery.cosine(Array(2f, 0f), Array(4f, 0f)) === 1.0)
     assert(GraphQuery.cosine(Array(1f, 0f), Array(0f, 3f)) === 0.0)

@@ -81,4 +81,12 @@ class MagicTableSpec extends SparkSpecBase {
     assert(j.orderBy("order_id").as[(Int, String)].collect().toSeq ===
       Seq((100, "ann"), (101, "bob")))
   }
+
+  test("NotSoMagicTable.clearAllData wipes the target graph") {
+    val g = graph
+    MagicTable.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "t", g).register()
+    assert(g.getNode("t").isDefined)
+    graft.core.NotSoMagicTable.clearAllData(g)
+    assert(g.getNode("t").isEmpty && g.allChains.isEmpty)
+  }
 }
