@@ -127,7 +127,11 @@ class MagicTable(
     * on the joined frame. Lineage merges both tables' sources. */
   def joinWithQuery(other: MagicTable, query: String): MagicTable = {
     val compiled = NlCompiler.compileJoin(query, df.columns.toSeq, other.df.columns.toSeq)
-    graph.putTransformation(s"${name}_join_${other.name}_$query", compiled.describe)
+    // first-sight gating, like transform's: re-putting an identical entry
+    // would checkpoint the graph JSON to disk on EVERY call
+    val cacheKey = s"${name}_join_${other.name}_$query"
+    if (!graph.transformations.contains(cacheKey))
+      graph.putTransformation(cacheKey, compiled.describe)
     val out = compiled.apply(df, other.df)
     val newName = s"${name}_join_${other.name}"
     graph.addChain(ChainRecord(name, other.name, newName, "nl_join",

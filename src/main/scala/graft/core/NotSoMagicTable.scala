@@ -39,9 +39,13 @@ object NotSoMagicTable {
     /** NL transform (named transformNl: Dataset already has transform). */
     def transformNl(query: String): DataFrame = mt.transform(query).df
 
-    /** NL join against another plain DataFrame. */
+    /** NL join against another plain DataFrame. The right frame's label is
+      * plan-hashed like the left's ([[mt]]): a fixed "temp_label_other"
+      * would make transformation-cache keys collide across DIFFERENT right
+      * frames joined with the same query, each overwriting the last. */
     def joinWithQuery(other: DataFrame, query: String): DataFrame =
-      mt.joinWithQuery(MagicTable.fromDataFrame(other, "temp_label_other"), query).df
+      mt.joinWithQuery(MagicTable.fromDataFrame(other,
+        "temp_label_" + Jsons.md5Hex(other.queryExecution.logical.toString).take(12)), query).df
   }
 
   /** Wipe every cache level of a graph (reference notsomagictable.py:30-32,

@@ -1,7 +1,8 @@
 package graft.core
 
-import java.nio.file.{Files, Paths, Path}
+import java.nio.file.Paths
 import java.time.Instant
+import org.apache.hadoop.fs.{Path => HPath}
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,13 +72,19 @@ class TableGraph(
     checkpoint()
   }
 
-  Files.createDirectories(Paths.get(warehouseDir))
+  /** All warehouse IO goes through the Hadoop FileSystem API ([[Fs]]) so a
+    * warehouseDir of `hdfs://...` or `s3a://...` works exactly like a local
+    * path — `java.nio` must never touch a warehouse URI. Resolved lazily per
+    * op (cheap: FileSystem instances are cached by scheme+authority). */
+  private def hconf = Fs.driverConf()
+
+  Fs.mkdirs(warehouseDir, hconf)
   loadCheckpoint()
 
   // ------------------------------------------------------------ tables
 
   def tablePath(name: String): String =
-    Paths.get(warehouseDir, sanitize(name)).toString
+    new HPath(warehouseDir, sanitize(name)).toString
 
   private def sanitize(name: String): String = {
     val s = name.map(c => if (c.isLetterOrDigit || "._-".contains(c)) c else '_').take(200)
@@ -98,12 +105,14 @@ class TableGraph(
     // itself read from `path` (a cache-hydrated table), and Spark refuses
     // to overwrite a path that is also being read from
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(path)
-    deleteRecursively(target)
-    Files.move(Paths.get(tmp), target)
-    val count = df.sparkSession.read.parquet(path).count()
-    val node = TableNode(name, path, clock(), count, sourceInfo, metadata)
+    // row count rides the write job as an observed metric — re-reading the
+    // parquet just to count() would schedule a second job per registration,
+    // a needless driver round-trip when registering many tables
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite").parquet(tmp)
+    Fs.replace(tmp, path, hconf)
+    val cnt = obs.get("rows") match { case l: Long => l; case x => String.valueOf(x).toLong }
+    val node = TableNode(name, path, clock(), cnt, sourceInfo, metadata)
     nodes.put(name, node)
     checkpoint()
     node
@@ -151,17 +160,6 @@ class TableGraph(
 
   def allChains: Seq[ChainRecord] = synchronized { chains.toSeq }
 
-  /** Deepest-first recursive delete; the walk stream is closed before any
-    * deletion happens (an open stream holds directory handles, which on
-    * some filesystems blocks deleting the very dirs being walked). */
-  private def deleteRecursively(root: Path, keepRoot: Boolean = false): Unit = {
-    if (!Files.exists(root)) return
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(root)
-    val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-    paths.filterNot(p => keepRoot && p == root).foreach(Files.deleteIfExists(_))
-  }
-
   /** Wipe every cache level: nodes, chains, transformation cache, the
     * warehouse Parquet payloads, the per-URL response cache, and the
     * checkpoint (reference intent: notsomagictable.py:30-32 forwards
@@ -170,7 +168,7 @@ class TableGraph(
     nodes.clear()
     chains.clear()
     transformations.clear()
-    deleteRecursively(Paths.get(warehouseDir), keepRoot = true)
+    Fs.clearDir(warehouseDir, hconf)
     checkpoint()
   }
 
@@ -180,7 +178,7 @@ class TableGraph(
   def dropStages(): Unit = synchronized {
     val staged = nodes.values.filter(_.metadata.get("role").contains("stage")).toSeq
     staged.foreach { n =>
-      deleteRecursively(Paths.get(n.path))
+      Fs.delete(n.path, hconf)
       nodes.remove(n.name)
     }
     if (staged.nonEmpty) checkpoint()
@@ -189,7 +187,7 @@ class TableGraph(
   // ------------------------------------------------------------ URL cache
 
   /** The per-URL cache dir Chain wires into executor-side fetches. */
-  def urlCacheDir: String = Paths.get(warehouseDir, "_urls").toString
+  def urlCacheDir: String = new HPath(warehouseDir, "_urls").toString
 
   def getCachedUrl(url: String): Option[String] =
     graft.sources.UrlDiskCache.get(urlCacheDir, url)
@@ -199,7 +197,7 @@ class TableGraph(
 
   // ------------------------------------------------------------ persistence
 
-  private def checkpointPath = Paths.get(warehouseDir, "_graph.json")
+  private def checkpointPath = new HPath(warehouseDir, "_graph.json").toString
 
   private def checkpoint(): Unit = {
     val payload = Map(
@@ -209,13 +207,14 @@ class TableGraph(
         "source_info" -> n.sourceInfo, "metadata" -> n.metadata)),
       "chains" -> chains.toSeq.map(_.toJsonValue),
       "transformations" -> transformations.toMap)
-    Files.write(checkpointPath, Jsons.render(payload).getBytes("UTF-8"))
+    // atomic (temp+rename): a crash mid-checkpoint must not leave a torn
+    // _graph.json that loadCheckpoint would discard, losing the catalog
+    Fs.writeStringAtomic(checkpointPath, Jsons.render(payload), hconf)
   }
 
   private def loadCheckpoint(): Unit = {
-    if (!Files.exists(checkpointPath)) return
     try {
-      val raw = new String(Files.readAllBytes(checkpointPath), "UTF-8")
+      val raw = Fs.readString(checkpointPath, hconf).getOrElse(return)
       Jsons.parse(raw) match {
         case m: Map[String, Any] @unchecked =>
           m.get("nodes").collect { case ns: Seq[_] =>

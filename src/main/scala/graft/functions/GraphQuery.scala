@@ -50,7 +50,11 @@ object GraphQuery {
   }
 
   // profiles depend only on (table, registration time): memoize so a query
-  // against an N-table graph does not pay N parquet-footer reads every call
+  // against an N-table graph does not pay N parquet-footer reads every call.
+  // Keyed by PATH, not name: the map is JVM-global, and two graphs holding a
+  // same-named table created at the same instant (easy with the injectable
+  // fixed clock) must not serve each other's stale profile — the warehouse
+  // path is unique per graph.
   private val profileCache =
     new java.util.concurrent.ConcurrentHashMap[(String, java.time.Instant), String]()
 
@@ -62,7 +66,7 @@ object GraphQuery {
     val qv = embedder.embed(query)
     graph.allNodes.flatMap { n =>
       scala.util.Try(
-        profileCache.computeIfAbsent((n.name, n.createdAt), _ => profile(spark, n))
+        profileCache.computeIfAbsent((n.path, n.createdAt), _ => profile(spark, n))
       ) match {
         case scala.util.Success(p) => Some(n -> cosine(qv, embedder.embed(p)))
         case scala.util.Failure(e) =>
@@ -87,7 +91,24 @@ object GraphQuery {
       s"no table matches '$query' (best candidate ${best.name} scored 0)")
     val df = graph.getTable(spark, best.name).getOrElse(
       sys.error(s"table ${best.name} vanished from the graph"))
-    val compiled = NlCompiler.compile(query, df.columns.toSeq)
+    // natural phrasings mention the routed table in prose ("top 2 orders by
+    // total price") and the table word then lands inside a clause capture,
+    // fails to resolve, and strict mode would hard-error. Compile the query
+    // as written first; only if clauses were dropped, retry with the routed
+    // table's name tokens (±plural) stripped and keep the retry when IT
+    // resolves cleanly — queries that never mention the table are untouched.
+    val first = NlCompiler.compile(query, df.columns.toSeq)
+    val compiled =
+      if (first.warnings.isEmpty) first
+      else {
+        val nameToks = best.name.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .flatMap(t => Seq(t, t.stripSuffix("s"), t + "s")).toSet
+        val stripped = query.split("\\s+")
+          .filterNot(w => nameToks.contains(w.toLowerCase.replaceAll("[^a-z0-9]", "")))
+          .mkString(" ")
+        val second = NlCompiler.compile(stripped, df.columns.toSeq)
+        if (second.warnings.isEmpty && second.describe.nonEmpty) second else first
+      }
     require(compiled.describe.nonEmpty,
       s"query '$query' routed to table ${best.name} but no clause resolved " +
         s"against its columns [${df.columns.mkString(", ")}] — refusing to " +

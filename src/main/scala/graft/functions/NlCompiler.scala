@@ -34,7 +34,8 @@ object PromptBudget {
   *
   * Grammar (case-insensitive, clause order free):
   *   top|first|head <k>            -> limit k (after any sort)
-  *   by <col> [asc|desc]           -> orderBy (desc default for "top")
+  *   by <k1> [asc|desc][, <k2> [asc|desc]...] -> multi-key orderBy
+  *                                    (desc default for "top")
   *   unique|distinct by <col>      -> keep-first-after-sort dedup (window)
   *   show|showing|select <c1, c2 and c3>   -> projection
   *   where <col> <op> <value>      -> filter (op: = != > < >= <=, is null)
@@ -56,8 +57,17 @@ object NlCompiler {
   case class Compiled(describe: String, apply: DataFrame => DataFrame,
       warnings: Seq[String] = Nil)
 
+  // group tokens must EXCLUDE grammar keywords: the list joins with bare
+  // "and", so without the lookahead "count per region and top 5" captures
+  // "top" as a group column — resolve() drops it silently and replaceAllIn
+  // then strips the keyword, destroying the following clause
+  private val grammarKeyword =
+    "(?:top|first|head|show|showing|select|return|returning|where|parse|convert|by|unique|distinct|join|on)"
   private val aggRx =
-    """(?i)\b(count|sum|total|avg|average|mean|min|max)\s+(?:of\s+)?(?:([a-z0-9_\.]+)\s+)?(?:per|grouped\s+by|group\s+by)\s+([a-z0-9_\.]+(?:\s*(?:,|and)\s*[a-z0-9_\.]+)*)""".r
+    ("""(?i)\b(count|sum|total|avg|average|mean|min|max)\s+(?:of\s+)?(?:((?!""" + grammarKeyword +
+      """\b)[a-z0-9_\.]+)\s+)?(?:per|grouped\s+by|group\s+by)\s+((?!""" + grammarKeyword +
+      """\b)[a-z0-9_\.]+(?:\s*(?:,|and)\s*(?!""" + grammarKeyword +
+      """\b)[a-z0-9_\.]+)*)""").r
   // comparison ops take a value; null-checks must NOT (an optional value
   // group after "is null" would swallow the next clause's keyword, and the
   // agg branch strips whole matches from the remainder)
@@ -75,6 +85,28 @@ object NlCompiler {
   private val dateRx =
     """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
 
+  /** Deterministic-order tie-break sorts on at most this many remaining
+    * columns: enough to pin a total order on every realistic key set (the
+    * TPC-H tables all carry a unique key inside their first 8 columns)
+    * without making the sort key the WHOLE row on wide schemas — at scale a
+    * 100-column tie-break key would dominate the shuffle write. */
+  val MaxTieBreakCols = 8
+
+  // sort keys: multi-word column phrases whose words are never grammar
+  // keywords, direction words, or the list separator — the clause capture
+  // then stops on its own right before the next clause ("by price top 5")
+  private val sortDir = "(?:asc|desc|ascending|descending)"
+  private val sortWord =
+    "(?!" + grammarKeyword + "\\b|and\\b|" + sortDir + "\\b)[a-z0-9_\\.]+"
+  private val sortPhrase = sortWord + "(?:\\s+" + sortWord + ")*"
+  /** `by k1 [dir] [, k2 [dir] ...]` — multi-key, pandas
+    * sort_values(["k1","k2"], ascending=[...]) analogue; the reference's LLM
+    * path routinely emits multi-key sorts. */
+  private val sortClauseRx =
+    ("(?i)\\bby\\s+(" + sortPhrase + "(?:\\s+" + sortDir + ")?" +
+      "(?:\\s*(?:,|\\band\\b)\\s*" + sortPhrase + "(?:\\s+" + sortDir + ")?)*)").r
+  private val sortSegRx = ("""(?i)^(.*?)(?:\s+(""" + sortDir + """))?$""").r
+
   def compile(query: String, columns: Seq[String]): Compiled = {
     val q = " " + query.trim + " "
     val lower = q.toLowerCase
@@ -85,6 +117,25 @@ object NlCompiler {
       columns.find(_.equalsIgnoreCase(n))
         .orElse(columns.find(_.equalsIgnoreCase(n.replace(' ', '_'))))
         .orElse(columns.find(c => c.equalsIgnoreCase(n + "s") || (c + "s").equalsIgnoreCase(n)))
+        .orElse {
+          // separator-insensitive fallback for NL phrases vs TPC-H-style
+          // prefixed columns: "total price" -> o_totalprice. The comparison
+          // strips [_ .] and drops the single-letter table prefix, but stays
+          // EXACT on the remainder (±plural) — a bare "price" must not
+          // suffix-match o_totalprice and silently widen the query.
+          val flat = n.toLowerCase.replaceAll("[ _\\.]", "")
+          val wanted = Set(flat, flat.stripSuffix("s"))
+          columns.find { c =>
+            val cl = c.toLowerCase
+            val whole = cl.replaceAll("[_\\.]", "")
+            val noPrefix = cl.split("[_\\.]", 2) match {
+              case Array(_, rest) => rest.replaceAll("[_\\.]", "")
+              case _ => whole
+            }
+            wanted.contains(whole) || wanted.contains(noPrefix) ||
+              wanted.contains(whole.stripSuffix("s")) || wanted.contains(noPrefix.stripSuffix("s"))
+          }
+        }
     }
 
     // ---- aggregation clause: handled by recursion ------------------------
@@ -97,8 +148,15 @@ object NlCompiler {
       val m = aggM.get
       val fn = m.group(1).toLowerCase
       val valCol = Option(m.group(2)).map(_.trim).filter(_.nonEmpty).flatMap(resolve)
-      val groupCols = m.group(3).split("""(?i)\s*(?:,|\band\b)\s*""").toSeq
-        .flatMap(g => resolve(g))
+      val groupToks = m.group(3).split("""(?i)\s*(?:,|\band\b)\s*""").toSeq
+      val groupResolved = groupToks.map(g => g -> resolve(g))
+      val groupCols = groupResolved.flatMap(_._2)
+      // no-silent-drop contract: a group token that parsed but failed to
+      // resolve surfaces as a warning — strict callers (GraphQuery.queryNl)
+      // refuse to run rather than silently group by fewer columns
+      val groupWarnings = groupResolved.collect {
+        case (tok, None) => s"group column '$tok' did not resolve"
+      }
       require(groupCols.nonEmpty, s"no resolvable grouping column in: ${m.group(3)}")
       def gref(c: String) = col(s"`${c.replace("`", "``")}`")
       val (aggCol, outName) = fn match {
@@ -144,7 +202,7 @@ object NlCompiler {
           d.filter(comparison(gref(c), op, v))
         }
         post.apply(filtered.groupBy(groupCols.map(gref): _*).agg(aggCol.as(outName)))
-      }, post.warnings)
+      }, groupWarnings ++ post.warnings)
     }
 
     // ---- parse clauses ----------------------------------------------------
@@ -157,22 +215,26 @@ object NlCompiler {
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // the unique-clause's own "by" must not be mistaken for the sort clause.
-    // The terminator set must include EVERY clause keyword — a keyword the
-    // lazy capture can swallow silently kills the sort (review regression:
-    // "by price top 5" used to limit unsorted rows).
+    // Every phrase word excludes clause keywords (sortWord), so the capture
+    // stops on its own before the next clause — a keyword the capture could
+    // swallow silently kills the sort (review regression: "by price top 5"
+    // used to limit unsorted rows).
     val sortSearch = uniqueRx.replaceAllIn(lower, " ")
-    val sortCol = ("""(?i)\bby\s+([a-z0-9_\. ]+?)(?:\s+(asc|desc|ascending|descending))?\s*""" +
-      """(?:,|\band\b|\btop\b|\bfirst\b|\bhead\b|\bshow|\bselect\b|\breturn|\bwhere\b|\bparse\b|\bconvert\b|$)""").r
-      .findFirstMatchIn(sortSearch)
-      .flatMap { m =>
-        resolve(m.group(1)) match {
-          case Some(c) =>
-            val asc = Option(m.group(2)).exists(s => s.startsWith("asc"))
-            Some((c, asc))
-          case None =>
-            warnings += s"sort column '${m.group(1).trim}' did not resolve"
-            None
-        }
+    val sortKeys: Seq[(String, Boolean)] =
+      sortClauseRx.findFirstMatchIn(sortSearch).toSeq.flatMap { m =>
+        m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
+          .map(_.trim).filter(_.nonEmpty).flatMap { seg =>
+            val sm = sortSegRx.findFirstMatchIn(seg).get
+            resolve(sm.group(1)) match {
+              case Some(c) =>
+                // desc default: "top 5 by price" means highest-first
+                val asc = Option(sm.group(2)).exists(_.toLowerCase.startsWith("asc"))
+                Some((c, asc))
+              case None =>
+                warnings += s"sort column '${sm.group(1).trim}' did not resolve"
+                None
+            }
+          }
       }
 
     // filler words between the verb and the first column ("show me the id")
@@ -228,14 +290,17 @@ object NlCompiler {
       filters.foreach { case (c, op, v) =>
         df = df.filter(comparison(cref(c), op, v))
       }
-      val ordered = sortCol match {
-        case Some((c, asc)) =>
-          val primary = if (asc) cref(c).asc else cref(c).desc
+      val ordered =
+        if (sortKeys.nonEmpty) {
+          val primary = sortKeys.map { case (c, asc) => if (asc) cref(c).asc else cref(c).desc }
           // pandas keep='first' depends on input order, which has no
           // distributed equivalent; pin a DETERMINISTIC total order by
-          // tie-breaking on every remaining column ascending.
-          val tieBreak = df0.columns.toSeq.filterNot(_ == c).map(cref(_).asc)
-          val ord = primary +: tieBreak
+          // tie-breaking on remaining columns ascending — capped at
+          // MaxTieBreakCols so a wide schema never sorts whole rows.
+          val named = sortKeys.map(_._1).toSet
+          val tieBreak = df0.columns.toSeq.filterNot(named)
+            .take(MaxTieBreakCols).map(cref(_).asc)
+          val ord = primary ++ tieBreak
           uniqueBy match {
             case Some(u) =>
               // drop_duplicates(subset=u, keep='first' after sort) — Spark's
@@ -246,15 +311,15 @@ object NlCompiler {
                 .orderBy(ord: _*)
             case None => df.orderBy(ord: _*)
           }
-        case None =>
+        } else {
           uniqueBy.map(u => df.dropDuplicates(u)).getOrElse(df)
-      }
+        }
       val limited = topK.map(ordered.limit).getOrElse(ordered)
       showCols.map(cs => limited.select(cs.map(cref): _*)).getOrElse(limited)
     }
 
     topK.foreach(k => steps += s"limit=$k")
-    sortCol.foreach { case (c, asc) => steps += s"orderBy=$c:${if (asc) "asc" else "desc"}" }
+    sortKeys.foreach { case (c, asc) => steps += s"orderBy=$c:${if (asc) "asc" else "desc"}" }
     uniqueBy.foreach(c => steps += s"dedupKeepFirst=$c")
     showCols.foreach(cs => steps += s"select=${cs.mkString("|")}")
     filters.foreach { case (c, op, v) => steps += s"filter=$c$op$v" }

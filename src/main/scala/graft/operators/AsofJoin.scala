@@ -1,30 +1,45 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** As-of (backward) join: each left row picks up the most recent right row
-  * with rightTs <= leftTs for the same key. The reference exposes Polars'
-  * join_asof only through the blanket method wrapper (SURVEY.md §2.2 joins
-  * table); Spark has no native asof join, and a naive range join explodes
-  * into BroadcastNestedLoop. This is the scalable union+window technique:
+/** As-of join: each left row picks up the right row with the nearest
+  * timestamp for the same key, under one of three strategies (Polars
+  * join_asof(strategy=...) — the reference exposes it through the blanket
+  * method wrapper, SURVEY.md §2.2 joins table):
+  *
+  *   - backward (default): most recent right with rightTs <= leftTs
+  *   - forward:            earliest right with rightTs >= leftTs
+  *   - nearest:            whichever of the two is closer in time
+  *                         (tie -> backward; needs a numeric/timestamp
+  *                         order column for the distance arithmetic)
+  *
+  * Spark has no native asof join, and a naive range join explodes into
+  * BroadcastNestedLoop. This is the scalable union+window technique:
   *
   *   union both sides tagged by origin -> ONE shuffle by key ->
   *   last(struct(values), ignoreNulls) over (key ORDER BY time, side) ->
   *   keep left, project the struct fields
   *
+  * Forward is the same scan mirrored (ORDER BY time DESC, nulls first so a
+  * null left timestamp still matches nothing); nearest evaluates both
+  * windows over the SAME key partitioning — one exchange, two in-partition
+  * sorts — and picks per row by absolute time distance.
+  *
   * The values ride in ONE struct so every output column comes from the SAME
-  * most-recent right row — a NULL in one value column of the matched row
+  * matched right row — a NULL in one value column of the matched row
   * surfaces as NULL (DuckDB ASOF JOIN row semantics), instead of
   * per-column forward-filling an older row's value.
   *
-  * Cost is a single hash partition + per-partition sort — linear, no pair
-  * blow-up, skew handled by AQE like any window. Right rows sort BEFORE
-  * left rows at equal timestamps, so an exact-timestamp match is taken
-  * (DuckDB ASOF `l.ts >= r.ts` semantics).
+  * Cost is a single hash partition + per-partition sort(s) — linear, no
+  * pair blow-up, skew handled by AQE like any window. Right rows sort
+  * BEFORE left rows at equal timestamps, so an exact-timestamp match is
+  * taken by every strategy (DuckDB ASOF `l.ts >= r.ts` semantics).
   */
 object AsofJoin {
+
+  val Strategies: Set[String] = Set("backward", "forward", "nearest")
 
   /** @param valueCols right-side columns to attach (surfaced as
     *                  `asof_<name>`); must not collide with left columns.
@@ -35,17 +50,24 @@ object AsofJoin {
       keyCols: Seq[String],
       leftTsCol: String,
       rightTsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      strategy: String = "backward"): DataFrame = {
+    require(Strategies.contains(strategy),
+      s"unknown asof strategy '$strategy' (one of ${Strategies.mkString("/")})")
     require(keyCols.nonEmpty, "asof join needs at least one equi-key")
     val leftCols = left.columns.toSeq
     require(valueCols.forall(v => !leftCols.contains(s"asof_$v")),
       s"output columns ${valueCols.map("asof_" + _).mkString(",")} collide with left columns")
-    require(!(leftCols ++ valueCols).exists(Set("__t", "__side", "__asof").contains),
-      "__t/__side/__asof are reserved helper names in asof join")
+    require(!(leftCols ++ valueCols).exists(Set("__t", "__side", "__asof", "__ts").contains),
+      "__t/__side/__asof/__ts are reserved helper names in asof join")
 
     // One struct per right row (never null, even if every value inside is
     // null) so last(ignoreNulls) selects whole ROWS, not per-column values.
+    // The matched row's own timestamp rides along as __ts — nearest needs
+    // it for the distance compare; the final projection drops it.
     val asofType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "__ts", right.schema(rightTsCol).dataType, nullable = true) +:
       valueCols.map(v => org.apache.spark.sql.types.StructField(
         v, right.schema(v).dataType, nullable = true)))
 
@@ -55,8 +77,8 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col("__t") :+ col("__side") :+
         lit(null).cast(asofType).as("__asof"): _*)
     val r = right
-      // a null right timestamp can never satisfy l.ts >= r.ts (DuckDB ASOF
-      // comparison semantics) — but unfiltered it would sort FIRST under
+      // a null right timestamp can never satisfy either comparison (DuckDB
+      // ASOF semantics) — but unfiltered it would sort FIRST under
       // nulls-first ascending and back-fill every pre-first-event left row
       .filter(col(rightTsCol).isNotNull)
       .withColumn("__t", col(rightTsCol))
@@ -65,13 +87,39 @@ object AsofJoin {
         if (keyCols.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } :+ col("__t") :+ col("__side") :+
-        struct(valueCols.map(v => col(v).as(v)): _*).as("__asof"): _*)
+        struct(col(rightTsCol).as("__ts") +:
+          valueCols.map(v => col(v).as(v)): _*).as("__asof"): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+    def win(ord: Seq[Column]) = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward scan: time ascending (nulls first: a null LEFT timestamp
+    // precedes every right row and matches nothing)
+    val wB = win(Seq(col("__t").asc, col("__side").asc))
+    // forward scan: the mirror — time descending with nulls FIRST for the
+    // same null-left-timestamp reason (desc defaults to nulls last, which
+    // would hand null-ts rows the smallest right timestamp)
+    val wF = win(Seq(col("__t").desc_nulls_first, col("__side").asc))
+
+    val backward = last(col("__asof"), ignoreNulls = true).over(wB)
+    val forward = last(col("__asof"), ignoreNulls = true).over(wF)
+    val picked: Column = strategy match {
+      case "backward" => backward
+      case "forward" => forward
+      case "nearest" =>
+        // double works for every numeric and timestamp order column (dates
+        // would need a cast by the caller); strict < means a tie keeps the
+        // backward match — the deterministic rule this engine documents
+        def dist(s: Column) =
+          abs(col("__t").cast("double") - s.getField("__ts").cast("double"))
+        when(backward.isNull, forward)
+          .when(forward.isNull, backward)
+          .when(dist(forward) < dist(backward), forward)
+          .otherwise(backward)
+    }
+
     l.unionByName(r)
-      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .withColumn("__asof", picked)
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)

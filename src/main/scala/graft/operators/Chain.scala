@@ -64,13 +64,20 @@ object Chain {
       urlCacheDir: Option[String],
       maxSleepMs: Long = 30000L): Dataset[String] = {
     import urls.sparkSession.implicits._
+    // ship the session's Hadoop conf into the task closure so the executor
+    // resolves the cache dir on the SAME filesystem (HDFS/S3 credentials
+    // included) as the driver — a bare `new Configuration()` on an executor
+    // would miss spark.hadoop.* overrides and fork the cache per-node
+    val hconf = new graft.core.SerializableHadoopConf(
+      urls.sparkSession.sparkContext.hadoopConfiguration)
     urls.mapPartitions { it =>
+      val conf = hconf.value
       it.flatMap { url =>
-        val cached = urlCacheDir.flatMap(dir => graft.sources.UrlDiskCache.get(dir, url))
+        val cached = urlCacheDir.flatMap(dir => graft.sources.UrlDiskCache.get(dir, url, conf))
         val body = cached.orElse {
           val fetched = fetcher.fetchWithRetry(url, maxSleepMs = maxSleepMs)
           for (dir <- urlCacheDir; b <- fetched)
-            graft.sources.UrlDiskCache.put(dir, url, b)
+            graft.sources.UrlDiskCache.put(dir, url, b, conf)
           fetched
         }
         // flatten each response like the reference does BEFORE exploding
@@ -144,14 +151,19 @@ object Chain {
         // broadcast hint would bypass Spark's size checks and OOM. Decide
         // by BYTES, not row count: a handful of rows with megabyte JSON
         // payloads must not be driver-collected. octet_length counts UTF-8
-        // bytes (length counts chars — up to 4x off on multibyte text); the
-        // parsed struct rows broadcast larger than their JSON text, so keep
-        // maxBroadcastBytes well under the real driver budget. The size
+        // bytes (length counts chars — up to 4x off on multibyte text). What
+        // actually broadcasts is the PARSED-STRUCT respDf, whose in-memory
+        // rows can be several x larger than their JSON text (per-field
+        // object headers, UTF8String copies, null bitmaps) — so the text
+        // bytes are compared against the budget with a 4x expansion
+        // headroom: 64 MB budget admits <=16 MB of response text. The size
         // scan is cheap — respLines is already persisted.
         val respBytes = respLines.toDF("value")
           .agg(coalesce(sum(octet_length($"value")), lit(0L)).cast("long")).as[Long].head()
+        val structExpansionHeadroom = 4L
         val respSide =
-          if (respBytes <= maxBroadcastBytes) broadcast(respDf) else respDf
+          if (respBytes * structExpansionHeadroom <= maxBroadcastBytes) broadcast(respDf)
+          else respDf
         val joined = withUrl.join(respSide, Seq("__url"), "left")
         val respFields = respDf.schema("resp").dataType match {
           case st: org.apache.spark.sql.types.StructType => st.fields.toSeq

@@ -1,34 +1,40 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-import graft.core.Jsons
+import org.apache.hadoop.conf.Configuration
+import graft.core.{Fs, Jsons}
 
 /** THE per-URL response cache layout: one file `<md5(url)>.json` under a
   * cache dir. Single definition shared by the executor-side fetch path
   * (Chain.fetchResponses) and the driver-side TableGraph accessors — a
   * second copy of the key scheme would silently fork the cache the moment
-  * either drifted. Executor-safe: plain java.nio, no Spark state. */
+  * either drifted.
+  *
+  * All IO goes through the Hadoop FileSystem API ([[graft.core.Fs]]) so the
+  * cache is CLUSTER-shared when the warehouse lives on HDFS/S3, not per-node:
+  * executors pass the session's Hadoop conf (via [[graft.core.SerializableHadoopConf]])
+  * and hit the same store the driver registered. No `java.nio.file` on this
+  * path. Write atomicity (temp + rename, torn reads impossible) is preserved
+  * by [[Fs.writeStringAtomic]]; concurrent writers of one URL race benignly —
+  * first writer wins, the loser's temp is discarded.
+  */
 object UrlDiskCache {
 
-  def path(dir: String, url: String): Path =
-    Paths.get(dir, Jsons.md5Hex(url) + ".json")
+  def path(dir: String, url: String): String =
+    dir + "/" + Jsons.md5Hex(url) + ".json"
 
-  def get(dir: String, url: String): Option[String] = {
-    val p = path(dir, url)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8")) else None
-  }
+  def get(dir: String, url: String, conf: Configuration): Option[String] =
+    Fs.readString(path(dir, url), conf)
 
-  def put(dir: String, url: String, body: String): Unit = {
-    val p = path(dir, url)
-    Files.createDirectories(p.getParent)
-    // write-to-temp + atomic move: concurrent fetchers of the same URL (a
-    // chain fan-out across partitions) must never observe a half-written
-    // body — a torn read would poison the cache for every future run
-    val tmp = Files.createTempFile(p.getParent, ".url-", ".tmp")
-    try {
-      Files.write(tmp, body.getBytes("UTF-8"))
-      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.deleteIfExists(tmp)
-  }
+  def put(dir: String, url: String, body: String, conf: Configuration): Unit =
+    // overwrite=false: an existing entry for this URL is already the cached
+    // truth; replacing it buys nothing and widens the race window
+    Fs.writeStringAtomic(path(dir, url), body, conf, overwrite = false)
+
+  // Driver-side convenience (TableGraph accessors): resolve the active
+  // session's Hadoop conf so spark.hadoop.* credentials apply.
+  def get(dir: String, url: String): Option[String] =
+    get(dir, url, Fs.driverConf())
+
+  def put(dir: String, url: String, body: String): Unit =
+    put(dir, url, body, Fs.driverConf())
 }

@@ -61,6 +61,66 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out === Seq(None)) // t=5 precedes every REAL right ts -> no match
   }
 
+  test("forward asof: earliest right row at or after each left timestamp") {
+    val left = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(20)), (1L, ts(40)), (2L, ts(10))
+    ).toDF("k", "t")
+    val right = Seq(
+      (1L, ts(5), "a"), (1L, ts(10), "b"), (1L, ts(30), "c"), (3L, ts(0), "z")
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "forward")
+      .orderBy("k", "t").select("k", "asof_v").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("a")),  // t=0: earliest >= 0 is t=5
+      (1L, Some("b")),  // t=10: exact match taken
+      (1L, Some("c")),  // t=20: earliest >= 20 is t=30
+      (1L, None),       // t=40: nothing at or after
+      (2L, None)))      // no right rows for key 2
+  }
+
+  test("nearest asof: closer of backward/forward wins; tie keeps backward") {
+    val left = Seq(
+      (1L, ts(6)),   // 1 from rt=5, 4 from rt=10 -> backward "a"
+      (1L, ts(9)),   // 4 from rt=5, 1 from rt=10 -> forward "b"
+      (1L, ts(20)),  // 10 from rt=10, 10 from rt=30 -> TIE -> backward "b"
+      (1L, ts(50)),  // only backward exists -> "c"
+      (1L, ts(2)),   // only forward exists at k=1? no: rt=5 is forward of 2 -> "a"
+      (2L, ts(10))   // no right rows for key 2
+    ).toDF("k", "t")
+    val right = Seq(
+      (1L, ts(5), "a"), (1L, ts(10), "b"), (1L, ts(30), "c")
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "nearest")
+      .orderBy("k", "t").select("k", "asof_v").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("a")),  // t=2: nothing before, forward a
+      (1L, Some("a")),  // t=6
+      (1L, Some("b")),  // t=9
+      (1L, Some("b")),  // t=20 tie -> backward
+      (1L, Some("c")),  // t=50
+      (2L, None)))
+  }
+
+  test("forward: null left timestamp matches nothing (desc nulls-first scan)") {
+    val left = Seq(
+      (1L, Option.empty[Timestamp]), (1L, Option(ts(0)))
+    ).toDF("k", "t")
+    val right = Seq((1L, ts(5), 1.0)).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "forward")
+      .orderBy(org.apache.spark.sql.functions.col("t").asc_nulls_first)
+      .select("asof_v").as[Option[Double]].collect().toSeq
+    // the null-ts row must NOT pick up the smallest right timestamp
+    assert(out === Seq(None, Some(1.0)))
+  }
+
+  test("unknown strategy is rejected") {
+    val left = Seq((1L, ts(0))).toDF("k", "t")
+    val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "sideways")
+    }
+  }
+
   test("output-name collision (asof_<v>) is rejected; same bare name is fine") {
     val left = Seq((1L, ts(0), "x")).toDF("k", "t", "asof_v")
     val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")

@@ -36,6 +36,22 @@ class GraphQuerySpec extends SparkSpecBase {
     assert(out.as[(Int, Double)].collect().toSeq === Seq((101, 30.0), (102, 20.0)))
   }
 
+  test("queryNl handles natural phrasing that mentions the routed table") {
+    // "orders" is prose (the routing hint), "total price" is a phrase form
+    // of total_price — strict mode must compile this, not hard-error
+    val out = GraphQuery.queryNl(spark, seeded, "top 2 orders by total price")
+    assert(out.select("order_id").as[Int].collect().toSeq === Seq(101, 102))
+  }
+
+  test("queryNl strips the routed table's name tokens when they block a clause") {
+    // "customers" is the routing hint but lands inside the show-clause
+    // capture, resolves to no column, and would hard-error strict mode —
+    // the retry with table-name tokens stripped must recover it
+    val out = GraphQuery.queryNl(spark, seeded, "show customers names and segment")
+    assert(out.columns.toSeq === Seq("cust_name", "segment"))
+    assert(out.as[(String, String)].collect().toSet === Set(("ann", "emea"), ("bob", "amer")))
+  }
+
   test("queryNl refuses an empty graph") {
     intercept[IllegalArgumentException] {
       GraphQuery.queryNl(spark, freshGraph, "top 5 anything")

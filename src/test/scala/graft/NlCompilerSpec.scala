@@ -209,6 +209,53 @@ class NlCompilerSpec extends SparkSpecBase {
     assert(out.filter(_._1 == "ann").map(_._2).toSet === Set(10.0, 30.0))
   }
 
+  test("multi-key sort: 'by k1 asc, k2 desc' orders by both keys") {
+    val c = NlCompiler.compile("by grp asc, score desc showing id", df.columns.toSeq)
+    assert(c.describe.contains("orderBy=grp:asc") && c.describe.contains("orderBy=score:desc"),
+      c.describe)
+    assert(c.apply(df).as[Int].collect().toSeq === Seq(2, 1, 4, 3))
+  }
+
+  test("multi-key sort accepts 'and' as the key separator") {
+    val c = NlCompiler.compile("top 3 by grp and score showing id", df.columns.toSeq)
+    // desc default for both keys: b before a, high score first
+    assert(c.apply(df).as[Int].collect().toSeq === Seq(4, 3, 2))
+  }
+
+  test("agg group list does not swallow a following clause keyword ('and top 5')") {
+    val c = NlCompiler.compile("count per grp and top 1", df.columns.toSeq)
+    assert(c.describe.contains("by=grp") && !c.describe.contains("top"), c.describe)
+    assert(c.describe.contains("limit=1"), c.describe)
+    assert(c.warnings.isEmpty, c.warnings.mkString("; "))
+    assert(c.apply(df).count() === 1)
+  }
+
+  test("unresolved agg group token surfaces a warning, not a silent drop") {
+    val c = NlCompiler.compile("count per grp and bogus", df.columns.toSeq)
+    assert(c.warnings.exists(_.contains("bogus")), c.warnings.mkString("; "))
+  }
+
+  test("space-separated column phrase resolves against a prefixed column") {
+    val d = Seq((1, 30.0), (2, 10.0)).toDF("o_orderkey", "o_totalprice")
+    val c = NlCompiler.compile("top 1 by total price showing o_orderkey", d.columns.toSeq)
+    assert(c.warnings.isEmpty, c.warnings.mkString("; "))
+    assert(c.apply(d).as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("deterministic tie-break is capped at MaxTieBreakCols on wide schemas") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val wide = (0 until 20).foldLeft(spark.range(3).toDF("k")) {
+      (d, i) => d.withColumn(s"x$i", lit(i))
+    }
+    val c = NlCompiler.compile("by k desc", wide.columns.toSeq)
+    val orderLens = c.apply(wide).queryExecution.analyzed.collect {
+      case s: Sort => s.order.length
+    }
+    assert(orderLens.nonEmpty)
+    assert(orderLens.forall(_ <= 1 + NlCompiler.MaxTieBreakCols),
+      s"sort key widths: $orderLens")
+  }
+
   test("NL filler words in a projection do not fail strict consumers") {
     val c = NlCompiler.compile("show me the id where score > 25", df.columns.toSeq)
     assert(c.warnings.isEmpty, c.warnings.mkString("; "))

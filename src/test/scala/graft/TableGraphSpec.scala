@@ -79,4 +79,46 @@ class TableGraphSpec extends SparkSpecBase {
     assert(g.transformations.contains("scores_top 2 by score desc showing id"))
     assert(g.getChains("scores").exists(_.chainType === "transform"))
   }
+
+  test("addTable schedules exactly ONE Spark job (row count rides the write)") {
+    val g = new TableGraph(freshDir)
+    // a re-read count() after the write would be a second scheduled job per
+    // registration — at many-table registration scale that's a driver
+    // round-trip per table for a number the write already knows
+    spark.sparkContext.setJobGroup("graft-addtable-onejob", "addTable", false)
+    val node = try g.addTable("jobs", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    finally spark.sparkContext.clearJobGroup()
+    assert(node.rowCount === 3)
+    val ids = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-addtable-onejob")
+    assert(ids.length === 1, s"addTable ran ${ids.length} jobs, expected 1")
+  }
+
+  test("warehouse on a file: URI works end-to-end (Hadoop FileSystem path)") {
+    // the warehouse swap, checkpoint and URL cache must go through the
+    // Hadoop FS API so an hdfs:// or s3a:// warehouseDir behaves like a
+    // local one; a file: URI exercises that code path (java.nio would
+    // reject or mangle the scheme)
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_fswh").toString
+    val g = new TableGraph(dir)
+    g.addTable("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    g.putCachedUrl("http://u/1", """{"a":1}""")
+    g.putTransformation("t_q", "limit=5")
+    assert(g.getTable(spark, "t").get.count() === 2)
+    assert(g.getCachedUrl("http://u/1") === Some("""{"a":1}"""))
+    // re-registering the same table replaces the payload (Fs.replace)
+    g.addTable("t", Seq((9, "z")).toDF("id", "v"))
+    assert(g.getTable(spark, "t").get.as[(Int, String)].collect().toSeq === Seq((9, "z")))
+    // checkpoint round-trips through the same FS
+    val reloaded = new TableGraph(dir)
+    assert(reloaded.getNode("t").map(_.rowCount) === Some(1L))
+    assert(reloaded.transformations.get("t_q") === Some("limit=5"))
+  }
+
+  test("URL cache put is first-writer-wins (idempotent entries, benign races)") {
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_fsurl").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.sources.UrlDiskCache.put(dir, "http://x/1", """{"a":1}""", conf)
+    graft.sources.UrlDiskCache.put(dir, "http://x/1", """{"a":2}""", conf)
+    assert(graft.sources.UrlDiskCache.get(dir, "http://x/1", conf) === Some("""{"a":1}"""))
+  }
 }
