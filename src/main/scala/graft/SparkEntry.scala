@@ -700,6 +700,53 @@ object SparkEntry {
         .withColumnRenamed("props.k", "k")
         .orderBy(col("event_id"))
     }
+
+    // --- C1: the signature operator, oracle-gated end-to-end. A fixture
+    //     dir seeded DETERMINISTICALLY (function of n_nationkey; key 24
+    //     deliberately missing) stands in for the remote API; the chain
+    //     runs URL-build -> executor fetch -> flatten -> fan-out -> api_*
+    //     prefix -> left join, and the oracle SQL reproduces the SAME
+    //     output from the seeding rule alone — rows for key 24 must
+    //     survive with all-null api_* (fetch-exhaustion contract,
+    //     magictable.py:340,389), list responses fan out 2x.
+    register("c1_chain",
+      """WITH resp AS (
+        |  SELECT n_nationkey AS k, idx,
+        |         n_nationkey * 10 + idx AS score,
+        |         'n' || CAST(n_nationkey AS VARCHAR) || '_' || CAST(idx AS VARCHAR) AS tag
+        |  FROM nation CROSS JOIN (SELECT unnest([1, 2]) AS idx)
+        |  WHERE n_nationkey < 24
+        |)
+        |SELECT n.n_nationkey, n.n_name,
+        |       r.idx AS api_idx, r.score AS api_score, r.tag AS api_tag
+        |FROM nation n LEFT JOIN resp r ON r.k = n.n_nationkey
+        |ORDER BY n.n_nationkey, api_idx NULLS FIRST""".stripMargin) { (s, dir) =>
+      val fixDir = c1FixtureDir
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val (out, _) = graft.operators.Chain(
+        nation, "http://api/nations/{n_nationkey}",
+        new graft.sources.FileFetcher(fixDir),
+        maxSleepMs = 0) // missing-fixture retries must not sleep in a gate
+      out.select(col("n_nationkey"), col("n_name"),
+          col("api_idx"), col("api_score"), col("api_tag"))
+        .orderBy(col("n_nationkey"), col("api_idx").asc_nulls_first)
+    }
+  }
+
+  /** Seed-once fixture dir for the c1 gate: one JSON file per nation key
+    * 0..23, each a 2-element list (fan-out), key 24 missing (all-null
+    * path). Content is a pure function of the key so the DuckDB oracle can
+    * reproduce the pipeline without reading these files. */
+  private lazy val c1FixtureDir: String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_c1_fixtures").toString
+    (0 until 24).foreach { k =>
+      val body = (1 to 2).map { idx =>
+        s"""{"idx": $idx, "score": ${k * 10 + idx}, "tag": "n${k}_$idx"}"""
+      }.mkString("[", ", ", "]")
+      graft.sources.FileFetcher.writeFixture(dir, s"http://api/nations/$k", body)
+    }
+    dir
   }
 
   // =================================================================
