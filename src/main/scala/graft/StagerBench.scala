@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** A/B harness for the pluggable [[graft.operators.Stager]] modes on the
+  * p05 MinHash-LSH pipeline (the heaviest Stager consumer). Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StagerBench"
+  *
+  * Prints median-of-N wall seconds per mode so the "LocalCheckpoint is
+  * fastest locally" claim in Stager's scaladoc stays measured, not
+  * remembered, as the code evolves. Parquet mode stages through a temp
+  * TableGraph warehouse (the durable cluster mode) and drops its stage
+  * tables between reps.
+  */
+object StagerBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // warm the reader
+
+    val graph = new graft.core.TableGraph(
+      java.nio.file.Files.createTempDirectory("graft_stager_ab").toString)
+    val modes: Seq[(String, graft.operators.Stager)] = Seq(
+      "LocalCheckpoint" -> graft.operators.Stager.LocalCheckpoint,
+      "Persist" -> graft.operators.Stager.Persist,
+      "Parquet" -> graft.operators.Stager.Parquet(graph))
+
+    val results = modes.map { case (name, stager) =>
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8,
+            stager = stager)
+          .orderBy(col("id_a"), col("id_b"))
+          .write.format("noop").mode("overwrite").save()
+        graph.dropStages() // Parquet mode: reclaim between reps
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.sorted.apply((samples.size - 1) / 2)
+    }
+    val js = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stager_ab_p05","unit":"sec","reps":$reps,"modes":$js,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

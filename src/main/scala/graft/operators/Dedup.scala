@@ -221,6 +221,9 @@ object Dedup {
     // InMemoryRelation keeps the full upstream lineage in-plan); cluster
     // jobs that must survive executor loss pass Stager.Persist or
     // Stager.Parquet(graph) explicitly (trade-offs in Stager's scaladoc).
+    // On STANDALONE p05 the staged frames are small enough that Parquet
+    // staging is competitive (graft.StagerBench, numbers in FIXTURES.md) —
+    // the durable mode costs nothing extra here.
     // signatures are a few longs per doc — staging them is cheap, and the
     // banded self-join downstream references its input from several plan
     // branches (occupancy window + both join sides), which would otherwise
