@@ -523,6 +523,67 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }
 
+    // --- as-of FORWARD strategy (Polars join_asof strategy="forward"):
+    //     earliest marker at or after each event. DuckDB ASOF accepts the
+    //     mirrored inequality, so the oracle is native.
+    register("q34_asof_forward",
+      """WITH markers AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, MAX(value) AS marker_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.marker_value AS asof_marker_value
+        |FROM events l
+        |ASOF LEFT JOIN markers r
+        |  ON l.user_id = r.user_id AND CAST(l.ts AS TIMESTAMP) <= r.mts
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val markers = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("mts"))
+        .agg(max(col("value")).as("marker_value"))
+      graft.operators.AsofJoin(
+          ev.select("event_id", "user_id", "ts"), markers,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "mts",
+          valueCols = Seq("marker_value"), strategy = "forward")
+        .select("event_id", "user_id", "asof_marker_value")
+        .orderBy(col("event_id"))
+    }
+
+    // --- as-of NEAREST strategy: closer of backward/forward, tie ->
+    //     backward. DuckDB has no native nearest, so the oracle composes
+    //     both ASOF directions and picks by epoch distance with the same
+    //     strict-< tie rule the operator documents.
+    register("q35_asof_nearest",
+      """WITH markers AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, MAX(value) AS marker_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS t,
+        |         r.mts AS bts, r.marker_value AS bv
+        |  FROM events l ASOF LEFT JOIN markers r
+        |    ON l.user_id = r.user_id AND CAST(l.ts AS TIMESTAMP) >= r.mts),
+        |f AS (
+        |  SELECT l.event_id, r.mts AS fts, r.marker_value AS fv
+        |  FROM events l ASOF LEFT JOIN markers r
+        |    ON l.user_id = r.user_id AND CAST(l.ts AS TIMESTAMP) <= r.mts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b.bts IS NULL THEN f.fv
+        |       WHEN f.fts IS NULL THEN b.bv
+        |       WHEN abs(epoch(b.t) - epoch(f.fts)) < abs(epoch(b.t) - epoch(b.bts))
+        |         THEN f.fv
+        |       ELSE b.bv END AS asof_marker_value
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val markers = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("mts"))
+        .agg(max(col("value")).as("marker_value"))
+      graft.operators.AsofJoin(
+          ev.select("event_id", "user_id", "ts"), markers,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "mts",
+          valueCols = Seq("marker_value"), strategy = "nearest")
+        .select("event_id", "user_id", "asof_marker_value")
+        .orderBy(col("event_id"))
+    }
+
     // --- grouping sets (beyond rollup/cube: explicit set list)
     register("q30_grouping_sets",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
