@@ -797,10 +797,13 @@ object SparkEntry {
   /** Seed-once fixture dir for the c1 gate: one JSON file per nation key
     * 0..23, each a 2-element list (fan-out), key 24 missing (all-null
     * path). Content is a pure function of the key so the DuckDB oracle can
-    * reproduce the pipeline without reading these files. */
+    * reproduce the pipeline without reading these files. The dir name is
+    * VERSIONED: if the seeding rule ever changes, bump the suffix so stale
+    * files from older binaries can never leak into the gate; writes are
+    * atomic (writeFixture) so concurrent JVMs never read a torn body. */
   private lazy val c1FixtureDir: String = {
     val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_c1_fixtures").toString
+      System.getProperty("java.io.tmpdir"), "graft_c1_fixtures_v1").toString
     (0 until 24).foreach { k =>
       val body = (1 to 2).map { idx =>
         s"""{"idx": $idx, "score": ${k * 10 + idx}, "tag": "n${k}_$idx"}"""

@@ -53,9 +53,17 @@ object Fs {
 
   /** Write-to-temp + rename. On HDFS the rename is atomic; on object stores
     * it is copy+delete but still single-key-visible, so a reader never sees
-    * a torn body. If the destination appears concurrently (another writer of
-    * the same cache key won the race) the temp is discarded — first writer
-    * wins, which is the right rule for an idempotent cache entry.
+    * a torn body.
+    *
+    * overwrite=true (checkpoints): the rename goes through [[org.apache.hadoop.fs.FileContext]]
+    * with Rename.OVERWRITE — a SINGLE atomic replace on HDFS/local, never
+    * delete-then-rename (a crash between those two ops would leave NO file
+    * at all, silently losing e.g. the whole graph catalog); failures throw.
+    *
+    * overwrite=false (cache entries): if the destination appears
+    * concurrently, another writer of the same idempotent key won the race —
+    * the temp is discarded, first writer wins. A rename that fails with no
+    * winner present throws rather than silently dropping the write.
     */
   def writeStringAtomic(path: String, body: String, conf: Configuration,
       overwrite: Boolean = true): Unit = {
@@ -66,8 +74,17 @@ object Fs {
       "." + p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (overwrite && fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    if (overwrite) {
+      val fc =
+        if (p.toUri.getScheme == null) org.apache.hadoop.fs.FileContext.getFileContext(conf)
+        else org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(p))
+        throw new java.io.IOException(s"rename to $path failed with no concurrent winner")
+    }
     ()
   }
 

@@ -26,10 +26,13 @@ object NotSoMagicTable {
     // the temp label must distinguish FRAMES, or two different DataFrames
     // chained with the same URL template would share chainImpl's
     // name-keyed result cache and the second would get the first's rows.
-    // The logical plan string is stable for the same frame (so caching
-    // still works) and distinct across different ones.
+    // semanticHash of the ANALYZED plan: stable when an equivalent frame is
+    // rebuilt (expression IDs are canonicalized away — a raw plan toString
+    // would mint a fresh label per construction and the caches would never
+    // hit), yet distinct across different sources/data (LocalRelation's
+    // hash covers its rows).
     private def mt: MagicTable = MagicTable.fromDataFrame(df,
-      "temp_label_" + Jsons.md5Hex(df.queryExecution.logical.toString).take(12))
+      f"temp_label_${df.queryExecution.analyzed.semanticHash()}%08x")
 
     /** Per-row API fan-out (forwards to [[MagicTable.chain]]). */
     def chain(urlTemplate: String,
@@ -45,7 +48,7 @@ object NotSoMagicTable {
       * frames joined with the same query, each overwriting the last. */
     def joinWithQuery(other: DataFrame, query: String): DataFrame =
       mt.joinWithQuery(MagicTable.fromDataFrame(other,
-        "temp_label_" + Jsons.md5Hex(other.queryExecution.logical.toString).take(12)), query).df
+        f"temp_label_${other.queryExecution.analyzed.semanticHash()}%08x"), query).df
   }
 
   /** Wipe every cache level of a graph (reference notsomagictable.py:30-32,

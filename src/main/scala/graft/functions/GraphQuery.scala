@@ -98,6 +98,13 @@ object GraphQuery {
     // table's name tokens (±plural) stripped and keep the retry when IT
     // resolves cleanly — queries that never mention the table are untouched.
     val first = NlCompiler.compile(query, df.columns.toSeq)
+    // a clause is "accounted for" when it either compiled (a describe step)
+    // or was explicitly warned about — the count must never DROP across the
+    // stripped retry, or stripping could silently delete a clause whose
+    // column tokens coincide with the table name ("top 3 by total sales"
+    // on table total_sales must keep erroring, not return unsorted rows)
+    def clauseCount(c: NlCompiler.Compiled): Int =
+      (if (c.describe.isEmpty) 0 else c.describe.split(";").length) + c.warnings.length
     val compiled =
       if (first.warnings.isEmpty) first
       else {
@@ -107,7 +114,9 @@ object GraphQuery {
           .filterNot(w => nameToks.contains(w.toLowerCase.replaceAll("[^a-z0-9]", "")))
           .mkString(" ")
         val second = NlCompiler.compile(stripped, df.columns.toSeq)
-        if (second.warnings.isEmpty && second.describe.nonEmpty) second else first
+        if (second.warnings.isEmpty && second.describe.nonEmpty &&
+            clauseCount(second) >= clauseCount(first)) second
+        else first
       }
     require(compiled.describe.nonEmpty,
       s"query '$query' routed to table ${best.name} but no clause resolved " +

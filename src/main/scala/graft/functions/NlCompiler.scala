@@ -86,10 +86,10 @@ object NlCompiler {
     """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
 
   /** Deterministic-order tie-break sorts on at most this many remaining
-    * columns: enough to pin a total order on every realistic key set (the
-    * TPC-H tables all carry a unique key inside their first 8 columns)
-    * without making the sort key the WHOLE row on wide schemas — at scale a
-    * 100-column tie-break key would dominate the shuffle write. */
+    * columns; wider schemas collapse the tail into a single xxhash64 sort
+    * key — at scale a 100-column tie-break key would dominate the shuffle
+    * write, but the hash keeps the order total (modulo 64-bit collisions)
+    * at 8 bytes. */
   val MaxTieBreakCols = 8
 
   // sort keys: multi-word column phrases whose words are never grammar
@@ -120,12 +120,15 @@ object NlCompiler {
         .orElse {
           // separator-insensitive fallback for NL phrases vs TPC-H-style
           // prefixed columns: "total price" -> o_totalprice. The comparison
-          // strips [_ .] and drops the single-letter table prefix, but stays
-          // EXACT on the remainder (±plural) — a bare "price" must not
-          // suffix-match o_totalprice and silently widen the query.
+          // strips [ _ .], optionally drops the column's FIRST
+          // underscore-delimited segment (the table-prefix convention), and
+          // stays EXACT on the remainder (±plural). The match must be
+          // UNIQUE: with columns (unit_price, total_price) a bare "price"
+          // is ambiguous and resolves to nothing — binding it to whichever
+          // column the schema lists first would silently rewrite the query.
           val flat = n.toLowerCase.replaceAll("[ _\\.]", "")
           val wanted = Set(flat, flat.stripSuffix("s"))
-          columns.find { c =>
+          val hits = columns.filter { c =>
             val cl = c.toLowerCase
             val whole = cl.replaceAll("[_\\.]", "")
             val noPrefix = cl.split("[_\\.]", 2) match {
@@ -135,6 +138,7 @@ object NlCompiler {
             wanted.contains(whole) || wanted.contains(noPrefix) ||
               wanted.contains(whole.stripSuffix("s")) || wanted.contains(noPrefix.stripSuffix("s"))
           }
+          if (hits.size == 1) hits.headOption else None
         }
     }
 
@@ -295,11 +299,19 @@ object NlCompiler {
           val primary = sortKeys.map { case (c, asc) => if (asc) cref(c).asc else cref(c).desc }
           // pandas keep='first' depends on input order, which has no
           // distributed equivalent; pin a DETERMINISTIC total order by
-          // tie-breaking on remaining columns ascending — capped at
-          // MaxTieBreakCols so a wide schema never sorts whole rows.
+          // tie-breaking on remaining columns ascending. On schemas wider
+          // than MaxTieBreakCols the tail columns collapse into one
+          // xxhash64 so the sort key stays bounded WITHOUT surrendering
+          // the total order (two rows equal on the leading columns but
+          // different in the tail still order deterministically; only a
+          // 64-bit hash collision — or fully identical rows, which are
+          // interchangeable — leaves a tie).
           val named = sortKeys.map(_._1).toSet
-          val tieBreak = df0.columns.toSeq.filterNot(named)
-            .take(MaxTieBreakCols).map(cref(_).asc)
+          val rest = df0.columns.toSeq.filterNot(named)
+          val tieBreak =
+            if (rest.size <= MaxTieBreakCols) rest.map(cref(_).asc)
+            else rest.take(MaxTieBreakCols - 1).map(cref(_).asc) :+
+              xxhash64(rest.drop(MaxTieBreakCols - 1).map(cref): _*).asc
           val ord = primary ++ tieBreak
           uniqueBy match {
             case Some(u) =>

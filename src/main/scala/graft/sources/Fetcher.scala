@@ -62,11 +62,20 @@ object FileFetcher {
     Paths.get(rootDir, named)
   }
 
-  /** Write a fixture for `url` (test helper). */
+  /** Write a fixture for `url` (test/gate helper). Temp + atomic move: gate
+    * fixtures are seeded by whichever JVM runs first while others may
+    * already be fetching — a torn read would feed null api_* rows into a
+    * correctness compare. */
   def writeFixture(rootDir: String, url: String, body: String): Path = {
     val p = resolve(rootDir, url)
     Files.createDirectories(p.getParent)
-    Files.write(p, body.getBytes("UTF-8"))
+    val tmp = Files.createTempFile(p.getParent, "." + p.getFileName.toString, ".tmp")
+    try {
+      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+    p
   }
 }
 

@@ -52,6 +52,19 @@ class GraphQuerySpec extends SparkSpecBase {
     assert(out.as[(String, String)].collect().toSet === Set(("ann", "emea"), ("bob", "amer")))
   }
 
+  test("queryNl stripped-retry must not silently drop a clause whose tokens " +
+    "coincide with the table name") {
+    val g = freshGraph
+    g.addTable("total_sales", Seq((1, "emea", 10.0), (2, "amer", 30.0))
+      .toDF("sale_id", "region", "amount"))
+    // "by total sales" is a sort clause on unresolvable columns; stripping
+    // the table-name tokens leaves "top 3 by" — accepting that compile
+    // would return 3 arbitrary UNSORTED rows with no error
+    intercept[IllegalArgumentException] {
+      GraphQuery.queryNl(spark, g, "top 3 total_sales by total sales")
+    }
+  }
+
   test("queryNl refuses an empty graph") {
     intercept[IllegalArgumentException] {
       GraphQuery.queryNl(spark, freshGraph, "top 5 anything")

@@ -235,6 +235,16 @@ class NlCompilerSpec extends SparkSpecBase {
     assert(c.warnings.exists(_.contains("bogus")), c.warnings.mkString("; "))
   }
 
+  test("ambiguous prefix-stripped token resolves to NOTHING, not schema order") {
+    val cols = Seq("unit_price", "total_price", "id")
+    val c = NlCompiler.compile("by price showing id", cols)
+    // both *_price columns match bare "price" after prefix-stripping —
+    // binding to whichever the schema lists first would silently rewrite
+    // the query; strict consumers must see the warning instead
+    assert(c.warnings.exists(_.contains("price")), c.warnings.mkString("; "))
+    assert(!c.describe.contains("orderBy"), c.describe)
+  }
+
   test("space-separated column phrase resolves against a prefixed column") {
     val d = Seq((1, 30.0), (2, 10.0)).toDF("o_orderkey", "o_totalprice")
     val c = NlCompiler.compile("top 1 by total price showing o_orderkey", d.columns.toSeq)
