@@ -53,4 +53,27 @@ class PlanAuditSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan
     assert(scans(plan).size === 1, plan.toString)
   }
+
+  test("asof nearest: both window scans share ONE key exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val left = (1 to 100).map(i => (i % 5L, i.toLong)).toDF("k", "t")
+    val right = (1 to 50).map(i => (i % 5L, i * 2L, i * 1.0)).toDF("k", "rt", "v")
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case o => o.children
+    }).flatMap(all)
+    for (s <- Seq("backward", "forward", "nearest")) {
+      val out = graft.operators.AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), s)
+      out.write.format("noop").mode("overwrite").save()
+      val shuffles = all(out.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      // nearest evaluates TWO windows (asc + desc scans) but they share the
+      // same hash partitioning on the key — a second exchange would double
+      // the operator's network cost at scale for no reason
+      assert(shuffles === 1,
+        s"strategy=$s: $shuffles shuffles\n${out.queryExecution.executedPlan}")
+    }
+  }
 }
