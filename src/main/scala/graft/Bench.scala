@@ -1,6 +1,11 @@
 package graft
 
 object Bench {
+  /** Median as the lower-middle order statistic (odd N → true middle).
+    * Shared by Bench and StagerBench so the two report one statistic. */
+  private[graft] def median(xs: Seq[Double]): Double =
+    xs.sorted.apply((xs.size - 1) / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,10 +42,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); Vector.empty
           }
-        val median =
-          if (samples.isEmpty) -1.0
-          else samples.sorted.apply((samples.size - 1) / 2)
-        name -> median
+        name -> (if (samples.isEmpty) -1.0 else median(samples))
       }
     val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -29,33 +29,32 @@ object StagerBench {
       "Persist" -> graft.operators.Stager.Persist,
       "Parquet" -> graft.operators.Stager.Parquet(graph))
 
-    // record what each rep staged so cleanup can release it BETWEEN reps —
-    // otherwise checkpoint/persist blocks pile up across reps and modes and
-    // the later modes are measured under the earlier modes' memory pressure
-    final class Recording(inner: graft.operators.Stager) extends graft.operators.Stager {
-      val staged = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-      override def stage(df: org.apache.spark.sql.DataFrame, name: String) = {
-        val s = inner.stage(df, name); staged += s; s
-      }
-    }
     val results = modes.map { case (name, stager) =>
       val samples = (1 to reps).map { _ =>
-        val rec = new Recording(stager)
+        // snapshot persistent RDD ids so cleanup can release EXACTLY what
+        // this rep staged — Dataset.unpersist is a no-op for localCheckpoint
+        // blocks (RDD-level persistence, not a CacheManager entry), so the
+        // RDD delta is the only handle that works for every mode; without
+        // it blocks pile up across reps and the later modes are measured
+        // under the earlier modes' memory pressure
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         graft.operators.Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
             shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8,
-            stager = rec)
+            stager = stager)
           .orderBy(col("id_a"), col("id_b"))
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         // cleanup OUTSIDE the timed region: the per-mode numbers compare
         // staging cost, not cleanup cost (Parquet's dropStages does real
         // FS deletes the in-memory modes never pay)
-        rec.staged.foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
         graph.dropStages()
         dt
       }
-      name -> samples.sorted.apply((samples.size - 1) / 2)
+      name -> Bench.median(samples)
     }
     val js = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stager_ab_p05","unit":"sec","reps":$reps,"modes":$js,"sf":"$sfDir"}""")

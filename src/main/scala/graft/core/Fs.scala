@@ -56,14 +56,17 @@ object Fs {
     * a torn body.
     *
     * overwrite=true (checkpoints): the rename goes through [[org.apache.hadoop.fs.FileContext]]
-    * with Rename.OVERWRITE — a SINGLE atomic replace on HDFS/local, never
-    * delete-then-rename (a crash between those two ops would leave NO file
-    * at all, silently losing e.g. the whole graph catalog); failures throw.
+    * with Rename.OVERWRITE — one call, ATOMIC on HDFS; on local/object
+    * stores the AbstractFileSystem default handles overwrite non-atomically
+    * (documented), so a crash can still lose the destination there — which
+    * is why checkpoint READERS fall back to the newest surviving temp file
+    * (TableGraph.loadCheckpoint). Failures throw, after temp cleanup.
     *
     * overwrite=false (cache entries): if the destination appears
     * concurrently, another writer of the same idempotent key won the race —
     * the temp is discarded, first writer wins. A rename that fails with no
-    * winner present throws rather than silently dropping the write.
+    * winner present throws rather than silently dropping the write; callers
+    * for whom the write is best-effort (executor cache maintenance) catch.
     */
   def writeStringAtomic(path: String, body: String, conf: Configuration,
       overwrite: Boolean = true): Unit = {
@@ -78,8 +81,9 @@ object Fs {
       val fc =
         if (p.toUri.getScheme == null) org.apache.hadoop.fs.FileContext.getFileContext(conf)
         else org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      try fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
     } else if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       if (!fs.exists(p))
@@ -93,6 +97,26 @@ object Fs {
     if (fs.exists(p)) fs.delete(p, recursive)
     ()
   }
+
+  /** [[readString]], falling back to the newest surviving
+    * `.<name>.tmp-*` sibling when the destination is missing — the
+    * crash-window recovery for checkpoint readers: on stores where
+    * overwrite-rename is not atomic, a crash between delete and rename
+    * loses the destination but leaves the fully-written temp. A torn temp
+    * (writer died mid-write) surfaces as unparseable content, which
+    * checkpoint loaders already treat as start-clean. */
+  def readStringWithTempFallback(path: String, conf: Configuration): Option[String] =
+    readString(path, conf).orElse {
+      val (fs, p) = fsFor(path, conf)
+      val parent = p.getParent
+      if (parent == null || !fs.exists(parent)) None
+      else {
+        val prefix = "." + p.getName + ".tmp-"
+        fs.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
+          .sortBy(_.getModificationTime).lastOption
+          .flatMap(s => readString(s.getPath.toString, conf))
+      }
+    }
 
   /** Delete the CHILDREN of a directory, keeping the directory itself. */
   def clearDir(path: String, conf: Configuration): Unit = {

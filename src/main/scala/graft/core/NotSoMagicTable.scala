@@ -26,13 +26,8 @@ object NotSoMagicTable {
     // the temp label must distinguish FRAMES, or two different DataFrames
     // chained with the same URL template would share chainImpl's
     // name-keyed result cache and the second would get the first's rows.
-    // semanticHash of the ANALYZED plan: stable when an equivalent frame is
-    // rebuilt (expression IDs are canonicalized away — a raw plan toString
-    // would mint a fresh label per construction and the caches would never
-    // hit), yet distinct across different sources/data (LocalRelation's
-    // hash covers its rows).
-    private def mt: MagicTable = MagicTable.fromDataFrame(df,
-      f"temp_label_${df.queryExecution.analyzed.semanticHash()}%08x")
+    private def mt: MagicTable =
+      MagicTable.fromDataFrame(df, NotSoMagicTable.planLabel(df))
 
     /** Per-row API fan-out (forwards to [[MagicTable.chain]]). */
     def chain(urlTemplate: String,
@@ -48,7 +43,21 @@ object NotSoMagicTable {
       * frames joined with the same query, each overwriting the last. */
     def joinWithQuery(other: DataFrame, query: String): DataFrame =
       mt.joinWithQuery(MagicTable.fromDataFrame(other,
-        f"temp_label_${other.queryExecution.analyzed.semanticHash()}%08x"), query).df
+        NotSoMagicTable.planLabel(other)), query).df
+  }
+
+  /** Stable-yet-distinguishing label for a bare frame: md5 of the ANALYZED
+    * plan's canonical form plus its semanticHash. Canonicalization erases
+    * expression IDs, so an equivalent rebuilt frame re-derives the SAME
+    * label (a raw plan toString would mint a fresh label per construction
+    * and the caches would never hit); the canonical string pins structure
+    * and file sources, while semanticHash folds in in-memory relation data.
+    * Same-structure different-data local frames ride on the 32-bit hash
+    * component — fine for temp labels, whose worst collision is a 1h-TTL
+    * cache crossover between two in-memory test frames. */
+  private[core] def planLabel(df: DataFrame): String = {
+    val a = df.queryExecution.analyzed
+    "temp_label_" + Jsons.md5Hex(a.canonicalized.toString + "#" + a.semanticHash()).take(12)
   }
 
   /** Wipe every cache level of a graph (reference notsomagictable.py:30-32,

@@ -214,7 +214,9 @@ class TableGraph(
 
   private def loadCheckpoint(): Unit = {
     try {
-      val raw = Fs.readString(checkpointPath, hconf).getOrElse(return)
+      // temp fallback: recovers the catalog when a crash hit the
+      // non-atomic overwrite-rename window on local/object stores
+      val raw = Fs.readStringWithTempFallback(checkpointPath, hconf).getOrElse(return)
       Jsons.parse(raw) match {
         case m: Map[String, Any] @unchecked =>
           m.get("nodes").collect { case ns: Seq[_] =>

@@ -308,10 +308,23 @@ object NlCompiler {
           // interchangeable — leaves a tie).
           val named = sortKeys.map(_._1).toSet
           val rest = df0.columns.toSeq.filterNot(named)
+          // MapType (anywhere in a type) is not hashable in Spark without a
+          // legacy flag — such tail columns are dropped from the hash, as
+          // the pre-hash design dropped everything past the cap
+          def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+            case _: org.apache.spark.sql.types.MapType => false
+            case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+            case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+            case _ => true
+          }
           val tieBreak =
             if (rest.size <= MaxTieBreakCols) rest.map(cref(_).asc)
-            else rest.take(MaxTieBreakCols - 1).map(cref(_).asc) :+
-              xxhash64(rest.drop(MaxTieBreakCols - 1).map(cref): _*).asc
+            else {
+              val tail = rest.drop(MaxTieBreakCols - 1)
+                .filter(c => hashable(df0.schema(c).dataType))
+              rest.take(MaxTieBreakCols - 1).map(cref(_).asc) ++
+                (if (tail.isEmpty) Nil else Seq(xxhash64(tail.map(cref): _*).asc))
+            }
           val ord = primary ++ tieBreak
           uniqueBy match {
             case Some(u) =>

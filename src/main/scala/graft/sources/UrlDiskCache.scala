@@ -27,8 +27,16 @@ object UrlDiskCache {
 
   def put(dir: String, url: String, body: String, conf: Configuration): Unit =
     // overwrite=false: an existing entry for this URL is already the cached
-    // truth; replacing it buys nothing and widens the race window
-    Fs.writeStringAtomic(path(dir, url), body, conf, overwrite = false)
+    // truth; replacing it buys nothing and widens the race window.
+    // BEST-EFFORT: this runs inside executor tasks right after a successful
+    // fetch — a failed cache write (permissions, disk-full, store hiccup)
+    // must degrade to a cache miss, never fail the task that already has
+    // its data
+    try Fs.writeStringAtomic(path(dir, url), body, conf, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[url-cache] skipping cache write for $url: ${e.getMessage}")
+    }
 
   // Driver-side convenience (TableGraph accessors): resolve the active
   // session's Hadoop conf so spark.hadoop.* credentials apply.

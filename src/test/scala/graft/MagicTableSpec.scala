@@ -86,16 +86,19 @@ class MagicTableSpec extends SparkSpecBase {
     "(transformation cache hits instead of growing per call)") {
     import graft.core.NotSoMagicTable._
     val g = graph
+    val prevDefault = graft.core.TableGraph.defaultGraph
     graft.core.TableGraph.setDefault(g)
-    def orders = Seq((100, 1, 10.0), (101, 2, 30.0)).toDF("order_id", "cust_id", "total")
-    def custs = Seq((1, "ann"), (2, "bob")).toDF("cust_id", "cname")
-    orders.joinWithQuery(custs, "join on cust_id showing order_id and cname")
-    val afterFirst = g.transformations.size
-    // REBUILT frames (fresh expression IDs) with identical plans+data must
-    // reuse the same cache key — a plan-toString hash minted a new label per
-    // construction, growing the checkpointed catalog on every call
-    orders.joinWithQuery(custs, "join on cust_id showing order_id and cname")
-    assert(g.transformations.size === afterFirst)
+    try {
+      def orders = Seq((100, 1, 10.0), (101, 2, 30.0)).toDF("order_id", "cust_id", "total")
+      def custs = Seq((1, "ann"), (2, "bob")).toDF("cust_id", "cname")
+      orders.joinWithQuery(custs, "join on cust_id showing order_id and cname")
+      val afterFirst = g.transformations.size
+      // REBUILT frames (fresh expression IDs) with identical plans+data must
+      // reuse the same cache key — a plan-toString hash minted a new label per
+      // construction, growing the checkpointed catalog on every call
+      orders.joinWithQuery(custs, "join on cust_id showing order_id and cname")
+      assert(g.transformations.size === afterFirst)
+    } finally graft.core.TableGraph.setDefault(prevDefault)
   }
 
   test("NotSoMagicTable.clearAllData wipes the target graph") {

@@ -66,7 +66,9 @@ class PlanAuditSpec extends SparkSpecBase {
     }).flatMap(all)
     for (s <- Seq("backward", "forward", "nearest")) {
       val out = graft.operators.AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), s)
-      out.write.format("noop").mode("overwrite").save()
+      // inspect the EnsureRequirements output directly (no execution): an
+      // executed adaptive plan hides exchanges inside query-stage leaves,
+      // which this traversal would undercount
       val shuffles = all(out.queryExecution.executedPlan)
         .count(_.isInstanceOf[ShuffleExchangeExec])
       // nearest evaluates TWO windows (asc + desc scans) but they share the

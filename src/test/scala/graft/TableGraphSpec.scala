@@ -114,6 +114,22 @@ class TableGraphSpec extends SparkSpecBase {
     assert(reloaded.transformations.get("t_q") === Some("limit=5"))
   }
 
+  test("checkpoint loader recovers from the crash window via the temp file") {
+    // on stores where overwrite-rename is non-atomic, a crash between
+    // delete and rename loses _graph.json but leaves the fully-written
+    // temp — the loader must fall back to it instead of starting clean
+    val dir = freshDir
+    val g = new TableGraph(dir)
+    g.addTable("t", Seq((1, "a")).toDF("id", "v"))
+    val ckpt = java.nio.file.Paths.get(dir, "_graph.json")
+    val body = java.nio.file.Files.readAllBytes(ckpt)
+    java.nio.file.Files.delete(ckpt)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "._graph.json.tmp-crash01"), body)
+    val recovered = new TableGraph(dir)
+    assert(recovered.getNode("t").map(_.rowCount) === Some(1L))
+  }
+
   test("URL cache put is first-writer-wins (idempotent entries, benign races)") {
     val dir = "file://" + java.nio.file.Files.createTempDirectory("graft_fsurl").toString
     val conf = spark.sparkContext.hadoopConfiguration
