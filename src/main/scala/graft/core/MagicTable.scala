@@ -78,6 +78,14 @@ class MagicTable(
     wrap(df.withColumn(as, explode_outer(col(s"`$column`"))))
   def pivotAgg(groupCol: String, pivotCol: String, agg: Column): MagicTable =
     wrap(df.groupBy(col(s"`$groupCol`")).pivot(pivotCol).agg(agg))
+  /** Polars `join_asof` analogue (reachable through the reference's blanket
+    * wrapper): backward/forward/nearest, one-shuffle union+window — see
+    * [[graft.operators.AsofJoin]]. */
+  def joinAsof(other: MagicTable, on: Seq[String], leftTs: String, rightTs: String,
+      values: Seq[String], strategy: String = "backward"): MagicTable =
+    new MagicTable(
+      graft.operators.AsofJoin(df, other.df, on, leftTs, rightTs, values, strategy),
+      name, sources ++ other.sources, graph)
   def describeStats(cols: String*): MagicTable = wrap(df.describe(cols: _*))
   def head(n: Int): Seq[org.apache.spark.sql.Row] = df.head(n).toSeq
   /** Sink escape hatch (delegated write surface: parquet/csv/json/orc...). */

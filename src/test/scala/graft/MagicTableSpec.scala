@@ -69,6 +69,22 @@ class MagicTableSpec extends SparkSpecBase {
     assert(out.isInstanceOf[MagicTable] && out.count() === 2)
   }
 
+  test("joinAsof forwarder: blanket-surface join_asof with strategy + merged lineage") {
+    val g = graph
+    val quotes = MagicTable.fromDataFrame(
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "t"), "quotes", g)
+    val trades = new MagicTable(
+      Seq((1L, 12L, 5.0)).toDF("k", "rt", "px"), "trades",
+      Seq(graft.sources.ApiSource("http://api/trades")), g)
+    val back = quotes.joinAsof(trades, Seq("k"), "t", "rt", Seq("px"))
+    assert(back.df.orderBy("t").select("asof_px").as[Option[Double]].collect().toSeq ===
+      Seq(None, Some(5.0)))
+    val fwd = quotes.joinAsof(trades, Seq("k"), "t", "rt", Seq("px"), strategy = "forward")
+    assert(fwd.df.orderBy("t").select("asof_px").as[Option[Double]].collect().toSeq ===
+      Seq(Some(5.0), None))
+    assert(fwd.sources.exists(_.getIdentifier === "http://api/trades"))
+  }
+
   test("NotSoMagicTable enrichment: plain DataFrames gain the MagicTable verbs (C21)") {
     import graft.core.NotSoMagicTable._
     val orders = Seq((100, 1, 10.0), (101, 2, 30.0)).toDF("order_id", "cust_id", "total")
