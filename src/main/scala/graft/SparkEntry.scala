@@ -1293,42 +1293,10 @@ object SparkEntry {
          |SELECT doc_id FROM canon
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = t(s, dir, "documents")
-      // stage 1: quality filter (identical math to p02; same single-scan
-      // carryCols shape — doc-level char counts ride the token stream)
-      val withChars = d.select(col("doc_id"),
-        length(col("text")).cast("double").as("__n_char"),
-        alphaChars(col("text")).cast("double").as("__n_alpha"),
-        punctChars(col("text")).cast("double").as("__n_punct"),
-        col("text"))
-      val stats = tokenStats(withChars, "doc_id", "text",
-        carryCols = Seq("__n_char", "__n_alpha", "__n_punct"))
-      val nTok = col("n_tok").cast("double")
-      val quality =
-        least(nTok / lit(200.0), lit(1.0)) * lit(0.4) +
-          when(col("__n_char") === 0, lit(0.0))
-            .otherwise(col("__n_alpha") / col("__n_char")) * lit(0.3) +
-          when(nTok === 0, lit(0.0))
-            .otherwise(col("h_en").cast("double") / nTok) * lit(0.2) +
-          (lit(1.0) - least(when(col("__n_char") === 0, lit(0.0))
-            .otherwise(col("__n_punct") / col("__n_char")) * lit(5.0), lit(1.0))) * lit(0.1)
-      val kept = stats.filter(quality >= 0.45).select("doc_id")
-      val keptDocs = d.join(kept, Seq("doc_id"), "left_semi")
-      // stage 2: exact dedup (keep min id per fingerprint)
-      val canon = graft.operators.Dedup.exactGroups(keptDocs, "doc_id", "text")
-        .select(col("canonical_id").as("doc_id"))
-      // stage the funnel's survivor frame: downstream the minhash pass
-      // scans it twice (signatures + candidate shingle sets) and the final
-      // anti-join once more — unstaged, each rescans the quality+dedup
-      // subtree from the source (12 parquet scans in the funnel plan). A
-      // production funnel stages exactly here via TableGraph.addTable.
-      val canonDocs = graft.operators.Stager.LocalCheckpoint.stage(
-        keptDocs.join(canon, Seq("doc_id"), "left_semi"), "p11_canon")
-      // stage 3: minhash near-dup drop (higher id of each verified pair)
-      val drop = graft.operators.Dedup
-        .nearDupPairsMinhash(canonDocs, "doc_id", "text", 3, 8, 1, 0.8)
-        .select(col("id_b").as("doc_id"))
-      canonDocs.join(drop, Seq("doc_id"), "left_anti")
+      // the reusable funnel operator (operators/Curation.scala) with the
+      // gate's default knobs — quality >= 0.45, 3-shingles, 8 hashes,
+      // Jaccard >= 0.8, LocalCheckpoint staging
+      graft.operators.Curation.curate(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy(col("doc_id"))
     }
 

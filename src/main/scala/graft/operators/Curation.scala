@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** The training-data curation funnel as a reusable operator (the p11 gate
+  * query drives exactly this composition against its DuckDB oracle):
+  *
+  *   quality gate -> exact dedup (keep min id per fingerprint) ->
+  *   MinHash-LSH near-dup drop (higher id of each verified pair)
+  *
+  * Shuffle economics: stage 1 is the single-scan carryCols shape (doc-level
+  * char counts ride the token stream — one scan, one agg shuffle); stage 2
+  * shuffles (fingerprint, id) pairs only; stage 3 inherits the capped
+  * banded-LSH pipeline from [[Dedup.nearDupPairsMinhash]]. The survivor
+  * frame after exact dedup feeds three consumers (signatures, candidate
+  * shingle sets, final anti-join), so it is materialized through the
+  * pluggable [[Stager]] — on a cluster pass `Stager.Parquet(graph)` for a
+  * durable, lineage-restarting stage point.
+  */
+object Curation {
+
+  /** Funnel knobs. Quality-score weights are fixed (length 0.4 / alpha
+    * ratio 0.3 / English hits 0.2 / punctuation penalty 0.1 — the p02
+    * scoring); the thresholds and LSH shape are per-corpus decisions. */
+  final case class Config(
+      minQuality: Double = 0.45,
+      lengthNorm: Double = 200.0,
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 1,
+      jaccardThreshold: Double = 0.8,
+      stager: Stager = Stager.LocalCheckpoint)
+
+  /** Composite quality score in [0,1] over tokenStats output columns. */
+  private def qualityScore(cfg: Config): Column = {
+    val nTok = col("n_tok").cast("double")
+    least(nTok / lit(cfg.lengthNorm), lit(1.0)) * lit(0.4) +
+      when(col("__n_char") === 0, lit(0.0))
+        .otherwise(col("__n_alpha") / col("__n_char")) * lit(0.3) +
+      when(nTok === 0, lit(0.0))
+        .otherwise(col("h_en").cast("double") / nTok) * lit(0.2) +
+      (lit(1.0) - least(when(col("__n_char") === 0, lit(0.0))
+        .otherwise(col("__n_punct") / col("__n_char")) * lit(5.0), lit(1.0))) * lit(0.1)
+  }
+
+  /** Run the funnel; returns the SURVIVING rows of `df` (all columns). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    require(!df.columns.exists(Set("__n_char", "__n_alpha", "__n_punct").contains),
+      "__n_char/__n_alpha/__n_punct are reserved helper names in curate")
+    val id = col(idCol)
+    // stage 1: quality filter — doc-level char counts ride the token stream
+    val withChars = df.select(id,
+      length(col(textCol)).cast("double").as("__n_char"),
+      alphaChars(col(textCol)).cast("double").as("__n_alpha"),
+      punctChars(col(textCol)).cast("double").as("__n_punct"),
+      col(textCol))
+    val stats = tokenStats(withChars, idCol, textCol,
+      carryCols = Seq("__n_char", "__n_alpha", "__n_punct"))
+    val kept = stats.filter(qualityScore(cfg) >= cfg.minQuality).select(idCol)
+    val keptDocs = df.join(kept, Seq(idCol), "left_semi")
+    // stage 2: exact dedup (keep min id per fingerprint)
+    val canon = Dedup.exactGroups(keptDocs, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    // the survivor frame feeds three consumers downstream — stage it here
+    // (unstaged, each consumer rescans the quality+dedup subtree from the
+    // source: 12 scans in the funnel plan at gate scale)
+    val canonDocs = cfg.stager.stage(
+      keptDocs.join(canon, Seq(idCol), "left_semi"), "curation_canon")
+    // stage 3: minhash near-dup drop (higher id of each verified pair)
+    val drop = Dedup.nearDupPairsMinhash(canonDocs, idCol, textCol,
+        cfg.shingleN, cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold,
+        stager = cfg.stager)
+      .select(col("id_b").as(idCol))
+    canonDocs.join(drop, Seq(idCol), "left_anti")
+  }
+}

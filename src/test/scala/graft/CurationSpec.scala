@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{Curation, Stager}
+
+/** The reusable curation funnel (operators/Curation.scala); end-to-end
+  * values are oracle-gated by p11 — this spec covers the operator API. */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // long, alpha-heavy English doc: survives quality
+    (1L, "the quick brown fox jumps over the lazy dog and then the fox rests " * 5),
+    // exact duplicate of 1 with a HIGHER id: dropped by exact dedup
+    (2L, "the quick brown fox jumps over the lazy dog and then the fox rests " * 5),
+    // junk: fails the quality gate
+    (3L, "!!! ??? ,,, ;;;"),
+    // distinct long doc: survives everything
+    (4L, "a completely different long passage about the weather in the north " * 5)
+  ).toDF("doc_id", "text")
+
+  test("funnel keeps quality survivors, drops exact dups (higher id) and junk") {
+    val out = Curation.curate(docs, "doc_id", "text")
+    // all input columns survive on the survivor rows
+    assert(out.columns.toSeq === Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+  }
+
+  test("staging mode is pluggable (Persist yields identical survivors)") {
+    val out = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(stager = Stager.Persist))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+  }
+
+  test("reserved helper names are rejected") {
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs.withColumnRenamed("text", "__n_char"), "doc_id", "__n_char")
+    }
+  }
+}
