@@ -45,12 +45,48 @@ object Curation {
         .otherwise(col("__n_punct") / col("__n_char")) * lit(5.0), lit(1.0))) * lit(0.1)
   }
 
-  /** Run the funnel; returns the SURVIVING rows of `df` (all columns). */
+  /** Run the funnel; returns the SURVIVING rows of `df` (all columns).
+    * Stages intermediates through cfg.stager without a release handle —
+    * long-lived sessions calling this repeatedly should use
+    * [[curateStaged]] and invoke the cleanup after materializing. */
   def curate(df: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    curateImpl(df, idCol, textCol, cfg)
+
+  /** [[curate]] plus a cleanup thunk that releases everything this call
+    * staged: checkpoint/persist blocks via the persistent-RDD delta
+    * (Dataset.unpersist is a no-op for localCheckpoint blocks — the RDD
+    * delta is the handle that works for every mode) and, in Parquet mode,
+    * the graph's stage tables. Invoke AFTER materializing the result.
+    * Caveat: the RDD delta (and dropStages) assume no CONCURRENT staging in
+    * the same session — serialize cleanup with other staging work. */
+  def curateStaged(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = curateImpl(df, idCol, textCol, cfg)
+    val cleanup = () => {
+      sc.getPersistentRDDs
+        .filter { case (rddId, _) => !before.contains(rddId) }
+        .values.foreach(_.unpersist(blocking = false))
+      cfg.stager match {
+        case Stager.Parquet(graph) => graph.dropStages()
+        case _ =>
+      }
+      ()
+    }
+    (out, cleanup)
+  }
+
+  private def curateImpl(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
     require(!df.columns.exists(Set("__n_char", "__n_alpha", "__n_punct").contains),
       "__n_char/__n_alpha/__n_punct are reserved helper names in curate")
     val id = col(idCol)
+    // per-call-unique stage names: with Stager.Parquet two curate calls
+    // sharing a TableGraph must not clobber each other's staged parquet
+    // (the Dedup runId convention)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     // stage 1: quality filter — doc-level char counts ride the token stream
     val withChars = df.select(id,
       length(col(textCol)).cast("double").as("__n_char"),
@@ -61,14 +97,12 @@ object Curation {
       carryCols = Seq("__n_char", "__n_alpha", "__n_punct"))
     val kept = stats.filter(qualityScore(cfg) >= cfg.minQuality).select(idCol)
     val keptDocs = df.join(kept, Seq(idCol), "left_semi")
-    // stage 2: exact dedup (keep min id per fingerprint)
-    val canon = Dedup.exactGroups(keptDocs, idCol, textCol)
-      .select(col("canonical_id").as(idCol))
-    // the survivor frame feeds three consumers downstream — stage it here
+    // stage 2: exact dedup (keep the min-id row per fingerprint). The
+    // survivor frame feeds three consumers downstream — stage it here
     // (unstaged, each consumer rescans the quality+dedup subtree from the
     // source: 12 scans in the funnel plan at gate scale)
     val canonDocs = cfg.stager.stage(
-      keptDocs.join(canon, Seq(idCol), "left_semi"), "curation_canon")
+      Dedup.exactDedup(keptDocs, idCol, textCol), s"curation_canon_$runId")
     // stage 3: minhash near-dup drop (higher id of each verified pair)
     val drop = Dedup.nearDupPairsMinhash(canonDocs, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold,

@@ -25,10 +25,16 @@ class CurationSpec extends SparkSpecBase {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
   }
 
-  test("staging mode is pluggable (Persist yields identical survivors)") {
-    val out = Curation.curate(docs, "doc_id", "text",
+  test("staging mode is pluggable; curateStaged releases what it staged") {
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet
+    val (out, cleanup) = Curation.curateStaged(docs, "doc_id", "text",
       Curation.Config(stager = Stager.Persist))
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+    assert(sc.getPersistentRDDs.keySet.size > baseline.size) // something staged
+    cleanup()
+    assert(sc.getPersistentRDDs.keySet.subsetOf(baseline),
+      "cleanup must release every block this call staged")
   }
 
   test("reserved helper names are rejected") {
