@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group embedding centroids (beyond-reference, SURVEY.md §2.4) — the
+  * aggregation behind IVF training, cluster summaries and per-label
+  * prototype vectors.
+  *
+  * Shape: posexplode the vector (map-side, CPU only), partial-aggregate
+  * per (group, position) — Spark's partial agg collapses each task's
+  * contribution to at most |groups| × dim rows BEFORE the exchange — then
+  * reassemble the dim-length array per group. At 100 TB the shuffle
+  * carries only dim-sized partial sums per (task, group), never vectors;
+  * total reducer input is O(tasks × groups × dim), independent of row
+  * count. The final collect_list is bounded by dim.
+  *
+  * Sums go through the engine-portable DECIMAL(25,6) accumulator (values
+  * cast float→double→decimal) and each mean is rounded to `roundTo`
+  * decimals, so results are addition-order-free and hash-match the DuckDB
+  * oracle (p17 gate).
+  *
+  * Vectors must share one dimensionality per group (ragged input would
+  * average positions over differing counts; n_vecs reports the max count).
+  */
+object Centroids {
+
+  def groupCentroids(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      roundTo: Int = 9): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val perPos = df
+      .select(g, posexplode(col(s"`$vecCol`")).as(Seq("__c_pos", "__c_val")))
+      .groupBy(g, col("__c_pos"))
+      .agg(
+        round(
+          sum(col("__c_val").cast("double").cast(DecimalType(25, 6))).cast("double") /
+            count(lit(1)),
+          roundTo).as("__c_m"),
+        count(lit(1)).as("__c_n"))
+    perPos
+      .groupBy(g)
+      .agg(
+        max(col("__c_n")).as("n_vecs"),
+        transform(
+          array_sort(collect_list(struct(col("__c_pos"), col("__c_m")))),
+          x => x.getField("__c_m")).as("centroid"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based dataset splitting and sampling for
+  * training-data pipelines (beyond-reference, SURVEY.md §2.4).
+  *
+  * Everything here is a pure narrow map/filter over a codegen'd md5 of the
+  * key column — zero shuffle, zero state, reproducible across runs,
+  * engines and cluster sizes. That is exactly what a 100 TB train/val/test
+  * split needs:
+  *
+  *  - the split is a function of (salt, key), so EVERY row of a key lands
+  *    in the same split — re-runs, retries and late-arriving rows cannot
+  *    leak a key across the train/test boundary;
+  *  - changing the salt re-deals the whole assignment (fresh fold);
+  *  - sampling by hash threshold is a stable subset: raising the rate
+  *    keeps every previously-sampled key (nested samples for scaling-law
+  *    curves), unlike `df.sample` whose membership changes per run/seed.
+  *
+  * Hash contract (shared with the DuckDB oracle, memory: md5 is the only
+  * cross-engine-stable hash): bucket = first 15 hex chars of
+  * md5("salt:key") as a positive 60-bit integer, mod `nBuckets`.
+  */
+object Splits {
+
+  /** Default bucket space. 1e6 gives 0.0001% rate granularity while
+    * staying far below the 2^60 hash space (bias < 2^-40). */
+  val DefaultBuckets = 1000000
+
+  /** Uniform pseudo-random bucket in [0, nBuckets) from (salt, key).
+    * 15 hex chars = 60 bits, always positive, so `%` == `pmod`. */
+  def hashBucket(key: Column, salt: String, nBuckets: Int = DefaultBuckets): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % nBuckets
+  }
+
+  /** Assign each row a named split by weighted hash bucketing.
+    *
+    * `weights` are relative (normalized internally); boundaries are
+    * `round(cumFraction * nBuckets)` so they are integers both engines
+    * agree on. Adds `splitCol` (and `bucketCol` if given — useful for
+    * auditing the assignment or deriving sub-folds downstream).
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      salt: String,
+      splitCol: String = "split",
+      bucketCol: Option[String] = None,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(weights.nonEmpty, "assignSplit: weights must be non-empty")
+    require(weights.forall(_._2 > 0), s"assignSplit: weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"assignSplit: duplicate split names: ${weights.map(_._1)}")
+    val total = weights.map(_._2).sum
+    // cumulative integer thresholds; the last is forced to nBuckets so
+    // rounding can never leave a bucket unassigned
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * nBuckets))
+      .dropRight(1) :+ nBuckets.toLong
+    val bucket = hashBucket(col(s"`$keyCol`"), salt, nBuckets)
+    val b = bucketCol.map(c => df.withColumn(c, bucket)).getOrElse(df)
+    val bucketRef = bucketCol.map(c => col(s"`$c`")).getOrElse(bucket)
+    val split = weights.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(weights.last._1): Column) { case ((name, hi), other) =>
+        when(bucketRef < hi, lit(name)).otherwise(other)
+      }
+    b.withColumn(splitCol, split)
+  }
+
+  /** Keep rows whose key hashes below `fraction` of the bucket space.
+    * Deterministic and nested: sampleByHash(df, k, 0.01, s) is a subset of
+    * sampleByHash(df, k, 0.10, s). Pushed down as a plain filter — at
+    * 100 TB the sample never shuffles and prunes before any join/agg. */
+  def sampleByHash(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      salt: String,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
+    df.filter(hashBucket(col(s"`$keyCol`"), salt, nBuckets) < math.round(fraction * nBuckets))
+  }
+
+  /** Per-stratum hash sampling: stratum values listed in `fractions` keep
+    * their own rate, everything else keeps `defaultFraction`. The common
+    * curation move "keep 100% of rare languages, 5% of English" is a
+    * single codegen'd filter — no per-stratum jobs, no shuffle. */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double,
+      salt: String,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f"))
+    val bucket = hashBucket(col(s"`$keyCol`"), salt, nBuckets)
+    val threshold = fractions.foldLeft(lit(math.round(defaultFraction * nBuckets)): Column) {
+      case (other, (value, f)) =>
+        when(col(s"`$strataCol`") === lit(value), lit(math.round(f * nBuckets))).otherwise(other)
+    }
+    df.filter(bucket < threshold)
+  }
+}
