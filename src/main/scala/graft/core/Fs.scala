@@ -124,13 +124,38 @@ object Fs {
     if (fs.exists(p)) fs.listStatus(p).foreach(s => fs.delete(s.getPath, true))
   }
 
-  /** Move src over dst (dst removed first if present). */
+  /** Move src over dst. The old dst is renamed ASIDE (not deleted) before
+    * src moves into place, so a crash mid-replace never leaves the
+    * destination missing while a checkpointed catalog still points at it:
+    * either the aside rename hasn't happened (old payload intact at dst) or
+    * it has (old payload intact at the aside path, restored on failure).
+    * The aside copy is deleted only after the new payload is in place; a
+    * crash exactly then leaks one `.<name>.old-*` sibling — storage, not
+    * correctness — reclaimed by the next replace of the same dst. */
   def replace(src: String, dst: String, conf: Configuration): Unit = {
     val (fs, s) = fsFor(src, conf)
     val d = new HPath(dst)
-    if (fs.exists(d)) fs.delete(d, true)
-    if (!fs.rename(s, d))
+    val parent = d.getParent
+    // reclaim aside copies leaked by an earlier crash-after-rename
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).filter(_.getPath.getName.startsWith("." + d.getName + ".old-"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val aside = new HPath(parent,
+      "." + d.getName + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    val hadOld = fs.exists(d)
+    if (hadOld && !fs.rename(d, aside))
+      throw new java.io.IOException(s"rename-aside $dst -> $aside failed")
+    // some FS impls THROW on a bad src instead of returning false — restore
+    // the old payload on either failure shape before propagating
+    val renamed =
+      try fs.rename(s, d)
+      catch { case e: Throwable => if (hadOld) fs.rename(aside, d); throw e }
+    if (!renamed) {
+      if (hadOld) fs.rename(aside, d)
       throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+    if (hadOld) fs.delete(aside, true)
+    ()
   }
 }
 

@@ -184,6 +184,19 @@ class TableGraph(
     if (staged.nonEmpty) checkpoint()
   }
 
+  /** Drop ONE staging table by name — the precise-release path
+    * ([[graft.operators.Stager.Recording]]): callers that know exactly what
+    * they staged must not reclaim other callers' stages the way the blanket
+    * [[dropStages]] does. No-op for unknown names and for nodes that are
+    * not role=stage (never deletes a real table). */
+  def dropStage(name: String): Unit = synchronized {
+    nodes.get(name).filter(_.metadata.get("role").contains("stage")).foreach { n =>
+      Fs.delete(n.path, hconf)
+      nodes.remove(n.name)
+      checkpoint()
+    }
+  }
+
   // ------------------------------------------------------------ URL cache
 
   /** The per-URL cache dir Chain wires into executor-side fetches. */

@@ -107,11 +107,23 @@ object AsofJoin {
       case "backward" => backward
       case "forward" => forward
       case "nearest" =>
-        // double works for every numeric and timestamp order column (dates
-        // would need a cast by the caller); strict < means a tie keeps the
-        // backward match — the deterministic rule this engine documents
+        // Distance type: integral order columns (e.g. nanosecond-epoch
+        // longs) compare in LONG arithmetic — a double cast is lossy past
+        // 2^53 and can pick the FARTHER candidate. Everything else
+        // (floating, decimal, timestamp — micros-since-epoch stays inside
+        // double's 53-bit mantissa for centuries) compares as double; dates
+        // would need a cast by the caller. Long caveat: a backward/forward
+        // candidate pair spanning > Long.MaxValue (2^63 ns ≈ 292 years) of
+        // the order unit overflows the subtraction.
+        // Strict < means a tie keeps the backward match — the deterministic
+        // rule this engine documents.
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val distType = left.schema(leftTsCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => "long"
+          case _ => "double"
+        }
         def dist(s: Column) =
-          abs(col("__t").cast("double") - s.getField("__ts").cast("double"))
+          abs(col("__t").cast(distType) - s.getField("__ts").cast(distType))
         when(backward.isNull, forward)
           .when(forward.isNull, backward)
           .when(dist(forward) < dist(backward), forward)

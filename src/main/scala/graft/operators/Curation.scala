@@ -53,29 +53,16 @@ object Curation {
       cfg: Config = Config()): DataFrame =
     curateImpl(df, idCol, textCol, cfg)
 
-  /** [[curate]] plus a cleanup thunk that releases everything this call
-    * staged: checkpoint/persist blocks via the persistent-RDD delta
-    * (Dataset.unpersist is a no-op for localCheckpoint blocks — the RDD
-    * delta is the handle that works for every mode) and, in Parquet mode,
-    * the graph's stage tables. Invoke AFTER materializing the result.
-    * Caveat: the RDD delta (and dropStages) assume no CONCURRENT staging in
-    * the same session — serialize cleanup with other staging work. */
+  /** [[curate]] plus a cleanup thunk that releases EXACTLY what this call
+    * staged — every stage goes through a per-call [[Stager.Recording]]
+    * wrapper, so concurrent work persisting blocks in the same session (or
+    * other callers' Parquet stage tables) is never touched. Invoke AFTER
+    * materializing the result. */
   def curateStaged(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = curateImpl(df, idCol, textCol, cfg)
-    val cleanup = () => {
-      sc.getPersistentRDDs
-        .filter { case (rddId, _) => !before.contains(rddId) }
-        .values.foreach(_.unpersist(blocking = false))
-      cfg.stager match {
-        case Stager.Parquet(graph) => graph.dropStages()
-        case _ =>
-      }
-      ()
-    }
-    (out, cleanup)
+    val recording = new Stager.Recording(cfg.stager)
+    val out = curateImpl(df, idCol, textCol, cfg.copy(stager = recording))
+    (out, () => recording.release())
   }
 
   private def curateImpl(df: DataFrame, idCol: String, textCol: String,

@@ -52,4 +52,52 @@ object Stager {
         .getOrElse(sys.error(s"stage $name vanished from the graph"))
     }
   }
+
+  /** Delegating wrapper that remembers a release handle for EVERY stage it
+    * creates, so a caller (Curation.curateStaged) frees exactly its own
+    * stages — never blocks persisted by concurrent work in the same session
+    * or other callers' Parquet stage tables.
+    *
+    * Per-mode handle:
+    *  - Persist: the staged Dataset itself — `unpersist` works there.
+    *  - Parquet: the stage NAME — dropped via [[TableGraph.dropStage]].
+    *  - LocalCheckpoint (and unknown stagers): `Dataset.unpersist` is a
+    *    NO-OP for localCheckpoint blocks and the checkpointed RDD is not
+    *    reachable through public API, so the handle is the persistent-RDD-id
+    *    delta captured around the single EAGER stage call — a window of one
+    *    blocking checkpoint, not the whole funnel + consumer lifetime the
+    *    old global-delta cleanup raced over. Released ids are re-checked
+    *    against the live registry so an id freed elsewhere is skipped.
+    */
+  final class Recording(underlying: Stager) extends Stager {
+    private val handles = scala.collection.mutable.ListBuffer[() => Unit]()
+
+    override def stage(df: DataFrame, name: String): DataFrame = synchronized {
+      underlying match {
+        case Persist =>
+          val out = underlying.stage(df, name)
+          handles += (() => out.unpersist(blocking = false))
+          out
+        case Parquet(graph) =>
+          val out = underlying.stage(df, name)
+          handles += (() => graph.dropStage(name))
+          out
+        case _ =>
+          val sc = df.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val out = underlying.stage(df, name)
+          val mine = sc.getPersistentRDDs.keySet -- before
+          handles += (() => sc.getPersistentRDDs
+            .filter { case (rddId, _) => mine.contains(rddId) }
+            .values.foreach(_.unpersist(blocking = false)))
+          out
+      }
+    }
+
+    /** Release everything staged through this wrapper (idempotent). */
+    def release(): Unit = synchronized {
+      handles.foreach(_.apply())
+      handles.clear()
+    }
+  }
 }

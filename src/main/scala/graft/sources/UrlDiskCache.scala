@@ -31,10 +31,11 @@ object UrlDiskCache {
     // BEST-EFFORT: this runs inside executor tasks right after a successful
     // fetch — a failed cache write (permissions, disk-full, store hiccup)
     // must degrade to a cache miss, never fail the task that already has
-    // its data
+    // its data. NonFatal, not just IOException: object-store clients throw
+    // RuntimeExceptions (SDK errors not wrapped in IOException) too.
     try Fs.writeStringAtomic(path(dir, url), body, conf, overwrite = false)
     catch {
-      case e: java.io.IOException =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[url-cache] skipping cache write for $url: ${e.getMessage}")
     }
 

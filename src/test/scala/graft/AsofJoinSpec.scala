@@ -101,6 +101,22 @@ class AsofJoinSpec extends SparkSpecBase {
       (2L, None)))
   }
 
+  test("nearest asof: long order columns past 2^53 compare in long arithmetic") {
+    // t0 = 2^53 + 1 is NOT double-representable (rounds down to 2^53):
+    // under double distances the backward candidate (2 away) looks 1 away
+    // and the forward candidate (1 away) looks 2 away — double picks the
+    // FARTHER row. Long arithmetic must pick forward.
+    val t0 = 9007199254740993L // 2^53 + 1
+    val left = Seq((1L, t0)).toDF("k", "t")
+    val right = Seq(
+      (1L, t0 - 2L, "backward_far"),
+      (1L, t0 + 1L, "forward_near")
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "nearest")
+      .select("asof_v").as[String].collect().toSeq
+    assert(out === Seq("forward_near"))
+  }
+
   test("forward: null left timestamp matches nothing (desc nulls-first scan)") {
     val left = Seq(
       (1L, Option.empty[Timestamp]), (1L, Option(ts(0)))

@@ -37,6 +37,38 @@ class CurationSpec extends SparkSpecBase {
       "cleanup must release every block this call staged")
   }
 
+  test("cleanup releases ONLY this call's stages — bystander blocks survive") {
+    val sc = spark.sparkContext
+    // a concurrent consumer's persisted frame, alive across the funnel
+    val bystander = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bystander.count()
+    val bystanderIds = sc.getPersistentRDDs.keySet
+    try {
+      val (out, cleanup) = Curation.curateStaged(docs, "doc_id", "text",
+        Curation.Config(stager = Stager.LocalCheckpoint))
+      assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+      assert(sc.getPersistentRDDs.keySet.size > bystanderIds.size) // staged something
+      cleanup()
+      assert(sc.getPersistentRDDs.keySet === bystanderIds,
+        "cleanup must release localCheckpoint blocks but never the bystander's")
+    } finally bystander.unpersist(blocking = true)
+  }
+
+  test("Parquet-mode cleanup drops only its own stage tables") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_pq").toString
+    val graph = new graft.core.TableGraph(dir)
+    // another caller's stage table, registered before the funnel runs
+    graph.addTable("other_stage", docs.limit(1), metadata = Map("role" -> "stage"))
+    val (out, cleanup) = Curation.curateStaged(docs, "doc_id", "text",
+      Curation.Config(stager = Stager.Parquet(graph)))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+    cleanup()
+    assert(graph.getTable(spark, "other_stage").isDefined,
+      "precise release must not reclaim other callers' stages")
+    assert(!graph.allNodes.map(_.name).exists(_.startsWith("curation_canon_")),
+      "this call's stages must be gone")
+  }
+
   test("reserved helper names are rejected") {
     intercept[IllegalArgumentException] {
       Curation.curate(docs.withColumnRenamed("text", "__n_char"), "doc_id", "__n_char")
