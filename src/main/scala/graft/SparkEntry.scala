@@ -1323,5 +1323,70 @@ object SparkEntry {
           sum(col("frame_bytes")).as("total_frame_bytes"))
         .orderBy(col("doc_id"))
     }
+
+    // --- deterministic train/val/test split (operators/Splits.scala):
+    //     bucket = md5("salt:key") first-15-hex as 60-bit int mod 1e6 — the
+    //     one hash both engines compute identically. 0.8/0.1/0.1 weights ->
+    //     integer thresholds 800000/900000. Pure narrow filter: no shuffle,
+    //     and a key can never straddle the train/test boundary across
+    //     re-runs or engines.
+    register("p16_split_assign",
+      """SELECT doc_id,
+        |  CASE WHEN bucket < 800000 THEN 'train'
+        |       WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substring(md5('fold1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 1000000 AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.assignSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "fold1")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- per-stratum hash sampling ("keep all rare languages, 5% of en,
+    //     half of zh") as ONE codegen'd filter — no per-stratum jobs. The
+    //     subset is stable and nested (raising a rate keeps every
+    //     previously-kept key), unlike df.sample whose membership moves
+    //     per run/seed.
+    register("p17_stratified_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50000 WHEN 'zh' THEN 500000
+        |                         ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.stratifiedSampleByHash(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 0.05, "zh" -> 0.5), defaultFraction = 1.0, salt = "mix1")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- binned range join (operators/RangeJoin.scala): price bands from
+    //     nation (overlapping: 15k step, 20k width) matched to orders by
+    //     containment. A bare range predicate would plan as
+    //     BroadcastNestedLoopJoin; the operator quantizes to 20k bins and
+    //     hash-joins, residual-filtering the exact predicate — the oracle
+    //     is the naive predicate join.
+    register("p18_range_join",
+      """SELECT o.o_orderkey, n.n_nationkey AS band_id
+        |FROM orders o JOIN nation n
+        |  ON o.o_totalprice >= n.n_nationkey * 15000.0
+        | AND o.o_totalprice <  n.n_nationkey * 15000.0 + 20000.0
+        |ORDER BY o_orderkey, band_id""".stripMargin) { (s, dir) =>
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 15000.0).as("lo"),
+        (col("n_nationkey") * 15000.0 + 20000.0).as("hi"))
+      graft.operators.RangeJoin.binnedIntervalJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
+        .select(col("o_orderkey"), col("band_id"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    }
   }
 }
