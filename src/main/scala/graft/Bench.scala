@@ -35,21 +35,27 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val results: Seq[(String, Double)] =
+    val results: Seq[(String, Double, Vector[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val samples =
           try Vector.fill(reps)(timeOnce(fn))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); Vector.empty
           }
-        name -> (if (samples.isEmpty) -1.0 else median(samples))
+        (name, if (samples.isEmpty) -1.0 else median(samples), samples)
       }
-    val failed = results.collect { case (n, v) if v < 0 => n }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (n, v, _) if v < 0 => n }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // raw per-rep timings alongside the reported medians: a noisy run is
+    // then visible in the artifact itself instead of masquerading as a
+    // structural regression (round-5 verdict #4)
+    val samplesJson = results.map { case (k, _, ss) =>
+      s"\"" + k + "\":" + ss.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

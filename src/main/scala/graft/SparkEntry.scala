@@ -413,9 +413,14 @@ object SparkEntry {
       val r = t(s, dir, "region"); val n = t(s, dir, "nation")
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      // dims are tiny -> broadcast; the single shuffle is orders><lineitem.
+      // nation/region are FIXED-cardinality dims (25/5 rows at any SF) ->
+      // hint them unconditionally. customer SCALES with the data (150k rows
+      // per SF unit — multi-GB at 100 TB), so no hint: an explicit broadcast
+      // bypasses Spark's size checks and OOMs at scale, while AQE promotes
+      // it to broadcast on its own for as long as it measures small. The
+      // single unavoidable shuffle is orders><lineitem.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
@@ -1387,6 +1392,34 @@ object SparkEntry {
           "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
         .select(col("o_orderkey"), col("band_id"))
         .orderBy(col("o_orderkey"), col("band_id"))
+    }
+
+    // --- per-group embedding centroids (operators/Centroids.scala): the
+    //     mean-update aggregation behind IVF refinement and per-label
+    //     prototypes. Verified per (label, position) row — the centroid
+    //     array is exploded so the oracle compares every mean scalar (and
+    //     position order) exactly rather than hashing an array value.
+    register("p19_group_centroids",
+      """WITH per_pos AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         unnest(embedding) AS val
+        |  FROM embeddings),
+        |agg AS (
+        |  SELECT label, pos,
+        |    round(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+        |            / COUNT(*), 9) AS c,
+        |    COUNT(*) AS n
+        |  FROM per_pos GROUP BY label, pos)
+        |SELECT label, CAST(max(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs, pos, c
+        |FROM agg
+        |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      graft.operators.Centroids
+        .groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("pos", "c")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy(col("label"), col("pos"))
     }
   }
 }

@@ -125,35 +125,57 @@ object Fs {
   }
 
   /** Move src over dst. The old dst is renamed ASIDE (not deleted) before
-    * src moves into place, so a crash mid-replace never leaves the
-    * destination missing while a checkpointed catalog still points at it:
+    * src moves into place, so the old payload survives every failure shape:
     * either the aside rename hasn't happened (old payload intact at dst) or
-    * it has (old payload intact at the aside path, restored on failure).
-    * The aside copy is deleted only after the new payload is in place; a
-    * crash exactly then leaks one `.<name>.old-*` sibling — storage, not
-    * correctness — reclaimed by the next replace of the same dst. */
+    * it has (old payload intact at the aside path — restored on failure,
+    * and a crash in that window is healed ON ENTRY by the next replace of
+    * the same dst, which renames the newest surviving aside back into
+    * place before proceeding). The aside copy is deleted only after the
+    * new payload is in place; a crash exactly then leaks one redundant
+    * `.<name>.old-*` sibling — storage, not correctness — reclaimed here.
+    * Restore renames are themselves checked: if one fails, the thrown
+    * error names the aside path that still holds the old payload. */
   def replace(src: String, dst: String, conf: Configuration): Unit = {
     val (fs, s) = fsFor(src, conf)
     val d = new HPath(dst)
     val parent = d.getParent
-    // reclaim aside copies leaked by an earlier crash-after-rename
-    if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).filter(_.getPath.getName.startsWith("." + d.getName + ".old-"))
-        .foreach(st => fs.delete(st.getPath, true))
+    val asides =
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).filter(_.getPath.getName.startsWith("." + d.getName + ".old-"))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    if (!fs.exists(d) && asides.nonEmpty) {
+      // crash between aside-rename and into-place-rename: the newest aside
+      // is the ONLY copy of the old destination — restore it, then replace
+      val newest = asides.maxBy(_.getModificationTime).getPath
+      if (!fs.rename(newest, d))
+        throw new java.io.IOException(
+          s"restore of crash-orphaned aside $newest -> $dst failed; old payload remains at $newest")
+      asides.filter(_.getPath != newest).foreach(st => fs.delete(st.getPath, true))
+    } else {
+      // dst intact -> any surviving aside is a redundant leak; reclaim
+      asides.foreach(st => fs.delete(st.getPath, true))
+    }
     val aside = new HPath(parent,
       "." + d.getName + ".old-" + java.util.UUID.randomUUID().toString.take(8))
     val hadOld = fs.exists(d)
     if (hadOld && !fs.rename(d, aside))
       throw new java.io.IOException(s"rename-aside $dst -> $aside failed")
+    def restoreOr(base: java.io.IOException): java.io.IOException =
+      if (hadOld && !fs.rename(aside, d))
+        new java.io.IOException(s"${base.getMessage}; restore $aside -> $dst ALSO " +
+          s"failed — old payload remains at $aside", base)
+      else base
     // some FS impls THROW on a bad src instead of returning false — restore
     // the old payload on either failure shape before propagating
     val renamed =
       try fs.rename(s, d)
-      catch { case e: Throwable => if (hadOld) fs.rename(aside, d); throw e }
-    if (!renamed) {
-      if (hadOld) fs.rename(aside, d)
-      throw new java.io.IOException(s"rename $src -> $dst failed")
-    }
+      catch { case e: Throwable =>
+        if (hadOld && !fs.rename(aside, d))
+          e.addSuppressed(new java.io.IOException(
+            s"restore $aside -> $dst failed — old payload remains at $aside"))
+        throw e
+      }
+    if (!renamed) throw restoreOr(new java.io.IOException(s"rename $src -> $dst failed"))
     if (hadOld) fs.delete(aside, true)
     ()
   }

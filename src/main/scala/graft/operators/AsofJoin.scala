@@ -107,21 +107,29 @@ object AsofJoin {
       case "backward" => backward
       case "forward" => forward
       case "nearest" =>
-        // Distance type: integral order columns (e.g. nanosecond-epoch
-        // longs) compare in LONG arithmetic — a double cast is lossy past
-        // 2^53 and can pick the FARTHER candidate. Everything else
-        // (floating, decimal, timestamp — micros-since-epoch stays inside
-        // double's 53-bit mantissa for centuries) compares as double; dates
-        // would need a cast by the caller. Long caveat: a backward/forward
-        // candidate pair spanning > Long.MaxValue (2^63 ns ≈ 292 years) of
-        // the order unit overflows the subtraction.
+        // Distance type: when BOTH order columns are integral (e.g.
+        // nanosecond-epoch longs) compare in LONG arithmetic — a double
+        // cast is lossy past 2^53 and can pick the FARTHER candidate. If
+        // EITHER side is non-integral, fall back to double: casting the
+        // fractional side to long would truncate its distance (left Long /
+        // right Double mixes stay lossy past 2^53 either way — match the
+        // order-column types if that matters). Floating, decimal and
+        // timestamp (micros-since-epoch stays inside double's 53-bit
+        // mantissa for centuries) all compare as double; dates would need
+        // a cast by the caller. Long caveat: a backward/forward candidate
+        // pair spanning > Long.MaxValue of the order unit overflows the
+        // subtraction.
         // Strict < means a tie keeps the backward match — the deterministic
         // rule this engine documents.
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val distType = left.schema(leftTsCol).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => "long"
-          case _ => "double"
+        import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+        def integral(dt: DataType) = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
         }
+        val distType =
+          if (integral(left.schema(leftTsCol).dataType) &&
+              integral(right.schema(rightTsCol).dataType)) "long"
+          else "double"
         def dist(s: Column) =
           abs(col("__t").cast(distType) - s.getField("__ts").cast(distType))
         when(backward.isNull, forward)

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.DecimalType
   * Sums go through the engine-portable DECIMAL(25,6) accumulator (values
   * cast float→double→decimal) and each mean is rounded to `roundTo`
   * decimals, so results are addition-order-free and hash-match the DuckDB
-  * oracle (p17 gate).
+  * oracle (p19 gate, verified per (group, position, mean) row).
+  *
+  * Consumers: the p19 gate query (per-label centroids of `embeddings`) and
+  * [[Similarity.ivfCentroidsRefined]], which uses this aggregation as the
+  * distributed mean-update step of spherical k-means refinement.
   *
   * Vectors must share one dimensionality per group (ragged input would
   * average positions over differing counts; n_vecs reports the max count).

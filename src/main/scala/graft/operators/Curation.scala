@@ -57,7 +57,14 @@ object Curation {
     * staged — every stage goes through a per-call [[Stager.Recording]]
     * wrapper, so concurrent work persisting blocks in the same session (or
     * other callers' Parquet stage tables) is never touched. Invoke AFTER
-    * materializing the result. */
+    * materializing the result.
+    *
+    * Residual caveats of the Recording wrapper's RDD-id-delta fallback
+    * (LocalCheckpoint / unknown stagers only — Persist and Parquet use
+    * exact handles): a thread persisting CONCURRENTLY with one eager stage
+    * call can have its RDD captured and freed at cleanup, and a LAZY
+    * unknown stager registers nothing during the call, so cleanup frees
+    * nothing (the wrapper logs a warning). */
   def curateStaged(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, () => Unit) = {
     val recording = new Stager.Recording(cfg.stager)

@@ -168,6 +168,37 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
       .toSeq
 
+  /** [[ivfCentroids]] followed by `iters` rounds of spherical-k-means
+    * refinement: assign every corpus vector to its nearest cell (max dot
+    * against unit-normalized centroids — the same rule [[ivfTopK]] probes
+    * with), recompute each cell's mean with the distributed
+    * [[Centroids.groupCentroids]] aggregation (shuffle carries only
+    * per-task partial sums, never vectors), normalize, repeat. Only the
+    * nCells centroid rows ever reach the driver per round. Cells that end
+    * a round empty keep their previous centroid. Adapted cells tighten
+    * recall-per-probe when the corpus is clustered — the hash-seeded cells
+    * of [[ivfCentroids]] are only as good as nCells random corpus rows. */
+  def ivfCentroidsRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): Seq[(Int, Array[Float])] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+    var cents = ivfCentroids(corpus, idCol, vecCol, nCells).map { case (c, v) => (c, unit(v)) }
+    val vecs = corpus.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("__cell", nearestCells(col("__v"), cents, 1).getItem(0))
+      val updated = Centroids.groupCentroids(assigned, "__cell", "__v")
+        .collect() // bounded: at most nCells rows (one per non-empty cell)
+        .map(r => r.getInt(0) ->
+          unit(r.getSeq[Double](r.fieldIndex("centroid")).map(_.toFloat).toArray))
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   private def nearestCells(vec: Column, centroids: Seq[(Int, Array[Float])],
       nProbe: Int): Column = {
     // rank cells by codegen'd dot distance proxy (cosine numerator over
@@ -184,11 +215,15 @@ object Similarity {
     * single nearest cell; each query probes its nProbe nearest cells; exact
     * cosine re-rank inside the probed cells. The alternative scale path to
     * [[lshTopK]] — better when the data is clustered, since cells adapt to
-    * the corpus (centroids are corpus vectors) while hyperplanes do not. */
+    * the corpus (centroids are corpus vectors) while hyperplanes do not.
+    * `refineIters > 0` runs that many spherical-k-means rounds
+    * ([[ivfCentroidsRefined]]) before indexing. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nCells)
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val centroids =
+      if (refineIters > 0) ivfCentroidsRefined(corpus, idCol, vecCol, nCells, refineIters)
+      else ivfCentroids(corpus, idCol, vecCol, nCells)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
       .withColumn("__cell", nearestCells(col("__cv"), centroids, 1).getItem(0))

@@ -71,6 +71,7 @@ object Stager {
     */
   final class Recording(underlying: Stager) extends Stager {
     private val handles = scala.collection.mutable.ListBuffer[() => Unit]()
+    private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Recording])
 
     override def stage(df: DataFrame, name: String): DataFrame = synchronized {
       underlying match {
@@ -83,10 +84,19 @@ object Stager {
           handles += (() => graph.dropStage(name))
           out
         case _ =>
+          // RDD-id-delta fallback. Residual caveats (also noted on
+          // Curation.curateStaged): a concurrent thread persisting during
+          // this one eager stage call gets its RDD captured in `mine` and
+          // freed at release; a LAZY unknown stager persists nothing during
+          // the call, so the delta is empty and release frees nothing —
+          // warn so the leak is visible instead of silent.
           val sc = df.sparkSession.sparkContext
           val before = sc.getPersistentRDDs.keySet
           val out = underlying.stage(df, name)
           val mine = sc.getPersistentRDDs.keySet -- before
+          if (mine.isEmpty)
+            log.warn(s"Recording stager: stage '$name' through $underlying registered no " +
+              "persistent RDDs (lazy stager?) — release() will not free its storage")
           handles += (() => sc.getPersistentRDDs
             .filter { case (rddId, _) => mine.contains(rddId) }
             .values.foreach(_.unpersist(blocking = false)))

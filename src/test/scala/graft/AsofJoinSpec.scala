@@ -117,6 +117,20 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out === Seq("forward_near"))
   }
 
+  test("nearest asof: mixed integral/fractional order columns compare as double") {
+    // left Long, right Double: a long cast of the right side would truncate
+    // 10.6 -> 10 and 9.5 -> 9, flipping which candidate is nearer to t=10.
+    // The double fallback must keep the true distances (0.5 vs 0.6).
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 9.5, "backward_near"),  // true distance 0.5; long-truncated 1
+      (1L, 10.6, "forward_far")    // true distance 0.6; long-truncated 0
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "nearest")
+      .select("asof_v").as[String].collect().toSeq
+    assert(out === Seq("backward_near"))
+  }
+
   test("forward: null left timestamp matches nothing (desc nulls-first scan)") {
     val left = Seq(
       (1L, Option.empty[Timestamp]), (1L, Option(ts(0)))

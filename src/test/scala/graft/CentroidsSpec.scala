@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Centroids, Similarity}
+import org.apache.spark.sql.functions._
+
+/** groupCentroids semantics (exact means, position order, n_vecs,
+  * addition-order independence) and its consumer, the spherical-k-means
+  * refinement behind ivfTopK(refineIters > 0).
+  */
+class CentroidsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("groupCentroids computes exact per-position means, in position order") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(3.0f, 2.0f, 1.0f)),
+      ("b", Seq(10.0f, 0.0f, 0.0f))).toDF("g", "v")
+    val out = Centroids.groupCentroids(df, "g", "v")
+      .orderBy("g")
+      .as[(String, Long, Seq[Double])].collect()
+    assert(out === Array(
+      ("a", 2L, Seq(2.0, 2.0, 2.0)),
+      ("b", 1L, Seq(10.0, 0.0, 0.0))))
+  }
+
+  test("groupCentroids is partition/addition-order independent (decimal accumulator)") {
+    val e = testdata("sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Centroids.groupCentroids(df, "label", "embedding")
+        .orderBy("label").as[(String, Long, Seq[Double])].collect().toSeq
+    val a = run(e.repartition(1))
+    val b = run(e.repartition(16, col("vec_id")))
+    assert(a === b, "means must not depend on partitioning / addition order")
+  }
+
+  test("groupCentroids rounds to the requested precision") {
+    val df = Seq(("g", Seq(1.0f)), ("g", Seq(2.0f)), ("g", Seq(2.0f))).toDF("g", "v")
+    val Seq(c3) = Centroids.groupCentroids(df, "g", "v", roundTo = 3)
+      .select("centroid").as[Seq[Double]].head()
+    assert(c3 === 1.667) // 5/3 rounded to 3 places
+  }
+
+  test("ivfCentroidsRefined returns unit vectors and converges on separable clusters") {
+    // two tight clusters on orthogonal axes; after refinement the two cells
+    // should sit on the axes (any hash-seeded start mixes them)
+    val rows = (0 until 50).map(i => (i.toLong, Seq(1.0f, 0.01f * (i % 5)))) ++
+      (50 until 100).map(i => (i.toLong, Seq(0.01f * (i % 5), 1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsRefined(df, "vec_id", "embedding", nCells = 2, iters = 5)
+    assert(cents.size === 2)
+    for ((_, v) <- cents) {
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"centroid not unit: norm=$norm")
+    }
+    // each axis direction should be ~owned by one centroid
+    val byAxis = cents.map { case (_, v) => if (v(0) > v(1)) 0 else 1 }.toSet
+    assert(byAxis === Set(0, 1), s"refined centroids collapsed: $cents")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfCentroidsRefined(df, "vec_id", "embedding", 2, iters = -1)
+    }
+  }
+
+  test("ivfTopK(refineIters) keeps recall at least as good as unrefined seeding") {
+    val e = testdata("sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val refined = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 6, refineIters = 2))
+    val recall = (exact & refined).size.toDouble / exact.size
+    assert(recall >= 0.4, s"refined recall $recall")
+  }
+}

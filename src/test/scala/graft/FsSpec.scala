@@ -49,4 +49,30 @@ class FsSpec extends SparkSpecBase {
     assert(!new java.io.File(dir).list().exists(_.startsWith(".dst.old-")),
       "stale aside copies for this destination must be reclaimed")
   }
+
+  test("replace heals a crash-orphaned aside: dst missing, aside is the only copy") {
+    // crash window: aside rename done, into-place rename not -> dst is gone
+    // and .dst.old-* holds the only old payload. The NEXT replace must
+    // restore it before proceeding, so even a replace that then fails
+    // (missing src) leaves the old payload back at dst.
+    val dir = tmpDir()
+    write(s"$dir/.dst.old-deadbeef", "only-copy")
+    intercept[java.io.IOException] {
+      Fs.replace(s"$dir/missing_src", s"$dir/dst", conf)
+    }
+    assert(Fs.readString(s"$dir/dst", conf) === Some("only-copy"),
+      "the orphaned aside must be renamed back to dst on entry")
+  }
+
+  test("replace heals the NEWEST orphaned aside and drops older ones") {
+    val dir = tmpDir()
+    write(s"$dir/.dst.old-aaaa0001", "older")
+    Thread.sleep(1100) // local FS mtime granularity is 1s
+    write(s"$dir/.dst.old-bbbb0002", "newer")
+    write(s"$dir/src", "new")
+    Fs.replace(s"$dir/src", s"$dir/dst", conf)
+    assert(Fs.readString(s"$dir/dst", conf) === Some("new"))
+    assert(!new java.io.File(dir).list().exists(_.startsWith(".dst.old-")),
+      "all asides reclaimed after a successful replace")
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Splits
+import org.apache.spark.sql.functions._
+
+/** Guard rails + the determinism/nesting contracts the p16/p17 gate queries
+  * rely on but can't express (the oracle only sees one salt/one rate).
+  */
+class SplitsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = testdata("sf0.001", "documents")
+
+  test("assignSplit covers every row, respects weights, and is a pure function of (salt, key)") {
+    val out = Splits.assignSplit(docs, "doc_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), salt = "s1")
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(total === docs.count(), "no row may drop out of the assignment")
+    assert(counts.keySet === Set("train", "val", "test"))
+    // 80/10/10 within a loose tolerance at n=500
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.08, counts.toString)
+    // re-running the same (salt, key) yields the identical assignment
+    val again = Splits.assignSplit(docs, "doc_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), salt = "s1")
+    assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).isEmpty)
+    // a different salt re-deals: at least SOME keys move
+    val redeal = Splits.assignSplit(docs, "doc_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), salt = "s2")
+    assert(out.select("doc_id", "split")
+      .except(redeal.select("doc_id", "split")).count() > 0)
+  }
+
+  test("assignSplit: a key can never straddle splits") {
+    // duplicate every key 3x; each copy must land in the same split
+    val dup = docs.select(col("doc_id")).crossJoin(Seq(1, 2, 3).toDF("copy"))
+    val out = Splits.assignSplit(dup, "doc_id", Seq("a" -> 1.0, "b" -> 1.0), salt = "x")
+    val straddlers = out.groupBy("doc_id")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(straddlers === 0L)
+  }
+
+  test("assignSplit guard rails: empty/non-positive/duplicate weights, bad nBuckets") {
+    intercept[IllegalArgumentException] {
+      Splits.assignSplit(docs, "doc_id", Seq.empty, salt = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assignSplit(docs, "doc_id", Seq("a" -> 1.0, "b" -> 0.0), salt = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assignSplit(docs, "doc_id", Seq("a" -> 1.0, "a" -> 2.0), salt = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Splits.hashBucket(col("doc_id"), "s", nBuckets = 0)
+    }
+  }
+
+  test("assignSplit bucketCol exposes the audit bucket consistent with splitCol") {
+    val out = Splits.assignSplit(docs, "doc_id", Seq("lo" -> 1.0, "hi" -> 1.0),
+      salt = "s", bucketCol = Some("bkt"), nBuckets = 100)
+    val bad = out.filter(
+      (col("bkt") < 50 && col("split") =!= "lo") ||
+        (col("bkt") >= 50 && col("split") =!= "hi")).count()
+    assert(bad === 0L)
+  }
+
+  test("sampleByHash is nested: 1% sample is a subset of the 10% sample") {
+    val s1 = Splits.sampleByHash(docs, "doc_id", 0.01, "salt").select("doc_id")
+    val s10 = Splits.sampleByHash(docs, "doc_id", 0.10, "salt").select("doc_id")
+    assert(s1.except(s10).isEmpty, "raising the rate must keep every sampled key")
+    assert(s10.count() > s1.count())
+    // boundary rates
+    assert(Splits.sampleByHash(docs, "doc_id", 0.0, "salt").isEmpty)
+    assert(Splits.sampleByHash(docs, "doc_id", 1.0, "salt").count() === docs.count())
+    intercept[IllegalArgumentException] {
+      Splits.sampleByHash(docs, "doc_id", 1.5, "salt")
+    }
+  }
+
+  test("stratifiedSampleByHash: per-stratum rates, default rate, nested subsets") {
+    val full = Splits.stratifiedSampleByHash(docs, "doc_id", "lang",
+      fractions = Map("en" -> 1.0), defaultFraction = 0.0, salt = "s")
+    assert(full.filter(col("lang") =!= "en").isEmpty)
+    assert(full.count() === docs.filter(col("lang") === "en").count())
+    // nested within a stratum too (same hash, higher threshold)
+    val lo = Splits.stratifiedSampleByHash(docs, "doc_id", "lang",
+      Map("en" -> 0.05), 0.5, "s").select("doc_id")
+    val hi = Splits.stratifiedSampleByHash(docs, "doc_id", "lang",
+      Map("en" -> 0.50), 0.5, "s").select("doc_id")
+    assert(lo.except(hi).isEmpty)
+    intercept[IllegalArgumentException] {
+      Splits.stratifiedSampleByHash(docs, "doc_id", "lang", Map("en" -> 2.0), 0.1, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Splits.stratifiedSampleByHash(docs, "doc_id", "lang", Map("en" -> 0.5), -0.1, "s")
+    }
+  }
+
+  test("hash plans stay narrow: no Exchange in a sampleByHash filter") {
+    val plan = Splits.sampleByHash(docs, "doc_id", 0.1, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
