@@ -824,7 +824,7 @@ object SparkEntry {
   // =================================================================
   private def pipelineQueries(): Unit = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Dedup, Multimodal, Similarity}
+    import graft.operators.{Dedup, DupClusters, Multimodal, Similarity}
 
     // Shared DuckDB fragments. Tokenization/shingling must match
     // TextFunctions bit-for-bit: whitespace split, empties dropped,
@@ -963,10 +963,12 @@ object SparkEntry {
     }
 
     // --- MinHash + LSH near-dup pairs, Jaccard-verified (8 hashes, 1-row
-    //     bands: candidate recall at j=0.8 is 1-(1-0.8)^8 ≈ 0.9999997)
+    //     bands: candidate recall at j=0.8 is 1-(1-0.8)^8 ≈ 0.9999997).
+    //     The CTE list ends in `pairs` so p20/p21 can build the duplicate
+    //     GRAPH oracles (connected components) on the identical pair set.
     val mhSeeds = 0 until 8
-    register("p05_minhash_lsh",
-      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+    val minhashPairCtes =
+      s"""t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(
          |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
          |       ELSE list_transform(range(1, len(toks)-1),
@@ -983,18 +985,175 @@ object SparkEntry {
          |),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |  WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
+         |  WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b,
          |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
          |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE
          |    AS jaccard_sim
          |FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
          |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.8
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.8)""".stripMargin
+    register("p05_minhash_lsh",
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, jaccard_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.nearDupPairsMinhash(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- duplicate-cluster resolution: connected components over the p05
+    //     pair graph (alternating large-star/small-star in Spark; the
+    //     oracle recomputes components by recursive transitive closure —
+    //     fine at oracle scale, quadratic in general, which is WHY the
+    //     engine side uses star contraction). cluster_id = min member.
+    val componentCtes =
+      s"""$minhashPairCtes,
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT ea, eb FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.eb FROM reach JOIN edges ON reach.r = edges.ea),
+         |assign AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+    register("p20_dup_clusters",
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT id, cluster_id FROM assign ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.nearDupPairsMinhash(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
+      DupClusters.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }
+
+    // --- canonical near-dedup of the corpus: drop every doc that shares a
+    //     component with a smaller doc_id; unpaired docs pass through.
+    register("p21_dedup_canonical",
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT d.doc_id, d.lang, length(d.text) AS n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM assign WHERE id != cluster_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
+      DupClusters.dedupByPairs(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- Gopher-style repetition quality signals: duplicate-line
+    //     fractions + top-bigram mass. Fractions are UNROUNDED IEEE
+    //     divisions of exact counts (bit-identical across engines — no
+    //     round-half ties); the top bigram tie-breaks deterministically
+    //     (count desc, gram asc) on both sides.
+    register("p22_repetition",
+      s"""WITH lines AS (
+         |  SELECT doc_id, trim(l) AS line FROM (
+         |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+         |  WHERE trim(l) != ''),
+         |lc AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+         |  FROM lines GROUP BY doc_id, line),
+         |lagg AS (SELECT doc_id,
+         |    SUM(c) AS n_lines, COUNT(*) AS nd,
+         |    SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dupch,
+         |    SUM(c * len) AS totch
+         |  FROM lc GROUP BY doc_id),
+         |toks AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         |top AS (SELECT doc_id, g, c FROM (
+         |    SELECT doc_id, g, c,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM bgc)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  COALESCE(l.n_lines, 0)::BIGINT AS n_lines,
+         |  CASE WHEN l.n_lines IS NULL THEN 0.0
+         |       ELSE CAST(l.n_lines - l.nd AS DOUBLE) / l.n_lines END AS dup_line_frac,
+         |  CASE WHEN l.totch IS NULL OR l.totch = 0 THEN 0.0
+         |       ELSE CAST(l.dupch AS DOUBLE) / l.totch END AS dup_line_char_frac,
+         |  t.g AS top_bigram,
+         |  COALESCE(t.c, 0)::BIGINT AS top_bigram_n,
+         |  CASE WHEN t.c IS NULL OR length(d.text) = 0 THEN 0.0
+         |       ELSE t.c * CAST(length(t.g) AS DOUBLE) / length(d.text)
+         |       END AS top_bigram_char_frac
+         |FROM documents d
+         |LEFT JOIN lagg l ON l.doc_id = d.doc_id
+         |LEFT JOIN top t ON t.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Repetition.signals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- PII scrubbing: the corpus text is augmented with synthetic
+    //     email/IP/digit-run PII derived from doc_id (the raw documents
+    //     contain none, which would gate nothing), then redacted by the
+    //     same rule chain on both engines. Patterns stay in the Java/RE2
+    //     common regex subset.
+    register("p23_pii_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com via 10.0.0.'
+        |         || (doc_id % 255) || ' ref 9' || doc_id || '12345678',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<NUM>', 'g') AS red_text
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via 10.0.0."), col("doc_id") % 255,
+          lit(" ref 9"), col("doc_id"), lit("12345678")).as("text"))
+      graft.operators.Scrub.redactColumn(withPii, "text")
+        .select(col("doc_id"), col("text").as("red_text"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- benchmark decontamination: 5-gram overlap of "training" docs
+    //     (doc_id % 20 != 0) against a "benchmark" (doc_id % 20 == 0);
+    //     hits counted DISTINCT per doc. The planted near-dup families in
+    //     `documents` guarantee non-trivial overlap.
+    register("p24_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-3),
+         |              i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS s
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 20 = 0)
+         |SELECT e.doc_id, COUNT(*) AS n_hits
+         |FROM ex e JOIN bench b USING(g)
+         |WHERE e.doc_id % 20 != 0
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+      val docs0 = t(s, dir, "documents")
+      graft.operators.Decontaminate.overlapReport(
+          docs0.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs0.filter(col("doc_id") % 20 === 0), "text", shingleN = 5)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- deterministic sequence packing: contiguous token-budget bins per
+    //     language (cumulative-sum window partitioned by group — groups
+    //     pack in parallel; bin = budget multiple the running count
+    //     crossed before the doc).
+    register("p25_seq_packing",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len($toksLowerSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+         |  n_tokens > 512 AS oversize
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .assignBins(docs, "doc_id", "n_tokens", 512L, groupCol = Some("lang"))
+        .orderBy(col("doc_id"))
     }
 
     // --- exact n-gram Jaccard pairs (the documented small-block/oracle
@@ -1396,9 +1555,11 @@ object SparkEntry {
 
     // --- per-group embedding centroids (operators/Centroids.scala): the
     //     mean-update aggregation behind IVF refinement and per-label
-    //     prototypes. Verified per (label, position) row — the centroid
-    //     array is exploded so the oracle compares every mean scalar (and
-    //     position order) exactly rather than hashing an array value.
+    //     prototypes. Verified per (label, position) row on the EXACT
+    //     decimal sums (the mergeable form) — a divided mean can land on a
+    //     round-half tie where the engines' double rounding legitimately
+    //     differs by 1 ulp (seen at sf0.001: sum/n = -0.0225563125
+    //     exactly); the sums are tie-free by construction.
     register("p19_group_centroids",
       """WITH per_pos AS (
         |  SELECT label,
@@ -1407,18 +1568,23 @@ object SparkEntry {
         |  FROM embeddings),
         |agg AS (
         |  SELECT label, pos,
-        |    round(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
-        |            / COUNT(*), 9) AS c,
+        |    CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS csum,
         |    COUNT(*) AS n
         |  FROM per_pos GROUP BY label, pos)
-        |SELECT label, CAST(max(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs, pos, c
+        |SELECT label, CAST(max(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs, pos,
+        |       CAST(csum AS VARCHAR) AS csum
         |FROM agg
         |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      // csum travels as its scale-6 STRING rendering: DuckDB's pandas
+      // bridge narrows DECIMAL to float64 (dropping trailing zeros) while
+      // Spark parquet keeps java BigDecimals — both engines' to-string of
+      // the decimal itself is the stable common form
       graft.operators.Centroids
         .groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("n_vecs"),
-          posexplode(col("centroid")).as(Seq("pos", "c")))
+          posexplode(col("centroid_sum")).as(Seq("pos", "csum")))
         .withColumn("pos", col("pos").cast("long"))
+        .withColumn("csum", col("csum").cast("string"))
         .orderBy(col("label"), col("pos"))
     }
   }

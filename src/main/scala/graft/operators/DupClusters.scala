@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution (beyond-reference, SURVEY.md §2.4): turn
+  * the PAIR output of the near-dup detectors ([[Dedup.nearDupPairsMinhash]]
+  * / Simhash / embedding-LSH) into per-document cluster assignments and a
+  * canonical-kept corpus. Near-duplicate similarity is not transitive, so
+  * the standard corpus-dedup semantics — used by every public pipeline
+  * that chains MinHash into dedup — is: build the similarity graph, take
+  * CONNECTED COMPONENTS as duplicate clusters, keep one canonical doc
+  * (min id) per cluster.
+  *
+  * Components come from the alternating large-star/small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014): each round is two groupBy-shuffles over the edge list and
+  * the edge count never grows past the input size; convergence is
+  * O(log² n) rounds — in practice 2–4 for dedup graphs, whose components
+  * are near-cliques of bounded size. That is the 100 TB shape: no driver
+  * iteration over vertices, no transitive-closure blow-up, shuffle volume
+  * O(|pairs|) per round keyed by node id. Each round is staged through the
+  * pluggable [[Stager]] so the iterative loop's lineage cannot stack
+  * (localCheckpoint default; clusters needing fault tolerance pass
+  * Persist/Parquet — trade-offs in [[Stager]]'s scaladoc).
+  */
+object DupClusters {
+
+  /** Connected-component assignment from an undirected pair list.
+    *
+    * Returns one row per distinct node id in `pairs`: (id, cluster_id)
+    * with cluster_id = the MINIMUM id in the node's component (roots map
+    * to themselves). Self-pairs and null ids drop out. Ids must be of an
+    * orderable type; `min` over the id type defines the canonical root.
+    *
+    * Fails with IllegalStateException if the graph has not converged
+    * after `maxIters` rounds (each round is 2 shuffles; 20 covers any
+    * graph up to ~2^20 diameter — a mis-wired pair generator, not data,
+    * is the realistic cause).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 20,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+
+    // canonical directed edge u -> v with u > v (v is the smaller
+    // neighbor); drop nulls and self-loops
+    var edges = stager.stage(
+      pairs
+        .filter(a.isNotNull && b.isNotNull && a =!= b)
+        .select(greatest(a, b).as("u"), least(a, b).as("v"))
+        .distinct(),
+      s"cc_edges_${runId}_0")
+
+    // convergence signature: order-insensitive content hash + count.
+    // xxhash64 over both columns, summed — collision odds over 64 bits are
+    // negligible against maxIters more rounds of the exact fixed point.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // LARGE-STAR: for every node n, connect its strictly-LARGER
+      // neighbors to m = min(N(n) ∪ {n}). On the symmetrized adjacency,
+      // group by node, m = least(node, min(neighbor)); emit (bigger
+      // neighbor, m).
+      val sym = edges.select(col("u").as("n"), col("v").as("nb"))
+        .unionAll(edges.select(col("v").as("n"), col("u").as("nb")))
+      val largeMin = sym.groupBy(col("n"))
+        .agg(least(col("n"), min(col("nb"))).as("m"))
+      val large = sym.join(largeMin, "n")
+        .filter(col("nb") > col("n"))
+        .select(col("nb").as("u"), col("m").as("v"))
+        .distinct()
+
+      // SMALL-STAR: on the canonical (u > v) edges, for every node u
+      // connect its smaller neighbors AND u itself to m = min(N(u) ∪ {u})
+      // = min(neighbors) here, since all neighbors are < u.
+      val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smallMin, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionAll(smallMin.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+
+      edges = stager.stage(small, s"cc_edges_${runId}_${it + 1}")
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds " +
+          s"(${sig._1} edges) — raise maxIters or check the pair generator")
+
+    // fixed point is a forest of stars u -> root; nodes: leaves + roots
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Keep one canonical row per duplicate cluster: drop every row whose id
+    * appears in `pairs`' similarity graph with a smaller id in the same
+    * component; rows never paired pass through untouched. A left-anti
+    * join on the (id != cluster_id) assignment — one broadcast-sized (the
+    * duplicate set is small by construction) or shuffle anti-join over the
+    * corpus, chosen by AQE. */
+  def dedupByPairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val dupes = connectedComponents(pairs, aCol, bCol, stager = stager)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+}

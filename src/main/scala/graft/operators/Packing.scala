@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sequence packing (beyond-reference, SURVEY.md §2.4):
+  * assign documents to fixed token-budget bins — the batching step that
+  * turns a curated corpus into training sequences. This is CONTIGUOUS
+  * packing in a total per-group order (docs sorted by id, bin = which
+  * budget multiple the running token count has crossed), the
+  * deterministic variant every engine can reproduce — unlike first-fit
+  * bin packing, whose result depends on visit order and defeats both
+  * distribution and oracle checks.
+  *
+  * Semantics per group: docs ordered by `idCol`; doc i lands in bin
+  * floor(cum_tokens_before_i / budget). A document longer than the budget
+  * still gets exactly one bin assignment (it will overflow its bin — the
+  * caller decides whether to truncate or drop; `oversize` marks it).
+  *
+  * 100 TB shape: ONE window (cumulative sum) partitioned by `groupCol` —
+  * groups pack independently and in parallel, so the window never sees a
+  * global total order. Pack within natural domains (split, language,
+  * source shard): a single global group would serialize into one
+  * partition and is rejected unless `allowGlobal` is set (the escape
+  * hatch for small corpora, where it is merely a single-task sort).
+  */
+object Packing {
+
+  def assignBins(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      groupCol: Option[String] = None,
+      binCol: String = "bin",
+      allowGlobal: Boolean = false): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupCol.isDefined || allowGlobal,
+      "global packing serializes into one window partition at scale; pass a " +
+        "groupCol (split/lang/shard) or set allowGlobal=true for small data")
+    (Seq(binCol, "oversize") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    val toks = col(s"`$tokensCol`").cast("long")
+    val w = groupCol
+      .map(g => Window.partitionBy(col(s"`$g`")))
+      .getOrElse(Window.partitionBy())
+      .orderBy(col(s"`$idCol`"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__cum", sum(toks).over(w))
+      // exact LONG floor-division (SQL `div`), not a double `/` + cast:
+      // double loses exactness past 2^53 cumulative tokens, and engines
+      // disagree on double->int conversion (truncate vs round)
+      .withColumn("__before", col("__cum") - toks)
+      .withColumn(binCol, expr(s"__before div ${budget}L"))
+      .withColumn("oversize", toks > budget)
+      .drop("__cum", "__before")
+  }
+}

@@ -10,27 +10,31 @@ import org.apache.spark.sql.functions._
 class CentroidsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("groupCentroids computes exact per-position means, in position order") {
+  test("groupCentroids computes exact per-position means and sums, in position order") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f, 3.0f)),
       ("a", Seq(3.0f, 2.0f, 1.0f)),
       ("b", Seq(10.0f, 0.0f, 0.0f))).toDF("g", "v")
     val out = Centroids.groupCentroids(df, "g", "v")
+      .select(col("g"), col("n_vecs"), col("centroid"),
+        col("centroid_sum").cast("array<double>"))
       .orderBy("g")
-      .as[(String, Long, Seq[Double])].collect()
+      .as[(String, Long, Seq[Double], Seq[Double])].collect()
     assert(out === Array(
-      ("a", 2L, Seq(2.0, 2.0, 2.0)),
-      ("b", 1L, Seq(10.0, 0.0, 0.0))))
+      ("a", 2L, Seq(2.0, 2.0, 2.0), Seq(4.0, 4.0, 4.0)),
+      ("b", 1L, Seq(10.0, 0.0, 0.0), Seq(10.0, 0.0, 0.0))))
   }
 
   test("groupCentroids is partition/addition-order independent (decimal accumulator)") {
     val e = testdata("sf0.001", "embeddings")
     def run(df: org.apache.spark.sql.DataFrame) =
       Centroids.groupCentroids(df, "label", "embedding")
-        .orderBy("label").as[(String, Long, Seq[Double])].collect().toSeq
+        .select(col("label"), col("n_vecs"), col("centroid"),
+          col("centroid_sum").cast("array<string>"))
+        .orderBy("label").as[(String, Long, Seq[Double], Seq[String])].collect().toSeq
     val a = run(e.repartition(1))
     val b = run(e.repartition(16, col("vec_id")))
-    assert(a === b, "means must not depend on partitioning / addition order")
+    assert(a === b, "means/sums must not depend on partitioning / addition order")
   }
 
   test("groupCentroids rounds to the requested precision") {
@@ -38,6 +42,21 @@ class CentroidsSpec extends SparkSpecBase {
     val Seq(c3) = Centroids.groupCentroids(df, "g", "v", roundTo = 3)
       .select("centroid").as[Seq[Double]].head()
     assert(c3 === 1.667) // 5/3 rounded to 3 places
+  }
+
+  test("centroid_sum + n_vecs are mergeable: shard partials combine to the global sum") {
+    val e = testdata("sf0.001", "embeddings")
+    val s1 = e.filter($"vec_id" % 2 === 0)
+    val s2 = e.filter($"vec_id" % 2 === 1)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Centroids.groupCentroids(df, "label", "embedding")
+        .select(col("label"), posexplode(col("centroid_sum")).as(Seq("pos", "s")))
+    val merged = sums(s1).unionAll(sums(s2))
+      .groupBy("label", "pos").agg(sum(col("s")).as("s"))
+    val global = sums(e)
+    val joined = merged.join(global.withColumnRenamed("s", "g"), Seq("label", "pos"))
+    assert(joined.filter(col("s") =!= col("g")).count() === 0L,
+      "sum of shard partials must equal the single-pass sum exactly")
   }
 
   test("ivfCentroidsRefined returns unit vectors and converges on separable clusters") {

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Decontaminate
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val bench = Seq(
+    Tuple1("the quick brown fox jumps over the lazy dog")).toDF("question")
+
+  test("overlapReport counts distinct shared shingles; clean docs are absent") {
+    val docs = Seq(
+      (1L, "he said the quick brown fox jumps high today"), // shares 3-grams
+      (2L, "completely unrelated text about sparks and rivers"),
+      (3L, "the quick brown fox jumps over the lazy dog")    // full overlap
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(docs, "doc_id", "text", bench, "question",
+        shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert(got === Map(1L -> 3L, 3L -> 7L)) // bench has 7 distinct 3-grams
+  }
+
+  test("duplicate shingles within a doc count once (DISTINCT semantics)") {
+    val docs = Seq((1L, "the quick brown fox the quick brown fox")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(docs, "doc_id", "text", bench, "question",
+        shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    // "the quick brown" + "quick brown fox" each counted once,
+    // plus the wrap-around "brown fox the"/"fox the quick" miss the bench
+    assert(got === Map(1L -> 2L))
+  }
+
+  test("removeContaminated honors minHits and passes clean docs through") {
+    val docs = Seq(
+      (1L, "he said the quick brown fox jumps high today"),
+      (2L, "completely unrelated text about sparks and rivers"),
+      (3L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    def kept(minHits: Long) =
+      Decontaminate.removeContaminated(docs, "doc_id", "text", bench, "question",
+        shingleN = 3, minHits = minHits).select("doc_id").as[Long].collect().toSet
+    assert(kept(1L) === Set(2L))
+    assert(kept(5L) === Set(1L, 2L)) // doc 1's 3 hits < 5
+    intercept[IllegalArgumentException] {
+      Decontaminate.removeContaminated(docs, "doc_id", "text", bench, "question",
+        minHits = 0)
+    }
+  }
+
+  test("multi-row benchmarks shingle per row — no phantom cross-row shingles") {
+    val multiBench = Seq(
+      Tuple1("alpha beta gamma"),
+      Tuple1("delta epsilon zeta")).toDF("question")
+    // "gamma delta epsilon" spans the two bench rows; it must NOT count
+    val docs = Seq(
+      (1L, "x gamma delta epsilon y"),
+      (2L, "x alpha beta gamma y")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(docs, "doc_id", "text", multiBench, "question",
+        shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L))
+  }
+
+  test("docs shorter than the shingle width can never be flagged") {
+    val docs = Seq((1L, "quick brown")).toDF("doc_id", "text")
+    assert(Decontaminate.overlapReport(docs, "doc_id", "text", bench, "question",
+      shingleN = 3).isEmpty)
+  }
+}
