@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * Interval, work per reducer is (points in bin) × (intervals touching
   * bin) — local, not global, products. Choose `binWidth` near the p95
   * interval width so binsPerInterval stays 1–2. Dense value regions make
-  * hot bins; AQE's skew-join split handles them (equi-join!), or compose
-  * with [[Scale.saltedJoin]]. A runtime guard fails fast if one interval
-  * would fan out past `maxBinsPerInterval` (a mis-chosen binWidth at TB
-  * scale should die in seconds, not OOM an hour in).
+  * hot bins; AQE's skew-join split handles them (equi-join!), or pass
+  * `saltBuckets > 1` to spread each hot bin over that many reducers via
+  * [[Scale.saltedJoin]] (interval side replicates once per salt — cheap,
+  * intervals are the small side). A runtime guard fails fast if one
+  * interval would fan out past `maxBinsPerInterval` (a mis-chosen
+  * binWidth at TB scale should die in seconds, not OOM an hour in).
   */
 object RangeJoin {
 
@@ -39,11 +41,14 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       binWidth: Double,
-      maxBinsPerInterval: Int = 4096): DataFrame = {
+      maxBinsPerInterval: Int = 4096,
+      saltBuckets: Int = 1): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(maxBinsPerInterval > 0, s"maxBinsPerInterval must be positive")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     (points.columns ++ intervals.columns).foreach(c =>
-      require(c != BinCol, s"column name '$BinCol' is reserved by binnedIntervalJoin"))
+      require(c != BinCol && c != "__salt",
+        s"column names '$BinCol'/'__salt' are reserved by binnedIntervalJoin"))
     val dupes = points.columns.intersect(intervals.columns)
     require(dupes.isEmpty,
       s"binnedIntervalJoin: both sides define ${dupes.mkString(", ")} — rename before joining")
@@ -69,8 +74,11 @@ object RangeJoin {
 
     // a point lies in exactly one bin, so each (point, interval) pair meets
     // at most once — no post-join dedup needed
-    taggedPoints
-      .join(taggedIntervals, BinCol)
+    val joined =
+      if (saltBuckets == 1) taggedPoints.join(taggedIntervals, BinCol)
+      else Scale.saltedJoin(taggedPoints, taggedIntervals, Seq(BinCol),
+        how = "inner", saltBuckets = saltBuckets)
+    joined
       .filter(p >= lo && p < hi)
       .drop(BinCol)
   }

@@ -35,6 +35,26 @@ class ScaleSpec extends SparkSpecBase {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("binnedIntervalJoin with salting equals the naive predicate join on a dense region") {
+    // dense hot region: 8k points piled into one bin, plus a scattered tail
+    val points = spark.range(8000)
+      .select((lit(5.0) + col("id") / 1e6).as("p"), col("id").as("pid"))
+      .union(spark.range(500).select((col("id") / 10.0).as("p"), (col("id") + 100000).as("pid")))
+    val intervals = spark.range(200).select(
+      (col("id") / 5.0).as("lo"), (col("id") / 5.0 + 2.5).as("hi"), col("id").as("iid"))
+    val naive = points.crossJoin(intervals)
+      .filter($"p" >= $"lo" && $"p" < $"hi")
+    val salted = graft.operators.RangeJoin.binnedIntervalJoin(
+      points, "p", intervals, "lo", "hi", binWidth = 2.0, saltBuckets = 4)
+    assert(salted.count() === naive.count())
+    assert(salted.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(salted).count() === 0)
+    // the salted plan joins on (bin, salt) — the hot bin's rows spread over
+    // 4 reducer keys instead of 1
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"expected salted join keys in plan:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle") {
     val spark2 = spark
     import spark2.implicits._
