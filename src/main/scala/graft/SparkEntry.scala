@@ -1587,5 +1587,80 @@ object SparkEntry {
         .withColumn("csum", col("csum").cast("string"))
         .orderBy(col("label"), col("pos"))
     }
+
+    // --- BM25 keyword search (operators/Search.scala): three fixed query
+    //     strings against the corpus, top-10 each. idf is rounded to 9dp
+    //     through DECIMAL(25,12) on both engines (ln is not bit-portable:
+    //     libm vs JVM differ at 1 ulp in ~0.2% of values — measured), and
+    //     per-(query,doc) scores sum contributions through an exact
+    //     DECIMAL(25,9) accumulator. All other arithmetic is IEEE
+    //     correctly-rounded ops in matched association order, and the
+    //     constants 1.2+1 == 2.2 / 1-0.75 == 0.25 are exact in binary64.
+    register("p26_bm25_topk",
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |    (1, 'fast hash join'), (2, 'window agg spark'), (3, 'stream filter sort')),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(list_filter(string_split_regex(lower(qtext), '\\s+'), x -> x != '')) AS term
+         |  FROM q),
+         |toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT n, sumdl, sumdl / n AS avgdl FROM (
+         |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+         |         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS sumdl)),
+         |tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+         |  FROM toks t JOIN (SELECT DISTINCT term FROM qt) s USING(term)
+         |  GROUP BY t.doc_id, t.term),
+         |idf AS (SELECT term,
+         |    CAST(ROUND(CAST(ln((st.n - df + 0.5) / (df + 0.5) + 1.0) AS DECIMAL(25,12)), 9)
+         |         AS DOUBLE) AS idf
+         |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), st),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(idf.idf * (tf.tf * 2.2) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         |      AS DECIMAL(25,9))) AS DOUBLE) AS score
+         |  FROM tf
+         |  JOIN qt USING(term) JOIN idf USING(term) JOIN dl USING(doc_id), st
+         |  GROUP BY qt.query_id, tf.doc_id)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc) x
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val queries = s.createDataFrame(Seq(
+        (1, "fast hash join"), (2, "window agg spark"), (3, "stream filter sort")))
+        .toDF("query_id", "qtext")
+      graft.operators.Search.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          queries, "query_id", "qtext", k = 10, idfRoundDp = Some(9))
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // --- cross-doc duplicate 5-gram coverage (Dedup.dupNgramCoverage):
+    //     the boilerplate/template mass signal. Counts are exact; grams
+    //     travel as the shared 60-bit md5 hash on both engines; dup_frac
+    //     is one IEEE division.
+    register("p27_dup_ngrams",
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(t)-3),
+         |                i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS gram
+         |  FROM toks),
+         |dg AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh FROM g),
+         |fr AS (SELECT gh, COUNT(*) AS ndocs FROM dg GROUP BY gh)
+         |SELECT dg.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN fr.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |  CAST(SUM(CASE WHEN fr.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |FROM dg JOIN fr USING(gh)
+         |GROUP BY dg.doc_id
+         |ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.dupNgramCoverage(
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 5)
+        .orderBy(col("doc_id"))
+    }
   }
 }

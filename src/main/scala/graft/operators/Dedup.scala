@@ -363,6 +363,38 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs >= threshold. Exact within LSH
     * buckets at scale (Similarity.lshTopK machinery); this brute-force
     * variant is for oracle checks and small blocks. */
+  /** Cross-document duplicate n-gram coverage (the Dolma/RefinedWeb-style
+    * "duplicate text mass" signal): per document, how many of its DISTINCT
+    * word n-grams also occur in at least one OTHER document, and the
+    * fraction they represent. High dup_frac with no single near-dup
+    * partner is the boilerplate/template signature that pairwise detectors
+    * (MinHash/SimHash above) miss.
+    *
+    * Output: (idCol, n_grams, n_dup_grams, dup_frac) for every document
+    * with >= 1 n-gram (shorter docs are absent — they have no signal).
+    * dup_frac is one IEEE division of exact counts — bit-portable.
+    *
+    * 100 TB shape: grams travel as 60-bit md5 longs, never strings; the
+    * corpus-wide gram frequency is one map-side-combinable count shuffled
+    * on the gram hash, joined back to the per-doc distinct-gram frame on
+    * the same key (no second keying). Collisions at 2^-60 conflate two
+    * grams corpus-wide — both engines hash identically, so the gate is
+    * unaffected; at 100 TB the expected collision count over ~10^12
+    * distinct grams is ~0.4 gram PAIRS — noise well under the signal. */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val grams = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol), graft.functions.TextFunctions.md5Hash60(col("shingle")).as("__g"))
+      .distinct()
+    val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__ndocs"))
+    grams.join(freq, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol).as("__v"))

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Keyword search over a document corpus: BM25 (Robertson/Sparck Jones,
+  * the +1 idf variant Lucene uses, so idf is always positive) as one
+  * declarative plan — beyond-reference, SURVEY.md §2.4; the reference has
+  * no text-retrieval surface at all.
+  *
+  * 100 TB shape — the key move is that the corpus token stream is
+  * restricted to QUERY terms (a broadcast join against the distinct term
+  * set of the query batch) BEFORE anything aggregates, so every shuffle
+  * downstream of the scan is proportional to the number of matching
+  * postings, not to the corpus:
+  *
+  *   - doc lengths: one map-side-combinable count per doc over the token
+  *     stream (narrow row per doc — the only corpus-sized aggregate);
+  *   - tf: groupBy (doc, term) over the RESTRICTED stream;
+  *   - df/idf: counted from the tf frame (tiny — one row per matched
+  *     (doc, term)), then broadcast back;
+  *   - scoring: broadcast joins for query terms and idf, one hash join
+  *     with the doc-length frame, one (query, doc) aggregation, one
+  *     per-query top-k window.
+  *
+  * Determinism for the oracle gate: per-term contributions are doubles
+  * built only from IEEE correctly-rounded ops (+ - * /), EXCEPT the idf's
+  * natural log, which is not bit-portable across engines (libm vs JVM
+  * differ in ~0.2% of values at 1 ulp). `idfRoundDp = Some(dp)` rounds
+  * idf through DECIMAL(25,12) to dp places — 1-ulp noise at 1e-16 cannot
+  * move a 1e-dp boundary — and per-(query,doc) scores then sum the
+  * contributions through an exact DECIMAL(25,9) accumulator so addition
+  * order stops mattering. Default (None) keeps full double precision.
+  */
+object Search {
+
+  /** BM25 top-k: for each query row, the k best documents.
+    * Output: (queryIdCol, idCol, score, rank), rank 1..k per query by
+    * (score desc, idCol asc); queries matching nothing yield no rows.
+    * Query terms are deduplicated per query (standard for short queries —
+    * repeating a term in the query string does not double its weight). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idfRoundDp: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0 and 0 <= b <= 1 required, got k1=$k1 b=$b")
+    val id = col(s"`$idCol`")
+    val qid = col(s"`$queryIdCol`")
+
+    def termStream(df: DataFrame, keep: Column, text: String): DataFrame =
+      df.select(keep, explode(split(lower(coalesce(col(s"`$text`"), lit(""))), "\\s+"))
+          .as("__term"))
+        .filter(col("__term") =!= "")
+
+    val qTerms = termStream(queries, qid, queryTextCol).distinct()
+    val tokStream = termStream(docs, id, textCol)
+
+    // narrow corpus-sized frames: one row per doc / one row of globals
+    val dl = tokStream.groupBy(id).agg(count(lit(1)).as("__dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(dl.agg(sum(col("__dl")).cast("double").as("__sumdl")))
+      .withColumn("__avgdl", col("__sumdl") / col("__n"))
+
+    // everything below is proportional to MATCHING postings only
+    val tf = tokStream
+      .join(broadcast(qTerms.select(col("__term")).distinct()), "__term")
+      .groupBy(id, col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val idfRaw = log((col("__n") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0))
+    val idf = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .crossJoin(stats.select(col("__n")))
+      .withColumn("__idf", idfRoundDp match {
+        case Some(dp) => round(idfRaw.cast(DecimalType(25, 12)), dp).cast("double")
+        case None => idfRaw
+      })
+      .select(col("__term"), col("__idf"))
+
+    val contrib = col("__idf") * (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    val scored = tf
+      .join(broadcast(qTerms), "__term")
+      .join(broadcast(idf), "__term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats.select(col("__avgdl"))))
+      .groupBy(qid, id)
+      .agg(sum(contrib.cast(DecimalType(25, 9))).cast("double").as("score"))
+
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qid).orderBy(col("score").desc, id.asc)))
+      .filter(col("rank") <= k)
+  }
+}

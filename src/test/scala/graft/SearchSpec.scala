@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Search}
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark shuffle join spark spark"), // tf(spark)=3, short
+    (2L, "spark join " + Seq.fill(50)("filler").mkString(" ")), // tf(spark)=1, long
+    (3L, "hash aggregation pipeline"), // no query terms
+    (4L, "spark"), // tf=1, shortest
+    (5L, "join join join join")).toDF("doc_id", "text")
+
+  test("bm25TopK ranks higher-tf and shorter docs first, k bounds output") {
+    val queries = Seq((10, "spark")).toDF("qid", "qtext")
+    val out = Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 10)
+      .orderBy($"rank")
+    val ranked = out.select("doc_id").as[Long].collect().toSeq
+    // docs 1, 2, 4 contain "spark"; doc 1 (tf=3, short) beats doc 4 (tf=1,
+    // shortest) beats doc 2 (tf=1, much longer than average)
+    assert(ranked === Seq(1L, 4L, 2L))
+    assert(out.select("rank").as[Int].collect().toSeq === Seq(1, 2, 3))
+    // k truncates
+    assert(Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 1)
+      .count() === 1)
+  }
+
+  test("bm25TopK: multi-term queries sum per-term contributions; no-match queries vanish") {
+    val queries = Seq((1, "spark join"), (2, "zebra unicorn")).toDF("qid", "qtext")
+    val out = Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    assert(out.filter($"qid" === 2).count() === 0)
+    // doc 1 matches both terms and must beat every single-term match
+    assert(out.filter($"qid" === 1).orderBy($"rank").select("doc_id")
+      .as[Long].head() === 1L)
+    // repeated query terms do not double-count: same result set and scores
+    val dup = Seq((1, "spark spark join")).toDF("qid", "qtext")
+    val a = out.filter($"qid" === 1).select("doc_id", "score", "rank")
+    val b = Search.bm25TopK(corpus, "doc_id", "text", dup, "qid", "qtext", k = 10)
+      .select("doc_id", "score", "rank")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("bm25TopK idfRoundDp changes scores by <1e-9 and never the ranking") {
+    val queries = Seq((1, "spark join filler")).toDF("qid", "qtext")
+    val full = Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    val rounded = Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext",
+      k = 10, idfRoundDp = Some(9))
+    val j = full.as("f").join(rounded.as("r"), Seq("qid", "doc_id"))
+    assert(j.filter(abs($"f.score" - $"r.score") > 1e-8).count() === 0)
+    assert(j.filter($"f.rank" =!= $"r.rank").count() === 0)
+  }
+
+  test("bm25TopK guard rails") {
+    val queries = Seq((1, "spark")).toDF("qid", "qtext")
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 5, b = 1.5)
+    }
+  }
+
+  test("dupNgramCoverage counts cross-doc shared n-grams, not within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b","b c","c d"
+      (2L, "a b c e"), // shares "a b","b c" with doc 1
+      (3L, "x y x y x y"), // within-doc repeated gram "x y"/"y x" shared with NOBODY
+      (4L, "zz")).toDF("doc_id", "text") // < n tokens -> absent
+    val out = Dedup.dupNgramCoverage(docs, "doc_id", "text", shingleN = 2)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byId(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(byId(2L) === ((3L, 2L, 2.0 / 3.0)))
+    // doc 3 has DISTINCT grams {"x y","y x"}; repeats within one doc are
+    // not duplicates across the corpus
+    assert(byId(3L) === ((2L, 0L, 0.0)))
+  }
+}
