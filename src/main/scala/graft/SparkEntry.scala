@@ -1662,5 +1662,88 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", shingleN = 5)
         .orderBy(col("doc_id"))
     }
+
+    // --- product-quantization ANN, oracle reproducing the WHOLE pipeline
+    //     (the p15 discipline): md5-sampled codebooks, per-subspace
+    //     2·x·c−|c|² argmax encode (ties to the HIGHER code), left-assoc
+    //     reconstruction norms and ADC sums (a SUM() aggregate would add
+    //     in arbitrary order — every multi-term double sum is written as
+    //     an explicit a+b+... chain on both engines), ADC shortlist of
+    //     refineFactor·k, exact double-cosine re-rank. Float products are
+    //     exact in double and list_sum folds sequentially like
+    //     FloatArrayDot, so all scores are bit-identical.
+    val pqM = 8; val pqCodes = 8; val pqDsub = 8 // 64-dim fixture / 8 subspaces
+    def pqSliceDot(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip(
+         |        list_slice($a, sub.s*$pqDsub+1, sub.s*$pqDsub+$pqDsub),
+         |        list_slice($b, sub.s*$pqDsub+1, sub.s*$pqDsub+$pqDsub)),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE))""".stripMargin
+    register("p28_embed_pq",
+      s"""WITH cb AS (
+         |  SELECT code, cv FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code,
+         |           embedding AS cv
+         |    FROM embeddings) WHERE code < $pqCodes),
+         |sub AS (SELECT unnest(range($pqM)) AS s),
+         |esc AS (
+         |  SELECT e.vec_id, sub.s, c.code,
+         |    2.0 * ${pqSliceDot("e.embedding", "c.cv")}
+         |    - list_sum(list_transform(list_slice(c.cv, sub.s*$pqDsub+1, sub.s*$pqDsub+$pqDsub),
+         |        x -> x::DOUBLE * x::DOUBLE)) AS sc
+         |  FROM embeddings e CROSS JOIN sub CROSS JOIN cb c),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code DESC) AS rn
+         |    FROM esc) WHERE rn = 1),
+         |cn2 AS (
+         |  SELECT enc.vec_id, enc.s,
+         |    list_sum(list_transform(list_slice(cb.cv, enc.s*$pqDsub+1, enc.s*$pqDsub+$pqDsub),
+         |      x -> x::DOUBLE * x::DOUBLE)) AS nsq
+         |  FROM enc JOIN cb USING (code)),
+         |recon AS (
+         |  SELECT vec_id,
+         |    ${(0 until pqM).map(i => s"MAX(CASE WHEN s=$i THEN nsq END)").mkString(" + ")} AS pq_nsq
+         |  FROM cn2 GROUP BY vec_id),
+         |qn AS (SELECT vec_id,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+         |  FROM embeddings),
+         |adcp AS (
+         |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, enc.s AS s,
+         |    ${pqSliceDot("q.embedding", "cb.cv").replace("sub.s", "enc.s")} AS v
+         |  FROM embeddings q JOIN enc ON enc.vec_id != q.vec_id JOIN cb USING (code)
+         |  WHERE q.vec_id < 25),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${(0 until pqM).map(i => s"MAX(CASE WHEN s=$i THEN v END)").mkString(" + ")} AS adcsum
+         |  FROM adcp GROUP BY query_id, neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.query_id, a.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+         |        ORDER BY a.adcsum / (qn.n * sqrt(r.pq_nsq)) DESC, a.neighbor_id) AS arn
+         |    FROM adc a JOIN qn ON qn.vec_id = a.query_id
+         |               JOIN recon r ON r.vec_id = a.neighbor_id) x
+         |  WHERE arn <= 20),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nq.n * nc.n) AS cosine
+         |  FROM short sh JOIN embeddings eq ON eq.vec_id = sh.query_id
+         |                JOIN embeddings ec ON ec.vec_id = sh.neighbor_id
+         |                JOIN qn nq ON nq.vec_id = sh.query_id
+         |                JOIN qn nc ON nc.vec_id = sh.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(e, e.filter(col("vec_id") < 25),
+          "vec_id", "embedding", k = 5, m = pqM, nCodes = pqCodes, refineFactor = 4)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 }

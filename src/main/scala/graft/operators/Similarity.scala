@@ -243,6 +243,170 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  // ------------------------------------------------------------ PQ
+
+  /** Product-quantization codebooks: the vector space splits into `m`
+    * contiguous subspaces of dim/m components; each subspace's `nCodes`
+    * centroids are the corresponding subvectors of the corpus vectors
+    * whose ids md5-hash lowest — the [[ivfCentroids]] sampling rule, so
+    * there is no RNG state and no training loop to ship. Returns
+    * books(s)(j) = centroid j of subspace s (fewer than nCodes if the
+    * corpus is smaller). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCodes: Int): Seq[Seq[Array[Float]]] = {
+    val dim = dimOf(corpus, vecCol)
+    require(m >= 1 && dim % m == 0,
+      s"m must divide the vector dimension: dim=$dim, m=$m")
+    require(nCodes >= 1, s"nCodes must be >= 1, got $nCodes")
+    val dsub = dim / m
+    val sampled = ivfCentroids(corpus, idCol, vecCol, nCodes)
+    (0 until m).map(s => sampled.map { case (_, v) => v.slice(s * dsub, (s + 1) * dsub) })
+  }
+
+  private def litVec(c: Array[Float]): Column =
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
+  /** Left-to-right double fold of |c|² — the order [[graft.functions.FloatArrayDot]]
+    * and DuckDB's list_sum both use, so the literal is bit-identical to a
+    * runtime recomputation on either engine. */
+  private def nsqOf(c: Array[Float]): Double =
+    c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+
+  /** [[pqCodebooks]] followed by `iters` rounds of per-subspace L2
+    * k-means (Lloyd) refinement: every corpus subvector is assigned to
+    * its nearest code (the same 2·x·c − |c|² argmax rule [[pqEncode]]
+    * uses), each (subspace, code) cell's mean is recomputed with the
+    * distributed [[Centroids.groupCentroids]] aggregation over ONE frame
+    * holding all m subspaces (tagged by a composite s·nCodes+code key —
+    * one pass per round, not m), and empty cells keep their previous
+    * centroid. Only m×nCodes centroid rows reach the driver per round.
+    * Trained codebooks cut quantization error substantially vs sampled
+    * ones when the corpus has structure — the classic PQ training step,
+    * kept deterministic (no RNG seeds; the init is the md5 sample). */
+  def pqCodebooksRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCodes: Int, iters: Int): Seq[Seq[Array[Float]]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var books = pqCodebooks(corpus, idCol, vecCol, m, nCodes)
+    val dsub = books.head.head.length
+    val subRows = corpus.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("__v"), s * dsub + 1, dsub).as("sv"))): _*)).as("x"))
+      .select(col("x.s").as("__s"), col("x.sv").as("__sv"))
+    for (_ <- 0 until iters) {
+      val bs = books
+      // per-subspace argmax, dispatched by a when-chain on __s
+      val codeExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+        val scored = bs(s).zipWithIndex.map { case (c, j) =>
+          struct((lit(2.0) * graft.functions.FloatArrayDot.dot(col("__sv"), litVec(c))
+            - lit(nsqOf(c))).as("s"), lit(j).as("code"))
+        }
+        when(col("__s") === s,
+          element_at(reverse(array_sort(array(scored: _*))), 1).getField("code"))
+          .otherwise(acc)
+      }
+      val assigned = subRows.withColumn("__key", col("__s") * nCodes + codeExpr)
+      val updated = Centroids.groupCentroids(assigned, "__key", "__sv")
+        .collect() // bounded: at most m*nCodes rows
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](r.fieldIndex("centroid")).map(_.toFloat).toArray)
+        .toMap
+      books = books.zipWithIndex.map { case (bs2, s) =>
+        bs2.zipWithIndex.map { case (old, j) => updated.getOrElse(s * nCodes + j, old) }
+      }
+    }
+    books
+  }
+
+  /** PQ INDEX BUILD: compress each corpus vector into m small code ids
+    * (the L2-nearest codebook entry per subspace — argmax of
+    * 2·x_s·c − |c|², ties to the HIGHER code id) plus the reconstruction's
+    * squared norm Σ_s |c_{s,code_s}|². Output: (idCol, pq_codes
+    * array<int>, pq_normsq double).
+    *
+    * This is where PQ pays at 100 TB: the index frame is m ints + one
+    * double per vector instead of 4·dim bytes (16–32× smaller scan for
+    * typical m), it's a single narrow projection with NO shuffle, and
+    * every later query batch scans the codes, never the vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.length
+    val v = col("__pq_v")
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(v, s * dsub + 1, dsub)
+      val scored = books(s).zipWithIndex.map { case (c, j) =>
+        struct((lit(2.0) * graft.functions.FloatArrayDot.dot(sub, litVec(c))
+          - lit(nsqOf(c))).as("s"), lit(j).as("code"))
+      }
+      element_at(reverse(array_sort(array(scored: _*))), 1).getField("code")
+    }
+    val nsqTables = books.map(bs =>
+      array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        bs.map(c => lit(nsqOf(c))).toArray[Column]): _*))
+    corpus.select(col(idCol), col(vecCol).as("__pq_v"))
+      .withColumn("pq_codes", array(codeCols: _*))
+      // Σ_s in fixed left-assoc order so the oracle can reproduce it term
+      // by term (a 4-way SUM() aggregate would sum in arbitrary order)
+      .withColumn("pq_normsq", (0 until m).map(s =>
+        element_at(nsqTables(s), element_at(col("pq_codes"), s + 1) + 1))
+        .reduce(_ + _))
+      .drop("__pq_v")
+  }
+
+  /** ANN top-k via product quantization with asymmetric-distance (ADC)
+    * scoring: each query precomputes ONE m×nCodes table of subspace dot
+    * products against the codebooks (on the tiny query frame), then every
+    * (query, corpus) pair costs m table lookups instead of a dim-wide dot
+    * — and the corpus side scans the [[pqEncode]] code frame, not the
+    * vectors. The ADC approximate cosine shortlists refineFactor·k
+    * candidates per query; only those ids join back to the real vectors
+    * for an exact re-rank (same shape as [[lshTopK]]'s verify step).
+    * Candidate generation is still a linear scan of the (m-byte-wide)
+    * index — compose with IVF cells for sublinearity when the corpus is
+    * clustered; the win here is scan width and per-pair cost, which is
+    * what dominates a flat 100 TB sweep. Recall vs [[bruteForceTopK]] is
+    * asserted in SimilaritySpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, nCodes: Int = 16, refineFactor: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    require(k >= 1 && refineFactor >= 1, s"k and refineFactor must be >= 1")
+    val books =
+      if (trainIters > 0) pqCodebooksRefined(corpus, idCol, vecCol, m, nCodes, trainIters)
+      else pqCodebooks(corpus, idCol, vecCol, m, nCodes)
+    val dsub = books.head.head.length
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"), col("pq_normsq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
+      .withColumn("__tab", array((0 until m).map { s =>
+        val sub = slice(col("__qv"), s * dsub + 1, dsub)
+        array(books(s).map(c => graft.functions.FloatArrayDot.dot(sub, litVec(c))): _*)
+      }: _*))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__tab"), s + 1),
+        element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ascore").desc, col("neighbor_id"))
+    val shortlist = enc
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qn"), col("__tab"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ascore", adc / (col("__qn") * sqrt(col("pq_normsq"))))
+      .withColumn("__arank", row_number().over(wA))
+      .filter(col("__arank") <= refineFactor * k)
+      .select("query_id", "neighbor_id")
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(cvec, "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("__qv"), col("__qn"))), "query_id")
+      .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__qv"), col("__cv"))
+        / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   private[operators] def dimOf(df: DataFrame, vecCol: String): Int = {
     val first = df.select(size(col(vecCol))).head(1)
     require(first.nonEmpty, s"cannot infer $vecCol dimension from an empty frame")
