@@ -1745,5 +1745,67 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 9))
         .orderBy(col("query_id"), col("rank"))
     }
+
+    // --- vocabulary build + token-id encoding: top-50 tokens by
+    //     (count desc, token asc), docs re-emitted as id sequences with
+    //     OOV = -1. All counts/ranks are exact integers.
+    register("p29_vocab_encode",
+      s"""WITH tok AS (
+         |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $toksLowerSql AS tk FROM documents)),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+         |voc AS (SELECT tok, token_id FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+         |    FROM cnt) x WHERE token_id < 50),
+         |enc AS (SELECT t.doc_id, t.pos,
+         |    COALESCE(v.token_id, -1) AS id, v.token_id IS NULL AS oov
+         |  FROM tok t LEFT JOIN voc v USING (tok))
+         |SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Vocab
+      val docs = t(s, dir, "documents")
+      val vocab = Vocab.buildVocab(docs, "text", maxSize = 50)
+      Vocab.encodeIds(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- sliding-window chunking: 64-token windows, stride 48 (case
+    //     PRESERVED — chunks are payload). Every token lands in >= 1
+    //     chunk; the tail chunk may be short.
+    register("p30_doc_chunks",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents),
+        |k AS (SELECT doc_id, tk,
+        |    greatest(len(tk) - 64 + 48 - 1, 0) // 48 AS kk
+        |  FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, unnest(range(0, kk + 1)) AS chunk_id FROM k)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(tk, chunk_id*48+1, chunk_id*48+64), ' ') AS chunk_text,
+        |  len(list_slice(tk, chunk_id*48+1, chunk_id*48+64)) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.operators.Packing.slidingWindows(
+          t(s, dir, "documents"), "doc_id", "text", windowTokens = 64, strideTokens = 48)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }
+
+    // --- per-group quota: keep the 50 lowest-hashing docs per language
+    //     (the per-source/domain cap of web-scale curation). Membership
+    //     is a pure function of (salt, doc_id) within each group.
+    register("p31_group_cap",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.capPerGroup(
+          t(s, dir, "documents"), "lang", "doc_id", maxPerGroup = 50, salt = "cap")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

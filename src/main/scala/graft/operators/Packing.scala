@@ -57,4 +57,46 @@ object Packing {
       .withColumn("oversize", toks > budget)
       .drop("__cum", "__before")
   }
+
+  /** Overlapping fixed-size windows over each document's whitespace-token
+    * sequence — the long-document chunking step (context-window slicing
+    * with stride overlap). Window i covers tokens [i·stride,
+    * i·stride+window); starts run 0, stride, … up to the first start that
+    * reaches the tail, so every token lands in ≥ 1 chunk and the last
+    * chunk may be short. Docs with zero tokens emit no rows; token case
+    * is preserved (chunks are payload, not analysis features).
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_chunk_tokens).
+    *
+    * 100 TB shape: pure narrow, codegen'd per-row work (split, sequence,
+    * slice, explode) — NO shuffle anywhere; output row count is
+    * Σ ceil(max(len−window,0)/stride)+1, bounded by (overlap factor) ×
+    * input tokens. */
+  def slidingWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens], got $strideTokens")
+    (Seq("chunk_id", "chunk_text", "n_chunk_tokens") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    val toks = filter(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val w = windowTokens
+    val s = strideTokens
+    df
+      .withColumn("__toks", toks)
+      // last start index: ceil(max(n-w,0)/s) via exact integer floor-division
+      .withColumn("__k", expr(s"CAST(greatest(size(__toks) - $w + $s - 1, 0) div $s AS INT)"))
+      .filter(n > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0), col("__k"))))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("chunk_id") * lit(s) + 1, lit(w))))
+      .withColumn("n_chunk_tokens",
+        size(slice(col("__toks"), col("chunk_id") * lit(s) + 1, lit(w))))
+      .drop("__toks", "__k")
+  }
 }

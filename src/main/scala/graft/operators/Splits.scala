@@ -107,4 +107,33 @@ object Splits {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Keep at most `maxPerGroup` rows per group, chosen as the rows whose
+    * keys md5-hash LOWEST within the group — the per-source/per-domain
+    * quota every web-scale corpus applies. Deterministic: membership is a
+    * pure function of (salt, key) ranks, so re-runs and input reordering
+    * keep the same rows, and (like [[sampleByHash]]) lowering the cap
+    * selects a subset of a higher cap's rows for the same salt.
+    *
+    * 100 TB shape: one window shuffled on the group key; a single giant
+    * group serializes its rows into one reducer, so pre-thin such groups
+    * first with [[sampleByHash]] (hash-stable: the pre-thin keeps exactly
+    * the low end of the SAME per-group hash order this cap ranks by,
+    * so thin-then-cap equals cap alone whenever the thinned group still
+    * has ≥ maxPerGroup survivors). */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      maxPerGroup: Int,
+      salt: String = ""): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    val h = md5(concat(lit(salt + ":"), col(s"`$keyCol`").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$groupCol`"))
+      .orderBy(h, col(s"`$keyCol`")) // key tiebreak: duplicate keys hash equal
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= maxPerGroup)
+      .drop("__cap_rn")
+  }
 }

@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("slidingWindows: stride overlap covers every token; tail chunk may be short") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = Packing.slidingWindows(df, "doc_id", "text", windowTokens = 4, strideTokens = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got === Seq(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6 t7 t8 t9", 4)))
+    // short doc -> one (short) chunk; empty doc -> no rows; disjoint when
+    // stride == window; case preserved
+    val mix = Seq((1L, "A b"), (2L, ""), (3L, "x y z w")).toDF("doc_id", "text")
+    val m = Packing.slidingWindows(mix, "doc_id", "text", 2, 2)
+      .select("doc_id", "chunk_id", "chunk_text").as[(Long, Int, String)].collect().toSet
+    assert(m === Set((1L, 0, "A b"), (3L, 0, "x y"), (3L, 1, "z w")))
+  }
+
+  test("slidingWindows guard rails") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindows(df, "doc_id", "text", 4, 5) // stride > window
+    }
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindows(df, "doc_id", "text", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindows(df.withColumn("chunk_id", lit(1)), "doc_id", "text", 2, 1)
+    }
+  }
+
   test("contiguous packing: bin is the budget multiple the running count crossed") {
     val df = Seq(
       (1L, 40L), (2L, 40L), (3L, 40L), // cum-before 0,40,80 -> bins 0,0,0 (budget 100)... 80<100

@@ -101,4 +101,23 @@ class SplitsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("capPerGroup: per-group quota, deterministic, caps nest") {
+    val cap3 = Splits.capPerGroup(docs, "lang", "doc_id", 3, salt = "q")
+    val sizes = cap3.groupBy("lang").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 3) && sizes.nonEmpty)
+    // groups smaller than the cap pass through whole
+    val small = docs.filter($"doc_id" < 4) // fewer than 3 docs for some lang
+    assert(Splits.capPerGroup(small, "lang", "doc_id", 3, salt = "q").count()
+      === small.count())
+    // deterministic under input reordering
+    val again = Splits.capPerGroup(docs.orderBy($"doc_id".desc), "lang", "doc_id", 3, "q")
+    assert(cap3.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    // a tighter cap keeps a subset of a looser cap's rows (same salt)
+    val cap2 = Splits.capPerGroup(docs, "lang", "doc_id", 2, salt = "q")
+    assert(cap2.select("doc_id").exceptAll(cap3.select("doc_id")).count() === 0)
+    intercept[IllegalArgumentException] {
+      Splits.capPerGroup(docs, "lang", "doc_id", 0)
+    }
+  }
 }
