@@ -1807,5 +1807,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }
+
+    // --- KMV bottom-k distinct sketch: per-language distinct-token
+    //     estimate at k=64. Everything — md5 minima, the long→double
+    //     cast of h_k, one division — is IEEE-exact or correctly
+    //     rounded, so even the ESTIMATE hash-matches (an auditable
+    //     sketch, unlike HLL). 63·2^60 is exact in binary64.
+    register("p32_kmv_distinct",
+      s"""WITH tok AS (SELECT DISTINCT lang,
+         |    ('0x' || substring(md5(tk), 1, 15))::BIGINT AS h
+         |  FROM (SELECT lang, unnest($toksLowerSql) AS tk FROM documents)),
+         |bk AS (SELECT lang, h,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM tok),
+         |sk AS (SELECT lang, list(h ORDER BY h) AS minima, COUNT(*) AS nm
+         |  FROM bk WHERE rn <= 64 GROUP BY lang)
+         |SELECT lang, minima, CAST(nm AS BIGINT) AS n_minima,
+         |  CASE WHEN nm < 64 THEN CAST(nm AS DOUBLE)
+         |       ELSE 63.0 * 1152921504606846976.0 / CAST(minima[64] AS DOUBLE)
+         |       END AS est_distinct
+         |FROM sk ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tk"))
+      graft.operators.Sketch.distinctEstimate(toks, "tk", "lang", k = 64)
+        .select(col("lang"), col("minima"), col("n_minima"), col("est_distinct"))
+        .orderBy(col("lang"))
+    }
   }
 }

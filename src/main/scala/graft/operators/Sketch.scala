@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (bottom-k) distinct-count sketches (beyond-reference,
+  * SURVEY.md §2.4) — the deterministic alternative to HLL: per group, keep
+  * the k smallest distinct 60-bit md5 hashes of the key. The classic KMV
+  * estimator then reads the count off the k-th minimum: if the group has
+  * fewer than k distinct keys the sketch IS the exact answer, otherwise
+  * distinct ≈ (k−1)·2^60 / h_k.
+  *
+  * Why a sketch when one pass could count exactly: the sketch is k longs
+  * per group, MERGEABLE by set-union-and-trim — shards/partitions/days
+  * sketch independently and combine later without rescanning, which is
+  * the 100 TB operating mode (per-shard sketches roll up a corpus-wide
+  * cardinality without a corpus-wide shuffle). Unlike HLL/engine-native
+  * approx_count_distinct, every step here (md5, sort, slice, one
+  * correctly-rounded division) is bit-identical across engines, so the
+  * p32 gate hash-matches the DuckDB oracle — a sketch you can AUDIT.
+  *
+  * Shuffle economics of the build: dedup shuffles (group, hash) pairs —
+  * the same volume an exact distinct count pays — then the bottom-k
+  * window shuffles the surviving distinct hashes by group. A giant group
+  * serializes its distinct hashes into one reducer for the window; shard
+  * the input and [[kmvMerge]] the shards when that bites.
+  */
+object Sketch {
+
+  /** 2^60, the hash space of [[graft.functions.TextFunctions.md5Hash60]]
+    * (exact in binary64: one significant bit). */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** Build a per-group KMV sketch: (groupCol, minima array<long> — the at
+    * most k smallest distinct hashes of keyCol, ascending). */
+  def kmvSketch(df: DataFrame, keyCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the estimator reads h_k), got $k")
+    val g = col(s"`$groupCol`")
+    val distinctHashes = df
+      .select(g, graft.functions.TextFunctions.md5Hash60(col(s"`$keyCol`").cast("string")).as("__h"))
+      .distinct()
+    distinctHashes
+      .withColumn("__rn", row_number().over(Window.partitionBy(g).orderBy(col("__h"))))
+      .filter(col("__rn") <= k)
+      .groupBy(g)
+      .agg(sort_array(collect_list(col("__h"))).as("minima"))
+  }
+
+  /** Merge two sketch frames built with the same k (set-union the minima,
+    * trim back to the k smallest). Groups present on one side only pass
+    * through. */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = col(s"`$groupCol`")
+    a.select(g, col("minima")).unionAll(b.select(g, col("minima")))
+      .select(g, explode(col("minima")).as("__h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(Window.partitionBy(g).orderBy(col("__h"))))
+      .filter(col("__rn") <= k)
+      .groupBy(g)
+      .agg(sort_array(collect_list(col("__h"))).as("minima"))
+  }
+
+  /** Read the estimate off a sketch frame: exact `size(minima)` below k,
+    * (k−1)·2^60 / h_k at k. Adds n_minima (long) and est_distinct
+    * (double; the long→double cast of h_k and the division are both
+    * IEEE-correctly-rounded, so the value is engine-portable). */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    sketch
+      .withColumn("n_minima", size(col("minima")).cast("long"))
+      .withColumn("est_distinct",
+        when(col("n_minima") < k, col("n_minima").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) /
+            element_at(col("minima"), k).cast("double")))
+  }
+
+  /** Convenience: sketch + estimate in one call. */
+  def distinctEstimate(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int): DataFrame =
+    kmvEstimate(kmvSketch(df, keyCol, groupCol, k), k)
+}

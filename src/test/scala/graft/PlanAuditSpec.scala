@@ -54,6 +54,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scans(plan).size === 1, plan.toString)
   }
 
+  test("p26: BM25 restricts the corpus token stream via broadcast, never a corpus shuffle on terms") {
+    val df = SparkEntry.queries("p26_bm25_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // query-term restriction + qid/idf re-attachment are all broadcast
+    // hash joins; a SortMergeJoin would mean corpus-sized term shuffling
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("p29: the vocab top-N cut is TakeOrderedAndProject, not a global sort") {
+    val df = graft.operators.Vocab.buildVocab(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", maxSize = 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("p30: sliding-window chunking plans with zero exchanges") {
+    val df = graft.operators.Packing.slidingWindows(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 64, 48)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("asof nearest: both window scans share ONE key exchange") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
