@@ -54,6 +54,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scans(plan).size === 1, plan.toString)
   }
 
+  test("q22: fixed dims broadcast; no unconditional broadcast of a row-count-scaling table") {
+    val df = SparkEntry.queries("q22_multi_join")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the ONLY broadcast HINTS are nation/region (fixed 25/5 rows at any
+    // SF); customer/orders/lineitem scale with the data and must be left
+    // to AQE's measured size checks
+    val hintCount = "strategy=broadcast".r.findAllIn(optimized).size
+    assert(hintCount === 2, s"expected exactly 2 broadcast hints (nation, region):\n$optimized")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("p26: BM25 restricts the corpus token stream via broadcast, never a corpus shuffle on terms") {
     val df = SparkEntry.queries("p26_bm25_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
