@@ -325,7 +325,9 @@ object Similarity {
     * This is where PQ pays at 100 TB: the index frame is m ints + one
     * double per vector instead of 4·dim bytes (16–32× smaller scan for
     * typical m), it's a single narrow projection with NO shuffle, and
-    * every later query batch scans the codes, never the vectors. */
+    * every later query batch scans the codes, never the vectors. Every
+    * input column except the vector itself passes through, so the index
+    * frame can carry payload (ids, coarse cells, metadata). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       books: Seq[Seq[Array[Float]]]): DataFrame = {
     val m = books.size
@@ -342,14 +344,14 @@ object Similarity {
     val nsqTables = books.map(bs =>
       array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
         bs.map(c => lit(nsqOf(c))).toArray[Column]): _*))
-    corpus.select(col(idCol), col(vecCol).as("__pq_v"))
+    corpus.withColumn("__pq_v", col(s"`$vecCol`"))
       .withColumn("pq_codes", array(codeCols: _*))
       // Σ_s in fixed left-assoc order so the oracle can reproduce it term
       // by term (a 4-way SUM() aggregate would sum in arbitrary order)
       .withColumn("pq_normsq", (0 until m).map(s =>
         element_at(nsqTables(s), element_at(col("pq_codes"), s + 1) + 1))
         .reduce(_ + _))
-      .drop("__pq_v")
+      .drop("__pq_v", vecCol)
   }
 
   /** ANN top-k via product quantization with asymmetric-distance (ADC)
@@ -360,35 +362,53 @@ object Similarity {
     * vectors. The ADC approximate cosine shortlists refineFactor·k
     * candidates per query; only those ids join back to the real vectors
     * for an exact re-rank (same shape as [[lshTopK]]'s verify step).
-    * Candidate generation is still a linear scan of the (m-byte-wide)
-    * index — compose with IVF cells for sublinearity when the corpus is
-    * clustered; the win here is scan width and per-pair cost, which is
-    * what dominates a flat 100 TB sweep. Recall vs [[bruteForceTopK]] is
-    * asserted in SimilaritySpec. */
+    * With `coarseCells = 0` candidate generation is a linear scan of the
+    * (m-byte-wide) index — the win is scan width and per-pair cost, which
+    * is what dominates a flat 100 TB sweep. `coarseCells > 0` composes
+    * with IVF (the classic IVF-PQ index): corpus codes live in their
+    * nearest coarse cell, each query ADC-scans only its `nProbe` nearest
+    * cells — sublinear candidate generation ON TOP of the compressed
+    * scan. Recall vs [[bruteForceTopK]] is asserted in SimilaritySpec. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 4, nCodes: Int = 16, refineFactor: Int = 4,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0, coarseCells: Int = 0, nProbe: Int = 4): DataFrame = {
     require(k >= 1 && refineFactor >= 1, s"k and refineFactor must be >= 1")
+    require(coarseCells >= 0 && nProbe >= 1, s"coarseCells >= 0 and nProbe >= 1 required")
     val books =
       if (trainIters > 0) pqCodebooksRefined(corpus, idCol, vecCol, m, nCodes, trainIters)
       else pqCodebooks(corpus, idCol, vecCol, m, nCodes)
     val dsub = books.head.head.length
-    val enc = pqEncode(corpus, idCol, vecCol, books)
-      .select(col(idCol).as("neighbor_id"), col("pq_codes"), col("pq_normsq"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cents =
+      if (coarseCells > 0) ivfCentroids(corpus, idCol, vecCol, coarseCells) else Nil
+    val corpusBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol))
+    val encInput =
+      if (coarseCells > 0)
+        corpusBase.withColumn("__cell", nearestCells(col(s"`$vecCol`"), cents, 1).getItem(0))
+      else corpusBase
+    val enc = pqEncode(encInput, "neighbor_id", vecCol, books)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
       .withColumn("__tab", array((0 until m).map { s =>
         val sub = slice(col("__qv"), s * dsub + 1, dsub)
         array(books(s).map(c => graft.functions.FloatArrayDot.dot(sub, litVec(c))): _*)
       }: _*))
+    val q = if (coarseCells > 0)
+      q0.withColumn("__cell", explode(nearestCells(col("__qv"), cents, nProbe)))
+    else q0
     val adc = (0 until m).map(s =>
       element_at(element_at(col("__tab"), s + 1),
         element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__ascore").desc, col("neighbor_id"))
-    val shortlist = enc
-      .crossJoin(broadcast(q.select(col("query_id"), col("__qn"), col("__tab"))))
+    // a corpus row lives in exactly ONE cell, so a (query, neighbor) pair
+    // meets at most once even under multi-probe — no dedup needed
+    val candidates =
+      if (coarseCells > 0)
+        enc.join(broadcast(q.select(col("query_id"), col("__qn"), col("__tab"),
+          col("__cell"))), Seq("__cell"))
+      else enc.crossJoin(broadcast(q.select(col("query_id"), col("__qn"), col("__tab"))))
+    val shortlist = candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__ascore", adc / (col("__qn") * sqrt(col("pq_normsq"))))
       .withColumn("__arank", row_number().over(wA))
@@ -399,7 +419,7 @@ object Similarity {
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     shortlist.join(cvec, "neighbor_id")
-      .join(broadcast(q.select(col("query_id"), col("__qv"), col("__qn"))), "query_id")
+      .join(broadcast(q0.select(col("query_id"), col("__qv"), col("__qn"))), "query_id")
       .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__qv"), col("__cv"))
         / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(wE))

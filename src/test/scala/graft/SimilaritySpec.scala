@@ -95,6 +95,25 @@ class SimilaritySpec extends SparkSpecBase {
       "training must not hurt recall on this fixture")
   }
 
+  test("ivf-pq: coarse cells cut the ADC scan and still recall against brute force") {
+    val e = testdata("sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val ivfpq = Similarity.pqTopK(e, q, "vec_id", "embedding", 5,
+      m = 8, nCodes = 32, refineFactor = 8, trainIters = 2,
+      coarseCells = 8, nProbe = 4)
+    val approx = pairs(ivfpq)
+    assert(approx.forall { case (a, b) => a != b })
+    // probing 4 of 8 cells scans ~half the index; deterministic recall
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+    // the candidate join really is cell-keyed, not a cross join
+    val plan = ivfpq.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__cell"), plan)
+  }
+
   test("native FloatArrayDot matches the decimal dot within 1e-9 on real data") {
     val e = testdata("sf0.001", "embeddings").limit(100)
     val both = e.select(
