@@ -101,6 +101,44 @@ object Streams {
 
   case class KeyCount(key: String, total: Long)
 
+  case class KeyDistinct(key: String, n_minima: Long, est_distinct: Double)
+
+  /** Streaming KMV distinct-count: per key, maintain the k smallest
+    * distinct 60-bit md5 hashes of the values seen so far (the
+    * [[graft.operators.Sketch]] sketch as flatMapGroupsWithState state —
+    * k longs per key FOREVER, not one entry per distinct value, which is
+    * what makes an unbounded-cardinality stream tractable) and emit the
+    * updated estimate each batch. The hash is bit-identical to the batch
+    * operator's, so a stream's final state equals
+    * [[graft.operators.Sketch.distinctEstimate]] over the same rows —
+    * StreamsSpec asserts exactly that, and a snapshotted state can be
+    * [[graft.operators.Sketch.kmvMerge]]d with batch shard sketches. */
+  def runningDistinct(
+      events: Dataset[(String, String)],
+      k: Int = 64): Dataset[KeyDistinct] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import events.sparkSession.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], KeyDistinct](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Array[Long]]) =>
+          val incoming = rows.map(r => h60(r._2))
+          val minima = (state.getOption.getOrElse(Array.empty[Long]) ++ incoming)
+            .distinct.sorted.take(k)
+          state.update(minima)
+          val est =
+            if (minima.length < k) minima.length.toDouble
+            else (k - 1).toDouble * graft.operators.Sketch.HashSpace / minima(k - 1).toDouble
+          Iterator.single(KeyDistinct(key, minima.length.toLong, est))
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a running per-key event
     * counter that emits the updated total on every batch. With
     * idleTimeoutMs > 0 idle keys expire after that much processing time so

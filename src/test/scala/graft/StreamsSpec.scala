@@ -79,6 +79,32 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningDistinct's final state equals the batch KMV sketch over the same rows") {
+    val rows = (1 to 300).map(i => ("g" + (i % 2), "v" + (i % 90))) // 90 distinct per key at most
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.runningDistinct(input.toDS(), k = 16)
+    val q = out.writeStream.format("memory").queryName("running_distinct")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+      // last emission per key (n_minima only grows, so max picks the final batch)
+      val streamed = spark.table("running_distinct")
+        .groupBy("key").agg(max(struct($"n_minima", $"est_distinct")).as("s"))
+        .select($"key", $"s.n_minima", $"s.est_distinct")
+        .as[(String, Long, Double)].collect()
+        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      val batch = graft.operators.Sketch.distinctEstimate(
+          rows.toDF("g", "v"), "v", "g", k = 16)
+        .select("g", "n_minima", "est_distinct")
+        .as[(String, Long, Double)].collect()
+        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming helpers are plain plan rewrites: identical on batch input") {
     // the same windowedAgg call works on a bounded DataFrame (events table)
     val ev = testdata("sf0.001", "events")
