@@ -1833,5 +1833,27 @@ object SparkEntry {
         .select(col("lang"), col("minima"), col("n_minima"), col("est_distinct"))
         .orderBy(col("lang"))
     }
+
+    // --- per-row weighted hash sampling: keep probability = a length-
+    //     derived weight in [0,1]; decision = the p16/p17 md5 bucket
+    //     against a per-row threshold. round() is half-up on positives
+    //     in both engines; the weight arithmetic is correctly-rounded
+    //     division only.
+    register("p33_weighted_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5('wsalt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000 AS bucket,
+        |    CAST(round(least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 1000000)
+        |         AS BIGINT) AS thr
+        |  FROM documents) x
+        |WHERE bucket < thr ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.sampleByHashWeighted(
+          t(s, dir, "documents")
+            .withColumn("w", least(length(col("text")).cast("double") / 1000.0, lit(1.0))),
+          "doc_id", "w", salt = "wsalt")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

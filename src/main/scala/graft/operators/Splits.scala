@@ -108,6 +108,24 @@ object Splits {
     df.filter(bucket < threshold)
   }
 
+  /** Per-row weighted hash sampling: keep each row with probability
+    * `weightCol` (clamped to [0,1] — e.g. a quality score), decided by the
+    * SAME deterministic (salt, key) hash as [[sampleByHash]]. The
+    * quality-weighted corpus downsample in one codegen'd filter: no
+    * shuffle, reproducible, and monotone — a row kept at weight w is kept
+    * at every w' > w, so re-scoring upward never evicts survivors. A
+    * constant weight column degrades to exactly [[sampleByHash]]. */
+  def sampleByHashWeighted(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      salt: String,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val w = least(greatest(col(s"`$weightCol`").cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hashBucket(col(s"`$keyCol`"), salt, nBuckets) <
+      round(w * nBuckets).cast("long"))
+  }
+
   /** Keep at most `maxPerGroup` rows per group, chosen as the rows whose
     * keys md5-hash LOWEST within the group — the per-source/per-domain
     * quota every web-scale corpus applies. Deterministic: membership is a

@@ -102,6 +102,25 @@ class SplitsSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("sampleByHashWeighted: weight 1 keeps all, 0 keeps none, monotone in weight") {
+    import org.apache.spark.sql.functions.lit
+    val all = Splits.sampleByHashWeighted(docs.withColumn("w", lit(1.0)), "doc_id", "w", "s")
+    assert(all.count() === docs.count())
+    assert(Splits.sampleByHashWeighted(docs.withColumn("w", lit(0.0)), "doc_id", "w", "s")
+      .count() === 0)
+    // out-of-range weights clamp rather than misbehave
+    assert(Splits.sampleByHashWeighted(docs.withColumn("w", lit(7.5)), "doc_id", "w", "s")
+      .count() === docs.count())
+    // monotone: survivors at w=0.2 are a subset of survivors at w=0.6,
+    // and a constant weight equals sampleByHash at that rate
+    val lo = Splits.sampleByHashWeighted(docs.withColumn("w", lit(0.2)), "doc_id", "w", "s")
+    val hi = Splits.sampleByHashWeighted(docs.withColumn("w", lit(0.6)), "doc_id", "w", "s")
+    assert(lo.select("doc_id").exceptAll(hi.select("doc_id")).count() === 0)
+    assert(lo.select("doc_id").exceptAll(
+      Splits.sampleByHash(docs, "doc_id", 0.2, "s").select("doc_id")).count() === 0)
+    assert(lo.count() === Splits.sampleByHash(docs, "doc_id", 0.2, "s").count())
+  }
+
   test("capPerGroup: per-group quota, deterministic, caps nest") {
     val cap3 = Splits.capPerGroup(docs, "lang", "doc_id", 3, salt = "q")
     val sizes = cap3.groupBy("lang").count().select("count").as[Long].collect()
