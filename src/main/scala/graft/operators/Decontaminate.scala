@@ -46,6 +46,53 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Embedding-space decontamination: per training row, how many
+    * benchmark vectors lie within cosine >= `threshold` of its embedding,
+    * and the closest one — catches paraphrased leakage that n-gram
+    * overlap misses. Rows with no hit are absent (inner semantics, like
+    * [[overlapReport]]).
+    *
+    * 100 TB shape: the benchmark embedding set broadcasts (eval sets are
+    * small by definition) and the corpus is scanned ONCE with a
+    * codegen'd per-pair dot — no shuffle of corpus vectors at all; the
+    * only aggregation groups the few surviving hits by doc. For a
+    * benchmark too big to broadcast, bucket both sides first with
+    * [[Dedup.nearDupPairsEmbeddingLsh]]'s sign-bucket scheme instead. */
+  def semanticOverlapReport(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchVecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > -1 && threshold <= 1, s"threshold must be in (-1, 1], got $threshold")
+    import graft.functions.FloatArrayDot
+    val b = bench.select(col(s"`$benchVecCol`").as("__bv"))
+      .withColumn("__bn", sqrt(FloatArrayDot.normSq(col("__bv"))))
+    train.select(col(s"`$idCol`"), col(s"`$vecCol`").as("__tv"))
+      .withColumn("__tn", sqrt(FloatArrayDot.normSq(col("__tv"))))
+      .crossJoin(broadcast(b))
+      .withColumn("__cos", FloatArrayDot.dot(col("__tv"), col("__bv"))
+        / (col("__tn") * col("__bn")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(s"`$idCol`"))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cosine"))
+  }
+
+  /** Drop every training row within cosine >= `threshold` of any
+    * benchmark embedding; everything else passes through untouched. */
+  def removeSemanticContaminated(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val flagged = semanticOverlapReport(train, idCol, vecCol, bench, benchVecCol, threshold)
+      .select(col(s"`$idCol`"))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Drop every document overlapping the benchmark by at least `minHits`
     * distinct shingles; everything else passes through untouched. */
   def removeContaminated(

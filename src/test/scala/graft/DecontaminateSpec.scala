@@ -68,4 +68,26 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(Decontaminate.overlapReport(docs, "doc_id", "text", bench, "question",
       shingleN = 3).isEmpty)
   }
+
+  test("semantic decontamination flags near-parallel embeddings, spares orthogonal ones") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), // parallel to bench vector
+      (2L, Seq(0.96f, 0.28f, 0.0f)), // cosine 0.96 to bench 1
+      (3L, Seq(0.0f, 0.0f, 1.0f))) // orthogonal to both
+      .toDF("doc_id", "embedding")
+    val bench = Seq(
+      Tuple1(Seq(2.0f, 0.0f, 0.0f)), // scaled: cosine ignores magnitude
+      Tuple1(Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("embedding")
+    val report = Decontaminate.semanticOverlapReport(
+        train, "doc_id", "embedding", bench, "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(report.keySet === Set(1L, 2L))
+    assert(report(1L)._1 === 1L && math.abs(report(1L)._2 - 1.0) < 1e-6)
+    assert(report(2L)._1 === 1L)
+    val kept = Decontaminate.removeSemanticContaminated(
+        train, "doc_id", "embedding", bench, "embedding", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
 }
