@@ -49,7 +49,16 @@ object GraftFunctions {
     fn("graft_token_count", 1, graft.functions.TextFunctions.getClass)(cs =>
       asExpr(graft.functions.TextFunctions.tokenCount(asCol(cs.head)))),
     fn("graft_hamming_bits", 2, graft.operators.Dedup.getClass)(cs =>
-      asExpr(graft.operators.Dedup.hammingBits(asCol(cs.head), asCol(cs(1))))))
+      asExpr(graft.operators.Dedup.hammingBits(asCol(cs.head), asCol(cs(1))))),
+    // graft_hash_bucket(key, salt, nBuckets): the Splits.hashBucket
+    // contract — value-identical to the Scala form so SQL users share
+    // the same deterministic split/sample/quota hash space
+    fn("graft_hash_bucket", 3, graft.operators.Splits.getClass)(cs => {
+      import org.apache.spark.sql.functions._
+      val key = asCol(cs.head); val salt = asCol(cs(1)); val n = asCol(cs(2))
+      asExpr(conv(substring(md5(concat(salt, lit(":"), key.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % n)
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -34,6 +34,21 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(viaSql === viaCol)
   }
 
+  test("graft_hash_bucket matches Splits.hashBucket bitwise from SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val keys = Seq("42", "doc-7", "").toDF("k")
+    val viaCol = keys
+      .select(graft.operators.Splits.hashBucket(
+        org.apache.spark.sql.functions.col("k"), "fold1").as("b"))
+      .as[Long].collect().toSeq
+    keys.createOrReplaceTempView("hb_keys")
+    val viaSql = spark.sql(
+      "SELECT graft_hash_bucket(k, 'fold1', 1000000) FROM hb_keys")
+      .as[Long].collect().toSeq
+    assert(viaSql === viaCol)
+  }
+
   test("GraftExtensions wires the same builder (smoke)") {
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions
