@@ -115,4 +115,58 @@ class PropertiesSpec extends SparkSpecBase {
       assert(smallPairs.subsetOf(pairs))
     }
   }
+
+  test("slidingWindows invariants: full token coverage, chunk-count formula, disjoint reconstruction") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.choose(0, 40)
+      w <- Gen.choose(1, 12)
+      s <- Gen.choose(1, w)
+    } yield (n, w, s)
+    samples(caseGen, n = 12).foreach { case (n, w, s) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.operators.Packing.slidingWindows(df, "doc_id", "text", w, s)
+        .orderBy("chunk_id")
+        .select("chunk_id", "chunk_text", "n_chunk_tokens")
+        .as[(Int, String, Int)].collect().toSeq
+      if (n == 0) assert(chunks.isEmpty)
+      else {
+        // count formula: ceil(max(n-w,0)/s) + 1
+        assert(chunks.size === (math.max(n - w, 0) + s - 1) / s + 1, s"(n=$n w=$w s=$s)")
+        // every token index covered at least once
+        val covered = chunks.flatMap(_._2.split(" ")).toSet
+        assert(covered === (0 until n).map(i => s"t$i").toSet, s"(n=$n w=$w s=$s)")
+        // chunk i holds exactly tokens [i*s, min(i*s+w, n))
+        chunks.foreach { case (i, txt, nc) =>
+          val expect = (i * s until math.min(i * s + w, n)).map(j => s"t$j")
+          assert(txt === expect.mkString(" "), s"(n=$n w=$w s=$s chunk=$i)")
+          assert(nc === expect.size)
+        }
+        // stride == window tiles the doc exactly once
+        if (s == w) assert(chunks.map(_._3).sum === n)
+      }
+    }
+  }
+
+  test("KMV merge equals the sketch of the union for arbitrary shard splits") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.choose(1, 120)
+      cut <- Gen.choose(0, n)
+      dup <- Gen.choose(0, 30) // overlap re-inserted on both sides
+    } yield (n, cut, dup)
+    samples(caseGen, n = 8).foreach { case (n, cut, dup) =>
+      val all = (0 until n).map(i => ("g", s"v$i"))
+      val a = (all.take(cut) ++ all.take(dup)).toDF("g", "v")
+      val b = (all.drop(cut) ++ all.take(dup)).toDF("g", "v")
+      val k = 16
+      val merged = graft.operators.Sketch.kmvMerge(
+        graft.operators.Sketch.kmvSketch(a, "v", "g", k),
+        graft.operators.Sketch.kmvSketch(b, "v", "g", k), "g", k)
+      val whole = graft.operators.Sketch.kmvSketch(all.toDF("g", "v"), "v", "g", k)
+      assert(merged.exceptAll(whole).count() === 0, s"(n=$n cut=$cut dup=$dup)")
+      assert(whole.exceptAll(merged).count() === 0, s"(n=$n cut=$cut dup=$dup)")
+    }
+  }
 }
