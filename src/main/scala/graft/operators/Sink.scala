@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Corpus output shaping (beyond-reference, SURVEY.md §2.4): write the
+  * curated corpus as partitioned parquet laid out for training reads.
+  *
+  * The two failure modes this prevents at 100 TB:
+  *
+  *  - **small-file explosion**: a naive `df.write.partitionBy(split,
+  *    lang)` emits one file per (task × partition-combo) — with 10k tasks
+  *    and 20 combos that is 200k files per run, which kills both the
+  *    writing job's driver (file commit protocol) and every later
+  *    listing. Repartitioning BY the partition columns first routes each
+  *    combo to one task → one file per combo, re-split only by
+  *    `maxRecordsPerFile` (the knob that keeps individual files
+  *    readable/seekable);
+  *  - **compression loss**: rows sorted by `sortCols` within each task
+  *    (e.g. by language then doc id, or by a cluster/domain key) compress
+  *    2–3× better in parquet's RLE/dictionary encodings than shuffled
+  *    rows, and give downstream readers locality for range pruning.
+  *
+  * A single giant combo serializes into one task; pass `shards > 1` to
+  * spread every combo over that many tasks/files (adds a uniform salt to
+  * the routing key — file counts stay bounded at combos × shards).
+  */
+object Sink {
+
+  def writeCorpus(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 1000000L,
+      shards: Int = 1,
+      mode: String = "error"): Unit = {
+    require(partitionCols.nonEmpty, "writeCorpus needs at least one partition column")
+    require(maxRecordsPerFile > 0, s"maxRecordsPerFile must be positive")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(!df.columns.contains("__shard"), "'__shard' is reserved by writeCorpus")
+    val routed =
+      if (shards == 1) df.repartition(partitionCols.map(c => col(s"`$c`")): _*)
+      else df
+        .withColumn("__shard",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.spark_partition_id()
+              + org.apache.spark.sql.functions.monotonically_increasing_id(),
+            org.apache.spark.sql.functions.lit(shards)))
+        .repartition((partitionCols :+ "__shard").map(c => col(s"`$c`")): _*)
+        .drop("__shard")
+    val sorted =
+      if (sortCols.isEmpty) routed
+      else routed.sortWithinPartitions(sortCols.map(c => col(s"`$c`")): _*)
+    sorted.write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Sink
+import org.apache.spark.sql.functions._
+
+class SinkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = spark.range(200).select(
+    $"id".as("doc_id"),
+    when($"id" % 10 < 8, "train").otherwise("val").as("split"),
+    concat(lit("l"), $"id" % 2).as("lang"),
+    concat(lit("text "), $"id").as("text"))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString + "/corpus"
+
+  test("writeCorpus: one file per partition combo, hive layout, lossless round-trip") {
+    val path = tmp()
+    Sink.writeCorpus(corpus, path, Seq("split", "lang"), sortCols = Seq("doc_id"))
+    val root = new java.io.File(path)
+    val leafDirs = root.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory)
+    assert(leafDirs.map(_.getName).toSet === Set("lang=l0", "lang=l1"))
+    assert(root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      === Set("split=train", "split=val"))
+    // exactly ONE parquet file per (split, lang) combo — no per-task fan-out
+    leafDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1, d.toString)
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() === 200)
+    assert(back.select("doc_id").exceptAll(corpus.select("doc_id")).count() === 0)
+  }
+
+  test("writeCorpus: maxRecordsPerFile re-splits a combo; shards spread a hot combo") {
+    val path = tmp()
+    Sink.writeCorpus(corpus, path, Seq("split"), maxRecordsPerFile = 50L)
+    val train = new java.io.File(path, "split=train")
+    // 160 train rows / 50 per file -> 4 files
+    assert(train.listFiles().count(_.getName.endsWith(".parquet")) === 4)
+
+    val path2 = tmp()
+    // at 200 rows AQE's partition coalescing would merge the shard
+    // splits back into one task (correct at this scale!); disable it to
+    // observe the mechanism a hot combo relies on at real volume
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      Sink.writeCorpus(corpus, path2, Seq("split"), shards = 3)
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    val train2 = new java.io.File(path2, "split=train")
+    val nf = train2.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nf >= 2 && nf <= 3, s"expected 2-3 shard files, got $nf")
+    assert(spark.read.parquet(path2).count() === 200)
+  }
+
+  test("writeCorpus guard rails") {
+    intercept[IllegalArgumentException] {
+      Sink.writeCorpus(corpus, tmp(), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Sink.writeCorpus(corpus, tmp(), Seq("split"), maxRecordsPerFile = 0L)
+    }
+  }
+}
