@@ -1855,5 +1855,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }
+
+    // --- semantic decontamination: "training" vectors (vec_id >= 25)
+    //     within cosine >= 0.35 of any "benchmark" vector (vec_id < 25).
+    //     The fixture plants no cross-boundary near-dups (max cross
+    //     cosine 0.49), so the threshold sits at the distribution's tail
+    //     to exercise the operator. Pure double arithmetic in matched
+    //     order — no rounding needed anywhere.
+    register("p34_semantic_decontam",
+      """WITH nrm AS (SELECT vec_id,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+        |  FROM embeddings),
+        |hits AS (SELECT t.vec_id,
+        |    list_sum(list_transform(list_zip(t.embedding, b.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nt.n * nb.n) AS c
+        |  FROM embeddings t JOIN embeddings b ON t.vec_id >= 25 AND b.vec_id < 25
+        |  JOIN nrm nt ON nt.vec_id = t.vec_id
+        |  JOIN nrm nb ON nb.vec_id = b.vec_id)
+        |SELECT vec_id, COUNT(*) AS n_hits, MAX(c) AS max_cosine
+        |FROM hits WHERE c >= 0.35
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticOverlapReport(
+          e.filter(col("vec_id") >= 25), "vec_id", "embedding",
+          e.filter(col("vec_id") < 25), "embedding", threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }
   }
 }
