@@ -1799,7 +1799,8 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id) AS rn
+        |      ORDER BY ('0x' || substring(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |               doc_id) AS rn
         |  FROM documents) x
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Splits.capPerGroup(

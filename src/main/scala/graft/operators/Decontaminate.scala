@@ -39,9 +39,15 @@ object Decontaminate {
         bench.select(monotonically_increasing_id().as("__b"), col(s"`$benchTextCol`")),
         "__b", benchTextCol, shingleN)
       .select(col("shingle")).distinct()
+    // broadcast-join the RAW corpus shingle stream first, dedup only the
+    // few survivors: a corpus-wide distinct() before the join would
+    // shuffle every shingle string — the exact corpus-sized shuffle the
+    // scaladoc promises away. n_hits counts distinct bench shingles
+    // either way.
     Dedup.shingleRows(docs, idCol, textCol, shingleN)
-      .select(col(s"`$idCol`"), col("shingle")).distinct()
+      .select(col(s"`$idCol`"), col("shingle"))
       .join(benchShingles, "shingle")
+      .distinct()
       .groupBy(col(s"`$idCol`"))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -67,10 +73,15 @@ object Decontaminate {
       threshold: Double): DataFrame = {
     require(threshold > -1 && threshold <= 1, s"threshold must be in (-1, 1], got $threshold")
     import graft.functions.FloatArrayDot
+    // zero-norm vectors would make the cosine 0/0 = NaN, and Spark orders
+    // NaN ABOVE every double, so NaN >= threshold flags everything — drop
+    // degenerate vectors on both sides instead
     val b = bench.select(col(s"`$benchVecCol`").as("__bv"))
       .withColumn("__bn", sqrt(FloatArrayDot.normSq(col("__bv"))))
+      .filter(col("__bn") > 0)
     train.select(col(s"`$idCol`"), col(s"`$vecCol`").as("__tv"))
       .withColumn("__tn", sqrt(FloatArrayDot.normSq(col("__tv"))))
+      .filter(col("__tn") > 0)
       .crossJoin(broadcast(b))
       .withColumn("__cos", FloatArrayDot.dot(col("__tv"), col("__bv"))
         / (col("__tn") * col("__bn")))

@@ -35,14 +35,16 @@ object Scrub {
       rules: Seq[(String, String)] = defaultRules,
       flagCol: Option[String] = None): DataFrame = {
     val c = col(s"`$textCol`")
-    val out = df.withColumn(textCol, redact(c, rules))
+    val red = redact(c, rules)
     flagCol match {
       case Some(f) =>
         // a rule "fired" iff the redacted text differs; computed against
-        // the ORIGINAL column in the same projection, before overwrite
-        df.withColumn(f, redact(c, rules) =!= c)
-          .withColumn(textCol, redact(c, rules))
-      case None => out
+        // the ORIGINAL column in the same projection, before overwrite.
+        // NULL text compares to null — coalesce to false so the row
+        // stays visible to BOTH sides of a flag-based split.
+        df.withColumn(f, coalesce(red =!= c, lit(false)))
+          .withColumn(textCol, red)
+      case None => df.withColumn(textCol, red)
     }
   }
 }

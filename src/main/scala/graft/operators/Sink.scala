@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions.col
   *    rows, and give downstream readers locality for range pruning.
   *
   * A single giant combo serializes into one task; pass `shards > 1` to
-  * spread every combo over that many tasks/files (adds a uniform salt to
-  * the routing key — file counts stay bounded at combos × shards).
+  * spread every combo over that many tasks/files (file counts stay
+  * bounded at combos × shards). The shard is derived from a CONTENT hash
+  * of the row, never from partition/row position: a positional salt (the
+  * SPARK-23207 round-robin hazard) re-routes rows when a stage retries,
+  * silently duplicating some and dropping others mid-write. Identical
+  * duplicate rows co-locate — acceptable, still bounded.
   */
 object Sink {
 
@@ -44,9 +48,8 @@ object Sink {
       else df
         .withColumn("__shard",
           org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.spark_partition_id()
-              + org.apache.spark.sql.functions.monotonically_increasing_id(),
-            org.apache.spark.sql.functions.lit(shards)))
+            org.apache.spark.sql.functions.xxhash64(df.columns.map(c => col(s"`$c`")): _*),
+            org.apache.spark.sql.functions.lit(shards.toLong)))
         .repartition((partitionCols :+ "__shard").map(c => col(s"`$c`")): _*)
         .drop("__shard")
     val sorted =

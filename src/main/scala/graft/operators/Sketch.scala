@@ -39,6 +39,10 @@ object Sketch {
     val g = col(s"`$groupCol`")
     val distinctHashes = df
       .select(g, graft.functions.TextFunctions.md5Hash60(col(s"`$keyCol`").cast("string")).as("__h"))
+      // null keys hash to null, which would win a bottom-k slot in the
+      // ascending window (NULLS FIRST) yet be dropped by collect_list —
+      // shorting minima to k-1 and faking the "exact" branch
+      .filter(col("__h").isNotNull)
       .distinct()
     distinctHashes
       .withColumn("__rn", row_number().over(Window.partitionBy(g).orderBy(col("__h"))))

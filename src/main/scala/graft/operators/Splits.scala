@@ -29,12 +29,23 @@ object Splits {
     * staying far below the 2^60 hash space (bias < 2^-40). */
   val DefaultBuckets = 1000000
 
+  /** The 60-bit hash space of [[hashValue60]]: 2^60. */
+  val HashSpace60: Long = 1L << 60
+
+  /** Raw uniform 60-bit hash of (salt, key) — the value [[hashBucket]]
+    * reduces mod nBuckets, exposed for order-based selections
+    * ([[capPerGroup]]'s rank, prefix pre-thins): thresholding THIS value
+    * keeps exactly the low end of the order it defines, which a
+    * mod-bucket threshold does not. */
+  def hashValue60(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Uniform pseudo-random bucket in [0, nBuckets) from (salt, key).
     * 15 hex chars = 60 bits, always positive, so `%` == `pmod`. */
   def hashBucket(key: Column, salt: String, nBuckets: Int = DefaultBuckets): Column = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % nBuckets
+    hashValue60(key, salt) % nBuckets
   }
 
   /** Assign each row a named split by weighted hash bucketing.
@@ -127,18 +138,21 @@ object Splits {
   }
 
   /** Keep at most `maxPerGroup` rows per group, chosen as the rows whose
-    * keys md5-hash LOWEST within the group — the per-source/per-domain
-    * quota every web-scale corpus applies. Deterministic: membership is a
-    * pure function of (salt, key) ranks, so re-runs and input reordering
-    * keep the same rows, and (like [[sampleByHash]]) lowering the cap
-    * selects a subset of a higher cap's rows for the same salt.
+    * keys hash LOWEST under [[hashValue60]] within the group — the
+    * per-source/per-domain quota every web-scale corpus applies.
+    * Deterministic: membership is a pure function of (salt, key) ranks,
+    * so re-runs and input reordering keep the same rows, and lowering
+    * the cap selects a subset of a higher cap's rows for the same salt.
     *
     * 100 TB shape: one window shuffled on the group key; a single giant
     * group serializes its rows into one reducer, so pre-thin such groups
-    * first with [[sampleByHash]] (hash-stable: the pre-thin keeps exactly
-    * the low end of the SAME per-group hash order this cap ranks by,
+    * first with a PREFIX filter on the same hash —
+    * `df.filter(hashValue60(col(key), salt) < (frac * HashSpace60).toLong)`
+    * — which keeps exactly the low end of the order this cap ranks by,
     * so thin-then-cap equals cap alone whenever the thinned group still
-    * has ≥ maxPerGroup survivors). */
+    * has ≥ maxPerGroup survivors. ([[sampleByHash]] is NOT
+    * order-compatible here: its mod-nBuckets threshold keeps a set
+    * uncorrelated with the hash-value order.) */
   def capPerGroup(
       df: DataFrame,
       groupCol: String,
@@ -146,10 +160,10 @@ object Splits {
       maxPerGroup: Int,
       salt: String = ""): DataFrame = {
     require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
-    val h = md5(concat(lit(salt + ":"), col(s"`$keyCol`").cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"`$groupCol`"))
-      .orderBy(h, col(s"`$keyCol`")) // key tiebreak: duplicate keys hash equal
+      // key tiebreak: duplicate keys (and 60-bit collisions) order stably
+      .orderBy(hashValue60(col(s"`$keyCol`"), salt), col(s"`$keyCol`"))
     df.withColumn("__cap_rn", row_number().over(w))
       .filter(col("__cap_rn") <= maxPerGroup)
       .drop("__cap_rn")

@@ -128,7 +128,9 @@ object Streams {
       .flatMapGroupsWithState[Array[Long], KeyDistinct](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[Array[Long]]) =>
-          val incoming = rows.map(r => h60(r._2))
+          // null values carry no identity — skipped, matching the batch
+          // sketch (which drops null-key hashes before the window)
+          val incoming = rows.flatMap(r => Option(r._2)).map(h60)
           val minima = (state.getOption.getOrElse(Array.empty[Long]) ++ incoming)
             .distinct.sorted.take(k)
           state.update(minima)

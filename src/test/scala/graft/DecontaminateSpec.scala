@@ -90,4 +90,18 @@ class DecontaminateSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(3L))
   }
+
+  test("zero-norm embeddings neither flag nor get flagged (no NaN >= threshold trap)") {
+    val train = Seq(
+      (1L, Seq(0.0f, 0.0f)), // zero vector: 0/0 cosine would be NaN
+      (2L, Seq(1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val bench = Seq(
+      Tuple1(Seq(0.0f, 0.0f)), // zero benchmark vector must not match EVERYTHING
+      Tuple1(Seq(0.0f, 1.0f))).toDF("embedding")
+    val report = Decontaminate.semanticOverlapReport(
+      train, "doc_id", "embedding", bench, "embedding", threshold = 0.5)
+    assert(report.count() === 0)
+    assert(Decontaminate.removeSemanticContaminated(
+      train, "doc_id", "embedding", bench, "embedding", 0.5).count() === 2)
+  }
 }

@@ -27,6 +27,13 @@ class ScrubSpec extends SparkSpecBase {
     assert(out === Seq((1L, "clean text", false), (2L, "hit <EMAIL>", true)))
   }
 
+  test("null text flags false, not null — the row stays visible to both split sides") {
+    val df = Seq((1L, "a@b.io"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Scrub.redactColumn(df, "text", flagCol = Some("had_pii"))
+    assert(out.filter($"had_pii").count() + out.filter(!$"had_pii").count() === 2)
+    assert(out.filter($"doc_id" === 2).select("had_pii").as[Boolean].head() === false)
+  }
+
   test("redaction is a pure narrow projection — no Exchange in the plan") {
     val docs = testdata("sf0.001", "documents")
     val plan = Scrub.redactColumn(docs, "text").queryExecution.executedPlan.toString

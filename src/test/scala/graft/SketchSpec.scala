@@ -15,6 +15,16 @@ class SketchSpec extends SparkSpecBase {
     assert(est("b") === ((1L, 1.0)))
   }
 
+  test("null keys carry no identity and never short the sketch") {
+    // a null key's null hash would win a bottom-k slot (NULLS FIRST) but
+    // be dropped by collect_list, faking the exact branch at k-1
+    val base = spark.range(100).select(lit("g").as("g"), concat(lit("k"), $"id").as("key"))
+    val withNull = base.unionAll(Seq(("g", null.asInstanceOf[String])).toDF("g", "key"))
+    val a = Sketch.kmvSketch(base, "key", "g", k = 16).select("minima").head().getSeq[Long](0)
+    val b = Sketch.kmvSketch(withNull, "key", "g", k = 16).select("minima").head().getSeq[Long](0)
+    assert(a === b && a.length === 16)
+  }
+
   test("at k the estimator lands near the true cardinality") {
     val df = spark.range(1000).select(lit("g").as("g"), concat(lit("k"), $"id").as("key"))
       .unionAll(spark.range(100).select(lit("g").as("g"), concat(lit("k"), $"id").as("key")))

@@ -139,4 +139,16 @@ class SplitsSpec extends SparkSpecBase {
       Splits.capPerGroup(docs, "lang", "doc_id", 0)
     }
   }
+
+  test("capPerGroup: the documented prefix pre-thin preserves the cap's selection") {
+    // thin to ~50% by hash-value prefix, then cap — must equal cap alone
+    // as long as every thinned group still holds >= maxPerGroup rows
+    val thinned = docs.filter(
+      Splits.hashValue60($"doc_id", "q") < (0.5 * Splits.HashSpace60).toLong)
+    assert(thinned.groupBy("lang").count().select("count").as[Long].collect().forall(_ >= 3))
+    val thinCap = Splits.capPerGroup(thinned, "lang", "doc_id", 3, salt = "q")
+    val capAlone = Splits.capPerGroup(docs, "lang", "doc_id", 3, salt = "q")
+    assert(thinCap.select("doc_id").exceptAll(capAlone.select("doc_id")).count() === 0)
+    assert(capAlone.select("doc_id").exceptAll(thinCap.select("doc_id")).count() === 0)
+  }
 }

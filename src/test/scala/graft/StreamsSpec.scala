@@ -88,6 +88,10 @@ class StreamsSpec extends SparkSpecBase {
     try {
       input.addData(rows.take(100): _*)
       q.processAllAvailable()
+      // null values carry no identity — must neither crash the batch nor
+      // perturb the state (the batch sketch drops them too)
+      input.addData(("g0", null.asInstanceOf[String]))
+      q.processAllAvailable()
       input.addData(rows.drop(100): _*)
       q.processAllAvailable()
       // last emission per key (n_minima only grows, so max picks the final batch)
