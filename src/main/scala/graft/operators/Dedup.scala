@@ -106,14 +106,23 @@ object Dedup {
     * the numeric min over the doc's shingles. Works on the raw shingle
     * stream (duplicates cannot change a min) and is partial-aggregation-
     * friendly: minima combine map-side, so the shuffle carries
-    * O(docs x seeds), not O(shingles). */
+    * O(docs x seeds), not O(shingles).
+    *
+    * The two hex→long conversions are hoisted into ONE projection before
+    * the aggregate: aggregate update expressions are not common-
+    * subexpression-eliminated, so inlining [[minhashHash]] per seed would
+    * re-run both `conv`s numHashes times per shingle (16 string
+    * conversions/row at the default 8 seeds, on the hot path of every
+    * dedup query). Values are identical to minhashHash(md5, i). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
     require(numHashes <= 16, "linear family overflows beyond 16 members")
     val ex = shingleRows(df, idCol, textCol, shingleN)
       .withColumn("__md5", md5(col("shingle"))) // ONE digest per shingle
+      .withColumn("__c1", conv(substring(col("__md5"), 1, 14), 16, 10).cast("long"))
+      .withColumn("__c2", conv(substring(col("__md5"), 17, 14), 16, 10).cast("long"))
     val aggs = (0 until numHashes).map(i =>
-      min(minhashHash(col("__md5"), i)).as(s"h$i"))
+      min(col("__c1") + lit(i.toLong) * col("__c2")).as(s"h$i"))
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
