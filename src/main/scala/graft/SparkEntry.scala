@@ -1882,5 +1882,41 @@ object SparkEntry {
           e.filter(col("vec_id") < 25), "embedding", threshold = 0.35)
         .orderBy(col("vec_id"))
     }
+
+    // --- "more like this": TF-IDF cosine doc->doc similarity for five
+    //     target docs. Same determinism kit as p26: idf rounded through
+    //     DECIMAL(25,12) (ln is not bit-portable), dot products and
+    //     norms summed through exact DECIMAL(25,9) accumulators, total
+    //     order on (target, rank).
+    register("p35_more_like_this",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+         |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |idf AS (SELECT term,
+         |    CAST(ROUND(CAST(ln(n.n / df) AS DECIMAL(25,12)), 9) AS DOUBLE) AS idf
+         |  FROM (SELECT term, COUNT(*) AS df FROM p GROUP BY term), n),
+         |w AS (SELECT p.doc_id, p.term, p.tf * idf.idf AS w FROM p JOIN idf USING (term)),
+         |nrm AS (SELECT doc_id,
+         |    sqrt(CAST(SUM(CAST(w*w AS DECIMAL(25,9))) AS DOUBLE)) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |dot AS (SELECT t.doc_id AS tid, d.doc_id AS nid,
+         |    CAST(SUM(CAST(t.w * d.w AS DECIMAL(25,9))) AS DOUBLE) AS dt
+         |  FROM w t JOIN w d USING (term)
+         |  WHERE t.doc_id < 5 AND d.doc_id != t.doc_id
+         |  GROUP BY t.doc_id, d.doc_id),
+         |sc AS (SELECT tid, nid, dt / (nt.nrm * nn.nrm) AS cosine
+         |  FROM dot JOIN nrm nt ON nt.doc_id = tid AND nt.nrm > 0
+         |           JOIN nrm nn ON nn.doc_id = nid AND nn.nrm > 0)
+         |SELECT tid AS doc_id, nid AS neighbor_id, rank, cosine FROM (
+         |  SELECT tid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cosine DESC, nid) AS rank
+         |  FROM sc) x
+         |WHERE rank <= 10 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Search.moreLikeThis(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5).select(col("doc_id")), k = 10,
+          idfRoundDp = Some(9))
+        .orderBy(col("doc_id"), col("rank"))
+    }
   }
 }

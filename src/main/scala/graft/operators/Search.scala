@@ -101,4 +101,67 @@ object Search {
         Window.partitionBy(qid).orderBy(col("score").desc, id.asc)))
       .filter(col("rank") <= k)
   }
+
+  /** "More like this": for each target document (a SMALL id set), the k
+    * most similar other documents by TF-IDF cosine over shared terms —
+    * doc→doc similarity without embeddings, the classic related-items /
+    * near-cluster exploration op.
+    *
+    * tfidf weight = tf · idf with idf = ln(N / df) (rounded through
+    * decimal like [[bm25TopK]] when `idfRoundDp` is set); cosine =
+    * Σ_shared(w_t·w_d) / (‖w_t‖·‖w_d‖). Norms need every doc's full
+    * weight vector, so postings ARE corpus-sized here — but they shuffle
+    * as (term, doc, weight) triples for one self-join keyed by term,
+    * restricted to the broadcast target docs' terms first, so the join
+    * output is proportional to postings CONTAINING a target term, not
+    * |corpus|². Output: (targetIdCol=idCol of the target, neighbor_id,
+    * cosine, rank), targets absent when nothing shares a term. */
+  def moreLikeThis(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetIds: DataFrame,
+      k: Int,
+      idfRoundDp: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val id = col(s"`$idCol`")
+    val postings = docs
+      .select(id, explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+"))
+        .as("__term"))
+      .filter(col("__term") =!= "")
+      .groupBy(id, col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val idfRaw = log(col("__n") / col("__df"))
+    val idf = postings.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .crossJoin(n)
+      .withColumn("__idf", idfRoundDp match {
+        case Some(dp) => round(idfRaw.cast(DecimalType(25, 12)), dp).cast("double")
+        case None => idfRaw
+      })
+      .select(col("__term"), col("__idf"))
+    val weighted = postings.join(idf, "__term")
+      .withColumn("__w", col("__tf") * col("__idf"))
+    // norms: exact decimal sum of squares per doc (order-free, like dsum).
+    // A doc whose every term is ubiquitous (idf 0) has norm 0 — drop it
+    // from both roles rather than let 0/0 = NaN out-rank everything
+    // (Spark orders NaN above every double).
+    val norms = weighted.groupBy(id)
+      .agg(sqrt(sum((col("__w") * col("__w")).cast(DecimalType(25, 9))).cast("double"))
+        .as("__norm"))
+      .filter(col("__norm") > 0)
+    val t = weighted.join(broadcast(targetIds.select(id).distinct()), idCol)
+      .select(id.as("__tid"), col("__term"), col("__w").as("__tw"))
+    weighted.join(broadcast(t), "__term")
+      .filter(col("__tid") =!= id)
+      .groupBy(col("__tid"), id.as("neighbor_id"))
+      .agg(sum((col("__tw") * col("__w")).cast(DecimalType(25, 9))).cast("double").as("__dot"))
+      .join(norms.select(id.as("__tid"), col("__norm").as("__tn")), "__tid")
+      .join(norms.select(id.as("neighbor_id"), col("__norm").as("__nn")), "neighbor_id")
+      .withColumn("cosine", col("__dot") / (col("__tn") * col("__nn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__tid")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("__tid").as(idCol), col("neighbor_id"), col("rank"), col("cosine"))
+  }
 }

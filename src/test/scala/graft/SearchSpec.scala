@@ -62,6 +62,26 @@ class SearchSpec extends SparkSpecBase {
     }
   }
 
+  test("moreLikeThis ranks docs sharing rarer terms first and excludes self") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"), // shares 2 terms with doc 1
+      (3L, "alpha zzz yyy"), // shares only the common term
+      (4L, "qqq rrr sss")) // shares nothing
+      .toDF("doc_id", "text")
+    val targets = Seq(Tuple1(1L)).toDF("doc_id")
+    val out = Search.moreLikeThis(docs, "doc_id", "text", targets, k = 10)
+      .orderBy($"rank")
+      .select("doc_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(_._1).forall(_ === 1L))
+    assert(out.map(_._2) === Seq(2L, 3L)) // doc 4 shares no term; self excluded
+    // a target with no shared terms yields no rows
+    val lonely = Search.moreLikeThis(docs, "doc_id", "text",
+      Seq(Tuple1(4L)).toDF("doc_id"), k = 5)
+    assert(lonely.count() === 0)
+  }
+
   test("dupNgramCoverage counts cross-doc shared n-grams, not within-doc repeats") {
     val docs = Seq(
       (1L, "a b c d"), // grams: "a b","b c","c d"
