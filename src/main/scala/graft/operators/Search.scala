@@ -122,7 +122,8 @@ object Search {
       textCol: String,
       targetIds: DataFrame,
       k: Int,
-      idfRoundDp: Option[Int] = None): DataFrame = {
+      idfRoundDp: Option[Int] = None,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val id = col(s"`$idCol`")
     val postings = docs
@@ -140,8 +141,12 @@ object Search {
         case None => idfRaw
       })
       .select(col("__term"), col("__idf"))
-    val weighted = postings.join(idf, "__term")
-      .withColumn("__w", col("__tf") * col("__idf"))
+    // weighted postings feed THREE consumers (norms, target extraction,
+    // the term self-join) — stage once instead of recomputing the whole
+    // tokenize/count/idf pipeline per consumer (the Dedup convention)
+    val weighted = stager.stage(
+      postings.join(idf, "__term").withColumn("__w", col("__tf") * col("__idf")),
+      s"mlt_weighted_${java.util.UUID.randomUUID().toString.take(8)}")
     // norms: exact decimal sum of squares per doc (order-free, like dsum).
     // A doc whose every term is ubiquitous (idf 0) has norm 0 — drop it
     // from both roles rather than let 0/0 = NaN out-rank everything
