@@ -73,19 +73,21 @@ object Decontaminate {
       threshold: Double): DataFrame = {
     require(threshold > -1 && threshold <= 1, s"threshold must be in (-1, 1], got $threshold")
     import graft.functions.FloatArrayDot
-    // zero-norm vectors would make the cosine 0/0 = NaN, and Spark orders
-    // NaN ABOVE every double, so NaN >= threshold flags everything — drop
-    // degenerate vectors on both sides instead
+    // degenerate vectors would make the cosine NaN (0/0 on zero norms, or
+    // NaN propagated from a NaN component), and Spark orders NaN ABOVE
+    // every double — so `NaN >= threshold` AND `NaN > 0` are both true.
+    // Guard with !isnan explicitly; a bare `> 0` check would pass NaN.
     val b = bench.select(col(s"`$benchVecCol`").as("__bv"))
       .withColumn("__bn", sqrt(FloatArrayDot.normSq(col("__bv"))))
-      .filter(col("__bn") > 0)
+      .filter(col("__bn") > 0 && !isnan(col("__bn")))
     train.select(col(s"`$idCol`"), col(s"`$vecCol`").as("__tv"))
       .withColumn("__tn", sqrt(FloatArrayDot.normSq(col("__tv"))))
-      .filter(col("__tn") > 0)
+      .filter(col("__tn") > 0 && !isnan(col("__tn")))
       .crossJoin(broadcast(b))
       .withColumn("__cos", FloatArrayDot.dot(col("__tv"), col("__bv"))
         / (col("__tn") * col("__bn")))
-      .filter(col("__cos") >= threshold)
+      // Inf-component vectors slip past the norm guard (Inf/Inf = NaN here)
+      .filter(col("__cos") >= threshold && !isnan(col("__cos")))
       .groupBy(col(s"`$idCol`"))
       .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cosine"))
   }

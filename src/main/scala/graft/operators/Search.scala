@@ -36,6 +36,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Search {
 
+  /** THE tokenization contract shared by every Search operator and the
+    * DuckDB oracles' `toksLowerSql` fragment (lowercase, whitespace
+    * split, empty tokens dropped) — one definition so the operators can
+    * never drift apart. */
+  private def termStream(df: DataFrame, keep: Column, text: String): DataFrame =
+    df.select(keep, explode(split(lower(coalesce(col(s"`$text`"), lit(""))), "\\s+"))
+        .as("__term"))
+      .filter(col("__term") =!= "")
+
   /** BM25 top-k: for each query row, the k best documents.
     * Output: (queryIdCol, idCol, score, rank), rank 1..k per query by
     * (score desc, idCol asc); queries matching nothing yield no rows.
@@ -56,12 +65,6 @@ object Search {
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0 and 0 <= b <= 1 required, got k1=$k1 b=$b")
     val id = col(s"`$idCol`")
     val qid = col(s"`$queryIdCol`")
-
-    def termStream(df: DataFrame, keep: Column, text: String): DataFrame =
-      df.select(keep, explode(split(lower(coalesce(col(s"`$text`"), lit(""))), "\\s+"))
-          .as("__term"))
-        .filter(col("__term") =!= "")
-
     val qTerms = termStream(queries, qid, queryTextCol).distinct()
     val tokStream = termStream(docs, id, textCol)
 
@@ -126,12 +129,13 @@ object Search {
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val id = col(s"`$idCol`")
-    val postings = docs
-      .select(id, explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+"))
-        .as("__term"))
-      .filter(col("__term") =!= "")
-      .groupBy(id, col("__term"))
-      .agg(count(lit(1)).as("__tf"))
+    // staged: idf derives from postings AND joins back onto them — without
+    // the stage the corpus-sized tokenize/count pipeline runs twice
+    val postings = stager.stage(
+      termStream(docs, id, textCol)
+        .groupBy(id, col("__term"))
+        .agg(count(lit(1)).as("__tf")),
+      s"mlt_postings_${java.util.UUID.randomUUID().toString.take(8)}")
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val idfRaw = log(col("__n") / col("__df"))
     val idf = postings.groupBy(col("__term")).agg(count(lit(1)).as("__df"))

@@ -43,12 +43,24 @@ object Sink {
     require(maxRecordsPerFile > 0, s"maxRecordsPerFile must be positive")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     require(!df.columns.contains("__shard"), "'__shard' is reserved by writeCorpus")
+    // shard key: content hash over the HASHABLE columns only — xxhash64
+    // rejects map-typed input (and maps nested in arrays/structs), and a
+    // metadata map column must not break the write
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val shardCols = df.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(shards == 1 || shardCols.nonEmpty,
+      "writeCorpus(shards > 1) needs at least one non-map column to derive the shard from")
     val routed =
       if (shards == 1) df.repartition(partitionCols.map(c => col(s"`$c`")): _*)
       else df
         .withColumn("__shard",
           org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(df.columns.map(c => col(s"`$c`")): _*),
+            org.apache.spark.sql.functions.xxhash64(shardCols.map(c => col(s"`$c`")): _*),
             org.apache.spark.sql.functions.lit(shards.toLong)))
         .repartition((partitionCols :+ "__shard").map(c => col(s"`$c`")): _*)
         .drop("__shard")

@@ -133,11 +133,18 @@ object Streams {
           val incoming = rows.flatMap(r => Option(r._2)).map(h60)
           val minima = (state.getOption.getOrElse(Array.empty[Long]) ++ incoming)
             .distinct.sorted.take(k)
-          state.update(minima)
-          val est =
-            if (minima.length < k) minima.length.toDouble
-            else (k - 1).toDouble * graft.operators.Sketch.HashSpace / minima(k - 1).toDouble
-          Iterator.single(KeyDistinct(key, minima.length.toLong, est))
+          if (minima.isEmpty) {
+            // a key that has only ever seen nulls: the batch sketch has NO
+            // row for it — emit nothing and keep no state, so stream state
+            // stays exactly the batch result
+            Iterator.empty
+          } else {
+            state.update(minima)
+            val est =
+              if (minima.length < k) minima.length.toDouble
+              else (k - 1).toDouble * graft.operators.Sketch.HashSpace / minima(k - 1).toDouble
+            Iterator.single(KeyDistinct(key, minima.length.toLong, est))
+          }
       }
   }
 

@@ -104,4 +104,20 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(Decontaminate.removeSemanticContaminated(
       train, "doc_id", "embedding", bench, "embedding", 0.5).count() === 2)
   }
+
+  test("NaN-component embeddings are excluded (NaN > 0 is true in Spark — a bare norm check passes it)") {
+    val train = Seq((1L, Seq(1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val bench = Seq(
+      Tuple1(Seq(Float.NaN, 1.0f)), // NaN norm must not flag everything
+      Tuple1(Seq(0.0f, 1.0f)))
+      .toDF("embedding")
+    assert(Decontaminate.semanticOverlapReport(
+      train, "doc_id", "embedding", bench, "embedding", threshold = 0.5).count() === 0)
+    // and a NaN train row neither crashes nor appears
+    val trainNaN = Seq((1L, Seq(Float.NaN, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val r = Decontaminate.semanticOverlapReport(
+      trainNaN, "doc_id", "embedding", bench, "embedding", threshold = 0.5)
+    assert(r.select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
 }

@@ -55,6 +55,16 @@ class SinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(path2).count() === 200)
   }
 
+  test("writeCorpus shards despite map-typed columns (hash skips unhashable types)") {
+    val withMap = corpus.withColumn("props",
+      map(lit("k"), concat(lit("v"), $"doc_id")))
+    val path = tmp()
+    Sink.writeCorpus(withMap, path, Seq("split"), shards = 2)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 200)
+    assert(back.schema.fieldNames.contains("props"))
+  }
+
   test("writeCorpus guard rails") {
     intercept[IllegalArgumentException] {
       Sink.writeCorpus(corpus, tmp(), Nil)

@@ -89,8 +89,9 @@ class StreamsSpec extends SparkSpecBase {
       input.addData(rows.take(100): _*)
       q.processAllAvailable()
       // null values carry no identity — must neither crash the batch nor
-      // perturb the state (the batch sketch drops them too)
-      input.addData(("g0", null.asInstanceOf[String]))
+      // perturb the state (the batch sketch drops them too); a key that
+      // only ever sees nulls must not appear at all (batch has no row)
+      input.addData(("g0", null.asInstanceOf[String]), ("gnull", null.asInstanceOf[String]))
       q.processAllAvailable()
       input.addData(rows.drop(100): _*)
       q.processAllAvailable()
@@ -106,6 +107,7 @@ class StreamsSpec extends SparkSpecBase {
         .as[(String, Long, Double)].collect()
         .map { case (g, n, e) => g -> ((n, e)) }.toMap
       assert(streamed === batch)
+      assert(!streamed.contains("gnull"), "all-null key must emit nothing (batch parity)")
     } finally q.stop()
   }
 
