@@ -23,6 +23,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** THE exploded-token-stream tokenization contract (lowercase,
+    * whitespace split, null text as empty, empty tokens dropped) shared
+    * by Search (BM25, more-like-this), Vocab and the DuckDB oracles'
+    * `toksLowerSql` fragment — one definition so none can drift. Emits
+    * `keepCols :+ __term`. */
+  def termStream(df: org.apache.spark.sql.DataFrame, keepCols: Seq[Column],
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(keepCols :+
+        explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+")).as("__term"): _*)
+      .filter(col("__term") =!= "")
+
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
 

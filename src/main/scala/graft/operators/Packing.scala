@@ -84,19 +84,20 @@ object Packing {
     (Seq("chunk_id", "chunk_text", "n_chunk_tokens") intersect df.columns).foreach(c =>
       throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
     val toks = filter(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"), t => t =!= "")
-    val n = size(toks)
     val w = windowTokens
     val s = strideTokens
+    // every expression below references the materialized __toks/__chunk
+    // columns, never the raw text — the regex split and the slice each
+    // run ONCE per row/chunk on this hot path
     df
       .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
       // last start index: ceil(max(n-w,0)/s) via exact integer floor-division
       .withColumn("__k", expr(s"CAST(greatest(size(__toks) - $w + $s - 1, 0) div $s AS INT)"))
-      .filter(n > 0)
       .withColumn("chunk_id", explode(sequence(lit(0), col("__k"))))
-      .withColumn("chunk_text",
-        concat_ws(" ", slice(col("__toks"), col("chunk_id") * lit(s) + 1, lit(w))))
-      .withColumn("n_chunk_tokens",
-        size(slice(col("__toks"), col("chunk_id") * lit(s) + 1, lit(w))))
-      .drop("__toks", "__k")
+      .withColumn("__chunk", slice(col("__toks"), col("chunk_id") * lit(s) + 1, lit(w)))
+      .withColumn("chunk_text", concat_ws(" ", col("__chunk")))
+      .withColumn("n_chunk_tokens", size(col("__chunk")))
+      .drop("__toks", "__k", "__chunk")
   }
 }

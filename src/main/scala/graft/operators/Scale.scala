@@ -64,7 +64,15 @@ object Scale {
     * so the join key becomes (key, salt) and the hot key's rows spread
     * across saltBuckets reducers instead of one. Right-side cost is
     * |right| × saltBuckets — use only when that stays small relative to
-    * the skewed partition it breaks up. */
+    * the skewed partition it breaks up.
+    *
+    * The salt varies PER ROW (monotonic id), not just per input
+    * partition: a hot key concentrated in one input partition — the
+    * normal case when the input is range-partitioned or sorted by the
+    * key — would otherwise get one salt value and still land on one
+    * reducer. A nondeterministic salt is safe in a JOIN (unlike a write):
+    * every row joins the same replicated right rows whichever salt it
+    * draws, so retries cannot change the result. */
   def saltedJoin(
       big: DataFrame,
       right: DataFrame,
@@ -75,7 +83,8 @@ object Scale {
         "left_anti", "leftanti").contains(how.toLowerCase),
       s"saltedJoin: '$how' would surface unmatched right rows once per salt replica")
     val b = big.withColumn("__salt",
-      pmod(hash(keys.map(c => col(s"`$c`")) :+ spark_partition_id(): _*), lit(saltBuckets)))
+      pmod(hash(keys.map(c => col(s"`$c`")) :+
+        (spark_partition_id() + monotonically_increasing_id()): _*), lit(saltBuckets)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     b.join(r, keys :+ "__salt", how).drop("__salt")
   }

@@ -36,14 +36,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Search {
 
-  /** THE tokenization contract shared by every Search operator and the
-    * DuckDB oracles' `toksLowerSql` fragment (lowercase, whitespace
-    * split, empty tokens dropped) — one definition so the operators can
-    * never drift apart. */
+  /** The shared tokenization contract — delegates to
+    * [[graft.functions.TextFunctions.termStream]], the single definition
+    * Search, Vocab and the DuckDB oracles all agree on. */
   private def termStream(df: DataFrame, keep: Column, text: String): DataFrame =
-    df.select(keep, explode(split(lower(coalesce(col(s"`$text`"), lit(""))), "\\s+"))
-        .as("__term"))
-      .filter(col("__term") =!= "")
+    graft.functions.TextFunctions.termStream(df, Seq(keep), text)
 
   /** BM25 top-k: for each query row, the k best documents.
     * Output: (queryIdCol, idCol, score, rank), rank 1..k per query by
@@ -60,25 +57,35 @@ object Search {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      idfRoundDp: Option[Int] = None): DataFrame = {
+      idfRoundDp: Option[Int] = None,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0 and 0 <= b <= 1 required, got k1=$k1 b=$b")
     val id = col(s"`$idCol`")
     val qid = col(s"`$queryIdCol`")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     val qTerms = termStream(queries, qid, queryTextCol).distinct()
     val tokStream = termStream(docs, id, textCol)
 
-    // narrow corpus-sized frames: one row per doc / one row of globals
-    val dl = tokStream.groupBy(id).agg(count(lit(1)).as("__dl"))
+    // narrow corpus-sized frames: one row per doc / one row of globals.
+    // dl feeds BOTH stats and the scoring join, tf feeds the df count and
+    // the scoring join — staged, or each consumer re-tokenizes the whole
+    // corpus (column pruning specializes the copies past ReuseExchange).
+    // The token STREAM itself stays unstaged on purpose: materializing it
+    // would write ~10x the corpus; two scans beat that.
+    val dl = stager.stage(
+      tokStream.groupBy(id).agg(count(lit(1)).as("__dl")), s"bm25_dl_$runId")
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
       .crossJoin(dl.agg(sum(col("__dl")).cast("double").as("__sumdl")))
       .withColumn("__avgdl", col("__sumdl") / col("__n"))
 
     // everything below is proportional to MATCHING postings only
-    val tf = tokStream
-      .join(broadcast(qTerms.select(col("__term")).distinct()), "__term")
-      .groupBy(id, col("__term"))
-      .agg(count(lit(1)).as("__tf"))
+    val tf = stager.stage(
+      tokStream
+        .join(broadcast(qTerms.select(col("__term")).distinct()), "__term")
+        .groupBy(id, col("__term"))
+        .agg(count(lit(1)).as("__tf")),
+      s"bm25_tf_$runId")
     val idfRaw = log((col("__n") - col("__df") + lit(0.5)) /
       (col("__df") + lit(0.5)) + lit(1.0))
     val idf = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))

@@ -31,6 +31,12 @@ object Similarity {
 
   private val Dec = DecimalType(38, 18)
 
+  /** Drop vectors whose norm column is 0 or NaN: their cosines are NaN,
+    * and Spark orders NaN ABOVE every double, so a single degenerate
+    * vector would out-rank every real neighbor under `cosine DESC` (and a
+    * bare `> 0` check passes NaN). Shared by all four search paths. */
+  private def validNorm(c: Column): Column = c > 0 && !isnan(c)
+
   /** Exact, order-independent dot product of two float-array columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -63,8 +69,10 @@ object Similarity {
     import graft.functions.FloatArrayDot
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(normSq(col("__qv"))))
+      .filter(validNorm(col("__qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(normSq(col("__cv"))))
+      .filter(validNorm(col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val wFast = Window.partitionBy(col("query_id"))
@@ -128,11 +136,13 @@ object Similarity {
     val planeSeq = planes(nBits, dimOf(corpus, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
+      .filter(validNorm(col("__cn")))
       .withColumn("__sig", signSignature(col("__cv"), planeSeq))
       .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
       .drop("__sig")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
+      .filter(validNorm(col("__qn")))
       .withColumn("__sig", signSignature(col("__qv"), planeSeq))
       .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
       .drop("__sig")
@@ -226,9 +236,11 @@ object Similarity {
       else ivfCentroids(corpus, idCol, vecCol, nCells)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
+      .filter(validNorm(col("__cn")))
       .withColumn("__cell", nearestCells(col("__cv"), centroids, 1).getItem(0))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
+      .filter(validNorm(col("__qn")))
       .withColumn("__cell", explode(nearestCells(col("__qv"), centroids, nProbe)))
     val cand = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -389,6 +401,7 @@ object Similarity {
     val enc = pqEncode(encInput, "neighbor_id", vecCol, books)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
+      .filter(validNorm(col("__qn")))
       .withColumn("__tab", array((0 until m).map { s =>
         val sub = slice(col("__qv"), s * dsub + 1, dsub)
         array(books(s).map(c => graft.functions.FloatArrayDot.dot(sub, litVec(c))): _*)
@@ -416,6 +429,7 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
+      .filter(validNorm(col("__cn")))
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     shortlist.join(cvec, "neighbor_id")

@@ -52,9 +52,17 @@ object Sink {
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case _ => true
     }
-    val shardCols = df.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
+    // EXCLUDE the partition columns from the shard key: they are constant
+    // within a combo, so hashing them contributes nothing — and if they
+    // were all that remained, every row of a combo would land in one
+    // shard, silently recreating the hot-combo serialization that
+    // `shards` exists to prevent
+    val shardCols = df.schema.fields
+      .filter(f => hashable(f.dataType) && !partitionCols.contains(f.name))
+      .map(_.name).toSeq
     require(shards == 1 || shardCols.nonEmpty,
-      "writeCorpus(shards > 1) needs at least one non-map column to derive the shard from")
+      "writeCorpus(shards > 1) needs at least one non-map, non-partition column " +
+        "to derive the shard from (add a row id)")
     val routed =
       if (shards == 1) df.repartition(partitionCols.map(c => col(s"`$c`")): _*)
       else df

@@ -132,7 +132,12 @@ object Splits {
       weightCol: String,
       salt: String,
       nBuckets: Int = DefaultBuckets): DataFrame = {
-    val w = least(greatest(col(s"`$weightCol`").cast("double"), lit(0.0)), lit(1.0))
+    // NaN weights drop (keep-nothing), NOT keep-everything: Spark orders
+    // NaN above every double, so least(greatest(NaN, 0), 1) would clamp
+    // to 1.0 and silently keep every NaN-weighted row
+    val raw = col(s"`$weightCol`").cast("double")
+    val w = when(isnan(raw), lit(0.0))
+      .otherwise(least(greatest(raw, lit(0.0)), lit(1.0)))
     df.filter(hashBucket(col(s"`$keyCol`"), salt, nBuckets) <
       round(w * nBuckets).cast("long"))
   }
@@ -160,6 +165,8 @@ object Splits {
       maxPerGroup: Int,
       salt: String = ""): DataFrame = {
     require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    require(!df.columns.contains("__cap_rn"),
+      "column name '__cap_rn' is reserved by capPerGroup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"`$groupCol`"))
       // key tiebreak: duplicate keys (and 60-bit collisions) order stably

@@ -29,9 +29,8 @@ object Vocab {
       maxSize: Int, minCount: Long = 1L): DataFrame = {
     require(maxSize >= 1, s"maxSize must be >= 1, got $maxSize")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val counts = docs
-      .select(explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+    val counts = graft.functions.TextFunctions.termStream(docs, Nil, textCol)
+      .select(col("__term").as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -50,6 +49,9 @@ object Vocab {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, oovId: Int = -1): DataFrame = {
     val id = col(s"`$idCol`")
+    // positional variant of TextFunctions.termStream (same lowercase/
+    // split/empty-drop contract; posexplode because encoding needs the
+    // original token order back)
     val toks = docs
       .select(id, posexplode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+"))
         .as(Seq("__pos", "__tok")))

@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("zero-norm vectors never NaN-outrank real neighbors in any search path") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 0.0f))) // zero vector: cosine would be NaN, NaN sorts FIRST
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1)
+    val out = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(2L)) // 3 excluded, never rank 1
+    // a zero-norm QUERY yields no rows rather than NaN scores
+    assert(Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 3),
+      "vec_id", "embedding", 5).count() === 0)
+  }
+
   test("pqEncode emits one in-range code per subspace plus the reconstruction norm") {
     val e = testdata("sf0.001", "embeddings")
     val books = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, nCodes = 8)

@@ -111,6 +111,10 @@ class SplitsSpec extends SparkSpecBase {
     // out-of-range weights clamp rather than misbehave
     assert(Splits.sampleByHashWeighted(docs.withColumn("w", lit(7.5)), "doc_id", "w", "s")
       .count() === docs.count())
+    // NaN weights DROP (Spark's least/greatest would otherwise clamp NaN
+    // to 1.0 and keep everything)
+    assert(Splits.sampleByHashWeighted(
+      docs.withColumn("w", lit(0.0) / lit(0.0)), "doc_id", "w", "s").count() === 0)
     // monotone: survivors at w=0.2 are a subset of survivors at w=0.6,
     // and a constant weight equals sampleByHash at that rate
     val lo = Splits.sampleByHashWeighted(docs.withColumn("w", lit(0.2)), "doc_id", "w", "s")
@@ -137,6 +141,9 @@ class SplitsSpec extends SparkSpecBase {
     assert(cap2.select("doc_id").exceptAll(cap3.select("doc_id")).count() === 0)
     intercept[IllegalArgumentException] {
       Splits.capPerGroup(docs, "lang", "doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.capPerGroup(docs.withColumn("__cap_rn", lit(1)), "lang", "doc_id", 3)
     }
   }
 
