@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.DecimalType
   *     with the doc-length frame, one (query, doc) aggregation, one
   *     per-query top-k window.
   *
+  * Stage lifecycle: both operators stage per-call intermediates through
+  * the pluggable [[Stager]] (default LocalCheckpoint). As with
+  * [[Dedup.nearDupPairsMinhash]], a long-lived session issuing many
+  * calls should pass a [[Stager.Recording]] wrapper (or Parquet) and
+  * release after materializing — the [[Curation.curateStaged]] pattern —
+  * or the checkpoint blocks outlive the call.
+  *
   * Determinism for the oracle gate: per-term contributions are doubles
   * built only from IEEE correctly-rounded ops (+ - * /), EXCEPT the idf's
   * natural log, which is not bit-portable across engines (libm vs JVM

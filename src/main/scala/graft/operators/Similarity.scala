@@ -31,11 +31,26 @@ object Similarity {
 
   private val Dec = DecimalType(38, 18)
 
-  /** Drop vectors whose norm column is 0 or NaN: their cosines are NaN,
-    * and Spark orders NaN ABOVE every double, so a single degenerate
-    * vector would out-rank every real neighbor under `cosine DESC` (and a
-    * bare `> 0` check passes NaN). Shared by all four search paths. */
-  private def validNorm(c: Column): Column = c > 0 && !isnan(c)
+  /** Degenerate vectors corrupt the score column two ways: a zero NORM
+    * makes the cosine NULL (Spark's non-ANSI Divide returns null on a
+    * zero divisor, even for doubles — and isnan(NULL) is false, so a bare
+    * !isnan passes it into the rankings with a NULL cosine), while a NaN
+    * COMPONENT makes it NaN, which Spark orders ABOVE every double and
+    * would out-rank every real neighbor under `cosine DESC`. Every search
+    * path filters both at the SCORE column, where one predicate
+    * referencing one existing column suffices; filtering the norm columns
+    * instead would re-reference the norm expression trees, and when the
+    * vector column is itself an unmaterialized HOF tree (e.g.
+    * hashEmbedding output) Catalyst's alias substitution multiplies those
+    * copies into a plan-size blowup. */
+  private def notNaN(score: Column): Column = score.isNotNull && !isnan(score)
+  /** Descending order with degenerate scores LAST: NaN maps to -Inf
+    * (nanvl) and NULL sorts last — so degenerate rows can never crowd a
+    * margin or displace a real neighbor; the post-window rank filter then
+    * drops them entirely (rank numbers stay contiguous because they rank
+    * behind every kept row). */
+  private def scoreDesc(score: Column): Column =
+    nanvl(score, lit(Double.NegativeInfinity)).desc_nulls_last
 
   /** Exact, order-independent dot product of two float-array columns. */
   def dot(a: Column, b: Column): Column =
@@ -69,20 +84,22 @@ object Similarity {
     import graft.functions.FloatArrayDot
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(normSq(col("__qv"))))
-      .filter(validNorm(col("__qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(normSq(col("__cv"))))
-      .filter(validNorm(col("__cn")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
     val wFast = Window.partitionBy(col("query_id"))
-      .orderBy(col("__fast").desc, col("neighbor_id"))
+      .orderBy(scoreDesc(col("__fast")), col("neighbor_id"))
+    // the degenerate-score guard lives in the POST-window filters: a
+    // filter between the score projection and the window triggers an
+    // optimizer substitution blowup on expression-valued vector columns
+    // (hashEmbedding-shaped inputs) — measured as an OOM at 10g heap
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__fast",
         FloatArrayDot.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("__frank", row_number().over(wFast))
-      .filter(col("__frank") <= math.max(3 * k, k + 10))
+      .filter(col("__frank") <= math.max(3 * k, k + 10) && notNaN(col("__fast")))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -136,13 +153,11 @@ object Similarity {
     val planeSeq = planes(nBits, dimOf(corpus, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
-      .filter(validNorm(col("__cn")))
       .withColumn("__sig", signSignature(col("__cv"), planeSeq))
       .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
       .drop("__sig")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
-      .filter(validNorm(col("__qn")))
       .withColumn("__sig", signSignature(col("__qv"), planeSeq))
       .withColumn("__bucket", explode(probeBuckets(col("__sig"), nBits)))
       .drop("__sig")
@@ -156,9 +171,9 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k && notNaN(col("cosine")))
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
@@ -236,11 +251,9 @@ object Similarity {
       else ivfCentroids(corpus, idCol, vecCol, nCells)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
-      .filter(validNorm(col("__cn")))
       .withColumn("__cell", nearestCells(col("__cv"), centroids, 1).getItem(0))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
-      .filter(validNorm(col("__qn")))
       .withColumn("__cell", explode(nearestCells(col("__qv"), centroids, nProbe)))
     val cand = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -249,9 +262,9 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k && notNaN(col("cosine")))
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
@@ -401,7 +414,6 @@ object Similarity {
     val enc = pqEncode(encInput, "neighbor_id", vecCol, books)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(graft.functions.FloatArrayDot.normSq(col("__qv"))))
-      .filter(validNorm(col("__qn")))
       .withColumn("__tab", array((0 until m).map { s =>
         val sub = slice(col("__qv"), s * dsub + 1, dsub)
         array(books(s).map(c => graft.functions.FloatArrayDot.dot(sub, litVec(c))): _*)
@@ -413,7 +425,7 @@ object Similarity {
       element_at(element_at(col("__tab"), s + 1),
         element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("__ascore").desc, col("neighbor_id"))
+      .orderBy(scoreDesc(col("__ascore")), col("neighbor_id"))
     // a corpus row lives in exactly ONE cell, so a (query, neighbor) pair
     // meets at most once even under multi-probe — no dedup needed
     val candidates =
@@ -425,19 +437,18 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__ascore", adc / (col("__qn") * sqrt(col("pq_normsq"))))
       .withColumn("__arank", row_number().over(wA))
-      .filter(col("__arank") <= refineFactor * k)
+      .filter(col("__arank") <= refineFactor * k && notNaN(col("__ascore")))
       .select("query_id", "neighbor_id")
     val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
-      .filter(validNorm(col("__cn")))
     val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
     shortlist.join(cvec, "neighbor_id")
       .join(broadcast(q0.select(col("query_id"), col("__qv"), col("__qn"))), "query_id")
       .withColumn("cosine", graft.functions.FloatArrayDot.dot(col("__qv"), col("__cv"))
         / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k && notNaN(col("cosine")))
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
