@@ -1748,7 +1748,11 @@ object SparkEntry {
 
     // --- vocabulary build + token-id encoding: top-50 tokens by
     //     (count desc, token asc), docs re-emitted as id sequences with
-    //     OOV = -1. All counts/ranks are exact integers.
+    //     OOV = -1. All counts/ranks are exact integers. The id sequence
+    //     is rendered "[a,b,...]" in BOTH engines: the driver's pandas
+    //     harness sorts raw cells before hashing and cannot sort ndarray
+    //     cells, so top-level arrays must cross the gate as strings (the
+    //     operator itself keeps the array output).
     register("p29_vocab_encode",
       s"""WITH tok AS (
          |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
@@ -1760,7 +1764,8 @@ object SparkEntry {
          |enc AS (SELECT t.doc_id, t.pos,
          |    COALESCE(v.token_id, -1) AS id, v.token_id IS NULL AS oov
          |  FROM tok t LEFT JOIN voc v USING (tok))
-         |SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+         |SELECT doc_id,
+         |  '[' || array_to_string(list(id ORDER BY pos), ',') || ']' AS token_ids,
          |  COUNT(*) AS n_tokens,
          |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -1768,6 +1773,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val vocab = Vocab.buildVocab(docs, "text", maxSize = 50)
       Vocab.encodeIds(docs, "doc_id", "text", vocab)
+        .withColumn("token_ids",
+          concat(lit("["), concat_ws(",", col("token_ids").cast("array<string>")), lit("]")))
         .orderBy(col("doc_id"))
     }
 
@@ -1822,7 +1829,9 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM tok),
          |sk AS (SELECT lang, list(h ORDER BY h) AS minima, COUNT(*) AS nm
          |  FROM bk WHERE rn <= 64 GROUP BY lang)
-         |SELECT lang, minima, CAST(nm AS BIGINT) AS n_minima,
+         |SELECT lang,
+         |  '[' || array_to_string(minima, ',') || ']' AS minima,
+         |  CAST(nm AS BIGINT) AS n_minima,
          |  CASE WHEN nm < 64 THEN CAST(nm AS DOUBLE)
          |       ELSE 63.0 * 1152921504606846976.0 / CAST(minima[64] AS DOUBLE)
          |       END AS est_distinct
@@ -1830,8 +1839,13 @@ object SparkEntry {
       import graft.functions.TextFunctions
       val toks = t(s, dir, "documents")
         .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tk"))
+      // minima rendered "[a,b,...]" for the gate — see p29's comment; the
+      // Sketch operator itself keeps the mergeable array<long> output.
       graft.operators.Sketch.distinctEstimate(toks, "tk", "lang", k = 64)
-        .select(col("lang"), col("minima"), col("n_minima"), col("est_distinct"))
+        .select(col("lang"),
+          concat(lit("["), concat_ws(",", col("minima").cast("array<string>")),
+            lit("]")).as("minima"),
+          col("n_minima"), col("est_distinct"))
         .orderBy(col("lang"))
     }
 

@@ -47,9 +47,16 @@ def render_cell(v) -> str:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, render every cell to text. NO dtype coercion —
-    the driver compares rendered values, so neither do we."""
+    """Sort columns by name, sort ROWS by all columns on the RAW values
+    (exactly what the driver's pandas harness does before hashing — this is
+    where it crashes on ndarray cells, so we must crash there too), then
+    render every cell to text. NO dtype coercion — the driver compares
+    rendered values, so neither do we."""
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
     out = pd.DataFrame(index=df.index)
     for c in df.columns:
         col = df[c]
