@@ -1746,6 +1746,213 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // --- IVF-PQ composed index (the 100 TB configuration: coarse cells
+    //     give sublinear candidate generation, PQ codes give the 16-32x
+    //     narrower scan within each probed cell). Oracle = p15's coarse
+    //     cell CTEs composed with p28's PQ pipeline; the ONLY change to
+    //     the PQ half is adcp's FROM clause, which now meets (query,
+    //     corpus) pairs through probe-cell = assigned-cell instead of a
+    //     cross join. A corpus row lives in exactly one cell, so pairs
+    //     meet at most once even under multi-probe.
+    register("p36_embed_ivfpq",
+      s"""WITH cb AS (
+         |  SELECT code, cv FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code,
+         |           embedding AS cv
+         |    FROM embeddings) WHERE code < $pqCodes),
+         |cent AS (
+         |  SELECT cell, cv FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+         |           embedding AS cv
+         |    FROM embeddings) WHERE cell < 4),
+         |cscore AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |cranked AS (
+         |  SELECT vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+         |  FROM cscore),
+         |cassign AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
+         |cprobe AS (SELECT vec_id, cell FROM cranked WHERE rn <= 2 AND vec_id < 25),
+         |sub AS (SELECT unnest(range($pqM)) AS s),
+         |esc AS (
+         |  SELECT e.vec_id, sub.s, c.code,
+         |    2.0 * ${pqSliceDot("e.embedding", "c.cv")}
+         |    - list_sum(list_transform(list_slice(c.cv, sub.s*$pqDsub+1, sub.s*$pqDsub+$pqDsub),
+         |        x -> x::DOUBLE * x::DOUBLE)) AS sc
+         |  FROM embeddings e CROSS JOIN sub CROSS JOIN cb c),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code DESC) AS rn
+         |    FROM esc) WHERE rn = 1),
+         |cn2 AS (
+         |  SELECT enc.vec_id, enc.s,
+         |    list_sum(list_transform(list_slice(cb.cv, enc.s*$pqDsub+1, enc.s*$pqDsub+$pqDsub),
+         |      x -> x::DOUBLE * x::DOUBLE)) AS nsq
+         |  FROM enc JOIN cb USING (code)),
+         |recon AS (
+         |  SELECT vec_id,
+         |    ${(0 until pqM).map(i => s"MAX(CASE WHEN s=$i THEN nsq END)").mkString(" + ")} AS pq_nsq
+         |  FROM cn2 GROUP BY vec_id),
+         |qn AS (SELECT vec_id,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+         |  FROM embeddings),
+         |adcp AS (
+         |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, enc.s AS s,
+         |    ${pqSliceDot("q.embedding", "cb.cv").replace("sub.s", "enc.s")} AS v
+         |  FROM embeddings q
+         |    JOIN cprobe p ON p.vec_id = q.vec_id
+         |    JOIN cassign a ON a.cell = p.cell AND a.vec_id != q.vec_id
+         |    JOIN enc ON enc.vec_id = a.vec_id
+         |    JOIN cb USING (code)),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${(0 until pqM).map(i => s"MAX(CASE WHEN s=$i THEN v END)").mkString(" + ")} AS adcsum
+         |  FROM adcp GROUP BY query_id, neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.query_id, a.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+         |        ORDER BY a.adcsum / (qn.n * sqrt(r.pq_nsq)) DESC, a.neighbor_id) AS arn
+         |    FROM adc a JOIN qn ON qn.vec_id = a.query_id
+         |               JOIN recon r ON r.vec_id = a.neighbor_id) x
+         |  WHERE arn <= 20),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nq.n * nc.n) AS cosine
+         |  FROM short sh JOIN embeddings eq ON eq.vec_id = sh.query_id
+         |                JOIN embeddings ec ON ec.vec_id = sh.neighbor_id
+         |                JOIN qn nq ON nq.vec_id = sh.query_id
+         |                JOIN qn nc ON nc.vec_id = sh.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(e, e.filter(col("vec_id") < 25),
+          "vec_id", "embedding", k = 5, m = pqM, nCodes = pqCodes, refineFactor = 4,
+          coarseCells = 4, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // --- Lloyd-TRAINED PQ (trainIters = 1), oracle unrolling the one
+    //     k-means round in SQL: initial books = the md5 sample, every
+    //     corpus subvector assigned by the same 2·x·c−|c|² argmax, each
+    //     (subspace, code) centroid re-estimated through groupCentroids'
+    //     engine-portable arithmetic — DECIMAL(25,6) per-value cast,
+    //     exact decimal sum (an int128 that fits double exactly at this
+    //     scale, so decimal→double is correctly rounded in both engines),
+    //     round(sum/n, 9), cast float — with empty codes keeping their
+    //     initial centroid (COALESCE). Codebooks here are PER-SUBSPACE
+    //     8-dim lists (cb.s, cb.code, cb.cv) rather than p28's sliced
+    //     full-dim rows, which keeps the trained-book plumbing readable.
+    register("p37_embed_pq_trained",
+      s"""WITH sub AS (SELECT unnest(range($pqM)) AS s),
+         |pos AS (SELECT unnest(range($pqDsub)) AS p),
+         |samp AS (
+         |  SELECT code, cv FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code,
+         |           embedding AS cv
+         |    FROM embeddings) WHERE code < $pqCodes),
+         |cb0 AS (
+         |  SELECT sub.s, samp.code,
+         |    list_slice(samp.cv, sub.s*$pqDsub+1, sub.s*$pqDsub+$pqDsub) AS cv
+         |  FROM samp CROSS JOIN sub),
+         |esc0 AS (
+         |  SELECT e.vec_id, c.s, c.code,
+         |    2.0 * list_sum(list_transform(list_zip(
+         |        list_slice(e.embedding, c.s*$pqDsub+1, c.s*$pqDsub+$pqDsub), c.cv),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |    - list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)) AS sc
+         |  FROM embeddings e CROSS JOIN cb0 c),
+         |enc0 AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code DESC) AS rn
+         |    FROM esc0) WHERE rn = 1),
+         |mean1 AS (
+         |  SELECT a.s, a.code, pos.p,
+         |    CAST(round(
+         |      CAST(SUM(CAST(e.embedding[a.s*$pqDsub + pos.p + 1]::DOUBLE AS DECIMAL(25,6)))
+         |           AS DECIMAL(38,6))::DOUBLE / COUNT(*), 9) AS FLOAT) AS m
+         |  FROM enc0 a JOIN embeddings e USING (vec_id) CROSS JOIN pos
+         |  GROUP BY a.s, a.code, pos.p),
+         |cb1 AS (SELECT s, code, list(m ORDER BY p) AS cv FROM mean1 GROUP BY s, code),
+         |cb AS (
+         |  SELECT cb0.s, cb0.code, COALESCE(cb1.cv, cb0.cv) AS cv
+         |  FROM cb0 LEFT JOIN cb1 ON cb1.s = cb0.s AND cb1.code = cb0.code),
+         |esc AS (
+         |  SELECT e.vec_id, c.s, c.code,
+         |    2.0 * list_sum(list_transform(list_zip(
+         |        list_slice(e.embedding, c.s*$pqDsub+1, c.s*$pqDsub+$pqDsub), c.cv),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |    - list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)) AS sc
+         |  FROM embeddings e CROSS JOIN cb c),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code DESC) AS rn
+         |    FROM esc) WHERE rn = 1),
+         |cn2 AS (
+         |  SELECT enc.vec_id, enc.s,
+         |    list_sum(list_transform(cb.cv, x -> x::DOUBLE * x::DOUBLE)) AS nsq
+         |  FROM enc JOIN cb ON cb.s = enc.s AND cb.code = enc.code),
+         |recon AS (
+         |  SELECT vec_id,
+         |    ${(0 until pqM).map(i => s"MAX(CASE WHEN s=$i THEN nsq END)").mkString(" + ")} AS pq_nsq
+         |  FROM cn2 GROUP BY vec_id),
+         |qn AS (SELECT vec_id,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+         |  FROM embeddings),
+         |adcp AS (
+         |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, enc.s AS s,
+         |    list_sum(list_transform(list_zip(
+         |        list_slice(q.embedding, enc.s*$pqDsub+1, enc.s*$pqDsub+$pqDsub), cb.cv),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS v
+         |  FROM embeddings q JOIN enc ON enc.vec_id != q.vec_id
+         |                    JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+         |  WHERE q.vec_id < 25),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${(0 until pqM).map(i => s"MAX(CASE WHEN s=$i THEN v END)").mkString(" + ")} AS adcsum
+         |  FROM adcp GROUP BY query_id, neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.query_id, a.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+         |        ORDER BY a.adcsum / (qn.n * sqrt(r.pq_nsq)) DESC, a.neighbor_id) AS arn
+         |    FROM adc a JOIN qn ON qn.vec_id = a.query_id
+         |               JOIN recon r ON r.vec_id = a.neighbor_id) x
+         |  WHERE arn <= 20),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nq.n * nc.n) AS cosine
+         |  FROM short sh JOIN embeddings eq ON eq.vec_id = sh.query_id
+         |                JOIN embeddings ec ON ec.vec_id = sh.neighbor_id
+         |                JOIN qn nq ON nq.vec_id = sh.query_id
+         |                JOIN qn nc ON nc.vec_id = sh.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(e, e.filter(col("vec_id") < 25),
+          "vec_id", "embedding", k = 5, m = pqM, nCodes = pqCodes, refineFactor = 4,
+          trainIters = 1)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // --- vocabulary build + token-id encoding: top-50 tokens by
     //     (count desc, token asc), docs re-emitted as id sequences with
     //     OOV = -1. All counts/ranks are exact integers. The id sequence
