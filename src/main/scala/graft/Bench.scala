@@ -24,38 +24,58 @@ object Bench {
     // would let ColumnPruning/EliminateSorts strip the very expressions
     // under test, timing a bare parquet scan instead of the operator.
     //
-    // Median-of-N: this box shows ±3-10x run-to-run swings on identical
-    // plans (r3's q01 measured 24.8s once, 7.1s and 1.8s on re-runs of the
-    // same binary). A one-shot sample will eventually fail any fixed gate on
-    // pure luck, so each query runs `reps` times back-to-back and we report
-    // the per-query MEDIAN (odd reps → true middle order statistic).
+    // Median-of-N FULL-SUITE passes: this box shows ±3-10x run-to-run
+    // swings on identical plans (r3's q01 measured 24.8s once, 7.1s and
+    // 1.8s on re-runs; five r6 runs of one binary totalled 60.3-75.1s).
+    // Back-to-back reps of ONE query share an instantaneous load spike, so
+    // their median inherits the spike; interleaving whole suite passes
+    // decorrelates each query's samples (round-6 verdict #4). Per-query
+    // value = median across passes; headline = sum of those medians;
+    // `suite_totals` + `spread_pct` ((max-min)/median of pass totals) and
+    // the box's 1-min load average put a noise figure IN the artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val results: Seq[(String, Double, Vector[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val samples =
-          try Vector.fill(reps)(timeOnce(fn))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); Vector.empty
-          }
-        (name, if (samples.isEmpty) -1.0 else median(samples), samples)
-      }
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val loadBefore = loadAvg()
+    // samples(name) = one timing per suite pass (or none if that pass failed)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val suiteTotals = (0 until reps).map { _ =>
+      names.map { case (name, fn) =>
+        try {
+          val s = timeOnce(fn)
+          samples(name) = samples(name) :+ s
+          s
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); 0.0
+        }
+      }.sum
+    }
+    val loadAfter = loadAvg()
+    val results: Seq[(String, Double, Vector[Double])] = names.map { case (name, _) =>
+      val ss = samples(name)
+      (name, if (ss.isEmpty) -1.0 else median(ss), ss)
+    }
     val failed = results.collect { case (n, v, _) if v < 0 => n }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // raw per-rep timings alongside the reported medians: a noisy run is
-    // then visible in the artifact itself instead of masquerading as a
-    // structural regression (round-5 verdict #4)
     val samplesJson = results.map { case (k, _, ss) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val totalsJson = suiteTotals.mkString("[", ",", "]")
+    val spreadPct =
+      if (suiteTotals.isEmpty || median(suiteTotals) == 0.0) -1.0
+      else 100.0 * (suiteTotals.max - suiteTotals.min) / median(suiteTotals)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":$totalsJson,"spread_pct":$spreadPct,"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

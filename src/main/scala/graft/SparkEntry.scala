@@ -2009,12 +2009,16 @@ object SparkEntry {
     // --- per-group quota: keep the 50 lowest-hashing docs per language
     //     (the per-source/domain cap of web-scale curation). Membership
     //     is a pure function of (salt, doc_id) within each group.
+    //     NULLS LAST is explicit (it is DuckDB's default but NOT Spark's
+    //     ascending default) — capPerGroup ranks with asc_nulls_last so
+    //     null-key rows can never steal quota from real rows.
     register("p31_group_cap",
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY ('0x' || substring(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT,
-        |               doc_id) AS rn
+        |      ORDER BY ('0x' || substring(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |                 NULLS LAST,
+        |               doc_id NULLS LAST) AS rn
         |  FROM documents) x
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Splits.capPerGroup(

@@ -83,6 +83,11 @@ object Packing {
       s"strideTokens must be in [1, windowTokens], got $strideTokens")
     (Seq("chunk_id", "chunk_text", "n_chunk_tokens") intersect df.columns).foreach(c =>
       throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    // same reserved-name guard as Sink (__shard) / capPerGroup (__cap_rn):
+    // an input column named like an internal temporary would be silently
+    // overwritten and then dropped
+    (Seq("__toks", "__k", "__chunk") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"column name '$c' is reserved by slidingWindows"))
     val toks = filter(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"), t => t =!= "")
     val w = windowTokens
     val s = strideTokens

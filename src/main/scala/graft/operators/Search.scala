@@ -132,7 +132,14 @@ object Search {
     * restricted to the broadcast target docs' terms first, so the join
     * output is proportional to postings CONTAINING a target term, not
     * |corpus|². Output: (targetIdCol=idCol of the target, neighbor_id,
-    * cosine, rank), targets absent when nothing shares a term. */
+    * cosine, rank), targets absent when nothing shares a term.
+    *
+    * The target-postings broadcast assumes a small target set; a caller
+    * passing (say) the whole corpus would silently OOM the driver at
+    * scale. The operator counts the distinct target ids up front (one
+    * cheap action on the user-supplied frame) and past
+    * `maxBroadcastTargets` switches BOTH target joins to ordinary
+    * shuffle joins — same rows, no driver materialization. */
   def moreLikeThis(
       docs: DataFrame,
       idCol: String,
@@ -140,8 +147,10 @@ object Search {
       targetIds: DataFrame,
       k: Int,
       idfRoundDp: Option[Int] = None,
+      maxBroadcastTargets: Long = 100000L,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxBroadcastTargets >= 0, s"maxBroadcastTargets must be >= 0, got $maxBroadcastTargets")
     val id = col(s"`$idCol`")
     // staged: idf derives from postings AND joins back onto them — without
     // the stage the corpus-sized tokenize/count pipeline runs twice
@@ -173,9 +182,12 @@ object Search {
       .agg(sqrt(sum((col("__w") * col("__w")).cast(DecimalType(25, 9))).cast("double"))
         .as("__norm"))
       .filter(col("__norm") > 0)
-    val t = weighted.join(broadcast(targetIds.select(id).distinct()), idCol)
+    val tids = targetIds.select(id).distinct()
+    val smallTargetSet = tids.count() <= maxBroadcastTargets
+    def hinted(df: DataFrame): DataFrame = if (smallTargetSet) broadcast(df) else df
+    val t = weighted.join(hinted(tids), idCol)
       .select(id.as("__tid"), col("__term"), col("__w").as("__tw"))
-    weighted.join(broadcast(t), "__term")
+    weighted.join(hinted(t), "__term")
       .filter(col("__tid") =!= id)
       .groupBy(col("__tid"), id.as("neighbor_id"))
       .agg(sum((col("__tw") * col("__w")).cast(DecimalType(25, 9))).cast("double").as("__dot"))

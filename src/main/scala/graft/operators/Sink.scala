@@ -72,9 +72,19 @@ object Sink {
             org.apache.spark.sql.functions.lit(shards.toLong)))
         .repartition((partitionCols :+ "__shard").map(c => col(s"`$c`")): _*)
         .drop("__shard")
+    // prefix the sort with the partition columns: the V1 dynamic-partition
+    // write requires child ordering by partitionCols and would otherwise
+    // insert its OWN Sort(partitionCols) above this one — an external sort
+    // whose stability for equal keys is not contractual, which could
+    // silently undo the sortCols clustering at exactly the spill-heavy
+    // scale it targets. With the prefix, this sort satisfies the writer's
+    // required ordering and no extra sort is inserted (partitionCols are
+    // constant within a routed task, so the effective order is unchanged).
     val sorted =
       if (sortCols.isEmpty) routed
-      else routed.sortWithinPartitions(sortCols.map(c => col(s"`$c`")): _*)
+      else routed.sortWithinPartitions(
+        (partitionCols ++ sortCols.filterNot(partitionCols.contains))
+          .map(c => col(s"`$c`")): _*)
     sorted.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -51,6 +51,36 @@ object Sketch {
       .agg(sort_array(collect_list(col("__h"))).as("minima"))
   }
 
+  /** [[kmvSketch]] for groups whose distinct-hash volume overwhelms one
+    * reducer (the giant-group caveat in this object's scaladoc): distinct
+    * hashes are first bottom-k'd per (group, shard) — shard = hash mod
+    * `shards`, so one group's hashes spread over `shards` reducers — then
+    * the at most shards·k survivors are bottom-k'd per group. Equivalent
+    * to sketching each shard separately and folding [[kmvMerge]] (every
+    * global bottom-k hash survives its shard's local bottom-k), but in
+    * one plan with two windows, the second over a shards·k-bounded frame.
+    * SketchSpec asserts bit-identity with the unsharded sketch across
+    * shard counts. */
+  def kmvSketchSharded(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int, shards: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the estimator reads h_k), got $k")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val g = col(s"`$groupCol`")
+    val distinctHashes = df
+      .select(g, graft.functions.TextFunctions.md5Hash60(col(s"`$keyCol`").cast("string")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .distinct()
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+    distinctHashes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g, col("__shard")).orderBy(col("__h"))))
+      .filter(col("__rn") <= k)
+      .withColumn("__rn2", row_number().over(Window.partitionBy(g).orderBy(col("__h"))))
+      .filter(col("__rn2") <= k)
+      .groupBy(g)
+      .agg(sort_array(collect_list(col("__h"))).as("minima"))
+  }
+
   /** Merge two sketch frames built with the same k (set-union the minima,
     * trim back to the k smallest). Groups present on one side only pass
     * through. */

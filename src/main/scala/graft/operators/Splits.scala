@@ -169,8 +169,13 @@ object Splits {
       "column name '__cap_rn' is reserved by capPerGroup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"`$groupCol`"))
-      // key tiebreak: duplicate keys (and 60-bit collisions) order stably
-      .orderBy(hashValue60(col(s"`$keyCol`"), salt), col(s"`$keyCol`"))
+      // key tiebreak: duplicate keys (and 60-bit collisions) order stably.
+      // NULLS LAST on both: a null key hashes to null, and Spark's
+      // ascending default (NULLS FIRST) would hand null-key rows quota
+      // slots ahead of every real row — diverging from DuckDB, whose
+      // default is NULLS LAST, the sane "real rows first" rank.
+      .orderBy(hashValue60(col(s"`$keyCol`"), salt).asc_nulls_last,
+        col(s"`$keyCol`").asc_nulls_last)
     df.withColumn("__cap_rn", row_number().over(w))
       .filter(col("__cap_rn") <= maxPerGroup)
       .drop("__cap_rn")

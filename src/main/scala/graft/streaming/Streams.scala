@@ -129,10 +129,21 @@ object Streams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[Array[Long]]) =>
           // null values carry no identity — skipped, matching the batch
-          // sketch (which drops null-key hashes before the window)
-          val incoming = rows.flatMap(r => Option(r._2)).map(h60)
-          val minima = (state.getOption.getOrElse(Array.empty[Long]) ++ incoming)
-            .distinct.sorted.take(k)
+          // sketch (which drops null-key hashes before the window).
+          // The batch iterator folds INCREMENTALLY into a size-k ordered
+          // set (dedup + trim as it goes): a hot key's memory stays O(k)
+          // however many rows its batch carries, instead of materializing
+          // every hash before distinct/sort/take.
+          val bound = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(bound ++= _) // <= k entries
+          for (r <- rows; v <- Option(r._2)) {
+            val h = h60(v)
+            if (bound.size < k || h < bound.last) {
+              bound += h
+              if (bound.size > k) bound.remove(bound.last)
+            }
+          }
+          val minima = bound.toArray
           if (minima.isEmpty) {
             // a key that has only ever seen nulls: the batch sketch has NO
             // row for it — emit nothing and keep no state, so stream state

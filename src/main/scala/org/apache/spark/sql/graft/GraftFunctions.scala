@@ -56,8 +56,18 @@ object GraftFunctions {
     fn("graft_hash_bucket", 3, graft.operators.Splits.getClass)(cs => {
       import org.apache.spark.sql.functions._
       val key = asCol(cs.head); val salt = asCol(cs(1)); val n = asCol(cs(2))
-      asExpr(conv(substring(md5(concat(salt, lit(":"), key.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % n)
+      // match Splits.hashBucket's require(nBuckets > 0) and a non-null
+      // salt at the SQL surface: the non-ANSI modulo would otherwise
+      // return NULL for every row (nBuckets = 0, or a null salt nulling
+      // the hash), silently dropping all rows in a WHERE — fail loudly
+      // like the Scala contract instead.
+      val nOk = when(n.isNull.or(n <= lit(0)),
+        raise_error(concat(lit("graft_hash_bucket: nBuckets must be positive, got "),
+          coalesce(n.cast("string"), lit("NULL"))))).otherwise(n)
+      val saltOk = when(salt.isNull,
+        raise_error(lit("graft_hash_bucket: salt must not be null"))).otherwise(salt)
+      asExpr(conv(substring(md5(concat(saltOk, lit(":"), key.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % nOk)
     }))
 
   def register(spark: SparkSession): Unit =

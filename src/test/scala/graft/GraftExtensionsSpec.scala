@@ -49,6 +49,25 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(viaSql === viaCol)
   }
 
+  test("graft_hash_bucket fails loudly on nBuckets <= 0 and null salt (Scala contract)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("42").toDF("k").createOrReplaceTempView("hb_guard_keys")
+    // the Scala form throws require(nBuckets > 0); non-ANSI SQL modulo
+    // would instead yield NULL for every row and silently drop them
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_hash_bucket(k, 's', 0) FROM hb_guard_keys").collect()
+    }
+    assert(e1.getMessage.contains("nBuckets must be positive"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_hash_bucket(k, CAST(NULL AS STRING), 10) FROM hb_guard_keys").collect()
+    }
+    assert(e2.getMessage.contains("salt must not be null"))
+    // the guarded expression is value-identical on the happy path
+    assert(spark.sql("SELECT graft_hash_bucket(k, 'fold1', 1000000) FROM hb_guard_keys")
+      .as[Long].head() >= 0L)
+  }
+
   test("GraftExtensions wires the same builder (smoke)") {
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions

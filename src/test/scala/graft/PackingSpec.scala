@@ -35,6 +35,13 @@ class PackingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Packing.slidingWindows(df.withColumn("chunk_id", lit(1)), "doc_id", "text", 2, 1)
     }
+    // internal temporaries are reserved like Sink's __shard: an input
+    // column named __toks/__k/__chunk would be overwritten then dropped
+    for (c <- Seq("__toks", "__k", "__chunk")) {
+      intercept[IllegalArgumentException] {
+        Packing.slidingWindows(df.withColumn(c, lit(1)), "doc_id", "text", 2, 1)
+      }
+    }
   }
 
   test("contiguous packing: bin is the budget multiple the running count crossed") {

@@ -82,6 +82,27 @@ class SearchSpec extends SparkSpecBase {
     assert(lonely.count() === 0)
   }
 
+  test("moreLikeThis large-target fallback drops the broadcast, same answer") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha zzz yyy"),
+      (4L, "qqq rrr sss")).toDF("doc_id", "text")
+    val targets = Seq(Tuple1(1L), Tuple1(2L)).toDF("doc_id")
+    def run(maxBc: Long) =
+      Search.moreLikeThis(docs, "doc_id", "text", targets, k = 10,
+          maxBroadcastTargets = maxBc)
+        .select("doc_id", "neighbor_id", "rank")
+        .orderBy("doc_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    val viaBroadcast = run(100000L)
+    val viaShuffle = run(0L) // every target set exceeds 0 -> shuffle path
+    assert(viaShuffle === viaBroadcast && viaShuffle.nonEmpty)
+    // the fallback plan really contains no broadcast of the target side
+    val plan = Search.moreLikeThis(docs, "doc_id", "text", targets, k = 10,
+      maxBroadcastTargets = 0L).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), plan)
+  }
+
   test("dupNgramCoverage counts cross-doc shared n-grams, not within-doc repeats") {
     val docs = Seq(
       (1L, "a b c d"), // grams: "a b","b c","c d"

@@ -48,8 +48,24 @@ class SketchSpec extends SparkSpecBase {
     assert(whole.exceptAll(merged).count() === 0)
   }
 
+  test("sharded sketch is shard-count invariant and equals the unsharded sketch") {
+    // giant-group shape: one group holds most of the distinct keys
+    val df = spark.range(2000).select(
+      when($"id" % 10 === 0, "small").otherwise("big").as("g"),
+      concat(lit("k"), $"id").as("key"))
+    val plain = Sketch.kmvSketch(df, "key", "g", k = 32).orderBy("g")
+      .as[(String, Seq[Long])].collect().toSeq
+    for (shards <- Seq(1, 4, 17)) {
+      val sharded = Sketch.kmvSketchSharded(df, "key", "g", k = 32, shards = shards)
+        .orderBy("g").as[(String, Seq[Long])].collect().toSeq
+      assert(sharded === plain, s"shards=$shards")
+    }
+  }
+
   test("guard rails") {
     val df = Seq(("a", "x")).toDF("g", "key")
     intercept[IllegalArgumentException] { Sketch.kmvSketch(df, "key", "g", 1) }
+    intercept[IllegalArgumentException] { Sketch.kmvSketchSharded(df, "key", "g", 1, 4) }
+    intercept[IllegalArgumentException] { Sketch.kmvSketchSharded(df, "key", "g", 8, 0) }
   }
 }

@@ -147,6 +147,17 @@ class SplitsSpec extends SparkSpecBase {
     }
   }
 
+  test("capPerGroup: null keys rank last, never stealing quota from real rows") {
+    // 3 real keys + 2 null keys in one group, cap 3: the nulls must lose
+    val df = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("g", null), ("g", null))
+      .toDF("grp", "key")
+    val kept = Splits.capPerGroup(df, "grp", "key", 3, salt = "q")
+      .select("key").as[String].collect().toSeq
+    assert(kept.sorted === Seq("a", "b", "c"))
+    // with spare quota the null-key rows still pass through (cap 5)
+    assert(Splits.capPerGroup(df, "grp", "key", 5, salt = "q").count() === 5)
+  }
+
   test("capPerGroup: the documented prefix pre-thin preserves the cap's selection") {
     // thin to ~50% by hash-value prefix, then cap — must equal cap alone
     // as long as every thinned group still holds >= maxPerGroup rows

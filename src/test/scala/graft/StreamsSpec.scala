@@ -111,6 +111,37 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("curationStream over sf0.001 documents: survivors equal the batch funnel") {
+    // same docs -> same surviving fingerprint set as the equivalent batch
+    // pipeline (quality gate + fingerprint distinct), the runningDistinct
+    // state == batch discipline applied to the curation funnel
+    val docs = testdata("sf0.001", "documents").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = Streams.curationStream(
+      input.toDF().toDF("ts", "doc_id", "text"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("curated_sf")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first.map { case (id, tx) => (ts(0), id, tx) }: _*)
+      q.processAllAvailable()
+      // second half a minute later: cross-batch dups are inside the horizon
+      input.addData(second.map { case (id, tx) => (ts(1), id, tx) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_sf")
+        .select($"fingerprint".cast("string")).as[String].collect().toSeq
+      val batch = testdata("sf0.001", "documents")
+        .filter(graft.functions.TextFunctions.qualityScore($"text") >= 0.45)
+        .select(graft.functions.TextFunctions.fingerprint($"text").cast("string"))
+        .distinct().as[String].collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.length === streamed.distinct.length,
+        "stream must keep exactly one survivor per fingerprint")
+      assert(streamed.toSet === batch.toSet)
+    } finally q.stop()
+  }
+
   test("streaming helpers are plain plan rewrites: identical on batch input") {
     // the same windowedAgg call works on a bounded DataFrame (events table)
     val ev = testdata("sf0.001", "events")
