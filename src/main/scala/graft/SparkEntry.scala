@@ -2082,6 +2082,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // --- corpus mixture sampling: the training-data recipe step —
+    //     downsample the over-represented language (en 0.35), repeat the
+    //     under-represented one (fr 1.7 -> a guaranteed copy plus a 70%
+    //     second), default 0.6. Copy i of a row survives iff the
+    //     (salt, i, key) md5 bucket lands under round(min(w-i,1)*1e6) —
+    //     the p33 threshold rule with the copy index folded into the salt.
+    register("p38_mixture_sample",
+      """WITH w AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 0.35 WHEN 'fr' THEN 1.7 ELSE 0.6 END AS mw
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, mw,
+        |    unnest(range(CAST(ceil(mw) AS INT))) AS mix_rep FROM w)
+        |SELECT doc_id, lang, CAST(mix_rep AS INT) AS mix_rep FROM r
+        |WHERE ('0x' || substring(md5('mix:' || mix_rep::VARCHAR || ':' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 1000000
+        |      < CAST(round(least(mw - mix_rep, 1.0) * 1000000) AS BIGINT)
+        |ORDER BY doc_id, mix_rep""".stripMargin) { (s, dir) =>
+      graft.operators.Mixture.sampleMixture(
+          t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.35, "fr" -> 1.7), salt = "mix", defaultWeight = 0.6)
+        .select(col("doc_id"), col("lang"), col("mix_rep"))
+        .orderBy(col("doc_id"), col("mix_rep"))
+    }
+
     // --- semantic decontamination: "training" vectors (vec_id >= 25)
     //     within cosine >= 0.35 of any "benchmark" vector (vec_id < 25).
     //     The fixture plants no cross-boundary near-dups (max cross

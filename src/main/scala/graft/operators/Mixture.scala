@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-mixture sampling (beyond-reference, SURVEY.md
+  * §2.4) — the "data recipe" step of every large-scale training pipeline:
+  * re-weight sources (languages, domains, crawls) so the training stream
+  * sees each source at a chosen rate, downsampling the over-represented
+  * ones (weight < 1) and REPEATING the under-represented ones
+  * (weight > 1, epochs-per-source a la temperature-mixed corpora).
+  *
+  * Mechanics: a row with weight w is emitted as ⌈w⌉ candidate copies
+  * (`repCol` = 0..⌈w⌉−1); copy i survives iff the [[Splits]] md5 bucket
+  * of (salt, i, key) lands below round(min(w−i, 1)·1e6). So w = 2.3
+  * yields 2 full copies plus a 30% chance of a third — exactly w copies
+  * in expectation — and every decision is a pure function of
+  * (salt, rep, key): re-runs, retries, and cluster re-partitioning
+  * reproduce the identical mixture, and as with [[Splits.sampleByHash]]
+  * the fractional tail is MONOTONE in w (raising a source's weight never
+  * drops a previously-kept copy, because thresholds only move up).
+  *
+  * 100 TB shape: one broadcast-free narrow pass — the weight lookup is a
+  * codegen'd CASE over the (small, driver-held) weight map, the repeat
+  * fan-out is `explode(sequence)` bounded by ⌈max w⌉, and the keep rule
+  * is the same codegen'd md5 filter as the split/sample family. No
+  * shuffle anywhere; output size is Σ w_s·|s| by construction.
+  *
+  * [[temperatureWeights]] derives the per-source weights from source
+  * counts: sampling probability q_s ∝ p_s^(1/τ) (τ = 1 keeps natural
+  * proportions, τ → ∞ approaches uniform over sources), expressed as a
+  * per-EXAMPLE weight w_s ∝ p_s^(1/τ − 1) and normalized so the largest
+  * weight equals `maxWeight` (1.0 = pure downsampling; > 1 allows
+  * repeats of the rarest sources).
+  */
+object Mixture {
+
+  /** Emit each row 0..⌈w⌉ times according to its source's mixture weight.
+    * Adds `repCol` (int, 0-based copy index). Sources absent from
+    * `weights` use `defaultWeight`; weight 0 drops the source. */
+  def sampleMixture(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      salt: String = "",
+      defaultWeight: Double = 1.0,
+      repCol: String = "mix_rep",
+      nBuckets: Int = Splits.DefaultBuckets): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && !w.isNaN && !w.isInfinity,
+        s"mixture weights must be finite and >= 0, got $w"))
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(!df.columns.contains(repCol),
+      s"output column '$repCol' already exists in the input")
+    (Seq("__mix_w") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"column name '$c' is reserved by sampleMixture"))
+    val src = col(s"`$sourceCol`").cast("string")
+    val wExpr = weights.foldLeft(lit(defaultWeight): Column) {
+      case (other, (s, w)) => when(src === lit(s), lit(w)).otherwise(other)
+    }
+    val rep = col(s"`$repCol`")
+    // (salt, rep, key) bucket — the Splits hash contract with the copy
+    // index folded into the salt position, so each copy draws its own
+    // uniform bucket while copy 0 of weight<=1 degrades to exactly the
+    // stratifiedSampleByHash decision for that fraction
+    val bucket = conv(substring(md5(concat(
+      lit(salt + ":"), rep.cast("string"), lit(":"), col(s"`$keyCol`").cast("string"))),
+      1, 15), 16, 10).cast("long") % nBuckets
+    val threshold = round(least(col("__mix_w") - rep, lit(1.0)) * nBuckets).cast("long")
+    df.withColumn("__mix_w", wExpr)
+      .filter(col("__mix_w") > 0) // also guards sequence() against stop < start
+      .withColumn(repCol, explode(sequence(lit(0), ceil(col("__mix_w")).cast("int") - 1)))
+      .filter(bucket < threshold)
+      .drop("__mix_w")
+  }
+
+  /** Temperature-derived per-source example weights from source counts:
+    * w_s ∝ (n_s / N)^(1/τ − 1), scaled so max(w) = `maxWeight`. */
+  def temperatureWeights(
+      counts: Map[String, Long],
+      tau: Double,
+      maxWeight: Double = 1.0): Map[String, Double] = {
+    require(counts.nonEmpty, "temperatureWeights: counts must be non-empty")
+    require(counts.values.forall(_ > 0), s"counts must be positive: $counts")
+    require(tau > 0 && !tau.isNaN && !tau.isInfinity, s"tau must be finite and > 0, got $tau")
+    require(maxWeight > 0 && !maxWeight.isNaN && !maxWeight.isInfinity,
+      s"maxWeight must be finite and > 0, got $maxWeight")
+    val total = counts.values.sum.toDouble
+    val raw = counts.map { case (s, n) => s -> math.pow(n / total, 1.0 / tau - 1.0) }
+    val top = raw.values.max
+    raw.map { case (s, w) => s -> w / top * maxWeight }
+  }
+}

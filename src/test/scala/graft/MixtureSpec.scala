@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Mixture, Splits}
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = spark.range(1000).select(
+    concat(lit("d"), $"id").as("doc_id"),
+    when($"id" % 5 === 0, "rare").otherwise("common").as("src"))
+
+  test("weight 1 keeps each row exactly once; weight 0 drops the source") {
+    val out = Mixture.sampleMixture(corpus, "src", "doc_id",
+      Map("rare" -> 1.0, "common" -> 0.0), salt = "m1")
+    assert(out.count() === 200)
+    assert(out.select("mix_rep").distinct().as[Int].collect().toSeq === Seq(0))
+    assert(out.select("src").distinct().as[String].collect().toSeq === Seq("rare"))
+  }
+
+  test("integer weight > 1 repeats every row exactly w times") {
+    val out = Mixture.sampleMixture(corpus, "src", "doc_id",
+      Map("rare" -> 3.0), defaultWeight = 0.0, salt = "m2")
+    assert(out.count() === 600)
+    assert(out.groupBy("doc_id").count().select("count").distinct()
+      .as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("fractional weights land near the expected rate and stay monotone in w") {
+    def kept(w: Double) = Mixture.sampleMixture(corpus, "src", "doc_id",
+      Map("common" -> w), defaultWeight = 0.0, salt = "m3")
+      .select("doc_id", "mix_rep").as[(String, Int)].collect().toSet
+    val half = kept(0.5)
+    assert(math.abs(half.size - 400) < 60, s"got ${half.size} of 800 expected 400±60")
+    // 1.3: every base copy survives + ~30% seconds
+    val up = kept(1.3)
+    assert(up.count(_._2 == 0) === 800)
+    assert(math.abs(up.count(_._2 == 1) - 240) < 60)
+    // monotone: every copy kept at 0.5 is kept at 0.8 (same salt)
+    assert(half.subsetOf(kept(0.8)))
+  }
+
+  test("mixture is a pure function of (salt, rep, key): reorder-stable, salt re-deals") {
+    val a = Mixture.sampleMixture(corpus, "src", "doc_id", Map("common" -> 0.4), salt = "s1")
+      .select("doc_id", "mix_rep").as[(String, Int)].collect().toSet
+    val b = Mixture.sampleMixture(corpus.orderBy($"doc_id".desc), "src", "doc_id",
+      Map("common" -> 0.4), salt = "s1")
+      .select("doc_id", "mix_rep").as[(String, Int)].collect().toSet
+    assert(a === b)
+    val c = Mixture.sampleMixture(corpus, "src", "doc_id", Map("common" -> 0.4), salt = "s2")
+      .select("doc_id", "mix_rep").as[(String, Int)].collect().toSet
+    assert(a !== c)
+  }
+
+  test("the mixture plan is narrow: no Exchange anywhere") {
+    val out = Mixture.sampleMixture(corpus, "src", "doc_id", Map("rare" -> 2.5), salt = "p")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("temperatureWeights: tau=1 is natural proportions; tau>1 upweights rare sources") {
+    val counts = Map("a" -> 100L, "b" -> 400L)
+    val t1 = Mixture.temperatureWeights(counts, tau = 1.0)
+    assert(t1("a") === 1.0 && t1("b") === 1.0) // every source at maxWeight
+    val t2 = Mixture.temperatureWeights(counts, tau = 2.0, maxWeight = 2.0)
+    assert(t2("a") === 2.0) // rarest source pinned to maxWeight
+    assert(math.abs(t2("b") - 1.0) < 1e-12) // (0.8/0.2)^-0.5 * 2 = 1
+    assert(t2("a") > t2("b"))
+  }
+
+  test("guard rails: bad weights, colliding/reserved columns") {
+    intercept[IllegalArgumentException] {
+      Mixture.sampleMixture(corpus, "src", "doc_id", Map("rare" -> -1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.sampleMixture(corpus, "src", "doc_id", Map("rare" -> Double.NaN))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.sampleMixture(corpus.withColumn("mix_rep", lit(1)), "src", "doc_id", Map())
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.sampleMixture(corpus.withColumn("__mix_w", lit(1)), "src", "doc_id", Map())
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureWeights(Map("a" -> 0L), tau = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureWeights(Map("a" -> 10L), tau = 0.0)
+    }
+  }
+}
