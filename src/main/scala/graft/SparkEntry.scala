@@ -2106,6 +2106,73 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("mix_rep"))
     }
 
+    // --- gap-based sessionization + per-session stats over the event
+    //     stream (1-hour silence = new session). Gap arithmetic is on
+    //     truncated whole seconds in both engines (Spark unix_timestamp
+    //     truncates; DuckDB floor(epoch(...)) on the same us-truncated
+    //     timestamps). First event of a user: lag is NULL, NULL > gap is
+    //     NULL -> no break in both engines.
+    register("p39_sessionize",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM b)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        |    - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      import graft.operators.Sessionize
+      Sessionize.sessionStats(
+          Sessionize.assignSessions(events(s, dir), "user_id", "ts", "event_id",
+            gapSeconds = 3600),
+          "user_id", "ts")
+        .select(col("user_id"), col("session_seq"), col("session_start"),
+          col("session_end"), col("n_events"), col("duration_s"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }
+
+    // --- corpus-level duplicate-line removal (CCNet/RefinedWeb
+    //     boilerplate pass). The fixture text has no newlines, so both
+    //     engines derive identical multi-line text first via the same
+    //     left-to-right non-overlapping literal replace of " line " with
+    //     a newline; lines recurring in >= 2 distinct docs are struck
+    //     everywhere, order preserved; 51 of ~1269 distinct lines recur
+    //     at sf0.01.
+    register("p40_line_dedup",
+      """WITH d AS (SELECT doc_id, lang, replace(text, ' line ', chr(10)) AS t FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+        |             unnest(string_split(t, chr(10))) AS line FROM d),
+        |bp AS (SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line) x
+        |  WHERE nd >= 2),
+        |kept AS (SELECT doc_id, pos, line FROM l
+        |  WHERE line NOT IN (SELECT line FROM bp)),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |               COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, lang, len(string_split(t, chr(10))) AS total FROM d)
+        |SELECT t.doc_id, t.lang, COALESCE(r.text, '') AS text,
+        |  CAST(COALESCE(r.n_kept, 0) AS INT) AS n_lines_kept,
+        |  CAST(t.total - COALESCE(r.n_kept, 0) AS INT) AS n_lines_removed
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("replace(text, ' line ', '\n')").as("text"))
+      graft.operators.LineDedup.removeDuplicateLines(docs, "doc_id", "text", minDocs = 2)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_lines_kept"), col("n_lines_removed"))
+        .orderBy(col("doc_id"))
+    }
+
     // --- semantic decontamination: "training" vectors (vec_id >= 25)
     //     within cosine >= 0.35 of any "benchmark" vector (vec_id < 25).
     //     The fixture plants no cross-boundary near-dups (max cross
