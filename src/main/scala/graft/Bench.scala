@@ -44,26 +44,29 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val loadBefore = loadAvg()
-    // samples(name) = one timing per suite pass (or none if that pass failed)
+    // samples(name) = one timing per suite pass (absent where that pass failed)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    val suiteTotals = (0 until reps).map { _ =>
-      names.map { case (name, fn) =>
-        try {
-          val s = timeOnce(fn)
-          samples(name) = samples(name) :+ s
-          s
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); 0.0
-        }
-      }.sum
+    for (_ <- 0 until reps; (name, fn) <- names) {
+      try samples(name) = samples(name) :+ timeOnce(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
     }
     val loadAfter = loadAvg()
+    // a query that failed in ANY pass is FAILED, period — a partial sample
+    // set would otherwise masquerade as a clean median while its missing
+    // rep deflates one pass total and inflates spread_pct
+    val failed = names.collect { case (n, _) if samples(n).size < reps => n }
     val results: Seq[(String, Double, Vector[Double])] = names.map { case (name, _) =>
       val ss = samples(name)
-      (name, if (ss.isEmpty) -1.0 else median(ss), ss)
+      (name, if (failed.contains(name)) -1.0 else median(ss), ss)
     }
-    val failed = results.collect { case (n, v, _) if v < 0 => n }
+    // suite totals over the clean queries only, so per-pass sums compare
+    // like for like even when something failed mid-run
+    val suiteTotals = (0 until reps).map { p =>
+      names.collect { case (n, _) if !failed.contains(n) => samples(n)(p) }.sum
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _, ss) =>

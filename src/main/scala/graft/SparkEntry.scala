@@ -2118,9 +2118,11 @@ object SparkEntry {
         |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
         |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts NULLS LAST, event_id NULLS LAST)),
         |s AS (SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |                   ORDER BY ts NULLS LAST, event_id NULLS LAST
         |                   ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM b)
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
@@ -2152,7 +2154,8 @@ object SparkEntry {
         |l AS (SELECT doc_id, generate_subscripts(string_split(t, chr(10)), 1) AS pos,
         |             unnest(string_split(t, chr(10))) AS line FROM d),
         |bp AS (SELECT line FROM (
-        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line) x
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l
+        |    WHERE trim(line) != '' GROUP BY line) x
         |  WHERE nd >= 2),
         |kept AS (SELECT doc_id, pos, line FROM l
         |  WHERE line NOT IN (SELECT line FROM bp)),

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *    array_sort, concat — the [[Centroids]] reassembly pattern, bounded
   *    by lines-per-doc.
   *
-  * A doc whose every line is boilerplate survives with empty text (the
-  * row is kept — dropping it silently would make the operator also a
-  * filter; compose with a length filter when that is wanted). Output:
+  * Blank/whitespace-only lines are never treated as boilerplate (they
+  * trivially recur everywhere; striking them would collapse every
+  * paragraph break corpus-wide). A doc whose every line is boilerplate
+  * survives with empty text (the row is kept — dropping it silently
+  * would make the operator also a filter; compose with a length filter
+  * when that is wanted). Output:
   * the input columns with `textCol` rewritten, plus n_lines_kept /
   * n_lines_removed (ints). */
 object LineDedup {
@@ -41,7 +44,8 @@ object LineDedup {
     require(delim.nonEmpty, "delim must be non-empty")
     (Seq("n_lines_kept", "n_lines_removed") intersect df.columns).foreach(c =>
       throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
-    (Seq("__ld_pos", "__ld_line", "__ld_h") intersect df.columns).foreach(c =>
+    (Seq("__ld_pos", "__ld_line", "__ld_h", "__ld_docs", "__ld_text", "__ld_total")
+        intersect df.columns).foreach(c =>
       throw new IllegalArgumentException(s"column name '$c' is reserved by removeDuplicateLines"))
     val id = col(s"`$idCol`")
     val others = df.columns.filterNot(c => c == idCol || c == textCol)
@@ -54,8 +58,13 @@ object LineDedup {
           .as(Seq("__ld_pos", "__ld_line")))
       .withColumn("__ld_h", graft.functions.TextFunctions.md5Hash60(col("__ld_line")))
     // lines recurring in >= minDocs distinct docs; (hash, doc) distinct
-    // happens inside the aggregate, map-side combined
-    val boilerplate = lines.select(col("__ld_h"), id)
+    // happens inside the aggregate, map-side combined. Blank/whitespace
+    // lines are EXEMPT: "" trivially recurs everywhere, and striking it
+    // would silently collapse every paragraph break corpus-wide — exactly
+    // the structure the order-preserving rebuild promises to keep.
+    val boilerplate = lines
+      .filter(trim(col("__ld_line")) =!= "")
+      .select(col("__ld_h"), id)
       .distinct()
       .groupBy(col("__ld_h"))
       .agg(count(lit(1)).as("__ld_docs"))

@@ -47,9 +47,17 @@ object Mixture {
       defaultWeight: Double = 1.0,
       repCol: String = "mix_rep",
       nBuckets: Int = Splits.DefaultBuckets): DataFrame = {
-    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+    (weights.values.toSeq :+ defaultWeight).foreach { w =>
       require(w >= 0 && !w.isNaN && !w.isInfinity,
-        s"mixture weights must be finite and >= 0, got $w"))
+        s"mixture weights must be finite and >= 0, got $w")
+      // repeat fan-out guard: weight w emits ceil(w) candidate copies per
+      // row — real recipes run single-digit epochs; 3 orders of magnitude
+      // above that is a mis-wired weight, not a mixture, and at corpus
+      // scale would explode the output before anyone noticed
+      require(w <= 1000,
+        s"mixture weight $w would emit ${math.ceil(w).toLong} copies per row; " +
+          "weights above 1000 are almost certainly a bug")
+    }
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(!df.columns.contains(repCol),
       s"output column '$repCol' already exists in the input")
@@ -60,13 +68,15 @@ object Mixture {
       case (other, (s, w)) => when(src === lit(s), lit(w)).otherwise(other)
     }
     val rep = col(s"`$repCol`")
-    // (salt, rep, key) bucket — the Splits hash contract with the copy
-    // index folded into the salt position, so each copy draws its own
-    // uniform bucket while copy 0 of weight<=1 degrades to exactly the
-    // stratifiedSampleByHash decision for that fraction
-    val bucket = conv(substring(md5(concat(
-      lit(salt + ":"), rep.cast("string"), lit(":"), col(s"`$keyCol`").cast("string"))),
-      1, 15), 16, 10).cast("long") % nBuckets
+    // (salt, rep, key) bucket — [[Splits.hashBucket]] itself (md5 of
+    // "salt:rep:key" — the copy index folds into the key position, byte-
+    // identical to folding it into the salt), so each copy draws its own
+    // uniform bucket, copy 0 of weight<=1 degrades to exactly the
+    // stratifiedSampleByHash decision for that fraction, and any future
+    // change to the shared hash contract moves this operator with it
+    val bucket = Splits.hashBucket(
+      concat(rep.cast("string"), lit(":"), col(s"`$keyCol`").cast("string")),
+      salt, nBuckets)
     val threshold = round(least(col("__mix_w") - rep, lit(1.0)) * nBuckets).cast("long")
     df.withColumn("__mix_w", wExpr)
       .filter(col("__mix_w") > 0) // also guards sequence() against stop < start

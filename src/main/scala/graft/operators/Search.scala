@@ -136,10 +136,10 @@ object Search {
     *
     * The target-postings broadcast assumes a small target set; a caller
     * passing (say) the whole corpus would silently OOM the driver at
-    * scale. The operator counts the distinct target ids up front (one
-    * cheap action on the user-supplied frame) and past
-    * `maxBroadcastTargets` switches BOTH target joins to ordinary
-    * shuffle joins — same rows, no driver materialization. */
+    * scale. The operator stages the distinct target ids and counts them
+    * up front (one action, paid once — the staged frame also feeds the
+    * join) and past `maxBroadcastTargets` switches BOTH target joins to
+    * ordinary shuffle joins — same rows, no driver materialization. */
   def moreLikeThis(
       docs: DataFrame,
       idCol: String,
@@ -182,7 +182,11 @@ object Search {
       .agg(sqrt(sum((col("__w") * col("__w")).cast(DecimalType(25, 9))).cast("double"))
         .as("__norm"))
       .filter(col("__norm") > 0)
-    val tids = targetIds.select(id).distinct()
+    // staged BEFORE the count: the guard's action and the join below both
+    // consume the distinct target ids — without the stage, a targetIds
+    // built from an expensive pipeline would execute that pipeline twice
+    val tids = stager.stage(targetIds.select(id).distinct(),
+      s"mlt_tids_${java.util.UUID.randomUUID().toString.take(8)}")
     val smallTargetSet = tids.count() <= maxBroadcastTargets
     def hinted(df: DataFrame): DataFrame = if (smallTargetSet) broadcast(df) else df
     val t = weighted.join(hinted(tids), idCol)

@@ -43,7 +43,12 @@ object Sessionize {
       throw new IllegalArgumentException(s"column name '$c' is reserved by assignSessions"))
     val u = col(s"`$userCol`")
     val ts = col(s"`$tsCol`")
-    val w = Window.partitionBy(u).orderBy(ts.asc, col(s"`$orderCol`").asc)
+    // NULLS LAST on both sort keys (Spark's ascending default is NULLS
+    // FIRST; DuckDB's is NULLS LAST — the capPerGroup divergence): a
+    // null-ts event sorts after the user's real events in both engines
+    // and, its gap being null (never > gap), joins the final session.
+    val w = Window.partitionBy(u)
+      .orderBy(ts.asc_nulls_last, col(s"`$orderCol`").asc_nulls_last)
     // break flag: silence strictly longer than the gap (first event: lag
     // is null -> coalesce to 0 -> never a break, session 0)
     val brk = when(

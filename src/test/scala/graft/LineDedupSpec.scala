@@ -33,6 +33,17 @@ class LineDedupSpec extends SparkSpecBase {
     assert(out === "dup\ndup\ndup\nmine")
   }
 
+  test("blank lines are never boilerplate: paragraph breaks survive corpus-wide recurrence") {
+    val d = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "intro\n\noutro"),
+      (3L, "alpha\n\nbeta")).toDF("doc_id", "text") // "" recurs in all 3 docs
+    val out = LineDedup.removeDuplicateLines(d, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").select("text", "n_lines_removed")
+      .as[(String, Int)].collect().toSeq
+    assert(out === Seq(("para one\n\npara two", 0), ("intro\n\noutro", 0), ("alpha\n\nbeta", 0)))
+  }
+
   test("a doc whose every line is boilerplate survives with empty text") {
     val d = Seq(
       (1L, "FOOTER"), (2L, "FOOTER"), (3L, "FOOTER\nkeep me")).toDF("doc_id", "text")

@@ -74,6 +74,9 @@ class MixtureSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Mixture.sampleMixture(corpus, "src", "doc_id", Map("rare" -> Double.NaN))
     }
+    intercept[IllegalArgumentException] { // repeat fan-out guard
+      Mixture.sampleMixture(corpus, "src", "doc_id", Map("rare" -> 1e6))
+    }
     intercept[IllegalArgumentException] {
       Mixture.sampleMixture(corpus.withColumn("mix_rep", lit(1)), "src", "doc_id", Map())
     }
