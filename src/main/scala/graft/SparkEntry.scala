@@ -2237,5 +2237,79 @@ object SparkEntry {
           idfRoundDp = Some(9))
         .orderBy(col("doc_id"), col("rank"))
     }
+
+    // --- bigram-LM fluency scoring (CCNet/KenLM-style perplexity proxy):
+    //     train an add-one-smoothed bigram model on the corpus itself
+    //     (top-200 vocab + <unk>) and score each doc's mean bigram
+    //     log-probability. ln rounds through DECIMAL(25,12) to 9dp (the
+    //     p26 contract); per-doc means sum the rounded logps through
+    //     DECIMAL(25,9) then divide once. Docs with < 2 tokens have no
+    //     bigrams and are absent on both engines.
+    register("p41_lm_score",
+      s"""WITH tok AS (
+         |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $toksLowerSql AS tk FROM documents)),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+         |voc AS (SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt) x
+         |  WHERE rn <= 200),
+         |m AS (SELECT t.doc_id, t.pos,
+         |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+         |  FROM tok t LEFT JOIN voc v USING (tok)),
+         |b2 AS (SELECT * FROM (
+         |    SELECT doc_id, w AS w1,
+         |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM m) x
+         |  WHERE w2 IS NOT NULL),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY w1),
+         |vt AS (SELECT COUNT(DISTINCT t) AS v FROM
+         |  (SELECT w1 AS t FROM b2 UNION ALL SELECT w2 FROM b2)),
+         |sc AS (SELECT b2.doc_id,
+         |    CAST(ROUND(CAST(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + vt.v)::DOUBLE)
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS logp
+         |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vt)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(logp AS DECIMAL(25,9))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS avg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.scoreBigramSelf(
+          t(s, dir, "documents"), "doc_id", "text", vocabSize = 200, logRoundDp = 9)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- per-source corpus profile (the curation "report card"): doc and
+    //     token volume, exact-dup rate, mean quality per source. Quality
+    //     is the p02 formula verbatim; its per-doc doubles sum through
+    //     DECIMAL(25,9) before ONE division. Counts are exact integers
+    //     (DuckDB's HUGEINT sums cast back to BIGINT).
+    register("p42_corpus_profile",
+      s"""WITH per AS (
+         |  SELECT source,
+         |    len($toksSql) AS n_tok_i,
+         |    len($toksSql)::DOUBLE AS n_tok,
+         |    length(text)::DOUBLE AS n_char,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         |    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS n_punct,
+         |    ${hitsSql("en")} AS h_en,
+         |    md5(array_to_string($toksLowerSql, ' ')) AS fp
+         |  FROM documents),
+         |q AS (SELECT source, n_tok_i, fp,
+         |    least(n_tok / 200.0, 1.0) * 0.4
+         |      + (CASE WHEN n_char = 0 THEN 0.0 ELSE n_alpha / n_char END) * 0.3
+         |      + (CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en / n_tok END) * 0.2
+         |      + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0 ELSE n_punct / n_char END) * 5.0, 1.0)) * 0.1
+         |      AS quality
+         |  FROM per)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT fp) AS n_unique,
+         |  (COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*)::DOUBLE AS dup_frac,
+         |  CAST(SUM(n_tok_i) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_tok_i) AS DOUBLE) / COUNT(*)::DOUBLE AS mean_tokens,
+         |  CAST(SUM(CAST(quality AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE AS mean_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.corpusProfile(
+          t(s, dir, "documents"), "source", "doc_id", "text")
+        .orderBy(col("source"))
+    }
   }
 }

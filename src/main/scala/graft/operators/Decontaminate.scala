@@ -106,6 +106,56 @@ object Decontaminate {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the biggest-benchmark scale path.
+    *
+    * [[removeContaminated]] ships the benchmark's distinct shingle STRINGS
+    * to every executor as a broadcast-join hash relation; fine for eval
+    * sets, but a huge held-out suite (tens of millions of shingles) blows
+    * the broadcast budget long before it stops fitting in a bloom filter
+    * (~19 bits per item at fpp 1e-4 vs hundreds of bytes per hash-relation
+    * entry). This variant collects the benchmark's distinct 60-bit shingle
+    * hashes once (driver-side, bounded by `maxBenchShingles` — the collect
+    * is LIMIT-guarded so a runaway benchmark fails fast instead of OOMing
+    * the driver), packs them into Spark's own `BloomFilterMightContain`
+    * machinery (codegen'd, shipped as one binary literal), and drops every
+    * document with a probing shingle. One corpus scan, no join at all; the
+    * only shuffle carries the (rare) flagged doc ids.
+    *
+    * Semantics vs the exact path: false positives over-drop at rate ≤
+    * ~`fpp` per shingle (conservative — never under-drops; every exactly
+    * contaminated doc is gone), so use the exact variant when the gate
+    * must be surgical and this one when the benchmark is huge. */
+  def bloomDecontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      shingleN: Int = 13,
+      fpp: Double = 1e-4,
+      maxBenchShingles: Int = 50000000): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(maxBenchShingles >= 1, s"maxBenchShingles must be >= 1, got $maxBenchShingles")
+    import graft.functions.TextFunctions.md5Hash60
+    val hashes = Dedup
+      .shingleRows(
+        bench.select(monotonically_increasing_id().as("__b"), col(s"`$benchTextCol`")),
+        "__b", benchTextCol, shingleN)
+      .select(md5Hash60(col("shingle")).as("h")).distinct()
+      .limit(maxBenchShingles + 1)
+      .collect().map(_.getLong(0))
+    require(hashes.length <= maxBenchShingles,
+      s"benchmark has more than $maxBenchShingles distinct shingles; " +
+        "raise maxBenchShingles (driver memory permitting) or pre-shard the benchmark")
+    val filterBytes =
+      org.apache.spark.sql.graft.BloomSketch.build(hashes, hashes.length.toLong, fpp)
+    val flagged = Dedup.shingleRows(docs, idCol, textCol, shingleN)
+      .filter(org.apache.spark.sql.graft.BloomSketch
+        .mightContainLong(filterBytes, md5Hash60(col("shingle"))))
+      .select(col(s"`$idCol`")).distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Drop every document overlapping the benchmark by at least `minHits`
     * distinct shingles; everything else passes through untouched. */
   def removeContaminated(

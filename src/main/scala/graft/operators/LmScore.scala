@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** N-gram language-model fluency scoring (beyond-reference, SURVEY.md §2.4):
+  * the CCNet/KenLM-style quality filter — train an add-one-smoothed bigram
+  * model over a (reference) corpus, then score each document by its mean
+  * token log-probability. Gibberish, boilerplate and non-linguistic text
+  * score far below fluent prose, making `avg_logp` the standard
+  * perplexity-proxy column a pipeline thresholds on. (The reference has no
+  * LM of its own; its only quality surface is whatever pandas code the LLM
+  * emits, /root/reference/magictables/magictable.py:176-186.)
+  *
+  * 100 TB shape:
+  *  - the vocabulary is a top-V frequency cut (TakeOrderedAndProject — no
+  *    full sort) and broadcasts to map tokens to in-vocab/"<unk>" BEFORE
+  *    bigram formation, so model size is bounded by construction;
+  *  - bigram/context counts are map-side-combinable groupBys over the
+  *    token stream (shuffle O(distinct bigrams), not O(tokens));
+  *  - scoring joins the document bigram stream against the count tables —
+  *    the same matches-not-corpus shuffle shape as BM25 (Search.scala);
+  *    the context table (≤ V+1 rows) broadcasts;
+  *  - everything is built-in expressions (codegen'd); `ln` is rounded
+  *    through DECIMAL to `logRoundDp` decimals because libm vs JVM differ
+  *    at 1 ulp (the p26 BM25 contract), so scores are bit-identical in the
+  *    DuckDB oracle.
+  */
+object LmScore {
+
+  /** Exploded (id, __pos, __w) lowercase whitespace token stream with
+    * per-document positions — the bigram-ready variant of
+    * TextFunctions.termStream (same normalization contract). */
+  private def posTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(s"`$idCol`"),
+        posexplode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+"))
+          .as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+
+  /** Top-`vocabSize` terms by corpus frequency: (term, n). Deterministic
+    * tie-break (count desc, term asc) so the vocabulary cut is identical
+    * across engines and runs. */
+  def topVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    graft.functions.TextFunctions.termStream(docs, Seq.empty, textCol)
+      .groupBy(col("__term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("__term").asc)
+      .limit(vocabSize)
+      .select(col("__term").as("term"), col("n"))
+  }
+
+  /** (id, __w1, __w2) bigram stream with out-of-vocabulary tokens mapped to
+    * "<unk>" — one broadcast join on the token stream, then one doc-keyed
+    * window for the `lead` (the shingleRows pipeline shape). */
+  private def bigramStream(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val mapped = posTokens(docs, idCol, textCol)
+      .join(broadcast(vocab.select(col("term").as("__w"), lit(true).as("__in"))),
+        Seq("__w"), "left")
+      .select(col(s"`$idCol`"), col("__pos"),
+        when(col("__in"), col("__w")).otherwise(lit("<unk>")).as("__wm"))
+    val w = Window.partitionBy(col(s"`$idCol`")).orderBy(col("__pos"))
+    mapped
+      .select(col(s"`$idCol`"), col("__wm").as("__w1"),
+        lead(col("__wm"), 1).over(w).as("__w2"))
+      .filter(col("__w2").isNotNull)
+  }
+
+  /** Train on `train` and score `docs`: per document, the number of bigrams
+    * and the mean add-one-smoothed bigram log-probability
+    *
+    *   avg_logp = mean over bigrams of ln((c(w1,w2) + 1) / (c(w1) + V))
+    *
+    * where c(w1) counts w1 as a bigram CONTEXT (the row-sum of the bigram
+    * table, so probabilities sum to 1 per context) and V is the number of
+    * distinct mapped token types in the training stream (vocabulary +
+    * "<unk>" if any token fell outside the cut). Documents with fewer than
+    * two tokens have no bigrams and are absent (inner semantics — join
+    * back against the corpus to keep them, the overlapReport convention).
+    *
+    * Each ln is rounded to `logRoundDp` decimals through DECIMAL on both
+    * engines, and the per-document mean sums those through DECIMAL(25,9)
+    * before ONE IEEE division — bit-stable everywhere. */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      vocabSize: Int = 10000, logRoundDp: Int = 9): DataFrame = {
+    require(logRoundDp >= 1 && logRoundDp <= 12,
+      s"logRoundDp must be in [1,12], got $logRoundDp")
+    val reserved = Seq("__w1", "__w2", "__c12", "__c1", "__v", "__logp",
+      "__pos", "__w", "__wm", "__in", "__t", "__lm_tid")
+    if (reserved.contains(idCol))
+      throw new IllegalArgumentException(s"id column name '$idCol' is reserved by scoreBigram")
+    (reserved intersect docs.columns).foreach(c =>
+      throw new IllegalArgumentException(s"column name '$c' is reserved by scoreBigram"))
+
+    val vocab = topVocab(train, trainTextCol, vocabSize)
+    // the training bigram stream is consumed by BOTH count tables and the
+    // type-count scalar below; Spark re-derives it per consumer, but every
+    // derivation is the same one-window pipeline over the (usually small
+    // vs corpus) training set — staging is the caller's Stager choice.
+    val tb = bigramStream(train.select(
+        monotonically_increasing_id().as("__lm_tid"), col(s"`$trainTextCol`")),
+      "__lm_tid", trainTextCol, vocab)
+    val big = tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val ctx = tb.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    // distinct mapped TYPES in training (bounded by vocabSize + 1): the
+    // add-one denominator. Counted over both bigram slots so a token that
+    // only ever ends documents still counts as a type.
+    val vTypes = tb.select(col("__w1").as("__t"))
+      .union(tb.select(col("__w2").as("__t")))
+      .agg(countDistinct(col("__t")).as("__v"))
+
+    val scored = bigramStream(docs, idCol, textCol, vocab)
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(broadcast(ctx), Seq("__w1"), "left")
+      .crossJoin(broadcast(vTypes))
+      .withColumn("__logp",
+        round(
+          log((coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
+            .cast("decimal(25,12)"),
+          logRoundDp).cast("double"))
+    scored.groupBy(col(s"`$idCol`"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__logp").cast("decimal(25,9)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp"))
+  }
+
+  /** Self-scoring convenience: train and score on the same corpus (the
+    * common "rank my own corpus by fluency" pass). */
+  def scoreBigramSelf(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 10000, logRoundDp: Int = 9): DataFrame =
+    scoreBigram(docs, idCol, textCol, docs, textCol, vocabSize, logRoundDp)
+}

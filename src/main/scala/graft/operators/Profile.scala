@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Per-group corpus profiling (beyond-reference, SURVEY.md §2.4): the
+  * "report card" a curation pipeline publishes per source/domain/language —
+  * document and token volumes, exact-duplicate rate, and mean quality.
+  * This is the monitoring surface that catches a bad crawl snapshot (dup
+  * rate spikes) or a per-source quality regression before training does.
+  * (The reference's closest artifact is the one-line `summary` profile,
+  * /root/reference/magictables/magictable.py:145-146 — per-table, not
+  * per-group, and with no quality/dedup signals.)
+  *
+  * 100 TB shape: per-document token stats ride the SAME single-scan
+  * token-stream aggregation as p02 (TextFunctions.tokenStats — measured
+  * ~10x faster than per-row interpreted array lambdas for whole-corpus
+  * scoring), with the doc-level char counts and fingerprint computed in
+  * the pre-explode projection as carry keys. Two shuffles total: the
+  * doc-keyed stats aggregation, then the tiny group rollup; the group
+  * shuffle carries hashes and counters, never text. Mean quality sums
+  * per-doc scores through DECIMAL(25,9) then divides once, so the report
+  * hash-matches the DuckDB oracle (the p02/p26 contract).
+  */
+object Profile {
+
+  /** One row per `groupCol` value: n_docs, n_unique (distinct normalized
+    * fingerprints), dup_frac, n_tokens, mean_tokens, mean_quality. Null
+    * group values profile as their own row (standard groupBy semantics —
+    * at the report surface a null source IS a signal). */
+  def corpusProfile(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val reserved = Seq("__n_char", "__n_alpha", "__n_punct", "__fp", "__q")
+    (reserved intersect docs.columns).foreach(c =>
+      throw new IllegalArgumentException(s"column name '$c' is reserved by corpusProfile"))
+    val withChars = docs.select(col(s"`$idCol`"), col(s"`$groupCol`"),
+      length(col(s"`$textCol`")).cast("double").as("__n_char"),
+      TextFunctions.alphaChars(col(s"`$textCol`")).cast("double").as("__n_alpha"),
+      TextFunctions.punctChars(col(s"`$textCol`")).cast("double").as("__n_punct"),
+      TextFunctions.fingerprint(col(s"`$textCol`")).as("__fp"),
+      col(s"`$textCol`"))
+    val stats = TextFunctions.tokenStats(withChars, idCol, textCol,
+      carryCols = Seq(groupCol, "__n_char", "__n_alpha", "__n_punct", "__fp"))
+    // the qualityScore formula over stream stats — value-identical to
+    // TextFunctions.qualityScore (the p02 equivalence)
+    val nTok = col("n_tok").cast("double")
+    val lenScore = least(nTok / lit(200.0), lit(1.0))
+    val alphaRatio = when(col("__n_char") === 0, lit(0.0))
+      .otherwise(col("__n_alpha") / col("__n_char"))
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(col("h_en").cast("double") / nTok)
+    val punctRatio = when(col("__n_char") === 0, lit(0.0))
+      .otherwise(col("__n_punct") / col("__n_char"))
+    val perDoc = stats.withColumn("__q",
+      lenScore * lit(0.4) + alphaRatio * lit(0.3) + stopRatio * lit(0.2) +
+        (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.1))
+    perDoc.groupBy(col(s"`$groupCol`"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_unique"),
+        sum(col("n_tok")).as("n_tokens"),
+        (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"),
+        (sum(col("__q").cast("decimal(25,9)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_quality"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique")).cast("double") / col("n_docs").cast("double"))
+      .select(col(s"`$groupCol`"), col("n_docs"), col("n_unique"), col("dup_frac"),
+        col("n_tokens"), col("mean_tokens"), col("mean_quality"))
+  }
+}

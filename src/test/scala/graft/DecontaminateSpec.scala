@@ -69,6 +69,34 @@ class DecontaminateSpec extends SparkSpecBase {
       shingleN = 3).isEmpty)
   }
 
+  test("bloomDecontaminate is conservative: drops every exactly-contaminated doc") {
+    val docs = Seq(
+      (1L, "he said the quick brown fox jumps high today"),
+      (2L, "completely unrelated text about sparks and rivers"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val exact = Decontaminate.removeContaminated(docs, "doc_id", "text",
+        bench, "question", shingleN = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Decontaminate.bloomDecontaminate(docs, "doc_id", "text",
+        bench, "question", shingleN = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // never under-drops: bloom survivors are a subset of exact survivors
+    assert(bloom.subsetOf(exact), s"bloom kept ${bloom -- exact} that exact dropped")
+    // at this size and fpp there are no false positives either
+    assert(bloom === exact)
+    assert(bloom === Set(2L, 4L))
+  }
+
+  test("bloomDecontaminate bounds the benchmark collect") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Decontaminate.bloomDecontaminate(docs, "doc_id", "text", bench, "question",
+        shingleN = 1, maxBenchShingles = 2) // bench has 8 distinct tokens
+    }
+  }
+
   test("semantic decontamination flags near-parallel embeddings, spares orthogonal ones") {
     val train = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), // parallel to bench vector

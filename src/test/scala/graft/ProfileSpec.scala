@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Profile
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a", "the quick brown fox"),
+    (2L, "a", "THE  QUICK   brown fox"), // exact dup of 1 after normalization
+    (3L, "a", "something else entirely here"),
+    (4L, "b", "one two three"),
+    (5L, "b", "")
+  ).toDF("doc_id", "src", "text")
+
+  test("volumes, dup rate and mean quality per group") {
+    val out = Profile.corpusProfile(docs, "src", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("a") === ((3L, 2L, 1.0 / 3.0, 12L)))
+    assert(out("b") === ((2L, 2L, 0.0, 3L)))
+  }
+
+  test("mean quality equals the per-row qualityScore mean (decimal-summed)") {
+    val perRow = docs.filter($"src" === "a")
+      .select(TextFunctions.qualityScore($"text").cast("decimal(25,9)").as("q"))
+      .agg((sum($"q").cast("double") / count(lit(1)).cast("double")).as("m"))
+      .as[Double].head()
+    val got = Profile.corpusProfile(docs, "src", "doc_id", "text")
+      .filter($"src" === "a").select($"mean_quality").as[Double].head()
+    assert(got === perRow)
+  }
+
+  test("null group values profile as their own row") {
+    val withNull = docs.union(Seq((6L, null.asInstanceOf[String], "x y z"))
+      .toDF("doc_id", "src", "text"))
+    val out = Profile.corpusProfile(withNull, "src", "doc_id", "text")
+    assert(out.count() === 3)
+    assert(out.filter($"src".isNull).select($"n_docs").as[Long].head() === 1L)
+  }
+
+  test("reserved internal names are guarded") {
+    intercept[IllegalArgumentException] {
+      Profile.corpusProfile(docs.withColumn("__fp", lit(1)), "src", "doc_id", "text")
+    }
+  }
+}
