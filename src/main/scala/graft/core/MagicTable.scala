@@ -82,9 +82,11 @@ class MagicTable(
     * wrapper): backward/forward/nearest, one-shuffle union+window — see
     * [[graft.operators.AsofJoin]]. */
   def joinAsof(other: MagicTable, on: Seq[String], leftTs: String, rightTs: String,
-      values: Seq[String], strategy: String = "backward"): MagicTable =
+      values: Seq[String], strategy: String = "backward",
+      tolerance: Option[Double] = None): MagicTable =
     new MagicTable(
-      graft.operators.AsofJoin(df, other.df, on, leftTs, rightTs, values, strategy),
+      graft.operators.AsofJoin(df, other.df, on, leftTs, rightTs, values, strategy,
+        tolerance),
       name, sources ++ other.sources, graph)
   def describeStats(cols: String*): MagicTable = wrap(df.describe(cols: _*))
   def head(n: Int): Seq[org.apache.spark.sql.Row] = df.head(n).toSeq

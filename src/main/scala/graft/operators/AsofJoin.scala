@@ -43,6 +43,12 @@ object AsofJoin {
 
   /** @param valueCols right-side columns to attach (surfaced as
     *                  `asof_<name>`); must not collide with left columns.
+    * @param tolerance  Polars join_asof(tolerance=...): a match farther
+    *                  than this from the left timestamp is discarded
+    *                  (row keeps all-null `asof_*`). Units are the order
+    *                  column's numeric-cast units — epoch SECONDS for
+    *                  timestamps, the raw value for numerics. Must be
+    *                  positive; applies to every strategy.
     */
   def apply(
       left: DataFrame,
@@ -51,9 +57,11 @@ object AsofJoin {
       leftTsCol: String,
       rightTsCol: String,
       valueCols: Seq[String],
-      strategy: String = "backward"): DataFrame = {
+      strategy: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     require(Strategies.contains(strategy),
       s"unknown asof strategy '$strategy' (one of ${Strategies.mkString("/")})")
+    require(tolerance.forall(_ > 0), s"tolerance must be positive, got $tolerance")
     require(keyCols.nonEmpty, "asof join needs at least one equi-key")
     val leftCols = left.columns.toSeq
     require(valueCols.forall(v => !leftCols.contains(s"asof_$v")),
@@ -103,43 +111,52 @@ object AsofJoin {
 
     val backward = last(col("__asof"), ignoreNulls = true).over(wB)
     val forward = last(col("__asof"), ignoreNulls = true).over(wF)
+    // Distance type: when BOTH order columns are integral (e.g.
+    // nanosecond-epoch longs) compare in LONG arithmetic — a double
+    // cast is lossy past 2^53 and can pick the FARTHER candidate. If
+    // EITHER side is non-integral, fall back to double: casting the
+    // fractional side to long would truncate its distance (left Long /
+    // right Double mixes stay lossy past 2^53 either way — match the
+    // order-column types if that matters). Floating, decimal and
+    // timestamp (micros-since-epoch stays inside double's 53-bit
+    // mantissa for centuries) all compare as double; dates would need
+    // a cast by the caller. Long caveat: a backward/forward candidate
+    // pair spanning > Long.MaxValue of the order unit overflows the
+    // subtraction.
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val distType =
+      if (integral(left.schema(leftTsCol).dataType) &&
+          integral(right.schema(rightTsCol).dataType)) "long"
+      else "double"
+    def dist(s: Column) =
+      abs(col("__t").cast(distType) - s.getField("__ts").cast(distType))
     val picked: Column = strategy match {
       case "backward" => backward
       case "forward" => forward
       case "nearest" =>
-        // Distance type: when BOTH order columns are integral (e.g.
-        // nanosecond-epoch longs) compare in LONG arithmetic — a double
-        // cast is lossy past 2^53 and can pick the FARTHER candidate. If
-        // EITHER side is non-integral, fall back to double: casting the
-        // fractional side to long would truncate its distance (left Long /
-        // right Double mixes stay lossy past 2^53 either way — match the
-        // order-column types if that matters). Floating, decimal and
-        // timestamp (micros-since-epoch stays inside double's 53-bit
-        // mantissa for centuries) all compare as double; dates would need
-        // a cast by the caller. Long caveat: a backward/forward candidate
-        // pair spanning > Long.MaxValue of the order unit overflows the
-        // subtraction.
         // Strict < means a tie keeps the backward match — the deterministic
         // rule this engine documents.
-        import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
-        def integral(dt: DataType) = dt match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        }
-        val distType =
-          if (integral(left.schema(leftTsCol).dataType) &&
-              integral(right.schema(rightTsCol).dataType)) "long"
-          else "double"
-        def dist(s: Column) =
-          abs(col("__t").cast(distType) - s.getField("__ts").cast(distType))
         when(backward.isNull, forward)
           .when(forward.isNull, backward)
           .when(dist(forward) < dist(backward), forward)
           .otherwise(backward)
     }
+    // tolerance discards a match farther than `tol` (null struct -> all-null
+    // asof_* row, Polars join_asof(tolerance=...) semantics). A null picked
+    // row makes dist null; `null <= tol` is null -> otherwise(null) — safe.
+    val pickedTol: Column = tolerance match {
+      case None => picked
+      case Some(tol) =>
+        when(dist(picked) <= lit(tol), picked)
+          .otherwise(lit(null).cast(asofType))
+    }
 
     l.unionByName(r)
-      .withColumn("__asof", picked)
+      .withColumn("__asof", pickedTol)
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)

@@ -95,20 +95,22 @@ object LmScore {
       throw new IllegalArgumentException(s"column name '$c' is reserved by scoreBigram"))
 
     val vocab = topVocab(train, trainTextCol, vocabSize)
-    // the training bigram stream is consumed by BOTH count tables and the
-    // type-count scalar below; Spark re-derives it per consumer, but every
-    // derivation is the same one-window pipeline over the (usually small
-    // vs corpus) training set — staging is the caller's Stager choice.
     val tb = bigramStream(train.select(
         monotonically_increasing_id().as("__lm_tid"), col(s"`$trainTextCol`")),
       "__lm_tid", trainTextCol, vocab)
     val big = tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
-    val ctx = tb.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    // context counts and the type count derive from the BIGRAM TABLE, not
+    // the raw stream: c(w1) = row-sum of c(w1,·) and the mapped-type set
+    // equals the set of values in either bigram slot — identical numbers,
+    // but the training stream's scan/explode/window pipeline appears once
+    // in the plan (its exchange is reused across all three consumers)
+    // instead of three independent corpus-wide window passes.
+    val ctx = big.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
     // distinct mapped TYPES in training (bounded by vocabSize + 1): the
     // add-one denominator. Counted over both bigram slots so a token that
     // only ever ends documents still counts as a type.
-    val vTypes = tb.select(col("__w1").as("__t"))
-      .union(tb.select(col("__w2").as("__t")))
+    val vTypes = big.select(col("__w1").as("__t"))
+      .union(big.select(col("__w2").as("__t")))
       .agg(countDistinct(col("__t")).as("__v"))
 
     val scored = bigramStream(docs, idCol, textCol, vocab)

@@ -24,6 +24,28 @@ class AsofJoinSpec extends SparkSpecBase {
       (2L, None)))      // no right rows for key 2
   }
 
+  test("tolerance discards matches farther than the bound (every strategy)") {
+    val left = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(60))).toDF("k", "t")
+    val right = Seq((1L, ts(8), "a"), (1L, ts(12), "b")).toDF("k", "rt", "v")
+    def run(strategy: String, tol: Option[Double]) =
+      AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy, tol)
+        .orderBy("t").select("asof_v").as[Option[String]].collect().toSeq
+    // timestamps cast to epoch seconds: tolerance is in seconds.
+    // t=10 sits 120s after rt=8 and 120s before rt=12; t=60 is 2880s after
+    // rt=12; t=0 is 480s before rt=8.
+    assert(run("backward", Some(3600.0)) === Seq(None, Some("a"), Some("b")))
+    assert(run("backward", Some(150.0)) === Seq(None, Some("a"), None))
+    assert(run("forward", Some(150.0)) === Seq(None, Some("b"), None))
+    assert(run("forward", Some(500.0)) === Seq(Some("a"), Some("b"), None))
+    // nearest tie (120s both ways) keeps backward; t=60's nearest is 2880s out
+    assert(run("nearest", Some(150.0)) === Seq(None, Some("a"), None))
+    // without tolerance t=60 still matches backward
+    assert(run("backward", None) === Seq(None, Some("a"), Some("b")))
+    intercept[IllegalArgumentException] {
+      run("backward", Some(0.0))
+    }
+  }
+
   test("multiple value columns and duplicate left timestamps") {
     val left = Seq((1L, ts(10)), (1L, ts(10))).toDF("k", "t")
     val right = Seq((1L, ts(1), 5.0, "x")).toDF("k", "rt", "price", "tag")
