@@ -2311,5 +2311,47 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "doc_id", "text")
         .orderBy(col("source"))
     }
+
+    // --- unpivot/melt (Polars `unpivot` via the blanket wrapper): wide →
+    //     long, a pure narrow expand (Spark's Unpivot node — no shuffle).
+    //     Fixture metrics are non-null, so DuckDB UNPIVOT's drop-NULLs
+    //     default and Spark's keep-NULLs semantics agree here; the
+    //     MagicTable forwarder documents the divergence.
+    register("q36_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        l_quantity AS qty, l_extendedprice AS price, l_discount AS disc
+        |      FROM lineitem)
+        |UNPIVOT (val FOR metric IN (qty, price, disc))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+          col("l_discount").as("disc"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }
+
+    // --- cross-source content-overlap matrix: distinct shared 5-gram
+    //     hashes per source pair — the "which dumps duplicate each
+    //     other" corpus-audit artifact. Grams travel as the shared
+    //     60-bit md5 hash (p27's rendering); counts are exact.
+    register("p43_source_overlap",
+      s"""WITH toks AS (SELECT source, doc_id, $toksLowerSql AS t FROM documents),
+         |g AS (SELECT doc_id, source, unnest(
+         |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(t)-3),
+         |                i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS gram
+         |  FROM toks),
+         |d AS (SELECT DISTINCT source,
+         |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh FROM g)
+         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+         |FROM d a JOIN d b ON a.gh = b.gh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.sourceOverlap(
+          t(s, dir, "documents"), "source", "doc_id", "text", shingleN = 5)
+        .orderBy(col("src_a"), col("src_b"))
+    }
   }
 }

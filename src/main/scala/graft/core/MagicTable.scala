@@ -78,6 +78,14 @@ class MagicTable(
     wrap(df.withColumn(as, explode_outer(col(s"`$column`"))))
   def pivotAgg(groupCol: String, pivotCol: String, agg: Column): MagicTable =
     wrap(df.groupBy(col(s"`$groupCol`")).pivot(pivotCol).agg(agg))
+  /** Polars `unpivot`/`melt` analogue: wide → long. Pure narrow expand
+    * (Spark's Unpivot node — one generator row per value column, no
+    * shuffle). */
+  def unpivot(ids: Seq[String], values: Seq[String],
+      variableColumnName: String = "variable",
+      valueColumnName: String = "value"): MagicTable =
+    wrap(df.unpivot(ids.map(c => col(s"`$c`")).toArray,
+      values.map(c => col(s"`$c`")).toArray, variableColumnName, valueColumnName))
   /** Polars `join_asof` analogue (reachable through the reference's blanket
     * wrapper): backward/forward/nearest, one-shuffle union+window — see
     * [[graft.operators.AsofJoin]]. */

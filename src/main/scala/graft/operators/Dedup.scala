@@ -49,19 +49,25 @@ object Dedup {
     * sf0.1 than this posexplode(split) + window-lead pipeline, which stays
     * fully codegen'd. One shuffle (tokens by doc for the lead window).
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(shingleN >= 1)
+    // carryCols: extra doc-level columns riding the stream (functionally
+    // dependent on idCol — e.g. the doc's source for overlap matrices);
+    // the window still partitions by idCol alone.
+    val carry = carryCols.map(c => col(s"`$c`"))
     val toks = df
-      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+      .select(col(idCol) +: carry :+
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")): _*)
       .filter(col("__tok") =!= "")
-    if (shingleN == 1) toks.select(col(idCol), col("__tok").as("shingle"))
+    if (shingleN == 1) toks.select(col(idCol) +: carry :+ col("__tok").as("shingle"): _*)
     else {
       val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       val leads = (1 until shingleN).map(i => lead(col("__tok"), i).over(w).as(s"__t$i"))
-      toks.select(col(idCol) +: col("__tok") +: leads: _*)
+      toks.select((col(idCol) +: carry :+ col("__tok")) ++ leads: _*)
         .filter(col(s"__t${shingleN - 1}").isNotNull)
-        .select(col(idCol),
-          concat_ws(" ", col("__tok") +: (1 until shingleN).map(i => col(s"__t$i")): _*).as("shingle"))
+        .select(col(idCol) +: carry :+
+          concat_ws(" ", col("__tok") +: (1 until shingleN).map(i => col(s"__t$i")): _*).as("shingle"): _*)
     }
   }
 

@@ -69,4 +69,43 @@ object Profile {
       .select(col(s"`$groupCol`"), col("n_docs"), col("n_unique"), col("dup_frac"),
         col("n_tokens"), col("mean_tokens"), col("mean_quality"))
   }
+
+  /** Cross-group content-overlap matrix: for every unordered group pair
+    * (src_a < src_b), the number of DISTINCT word-`shingleN`-gram hashes
+    * both groups contain — the corpus-audit artifact that shows which
+    * crawls/dumps duplicate each other before any dedup decision is made.
+    * Pairs with zero overlap are absent; rows with a null group drop out
+    * (null never compares `<`).
+    *
+    * 100 TB shape: one distinct over (group, 60-bit gram hash) — hashes,
+    * never text — then a self-equi-join on the hash. Per-gram join fan-out
+    * is bounded by (groups sharing that gram)²; for high-cardinality
+    * groupings set `maxGroupsPerShingle` to exclude grams present in more
+    * than N groups (ubiquitous boilerplate carries no pairing signal and
+    * is exactly the skew that would otherwise explode the join — the
+    * cappedBucketPairs rationale). */
+  def sourceOverlap(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, shingleN: Int = 5,
+      maxGroupsPerShingle: Option[Int] = None): DataFrame = {
+    require(maxGroupsPerShingle.forall(_ >= 2),
+      s"maxGroupsPerShingle must be >= 2, got $maxGroupsPerShingle")
+    import graft.functions.TextFunctions.md5Hash60
+    val sg = Dedup
+      .shingleRows(docs, idCol, textCol, shingleN, carryCols = Seq(groupCol))
+      .select(col(s"`$groupCol`"), md5Hash60(col("shingle")).as("__gh"))
+      .distinct()
+    val kept = maxGroupsPerShingle match {
+      case None => sg
+      case Some(cap) =>
+        val ok = sg.groupBy(col("__gh")).agg(count(lit(1)).as("__ng"))
+          .filter(col("__ng") <= cap).select(col("__gh"))
+        sg.join(ok, Seq("__gh"), "left_semi")
+    }
+    val a = kept.select(col(s"`$groupCol`").as("src_a"), col("__gh"))
+    val b = kept.select(col(s"`$groupCol`").as("src_b"), col("__gh"))
+    a.join(b, Seq("__gh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

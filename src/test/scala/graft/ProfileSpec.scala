@@ -46,4 +46,37 @@ class ProfileSpec extends SparkSpecBase {
       Profile.corpusProfile(docs.withColumn("__fp", lit(1)), "src", "doc_id", "text")
     }
   }
+
+  test("sourceOverlap counts distinct shared shingle hashes per pair") {
+    val d = Seq(
+      (1L, "a", "one two three four"),
+      (2L, "a", "one two three four"), // dup within a: must not double-count
+      (3L, "b", "zero one two three five"),
+      (4L, "c", "totally different content here now")
+    ).toDF("doc_id", "src", "text")
+    val out = Profile.sourceOverlap(d, "src", "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // shared 3-grams a∩b: "one two three" + "two three four"? b has
+    // "two three five" not four -> only "one two three" shared
+    assert(out === Map(("a", "b") -> 1L))
+  }
+
+  test("sourceOverlap hot-shingle cap drops ubiquitous grams") {
+    val d = Seq(
+      (1L, "a", "common gram here"),
+      (2L, "b", "common gram here"),
+      (3L, "c", "common gram here"),
+      (4L, "d", "rare pair text"),
+      (5L, "e", "rare pair text")
+    ).toDF("doc_id", "src", "text")
+    val full = Profile.sourceOverlap(d, "src", "doc_id", "text", shingleN = 3)
+    assert(full.count() === 4) // ab, ac, bc, de
+    val capped = Profile.sourceOverlap(d, "src", "doc_id", "text", shingleN = 3,
+      maxGroupsPerShingle = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped === Set(("d", "e"))) // the 3-source gram is excluded
+    intercept[IllegalArgumentException] {
+      Profile.sourceOverlap(d, "src", "doc_id", "text", maxGroupsPerShingle = Some(1))
+    }
+  }
 }
