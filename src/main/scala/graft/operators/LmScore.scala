@@ -84,7 +84,8 @@ object LmScore {
     * before ONE IEEE division — bit-stable everywhere. */
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
-      vocabSize: Int = 10000, logRoundDp: Int = 9): DataFrame = {
+      vocabSize: Int = 10000, logRoundDp: Int = 9,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(logRoundDp >= 1 && logRoundDp <= 12,
       s"logRoundDp must be in [1,12], got $logRoundDp")
     val reserved = Seq("__w1", "__w2", "__c12", "__c1", "__v", "__logp",
@@ -94,11 +95,18 @@ object LmScore {
     (reserved intersect docs.columns).foreach(c =>
       throw new IllegalArgumentException(s"column name '$c' is reserved by scoreBigram"))
 
-    val vocab = topVocab(train, trainTextCol, vocabSize)
+    // Stage the two bounded model frames (vocab ≤ V rows; the bigram table
+    // ≤ min(train tokens, (V+1)²) rows): without a cut, Catalyst's column
+    // pruning specializes every consumer's copy of the training pipeline
+    // and the TRAINING CORPUS would be re-scanned once per consumer — the
+    // Stager scaladoc's exact scenario. After staging, training costs two
+    // corpus scans (vocab count + bigram count) and scoring one.
+    val vocab = stager.stage(topVocab(train, trainTextCol, vocabSize), "lm_vocab")
     val tb = bigramStream(train.select(
         monotonically_increasing_id().as("__lm_tid"), col(s"`$trainTextCol`")),
       "__lm_tid", trainTextCol, vocab)
-    val big = tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val big = stager.stage(
+      tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")), "lm_bigrams")
     // context counts and the type count derive from the BIGRAM TABLE, not
     // the raw stream: c(w1) = row-sum of c(w1,·) and the mapped-type set
     // equals the set of values in either bigram slot — identical numbers,
@@ -132,6 +140,7 @@ object LmScore {
   /** Self-scoring convenience: train and score on the same corpus (the
     * common "rank my own corpus by fluency" pass). */
   def scoreBigramSelf(docs: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int = 10000, logRoundDp: Int = 9): DataFrame =
-    scoreBigram(docs, idCol, textCol, docs, textCol, vocabSize, logRoundDp)
+      vocabSize: Int = 10000, logRoundDp: Int = 9,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame =
+    scoreBigram(docs, idCol, textCol, docs, textCol, vocabSize, logRoundDp, stager)
 }
