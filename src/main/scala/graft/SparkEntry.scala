@@ -2353,5 +2353,39 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "doc_id", "text", shingleN = 5)
         .orderBy(col("src_a"), col("src_b"))
     }
+
+    // --- exact-substring span removal (Lee et al. segment dedup): any
+    //     CASE-SENSITIVE 5-token run in >= 2 distinct docs is struck
+    //     everywhere; survivors re-join space-separated in order. 1096
+    //     dup grams / 2266 start positions at sf0.01. DuckDB positions
+    //     are 1-based and Spark's 0-based — only relative distance
+    //     enters the coverage predicate, so the engines agree.
+    register("p44_span_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS ix,
+        |    ('0x' || substring(md5(array_to_string(list_slice(tk, i, i+4), ' ')), 1, 15))::BIGINT AS gh
+        |  FROM t, unnest(range(1, len(tk)-3)) r(i) WHERE len(tk) >= 5),
+        |dup AS (SELECT gh FROM (
+        |    SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gh) x
+        |  WHERE nd >= 2),
+        |st AS (SELECT doc_id, ix FROM g JOIN dup USING (gh)),
+        |tok AS (SELECT doc_id, generate_subscripts(tk, 1) AS ix, unnest(tk) AS tok FROM t),
+        |kept AS (SELECT k.doc_id, k.ix, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM st s
+        |    WHERE s.doc_id = k.doc_id AND s.ix BETWEEN k.ix - 4 AND k.ix)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ix) AS text,
+        |               COUNT(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(r.text, '') AS text,
+        |  CAST(COALESCE(r.nk, 0) AS INT) AS n_tokens_kept,
+        |  CAST(len(t.tk) - COALESCE(r.nk, 0) AS INT) AS n_tokens_removed
+        |FROM t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.removeDuplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", spanN = 5, minDocs = 2)
+        .select(col("doc_id"), col("text"), col("n_tokens_kept"), col("n_tokens_removed"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -396,6 +396,99 @@ object Dedup {
     * grams corpus-wide — both engines hash identically, so the gate is
     * unaffected; at 100 TB the expected collision count over ~10^12
     * distinct grams is ~0.4 gram PAIRS — noise well under the signal. */
+  /** Exact-substring span removal (the Lee et al. 2022 "Deduplicating
+    * Training Data" pass at segment granularity): any CASE-SENSITIVE run
+    * of `spanN` tokens that occurs in ≥ `minDocs` distinct documents is
+    * boilerplate, and every token covered by such a run is struck from
+    * every document; surviving tokens are re-joined with single spaces in
+    * order. The segment-granular complement of [[nearDupPairsMinhash]]
+    * (doc level) and [[graft.operators.LineDedup]] (line level) for text
+    * without line structure.
+    *
+    * 100 TB shape: four O(tokens) shuffles, none of text —
+    *  1. tokens by doc for ONE window pass (contiguous index + spanN-1
+    *     leads — gram hashes and indexes in the same Window operator);
+    *  2. (gram-hash, doc) distinct + count ≥ minDocs, map-side combined;
+    *  3. left-semi of gram starts against the duplicated-hash set (no
+    *     broadcast assumption — web-scale boilerplate is itself huge);
+    *  4. tokens UNION dup-start markers by doc for the coverage window:
+    *     a RANGE frame over the token index (value-based, so marker rows
+    *     sharing an index don't distort the spanN distance) marks every
+    *     token within spanN-1 of a duplicated start; the rebuild groupBy
+    *     rides the same doc partitioning.
+    * (Single-node suffix arrays do this with less total work — this is
+    * the shape that distributes; the gram-hash shuffles dominate.)
+    *
+    * Docs shorter than spanN tokens carry no spans and pass through
+    * (token-normalized); a fully-boilerplate doc survives with empty text
+    * (LineDedup's keep-the-row contract). Output: input columns with
+    * `textCol` rewritten (whitespace-normalized) + n_tokens_kept /
+    * n_tokens_removed. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanN: Int, minDocs: Int = 2,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(spanN >= 2, s"spanN must be >= 2, got $spanN")
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would strike every span), got $minDocs")
+    (Seq("n_tokens_kept", "n_tokens_removed") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    (Seq("__sp_pos", "__sp_tok", "__sp_ix", "__sp_gh", "__sp_side", "__sp_text")
+        intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"column name '$c' is reserved by removeDuplicateSpans"))
+    val id = col(s"`$idCol`")
+    val others = df.columns.filterNot(c => c == idCol || c == textCol)
+
+    // case PRESERVED: exact-substring dedup is about exact bytes, and the
+    // kept tokens are payload (the slidingWindows convention). The
+    // tokenized stream is STAGED (3 narrow columns — never the spanN-wide
+    // lead projection): it feeds the gram window AND the coverage window,
+    // and unstaged each consumer would re-scan + re-tokenize the corpus.
+    val toks = stager.stage(
+      df.select(id,
+          posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
+            .as(Seq("__sp_pos", "__sp_tok")))
+        .filter(col("__sp_tok") =!= ""),
+      "span_dedup_tokens")
+    val w = Window.partitionBy(id).orderBy(col("__sp_pos"))
+    val leads = (1 until spanN).map(i => lead(col("__sp_tok"), i).over(w).as(s"__t$i"))
+    // one Window operator: contiguous 0-based index + the spanN-1 leads
+    val ixed = toks.select(id +: col("__sp_tok") +:
+      (row_number().over(w) - 1).as("__sp_ix") +: leads: _*)
+    val gramStarts = ixed
+      .filter(col(s"__t${spanN - 1}").isNotNull)
+      .select(id, col("__sp_ix"),
+        graft.functions.TextFunctions.md5Hash60(concat_ws(" ",
+          col("__sp_tok") +: (1 until spanN).map(i => col(s"__t$i")): _*)).as("__sp_gh"))
+    val dupHashes = gramStarts.select(col("__sp_gh"), id).distinct()
+      .groupBy(col("__sp_gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("__sp_gh"))
+    val dupStarts = gramStarts.join(dupHashes, Seq("__sp_gh"), "left_semi")
+      .select(id, col("__sp_ix"), lit(1).as("__sp_side"))
+    val tokIx = toks.select(id, (row_number().over(w) - 1).as("__sp_ix"),
+      col("__sp_tok"))
+    val stream = tokIx.withColumn("__sp_side", lit(0))
+      .unionByName(dupStarts.withColumn("__sp_tok", lit(null).cast("string")))
+    val wc = Window.partitionBy(id).orderBy(col("__sp_ix"))
+      .rangeBetween(-(spanN - 1), 0)
+    val kept = stream
+      .withColumn("__sp_side", max(col("__sp_side")).over(wc))
+      .filter(col("__sp_tok").isNotNull && col("__sp_side") === 0)
+    val rebuilt = kept.groupBy(id)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__sp_ix"), col("__sp_tok")))),
+          x => x.getField("__sp_tok"))).as("__sp_text"),
+        count(lit(1)).cast("int").as("n_tokens_kept"))
+    df.withColumn("__sp_pos", graft.functions.TextFunctions.tokenCount(
+        coalesce(col(s"`$textCol`"), lit(""))))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        (Seq(id) ++ others.map(c => col(s"`$c`")) :+
+          coalesce(col("__sp_text"), lit("")).as(textCol) :+
+          coalesce(col("n_tokens_kept"), lit(0)).as("n_tokens_kept") :+
+          (col("__sp_pos") - coalesce(col("n_tokens_kept"), lit(0)))
+            .cast("int").as("n_tokens_removed")): _*)
+  }
+
   def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
     val grams = shingleRows(df, idCol, textCol, shingleN)

@@ -86,14 +86,18 @@ object Profile {
     * cappedBucketPairs rationale). */
   def sourceOverlap(docs: DataFrame, groupCol: String, idCol: String,
       textCol: String, shingleN: Int = 5,
-      maxGroupsPerShingle: Option[Int] = None): DataFrame = {
+      maxGroupsPerShingle: Option[Int] = None,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(maxGroupsPerShingle.forall(_ >= 2),
       s"maxGroupsPerShingle must be >= 2, got $maxGroupsPerShingle")
     import graft.functions.TextFunctions.md5Hash60
-    val sg = Dedup
+    // staged: the distinct (group, hash) table feeds BOTH self-join sides
+    // (and the cap count) — unstaged, each side re-derives the corpus
+    // shingle pipeline (2 scans + 2 windows at any scale)
+    val sg = stager.stage(Dedup
       .shingleRows(docs, idCol, textCol, shingleN, carryCols = Seq(groupCol))
       .select(col(s"`$groupCol`"), md5Hash60(col("shingle")).as("__gh"))
-      .distinct()
+      .distinct(), "source_overlap_grams")
     val kept = maxGroupsPerShingle match {
       case None => sg
       case Some(cap) =>

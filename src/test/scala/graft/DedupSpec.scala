@@ -82,6 +82,48 @@ class DedupSpec extends SparkSpecBase {
     assert(graph.getNode("keep_me").isDefined)
   }
 
+  test("removeDuplicateSpans strikes cross-doc token runs, preserves the rest") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "x alpha beta gamma delta y"),
+      (3L, "totally different text here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanN = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // dup 3-grams: "alpha beta gamma" + "beta gamma delta" (docs 1,2)
+    assert(out(1L) === (("unique one", 2, 4)))
+    assert(out(2L) === (("x y", 2, 4)))
+    assert(out(3L) === (("totally different text here now", 5, 0)))
+  }
+
+  test("removeDuplicateSpans: within-doc repeats don't count toward minDocs; short docs pass") {
+    val docs = Seq(
+      (1L, "p q r p q r"),   // "p q r" twice, but in ONE doc only
+      (2L, "a b"),           // shorter than spanN
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanN = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === (("p q r p q r", 6, 0)))
+    assert(out(2L) === (("a b", 2, 0)))
+    assert(out(3L) === (("", 0, 0)))
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanN = 3, minDocs = 1)
+    }
+  }
+
+  test("removeDuplicateSpans is case-sensitive (exact substrings) and keeps other columns") {
+    val docs = Seq(
+      (1L, "en", "Alpha Beta Gamma Delta tail"),
+      (2L, "fr", "alpha beta gamma delta tail2")
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanN = 3)
+    // differing case -> no shared spans -> nothing struck
+    assert(out.filter($"n_tokens_removed" =!= 0).count() === 0)
+    assert(out.columns.toSet ===
+      Set("doc_id", "lang", "text", "n_tokens_kept", "n_tokens_removed"))
+  }
+
   test("simhash: identical docs collide; near-identical docs are close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
