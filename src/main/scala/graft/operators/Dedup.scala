@@ -405,9 +405,12 @@ object Dedup {
     * (doc level) and [[graft.operators.LineDedup]] (line level) for text
     * without line structure.
     *
-    * 100 TB shape: four O(tokens) shuffles, none of text —
+    * 100 TB shape: two corpus tokenizations (narrow CPU; the raw token
+    * stream stays unstaged, the bm25TopK rule) and four O(tokens)
+    * shuffles, none of text —
     *  1. tokens by doc for ONE window pass (contiguous index + spanN-1
-    *     leads — gram hashes and indexes in the same Window operator);
+    *     leads — gram hashes and indexes in the same Window operator),
+    *     staged as (id, index, hash) for its two consumers;
     *  2. (gram-hash, doc) distinct + count ≥ minDocs, map-side combined;
     *  3. left-semi of gram starts against the duplicated-hash set (no
     *     broadcast assumption — web-scale boilerplate is itself huge);
@@ -438,26 +441,29 @@ object Dedup {
     val others = df.columns.filterNot(c => c == idCol || c == textCol)
 
     // case PRESERVED: exact-substring dedup is about exact bytes, and the
-    // kept tokens are payload (the slidingWindows convention). The
-    // tokenized stream is STAGED (3 narrow columns — never the spanN-wide
-    // lead projection): it feeds the gram window AND the coverage window,
-    // and unstaged each consumer would re-scan + re-tokenize the corpus.
-    val toks = stager.stage(
-      df.select(id,
-          posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
-            .as(Seq("__sp_pos", "__sp_tok")))
-        .filter(col("__sp_tok") =!= ""),
-      "span_dedup_tokens")
+    // kept tokens are payload (the slidingWindows convention). The token
+    // stream itself stays UNSTAGED on purpose (the bm25TopK rule:
+    // materializing a corpus-sized stream costs more than its two scans —
+    // gram window + coverage window each re-tokenize, which is narrow CPU).
+    val toks = df.select(id,
+        posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
+          .as(Seq("__sp_pos", "__sp_tok")))
+      .filter(col("__sp_tok") =!= "")
     val w = Window.partitionBy(id).orderBy(col("__sp_pos"))
     val leads = (1 until spanN).map(i => lead(col("__sp_tok"), i).over(w).as(s"__t$i"))
     // one Window operator: contiguous 0-based index + the spanN-1 leads
     val ixed = toks.select(id +: col("__sp_tok") +:
       (row_number().over(w) - 1).as("__sp_ix") +: leads: _*)
-    val gramStarts = ixed
+    // staged: (id, index, 60-bit hash) — hashes, never text — because it
+    // feeds BOTH the duplicated-hash count and the semi-join below;
+    // unstaged each consumer would re-tokenize and re-window the corpus
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val gramStarts = stager.stage(ixed
       .filter(col(s"__t${spanN - 1}").isNotNull)
       .select(id, col("__sp_ix"),
         graft.functions.TextFunctions.md5Hash60(concat_ws(" ",
-          col("__sp_tok") +: (1 until spanN).map(i => col(s"__t$i")): _*)).as("__sp_gh"))
+          col("__sp_tok") +: (1 until spanN).map(i => col(s"__t$i")): _*)).as("__sp_gh")),
+      s"span_grams_$runId")
     val dupHashes = gramStarts.select(col("__sp_gh"), id).distinct()
       .groupBy(col("__sp_gh")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs).select(col("__sp_gh"))

@@ -81,7 +81,10 @@ object LmScore {
     *
     * Each ln is rounded to `logRoundDp` decimals through DECIMAL on both
     * engines, and the per-document mean sums those through DECIMAL(25,9)
-    * before ONE IEEE division — bit-stable everywhere. */
+    * before ONE IEEE division — bit-stable everywhere. (Degenerate edge:
+    * an EMPTY training corpus has no types, the smoothed denominator is
+    * 0, and every avg_logp comes back null — score against a real
+    * reference corpus.) */
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
       vocabSize: Int = 10000, logRoundDp: Int = 9,
@@ -101,12 +104,14 @@ object LmScore {
     // and the TRAINING CORPUS would be re-scanned once per consumer — the
     // Stager scaladoc's exact scenario. After staging, training costs two
     // corpus scans (vocab count + bigram count) and scoring one.
-    val vocab = stager.stage(topVocab(train, trainTextCol, vocabSize), "lm_vocab")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val vocab = stager.stage(topVocab(train, trainTextCol, vocabSize), s"lm_vocab_$runId")
     val tb = bigramStream(train.select(
         monotonically_increasing_id().as("__lm_tid"), col(s"`$trainTextCol`")),
       "__lm_tid", trainTextCol, vocab)
     val big = stager.stage(
-      tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")), "lm_bigrams")
+      tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")),
+      s"lm_bigrams_$runId")
     // context counts and the type count derive from the BIGRAM TABLE, not
     // the raw stream: c(w1) = row-sum of c(w1,·) and the mapped-type set
     // equals the set of values in either bigram slot — identical numbers,

@@ -97,7 +97,8 @@ object Profile {
     val sg = stager.stage(Dedup
       .shingleRows(docs, idCol, textCol, shingleN, carryCols = Seq(groupCol))
       .select(col(s"`$groupCol`"), md5Hash60(col("shingle")).as("__gh"))
-      .distinct(), "source_overlap_grams")
+      .distinct(),
+      s"source_overlap_grams_${java.util.UUID.randomUUID().toString.take(8)}")
     val kept = maxGroupsPerShingle match {
       case None => sg
       case Some(cap) =>
