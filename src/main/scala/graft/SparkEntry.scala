@@ -2387,5 +2387,27 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("n_tokens_kept"), col("n_tokens_removed"))
         .orderBy(col("doc_id"))
     }
+
+    // --- character-entropy quality signal (gibberish / encoded-blob
+    //     detector): H = ln(n) − (Σ c·ln c)/n over non-whitespace char
+    //     counts. Both ln's round through DECIMAL(25,12) to 9dp and the
+    //     c·ln(c) products accumulate through DECIMAL(25,9) (p26
+    //     contract) — the entropy itself hash-matches.
+    register("p45_char_entropy",
+      """WITH s AS (SELECT doc_id, regexp_replace(text, '\s', '', 'g') AS t FROM documents),
+        |ch AS (SELECT doc_id, unnest(string_split(t, '')) AS c FROM s WHERE length(t) > 0),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+        |agg AS (SELECT doc_id, SUM(n) AS n_chars_sig,
+        |    SUM(CAST(n * CAST(ROUND(CAST(ln(n) AS DECIMAL(25,12)), 9) AS DOUBLE)
+        |        AS DECIMAL(25,9))) AS clnc
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chars_sig AS BIGINT) AS n_chars_sig,
+        |  CAST(ROUND(CAST(ln(n_chars_sig) AS DECIMAL(25,12)), 9) AS DOUBLE)
+        |    - CAST(clnc AS DOUBLE) / CAST(n_chars_sig AS DOUBLE) AS char_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.TextFunctions.charEntropy(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
   }
 }

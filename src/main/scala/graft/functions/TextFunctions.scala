@@ -159,6 +159,42 @@ object TextFunctions {
       .drop("__sum_tok_len")
   }
 
+  /** Per-document Shannon entropy (nats) over non-whitespace characters —
+    * the gibberish/encoded-blob detector: random base64 or hex blobs score
+    * near the uniform-alphabet ceiling, natural language sits well below,
+    * single-character spam near 0. H = ln(n) − (Σ c·ln(c))/n over the
+    * per-character counts c (algebraically −Σ (c/n)ln(c/n), in the form
+    * whose only non-exact terms are the two ln's).
+    *
+    * One explode + one (id, char) groupBy + one id rollup — map-side
+    * combinable, O(chars) shuffle of single characters. Each ln rounds
+    * through DECIMAL(25,12) to `lnRoundDp` (the p26 contract), products
+    * accumulate through DECIMAL(25,9), so the DuckDB oracle hash-matches.
+    * Characters are BMP code points (a surrogate pair counts as two).
+    * Docs with no non-whitespace characters are absent (inner semantics).
+    */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lnRoundDp: Int = 9): org.apache.spark.sql.DataFrame = {
+    require(lnRoundDp >= 1 && lnRoundDp <= 12,
+      s"lnRoundDp must be in [1,12], got $lnRoundDp")
+    def lnR(c: Column) =
+      round(log(c).cast("decimal(25,12)"), lnRoundDp).cast("double")
+    val chars = df.select(col(s"`$idCol`"),
+        explode(split(regexp_replace(coalesce(col(s"`$textCol`"), lit("")), "\\s", ""), ""))
+          .as("__ch"))
+      .filter(col("__ch") =!= "")
+    chars.groupBy(col(s"`$idCol`"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(s"`$idCol`"))
+      .agg(sum(col("__c")).as("n_chars_sig"),
+        sum((col("__c").cast("double") * lnR(col("__c"))).cast("decimal(25,9)"))
+          .as("__clnc"))
+      .select(col(s"`$idCol`"), col("n_chars_sig"),
+        (lnR(col("n_chars_sig")) -
+          col("__clnc").cast("double") / col("n_chars_sig").cast("double"))
+          .as("char_entropy"))
+  }
+
   /** Language argmax over tokenStats hit columns (same tie-break-ascending
     * semantics as [[langId]]). */
   def langPredFromStats: Column = {

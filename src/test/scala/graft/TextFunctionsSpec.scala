@@ -1,4 +1,5 @@
 package graft
+// (charEntropy cases at the bottom of this suite)
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
@@ -75,5 +76,29 @@ class TextFunctionsSpec extends SparkSpecBase {
     val b = one("alpha beta gamma delta epsilon zeta eta iota")
       .select(winnowFingerprint(col("text"), 3, 2)).as[String].head()
     assert(a.nonEmpty && b.nonEmpty)
+  }
+
+  test("charEntropy: hand-checked value, uniform > natural > constant, whitespace ignored") {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "aab"),              // counts a:2 b:1 -> ln3 - (2 ln2)/3
+      (2L, "abcdefgh"),         // uniform over 8 chars -> ln 8
+      (3L, "aaaa aaaa"),        // constant (whitespace stripped) -> 0
+      (4L, "   "),              // nothing significant -> absent
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val expected1 = r9(math.log(3)) - (2.0 * r9(math.log(2))) / 3.0
+    assert(math.abs(got(1L)._2 - expected1) < 1e-12)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(2L)._2 - r9(math.log(8))) < 1e-12)
+    assert(got(3L)._2 === 0.0 && got(3L)._1 === 8L)
+    assert(got(2L)._2 > got(1L)._2 && got(1L)._2 > got(3L)._2)
+    intercept[IllegalArgumentException] {
+      charEntropy(docs, "doc_id", "text", lnRoundDp = 0)
+    }
   }
 }
