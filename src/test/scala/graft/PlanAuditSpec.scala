@@ -89,6 +89,46 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("p41: the LM scoring plan reads the corpus ONCE; model tables come from stages") {
+    val df = SparkEntry.queries("p41_lm_score")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // vocab + bigram + context + type-count frames are staged RDDs — only
+    // the scoring stream touches parquet
+    assert(scans(plan).size === 1, plan.toString)
+    assert(plan.toString.contains("BroadcastHashJoin"), "ctx/vocab should broadcast")
+  }
+
+  test("p42: the corpus profile is a single-scan aggregation chain") {
+    val df = SparkEntry.queries("p42_corpus_profile")(spark, dir)
+    assert(scans(df.queryExecution.executedPlan).size === 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("p43: both self-join sides read the staged gram table, not the corpus") {
+    val df = SparkEntry.queries("p43_source_overlap")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // zero parquet scans: the distinct (group, hash) stage feeds the cap
+    // count and both join sides
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+  }
+
+  test("p44: span dedup re-reads the corpus twice (stream unstaged by design) and covers via a RANGE frame") {
+    val df = SparkEntry.queries("p44_span_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // one scan for the coverage token stream + one for the final
+    // column-preserving join back; the gram pipeline reads its stage
+    assert(scans(plan).size === 2, plan.toString)
+    assert(plan.toString.contains("RangeFrame"),
+      "coverage window must use a RANGE frame (value-based span distance)")
+  }
+
+  test("p45: char entropy is a single-scan double aggregation") {
+    val df = SparkEntry.queries("p45_char_entropy")(spark, dir)
+    assert(scans(df.queryExecution.executedPlan).size === 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("asof nearest: both window scans share ONE key exchange") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
