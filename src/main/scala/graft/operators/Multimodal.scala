@@ -52,6 +52,45 @@ object Multimodal {
       .drop("__off")
   }
 
+  /** REAL (non-stub) header metadata extraction: image format + pixel
+    * dimensions parsed straight from the payload bytes with built-in
+    * expressions (hex/substr/conv) — no codec library, fully codegen'd,
+    * zero shuffle. Returns struct(format, width, height) or NULL when the
+    * payload matches no known signature.
+    *
+    *  - PNG: 8-byte signature, then IHDR width/height as big-endian u32
+    *    at fixed offsets 17-20 / 21-24 (1-based).
+    *  - GIF (87a/89a): logical-screen width/height as little-endian u16
+    *    at offsets 7-8 / 9-10.
+    *  - JPEG: SOF0/SOF2 frame header located by a bounded regex over the
+    *    hex of the first 64 KiB (markers precede entropy-coded data;
+    *    heuristic in the same way every fast-path prober is — a crafted
+    *    comment segment containing FFC0 bytes can fool it, a full parser
+    *    drops in via [[MediaDecoder]] when that matters).
+    */
+  def imageDimensions(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def beU32(off: Int) = conv(hex(bin.substr(lit(off), lit(4))), 16, 10).cast("int")
+    def leU16(off: Int) = conv(
+      concat(hex(bin.substr(lit(off + 1), lit(1))), hex(bin.substr(lit(off), lit(1)))),
+      16, 10).cast("int")
+    val isPng = hex(bin.substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    val isGif = hex(bin.substr(lit(1), lit(4))) === "47494638" // "GIF8"
+    val isJpg = hex(bin.substr(lit(1), lit(2))) === "FFD8"
+    // SOF0/SOF2: marker, 2-byte length, 1-byte precision, height u16, width u16
+    val sof = regexp_extract(hex(bin.substr(lit(1), lit(65536))),
+      "FFC[02][0-9A-F]{4}[0-9A-F]{2}([0-9A-F]{4})([0-9A-F]{4})", 0)
+    val jH = conv(substring(sof, 11, 4), 16, 10).cast("int")
+    val jW = conv(substring(sof, 15, 4), 16, 10).cast("int")
+    when(isPng, struct(lit("png").as("format"),
+        beU32(17).as("width"), beU32(21).as("height")))
+      .when(isGif, struct(lit("gif").as("format"),
+        leU16(7).as("width"), leU16(9).as("height")))
+      .when(isJpg && sof =!= "", struct(lit("jpeg").as("format"),
+        jW.as("width"), jH.as("height")))
+      .otherwise(lit(null).cast(
+        "struct<format:string,width:int,height:int>"))
+  }
+
   // ------------------------------------------------------------ decoders
 
   /** Byte-payload -> feature-vector decode contract. Real image/audio

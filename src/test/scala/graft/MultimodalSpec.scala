@@ -25,6 +25,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.toSeq === Seq((0, 32L), (1, 32L), (2, 32L), (3, 4L)))
   }
 
+  test("imageDimensions parses real PNG/GIF/JPEG headers from bytes (no codec)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // minimal real headers, hand-assembled per spec
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      b(0, 0, 1, 0x40, /* width 320 */ 0, 0, 0, 0xF0 /* height 240 */, 8, 6, 0, 0, 0)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      b(0x40, 0x01, /* width 320 LE */ 0xF0, 0x00 /* height 240 LE */, 0, 0, 0)
+    val jpg = b(0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46, // APP0 stub
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0xF0, 0x01, 0x40) // SOF0: h=240 w=320
+    val junk = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, gif), (3L, jpg), (4L, junk)).toDF("id", "media")
+      .withColumn("dims", Multimodal.imageDimensions(col("media")))
+    val got = df.select(col("id"), col("dims.format"), col("dims.width"), col("dims.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) === ((Some("png"), Some(320), Some(240))))
+    assert(got(2L) === ((Some("gif"), Some(320), Some(240))))
+    assert(got(3L) === ((Some("jpeg"), Some(320), Some(240))))
+    assert(got(4L) === ((None, None, None)))
+  }
+
   test("FakeDecoder is deterministic; decodeFeatures appends array<float>") {
     val dec = new Multimodal.FakeDecoder(8)
     val bytes = "some media payload".getBytes("UTF-8")
