@@ -49,15 +49,6 @@ object DupClusters {
     val a = col(s"`$aCol`")
     val b = col(s"`$bCol`")
 
-    // canonical directed edge u -> v with u > v (v is the smaller
-    // neighbor); drop nulls and self-loops
-    var edges = stager.stage(
-      pairs
-        .filter(a.isNotNull && b.isNotNull && a =!= b)
-        .select(greatest(a, b).as("u"), least(a, b).as("v"))
-        .distinct(),
-      s"cc_edges_${runId}_0")
-
     // convergence signature: order-insensitive content hash + count.
     // xxhash64 over both columns, summed — collision odds over 64 bits are
     // negligible against maxIters more rounds of the exact fixed point.
@@ -68,7 +59,39 @@ object DupClusters {
       (r.getLong(0), r.getLong(1))
     }
 
-    var sig = signature(edges)
+    // Stage a round's edges AND collect the signature from the SAME pass:
+    // an Observation rides the staging action (CollectMetrics), so an
+    // eager stager (LocalCheckpoint) pays no second scan of the edge set —
+    // at cluster scale that second scan is a full distributed pass per
+    // round. A LAZY stager runs no action inside stage(); its metrics
+    // arrive only when something executes, so after a short wait we fall
+    // back to the explicit aggregate (whose own action then materializes
+    // the stage — current behavior, nothing lost).
+    def stageWithSig(e: DataFrame, name: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(name + "_sig")
+      val staged = stager.stage(
+        e.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")),
+        name)
+      // listener delivery is async even for an eager stage — await briefly
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(2, "s"))
+        (staged, (row.getAs[Long]("n"), row.getAs[Long]("h")))
+      } catch {
+        case _: java.util.concurrent.TimeoutException => (staged, signature(staged))
+      }
+    }
+
+    // canonical directed edge u -> v with u > v (v is the smaller
+    // neighbor); drop nulls and self-loops
+    var (edges, sig) = stageWithSig(
+      pairs
+        .filter(a.isNotNull && b.isNotNull && a =!= b)
+        .select(greatest(a, b).as("u"), least(a, b).as("v"))
+        .distinct(),
+      s"cc_edges_${runId}_0")
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -96,8 +119,8 @@ object DupClusters {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
 
-      edges = stager.stage(small, s"cc_edges_${runId}_${it + 1}")
-      val next = signature(edges)
+      val (staged, next) = stageWithSig(small, s"cc_edges_${runId}_${it + 1}")
+      edges = staged
       converged = next == sig
       sig = next
       it += 1
