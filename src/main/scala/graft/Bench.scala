@@ -47,11 +47,20 @@ object Bench {
     // samples(name) = one timing per suite pass (absent where that pass failed)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 0 until reps; (name, fn) <- names) {
-      try samples(name) = samples(name) :+ timeOnce(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    for (p <- 0 until reps) {
+      for ((name, fn) <- names) {
+        try samples(name) = samples(name) :+ timeOnce(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
+      // staged intermediates (localCheckpoint / persist) leak per query —
+      // 88 queries x N passes of accumulation squeezes the unified memory
+      // manager until random queries stall in GC (measured: pass totals
+      // 192s -> 212s -> 292s on one run). No query holds staged state
+      // across passes, so drop it all between passes.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     val loadAfter = loadAvg()
     // a query that failed in ANY pass is FAILED, period — a partial sample

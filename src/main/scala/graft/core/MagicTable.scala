@@ -97,6 +97,21 @@ class MagicTable(
         tolerance),
       name, sources ++ other.sources, graph)
   def describeStats(cols: String*): MagicTable = wrap(df.describe(cols: _*))
+
+  // ---- pipeline-operator forwarders: the training-data verbs a reference
+  //      user reaches for most, surfaced on the wrapper so lineage and
+  //      re-wrapping are free (full signatures live on the operators)
+  def dedupExact(idCol: String, textCol: String): MagicTable =
+    wrap(graft.operators.Dedup.exactDedup(df, idCol, textCol))
+  def dedupNear(idCol: String, textCol: String): MagicTable =
+    wrap(graft.operators.DupClusters.dedupByPairs(df, idCol,
+      graft.operators.Dedup.nearDupPairsMinhash(df, idCol, textCol)))
+  def profileBy(groupCol: String, idCol: String, textCol: String): MagicTable =
+    wrap(graft.operators.Profile.corpusProfile(df, groupCol, idCol, textCol))
+  def scoreFluency(idCol: String, textCol: String, vocabSize: Int = 10000): MagicTable =
+    wrap(graft.operators.LmScore.scoreBigramSelf(df, idCol, textCol, vocabSize))
+  def scrubPii(textCol: String): MagicTable =
+    wrap(graft.operators.Scrub.redactColumn(df, textCol))
   def head(n: Int): Seq[org.apache.spark.sql.Row] = df.head(n).toSeq
   /** Sink escape hatch (delegated write surface: parquet/csv/json/orc...). */
   def write: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = df.write

@@ -23,6 +23,24 @@ class MagicTableSpec extends SparkSpecBase {
     assert(out.df.select("id").as[Long].head() === 3L)
   }
 
+  test("pipeline-operator forwarders: dedup/profile/fluency/scrub on the wrapper") {
+    val docs = MagicTable.fromDataFrame(
+      Seq((1L, "s1", "the quick brown fox jumps"),
+          (2L, "s1", "the  QUICK brown fox jumps"), // exact dup after norm
+          (3L, "s2", "email me at a@b.com today please"))
+        .toDF("doc_id", "src", "text"), "docs", graph)
+    val deduped = docs.dedupExact("doc_id", "text")
+    assert(deduped.count() === 2 && deduped.name === "docs")
+    val prof = docs.profileBy("src", "doc_id", "text")
+    assert(prof.columns.contains("dup_frac") && prof.count() === 2)
+    val flu = docs.scoreFluency("doc_id", "text", vocabSize = 50)
+    assert(flu.columns.toSet === Set("doc_id", "n_bigrams", "avg_logp"))
+    val clean = docs.scrubPii("text")
+    assert(!clean.df.filter(col("text").contains("a@b.com")).head(1).nonEmpty)
+    val near = docs.dedupNear("doc_id", "text")
+    assert(near.count() <= 3 && near.name === "docs")
+  }
+
   test("na handling: fillNa and dropNa") {
     assert(mt.fillNa(0.0).df.filter(col("v").isNull).count() === 0)
     assert(mt.dropNa(Seq("v")).count() === 2)
