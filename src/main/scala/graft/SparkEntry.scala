@@ -2409,5 +2409,32 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }
+
+    // --- corpus-level boilerplate top-k (Dedup.boilerplateNgrams): the k
+    //     most widespread 5-grams by document frequency. Corpus-wide
+    //     shuffles carry only the shared 60-bit md5 gram hash (the p27
+    //     contract); ordering and the k cut tiebreak on that hash so both
+    //     engines agree without comparing gram text.
+    register("p46_boilerplate_ngrams",
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(t)-3),
+         |                i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS gram
+         |  FROM toks),
+         |dg AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh FROM g),
+         |fr AS (SELECT gh, COUNT(*) AS ndocs FROM dg GROUP BY gh),
+         |gt AS (SELECT ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh,
+         |    MIN(gram) AS gram FROM g GROUP BY 1),
+         |topk AS (SELECT gt.gram, fr.ndocs,
+         |    ROW_NUMBER() OVER (ORDER BY fr.ndocs DESC, fr.gh) AS rank
+         |  FROM fr JOIN gt USING (gh))
+         |SELECT gram, ndocs, rank FROM topk WHERE rank <= 20
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      Dedup.boilerplateNgrams(
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 5, k = 20)
+        .orderBy(col("rank"))
+    }
   }
 }

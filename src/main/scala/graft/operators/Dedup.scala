@@ -509,6 +509,41 @@ object Dedup {
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Corpus-level boilerplate detector: the k most widespread word-n-grams
+    * ranked by document frequency (distinct docs containing the gram) —
+    * the "strip this template text" list every large-corpus pipeline
+    * publishes. Output: (gram, ndocs, rank) with rank 1..k, ordered by
+    * (ndocs DESC, gram-hash ASC); the tiebreak is the shared 60-bit md5
+    * hash so both engines agree without ever comparing gram strings.
+    *
+    * 100 TB design: every corpus-wide shuffle carries only (id, hash) or
+    * (hash, count) — gram TEXT never enters a shuffle. Per-hash doc counts
+    * take one hash-only distinct + groupBy (partial aggregation combines
+    * map-side); the k winners come off a TakeOrderedAndProject over that
+    * count table; their text is recovered by re-scanning the shingle
+    * stream against the BROADCAST k-row winner set (second scan, zero
+    * shuffle — cheaper at scale than materializing the text-bearing
+    * stream). min(gram) per hash keeps the output deterministic even
+    * under a 60-bit collision.
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol), col("shingle"),
+        TextFunctions.md5Hash60(col("shingle")).as("__g"))
+    val counts = grams.select(col(idCol), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("ndocs"))
+    val top = counts.orderBy(col("ndocs").desc, col("__g")).limit(k)
+    grams.select(col("__g"), col("shingle"))
+      .join(broadcast(top), Seq("__g"))
+      .groupBy(col("__g"), col("ndocs"))
+      .agg(min(col("shingle")).as("gram"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("ndocs").desc, col("__g"))))
+      .select(col("gram"), col("ndocs"), col("rank"))
+  }
+
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol).as("__v"))

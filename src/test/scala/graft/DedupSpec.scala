@@ -28,6 +28,35 @@ class DedupSpec extends SparkSpecBase {
       "doc_id", "text", 3).count() === 0)
   }
 
+  test("boilerplateNgrams ranks grams by doc frequency, hash tiebreak, k cut") {
+    // "the quick brown fox jumps" appears in docs 1-3; each doc also has a
+    // unique 5-gram tail (df=1). Within-doc repetition must NOT inflate df.
+    val df = Seq(
+      (1L, "the quick brown fox jumps alpha beta gamma delta one"),
+      (2L, "the quick brown fox jumps alpha beta gamma delta two"),
+      (3L, "the quick brown fox jumps the quick brown fox jumps"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val top = Dedup.boilerplateNgrams(df, "doc_id", "text", shingleN = 5, k = 3)
+      .orderBy($"rank").collect()
+    assert(top.length === 3)
+    assert(top(0).getAs[String]("gram") === "the quick brown fox jumps")
+    assert(top(0).getAs[Long]("ndocs") === 3L)
+    assert(top(0).getAs[Int]("rank") === 1)
+    // docs 1+2 share four more grams (df=2); the k cut keeps the two with
+    // the smallest 60-bit md5 hashes — compute the expectation directly
+    val hashOf = (g: String) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val df2grams = Seq("quick brown fox jumps alpha", "brown fox jumps alpha beta",
+      "fox jumps alpha beta gamma", "jumps alpha beta gamma delta")
+    val expected = df2grams.sortBy(hashOf).take(2)
+    val rest = Seq(top(1), top(2))
+    assert(rest.forall(_.getAs[Long]("ndocs") === 2L))
+    assert(rest.map(_.getAs[String]("gram")) === expected)
+  }
+
   test("minhash-LSH finds exactly the brute-force near-dup pairs on real docs") {
     val docs = testdata("sf0.001", "documents")
     val lsh = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",

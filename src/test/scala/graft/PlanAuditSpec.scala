@@ -129,6 +129,17 @@ class PlanAuditSpec extends SparkSpecBase {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("p46: boilerplate top-k cut is TakeOrderedAndProject; text recovery broadcasts") {
+    val df = SparkEntry.queries("p46_boilerplate_ngrams")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the k winners come off a top-k operator, not a global sort...
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // ...and rejoin the shingle stream by broadcast — gram text must never
+    // ride a corpus-wide shuffle (SortMergeJoin would mean exactly that)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("asof nearest: both window scans share ONE key exchange") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
