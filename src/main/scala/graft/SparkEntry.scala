@@ -2436,5 +2436,42 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", shingleN = 5, k = 20)
         .orderBy(col("rank"))
     }
+
+    // --- count-min frequency sketch (Sketch.cmsSketch/cmsEstimate):
+    //     bounded-shuffle per-group frequency estimation. The md5 cell
+    //     hash ("cms<d>:<key>" mod width) reproduces exactly in DuckDB,
+    //     so the whole build-then-probe pipeline hash-matches: counts are
+    //     exact longs, the estimate is a min over depth counters.
+    register("p47_cms_freq",
+      """WITH dd AS (SELECT unnest(range(3)) AS d),
+        |cells AS (
+        |  SELECT event_type,
+        |    dd.d,
+        |    ('0x' || substring(md5('cms' || dd.d::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT % 64 AS idx,
+        |    COUNT(*) AS cnt
+        |  FROM events, dd WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id % 13 = 0),
+        |pe AS (
+        |  SELECT p.event_type, p.user_id, dd.d,
+        |    ('0x' || substring(md5('cms' || dd.d::VARCHAR || ':' || p.user_id::VARCHAR), 1, 15))::BIGINT % 64 AS idx
+        |  FROM probes p, dd)
+        |SELECT pe.event_type, pe.user_id,
+        |  MIN(COALESCE(c.cnt, 0)) AS est_count
+        |FROM pe LEFT JOIN cells c
+        |  ON pe.event_type = c.event_type AND pe.d = c.d AND pe.idx = c.idx
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val probes = ev.filter(col("user_id") % 13 === 0)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sketch = graft.operators.Sketch.cmsSketch(
+        ev, "user_id", "event_type", depth = 3, width = 64)
+      graft.operators.Sketch.cmsEstimate(
+          probes, sketch, "user_id", "event_type", depth = 3, width = 64)
+        .select(col("event_type"), col("user_id"), col("est_count"))
+        .orderBy(col("event_type"), col("user_id"))
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,4 +114,78 @@ object Sketch {
   def distinctEstimate(df: DataFrame, keyCol: String, groupCol: String,
       k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, keyCol, groupCol, k), k)
+
+  // ------------------------------------------------------------ count-min
+
+  /** Counter cell for one (depth-row, key): the seeded 60-bit md5 hash
+    * reduced mod width. Seeding by string concat ("cms<d>:<key>") keeps
+    * the whole construction reproducible in any engine with md5. */
+  private def cmsCell(key: Column, d: Column, width: Int): Column =
+    pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(lit("cms"), d.cast("string"), lit(":"), key.cast("string"))),
+      lit(width.toLong))
+
+  /** Count-min frequency sketch per group, in the exploded layout
+    * (groupCol, d, idx, cnt) — at most depth·width cells per group.
+    *
+    * Why a sketch when groupBy(key).count is one line: the exact count
+    * shuffles one record PER DISTINCT KEY; this shuffles at most
+    * depth·width cells per group no matter how many keys exist, and the
+    * partial aggregation combines map-side, so frequency queries over a
+    * 100 TB key space cost a bounded, pre-sizeable shuffle. Sketches are
+    * MERGEABLE ([[cmsMerge]]: cells sum) — shards/days sketch
+    * independently and roll up without rescanning. Like KMV (and unlike
+    * engine-native frequency sketches), every step is md5-deterministic,
+    * so the p47 gate hash-matches the DuckDB oracle: a sketch you can
+    * AUDIT. Null keys carry no identity and are dropped, as in
+    * [[kmvSketch]]. Estimates ([[cmsEstimate]]) overcount on collision,
+    * never undercount (classic CM guarantee). */
+  def cmsSketch(df: DataFrame, keyCol: String, groupCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(!Set("d", "idx", "cnt", "__k").contains(keyCol) &&
+      !Set("d", "idx", "cnt", "__k").contains(groupCol),
+      s"column names d/idx/cnt/__k are reserved by cmsSketch")
+    val g = col(s"`$groupCol`")
+    val key = col(s"`$keyCol`")
+    df.filter(key.isNotNull)
+      .select(g, key.as("__k"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("d"))
+      .groupBy(g, col("d"), cmsCell(col("__k"), col("d"), width).as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two CMS frames built with the SAME (depth, width): cells sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    a.select(g, col("d"), col("idx"), col("cnt"))
+      .unionAll(b.select(g, col("d"), col("idx"), col("cnt")))
+      .groupBy(g, col("d"), col("idx"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a probe frame (groupCol, keyCol):
+    * min over the depth counters, 0 where a cell is absent. The sketch
+    * side is depth·width·groups cells — typically tiny next to the probe
+    * stream; Catalyst/AQE broadcasts it when it fits, so probing is a
+    * scan of the probes, not a corpus shuffle. Output adds est_count. */
+  def cmsEstimate(probes: DataFrame, sketch: DataFrame, keyCol: String,
+      groupCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val reserved = Set("d", "idx", "cnt", "__sg", "__pd", "__pidx", "est_count")
+    require(!reserved.contains(keyCol) && !reserved.contains(groupCol),
+      s"column names ${reserved.mkString("/")} are reserved by cmsEstimate")
+    val g = col(s"`$groupCol`")
+    val key = col(s"`$keyCol`")
+    val cells = sketch.select(g.as("__sg"), col("d"), col("idx"), col("cnt"))
+    probes
+      .select(g, key,
+        explode(array((0 until depth).map(lit(_)): _*)).as("__pd"))
+      .withColumn("__pidx", cmsCell(key, col("__pd"), width))
+      .join(cells, g === col("__sg") && col("__pd") === col("d") &&
+        col("__pidx") === col("idx"), "left")
+      .groupBy(g, key)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

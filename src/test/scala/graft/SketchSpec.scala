@@ -68,4 +68,58 @@ class SketchSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Sketch.kmvSketchSharded(df, "key", "g", 1, 4) }
     intercept[IllegalArgumentException] { Sketch.kmvSketchSharded(df, "key", "g", 8, 0) }
   }
+
+  // ------------------------------------------------------------ count-min
+
+  private def cmsFixture = {
+    // known per-(group, key) counts, incl. a key shared across groups
+    val rows = Seq.tabulate(60)(i => ("ga", s"k${i % 6}")) ++ // 10 each of k0..k5
+      Seq.tabulate(20)(i => ("gb", s"k${i % 2}"))             // 10 each of k0,k1
+    rows.toDF("g", "key")
+  }
+
+  test("CMS never undercounts; exact at generous width; absent key reads 0") {
+    val probes = (Seq("k0", "k1", "k2", "k3", "k4", "k5", "absent").map(("ga", _)) ++
+      Seq(("gb", "k0"), ("gb", "k1"), ("gb", "absent"))).toDF("g", "key")
+    val exact = Map(("ga", "absent") -> 0L, ("gb", "absent") -> 0L) ++
+      (0 until 6).map(i => ("ga", s"k$i") -> 10L) ++
+      (0 until 2).map(i => ("gb", s"k$i") -> 10L)
+    // generous width: 7 keys in 4096 cells x 3 independent rows -> the
+    // min over depth is collision-free for this fixed fixture
+    val wide = Sketch.cmsEstimate(probes,
+      Sketch.cmsSketch(cmsFixture, "key", "g", depth = 3, width = 4096),
+      "key", "g", depth = 3, width = 4096)
+      .as[(String, String, Long)].collect().map { case (g, k, e) => (g, k) -> e }.toMap
+    assert(wide === exact)
+    // starved width: collisions guaranteed, but the CM bound still holds
+    val narrow = Sketch.cmsEstimate(probes,
+      Sketch.cmsSketch(cmsFixture, "key", "g", depth = 2, width = 3),
+      "key", "g", depth = 2, width = 3)
+      .as[(String, String, Long)].collect().map { case (g, k, e) => (g, k) -> e }.toMap
+    assert(exact.forall { case (gk, c) => narrow(gk) >= c })
+  }
+
+  test("CMS merge of shard sketches equals the sketch of the union") {
+    val df = cmsFixture.withColumn("__half", abs(hash($"key")) % 2)
+    val full = Sketch.cmsSketch(cmsFixture, "key", "g", depth = 3, width = 64)
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsSketch(df.filter($"__half" === 0).drop("__half"), "key", "g", 3, 64),
+      Sketch.cmsSketch(df.filter($"__half" === 1).drop("__half"), "key", "g", 3, 64),
+      "g")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    assert(full.collect().map(key).toSet === merged.collect().map(key).toSet)
+  }
+
+  test("CMS guard rails: reserved names and degenerate shapes") {
+    val df = Seq(("a", "x")).toDF("g", "key")
+    intercept[IllegalArgumentException] { Sketch.cmsSketch(df, "key", "g", 0, 64) }
+    intercept[IllegalArgumentException] { Sketch.cmsSketch(df, "key", "g", 3, 1) }
+    intercept[IllegalArgumentException] {
+      Sketch.cmsSketch(df.withColumnRenamed("key", "cnt"), "cnt", "g", 3, 64)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.cmsEstimate(df, df, "key", "est_count", 3, 64)
+    }
+  }
 }
