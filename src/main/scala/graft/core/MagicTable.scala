@@ -112,6 +112,9 @@ class MagicTable(
     wrap(graft.operators.LmScore.scoreBigramSelf(df, idCol, textCol, vocabSize))
   def scrubPii(textCol: String): MagicTable =
     wrap(graft.operators.Scrub.redactColumn(df, textCol))
+  def boilerplateNgrams(idCol: String, textCol: String, shingleN: Int = 5,
+      k: Int = 20): MagicTable =
+    wrap(graft.operators.Dedup.boilerplateNgrams(df, idCol, textCol, shingleN, k))
   def head(n: Int): Seq[org.apache.spark.sql.Row] = df.head(n).toSeq
   /** Sink escape hatch (delegated write surface: parquet/csv/json/orc...). */
   def write: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = df.write

@@ -169,7 +169,13 @@ object Sketch {
     * min over the depth counters, 0 where a cell is absent. The sketch
     * side is depth·width·groups cells — typically tiny next to the probe
     * stream; Catalyst/AQE broadcasts it when it fits, so probing is a
-    * scan of the probes, not a corpus shuffle. Output adds est_count. */
+    * scan of the probes, not a corpus shuffle. Output adds est_count.
+    *
+    * depth/width MUST be the values the sketch was BUILT with: a larger
+    * probe depth reads rows the sketch never wrote (coalesce 0 → every
+    * estimate collapses to 0) and a different width indexes the wrong
+    * cells. Cells are never negative, so min-with-0 only appears on a
+    * parameter mismatch or a genuinely absent key. */
   def cmsEstimate(probes: DataFrame, sketch: DataFrame, keyCol: String,
       groupCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
