@@ -159,6 +159,58 @@ object Streams {
       }
   }
 
+  case class KeyCms(key: String, total: Long, cells: Array[Long])
+
+  /** Streaming count-min frequency sketch: per key, maintain the
+    * depth×width CM counter grid (row-major Array[Long] state — BOUNDED
+    * per key no matter how many distinct values stream through, the same
+    * argument that makes [[runningDistinct]] tractable) and emit the
+    * updated grid + total each batch. The cell hash is bit-identical to
+    * [[graft.operators.Sketch.cmsSketch]]'s ("cms<d>:<value>" md5 mod
+    * width), so a stream's final state equals the batch sketch over the
+    * same rows — StreamsSpec asserts exactly that — and a snapshotted
+    * grid re-exploded to (d, idx, cnt) cells [[graft.operators
+    * .Sketch.cmsMerge]]s with batch shard sketches. Null values carry no
+    * identity; an all-null key emits nothing (batch parity). */
+  def runningFreq(
+      events: Dataset[(String, String)],
+      depth: Int = 4, width: Int = 256): Dataset[KeyCms] = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    import events.sparkSession.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], KeyCms](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Array[Long]]) =>
+          val cells = state.getOption.getOrElse(Array.fill(depth * width)(0L))
+          var any = state.getOption.isDefined
+          for (r <- rows; v <- Option(r._2)) {
+            any = true
+            var d = 0
+            while (d < depth) {
+              cells(d * width + (h60(s"cms$d:$v") % width).toInt) += 1L
+              d += 1
+            }
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(cells)
+            // total = sum of any one depth row (every row counts every
+            // observation once); row 0 avoids a full-grid pass
+            var total = 0L
+            var i = 0
+            while (i < width) { total += cells(i); i += 1 }
+            Iterator.single(KeyCms(key, total, cells))
+          }
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a running per-key event
     * counter that emits the updated total on every batch. With
     * idleTimeoutMs > 0 idle keys expire after that much processing time so

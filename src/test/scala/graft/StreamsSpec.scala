@@ -111,6 +111,39 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningFreq's final state equals the batch CMS over the same rows") {
+    val depth = 3; val width = 32
+    val rows = (1 to 200).map(i => ("g" + (i % 2), "v" + (i % 23)))
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.runningFreq(input.toDS(), depth = depth, width = width)
+    val q = out.writeStream.format("memory").queryName("running_freq")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(70): _*)
+      q.processAllAvailable()
+      input.addData(("g0", null.asInstanceOf[String]), ("gnull", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData(rows.drop(70): _*)
+      q.processAllAvailable()
+      // last emission per key: total only grows
+      val streamed = spark.table("running_freq")
+        .groupBy("key").agg(max(struct($"total", $"cells")).as("s"))
+        .select($"key", $"s.cells")
+        .as[(String, Seq[Long])].collect().toMap
+      // batch sketch re-assembled into the same row-major grid
+      val batch = graft.operators.Sketch.cmsSketch(
+          rows.toDF("g", "v"), "v", "g", depth = depth, width = width)
+        .as[(String, Int, Long, Long)].collect()
+        .groupBy(_._1).map { case (g, cs) =>
+          val grid = Array.fill(depth * width)(0L)
+          cs.foreach { case (_, d, idx, cnt) => grid(d * width + idx.toInt) = cnt }
+          g -> grid.toSeq
+        }
+      assert(streamed === batch)
+      assert(!streamed.contains("gnull"), "all-null key must emit nothing (batch parity)")
+    } finally q.stop()
+  }
+
   test("curationStream over sf0.001 documents: survivors equal the batch funnel") {
     // same docs -> same surviving fingerprint set as the equivalent batch
     // pipeline (quality gate + fingerprint distinct), the runningDistinct
