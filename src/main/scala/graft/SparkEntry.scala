@@ -967,7 +967,9 @@ object SparkEntry {
     //     The CTE list ends in `pairs` so p20/p21 can build the duplicate
     //     GRAPH oracles (connected components) on the identical pair set.
     val mhSeeds = 0 until 8
-    val minhashPairCtes =
+    // prefix through `cand` (+ `sig`) shared by the estimated-similarity
+    // gate p48, which never touches shingle sets after signing
+    val minhashCandCtes =
       s"""t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(
          |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
@@ -985,7 +987,9 @@ object SparkEntry {
          |),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |  WHERE a.doc_id < b.doc_id),
+         |  WHERE a.doc_id < b.doc_id)""".stripMargin
+    val minhashPairCtes =
+      s"""$minhashCandCtes,
          |pairs AS (SELECT id_a, id_b,
          |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
          |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE
@@ -999,6 +1003,23 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.nearDupPairsMinhash(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- MinHash signature-ESTIMATED near-dup pairs: the single-scan
+    //     bulk-drop pass (no shingle-set verify; similarity = fraction of
+    //     agreeing signature components, quantized to eighths). The 0.75
+    //     threshold sits ON a quantization step so both engines compare
+    //     the same exact IEEE value (n/8 is exact).
+    register("p48_minhash_est",
+      s"""WITH $minhashCandCtes,
+         |est AS (SELECT id_a, id_b,
+         |  (${mhSeeds.map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.75 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.nearDupPairsMinhashEst(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.75)
         .orderBy(col("id_a"), col("id_b"))
     }
 

@@ -268,6 +268,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_sim")
   }
 
+  /** MinHash-LSH near-duplicate pairs, signature-ESTIMATED: candidates from
+    * banding, similarity estimated as the fraction of agreeing signature
+    * components (an unbiased estimator of Jaccard — Broder 1997). Output
+    * (id_a, id_b, est_jaccard), id_a < id_b.
+    *
+    * This is the single-scan 100 TB shape: [[nearDupPairsMinhash]] verifies
+    * candidates against exact shingle sets, which costs a second corpus
+    * pass (tokenize + shingle the candidate docs again); here the verify
+    * reads ONLY the already-staged signature frame (numHashes longs per
+    * doc), so the whole operator is one corpus scan + joins over small
+    * frames. The price is resolution: the estimate is quantized to
+    * 1/numHashes (8 hashes → eighths) with stderr ≈ sqrt(j(1-j)/numHashes),
+    * so thresholds between quantization steps behave like the next step up.
+    * Use this pass to bulk-drop obvious near-dups cheaply; route
+    * borderline bands through the exact-verify variant if the threshold
+    * must be sharp. est_jaccard = agree/numHashes is an exact IEEE value
+    * for power-of-two numHashes (deterministic across engines). */
+  def nearDupPairsMinhashEst(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
+      threshold: Double = 0.75,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // staged for the same reason as the verified variant: the banded
+    // self-join references the signatures from several plan branches, and
+    // both sides of the estimate join read them again
+    val sig = stager.stage(
+      minhashSignature(df, idCol, textCol, shingleN, numHashes),
+      s"minhash_est_sig_$runId")
+    val cands = lshCandidates(sig, idCol, numHashes, rowsPerBand)
+    val hs = 0 until numHashes
+    val sa = sig.select(col(idCol).as("id_a") +: hs.map(i => col(s"h$i").as(s"__ha$i")): _*)
+    val sb = sig.select(col(idCol).as("id_b") +: hs.map(i => col(s"h$i").as(s"__hb$i")): _*)
+    val agree = hs.map(i =>
+      when(col(s"__ha$i") === col(s"__hb$i"), 1).otherwise(0)).reduce(_ + _)
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Brute-force n-gram Jaccard pairs (all pairs — O(n²), for tests and
     * small blocks only; the LSH path above is the scale path). */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,

@@ -70,6 +70,33 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.95, s"recall $recall too low: ${exact -- lsh}")
   }
 
+  test("signature-estimated minhash pairs: agreement fraction, quantized to eighths") {
+    // exact dups estimate 1.0 (all 8 components agree); disjoint docs never pair
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about spark catalyst optimizer internals"),
+      (4L, "completely different text about spark catalyst optimizer internals"),
+      (5L, "unrelated third subject entirely with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val small = Dedup.nearDupPairsMinhashEst(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.75)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(small === Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+    // real corpus: every estimate is a multiple of 1/8 in [threshold, 1],
+    // and the estimated pair set at 0.75 covers the exact-verified 0.8 set
+    // minus at most the quantization band (estimator never misses a pair
+    // whose candidates banding surfaced, since agreement >= 1 band match)
+    val real = testdata("sf0.001", "documents")
+    val est = Dedup.nearDupPairsMinhashEst(real, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.75)
+      .as[(Long, Long, Double)].collect()
+    assert(est.nonEmpty, "fixture should contain planted near-dups")
+    est.foreach { case (_, _, j) =>
+      assert(j >= 0.75 && j <= 1.0 && j * 8 == math.rint(j * 8), s"not quantized: $j")
+    }
+  }
+
   test("cappedBucketPairs: hot buckets degrade to k-representative stars") {
     // one bucket of 5 members with maxBucket=3 -> star pairs only
     val b = Seq(1L, 2L, 3L, 4L, 5L).map(i => ("x", i)).toDF("__bucket", "id")
