@@ -2494,5 +2494,137 @@ object SparkEntry {
         .select(col("event_type"), col("user_id"), col("est_count"))
         .orderBy(col("event_type"), col("user_id"))
     }
+
+    // --- markup stripping: documents wrapped in deterministic HTML (tags,
+    //     entities, a script/style/comment payload, whitespace runs), then
+    //     cleaned by the Clean chain on both engines. Lengths (not the
+    //     kept-ratio double) are gated so every compared value is exact.
+    register("p49_html_strip",
+      """WITH raw AS (SELECT doc_id,
+        |  '<div class="p">' || text || ' &amp;lt;keep<b>bold</b><br/>tail'
+        |    || chr(10) || chr(9)
+        |    || 'end <script type="text/javascript">var x = 1 < 2;</script><!-- gone --><style type="text/css">.c{color:red}</style></div>'
+        |  AS rawt FROM documents),
+        |s1 AS (SELECT doc_id, rawt, regexp_replace(rawt, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS x FROM raw),
+        |s2 AS (SELECT doc_id, rawt, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, rawt, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, rawt, regexp_replace(x, '</?[A-Za-z][^>]*>', ' ', 'g') AS x FROM s3),
+        |ent AS (SELECT doc_id, rawt,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    x, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS y FROM s4),
+        |fin AS (SELECT doc_id, rawt,
+        |  trim(regexp_replace(y, '[ \t\n\r\f]+', ' ', 'g')) AS clean_text FROM ent)
+        |SELECT doc_id, clean_text,
+        |  length(rawt) AS raw_len, length(clean_text) AS clean_len
+        |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<div class=\"p\">"), col("text"),
+          lit(" &amp;lt;keep<b>bold</b><br/>tail\n\tend <script type=\"text/javascript\">var x = 1 < 2;</script><!-- gone --><style type=\"text/css\">.c{color:red}</style></div>"))
+          .as("rawt"))
+      raw.select(col("doc_id"),
+          graft.operators.Clean.stripMarkup(col("rawt")).as("clean_text"),
+          length(col("rawt")).as("raw_len"))
+        .withColumn("clean_len", length(col("clean_text")))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- corpus snapshot diff: v2 = v1 minus every 7th doc, every 5th
+    //     doc's text edited, every 11th doc re-added under a new id.
+    //     The engine compares md5-of-canonical-JSON signatures (hash-only
+    //     shuffle); the oracle compares the text values directly — statuses
+    //     agree iff the signature faithfully encodes content equality.
+    register("p50_corpus_diff",
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val oldV = docs.select(col("doc_id"), col("text"))
+      val newV = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Diff.corpusDiff(oldV, newV, "doc_id", Seq("text"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- correlated EXISTS / NOT EXISTS subqueries, exercised through the
+    //     SQL parser so Catalyst's subquery decorrelation (RewritePredicate
+    //     Subquery → semi/anti join) is the surface under test, not a
+    //     hand-built join.
+    register("q37_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("q37_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q37_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM q37_customer c
+          |WHERE EXISTS (SELECT 1 FROM q37_orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM q37_orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }
+
+    // --- PMI term co-occurrence over a top-150-df vocabulary: counts are
+    //     exact int64, the vocab cut and the top-K cut are total orders
+    //     (df desc/term, then pmi desc/term_a/term_b), and ln rides the
+    //     p26 DECIMAL(25,12)-round-to-9dp contract with matched-order
+    //     IEEE arithmetic on the ratio.
+    register("p51_pmi_pairs",
+      s"""WITH dt AS (SELECT doc_id,
+         |    unnest(list_distinct($toksLowerSql)) AS term FROM documents),
+         |dfc AS (SELECT term, COUNT(*) AS c FROM dt GROUP BY term),
+         |vocab AS (SELECT term, c FROM dfc ORDER BY c DESC, term LIMIT 150),
+         |dv AS (SELECT dt.doc_id, dt.term, v.c FROM dt JOIN vocab v USING(term)),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |pc AS (SELECT a.term AS term_a, b.term AS term_b,
+         |    MIN(a.c) AS c_a, MIN(b.c) AS c_b, COUNT(*) AS c_ab
+         |  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT term_a, term_b, c_ab,
+         |    CAST(ROUND(CAST(ln(CAST(c_ab AS DOUBLE) * n.n /
+         |      (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) AS DECIMAL(25,12)), 9)
+         |      AS DOUBLE) AS pmi
+         |  FROM pc, n WHERE c_ab >= 5)
+         |SELECT term_a, term_b, c_ab, pmi FROM (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, term_a, term_b) AS rk
+         |  FROM sc) x
+         |WHERE rk <= 100 ORDER BY term_a, term_b""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.pmiPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 150, minPairCount = 5, topK = 100, pmiRoundDp = 9)
+        .orderBy(col("term_a"), col("term_b"))
+    }
+
+    // --- per-source log2 length histogram: bucket = length(bin(n_chars)),
+    //     an integer-exact binning both engines compute identically.
+    register("p52_length_hist",
+      """SELECT source, length(bin(n_chars)) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY source, bucket""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.lengthHistogram(
+          t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"), col("bucket"))
+    }
   }
 }

@@ -113,4 +113,69 @@ object Profile {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Top-K PMI term co-occurrence pairs over the corpus: which terms
+    * appear in the same documents far more often than chance? The classic
+    * collocation/topic-drift report (Church & Hanks 1990). PMI =
+    * ln(c_ab·N / (c_a·c_b)) over DOCUMENT frequencies (presence, not
+    * token counts).
+    *
+    * 100 TB shape: the pair space is restricted to a top-`vocabSize`
+    * document-frequency vocabulary FIRST (one token-stream aggregation,
+    * then a TakeOrderedAndProject of `vocabSize` rows, broadcast back),
+    * so the per-document self-join emits at most V·(V-1)/2 pairs per doc
+    * — a constant bound independent of corpus size — and the pair
+    * aggregation is map-side combinable. ln rides the p26 decimal
+    * contract (`pmiRoundDp`): JVM and libm logs differ at 1 ulp, rounding
+    * through DECIMAL(25,12) makes both engines agree exactly. All other
+    * arithmetic is exact int64 counts and matched-order IEEE ops.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 150, minPairCount: Long = 5, topK: Int = 100,
+      pmiRoundDp: Int = 9): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(vocabSize > 1 && topK > 0, s"bad vocabSize=$vocabSize topK=$topK")
+    val docTerms = docs.select(col(s"`$idCol`").as("__id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(s"`$textCol`")))))
+          .as("__term"))
+    val dfCounts = docTerms.groupBy(col("__term")).agg(count(lit(1)).as("__c"))
+    // deterministic vocab cut: df desc, term asc — a total order
+    val vocab = dfCounts.orderBy(col("__c").desc, col("__term")).limit(vocabSize)
+    val dv = docTerms.join(broadcast(vocab), "__term")
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val a = dv.select(col("__id"), col("__term").as("term_a"), col("__c").as("__ca"))
+    val b = dv.select(col("__id"), col("__term").as("term_b"), col("__c").as("__cb"))
+    val pairs = a.join(b, Seq("__id")).filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(min(col("__ca")).as("__ca"), min(col("__cb")).as("__cb"),
+        count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    val pmiRaw = log(col("c_ab").cast("double") * col("__n") /
+      (col("__ca").cast("double") * col("__cb").cast("double")))
+    val scored = pairs.join(broadcast(nDocs))
+      .withColumn("pmi", round(pmiRaw.cast(DecimalType(25, 12)), pmiRoundDp)
+        .cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        col("pmi").desc, col("term_a"), col("term_b"))))
+      .filter(col("__rk") <= topK)
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("pmi"))
+  }
+
+  /** Per-group log2 length histogram: bucket = number of binary digits of
+    * `valueCol` (= floor(log2(x))+1 for x ≥ 1; 0 → 1), computed as
+    * `length(bin(x))` — pure integer string length, so both engines bin
+    * identically with no float-boundary risk. One map-side-combinable
+    * groupBy; the standard "document length distribution per source"
+    * monitoring panel. Negative values are a caller bug → null bucket,
+    * kept visible rather than silently mis-binned. */
+  def lengthHistogram(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(s"`$valueCol`")
+    df.select(col(s"`$groupCol`"),
+        when(v < 0, lit(null)).otherwise(length(bin(v))).as("bucket"), v)
+      .groupBy(col(s"`$groupCol`"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(v).as("min_len"), max(v).as("max_len"))
+  }
 }

@@ -79,4 +79,45 @@ class ProfileSpec extends SparkSpecBase {
       Profile.sourceOverlap(d, "src", "doc_id", "text", maxGroupsPerShingle = Some(1))
     }
   }
+
+  test("pmiPairs: co-occurring terms beat independent ones, counts are document frequencies") {
+    // x and y always together (4 docs); z independent in 2 of them + 2 alone
+    val d = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y z"), (4L, "x y z"),
+      (5L, "z q"), (6L, "z q"), (7L, "q r"), (8L, "r s")
+    ).toDF("doc_id", "text")
+    val out = Profile.pmiPairs(d, "doc_id", "text",
+      vocabSize = 10, minPairCount = 2, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (cxy, pmiXy) = out(("x", "y"))
+    assert(cxy === 4L) // doc frequency, not token count
+    val (cxz, pmiXz) = out(("x", "z"))
+    assert(cxz === 2L)
+    // x,y perfectly correlated: pmi = ln(4*8/(4*4)) = ln 2; x,z: ln(2*8/(4*4)) = 0
+    assert(math.abs(pmiXy - math.log(2.0)) < 1e-6)
+    assert(math.abs(pmiXz) < 1e-9)
+    assert(pmiXy > pmiXz)
+  }
+
+  test("pmiPairs: repeated tokens within one doc count once") {
+    val d = Seq((1L, "a a a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = Profile.pmiPairs(d, "doc_id", "text", vocabSize = 5,
+      minPairCount = 1, topK = 5).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 3L)
+  }
+
+  test("lengthHistogram: integer-exact log2 buckets, negatives go to a null bucket") {
+    val d = Seq(("a", 0L), ("a", 1L), ("a", 7L), ("a", 8L), ("b", 1023L),
+      ("b", 1024L), ("b", -3L)).toDF("src", "len")
+    val out = Profile.lengthHistogram(d, "src", "len")
+      .collect().map(r => ((r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", 1)) === ((2L, 0L, 1L)))   // 0 and 1 share bucket len('0')=len('1')=1
+    assert(out(("a", 3)) === ((1L, 7L, 7L)))
+    assert(out(("a", 4)) === ((1L, 8L, 8L)))
+    assert(out(("b", 10)) === ((1L, 1023L, 1023L)))
+    assert(out(("b", 11)) === ((1L, 1024L, 1024L)))
+    assert(out(("b", -1)) === ((1L, -3L, -3L)))
+  }
 }
