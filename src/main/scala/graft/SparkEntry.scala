@@ -2626,5 +2626,230 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars")
         .orderBy(col("source"), col("bucket"))
     }
+
+    // --- Gopher quality rules: every threshold evaluated in INTEGER
+    //     arithmetic (sum >= 3*n instead of sum/n >= 3.0) so the gate
+    //     compares exact booleans/counters — no float boundary exists.
+    //     The repetition subset of Gopher is p22; this is the quality
+    //     subset. minWords lowered to 5 for the fixture's short docs.
+    register("p53_gopher_rules",
+      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS tx FROM documents),
+        |c AS (SELECT doc_id,
+        |  list_filter(string_split_regex(tx, '[ \t\n\r\f]+'), x -> x != '') AS toks,
+        |  length(regexp_replace(tx, '[ \t\n\r\f]+', '', 'g'))::BIGINT AS sum_chars,
+        |  (length(tx) - length(replace(tx, '#', '')))::BIGINT AS n_hash,
+        |  ((length(tx) - length(replace(tx, '...', ''))) // 3)::BIGINT AS n_ell,
+        |  list_filter(string_split(tx, chr(10)), l -> trim(l) != '') AS lines
+        |  FROM base),
+        |d AS (SELECT doc_id,
+        |  len(toks)::BIGINT AS n_words, sum_chars,
+        |  (n_hash + n_ell)::BIGINT AS n_symbols,
+        |  len(lines)::BIGINT AS n_lines,
+        |  len(list_filter(lines, l -> starts_with(trim(l), '-')
+        |    OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))::BIGINT AS n_bullet,
+        |  len(list_filter(lines, l -> ends_with(trim(l), '...')))::BIGINT AS n_ell_end,
+        |  len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS n_alpha,
+        |  len(list_filter(list_distinct(list_transform(toks, t -> lower(t))),
+        |    t -> t IN ('the','be','to','of','and','that','have','with')))::BIGINT AS n_stop
+        |  FROM c)
+        |SELECT doc_id, n_words,
+        |  n_words >= 5 AND n_words <= 100000 AS ok_word_count,
+        |  n_words > 0 AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words AS ok_mean_word_len,
+        |  n_words > 0 AND 10 * n_symbols <= n_words AS ok_symbol_ratio,
+        |  n_lines = 0 OR 10 * n_bullet <= 9 * n_lines AS ok_bullet_lines,
+        |  n_lines = 0 OR 10 * n_ell_end <= 3 * n_lines AS ok_ellipsis_lines,
+        |  n_words > 0 AND 5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+        |  n_stop >= 2 AS ok_stopwords,
+        |  (n_words >= 5 AND n_words <= 100000)
+        |    AND (n_words > 0 AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+        |    AND (n_words > 0 AND 10 * n_symbols <= n_words)
+        |    AND (n_lines = 0 OR 10 * n_bullet <= 9 * n_lines)
+        |    AND (n_lines = 0 OR 10 * n_ell_end <= 3 * n_lines)
+        |    AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+        |    AND n_stop >= 2 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Gopher.qualityRules(
+          t(s, dir, "documents"), "text", minWords = 5)
+        .select(col("doc_id"), col("n_words"), col("ok_word_count"),
+          col("ok_mean_word_len"), col("ok_symbol_ratio"),
+          col("ok_bullet_lines"), col("ok_ellipsis_lines"),
+          col("ok_alpha_words"), col("ok_stopwords"), col("keep"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- hard-negative mining: p07's exact-cosine contract plus the
+    //     label-mismatch pair predicate (nearest neighbors with a
+    //     DIFFERENT label). Reported cosine rounded to 9dp like p07.
+    register("p54_hard_negatives",
+      s"""WITH e AS (SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS query_label,
+         |        embedding AS qv, nrm AS qn FROM e WHERE vec_id < 25),
+         |p AS (SELECT query_id, query_label, e.vec_id AS neighbor_id,
+         |        e.label AS neighbor_label,
+         |        $dotSql / (qn * e.nrm) AS cosine
+         |      FROM q JOIN e ON e.vec_id != query_id
+         |        AND e.label IS NOT NULL AND query_label IS NOT NULL
+         |        AND e.label != query_label),
+         |r AS (SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, query_label, neighbor_id, neighbor_label, rank,
+         |  round(cosine, 9) AS cosine
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 25),
+          "vec_id", "embedding", "label", 5)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // --- RANGE window frame over event-time: 30-day trailing spend per
+    //     customer. Both engines order by the SAME integer (epoch
+    //     seconds; dates are midnight-exact so the cast is lossless) with
+    //     the same inclusive [-2592000, 0] frame, and the frame sum goes
+    //     through the DECIMAL(25,6) contract (order-independent).
+    register("q38_window_range",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // NTZ → timestamp under the UTC session tz, then → epoch seconds:
+      // identical to DuckDB's epoch() on the same naive timestamps
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000L, 0L)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(25, 6))).over(w)
+            .cast("double").as("sum_30d"))
+        .orderBy(col("o_orderkey"))
+    }
+
+    // --- intra-document consecutive-duplicate-line collapse (crawler echo
+    //     removal): deterministic repeated nav/footer lines appended, then
+    //     collapsed by the same keep-if-differs-from-previous rule in both
+    //     engines (1-based previous-element probe).
+    register("p55_line_collapse",
+      """WITH raw AS (SELECT doc_id,
+        |  text || chr(10) || 'nav bar' || chr(10) || 'nav bar' || chr(10)
+        |    || 'nav bar' || chr(10) || 'footer (c) site' || chr(10)
+        |    || 'footer (c) site' AS tx
+        |  FROM documents),
+        |l AS (SELECT doc_id, tx, string_split(tx, chr(10)) AS lines FROM raw),
+        |k AS (SELECT doc_id,
+        |  array_to_string(list_filter(lines, (x, i) -> i = 1 OR x != lines[i-1]),
+        |    chr(10)) AS collapsed
+        |  FROM l)
+        |SELECT doc_id, collapsed, length(collapsed) AS n_chars
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nnav bar\nnav bar\nnav bar\nfooter (c) site\nfooter (c) site"))
+          .as("tx"))
+      raw.select(col("doc_id"),
+          graft.operators.Clean.collapseRepeatedLines(col("tx")).as("collapsed"))
+        .withColumn("n_chars", length(col("collapsed")))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- URL host extraction + per-domain rollup: scheme/userinfo/port/
+    //     path stripped, host lower-cased, one leading www. dropped; the
+    //     URLs are synthesized deterministically (mixed case, userinfo,
+    //     port, query, fragment) to exercise every strip rule.
+    register("p56_domain_counts",
+      """WITH u AS (SELECT doc_id,
+        |  'https://user@WWW.' || source || (doc_id % 5)::VARCHAR
+        |    || '.Example.com:8443/path/' || doc_id::VARCHAR || '?q=1#frag' AS url
+        |  FROM documents),
+        |h AS (SELECT lower(regexp_extract(url,
+        |    '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM u),
+        |d AS (SELECT regexp_replace(host, '^www\.', '') AS domain FROM h)
+        |SELECT domain, COUNT(*) AS n_docs FROM d
+        |GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "documents").select(
+        concat(lit("https://user@WWW."), col("source"), (col("doc_id") % 5),
+          lit(".Example.com:8443/path/"), col("doc_id"), lit("?q=1#frag"))
+          .as("url"))
+      graft.operators.Urls.domainCounts(u, "url")
+        .orderBy(col("domain"))
+    }
+
+    // DuckDB replica of Clean.stripMarkup for expression `e` (the p49
+    // chain as one nested expression, reused by the link-density gate)
+    def duckStripSql(e: String): String =
+      "trim(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" + e +
+        ", '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')" +
+        ", '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')" +
+        ", '(?s)<!--.*?-->', ' ', 'g')" +
+        ", '</?[A-Za-z][^>]*>', ' ', 'g')" +
+        ", '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g')" +
+        ", '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')" +
+        ", '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+    // --- link density: anchor-text chars vs clean-text chars over a
+    //     synthesized nav+prose page (nested tag inside an anchor included
+    //     so the strip-inside-anchor rule is exercised). Integer lengths
+    //     gated; the double ratio is API-side (CleanSpec).
+    register("p57_link_density",
+      s"""WITH raw AS (SELECT doc_id,
+         |  '<nav><a href="/a">Home page</a> | <a class="x" href="/b">About <b>us</b></a></nav><p>'
+         |    || text || '</p>' AS rawt FROM documents),
+         |x AS (SELECT doc_id,
+         |  ${duckStripSql("array_to_string(regexp_extract_all(rawt, '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' ')")} AS atext,
+         |  ${duckStripSql("rawt")} AS ctext
+         |  FROM raw)
+         |SELECT doc_id, length(atext) AS anchor_len, length(ctext) AS clean_len
+         |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<nav><a href=\"/a\">Home page</a> | <a class=\"x\" href=\"/b\">About <b>us</b></a></nav><p>"),
+          col("text"), lit("</p>")).as("rawt"))
+      raw.select(col("doc_id"),
+          length(graft.operators.Clean.anchorText(col("rawt"))).as("anchor_len"),
+          length(graft.operators.Clean.stripMarkup(col("rawt"))).as("clean_len"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- quality-ranked per-group cap: top 10 docs per source by n_chars,
+    //     doc_id tiebreak — the curation-side counterpart of p31's random
+    //     quota. DESC NULLS LAST stated explicitly (DuckDB's DESC default
+    //     is NULLS FIRST).
+    register("p58_best_per_group",
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.keepBestPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", "doc_id", 10)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- distribution window functions: ntile/percent_rank/cume_dist in
+    //     one frame. percent_rank and cume_dist are exact rationals
+    //     ((rank-1)/(n-1), peers/n) — one IEEE division, identical bits on
+    //     both engines; the total ORDER BY makes ntile deterministic.
+    register("q39_window_distribution",
+      """SELECT o_orderkey, o_custkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }
   }
 }

@@ -49,6 +49,38 @@ object Clean {
     trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
   }
 
+  /** Anchor-text extraction: the concatenated inner text of every
+    * `<a …>…</a>` element, markup-stripped. Basis for the link-density
+    * boilerplate signal (jusText/trafilatura heuristic: nav-heavy blocks
+    * are mostly link text). Non-greedy per-anchor match, so nested
+    * non-anchor tags inside an anchor are kept (and then stripped). */
+  def anchorText(c: Column): Column =
+    stripMarkup(array_join(
+      regexp_extract_all(c, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)), " "))
+
+  /** Link density = anchor-text chars / clean-text chars, null-safe and
+    * 0 for an empty page. ≥ ~0.5 marks navigation boilerplate. */
+  def linkDensity(c: Column): Column =
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(length(anchorText(c)).cast("double") /
+        greatest(length(stripMarkup(c)).cast("double"), lit(1.0)))
+
+  /** Collapse CONSECUTIVE duplicate lines inside one document — the echo
+    * pattern crawlers produce (repeated nav rows, pagination artifacts).
+    * Corpus-level duplicate-LINE removal is [[LineDedup]]; this is the
+    * intra-document pass, and it is a pure narrow HOF chain: keep line i
+    * iff i == 0 or line i differs from line i-1, then re-join. Blank-line
+    * runs collapse too (a blank equals the previous blank). */
+  def collapseRepeatedLines(c: Column): Column = {
+    val lines = split(c, "\\n")
+    // element_at is 1-based, so element_at(lines, i) IS the previous line
+    // for 0-based index i; the when() guards the i == 0 probe (If only
+    // evaluates the taken branch — no ANSI zero-index error).
+    val kept = filter(lines, (l, i) =>
+      when(i === lit(0), lit(true)).otherwise(l =!= element_at(lines, i)))
+    array_join(kept, "\n")
+  }
+
   /** Clean `textCol` in place; `keptRatioCol`, when set, records
     * length(clean)/length(raw) — the standard "was this page mostly
     * markup" crawl-quality signal (0 for an all-markup page, ~1 for

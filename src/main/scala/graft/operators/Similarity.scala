@@ -106,6 +106,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors with a DIFFERENT label — the classic
+    * in-batch-negatives upgrade (dense retrieval / SimCSE-style training
+    * needs negatives that are near misses, not random).
+    *
+    * Same two-phase shape as [[bruteForceTopK]] (codegen'd float-dot
+    * prefilter over all pairs, decimal re-rank inside the 3k margin,
+    * queries broadcast), with the label-mismatch predicate applied at the
+    * pair level BEFORE any scoring so excluded pairs never enter a
+    * window. Rows with a NULL label on either side are dropped — an
+    * unknown label must not be presumed negative. Scale route: compose
+    * with the LSH/IVF candidate generators exactly like bruteForceTopK.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import graft.functions.FloatArrayDot
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("query_label"))
+      .withColumn("__qn", sqrt(normSq(col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("neighbor_label"))
+      .withColumn("__cn", sqrt(normSq(col("__cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(scoreDesc(col("__fast")), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neighbor_label").isNotNull && col("query_label").isNotNull &&
+        col("neighbor_label") =!= col("query_label"))
+      .withColumn("__fast",
+        FloatArrayDot.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__frank", row_number().over(wFast))
+      .filter(col("__frank") <= math.max(3 * k, k + 10) && notNaN(col("__fast")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "rank", "cosine")
+  }
+
   // ------------------------------------------------------------ LSH (SRP)
 
   /** Deterministic ±1 hyperplanes: component (p, d) is +1 iff the low bit

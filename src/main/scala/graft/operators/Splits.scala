@@ -180,4 +180,34 @@ object Splits {
       .filter(col("__cap_rn") <= maxPerGroup)
       .drop("__cap_rn")
   }
+
+  /** Quality-ranked per-group cap: keep the `maxPerGroup` BEST rows of
+    * each group by `scoreCol` (desc), not a random quota ([[capPerGroup]]
+    * is the unbiased-sample variant; this is the curation variant — "top
+    * 10k docs per domain by quality score"). `keyCol` breaks score ties
+    * so the kept set is deterministic; NULL scores rank last on both
+    * engines (explicit DESC NULLS LAST — DuckDB's DESC default is NULLS
+    * FIRST, which would hand null-score rows the quota).
+    *
+    * 100 TB shape: one window over the group partitioning — the same
+    * single-shuffle bound as capPerGroup; for giant groups the same
+    * order-compatible pre-thin documented there applies (pre-thin by
+    * score threshold, then cap). */
+  def keepBestPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      keyCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    require(!df.columns.contains("__best_rn"),
+      "column name '__best_rn' is reserved by keepBestPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$groupCol`"))
+      .orderBy(col(s"`$scoreCol`").desc_nulls_last,
+        col(s"`$keyCol`").asc_nulls_last)
+    df.withColumn("__best_rn", row_number().over(w))
+      .filter(col("__best_rn") <= maxPerGroup)
+      .drop("__best_rn")
+  }
 }

@@ -56,6 +56,34 @@ class CleanSpec extends SparkSpecBase {
     assert(out.toSeq === Seq(("", 0.0), ("", 0.0)))
   }
 
+  private def collapseOne(s: String): String =
+    Seq(Tuple1(s)).toDF("text")
+      .select(Clean.collapseRepeatedLines(col("text"))).head().getString(0)
+
+  test("collapseRepeatedLines: consecutive dups fold, non-adjacent repeats survive") {
+    assert(collapseOne("a\na\na\nb") === "a\nb")
+    assert(collapseOne("a\nb\na") === "a\nb\na") // non-adjacent: kept
+    assert(collapseOne("nav\nbody one\nbody two\nnav") === "nav\nbody one\nbody two\nnav")
+    assert(collapseOne("single") === "single")
+    assert(collapseOne("x\n\n\ny") === "x\n\ny") // blank runs collapse to one blank
+  }
+
+  test("anchorText and linkDensity: nav-heavy pages score high, prose low") {
+    val navHeavy = "<nav><a href='/'>Home</a> <a href='/a'>About <b>us</b></a></nav> hi"
+    val prose = "<p>plain long prose with <a href='/x'>one link</a> in the middle of it</p>"
+    val df = Seq((1L, navHeavy), (2L, prose), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        Clean.anchorText(col("text")).as("a"),
+        Clean.linkDensity(col("text")).as("ld"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "Home About us")
+    assert(out(0).getDouble(2) > 0.5)
+    assert(out(1).getString(1) === "one link")
+    assert(out(1).getDouble(2) < 0.2)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // null text stays null
+  }
+
   test("cleaning is a pure narrow projection — no Exchange in the plan") {
     val docs = testdata("sf0.001", "documents")
     val plan = Clean.cleanColumn(docs, "text", keptRatioCol = Some("kept"))

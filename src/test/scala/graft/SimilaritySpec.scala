@@ -30,6 +30,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === Seq(11L, 12L))
   }
 
+  test("hardNegatives: filter-then-rank skips same-label near misses; null labels drop") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f), Integer.valueOf(1)),
+      (11L, Seq(0.99f, 0.01f), Integer.valueOf(1)),   // nearest, but same label
+      (12L, Seq(0.9f, 0.1f), Integer.valueOf(2)),     // top hard negative
+      (13L, Seq(0.8f, 0.2f), null.asInstanceOf[Integer]), // null label: excluded
+      (14L, Seq(0.0f, 1.0f), Integer.valueOf(3))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter($"vec_id" === 10L)
+    val out = Similarity.hardNegatives(corpus, queries, "vec_id", "embedding", "label", 2)
+      .orderBy("rank")
+      .select("neighbor_id", "neighbor_label", "rank").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(12L, 14L)) // 11 skipped, 13 dropped
+    assert(out.map(_.getInt(1)).toSeq === Seq(2, 3))
+    // ranks are contiguous from 1 after the label filter (filter BEFORE rank)
+    assert(out.map(_.getInt(2)).toSeq === Seq(1, 2))
+  }
+
   test("lshTopK recall vs brute force on real embeddings") {
     val e = testdata("sf0.001", "embeddings")
     val q = e.filter($"vec_id" < 10)

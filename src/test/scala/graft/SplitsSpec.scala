@@ -169,4 +169,23 @@ class SplitsSpec extends SparkSpecBase {
     assert(thinCap.select("doc_id").exceptAll(capAlone.select("doc_id")).count() === 0)
     assert(capAlone.select("doc_id").exceptAll(thinCap.select("doc_id")).count() === 0)
   }
+
+  test("keepBestPerGroup: highest scores kept, null scores last, key breaks ties") {
+    val df = Seq(
+      ("a", 1L, java.lang.Double.valueOf(0.9)),
+      ("a", 2L, java.lang.Double.valueOf(0.5)),
+      ("a", 3L, java.lang.Double.valueOf(0.5)),
+      ("a", 4L, null.asInstanceOf[java.lang.Double]),
+      ("b", 5L, java.lang.Double.valueOf(0.1))
+    ).toDF("grp", "doc_id", "score")
+    val kept2 = Splits.keepBestPerGroup(df, "grp", "score", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(1L, 2L, 5L)) // tie 0.5/0.5 → doc_id 2 wins; null never in quota
+    val kept3 = Splits.keepBestPerGroup(df, "grp", "score", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept3 === Set(1L, 2L, 3L, 5L))
+    intercept[IllegalArgumentException] {
+      Splits.keepBestPerGroup(df, "grp", "score", "doc_id", 0)
+    }
+  }
 }
