@@ -2851,5 +2851,68 @@ object SparkEntry {
           cume_dist().over(w).as("cd"))
         .orderBy(col("o_orderkey"))
     }
+
+    // --- per-doc tf-idf keywords: tf/df/N exact int64, smoothed idf
+    //     through the DECIMAL(25,12)/9dp contract, one IEEE multiply,
+    //     (score desc, term) total order. minDf=2 prunes hapaxes.
+    register("p59_tfidf_keywords",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM toks GROUP BY 1, 2),
+         |dfc AS (SELECT term, COUNT(*) AS dfcnt FROM tf GROUP BY term
+         |        HAVING COUNT(*) >= 2),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |idf AS (SELECT term,
+         |    CAST(ROUND(CAST(ln((n.n + 1.0) / (CAST(dfcnt AS DOUBLE) + 1.0))
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS idf
+         |  FROM dfc, n),
+         |sc AS (SELECT doc_id, tf.term, CAST(tfc AS DOUBLE) * idf AS score
+         |  FROM tf JOIN idf USING(term)),
+         |r AS (SELECT doc_id, term, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, term, rank, score FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      graft.operators.Search.topTermsPerDoc(
+          t(s, dir, "documents"), "doc_id", "text", k = 5, minDf = 2)
+        .orderBy(col("doc_id"), col("rank"))
+    }
+
+    // --- diagonal concat (Polars concat(how="diagonal") / UNION BY NAME):
+    //     mismatched columns align by NAME, missing sides null-fill.
+    register("q40_union_by_name",
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 1)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }
+
+    // --- deterministic training shards: bucket + within-shard position
+    //     from two independently-salted md5 draws; the oracle replays the
+    //     exact 60-bit hash arithmetic (the p16/p31 contract).
+    register("p60_train_shards",
+      """SELECT doc_id, shard, shard_pos FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('ep0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY ('0x' || substring(md5('ep0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8
+        |      ORDER BY ('0x' || substring(md5('ep0:pos:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |                 NULLS LAST,
+        |               doc_id NULLS LAST) AS shard_pos
+        |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.shardForTraining(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          nShards = 8, salt = "ep0")
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

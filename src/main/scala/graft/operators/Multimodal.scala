@@ -91,6 +91,37 @@ object Multimodal {
         "struct<format:string,width:int,height:int>"))
   }
 
+  /** Real audio metadata from CANONICAL WAV (RIFF) headers — same
+    * philosophy as [[imageDimensions]]: no codec library needed, the
+    * container header IS parseable with byte arithmetic. Canonical layout
+    * only ("RIFF…WAVE", 16-byte "fmt " chunk at offset 13, "data" chunk
+    * directly after, the layout every encoder emits by default); files
+    * with extra chunks (LIST/INFO metadata) return null and fall through
+    * to a [[MediaDecoder]], exactly like non-SOF JPEGs.
+    *
+    * Fields (1-based offsets): channels LE u16 @23, sample_rate LE u32
+    * @25, block_align LE u16 @33, bits_per_sample LE u16 @35, data byte
+    * length LE u32 @41. n_frames = data_len / block_align (exact integer
+    * division; block_align > 0 guarded). */
+  def audioMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def le(off: Int, len: Int) = conv(
+      concat((0 until len).reverse.map(i => hex(bin.substr(lit(off + i), lit(1)))): _*),
+      16, 10).cast("int")
+    val isRiffWave = hex(bin.substr(lit(1), lit(4))) === "52494646" && // "RIFF"
+      hex(bin.substr(lit(9), lit(8))) === "57415645666D7420" && // "WAVEfmt "
+      le(17, 4) === 16 && // canonical 16-byte PCM fmt chunk
+      hex(bin.substr(lit(37), lit(4))) === "64617461" // "data" directly after
+    val blockAlign = le(33, 2)
+    when(isRiffWave && blockAlign > 0,
+        struct(lit("wav").as("format"),
+          le(23, 2).as("channels"),
+          le(25, 4).as("sample_rate"),
+          le(35, 2).as("bits_per_sample"),
+          (le(41, 4) / blockAlign).cast("int").as("n_frames")))
+      .otherwise(lit(null).cast(
+        "struct<format:string,channels:int,sample_rate:int,bits_per_sample:int,n_frames:int>"))
+  }
+
   // ------------------------------------------------------------ decoders
 
   /** Byte-payload -> feature-vector decode contract. Real image/audio

@@ -203,4 +203,50 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("__tid").as(idCol), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Per-document keyword extraction: top-k terms by tf·idf with the
+    * smoothed idf = ln((N+1)/(df+1)). The standard "what is this doc
+    * about" signal for corpus exploration, routing and weak labeling.
+    *
+    * 100 TB shape: one token-stream aggregation for tf (map-side
+    * combinable), df derived FROM tf (one more hash agg — never a second
+    * corpus scan), idf joined back on the term key; the per-doc top-k
+    * window partitions by doc so no group exceeds its own vocabulary.
+    * `minDf` prunes hapax noise before the join, shrinking the idf side.
+    * Determinism: tf/df/N are exact int64; idf rides the p26
+    * DECIMAL(25,12)-round contract; score = one IEEE multiply; the
+    * (score desc, term asc) order is total. */
+  def topTermsPerDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Long = 1,
+      idfRoundDp: Int = 9,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val id = col(s"`$idCol`")
+    // tf feeds BOTH the df count and the scoring join — staged, or each
+    // consumer re-tokenizes the whole corpus (the bm25TopK rule; the
+    // PlanAuditSpec p59 entry pins corpus scans at one)
+    val tf = stager.stage(
+      termStream(docs, id, textCol)
+        .groupBy(id, col("__term")).agg(count(lit(1)).as("__tf")),
+      s"tfidf_tf_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dfCounts = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val idf = dfCounts.crossJoin(broadcast(n))
+      .withColumn("__idf",
+        round(log((col("__n") + lit(1.0)) / (col("__df").cast("double") + lit(1.0)))
+          .cast(DecimalType(25, 12)), idfRoundDp).cast("double"))
+      .select(col("__term"), col("__idf"))
+    tf.join(idf, "__term")
+      .withColumn("score", col("__tf").cast("double") * col("__idf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(id).orderBy(col("score").desc, col("__term"))))
+      .filter(col("rank") <= k)
+      .select(id, col("__term").as("term"), col("rank"), col("score"))
+  }
 }

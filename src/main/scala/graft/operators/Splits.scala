@@ -181,6 +181,35 @@ object Splits {
       .drop("__cap_rn")
   }
 
+  /** Deterministic global shuffle for training export: assign each row a
+    * shard (`hashBucket(key, salt, nShards)`) and a position within the
+    * shard (rank of an independently-salted hash, key tiebreak) — the
+    * "shuffle once, read sequentially forever" layout every epoch-based
+    * trainer wants, reproducible from (salt, nShards) alone. Compose with
+    * [[graft.operators.Sink]] partitioned by `shard` and sorted by
+    * `shard_pos` to materialize.
+    *
+    * 100 TB shape: one shuffle on the shard key (the window partitioning);
+    * shards are hash-uniform so no shard exceeds ~|rows|/nShards. The two
+    * hashes use DIFFERENT salt derivations, so shard assignment and
+    * within-shard order are independent draws. */
+  def shardForTraining(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val reserved = Seq("shard", "shard_pos")
+    (reserved intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"column name '$c' is reserved by shardForTraining"))
+    val key = col(s"`$keyCol`")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(hashValue60(key, salt + ":pos").asc_nulls_last, key.asc_nulls_last)
+    df.withColumn("shard", hashBucket(key, salt, nShards))
+      .withColumn("shard_pos", row_number().over(w))
+  }
+
   /** Quality-ranked per-group cap: keep the `maxPerGroup` BEST rows of
     * each group by `scoreCol` (desc), not a random quota ([[capPerGroup]]
     * is the unbiased-sample variant; this is the curation variant — "top

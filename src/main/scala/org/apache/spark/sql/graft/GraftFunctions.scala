@@ -68,7 +68,15 @@ object GraftFunctions {
         raise_error(lit("graft_hash_bucket: salt must not be null"))).otherwise(salt)
       asExpr(conv(substring(md5(concat(saltOk, lit(":"), key.cast("string"))), 1, 15), 16, 10)
         .cast("long") % nOk)
-    }))
+    }),
+    fn("graft_strip_markup", 1, graft.operators.Clean.getClass)(cs =>
+      asExpr(graft.operators.Clean.stripMarkup(asCol(cs.head)))),
+    fn("graft_link_density", 1, graft.operators.Clean.getClass)(cs =>
+      asExpr(graft.operators.Clean.linkDensity(asCol(cs.head)))),
+    fn("graft_host", 1, graft.operators.Urls.getClass)(cs =>
+      asExpr(graft.operators.Urls.extractHost(asCol(cs.head)))),
+    fn("graft_domain", 1, graft.operators.Urls.getClass)(cs =>
+      asExpr(graft.operators.Urls.normalizedDomain(asCol(cs.head)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

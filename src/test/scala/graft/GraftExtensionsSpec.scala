@@ -68,6 +68,19 @@ class GraftExtensionsSpec extends SparkSpecBase {
       .as[Long].head() >= 0L)
   }
 
+  test("markup and URL functions are callable from SQL and match the Column forms") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_strip_markup('<p>a</p> <b>b</b>') AS clean, " +
+        "graft_host('https://u@WWW.Ex.COM:8080/p?q#f') AS host, " +
+        "graft_domain('https://www.ex.com/p') AS dom, " +
+        "graft_link_density('<a href=\"/x\">all link</a>') AS ld").head()
+    assert(row.getString(0) === "a b")
+    assert(row.getString(1) === "www.ex.com")
+    assert(row.getString(2) === "ex.com")
+    assert(row.getDouble(3) === 1.0)
+  }
+
   test("GraftExtensions wires the same builder (smoke)") {
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions

@@ -48,6 +48,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(4L) === ((None, None, None)))
   }
 
+  test("audioMeta parses canonical WAV headers; non-canonical layouts fall through") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le16(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF)
+    def le32(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF)
+    // canonical 44-byte PCM header: 2ch, 44100 Hz, 16-bit, 1s of audio
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + 176400) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(176400)
+    // same file with a LIST chunk before data: canonical parser must refuse
+    val listWav = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+    val junk = "not audio at all".getBytes("UTF-8")
+    val df = Seq((1L, wav), (2L, listWav), (3L, junk)).toDF("id", "media")
+      .withColumn("meta", Multimodal.audioMeta(col("media")))
+    val got = df.select(col("id"), col("meta.format"), col("meta.channels"),
+        col("meta.sample_rate"), col("meta.bits_per_sample"), col("meta.n_frames"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).map(f =>
+        (f, r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(got(1L) === Some(("wav", 2, 44100, 16, 44100)))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+  }
+
   test("FakeDecoder is deterministic; decodeFeatures appends array<float>") {
     val dec = new Multimodal.FakeDecoder(8)
     val bytes = "some media payload".getBytes("UTF-8")

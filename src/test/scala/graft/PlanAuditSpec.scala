@@ -164,4 +164,55 @@ class PlanAuditSpec extends SparkSpecBase {
         s"strategy=$s: $shuffles shuffles\n${out.queryExecution.executedPlan}")
     }
   }
+
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case o => o.children
+    }).flatMap(planNodes)
+
+  test("p51: the PMI vocab cut is TakeOrderedAndProject and broadcasts into the pair join") {
+    val df = SparkEntry.queries("p51_pmi_pairs")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // vocab cut: top-V by df never global-sorts the term table
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // vocab (and the 1-row N) reach the joins as broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("p50: the diff's full-outer join shuffles signatures, never document text") {
+    val df = SparkEntry.queries("p50_corpus_diff")(spark, dir)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = planNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.child.output.map(_.name).contains("text"),
+        e.child.output.map(_.name).mkString(","))
+    }
+  }
+
+  test("p59: tf-idf keywords scan parquet only for N; df and scoring read the tf stage") {
+    val df = SparkEntry.queries("p59_tfidf_keywords")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // the tf aggregate is staged (corpus tokenized exactly once, at stage
+    // build); the final plan's only parquet scan is the zero-column
+    // COUNT(*) for N
+    val s = scans(plan)
+    assert(s.size === 1 && s.head.requiredSchema.isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+  }
+
+  test("p53/p55/p57: the cleanup battery plans with zero exchanges") {
+    for (q <- Seq("p53_gopher_rules", "p55_line_collapse", "p57_link_density")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      // the trailing global ORDER BY (gate determinism) is the only
+      // allowed exchange; the operators themselves are narrow
+      val shuffles = planNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 1, s"$q: $shuffles shuffles")
+    }
+  }
 }

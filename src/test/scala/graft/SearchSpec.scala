@@ -120,4 +120,27 @@ class SearchSpec extends SparkSpecBase {
     // not duplicates across the corpus
     assert(byId(3L) === ((2L, 0L, 0.0)))
   }
+
+  test("topTermsPerDoc: rare repeated terms outrank ubiquitous ones; minDf prunes hapaxes") {
+    val docs = Seq(
+      (1L, "spark spark spark the the common"),
+      (2L, "duck duck the common"),
+      (3L, "the common goose"),
+      (4L, "the common spark")).toDF("doc_id", "text")
+    // df: the=4, common=4, spark=2, duck=1, goose=1
+    val out = Search.topTermsPerDoc(docs, "doc_id", "text", k = 2, minDf = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // doc 1: spark (tf=3, rare) must beat the/common (ubiquitous, idf 0)
+    assert(out.filter(_._1 == 1L).map(_._2).head === "spark")
+    // doc 2: duck pruned by minDf=2 -> top terms come from {the, common}
+    assert(!out.filter(_._1 == 2L).map(_._2).contains("duck"))
+    // every doc has at most k rows, ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    intercept[IllegalArgumentException] {
+      Search.topTermsPerDoc(docs, "doc_id", "text", k = 0)
+    }
+  }
 }

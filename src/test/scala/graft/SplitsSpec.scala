@@ -170,6 +170,27 @@ class SplitsSpec extends SparkSpecBase {
     assert(capAlone.select("doc_id").exceptAll(thinCap.select("doc_id")).count() === 0)
   }
 
+  test("shardForTraining: reproducible shards and positions, epochs reshuffle") {
+    val df = (1L to 200L).toDF("doc_id")
+    val a = Splits.shardForTraining(df, "doc_id", nShards = 8, salt = "ep0")
+    val b = Splits.shardForTraining(df, "doc_id", nShards = 8, salt = "ep0")
+    assert(a.collect().toSet === b.collect().toSet) // same salt -> identical layout
+    assert(a.select("shard").distinct().count() <= 8)
+    assert(a.agg(max("shard")).head().getLong(0) < 8 &&
+      a.agg(min("shard")).head().getLong(0) >= 0)
+    // positions are 1..n_shard within every shard
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"))
+      .collect()
+    perShard.foreach(r => assert(r.getLong(1) === r.getInt(2) && r.getInt(3) === 1))
+    // a different salt (next epoch) produces a different order
+    val ep1 = Splits.shardForTraining(df, "doc_id", nShards = 8, salt = "ep1")
+    assert(ep1.collect().toSet !== a.collect().toSet)
+    intercept[IllegalArgumentException] {
+      Splits.shardForTraining(df.withColumn("shard", lit(1)), "doc_id", 8)
+    }
+  }
+
   test("keepBestPerGroup: highest scores kept, null scores last, key breaks ties") {
     val df = Seq(
       ("a", 1L, java.lang.Double.valueOf(0.9)),

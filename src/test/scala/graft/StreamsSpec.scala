@@ -175,6 +175,32 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Gopher rules stream statelessly: per-doc flags equal the batch pass") {
+    // a narrow projection needs no state/watermark — the SAME operator
+    // call works on a stream, and every per-doc verdict matches batch
+    val docs = testdata("sf0.001", "documents").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.take(200)
+    val input = MemoryStream[(Long, String)](spark)
+    val out = graft.operators.Gopher.qualityRules(
+      input.toDF().toDF("doc_id", "text"), "text", minWords = 5)
+      .select($"doc_id", $"keep")
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_stream")
+        .as[(Long, Boolean)].collect().toMap
+      val batch = graft.operators.Gopher.qualityRules(
+          testdata("sf0.001", "documents").select($"doc_id", $"text")
+            .filter($"doc_id".isin(docs.map(_._1): _*)),
+          "text", minWords = 5)
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      assert(streamed.size === docs.size)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming helpers are plain plan rewrites: identical on batch input") {
     // the same windowedAgg call works on a bounded DataFrame (events table)
     val ev = testdata("sf0.001", "events")
