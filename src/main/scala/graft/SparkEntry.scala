@@ -2501,14 +2501,14 @@ object SparkEntry {
     //     kept-ratio double) are gated so every compared value is exact.
     register("p49_html_strip",
       """WITH raw AS (SELECT doc_id,
-        |  '<div class="p">' || text || ' &amp;lt;keep<b>bold</b><br/>tail'
+        |  '<!DOCTYPE html><div class="p">' || text || ' &amp;lt;keep<b>bold</b><br/>tail'
         |    || chr(10) || chr(9)
         |    || 'end <script type="text/javascript">var x = 1 < 2;</script><!-- gone --><style type="text/css">.c{color:red}</style></div>'
         |  AS rawt FROM documents),
         |s1 AS (SELECT doc_id, rawt, regexp_replace(rawt, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS x FROM raw),
         |s2 AS (SELECT doc_id, rawt, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
         |s3 AS (SELECT doc_id, rawt, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
-        |s4 AS (SELECT doc_id, rawt, regexp_replace(x, '</?[A-Za-z][^>]*>', ' ', 'g') AS x FROM s3),
+        |s4 AS (SELECT doc_id, rawt, regexp_replace(x, '</?[A-Za-z!?][^>]*>', ' ', 'g') AS x FROM s3),
         |ent AS (SELECT doc_id, rawt,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    x, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
@@ -2519,7 +2519,7 @@ object SparkEntry {
         |  length(rawt) AS raw_len, length(clean_text) AS clean_len
         |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val raw = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("<div class=\"p\">"), col("text"),
+        concat(lit("<!DOCTYPE html><div class=\"p\">"), col("text"),
           lit(" &amp;lt;keep<b>bold</b><br/>tail\n\tend <script type=\"text/javascript\">var x = 1 < 2;</script><!-- gone --><style type=\"text/css\">.c{color:red}</style></div>"))
           .as("rawt"))
       raw.select(col("doc_id"),
@@ -2638,7 +2638,8 @@ object SparkEntry {
         |  list_filter(string_split_regex(tx, '[ \t\n\r\f]+'), x -> x != '') AS toks,
         |  length(regexp_replace(tx, '[ \t\n\r\f]+', '', 'g'))::BIGINT AS sum_chars,
         |  (length(tx) - length(replace(tx, '#', '')))::BIGINT AS n_hash,
-        |  ((length(tx) - length(replace(tx, '...', ''))) // 3)::BIGINT AS n_ell,
+        |  ((length(tx) - length(replace(tx, '...', ''))) // 3
+        |    + (length(tx) - length(replace(tx, '…', ''))))::BIGINT AS n_ell,
         |  list_filter(string_split(tx, chr(10)), l -> trim(l) != '') AS lines
         |  FROM base),
         |d AS (SELECT doc_id,
@@ -2647,7 +2648,8 @@ object SparkEntry {
         |  len(lines)::BIGINT AS n_lines,
         |  len(list_filter(lines, l -> starts_with(trim(l), '-')
         |    OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))::BIGINT AS n_bullet,
-        |  len(list_filter(lines, l -> ends_with(trim(l), '...')))::BIGINT AS n_ell_end,
+        |  len(list_filter(lines, l -> ends_with(trim(l), '...')
+        |    OR ends_with(trim(l), '…')))::BIGINT AS n_ell_end,
         |  len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS n_alpha,
         |  len(list_filter(list_distinct(list_transform(toks, t -> lower(t))),
         |    t -> t IN ('the','be','to','of','and','that','have','with')))::BIGINT AS n_stop
@@ -2786,7 +2788,7 @@ object SparkEntry {
         ", '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')" +
         ", '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')" +
         ", '(?s)<!--.*?-->', ' ', 'g')" +
-        ", '</?[A-Za-z][^>]*>', ' ', 'g')" +
+        ", '</?[A-Za-z!?][^>]*>', ' ', 'g')" +
         ", '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g')" +
         ", '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')" +
         ", '[ \\t\\n\\r\\f]+', ' ', 'g'))"

@@ -148,10 +148,18 @@ object AsofJoin {
     // tolerance discards a match farther than `tol` (null struct -> all-null
     // asof_* row, Polars join_asof(tolerance=...) semantics). A null picked
     // row makes dist null; `null <= tol` is null -> otherwise(null) — safe.
+    // The threshold is CAST TO distType before comparing: on integral axes
+    // dist is exact long arithmetic, and comparing it against a double
+    // literal would promote the long to double — re-introducing the >2^53
+    // lossiness the distType machinery exists to avoid (2^53+1 would pass
+    // a 2^53 tolerance). Long-casting the tolerance truncates any
+    // fractional part, which on an integer axis can only ADMIT a distance
+    // the caller's fractional threshold already admits (floor(tol) accepts
+    // exactly the same integers as tol).
     val pickedTol: Column = tolerance match {
       case None => picked
       case Some(tol) =>
-        when(dist(picked) <= lit(tol), picked)
+        when(dist(picked) <= lit(tol).cast(distType), picked)
           .otherwise(lit(null).cast(asofType))
     }
 

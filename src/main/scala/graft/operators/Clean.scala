@@ -42,7 +42,11 @@ object Clean {
       regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script>", " "),
       "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComments, "</?[A-Za-z][^>]*>", " ")
+    // [A-Za-z!?] start: element tags AND <!DOCTYPE>/<?xml?> declarations —
+    // real crawled pages open with those, and a letter-only class would
+    // leak them into the "clean prose" output (comments are already gone,
+    // so the '!' arm can no longer eat a '<!--')
+    val noTags = regexp_replace(noComments, "</?[A-Za-z!?][^>]*>", " ")
     val decoded = entityRules.foldLeft(noTags) { case (acc, (ent, lit_)) =>
       regexp_replace(acc, ent, lit_)
     }

@@ -74,15 +74,25 @@ object DupClusters {
           count(lit(1)).as("n"),
           coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")),
         name)
-      // listener delivery is async even for an eager stage, but it lands
-      // milliseconds after the action (measured 1-8 ms) — 200 ms covers
-      // it with margin while keeping the lazy-stager fallback cheap
-      try {
+      // derive the wait from the stager's eagerness: a LAZY stager ran no
+      // action, so the observation CANNOT have fired — skip the wait
+      // entirely; an EAGER stage already ran the action, so the metrics
+      // are in flight and worth a generous wait (listener delivery is
+      // 1-8 ms on an idle box, but a loaded machine can exceed a short
+      // timeout and silently re-introduce the second edge-set pass this
+      // piggyback exists to remove). Fallback is logged — a degradation
+      // the operator can see, never silent.
+      if (!stager.eager) (staged, signature(staged))
+      else try {
         val row = scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(200, "ms"))
+          scala.concurrent.duration.Duration(5, "s"))
         (staged, (row.getAs[Long]("n"), row.getAs[Long]("h")))
       } catch {
-        case _: java.util.concurrent.TimeoutException => (staged, signature(staged))
+        case _: java.util.concurrent.TimeoutException =>
+          org.slf4j.LoggerFactory.getLogger(DupClusters.getClass).warn(
+            s"observation '$name' not delivered within 5s; recomputing the " +
+              "convergence signature with an extra aggregate over the stage")
+          (staged, signature(staged))
       }
     }
 

@@ -50,12 +50,15 @@ object Gopher {
     val sumChars = length(regexp_replace(text, "[ \\t\\n\\r\\f]+", "")).cast("long")
     def occurrences(needle: String, width: Int): Column =
       ((length(text) - length(replace(text, lit(needle), lit("")))) / width).cast("long")
-    val nSymbols = occurrences("#", 1) + occurrences("...", 3)
+    // both ellipsis forms: ASCII "..." and the single-char U+2026 that
+    // word processors/CMSes emit — the Gopher rule covers both
+    val nSymbols = occurrences("#", 1) + occurrences("...", 3) + occurrences("…", 1)
     val lines = filter(split(text, "\\n"), l => trim(l) =!= "")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines, l =>
       bulletPrefixes.map(p => trim(l).startsWith(p)).reduce(_ || _))).cast("long")
-    val nEllipsisEnd = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    val nEllipsisEnd = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
     val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val nStop = size(filter(
       array_distinct(transform(toks, t => lower(t))),

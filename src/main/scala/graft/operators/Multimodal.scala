@@ -76,9 +76,15 @@ object Multimodal {
     val isPng = hex(bin.substr(lit(1), lit(8))) === "89504E470D0A1A0A"
     val isGif = hex(bin.substr(lit(1), lit(4))) === "47494638" // "GIF8"
     val isJpg = hex(bin.substr(lit(1), lit(2))) === "FFD8"
-    // SOF0/SOF2: marker, 2-byte length, 1-byte precision, height u16, width u16
+    // SOF0/SOF2: marker, 2-byte length, 1-byte precision, height u16, width
+    // u16. The `^(?:..)*?` prefix forces the match onto an EVEN hex offset
+    // — without it, payload bytes like 2F FC 0A would match 'FFC0' at an
+    // odd nibble and parse byte-straddling garbage as dimensions. Still a
+    // first-marker heuristic: an EXIF thumbnail's own SOF (inside APP1)
+    // precedes the main frame's and wins — the full segment-walking parser
+    // is the MediaDecoder path, as the scaladoc above says.
     val sof = regexp_extract(hex(bin.substr(lit(1), lit(65536))),
-      "FFC[02][0-9A-F]{4}[0-9A-F]{2}([0-9A-F]{4})([0-9A-F]{4})", 0)
+      "^(?:[0-9A-F]{2})*?(FFC[02][0-9A-F]{4}[0-9A-F]{2}[0-9A-F]{4}[0-9A-F]{4})", 1)
     val jH = conv(substring(sof, 11, 4), 16, 10).cast("int")
     val jW = conv(substring(sof, 15, 4), 16, 10).cast("int")
     when(isPng, struct(lit("png").as("format"),
@@ -104,9 +110,11 @@ object Multimodal {
     * length LE u32 @41. n_frames = data_len / block_align (exact integer
     * division; block_align > 0 guarded). */
   def audioMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // LONG, not int: a u32 data-chunk length is up to 4 GiB-1 — an int
+    // cast would wrap files past 2 GiB to negative frame counts
     def le(off: Int, len: Int) = conv(
       concat((0 until len).reverse.map(i => hex(bin.substr(lit(off + i), lit(1)))): _*),
-      16, 10).cast("int")
+      16, 10).cast("long")
     val isRiffWave = hex(bin.substr(lit(1), lit(4))) === "52494646" && // "RIFF"
       hex(bin.substr(lit(9), lit(8))) === "57415645666D7420" && // "WAVEfmt "
       le(17, 4) === 16 && // canonical 16-byte PCM fmt chunk
@@ -114,12 +122,12 @@ object Multimodal {
     val blockAlign = le(33, 2)
     when(isRiffWave && blockAlign > 0,
         struct(lit("wav").as("format"),
-          le(23, 2).as("channels"),
-          le(25, 4).as("sample_rate"),
-          le(35, 2).as("bits_per_sample"),
-          (le(41, 4) / blockAlign).cast("int").as("n_frames")))
+          le(23, 2).cast("int").as("channels"),
+          le(25, 4).cast("int").as("sample_rate"),
+          le(35, 2).cast("int").as("bits_per_sample"),
+          (le(41, 4) / blockAlign).cast("long").as("n_frames")))
       .otherwise(lit(null).cast(
-        "struct<format:string,channels:int,sample_rate:int,bits_per_sample:int,n_frames:int>"))
+        "struct<format:string,channels:int,sample_rate:int,bits_per_sample:int,n_frames:bigint>"))
   }
 
   // ------------------------------------------------------------ decoders

@@ -34,7 +34,13 @@ object Profile {
     val reserved = Seq("__n_char", "__n_alpha", "__n_punct", "__fp", "__q")
     (reserved intersect docs.columns).foreach(c =>
       throw new IllegalArgumentException(s"column name '$c' is reserved by corpusProfile"))
-    val withChars = docs.select(col(s"`$idCol`"), col(s"`$groupCol`"),
+    // null text profiles as EMPTY text (the tokenStats contract): a null
+    // fingerprint would be skipped by countDistinct while count(*) keeps
+    // the row — a fetch-failure batch would read as a 100% dup-rate spike
+    // (n_unique=0) in the exact report meant to catch real dup spikes.
+    // With the coalesce, null/empty docs form one honest "empty" group.
+    val docsNN = docs.withColumn(textCol, coalesce(col(s"`$textCol`"), lit("")))
+    val withChars = docsNN.select(col(s"`$idCol`"), col(s"`$groupCol`"),
       length(col(s"`$textCol`")).cast("double").as("__n_char"),
       TextFunctions.alphaChars(col(s"`$textCol`")).cast("double").as("__n_alpha"),
       TextFunctions.punctChars(col(s"`$textCol`")).cast("double").as("__n_punct"),

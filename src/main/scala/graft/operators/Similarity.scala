@@ -79,23 +79,28 @@ object Similarity {
     * wider than the double-vs-decimal discrepancy (<1e-12 vs typical
     * cosine gaps), so the final top-k is the exact decimal ranking — the
     * oracle gate verifies this on every run. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** Shared two-phase ranking core of [[bruteForceTopK]] and
+    * [[hardNegatives]]: `c` carries (neighbor_id, __cv, __cn) and `q`
+    * (query_id, __qv, __qn) plus any label columns; `pairFilter` is ANDed
+    * into the pair predicate BEFORE any scoring.
+    *
+    * The degenerate-score guard lives in the POST-window filters: a
+    * filter between the score projection and the window triggers an
+    * optimizer substitution blowup on expression-valued vector columns
+    * (hashEmbedding-shaped inputs) — measured as an OOM at 10g heap.
+    * The math.max(3*k, k+10) margin is orders of magnitude wider than
+    * the float-vs-decimal rank discrepancy; the final ranking is the
+    * exact decimal one. One implementation so these invariants cannot
+    * drift between the plain and the label-filtered search. */
+  private def rankedTopK(c: DataFrame, q: DataFrame, k: Int,
+      pairFilter: Column): DataFrame = {
     import graft.functions.FloatArrayDot
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qn", sqrt(normSq(col("__qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", sqrt(normSq(col("__cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
     val wFast = Window.partitionBy(col("query_id"))
       .orderBy(scoreDesc(col("__fast")), col("neighbor_id"))
-    // the degenerate-score guard lives in the POST-window filters: a
-    // filter between the score projection and the window triggers an
-    // optimizer substitution blowup on expression-valued vector columns
-    // (hashEmbedding-shaped inputs) — measured as an OOM at 10g heap
     c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id") && pairFilter)
       .withColumn("__fast",
         FloatArrayDot.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("__frank", row_number().over(wFast))
@@ -103,6 +108,15 @@ object Similarity {
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(normSq(col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(normSq(col("__cv"))))
+    rankedTopK(c, q, k, lit(true))
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
@@ -121,28 +135,15 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    import graft.functions.FloatArrayDot
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         col(labelCol).as("query_label"))
       .withColumn("__qn", sqrt(normSq(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         col(labelCol).as("neighbor_label"))
       .withColumn("__cn", sqrt(normSq(col("__cv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(scoreDesc(col("cosine")), col("neighbor_id"))
-    val wFast = Window.partitionBy(col("query_id"))
-      .orderBy(scoreDesc(col("__fast")), col("neighbor_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id") &&
+    rankedTopK(c, q, k,
         col("neighbor_label").isNotNull && col("query_label").isNotNull &&
-        col("neighbor_label") =!= col("query_label"))
-      .withColumn("__fast",
-        FloatArrayDot.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("__frank", row_number().over(wFast))
-      .filter(col("__frank") <= math.max(3 * k, k + 10) && notNaN(col("__fast")))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+          col("neighbor_label") =!= col("query_label"))
       .select("query_id", "query_label", "neighbor_id", "neighbor_label",
         "rank", "cosine")
   }

@@ -189,7 +189,11 @@ object Sketch {
       .select(g, key,
         explode(array((0 until depth).map(lit(_)): _*)).as("__pd"))
       .withColumn("__pidx", cmsCell(key, col("__pd"), width))
-      .join(cells, g === col("__sg") && col("__pd") === col("d") &&
+      // null-SAFE group match: cmsSketch builds cells for a NULL group
+      // (only null KEYS are filtered), so a (null-group, key) probe must
+      // find them — plain === would miss and undercount to 0, breaking
+      // the CM "never undercount" guarantee
+      .join(cells, g <=> col("__sg") && col("__pd") === col("d") &&
         col("__pidx") === col("idx"), "left")
       .groupBy(g, key)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))

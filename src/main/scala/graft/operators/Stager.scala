@@ -29,6 +29,14 @@ trait Stager {
   /** Return a DataFrame equivalent to `df` that consumers can scan
     * repeatedly without recomputing `df`'s plan. */
   def stage(df: DataFrame, name: String): DataFrame
+
+  /** Whether [[stage]] RUNS an action before returning (localCheckpoint,
+    * parquet write) or merely marks storage (persist). Callers that
+    * piggyback on a stage's action — e.g. DupClusters' Observation-based
+    * convergence signature — use this to decide whether metrics can
+    * possibly be in flight (eager) or cannot have been produced at all
+    * (lazy, skip the wait). */
+  def eager: Boolean
 }
 
 object Stager {
@@ -36,12 +44,14 @@ object Stager {
   /** Eager local checkpoint (lineage-truncating — local mode / tests). */
   object LocalCheckpoint extends Stager {
     override def stage(df: DataFrame, name: String): DataFrame = df.localCheckpoint()
+    override def eager: Boolean = true
   }
 
   /** MEMORY_AND_DISK persist; lineage retained, not durable. */
   object Persist extends Stager {
     override def stage(df: DataFrame, name: String): DataFrame =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    override def eager: Boolean = false
   }
 
   /** Durable parquet staging through the TableGraph warehouse. */
@@ -51,6 +61,7 @@ object Stager {
       graph.getTable(df.sparkSession, name)
         .getOrElse(sys.error(s"stage $name vanished from the graph"))
     }
+    override def eager: Boolean = true
   }
 
   /** Delegating wrapper that remembers a release handle for EVERY stage it
@@ -72,6 +83,7 @@ object Stager {
   final class Recording(underlying: Stager) extends Stager {
     private val handles = scala.collection.mutable.ListBuffer[() => Unit]()
     private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Recording])
+    override def eager: Boolean = underlying.eager
 
     override def stage(df: DataFrame, name: String): DataFrame = synchronized {
       underlying match {

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * stays in the Java∩RE2 subset so the p56 gate replays it in DuckDB.
   * This is syntactic host parsing — scheme, userinfo, port and path are
   * stripped; no public-suffix-list lookup (that table is a join the
-  * caller owns).
+  * caller owns). Bracketed IPv6 authorities (`http://[::1]/`) are not
+  * parsed (the host class stops at ':'); crawl corpora key on registered
+  * domains, where this never occurs — a caller who needs IPv6 literals
+  * owns that regex.
   */
 object Urls {
 

@@ -139,6 +139,18 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out === Seq("forward_near"))
   }
 
+  test("tolerance past 2^53 compares in long arithmetic too, not double") {
+    // dist = 2^53 + 1; tolerance 2^53. A double comparison would round
+    // the long dist to 2^53 and KEEP the out-of-tolerance match.
+    val t0 = 9007199254740993L // 2^53 + 1
+    val left = Seq((1L, t0)).toDF("k", "t")
+    val right = Seq((1L, 0L, "too_far")).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      strategy = "backward", tolerance = Some(9007199254740992.0 /* 2^53 */))
+      .select("asof_v").as[String].collect().toSeq
+    assert(out === Seq(null))
+  }
+
   test("nearest asof: mixed integral/fractional order columns compare as double") {
     // left Long, right Double: a long cast of the right side would truncate
     // 10.6 -> 10 and 9.5 -> 9, flipping which candidate is nearer to t=10.

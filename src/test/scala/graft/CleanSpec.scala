@@ -29,6 +29,12 @@ class CleanSpec extends SparkSpecBase {
     assert(cleanOne("a&nbsp;&nbsp;b") === "a b")
   }
 
+  test("DOCTYPE and XML declarations are stripped like tags (real pages start with them)") {
+    assert(cleanOne("<!DOCTYPE html><html><body>hi</body></html>") === "hi")
+    assert(cleanOne("<?xml version=\"1.0\" encoding=\"UTF-8\"?><p>x</p>") === "x")
+    assert(cleanOne("<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0//EN\">body") === "body")
+  }
+
   test("non-markup angle brackets survive (comparisons, lone '<')") {
     assert(cleanOne("if a < b and b > 1") === "if a < b and b > 1")
     assert(cleanOne("5<6 but <em>em</em>") === "5<6 but em")

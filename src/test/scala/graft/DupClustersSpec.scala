@@ -41,8 +41,8 @@ class DupClustersSpec extends SparkSpecBase {
   }
 
   test("a LAZY stager (Persist) takes the explicit-signature fallback and agrees") {
-    // Persist runs no action inside stage(), so the Observation future
-    // times out and the fallback aggregate must drive convergence
+    // Persist runs no action inside stage() (eager=false), so the wait is
+    // skipped outright and the fallback aggregate must drive convergence
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val viaPersist = DupClusters.connectedComponents(pairs, "id_a", "id_b",
         stager = graft.operators.Stager.Persist)

@@ -35,9 +35,11 @@ class GopherSpec extends SparkSpecBase {
     assert(rules(prose).getBoolean(1))
   }
 
-  test("symbol ratio: hash- and ellipsis-riddled text fails") {
+  test("symbol ratio: hash- and ellipsis-riddled text fails (both ellipsis forms)") {
     assert(!rules("the # be # to # of # and # that # have # with # more #").getBoolean(2))
     assert(!rules("the... be... to... of... and... that... have... with... so...").getBoolean(2))
+    // single-char U+2026 — what word processors emit — counts too
+    assert(!rules("the… be… to… of… and… that… have… with… so…").getBoolean(2))
   }
 
   test("bullet and ellipsis line fractions") {
@@ -45,6 +47,8 @@ class GopherSpec extends SparkSpecBase {
     assert(!rules(bullets).getBoolean(3))
     val ells = (1 to 10).map(i => s"the line $i that trails off...").mkString("\n")
     assert(!rules(ells).getBoolean(4))
+    val ellsU = (1 to 10).map(i => s"the line $i that trails off…").mkString("\n")
+    assert(!rules(ellsU).getBoolean(4))
     // 1 bullet line in 10 is fine
     val mixed = ("- one bullet" +: (1 to 9).map(i => s"the plain line $i of prose")).mkString("\n")
     assert(rules(mixed).getBoolean(3))

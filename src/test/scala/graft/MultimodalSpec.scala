@@ -48,6 +48,17 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(4L) === ((None, None, None)))
   }
 
+  test("imageDimensions: FFC0 straddling a byte boundary is not a SOF (nibble alignment)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // payload bytes 2F FC 00 hex-encode to '2FFC00...': the unanchored
+    // pattern matched 'FFC0' at an odd character and parsed garbage dims
+    val trap = b(0xFF, 0xD8, 0x2F, 0xFC, 0x00, 0x11, 0x22, 0x33, 0x44, 0x55,
+      0x66, 0x77, 0x88, 0x99, 0xAA, 0xBB, 0xCC)
+    val out = Seq(Tuple1(trap)).toDF("media")
+      .select(Multimodal.imageDimensions(col("media")).as("dims")).head()
+    assert(out.isNullAt(0))
+  }
+
   test("audioMeta parses canonical WAV headers; non-canonical layouts fall through") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     def le16(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF)
@@ -68,8 +79,8 @@ class MultimodalSpec extends SparkSpecBase {
     val got = df.select(col("id"), col("meta.format"), col("meta.channels"),
         col("meta.sample_rate"), col("meta.bits_per_sample"), col("meta.n_frames"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1)).map(f =>
-        (f, r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
-    assert(got(1L) === Some(("wav", 2, 44100, 16, 44100)))
+        (f, r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got(1L) === Some(("wav", 2, 44100, 16, 44100L)))
     assert(got(2L) === None)
     assert(got(3L) === None)
   }

@@ -33,6 +33,20 @@ class ProfileSpec extends SparkSpecBase {
     assert(got === perRow)
   }
 
+  test("null-text docs profile as empty text, not as a phantom 100% dup spike") {
+    val d = Seq(
+      (1L, "a", null.asInstanceOf[String]),
+      (2L, "a", null.asInstanceOf[String]),
+      (3L, "a", "real content here")).toDF("doc_id", "src", "text")
+    val row = Profile.corpusProfile(d, "src", "doc_id", "text").head()
+    assert(row.getLong(1) === 3L)            // n_docs
+    // the two null docs collapse to ONE honest "empty" fingerprint group:
+    // n_unique = 2 (empty + real), dup_frac = 1/3 — not the n_unique=1,
+    // dup_frac=2/3 a null-skipping countDistinct would report
+    assert(row.getLong(2) === 2L)
+    assert(math.abs(row.getDouble(3) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("null group values profile as their own row") {
     val withNull = docs.union(Seq((6L, null.asInstanceOf[String], "x y z"))
       .toDF("doc_id", "src", "text"))

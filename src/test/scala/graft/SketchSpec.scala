@@ -99,6 +99,18 @@ class SketchSpec extends SparkSpecBase {
     assert(exact.forall { case (gk, c) => narrow(gk) >= c })
   }
 
+  test("CMS estimates for a NULL group find the null group's cells (null-safe join)") {
+    val rows = (Seq.fill(7)((null.asInstanceOf[String], "k0")) ++
+      Seq.fill(3)(("ga", "k0"))).toDF("g", "key")
+    val probes = Seq((null.asInstanceOf[String], "k0"), ("ga", "k0")).toDF("g", "key")
+    val est = Sketch.cmsEstimate(probes,
+      Sketch.cmsSketch(rows, "key", "g", depth = 3, width = 4096),
+      "key", "g", depth = 3, width = 4096)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(est(None) === 7L)   // a plain === join would undercount this to 0
+    assert(est(Some("ga")) === 3L)
+  }
+
   test("CMS merge of shard sketches equals the sketch of the union") {
     val df = cmsFixture.withColumn("__half", abs(hash($"key")) % 2)
     val full = Sketch.cmsSketch(cmsFixture, "key", "g", depth = 3, width = 64)
