@@ -2916,5 +2916,49 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
         .orderBy(col("doc_id"))
     }
+
+    // --- PageRank (2 unrolled iterations) over the symmetrized p05
+    //     near-dup pair graph: doc centrality in its dup neighborhood.
+    //     Contributions pr/outdeg are single IEEE divisions; inflow sums
+    //     ride DECIMAL(38,18); each iteration rounds through
+    //     DECIMAL(25,12) (absorbs the 2e-17 jump-literal difference —
+    //     DuckDB's 1.0-0.85 is decimal-exact, the JVM's is binary64).
+    //     The graph is symmetric, so the dangling term is exactly 0.0 and
+    //     the oracle omits it (x + 0.0 == x for all non-NaN doubles).
+    register("p61_pagerank",
+      s"""WITH $minhashPairCtes,
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+         |pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+         |in1 AS (SELECT e.v AS id,
+         |    CAST(SUM(CAST(p.pr / od.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS i
+         |  FROM e JOIN pr0 p ON p.id = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+         |it1 AS (SELECT nodes.id,
+         |    CAST(CAST((1.0 - 0.85) / nn.n + 0.85 * COALESCE(in1.i, 0.0)
+         |      AS DECIMAL(25,12)) AS DOUBLE) AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN in1 ON in1.id = nodes.id),
+         |in2 AS (SELECT e.v AS id,
+         |    CAST(SUM(CAST(p.pr / od.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS i
+         |  FROM e JOIN it1 p ON p.id = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+         |it2 AS (SELECT nodes.id,
+         |    CAST(CAST((1.0 - 0.85) / nn.n + 0.85 * COALESCE(in2.i, 0.0)
+         |      AS DECIMAL(25,12)) AS DOUBLE) AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN in2 ON in2.id = nodes.id)
+         |SELECT id AS doc_id,
+         |  CAST(ROUND(CAST(pr AS DECIMAL(25,12)), 9) AS DOUBLE) AS pr
+         |FROM it2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.nearDupPairsMinhash(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 1,
+        threshold = 0.8)
+      val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      graft.operators.Graphs.pagerank(sym, "u", "v", iters = 2)
+        .select(col("id").as("doc_id"),
+          round(col("pr").cast(DecimalType(25, 12)), 9).cast("double").as("pr"))
+        .orderBy(col("doc_id"))
+    }
   }
 }
