@@ -47,11 +47,17 @@ object Bench {
     // samples(name) = one timing per suite pass (absent where that pass failed)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // first failure message per query, kept IN the JSON artifact: round 7's
+    // q35 failure left no diagnostic because stderr wasn't persisted and
+    // the driver stores only a 2000-char output tail
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (p <- 0 until reps) {
       for ((name, fn) <- names) {
         try samples(name) = samples(name) :+ timeOnce(fn)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(400)}"
+          errors.getOrElseUpdate(name, msg)
+          System.err.println(s"[bench] $name FAILED: $msg")
         }
       }
       // staged intermediates (localCheckpoint / persist) leak per query —
@@ -83,11 +89,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // JSON-escape the error text (same rules Verify uses for oracle SQL)
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errorsJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + jesc(k) + "\":\"" + jesc(v) + "\"" }
+      .mkString("{", ",", "}")
     val totalsJson = suiteTotals.mkString("[", ",", "]")
     val spreadPct =
       if (suiteTotals.isEmpty || median(suiteTotals) == 0.0) -1.0
       else 100.0 * (suiteTotals.max - suiteTotals.min) / median(suiteTotals)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":$totalsJson,"spread_pct":$spreadPct,"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":$totalsJson,"spread_pct":$spreadPct,"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

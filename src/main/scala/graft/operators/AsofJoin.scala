@@ -45,9 +45,9 @@ object AsofJoin {
     *                  `asof_<name>`); must not collide with left columns.
     * @param tolerance  Polars join_asof(tolerance=...): a match farther
     *                  than this from the left timestamp is discarded
-    *                  (row keeps all-null `asof_*`). Units are the order
-    *                  column's numeric-cast units — epoch SECONDS for
-    *                  timestamps, the raw value for numerics. Must be
+    *                  (row keeps all-null `asof_*`). Units: epoch SECONDS
+    *                  for timestamps (both flavors), whole DAYS for
+    *                  dates, the raw value for numerics. Must be
     *                  positive; applies to every strategy.
     */
   def apply(
@@ -111,29 +111,44 @@ object AsofJoin {
 
     val backward = last(col("__asof"), ignoreNulls = true).over(wB)
     val forward = last(col("__asof"), ignoreNulls = true).over(wF)
-    // Distance type: when BOTH order columns are integral (e.g.
+    // Distance axis: when BOTH order columns are integral (e.g.
     // nanosecond-epoch longs) compare in LONG arithmetic — a double
-    // cast is lossy past 2^53 and can pick the FARTHER candidate. If
-    // EITHER side is non-integral, fall back to double: casting the
-    // fractional side to long would truncate its distance (left Long /
-    // right Double mixes stay lossy past 2^53 either way — match the
-    // order-column types if that matters). Floating, decimal and
-    // timestamp (micros-since-epoch stays inside double's 53-bit
-    // mantissa for centuries) all compare as double; dates would need
-    // a cast by the caller. Long caveat: a backward/forward candidate
-    // pair spanning > Long.MaxValue of the order unit overflows the
-    // subtraction.
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    // cast is lossy past 2^53 and can pick the FARTHER candidate.
+    // Timestamps CANNOT be cast to double in Spark 4 (TIMESTAMP_NTZ ->
+    // DOUBLE is a hard analysis error — this crashed the whole nearest
+    // strategy in round 7), so both timestamp flavors are normalized
+    // through unix_micros to exact long micros (NTZ goes via a cast to
+    // TIMESTAMP, interpreted in the session timezone — Sessions.local
+    // pins UTC, making the mapping absolute and monotone) and dates
+    // through unix_date (long days). If either side is genuinely
+    // fractional (float/double/decimal), fall back to double: casting
+    // the fractional side to long would truncate its distance. Long
+    // caveat: a backward/forward candidate pair spanning >
+    // Long.MaxValue of the axis unit overflows the subtraction.
+    import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     def integral(dt: DataType) = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    val distType =
-      if (integral(left.schema(leftTsCol).dataType) &&
-          integral(right.schema(rightTsCol).dataType)) "long"
-      else "double"
+    def timeTyped(dt: DataType) = dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    def longAxis(dt: DataType) = integral(dt) || timeTyped(dt)
+    val (lDt, rDt) = (left.schema(leftTsCol).dataType, right.schema(rightTsCol).dataType)
+    val distType = if (longAxis(lDt) && longAxis(rDt)) "long" else "double"
+    def axis(c: Column, dt: DataType): Column = dt match {
+      case TimestampType    => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType         => unix_date(c).cast(distType)
+      case _                => c.cast(distType)
+    }
+    // __t is resolved with the LEFT axis type: time types only union
+    // with themselves, and for numerics the axis conversion is a plain
+    // cast to distType, which absorbs any int-width coercion the union
+    // applied. __ts inside the struct always keeps the right side's type.
     def dist(s: Column) =
-      abs(col("__t").cast(distType) - s.getField("__ts").cast(distType))
+      abs(axis(col("__t"), lDt) - axis(s.getField("__ts"), rDt))
     val picked: Column = strategy match {
       case "backward" => backward
       case "forward" => forward
@@ -156,10 +171,19 @@ object AsofJoin {
     // fractional part, which on an integer axis can only ADMIT a distance
     // the caller's fractional threshold already admits (floor(tol) accepts
     // exactly the same integers as tol).
+    // On timestamp axes dist is measured in MICROS (the unix_micros
+    // normalization above) while the documented tolerance unit stays
+    // epoch SECONDS — scale the caller's threshold onto the axis.
+    // Dates measure in whole days, numerics in the raw value.
+    val tolScale: Double = (lDt, rDt) match {
+      case (TimestampType | TimestampNTZType, _) => 1e6
+      case (_, TimestampType | TimestampNTZType) => 1e6
+      case _ => 1.0
+    }
     val pickedTol: Column = tolerance match {
       case None => picked
       case Some(tol) =>
-        when(dist(picked) <= lit(tol).cast(distType), picked)
+        when(dist(picked) <= lit(tol * tolScale).cast(distType), picked)
           .otherwise(lit(null).cast(asofType))
     }
 

@@ -177,6 +177,47 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out === Seq(None, Some(1.0)))
   }
 
+  test("nearest + tolerance work on TIMESTAMP_NTZ order columns (round-7 " +
+    "bench regression: Spark 4 forbids TIMESTAMP_NTZ -> DOUBLE casts)") {
+    // LocalDateTime encodes as TimestampNTZType — the type the events
+    // parquet yields, and the one q35_asof_nearest crashed on before the
+    // axis normalization through unix_micros
+    def ntz(m: Int) = java.time.LocalDateTime.of(2023, 11, 14, 22, 0).plusMinutes(m)
+    val left = Seq(
+      (1L, ntz(6)),   // 60s from rt=5, 240s from rt=10 -> backward "a"
+      (1L, ntz(9)),   // -> forward "b"
+      (1L, ntz(20))   // 600s tie both ways -> backward "b"
+    ).toDF("k", "t")
+    assert(left.schema("t").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val right = Seq(
+      (1L, ntz(5), "a"), (1L, ntz(10), "b"), (1L, ntz(30), "c")
+    ).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "nearest")
+      .orderBy("t").select("asof_v").as[String].collect().toSeq
+    assert(out === Seq("a", "b", "b"))
+    // tolerance stays in SECONDS on the micros axis: 100s keeps only the
+    // 60s match
+    val tol = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      strategy = "nearest", tolerance = Some(100.0))
+      .orderBy("t").select("asof_v").as[Option[String]].collect().toSeq
+    assert(tol === Seq(Some("a"), Some("b"), None))
+  }
+
+  test("nearest works on DATE order columns (whole-day axis)") {
+    def d(n: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(n))
+    val left = Seq((1L, d(6)), (1L, d(9))).toDF("k", "t")
+    val right = Seq((1L, d(5), "a"), (1L, d(10), "b")).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "nearest")
+      .orderBy("t").select("asof_v").as[String].collect().toSeq
+    assert(out === Seq("a", "b"))
+    // tolerance unit for dates is DAYS
+    val tol = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      strategy = "backward", tolerance = Some(1.0))
+      .orderBy("t").select("asof_v").as[Option[String]].collect().toSeq
+    assert(tol === Seq(Some("a"), None))
+  }
+
   test("unknown strategy is rejected") {
     val left = Seq((1L, ts(0))).toDF("k", "t")
     val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")
