@@ -82,10 +82,18 @@ object Bench {
     val suiteTotals = (0 until reps).map { p =>
       names.collect { case (n, _) if !failed.contains(n) => samples(n)(p) }.sum
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the artifact line SHORT: round 7's
+    // full-precision doubles pushed the one-line JSON past ~9.5k chars
+    // and the driver recorded "parsed": null — timer noise alone is
+    // larger than 1 ms, so nothing real is lost.
+    def r3(v: Double): String = {
+      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      s.bigDecimal.toPlainString
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _, ss) =>
-      s"\"" + k + "\":" + ss.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ss.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -99,11 +107,15 @@ object Bench {
     val errorsJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + jesc(k) + "\":\"" + jesc(v) + "\"" }
       .mkString("{", ",", "}")
-    val totalsJson = suiteTotals.mkString("[", ",", "]")
     val spreadPct =
       if (suiteTotals.isEmpty || median(suiteTotals) == 0.0) -1.0
       else 100.0 * (suiteTotals.max - suiteTotals.min) / median(suiteTotals)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":$totalsJson,"spread_pct":$spreadPct,"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":${suiteTotals.map(r3).mkString("[", ",", "]")},"spread_pct":${r3(spreadPct)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: the same JSON as a file, immune to any stdout
+    // capture/line-length limit in whatever harness invoked us
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_last.json: ${e.getMessage}") }
     spark.stop()
   }
 }
