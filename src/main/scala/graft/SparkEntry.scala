@@ -2960,5 +2960,24 @@ object SparkEntry {
           round(col("pr").cast(DecimalType(25, 12)), 9).cast("double").as("pr"))
         .orderBy(col("doc_id"))
     }
+
+    // --- exact triangle count over the p05 near-dup pair graph (dup-
+    //     family "clique-ness" signal: triangles/edges separates tight
+    //     template families from chains of pairwise borderline matches).
+    //     Engine side is the degree-ordered node-iterator (Suri &
+    //     Vassilvitskii 2011, O(m^1.5) wedge bound); the oracle counts
+    //     each triangle once as an ordered 3-join over the canonical
+    //     (a<b) pair list — fine at oracle scale, quadratic-prone in
+    //     general, which is WHY the engine orients by degree rank.
+    register("p62_triangle_count",
+      s"""WITH $minhashPairCtes
+         |SELECT COUNT(*) AS n_triangles FROM pairs x
+         |JOIN pairs y ON y.id_a = x.id_a AND y.id_b > x.id_b
+         |JOIN pairs z ON z.id_a = x.id_b AND z.id_b = y.id_b""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.nearDupPairsMinhash(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 1,
+        threshold = 0.8)
+      graft.operators.Graphs.triangleCount(pairs, "id_a", "id_b")
+    }
   }
 }

@@ -80,4 +80,53 @@ object Graphs {
     }
     pr
   }
+
+  /** Exact triangle count over an undirected edge list, via the
+    * degree-ordered node-iterator (Suri & Vassilvitskii, WWW 2011,
+    * "Counting triangles and the curse of the last reducer").
+    *
+    * Edges are canonicalized (unordered pair, self-loops/nulls/dups
+    * dropped), then DIRECTED from the lower-ranked endpoint to the
+    * higher, where rank = (degree, id). Under that orientation every
+    * vertex's out-degree is O(sqrt(m)), so the wedge self-join fans out
+    * to at most O(m^1.5) rows TOTAL no matter how skewed the degree
+    * distribution — a 10^8-follower hub generates zero wedges at the hub
+    * (the "last reducer" fix). Wedges (ordered out-neighbor pairs of one
+    * vertex) joined against the directed edge set close each triangle
+    * exactly once.
+    *
+    * Cost: three shuffles (degree agg, wedge self-join, closing join) +
+    * one count. No driver-side data at any scale.
+    *
+    * Returns one row `(n_triangles: long)` — 0 via an empty-safe agg.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val canon = raw
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id")).unionAll(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // orient low-rank -> high-rank; carry the DESTINATION's degree so the
+    // wedge join can order neighbor pairs by rank without re-joining deg
+    val lt = (col("du") < col("dv")) || (col("du") === col("dv") && col("u") < col("v"))
+    val dir = withDeg.select(
+      when(lt, col("u")).otherwise(col("v")).as("s"),
+      when(lt, col("v")).otherwise(col("u")).as("d"),
+      when(lt, col("dv")).otherwise(col("du")).as("dd"))
+    val x = dir.select(col("s"), col("d").as("w1"), col("dd").as("dd1"))
+    val y = dir.select(col("s"), col("d").as("w2"), col("dd").as("dd2"))
+    val wedges = x.join(y, "s")
+      .filter((col("dd1") < col("dd2")) ||
+        (col("dd1") === col("dd2") && col("w1") < col("w2")))
+      .select(col("w1"), col("w2"))
+    // the closing edge w1-w2 is directed w1 -> w2 (w1 outranked by w2)
+    wedges
+      .join(dir.select(col("s").as("w1"), col("d").as("w2")), Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

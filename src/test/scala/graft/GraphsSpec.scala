@@ -44,4 +44,39 @@ class GraphsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Graphs.pagerank(e, "u", "v", iters = 0) }
     intercept[IllegalArgumentException] { Graphs.pagerank(e, "u", "v", damping = 1.0) }
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    Graphs.triangleCount(edges.toDF("u", "v"), "u", "v")
+      .as[Long].collect().head
+
+  test("triangle count: K4 has 4 triangles, path and star have none") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tri(k4) === 4L)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === 0L)       // path
+    assert(tri((1L to 6L).map(l => (0L, l))) === 0L)            // star
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === 1L)       // one triangle
+  }
+
+  test("triangle count: duplicate / reversed edges, self-loops and nulls " +
+    "don't inflate the count; empty graph counts 0 (not an empty frame)") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+    assert(tri(messy) === 1L)
+    val withNulls = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)), (Some(3L), Some(1L)),
+      (None, Some(1L)), (Some(2L), None)
+    ).toDF("u", "v")
+    assert(Graphs.triangleCount(withNulls, "u", "v").as[Long].collect().head === 1L)
+    assert(tri(Seq.empty) === 0L)
+  }
+
+  test("triangle count: two overlapping triangles sharing an edge") {
+    // {1,2,3} and {2,3,4} share edge 2-3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(e) === 2L)
+    // adding hub 0 connected to everything: each old edge forms a triangle
+    // with the hub (5), plus the original 2 -> C(4,2) pairs among 1..4 that
+    // are edges: 5 edges -> 5 hub triangles + 2 = 7
+    val withHub = e ++ (1L to 4L).map(l => (0L, l))
+    assert(tri(withHub) === 7L)
+  }
 }
