@@ -24,8 +24,9 @@ object Sessions {
       // the gate/bench/specs can't drift from the cluster posture
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; read as long and convert (SparkEntry.events)
+      // some events.parquet vintages carry TIMESTAMP(NANOS), which Spark 4
+      // rejects by default; read those as long and convert (Tables.events).
+      // Harmless for MICROS-typed fixtures — kept so the engine reads both.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
   }

@@ -203,8 +203,7 @@ class StreamsSpec extends SparkSpecBase {
 
   test("streaming helpers are plain plan rewrites: identical on batch input") {
     // the same windowedAgg call works on a bounded DataFrame (events table)
-    val ev = testdata("sf0.001", "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val out = Streams.windowedAgg(ev, windowLen = "1 hour", watermark = "2 hours")
     assert(out.count() > 0)
     assert(out.columns.toSet ===
