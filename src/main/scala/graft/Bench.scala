@@ -86,10 +86,14 @@ object Bench {
     // full-precision doubles pushed the one-line JSON past ~9.5k chars
     // and the driver recorded "parsed": null — timer noise alone is
     // larger than 1 ms, so nothing real is lost.
-    def r3(v: Double): String = {
-      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-      s.bigDecimal.toPlainString
-    }
+    // Non-finite values (a NaN timing can only come from a bug upstream,
+    // but BigDecimal(NaN) THROWS — which would crash artifact emission
+    // after the whole suite has run) become JSON null, never an exception.
+    def r3(v: Double): String =
+      if (java.lang.Double.isFinite(v)) {
+        val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        s.bigDecimal.toPlainString
+      } else "null"
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _, ss) =>

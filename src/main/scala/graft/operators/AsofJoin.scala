@@ -46,9 +46,12 @@ object AsofJoin {
     * @param tolerance  Polars join_asof(tolerance=...): a match farther
     *                  than this from the left timestamp is discarded
     *                  (row keeps all-null `asof_*`). Units: epoch SECONDS
-    *                  for timestamps (both flavors), whole DAYS for
-    *                  dates, the raw value for numerics. Must be
-    *                  positive; applies to every strategy.
+    *                  whenever either order column is a timestamp (both
+    *                  flavors; a date mixed with a timestamp counts),
+    *                  whole DAYS when both are dates, the raw value for
+    *                  numerics. Must be positive; applies to every
+    *                  strategy. Both order columns must be in the same
+    *                  axis family (time-typed or numeric).
     */
   def apply(
       left: DataFrame,
@@ -134,21 +137,52 @@ object AsofJoin {
       case TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }
+    def timestampish(dt: DataType) = dt match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
     def longAxis(dt: DataType) = integral(dt) || timeTyped(dt)
     val (lDt, rDt) = (left.schema(leftTsCol).dataType, right.schema(rightTsCol).dataType)
+    // Both order columns must live on ONE axis: time-typed against
+    // time-typed, numeric against numeric. A (timestamp, numeric) mix has
+    // no coherent distance unit (micros vs raw values) and previously died
+    // deep inside analysis with an opaque cast error — reject it at the
+    // boundary instead.
+    require(timeTyped(lDt) == timeTyped(rDt),
+      s"asof order columns must share an axis family (both time-typed or " +
+        s"both numeric): '$leftTsCol' is $lDt, '$rightTsCol' is $rDt")
+    // TIMESTAMP_NTZ is mapped to epoch micros through a cast to TIMESTAMP,
+    // which is monotone only under a fixed-offset session timezone; in a
+    // DST zone the fall-back hour folds and nearest/tolerance could pick
+    // the wrong candidate. Sessions.local pins UTC — enforce rather than
+    // assume it when an NTZ axis is actually in play.
+    if (timestampish(lDt) && (lDt == TimestampNTZType || rDt == TimestampNTZType)) {
+      val tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz.startsWith("GMT") || tz.startsWith("UTC") ||
+        tz.matches("[+-]\\d{2}:\\d{2}"),
+        s"asof join over TIMESTAMP_NTZ needs a fixed-offset session " +
+          s"timezone (spark.sql.session.timeZone=$tz); DST zones make the " +
+          "NTZ->micros mapping non-monotone in the fall-back hour")
+    }
     val distType = if (longAxis(lDt) && longAxis(rDt)) "long" else "double"
+    // Mixed date/timestamp time axes measure in MICROS (dates scale by
+    // 86_400e6); pure-date axes stay in whole days.
+    val microsAxis = timestampish(lDt) || timestampish(rDt)
     def axis(c: Column, dt: DataType): Column = dt match {
       case TimestampType    => unix_micros(c)
       case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType if microsAxis => unix_date(c).cast(LongType) * lit(86400000000L)
       case DateType         => unix_date(c).cast(distType)
       case _                => c.cast(distType)
     }
-    // __t is resolved with the LEFT axis type: time types only union
-    // with themselves, and for numerics the axis conversion is a plain
-    // cast to distType, which absorbs any int-width coercion the union
-    // applied. __ts inside the struct always keeps the right side's type.
+    // __t takes the UNION's coerced type (date unions with timestamp to
+    // timestamp, int widths widen — the left declared type may not survive),
+    // so resolve its axis from the unioned schema. __ts inside the struct
+    // always keeps the right side's declared type.
+    val unioned = l.unionByName(r)
+    val tDt = unioned.schema("__t").dataType
     def dist(s: Column) =
-      abs(axis(col("__t"), lDt) - axis(s.getField("__ts"), rDt))
+      abs(axis(col("__t"), tDt) - axis(s.getField("__ts"), rDt))
     val picked: Column = strategy match {
       case "backward" => backward
       case "forward" => forward
@@ -171,15 +205,14 @@ object AsofJoin {
     // fractional part, which on an integer axis can only ADMIT a distance
     // the caller's fractional threshold already admits (floor(tol) accepts
     // exactly the same integers as tol).
-    // On timestamp axes dist is measured in MICROS (the unix_micros
-    // normalization above) while the documented tolerance unit stays
-    // epoch SECONDS — scale the caller's threshold onto the axis.
-    // Dates measure in whole days, numerics in the raw value.
-    val tolScale: Double = (lDt, rDt) match {
-      case (TimestampType | TimestampNTZType, _) => 1e6
-      case (_, TimestampType | TimestampNTZType) => 1e6
-      case _ => 1.0
-    }
+    // On micros axes (any timestamp side, including a date mixed with a
+    // timestamp) dist is measured in MICROS while the documented tolerance
+    // unit stays epoch SECONDS — scale the caller's threshold onto the
+    // axis. Pure-date axes measure in whole days, numerics in the raw
+    // value; neither scales. The axis-family require above makes a
+    // (timestamp, numeric) mix — where this scale would be incoherent —
+    // unreachable.
+    val tolScale: Double = if (microsAxis) 1e6 else 1.0
     val pickedTol: Column = tolerance match {
       case None => picked
       case Some(tol) =>
@@ -187,7 +220,7 @@ object AsofJoin {
           .otherwise(lit(null).cast(asofType))
     }
 
-    l.unionByName(r)
+    unioned
       .withColumn("__asof", pickedTol)
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
