@@ -77,21 +77,27 @@ object DupClusters {
       // derive the wait from the stager's eagerness: a LAZY stager ran no
       // action, so the observation CANNOT have fired — skip the wait
       // entirely; an EAGER stage already ran the action, so the metrics
-      // are in flight and worth a generous wait (listener delivery is
-      // 1-8 ms on an idle box, but a loaded machine can exceed a short
-      // timeout and silently re-introduce the second edge-set pass this
-      // piggyback exists to remove). Fallback is logged — a degradation
-      // the operator can see, never silent.
+      // are usually delivered within 1-8 ms. The wait must stay SHORT:
+      // delivery rides the listener bus, and when that bus is saturated
+      // (measured in round 9: a full bench pass queues enough events that
+      // delivery lags multiple seconds — a 5 s await here tripled
+      // p20_dup_clusters, 4.1s -> 14.0s, while the same loop in isolation
+      // delivered every round in ms) the fallback aggregate is the cheaper
+      // path by far: it re-reads the already-materialized STAGE (checkpoint
+      // blocks, not the upstream plan), so it costs one scan of the edge
+      // set, not seconds of driver stall per round. Fallback is logged — a
+      // degradation the operator can see, never silent.
       if (!stager.eager) (staged, signature(staged))
       else try {
         val row = scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(5, "s"))
+          scala.concurrent.duration.Duration(300, "ms"))
         (staged, (row.getAs[Long]("n"), row.getAs[Long]("h")))
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           org.slf4j.LoggerFactory.getLogger(DupClusters.getClass).warn(
-            s"observation '$name' not delivered within 5s; recomputing the " +
-              "convergence signature with an extra aggregate over the stage")
+            s"observation '$name' not delivered within 300ms; recomputing " +
+              "the convergence signature with one aggregate over the " +
+              "materialized stage (listener bus likely saturated)")
           (staged, signature(staged))
       }
     }

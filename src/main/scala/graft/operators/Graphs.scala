@@ -96,16 +96,28 @@ object Graphs {
     * exactly once.
     *
     * Cost: three shuffles (degree agg, wedge self-join, closing join) +
-    * one count. No driver-side data at any scale.
+    * one count. No driver-side data at any scale. The canonical and the
+    * oriented edge lists are staged ([[Stager]]) because each feeds 3+
+    * plan subtrees (deg twice + withDeg; x/y/closing) — unstaged,
+    * Catalyst's per-consumer pruning re-expands every copy and the base
+    * edge table lands in the final plan ~15 times; staged, it is read
+    * exactly once.
     *
     * Returns one row `(n_triangles: long)` — 0 via an empty-safe agg.
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     val raw = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val canon = raw
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val canon = stager.stage(
+      raw
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct(),
+      s"triangles_canon_$runId")
     val deg = canon.select(col("u").as("id")).unionAll(canon.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val withDeg = canon
@@ -114,10 +126,12 @@ object Graphs {
     // orient low-rank -> high-rank; carry the DESTINATION's degree so the
     // wedge join can order neighbor pairs by rank without re-joining deg
     val lt = (col("du") < col("dv")) || (col("du") === col("dv") && col("u") < col("v"))
-    val dir = withDeg.select(
-      when(lt, col("u")).otherwise(col("v")).as("s"),
-      when(lt, col("v")).otherwise(col("u")).as("d"),
-      when(lt, col("dv")).otherwise(col("du")).as("dd"))
+    val dir = stager.stage(
+      withDeg.select(
+        when(lt, col("u")).otherwise(col("v")).as("s"),
+        when(lt, col("v")).otherwise(col("u")).as("d"),
+        when(lt, col("dv")).otherwise(col("du")).as("dd")),
+      s"triangles_dir_$runId")
     val x = dir.select(col("s"), col("d").as("w1"), col("dd").as("dd1"))
     val y = dir.select(col("s"), col("d").as("w2"), col("dd").as("dd2"))
     val wedges = x.join(y, "s")

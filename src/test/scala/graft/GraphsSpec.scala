@@ -25,6 +25,47 @@ class GraphsSpec extends SparkSpecBase {
     assert(pr(3L) > pr(2L) && pr(2L) > pr(1L)) // downstream accumulates
   }
 
+  /** Driver-side reference PageRank with the operator's exact semantics:
+    * uniform init, dangling mass redistributed uniformly, per-iteration
+    * rounding through 12 decimals (the operator's DECIMAL(25,12) grain).
+    */
+  private def refPagerank(
+      edges: Seq[(Long, Long)], iters: Int, damping: Double = 0.85): Map[Long, Double] = {
+    val es = edges.filter(e => e._1 != e._2).distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    def r12(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(pr).sum
+      pr = nodes.map { v =>
+        val in = es.collect { case (s, d) if d == v => pr(s) / out(s) }.sum
+        v -> r12((1.0 - damping) / n + damping * (in + dang / n))
+      }.toMap
+    }
+    pr
+  }
+
+  test("dangling mass: operator agrees with a hand-unrolled reference " +
+    "iteration on a graph with sinks") {
+    // two sinks (4, 5), one source-only node (1), a cycle-free core —
+    // exercises the dangling-redistribution branch the p61 gate cannot
+    // (its minhash pair graph is symmetrized: every node has out-degree)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 5L))
+    for (iters <- Seq(1, 3, 10)) {
+      val got = Graphs.pagerank(edges.toDF("u", "v"), "u", "v", iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = refPagerank(edges, iters)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-9, s"iters=$iters node=$k got=$v want=${want(k)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-6, s"iters=$iters mass=${got.values.sum}")
+    }
+  }
+
   test("self-loops, duplicate edges and null endpoints are dropped") {
     val edges = Seq(
       (Some(1L), Some(2L)), (Some(1L), Some(2L)), // dup

@@ -204,6 +204,39 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
   }
 
+  test("p61: pagerank's final plan reads staged RDDs only, with a " +
+    "lineage footprint independent of the iteration count") {
+    // parquet-backed edge list (nation: 25 rows, nationkey -> regionkey)
+    val edges = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").as("u"), col("n_regionkey").as("v"))
+    def rddScans(df: org.apache.spark.sql.DataFrame): Int =
+      planNodes(df.queryExecution.executedPlan)
+        .count(_.toString.startsWith("Scan ExistingRDD"))
+    val pr2 = graft.operators.Graphs.pagerank(edges, "u", "v", iters = 2)
+    val pr5 = graft.operators.Graphs.pagerank(edges, "u", "v", iters = 5)
+    // every base read happens inside a stage action — the returned frame
+    // must never rescan parquet per consumer...
+    assert(scans(pr5.queryExecution.executedPlan).isEmpty,
+      pr5.queryExecution.executedPlan.toString)
+    assert(rddScans(pr5) > 0)
+    // ...and the per-round staging must CUT lineage: iteration 5's plan is
+    // exactly as wide as iteration 2's (an unstaged loop would stack 3 more
+    // join+agg rounds into the final plan and eventually blow analysis up)
+    assert(rddScans(pr2) === rddScans(pr5),
+      s"lineage grew with iters: ${rddScans(pr2)} vs ${rddScans(pr5)}")
+  }
+
+  test("p62: triangle count reads the staged oriented edges, not the base table, per consumer") {
+    val edges = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").as("u"), col("n_regionkey").as("v"))
+    val df = graft.operators.Graphs.triangleCount(edges, "u", "v")
+    val plan = df.queryExecution.executedPlan
+    // the wedge self-join + closing join consume the oriented edge stage
+    // three times; parquet is only read once, inside the stage action
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+  }
+
   test("p53/p55/p57: the cleanup battery plans with zero exchanges") {
     for (q <- Seq("p53_gopher_rules", "p55_line_collapse", "p57_link_density")) {
       val df = SparkEntry.queries(q)(spark, dir)
