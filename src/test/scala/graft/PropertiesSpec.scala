@@ -149,6 +149,92 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs " +
+    "(30 graphs packed into one run via id-offsetting)") {
+    import spark.implicits._
+    // one Spark CC invocation validates ALL graphs at once: graph i's node
+    // ids live in [i*1000, i*1000+999], so components can never bridge
+    // graphs and the per-graph union-find answers compose directly
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(0, 45)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+    } yield edges
+    val graphs = samples(graphGen, n = 30).zipWithIndex.map { case (es, i) =>
+      es.map { case (a, b) => (i * 1000L + a, i * 1000L + b) }
+    }
+    val allEdges = graphs.flatten ++ Seq((7L, 7L)) // self-loop noise
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      // canonical root = min id of the component (find after min-rooting
+      // unions keeps the smaller id as root)
+      val nodes = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val want = unionFind(allEdges)
+    val got = graft.operators.DupClusters
+      .connectedComponents(allEdges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want,
+      s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
+  test("asof join equals a brute-force reference on random keyed series " +
+    "(all strategies, with and without tolerance)") {
+    import spark.implicits._
+    // distinct rt per key — equal right timestamps within a key would make
+    // the window's pick among them order-dependent, which is out of contract
+    val caseGen = for {
+      leftRows <- Gen.listOfN(40, Gen.zip(
+        Gen.choose(1L, 3L),
+        Gen.frequency(9 -> Gen.choose(0L, 100L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))))
+      rts <- Gen.listOfN(3, Gen.listOfN(25, Gen.choose(0L, 100L)).map(_.distinct))
+    } yield (leftRows, rts)
+    def refPick(t: Option[Long], cands: Seq[Long], strategy: String): Option[Long] = t.flatMap { lt =>
+      val back = cands.filter(_ <= lt).sorted.lastOption
+      val fwd = cands.filter(_ >= lt).sorted.headOption
+      strategy match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) => if (math.abs(f - lt) < math.abs(b - lt)) Some(f) else Some(b)
+          case (b, f) => b.orElse(f)
+        }
+      }
+    }
+    samples(caseGen, n = 3).foreach { case (leftRows, rts) =>
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "idx")
+      val rightRows = rts.zipWithIndex.flatMap { case (ts, ki) =>
+        ts.map(rt => (ki + 1L, rt, rt * 10.0 + ki)) }
+      val right = rightRows.toDF("k", "rt", "v")
+      val byKey = rightRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap.withDefaultValue(Nil)
+      for (strategy <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(7.0))) {
+        val got = graft.operators.AsofJoin(
+            left, right, Seq("k"), "t", "rt", Seq("v"), strategy, tolerance = tol)
+          .select($"idx", $"asof_v").as[(Long, Option[Double])].collect().toMap
+        leftRows.zipWithIndex.foreach { case ((k, t), i) =>
+          val picked = refPick(t, byKey(k), strategy)
+            .filter(rt => tol.forall(tl => math.abs(rt - t.get) <= tl.toLong))
+          val want = picked.map(rt => rt * 10.0 + (k - 1))
+          assert(got(i.toLong) === want,
+            s"strategy=$strategy tol=$tol k=$k t=$t -> got=${got(i.toLong)} want=$want")
+        }
+      }
+    }
+  }
+
   test("KMV merge equals the sketch of the union for arbitrary shard splits") {
     import spark.implicits._
     val caseGen = for {
