@@ -235,6 +235,41 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("removeDuplicateSpans equals a driver-side reference on random " +
+    "small-vocab corpora (heavy span overlap)") {
+    import spark.implicits._
+    // 5-token vocab over 10 docs of <= 12 tokens: shared 3-grams are
+    // everywhere, so overlapping and adjacent covered spans — the hard
+    // part of the RANGE-frame coverage — occur in nearly every sample
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val spanN = 3
+    val docGen = Gen.listOfN(10,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    samples(docGen, n = 4).foreach { docsToks =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val gramDocs = scala.collection.mutable.Map
+        .empty[Seq[String], scala.collection.mutable.Set[Long]]
+      toks.foreach { case (id, ts) =>
+        if (ts.size >= spanN)
+          ts.sliding(spanN).foreach(g =>
+            gramDocs.getOrElseUpdate(g.toList, scala.collection.mutable.Set.empty) += id)
+      }
+      val dup = gramDocs.collect { case (g, ids) if ids.size >= 2 => g }.toSet
+      val want = toks.map { case (id, ts) =>
+        val cov = Array.fill(ts.size)(false)
+        for (i <- 0 to ts.size - spanN; if dup.contains(ts.slice(i, i + spanN).toList))
+          (i until i + spanN).foreach(cov(_) = true)
+        val kept = ts.indices.filterNot(cov).map(ts)
+        id -> ((kept.mkString(" "), kept.size, ts.size - kept.size))
+      }.toMap
+      val got = graft.operators.Dedup.removeDuplicateSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", spanN = spanN)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(got === want, s"docs=$docs")
+    }
+  }
+
   test("KMV merge equals the sketch of the union for arbitrary shard splits") {
     import spark.implicits._
     val caseGen = for {
