@@ -53,18 +53,27 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (p <- 0 until reps) {
       for ((name, fn) <- names) {
+        // staged intermediates (localCheckpoint / persist) leak per query —
+        // 100+ queries of accumulation squeezes the unified memory manager
+        // until later queries stall in GC (measured: pass totals
+        // 192s -> 212s -> 292s before any clearing was added). No query
+        // holds staged state another query reads — the only cross-query
+        // shares (SparkEntry's pairs cache, the c20 gate graph) are
+        // parquet-backed — so release each query's RDD delta right after
+        // its timing, OUTSIDE the timed region (the StagerBench pattern).
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         try samples(name) = samples(name) :+ timeOnce(fn)
         catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(400)}"
           errors.getOrElseUpdate(name, msg)
           System.err.println(s"[bench] $name FAILED: $msg")
+        } finally {
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (rddId, _) => !before.contains(rddId) }
+            .values.foreach(_.unpersist(blocking = false))
         }
       }
-      // staged intermediates (localCheckpoint / persist) leak per query —
-      // 88 queries x N passes of accumulation squeezes the unified memory
-      // manager until random queries stall in GC (measured: pass totals
-      // 192s -> 212s -> 292s on one run). No query holds staged state
-      // across passes, so drop it all between passes.
+      // belt-and-braces between passes: anything the per-query delta missed
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

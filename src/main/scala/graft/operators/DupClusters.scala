@@ -67,9 +67,16 @@ object DupClusters {
     // arrive only when something executes, so after a short wait we fall
     // back to the explicit aggregate (whose own action then materializes
     // the stage — current behavior, nothing lost).
-    def stageWithSig(e: DataFrame, name: String): (DataFrame, (Long, Long)) = {
+    def stageWithSig(e: DataFrame, name: String)
+        : (DataFrame, (Long, Long), Stager.Recording) = {
       val obs = org.apache.spark.sql.Observation(name + "_sig")
-      val staged = stager.stage(
+      // per-round Recording wrapper: the handle that lets the loop release
+      // round k-1's storage once round k is materialized, so at most TWO
+      // round snapshots are ever live (at 100 TB an unreleased loop keeps
+      // O(rounds) copies of the edge frontier). Only meaningful for eager
+      // stagers — see the release site below.
+      val rec = new Stager.Recording(stager)
+      val staged = rec.stage(
         e.observe(obs,
           count(lit(1)).as("n"),
           coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")),
@@ -87,24 +94,24 @@ object DupClusters {
       // blocks, not the upstream plan), so it costs one scan of the edge
       // set, not seconds of driver stall per round. Fallback is logged — a
       // degradation the operator can see, never silent.
-      if (!stager.eager) (staged, signature(staged))
+      if (!stager.eager) (staged, signature(staged), rec)
       else try {
         val row = scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(300, "ms"))
-        (staged, (row.getAs[Long]("n"), row.getAs[Long]("h")))
+        (staged, (row.getAs[Long]("n"), row.getAs[Long]("h")), rec)
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           org.slf4j.LoggerFactory.getLogger(DupClusters.getClass).warn(
             s"observation '$name' not delivered within 300ms; recomputing " +
               "the convergence signature with one aggregate over the " +
               "materialized stage (listener bus likely saturated)")
-          (staged, signature(staged))
+          (staged, signature(staged), rec)
       }
     }
 
     // canonical directed edge u -> v with u > v (v is the smaller
     // neighbor); drop nulls and self-loops
-    var (edges, sig) = stageWithSig(
+    var (edges, sig, prevRec) = stageWithSig(
       pairs
         .filter(a.isNotNull && b.isNotNull && a =!= b)
         .select(greatest(a, b).as("u"), least(a, b).as("v"))
@@ -137,8 +144,16 @@ object DupClusters {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
 
-      val (staged, next) = stageWithSig(small, s"cc_edges_${runId}_${it + 1}")
+      val (staged, next, rec) = stageWithSig(small, s"cc_edges_${runId}_${it + 1}")
       edges = staged
+      // round k is materialized (eager stagers ran the action inside
+      // stage()), so round k-1's snapshot is dead — release it and keep
+      // the live-stage count at two regardless of round count. A LAZY
+      // stager retains lineage IN the new frame's plan, so releasing its
+      // predecessor would force an O(rounds²) recompute cascade at the
+      // terminal action — leave lazy stages to the caller, as before.
+      if (stager.eager) prevRec.release()
+      prevRec = rec
       converged = next == sig
       sig = next
       it += 1

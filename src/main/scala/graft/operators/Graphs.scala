@@ -58,6 +58,12 @@ object Graphs {
     val jump = 1.0 - damping
 
     var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // per-iteration release: once iteration i's rank frame is materialized
+    // (eager stagers run the action inside stage()), iteration i-1's
+    // snapshot is dead — keep at most two live rank stages instead of
+    // O(iters) copies of the vertex frame. Lazy stagers retain lineage in
+    // the new frame's plan, so their stages are left for the caller.
+    var prevRec: Stager.Recording = null
     for (i <- 1 to iters) {
       val inflow = e
         .join(pr.select(col("id").as("u"), col("pr")), "u")
@@ -69,7 +75,8 @@ object Graphs {
       val dangling = pr.join(outdeg.select(col("u").as("id")), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr").cast(DecimalType(38, 18))),
           lit(0).cast(DecimalType(38, 18))).cast("double").as("__dang"))
-      pr = stager.stage(
+      val rec = new Stager.Recording(stager)
+      pr = rec.stage(
         nodes.join(inflow, Seq("id"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("id"),
@@ -77,6 +84,8 @@ object Graphs {
               (coalesce(col("__in"), lit(0.0)) + col("__dang") / lit(n)))
               .cast(DecimalType(25, 12)).cast("double").as("pr")),
         s"pagerank_iter_${runId}_$i")
+      if (stager.eager && prevRec != null) prevRec.release()
+      prevRec = rec
     }
     pr
   }
