@@ -395,7 +395,20 @@ object Dedup {
       threshold: Double, nBits: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
-    val planes = Similarity.planes(nBits, Similarity.dimOf(df, vecCol))
+    // empty corpus -> typed empty pair frame (a pruned-to-nothing input is
+    // a normal pipeline event, not an error)
+    val dim = Similarity.dimOpt(df, vecCol)
+    if (dim.isEmpty) {
+      import org.apache.spark.sql.types._
+      val idT = df.schema(idCol)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("id_a", idT.dataType, idT.nullable),
+          StructField("id_b", idT.dataType, idT.nullable),
+          StructField("cosine", DoubleType, nullable = true))))
+    }
+    val planes = Similarity.planes(nBits, dim.get)
     // stage BEFORE the probe explode: the nBits plane projections are the
     // expensive part and the pair join's three plan branches would rerun
     // them; the explode itself is cheap string work, and staging pre-explode

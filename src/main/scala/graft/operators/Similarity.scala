@@ -192,7 +192,9 @@ object Similarity {
     * (bucket occupancy ~ corpus / 2^nBits). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nBits: Int = 6): DataFrame = {
-    val planeSeq = planes(nBits, dimOf(corpus, vecCol))
+    val dim = dimOpt(corpus, vecCol)
+    if (dim.isEmpty) return emptyTopK(corpus, idCol)
+    val planeSeq = planes(nBits, dim.get)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
       .withColumn("__sig", signSignature(col("__cv"), planeSeq))
@@ -268,6 +270,10 @@ object Similarity {
 
   private def nearestCells(vec: Column, centroids: Seq[(Int, Array[Float])],
       nProbe: Int): Column = {
+    // zero centroids (empty corpus): a bare array() literal is
+    // array<null> and fails analysis downstream — return a typed empty
+    // so the (necessarily row-less) plan still resolves
+    if (centroids.isEmpty) return array().cast("array<int>")
     // rank cells by codegen'd dot distance proxy (cosine numerator over
     // unit-ish data); take the nProbe best as an array of cell ids
     val scored = centroids.map { case (cid, c) =>
@@ -291,6 +297,10 @@ object Similarity {
     val centroids =
       if (refineIters > 0) ivfCentroidsRefined(corpus, idCol, vecCol, nCells, refineIters)
       else ivfCentroids(corpus, idCol, vecCol, nCells)
+    // no centroids <=> empty corpus (limit(nCells) of a non-empty frame is
+    // never empty): a pruned-to-nothing corpus returns a typed empty
+    // result instead of an unresolvable zero-entry cell literal
+    if (centroids.isEmpty) return emptyTopK(corpus, idCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(graft.functions.FloatArrayDot.normSq(col("__cv"))))
       .withColumn("__cell", nearestCells(col("__cv"), centroids, 1).getItem(0))
@@ -442,6 +452,7 @@ object Similarity {
       trainIters: Int = 0, coarseCells: Int = 0, nProbe: Int = 4): DataFrame = {
     require(k >= 1 && refineFactor >= 1, s"k and refineFactor must be >= 1")
     require(coarseCells >= 0 && nProbe >= 1, s"coarseCells >= 0 and nProbe >= 1 required")
+    if (dimOpt(corpus, vecCol).isEmpty) return emptyTopK(corpus, idCol)
     val books =
       if (trainIters > 0) pqCodebooksRefined(corpus, idCol, vecCol, m, nCodes, trainIters)
       else pqCodebooks(corpus, idCol, vecCol, m, nCodes)
@@ -495,10 +506,37 @@ object Similarity {
   }
 
   private[operators] def dimOf(df: DataFrame, vecCol: String): Int = {
+    val d = dimOpt(df, vecCol)
+    require(d.nonEmpty, s"cannot infer $vecCol dimension from an empty frame")
+    d.get
+  }
+
+  /** Vector dimension from the first row, or None on an empty frame — the
+    * SEARCH entry points use the None case to return a typed empty result
+    * (a corpus pruned to nothing is a normal event in a big pipeline, not
+    * an error); the BUILD functions (codebooks, centroids) keep the hard
+    * require — training on nothing IS an error. */
+  private[operators] def dimOpt(df: DataFrame, vecCol: String): Option[Int] = {
     val first = df.select(size(col(vecCol))).head(1)
-    require(first.nonEmpty, s"cannot infer $vecCol dimension from an empty frame")
-    val d = first.head.getInt(0)
-    require(d > 0, s"first $vecCol value is null/empty — cannot infer dimension")
-    d
+    if (first.isEmpty) None
+    else {
+      val d = first.head.getInt(0)
+      require(d > 0, s"first $vecCol value is null/empty — cannot infer dimension")
+      Some(d)
+    }
+  }
+
+  /** Typed empty (query_id, neighbor_id, rank, cosine) frame — the shape
+    * every topK path returns — for empty-corpus short-circuits. */
+  private def emptyTopK(corpus: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idT = corpus.schema(idCol)
+    corpus.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("query_id", idT.dataType, idT.nullable),
+        StructField("neighbor_id", idT.dataType, idT.nullable),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("cosine", DoubleType, nullable = true))))
   }
 }
