@@ -229,6 +229,9 @@ object Similarity {
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): Seq[(Int, Array[Float])] =
     corpus.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      // a null/empty vector can't be a centroid — dirty rows are data, and
+      // a sampled one would NPE the driver-side collect below
+      .filter(col("__v").isNotNull && size(col("__v")) > 0)
       .withColumn("__h", md5(col("__id")))
       .orderBy(col("__h"))
       .limit(nCells)
@@ -507,23 +510,22 @@ object Similarity {
 
   private[operators] def dimOf(df: DataFrame, vecCol: String): Int = {
     val d = dimOpt(df, vecCol)
-    require(d.nonEmpty, s"cannot infer $vecCol dimension from an empty frame")
+    require(d.nonEmpty,
+      s"cannot infer $vecCol dimension: no row with a non-empty vector")
     d.get
   }
 
-  /** Vector dimension from the first row, or None on an empty frame — the
-    * SEARCH entry points use the None case to return a typed empty result
-    * (a corpus pruned to nothing is a normal event in a big pipeline, not
-    * an error); the BUILD functions (codebooks, centroids) keep the hard
-    * require — training on nothing IS an error. */
+  /** Vector dimension from the first row with a non-empty vector (a null
+    * or empty LEADING vector must not poison inference — dirty rows are
+    * data, not schema), or None when no such row exists. The SEARCH entry
+    * points map None to a typed empty result (a corpus pruned to nothing
+    * is a normal event in a big pipeline, not an error); the BUILD
+    * functions (codebooks, centroids) keep the hard require — training on
+    * nothing IS an error. */
   private[operators] def dimOpt(df: DataFrame, vecCol: String): Option[Int] = {
-    val first = df.select(size(col(vecCol))).head(1)
-    if (first.isEmpty) None
-    else {
-      val d = first.head.getInt(0)
-      require(d > 0, s"first $vecCol value is null/empty — cannot infer dimension")
-      Some(d)
-    }
+    val first = df.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0).head(1)
+    first.headOption.map(_.getInt(0))
   }
 
   /** Typed empty (query_id, neighbor_id, rank, cosine) frame — the shape
