@@ -156,10 +156,13 @@ object AsofJoin {
     // DST zone the fall-back hour folds and nearest/tolerance could pick
     // the wrong candidate. Sessions.local pins UTC — enforce rather than
     // assume it when an NTZ axis is actually in play.
-    if (timestampish(lDt) && (lDt == TimestampNTZType || rDt == TimestampNTZType)) {
+    if (lDt == TimestampNTZType || rDt == TimestampNTZType) {
       val tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
-      require(tz == "UTC" || tz.startsWith("GMT") || tz.startsWith("UTC") ||
-        tz.matches("[+-]\\d{2}:\\d{2}"),
+      // UTC/GMT/Etc-* and explicit ±hh:mm offsets are all fixed-offset;
+      // region zones (America/*, Europe/*, ...) may carry DST and are
+      // rejected even when their current offset happens to be stable
+      require(tz.startsWith("UTC") || tz.startsWith("GMT") ||
+        tz.startsWith("Etc/") || tz.matches("[+-]\\d{2}:\\d{2}"),
         s"asof join over TIMESTAMP_NTZ needs a fixed-offset session " +
           s"timezone (spark.sql.session.timeZone=$tz); DST zones make the " +
           "NTZ->micros mapping non-monotone in the fall-back hour")

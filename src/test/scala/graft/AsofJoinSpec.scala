@@ -218,6 +218,44 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(tol === Seq(Some("a"), None))
   }
 
+  test("mixed DATE/TIMESTAMP order columns measure on one micros axis " +
+    "(tolerance in seconds)") {
+    def d(n: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(n))
+    // absolute UTC epoch (Timestamp.valueOf(LocalDateTime) would interpret
+    // the wall time in the JVM default zone and skew the distances)
+    def t(n: Int, h: Int) = new java.sql.Timestamp(
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(n).toEpochDay * 24L + h) * 3600000L)
+    // left is DATE (midnight UTC), right is TIMESTAMP with intraday times
+    val left = Seq((1L, d(2)), (1L, d(5))).toDF("k", "t")
+    val right = Seq((1L, t(1, 22), "a"), (1L, t(4, 1), "b")).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "backward")
+      .orderBy("t").select("asof_v").as[String].collect().toSeq
+    assert(out === Seq("a", "b")) // day-2 midnight sees day-1 22:00 behind it
+    // nearest from day 5 midnight: "b" (day-4 01:00) is 23h behind; no
+    // forward candidate
+    val near = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"), strategy = "nearest")
+      .orderBy("t").select("asof_v").as[String].collect().toSeq
+    assert(near === Seq("a", "b"))
+    // tolerance unit on a mixed axis is SECONDS: 2h admits day-1 22:00
+    // from day-2 midnight, 1h does not
+    val tol2h = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      strategy = "backward", tolerance = Some(2 * 3600.0))
+      .orderBy("t").select("asof_v").as[Option[String]].collect().toSeq
+    assert(tol2h === Seq(Some("a"), None))
+    val tol1h = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      strategy = "backward", tolerance = Some(3600.0))
+      .orderBy("t").select("asof_v").as[Option[String]].collect().toSeq
+    assert(tol1h === Seq(None, None))
+  }
+
+  test("cross-family order-column axes (time vs numeric) are rejected") {
+    val left = Seq((1L, ts(0))).toDF("k", "t")
+    val right = Seq((1L, 5L, "w")).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+    }
+  }
+
   test("unknown strategy is rejected") {
     val left = Seq((1L, ts(0))).toDF("k", "t")
     val right = Seq((1L, ts(0), "w")).toDF("k", "rt", "v")
