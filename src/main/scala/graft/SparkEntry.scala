@@ -65,9 +65,12 @@ object SparkEntry {
   private[graft] val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(dir, { d =>
+    // the cached frame is bound to its session — key by BOTH so a second
+    // session in the same JVM builds its own instead of receiving a
+    // foreign Dataset
+    pairsCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
       val pairs = graft.operators.Dedup.nearDupPairsMinhash(
-        t(s, d, "documents"), "doc_id", "text",
+        t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 8, rowsPerBand = 1, threshold = 0.8)
       val out = java.nio.file.Files.createTempDirectory("graft_pairs_cache")
       out.toFile.deleteOnExit()
