@@ -270,6 +270,56 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("winnowFingerprints equals a driver reference: bottom-k of shingle " +
+    "md5s, duplicates kept, shingle-less docs get the empty fingerprint") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.listOfN(8,
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    samples(docGen, n = 4).foreach { docsToks =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val want = docs.map { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val shingles =
+          if (toks.size < 3) Seq.empty[String]
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        id -> shingles.map(md5hex).sorted.take(4).mkString("|")
+      }.toMap
+      val got = graft.operators.Dedup.winnowFingerprints(
+          docs.toDF("doc_id", "text"), "doc_id", "text", shingleN = 3, k = 4)
+        .as[(Long, String)].collect().toMap
+      assert(got === want, s"docs=$docs")
+    }
+  }
+
+  test("removeDuplicateLines equals a driver reference on random line " +
+    "corpora (blank lines exempt, order preserved, empty-doc row kept)") {
+    import spark.implicits._
+    // tiny line vocab so cross-doc recurrence (the boilerplate condition)
+    // is common; includes blank and whitespace-only lines
+    val lineVocab = Vector("nav bar", "cookie notice", "body one",
+      "body two", "body three", "", "  ")
+    val docGen = Gen.listOfN(8,
+      Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(lineVocab))))
+    samples(docGen, n = 4).foreach { docsLines =>
+      val docs = docsLines.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      val split = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+      val boiler = split.flatMap { case (id, ls) =>
+        ls.filter(_.trim.nonEmpty).distinct.map(_ -> id)
+      }.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val want = split.map { case (id, ls) =>
+        val kept = ls.filterNot(boiler.contains)
+        id -> ((kept.mkString("\n"), kept.size, ls.size - kept.size))
+      }.toMap
+      val got = graft.operators.LineDedup.removeDuplicateLines(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minDocs = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(got === want, s"docs=$docs")
+    }
+  }
+
   test("KMV merge equals the sketch of the union for arbitrary shard splits") {
     import spark.implicits._
     val caseGen = for {
