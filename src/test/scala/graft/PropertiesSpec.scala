@@ -320,6 +320,65 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("assignSessions equals a driver reference on random event streams " +
+    "(null timestamps join the final session)") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 3L),
+      Gen.frequency(9 -> Gen.choose(0L, 500L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))))
+    samples(evGen, n = 4).foreach { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, ts), i) => (u, ts, i.toLong) }
+      val want = evs.groupBy(_._1).flatMap { case (_, es) =>
+        // ts asc nulls last, id tiebreak — the operator's documented order
+        val sorted = es.sortBy { case (_, ts, id) => (ts.isEmpty, ts.getOrElse(0L), id) }
+        var sess = 0L
+        var prev = Option.empty[Long]
+        sorted.map { case (_, ts, id) =>
+          // a null ts has a null gap -> never a break -> stays in session
+          if (prev.nonEmpty && ts.nonEmpty && ts.get - prev.get > 60L) sess += 1
+          if (ts.nonEmpty) prev = ts
+          id -> sess
+        }
+      }
+      val df = evs.map { case (u, ts, id) =>
+        (u, ts.map(s => new java.sql.Timestamp(s * 1000L)).orNull, id)
+      }.toDF("user_id", "ts", "event_id")
+      val got = graft.operators.Sessionize.assignSessions(
+          df, "user_id", "ts", "event_id", gapSeconds = 60)
+        .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+      assert(got === want, s"evs=$evs")
+    }
+  }
+
+  test("sampleMixture invariants: integer weights copy exactly, fractional " +
+    "weights are monotone and unbiased, zero drops the source") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (if (i % 2 == 0) "a" else "b", s"k$i"))
+    val df = rows.toDF("src", "key")
+    def run(wa: Double, wb: Double): Seq[(String, String, Int)] =
+      graft.operators.Mixture.sampleMixture(
+          df, "src", "key", Map("a" -> wa, "b" -> wb), salt = "s1")
+        .as[(String, String, Int)].collect().toSeq
+    // integer weight: exactly w copies of EVERY row; zero drops the source
+    val exact = run(2.0, 0.0)
+    assert(exact.forall(_._1 == "a"))
+    assert(exact.size === 1000 * 2)
+    assert(exact.groupBy(_._2).values.forall(_.map(_._3).sorted == Seq(0, 1)))
+    // fractional: unbiased within 3 sigma and MONOTONE in w (documented:
+    // raising a weight never drops a previously kept copy)
+    val lo = run(0.3, 1.0).filter(_._1 == "a").map(r => (r._2, r._3)).toSet
+    val hi = run(0.6, 1.0).filter(_._1 == "a").map(r => (r._2, r._3)).toSet
+    assert(lo.subsetOf(hi), s"monotonicity violated: ${(lo diff hi).take(5)}")
+    def within3Sigma(got: Int, n: Int, p: Double): Boolean =
+      math.abs(got - n * p) <= 3 * math.sqrt(n * p * (1 - p)) + 1
+    assert(within3Sigma(lo.size, 1000, 0.3), s"lo=${lo.size}")
+    assert(within3Sigma(hi.size, 1000, 0.6), s"hi=${hi.size}")
+    // w = 1.3: every row keeps copy 0; ~30% gain a second copy
+    val rep = run(1.3, 1.0).filter(_._1 == "a")
+    assert(rep.count(_._3 == 0) === 1000)
+    assert(within3Sigma(rep.count(_._3 == 1), 1000, 0.3), s"rep1=${rep.count(_._3 == 1)}")
+  }
+
   test("KMV merge equals the sketch of the union for arbitrary shard splits") {
     import spark.implicits._
     val caseGen = for {
