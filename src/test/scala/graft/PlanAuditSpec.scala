@@ -237,6 +237,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
   }
 
+  test("plan sweep: no gate query plans a CartesianProduct; nested-loop " +
+    "joins only where a tiny broadcast side is the design") {
+    // every BNLJ below broadcasts a bounded side: a 1-row scalar aggregate
+    // (q24 global avg; N in bm25/tf-idf/PMI/lm-score), the query/label set
+    // of a brute-force baseline (p07/p54), the documented small-side-only
+    // all-pairs ops (p12), the ADC linear scan over broadcast queries
+    // (p28/p37 with coarseCells=0), or the benchmark set (p34). Anything
+    // NEW showing up here means a join lost its equi-keys — review it,
+    // and either fix the join or whitelist it with a reason.
+    val bnljByDesign = Set(
+      "q24_global_avg_filter", "p07_embed_knn", "p12_jaccard_pairs",
+      "p26_bm25_topk", "p28_embed_pq", "p34_semantic_decontam",
+      "p37_embed_pq_trained", "p41_lm_score", "p51_pmi_pairs",
+      "p54_hard_negatives", "p59_tfidf_keywords")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljByDesign.contains(name))
+        Seq(s"$name: unlisted BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("p53/p55/p57: the cleanup battery plans with zero exchanges") {
     for (q <- Seq("p53_gopher_rules", "p55_line_collapse", "p57_link_density")) {
       val df = SparkEntry.queries(q)(spark, dir)
