@@ -379,6 +379,33 @@ class PropertiesSpec extends SparkSpecBase {
     assert(within3Sigma(rep.count(_._3 == 1), 1000, 0.3), s"rep1=${rep.count(_._3 == 1)}")
   }
 
+  test("bloomDecontaminate never false-negatives: its survivors are a " +
+    "subset of the exact overlap filter's on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val caseGen = for {
+      docs <- Gen.listOfN(20, Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+      benchPick <- Gen.listOfN(5, Gen.choose(0, 19))
+    } yield (docs, benchPick)
+    samples(caseGen, n = 3).foreach { case (docsToks, benchPick) =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      // benchmark = a few doc texts verbatim (guaranteed contamination
+      // when the doc has >= shingleN tokens) plus an unrelated row
+      val bench = (benchPick.map(i => docs(i)._2) :+ "zz yy xx ww vv").toDF("text")
+      val corpus = docs.toDF("doc_id", "text")
+      val exact = graft.operators.Decontaminate.removeContaminated(
+          corpus, "doc_id", "text", bench, "text", shingleN = 3, minHits = 1)
+        .select($"doc_id").as[Long].collect().toSet
+      val bloom = graft.operators.Decontaminate.bloomDecontaminate(
+          corpus, "doc_id", "text", bench, "text", shingleN = 3)
+        .select($"doc_id").as[Long].collect().toSet
+      // bloom may over-drop (hash collisions at the fpp rate) but must
+      // NEVER keep a doc the exact filter drops
+      assert(bloom.subsetOf(exact),
+        s"bloom kept contaminated docs: ${(bloom diff exact).take(5)}")
+    }
+  }
+
   test("KMV merge equals the sketch of the union for arbitrary shard splits") {
     import spark.implicits._
     val caseGen = for {
