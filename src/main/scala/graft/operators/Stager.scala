@@ -103,9 +103,9 @@ object Stager {
           // the call, so the delta is empty and release frees nothing —
           // warn so the leak is visible instead of silent.
           val sc = df.sparkSession.sparkContext
-          val before = sc.getPersistentRDDs.keySet
+          val before = sc.getPersistentRDDs.keySet.toSet
           val out = underlying.stage(df, name)
-          val mine = sc.getPersistentRDDs.keySet -- before
+          val mine = sc.getPersistentRDDs.keySet.toSet -- before
           if (mine.isEmpty)
             log.warn(s"Recording stager: stage '$name' through $underlying registered no " +
               "persistent RDDs (lazy stager?) — release() will not free its storage")
