@@ -3001,5 +3001,16 @@ object SparkEntry {
          |JOIN pairs z ON z.id_a = x.id_b AND z.id_b = y.id_b""".stripMargin) { (s, dir) =>
       graft.operators.Graphs.triangleCount(minhashPairs(s, dir), "id_a", "id_b")
     }
+
+    // --- distributed BPE merge training (Sennrich et al. 2016) over the
+    //     corpus word vocabulary. Iterative argmax merges thread evolving
+    //     symbol sequences through the rounds — not expressible in
+    //     DuckDB's recursive CTEs — so this gate records the driver's
+    //     rows-only check; exact agreement with the textbook algorithm is
+    //     spec-verified against a driver reference (VocabSpec).
+    registerNoOracle("p63_bpe_merges") { (s, dir) =>
+      graft.operators.Vocab.bpeMerges(t(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy(col("rank"))
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,5 +66,175 @@ object Vocab {
           x => x.getField("__id")).as("token_ids"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** End-of-word marker (Sennrich et al. 2016): appended to each word's
+    * final character so merges can learn word-final subwords and encoded
+    * words remain unambiguously re-joinable. */
+  val EndOfWord = "</w>"
+
+  /** Distributed BPE merge training (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units").
+    *
+    * Returns the learned merge table: (rank int, left string, right
+    * string, pair_count long) — rank 0 is the first (most frequent)
+    * merge. Deterministic: the winning pair each round is (count DESC,
+    * left ASC, right ASC); ties cannot depend on partitioning.
+    *
+    * 100 TB shape — the standard word-vocabulary formulation every
+    * production tokenizer trainer uses: the corpus is scanned ONCE into
+    * (word, count) — a map-side-combinable aggregation — and the merge
+    * loop then runs entirely on that vocab-sized frame (distinct words,
+    * not corpus tokens). Per round: one pair-count aggregation
+    * (explode of adjacent symbol pairs weighted by word count), a 1-ROW
+    * driver collect (the argmax pair — the only driver data, numMerges
+    * rows total), and one HOF rewrite of the symbol arrays (a left-to-
+    * right non-overlapping fold via `aggregate`, codegen'd — no UDF).
+    * Rounds stage through the pluggable [[Stager]] with round k−1
+    * released when round k materializes (the [[Graphs.pagerank]] rule:
+    * two live snapshots, not O(numMerges)).
+    *
+    * Stops early when no pair reaches `minPairCount` (emitting fewer
+    * than numMerges rules is the correct outcome on tiny corpora). */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = docs.sparkSession
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // one corpus scan: word counts, then chars + </w> on the last
+    // split("") can emit a trailing "" under limit -1 semantics — filter
+    // it so the end-of-word marker fuses onto the REAL last character
+    val chars = filter(split(col("__term"), ""), s => s =!= lit(""))
+    val words0 = graft.functions.TextFunctions.termStream(docs, Nil, textCol)
+      .groupBy(col("__term")).agg(count(lit(1)).as("__n"))
+      .select(col("__n"),
+        transform(chars,
+          (s, i) => when(i === size(chars) - 1,
+            concat(s, lit(EndOfWord))).otherwise(s)).as("__syms"))
+    var words = stager.stage(words0, s"bpe_words_${runId}_init")
+    var prevRec: Stager.Recording = null
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // adjacent-pair counts weighted by word count; words of one symbol
+      // contribute nothing
+      val best = words
+        .filter(size(col("__syms")) >= 2)
+        .select(col("__n"), explode(transform(
+          sequence(lit(0), size(col("__syms")) - 2),
+          i => struct(element_at(col("__syms"), i + 1).as("l"),
+            element_at(col("__syms"), i + 2).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // bounded: exactly one row per round
+      best.headOption match {
+        case Some(row) if row.getLong(2) >= minPairCount =>
+          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((rank, l, r, cnt))
+          // left-to-right non-overlapping merge of (l, r) -> l+r: a
+          // sequential fold with one pending symbol of state — the merged
+          // symbol never re-merges within the same round
+          val zero = struct(
+            array().cast("array<string>").as("acc"),
+            lit(null).cast("string").as("pend"))
+          val step = (st: Column, s: Column) =>
+            when(st.getField("pend").isNull,
+              struct(st.getField("acc").as("acc"), s.as("pend")))
+            .when(st.getField("pend") === lit(l) && s === lit(r),
+              struct(concat(st.getField("acc"), array(lit(l + r))).as("acc"),
+                lit(null).cast("string").as("pend")))
+            .otherwise(
+              struct(concat(st.getField("acc"), array(st.getField("pend"))).as("acc"),
+                s.as("pend")))
+          val fin = (st: Column) =>
+            when(st.getField("pend").isNull, st.getField("acc"))
+              .otherwise(concat(st.getField("acc"), array(st.getField("pend"))))
+          val rec = new Stager.Recording(stager)
+          words = rec.stage(
+            words.select(col("__n"),
+              aggregate(col("__syms"), zero, step, fin).as("__syms")),
+            s"bpe_words_${runId}_$rank")
+          if (stager.eager && prevRec != null) prevRec.release()
+          prevRec = rec
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.toSeq.map { case (rk, l, r, c) =>
+        org.apache.spark.sql.Row(rk, l, r, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Encode each document's words as BPE subword sequences under a
+    * [[bpeMerges]] table. Output: (idCol, subwords array<string>,
+    * n_subwords int).
+    *
+    * Applied per partition with the merge ranks broadcast — the ONE
+    * deliberate mapPartitions in this codebase: encoding applies up to
+    * numMerges sequential rewrites per word, which as nested Catalyst
+    * HOFs would build a plan numMerges levels deep (analysis blows up
+    * long before real vocab sizes), while a per-partition JVM loop with
+    * a broadcast rank map is exactly how production tokenizers run. No
+    * shuffle beyond the final per-doc regroup any tokenizer needs. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = docs.sparkSession
+    val rankOf: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank"))
+      .collect() // bounded: the merge table (numMerges rows)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val bc = spark.sparkContext.broadcast(rankOf)
+    // local copy: referencing object members from the task closure would
+    // capture (non-serializable) outer object state
+    val eow = EndOfWord
+    def encodeWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
+      var syms = w.toCharArray.map(_.toString).toVector
+      if (syms.nonEmpty) syms = syms.init :+ (syms.last + eow)
+      var done = false
+      while (!done && syms.size >= 2) {
+        // lowest-rank adjacent pair merges first (tokenizer contract)
+        val cand = syms.indices.dropRight(1)
+          .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(rk => (rk, i)))
+        if (cand.isEmpty) done = true
+        else {
+          val (_, i) = cand.minBy { case (rk, i) => (rk, i) }
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      docs.schema(idCol),
+      org.apache.spark.sql.types.StructField("subwords",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("n_subwords",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(s"`$idCol`"), col(s"`$textCol`")).mapPartitions { it =>
+      val ranks = bc.value
+      it.map { row =>
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val subs = words.flatMap(w => encodeWord(w, ranks)).toSeq
+        Row(row.get(0), subs, subs.size)
+      }
+    }(enc)
   }
 }
