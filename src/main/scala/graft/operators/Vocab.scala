@@ -95,12 +95,21 @@ object Vocab {
     * two live snapshots, not O(numMerges)).
     *
     * Stops early when no pair reaches `minPairCount` (emitting fewer
-    * than numMerges rules is the correct outcome on tiny corpora). */
+    * than numMerges rules is the correct outcome on tiny corpora).
+    *
+    * `maxWords` bounds the loop frame to the top-N words by count
+    * (TakeOrderedAndProject, never a global sort): at web scale the
+    * distinct-word tail is enormous (typos, ids, URLs) while the top
+    * ~10^6 words carry essentially all pair mass — capping is what
+    * production trainers do, and it makes every merge round an
+    * aggregation over a BOUNDED frame regardless of corpus size. */
   def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L,
+      maxWords: Int = 1000000,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val spark = docs.sparkSession
     val runId = java.util.UUID.randomUUID().toString.take(8)
     // one corpus scan: word counts, then chars + </w> on the last
@@ -109,6 +118,8 @@ object Vocab {
     val chars = filter(split(col("__term"), ""), s => s =!= lit(""))
     val words0 = graft.functions.TextFunctions.termStream(docs, Nil, textCol)
       .groupBy(col("__term")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__term"))
+      .limit(maxWords)
       .select(col("__n"),
         transform(chars,
           (s, i) => when(i === size(chars) - 1,
