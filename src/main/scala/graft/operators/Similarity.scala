@@ -258,7 +258,8 @@ object Similarity {
       if (n == 0f) v else v.map(_ / n)
     }
     var cents = ivfCentroids(corpus, idCol, vecCol, nCells).map { case (c, v) => (c, unit(v)) }
-    val vecs = corpus.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+    val vecs = corpus.select(col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) > 0)
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("__cell", nearestCells(col("__v"), cents, 1).getItem(0))
       val updated = Centroids.groupCentroids(assigned, "__cell", "__v")
@@ -367,7 +368,11 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     var books = pqCodebooks(corpus, idCol, vecCol, m, nCodes)
     val dsub = books.head.head.length
-    val subRows = corpus.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+    val subRows = corpus.select(col(vecCol).as("__v"))
+      // dirty rows (null/short vectors) are data, not training input —
+      // a short vector's out-of-range slice would otherwise feed
+      // truncated subvectors into the codebook means
+      .filter(col("__v").isNotNull && size(col("__v")) >= m * dsub)
       .select(explode(array((0 until m).map(s =>
         struct(lit(s).as("s"), slice(col("__v"), s * dsub + 1, dsub).as("sv"))): _*)).as("x"))
       .select(col("x.s").as("__s"), col("x.sv").as("__sv"))
