@@ -3012,5 +3012,99 @@ object SparkEntry {
       graft.operators.Vocab.bpeMerges(t(s, dir, "documents"), "text", numMerges = 16)
         .orderBy(col("rank"))
     }
+
+    // --- SemDeDup (Abbas et al. 2023): semantic dedup over the embedding
+    //     space — md5-sampled centroids (refineIters=0 keeps the training
+    //     driver-free and oracle-reproducible), max-cosine assignment with
+    //     ties to the higher cell, within-cluster pairs >= eps drop the
+    //     member CLOSER to its centroid (higher centroid_sim; exact ties
+    //     drop the higher id). The oracle rebuilds the whole pipeline:
+    //     both engines sum the same doubles in the same order, so the
+    //     argmax/threshold/loser comparisons agree bitwise (the p13
+    //     precedent); only the REPORTED sim is rounded.
+    register("p64_semdedup",
+      """WITH valid AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |usable AS (SELECT * FROM valid WHERE NOT isnan(n) AND n > 0),
+        |cents AS (
+        |  SELECT * FROM (
+        |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+        |           embedding AS cvec, n AS cn
+        |    FROM valid)
+        |  WHERE cell < 8 AND NOT isnan(cn) AND cn > 0),
+        |scored AS (
+        |  SELECT u.vec_id, u.embedding, u.n, c.cell,
+        |    list_sum(list_transform(list_zip(u.embedding, c.cvec),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (u.n * c.cn) AS csim
+        |  FROM usable u CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, n, cell, csim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell DESC) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.csim AS csim_a, b.csim AS csim_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.n * b.n) AS cos
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT CASE WHEN csim_a > csim_b THEN id_a ELSE id_b END AS vec_id
+        |  FROM pairs WHERE cos >= 0.35)
+        |SELECT a.vec_id, a.cell AS cluster, round(a.csim, 9) AS centroid_sim,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          eps = 0.35, nClusters = 8)
+        .withColumn("centroid_sim", round(col("centroid_sim"), 9))
+        .orderBy(col("vec_id"))
+    }
+
+    // --- cluster-balanced diversity subsampling (the D4 recipe, Tirumala
+    //     et al. 2023): embedding-cluster assignment composed with the
+    //     deterministic per-group hash quota — at most `cap` docs per
+    //     semantic cluster, membership a pure function of (salt, id).
+    //     Exercises assignEmbeddingClusters + capPerGroup composition.
+    register("p65_cluster_sample",
+      """WITH valid AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |usable AS (SELECT * FROM valid WHERE NOT isnan(n) AND n > 0),
+        |cents AS (
+        |  SELECT * FROM (
+        |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+        |           embedding AS cvec, n AS cn
+        |    FROM valid)
+        |  WHERE cell < 8 AND NOT isnan(cn) AND cn > 0),
+        |scored AS (
+        |  SELECT u.vec_id, u.n, c.cell,
+        |    list_sum(list_transform(list_zip(u.embedding, c.cvec),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (u.n * c.cn) AS csim
+        |  FROM usable u CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell DESC) AS rk FROM scored)
+        |  WHERE rk = 1)
+        |SELECT vec_id, cell AS cluster FROM (
+        |  SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY ('0x' || substring(md5('div:' || vec_id::VARCHAR), 1, 15))::BIGINT
+        |                 NULLS LAST,
+        |               vec_id NULLS LAST) AS rn
+        |  FROM assign) x
+        |WHERE rn <= 40 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val assigned = graft.operators.Dedup.assignEmbeddingClusters(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 8)
+      graft.operators.Splits.capPerGroup(assigned, "cluster", "vec_id",
+          maxPerGroup = 40, salt = "div")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }
   }
 }

@@ -431,6 +431,141 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs >= threshold. Exact within LSH
     * buckets at scale (Similarity.lshTopK machinery); this brute-force
     * variant is for oracle checks and small blocks. */
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then mark within-cluster pairs whose cosine >= `eps` as
+    * semantic duplicates, keeping the member FARTHEST from its cluster
+    * centroid (the paper's keep-low-centroid-similarity rule — outliers
+    * carry more training signal than the cluster's redundant core).
+    *
+    * Exact published semantics, not a greedy loop: doc d is dropped iff
+    * some same-cluster doc e has cosine(d, e) >= eps AND e precedes d in
+    * the (centroid_sim ASC, id ASC) keep order — the paper's
+    * upper-triangle test over the sim matrix, which never re-checks
+    * against only-kept docs. Per pair the loser is simply the member with
+    * the higher (centroid_sim, id), so the whole pass is one pair join
+    * plus one anti-join — no iteration.
+    *
+    * Clustering: [[Similarity.ivfCentroids]] (md5-lowest corpus rows —
+    * deterministic, RNG-free, oracle-reproducible) when `refineIters`=0;
+    * `refineIters`>0 runs that many spherical-k-means rounds
+    * ([[Similarity.ivfCentroidsRefined]]) for tighter clusters at the
+    * cost of driver-reduced float means that no external oracle can
+    * reproduce bit-for-bit (the gate pins refineIters=0 for exactly that
+    * reason). Zero-norm / non-finite centroids are excluded driver-side —
+    * a degenerate centroid would score NULL/NaN against every vector.
+    * Assignment is max cosine with ties to the HIGHER cell id (matching
+    * the array_sort-reverse rule in Similarity's probe path).
+    *
+    * Output: (idCol, cluster, centroid_sim, kept) — one row per input row
+    * with a usable vector (non-null, non-empty, finite positive norm);
+    * degenerate vectors carry no semantic-dup signal and are absent.
+    *
+    * 100 TB shape: nClusters bounds the all-pairs blocks (the paper runs
+    * ~10^5 clusters at web scale so blocks stay ~10^4); clusters over
+    * `maxCluster` degrade to star pairs ([[cappedBucketPairs]] — recall
+    * trade-off documented there). One shuffle keys the pair join by
+    * cluster; the assignment scan is a codegen'd scored-array argmax
+    * against broadcast centroid literals — no shuffle, no UDF. */
+  /** The shared assignment core of [[semDedup]] and
+    * [[assignEmbeddingClusters]]: None when the corpus has no usable
+    * centroid (empty / all-degenerate input); otherwise one row per
+    * usable vector — (idCol, __v, __n, __cluster, __csim). */
+  private def clusterAssignment(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, refineIters: Int): Option[DataFrame] = {
+    import graft.functions.FloatArrayDot
+    val cents = (if (refineIters > 0)
+        Similarity.ivfCentroidsRefined(df, idCol, vecCol, nClusters, refineIters)
+      else Similarity.ivfCentroids(df, idCol, vecCol, nClusters))
+      .map { case (cid, v) =>
+        (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))) }
+      .filter { case (_, _, n) => java.lang.Double.isFinite(n) && n > 0 }
+    if (cents.isEmpty) return None
+    val scoredCells = cents.map { case (cid, c, cn) =>
+      val w = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit(_))): _*)
+      struct((FloatArrayDot.dot(col("__v"), w) / (col("__n") * lit(cn))).as("s"),
+        lit(cid).as("cell"))
+    }
+    // ascending (s, cell) sort reversed: max cosine, ties to higher cell
+    val best = reverse(array_sort(array(scoredCells: _*))).getItem(0)
+    Some(df.select(col(idCol), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) > 0)
+      .withColumn("__n", sqrt(FloatArrayDot.normSq(col("__v"))))
+      // NaN compares LARGER than zero under Spark ordering semantics —
+      // an explicit isnan guard, not just __n > 0
+      .filter(!isnan(col("__n")) && col("__n") > 0)
+      .withColumn("__best", best)
+      .select(col(idCol), col("__v"), col("__n"),
+        col("__best").getField("cell").as("__cluster"),
+        col("__best").getField("s").as("__csim")))
+  }
+
+  /** Standalone max-cosine cluster assignment over the md5-sampled (or
+    * spherical-k-means-refined) cells of [[semDedup]]'s clustering:
+    * (idCol, cluster, centroid_sim), one row per usable vector. The
+    * building block for cluster-BALANCED curation — compose with
+    * [[Splits.capPerGroup]] on `cluster` for D4-style diversity
+    * subsampling (Tirumala et al. 2023), or with any per-group quota /
+    * mixture op. Pure projection over one corpus scan — no shuffle, no
+    * pair join; callers that consume it more than once stage it. */
+  def assignEmbeddingClusters(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, refineIters: Int = 0): DataFrame =
+    clusterAssignment(df, idCol, vecCol, nClusters, refineIters) match {
+      case Some(assigned) =>
+        assigned.select(col(idCol), col("__cluster").as("cluster"),
+          col("__csim").as("centroid_sim"))
+      case None =>
+        import org.apache.spark.sql.types._
+        val idT = df.schema(idCol)
+        df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField(idCol, idT.dataType, idT.nullable),
+            StructField("cluster", IntegerType, nullable = false),
+            StructField("centroid_sim", DoubleType, nullable = true))))
+    }
+
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      eps: Double, nClusters: Int = 16, refineIters: Int = 0,
+      maxCluster: Int = DefaultMaxBucket,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(!eps.isNaN, "eps must not be NaN")
+    import graft.functions.FloatArrayDot
+    val assignment = clusterAssignment(df, idCol, vecCol, nClusters, refineIters)
+    if (assignment.isEmpty) {
+      // empty/degenerate corpus: a typed empty result, not an
+      // unresolvable zero-entry scored array (the emptyTopK pattern)
+      import org.apache.spark.sql.types._
+      val idT = df.schema(idCol)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField(idCol, idT.dataType, idT.nullable),
+          StructField("cluster", IntegerType, nullable = false),
+          StructField("centroid_sim", DoubleType, nullable = true),
+          StructField("kept", BooleanType, nullable = false))))
+    }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // three consumers (both pair-join sides + the final kept join) would
+    // each rerun the nClusters-wide scored argmax — stage the assignment
+    val assigned = stager.stage(assignment.get, s"semdedup_assign_$runId")
+    val pairs = cappedBucketPairs(assigned, Seq("__cluster"), idCol,
+        Seq("__v", "__n", "__csim"), maxCluster)
+      .withColumn("__cos",
+        FloatArrayDot.dot(col("__v_a"), col("__v_b")) / (col("__n_a") * col("__n_b")))
+      .filter(col("__cos") >= eps)
+    // per-pair loser: higher centroid_sim, ties to the higher id (pairs
+    // arrive id_a < id_b, so the otherwise-branch IS the higher id)
+    val dropped = pairs.select(
+      when(col("__csim_a") > col("__csim_b"), col("id_a"))
+        .otherwise(col("id_b")).as(idCol)).distinct()
+    assigned
+      .join(dropped.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("__cluster").as("cluster"),
+        col("__csim").as("centroid_sim"), col("__d").isNull.as("kept"))
+  }
+
   /** Cross-document duplicate n-gram coverage (the Dolma/RefinedWeb-style
     * "duplicate text mass" signal): per document, how many of its DISTINCT
     * word n-grams also occur in at least one OTHER document, and the

@@ -237,6 +237,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
   }
 
+  test("p64: semDedup consumers read the staged assignment, never the base table") {
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Dedup.semDedup(df, "vec_id", "embedding",
+      eps = 0.35, nClusters = 4)
+    val plan = out.queryExecution.executedPlan
+    // the pair join's branches and the kept join all consume the staged
+    // assignment; parquet is read once, inside the stage action
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+    // the pair join is keyed on the cluster — never a cross product
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+  }
+
   test("plan sweep: no gate query plans a CartesianProduct; nested-loop " +
     "joins only where a tiny broadcast side is the design") {
     // every BNLJ below broadcasts a bounded side: a 1-row scalar aggregate
