@@ -3106,5 +3106,70 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     }
+
+    // --- DSIR importance resampling (Xie et al. 2023): select raw docs
+    //     that look like the lang='en' target via hashed unigram+bigram
+    //     multinomial models and deterministic Gumbel-top-k. Every ln
+    //     rounds through DECIMAL(25,12) to 9dp (the p26/p41 contract);
+    //     per-doc weights sum in DECIMAL(25,9); the Gumbel inner term is
+    //     floored at 1e-9 on BOTH engines (see Dsir.resampleTopK).
+    register("p66_dsir_resample",
+      """WITH tok AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang, unnest(toks) AS f FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS f FROM tok),
+        |fb AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5('dsir:' || f), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM feat),
+        |dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY doc_id, bucket),
+        |rc AS (SELECT bucket, SUM(c) AS cr FROM dc GROUP BY bucket),
+        |tc AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket),
+        |nr AS (SELECT SUM(cr)::BIGINT AS n FROM rc),
+        |nt AS (SELECT COALESCE(SUM(ct), 0)::BIGINT AS n FROM tc),
+        |llr AS (SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+        |    CAST(ROUND(CAST(ln((COALESCE(t.ct, 0) + 1)::DOUBLE
+        |        / (nt.n + 1024)::DOUBLE) AS DECIMAL(25,12)), 9) AS DOUBLE)
+        |  - CAST(ROUND(CAST(ln((COALESCE(r.cr, 0) + 1)::DOUBLE
+        |        / (nr.n + 1024)::DOUBLE) AS DECIMAL(25,12)), 9) AS DOUBLE) AS llr
+        |  FROM rc r FULL OUTER JOIN tc t ON r.bucket = t.bucket, nr, nt),
+        |wts AS (SELECT doc_id, SUM(c)::BIGINT AS n_features,
+        |    CAST(SUM(CAST(c::DOUBLE * llr AS DECIMAL(25,9))) AS DOUBLE) AS log_weight
+        |  FROM dc JOIN llr USING (bucket) GROUP BY doc_id),
+        |gum AS (SELECT doc_id, n_features, log_weight,
+        |    log_weight + (- CAST(ROUND(CAST(ln(GREATEST(
+        |      - CAST(ROUND(CAST(ln(
+        |          ((('0x' || substring(md5('dsir:gum:' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE + 0.5)
+        |            / 1152921504606846976.0
+        |        ) AS DECIMAL(25,12)), 9) AS DOUBLE),
+        |      0.000000001)) AS DECIMAL(25,12)), 9) AS DOUBLE)) AS score
+        |  FROM wts)
+        |SELECT doc_id, n_features, log_weight, score, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM gum) x
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.resampleTopK(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          k = 50, nBuckets = 1024)
+        .orderBy(col("rank"))
+    }
+
+    // --- MMR diversified top-k (Carbonell & Goldstein 1998): redundancy-
+    //     penalized retrieval over the p07 query set. The k-step greedy
+    //     threads the selected set through each argmax — inherently
+    //     sequential per query, not expressible in DuckDB SQL — so this
+    //     gate records the driver's rows-only check; exact agreement with
+    //     the textbook greedy is spec-verified against a driver reference
+    //     (SimilaritySpec), and lambda=1 provably reduces to p07's
+    //     relevance ranking.
+    registerNoOracle("p67_mmr_topk") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.mmrTopK(e, e.filter(col("vec_id") < 25),
+          "vec_id", "embedding", k = 5, lambda = 0.6, poolSize = 20)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }
   }
 }

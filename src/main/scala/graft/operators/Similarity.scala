@@ -148,6 +148,109 @@ object Similarity {
         "rank", "cosine")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): from each query's `poolSize` nearest candidates, greedily
+    * select k, each step maximizing
+    *
+    *   mmr(d) = lambda * cos(q, d) - (1 - lambda) * max over s in S of cos(d, s)
+    *
+    * (S = already-selected set; the first pick has no diversity term and
+    * is the top-cosine candidate). lambda = 1 reduces to plain top-k;
+    * lower lambda trades relevance for diversity — the standard retrieval
+    * pass for redundancy-free RAG contexts and diverse few-shot pools.
+    * Ties keep the relevance-ranked-first candidate, so the output is
+    * deterministic. Output (query_id, neighbor_id, mmr_rank, mmr_score).
+    *
+    * 100 TB shape: candidate generation is the [[bruteForceTopK]] /
+    * LSH/IVF family (swap in a bucketed generator at scale); the greedy
+    * step is inherently sequential PER QUERY, so it runs as a
+    * per-partition JVM loop over (query, poolSize-bounded candidate
+    * list) groups — the [[graft.operators.Vocab.bpeEncode]] precedent:
+    * state is O(poolSize * dim) per group, groups stream one at a time
+    * through a secondary sort (repartition by query, sort by rank), and
+    * as nested Catalyst HOFs the k dependent argmax rounds would nest
+    * the plan k levels deep. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.7,
+      poolSize: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    import org.apache.spark.sql.Row
+    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, poolSize)
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val joined = cands.join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"), col("__nv"))
+    val part = joined.repartition(col("query_id"))
+      .sortWithinPartitions(col("query_id"), col("rank"))
+    val qT = joined.schema("query_id")
+    val nT = joined.schema("neighbor_id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qT.dataType, qT.nullable),
+      org.apache.spark.sql.types.StructField("neighbor_id", nT.dataType, nT.nullable),
+      org.apache.spark.sql.types.StructField("mmr_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (lam, kk) = (lambda, k)
+    part.mapPartitions { it =>
+      def cosD(a: Array[Float], b: Array[Float]): Double = {
+        var (dot, na, nb) = (0.0, 0.0, 0.0)
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val (x, y) = (a(i).toDouble, b(i).toDouble)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val base = it.buffered
+      new Iterator[Row] {
+        private val pending = scala.collection.mutable.Queue.empty[Row]
+        private def loadGroup(): Unit = {
+          if (!base.hasNext) return
+          val key = base.head.get(0)
+          val group = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Array[Float])]
+          while (base.hasNext && base.head.get(0) == key) {
+            val r = base.next()
+            group += ((r.get(1), r.getDouble(3), r.getSeq[Float](4).toArray))
+          }
+          val taken = Array.fill(group.size)(false)
+          val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          var rank = 1
+          while (rank <= kk && rank <= group.size) {
+            var (bestI, bestScore) = (-1, Double.NegativeInfinity)
+            var i = 0
+            while (i < group.size) {
+              if (!taken(i)) {
+                val div = if (selVecs.isEmpty) 0.0
+                  else selVecs.iterator.map(s => cosD(group(i)._3, s)).max
+                val mmr = lam * group(i)._2 - (1.0 - lam) * div
+                // strict >: ties keep the earlier (relevance-ranked) candidate
+                if (mmr > bestScore) { bestI = i; bestScore = mmr }
+              }
+              i += 1
+            }
+            taken(bestI) = true
+            selVecs += group(bestI)._3
+            pending.enqueue(Row(key, group(bestI)._1, rank, bestScore))
+            rank += 1
+          }
+        }
+        def hasNext: Boolean = {
+          while (pending.isEmpty && base.hasNext) loadGroup()
+          pending.nonEmpty
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          pending.dequeue()
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------------ LSH (SRP)
 
   /** Deterministic ±1 hyperplanes: component (p, d) is +1 iff the low bit

@@ -263,7 +263,12 @@ class PlanAuditSpec extends SparkSpecBase {
       "q24_global_avg_filter", "p07_embed_knn", "p12_jaccard_pairs",
       "p26_bm25_topk", "p28_embed_pq", "p34_semantic_decontam",
       "p37_embed_pq_trained", "p41_lm_score", "p51_pmi_pairs",
-      "p54_hard_negatives", "p59_tfidf_keywords")
+      "p54_hard_negatives", "p59_tfidf_keywords",
+      // p66: the two 1-row feature-total scalars broadcast into the
+      // bounded llr model frame; p67: the brute-force candidate pool is
+      // the p07 broadcast-queries cross join (swap an LSH/IVF generator
+      // in at scale, per mmrTopK's scaladoc)
+      "p66_dsir_resample", "p67_mmr_topk")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

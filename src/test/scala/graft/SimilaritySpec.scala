@@ -163,4 +163,94 @@ class SimilaritySpec extends SparkSpecBase {
     val s1 = df.select(Similarity.signSignature(col("v"), planes)).as[String].head()
     assert(s1.length === 8 && s1.forall(c => c == '0' || c == '1'))
   }
+
+  // ------------------------------------------------------------ MMR
+
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
+    val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+  }
+
+  /** Driver greedy MMR over the exact top-poolSize candidates. */
+  private def refMmr(corpus: Seq[(Long, Array[Float])], q: (Long, Array[Float]),
+      k: Int, lambda: Double, poolSize: Int): Seq[(Long, Int, Double)] = {
+    val cands = corpus.filter(_._1 != q._1)
+      .map { case (id, v) => (id, cosD(q._2, v), v) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(poolSize)
+    val taken = Array.fill(cands.size)(false)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    var rank = 1
+    while (rank <= k && rank <= cands.size) {
+      var (bi, bs) = (-1, Double.NegativeInfinity)
+      for (i <- cands.indices if !taken(i)) {
+        val div = if (sel.isEmpty) 0.0 else sel.map(s => cosD(cands(i)._3, s)).max
+        val m = lambda * cands(i)._2 - (1.0 - lambda) * div
+        if (m > bs) { bi = i; bs = m }
+      }
+      taken(bi) = true; sel += cands(bi)._3
+      out += ((cands(bi)._1, rank, bs))
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  test("mmrTopK demotes near-duplicate candidates; lambda=1 is plain top-k") {
+    // query q; a is nearest, b is a near-copy of a, c is diverse
+    val corpus = Seq(
+      (10L, Array(0.95f, 0.05f, 0f)),   // a
+      (11L, Array(0.94f, 0.06f, 0f)),   // b ~ a
+      (12L, Array(0.55f, 0.80f, 0.1f)), // c diverse
+      (13L, Array(0.10f, 0.10f, 0.98f))) // d far from q
+    val q = Seq((1L, Array(1f, 0f, 0f)))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = q.toDF("vec_id", "embedding")
+    // pool = top-3 by relevance (a, b, c); at lambda 0.45 the near-dup b
+    // loses its relevance edge to its ~0.9999 redundancy with a:
+    //   mmr(b) = .45*.99797 - .55*.99994 = -0.1009
+    //   mmr(c) = .45*.56352 - .55*.60580 = -0.0796  -> c picked second
+    val diverse = Similarity.mmrTopK(cdf, qdf, "vec_id", "embedding",
+        k = 2, lambda = 0.45, poolSize = 3)
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(diverse.map(_._1).toSeq === Seq(10L, 12L),
+      "second pick must be the diverse candidate, not the near-dup")
+    val plain = Similarity.mmrTopK(cdf, qdf, "vec_id", "embedding",
+        k = 3, lambda = 1.0, poolSize = 4)
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect().sortBy(_._2)
+    val topk = Similarity.bruteForceTopK(cdf, qdf, "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(plain.map(_._1).toSeq === topk.map(_._1).toSeq,
+      "lambda=1 must reduce to relevance ranking")
+  }
+
+  test("mmrTopK matches the driver greedy reference on a seeded corpus") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f)) }
+    val queries = corpus.filter(_._1 < 4)
+    val got = Similarity.mmrTopK(corpus.toDF("vec_id", "embedding"),
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 5, lambda = 0.6, poolSize = 12)
+      .select("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    for ((qid, qv) <- queries) {
+      val exp = refMmr(corpus, (qid, qv), k = 5, lambda = 0.6, poolSize = 12)
+      assert(got(qid).map(_._1) === exp.map(_._1), s"selection for query $qid")
+      got(qid).zip(exp).foreach { case ((_, _, gs), (_, _, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"score for query $qid") }
+    }
+  }
+
+  test("mmrTopK with k beyond the pool returns the whole pool, ranks contiguous") {
+    val corpus = (0 until 6).map(i => (i.toLong,
+      Array(math.cos(i * 0.9).toFloat, math.sin(i * 0.9).toFloat)))
+    val out = Similarity.mmrTopK(corpus.toDF("vec_id", "embedding"),
+        corpus.take(1).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 10, lambda = 0.5, poolSize = 10)
+      .select("mmr_rank").as[Int].collect().sorted
+    assert(out.toSeq === (1 to 5)) // 5 candidates (self excluded)
+  }
 }
