@@ -117,6 +117,23 @@ class DsirSpec extends SparkSpecBase {
     assert(out.map(_._2).toSeq === (1 to 6))
   }
 
+  test("property: target == raw makes every log_weight exactly zero") {
+    // llr(b) = roundLn(pT) - roundLn(pR) with IDENTICAL counts on both
+    // sides — each bucket's terms cancel bitwise, so the decimal-summed
+    // weight is 0.0 exactly, for any corpus
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val vals = Dsir.importanceWeights(df, "doc_id", "text",
+          df, "doc_id", "text", nBuckets = 32)
+        .select("log_weight").as[Double].collect()
+      assert(vals.nonEmpty && vals.forall(_ === 0.0), s"seed $seed: ${vals.toSeq}")
+    }
+  }
+
   test("empty target still scores (uniform target model)") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dsir.importanceWeights(df, "doc_id", "text",

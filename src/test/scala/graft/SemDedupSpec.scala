@@ -152,6 +152,29 @@ class SemDedupSpec extends SparkSpecBase {
     assert(out.count(!_._4) >= 1, "the planted basis dups should collide")
   }
 
+  test("property: every populated cluster keeps its keep-order-first member") {
+    // the min-(centroid_sim, id) member of a cluster has no beater, so a
+    // cluster can never be emptied — for any corpus, eps, clustering
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 40).map { i =>
+        (i.toLong, Array.fill(5)(rnd.nextFloat() * 2f - 1f)) } ++
+        (0 until 10).map { i => // planted identical pairs force drops
+          (300L + i, Array.fill(5)(0f).updated(i % 5, 1f)) }
+      val out = Dedup.semDedup(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", eps = 0.8, nClusters = 3 + seed)
+        .select("vec_id", "cluster", "centroid_sim", "kept")
+        .as[(Long, Int, Double, Boolean)].collect()
+      assert(out.length === rows.size, s"seed $seed: partition property")
+      for ((cl, members) <- out.groupBy(_._2)) {
+        assert(members.exists(_._4), s"seed $seed: cluster $cl lost every member")
+        val first = members.minBy(m => (m._3, m._1))
+        assert(first._4, s"seed $seed: keep-order-first of cluster $cl was dropped")
+      }
+      assert(out.count(!_._4) >= 5, s"seed $seed: planted identical dups must drop")
+    }
+  }
+
   test("assignEmbeddingClusters agrees with semDedup's own assignment") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 50).map { i =>

@@ -244,6 +244,41 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("property: mmr scores are non-increasing in rank; lambda=1 ≡ top-k") {
+    // in a NON-NEGATIVE similarity space (all components >= 0, so every
+    // cosine >= 0) the diversity penalty is >= 0 and only grows as S
+    // grows, and each step's winner came from a superset of the next
+    // step's candidates — so the greedy's score sequence can never
+    // increase. (With mixed-sign vectors a negative cosine turns the
+    // penalty into a bonus and the invariant genuinely does not hold.)
+    for (seed <- 21 to 24) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until 30).map { i =>
+        (i.toLong, Array.fill(5)(rnd.nextFloat())) }
+      val cdf = corpus.toDF("vec_id", "embedding")
+      val qdf = corpus.take(3).toDF("vec_id", "embedding")
+      val out = Similarity.mmrTopK(cdf, qdf, "vec_id", "embedding",
+          k = 6, lambda = 0.5, poolSize = 10)
+        .select("query_id", "mmr_rank", "mmr_score")
+        .as[(Long, Int, Double)].collect()
+      for ((_, rows) <- out.groupBy(_._1)) {
+        val scores = rows.sortBy(_._2).map(_._3)
+        assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+          s"seed $seed: scores increased: ${scores.toSeq}")
+      }
+      val plain = Similarity.mmrTopK(cdf, qdf, "vec_id", "embedding",
+          k = 6, lambda = 1.0, poolSize = 10)
+        .select("query_id", "neighbor_id", "mmr_rank")
+        .as[(Long, Long, Int)].collect().groupBy(_._1)
+        .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      val topk = Similarity.bruteForceTopK(cdf, qdf, "vec_id", "embedding", k = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().groupBy(_._1)
+        .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      assert(plain === topk, s"seed $seed: lambda=1 diverged from top-k")
+    }
+  }
+
   test("mmrTopK with k beyond the pool returns the whole pool, ranks contiguous") {
     val corpus = (0 until 6).map(i => (i.toLong,
       Array(math.cos(i * 0.9).toFloat, math.sin(i * 0.9).toFloat)))
