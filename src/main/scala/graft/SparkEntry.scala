@@ -3171,5 +3171,72 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, lambda = 0.6, poolSize = 20)
         .orderBy(col("query_id"), col("mmr_rank"))
     }
+
+    // --- reciprocal-rank fusion (Cormack et al. 2009): hybrid retrieval
+    //     over the shared 0..499 id space — a LEXICAL doc->doc ranking
+    //     (tf-idf more-like-this, the p35 pipeline at k=20) fused with a
+    //     VECTOR ranking (exact embedding cosine, the p07 pipeline at
+    //     k=20) by rank positions alone. Reciprocals are one IEEE
+    //     division each, summed through DECIMAL(25,18); only the
+    //     REPORTED score is rounded.
+    register("p68_rrf_fusion",
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+         |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |idf AS (SELECT term,
+         |    CAST(ROUND(CAST(ln(n.n / df) AS DECIMAL(25,12)), 9) AS DOUBLE) AS idf
+         |  FROM (SELECT term, COUNT(*) AS df FROM p GROUP BY term), n),
+         |w AS (SELECT p.doc_id, p.term, p.tf * idf.idf AS w FROM p JOIN idf USING (term)),
+         |nrm AS (SELECT doc_id,
+         |    sqrt(CAST(SUM(CAST(w*w AS DECIMAL(25,9))) AS DOUBLE)) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |dt AS (SELECT t.doc_id AS tid, d.doc_id AS nid,
+         |    CAST(SUM(CAST(t.w * d.w AS DECIMAL(25,9))) AS DOUBLE) AS dt
+         |  FROM w t JOIN w d USING (term)
+         |  WHERE t.doc_id < 5 AND d.doc_id != t.doc_id
+         |  GROUP BY t.doc_id, d.doc_id),
+         |sc AS (SELECT tid, nid, dt / (nt.nrm * nn.nrm) AS cosine
+         |  FROM dt JOIN nrm nt ON nt.doc_id = tid AND nt.nrm > 0
+         |          JOIN nrm nn ON nn.doc_id = nid AND nn.nrm > 0),
+         |lex AS (SELECT tid AS query_id, nid AS item_id, rank FROM (
+         |    SELECT tid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cosine DESC, nid) AS rank
+         |    FROM sc) x
+         |  WHERE rank <= 20),
+         |e2 AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(38,18))))::DOUBLE) AS nrm
+         |  FROM embeddings),
+         |q2 AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e2 WHERE vec_id < 5),
+         |p2 AS (SELECT query_id, e2.vec_id AS item_id,
+         |    list_sum(list_transform(list_zip(qv, e2.embedding),
+         |      x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE
+         |      / (qn * e2.nrm) AS cosine
+         |  FROM q2 JOIN e2 ON e2.vec_id != query_id),
+         |vec AS (SELECT query_id, item_id, rank FROM (
+         |    SELECT query_id, item_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+         |    FROM p2) y
+         |  WHERE rank <= 20),
+         |allr AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+         |fused AS (SELECT query_id, item_id, COUNT(*)::BIGINT AS n_rankings,
+         |    CAST(SUM(CAST(1.0::DOUBLE / (rank::DOUBLE + 60.0) AS DECIMAL(25,18))) AS DOUBLE) AS rrf_score
+         |  FROM allr GROUP BY query_id, item_id)
+         |SELECT query_id, item_id, n_rankings, round(rrf_score, 9) AS rrf_score, fused_rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, item_id) AS fused_rank FROM fused) z
+         |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.operators.Search.moreLikeThis(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5).select(col("doc_id")), k = 20, idfRoundDp = Some(9))
+        .select(col("doc_id").as("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      val vec = graft.operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10)
+        .withColumn("rrf_score", round(col("rrf_score"), 9))
+        .orderBy(col("query_id"), col("fused_rank"))
+    }
   }
 }

@@ -249,4 +249,44 @@ object Search {
       .filter(col("rank") <= k)
       .select(id, col("__term").as("term"), col("rank"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): merge any
+    * number of per-query rankings — lexical BM25/tf-idf, embedding ANN,
+    * recency, whatever — into one hybrid ranking by
+    *
+    *   rrf(q, d) = sum over rankings r that returned d for q of 1 / (k0 + rank_r(d))
+    *
+    * the standard score-free hybrid-search combinator (rank positions
+    * only, so wildly different score scales fuse without calibration).
+    * Every input must carry (query_id, item_id, rank); k0 = 60 is the
+    * paper's constant. Output: (query_id, item_id, n_rankings,
+    * rrf_score, fused_rank), fused_rank 1..k per query, ties on the
+    * score broken by item_id.
+    *
+    * 100 TB shape: a union + one map-side-combinable groupBy on
+    * (query, item) + one per-query window — no joins at all, and each
+    * reciprocal is ONE IEEE division of exact small ints summed through
+    * DECIMAL(25,18), so the fused scores are order-independent and
+    * bit-identical in the DuckDB oracle. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    val needed = Seq("query_id", "item_id", "rank")
+    rankings.foreach { r =>
+      require(needed.forall(r.columns.contains),
+        s"each ranking needs columns $needed, got ${r.columns.toSeq}") }
+    val all = rankings
+      .map(_.select(col("query_id"), col("item_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = all.groupBy(col("query_id"), col("item_id"))
+      .agg(count(lit(1)).as("n_rankings"),
+        sum((lit(1.0) / (col("rank").cast("double") + lit(k0.toDouble)))
+          .cast(DecimalType(25, 18)))
+          .cast("double").as("rrf_score"))
+    scored.withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("item_id"))))
+      .filter(col("fused_rank") <= k)
+  }
 }

@@ -265,10 +265,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "p37_embed_pq_trained", "p41_lm_score", "p51_pmi_pairs",
       "p54_hard_negatives", "p59_tfidf_keywords",
       // p66: the two 1-row feature-total scalars broadcast into the
-      // bounded llr model frame; p67: the brute-force candidate pool is
-      // the p07 broadcast-queries cross join (swap an LSH/IVF generator
-      // in at scale, per mmrTopK's scaladoc)
-      "p66_dsir_resample", "p67_mmr_topk")
+      // bounded llr model frame; p67/p68: the brute-force candidate pool
+      // is the p07 broadcast-queries cross join (swap an LSH/IVF
+      // generator in at scale, per mmrTopK's scaladoc), and p68 also
+      // inherits p35's 1-row corpus-size scalar
+      "p66_dsir_resample", "p67_mmr_topk", "p68_rrf_fusion")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

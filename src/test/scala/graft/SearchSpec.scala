@@ -143,4 +143,37 @@ class SearchSpec extends SparkSpecBase {
       Search.topTermsPerDoc(docs, "doc_id", "text", k = 0)
     }
   }
+
+  test("rrfFuse: consensus items out-rank single-ranking items; exact scores") {
+    import spark.implicits._
+    // ranking A: items 10,11,12; ranking B: items 12,11,13 — item 11
+    // (ranks 2+2) and 12 (3+1) both beat every single-list item
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "item_id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 13L, 3))
+      .toDF("query_id", "item_id", "rank")
+    val out = Search.rrfFuse(Seq(a, b), k = 10)
+      .select("item_id", "n_rankings", "rrf_score", "fused_rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._1).toSeq === Seq(12L, 11L, 10L, 13L))
+    assert(out.map(_._2).toSeq === Seq(2L, 2L, 1L, 1L))
+    def rr(ranks: Int*): Double = ranks.map(r =>
+      BigDecimal(1.0 / (r + 60.0)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(out(0)._3 - rr(3, 1)) < 1e-15) // item 12
+    assert(math.abs(out(1)._3 - rr(2, 2)) < 1e-15) // item 11
+  }
+
+  test("rrfFuse: a single ranking round-trips its own order; ranks contiguous per query") {
+    import spark.implicits._
+    val a = Seq((1L, 5L, 1), (1L, 6L, 2), (1L, 7L, 3),
+      (2L, 8L, 1), (2L, 9L, 2)).toDF("query_id", "item_id", "rank")
+    val out = Search.rrfFuse(Seq(a), k = 10)
+      .select("query_id", "item_id", "fused_rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byQ === Map(1L -> Seq(5L, 6L, 7L), 2L -> Seq(8L, 9L)))
+    intercept[IllegalArgumentException] { Search.rrfFuse(Nil, k = 5) }
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq(a.drop("rank")), k = 5) }
+  }
 }
