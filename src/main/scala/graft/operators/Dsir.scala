@@ -36,14 +36,27 @@ object Dsir {
   /** Hashed unigram+bigram feature stream: (idCol, bucket), one row per
     * feature OCCURRENCE (multiplicity preserved — the multinomial needs
     * counts). Tokenization is the corpus-wide lowercase-whitespace
-    * contract of [[Dedup.shingleRows]]. */
+    * contract of [[Dedup.shingleRows]].
+    *
+    * ONE tokenization pass: each token emits itself plus (when a lead
+    * exists) its bigram from the same doc-keyed window — a
+    * shingleRows(1) ∪ shingleRows(2) union would tokenize the corpus
+    * TWICE for the identical feature multiset. */
   def featureStream(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, salt: String): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    Dedup.shingleRows(df, idCol, textCol, 1)
-      .unionByName(Dedup.shingleRows(df, idCol, textCol, 2))
+    val toks = df
       .select(col(s"`$idCol`"),
-        Splits.hashBucket(col("shingle"), salt, nBuckets).as("bucket"))
+        posexplode(split(lower(col(s"`$textCol`")), "\\s+")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    val w = Window.partitionBy(col(s"`$idCol`")).orderBy(col("__pos"))
+    toks.withColumn("__lead", lead(col("__tok"), 1).over(w))
+      .select(col(s"`$idCol`"),
+        explode(when(col("__lead").isNull, array(col("__tok")))
+          .otherwise(array(col("__tok"),
+            concat_ws(" ", col("__tok"), col("__lead"))))).as("__f"))
+      .select(col(s"`$idCol`"),
+        Splits.hashBucket(col("__f"), salt, nBuckets).as("bucket"))
   }
 
   private def roundLn(x: Column, dp: Int): Column =
@@ -68,8 +81,13 @@ object Dsir {
         .groupBy(col(s"`$idCol`"), col("bucket")).agg(count(lit(1)).as("__c")),
       s"dsir_doccounts_$runId")
     val rawCounts = docCounts.groupBy(col("bucket")).agg(sum(col("__c")).as("__cr"))
-    val tgtCounts = featureStream(target, targetIdCol, targetTextCol, nBuckets, salt)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("__ct"))
+    // staged: the bounded (<= nBuckets rows) target model feeds BOTH the
+    // llr join and the feature-total scalar — unstaged, Catalyst clones
+    // the subplan and the target corpus tokenizes twice
+    val tgtCounts = stager.stage(
+      featureStream(target, targetIdCol, targetTextCol, nBuckets, salt)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("__ct")),
+      s"dsir_tgtcounts_$runId")
     val nRaw = rawCounts.agg(sum(col("__cr")).as("__nr"))
     val nTgt = tgtCounts.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
     // bounded (<= nBuckets rows per side): the model join broadcasts

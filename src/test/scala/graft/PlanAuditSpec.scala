@@ -250,6 +250,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.toString.contains("CartesianProduct"), plan.toString)
   }
 
+  test("p66: each corpus tokenizes exactly once, inside a stage action") {
+    val df = SparkEntry.queries("p66_dsir_resample")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // raw-model counts AND per-doc scoring read the staged (id, bucket)
+    // counts; the llr join AND the feature-total scalar read the staged
+    // target model — the final plan touches no parquet at all
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+  }
+
   test("plan sweep: no gate query plans a CartesianProduct; nested-loop " +
     "joins only where a tiny broadcast side is the design") {
     // every BNLJ below broadcasts a bounded side: a 1-row scalar aggregate
