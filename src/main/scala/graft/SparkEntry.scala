@@ -3238,5 +3238,77 @@ object SparkEntry {
         .withColumn("rrf_score", round(col("rrf_score"), 9))
         .orderBy(col("query_id"), col("fused_rank"))
     }
+
+    // --- EXACT n-gram Jaccard similarity join via prefix filtering
+    //     (AllPairs, Bayardo 2007): same contract as p12 but over the FULL
+    //     corpus — no cross join. The oracle replays the whole machinery:
+    //     rarest-first shingle order (df asc, shingle asc), per-doc prefix
+    //     of s − ⌈t·s⌉ + 1 shingles, equi-join on prefix shingles with the
+    //     length filter, exact list_intersect verify. All threshold
+    //     arithmetic in integer micros ((s·800000+999999)//1e6) so the
+    //     prefix length is bit-identical in both engines — a float ceil
+    //     would make ⌈0.8·5⌉ = 5 and silently drop pairs.
+    register("p69_jaccard_prefix",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t),
+         |f AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS sz FROM sh WHERE len(s) > 0),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS g FROM f),
+         |dfreq AS (SELECT g, COUNT(*) AS dfc FROM tok GROUP BY g),
+         |ranked AS (SELECT doc_id, sz, g,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dfc, g) AS pos
+         |  FROM tok JOIN dfreq USING (g)),
+         |pref AS (SELECT doc_id, sz, g FROM ranked
+         |  WHERE pos <= sz - (sz * 800000 + 999999) // 1000000 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+         |   AND b.sz * 1000000 >= a.sz * 800000 AND a.sz * 1000000 >= b.sz * 800000),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(fa.s, fb.s)) AS BIGINT) AS i,
+         |    fa.sz AS sa, fb.sz AS sb
+         |  FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |  round(i::DOUBLE / (sa + sb - i)::DOUBLE, 9) AS jaccard_sim
+         |FROM v WHERE i * 1000000 >= (sa + sb - i) * 800000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.jaccardPairsPrefix(
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .withColumn("jaccard_sim", round(col("jaccard_sim"), 9))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- auditable per-group quantile profile: a deterministic uniform
+    //     sample (bottom-256 rows by salted md5 of the id — mergeable by
+    //     union + re-trim), nearest-rank quantiles of doc length read off
+    //     the sorted sample. Rank index in integer micros, same rule as
+    //     p69's prefix length. Unlike approx_percentile, every step is
+    //     engine-portable — the ESTIMATE hash-matches.
+    register("p70_quantile_profile",
+      """WITH s AS (SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS v,
+        |    ('0x' || substring(md5('qp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |r AS (SELECT lang, v,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM s),
+        |k AS (SELECT lang, list(v ORDER BY v) AS vs, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r WHERE rn <= 256 GROUP BY lang)
+        |SELECT lang, n AS n_sample,
+        |  vs[CAST((n *  250000 + 999999) // 1000000 AS INT)] AS len_p25,
+        |  vs[CAST((n *  500000 + 999999) // 1000000 AS INT)] AS len_p50,
+        |  vs[CAST((n *  750000 + 999999) // 1000000 AS INT)] AS len_p75,
+        |  vs[CAST((n *  900000 + 999999) // 1000000 AS INT)] AS len_p90,
+        |  vs[CAST((n *  990000 + 999999) // 1000000 AS INT)] AS len_p99
+        |FROM k ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.operators.Sketch.quantileProfile(
+          t(s, dir, "documents").withColumn("len", length(col("text")).cast("long")),
+          "len", "lang", "doc_id", k = 256,
+          quantiles = Seq("len_p25" -> 0.25, "len_p50" -> 0.5, "len_p75" -> 0.75,
+            "len_p90" -> 0.9, "len_p99" -> 0.99),
+          salt = "qp")
+        .orderBy(col("lang"))
+    }
   }
 }

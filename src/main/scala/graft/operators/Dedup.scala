@@ -321,6 +321,84 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_sim")
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering — the
+    * AllPairs family (Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; the prefix-filter principle behind
+    * PPJoin, Xiao et al. 2008). Same output contract as
+    * [[jaccardPairsExact]] — every pair with Jaccard >= threshold, NO
+    * false negatives — but without the all-pairs cross join, so it runs
+    * on a full corpus, not a small block.
+    *
+    * How: order the shingle universe rarest-first (document frequency asc,
+    * shingle asc — any total order is correct; rare-first minimizes
+    * candidates). A doc of set size s only needs its first
+    * p = s − ⌈t·s⌉ + 1 shingles in that order as join keys: if two docs
+    * have Jaccard >= t, their overlap is >= t·max(sa,sb), which cannot fit
+    * entirely in both suffixes of size ⌈t·s⌉ − 1 — so they MUST share a
+    * prefix shingle (the prefix-filter theorem). Candidates come from an
+    * equi-join on prefix shingles with the length filter
+    * t·sa <= sb <= sa/t applied in the join condition; survivors verify
+    * exact set Jaccard.
+    *
+    * Threshold arithmetic is integer-exact: t is fixed to micros
+    * (tµ = round(t·1e6)) and ⌈t·s⌉ = (s·tµ + 999999) div 1e6, so the
+    * prefix length and the final >= t test are bit-identical in any
+    * engine — no float-ceil off-by-one can break the no-false-negative
+    * guarantee (ceil(0.8·5) in binary64 is 5, not the rational 4).
+    *
+    * 100 TB shape: one shingle-stream aggregation (sets, staged — read by
+    * the df count, the prefix stream and both verify sides), one groupBy
+    * for document frequencies, one per-doc window for prefix positions,
+    * then an equi-join keyed on prefix shingles. Shuffles carry (id,
+    * shingle-hash-sized) rows, never text. Skew: a shingle shared by m
+    * doc-prefixes yields m² candidate rows; rare-first ordering pushes
+    * prefix shingles toward df=1, and the length filter prunes in-join.
+    * For corpora where a template shingle still floods a key, cap with
+    * the LSH path ([[nearDupPairsMinhash]]) instead — capping HERE would
+    * silently break exactness, which is this operator's contract. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold (prefix length diverges at 0)")
+    val tMicro = math.round(threshold * 1e6)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // sorted arrays: array_intersect streams them either way, and sorted
+    // output keeps the verify stage deterministic for the oracle
+    val sets = stager.stage(
+      shingleSets(df, idCol, textCol, shingleN)
+        .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
+          size(col("__shingles")).cast("long").as("__sz")),
+      s"prefix_sets_$runId")
+    val tok = sets.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g"))
+    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
+    val ranked = tok.join(dfreq, "__g")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__dfc"), col("__g"))))
+    val prefix = ranked
+      .filter(col("__pos") <=
+        col("__sz") - expr(s"(__sz * ${tMicro}L + 999999L) div 1000000L") + 1)
+      .select(col(idCol), col("__sz"), col("__g"))
+    val cands = prefix.select(col(idCol).as("id_a"), col("__sz").as("__sa"), col("__g"))
+      .join(prefix.select(col(idCol).as("id_b"), col("__sz").as("__sb"), col("__g")),
+        Seq("__g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__sb") * 1000000L >= col("__sa") * tMicro &&
+        col("__sa") * 1000000L >= col("__sb") * tMicro)
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("__xa"), col("__xb"))).cast("long")
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__shingles").as("__xa"),
+        col("__sz").as("__va")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__shingles").as("__xb"),
+        col("__sz").as("__vb")), "id_b")
+      .withColumn("__i", inter)
+      .filter(col("__i") * 1000000L >= (col("__va") + col("__vb") - col("__i")) * tMicro)
+      .withColumn("jaccard_sim",
+        col("__i").cast("double") / (col("__va") + col("__vb") - col("__i")).cast("double"))
+      .select("id_a", "id_b", "jaccard_sim")
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per document, as a 64-char '0'/'1' string (a bit string

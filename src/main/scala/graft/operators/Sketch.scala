@@ -198,4 +198,89 @@ object Sketch {
       .groupBy(g, key)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ------------------------------------------------------------ quantiles
+
+  /** Per-group quantile sketch: a deterministic uniform sample of at most
+    * k rows — the k rows whose salted 60-bit md5 of the ID hashes lowest
+    * (a hash-ordered bottom-k is a uniform sample of the rows, the same
+    * trick [[kmvSketch]] plays on distinct VALUES). Nearest-rank
+    * quantiles read off the sorted sample land within O(1/sqrt(k)) of
+    * the true quantile with high probability (Hoeffding on the sample
+    * CDF), and — unlike engine-native approx_percentile — every step
+    * (md5 order, bottom-k, rank pick) is bit-identical across engines,
+    * so the p70 gate hash-matches DuckDB: an auditable quantile sketch.
+    *
+    * Why a sketch when exact percentile is one line: exact per-group
+    * quantiles serialize each group's full value stream into one
+    * reducer's sort; the sketch shuffles at most k rows per group with
+    * map-side bottom-k combining, and sketches are MERGEABLE
+    * ([[quantileMerge]]: union, re-trim) — shards/days sample
+    * independently and roll up without rescanning, the 100 TB operating
+    * mode. Output: (groupCol, sample: array<struct<h,id,v>> ascending by
+    * (h, id) — h first so a merge's re-trim keeps exactly the globally
+    * lowest hashes). Rows with a null id or null value carry no
+    * identity/measurement and are dropped, as in [[kmvSketch]]. */
+  def quantileSketch(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, k: Int, salt: String = "qs"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = col(s"`$groupCol`")
+    df.filter(col(s"`$idCol`").isNotNull && col(s"`$valueCol`").isNotNull)
+      .select(g,
+        graft.functions.TextFunctions.md5Hash60(
+          concat(lit(salt), lit(":"), col(s"`$idCol`").cast("string"))).as("__h"),
+        col(s"`$idCol`").cast("string").as("__id"),
+        col(s"`$valueCol`").as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g).orderBy(col("__h"), col("__id"))))
+      .filter(col("__rn") <= k)
+      .groupBy(g)
+      .agg(sort_array(collect_list(
+        struct(col("__h").as("h"), col("__id").as("id"), col("__v").as("v")))).as("sample"))
+  }
+
+  /** Merge two sketch frames built with the same (k, salt) over DISJOINT
+    * row shards (a row present in both shards would be sampled twice):
+    * union the samples, keep the k lowest (h, id). Groups on one side
+    * only pass through. */
+  def quantileMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = col(s"`$groupCol`")
+    a.select(g, col("sample")).unionAll(b.select(g, col("sample")))
+      .select(g, explode(col("sample")).as("__s"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g).orderBy(col("__s.h"), col("__s.id"))))
+      .filter(col("__rn") <= k)
+      .groupBy(g)
+      .agg(sort_array(collect_list(col("__s"))).as("sample"))
+  }
+
+  /** Read nearest-rank quantiles off a sketch frame: for each (name, q)
+    * the sample value at rank ⌈q·n⌉, computed integer-exactly as
+    * (n·qµ + 999999) div 1e6 with qµ = round(q·1e6) — no float-ceil
+    * off-by-one, identical in any engine (the [[graft.operators.Dedup
+    * .jaccardPairsPrefix]] threshold rule). Adds n_sample (long) and one
+    * column per quantile, typed like the value column. */
+  def quantileEstimate(sketch: DataFrame, quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile $n must be in (0,1], got $q") }
+    val vals = sort_array(transform(col("sample"), s => s.getField("v")))
+    val base = sketch
+      .withColumn("n_sample", size(col("sample")).cast("long"))
+      .withColumn("__vs", vals)
+    quantiles.foldLeft(base) { case (acc, (name, q)) =>
+      val qMicro = math.round(q * 1e6)
+      acc.withColumn(name, element_at(col("__vs"),
+        expr(s"cast((n_sample * ${qMicro}L + 999999L) div 1000000L as int)")))
+    }.drop("__vs")
+  }
+
+  /** Convenience: sketch + quantile read-off in one call, sample column
+    * dropped (the profile shape the p70 gate serves). */
+  def quantileProfile(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, k: Int, quantiles: Seq[(String, Double)],
+      salt: String = "qs"): DataFrame =
+    quantileEstimate(quantileSketch(df, valueCol, groupCol, idCol, k, salt), quantiles)
+      .drop("sample")
 }

@@ -225,4 +225,47 @@ class DedupSpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("prefix-filtered Jaccard join equals brute force on real docs — values included") {
+    val docs = testdata("sf0.001", "documents")
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "jaccard_sim").as[(Long, Long, Double)].collect().toSet
+    val exact = res(Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.8))
+    val prefix = res(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8))
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(prefix === exact, "prefix filtering is EXACT: identical pair set and values")
+  }
+
+  test("prefix join: no false negatives across thresholds, incl. the float-ceil trap") {
+    // size-5 shingle sets at t=0.8: binary64 ceil(0.8*5) = 5 would shorten
+    // the prefix to 0 tokens and silently drop every pair — the integer-
+    // micros prefix length must keep them. Deterministic synthetic corpus:
+    // doc pairs sharing most of their tokens at varied set sizes.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 30).flatMap { i =>
+      val n = 5 + rnd.nextInt(10)
+      val base = rnd.shuffle(words).take(n + 2)
+      val a = base.mkString(" ")
+      // near-dup: drop the last token (high but <1 Jaccard at small sizes)
+      val b = base.dropRight(1).mkString(" ")
+      Seq((i * 2L, a), (i * 2L + 1L, b))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(prefix === exact, s"threshold $t: prefix ${prefix.size} vs exact ${exact.size}")
+      assert(exact.nonEmpty, s"threshold $t produced an empty differential")
+    }
+  }
+
+  test("prefix join plans no cartesian product — scale contract of the exact path") {
+    val docs = testdata("sf0.001", "documents")
+    val plan = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the whole point over jaccardPairsExact is the equi-join on prefix shingles")
+  }
 }

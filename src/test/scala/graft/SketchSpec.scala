@@ -134,4 +134,55 @@ class SketchSpec extends SparkSpecBase {
       Sketch.cmsEstimate(df, df, "key", "est_count", 3, 64)
     }
   }
+
+  test("quantile sketch below k is the whole group: nearest-rank quantiles are exact") {
+    // group of 10 values 10..100; nearest-rank: p25 -> rank 3 (30),
+    // p50 -> rank 5 (50), p99 -> rank 10 (100), p100 == max
+    val df = (1 to 10).map(i => ("g", i.toLong, i * 10L)).toDF("g", "id", "v")
+    val out = Sketch.quantileProfile(df, "v", "g", "id", k = 64,
+      quantiles = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99, "p100" -> 1.0))
+    val r = out.select("n_sample", "p25", "p50", "p99", "p100")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r === ((10L, 30L, 50L, 100L, 100L)))
+  }
+
+  test("quantile sketch: merge of disjoint shards is bit-identical to the union's sketch") {
+    val df = spark.range(2000).select(
+      ($"id" % 3).cast("string").as("g"), $"id".as("id"), ($"id" * 7 % 1000).as("v"))
+    val full = Sketch.quantileSketch(df, "v", "g", "id", k = 32)
+    val merged = Sketch.quantileMerge(
+      Sketch.quantileSketch(df.filter($"id" % 2 === 0), "v", "g", "id", k = 32),
+      Sketch.quantileSketch(df.filter($"id" % 2 === 1), "v", "g", "id", k = 32),
+      "g", k = 32)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toString)
+    assert(full.collect().map(key).toMap === merged.collect().map(key).toMap)
+  }
+
+  test("quantile sketch at k: estimates land near the true quantiles") {
+    // uniform 0..9999 -> true p50 ~ 5000, p90 ~ 9000; k=256 sample,
+    // deterministic hash -> deterministic estimate; stderr ~ sqrt(q(1-q)/k)
+    // on the CDF, leave generous 5-sigma bands (~±0.16 at p50)
+    val df = spark.range(10000).select(lit("g").as("g"), $"id".as("id"), $"id".as("v"))
+    val r = Sketch.quantileProfile(df, "v", "g", "id", k = 256,
+        quantiles = Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select("n_sample", "p50", "p90").as[(Long, Long, Long)].head()
+    assert(r._1 === 256L)
+    assert(math.abs(r._2 - 5000L) < 1600, s"p50 estimate ${r._2}")
+    assert(math.abs(r._3 - 9000L) < 1600, s"p90 estimate ${r._3}")
+  }
+
+  test("quantile sketch: null ids and null values carry no measurement") {
+    val base = Seq(("g", java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
+      ("g", java.lang.Long.valueOf(2L), java.lang.Long.valueOf(20L)))
+    val withNulls = base ++ Seq(
+      ("g", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(99L)),
+      ("g", java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]))
+    val a = Sketch.quantileSketch(base.toDF("g", "id", "v"), "v", "g", "id", k = 8)
+    val b = Sketch.quantileSketch(withNulls.toDF("g", "id", "v"), "v", "g", "id", k = 8)
+    assert(a.select("sample").head().toString === b.select("sample").head().toString)
+    intercept[IllegalArgumentException] {
+      Sketch.quantileEstimate(a, Seq("p0" -> 0.0))
+    }
+  }
 }
