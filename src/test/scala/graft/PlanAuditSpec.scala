@@ -260,6 +260,34 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
   }
 
+  test("p69: every prefix-join consumer reads the staged shingle sets; no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+    val plan = out.queryExecution.executedPlan
+    // the df count, the prefix stream and both verify sides all consume
+    // the staged sets — parquet is read once, inside the stage action
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+    // candidates come from the equi-join on prefix shingles — the entire
+    // point over jaccardPairsExact's cross join
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+  }
+
+  test("p70: the quantile sketch is a single scan; bottom-k and pack share one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sketch.quantileSketch(
+      docs.withColumn("len", length(col("text")).cast("long")),
+      "len", "lang", "doc_id", k = 64)
+    val plan = out.queryExecution.executedPlan
+    assert(scans(plan).size === 1, plan.toString)
+    // the bottom-k window and the collect_list groupBy both key on the
+    // group column — one hash exchange serves both
+    val shuffles = planNodes(plan).count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 1, s"$shuffles shuffles:\n$plan")
+  }
+
   test("plan sweep: no gate query plans a CartesianProduct; nested-loop " +
     "joins only where a tiny broadcast side is the design") {
     // every BNLJ below broadcasts a bounded side: a 1-row scalar aggregate
