@@ -211,6 +211,74 @@ object Streams {
       }
   }
 
+  case class KeyQuantiles(key: String, n_seen: Long, n_sample: Long,
+    quantiles: Map[String, Long])
+
+  /** Streaming quantile sketch: per key, maintain the bottom-k rows by
+    * salted md5-of-id — the [[graft.operators.Sketch.quantileSketch]]
+    * uniform sample as flatMapGroupsWithState state, at most k
+    * (hash, id, value) triples per key FOREVER — and emit the updated
+    * nearest-rank quantiles each batch. Hash ("salt:id" md5, 60 bits)
+    * and rank index ((n·qµ + 999999) div 1e6) are bit-identical to the
+    * batch operator's, so a stream's final emission equals
+    * [[graft.operators.Sketch.quantileProfile]] over the same rows —
+    * StreamsSpec asserts exactly that — and a snapshotted state
+    * re-assembled into the sample layout [[graft.operators.Sketch
+    * .quantileMerge]]s with batch shard sketches. Rows with a null id or
+    * value carry no measurement (batch parity: an all-null key emits
+    * nothing). ids should be unique per row — the sample is of ROWS, and
+    * duplicate (hash, id) entries tie the bottom-k boundary. */
+  def runningQuantiles(
+      events: Dataset[(String, String, java.lang.Long)],
+      k: Int = 256,
+      quantiles: Seq[(String, Double)] = Seq("p50" -> 0.5),
+      salt: String = "qs"): Dataset[KeyQuantiles] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile $n must be in (0,1], got $q") }
+    import events.sparkSession.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val qMicros = quantiles.map { case (n, q) => (n, math.round(q * 1e6)) }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[(Long, String, Long)]), KeyQuantiles](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Array[(Long, String, Long)])]) =>
+          // incremental bottom-k by (h, id): O(k) memory per key however
+          // many rows the batch carries (the runningDistinct argument);
+          // n_seen counts every valid row ever folded — the monotone
+          // emission marker and the profile's "sample of how many" answer
+          val ord = Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Long)
+          val bound = scala.collection.mutable.TreeSet.empty[(Long, String, Long)](ord)
+          var seen = 0L
+          state.getOption.foreach { case (n, s) => seen = n; bound ++= s }
+          for (r <- rows; id <- Option(r._2); v <- Option(r._3)) {
+            seen += 1L
+            val e = (h60(s"$salt:$id"), id, v.longValue())
+            if (bound.size < k || ord.lt(e, bound.last)) {
+              bound += e
+              if (bound.size > k) bound.remove(bound.last)
+            }
+          }
+          if (bound.isEmpty) Iterator.empty
+          else {
+            val sample = bound.toArray
+            state.update((seen, sample))
+            val vs = sample.map(_._3).sorted
+            val n = vs.length.toLong
+            val out = qMicros.map { case (name, qm) =>
+              name -> vs(((n * qm + 999999L) / 1000000L).toInt - 1)
+            }.toMap
+            Iterator.single(KeyQuantiles(key, seen, n, out))
+          }
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a running per-key event
     * counter that emits the updated total on every batch. With
     * idleTimeoutMs > 0 idle keys expire after that much processing time so

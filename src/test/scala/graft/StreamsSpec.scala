@@ -111,6 +111,42 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningQuantiles' final emission equals the batch quantile sketch over the same rows") {
+    val rows = (1 to 300).map(i =>
+      ("g" + (i % 2), i.toString, java.lang.Long.valueOf((i * 37 % 1000).toLong)))
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    val input = MemoryStream[(String, String, java.lang.Long)](spark)
+    val out = Streams.runningQuantiles(input.toDS(), k = 32, quantiles = qs, salt = "sq")
+    val q = out.writeStream.format("memory").queryName("running_quantiles")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      // null ids/values carry no measurement; an all-null key emits nothing
+      input.addData(("g0", null.asInstanceOf[String], java.lang.Long.valueOf(7L)),
+        ("gnull", "x", null.asInstanceOf[java.lang.Long]))
+      q.processAllAvailable()
+      input.addData(rows.drop(120): _*)
+      q.processAllAvailable()
+      // last emission per key: n_seen is monotone, so the max-n_seen row
+      // is the final state (a no-valid-row batch re-emits the same n_seen
+      // with identical content)
+      val streamed = spark.table("running_quantiles")
+        .as[(String, Long, Long, Map[String, Long])].collect()
+        .groupBy(_._1).map { case (g, rows) =>
+          val (_, _, n, m) = rows.maxBy(_._2)
+          g -> ((n, m("p25"), m("p50"), m("p99")))
+        }
+      val batch = graft.operators.Sketch.quantileProfile(
+          rows.toDF("g", "id", "v"), "v", "g", "id", k = 32, quantiles = qs, salt = "sq")
+        .select("g", "n_sample", "p25", "p50", "p99")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map { case (g, n, a, b, c) => g -> ((n, a, b, c)) }.toMap
+      assert(streamed === batch)
+      assert(!streamed.contains("gnull"), "all-null key must emit nothing (batch parity)")
+    } finally q.stop()
+  }
+
   test("runningFreq's final state equals the batch CMS over the same rows") {
     val depth = 3; val width = 32
     val rows = (1 to 200).map(i => ("g" + (i % 2), "v" + (i % 23)))
