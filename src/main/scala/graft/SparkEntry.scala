@@ -3310,5 +3310,42 @@ object SparkEntry {
           salt = "qp")
         .orderBy(col("lang"))
     }
+
+    // --- EXACT containment join (directed near-subset detection): the
+    //     p69 machinery with the prefix filter on the CONTAINED side only
+    //     and the full posting list on the container side — containment's
+    //     required overlap ⌈t·|Sa|⌉ depends on a alone. Catches a doc
+    //     embedded in a templated superset page, which Jaccard misses
+    //     (the union is dominated by the big side). Directed output:
+    //     exact duplicates legitimately appear in both directions.
+    register("p71_containment_pairs",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t),
+         |f AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS sz FROM sh WHERE len(s) > 0),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS g FROM f),
+         |dfreq AS (SELECT g, COUNT(*) AS dfc FROM tok GROUP BY g),
+         |prefa AS (SELECT doc_id, sz, g FROM (
+         |    SELECT doc_id, sz, g,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dfc, g) AS pos
+         |    FROM tok JOIN dfreq USING (g)) r
+         |  WHERE pos <= sz - (sz * 800000 + 999999) // 1000000 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM prefa a JOIN tok b ON a.g = b.g AND a.doc_id != b.doc_id
+         |   AND b.sz * 1000000 >= a.sz * 800000),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(fa.s, fb.s)) AS BIGINT) AS i, fa.sz AS sa
+         |  FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b)
+         |SELECT id_a, id_b, round(i::DOUBLE / sa::DOUBLE, 9) AS containment
+         |FROM v WHERE i * 1000000 >= sa * 800000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.containmentPairsPrefix(
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .withColumn("containment", round(col("containment"), 9))
+        .orderBy(col("id_a"), col("id_b"))
+    }
   }
 }

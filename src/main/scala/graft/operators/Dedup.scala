@@ -399,6 +399,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_sim")
   }
 
+  /** EXACT containment similarity join: every DIRECTED pair (a, b) with
+    * |Sa ∩ Sb| / |Sa| >= threshold, a != b — "a's shingles are mostly
+    * inside b". This is the near-SUBSET relation Jaccard structurally
+    * misses (a short doc embedded in a templated superset page has high
+    * containment but low Jaccard, because the union is dominated by the
+    * big side), the signal web-corpus boilerplate/superset dedup needs
+    * (the T-overlap/containment variant in the AllPairs line of work).
+    * Prefix filter on the
+    * CONTAINED side only — containment's required overlap ⌈t·|Sa|⌉
+    * depends on a alone, so a needs only its rarest
+    * |Sa| − ⌈t·|Sa|⌉ + 1 shingles as join keys, while the container
+    * side contributes its FULL posting list (no prefix bound exists for
+    * b: the required overlap says nothing about |Sb|'s suffix — the
+    * asymmetry is fundamental, not an implementation shortcut). The
+    * length filter |Sb| >= t·|Sa| still holds (overlap <= |Sb| and
+    * overlap >= ⌈t·|Sa|⌉) and prunes in-join. Exact verify as in
+    * [[jaccardPairsPrefix]]; same integer-micros threshold arithmetic;
+    * exact duplicates emit both directions by design.
+    *
+    * 100 TB shape: identical staging to [[jaccardPairsPrefix]] — one
+    * staged sets aggregation feeds df counts, the contained-side prefix
+    * stream, the container-side postings and both verify sides; all
+    * joins are equi-joins on shingles/ids. The container posting list is
+    * corpus-sized (the price of containment): df-hot shingles dominate
+    * the key volume, so drop shingles with df above a template cut
+    * upstream, or fall back to Jaccard for symmetric near-dup. */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val sets = stager.stage(
+      shingleSets(df, idCol, textCol, shingleN)
+        .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
+          size(col("__shingles")).cast("long").as("__sz")),
+      s"containment_sets_$runId")
+    val tok = sets.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g"))
+    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
+    val prefixA = tok.join(dfreq, "__g")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__dfc"), col("__g"))))
+      .filter(col("__pos") <=
+        col("__sz") - expr(s"(__sz * ${tMicro}L + 999999L) div 1000000L") + 1)
+      .select(col(idCol).as("id_a"), col("__sz").as("__sa"), col("__g"))
+    val cands = prefixA
+      .join(tok.select(col(idCol).as("id_b"), col("__sz").as("__sb"), col("__g")),
+        Seq("__g"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("__sb") * 1000000L >= col("__sa") * tMicro)
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__shingles").as("__xa"),
+        col("__sz").as("__va")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__shingles").as("__xb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__xa"), col("__xb"))).cast("long"))
+      .filter(col("__i") * 1000000L >= col("__va") * tMicro)
+      .withColumn("containment",
+        col("__i").cast("double") / col("__va").cast("double"))
+      .select("id_a", "id_b", "containment")
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per document, as a 64-char '0'/'1' string (a bit string

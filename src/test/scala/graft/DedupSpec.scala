@@ -261,6 +261,36 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("containment join equals brute force on real docs; catches subsets Jaccard misses") {
+    val docs = testdata("sf0.001", "documents")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val brute = sets.select($"doc_id".as("id_a"), $"__shingles".as("__sa"))
+      .crossJoin(sets.select($"doc_id".as("id_b"), $"__shingles".as("__sb")))
+      .filter($"id_a" =!= $"id_b")
+      .withColumn("containment",
+        size(array_intersect($"__sa", $"__sb")).cast("double") / size($"__sa").cast("double"))
+      .filter($"containment" >= 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain containment pairs")
+    assert(prefix === brute, "containment prefix filter is EXACT")
+
+    // direction: a short doc inside a big template page has containment 1
+    // one way only, and a Jaccard too low for the symmetric join to see
+    val sub = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon " +
+        (1 to 30).map(i => s"boiler$i plate$i chrome$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val directed = Dedup.containmentPairsPrefix(sub, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(directed === Set((1L, 2L)), s"got $directed")
+    assert(Dedup.jaccardPairsPrefix(sub, "doc_id", "text", 3, 0.9).count() === 0,
+      "Jaccard must NOT see the subset pair — that's the whole point of containment")
+  }
+
   test("prefix join plans no cartesian product — scale contract of the exact path") {
     val docs = testdata("sf0.001", "documents")
     val plan = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
