@@ -3347,5 +3347,53 @@ object SparkEntry {
         .withColumn("containment", round(col("containment"), 9))
         .orderBy(col("id_a"), col("id_b"))
     }
+
+    // --- EXACT edit-distance similarity join (Ed-Join, Xiao 2008): all
+    //     pairs within levenshtein <= 2 over a 16-char document key,
+    //     without the cross join — rarest-first q-gram prefixes (d*q+1
+    //     grams per string) generate candidates, banded levenshtein
+    //     verifies. The oracle brute-forces the same contract with
+    //     DuckDB's levenshtein + the length filter: a full differential
+    //     against the prefix machinery, not a replay of it.
+    register("p72_edit_join",
+      """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+        |  WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.editDistancePairs(
+          t(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), substring(col("text"), 1, 16).as("key16")),
+          "doc_id", "key16", maxDist = 2, q = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- EXACT heavy hitters without shuffling the long tail (Misra–Gries
+    //     1982 candidate pass + candidate-only exact recount): every
+    //     trigram shingle covering >= 0.005% of the corpus occurrence mass
+    //     (non-trivial output at sf0.001 through sf0.1 — at 0.02% the
+    //     sf0.1 tail dilutes every shingle below the cut).
+    //     The oracle computes the contract directly (full groupBy +
+    //     HAVING in integer micros) — a differential against the
+    //     summary-pass machinery, which must change candidates only, never
+    //     the output. Shingle stream reuses THE shared lowercase
+    //     tokenization contract.
+    register("p73_heavy_hitters",
+      s"""WITH t AS (SELECT $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT unnest(${shinglesSql("toks")}) AS shingle FROM t),
+         |c AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_occ FROM sh GROUP BY shingle),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sh)
+         |SELECT shingle, n_occ, n_total FROM c, n
+         |WHERE n_occ * 1000000 >= n_total * 50
+         |ORDER BY shingle""".stripMargin) { (s, dir) =>
+      graft.operators.Sketch.heavyHitters(
+          graft.operators.Dedup.shingleRows(t(s, dir, "documents"), "doc_id", "text", 3),
+          "shingle", minFraction = 0.00005)
+        .select(col("shingle"), col("count").as("n_occ"), col("n_total"))
+        .orderBy(col("shingle"))
+    }
   }
 }

@@ -462,6 +462,92 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** EXACT edit-distance similarity join: every pair (a, b), a < b, with
+    * levenshtein(sa, sb) <= maxDist — without the cross join. This is the
+    * string-edit counterpart of [[jaccardPairsPrefix]] and the tool for
+    * typo-level near-dup (OCR noise, template fill-ins, URL/key variants)
+    * that token-set Jaccard structurally misses: one character edit
+    * changes at most q of a string's q-grams, so it barely moves an edit
+    * distance but can rewrite a whole word token.
+    *
+    * How (Ed-Join, Xiao/Wang/Lin VLDB 2008, q-gram count filtering from
+    * Gravano VLDB 2001): ed(s,t) <= d implies the distinct-q-gram sets
+    * differ by at most d*q elements per side (each distinct gram lost
+    * needs >= 1 destroyed occurrence; one edit destroys <= q occurrences).
+    * Order the gram universe rarest-first (document frequency asc, gram
+    * asc) and index each string by its first d*q + 1 grams in that order:
+    * two strings within distance d whose gram sets are larger than d*q
+    * MUST share a prefix gram (pigeonhole on the <= d*q missing grams).
+    * Candidates come from an equi-join on prefix grams with the length
+    * filter |len(s) - len(t)| <= d; survivors verify with Spark's banded
+    * levenshtein(_, _, threshold) (O(d*len) per pair, codegen'd).
+    *
+    * The prefix guarantee needs gram sets BIGGER than d*q, i.e. strings
+    * longer than d*q + q - 1. Shorter strings are handled exactly on a
+    * separate path: any qualifying pair with a short member has BOTH
+    * members of length < d*q + q + d (length filter), so the short block
+    * self-joins on an exact-length key fanned out +-d — an equi-join on
+    * small ints, no constant key, no cross join. The two paths partition
+    * pairs by min-length, so the union is exact and duplicate-free.
+    *
+    * 100 TB shape: grams shuffle as (id, q-chars) rows — never documents;
+    * one groupBy for document frequencies, one per-string window for
+    * prefix positions, equi-joins only. Skew: a gram shared by m prefixes
+    * yields m^2 candidates; rare-first ordering pushes prefix grams toward
+    * df=1 and the in-join length filter prunes the rest. The short-string
+    * block is keyed by exact length — for corpora that are MOSTLY shorter
+    * than (d+1)*q + d - 1 chars (e.g. d=2,q=2: < 7 chars), raise q so the
+    * prefix path applies instead of leaning on the length key. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, q: Int = 2,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist (0 is exact dedup)")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // staged: read by the gram stream, the short block and both verify sides
+    val keys = stager.stage(
+      df.select(col(idCol), col(strCol).cast("string").as("__s"))
+        .filter(col("__s").isNotNull)
+        .withColumn("__len", length(col("__s")).cast("long")),
+      s"edit_keys_$runId")
+    val minLong = maxDist.toLong * q + q // gram set > d*q  <=>  len >= d*q + q
+    // ---- prefix path: both strings long enough for the gram guarantee
+    val tok = keys.filter(col("__len") >= minLong)
+      .select(col(idCol), col("__len"), col("__s"),
+        explode(sequence(lit(1L), col("__len") - (q - 1))).as("__i"))
+      .select(col(idCol), col("__len"), expr(s"substring(__s, __i, $q)").as("__g"))
+      .distinct()
+    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
+    val prefix = tok.join(dfreq, "__g")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__dfc"), col("__g"))))
+      .filter(col("__pos") <= maxDist * q + 1)
+      .select(col(idCol), col("__len"), col("__g"))
+    val longCands = prefix.select(col(idCol).as("id_a"), col("__len").as("__la"), col("__g"))
+      .join(prefix.select(col(idCol).as("id_b"), col("__len").as("__lb"), col("__g")),
+        Seq("__g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    // ---- short block: pairs whose SHORTER member has len < minLong; the
+    // length filter bounds the longer member, so both live in this frame
+    val shortK = keys.filter(col("__len") < minLong + maxDist)
+    val shortCands = shortK
+      .select(col(idCol).as("id_a"), col("__len").as("__la"),
+        explode(sequence(col("__len") - maxDist, col("__len") + maxDist)).as("__k"))
+      .join(shortK.select(col(idCol).as("id_b"), col("__len").as("__lb")),
+        col("__k") === col("__lb"))
+      .filter(col("id_a") < col("id_b") && least(col("__la"), col("__lb")) < minLong)
+      .select(col("id_a"), col("id_b"))
+    longCands.unionByName(shortCands).distinct()
+      .join(keys.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(keys.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0) // banded levenshtein yields -1 above maxDist
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per document, as a 64-char '0'/'1' string (a bit string

@@ -283,4 +283,72 @@ object Sketch {
       salt: String = "qs"): DataFrame =
     quantileEstimate(quantileSketch(df, valueCol, groupCol, idCol, k, salt), quantiles)
       .drop("sample")
+
+  // ------------------------------------------------------------ heavy hitters
+
+  /** EXACT heavy hitters — every key with count >= minFraction·N — without
+    * shuffling the long tail. The naive plan groupBy-counts EVERY distinct
+    * key (a corpus-vocabulary-sized shuffle: at 100 TB, billions of
+    * singleton keys cross the wire to be discarded by the HAVING). Here a
+    * per-partition Misra–Gries summary (FOCS 1982; `summarySize` counters,
+    * decrement-all on overflow) nominates candidates map-side with ZERO
+    * shuffle: any key with global count > N/(k+1) must exceed its local
+    * n_p/(k+1) bound in at least one partition (averaging argument), so
+    * the union of partition summaries is a superset of every qualifying
+    * key whenever (k+1)·minFraction > 1 — enforced by a require. An exact
+    * recount restricted to the candidate set (broadcast join — at most
+    * k·numPartitions keys, and only candidate occurrences shuffle) then
+    * makes the output exact and deterministic: partitioning can change
+    * WHICH extra candidates are nominated, never the final rows.
+    *
+    * Output: (keyCol, count, n_total), count >= ceil(minFraction·N) in
+    * integer-micros arithmetic (count·1e6 >= N·round(f·1e6) — the same
+    * no-float-ceil rule as the prefix joins).
+    *
+    * 100 TB shape: one narrow scan per pass (candidates, recount) over the
+    * staged key stream; the only shuffle is the candidate-only groupBy.
+    * The summary pass is mapPartitions (off codegen) but holds k counters
+    * and does O(1) amortized work per row — each decrement-all cancels k
+    * prior increments. */
+  def heavyHitters(df: DataFrame, keyCol: String, minFraction: Double,
+      summarySize: Int = 0, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"minFraction must be in (0,1], got $minFraction")
+    val fMicro = math.round(minFraction * 1e6)
+    val k = if (summarySize > 0) summarySize else math.ceil(1.0 / minFraction).toInt
+    require((k + 1).toLong * fMicro > 1000000L,
+      s"summarySize $k cannot guarantee fraction $minFraction " +
+        s"(Misra–Gries catches count > N/(k+1): need (k+1)·fraction > 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // staged: the key stream feeds the summary pass, the total and the recount
+    val keys = stager.stage(
+      df.select(col(s"`$keyCol`").cast("string").as("__key"))
+        .filter(col("__key").isNotNull),
+      s"hh_keys_${java.util.UUID.randomUUID().toString.take(8)}")
+    val candidates = keys.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { key =>
+        counters.get(key) match {
+          case Some(c) => counters(key) = c + 1L
+          case None if counters.size < k => counters(key) = 1L
+          case None => // decrement-all; the new key's single count cancels too
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { kk =>
+              val c = counters(kk) - 1L
+              if (c == 0L) dead += kk else counters(kk) = c
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("__key").distinct()
+    val total = keys.groupBy().agg(count(lit(1)).as("n_total"))
+    keys.join(broadcast(candidates), Seq("__key"))
+      .groupBy(col("__key"))
+      .agg(count(lit(1)).as("count"))
+      .crossJoin(broadcast(total)) // 1-row frame: a broadcast dim, not a blow-up
+      .filter(col("count") * 1000000L >= col("n_total") * fMicro)
+      .select(col("__key").as(keyCol), col("count"), col("n_total"))
+  }
 }

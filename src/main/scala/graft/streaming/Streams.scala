@@ -159,6 +159,60 @@ object Streams {
       }
   }
 
+  case class KeyHeavy(key: String, n_seen: Long, items: Map[String, Long])
+
+  /** Streaming heavy hitters: per key, maintain a Misra–Gries summary
+    * (FOCS 1982 — at most k counters FOREVER, decrement-all on overflow)
+    * over the value stream and emit the updated summary + rows-seen each
+    * batch. This is MG in its original one-pass setting, so the classic
+    * deterministic guarantee holds at every emission: each summary count
+    * c_hat satisfies c − n/(k+1) <= c_hat <= c for the true count c, and
+    * EVERY value with c > n/(k+1) is present. Unlike the KMV/CMS/quantile
+    * streams, the summary's extra (non-heavy) survivors depend on arrival
+    * order, so there is no bit-identity with [[graft.operators.Sketch
+    * .heavyHitters]] — the invariant StreamsSpec asserts is the guarantee
+    * itself (bounds vs exact batch counts), which is what the operator
+    * contracts to. For exact output, recount the emitted candidates
+    * against the stored corpus — the batch operator's second pass. Null
+    * values carry no mass; an all-null key emits nothing (batch parity). */
+  def runningHeavyHitters(
+      events: Dataset[(String, String)],
+      k: Int = 16): Dataset[KeyHeavy] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[String, Long]), KeyHeavy](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Map[String, Long])]) =>
+          var seen = 0L
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach { case (n, m) => seen = n; counters ++= m }
+          var any = state.getOption.isDefined
+          for (r <- rows; v <- Option(r._2)) {
+            any = true
+            seen += 1L
+            counters.get(v) match {
+              case Some(c) => counters(v) = c + 1L
+              case None if counters.size < k => counters(v) = 1L
+              case None => // decrement-all; the new value's 1 cancels too
+                val dead = List.newBuilder[String]
+                counters.keysIterator.foreach { kk =>
+                  val c = counters(kk) - 1L
+                  if (c == 0L) dead += kk else counters(kk) = c
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+          if (!any) Iterator.empty
+          else {
+            val snap = counters.toMap
+            state.update((seen, snap))
+            Iterator.single(KeyHeavy(key, seen, snap))
+          }
+      }
+  }
+
   case class KeyCms(key: String, total: Long, cells: Array[Long])
 
   /** Streaming count-min frequency sketch: per key, maintain the

@@ -185,4 +185,53 @@ class SketchSpec extends SparkSpecBase {
       Sketch.quantileEstimate(a, Seq("p0" -> 0.0))
     }
   }
+
+  test("heavy hitters equal the exact groupBy contract on real shingles") {
+    val sh = graft.operators.Dedup.shingleRows(
+      testdata("sf0.001", "documents"), "doc_id", "text", 3)
+    val got = Sketch.heavyHitters(sh, "shingle", minFraction = 0.0002)
+      .select("shingle", "count").as[(String, Long)].collect().toSet
+    val n = sh.count()
+    val exact = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+      .filter(col("c") * 1000000L >= n * 200L)
+      .as[(String, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain heavy shingles")
+    assert(got === exact)
+  }
+
+  test("heavy hitters are exact under Misra–Gries eviction, any partitioning") {
+    // zipf-ish stream: key i appears ~600/i times over 60 keys; summary of
+    // 10 counters forces constant eviction; fraction 0.1 keeps (k+1)f > 1
+    // STRICTLY (k=9 would be exactly 1: a count of exactly f·N could slip
+    // the MG net — the require below rejects it, and must)
+    val rows = (1 to 60).flatMap(i => Seq.fill(600 / i)(s"k$i"))
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(rows).toDF("key")
+    val n = rows.size.toLong
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 1000000L >= n * 100000L }.toMap
+    assert(exact.nonEmpty && exact.size < 60, "fixture must have a real cutoff")
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketch.heavyHitters(shuffled.repartition(parts), "key",
+          minFraction = 0.1, summarySize = 10)
+        .select("key", "count").as[(String, Long)].collect().toMap
+      assert(got === exact, s"parts=$parts")
+    }
+  }
+
+  test("heavy hitters guard rails: fraction range and summary-size guarantee") {
+    val df = Seq("a", "b").toDF("key")
+    intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(df, "key", minFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      // 4 counters can only guarantee fractions above 1/5
+      Sketch.heavyHitters(df, "key", minFraction = 0.1, summarySize = 4)
+    }
+    // null keys carry no occurrence mass on either side of the contract
+    val withNulls = Seq(Some("a"), Some("a"), Some("a"), None).toDF("key")
+    val got = Sketch.heavyHitters(withNulls, "key", minFraction = 0.5)
+      .select("key", "count", "n_total").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 3L)))
+  }
 }

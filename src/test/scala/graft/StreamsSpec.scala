@@ -111,6 +111,48 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningHeavyHitters holds the Misra–Gries guarantee at the final emission") {
+    // zipf-ish per-key stream: value v_i appears ~120/i times; k=8 forces
+    // constant eviction, so the test exercises the decrement path
+    val rows = for {
+      g <- Seq("g0", "g1"); i <- 1 to 30; _ <- 1 to (120 / i)
+    } yield (g, s"$g:v$i")
+    val shuffled = new scala.util.Random(11).shuffle(rows)
+    val k = 8
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.runningHeavyHitters(input.toDS(), k = k)
+    val q = out.writeStream.format("memory").queryName("running_heavy")
+      .outputMode("update").start()
+    try {
+      input.addData(shuffled.take(200): _*)
+      q.processAllAvailable()
+      input.addData(("g0", null.asInstanceOf[String]), ("gnull", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData(shuffled.drop(200): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("running_heavy")
+        .as[(String, Long, Map[String, Long])].collect()
+        .groupBy(_._1).map { case (g, rs) => g -> rs.maxBy(_._2) }
+      assert(!streamed.contains("gnull"), "all-null key must emit nothing")
+      for (g <- Seq("g0", "g1")) {
+        val truth = rows.filter(_._1 == g).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val n = truth.values.sum
+        val (_, nSeen, items) = streamed(g)
+        assert(nSeen === n, s"$g: n_seen")
+        assert(items.size <= k, s"$g: summary size")
+        val slack = n.toDouble / (k + 1)
+        items.foreach { case (v, cHat) =>
+          val c = truth(v)
+          assert(cHat <= c && c - cHat <= slack, s"$g/$v: cHat=$cHat c=$c slack=$slack")
+        }
+        val mustHave = truth.filter { case (_, c) => c > slack }.keySet
+        assert(mustHave.nonEmpty, s"$g: fixture needs true heavies above n/(k+1)")
+        assert(mustHave.subsetOf(items.keySet),
+          s"$g: missing guaranteed heavies ${mustHave -- items.keySet}")
+      }
+    } finally q.stop()
+  }
+
   test("runningQuantiles' final emission equals the batch quantile sketch over the same rows") {
     val rows = (1 to 300).map(i =>
       ("g" + (i % 2), i.toString, java.lang.Long.valueOf((i * 37 % 1000).toLong)))
