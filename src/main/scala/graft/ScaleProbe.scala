@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 8x scaling probe for the exact-similarity/sketch operators: replicate
+  * the documents table R times with DECORRELATED replicas, run an operator
+  * at 1x and Rx, and print wall seconds + output rows. "Would this survive
+  * 100 TB" can't be answered at one fixture size — the probe answers the
+  * next-best local question: does cost grow ~linearly when the corpus
+  * grows 8x while per-shard structure stays constant?
+  *
+  * Decorrelation per op (replicas must not match each other, or the pair
+  * space grows quadratically BY CONSTRUCTION and measures nothing):
+  *  - edit join: replica i's text maps a-z onto a DISJOINT unicode
+  *    alphabet block (translate, U+0100 + 26i; replica 0 = identity) —
+  *    a bijection on chars, so WITHIN-replica edit structure is exactly
+  *    replica 0's, while cross-replica segment/gram universes are truly
+  *    disjoint. Neither a salt PREFIX (content substrings still shared)
+  *    nor a rotation cipher (rotations permute the SAME value space, so
+  *    replica 0's "bc" collides with replica 1's rotated "ab") is enough:
+  *    both leave join-key values shared across replicas, and the
+  *    candidate equi-join then pays an R^2 blow-up that verify silently
+  *    discards (measured: 39x and 12x time for 8x rows — the probe's
+  *    first two versions). Expected: output rows exactly Rx the 1x count.
+  *  - heavy hitters: every TOKEN gets a per-replica prefix, making the
+  *    shingle universes orthogonal across replicas; the fraction scales
+  *    1/R so the per-replica cut is unchanged. The base fraction (80µ)
+  *    divides exactly by R in integer micros — 5e-5/8 would round 6.25µ
+  *    down to 6µ and admit extra rows. Expected: rows exactly Rx.
+  *
+  * Usage: ScaleProbe <sfDir> [R=8]   (SPARK_GRAFT_CPUS to size local[N]) */
+object ScaleProbe {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def saltChar(i: Int): String = ('a' + i).toChar.toString
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val r = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+
+    // ---- edit join: per-replica disjoint alphabet, replica 0 = identity
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def editFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      val block =
+        if (i == 0) alpha
+        else (0 until 26).map(c => (0x100 + 26 * i + c).toChar).mkString
+      docs.select((col("doc_id") * r + i).as("doc_id"),
+        translate(col("text"), alpha, block).as("text"))
+    }.reduce(_ unionByName _)
+    def editRun(reps: Int): Long =
+      graft.operators.Dedup.editDistancePairs(
+        editFrame(reps).select(col("doc_id"), substring(col("text"), 1, 16).as("k")),
+        "doc_id", "k", maxDist = 2).count()
+
+    // ---- heavy hitters: orthogonal token universes, corpus-relative cut
+    def hhFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      docs.select((col("doc_id") * r + i).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", saltChar(i) + "_$1").as("text"))
+    }.reduce(_ unionByName _)
+    def hhRun(reps: Int, frac: Double): Long =
+      graft.operators.Sketch.heavyHitters(
+        graft.operators.Dedup.shingleRows(hhFrame(reps), "doc_id", "text", 3),
+        "shingle", minFraction = frac).count()
+
+    editRun(1) // codegen + stager warm-up, discarded
+    val (e1, te1) = time(editRun(1))
+    val (eR, teR) = time(editRun(r))
+    println(f"edit_join 1x: $te1%.1fs $e1 pairs | ${r}x: $teR%.1fs $eR pairs" +
+      f" (ratio ${teR / te1}%.2fx time, ${eR.toDouble / e1}%.2fx rows)")
+
+    hhRun(1, 0.00008)
+    val (h1, th1) = time(hhRun(1, 0.00008))
+    val (hR, thR) = time(hhRun(r, 0.00008 / r))
+    println(f"heavy_hitters 1x: $th1%.1fs $h1 rows | ${r}x: $thR%.1fs $hR rows" +
+      f" (ratio ${thR / th1}%.2fx time, ${hR.toDouble / h1}%.2fx rows)")
+    spark.stop()
+  }
+}

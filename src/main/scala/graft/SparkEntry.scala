@@ -3348,13 +3348,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
-    // --- EXACT edit-distance similarity join (Ed-Join, Xiao 2008): all
+    // --- EXACT edit-distance similarity join (PassJoin, Li 2011): all
     //     pairs within levenshtein <= 2 over a 16-char document key,
-    //     without the cross join — rarest-first q-gram prefixes (d*q+1
-    //     grams per string) generate candidates, banded levenshtein
-    //     verifies. The oracle brute-forces the same contract with
-    //     DuckDB's levenshtein + the length filter: a full differential
-    //     against the prefix machinery, not a replay of it.
+    //     without the cross join — one of d+1 even segments must appear
+    //     verbatim (start shifted <= d) in the partner, so candidates come
+    //     from a segment/substring equi-join; banded levenshtein verifies.
+    //     The oracle brute-forces the same contract with DuckDB's
+    //     levenshtein + the length filter: a full differential against
+    //     the segment machinery, not a replay of it.
     register("p72_edit_join",
       """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS s FROM documents
         |  WHERE text IS NOT NULL)
@@ -3367,7 +3368,7 @@ object SparkEntry {
       graft.operators.Dedup.editDistancePairs(
           t(s, dir, "documents").filter(col("text").isNotNull)
             .select(col("doc_id"), substring(col("text"), 1, 16).as("key16")),
-          "doc_id", "key16", maxDist = 2, q = 2)
+          "doc_id", "key16", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }
 

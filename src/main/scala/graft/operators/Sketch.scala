@@ -315,7 +315,14 @@ object Sketch {
     require(minFraction > 0.0 && minFraction <= 1.0,
       s"minFraction must be in (0,1], got $minFraction")
     val fMicro = math.round(minFraction * 1e6)
-    val k = if (summarySize > 0) summarySize else math.ceil(1.0 / minFraction).toInt
+    require(fMicro >= 1L,
+      s"minFraction $minFraction rounds to 0 micros — the integer-micros " +
+        "threshold contract needs >= 1e-6")
+    // auto-k must clear the guarantee for the MICRO-QUANTIZED fraction the
+    // output filter actually applies: ceil(1/minFraction) is not enough
+    // when rounding shrinks f (e.g. 6.25e-6 -> 6µ needs k > 1e6/6, not
+    // 1/6.25e-6 = 160k)
+    val k = if (summarySize > 0) summarySize else (1000000L / fMicro + 1L).toInt
     require((k + 1).toLong * fMicro > 1000000L,
       s"summarySize $k cannot guarantee fraction $minFraction " +
         s"(Misra–Gries catches count > N/(k+1): need (k+1)·fraction > 1)")

@@ -301,23 +301,23 @@ class DedupSpec extends SparkSpecBase {
       .withColumn("edit_dist", levenshtein($"ka", $"kb").cast("long"))
       .select("id_a", "id_b", "edit_dist")
       .as[(Long, Long, Long)].collect().toSet
-    for ((d, q) <- Seq((1, 2), (2, 2), (2, 3))) {
-      val fast = Dedup.editDistancePairs(keys, "doc_id", "k", d, q)
+    for (d <- Seq(1, 2, 3)) {
+      val fast = Dedup.editDistancePairs(keys, "doc_id", "k", d)
         .as[(Long, Long, Long)].collect().toSet
       val exact = brute(d)
-      assert(fast === exact, s"d=$d q=$q: fast ${fast.size} vs brute ${exact.size}")
-      if (d == 2) assert(exact.nonEmpty, s"d=$d differential is empty — fixture too clean")
+      assert(fast === exact, s"d=$d: fast ${fast.size} vs brute ${exact.size}")
+      if (d >= 2) assert(exact.nonEmpty, s"d=$d differential is empty — fixture too clean")
     }
   }
 
-  test("edit-distance join: short strings below the gram guarantee are exact too") {
-    // d=2, q=2: the prefix guarantee needs len >= 6. "ab" vs "cd" is ed 2
-    // with DISJOINT gram sets — only the short-block path can find it.
+  test("edit-distance join: short strings below the segment path are exact too") {
+    // d=2: the segment path starts at len 6. "ab" vs "cd" is ed 2 with no
+    // shared substring at all — only the short-block path can find it.
     val df = Seq(
       (1L, "ab"), (2L, "cd"), (3L, "abcd"), (4L, "abxd"),
       (5L, "a"), (6L, ""), (7L, "abcdefgh"), (8L, "abcdefxx"),
       (9L, "zzzzzzzz")).toDF("doc_id", "k")
-    val fast = Dedup.editDistancePairs(df, "doc_id", "k", 2, 2)
+    val fast = Dedup.editDistancePairs(df, "doc_id", "k", 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val brute = df.select($"doc_id".as("id_a"), $"k".as("ka"))
       .crossJoin(df.select($"doc_id".as("id_b"), $"k".as("kb")))
@@ -330,10 +330,10 @@ class DedupSpec extends SparkSpecBase {
   test("edit-distance join plans no cartesian product") {
     val keys = testdata("sf0.001", "documents")
       .select($"doc_id", substring($"text", 1, 16).as("k"))
-    val plan = Dedup.editDistancePairs(keys, "doc_id", "k", 2, 2)
+    val plan = Dedup.editDistancePairs(keys, "doc_id", "k", 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
-      "candidates must come from the q-gram/length equi-joins, not a cross join")
+      "candidates must come from the segment/length equi-joins, not a cross join")
   }
 
   test("prefix join plans no cartesian product — scale contract of the exact path") {

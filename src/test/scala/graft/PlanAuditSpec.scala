@@ -274,6 +274,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
   }
 
+  test("p72: every edit-join consumer reads the staged keys; equi-joins only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.editDistancePairs(
+      docs.select(col("doc_id"), substring(col("text"), 1, 16).as("k")),
+      "doc_id", "k", 2)
+    val plan = out.queryExecution.executedPlan
+    // the gram stream, the short block and both verify sides all consume
+    // the staged keys — parquet is read once, inside the stage action
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+    // candidates come from the segment / length-key equi-joins
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+  }
+
+  test("p73: heavy hitters reads the staged key stream; the only non-equi join is the 1-row total") {
+    val sh = graft.operators.Dedup.shingleRows(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3)
+    val out = graft.operators.Sketch.heavyHitters(sh, "shingle", minFraction = 0.00005)
+    val plan = out.queryExecution.executedPlan
+    // candidate pass and recount both read the staged keys, not parquet
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+    // the candidate set joins the recount as a broadcast EQUI join — the
+    // long tail must not survive to the groupBy
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+  }
+
   test("p70: the quantile sketch is a single scan; bottom-k and pack share one exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -307,7 +336,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // is the p07 broadcast-queries cross join (swap an LSH/IVF
       // generator in at scale, per mmrTopK's scaladoc), and p68 also
       // inherits p35's 1-row corpus-size scalar
-      "p66_dsir_resample", "p67_mmr_topk", "p68_rrf_fusion")
+      "p66_dsir_resample", "p67_mmr_topk", "p68_rrf_fusion",
+      // p73: the 1-row corpus-total scalar broadcasts into the candidate
+      // counts for the integer-micros threshold — a broadcast dim, not a
+      // pair blow-up
+      "p73_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
