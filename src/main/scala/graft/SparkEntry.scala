@@ -3396,5 +3396,63 @@ object SparkEntry {
         .select(col("shingle"), col("count").as("n_occ"), col("n_total"))
         .orderBy(col("shingle"))
     }
+
+    // --- perplexity-band pruning (Marion 2023: keep the MIDDLE of each
+    //     source's perplexity distribution — low tail is boilerplate,
+    //     high tail is noise): the p41 bigram-LM score composed with the
+    //     p70 quantile-sketch band, cut per source. The oracle replays
+    //     the whole composition: decimal-ln scoring, md5 bottom-256
+    //     sample per source, nearest-rank band edges in integer micros,
+    //     band filter on the engine-identical doubles.
+    register("p74_perplexity_prune",
+      s"""WITH tok AS (
+         |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $toksLowerSql AS tk FROM documents)),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+         |voc AS (SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt) x
+         |  WHERE rn <= 200),
+         |m AS (SELECT t.doc_id, t.pos,
+         |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+         |  FROM tok t LEFT JOIN voc v USING (tok)),
+         |b2 AS (SELECT * FROM (
+         |    SELECT doc_id, w AS w1,
+         |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM m) x
+         |  WHERE w2 IS NOT NULL),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY w1),
+         |vt AS (SELECT COUNT(DISTINCT t) AS v FROM
+         |  (SELECT w1 AS t FROM b2 UNION ALL SELECT w2 FROM b2)),
+         |lp AS (SELECT b2.doc_id,
+         |    CAST(ROUND(CAST(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + vt.v)::DOUBLE)
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS logp
+         |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vt),
+         |score AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CAST(logp AS DECIMAL(25,9))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS avg_logp
+         |  FROM lp GROUP BY doc_id),
+         |sg AS (SELECT d.doc_id, d.source, s.n_bigrams, s.avg_logp,
+         |    ('0x' || substring(md5('pb:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents d JOIN score s USING (doc_id)),
+         |samp AS (SELECT source, avg_logp FROM (
+         |    SELECT source, avg_logp, ROW_NUMBER() OVER (
+         |      PARTITION BY source ORDER BY h, CAST(doc_id AS VARCHAR)) AS rn
+         |    FROM sg) x WHERE rn <= 256),
+         |bands AS (SELECT source,
+         |    vs[CAST((n * 250000 + 999999) // 1000000 AS INT)] AS lo,
+         |    vs[CAST((n * 750000 + 999999) // 1000000 AS INT)] AS hi
+         |  FROM (SELECT source, list(avg_logp ORDER BY avg_logp) AS vs,
+         |          CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM samp GROUP BY source) k)
+         |SELECT doc_id, source, n_bigrams, avg_logp
+         |FROM sg JOIN bands USING (source)
+         |WHERE avg_logp >= lo AND avg_logp <= hi
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curation.perplexityPrune(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          loQ = 0.25, hiQ = 0.75, vocabSize = 200, k = 256)
+        .select(col("doc_id"), col("source"), col("n_bigrams"), col("avg_logp"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

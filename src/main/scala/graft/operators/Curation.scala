@@ -53,6 +53,54 @@ object Curation {
       cfg: Config = Config()): DataFrame =
     curateImpl(df, idCol, textCol, cfg)
 
+  /** Keep rows whose score sits inside the [loQ, hiQ] band of their
+    * GROUP's score distribution, with the band edges read from the
+    * auditable bottom-k quantile sketch ([[Sketch.quantileSketch]] —
+    * nearest-rank in integer micros, so the cut is bit-identical in any
+    * engine). The group-relative band is the point: an absolute score
+    * cut keeps whole easy sources and drops whole hard ones, while a
+    * per-source band prunes each source against itself.
+    *
+    * 100 TB shape: the sketch reduces each group to <= k rows before any
+    * quantile math; the band frame is one tiny row per group, equi-joined
+    * back (AQE broadcasts it). One corpus scan for the sketch, one for
+    * the filter. */
+  def keepScoreBand(scored: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, loQ: Double = 0.25, hiQ: Double = 0.75,
+      k: Int = 256, salt: String = "pb"): DataFrame = {
+    require(loQ > 0.0 && hiQ <= 1.0 && loQ <= hiQ,
+      s"need 0 < loQ <= hiQ <= 1, got [$loQ, $hiQ]")
+    val bounds = Sketch.quantileEstimate(
+        Sketch.quantileSketch(scored, scoreCol, groupCol, idCol, k, salt),
+        Seq("__band_lo" -> loQ, "__band_hi" -> hiQ))
+      .select(col(s"`$groupCol`"), col("__band_lo"), col("__band_hi"))
+    scored.join(bounds, Seq(groupCol))
+      .filter(col(s"`$scoreCol`") >= col("__band_lo") &&
+        col(s"`$scoreCol`") <= col("__band_hi"))
+      .drop("__band_lo", "__band_hi")
+  }
+
+  /** Perplexity-band data pruning (Marion et al. 2023, "When Less is
+    * More": the MIDDLE of the perplexity distribution trains better than
+    * either tail — low-perplexity docs are boilerplate, high-perplexity
+    * docs are noise). Scores every doc with the self-trained bigram LM
+    * ([[LmScore.scoreBigramSelf]] — avg_logp is engine-deterministic:
+    * decimal-rounded lns, decimal sums, one division) and keeps docs
+    * inside their GROUP's [loQ, hiQ] avg_logp band via [[keepScoreBand]].
+    * Docs with fewer than 2 tokens have no bigrams, no score, and are
+    * pruned (the p41 contract). Higher avg_logp = lower perplexity, so
+    * loQ trims the noisy tail and hiQ the boilerplate tail. */
+  def perplexityPrune(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, loQ: Double = 0.25, hiQ: Double = 0.75,
+      vocabSize: Int = 200, k: Int = 256,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val scored = LmScore.scoreBigramSelf(docs, idCol, textCol, vocabSize,
+      logRoundDp = 9, stager = stager)
+    val withGroup = docs.select(col(s"`$idCol`"), col(s"`$groupCol`"))
+      .join(scored, Seq(idCol))
+    keepScoreBand(withGroup, idCol, groupCol, "avg_logp", loQ, hiQ, k)
+  }
+
   /** [[curate]] plus a cleanup thunk that releases EXACTLY what this call
     * staged — every stage goes through a per-call [[Stager.Recording]]
     * wrapper, so concurrent work persisting blocks in the same session (or

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Curation, Stager}
+import org.apache.spark.sql.functions.lit
 
 /** The reusable curation funnel (operators/Curation.scala); end-to-end
   * values are oracle-gated by p11 — this spec covers the operator API. */
@@ -72,6 +73,45 @@ class CurationSpec extends SparkSpecBase {
   test("reserved helper names are rejected") {
     intercept[IllegalArgumentException] {
       Curation.curate(docs.withColumnRenamed("text", "__n_char"), "doc_id", "__n_char")
+    }
+  }
+
+  test("keepScoreBand: below-k groups cut at exact nearest-rank quantiles, per group") {
+    // group g: scores 10..100 (n=10). Nearest-rank band [0.25, 0.75] ->
+    // ranks ceil(2.5)=3 and ceil(7.5)=8 -> [30, 80] kept.
+    // group h: 1..4 -> ranks 1 and 3 -> [1, 3] kept.
+    val scored = ((1 to 10).map(i => (i.toLong, "g", i * 10.0)) ++
+      (1 to 4).map(i => (100L + i, "h", i.toDouble))).toDF("id", "src", "score")
+    val kept = Curation.keepScoreBand(scored, "id", "src", "score", 0.25, 0.75, k = 256)
+      .select("src", "score").as[(String, Double)].collect().toSet
+    assert(kept === ((3 to 8).map(i => ("g", i * 10.0)) ++
+      (1 to 3).map(i => ("h", i.toDouble))).toSet)
+  }
+
+  test("perplexityPrune keeps the mid-band per source; unscoreable docs drop") {
+    val corpus = testdata("sf0.001", "documents")
+      .unionByName(Seq((9999L, "solo", "src0")).toDF("doc_id", "text", "source")
+        .select($"doc_id", $"text", lit("en").as("lang"), $"source",
+          lit(4L).as("n_chars")))
+    val kept = Curation.perplexityPrune(corpus, "doc_id", "text", "source")
+    val rows = kept.select("doc_id", "source", "avg_logp")
+      .as[(Long, String, Double)].collect()
+    assert(!rows.exists(_._1 == 9999L), "a 1-token doc has no bigrams — pruned")
+    assert(rows.nonEmpty && rows.length < corpus.count(),
+      "the band must keep a strict subset")
+    // every kept score really sits inside its source's sketch band
+    val scored = graft.operators.LmScore.scoreBigramSelf(
+        testdata("sf0.001", "documents"), "doc_id", "text", 200)
+      .join(testdata("sf0.001", "documents").select("doc_id", "source"), "doc_id")
+    val bands = graft.operators.Sketch.quantileEstimate(
+        graft.operators.Sketch.quantileSketch(scored, "avg_logp", "source",
+          "doc_id", 256, "pb"),
+        Seq("lo" -> 0.25, "hi" -> 0.75))
+      .select("source", "lo", "hi").as[(String, Double, Double)]
+      .collect().map { case (s, lo, hi) => s -> ((lo, hi)) }.toMap
+    rows.foreach { case (_, src, v) =>
+      val (lo, hi) = bands(src)
+      assert(v >= lo && v <= hi, s"$src: $v outside [$lo, $hi]")
     }
   }
 }
