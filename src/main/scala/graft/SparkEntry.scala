@@ -3454,5 +3454,35 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_bigrams"), col("avg_logp"))
         .orderBy(col("doc_id"))
     }
+
+    // --- per-group score calibration (cross-source comparability): doc
+    //     length re-expressed per source as percent_rank + robust z
+    //     ((v - median) / MAD, both exact nearest-rank order statistics
+    //     in the p70 integer-micros rank rule). The oracle replays the
+    //     rank arithmetic and DuckDB's own percent_rank — rank semantics
+    //     are tie-stable so the two engines agree exactly.
+    register("p75_score_calibrate",
+      """WITH s AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT source, vs[CAST((n*500000+999999)//1000000 AS INT)] AS med
+        |  FROM (SELECT source, list(len ORDER BY len, CAST(doc_id AS VARCHAR)) AS vs,
+        |          CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY source) x),
+        |d AS (SELECT s.*, m.med, abs(len - med) AS dev FROM s JOIN m USING (source)),
+        |md AS (SELECT source, ds[CAST((n*500000+999999)//1000000 AS INT)] AS mad
+        |  FROM (SELECT source, list(dev ORDER BY dev, CAST(doc_id AS VARCHAR)) AS ds,
+        |          CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source) x)
+        |SELECT doc_id, source, len,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY len) AS pct_rank,
+        |  CASE WHEN mad = 0 THEN NULL
+        |       ELSE (len - med)::DOUBLE / mad::DOUBLE END AS z_robust
+        |FROM d JOIN md USING (source)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.calibrateByGroup(
+          t(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), col("source"),
+              length(col("text")).cast("long").as("len")),
+          "source", "len", "doc_id")
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -184,4 +184,58 @@ object Profile {
       .agg(count(lit(1)).as("n_docs"),
         min(v).as("min_len"), max(v).as("max_len"))
   }
+
+  /** Per-group score calibration: make scores COMPARABLE across
+    * heterogeneous sources before mixing them in one pipeline (an
+    * absolute quality cut keeps whole easy sources and drops whole hard
+    * ones — the same failure mode [[Curation.keepScoreBand]] guards
+    * against, here solved by re-expressing every score relative to its
+    * own group). Adds two engine-deterministic columns:
+    *
+    *  - `pct_rank`: SQL percent_rank() within the group ordered by value
+    *    alone — rank semantics make it tie-stable, no id tiebreak needed;
+    *  - `z_robust`: (v − median) / MAD, median and MAD both exact
+    *    nearest-rank order statistics over the FULL group (the p70
+    *    integer-micros rank rule, ⌈q·n⌉ = (n·qµ+999999) div 1e6), so on
+    *    integer-valued scores every intermediate is an exact long and the
+    *    one final division is correctly rounded in any engine. NULL when
+    *    MAD = 0 (a constant-majority group has no robust scale).
+    *
+    * The robust (median/MAD) location-scale pair, not mean/stddev:
+    * quality scores are heavy-tailed and a single junk page would drag a
+    * mean-based z for the whole source.
+    *
+    * 100 TB shape: three group-keyed windows + two tiny per-group
+    * aggregate joins — one shuffle key throughout (AQE reuses it); the
+    * aggregates are one row per group, broadcast back. A giant group
+    * serializes its rows into one reducer per window pass — the KMV
+    * sharding caveat; for such groups calibrate against the SKETCH band
+    * ([[Sketch.quantileProfile]]) instead of exact order statistics. */
+  def calibrateByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    import org.apache.spark.sql.expressions.Window
+    def nearestRank(in: DataFrame, value: org.apache.spark.sql.Column,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(g)
+      in.withColumn("__cnt", count(lit(1)).over(w))
+        .withColumn("__rn", row_number().over(
+          w.orderBy(value, col(s"`$idCol`").cast("string"))))
+        .withColumn(out,
+          when(col("__rn") === expr("(__cnt * 500000L + 999999L) div 1000000L"),
+            value).otherwise(lit(null)))
+        .withColumn(out, max(col(out)).over(w))
+        .drop("__cnt", "__rn")
+    }
+    val withMed = nearestRank(df, v, "__med")
+    val withMad = nearestRank(withMed, abs(v - col("__med")), "__mad")
+    withMad
+      .withColumn("pct_rank",
+        percent_rank().over(Window.partitionBy(g).orderBy(v)))
+      .withColumn("z_robust",
+        when(col("__mad") === 0, lit(null))
+          .otherwise((v - col("__med")).cast("double") / col("__mad").cast("double")))
+      .drop("__med", "__mad")
+  }
 }

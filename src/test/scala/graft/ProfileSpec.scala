@@ -134,4 +134,35 @@ class ProfileSpec extends SparkSpecBase {
     assert(out(("b", 11)) === ((1L, 1024L, 1024L)))
     assert(out(("b", -1)) === ((1L, -3L, -3L)))
   }
+
+  test("calibrateByGroup: hand-checked median/MAD z and tie-stable pct_rank") {
+    // group g: values 10,20,30,40,100 -> median = rank ceil(2.5)=3 -> 30;
+    // deviations 20,10,0,10,70 sorted 0,10,10,20,70 -> MAD = 10
+    // group c: constant values -> MAD 0 -> z_robust NULL for every row
+    val df = (Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 30L),
+      (4L, "g", 40L), (5L, "g", 100L)) ++
+      (1 to 3).map(i => (10L + i, "c", 7L))).toDF("id", "src", "v")
+    val byId = Profile.calibrateByGroup(df, "src", "v", "id")
+      .select("id", "pct_rank", "z_robust").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(byId(1L) === ((0.0, Some(-2.0))))
+    assert(byId(3L) === ((0.5, Some(0.0))))
+    assert(byId(5L) === ((1.0, Some(7.0))))
+    (11L to 13L).foreach { i =>
+      assert(byId(i) === ((0.0, None)), s"constant group row $i") }
+  }
+
+  test("calibrateByGroup: tied values share pct_rank; z is per-GROUP, not global") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 9L),
+      (4L, "b", 1000L), (5L, "b", 2000L), (6L, "b", 3000L)).toDF("id", "src", "v")
+    val byId = Profile.calibrateByGroup(df, "src", "v", "id")
+      .select("id", "pct_rank", "z_robust").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(byId(1L)._1 === byId(2L)._1, "ties share percent_rank")
+    // group b: median 2000, deviations 1000,0,1000 sorted -> MAD 1000
+    assert(byId(4L)._2 === Some(-1.0))
+    assert(byId(6L)._2 === Some(1.0))
+  }
 }
