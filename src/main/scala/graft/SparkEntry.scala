@@ -3484,5 +3484,35 @@ object SparkEntry {
           "source", "len", "doc_id")
         .orderBy(col("doc_id"))
     }
+
+    // --- incremental near-dup against a standing index (nightly-batch
+    //     mode): the batch (doc_id % 5 = 0) LSH-joins its band buckets
+    //     against the standing corpus's (the rest), verifying exact
+    //     Jaccard for CROSS pairs only — never old x old or new x new.
+    //     The oracle replays the p05 minhash machinery with the band join
+    //     restricted across the split.
+    register("p76_incremental_dedup",
+      s"""WITH $minhashCandCtes,
+         |xcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+         |SELECT new_id, index_id,
+         |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / (len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS jaccard_sim
+         |FROM xcand JOIN shf sa ON sa.doc_id = new_id
+         |           JOIN shf sb ON sb.doc_id = index_id
+         |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / (len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupPairsAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 1,
+          threshold = 0.8)
+        .orderBy(col("new_id"), col("index_id"))
+    }
   }
 }

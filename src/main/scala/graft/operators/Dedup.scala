@@ -285,6 +285,73 @@ object Dedup {
     * borderline bands through the exact-verify variant if the threshold
     * must be sharp. est_jaccard = agree/numHashes is an exact IEEE value
     * for power-of-two numHashes (deterministic across engines). */
+  /** Incremental near-dup against a STANDING index — the nightly-batch
+    * operating mode a one-shot self-join can't serve: the corpus already
+    * deduplicated yesterday keeps its minhash signatures (numHashes longs
+    * per doc, built once and persisted/loaded via `indexSignatures`);
+    * each incoming batch computes only ITS OWN signatures, joins its band
+    * buckets against the index's, and verifies exact Jaccard only for
+    * cross pairs. Never old x old (already settled), never new x new
+    * (run [[nearDupPairsMinhash]] on the batch for that — batches are
+    * small). Output (new_id, index_id, jaccard_sim) — a left-anti on
+    * new_id then keeps the batch's genuinely novel documents.
+    *
+    * 100 TB shape: per batch, work is O(batch) signatures + a bucket join
+    * whose index side is ALREADY materialized — the standing corpus is
+    * re-scanned only to re-shingle the few candidate index docs (semi-join
+    * pushdown), or not at all if callers also persist shingle sets.
+    * Hot-bucket cap applies to the INDEX side (the unbounded one): an
+    * over-cap bucket keeps its maxBucket lowest-id members — the
+    * [[cappedBucketPairs]] recall trade-off, confined to degenerate
+    * buckets. Same banding/hash scheme as [[nearDupPairsMinhash]], so
+    * signatures interoperate across the two. */
+  def nearDupPairsAgainstIndex(newDf: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
+      threshold: Double = 0.8,
+      indexSignatures: Option[DataFrame] = None,
+      maxBucket: Int = DefaultMaxBucket,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val sigNew = stager.stage(
+      minhashSignature(newDf, idCol, textCol, shingleN, numHashes),
+      s"inc_sig_new_$runId")
+    val sigIdx = stager.stage(
+      indexSignatures.getOrElse(
+        minhashSignature(indexDf, idCol, textCol, shingleN, numHashes)),
+      s"inc_sig_idx_$runId")
+    def buckets(sig: DataFrame, as: String) = {
+      val bands = (0 until numHashes / rowsPerBand).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+        struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+      }
+      sig.select(col(idCol).as(as), explode(array(bands: _*)).as("__b"))
+        .select(col(as), col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+    }
+    val idxB = buckets(sigIdx, "index_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__band"), col("__bucket")).orderBy(col("index_id"))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    val cands = stager.stage(
+      buckets(sigNew, "new_id").join(idxB, Seq("__band", "__bucket"))
+        .select(col("new_id"), col("index_id")).distinct(),
+      s"inc_cands_$runId")
+    def candSets(src: DataFrame, side: String, out: String) =
+      shingleRows(
+          src.join(cands.select(col(side).as(idCol)).distinct(), Seq(idCol), "left_semi"),
+          idCol, textCol, shingleN)
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(out))
+        .withColumnRenamed(idCol, side)
+    cands
+      .join(candSets(newDf, "new_id", "__sa"), "new_id")
+      .join(candSets(indexDf, "index_id", "__sb"), "index_id")
+      .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("new_id", "index_id", "jaccard_sim")
+  }
+
   def nearDupPairsMinhashEst(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       threshold: Double = 0.75,

@@ -327,6 +327,29 @@ class DedupSpec extends SparkSpecBase {
     assert(fast === brute, s"short-path differential: fast $fast vs brute $brute")
   }
 
+  test("incremental index dedup equals the self-join restricted to cross pairs") {
+    val docs = testdata("sf0.001", "documents")
+    val newDf = docs.filter($"doc_id" % 5 === 0)
+    val idxDf = docs.filter($"doc_id" % 5 =!= 0)
+    val inc = Dedup.nearDupPairsAgainstIndex(newDf, idxDf, "doc_id", "text")
+      .select("new_id", "index_id", "jaccard_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val self = Dedup.nearDupPairsMinhash(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }.toSet
+    assert(self.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(inc === self)
+
+    // passing pre-built index signatures skips recompute without changing
+    // a single row — the persisted-signature operating mode
+    val sigs = Dedup.minhashSignature(idxDf, "doc_id", "text", 3, 8)
+    val withSigs = Dedup.nearDupPairsAgainstIndex(newDf, idxDf, "doc_id", "text",
+        indexSignatures = Some(sigs))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(withSigs === inc)
+  }
+
   test("edit-distance join plans no cartesian product") {
     val keys = testdata("sf0.001", "documents")
       .select($"doc_id", substring($"text", 1, 16).as("k"))
