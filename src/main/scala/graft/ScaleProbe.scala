@@ -83,6 +83,46 @@ object ScaleProbe {
     val (hR, thR) = time(hhRun(r, 0.00008 / r))
     println(f"heavy_hitters 1x: $th1%.1fs $h1 rows | ${r}x: $thR%.1fs $hR rows" +
       f" (ratio ${thR / th1}%.2fx time, ${hR.toDouble / h1}%.2fx rows)")
+
+    // ---- incremental dedup: FIXED batch, index grown Rx with PRE-BUILT
+    // signatures (the persisted-signature operating mode) — the claim
+    // under test is "per-batch cost scales with the batch, not the
+    // standing corpus". Replica 0 keeps the real text (so real cross
+    // pairs exist); extra replicas are token-prefix salted (orthogonal
+    // shingle universes -> no new matches, no bucket collisions beyond
+    // hash luck) and only their SIGNATURES enter the run.
+    // every replica remaps ids into its own stripe — replica 0 keeping
+    // RAW ids would collide with stripe arithmetic and silently merge
+    // two docs' shingle sets in the verify groupBy (measured: 89 -> 26
+    // pairs). Replica 0 keeps the real TEXT so real cross pairs exist.
+    def idxFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      base.select((col("doc_id") * r + i).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", saltChar(i) + "_$1")).as("text"))
+    }.reduce(_ unionByName _)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    def incPrep(reps: Int): (DataFrame, DataFrame) = {
+      // index text + signatures materialize OFF the clock — in production
+      // both already sit in the warehouse; the timed part is the batch's
+      // own signatures, the bucket join, and the candidate-only verify
+      // (whose semi-join re-scan of the index is the honest residual
+      // index-sized term — id-pushdown territory on a real store)
+      val idx = idxFrame(reps).localCheckpoint()
+      val sigs = graft.operators.Dedup
+        .minhashSignature(idx, "doc_id", "text", 3, 8).localCheckpoint()
+      (idx, sigs)
+    }
+    def incRun(prep: (DataFrame, DataFrame)): Long =
+      graft.operators.Dedup.nearDupPairsAgainstIndex(
+        batch, prep._1, "doc_id", "text", indexSignatures = Some(prep._2)).count()
+    val prep1 = incPrep(1)
+    val prepR = incPrep(r)
+    incRun(prep1)
+    val (i1, ti1) = time(incRun(prep1))
+    val (iR, tiR) = time(incRun(prepR))
+    println(f"incremental_dedup 1x-index: $ti1%.1fs $i1 pairs | ${r}x-index: $tiR%.1fs $iR pairs" +
+      f" (ratio ${tiR / ti1}%.2fx time, ${iR.toDouble / i1}%.2fx pairs)")
     spark.stop()
   }
 }

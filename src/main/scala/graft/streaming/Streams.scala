@@ -159,6 +159,86 @@ object Streams {
       }
   }
 
+  /** Streaming near-dup flagging against a STANDING index — the ingestion
+    * counterpart of [[graft.operators.Dedup.nearDupPairsAgainstIndex]]:
+    * documents arriving on a stream are minhash-signed PER ROW (no
+    * streaming aggregation, so no watermark/output-mode constraints),
+    * their band buckets stream-static join the index's, and candidates
+    * verify exact shingle-set Jaccard in the same micro-batch. Emits
+    * (new_id, index_id, jaccard_sim) in append mode; a doc that emits
+    * nothing is novel. The per-row signature is BIT-IDENTICAL to the
+    * batch [[graft.operators.Dedup.minhashSignature]] (same md5 hex
+    * windows, same linear hash family, same band bucketing), so a
+    * stream's flags over a batch of rows equal the batch operator's
+    * pairs — StreamsSpec asserts exactly that. The index frames are
+    * eagerly staged once (localCheckpoint): each micro-batch joins
+    * against materialized buckets/sets, not a re-derived plan. Docs with
+    * fewer than shingleN tokens have no shingles and emit nothing (batch
+    * parity: they have no signature row either). */
+  def nearDupFlagStream(
+      docs: Dataset[(String, String)], // (doc id, text)
+      indexDf: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    import docs.sparkSession.implicits._
+    val idxSets = graft.operators.Dedup
+      .shingleRows(indexDf, idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__sb"))
+      .select(col(idCol).as("index_id"), col("__sb"))
+      .localCheckpoint()
+    val idxBuckets = {
+      val sig = graft.operators.Dedup
+        .minhashSignature(indexDf, idCol, textCol, shingleN, numHashes)
+      val bands = (0 until numHashes / rowsPerBand).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+        struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+      }
+      sig.select(col(idCol).as("index_id"), explode(array(bands: _*)).as("__b"))
+        .select(col("index_id"), col("__b.band").as("__band"),
+          col("__b.bucket").as("__bucket"))
+        .localCheckpoint()
+    }
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // per-row replay of the batch pipeline: shingles -> (c1, c2) from the
+    // md5 hex windows -> min over the linear family -> band buckets
+    val streamBuckets = docs.flatMap { case (id, text) =>
+      val toks = Option(text).getOrElse("").toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < shingleN || id == null) Iterator.empty
+      else {
+        val shingles = toks.sliding(shingleN).map(_.mkString(" ")).toSeq
+        val cs = shingles.map { sh =>
+          val m = md5Hex(sh)
+          (java.lang.Long.parseLong(m.substring(0, 14), 16),
+            java.lang.Long.parseLong(m.substring(16, 30), 16))
+        }
+        val hs = (0 until numHashes).map(i =>
+          cs.iterator.map { case (c1, c2) => c1 + i.toLong * c2 }.min)
+        val distinct = shingles.distinct
+        (0 until numHashes / rowsPerBand).iterator.map { b =>
+          val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(hs(_).toString).mkString("|")
+          (id, b, md5Hex(key), distinct)
+        }
+      }
+    }.toDF("new_id", "__band", "__bucket", "__sa")
+    streamBuckets
+      .join(idxBuckets, Seq("__band", "__bucket"))
+      .select(col("new_id"), col("index_id"), col("__sa"))
+      // NOT .distinct(): a streaming Aggregate can't run in append mode.
+      // dropDuplicates is streaming-legal keyed dedup state — one entry
+      // per CANDIDATE pair, kept forever (it also suppresses re-flags of
+      // a re-sent doc across batches, which is the semantics we want)
+      .dropDuplicates("new_id", "index_id")
+      .join(idxSets, Seq("index_id"))
+      .withColumn("jaccard_sim", graft.operators.Dedup.jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("new_id"), col("index_id"), col("jaccard_sim"))
+  }
+
   case class KeyHeavy(key: String, n_seen: Long, items: Map[String, Long])
 
   /** Streaming heavy hitters: per key, maintain a Misra–Gries summary

@@ -111,6 +111,35 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupFlagStream equals the batch against-index pairs over the same rows") {
+    val docs = testdata("sf0.001", "documents")
+    val idxDf = docs.filter($"doc_id" % 5 =!= 0)
+    val newRows = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".cast("string"), $"text")
+      .as[(String, String)].collect()
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.nearDupFlagStream(input.toDS(), idxDf, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("neardup_flags")
+      .outputMode("append").start()
+    try {
+      input.addData(newRows.take(newRows.length / 2): _*)
+      q.processAllAvailable()
+      // a doc with < 3 tokens and a null-id doc emit nothing, crash nothing
+      input.addData(("tiny", "one two"), (null, "x y z w")) // scalastyle:ignore
+      q.processAllAvailable()
+      input.addData(newRows.drop(newRows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_flags")
+        .select($"new_id".cast("long"), $"index_id", $"jaccard_sim")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Dedup.nearDupPairsAgainstIndex(
+          docs.filter($"doc_id" % 5 === 0), idxDf, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "fixture should contain cross near-dups")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("runningHeavyHitters holds the Misra–Gries guarantee at the final emission") {
     // zipf-ish per-key stream: value v_i appears ~120/i times; k=8 forces
     // constant eviction, so the test exercises the decrement path
