@@ -3514,5 +3514,41 @@ object SparkEntry {
           threshold = 0.8)
         .orderBy(col("new_id"), col("index_id"))
     }
+
+    // --- Zipf-law fit per source (corpus-health audit: natural text
+    //     slopes ≈ −1, template spam flattens): least squares of
+    //     ln(freq) on ln(rank) for the top-100 tokens. Each ln rounds
+    //     through DECIMAL(25,12) to 9dp; x/y sums accumulate in exact
+    //     DECIMAL; the closed-form slope then runs in doubles with an
+    //     identical expression shape on both engines.
+    register("p77_zipf_fit",
+      s"""WITH tok AS (SELECT source, unnest($toksLowerSql) AS term FROM documents),
+         |c AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term),
+         |r AS (SELECT source, c, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY c DESC, term) AS rnk FROM c),
+         |p AS (SELECT source,
+         |    CAST(ROUND(CAST(ln(rnk::DOUBLE) AS DECIMAL(25,12)), 9) AS DECIMAL(12,9)) AS x,
+         |    CAST(ROUND(CAST(ln(c::DOUBLE) AS DECIMAL(25,12)), 9) AS DECIMAL(12,9)) AS y
+         |  FROM r WHERE rnk <= 100),
+         |a AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+         |  FROM p GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_terms,
+         |  round(slope, 9) AS zipf_slope,
+         |  round((sy - slope * sx) / n, 9) AS zipf_intercept
+         |FROM (SELECT source, n, sx, sy,
+         |        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+         |      FROM a WHERE n >= 2) t
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      // final doubles round to 9dp on both sides: DuckDB's decimal→double
+      // cast double-rounds (int128 then scale divide), a 1-ulp source the
+      // closed-form arithmetic amplifies to ~1e-15 — the p69 rule
+      graft.operators.Profile.zipfFit(t(s, dir, "documents"), "source", "text",
+          topN = 100)
+        .withColumn("zipf_slope", round(col("zipf_slope"), 9))
+        .withColumn("zipf_intercept", round(col("zipf_intercept"), 9))
+        .orderBy(col("source"))
+    }
   }
 }

@@ -185,6 +185,55 @@ object Profile {
         min(v).as("min_len"), max(v).as("max_len"))
   }
 
+  /** Zipf-law fit per group: least-squares slope/intercept of
+    * ln(frequency) over ln(rank) for the top-N tokens — the corpus-health
+    * audit that catches a source whose token distribution is NOT
+    * natural-language-shaped (natural text slopes ≈ −1; template/log spam
+    * flattens toward 0, a truncated or deduped-to-death source steepens).
+    * Pairs with [[corpusProfile]] as a per-source report-card column.
+    *
+    * Determinism contract: each ln rounds through DECIMAL(25,12) to 9dp
+    * (the p26/p41 rule), the x/y/xy/x² sums accumulate in DECIMAL
+    * (exact, order-free), and ONLY then does the closed-form slope
+    * arithmetic run in doubles with an identical expression shape in the
+    * oracle — every divide/multiply correctly rounded, so the fit
+    * hash-matches. Groups with fewer than 2 fitted points drop (no line
+    * through one point).
+    *
+    * 100 TB shape: one token-count groupBy, a per-group top-N window over
+    * the COUNTS frame (vocabulary-sized, not corpus-sized), and a 5-sum
+    * aggregation of topN rows per group. */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val g = col(s"`$groupCol`")
+    val counts = TextFunctions.termStream(docs, Seq(g), textCol)
+      .groupBy(g, col("__term")).agg(count(lit(1)).as("__c"))
+    val ranked = counts
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g)
+          .orderBy(col("__c").desc, col("__term"))))
+      .filter(col("__rank") <= topN)
+    def lnD(c: org.apache.spark.sql.Column) =
+      round(log(c).cast("decimal(25,12)"), 9).cast("decimal(12,9)")
+    ranked
+      .select(g, lnD(col("__rank").cast("double")).as("__x"),
+        lnD(col("__c").cast("double")).as("__y"))
+      .groupBy(g).agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).cast("double").as("__sx"),
+        sum(col("__y")).cast("double").as("__sy"),
+        sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("double").as("__sxx"))
+      .filter(col("__n") >= 2)
+      .withColumn("zipf_slope",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .select(g, col("__n").cast("long").as("n_terms"), col("zipf_slope"),
+        ((col("__sy") - col("zipf_slope") * col("__sx")) / col("__n"))
+          .as("zipf_intercept"))
+  }
+
   /** Per-group score calibration: make scores COMPARABLE across
     * heterogeneous sources before mixing them in one pipeline (an
     * absolute quality cut keeps whole easy sources and drops whole hard

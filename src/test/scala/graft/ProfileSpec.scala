@@ -135,6 +135,22 @@ class ProfileSpec extends SparkSpecBase {
     assert(out(("b", -1)) === ((1L, -3L, -3L)))
   }
 
+  test("zipfFit: power-law corpus slopes near -1, uniform corpus near 0; degenerate groups drop") {
+    // zipf group: token t_i appears round(1000/i) times -> ln f = ln 1000 - ln rank
+    val zipf = (1 to 50).flatMap(i => Seq.fill(math.max(1000 / i, 1))(s"t$i"))
+      .mkString(" ")
+    // uniform group: every token 20 times -> flat line
+    val flat = (1 to 50).flatMap(i => Seq.fill(20)(s"u$i")).mkString(" ")
+    val df = Seq(("z", zipf), ("f", flat), ("one", "solo solo solo"))
+      .toDF("src", "text")
+    val fit = Profile.zipfFit(df, "src", "text", topN = 50)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(math.abs(fit("z")._2 + 1.0) < 0.05, s"zipf slope ${fit("z")._2} !~ -1")
+    assert(math.abs(fit("f")._2) < 1e-9, s"flat slope ${fit("f")._2} !~ 0")
+    assert(fit("z")._1 === 50L && fit("f")._1 === 50L)
+    assert(!fit.contains("one"), "a single-term group has no line to fit")
+  }
+
   test("calibrateByGroup: hand-checked median/MAD z and tie-stable pct_rank") {
     // group g: values 10,20,30,40,100 -> median = rank ceil(2.5)=3 -> 30;
     // deviations 20,10,0,10,70 sorted 0,10,10,20,70 -> MAD = 10
