@@ -63,18 +63,25 @@ object Curation {
     *
     * 100 TB shape: the sketch reduces each group to <= k rows before any
     * quantile math; the band frame is one tiny row per group, equi-joined
-    * back (AQE broadcasts it). One corpus scan for the sketch, one for
-    * the filter. */
+    * back (AQE broadcasts it). The scored frame is STAGED — both the
+    * sketch pass and the filter pass read it, and when scoring is itself
+    * expensive (the bigram LM in [[perplexityPrune]]: measured 2x the
+    * whole gate when unstaged) recomputing it per consumer doubles the
+    * job. Pass scores that are cheap projections with Stager-of-choice if
+    * the narrow (id, group, score) frame is too big to stage. */
   def keepScoreBand(scored: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, loQ: Double = 0.25, hiQ: Double = 0.75,
-      k: Int = 256, salt: String = "pb"): DataFrame = {
+      k: Int = 256, salt: String = "pb",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(loQ > 0.0 && hiQ <= 1.0 && loQ <= hiQ,
       s"need 0 < loQ <= hiQ <= 1, got [$loQ, $hiQ]")
+    val staged = stager.stage(scored,
+      s"band_scored_${java.util.UUID.randomUUID().toString.take(8)}")
     val bounds = Sketch.quantileEstimate(
-        Sketch.quantileSketch(scored, scoreCol, groupCol, idCol, k, salt),
+        Sketch.quantileSketch(staged, scoreCol, groupCol, idCol, k, salt),
         Seq("__band_lo" -> loQ, "__band_hi" -> hiQ))
       .select(col(s"`$groupCol`"), col("__band_lo"), col("__band_hi"))
-    scored.join(bounds, Seq(groupCol))
+    staged.join(bounds, Seq(groupCol))
       .filter(col(s"`$scoreCol`") >= col("__band_lo") &&
         col(s"`$scoreCol`") <= col("__band_hi"))
       .drop("__band_lo", "__band_hi")

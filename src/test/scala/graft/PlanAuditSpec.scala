@@ -303,6 +303,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
   }
 
+  test("p74: both band consumers read the STAGED scored frame — the LM never scores twice") {
+    val plan = SparkEntry.queries("p74_perplexity_prune")(spark, dir)
+      .queryExecution.executedPlan
+    // the sketch pass and the band filter both consume the staged
+    // (id, group, score) frame; unstaged, the bigram-LM pipeline ran
+    // once per consumer (measured 2x the gate)
+    assert(scans(plan).isEmpty, plan.toString)
+    assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
+  }
+
+  test("p75: all calibration windows share ONE group exchange over a single scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Profile.calibrateByGroup(
+      docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len")),
+      "source", "len", "doc_id")
+    val plan = out.queryExecution.executedPlan
+    assert(scans(plan).size === 1, plan.toString)
+    // median rank+spread, MAD rank+spread, pct_rank: five windows, all
+    // keyed on the group column — one hash exchange serves every pass
+    val shuffles = planNodes(plan).count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 1, s"$shuffles shuffles:\n$plan")
+  }
+
+  test("p77: the zipf top-N cut pushes down as a group limit; one corpus scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Profile.zipfFit(docs, "source", "text", topN = 100)
+    val plan = out.queryExecution.executedPlan
+    assert(scans(plan).size === 1, plan.toString)
+    // rank <= topN over (count desc) must plan as WindowGroupLimit —
+    // per-group top-N retention, not a full per-group sort spill
+    assert(plan.toString.contains("WindowGroupLimit"), plan.toString)
+  }
+
   test("p70: the quantile sketch is a single scan; bottom-k and pack share one exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$dir/documents.parquet")
