@@ -426,4 +426,61 @@ class PropertiesSpec extends SparkSpecBase {
       assert(whole.exceptAll(merged).count() === 0, s"(n=$n cut=$cut dup=$dup)")
     }
   }
+
+  test("editDistancePairs equals driver-side levenshtein on random low-alphabet " +
+    "strings (one Spark run via id-striping; lengths straddle the short-block cut)") {
+    import spark.implicits._
+    // alphabet {a,b,c} maximizes near-collisions; lengths 0..12 cross the
+    // d=2 segment-path boundary (len 6) in both directions
+    val strGen = for {
+      len <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    // corpus i occupies ids [i*100, i*100+29]; cross-corpus pairs are
+    // excluded from BOTH sides of the differential (id stripe filter)
+    val corpora = (0 until 12).map { i =>
+      samples(strGen, n = 30).zipWithIndex.map { case (s, j) => (i * 100L + j, s) }
+    }
+    val all = corpora.flatten
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      c <- corpora; (ia, sa) <- c; (ib, sb) <- c
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = graft.operators.Dedup
+      .editDistancePairs(all.toDF("doc_id", "k"), "doc_id", "k", maxDist = 2)
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => a / 100 == b / 100 } // same stripe only
+      .toSet
+    assert(want.nonEmpty, "generator produced no in-range pairs — tighten it")
+    assert(got === want,
+      s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+  }
+
+  test("heavyHitters equals the exact threshold count on random zipf-ish " +
+    "streams, under eviction, for every summary size that honors the guarantee") {
+    import spark.implicits._
+    val streamGen = for {
+      nKeys <- Gen.choose(3, 25)
+      rows <- Gen.listOfN(400, Gen.choose(1, nKeys).map(i => s"k${i * i % nKeys}"))
+    } yield rows
+    for ((rows, i) <- samples(streamGen, n = 6).zipWithIndex) {
+      val n = rows.size.toLong
+      val fMicro = 50000L // 5%
+      val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * 1000000L >= n * fMicro }.toMap
+      for (k <- Seq(21, 64)) { // 21 is the tightest size with (k+1)f > 1
+        val got = graft.operators.Sketch
+          .heavyHitters(rows.toDF("key").repartition(5), "key", 0.05, summarySize = k)
+          .select("key", "count").as[(String, Long)].collect().toMap
+        assert(got === want, s"case $i k=$k: got ${got.size} want ${want.size}")
+      }
+    }
+  }
 }
