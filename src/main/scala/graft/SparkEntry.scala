@@ -3550,5 +3550,32 @@ object SparkEntry {
         .withColumn("zipf_intercept", round(col("zipf_intercept"), 9))
         .orderBy(col("source"))
     }
+
+    // --- unigram-tokenizer piece vocabulary (SentencePiece seed stage):
+    //     within-word character n-grams (1..4) scored by corpus count,
+    //     top-200 by (count desc, piece) plus every single char, logp =
+    //     decimal-ln(count/kept-total). The Viterbi encoder is spec-
+    //     differentialed (VocabSpec); the PIECE TABLE is fully
+    //     oracle-checked here, cut boundary included.
+    register("p78_unigram_pieces",
+      s"""WITH w AS (SELECT unnest($toksLowerSql) AS t FROM documents),
+         |p AS (SELECT substr(t, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |  FROM w,
+         |    unnest(range(1, length(t) + 1)) AS a(i),
+         |    unnest(range(1, least(4, length(t) - i + 1) + 1)) AS b(l)),
+         |c AS (SELECT piece, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY piece),
+         |top AS (SELECT piece, n FROM c ORDER BY n DESC, piece LIMIT 200),
+         |kept AS (SELECT DISTINCT piece, n FROM (
+         |  SELECT * FROM top
+         |  UNION ALL SELECT piece, n FROM c WHERE length(piece) = 1)),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM kept)
+         |SELECT piece, n,
+         |  CAST(ROUND(CAST(ln(n::DOUBLE / tot::DOUBLE) AS DECIMAL(25,12)), 9)
+         |    AS DOUBLE) AS logp
+         |FROM kept, tot ORDER BY piece""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.unigramPieces(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, topV = 200)
+        .orderBy(col("piece"))
+    }
   }
 }

@@ -248,4 +248,116 @@ object Vocab {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------ unigram LM
+
+  /** Substring piece vocabulary for the UNIGRAM tokenizer (the Kudo 2018
+    * / SentencePiece family): score every within-word character n-gram
+    * (1..maxPieceLen chars) by corpus frequency, keep the top-V by
+    * (count desc, piece) PLUS every single character (so any word stays
+    * segmentable), logp = decimal-rounded ln(count / kept-total). This is
+    * SentencePiece's seed-vocabulary stage (substring counting) without
+    * the EM prune — deterministic, distributed, and oracle-checkable; the
+    * Viterbi encoder ([[unigramEncode]]) consumes ANY (piece, logp)
+    * table, so an externally trained vocab drops in unchanged.
+    *
+    * 100 TB shape: one token stream scan fanned out x(len·maxPieceLen)
+    * substring rows (bounded constant per token), one count groupBy, a
+    * vocabulary-sized top-V cut. */
+  def unigramPieces(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 6, topV: Int = 2000): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val counts = graft.functions.TextFunctions.termStream(docs, Nil, textCol)
+      .select(col("__term"), explode(sequence(lit(1), length(col("__term")))).as("__i"))
+      .select(col("__term"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("__term")) - col("__i") + 1))).as("__l"),
+        col("__i"))
+      .select(expr("substring(__term, __i, __l)").as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+    val kept = counts.orderBy(col("n").desc, col("piece")).limit(topV)
+      .unionByName(counts.filter(length(col("piece")) === 1))
+      .distinct()
+    val total = kept.agg(sum(col("n")).as("__tot"))
+    kept.crossJoin(broadcast(total)) // 1-row total: a broadcast dim
+      .withColumn("logp",
+        round(log(col("n").cast("double") / col("__tot").cast("double"))
+          .cast("decimal(25,12)"), 9).cast("double"))
+      .select(col("piece"), col("n"), col("logp"))
+  }
+
+  /** Viterbi subword encoding under a unigram piece LM: per word, the
+    * segmentation maximizing the sum of piece logps (exact DP, O(len ·
+    * maxPieceLen) per word). Characters absent from the vocabulary score
+    * `unkLogp` so every word still segments (char fallback). Ties break
+    * toward the LONGER head piece (smallest split point), making the
+    * segmentation deterministic. Output: (id, pieces, n_pieces,
+    * sum_logp) — sum_logp folds left over words then pieces, so the
+    * driver reference in VocabSpec reproduces it exactly.
+    *
+    * 100 TB shape: the piece table is vocabulary-sized and broadcasts;
+    * the encode is one narrow mapPartitions pass, no shuffle. */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame, unkLogp: Double = -100.0): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = docs.sparkSession
+    val table: Map[String, Double] = pieces
+      .select(col("piece"), col("logp"))
+      .collect() // bounded: the piece vocabulary
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(table.nonEmpty, "piece table is empty")
+    val maxLen = table.keysIterator.map(_.length).max
+    val bc = spark.sparkContext.broadcast(table)
+    def encodeWord(w: String, t: Map[String, Double]): Seq[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          val piece = w.substring(j, i)
+          val lp = t.getOrElse(piece,
+            if (piece.length == 1) unkLogp else Double.NegativeInfinity)
+          // strict > keeps the SMALLEST j on ties: longer head piece wins
+          if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) {
+            best(i) = best(j) + lp
+            back(i) = j
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var k = n
+      while (k > 0) { out.prepend(w.substring(back(k), k)); k = back(k) }
+      out.toSeq
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      docs.schema(idCol),
+      org.apache.spark.sql.types.StructField("pieces",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_logp",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(s"`$idCol`"), col(s"`$textCol`")).mapPartitions { it =>
+      val t = bc.value
+      it.map { row =>
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        var score = 0.0
+        val subs = words.flatMap { w =>
+          val ps = encodeWord(w, t)
+          ps.foreach(p => score += t.getOrElse(p, unkLogp))
+          ps
+        }.toSeq
+        Row(row.get(0), subs, subs.size, score)
+      }
+    }(enc)
+  }
 }

@@ -118,4 +118,56 @@ class VocabSpec extends SparkSpecBase {
       .orderBy("id").as[(Int, Seq[String], Int)].collect().head
     assert(none._2.take(3) === Seq("l", "o", "w" + Vocab.EndOfWord))
   }
+
+  test("unigramEncode: Viterbi picks the max-logp segmentation; ties go to the longer head") {
+    val pieces = Seq(("ab", -1.0), ("a", -2.0), ("b", -2.0), ("c", -3.0),
+      ("xy", -2.0), ("x", -1.0), ("y", -1.0)).toDF("piece", "logp")
+    val docs = Seq((1L, "abc"), (2L, "xy"), (3L, "zq")).toDF("id", "text")
+    val out = Vocab.unigramEncode(docs, "id", "text", pieces, unkLogp = -100.0)
+      .select("id", "pieces", "sum_logp")
+      .as[(Long, Seq[String], Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === Seq("ab", "c"), "(-1)+(-3) beats (-2-2-3)")
+    assert(out(1L)._2 === -4.0)
+    // "xy" as one piece (-2.0) ties "x"+"y" (-2.0): longer head wins
+    assert(out(2L)._1 === Seq("xy"))
+    // unknown chars fall back to single-char unk scoring
+    assert(out(3L)._1 === Seq("z", "q") && out(3L)._2 === -200.0)
+  }
+
+  test("unigramEncode equals a driver-side Viterbi on real docs; pieces concatenate back") {
+    val docs = testdata("sf0.001", "documents").limit(120)
+    val pieceDf = Vocab.unigramPieces(docs, "text", maxPieceLen = 4, topV = 200)
+    val table = pieceDf.select("piece", "logp").as[(String, Double)].collect().toMap
+    val maxLen = table.keysIterator.map(_.length).max
+    def ref(w: String): (Seq[String], Double) = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+        val p = w.substring(j, i)
+        val lp = table.getOrElse(p, if (p.length == 1) -100.0 else Double.NegativeInfinity)
+        if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) {
+          best(i) = best(j) + lp; back(i) = j
+        }
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var k = n
+      while (k > 0) { out.prepend(w.substring(back(k), k)); k = back(k) }
+      (out.toSeq, out.map(p => table.getOrElse(p, -100.0)).sum)
+    }
+    val got = Vocab.unigramEncode(docs, "doc_id", "text", pieceDf)
+      .select("doc_id", "pieces", "sum_logp")
+      .as[(Long, Seq[String], Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val words = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val refPieces = words.flatMap(w => ref(w)._1).toSeq
+      val (gotPieces, gotScore) = got(id)
+      assert(gotPieces === refPieces, s"doc $id")
+      assert(gotPieces.mkString === words.mkString, s"doc $id: pieces must concatenate back")
+      val refScore = words.map(w => ref(w)._2).sum
+      assert(math.abs(gotScore - refScore) < 1e-9, s"doc $id: $gotScore vs $refScore")
+    }
+  }
 }
