@@ -3577,5 +3577,38 @@ object SparkEntry {
           maxPieceLen = 4, topV = 200)
         .orderBy(col("piece"))
     }
+
+    // --- canonical dedup over EDIT-DISTANCE pairs (typo-level duplicate
+    //     removal): the p72 segment join feeds connected components,
+    //     keep the min id per cluster — p21's composition with the exact
+    //     string-edit pair generator instead of minhash. The oracle
+    //     brute-forces the pairs (levenshtein) and closes them with the
+    //     recursive transitive closure.
+    register("p79_edit_dedup",
+      """WITH RECURSIVE k AS (SELECT doc_id, substr(text, 1, 16) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |    AND abs(length(a.s) - length(b.s)) <= 2
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM ep
+        |          UNION SELECT id_b, id_a FROM ep),
+        |reach(id, r) AS (
+        |  SELECT ea, eb FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.eb FROM reach JOIN edges ON reach.r = edges.ea),
+        |assign AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.source, length(d.text) AS n_chars FROM documents d
+        |WHERE d.text IS NOT NULL
+        |  AND d.doc_id NOT IN (SELECT id FROM assign WHERE id != cluster_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val pairs = Dedup.editDistancePairs(
+        docs.select(col("doc_id"), substring(col("text"), 1, 16).as("key16")),
+        "doc_id", "key16", maxDist = 2)
+      DupClusters.dedupByPairs(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -375,8 +375,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // p73: the 1-row corpus-total scalar broadcasts into the candidate
       // counts for the integer-micros threshold — a broadcast dim, not a
       // pair blow-up; p74 inherits p41's 1-row vocab-size scalar through
-      // the bigram-LM scorer
-      "p73_heavy_hitters", "p74_perplexity_prune")
+      // the bigram-LM scorer; p78's kept-piece total is the same 1-row
+      // scalar shape
+      "p73_heavy_hitters", "p74_perplexity_prune", "p78_unigram_pieces")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
