@@ -91,4 +91,64 @@ object Sink {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Morton (Z-order) interleave column over 2+ numeric dimensions: each
+    * value min-max scales to a `bits`-bit bucket (1-row stats frame,
+    * broadcast back), and bucket bits interleave so that rows close in
+    * EVERY dimension get close z-values. All Column-level shifts/masks —
+    * codegen'd, no UDF. Nulls and zero-range dimensions bucket to 0. */
+  def withZOrder(df: DataFrame, zCols: Seq[String], bits: Int = 12,
+      out: String = "__z"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-ordering needs at least 2 dimensions " +
+      "(one dimension is a plain sort)")
+    require(bits >= 1 && zCols.size * bits <= 63,
+      s"${zCols.size} cols x $bits bits must fit a signed long")
+    require(!df.columns.contains(out), s"'$out' already exists")
+    zCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric (hash or bucket other types first)")
+    }
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(s"`$c`").cast("double")).as(s"__zmin_$c"),
+      max(col(s"`$c`").cast("double")).as(s"__zmax_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val maxBucket = (1L << bits) - 1
+    val n = zCols.size
+    val buckets = zCols.map { c =>
+      val v = col(s"`$c`").cast("double")
+      val lo = col(s"__zmin_$c")
+      val rng = col(s"__zmax_$c") - lo
+      when(v.isNull || rng.isNull || rng === 0.0, lit(0L))
+        .otherwise(least(lit(maxBucket),
+          floor((v - lo) / rng * maxBucket.toDouble).cast("long")))
+    }
+    val z = (0 until bits).flatMap { b =>
+      (0 until n).map { i =>
+        shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(stats)) // 1-row stats: a broadcast dim
+      .withColumn(out, z)
+      .drop(zCols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
+  }
+
+  /** Z-ordered parquet write: range-partition and sort by the Morton
+    * value, so every output file covers a small BOX in the z-dimensions
+    * instead of a stripe of one dimension (or everything, for a hash
+    * layout). Parquet min/max footer stats then prune files/row-groups
+    * for predicates on ANY z-dimension — the multi-dimensional
+    * data-skipping layout a single-column sort cannot give. SinkSpec
+    * measures the claim: mean per-file bounding-box area vs a hash
+    * layout. Cost: one stats pass + one range exchange at write time —
+    * paid once, saved on every read. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 12, numFiles: Int = 32, mode: String = "error"): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    withZOrder(df, zCols, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
 }

@@ -73,4 +73,43 @@ class SinkSpec extends SparkSpecBase {
       Sink.writeCorpus(corpus, tmp(), Seq("split"), maxRecordsPerFile = 0L)
     }
   }
+
+  test("withZOrder: interleaved buckets order a grid by locality, not by one axis") {
+    import org.apache.spark.sql.functions._
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toDF("x", "y")
+    val z = Sink.withZOrder(grid, Seq("x", "y"), bits = 4)
+    // corners: (0,0) lowest, (15,15) highest; helper stats never leak out
+    val rows = z.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(z.columns.toSeq === Seq("x", "y", "__z"))
+    assert(rows((0, 0)) === 0L)
+    assert(rows((15, 15)) === 255L)
+    // one step in either dimension moves the z-value less than a far jump
+    assert(rows((1, 0)) < rows((8, 8)) && rows((0, 1)) < rows((8, 8)))
+  }
+
+  test("writeZOrdered: per-file bounding boxes are small boxes, not full-range stripes") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to 8000).map(_ => (rnd.nextInt(1000), rnd.nextInt(1000)))
+      .toDF("x", "y")
+    def meanBoxArea(dir: String): Double = {
+      val per = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max($"x") - min($"x")).cast("double") / 1000.0 *
+          ((max($"y") - min($"y")).cast("double") / 1000.0)).as("area"))
+      per.agg(avg($"area")).head().getDouble(0)
+    }
+    val zdir = tmp()
+    Sink.writeZOrdered(pts, zdir, Seq("x", "y"), bits = 10, numFiles = 16)
+    val hdir = tmp()
+    pts.repartition(16).write.parquet(hdir)
+    val (zArea, hArea) = (meanBoxArea(zdir), meanBoxArea(hdir))
+    // hash layout: every file spans ~the whole plane; z-order: each file
+    // covers a contiguous z-range ~1/16 of the curve -> a small box
+    assert(hArea > 0.7, s"hash layout should span the plane, got $hArea")
+    assert(zArea < hArea / 3, s"z-order $zArea vs hash $hArea")
+    // lossless: same multiset of rows
+    assert(spark.read.parquet(zdir).exceptAll(pts).count() === 0)
+    assert(pts.exceptAll(spark.read.parquet(zdir)).count() === 0)
+  }
 }
