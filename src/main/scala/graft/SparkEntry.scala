@@ -3610,5 +3610,75 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }
+
+    // --- ANN recall audit: per-query recall@5 of the SRP-LSH index (p08
+    //     machinery) against the exact ranking (p07 machinery) — the
+    //     quality metric every ANN deployment monitors. The oracle
+    //     composes BOTH full pipelines in SQL and computes the recall
+    //     join; integer hit counts divide once, so the doubles agree.
+    register("p80_ann_recall",
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 25),
+         |xp AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |        $dotSql / (qn * e.nrm) AS cosine
+         |      FROM q JOIN e ON e.vec_id != query_id),
+         |xr AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM xp),
+         |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+         |dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+         |planes AS (
+         |  SELECT p, list(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 0
+         |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+         |  FROM (SELECT p, unnest(range((SELECT dim FROM dims))) AS d FROM range(8) t(p))
+         |  GROUP BY p),
+         |proj AS (
+         |  SELECT e2.vec_id, p.p,
+         |    list_sum(list_transform(list_zip(e2.embedding, p.pl), x -> x[1]::DOUBLE * x[2])) AS proj
+         |  FROM embeddings e2 CROSS JOIN planes p),
+         |sigs AS (
+         |  SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         |  FROM proj GROUP BY vec_id),
+         |buckets AS (
+         |  SELECT vec_id, sig AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT vec_id, substring(sig,1,i::INT-1) ||
+         |         (CASE WHEN substring(sig,i::INT,1)='1' THEN '0' ELSE '1' END) ||
+         |         substring(sig,i::INT+1,8-i::INT) AS bucket
+         |  FROM sigs, range(1,9) t(i)),
+         |nrm2 AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets qb JOIN buckets cb USING (bucket)
+         |  WHERE qb.vec_id < 25 AND cb.vec_id != qb.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |      / (nq.n * nc.n) AS cosine
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+         |            JOIN embeddings ec ON ec.vec_id = neighbor_id
+         |            JOIN nrm2 nq ON nq.vec_id = query_id
+         |            JOIN nrm2 nc ON nc.vec_id = neighbor_id),
+         |ar AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM scored),
+         |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5),
+         |rec AS (SELECT x.query_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM exact x LEFT JOIN approx a
+         |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+         |  GROUP BY x.query_id)
+         |SELECT query_id, n_exact, n_hit,
+         |  n_hit::DOUBLE / n_exact::DOUBLE AS recall
+         |FROM rec ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 25)
+      Similarity.recallAtK(
+          Similarity.lshTopK(e, qs, "vec_id", "embedding", k = 5, nBits = 8),
+          Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 5))
+        .orderBy(col("query_id"))
+    }
   }
 }

@@ -649,4 +649,31 @@ object Similarity {
         StructField("rank", IntegerType, nullable = false),
         StructField("cosine", DoubleType, nullable = true))))
   }
+
+  /** ANN index quality audit: per-query recall of an approximate top-k
+    * ranking against the exact one — the metric every ANN deployment
+    * must monitor (recall silently degrades as the corpus drifts away
+    * from the index's training/bucketing distribution). Output
+    * (queryCol, n_exact, n_hit, recall); queries the approximate side
+    * missed entirely count as zero hits, not absent rows. Works over any
+    * two (query, neighbor) frames — LSH/IVF/PQ vs brute force, or one
+    * index generation vs the next.
+    *
+    * 100 TB shape: two tiny top-k frames (queries x k rows), one
+    * semi-join-shaped left join keyed on (query, neighbor), one groupBy
+    * — cost scales with the query set, never the corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
+    val q = col(s"`$queryCol`")
+    val nb = col(s"`$neighborCol`")
+    val a = approx.select(q, nb).distinct()
+    val x = exact.select(q, nb).distinct()
+    val hits = x.join(a, Seq(queryCol, neighborCol), "left_semi")
+      .groupBy(q).agg(count(lit(1)).as("n_hit"))
+    x.groupBy(q).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(queryCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
 }

@@ -288,4 +288,21 @@ class SimilaritySpec extends SparkSpecBase {
       .select("mmr_rank").as[Int].collect().sorted
     assert(out.toSeq === (1 to 5)) // 5 candidates (self excluded)
   }
+
+  test("recallAtK: exact hit counting, zero-row approx queries, self-recall 1.0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 12L), (2L, 21L)) // q3 absent entirely
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact)
+      .select("query_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) === ((2L, 2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 1L, 0L, 0.0)), "a missed query is a 0-recall row, not absent")
+    // an index compared against itself is perfect
+    val self = Similarity.recallAtK(exact, exact)
+      .select("recall").as[Double].collect()
+    assert(self.forall(_ === 1.0))
+  }
 }
