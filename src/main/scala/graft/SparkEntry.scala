@@ -3680,5 +3680,40 @@ object SparkEntry {
           Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 5))
         .orderBy(col("query_id"))
     }
+
+    // --- contamination-safe split: hash-assign train/val/test, then drop
+    //     every non-test doc sharing a 5-gram shingle with the test split
+    //     — a same-corpus split otherwise leaks near-dup pairs across the
+    //     boundary and the eval measures memorization. Holdout rows pass
+    //     through untouched (the eval distribution must not move).
+    register("p81_leak_safe_split",
+      s"""WITH a AS (SELECT doc_id, text,
+         |    CASE WHEN bucket < 800000 THEN 'train'
+         |         WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          ('0x' || substring(md5('fold1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |            % 1000000 AS bucket
+         |        FROM documents)),
+         |toks AS (SELECT doc_id, split, $toksLowerSql AS t FROM a),
+         |sh AS (SELECT doc_id, split, list_distinct(
+         |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-3),
+         |              i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS s
+         |  FROM toks),
+         |ex AS (SELECT doc_id, split, unnest(s) AS g FROM sh),
+         |bench AS (SELECT DISTINCT g FROM ex WHERE split = 'test'),
+         |leak AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench b USING (g)
+         |  WHERE e.split != 'test')
+         |SELECT doc_id, split FROM a
+         |WHERE split = 'test' OR doc_id NOT IN (SELECT doc_id FROM leak)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.leakSafeSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "fold1", holdout = "test", shingleN = 5)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -239,4 +239,31 @@ object Splits {
       .filter(col("__best_rn") <= maxPerGroup)
       .drop("__best_rn")
   }
+
+  /** Contamination-safe train/holdout split: [[assignSplit]] by content
+    * hash, then DROP every non-holdout doc sharing >= minHits n-gram
+    * shingles with the holdout split
+    * ([[Decontaminate.removeContaminated]]). Without this pass a
+    * same-corpus split leaks: an exact/near duplicate pair straddles the
+    * boundary with probability ~2p(1-p), and the held-out metric then
+    * measures memorization, not generalization. Dropping from the TRAIN
+    * side (not the holdout) keeps the holdout's sampling distribution
+    * intact — the quantity an eval must preserve.
+    *
+    * 100 TB shape: both stages are the already-audited operators — a
+    * zero-shuffle md5 split filter plus the shingle-hash semi-join whose
+    * shuffles carry hashes, never text. */
+  def leakSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)], salt: String, holdout: String,
+      shingleN: Int = 5, minHits: Long = 1L,
+      splitCol: String = "split"): DataFrame = {
+    require(weights.exists(_._1 == holdout),
+      s"holdout '$holdout' is not one of ${weights.map(_._1)}")
+    val assigned = assignSplit(docs, idCol, weights, salt, splitCol)
+    val hold = assigned.filter(col(s"`$splitCol`") === holdout)
+    val rest = assigned.filter(col(s"`$splitCol`") =!= holdout)
+    Decontaminate.removeContaminated(rest, idCol, textCol, hold, textCol,
+        shingleN, minHits)
+      .unionByName(hold)
+  }
 }

@@ -209,4 +209,31 @@ class SplitsSpec extends SparkSpecBase {
       Splits.keepBestPerGroup(df, "grp", "score", "doc_id", 0)
     }
   }
+
+  test("leakSafeSplit drops the train twin of a boundary-straddling dup; holdout intact") {
+    // many unique docs + one exact-duplicate TEXT planted on every id, so
+    // whichever ids land in 'test', some duplicate pair straddles the split
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((1 to 120).map(i => (i.toLong, s"unique u$i v$i w$i x$i y$i z$i q$i r$i")) ++
+      (200 to 260).map(i => (i.toLong, dupText))).toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.8, "test" -> 0.2)
+    val out = Splits.leakSafeSplit(docs, "doc_id", "text", weights,
+      salt = "s1", holdout = "test", shingleN = 5)
+    val assigned = Splits.assignSplit(docs, "doc_id", weights, salt = "s1")
+    val dupIds = (200L to 260L).toSet
+    val testDups = assigned.filter($"split" === "test")
+      .select("doc_id").as[Long].collect().toSet.intersect(dupIds)
+    assert(testDups.nonEmpty, "fixture must land some dup copies in test")
+    val kept = out.select("doc_id", "split").as[(Long, String)].collect()
+    // every holdout row survives verbatim
+    val heldOut = assigned.filter($"split" === "test").select("doc_id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "test").map(_._1).toSet === heldOut)
+    // NO train copy of the duplicated text survives (it shares all shingles)
+    assert(!kept.exists { case (id, s) => s == "train" && dupIds.contains(id) },
+      "train twins of a test doc must drop")
+    // unique train docs survive untouched
+    assert(kept.count(_._2 == "train") ===
+      assigned.filter($"split" === "train").count() -
+        assigned.filter($"split" === "train").filter($"doc_id".isin(dupIds.toSeq: _*)).count())
+  }
 }
