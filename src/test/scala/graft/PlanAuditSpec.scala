@@ -376,8 +376,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // counts for the integer-micros threshold — a broadcast dim, not a
       // pair blow-up; p74 inherits p41's 1-row vocab-size scalar through
       // the bigram-LM scorer; p78's kept-piece total is the same 1-row
-      // scalar shape
-      "p73_heavy_hitters", "p74_perplexity_prune", "p78_unigram_pieces")
+      // scalar shape; p80's exact side IS p07's brute-force baseline
+      // (broadcast query set by design)
+      "p73_heavy_hitters", "p74_perplexity_prune", "p78_unigram_pieces",
+      "p80_ann_recall")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
