@@ -130,6 +130,77 @@ object Multimodal {
         "struct<format:string,channels:int,sample_rate:int,bits_per_sample:int,n_frames:bigint>"))
   }
 
+  /** Real video metadata from CANONICAL ISO-BMFF (MP4/MOV) headers — no
+    * codec needed: the container's ftyp + moov/mvhd boxes are fixed byte
+    * arithmetic once the layout is the faststart one every web encoder
+    * emits (ftyp first, moov second, mvhd its first child). Dynamic
+    * offsets (substr by a computed Column) handle any ftyp size; both
+    * mvhd versions parse (v0: 32-bit times @+20/+24; v1: 64-bit, the
+    * timescale shifts to +28, duration u64 @+32). Non-canonical layouts
+    * (moov at the tail, free/mdat first) return null and fall through to
+    * a [[MediaDecoder]], the imageDimensions contract. */
+  def videoMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def beAt(off: org.apache.spark.sql.Column, len: Int) =
+      conv(hex(bin.substr(off, lit(len))), 16, 10).cast("long")
+    def hexAt(off: org.apache.spark.sql.Column, len: Int) =
+      hex(bin.substr(off, lit(len)))
+    val ftypSize = beAt(lit(1), 4)
+    val isFtyp = hexAt(lit(5), 4) === "66747970" // "ftyp"
+    val majorBrand = bin.substr(lit(9), lit(4)).cast("string")
+    val moovOff = (ftypSize + 1L).cast("int") // 1-indexed start of box 2
+    val isMoov = hexAt(moovOff + 4, 4) === "6D6F6F76" // "moov"
+    val m = moovOff + 8 // first child box (canonical: mvhd)
+    val isMvhd = hexAt(m + 4, 4) === "6D766864" // "mvhd"
+    val version = beAt(m + 8, 1)
+    val tsV0 = beAt(m + 20, 4)
+    val durV0 = beAt(m + 24, 4)
+    val tsV1 = beAt(m + 28, 4)
+    val durV1 = beAt(m + 32, 8)
+    val ts = when(version === 0, tsV0).otherwise(tsV1)
+    val dur = when(version === 0, durV0).otherwise(durV1)
+    when(isFtyp && isMoov && isMvhd && (version === 0 || version === 1) && ts > 0,
+        struct(lit("mp4").as("format"), majorBrand.as("major_brand"),
+          ts.cast("int").as("timescale"), dur.as("duration"),
+          (dur.cast("double") / ts.cast("double")).as("duration_s")))
+      .otherwise(lit(null).cast(
+        "struct<format:string,major_brand:string,timescale:int,duration:bigint,duration_s:double>"))
+  }
+
+  /** Real MP3 metadata from the MPEG-1 Layer III frame header — byte
+    * arithmetic only: 4 header bytes carry sync, version, layer, bitrate
+    * and sample-rate indices. An ID3v2 tag prefix is skipped via its
+    * synchsafe 28-bit size (the tag every tagger writes); other
+    * prefixes / MPEG-2 / other layers return null (MediaDecoder
+    * fallback). Bitrate/sample-rate decode through the standard MPEG-1
+    * Layer III tables as array literals. */
+  def audioMetaMp3(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def u8(off: org.apache.spark.sql.Column) =
+      conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int")
+    val hasId3 = hex(bin.substr(lit(1), lit(3))) === "494433" // "ID3"
+    // synchsafe u28 at bytes 7..10 (1-indexed), tag header is 10 bytes
+    val tagSize = (shiftleft(u8(lit(7)), 21) + shiftleft(u8(lit(8)), 14) +
+      shiftleft(u8(lit(9)), 7) + u8(lit(10)))
+    val h = when(hasId3, tagSize + 11).otherwise(lit(1)) // 1-indexed header start
+    val b1 = u8(h)
+    val b2 = u8(h + 1)
+    val b3 = u8(h + 2)
+    val sync = b1 === 255 && shiftright(b2, 5) === 7
+    val isMpeg1 = shiftright(b2, 3).bitwiseAND(lit(3)) === 3
+    val isLayer3 = shiftright(b2, 1).bitwiseAND(lit(3)) === 1
+    val brIdx = shiftright(b3, 4)
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3))
+    val bitrates = array((Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320).map(lit)): _*) // idx 15 = bad, guarded below
+    val rates = array(Seq(44100, 48000, 32000).map(lit): _*)
+    when(sync && isMpeg1 && isLayer3 && brIdx > 0 && brIdx < 15 && srIdx < 3,
+        struct(lit("mp3").as("format"),
+          element_at(bitrates, brIdx + 1).as("bitrate_kbps"),
+          element_at(rates, srIdx + 1).as("sample_rate"),
+          hasId3.as("has_id3")))
+      .otherwise(lit(null).cast(
+        "struct<format:string,bitrate_kbps:int,sample_rate:int,has_id3:boolean>"))
+  }
+
   // ------------------------------------------------------------ decoders
 
   /** Byte-payload -> feature-vector decode contract. Real image/audio

@@ -85,6 +85,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(3L) === None)
   }
 
+  test("videoMeta parses canonical MP4 ftyp+moov/mvhd headers, both versions") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Long) = b(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+      ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    val ftyp = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0x200)
+    // v0 mvhd: version+flags, creation, modification, timescale, duration
+    val mvhd0 = be32(108) ++ "mvhd".getBytes("US-ASCII") ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000) ++ Array.fill[Byte](80)(0)
+    val mp4v0 = ftyp ++ (be32(8 + mvhd0.length) ++ "moov".getBytes("US-ASCII") ++ mvhd0)
+    // v1 mvhd: 64-bit creation/modification/duration, timescale still u32
+    val mvhd1 = be32(120) ++ "mvhd".getBytes("US-ASCII") ++ b(1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(90000) ++ be64(450000L) ++ Array.fill[Byte](80)(0)
+    val mp4v1 = ftyp ++ (be32(8 + mvhd1.length) ++ "moov".getBytes("US-ASCII") ++ mvhd1)
+    // mdat-first (no faststart): canonical parser must refuse
+    val tail = ftyp ++ (be32(16) ++ "mdat".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+    val df = Seq((1L, mp4v0), (2L, mp4v1), (3L, tail),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+      .withColumn("m", Multimodal.videoMeta(col("media")))
+    val got = df.select(col("id"), col("m.format"), col("m.major_brand"),
+        col("m.timescale"), col("m.duration"), col("m.duration_s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).map(f =>
+        (f, r.getString(2), r.getInt(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === Some(("mp4", "isom", 1000, 5000L, 5.0)))
+    assert(got(2L) === Some(("mp4", "isom", 90000, 450000L, 5.0)))
+    assert(got(3L) === None)
+    assert(got(4L) === None)
+  }
+
+  test("audioMetaMp3 parses MPEG-1 Layer III headers, with and without an ID3v2 tag") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 0xFF 0xFB: sync + MPEG-1 + Layer III; 0x90: bitrate idx 9 (128k), 44100
+    val frame = b(0xFF, 0xFB, 0x90, 0x00) ++ Array.fill[Byte](16)(0)
+    // ID3v2 header: "ID3", v2.3, flags 0, synchsafe size 10 -> audio at 21
+    val tagged = b(0x49, 0x44, 0x33, 3, 0, 0, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0) ++ frame
+    val mpeg2 = b(0xFF, 0xF3, 0x90, 0x00) // version bits 10 = MPEG-2: refuse
+    val df = Seq((1L, frame), (2L, tagged), (3L, mpeg2),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+      .withColumn("m", Multimodal.audioMetaMp3(col("media")))
+    val got = df.select(col("id"), col("m.format"), col("m.bitrate_kbps"),
+        col("m.sample_rate"), col("m.has_id3"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).map(f =>
+        (f, r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === Some(("mp3", 128, 44100, false)))
+    assert(got(2L) === Some(("mp3", 128, 44100, true)))
+    assert(got(3L) === None)
+    assert(got(4L) === None)
+  }
+
   test("FakeDecoder is deterministic; decodeFeatures appends array<float>") {
     val dec = new Multimodal.FakeDecoder(8)
     val bytes = "some media payload".getBytes("UTF-8")
