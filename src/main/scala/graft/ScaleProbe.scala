@@ -43,6 +43,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val r = args.lift(1).map(_.toInt).getOrElse(8)
+    require(r >= 2 && r <= 20,
+      s"replicas must be in [2, 20] (salt chars and alphabet blocks), got $r")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.read(spark, sfDir, "documents")
