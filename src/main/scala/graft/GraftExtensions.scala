@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   // or spark.sql.extensions=graft.GraftExtensions  // config-driven
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     org.apache.spark.sql.graft.GraftFunctions.functions.foreach(ext.injectFunction)
+    // O(d·n) banded rewrite for levenshtein-threshold filters
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.BandedLevenshtein)
+  }
 }

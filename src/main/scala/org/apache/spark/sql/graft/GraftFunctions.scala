@@ -78,8 +78,14 @@ object GraftFunctions {
     fn("graft_domain", 1, graft.operators.Urls.getClass)(cs =>
       asExpr(graft.operators.Urls.normalizedDomain(asCol(cs.head)))))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // running-session twin of GraftExtensions' injectOptimizerRule
+    if (!spark.experimental.extraOptimizations.contains(BandedLevenshtein)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedLevenshtein
+    }
+  }
 }

@@ -86,4 +86,34 @@ class GraftExtensionsSpec extends SparkSpecBase {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     ext(e) // must not throw; full session-creation path needs a fresh JVM
   }
+
+  test("levenshtein threshold filters rewrite to the banded O(d*n) form") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // parquet-backed: an in-memory LocalRelation would constant-fold the
+    // whole filter away before the rewrite could be observed
+    testdata("sf0.001", "documents").createOrReplaceTempView("lv_docs")
+    def opt(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    val expected = spark.sql(
+      "SELECT doc_id FROM lv_docs WHERE levenshtein(substring(text, 1, 12), " +
+        "'the fast key', 2) >= 0").as[Long].collect().sorted.toSeq
+    assert(expected.nonEmpty, "probe literal matches nothing — pick another prefix")
+    // all four literal/comparison shapes pick up the threshold argument
+    for ((q, d) <- Seq(
+        ("SELECT doc_id FROM lv_docs WHERE levenshtein(substring(text, 1, 12), 'the fast key') <= 2", 2),
+        ("SELECT doc_id FROM lv_docs WHERE levenshtein(substring(text, 1, 12), 'the fast key') < 3", 2),
+        ("SELECT doc_id FROM lv_docs WHERE 2 >= levenshtein(substring(text, 1, 12), 'the fast key')", 2),
+        ("SELECT doc_id FROM lv_docs WHERE 3 > levenshtein(substring(text, 1, 12), 'the fast key')", 2))) {
+      val p = opt(q)
+      assert(p.contains(s"Some($d)) >= 0"), s"$q did not rewrite:\n$p")
+      assert(spark.sql(q).as[Long].collect().sorted.toSeq === expected, q)
+    }
+    // a negative threshold must NOT rewrite (banded needs d >= 0)
+    assert(!opt("SELECT doc_id FROM lv_docs WHERE levenshtein(text, 'x') <= -1")
+      .contains("Some(-1)"))
+    // explicit banded calls are untouched
+    assert(opt("SELECT doc_id FROM lv_docs WHERE levenshtein(text, 'x', 2) >= 0")
+      .contains("Some(2)) >= 0"))
+  }
 }
