@@ -3715,5 +3715,28 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }
+
+    // --- per-GROUP heavy hitters (per-source template detection — a
+    //     corpus-relative cut would drown small sources): tokens covering
+    //     >= 1% of their own source's occurrence mass, via the grouped
+    //     Misra–Gries nomination + candidate-only recount. Direct-
+    //     contract oracle per group.
+    register("p82_heavy_by_group",
+      s"""WITH tok AS (SELECT source, unnest($toksLowerSql) AS token FROM documents),
+         |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |  FROM tok GROUP BY source, token),
+         |nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+         |  FROM tok GROUP BY source)
+         |SELECT source, token, n_occ, n_total FROM c JOIN nt USING (source)
+         |WHERE n_occ * 1000000 >= n_total * 10000
+         |ORDER BY source, token""".stripMargin) { (s, dir) =>
+      graft.operators.Sketch.heavyHittersByGroup(
+          graft.operators.Dedup.shingleRows(t(s, dir, "documents"), "doc_id",
+            "text", 1, carryCols = Seq("source"))
+            .select(col("source"), col("shingle").as("token")),
+          "source", "token", minFraction = 0.01)
+        .select(col("source"), col("token"), col("count").as("n_occ"), col("n_total"))
+        .orderBy(col("source"), col("token"))
+    }
   }
 }

@@ -358,4 +358,65 @@ object Sketch {
       .filter(col("count") * 1000000L >= col("n_total") * fMicro)
       .select(col("__key").as(keyCol), col("count"), col("n_total"))
   }
+
+  /** [[heavyHitters]] PER GROUP: every (group, key) with count >=
+    * minFraction of ITS GROUP's occurrence mass — per-domain boilerplate
+    * / per-source template detection, where a corpus-relative cut would
+    * drown small sources. Same two-phase shape: the partition pass keeps
+    * an independent Misra–Gries summary of `summarySize` counters per
+    * group seen in that partition (memory k x groups-per-partition), so
+    * the per-group guarantee holds by the same averaging argument over
+    * that group's partition-local masses; the exact recount then shuffles
+    * candidate occurrences only, and group totals are one tiny aggregate
+    * joined back. Group and key evaluate as strings in the summary pass
+    * (the Dataset encoding); output preserves the string forms. */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      minFraction: Double, summarySize: Int = 0,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"minFraction must be in (0,1], got $minFraction")
+    val fMicro = math.round(minFraction * 1e6)
+    require(fMicro >= 1L,
+      s"minFraction $minFraction rounds to 0 micros — the integer-micros " +
+        "threshold contract needs >= 1e-6")
+    val k = if (summarySize > 0) summarySize else (1000000L / fMicro + 1L).toInt
+    require((k + 1).toLong * fMicro > 1000000L,
+      s"summarySize $k cannot guarantee fraction $minFraction " +
+        s"(Misra–Gries catches count > N_group/(k+1): need (k+1)·fraction > 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = stager.stage(
+      df.select(col(s"`$groupCol`").cast("string").as("__grp"),
+          col(s"`$keyCol`").cast("string").as("__key"))
+        .filter(col("__grp").isNotNull && col("__key").isNotNull),
+      s"hhg_keys_${java.util.UUID.randomUUID().toString.take(8)}")
+    val candidates = keys.as[(String, String)].mapPartitions { it =>
+      val perGroup = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      it.foreach { case (g, key) =>
+        val counters = perGroup.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        counters.get(key) match {
+          case Some(c) => counters(key) = c + 1L
+          case None if counters.size < k => counters(key) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { kk =>
+              val c = counters(kk) - 1L
+              if (c == 0L) dead += kk else counters(kk) = c
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      perGroup.iterator.flatMap { case (g, cs) => cs.keysIterator.map(g -> _) }
+    }.toDF("__grp", "__key").distinct()
+    val totals = keys.groupBy(col("__grp")).agg(count(lit(1)).as("n_total"))
+    keys.join(broadcast(candidates), Seq("__grp", "__key"))
+      .groupBy(col("__grp"), col("__key"))
+      .agg(count(lit(1)).as("count"))
+      .join(totals, Seq("__grp")) // one row per group; AQE broadcasts
+      .filter(col("count") * 1000000L >= col("n_total") * fMicro)
+      .select(col("__grp").as(groupCol), col("__key").as(keyCol),
+        col("count"), col("n_total"))
+  }
 }

@@ -219,6 +219,30 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped heavy hitters are exact per group under eviction, any partitioning") {
+    // group a: zipf-ish over 40 keys; group b: uniform over 6 keys, plus
+    // key k1 which is heavy in a but a singleton in b (group isolation)
+    val rows = (1 to 40).flatMap(i => Seq.fill(400 / i)(("a", s"k$i"))) ++
+      (1 to 6).flatMap(i => Seq.fill(30)(("b", s"u$i"))) :+ (("b", "k1"))
+    val shuffled = new scala.util.Random(13).shuffle(rows)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nA = rows.count(_._1 == "a").toLong
+    val nB = rows.count(_._1 == "b").toLong
+    val want = truth.filter { case ((g, _), c) =>
+      c * 1000000L >= (if (g == "a") nA else nB) * 100000L }
+      .map { case ((g, key), c) => (g, key) -> c }
+    assert(want.exists(_._1._1 == "b") && want.exists(_._1._1 == "a"))
+    assert(!want.contains(("b", "k1")), "k1 must not leak b-side heaviness from a")
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketch.heavyHittersByGroup(
+          shuffled.toDF("g", "key").repartition(parts), "g", "key",
+          minFraction = 0.1, summarySize = 10)
+        .select("g", "key", "count").as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   test("heavy hitters guard rails: fraction range and summary-size guarantee") {
     val df = Seq("a", "b").toDF("key")
     intercept[IllegalArgumentException] {
