@@ -105,4 +105,46 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(pairs.columns.toSeq === Seq("id_a", "id_b", "cosine"))
     assert(pairs.count() === 0)
   }
+
+  test("round-9 continuation operators tolerate empty input (operator-level APIs)") {
+    import spark.implicits._
+    val emptyDocs = spark.read.parquet(s"$emptyDir/documents.parquet")
+    val emptyKeys = emptyDocs.select($"doc_id", $"text".as("k"))
+    assert(graft.operators.Dedup.editDistancePairs(emptyKeys, "doc_id", "k", 2)
+      .count() === 0)
+    assert(graft.operators.Sketch.heavyHitters(
+      emptyDocs.select($"text".as("key")), "key", 0.01).count() === 0)
+    assert(graft.operators.Sketch.heavyHittersByGroup(
+      emptyDocs.select($"source", $"text".as("key")), "source", "key", 0.01)
+      .count() === 0)
+    assert(graft.operators.Curation.keepScoreBand(
+      emptyDocs.select($"doc_id", $"source", lit(1.0).as("s")),
+      "doc_id", "source", "s").count() === 0)
+    assert(graft.operators.Profile.calibrateByGroup(
+      emptyDocs.select($"doc_id", $"source", $"n_chars"),
+      "source", "n_chars", "doc_id").count() === 0)
+    assert(graft.operators.Profile.zipfFit(emptyDocs, "source", "text").count() === 0)
+    assert(graft.operators.Dedup.nearDupPairsAgainstIndex(
+      emptyDocs, emptyDocs, "doc_id", "text").count() === 0)
+    assert(graft.operators.Similarity.recallAtK(
+      spark.emptyDataset[(Long, Long)].toDF("query_id", "neighbor_id"),
+      spark.emptyDataset[(Long, Long)].toDF("query_id", "neighbor_id"))
+      .count() === 0)
+    // z-order on empty input: the 1-row stats frame carries nulls, which
+    // bucket to 0 — zero output rows, no crash
+    assert(graft.operators.Sink.withZOrder(
+      emptyDocs.select($"doc_id", $"n_chars"), Seq("doc_id", "n_chars"))
+      .count() === 0)
+    // unigram: empty corpus -> empty piece table -> encode REFUSES loudly
+    // (an empty vocabulary cannot segment anything)
+    val pieces = graft.operators.Vocab.unigramPieces(emptyDocs, "text")
+    assert(pieces.count() === 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Vocab.unigramEncode(emptyDocs, "doc_id", "text", pieces)
+    }
+    // leak-safe split of an empty corpus: empty, not a crash
+    assert(graft.operators.Splits.leakSafeSplit(
+      emptyDocs.select($"doc_id", $"text"), "doc_id", "text",
+      Seq("train" -> 0.9, "test" -> 0.1), "s", "test").count() === 0)
+  }
 }
