@@ -45,6 +45,12 @@ object ScaleProbe {
     val r = args.lift(1).map(_.toInt).getOrElse(8)
     require(r >= 2 && r <= 20,
       s"replicas must be in [2, 20] (salt chars and alphabet blocks), got $r")
+    // the heavy-hitters leg scales its 80-micro base fraction by 1/R in
+    // INTEGER micros; a non-divisor R would round the per-replica cut and
+    // silently break the documented rows-exactly-Rx invariant
+    require(80 % r == 0,
+      s"replicas must divide 80 (exact integer-micro heavy-hitter cut: " +
+        s"80µ/R), got $r — use 2, 4, 5, 8, 10, 16 or 20")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.read(spark, sfDir, "documents")

@@ -1057,6 +1057,11 @@ object Dedup {
       .select(col("gram"), col("ndocs"), col("rank"))
   }
 
+  /** ALL embedding pairs >= threshold via an O(n^2) cross join — the
+    * brute-force REFERENCE for [[nearDupPairsEmbeddingLsh]]'s recall
+    * tests, like [[jaccardPairsExact]]. Tests and small blocks only:
+    * never run this at corpus scale — use the SRP-LSH variant, which
+    * buckets the pair space and verifies candidates exactly. */
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol).as("__v"))

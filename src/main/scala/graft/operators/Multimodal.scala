@@ -158,7 +158,13 @@ object Multimodal {
     val durV1 = beAt(m + 32, 8)
     val ts = when(version === 0, tsV0).otherwise(tsV1)
     val dur = when(version === 0, durV0).otherwise(durV1)
-    when(isFtyp && isMoov && isMvhd && (version === 0 || version === 1) && ts > 0,
+    // ISO-BMFF 'unknown duration' sentinel: all-ones (0xFFFFFFFF in v0;
+    // 2^64-1 in v1, which wraps NEGATIVE through the long cast). A sentinel
+    // is not a real duration -- refuse and fall through to the MediaDecoder
+    // like any other non-canonical layout.
+    val durKnown = when(version === 0, durV0 =!= 4294967295L).otherwise(dur >= 0L)
+    when(isFtyp && isMoov && isMvhd && (version === 0 || version === 1) && ts > 0 &&
+        durKnown,
         struct(lit("mp4").as("format"), majorBrand.as("major_brand"),
           ts.cast("int").as("timescale"), dur.as("duration"),
           (dur.cast("double") / ts.cast("double")).as("duration_s")))

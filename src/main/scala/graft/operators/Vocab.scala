@@ -242,7 +242,9 @@ object Vocab {
       val ranks = bc.value
       it.map { row =>
         val text = if (row.isNullAt(1)) "" else row.getString(1)
-        val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        // Locale.ROOT: match Spark's locale-independent lower() that built
+        // the merge/piece tables (default-locale lowercase diverges under tr_TR)
+        val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         val subs = words.flatMap(w => encodeWord(w, ranks)).toSeq
         Row(row.get(0), subs, subs.size)
       }
@@ -349,7 +351,9 @@ object Vocab {
       val t = bc.value
       it.map { row =>
         val text = if (row.isNullAt(1)) "" else row.getString(1)
-        val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        // Locale.ROOT: match Spark's locale-independent lower() that built
+        // the merge/piece tables (default-locale lowercase diverges under tr_TR)
+        val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         var score = 0.0
         val subs = words.flatMap { w =>
           val ps = encodeWord(w, t)

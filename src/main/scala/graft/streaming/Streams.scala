@@ -205,7 +205,9 @@ object Streams {
     // per-row replay of the batch pipeline: shingles -> (c1, c2) from the
     // md5 hex windows -> min over the linear family -> band buckets
     val streamBuckets = docs.flatMap { case (id, text) =>
-      val toks = Option(text).getOrElse("").toLowerCase
+      // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+      // lowercase would break stream/batch bit-parity under e.g. tr_TR
+      val toks = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
         .split("\\s+").filter(_.nonEmpty)
       if (toks.length < shingleN || id == null) Iterator.empty
       else {

@@ -101,8 +101,17 @@ class MultimodalSpec extends SparkSpecBase {
     val mp4v1 = ftyp ++ (be32(8 + mvhd1.length) ++ "moov".getBytes("US-ASCII") ++ mvhd1)
     // mdat-first (no faststart): canonical parser must refuse
     val tail = ftyp ++ (be32(16) ++ "mdat".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+    // all-ones duration = the ISO-BMFF "unknown duration" sentinel: refuse
+    // (v0: 0xFFFFFFFF; v1: 2^64-1, negative/overflowed through the long cast)
+    val mvhdU0 = be32(108) ++ "mvhd".getBytes("US-ASCII") ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(0xFFFFFFFFL) ++ Array.fill[Byte](80)(0)
+    val mp4u0 = ftyp ++ (be32(8 + mvhdU0.length) ++ "moov".getBytes("US-ASCII") ++ mvhdU0)
+    val mvhdU1 = be32(120) ++ "mvhd".getBytes("US-ASCII") ++ b(1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(90000) ++ Array.fill[Byte](8)(0xFF.toByte) ++
+      Array.fill[Byte](80)(0)
+    val mp4u1 = ftyp ++ (be32(8 + mvhdU1.length) ++ "moov".getBytes("US-ASCII") ++ mvhdU1)
     val df = Seq((1L, mp4v0), (2L, mp4v1), (3L, tail),
-      (4L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+      (4L, "junk".getBytes("UTF-8")), (5L, mp4u0), (6L, mp4u1)).toDF("id", "media")
       .withColumn("m", Multimodal.videoMeta(col("media")))
     val got = df.select(col("id"), col("m.format"), col("m.major_brand"),
         col("m.timescale"), col("m.duration"), col("m.duration_s"))
@@ -112,6 +121,8 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(2L) === Some(("mp4", "isom", 90000, 450000L, 5.0)))
     assert(got(3L) === None)
     assert(got(4L) === None)
+    assert(got(5L) === None)
+    assert(got(6L) === None)
   }
 
   test("audioMetaMp3 parses MPEG-1 Layer III headers, with and without an ID3v2 tag") {
