@@ -285,31 +285,40 @@ object Sketch {
       .drop("sample")
 
   // ------------------------------------------------------------ heavy hitters
-
   /** EXACT heavy hitters — every key with count >= minFraction·N — without
     * shuffling the long tail. The naive plan groupBy-counts EVERY distinct
     * key (a corpus-vocabulary-sized shuffle: at 100 TB, billions of
     * singleton keys cross the wire to be discarded by the HAVING). Here a
     * per-partition Misra–Gries summary (FOCS 1982; `summarySize` counters,
     * decrement-all on overflow) nominates candidates map-side with ZERO
-    * shuffle: any key with global count > N/(k+1) must exceed its local
-    * n_p/(k+1) bound in at least one partition (averaging argument), so
-    * the union of partition summaries is a superset of every qualifying
-    * key whenever (k+1)·minFraction > 1 — enforced by a require. An exact
-    * recount restricted to the candidate set (broadcast join — at most
-    * k·numPartitions keys, and only candidate occurrences shuffle) then
-    * makes the output exact and deterministic: partitioning can change
-    * WHICH extra candidates are nominated, never the final rows.
+    * corpus shuffle, then the partition summaries are MERGED down to ONE
+    * k-sized summary before the recount (mergeable summaries, Agarwal et
+    * al. PODS 2012): sum the nominated counters per key, subtract the
+    * (k+1)-th largest merged estimate d from all, keep the > 0 survivors —
+    * at most k candidates TOTAL, independent of partition count. The
+    * guarantee is the weight-destruction argument: each decrement-all
+    * destroys k+1 units of count mass, the final subtraction destroys at
+    * least (k+1)·d (the top k+1 merged counters each lose d), and at most
+    * N units exist — so any key's total underestimate is <= N/(k+1), and
+    * every key with true count > N/(k+1) survives with estimate > d
+    * (enforced by the (k+1)·fraction > 1 require). An exact recount
+    * restricted to the candidate set then makes the output exact and
+    * deterministic: partitioning can change WHICH extra candidates are
+    * nominated, never the final rows.
     *
     * Output: (keyCol, count, n_total), count >= ceil(minFraction·N) in
     * integer-micros arithmetic (count·1e6 >= N·round(f·1e6) — the same
     * no-float-ceil rule as the prefix joins).
     *
-    * 100 TB shape: one narrow scan per pass (candidates, recount) over the
-    * staged key stream; the only shuffle is the candidate-only groupBy.
-    * The summary pass is mapPartitions (off codegen) but holds k counters
-    * and does O(1) amortized work per row — each decrement-all cancels k
-    * prior increments. */
+    * 100 TB shape: one narrow scan per pass (summaries, recount) over the
+    * staged key stream; the summary-merge shuffle moves only nominated
+    * (key, counter) rows (<= k per partition), the (k+1)-th largest is a
+    * distributed TakeOrdered (k+1 longs on the driver), and the recount
+    * joins against <= k candidate keys — broadcast below the 2^20 bound,
+    * shuffle-join (AQE's call) above it, so no driver-side set ever
+    * scales with partition count. The summary pass is mapPartitions (off
+    * codegen) but holds k counters and does O(1) amortized work per row —
+    * each decrement-all cancels k prior increments. */
   def heavyHitters(df: DataFrame, keyCol: String, minFraction: Double,
       summarySize: Int = 0, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(minFraction > 0.0 && minFraction <= 1.0,
@@ -328,12 +337,34 @@ object Sketch {
         s"(Misra–Gries catches count > N/(k+1): need (k+1)·fraction > 1)")
     val spark = df.sparkSession
     import spark.implicits._
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     // staged: the key stream feeds the summary pass, the total and the recount
     val keys = stager.stage(
       df.select(col(s"`$keyCol`").cast("string").as("__key"))
         .filter(col("__key").isNotNull),
-      s"hh_keys_${java.util.UUID.randomUUID().toString.take(8)}")
-    val candidates = keys.as[String].mapPartitions { it =>
+      s"hh_keys_$runId")
+    val candidates = mgCandidates(keys, k, stager, runId)
+    val total = keys.groupBy().agg(count(lit(1)).as("n_total"))
+    // <= k candidate keys: broadcast when that is sanely small, otherwise
+    // leave the join strategy to AQE (a 2^20+-key broadcast would strain
+    // driver/executor memory for no win over a shuffle join)
+    val candSide = if (k <= (1 << 20)) broadcast(candidates) else candidates
+    keys.join(candSide, Seq("__key"))
+      .groupBy(col("__key"))
+      .agg(count(lit(1)).as("count"))
+      .crossJoin(broadcast(total)) // 1-row frame: a broadcast dim, not a blow-up
+      .filter(col("count") * 1000000L >= col("n_total") * fMicro)
+      .select(col("__key").as(keyCol), col("count"), col("n_total"))
+  }
+
+  /** The candidate half of [[heavyHitters]], separated so specs can audit
+    * the <= k bound directly: per-partition Misra–Gries summaries, counter
+    * sums per key, minus the (k+1)-th largest sum — at most k rows. */
+  private[graft] def mgCandidates(keys: DataFrame, k: Int, stager: Stager,
+      runId: String): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val summaries = keys.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { key =>
         counters.get(key) match {
@@ -348,30 +379,54 @@ object Sketch {
             dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("__key").distinct()
-    val total = keys.groupBy().agg(count(lit(1)).as("n_total"))
-    keys.join(broadcast(candidates), Seq("__key"))
-      .groupBy(col("__key"))
-      .agg(count(lit(1)).as("count"))
-      .crossJoin(broadcast(total)) // 1-row frame: a broadcast dim, not a blow-up
-      .filter(col("count") * 1000000L >= col("n_total") * fMicro)
-      .select(col("__key").as(keyCol), col("count"), col("n_total"))
+      counters.iterator
+    }.toDF("__key", "__cnt")
+    // staged: the merged estimates feed both the TakeOrdered d and the
+    // trim filter — unstaged, the summary pass would run twice
+    val merged = stager.stage(
+      summaries.groupBy(col("__key")).agg(sum(col("__cnt")).as("__est")),
+      s"hh_merged_$runId")
+    // d = the (k+1)-th largest merged estimate: distributed TakeOrdered,
+    // k+1 longs on the driver (bounded by the require'd k, never by the
+    // partition count)
+    val top = merged.orderBy(col("__est").desc).limit(k + 1)
+      .select(col("__est")).as[Long].collect()
+    val d = if (top.length == k + 1) top.min else 0L
+    merged.filter(col("__est") > d).select(col("__key"))
   }
 
   /** [[heavyHitters]] PER GROUP: every (group, key) with count >=
     * minFraction of ITS GROUP's occurrence mass — per-domain boilerplate
     * / per-source template detection, where a corpus-relative cut would
-    * drown small sources. Same two-phase shape: the partition pass keeps
-    * an independent Misra–Gries summary of `summarySize` counters per
-    * group seen in that partition (memory k x groups-per-partition), so
-    * the per-group guarantee holds by the same averaging argument over
-    * that group's partition-local masses; the exact recount then shuffles
-    * candidate occurrences only, and group totals are one tiny aggregate
-    * joined back. Group and key evaluate as strings in the summary pass
-    * (the Dataset encoding); output preserves the string forms. */
+    * drown small sources. Same shape, with two group-dimension bounds the
+    * flat operator doesn't need:
+    *
+    *  - the partition pass keeps an independent Misra–Gries summary per
+    *    group but caps TOTAL tracked counters at `maxTrackedCounters`,
+    *    evicting the least-recently-touched group's summary into the
+    *    output stream when the cap bites — partition memory is
+    *    O(maxTrackedCounters) no matter how many groups a partition sees.
+    *    Eviction splits a group's partition stream into segments, and the
+    *    union of segment summaries still nominates every qualifying key:
+    *    a key with frequency >= f over the group has frequency >= f in at
+    *    least one segment (averaging), and counter mass is EMITTED on
+    *    eviction, never destroyed.
+    *  - the segment summaries are merged per (group, key) and trimmed per
+    *    group by the (k+1)-th largest merged estimate (row_number over
+    *    the summary-sized frame — never the corpus), the same
+    *    weight-destruction argument as [[heavyHitters]] applied within
+    *    each group's n_g — so the candidate set is <= k PER GROUP.
+    *
+    * The exact recount then joins candidate occurrences with no broadcast
+    * hint: candidates scale with k·n_groups, so AQE broadcasts when they
+    * are small and falls back to a shuffle join when the group dimension
+    * is large (the old unconditional broadcast was the one driver-side
+    * bottleneck in this family). Group and key evaluate as strings in the
+    * summary pass (the Dataset encoding); output preserves the string
+    * forms. */
   def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
       minFraction: Double, summarySize: Int = 0,
+      maxTrackedCounters: Int = 1 << 20,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(minFraction > 0.0 && minFraction <= 1.0,
       s"minFraction must be in (0,1], got $minFraction")
@@ -383,40 +438,110 @@ object Sketch {
     require((k + 1).toLong * fMicro > 1000000L,
       s"summarySize $k cannot guarantee fraction $minFraction " +
         s"(Misra–Gries catches count > N_group/(k+1): need (k+1)·fraction > 1)")
+    require(k <= maxTrackedCounters,
+      s"maxTrackedCounters ($maxTrackedCounters) must admit one full " +
+        s"summary of $k counters")
     val spark = df.sparkSession
     import spark.implicits._
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     val keys = stager.stage(
       df.select(col(s"`$groupCol`").cast("string").as("__grp"),
           col(s"`$keyCol`").cast("string").as("__key"))
         .filter(col("__grp").isNotNull && col("__key").isNotNull),
-      s"hhg_keys_${java.util.UUID.randomUUID().toString.take(8)}")
-    val candidates = keys.as[(String, String)].mapPartitions { it =>
-      val perGroup = scala.collection.mutable.HashMap
-        .empty[String, scala.collection.mutable.HashMap[String, Long]]
-      it.foreach { case (g, key) =>
-        val counters = perGroup.getOrElseUpdate(g,
-          scala.collection.mutable.HashMap.empty[String, Long])
-        counters.get(key) match {
-          case Some(c) => counters(key) = c + 1L
-          case None if counters.size < k => counters(key) = 1L
-          case None =>
-            val dead = List.newBuilder[String]
-            counters.keysIterator.foreach { kk =>
-              val c = counters(kk) - 1L
-              if (c == 0L) dead += kk else counters(kk) = c
-            }
-            dead.result().foreach(counters.remove)
-        }
-      }
-      perGroup.iterator.flatMap { case (g, cs) => cs.keysIterator.map(g -> _) }
-    }.toDF("__grp", "__key").distinct()
+      s"hhg_keys_$runId")
+    val candidates = mgCandidatesByGroup(keys, k, maxTrackedCounters, stager, runId)
     val totals = keys.groupBy(col("__grp")).agg(count(lit(1)).as("n_total"))
-    keys.join(broadcast(candidates), Seq("__grp", "__key"))
+    keys.join(candidates, Seq("__grp", "__key")) // <= k per group; AQE picks the strategy
       .groupBy(col("__grp"), col("__key"))
       .agg(count(lit(1)).as("count"))
       .join(totals, Seq("__grp")) // one row per group; AQE broadcasts
       .filter(col("count") * 1000000L >= col("n_total") * fMicro)
       .select(col("__grp").as(groupCol), col("__key").as(keyCol),
         col("count"), col("n_total"))
+  }
+
+  /** The candidate half of [[heavyHittersByGroup]], separated so specs
+    * can audit the <= k-per-group bound and the eviction path directly. */
+  private[graft] def mgCandidatesByGroup(keys: DataFrame, k: Int,
+      maxTrackedCounters: Int, stager: Stager, runId: String): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val summaries = keys.as[(String, String)].mapPartitions { it =>
+      // access-order map: iteration head = least-recently-touched group
+      val perGroup = new java.util.LinkedHashMap[
+        String, scala.collection.mutable.HashMap[String, Long]](16, 0.75f, true)
+      var tracked = 0L
+      val out = scala.collection.mutable.Queue.empty[(String, String, Long)]
+      def evictEldest(): Unit = {
+        val eldest = perGroup.keySet().iterator().next()
+        val cs = perGroup.remove(eldest)
+        tracked -= cs.size
+        cs.foreach { case (kk, c) => out.enqueue((eldest, kk, c)) }
+      }
+      def step(g: String, key: String): Unit = {
+        var counters = perGroup.get(g)
+        if (counters == null) {
+          counters = scala.collection.mutable.HashMap.empty[String, Long]
+          perGroup.put(g, counters)
+        }
+        counters.get(key) match {
+          case Some(c) => counters(key) = c + 1L
+          case None if counters.size < k =>
+            counters(key) = 1L
+            tracked += 1L
+            while (tracked > maxTrackedCounters && perGroup.size() > 1)
+              evictEldest()
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { kk =>
+              val c = counters(kk) - 1L
+              if (c == 0L) dead += kk else counters(kk) = c
+            }
+            val d = dead.result()
+            tracked -= d.size
+            d.foreach(counters.remove)
+        }
+      }
+      new Iterator[(String, String, Long)] {
+        private var flushed = false
+        def hasNext: Boolean = {
+          while (out.isEmpty && it.hasNext) {
+            val (g, key) = it.next()
+            step(g, key)
+          }
+          if (out.isEmpty && !flushed) {
+            flushed = true
+            // entry iteration, NOT get(): with accessOrder=true a get()
+            // reorders the access list mid-iteration (CME)
+            val es = perGroup.entrySet().iterator()
+            while (es.hasNext) {
+              val e = es.next()
+              e.getValue.foreach { case (kk, c) => out.enqueue((e.getKey, kk, c)) }
+            }
+            perGroup.clear()
+          }
+          out.nonEmpty
+        }
+        def next(): (String, String, Long) = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.dequeue()
+        }
+      }
+    }.toDF("__grp", "__key", "__cnt")
+    val merged = stager.stage(
+      summaries.groupBy(col("__grp"), col("__key"))
+        .agg(sum(col("__cnt")).as("__est")),
+      s"hhg_merged_$runId")
+    // per-group trim: subtract the (k+1)-th largest merged estimate of the
+    // group (row_number over the SUMMARY frame — bounded by nominations,
+    // never corpus-sized); groups with <= k merged keys keep everything
+    val win = Window.partitionBy(col("__grp"))
+      .orderBy(col("__est").desc, col("__key"))
+    val dPerGroup = merged.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") === k + 1)
+      .select(col("__grp"), col("__est").as("__d"))
+    merged.join(dPerGroup, Seq("__grp"), "left")
+      .filter(col("__est") > coalesce(col("__d"), lit(0L)))
+      .select(col("__grp"), col("__key"))
   }
 }

@@ -243,6 +243,59 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("merged summaries bound the candidate set by k, any partition count") {
+    // 64 partitions each nominate up to k keys under constant eviction
+    // churn; the pre-merge design shipped up to k·64 candidates to the
+    // recount — the merged-and-trimmed summary must hold <= k TOTAL while
+    // still nominating every true heavy hitter
+    val rows = (1 to 200).flatMap(i => Seq.fill(if (i <= 3) 500 else 7)(s"k$i"))
+    val shuffled = new scala.util.Random(11).shuffle(rows).toDF("key").repartition(64)
+    val k = 12
+    val keys = shuffled.select(col("key").cast("string").as("__key"))
+    val cands = Sketch.mgCandidates(keys, k,
+      graft.operators.Stager.LocalCheckpoint, "spec")
+    assert(cands.count() <= k, "candidate set must be <= k after the merge trim")
+    val n = rows.size.toLong
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 1000000L >= n * 100000L }.toMap
+    assert(exact.nonEmpty && exact.size <= k)
+    val got = Sketch.heavyHitters(shuffled, "key", minFraction = 0.1, summarySize = k)
+      .select("key", "count").as[(String, Long)].collect().toMap
+    assert(got === exact)
+  }
+
+  test("grouped heavy hitters stay exact and k-bounded when the counter cap evicts groups") {
+    // 50 groups interleaved round-robin so the LRU cap (16 counters ~ 2-3
+    // live group summaries) evicts on nearly every row; eviction segments
+    // each group's stream, and the per-(group,key) merge must still
+    // nominate every qualifying key with <= k candidates per group
+    val rows = (0 until 6000).map { i =>
+      val g = s"g${i % 50}"
+      val key = if ((i / 50) % 10 < 4) "hot" else s"t${(i / 50) % 17}"
+      (g, key)
+    }
+    val df = rows.toDF("g", "key").repartition(7)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val groupN = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = truth.filter { case ((g, _), c) =>
+      c * 1000000L >= groupN(g) * 200000L }
+      .map { case ((g, key), c) => (g, key) -> c }
+    assert(want.nonEmpty, "fixture must contain per-group heavy keys")
+    val k = 5
+    val keys = df.select(col("g").cast("string").as("__grp"),
+      col("key").cast("string").as("__key"))
+    val cands = Sketch.mgCandidatesByGroup(keys, k, maxTrackedCounters = 16,
+      graft.operators.Stager.LocalCheckpoint, "spec")
+    val maxPerGroup = cands.groupBy("__grp").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).as[Long].head()
+    assert(maxPerGroup <= k, s"candidates per group must be <= k, got $maxPerGroup")
+    val got = Sketch.heavyHittersByGroup(df, "g", "key", minFraction = 0.2,
+        summarySize = k, maxTrackedCounters = 16)
+      .select("g", "key", "count").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === want)
+  }
+
   test("heavy hitters guard rails: fraction range and summary-size guarantee") {
     val df = Seq("a", "b").toDF("key")
     intercept[IllegalArgumentException] {
