@@ -490,22 +490,48 @@ object Dedup {
     * stream, the container-side postings and both verify sides; all
     * joins are equi-joins on shingles/ids. The container posting list is
     * corpus-sized (the price of containment): df-hot shingles dominate
-    * the key volume, so drop shingles with df above a template cut
-    * upstream, or fall back to Jaccard for symmetric near-dup. */
+    * the key volume — pass `maxDf` to cut them. With maxDf = Some(cut),
+    * shingles appearing in MORE than `cut` documents are dropped from
+    * every set BEFORE the posting join, which bounds each posting list
+    * at `cut` entries. This CHANGES THE CONTRACT: thresholds, sizes and
+    * the reported containment are then over the FILTERED shingle space
+    * (the near-subset relation "a's distinctive shingles are mostly in
+    * b"), and a document whose shingles are all template-hot leaves the
+    * relation entirely — exactly the template-boilerplate semantics the
+    * cut exists for. Default None keeps exact full-space containment;
+    * symmetric near-dup wants Jaccard instead. */
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Long] = None,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(maxDf.forall(_ >= 1L), s"maxDf must be >= 1, got $maxDf")
     val tMicro = math.round(threshold * 1e6)
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    val sets = stager.stage(
+    val sets0 = stager.stage(
       shingleSets(df, idCol, textCol, shingleN)
         .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
           size(col("__shingles")).cast("long").as("__sz")),
       s"containment_sets_$runId")
-    val tok = sets.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g"))
-    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
+    val tok0 = sets0.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g"))
+    val dfreq = tok0.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
+    val (sets, tok) = maxDf match {
+      case None => (sets0, tok0)
+      case Some(cut) =>
+        // drop df-hot shingles from every set and recompute sizes; all
+        // downstream arithmetic (prefix bound, length filter, verify)
+        // then runs in the filtered space
+        val sets2 = stager.stage(
+          tok0.join(dfreq.filter(col("__dfc") <= cut).select(col("__g")), Seq("__g"))
+            .groupBy(col(idCol))
+            .agg(sort_array(collect_list(col("__g"))).as("__shingles"))
+            .select(col(idCol), col("__shingles"),
+              size(col("__shingles")).cast("long").as("__sz")),
+          s"containment_sets_cut_$runId")
+        (sets2,
+          sets2.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g")))
+    }
     val prefixA = tok.join(dfreq, "__g")
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__dfc"), col("__g"))))

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   d >= levenshtein(a,b)   ==>  levenshtein(a,b,d)   >= 0
   *   d >  levenshtein(a,b)   ==>  levenshtein(a,b,d-1) >= 0   (d >= 1)
   *
+  * and the DISSIMILARITY duals (keep-different filters: dedup survivors,
+  * adversarial-pair mining) — distance above the threshold is exactly
+  * the banded form's -1 sentinel:
+  *
+  *   levenshtein(a,b) >= d   ==>  levenshtein(a,b,d-1) < 0    (d >= 1)
+  *   levenshtein(a,b) >  d   ==>  levenshtein(a,b,d)   < 0    (d >= 0)
+  *   d <= levenshtein(a,b)   ==>  levenshtein(a,b,d-1) < 0    (d >= 1)
+  *   d <  levenshtein(a,b)   ==>  levenshtein(a,b,d)   < 0    (d >= 0)
+  *
   * Registered via [[graft.GraftExtensions]] (injectOptimizerRule) or the
   * running-session path ([[GraftFunctions.register]] adds it to
   * `spark.experimental.extraOptimizations`). */
@@ -39,6 +48,11 @@ object BandedLevenshtein extends Rule[LogicalPlan] {
   private def banded(l: Expression, r: Expression, d: Int): Expression =
     GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(d))), Literal(0))
 
+  /** distance > d (or >= d+1): the banded form's -1 "over threshold"
+    * sentinel IS the predicate; NULL input stays NULL through `< 0`. */
+  private def bandedOver(l: Expression, r: Expression, d: Int): Expression =
+    LessThan(Levenshtein(l, r, Some(Literal(d))), Literal(0))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case LessThanOrEqual(Levenshtein(l, r, None), lit: Literal)
         if bound(lit).exists(_ >= 0) =>
@@ -52,5 +66,18 @@ object BandedLevenshtein extends Rule[LogicalPlan] {
     case GreaterThan(lit: Literal, Levenshtein(l, r, None))
         if bound(lit).exists(_ >= 1) =>
       banded(l, r, bound(lit).get - 1)
+    // dissimilarity duals: keep-different filters
+    case GreaterThanOrEqual(Levenshtein(l, r, None), lit: Literal)
+        if bound(lit).exists(_ >= 1) =>
+      bandedOver(l, r, bound(lit).get - 1)
+    case GreaterThan(Levenshtein(l, r, None), lit: Literal)
+        if bound(lit).exists(_ >= 0) =>
+      bandedOver(l, r, bound(lit).get)
+    case LessThanOrEqual(lit: Literal, Levenshtein(l, r, None))
+        if bound(lit).exists(_ >= 1) =>
+      bandedOver(l, r, bound(lit).get - 1)
+    case LessThan(lit: Literal, Levenshtein(l, r, None))
+        if bound(lit).exists(_ >= 0) =>
+      bandedOver(l, r, bound(lit).get)
   }
 }

@@ -291,6 +291,38 @@ class DedupSpec extends SparkSpecBase {
       "Jaccard must NOT see the subset pair — that's the whole point of containment")
   }
 
+  test("containment maxDf cuts template-hot shingles and switches to the filtered-space contract") {
+    val docs = testdata("sf0.001", "documents")
+    // a cut above every df is a no-op: bit-identical to the exact default
+    val n = docs.count()
+    val base = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val noop = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.8,
+        maxDf = Some(n))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(noop === base)
+
+    // templated fixture: every doc shares one boilerplate sentence; the
+    // distinctive remainders are disjoint. Full-space containment pairs
+    // the template-dominated docs; the df cut removes the template
+    // shingles, so only genuinely-contained DISTINCTIVE content pairs.
+    val boiler = "all rights reserved contact us about cookies"
+    val tmpl = (1 to 6).map(i => (i.toLong, s"$boiler unique$i content$i body$i")) :+
+      (7L, s"$boiler unique1 content1 body1 extra tail words here now")
+    val df = tmpl.toDF("doc_id", "text")
+    val full = Dedup.containmentPairsPrefix(df, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // template shingles dominate short docs: spurious cross-template pairs
+    assert(full.exists { case (a, b) => a != 1L && b != 7L && a != 7L },
+      s"full space should pair template-dominated docs, got $full")
+    val cut = Dedup.containmentPairsPrefix(df, "doc_id", "text", 3, 0.5,
+        maxDf = Some(3L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // with the template gone, only doc1's distinctive shingles sit inside
+    // doc7's (and doc7 is too big to be contained in doc1)
+    assert(cut === Set((1L, 7L)), s"got $cut")
+  }
+
   test("edit-distance join equals brute force on real docs — distances included") {
     val keys = testdata("sf0.001", "documents")
       .filter($"text".isNotNull)

@@ -116,4 +116,39 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(opt("SELECT doc_id FROM lv_docs WHERE levenshtein(text, 'x', 2) >= 0")
       .contains("Some(2)) >= 0"))
   }
+
+  test("levenshtein DISSIMILARITY filters rewrite to the banded -1 sentinel form") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    testdata("sf0.001", "documents").createOrReplaceTempView("lv_docs")
+    def opt(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    // keep-different ground truth via the explicit banded sentinel
+    val expected = spark.sql(
+      "SELECT doc_id FROM lv_docs WHERE levenshtein(substring(text, 1, 12), " +
+        "'the fast key', 2) < 0").as[Long].collect().sorted.toSeq
+    assert(expected.nonEmpty, "probe literal separates nothing — pick another prefix")
+    // all four dissimilarity shapes rewrite to banded(d') < 0
+    for ((q, d) <- Seq(
+        ("SELECT doc_id FROM lv_docs WHERE levenshtein(substring(text, 1, 12), 'the fast key') >= 3", 2),
+        ("SELECT doc_id FROM lv_docs WHERE levenshtein(substring(text, 1, 12), 'the fast key') > 2", 2),
+        ("SELECT doc_id FROM lv_docs WHERE 3 <= levenshtein(substring(text, 1, 12), 'the fast key')", 2),
+        ("SELECT doc_id FROM lv_docs WHERE 2 < levenshtein(substring(text, 1, 12), 'the fast key')", 2))) {
+      val p = opt(q)
+      assert(p.contains(s"Some($d)) < 0"), s"$q did not rewrite:\n$p")
+      assert(spark.sql(q).as[Long].collect().sorted.toSeq === expected, q)
+    }
+    // `>= 0` is a tautology on non-null input, not a threshold — no rewrite
+    // (d-1 would be -1, which the banded form rejects)
+    assert(!opt("SELECT doc_id FROM lv_docs WHERE levenshtein(text, 'x') >= 0")
+      .contains("Some(-1)"))
+    // non-foldable threshold must NOT rewrite
+    assert(!opt("SELECT doc_id FROM lv_docs WHERE levenshtein(text, 'x') > doc_id")
+      .contains("Some("))
+    // NULL input: banded(d) < 0 stays NULL exactly like the unbounded form
+    val nulls = spark.sql(
+      "SELECT levenshtein(CAST(NULL AS STRING), 'x') > 1 AS a, " +
+        "levenshtein(CAST(NULL AS STRING), 'x', 1) < 0 AS b").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }
