@@ -80,8 +80,6 @@ object SparkEntry {
 
   private def register(name: String, oracle: String)(q: Q): Unit =
     registry.put(name, (q, Some(oracle)))
-  private def registerNoOracle(name: String)(q: Q): Unit =
-    registry.put(name, (q, None))
 
   def queries: Map[String, Q] = { init(); registry.view.mapValues(_._1).toMap }
   def oracleSql: Map[String, String] =
@@ -3003,12 +3001,55 @@ object SparkEntry {
     }
 
     // --- distributed BPE merge training (Sennrich et al. 2016) over the
-    //     corpus word vocabulary. Iterative argmax merges thread evolving
-    //     symbol sequences through the rounds — not expressible in
-    //     DuckDB's recursive CTEs — so this gate records the driver's
-    //     rows-only check; exact agreement with the textbook algorithm is
-    //     spec-verified against a driver reference (VocabSpec).
-    registerNoOracle("p63_bpe_merges") { (s, dir) =>
+    //     corpus word vocabulary. The gate FIXES numMerges=16, so the
+    //     iterative argmax rounds UNROLL into 16 CTE blocks: per round,
+    //     one adjacent-pair count + one (cnt DESC, l, r) argmax with the
+    //     minPairCount>=2 stop (an empty argmax empties every later
+    //     round — exactly the engine's early exit), and the left-to-right
+    //     NON-OVERLAPPING pair rewrite — the one genuinely sequential
+    //     step — as a per-word recursive CTE replaying the engine's
+    //     (acc, pending) fold one symbol per iteration. Counts are
+    //     integer-exact, so the argmax/tiebreaks agree with no FP caveat.
+    //     Rounds MATERIALIZE (plain CTE chains re-evaluate per reference
+    //     — measured exponential; materialized, the whole oracle is
+    //     ~0.3s at sf0.01).
+    val bpeRounds = (1 to 16).map { k =>
+      s"""pc$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(n) AS cnt
+         |  FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+         |        FROM w${k - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM pc$k
+         |  WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$k AS (
+         |  SELECT w.n, w.syms, b.l, b.r, 0 AS i,
+         |         CAST([] AS VARCHAR[]) AS acc, CAST(NULL AS VARCHAR) AS pend
+         |  FROM w${k - 1} w, b$k b
+         |  UNION ALL
+         |  SELECT n, syms, l, r, i + 1,
+         |    CASE WHEN pend IS NULL THEN acc
+         |         WHEN pend = l AND syms[i+1] = r THEN list_append(acc, l || r)
+         |         ELSE list_append(acc, pend) END,
+         |    CASE WHEN pend IS NOT NULL AND pend = l AND syms[i+1] = r THEN NULL
+         |         ELSE syms[i+1] END
+         |  FROM m$k WHERE i < len(syms)),
+         |w$k AS MATERIALIZED (
+         |  SELECT n, CASE WHEN pend IS NULL THEN acc ELSE list_append(acc, pend) END AS syms
+         |  FROM m$k WHERE i = len(syms))""".stripMargin
+    }.mkString(",\n")
+    val bpeMergeRows = (1 to 16).map { k =>
+      s"SELECT ${k - 1} AS rank, l, r, cnt FROM b$k" }.mkString("\nUNION ALL ")
+    register("p63_bpe_merges",
+      s"""WITH RECURSIVE
+         |terms AS (SELECT unnest($toksLowerSql) AS w FROM documents),
+         |wc AS (SELECT w, COUNT(*) AS n FROM terms GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT n, list_transform(range(1, length(w)+1),
+         |         i -> CASE WHEN i = length(w) THEN w[i] || '</w>' ELSE w[i] END) AS syms
+         |       FROM wc),
+         |$bpeRounds
+         |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+         |       CAST(cnt AS BIGINT) AS pair_count
+         |FROM ($bpeMergeRows) ORDER BY rank""".stripMargin) { (s, dir) =>
       graft.operators.Vocab.bpeMerges(t(s, dir, "documents"), "text", numMerges = 16)
         .orderBy(col("rank"))
     }
@@ -3159,16 +3200,64 @@ object SparkEntry {
 
     // --- MMR diversified top-k (Carbonell & Goldstein 1998): redundancy-
     //     penalized retrieval over the p07 query set. The k-step greedy
-    //     threads the selected set through each argmax — inherently
-    //     sequential per query, not expressible in DuckDB SQL — so this
-    //     gate records the driver's rows-only check; exact agreement with
-    //     the textbook greedy is spec-verified against a driver reference
-    //     (SimilaritySpec), and lambda=1 provably reduces to p07's
-    //     relevance ranking.
-    registerNoOracle("p67_mmr_topk") { (s, dir) =>
+    //     threads the selected set through each argmax, but with k FIXED
+    //     by the gate (k=5, lambda=0.6, poolSize=20) the rounds UNROLL:
+    //     each is one anti-join (drop selected) + one MAX over the
+    //     selected set's pool-pair sims + one per-query argmax window.
+    //     Every cosine on both sides is the decimal-exact p07 recipe
+    //     (relevance AND the poolxpool diversity sims, which mmrTopK now
+    //     computes as a Catalyst self-join of the pool), the lambda
+    //     arithmetic is (1::DOUBLE - 0.6::DOUBLE) = the engine's
+    //     (1.0 - lam) bit-for-bit, and argmax ties break to the lower
+    //     pool rank in both engines — only the REPORTED score rounds.
+    val mmrRounds = (2 to 5).map { r =>
+      s"""c$r AS (
+         |  SELECT p.query_id, p.rank, p.neighbor_id, p.rel, MAX(ps.sim) AS div
+         |  FROM pool p
+         |  JOIN ps ON ps.query_id = p.query_id AND ps.ra = p.rank
+         |  JOIN sel${r - 1} s ON s.query_id = ps.query_id AND s.rank = ps.rb
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+         |                    WHERE z.query_id = p.query_id AND z.rank = p.rank)
+         |  GROUP BY p.query_id, p.rank, p.neighbor_id, p.rel),
+         |s$r AS (
+         |  SELECT query_id, neighbor_id, rank, $r AS step,
+         |    0.6::DOUBLE * rel - (1::DOUBLE - 0.6::DOUBLE) * div AS score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY 0.6::DOUBLE * rel - (1::DOUBLE - 0.6::DOUBLE) * div DESC,
+         |                   rank) AS rn
+         |        FROM c$r) x WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+         |          SELECT query_id, neighbor_id, rank, step, score FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    register("p67_mmr_topk",
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 25),
+         |p0 AS (SELECT query_id, e.vec_id AS neighbor_id, e.embedding AS nv, e.nrm AS nn,
+         |        $dotSql / (qn * e.nrm) AS rel
+         |      FROM q JOIN e ON e.vec_id != query_id),
+         |pool AS (SELECT query_id, neighbor_id, nv, nn, rel, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY rel DESC, neighbor_id) AS rank FROM p0) x
+         |  WHERE rank <= 20),
+         |ps AS (SELECT a.query_id, a.rank AS ra, b.rank AS rb,
+         |    list_sum(list_transform(list_zip(a.nv, b.nv),
+         |      x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE
+         |      / (a.nn * b.nn) AS sim
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id),
+         |s1 AS (
+         |  SELECT query_id, neighbor_id, rank, 1 AS step, 0.6::DOUBLE * rel AS score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY 0.6::DOUBLE * rel DESC, rank) AS rn FROM pool) x
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT query_id, neighbor_id, rank, step, score FROM s1),
+         |$mmrRounds
+         |SELECT query_id, neighbor_id, CAST(step AS INT) AS mmr_rank,
+         |  round(score, 9) AS mmr_score
+         |FROM sel5 ORDER BY query_id, mmr_rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       graft.operators.Similarity.mmrTopK(e, e.filter(col("vec_id") < 25),
           "vec_id", "embedding", k = 5, lambda = 0.6, poolSize = 20)
+        .withColumn("mmr_score", round(col("mmr_score"), 9))
         .orderBy(col("query_id"), col("mmr_rank"))
     }
 

@@ -162,14 +162,18 @@ object Similarity {
     * deterministic. Output (query_id, neighbor_id, mmr_rank, mmr_score).
     *
     * 100 TB shape: candidate generation is the [[bruteForceTopK]] /
-    * LSH/IVF family (swap in a bucketed generator at scale); the greedy
-    * step is inherently sequential PER QUERY, so it runs as a
-    * per-partition JVM loop over (query, poolSize-bounded candidate
-    * list) groups — the [[graft.operators.Vocab.bpeEncode]] precedent:
-    * state is O(poolSize * dim) per group, groups stream one at a time
-    * through a secondary sort (repartition by query, sort by rank), and
-    * as nested Catalyst HOFs the k dependent argmax rounds would nest
-    * the plan k levels deep. */
+    * LSH/IVF family (swap in a bucketed generator at scale); the
+    * poolSize² candidate-pair cosines (inherent to MMR's diversity term)
+    * are computed as a CATALYST self-join of the pool — codegen'd
+    * decimal-exact [[dot]]s, identical to the relevance scores and to
+    * the DuckDB oracle — and the greedy, which is inherently sequential
+    * PER QUERY, then runs as a per-partition JVM loop over
+    * (query, poolSize-bounded score-array) groups — the
+    * [[graft.operators.Vocab.bpeEncode]] precedent: state is
+    * O(poolSize²) doubles per group (no vectors ever enter the loop),
+    * groups stream one at a time through a secondary sort (repartition
+    * by query, sort by rank), and as nested Catalyst HOFs the k
+    * dependent argmax rounds would nest the plan k levels deep. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, lambda: Double = 0.7,
       poolSize: Int = 50): DataFrame = {
@@ -179,9 +183,30 @@ object Similarity {
     import org.apache.spark.sql.Row
     val cands = bruteForceTopK(corpus, queries, idCol, vecCol, poolSize)
     val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
-    val joined = cands.join(nv, Seq("neighbor_id"))
+      .withColumn("__nn", sqrt(normSq(col("__nv"))))
+    val cv = cands.join(nv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("cosine"), col("__nv"))
+        col("cosine"), col("__nv"), col("__nn"))
+    // pool self-join: every candidate pair's cosine (self included, so
+    // array position j-1 <-> pool rank j densely) with the same
+    // decimal-exact dot as the relevance scores — the DuckDB oracle
+    // reproduces both bit-for-bit
+    val a = cv.select(col("query_id"), col("rank").as("__ra"),
+      col("__nv").as("__va"), col("__nn").as("__na"))
+    val b = cv.select(col("query_id"), col("rank").as("__rb"),
+      col("__nv").as("__vb"), col("__nn").as("__nb"))
+    val sims = a.join(b, Seq("query_id"))
+      .select(col("query_id"), col("__ra"),
+        struct(col("__rb"),
+          (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+            .as("sim")).as("__s"))
+      .groupBy(col("query_id").as("__qs"), col("__ra"))
+      .agg(transform(array_sort(collect_list(col("__s"))),
+        x => x.getField("sim")).as("__sims"))
+    val joined = cv.join(sims,
+        col("query_id") === col("__qs") && col("rank") === col("__ra"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"), col("__sims"))
     val part = joined.repartition(col("query_id"))
       .sortWithinPartitions(col("query_id"), col("rank"))
     val qT = joined.schema("query_id")
@@ -196,37 +221,28 @@ object Similarity {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val (lam, kk) = (lambda, k)
     part.mapPartitions { it =>
-      def cosD(a: Array[Float], b: Array[Float]): Double = {
-        var (dot, na, nb) = (0.0, 0.0, 0.0)
-        var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) {
-          val (x, y) = (a(i).toDouble, b(i).toDouble)
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-      }
       val base = it.buffered
       new Iterator[Row] {
         private val pending = scala.collection.mutable.Queue.empty[Row]
         private def loadGroup(): Unit = {
           if (!base.hasNext) return
           val key = base.head.get(0)
-          val group = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Array[Float])]
+          // (neighbor_id, relevance, sims-to-pool dense by pool rank)
+          val group = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Array[Double])]
           while (base.hasNext && base.head.get(0) == key) {
             val r = base.next()
-            group += ((r.get(1), r.getDouble(3), r.getSeq[Float](4).toArray))
+            group += ((r.get(1), r.getDouble(3), r.getSeq[Double](4).toArray))
           }
           val taken = Array.fill(group.size)(false)
-          val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          val selIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
           var rank = 1
           while (rank <= kk && rank <= group.size) {
             var (bestI, bestScore) = (-1, Double.NegativeInfinity)
             var i = 0
             while (i < group.size) {
               if (!taken(i)) {
-                val div = if (selVecs.isEmpty) 0.0
-                  else selVecs.iterator.map(s => cosD(group(i)._3, s)).max
+                val div = if (selIdx.isEmpty) 0.0
+                  else selIdx.iterator.map(s => group(i)._3(s)).max
                 val mmr = lam * group(i)._2 - (1.0 - lam) * div
                 // strict >: ties keep the earlier (relevance-ranked) candidate
                 if (mmr > bestScore) { bestI = i; bestScore = mmr }
@@ -234,7 +250,7 @@ object Similarity {
               i += 1
             }
             taken(bestI) = true
-            selVecs += group(bestI)._3
+            selIdx += bestI
             pending.enqueue(Row(key, group(bestI)._1, rank, bestScore))
             rank += 1
           }
