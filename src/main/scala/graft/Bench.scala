@@ -20,6 +20,17 @@ object Bench {
     // so the timed run measures the graph-routed query itself
     try SparkEntry.queries("c20_graph_query")(spark, sfDir).collect()
     catch { case e: Throwable => System.err.println(s"[bench] c20 warmup: ${e.getMessage}") }
+    // from_json / JSON-flatten first-use warm-up: the generic lineitem
+    // warm-up above doesn't touch the Jackson parser or the flatten
+    // codegen paths, and r8/r9 driver benches showed q32/c2 rep-1
+    // absorbing 13-17s of one-time init against 1-3s medians. Run the
+    // two JSON-heavy gates once untimed so every timed rep measures the
+    // steady state (the c20 precedent: init is setup, not the query).
+    for (w <- Seq("q32_map_json_fns", "c2_flatten_json"))
+      try SparkEntry.queries(w)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $w warmup: ${e.getMessage}") }
     // noop sink: materializes EVERY output column and row. A count() here
     // would let ColumnPruning/EliminateSorts strip the very expressions
     // under test, timing a bare parquet scan instead of the operator.
@@ -51,6 +62,12 @@ object Bench {
     // q35 failure left no diagnostic because stderr wasn't persisted and
     // the driver stores only a 2000-char output tail
     val errors = scala.collection.mutable.Map.empty[String, String]
+    // load_1m at each pass boundary (reps+1 samples): an outlier rep in
+    // the driver artifact should be attributable to box contention
+    // without a side channel (round-9 advice — stalls scattered across
+    // queries under load 2.67 read as contention, but only the
+    // before/after pair was recorded)
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadBefore)
     for (p <- 0 until reps) {
       for ((name, fn) <- names) {
         // staged intermediates (localCheckpoint / persist) leak per query —
@@ -76,6 +93,7 @@ object Bench {
       // belt-and-braces between passes: anything the per-query delta missed
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      passLoads += loadAvg()
     }
     val loadAfter = loadAvg()
     // a query that failed in ANY pass is FAILED, period — a partial sample
@@ -123,7 +141,7 @@ object Bench {
     val spreadPct =
       if (suiteTotals.isEmpty || median(suiteTotals) == 0.0) -1.0
       else 100.0 * (suiteTotals.max - suiteTotals.min) / median(suiteTotals)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":${suiteTotals.map(r3).mkString("[", ",", "]")},"spread_pct":${r3(spreadPct)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":${suiteTotals.map(r3).mkString("[", ",", "]")},"spread_pct":${r3(spreadPct)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"pass_loads":${passLoads.map(v => r3(v)).mkString("[", ",", "]")},"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: the same JSON as a file, immune to any stdout
     // capture/line-length limit in whatever harness invoked us

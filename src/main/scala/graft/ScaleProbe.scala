@@ -92,6 +92,39 @@ object ScaleProbe {
     println(f"heavy_hitters 1x: $th1%.1fs $h1 rows | ${r}x: $thR%.1fs $hR rows" +
       f" (ratio ${thR / th1}%.2fx time, ${hR.toDouble / h1}%.2fx rows)")
 
+    // ---- containment join: the heavy-hitters frame's per-replica token
+    // prefixes make the 3-shingle universes orthogonal, so posting lists
+    // never span replicas and every candidate/output pair stays within
+    // its replica; per-pair containment is corpus-independent, so the
+    // per-replica structure is exactly replica 0's. Expected: rows
+    // exactly Rx.
+    def cntRun(reps: Int): Long =
+      graft.operators.Dedup.containmentPairsPrefix(
+        hhFrame(reps), "doc_id", "text", shingleN = 3, threshold = 0.8).count()
+    cntRun(1)
+    val (c1, tc1) = time(cntRun(1))
+    val (cR, tcR) = time(cntRun(r))
+    println(f"containment 1x: $tc1%.1fs $c1 pairs | ${r}x: $tcR%.1fs $cR pairs" +
+      f" (ratio ${tcR / tc1}%.2fx time, ${cR.toDouble / c1}%.2fx rows)")
+
+    // ---- edit dedup (PassJoin o connected components o min-id keep):
+    // the edit-join frame's disjoint alphabet blocks keep every edit
+    // cluster within one replica, and the id stripe (doc_id*R + i) is
+    // order-preserving within a replica, so each replica keeps exactly
+    // replica 0's survivors. Expected: rows exactly Rx.
+    def edRun(reps: Int): Long = {
+      val f = editFrame(reps)
+      val pairs = graft.operators.Dedup.editDistancePairs(
+        f.select(col("doc_id"), substring(col("text"), 1, 16).as("k")),
+        "doc_id", "k", maxDist = 2)
+      graft.operators.DupClusters.dedupByPairs(f, "doc_id", pairs).count()
+    }
+    edRun(1)
+    val (d1, td1) = time(edRun(1))
+    val (dR, tdR) = time(edRun(r))
+    println(f"edit_dedup 1x: $td1%.1fs $d1 kept | ${r}x: $tdR%.1fs $dR kept" +
+      f" (ratio ${tdR / td1}%.2fx time, ${dR.toDouble / d1}%.2fx rows)")
+
     // ---- incremental dedup: FIXED batch, index grown Rx with PRE-BUILT
     // signatures (the persisted-signature operating mode) — the claim
     // under test is "per-batch cost scales with the batch, not the
