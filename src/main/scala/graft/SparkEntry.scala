@@ -3827,5 +3827,89 @@ object SparkEntry {
         .select(col("source"), col("token"), col("count").as("n_occ"), col("n_total"))
         .orderBy(col("source"), col("token"))
     }
+
+    // --- HyperLogLog distinct-token estimate per language (Flajolet et
+    //     al. 2007): 2^12 registers routed by the top 12 bits of the
+    //     shared 60-bit md5 hash; rho reads off the binary-string length
+    //     (integer-exact in both engines — no log2 FP edge at powers of
+    //     two). The harmonic sum folds as the integer sum of
+    //     2^(49 - rho) (empty registers 2^49 each, total <= 2^61 exact
+    //     in a long), so both engines divide the same exact numbers;
+    //     the linear-counting ln rounds through the 9-dp decimal
+    //     contract; only the REPORTED estimate is rounded.
+    register("p83_hll_distinct",
+      s"""WITH toks AS (SELECT lang, unnest($toksLowerSql) AS term FROM documents),
+         |h AS (SELECT lang,
+         |    ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM toks),
+         |regs AS (SELECT lang, h >> 48 AS reg,
+         |    MAX(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+         |        ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END) AS rho
+         |  FROM h GROUP BY lang, reg),
+         |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+         |    CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT) AS s_nz
+         |  FROM regs GROUP BY lang),
+         |est AS (SELECT lang, n_nonzero, 4096 - n_nonzero AS zeros,
+         |    s_nz + (4096 - n_nonzero) * (1::BIGINT << 49) AS s
+         |  FROM agg),
+         |fin AS (SELECT lang, n_nonzero,
+         |    0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 4096::DOUBLE)
+         |      * 4096::DOUBLE * 4096::DOUBLE
+         |      * ((1::BIGINT << 49)::DOUBLE / s::DOUBLE) AS raw,
+         |    zeros FROM est)
+         |SELECT lang, n_nonzero,
+         |  round(CASE WHEN raw <= 2.5::DOUBLE * 4096::DOUBLE AND zeros > 0
+         |    THEN 4096::DOUBLE * CAST(ROUND(CAST(ln(4096::DOUBLE / zeros::DOUBLE)
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE)
+         |    ELSE raw END, 6) AS est_distinct
+         |FROM fin ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = graft.functions.TextFunctions.termStream(
+        t(s, dir, "documents"), Seq(col("lang")), "text")
+      graft.operators.Sketch.hllEstimate(
+          graft.operators.Sketch.hllSketch(toks, "__term", "lang", p = 12),
+          "lang", p = 12)
+        .withColumn("est_distinct", round(col("est_distinct"), 6))
+        .orderBy(col("lang"))
+    }
+
+    // --- hash-feature linear classifier scoring (fastText architecture,
+    //     Joulin et al. 2016): bag of hashed unigram+bigram features,
+    //     deterministic md5-derived weights in [-1,1) (exact power-of-two
+    //     scaling), logit = count-weighted mean feature weight through
+    //     DECIMAL(25,9) sums, sigmoid through the 9-dp exp contract.
+    //     Zero-feature docs keep their row with NULL logit/prob (a
+    //     pipeline must decide explicitly about unscorable docs).
+    register("p84_classifier_score",
+      s"""WITH u AS (SELECT doc_id, unnest($toksLowerSql) AS g FROM documents),
+         |t2 AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+         |b2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |    END) AS g FROM t2),
+         |gr AS (SELECT * FROM u UNION ALL SELECT * FROM b2),
+         |c AS (SELECT doc_id,
+         |    (('0x' || substring(md5('clf:' || g), 1, 15))::BIGINT) % 4096 AS bucket,
+         |    COUNT(*) AS c
+         |  FROM gr WHERE g != '' GROUP BY 1, 2),
+         |w AS (SELECT b AS bucket,
+         |    (('0x' || substring(md5('w:clf:' || b::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+         |      / 576460752303423488.0 - 1.0 AS w
+         |  FROM range(4096) t(b)),
+         |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_features,
+         |    CAST(SUM(CAST(c::DOUBLE * w AS DECIMAL(25,9))) AS DOUBLE) AS dot
+         |  FROM c JOIN w USING (bucket) GROUP BY doc_id),
+         |l AS (SELECT doc_id, n_features,
+         |    CAST(ROUND(CAST(dot / n_features::DOUBLE AS DECIMAL(25,12)), 9)
+         |      AS DOUBLE) AS logit
+         |  FROM s)
+         |SELECT d.doc_id, COALESCE(l.n_features, 0) AS n_features, l.logit,
+         |  CASE WHEN l.logit IS NULL THEN NULL ELSE
+         |    CAST(ROUND(CAST(1.0::DOUBLE / (1.0::DOUBLE +
+         |      CAST(ROUND(CAST(exp(-l.logit) AS DECIMAL(25,12)), 9) AS DOUBLE))
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) END AS prob
+         |FROM documents d LEFT JOIN l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Classifier.hashClassifierScore(
+          t(s, dir, "documents"), "doc_id", "text", nBuckets = 4096, seed = "clf")
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -115,6 +115,104 @@ object Sketch {
       k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, keyCol, groupCol, k), k)
 
+  // ------------------------------------------------------------ hyperloglog
+
+  /** HyperLogLog register sketch (Flajolet, Fusy, Gandouet & Meunier
+    * 2007): per group, m = 2^p registers; register j holds the max over
+    * keys routed to j of rho(suffix) — one-based position of the suffix's
+    * leading 1-bit from the top of its (60−p)-bit window, (60−p)+1 for an
+    * all-zero suffix. Routing takes the TOP p bits of the shared 60-bit
+    * md5 hash ([[graft.functions.TextFunctions.md5Hash60]]), the suffix
+    * the remaining bits, so the whole sketch is engine-portable (the
+    * DuckDB oracle rebuilds it bit-for-bit; rho reads off the binary
+    * string length — integer-exact, no log2 FP edge at powers of two).
+    *
+    * Frame: (groupCol, reg int, rho int) — only NON-ZERO registers, at
+    * most m rows per group. MAX-mergeable ([[hllMerge]]) — the classic
+    * union rule, so shards/partitions/streams sketch independently and
+    * merge associatively with no precision loss.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation over (group, reg)
+    * — at most m=2^p tiny rows per group ever shuffle, regardless of key
+    * volume; no windows, no driver state. Against [[kmvSketch]]: KMV
+    * window-sorts distinct hashes (a per-group bottom-k shuffle of the
+    * DISTINCT key set); HLL aggregates raw occurrences straight into
+    * registers — the right trade when keys repeat heavily (tokens). */
+  def hllSketch(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 13,
+      s"p must be in [4, 13] (2^p registers; 13 keeps the estimator's " +
+        s"integer register sum inside a long), got $p")
+    val w = 60 - p // suffix width
+    val g = col(s"`$groupCol`")
+    val h = graft.functions.TextFunctions.md5Hash60(col(s"`$keyCol`").cast("string"))
+    df.select(g, h.as("__h"))
+      .filter(col("__h").isNotNull)
+      .withColumn("__reg", shiftright(col("__h"), w).cast("int"))
+      // suffix = low w bits; rho = w - bitlength(suffix) + 1 (w+1 if 0).
+      // bitlength via the base-2 string — integer-exact in both engines.
+      .withColumn("__suf", col("__h").bitwiseAND(lit((1L << w) - 1L)))
+      .withColumn("__rho",
+        when(col("__suf") === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(conv(col("__suf"), 10, 2))).cast("int"))
+      .groupBy(g, col("__reg").as("reg"))
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** Union two register frames built with the same p: per (group, reg),
+    * MAX(rho). Groups or registers on one side only pass through. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    a.select(g, col("reg"), col("rho"))
+      .unionAll(b.select(g, col("reg"), col("rho")))
+      .groupBy(g, col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Read the cardinality estimate off a register frame:
+    * raw = alpha_m · m² / Σ_j 2^(−M_j) with the small-range
+    * linear-counting switch (raw ≤ 2.5m and empty registers present →
+    * m·ln(m/V), V = empty-register count). The 32-bit large-range
+    * correction does not apply at a 60-bit hash space.
+    *
+    * Engine-portable arithmetic: the harmonic sum folds as the INTEGER
+    * Σ 2^(w+1−M_j) (empty registers contribute 2^(w+1); total ≤ 2^61,
+    * exact in a long), so both engines divide the same two exact
+    * numbers; ln rounds through the shared 9-dp decimal contract.
+    * Output: (groupCol, n_nonzero long, est_distinct double). */
+  def hllEstimate(sketch: DataFrame, groupCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 13, s"p must be in [4, 13], got $p")
+    val m = 1 << p
+    val w = 60 - p
+    val g = col(s"`$groupCol`")
+    val alpha = // Flajolet et al. 2007, Fig. 3 constants
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val lnRounded = (c: Column) =>
+      round(log(c).cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+        .cast("double")
+    sketch
+      .groupBy(g)
+      .agg(
+        count(lit(1)).as("n_nonzero"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${w + 1} - rho)"))
+          .as("__s_nonzero"))
+      .withColumn("__zeros", lit(m.toLong) - col("n_nonzero"))
+      // empty registers: 2^(w+1) each, added exactly
+      .withColumn("__s",
+        col("__s_nonzero") + col("__zeros") * lit(1L << (w + 1)))
+      .withColumn("__raw",
+        lit(alpha * m.toDouble * m.toDouble) *
+          (lit((1L << (w + 1)).toDouble) / col("__s").cast("double")))
+      .withColumn("est_distinct",
+        when(col("__raw") <= 2.5 * m && col("__zeros") > 0L,
+          lit(m.toDouble) * lnRounded(lit(m.toDouble) / col("__zeros").cast("double")))
+          .otherwise(col("__raw")))
+      .select(g, col("n_nonzero"), col("est_distinct"))
+  }
+
   // ------------------------------------------------------------ count-min
 
   /** Counter cell for one (depth-row, key): the seeded 60-bit md5 hash

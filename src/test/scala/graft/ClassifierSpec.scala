@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Classifier
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("feature counting: unigrams + bigrams, zero-feature docs keep NULL scores") {
+    val docs = Seq(
+      (1L, "Alpha beta gamma"), // 3 unigrams + 2 bigrams = 5 features
+      (2L, "one"),              // 1 unigram, no bigram
+      (3L, ""),                 // no features
+      (4L, null.asInstanceOf[String])) // no features
+      .toDF("doc_id", "text")
+    val out = Classifier.hashClassifierScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_features", "logit", "prob")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1L, 5L), (2L, 1L), (3L, 0L), (4L, 0L)))
+    assert(out(0)._3.isDefined && out(0)._4.isDefined)
+    assert(out(2)._3.isEmpty && out(2)._4.isEmpty && out(3)._3.isEmpty)
+    // probs live strictly inside (0,1): |logit| <= 1 by construction
+    out.flatMap(_._4).foreach(p => assert(p > 0.26 && p < 0.74, s"prob $p"))
+  }
+
+  test("single-token doc's logit is exactly its bucket weight") {
+    val docs = Seq((7L, "hello")).toDF("doc_id", "text")
+    val got = Classifier.hashClassifierScore(docs, "doc_id", "text")
+      .select("logit").as[Double].head()
+    val bucket = spark.sql(
+      "SELECT pmod(cast(conv(substring(md5('clf:hello'), 1, 15), 16, 10) as long), 4096)")
+      .as[Long].head()
+    val w = Classifier.weightTable(docs, 4096, "clf")
+      .filter(col("__bucket") === bucket).select("__w").as[Double].head()
+    assert(math.abs(got - BigDecimal(w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("case-insensitive, deterministic, weights bounded in [-1, 1)") {
+    val docs = Seq((1L, "Foo BAR"), (2L, "foo bar")).toDF("doc_id", "text")
+    val out = Classifier.hashClassifierScore(docs, "doc_id", "text")
+      .select("logit").as[Double].collect().toSeq
+    assert(out.distinct.size === 1, "case must not change the score")
+    val ws = Classifier.weightTable(docs, 512, "s").select("__w").as[Double].collect()
+    assert(ws.length === 512 && ws.forall(w => w >= -1.0 && w < 1.0))
+    // seeds decorrelate weight tables
+    val ws2 = Classifier.weightTable(docs, 512, "other").select("__w").as[Double].collect()
+    assert(ws.toSeq !== ws2.toSeq)
+  }
+
+  test("unigram-only mode drops bigram features") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bi = Classifier.hashClassifierScore(docs, "doc_id", "text")
+      .select("n_features").as[Long].head()
+    val un = Classifier.hashClassifierScore(docs, "doc_id", "text", useBigrams = false)
+      .select("n_features").as[Long].head()
+    assert(bi === 5L && un === 3L)
+  }
+}

@@ -311,4 +311,58 @@ class SketchSpec extends SparkSpecBase {
       .select("key", "count", "n_total").as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(("a", 3L, 3L)))
   }
+
+  test("hll: raw-branch estimate within 3 sigma; registers capped at 2^p") {
+    // 50k distinct keys >> 2.5m (m=4096): the raw harmonic estimator,
+    // whose relative standard error is 1.04/sqrt(m) ~ 1.63%
+    val df = spark.range(50000)
+      .select(lit("g").as("g"), concat(lit("key"), $"id").as("key"))
+    val p = 12
+    val sk = Sketch.hllSketch(df, "key", "g", p)
+    assert(sk.count() <= (1L << p), "register frame exceeded 2^p rows")
+    val est = Sketch.hllEstimate(sk, "g", p)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 50000.0) / 50000.0 < 3 * 1.04 / math.sqrt(1 << p),
+      s"estimate $est out of 3-sigma band around 50000")
+  }
+
+  test("hll: linear-counting branch near-exact at tiny cardinalities") {
+    val df = spark.range(100)
+      .select(lit("g").as("g"), concat(lit("key"), $"id").as("key"))
+    val est = Sketch.hllEstimate(Sketch.hllSketch(df, "key", "g", 12), "g", 12)
+      .select("est_distinct").as[Double].head()
+    // LC error at n=100, m=4096 is well under 1 key on average; duplicates
+    // must not move it (idempotent register max)
+    assert(math.abs(est - 100.0) < 5.0, s"LC estimate $est far from 100")
+    val dup = df.unionAll(df).unionAll(df)
+    val est2 = Sketch.hllEstimate(Sketch.hllSketch(dup, "key", "g", 12), "g", 12)
+      .select("est_distinct").as[Double].head()
+    assert(est2 === est, "duplicates changed the register sketch")
+  }
+
+  test("hll: merge of split sketches is bit-identical to the whole-corpus sketch") {
+    val all = spark.range(20000)
+      .select((($"id" % 3).cast("string")).as("g"),
+        concat(lit("key"), $"id").as("key"))
+    val a = all.filter($"id" % 2 === 0)
+    val b = all.filter($"id" % 2 === 1)
+    def regs(df: org.apache.spark.sql.DataFrame): Map[(String, Int), Int] =
+      df.select("g", "reg", "rho").as[(String, Int, Int)]
+        .collect().map { case (g, r, h) => (g, r) -> h }.toMap
+    val whole = regs(Sketch.hllSketch(all, "key", "g", 10))
+    val merged = regs(Sketch.hllMerge(
+      Sketch.hllSketch(a, "key", "g", 10),
+      Sketch.hllSketch(b, "key", "g", 10), "g"))
+    assert(merged === whole)
+  }
+
+  test("hll: null keys are dropped; p bounds enforced") {
+    val withNulls = Seq(("g", Some("a")), ("g", None), ("g", Some("b")))
+      .toDF("g", "key")
+    val est = Sketch.hllEstimate(Sketch.hllSketch(withNulls, "key", "g", 12), "g", 12)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 2.0) < 0.01)
+    intercept[IllegalArgumentException] { Sketch.hllSketch(withNulls, "key", "g", 3) }
+    intercept[IllegalArgumentException] { Sketch.hllSketch(withNulls, "key", "g", 14) }
+  }
 }
