@@ -3911,5 +3911,180 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", nBuckets = 4096, seed = "clf")
         .orderBy(col("doc_id"))
     }
+
+    // --- exact Mann-Whitney AUC with midrank tie correction, per group:
+    //     does a score separate the classes? Scores aggregate per
+    //     DISTINCT value (ranks never materialize per row), the tie
+    //     block's doubled midrank 2*cumBefore + t + 1 is an integer, and
+    //     the AUC is ONE division of two exact integers — bit-identical
+    //     across engines with no FP caveat. Probe label: lang='en',
+    //     scored by document length, per source.
+    register("p85_score_auc",
+      """WITH d AS (SELECT source, n_chars AS s, (lang = 'en') AS lbl
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |t AS (SELECT source, s, COUNT(*) AS t,
+        |    SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS p
+        |  FROM d GROUP BY source, s),
+        |c AS (SELECT source, s, t, p,
+        |    COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t),
+        |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(t - p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2*cb + t + 1)) AS BIGINT) AS r2
+        |  FROM c GROUP BY source)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(r2 - n_pos*(n_pos+1) AS DOUBLE) / CAST(2*n_pos*n_neg AS DOUBLE)
+        |  ELSE NULL END AS auc
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.aucByGroup(
+          t(s, dir, "documents").withColumn("__lbl", col("lang") === "en"),
+          "source", "n_chars", "__lbl")
+        .orderBy(col("source"))
+    }
+
+    // --- token-distribution divergence (KL both ways + Jensen-Shannon,
+    //     nats) between the English and non-English sub-corpora under
+    //     add-one smoothing over the union vocabulary — the drift /
+    //     mixture-shift monitor between crawl snapshots. Probabilities
+    //     are single IEEE divisions of exact integers, each ln rounds
+    //     through the 9-dp decimal contract, terms accumulate through
+    //     DECIMAL(25,15) (order-independent), only the REPORTED
+    //     divergences round.
+    val ln9Sql = (x: String) =>
+      s"CAST(ROUND(CAST(ln($x) AS DECIMAL(25,12)), 9) AS DOUBLE)"
+    register("p86_corpus_divergence",
+      s"""WITH ta AS (SELECT unnest($toksLowerSql) AS term FROM documents WHERE lang = 'en'),
+         |tb AS (SELECT unnest($toksLowerSql) AS term FROM documents WHERE lang != 'en'),
+         |ca AS (SELECT term, COUNT(*) AS ca FROM ta GROUP BY term),
+         |cb AS (SELECT term, COUNT(*) AS cb FROM tb GROUP BY term),
+         |j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb USING (term)),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         |    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM j),
+         |pq AS (SELECT v, na, nb,
+         |    (ca + 1)::DOUBLE / (na + v)::DOUBLE AS p,
+         |    (cb + 1)::DOUBLE / (nb + v)::DOUBLE AS q
+         |  FROM j CROSS JOIN tot),
+         |pm AS (SELECT *, (p + q) / 2::DOUBLE AS m FROM pq)
+         |SELECT v AS vocab_size, na AS n_tokens_a, nb AS n_tokens_b,
+         |  round(CAST(SUM(CAST(p * ${ln9Sql("p / q")} AS DECIMAL(25,15))) AS DOUBLE), 9) AS kl_ab,
+         |  round(CAST(SUM(CAST(q * ${ln9Sql("q / p")} AS DECIMAL(25,15))) AS DOUBLE), 9) AS kl_ba,
+         |  round(CAST(SUM(CAST((p * ${ln9Sql("p / m")} + q * ${ln9Sql("q / m")}) / 2::DOUBLE
+         |    AS DECIMAL(25,15))) AS DOUBLE), 9) AS js
+         |FROM pm GROUP BY v, na, nb""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Profile.tokenDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }
+
+    // --- sorted-neighborhood near-dup pairs (Hernandez & Stolfo 1998):
+    //     sort by a 12-char normalized-prefix blocking key, pair each doc
+    //     with its next 3 sort neighbors, verify shingle-set Jaccard >=
+    //     0.5 exactly (integer-micro threshold). The oracle's global
+    //     ROW_NUMBER sort is the same total order as the engine's
+    //     range-partitioned offset rank (key, then id — no ties).
+    register("p87_sorted_neighborhood",
+      s"""WITH ky AS (SELECT doc_id, substring(regexp_replace(lower(coalesce(text, '')),
+         |    '\\s+', ' ', 'g'), 1, 12) AS key FROM documents),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rank FROM ky),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r a JOIN r b
+         |  ON b.rank > a.rank AND b.rank <= a.rank + 3),
+         |t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(toks)-1),
+         |           i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t),
+         |f AS (SELECT * FROM sh WHERE len(s) > 0),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(fa.s, fb.s)) AS BIGINT) AS i,
+         |    CAST(len(fa.s) + len(fb.s) AS BIGINT) AS z
+         |  FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b)
+         |SELECT id_a, id_b, round(i::DOUBLE / (z - i)::DOUBLE, 9) AS jaccard
+         |FROM v WHERE i * 1000000 >= (z - i) * 500000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.sortedNeighborhoodPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          windowSize = 4, shingleN = 3, threshold = 0.5, keyLen = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- per-doc n-gram novelty vs the corpus head (doc_id < 100 as the
+    //     already-collected reference): fraction of the doc's DISTINCT
+    //     3-grams absent from the reference gram set — novelty-weighted
+    //     sampling / snapshot-triage signal. Grams travel as the shared
+    //     60-bit md5 hash; counts are exact integers, one IEEE division.
+    register("p88_ngram_novelty",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(toks)-1),
+         |           i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM sh),
+         |ref AS (SELECT DISTINCT h FROM g WHERE doc_id < 100),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM g GROUP BY doc_id),
+         |nov AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM g
+         |  WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = g.h)
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(tot.n_grams, 0) AS n_grams,
+         |  CASE WHEN tot.n_grams IS NULL THEN NULL
+         |       ELSE COALESCE(nov.n_novel, 0) END AS n_novel,
+         |  CASE WHEN tot.n_grams IS NULL THEN NULL
+         |       ELSE COALESCE(nov.n_novel, 0)::DOUBLE / tot.n_grams::DOUBLE
+         |  END AS novelty
+         |FROM documents d LEFT JOIN tot USING (doc_id)
+         |LEFT JOIN nov ON nov.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.ngramNovelty(
+          docs, docs.filter(col("doc_id") < 100), "doc_id", "text", ngramN = 3)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- temperature-mixed sampling with DERIVED weights (the
+    //     multilingual alpha-sampling recipe, Conneau & Lample 2019):
+    //     per-lang counts -> w ∝ (n/N)^(1/τ−1) at τ=2, normalized so the
+    //     rarest lang keeps 100% -> the p38 deterministic md5-bucket
+    //     mixture filter. Weights round to 9 dp on BOTH sides before the
+    //     micro-threshold (the pow contract — same class as ln/exp), so
+    //     every keep decision compares identical integers. The lang
+    //     counts are a 5-row driver map — weights are driver-held by
+    //     sampleMixture's design (a codegen'd CASE, no join).
+    register("p89_temperature_mixture",
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+        |wr AS (SELECT lang, pow(n::DOUBLE / nt::DOUBLE, -0.5::DOUBLE) AS wraw
+        |  FROM c CROSS JOIN tot),
+        |wn AS (SELECT lang, round(wraw / mx * 1.0::DOUBLE, 9) AS mw
+        |  FROM wr CROSS JOIN (SELECT MAX(wraw) AS mx FROM wr) m),
+        |base AS (SELECT doc_id, d.lang, mw
+        |  FROM documents d JOIN wn ON wn.lang = d.lang),
+        |r AS (SELECT doc_id, lang, mw,
+        |    unnest(range(CAST(ceil(mw) AS INT))) AS mix_rep FROM base)
+        |SELECT doc_id, lang, CAST(mix_rep AS INT) AS mix_rep FROM r
+        |WHERE ('0x' || substring(md5('temp:' || mix_rep::VARCHAR || ':' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 1000000
+        |      < CAST(round(least(mw - mix_rep, 1.0) * 1000000) AS BIGINT)
+        |ORDER BY doc_id, mix_rep""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // 5 langs, bounded
+      // empty corpus -> no weights -> defaultWeight 0 drops everything
+      // (an empty mixture, not an exception — DegenerateInputSpec)
+      val w =
+        if (counts.isEmpty) Map.empty[String, Double]
+        else graft.operators.Mixture.temperatureWeights(counts, tau = 2.0)
+          .map { case (k, v) =>
+            k -> BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      graft.operators.Mixture.sampleMixture(docs, "lang", "doc_id", w,
+          salt = "temp", defaultWeight = 0.0)
+        .select(col("doc_id"), col("lang"), col("mix_rep"))
+        .orderBy(col("doc_id"), col("mix_rep"))
+    }
   }
 }

@@ -159,4 +159,41 @@ object Curation {
       .select(col("id_b").as(idCol))
     canonDocs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of the doc's DISTINCT word n-grams absent from the
+    * reference's gram set — the dedup-aware sampling signal ("how much
+    * does this doc add that the corpus doesn't already have") behind
+    * novelty-weighted selection and crawl-snapshot triage; the dual of
+    * [[Dedup.dupNgramCoverage]], which scores overlap WITHIN one corpus.
+    *
+    * Output: (idCol, n_grams long — distinct grams, n_novel long,
+    * novelty double — n_novel/n_grams, NULL when the doc has no grams).
+    * Docs with fewer than n tokens keep their row with n_grams = 0.
+    *
+    * 100 TB shape: grams shuffle as the shared 60-bit md5 hash, never
+    * text (the p27 contract); the reference side collapses to DISTINCT
+    * hashes before the LEFT ANTI join (its only corpus-sized shuffle);
+    * the division is one IEEE op of exact integers. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, ngramN: Int = 3): DataFrame = {
+    val id = col(s"`$idCol`")
+    val grams = Dedup.shingleRows(docs, idCol, textCol, ngramN)
+      .select(id, md5Hash60(col("shingle")).as("__g")).distinct()
+    val refGrams = Dedup.shingleRows(reference, idCol, textCol, ngramN)
+      .select(md5Hash60(col("shingle")).as("__g")).distinct()
+    val novel = grams.join(refGrams, Seq("__g"), "left_anti")
+      .groupBy(id).agg(count(lit(1)).as("__novel"))
+    val total = grams.groupBy(id).agg(count(lit(1)).as("n_grams"))
+    docs.select(id).distinct()
+      .join(total, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_novel",
+        when(col("n_grams") > 0L, coalesce(col("__novel"), lit(0L))))
+      .withColumn("novelty",
+        when(col("n_grams") > 0L,
+          col("n_novel").cast("double") / col("n_grams").cast("double")))
+      .select(id, col("n_grams"), col("n_novel"), col("novelty"))
+  }
 }

@@ -1099,4 +1099,70 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1998, the
+    * merge/purge SNM): sort the corpus by a cheap blocking key — here
+    * the first `keyLen` chars of the whitespace-collapsed lowered text —
+    * slide a `windowSize` window over the sort order, and exactly verify
+    * each in-window pair's shingle-set Jaccard against `threshold`
+    * (integer-micro arithmetic, the p69 contract). The classic
+    * complement to LSH blocking: catches prefix-anchored near-dups
+    * (templated headers, versioned titles) at O(n·w) pairs with ONE sort
+    * and no signature state. Output (id_a, id_b, jaccard) with id_a the
+    * earlier sort neighbor.
+    *
+    * 100 TB shape: the global sort is a range exchange, and the global
+    * CONTIGUOUS rank comes from per-partition row_numbers offset by a
+    * broadcast numPartitions-sized count frame (its running-sum window
+    * orders numPartitions rows, never data) — NO single-reducer window
+    * over the corpus. The w−1 neighbor pairs come from an EQUI-join on
+    * rank (explode of 1..w−1), and the verify joins carry shingle sets
+    * only for candidate ids. Docs with no shingles (< shingleN tokens)
+    * still occupy sort positions but cannot pair — Jaccard is undefined
+    * on an empty set. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
+      keyLen: Int = 12): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    val id = col(s"`$idCol`")
+    val tMicro = math.round(threshold * 1e6)
+    val key = substring(
+      regexp_replace(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+", " "),
+      1, keyLen)
+    val parted = df.select(id.as("__id"), key.as("__key"))
+      .repartitionByRange(col("__key"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__key"), col("__id"))
+    val ranked0 = parted.withColumn("__rn", row_number().over(wp))
+    val offsets = ranked0.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val ranked = ranked0.join(broadcast(offsets), Seq("__pid"))
+      .select(col("__id"), (col("__off") + col("__rn")).as("__rank"))
+    val probe = ranked.select(col("__id").as("id_a"), col("__rank"),
+        explode(sequence(lit(1), lit(windowSize - 1))).as("__d"))
+      .select(col("id_a"), (col("__rank") + col("__d")).as("__rank_b"))
+    val cand = probe.join(
+        ranked.select(col("__id").as("id_b"), col("__rank").as("__rank_b")),
+        Seq("__rank_b"))
+      .select(col("id_a"), col("id_b"))
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("__sid"), col("__shingles").as("__s"),
+        size(col("__shingles")).cast("long").as("__sz"))
+    cand
+      .join(sets.select(col("__sid").as("id_a"), col("__s").as("__sa"),
+        col("__sz").as("__za")), Seq("id_a"))
+      .join(sets.select(col("__sid").as("id_b"), col("__s").as("__sb"),
+        col("__sz").as("__zb")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__u", col("__za") + col("__zb") - col("__i"))
+      .filter(col("__i") * 1000000L >= col("__u") * tMicro)
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__u").cast("double"), 9).as("jaccard"))
+  }
 }

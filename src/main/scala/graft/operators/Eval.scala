@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranking-metric evaluation for corpus filters (beyond-reference per
+  * SURVEY.md §2.4): a quality/domain classifier is only trustworthy if
+  * its score actually separates the classes, and the metric every
+  * filtering pipeline reports is AUC — here the exact Mann–Whitney
+  * formulation with the standard midrank tie correction
+  * (AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)).
+  *
+  * Exactness and engine portability: ranks are never materialized per
+  * row — scores aggregate per DISTINCT value, the tie block's doubled
+  * midrank 2·r̄ = 2·cumBefore + t + 1 is an integer, and
+  * AUC = (Σ⁺2r̄ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE division of two exact
+  * integers — bit-identical in any engine, no FP accumulation anywhere.
+  *
+  * 100 TB shape: one (group, score) count aggregation (map-side
+  * combinable — raw rows collapse before any sort), one per-group
+  * window over the DISTINCT-score frame (a single range exchange +
+  * sort of distinct values, not rows), one final aggregation. The
+  * integer sums hold exactly to ~2·10⁹ rows per group (2n² < 2⁶³);
+  * past that, swap the three sums to DECIMAL(38,0) — same plan, exact
+  * to 10³⁸ — at the cost of the decimal→double cast's 1-ulp
+  * cross-engine caveat on the final division. */
+object Eval {
+
+  /** Per-group AUC of `scoreCol` against boolean `labelCol` (true =
+    * positive). Rows with a NULL score or label are dropped — an
+    * unlabeled row must not silently count as a negative. Output:
+    * (groupCol, n_pos long, n_neg long, auc double — NULL when either
+    * class is empty, where AUC is undefined). */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val s = col(s"`$scoreCol`")
+    val lbl = col(s"`$labelCol`")
+    val perScore = df
+      .filter(s.isNotNull && lbl.isNotNull)
+      .groupBy(g, s.as("__s"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(lbl, 1L).otherwise(0L)).as("__p"))
+    val w = Window.partitionBy(g).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__cb", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .groupBy(g)
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__t") - col("__p")).as("n_neg"),
+        sum(col("__p") * (col("__cb") * 2L + col("__t") + 1L)).as("__r2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("__r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (col("n_pos") * col("n_neg") * 2L).cast("double")))
+      .select(g, col("n_pos"), col("n_neg"), col("auc"))
+  }
+}

@@ -287,4 +287,58 @@ object Profile {
           .otherwise((v - col("__med")).cast("double") / col("__mad").cast("double")))
       .drop("__med", "__mad")
   }
+
+  /** Token-distribution divergence between two corpora — the drift/
+    * mixture-shift monitor a pipeline runs between crawl snapshots or
+    * between a training mix and its target domain: KL(A‖B), KL(B‖A) and
+    * the symmetric bounded Jensen–Shannon divergence (nats), under
+    * add-one (Laplace) smoothing over the UNION vocabulary (so no token
+    * has probability zero and every divergence is finite).
+    *
+    * One row: (vocab_size, n_tokens_a, n_tokens_b, kl_ab, kl_ba, js).
+    *
+    * Engine portability: each probability is ONE IEEE division of exact
+    * integers ((c+1)/(N+V)); each ln rounds through the shared 9-dp
+    * decimal contract; per-token terms accumulate through
+    * DECIMAL(25,15) so sums are order-independent; only the REPORTED
+    * divergences round (9 dp).
+    *
+    * 100 TB shape: two map-side-combinable token counts, one full outer
+    * join on token (hash-keyed strings, the only corpus-sized shuffle),
+    * two tiny total rows broadcast into the term computation, one final
+    * scalar aggregation. Nothing per-document survives the first
+    * aggregation. */
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 15)
+    def counts(df: DataFrame, out: String): DataFrame =
+      TextFunctions.termStream(df, Nil, textCol)
+        .groupBy(col("__term")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__term"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("__ca")).as("n_tokens_a"),
+      sum(col("__cb")).as("n_tokens_b"))
+    val ln9 = (c: org.apache.spark.sql.Column) =>
+      round(log(c).cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+        .cast("double")
+    val withP = joined.crossJoin(broadcast(totals))
+      .withColumn("__p", (col("__ca") + 1L).cast("double") /
+        (col("n_tokens_a") + col("vocab_size")).cast("double"))
+      .withColumn("__q", (col("__cb") + 1L).cast("double") /
+        (col("n_tokens_b") + col("vocab_size")).cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2.0)
+    withP
+      .groupBy(col("vocab_size"), col("n_tokens_a"), col("n_tokens_b"))
+      .agg(
+        sum((col("__p") * ln9(col("__p") / col("__q"))).cast(dec)).as("__klab"),
+        sum((col("__q") * ln9(col("__q") / col("__p"))).cast(dec)).as("__klba"),
+        sum(((col("__p") * ln9(col("__p") / col("__m")) +
+          col("__q") * ln9(col("__q") / col("__m"))) / 2.0).cast(dec)).as("__js"))
+      .select(col("vocab_size"), col("n_tokens_a"), col("n_tokens_b"),
+        round(col("__klab").cast("double"), 9).as("kl_ab"),
+        round(col("__klba").cast("double"), 9).as("kl_ba"),
+        round(col("__js").cast("double"), 9).as("js"))
+  }
 }

@@ -114,4 +114,26 @@ class CurationSpec extends SparkSpecBase {
       assert(v >= lo && v <= hi, s"$src: $v outside [$lo, $hi]")
     }
   }
+
+  test("ngramNovelty: covered docs score 0, fresh docs 1, partial in between") {
+    import spark.implicits._
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),          // all 3 grams in ref
+      (2L, "completely novel content never seen before"), // all new
+      (3L, "the quick brown fox escapes tonight"), // 2 of 4 grams in ref
+      (4L, "too short"),                           // no 3-grams
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.ngramNovelty(docs, ref, "doc_id", "text", ngramN = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, Some(0L), Some(0.0)),
+      (2L, 4L, Some(4L), Some(1.0)),
+      (3L, 4L, Some(2L), Some(0.5)),
+      (4L, 0L, None, None),
+      (5L, 0L, None, None)))
+  }
 }

@@ -398,4 +398,40 @@ class DedupSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"),
       "the whole point over jaccardPairsExact is the equi-join on prefix shingles")
   }
+
+  test("sortedNeighborhoodPairs: in-window pairs verified exactly, distant near-dups missed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"), // near-dup of 1, same prefix
+      (5L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (9L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "zzz totally different content here now"),
+      (4L, "short"), // < 3 tokens: occupies a sort slot, can never pair
+      (7L, "zz alpha beta gamma delta epsilon zeta")) // TRUE near-dup of 1 but sort-distant
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        windowSize = 4, shingleN = 3, threshold = 0.5, keyLen = 12)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // sort order: 1,2,5,9 (share "alpha beta g"), 4 ("short"), 7 ("zz
+    // alpha beta"), 3 ("zzz totally "); window 4 pairs each doc with its
+    // 3 successors — so 7 lands in range of 5 and 9 (distances 3 and 2)
+    // but NOT of 1 (distance 5), and the shingle-less 4 pairs nothing
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq((1L, 2L), (1L, 5L), (1L, 9L), (2L, 5L), (2L, 9L),
+        (5L, 7L), (5L, 9L), (9L, 7L)))
+    val j = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 5L)) === 1.0 && j((5L, 9L)) === 1.0)
+    assert(j((1L, 2L)) === 0.6) // 3 shared of 5 distinct shingles
+    assert(j((5L, 7L)) === 0.8) // 4 shared of 5 distinct shingles
+    // doc 7 is a genuine near-dup of 1 (jaccard 0.8) but sorts 5 slots
+    // away — the SNM window trade-off this spec documents
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gotNorm = got.map(r => (math.min(r._1, r._2), math.max(r._1, r._2))).toSet
+    assert(exact.contains((1L, 7L)) && !gotNorm.contains((1L, 7L)))
+    // and every SNM pair is a true pair of the exhaustive reference
+    // (SNM emits id_a as the earlier SORT position, so normalize first)
+    assert(gotNorm.subsetOf(exact))
+  }
 }

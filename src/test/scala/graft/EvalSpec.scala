@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Eval
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)]): Option[Double] =
+    Eval.aucByGroup(rows.map { case (s, l) => ("g", s, l) }.toDF("g", "s", "l"),
+        "g", "s", "l")
+      .select("auc").as[Option[Double]].head()
+
+  test("hand-computed AUC with ties matches the midrank formula") {
+    // scores: pos {3, 2}, neg {2, 1}. Pairs: (3>2), (3>1), (2=2 -> 1/2),
+    // (2>1) => AUC = 3.5/4 = 0.875
+    assert(auc(Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false)))
+      === Some(0.875))
+  }
+
+  test("perfect separation, reversal, and coin-flip") {
+    val perfect = Seq((5.0, true), (4.0, true), (1.0, false), (0.0, false))
+    assert(auc(perfect) === Some(1.0))
+    assert(auc(perfect.map { case (s, l) => (-s, l) }) === Some(0.0))
+    // all scores tied: every pair is a half-win
+    assert(auc(Seq((1.0, true), (1.0, false), (1.0, true), (1.0, false)))
+      === Some(0.5))
+  }
+
+  test("degenerate single-class groups yield NULL; null rows are dropped") {
+    val df = Seq(
+      ("ga", Some(1.0), Some(true)), ("ga", Some(2.0), Some(true)),
+      ("gb", Some(1.0), Some(true)), ("gb", Some(2.0), Some(false)),
+      ("gb", None, Some(true)), ("gb", Some(9.0), None))
+      .toDF("g", "s", "l")
+    val got = Eval.aucByGroup(df, "g", "s", "l")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("ga") === ((2L, 0L, None)))
+    assert(got("gb") === ((1L, 1L, Some(0.0)))) // the one pos scores BELOW the one neg
+  }
+
+  test("antisymmetry: negating a tie-free score flips AUC around 0.5") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i => (rnd.nextDouble(), rnd.nextBoolean()))
+    val a = auc(rows).get
+    val b = auc(rows.map { case (s, l) => (-s, l) }).get
+    assert(math.abs((a + b) - 1.0) < 1e-15)
+  }
+}

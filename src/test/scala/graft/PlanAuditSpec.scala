@@ -379,7 +379,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // scalar shape; p80's exact side IS p07's brute-force baseline
       // (broadcast query set by design)
       "p73_heavy_hitters", "p74_perplexity_prune", "p78_unigram_pieces",
-      "p80_ann_recall")
+      "p80_ann_recall",
+      // p86: the 1-row (vocab, totals) aggregate broadcasts into the
+      // per-token divergence terms — a scalar dim, not a pair blow-up
+      "p86_corpus_divergence")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -181,4 +181,33 @@ class ProfileSpec extends SparkSpecBase {
     assert(byId(4L)._2 === Some(-1.0))
     assert(byId(6L)._2 === Some(1.0))
   }
+
+  test("tokenDivergence: hand-computed smoothed KL/JS; identity is zero") {
+    // A = "a a b", B = "a b b": V=2, N=3 each; p=(0.6,0.4), q=(0.4,0.6)
+    val a = Seq(Tuple1("a a b")).toDF("text")
+    val b = Seq(Tuple1("a b b")).toDF("text")
+    val r = Profile.tokenDivergence(a, b, "text")
+      .select("vocab_size", "n_tokens_a", "n_tokens_b", "kl_ab", "kl_ba", "js")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert((r._1, r._2, r._3) === ((2L, 3L, 3L)))
+    assert(math.abs(r._4 - 0.0810930216) < 1e-9)
+    assert(math.abs(r._5 - 0.0810930216) < 1e-9) // symmetric fixture
+    assert(math.abs(r._6 - 0.0201355138) < 1e-9)
+    val same = Profile.tokenDivergence(a, a, "text")
+      .select("kl_ab", "kl_ba", "js").as[(Double, Double, Double)].head()
+    assert(same === ((0.0, 0.0, 0.0)))
+  }
+
+  test("tokenDivergence: JS is symmetric and bounded by ln 2; KL is not symmetric") {
+    val a = Seq(Tuple1("x x x y zebra"), Tuple1("x common")).toDF("text")
+    val b = Seq(Tuple1("y y y common q q"), Tuple1("r s t")).toDF("text")
+    val ab = Profile.tokenDivergence(a, b, "text")
+      .select("kl_ab", "kl_ba", "js").as[(Double, Double, Double)].head()
+    val ba = Profile.tokenDivergence(b, a, "text")
+      .select("kl_ab", "kl_ba", "js").as[(Double, Double, Double)].head()
+    assert(ab._3 === ba._3, "JS must be symmetric")
+    assert(ab._1 === ba._2 && ab._2 === ba._1, "KL swaps with its arguments")
+    assert(ab._1 !== ab._2, "KL is not symmetric on an asymmetric fixture")
+    assert(ab._3 > 0.0 && ab._3 < math.log(2.0), "0 < JS < ln 2")
+  }
 }
