@@ -4086,5 +4086,61 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("mix_rep"))
         .orderBy(col("doc_id"), col("mix_rep"))
     }
+
+    // --- ordered-funnel analysis over the event stream (view -> click ->
+    //     purchase): greedy earliest-match subsequence per user in the
+    //     (ts, event_id) total order. The engine's sorted-list fold is
+    //     equivalent to the oracle's min-rank chain (greedy earliest-
+    //     first is optimal for subsequence reachability); integer
+    //     stages, no FP anywhere.
+    register("p90_funnel_stages",
+      """WITH e AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(rn) AS r1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(rn) AS r2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND rn > r1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(rn) AS r3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND rn > r2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS stages_completed
+        |FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+        |LEFT JOIN s2 ON s2.user_id = u.user_id
+        |LEFT JOIN s3 ON s3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.funnelStages(events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }
+
+    // --- weekly retention cohorts (first-activity ISO week x week
+    //     offset -> active-user counts, the retention triangle). Week
+    //     truncation is Monday-based in both engines; the offset is an
+    //     exact integer (both dates are week-truncated, so the day diff
+    //     is a multiple of 7).
+    register("p91_retention_cohorts",
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(w) AS c FROM w GROUP BY user_id)
+        |SELECT CAST(c.c AS VARCHAR) AS cohort_week,
+        |  CAST((w.w - c.c) / 7 AS INT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      // date -> 'yyyy-MM-dd' string on both sides: DuckDB DATE surfaces
+      // as datetime64 in the driver's pandas harness and would render
+      // with a spurious midnight against Spark's date objects
+      graft.operators.Sessionize.retentionCohorts(events(s, dir), "user_id", "ts")
+        .withColumn("cohort_week", col("cohort_week").cast("string"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }
   }
 }

@@ -57,10 +57,11 @@ object Classifier {
     // oracle reuses the shared toksLowerSql tokenization verbatim
     val text = lower(col(s"`$textCol`"))
     import graft.functions.TextFunctions.{tokens, shingles, md5Hash60}
-    val uni = docs.select(id, explode(tokens(text)).as("__g"))
-    val grams =
-      if (useBigrams) uni.unionAll(docs.select(id, explode(shingles(text, 2)).as("__g")))
-      else uni
+    // one scan, one explode: unigram and bigram arrays concatenate before
+    // the fan-out (a union of two explodes re-reads text twice)
+    val gramsArr =
+      if (useBigrams) concat(tokens(text), shingles(text, 2)) else tokens(text)
+    val grams = docs.select(id, explode(gramsArr).as("__g"))
     val counts = grams
       .filter(col("__g") =!= "")
       .groupBy(id, pmod(md5Hash60(concat(lit(s"$seed:"), col("__g"))),

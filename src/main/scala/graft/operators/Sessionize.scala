@@ -77,4 +77,65 @@ object Sessionize {
       .withColumn("duration_s",
         unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
   }
+
+  /** Ordered-funnel analysis: how far each user progresses through the
+    * `steps` sequence (greedy earliest-match subsequence — the standard
+    * funnel semantics: match the first step-1 event, then the first
+    * step-2 event strictly AFTER it in the (ts, orderCol) total order,
+    * and so on; greedy earliest-first is optimal for subsequence
+    * reachability, so "stages_completed = k" means SOME ordered
+    * occurrence of the first k steps exists). Every user seen in
+    * `events` gets a row, stage 0 if they never hit step 1.
+    * Output: (userCol, stages_completed int).
+    *
+    * 100 TB shape: the event stream is FIRST filtered to the step
+    * values (the funnel subset, typically a tiny fraction), then ONE
+    * per-user aggregation collects that subset into a sorted list and a
+    * codegen'd `aggregate` fold walks it — no per-user window over the
+    * raw stream, no k-pass self-joins. `orderCol` must be unique per
+    * event (the total-order tiebreak for equal timestamps). */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelStages: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnelStages: steps must be distinct, got $steps")
+    val u = col(s"`$userCol`")
+    val stepsArr = array(steps.map(lit): _*)
+    val matched = events
+      .filter(col(s"`$stepCol`").isin(steps: _*))
+      .groupBy(u.as("__u"))
+      .agg(array_sort(collect_list(struct(
+        col(s"`$tsCol`").as("__ts"), col(s"`$orderCol`").as("__o"),
+        col(s"`$stepCol`").as("__s")))).as("__evs"))
+      .select(col("__u"), aggregate(col("__evs"), lit(0),
+        (acc, ev) => when(acc < steps.size &&
+          ev.getField("__s") === element_at(stepsArr, acc + 1), acc + 1)
+          .otherwise(acc)).as("stages_completed"))
+    events.select(u.as("__u")).distinct()
+      .join(matched, Seq("__u"), "left")
+      .select(col("__u").as(userCol),
+        coalesce(col("stages_completed"), lit(0)).as("stages_completed"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * ISO week; each (cohort_week, week_offset) cell counts the cohort's
+    * users active that many weeks later — the standard retention
+    * triangle. Output: (cohort_week date, week_offset int,
+    * n_users long).
+    *
+    * 100 TB shape: the raw stream collapses to DISTINCT (user, week)
+    * immediately (map-side combinable), cohorts are a per-user min over
+    * that frame, and the matrix is one aggregation over
+    * users × active-weeks — nothing event-sized shuffles twice. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weeks = events.select(col(s"`$userCol`").as("__u"),
+        date_trunc("week", col(s"`$tsCol`")).cast("date").as("__w"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("__u")).agg(min(col("__w")).as("__c"))
+    weeks.join(cohorts, Seq("__u"))
+      .groupBy(col("__c").as("cohort_week"),
+        (datediff(col("__w"), col("__c")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -159,6 +159,86 @@ object Streams {
       }
   }
 
+  case class KeyHll(key: String, n_nonzero: Long, est_distinct: Double)
+
+  /** Streaming HyperLogLog distinct-count: per key, maintain the 2^p
+    * MAX registers ([[graft.operators.Sketch.hllSketch]]'s state — a
+    * 2^p-byte array per key FOREVER, the classic bounded-memory
+    * upgrade over [[runningDistinct]]'s KMV when keys are hot: register
+    * updates are idempotent MAXes, so a billion repeats of one value
+    * cost nothing) and emit the updated estimate each batch. Hash,
+    * register routing, rho, and BOTH estimator branches (integer
+    * harmonic sum; decimal-rounded linear-counting ln) are
+    * bit-identical to the batch operator, so a stream's final state
+    * equals [[graft.operators.Sketch.hllEstimate]] over the same rows —
+    * StreamsSpec asserts exactly that — and a snapshotted register
+    * array MAX-merges with batch shard sketches ([[graft.operators.Sketch.hllMerge]]). */
+  def runningHllDistinct(
+      events: Dataset[(String, String)],
+      p: Int = 12): Dataset[KeyHll] = {
+    require(p >= 4 && p <= 13, s"p must be in [4, 13], got $p")
+    import events.sparkSession.implicits._
+    val m = 1 << p
+    val w = 60 - p
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // the batch round(log(x).cast(DecimalType(25,12)), 9) contract:
+    // valueOf goes through Double.toString exactly like Spark's
+    // Decimal(double) constructor
+    def ln9(x: Double): Double =
+      java.math.BigDecimal.valueOf(math.log(x))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], KeyHll](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(Array.fill[Byte](m)(0))
+          var touched = state.exists
+          for (r <- rows; v <- Option(r._2)) {
+            val h = h60(v)
+            val reg = (h >>> w).toInt
+            val suf = h & ((1L << w) - 1L)
+            val rho =
+              if (suf == 0L) w + 1
+              else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(suf))
+            if (rho > regs(reg)) regs(reg) = rho.toByte
+            touched = true
+          }
+          if (!touched) {
+            // only-null rows on a never-seen key: the batch sketch has no
+            // row for it — emit nothing, keep no state
+            Iterator.empty
+          } else {
+            state.update(regs)
+            var sNz = 0L
+            var nNz = 0L
+            var i = 0
+            while (i < m) {
+              if (regs(i) > 0) { nNz += 1; sNz += 1L << (w + 1 - regs(i)) }
+              i += 1
+            }
+            val zeros = m - nNz
+            val s = sNz + zeros * (1L << (w + 1))
+            val raw = alpha * m.toDouble * m.toDouble *
+              ((1L << (w + 1)).toDouble / s.toDouble)
+            val est =
+              if (raw <= 2.5 * m && zeros > 0L) m.toDouble * ln9(m.toDouble / zeros)
+              else raw
+            Iterator.single(KeyHll(key, nNz, est))
+          }
+      }
+  }
+
   /** Streaming near-dup flagging against a STANDING index — the ingestion
     * counterpart of [[graft.operators.Dedup.nearDupPairsAgainstIndex]]:
     * documents arriving on a stream are minhash-signed PER ROW (no

@@ -54,4 +54,46 @@ class SessionizeSpec extends SparkSpecBase {
         "user_id", "ts", "event_id", 10)
     }
   }
+
+  test("funnelStages: greedy ordered subsequence; order matters; absent steps are stage 0") {
+    val events = Seq(
+      // u1 completes the funnel, interleaved with noise
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "error"),
+      (1L, ts(2), 12L, "click"), (1L, ts(3), 13L, "purchase"),
+      // u2 clicks BEFORE viewing: only the view counts (stage 1) —
+      // the later click at ts(4) does advance it to 2 though
+      (2L, ts(0), 20L, "click"), (2L, ts(1), 21L, "view"),
+      (2L, ts(4), 22L, "click"),
+      // u3: purchase first, then view — purchase out of order, stage 1
+      (3L, ts(0), 30L, "purchase"), (3L, ts(1), 31L, "view"),
+      // u4: only noise events
+      (4L, ts(0), 40L, "error"),
+      // u5: view and click at the SAME ts — event_id breaks the tie in
+      // favor of the view (smaller id), so the click still advances
+      (5L, ts(0), 50L, "view"), (5L, ts(0), 51L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.funnelStages(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 2))
+  }
+
+  test("retentionCohorts: first-week cohorts and offset counts") {
+    def wts(day: Int) = new Timestamp(1704067200000L + day * 86400000L) // 2024-01-01 Mon
+    val events = Seq(
+      // u1 active week 0 and week 2; u2 active week 0 only;
+      // u3 first seen week 1, active weeks 1 and 2
+      (1L, wts(0)), (1L, wts(1)), (1L, wts(15)),
+      (2L, wts(2)),
+      (3L, wts(8)), (3L, wts(14)))
+      .toDF("user_id", "ts")
+    val got = Sessionize.retentionCohorts(events, "user_id", "ts")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0, 2L), // u1, u2 in the week-0 cohort
+      ("2024-01-01", 2, 1L), // u1 returns in week 2
+      ("2024-01-08", 0, 1L), // u3's cohort
+      ("2024-01-08", 1, 1L))) // u3 returns the next week
+  }
 }

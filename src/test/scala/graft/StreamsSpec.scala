@@ -111,6 +111,39 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningHllDistinct's final state equals the batch HLL estimate over the same rows") {
+    // spread across both estimator branches: g0 sees ~90 distinct (linear
+    // counting at p=10), g1 sees 3000 distinct (raw harmonic branch:
+    // 3000 > 2.5m = 2560)
+    val rows = (1 to 200).map(i => ("g0", "v" + (i % 90))) ++
+      (1 to 3000).map(i => ("g1", "w" + i))
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.runningHllDistinct(input.toDS(), p = 10)
+    val q = out.writeStream.format("memory").queryName("running_hll")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(1000): _*)
+      q.processAllAvailable()
+      input.addData(("g0", null.asInstanceOf[String]), ("gnull", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData(rows.drop(1000): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("running_hll")
+        .groupBy("key").agg(max(struct($"n_nonzero", $"est_distinct")).as("s"))
+        .select($"key", $"s.n_nonzero", $"s.est_distinct")
+        .as[(String, Long, Double)].collect()
+        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      val batch = graft.operators.Sketch.hllEstimate(
+          graft.operators.Sketch.hllSketch(rows.toDF("g", "v"), "v", "g", p = 10),
+          "g", p = 10)
+        .select("g", "n_nonzero", "est_distinct")
+        .as[(String, Long, Double)].collect()
+        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      assert(streamed === batch)
+      assert(!streamed.contains("gnull"), "all-null key must emit nothing (batch parity)")
+    } finally q.stop()
+  }
+
   test("nearDupFlagStream equals the batch against-index pairs over the same rows") {
     val docs = testdata("sf0.001", "documents")
     val idxDf = docs.filter($"doc_id" % 5 =!= 0)
