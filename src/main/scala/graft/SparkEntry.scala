@@ -4142,5 +4142,107 @@ object SparkEntry {
         .withColumn("cohort_week", col("cohort_week").cast("string"))
         .orderBy(col("cohort_week"), col("week_offset"))
     }
+
+    // --- synchronous label propagation (Raghavan 2007) over the p05
+    //     near-dup pair graph: 2 deterministic rounds (most frequent
+    //     neighbor label, ties to the smallest), init = own id —
+    //     duplicate-family communities finer than connected components.
+    //     Integer counts, integer labels — no FP anywhere; the oracle
+    //     unrolls both rounds.
+    register("p92_label_propagation",
+      s"""WITH $minhashPairCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |l0 AS (SELECT DISTINCT u AS id FROM edges),
+         |c1 AS (SELECT e.u, l.label, COUNT(*) AS c
+         |  FROM edges e JOIN (SELECT id, id AS label FROM l0) l ON l.id = e.v
+         |  GROUP BY e.u, l.label),
+         |n1 AS (SELECT u AS id, label FROM (SELECT u, label,
+         |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+         |  FROM c1) x WHERE rn = 1),
+         |c2 AS (SELECT e.u, l.label, COUNT(*) AS c
+         |  FROM edges e JOIN n1 l ON l.id = e.v GROUP BY e.u, l.label),
+         |n2 AS (SELECT u AS id, label FROM (SELECT u, label,
+         |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+         |  FROM c2) x WHERE rn = 1)
+         |SELECT id AS doc_id, label AS community FROM n2
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Graphs.labelPropagation(
+          minhashPairs(s, dir), "id_a", "id_b", iters = 2)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- robust per-group location stats over lineitem prices: exact
+    //     nearest-rank p5/p95 cuts (integer-micros ceil rule), the
+    //     winsorized mean (clamped values) and the value-cut trimmed
+    //     mean. Sums accumulate through DECIMAL(25,6) (q28 contract),
+    //     each mean is one IEEE division.
+    register("p93_robust_stats",
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT g, v,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+        |  FROM b),
+        |k AS (SELECT g, v, n, rn,
+        |    GREATEST(1, (n * 50000 + 999999) // 1000000) AS lork,
+        |    GREATEST(1, (n * 950000 + 999999) // 1000000) AS hirk
+        |  FROM r),
+        |cuts AS (SELECT g,
+        |    MAX(CASE WHEN rn = lork THEN v END) AS lo,
+        |    MAX(CASE WHEN rn = hirk THEN v END) AS hi
+        |  FROM k GROUP BY g)
+        |SELECT k.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE)
+        |    / COUNT(*)::DOUBLE AS mean,
+        |  cuts.lo AS lo_cut, cuts.hi AS hi_cut,
+        |  CAST(SUM(CAST(GREATEST(LEAST(v, cuts.hi), cuts.lo) AS DECIMAL(25,6))) AS DOUBLE)
+        |    / COUNT(*)::DOUBLE AS winsor_mean,
+        |  CAST(SUM(CASE WHEN v >= cuts.lo AND v <= cuts.hi
+        |    THEN CAST(v AS DECIMAL(25,6)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN v >= cuts.lo AND v <= cuts.hi THEN 1 ELSE 0 END)::DOUBLE
+        |    AS trimmed_mean,
+        |  CAST(SUM(CASE WHEN v >= cuts.lo AND v <= cuts.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM k JOIN cuts ON cuts.g = k.g
+        |GROUP BY k.g, cuts.lo, cuts.hi
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.robustStats(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          loPct = 0.05, hiPct = 0.95)
+        .withColumnRenamed("l_returnflag", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }
+
+    // --- tokenizer fertility & word-OOV audit per language: subword-
+    //     per-word ratio (the p01 BPE-ish regex) and the OOV rate under
+    //     the corpus top-200 vocabulary (p29 machinery). Integer counts,
+    //     one IEEE division per ratio.
+    register("p94_fertility_audit",
+      s"""WITH toks AS (SELECT lang, unnest($toksLowerSql) AS tok FROM documents),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+         |voc AS (SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+         |    FROM cnt) x WHERE token_id < 200),
+         |wg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN voc v ON v.tok = t.tok GROUP BY lang),
+         |sg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(COALESCE(len(regexp_extract_all(text,
+         |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')), 0)) AS BIGINT) AS n_subwords
+         |  FROM documents GROUP BY lang)
+         |SELECT sg.lang, sg.n_docs, COALESCE(wg.n_words, 0) AS n_words,
+         |  sg.n_subwords, COALESCE(wg.n_oov, 0) AS n_oov,
+         |  CASE WHEN wg.n_words > 0
+         |    THEN sg.n_subwords::DOUBLE / wg.n_words::DOUBLE END AS fertility,
+         |  CASE WHEN wg.n_words > 0
+         |    THEN wg.n_oov::DOUBLE / wg.n_words::DOUBLE END AS oov_rate
+         |FROM sg LEFT JOIN wg ON wg.lang = sg.lang
+         |ORDER BY sg.lang""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.fertilityAudit(
+          t(s, dir, "documents"), "lang", "text", vocabSize = 200)
+        .orderBy(col("lang"))
+    }
   }
 }

@@ -152,4 +152,60 @@ object Graphs {
       .join(dir.select(col("s").as("w1"), col("d").as("w2")), Seq("w1", "w2"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan, Albert & Kumara 2007):
+    * community detection over an undirected edge list — the cheap
+    * community pass for duplicate-family / domain-cluster analysis
+    * where connected components are too coarse (one bridge edge merges
+    * everything) and modularity methods too heavy. Init: every node
+    * labels itself; each round, EVERY node simultaneously adopts the
+    * most frequent label among its neighbors, ties to the SMALLEST
+    * label — fully deterministic, unlike the paper's async random
+    * sweep (the price: possible 2-cycles on bipartite-ish structure,
+    * which fixed `iters` bounds anyway; integer counts, no FP).
+    * Returns (id, label) after `iters` rounds.
+    *
+    * 100 TB shape: per round ONE edges×labels equi-join on the
+    * neighbor key, one map-side-combinable (node, label) count, one
+    * per-node argmax window over that count frame — the PageRank
+    * MapReduce shape with labels for ranks; rounds stage through the
+    * pluggable [[Stager]] with the two-live-snapshots release rule.
+    * The symmetrized edge list means every node has >= 1 neighbor, so
+    * no dangling branch exists. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 2,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val raw = edges.select(col(s"`$srcCol`").as("u"), col(s"`$dstCol`").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val sym = stager.stage(
+      raw.unionAll(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      s"lpa_edges_$runId")
+    val nodes = stager.stage(
+      sym.select(col("u").as("id")).distinct(), s"lpa_nodes_$runId")
+    var lab = nodes.withColumn("label", col("id"))
+    var prevRec: Stager.Recording = null
+    for (i <- 1 to iters) {
+      val counts = sym
+        .join(lab.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("__c").desc, col("label"))
+      val rec = new Stager.Recording(stager)
+      lab = rec.stage(
+        counts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("u").as("id"), col("label")),
+        s"lpa_iter_${runId}_$i")
+      if (stager.eager && prevRec != null) prevRec.release()
+      prevRec = rec
+    }
+    lab
+  }
 }

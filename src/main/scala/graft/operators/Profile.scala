@@ -288,6 +288,67 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Robust per-group location statistics: plain mean, the exact
+    * nearest-rank `loPct`/`hiPct` cuts, the WINSORIZED mean (values
+    * clamped to the cuts — the outlier-tolerant mean every corpus
+    * report should publish instead of the raw one, which a single
+    * 2 GB document can drag arbitrarily) and the value-cut TRIMMED
+    * mean (values strictly outside the cuts dropped; ties AT a cut
+    * kept — note this is the value-threshold variant, which can drop
+    * fewer than ⌈p·n⌉ rows under heavy ties at the cut).
+    *
+    * Output: (groupCol, n long, mean, lo_cut, hi_cut, winsor_mean,
+    * trimmed_mean double, n_kept long — rows inside the cuts). NULL
+    * values are dropped.
+    *
+    * Exactness: cut ranks use the integer-micros nearest-rank rule
+    * (the [[calibrateByGroup]] contract — ⌈p·n⌉ via
+    * (n·pMicro + 999999) div 10⁶, floored at 1); sums accumulate
+    * through DECIMAL(25,6) (order-independent, the q28 contract) and
+    * each mean is ONE IEEE division.
+    *
+    * 100 TB shape: one per-group sort window (the exact-order-statistic
+    * cost, same giant-group caveat as [[calibrateByGroup]] — swap in
+    * [[Sketch.quantileProfile]] cuts for groups that overwhelm one
+    * reducer) and one final aggregation. */
+  def robustStats(df: DataFrame, groupCol: String, valueCol: String,
+      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+    require(loPct >= 0.0 && hiPct <= 1.0 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val loMicro = math.round(loPct * 1e6)
+    val hiMicro = math.round(hiPct * 1e6)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(g)
+    val ranked = df.filter(v.isNotNull)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(v)))
+      .withColumn("__lork", greatest(lit(1L),
+        expr(s"(__n * ${loMicro}L + 999999L) div 1000000L")))
+      .withColumn("__hirk", greatest(lit(1L),
+        expr(s"(__n * ${hiMicro}L + 999999L) div 1000000L")))
+      .withColumn("__lo", max(when(col("__rn") === col("__lork"), v)).over(w))
+      .withColumn("__hi", max(when(col("__rn") === col("__hirk"), v)).over(w))
+    ranked
+      .groupBy(g)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v.cast(dec)).as("__sum"),
+        max(col("__lo")).as("lo_cut"),
+        max(col("__hi")).as("hi_cut"),
+        sum(greatest(least(v, col("__hi")), col("__lo")).cast(dec)).as("__wsum"),
+        sum(when(v >= col("__lo") && v <= col("__hi"), v.cast(dec))).as("__tsum"),
+        sum(when(v >= col("__lo") && v <= col("__hi"), 1L).otherwise(0L)).as("__tn"))
+      .select(g, col("n"),
+        (col("__sum").cast("double") / col("n").cast("double")).as("mean"),
+        col("lo_cut"), col("hi_cut"),
+        (col("__wsum").cast("double") / col("n").cast("double")).as("winsor_mean"),
+        (col("__tsum").cast("double") / col("__tn").cast("double")).as("trimmed_mean"),
+        col("__tn").as("n_kept"))
+  }
+
   /** Token-distribution divergence between two corpora — the drift/
     * mixture-shift monitor a pipeline runs between crawl snapshots or
     * between a training mix and its target domain: KL(A‖B), KL(B‖A) and

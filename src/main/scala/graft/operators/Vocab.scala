@@ -364,4 +364,50 @@ object Vocab {
       }
     }(enc)
   }
+
+  /** Tokenizer fertility & OOV audit per group — the health report run
+    * before committing a tokenizer to a corpus mix: fertility
+    * (subword-per-word ratio; a tokenizer mismatched to a language
+    * inflates it, burning context window) and the word-level OOV rate
+    * under a top-`vocabSize` corpus vocabulary, per language/source.
+    * Subwords use the deterministic BPE-ish regex
+    * ([[graft.functions.TextFunctions.subwordCount]]); words are the
+    * shared termStream contract.
+    *
+    * Output: (groupCol, n_docs, n_words, n_subwords, n_oov long,
+    * fertility, oov_rate double — NULL for a wordless group).
+    *
+    * 100 TB shape: the vocab is the [[buildVocab]] top-N
+    * (TakeOrderedAndProject) broadcast into the term stream; per-doc
+    * subword counts are a shuffle-free row expression aggregated
+    * map-side; each ratio is ONE IEEE division of exact integers. */
+  def fertilityAudit(docs: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val vocab = buildVocab(docs, textCol, vocabSize)
+    val words = graft.functions.TextFunctions.termStream(docs, Seq(g), textCol)
+      .join(broadcast(vocab.select(col("token").as("__term"),
+        lit(true).as("__in"))), Seq("__term"), "left")
+      .groupBy(g)
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val subs = docs.groupBy(g)
+      .agg(count(lit(1)).as("n_docs"),
+        // explicit null-text guard: size() of a null array yields -1
+        // under legacy sizeOfNull, which a coalesce would pass through
+        sum(when(col(s"`$textCol`").isNull, 0L)
+          .otherwise(graft.functions.TextFunctions.subwordCount(col(s"`$textCol`"))
+            .cast("long"))).as("n_subwords"))
+    subs.join(words, Seq(groupCol), "left")
+      .select(g, col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        col("n_subwords"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_words") > 0L,
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        when(col("n_words") > 0L,
+          col("n_oov").cast("double") / col("n_words").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -120,4 +120,34 @@ class GraphsSpec extends SparkSpecBase {
     val withHub = e ++ (1L to 4L).map(l => (0L, l))
     assert(tri(withHub) === 7L)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.labelPropagation(edges.toDF("a", "b"), "a", "b", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: cliques converge to their min id; disjoint cliques stay apart") {
+    val twoTriangles = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    assert(lpa(twoTriangles, 2) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: synchronous semantics pinned on a path (2-cycle is the contract)") {
+    // path 1-2-3. Round 1: n1<-2 (only neighbor), n2<-min(1,3)=1, n3<-2.
+    // Round 2: n1 <- n2's r1 label 1; n2 <- both neighbors carry 2 -> 2;
+    // n3 <- 1. The documented synchronous oscillation, exactly.
+    assert(lpa(Seq((1L, 2L), (2L, 3L)), 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(lpa(Seq((1L, 2L), (2L, 3L)), 2) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("labelPropagation: direction, duplicates, self-loops and nulls don't matter") {
+    val base = lpa(Seq((1L, 2L), (2L, 3L), (1L, 3L)), 2)
+    val messy = Seq((2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 1L), (1L, 3L))
+    assert(lpa(messy, 2) === base)
+    val withNull = messy.map { case (a, b) => (Option(a), Option(b)) } :+
+      ((Option(5L), Option.empty[Long]))
+    val got = Graphs.labelPropagation(withNull.toDF("a", "b"), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === base, "a null-endpoint edge must vanish, not create a node")
+  }
 }

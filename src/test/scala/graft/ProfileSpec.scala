@@ -182,6 +182,32 @@ class ProfileSpec extends SparkSpecBase {
     assert(byId(6L)._2 === Some(1.0))
   }
 
+  test("robustStats: hand-computed winsorized and trimmed means on 1..20") {
+    // n=20, p5 cut rank ceil(1)=1 -> lo=1; p95 rank ceil(19)=19 -> hi=19
+    val df = ((1 to 20).map(i => (Some("g"), Some(i.toDouble))) :+
+      ((Some("g"), Option.empty[Double]))) // null value dropped
+      .toDF("g", "v")
+    val r = Profile.robustStats(df, "g", "v")
+      .select("n", "mean", "lo_cut", "hi_cut", "winsor_mean", "trimmed_mean", "n_kept")
+      .as[(Long, Double, Double, Double, Double, Double, Long)].head()
+    assert(r._1 === 20L)
+    assert(r._2 === 10.5)
+    assert((r._3, r._4) === ((1.0, 19.0)))
+    assert(r._5 === 10.45) // 20 clamps to 19: (190 + 19) / 20
+    assert(r._6 === 10.0)  // 1..19 kept
+    assert(r._7 === 19L)
+  }
+
+  test("robustStats: a single outlier moves the mean but not the robust means") {
+    val base = (1 to 99).map(i => ("g", 100.0))
+    val withOutlier = base :+ (("g", 1e9))
+    val r = Profile.robustStats(withOutlier.toDF("g", "v"), "g", "v")
+      .select("mean", "winsor_mean", "trimmed_mean")
+      .as[(Double, Double, Double)].head()
+    assert(r._1 > 1e6, "raw mean dragged by the outlier")
+    assert(r._2 === 100.0 && r._3 === 100.0, "robust means unmoved")
+  }
+
   test("tokenDivergence: hand-computed smoothed KL/JS; identity is zero") {
     // A = "a a b", B = "a b b": V=2, N=3 each; p=(0.6,0.4), q=(0.4,0.6)
     val a = Seq(Tuple1("a a b")).toDF("text")

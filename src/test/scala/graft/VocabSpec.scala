@@ -170,4 +170,23 @@ class VocabSpec extends SparkSpecBase {
       assert(math.abs(gotScore - refScore) < 1e-9, s"doc $id: $gotScore vs $refScore")
     }
   }
+
+  test("fertilityAudit: hand-counted fertility and OOV; wordless groups keep NULL ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "Hello, world!"),        // 2 words; subwords: Hello , world ! = 4
+      ("en", "hello, again"),         // 2 words; subwords: hello , again = 3
+      ("xx", ""),                     // wordless group, 0 subwords
+      ("yy", null.asInstanceOf[String]))
+      .toDF("lang", "text")
+    // vocabSize=2 keeps the two most frequent terms: "hello," (2 occ.)
+    // then "again" (ties at 1 break alphabetically) -> "world!" is OOV
+    val got = graft.operators.Vocab.fertilityAudit(docs, "lang", "text", vocabSize = 2)
+      .select("lang", "n_docs", "n_words", "n_subwords", "n_oov", "fertility", "oov_rate")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 4L, 7L, 1L, Some(1.75), Some(0.25))))
+    assert(got("xx") === (("xx", 1L, 0L, 0L, 0L, None, None)))
+    assert(got("yy") === (("yy", 1L, 0L, 0L, 0L, None, None)))
+  }
 }
