@@ -107,6 +107,22 @@ object ScaleProbe {
     println(f"containment 1x: $tc1%.1fs $c1 pairs | ${r}x: $tcR%.1fs $cR pairs" +
       f" (ratio ${tcR / tc1}%.2fx time, ${cR.toDouble / c1}%.2fx rows)")
 
+    // ---- sorted-neighborhood pairs: the token-prefix salt puts every
+    // replica's blocking keys in a CONTIGUOUS sort range (keys start
+    // with the salt char), so windows stay within replicas except the
+    // w-1 boundary pairs at each joint — whose cross-replica shingle
+    // universes are orthogonal, so the exact verify drops them.
+    // Expected: rows exactly Rx.
+    def snmRun(reps: Int): Long =
+      graft.operators.Dedup.sortedNeighborhoodPairs(
+        hhFrame(reps), "doc_id", "text",
+        windowSize = 4, shingleN = 3, threshold = 0.5, keyLen = 12).count()
+    snmRun(1)
+    val (s1, ts1) = time(snmRun(1))
+    val (sR, tsR) = time(snmRun(r))
+    println(f"sorted_neighborhood 1x: $ts1%.1fs $s1 pairs | ${r}x: $tsR%.1fs $sR pairs" +
+      f" (ratio ${tsR / ts1}%.2fx time, ${sR.toDouble / s1}%.2fx rows)")
+
     // ---- edit dedup (PassJoin o connected components o min-id keep):
     // the edit-join frame's disjoint alphabet blocks keep every edit
     // cluster within one replica, and the id stripe (doc_id*R + i) is
