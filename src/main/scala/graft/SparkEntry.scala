@@ -4244,5 +4244,36 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", "text", vocabSize = 200)
         .orderBy(col("lang"))
     }
+
+    // --- keep-BEST canonical dedup: connected components over the p05
+    //     near-dup pairs, keep each cluster's highest-n_chars member
+    //     (ties to the smallest id) — the curation-correct variant of
+    //     p21/p79's min-id keep (min-id keeps whichever copy was crawled
+    //     first; keep-best keeps the cleanest). Oracle: recursive-CTE
+    //     transitive closure + per-cluster argmax window.
+    register("p95_dedup_keep_best",
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT ea, eb FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.eb FROM reach JOIN edges ON reach.r = edges.ea),
+         |assign AS (SELECT id, least(id, MIN(r)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sc AS (SELECT a.id, a.cluster_id, d.n_chars
+         |  FROM assign a JOIN documents d ON d.doc_id = a.id),
+         |dropped AS (SELECT id FROM (
+         |    SELECT id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC NULLS LAST, id) AS rn FROM sc) x
+         |  WHERE rn > 1)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.DupClusters.dedupByPairsKeepBest(
+          t(s, dir, "documents"), "doc_id", "n_chars", minhashPairs(s, dir))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

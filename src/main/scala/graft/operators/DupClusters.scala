@@ -187,4 +187,38 @@ object DupClusters {
       .select(col("id").as(idCol))
     df.join(dupes, Seq(idCol), "left_anti")
   }
+
+  /** [[dedupByPairs]] with a QUALITY keep rule: from each duplicate
+    * cluster keep the member with the highest `scoreCol` (ties to the
+    * smallest id), not the smallest id — the curation-correct variant:
+    * min-id keeps whichever copy happened to be crawled first, keep-best
+    * keeps the cleanest one. Docs in no pair keep their row untouched.
+    *
+    * 100 TB shape: on top of the [[connectedComponents]] rounds, ONE
+    * score join (ids in clusters only — the duplicate subset, not the
+    * corpus) and ONE per-cluster argmax window over that subset; the
+    * final keep is a left-anti join on dropped ids. NULL scores rank
+    * below every non-null score (a scoreless copy never beats a scored
+    * one). */
+  def dedupByPairsKeepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = connectedComponents(pairs, aCol, bCol, stager = stager)
+    val scored = members.join(
+      df.select(col(s"`$idCol`").as("id"), col(s"`$scoreCol`").as("__score")),
+      Seq("id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc_nulls_last, col("id"))
+    val dropped = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -159,6 +159,46 @@ object Streams {
       }
   }
 
+  case class KeyFunnel(key: String, stages_completed: Int)
+
+  /** Streaming ordered-funnel: per user, the greedy funnel stage
+    * maintained across micro-batches — ONE int of state per user
+    * forever ([[graft.operators.Sessionize.funnelStages]] as keyed
+    * state). Rows are (user, ts, order, step); each batch's rows for a
+    * user are processed in (ts, order) order and folded from the saved
+    * stage, so a stream fed in event-time order equals the batch
+    * operator over the same rows — StreamsSpec asserts exactly that.
+    * Late (out-of-order ACROSS batches) events cannot rewind an
+    * already-advanced stage — the documented streaming trade-off (the
+    * greedy stage is monotone, so an out-of-order stream can only
+    * UNDER-report, never invent progress). Non-step and null-step rows
+    * are ignored; every user seen emits its current stage each batch. */
+  def runningFunnel(
+      events: Dataset[(String, java.sql.Timestamp, Long, String)],
+      steps: Seq[String]): Dataset[KeyFunnel] = {
+    require(steps.nonEmpty, "runningFunnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"runningFunnel: steps must be distinct, got $steps")
+    import events.sparkSession.implicits._
+    val stepArr = steps.toIndexedSeq
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, KeyFunnel](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Int]) =>
+          var stage = state.getOption.getOrElse(0)
+          // (getTime, getNanos) carries sub-millisecond precision: two
+          // timestamps equal in millis still order by their nanos field
+          val batch = rows.filter(r => r._2 != null && r._4 != null &&
+              stepArr.contains(r._4))
+            .toArray.sortBy(r => (r._2.getTime, r._2.getNanos.toLong, r._3))
+          for (r <- batch if stage < stepArr.size)
+            if (r._4 == stepArr(stage)) stage += 1
+          state.update(stage)
+          Iterator.single(KeyFunnel(key, stage))
+      }
+  }
+
   case class KeyHll(key: String, n_nonzero: Long, est_distinct: Double)
 
   /** Streaming HyperLogLog distinct-count: per key, maintain the 2^p

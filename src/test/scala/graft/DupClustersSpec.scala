@@ -86,4 +86,22 @@ class DupClustersSpec extends SparkSpecBase {
       .filter(col("mn") =!= col("cluster_id")).count()
     assert(badRoot === 0L)
   }
+
+  test("dedupByPairsKeepBest: highest score survives, ties to min id, null scores lose") {
+    val docs = Seq(
+      (1L, Some(5.0)), (2L, Some(9.0)), (3L, Some(9.0)), // cluster {1,2,3}
+      (4L, Option.empty[Double]), (5L, Some(1.0)),       // cluster {4,5}
+      (7L, Some(0.0)))                                   // isolated, kept untouched
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = DupClusters.dedupByPairsKeepBest(docs, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {1,2,3}: max score 9 tied between 2 and 3 -> keep 2;
+    // {4,5}: null loses to 1.0 -> keep 5; 7 has no pair -> kept
+    assert(kept === Seq(2L, 5L, 7L))
+    // against the min-id rule: dedupByPairs would keep 1 and 4 instead
+    val minId = DupClusters.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId === Seq(1L, 4L, 7L))
+  }
 }

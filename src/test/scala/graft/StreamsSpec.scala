@@ -111,6 +111,36 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningFunnel fed in event-time order equals the batch funnel over the same rows") {
+    val events = testdata("sf0.001", "events")
+    val rows = events
+      .select($"user_id".cast("string"), $"ts".cast("timestamp"),
+        $"event_id".cast("long"), $"event_type")
+      .as[(String, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(r => (r._2.getTime, r._2.getNanos.toLong, r._3))
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(String, java.sql.Timestamp, Long, String)](spark)
+    val out = Streams.runningFunnel(input.toDS(), steps)
+    val q = out.writeStream.format("memory").queryName("running_funnel")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(rows.length / 3): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(rows.length / 3, 2 * rows.length / 3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2 * rows.length / 3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("running_funnel")
+        .groupBy("key").agg(max($"stages_completed").as("s")) // stage is monotone
+        .as[(String, Int)].collect().toMap
+      val batch = graft.operators.Sessionize.funnelStages(
+          events, "user_id", "ts", "event_id", "event_type", steps)
+        .select($"user_id".cast("string"), $"stages_completed")
+        .as[(String, Int)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("runningHllDistinct's final state equals the batch HLL estimate over the same rows") {
     // spread across both estimator branches: g0 sees ~90 distinct (linear
     // counting at p=10), g1 sees 3000 distinct (raw harmonic branch:
