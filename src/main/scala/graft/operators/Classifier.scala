@@ -38,8 +38,9 @@ object Classifier {
 
   /** The deterministic weight table: (bucket long, w double), w ∈ [−1, 1).
     * md5Hash60/2^59 − 1 — both steps exact in binary64. */
-  def weightTable(df: DataFrame, nBuckets: Int, seed: String): DataFrame =
-    df.sparkSession.range(nBuckets).select(
+  def weightTable(spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
+      seed: String): DataFrame =
+    spark.range(nBuckets).select(
       col("id").as("__bucket"),
       (graft.functions.TextFunctions.md5Hash60(
         concat(lit(s"w:$seed:"), col("id").cast("string")))
@@ -68,7 +69,7 @@ object Classifier {
         lit(nBuckets.toLong)).as("__bucket"))
       .agg(count(lit(1)).as("__c"))
     val scored = counts
-      .join(broadcast(weightTable(docs, nBuckets, seed)), Seq("__bucket"))
+      .join(broadcast(weightTable(docs.sparkSession, nBuckets, seed)), Seq("__bucket"))
       .groupBy(id)
       .agg(
         sum(col("__c")).as("n_features"),

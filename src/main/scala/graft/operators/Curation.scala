@@ -180,7 +180,13 @@ object Curation {
     val id = col(s"`$idCol`")
     val grams = Dedup.shingleRows(docs, idCol, textCol, ngramN)
       .select(id, md5Hash60(col("shingle")).as("__g")).distinct()
-    val refGrams = Dedup.shingleRows(reference, idCol, textCol, ngramN)
+    // the reference side only contributes its DISTINCT gram set — it
+    // needs no id column of its own (a synthetic per-row id keeps the
+    // shingle window doc-local; the gram SET is id-invariant)
+    val refGrams = Dedup.shingleRows(
+        reference.select(monotonically_increasing_id().as("__ref_id"),
+          col(s"`$textCol`")),
+        "__ref_id", textCol, ngramN)
       .select(md5Hash60(col("shingle")).as("__g")).distinct()
     val novel = grams.join(refGrams, Seq("__g"), "left_anti")
       .groupBy(id).agg(count(lit(1)).as("__novel"))

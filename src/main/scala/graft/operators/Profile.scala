@@ -369,14 +369,21 @@ object Profile {
     * two tiny total rows broadcast into the term computation, one final
     * scalar aggregation. Nothing per-document survives the first
     * aggregation. */
-  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(25, 15)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     def counts(df: DataFrame, out: String): DataFrame =
       TextFunctions.termStream(df, Nil, textCol)
         .groupBy(col("__term")).agg(count(lit(1)).as(out))
-    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__term"), "full_outer")
-      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
-        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // staged: the joined count frame feeds BOTH the totals row and the
+    // per-token terms — unstaged, the full-outer join and both count
+    // aggregations execute twice (only the exchanges get reused)
+    val joined = stager.stage(
+      counts(a, "__ca").join(counts(b, "__cb"), Seq("__term"), "full_outer")
+        .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb")),
+      s"divergence_counts_$runId")
     val totals = joined.agg(
       count(lit(1)).as("vocab_size"),
       sum(col("__ca")).as("n_tokens_a"),

@@ -128,10 +128,14 @@ object Sessionize {
     * that frame, and the matrix is one aggregation over
     * users × active-weeks — nothing event-sized shuffles twice. */
   def retentionCohorts(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
-    val weeks = events.select(col(s"`$userCol`").as("__u"),
-        date_trunc("week", col(s"`$tsCol`")).cast("date").as("__w"))
-      .distinct()
+      tsCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    // staged: the distinct (user, week) frame feeds the cohort min AND
+    // the final join — unstaged, the event-stream distinct runs twice
+    val weeks = stager.stage(
+      events.select(col(s"`$userCol`").as("__u"),
+          date_trunc("week", col(s"`$tsCol`")).cast("date").as("__w"))
+        .distinct(),
+      s"retention_weeks_${java.util.UUID.randomUUID().toString.take(8)}")
     val cohorts = weeks.groupBy(col("__u")).agg(min(col("__w")).as("__c"))
     weeks.join(cohorts, Seq("__u"))
       .groupBy(col("__c").as("cohort_week"),

@@ -195,11 +195,17 @@ object Similarity {
       col("__nv").as("__va"), col("__nn").as("__na"))
     val b = cv.select(col("query_id"), col("rank").as("__rb"),
       col("__nv").as("__vb"), col("__nn").as("__nb"))
+    // degenerate-pair guard (the old per-row cosD returned 0.0 on zero
+    // norms): rankedTopK's pool excludes such vectors TODAY, but that is
+    // a non-local invariant and the scaladoc invites swapping in other
+    // candidate generators — a NULL (zero-norm divide) or NaN sim would
+    // otherwise leave the greedy's argmax at -1 and crash the loop
     val sims = a.join(b, Seq("query_id"))
       .select(col("query_id"), col("__ra"),
         struct(col("__rb"),
-          (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-            .as("sim")).as("__s"))
+          coalesce(nanvl(
+            dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),
+            lit(0.0)), lit(0.0)).as("sim")).as("__s"))
       .groupBy(col("query_id").as("__qs"), col("__ra"))
       .agg(transform(array_sort(collect_list(col("__s"))),
         x => x.getField("sim")).as("__sims"))

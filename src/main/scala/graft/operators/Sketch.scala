@@ -169,6 +169,40 @@ object Sketch {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** Flajolet et al. 2007, Fig. 3 bias-correction constants — ONE
+    * definition shared by the batch estimator and the streaming replica
+    * ([[graft.streaming.Streams.runningHllDistinct]]), whose parity
+    * spec asserts bit-identity. */
+  private[graft] def hllAlpha(m: Int): Double =
+    if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+    else if (m == 64) 0.709
+    else if (m == 32) 0.697
+    else 0.673
+
+  /** Scalar twin of [[hllEstimate]]'s arithmetic (same integer harmonic
+    * sum, same decimal-rounded linear-counting ln) for per-key JVM
+    * consumers — the streaming operator's per-batch read-off. Any
+    * change here MUST move [[hllEstimate]] with it; StreamsSpec's
+    * stream-equals-batch identity is the tripwire. */
+  private[graft] def hllScalarEstimate(p: Int, nNonzero: Long,
+      sNonzero: Long): Double = {
+    val m = 1 << p
+    val w = 60 - p
+    val zeros = m - nNonzero
+    val s = sNonzero + zeros * (1L << (w + 1))
+    val raw = hllAlpha(m) * m.toDouble * m.toDouble *
+      ((1L << (w + 1)).toDouble / s.toDouble)
+    if (raw <= 2.5 * m && zeros > 0L) {
+      // the batch round(log(x).cast(DecimalType(25,12)), 9) contract:
+      // valueOf goes through Double.toString exactly like Spark's
+      // Decimal(double) constructor
+      val ln9 = java.math.BigDecimal.valueOf(math.log(m.toDouble / zeros))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      m.toDouble * ln9
+    } else raw
+  }
+
   /** Read the cardinality estimate off a register frame:
     * raw = alpha_m · m² / Σ_j 2^(−M_j) with the small-range
     * linear-counting switch (raw ≤ 2.5m and empty registers present →
@@ -185,11 +219,7 @@ object Sketch {
     val m = 1 << p
     val w = 60 - p
     val g = col(s"`$groupCol`")
-    val alpha = // Flajolet et al. 2007, Fig. 3 constants
-      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
-      else if (m == 64) 0.709
-      else if (m == 32) 0.697
-      else 0.673
+    val alpha = hllAlpha(m)
     val lnRounded = (c: Column) =>
       round(log(c).cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
         .cast("double")

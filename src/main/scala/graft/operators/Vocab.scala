@@ -398,7 +398,11 @@ object Vocab {
         sum(when(col(s"`$textCol`").isNull, 0L)
           .otherwise(graft.functions.TextFunctions.subwordCount(col(s"`$textCol`"))
             .cast("long"))).as("n_subwords"))
-    subs.join(words, Seq(groupCol), "left")
+    // null-SAFE group join: a NULL group's docs/subwords must line up
+    // with its word/OOV counts (plain equality would orphan them into
+    // an internally inconsistent report row)
+    val wordsR = words.withColumnRenamed(groupCol, "__g2")
+    subs.join(wordsR, g <=> col("__g2"), "left")
       .select(g, col("n_docs"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         col("n_subwords"),

@@ -18,6 +18,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Per-row JVM twin of [[graft.functions.TextFunctions.md5Hash60]]
+    * (first 15 md5 hex chars as a 60-bit long) — ONE definition for
+    * every keyed-state operator in this file, so the batch-parity specs
+    * guard a single hash. */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   /** Tumbling (or sliding) windowed aggregation with a watermark: per
     * (window, key) event counts and value sums. Late rows beyond the
     * watermark are dropped; in append mode a window only emits once it is
@@ -118,11 +128,6 @@ object Streams {
       k: Int = 64): Dataset[KeyDistinct] = {
     require(k >= 2, s"k must be >= 2, got $k")
     import events.sparkSession.implicits._
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], KeyDistinct](
@@ -220,23 +225,6 @@ object Streams {
     import events.sparkSession.implicits._
     val m = 1 << p
     val w = 60 - p
-    val alpha =
-      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
-      else if (m == 64) 0.709
-      else if (m == 32) 0.697
-      else 0.673
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
-    // the batch round(log(x).cast(DecimalType(25,12)), 9) contract:
-    // valueOf goes through Double.toString exactly like Spark's
-    // Decimal(double) constructor
-    def ln9(x: Double): Double =
-      java.math.BigDecimal.valueOf(math.log(x))
-        .setScale(12, java.math.RoundingMode.HALF_UP)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Byte], KeyHll](
@@ -267,14 +255,11 @@ object Streams {
               if (regs(i) > 0) { nNz += 1; sNz += 1L << (w + 1 - regs(i)) }
               i += 1
             }
-            val zeros = m - nNz
-            val s = sNz + zeros * (1L << (w + 1))
-            val raw = alpha * m.toDouble * m.toDouble *
-              ((1L << (w + 1)).toDouble / s.toDouble)
-            val est =
-              if (raw <= 2.5 * m && zeros > 0L) m.toDouble * ln9(m.toDouble / zeros)
-              else raw
-            Iterator.single(KeyHll(key, nNz, est))
+            // the ONE shared estimator (alpha table + harmonic/LC
+            // branches) — any drift from the batch operator trips the
+            // StreamsSpec parity identity
+            Iterator.single(KeyHll(key, nNz,
+              graft.operators.Sketch.hllScalarEstimate(p, nNz, sNz)))
           }
       }
   }
@@ -434,11 +419,6 @@ object Streams {
     require(depth >= 1, s"depth must be >= 1, got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     import events.sparkSession.implicits._
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], KeyCms](
@@ -494,11 +474,6 @@ object Streams {
     quantiles.foreach { case (n, q) =>
       require(q > 0.0 && q <= 1.0, s"quantile $n must be in (0,1], got $q") }
     import events.sparkSession.implicits._
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
     val qMicros = quantiles.map { case (n, q) => (n, math.round(q * 1e6)) }
     events
       .groupByKey(_._1)

@@ -31,7 +31,7 @@ class ClassifierSpec extends SparkSpecBase {
     val bucket = spark.sql(
       "SELECT pmod(cast(conv(substring(md5('clf:hello'), 1, 15), 16, 10) as long), 4096)")
       .as[Long].head()
-    val w = Classifier.weightTable(docs, 4096, "clf")
+    val w = Classifier.weightTable(spark, 4096, "clf")
       .filter(col("__bucket") === bucket).select("__w").as[Double].head()
     assert(math.abs(got - BigDecimal(w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
   }
@@ -41,10 +41,10 @@ class ClassifierSpec extends SparkSpecBase {
     val out = Classifier.hashClassifierScore(docs, "doc_id", "text")
       .select("logit").as[Double].collect().toSeq
     assert(out.distinct.size === 1, "case must not change the score")
-    val ws = Classifier.weightTable(docs, 512, "s").select("__w").as[Double].collect()
+    val ws = Classifier.weightTable(spark, 512, "s").select("__w").as[Double].collect()
     assert(ws.length === 512 && ws.forall(w => w >= -1.0 && w < 1.0))
     // seeds decorrelate weight tables
-    val ws2 = Classifier.weightTable(docs, 512, "other").select("__w").as[Double].collect()
+    val ws2 = Classifier.weightTable(spark, 512, "other").select("__w").as[Double].collect()
     assert(ws.toSeq !== ws2.toSeq)
   }
 
