@@ -4275,5 +4275,40 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }
+
+    // --- LSH blocking-quality audit: recall/precision of the p05
+    //     MinHash-LSH verified pairs against the EXACT jaccard >= 0.8
+    //     pair set (the engine side uses the scalable prefix join; the
+    //     oracle brute-forces the 500-doc fixture) — the dedup
+    //     counterpart of p80's ANN recall audit. Integer counts, one
+    //     IEEE division each.
+    register("p96_lsh_recall",
+      s"""WITH $minhashPairCtes,
+         |t2 AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |shx AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(toks)-1),
+         |           i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t2),
+         |fx AS (SELECT * FROM shx WHERE len(s) > 0),
+         |exj AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM fx a JOIN fx b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1000000 >=
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 800000),
+         |ap AS (SELECT DISTINCT LEAST(id_a, id_b) AS pa, GREATEST(id_a, id_b) AS pb
+         |  FROM pairs),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_approx FROM ap),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exj),
+         |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM ap JOIN exj USING (pa, pb))
+         |SELECT n_approx, n_exact, n_hit,
+         |  CASE WHEN n_exact > 0 THEN n_hit::DOUBLE / n_exact::DOUBLE END AS recall,
+         |  CASE WHEN n_approx > 0 THEN n_hit::DOUBLE / n_approx::DOUBLE END
+         |    AS "precision"
+         |FROM na, ne, nh""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Eval.pairRecall(
+        minhashPairs(s, dir),
+        graft.operators.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8))
+    }
   }
 }

@@ -57,4 +57,36 @@ object Eval {
             (col("n_pos") * col("n_neg") * 2L).cast("double")))
       .select(g, col("n_pos"), col("n_neg"), col("auc"))
   }
+
+  /** Recall/precision of an approximate PAIR set against an exact
+    * reference pair set — the blocking-quality audit for any candidate
+    * generator (MinHash-LSH vs the exact prefix join, SimHash blocking
+    * vs brute force): [[graft.operators.Similarity.recallAtK]]'s dedup
+    * counterpart. Pairs match UNORDERED (each side canonicalizes to
+    * (min, max) and dedups), so emit order never matters. One row:
+    * (n_approx, n_exact, n_hit long, recall, precision double — NULL
+    * where the denominator set is empty). Exact integer counts, one
+    * IEEE division each.
+    *
+    * 100 TB shape: two distinct-pair aggregations + one equi-join on
+    * the canonical pair key; three 1-row aggregates cross-join at the
+    * end. Nothing besides pair ids ever shuffles. */
+  def pairRecall(approx: DataFrame, exact: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+        least(col(s"`$aCol`"), col(s"`$bCol`")).as("__pa"),
+        greatest(col(s"`$aCol`"), col(s"`$bCol`")).as("__pb"))
+      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+      .distinct()
+    val ap = canon(approx)
+    val ex = canon(exact)
+    ap.agg(count(lit(1)).as("n_approx"))
+      .crossJoin(ex.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(ap.join(ex, Seq("__pa", "__pb")).agg(count(lit(1)).as("n_hit")))
+      .select(col("n_approx"), col("n_exact"), col("n_hit"),
+        when(col("n_exact") > 0L,
+          col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"),
+        when(col("n_approx") > 0L,
+          col("n_hit").cast("double") / col("n_approx").cast("double")).as("precision"))
+  }
 }

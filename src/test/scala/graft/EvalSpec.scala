@@ -40,6 +40,20 @@ class EvalSpec extends SparkSpecBase {
     assert(got("gb") === ((1L, 1L, Some(0.0)))) // the one pos scores BELOW the one neg
   }
 
+  test("pairRecall: unordered matching, duplicates collapse, empty sides go NULL") {
+    val approx = Seq((2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val exact = Seq((1L, 2L), (4L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Eval.pairRecall(approx, exact)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    // approx dedups to {12, 34, 56}; exact {12, 34, 78}; hits {12, 34}
+    assert(r === ((3L, 3L, 2L, Some(2.0 / 3.0), Some(2.0 / 3.0))))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Eval.pairRecall(empty, exact)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(e === ((0L, 3L, 0L, Some(0.0), None)),
+      "empty approx: recall 0, precision undefined")
+  }
+
   test("antisymmetry: negating a tie-free score flips AUC around 0.5") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map(i => (rnd.nextDouble(), rnd.nextBoolean()))

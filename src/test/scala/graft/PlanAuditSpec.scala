@@ -381,8 +381,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "p73_heavy_hitters", "p74_perplexity_prune", "p78_unigram_pieces",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
-      // per-token divergence terms — a scalar dim, not a pair blow-up
-      "p86_corpus_divergence")
+      // per-token divergence terms — a scalar dim, not a pair blow-up;
+      // p96: three 1-row count aggregates cross-join into the single
+      // recall/precision report row
+      "p86_corpus_divergence", "p96_lsh_recall")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
