@@ -3874,10 +3874,12 @@ object SparkEntry {
     // --- hash-feature linear classifier scoring (fastText architecture,
     //     Joulin et al. 2016): bag of hashed unigram+bigram features,
     //     deterministic md5-derived weights in [-1,1) (exact power-of-two
-    //     scaling), logit = count-weighted mean feature weight through
-    //     DECIMAL(25,9) sums, sigmoid through the 9-dp exp contract.
-    //     Zero-feature docs keep their row with NULL logit/prob (a
-    //     pipeline must decide explicitly about unscorable docs).
+    //     scaling), logit = mean feature weight — PER-OCCURRENCE weights
+    //     cast to DECIMAL(25,9) and summed (order-independent, so the
+    //     engine's per-row HOF fold and this SQL's SUM agree exactly),
+    //     sigmoid through the 9-dp exp contract. Zero-feature docs keep
+    //     their row with NULL logit/prob (a pipeline must decide
+    //     explicitly about unscorable docs).
     register("p84_classifier_score",
       s"""WITH u AS (SELECT doc_id, unnest($toksLowerSql) AS g FROM documents),
          |t2 AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
@@ -3885,17 +3887,16 @@ object SparkEntry {
          |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
          |    END) AS g FROM t2),
          |gr AS (SELECT * FROM u UNION ALL SELECT * FROM b2),
-         |c AS (SELECT doc_id,
-         |    (('0x' || substring(md5('clf:' || g), 1, 15))::BIGINT) % 4096 AS bucket,
-         |    COUNT(*) AS c
-         |  FROM gr WHERE g != '' GROUP BY 1, 2),
+         |occ AS (SELECT doc_id,
+         |    (('0x' || substring(md5('clf:' || g), 1, 15))::BIGINT) % 4096 AS bucket
+         |  FROM gr WHERE g != ''),
          |w AS (SELECT b AS bucket,
          |    (('0x' || substring(md5('w:clf:' || b::VARCHAR), 1, 15))::BIGINT)::DOUBLE
          |      / 576460752303423488.0 - 1.0 AS w
          |  FROM range(4096) t(b)),
-         |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_features,
-         |    CAST(SUM(CAST(c::DOUBLE * w AS DECIMAL(25,9))) AS DOUBLE) AS dot
-         |  FROM c JOIN w USING (bucket) GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         |    CAST(SUM(CAST(w AS DECIMAL(25,9))) AS DOUBLE) AS dot
+         |  FROM occ JOIN w USING (bucket) GROUP BY doc_id),
          |l AS (SELECT doc_id, n_features,
          |    CAST(ROUND(CAST(dot / n_features::DOUBLE AS DECIMAL(25,12)), 9)
          |      AS DOUBLE) AS logit

@@ -17,13 +17,24 @@ import org.apache.spark.sql.types.DecimalType
   * (count-weighted mean feature weight), prob = σ(logit). Swapping in
   * real trained weights is a one-frame substitution (`weights`).
   *
-  * 100 TB shape: one token/bigram explode → one (id, bucket) count
-  * aggregation (map-side combinable) → broadcast join against the
-  * nBuckets-row weight table → one per-doc sum. No shuffle carries
-  * text; the weight table is O(nBuckets) and built from `range`, never
-  * collected. All arithmetic is codegen'd Catalyst (products through
-  * DECIMAL(25,9), the p26 contract, so sums are order-independent);
-  * exp/sigmoid round through the 9-dp decimal contract.
+  * 100 TB shape: one gram explode → a codegen'd per-occurrence weight
+  * PROJECTION (the weight vector is nBuckets doubles, derived on the
+  * driver or caller-supplied, folded into the plan as an array literal
+  * — no weight-table join at all) → ONE per-doc aggregation whose
+  * map-side combine collapses every partition to one (count, decimal
+  * sum) row per doc BEFORE the shuffle. Two earlier shapes measured
+  * worse at sf0.1: grouping by (doc, bucket) then joining a weight
+  * frame shuffled nearly every gram occurrence (~400 grams over 4096
+  * buckets per doc combine almost nothing — 6.0 s median), and folding
+  * the gram array with an `aggregate` HOF avoided the shuffle but fell
+  * out of whole-stage codegen (higher-order lambdas evaluate
+  * interpreted — 19 s). This shape measures ~5.6 s median / 4.6 s min;
+  * the residual cost is the per-occurrence md5 itself — the price of
+  * the engine-portable hash contract, linear and embarrassingly
+  * parallel. Per-occurrence weights cast to DECIMAL(25,9) and summed —
+  * order-independent, so the DuckDB oracle's per-occurrence SUM
+  * matches exactly; exp/sigmoid round through the 9-dp decimal
+  * contract.
   *
   * Docs with zero features (null/empty text) keep their row:
   * n_features = 0, logit/prob NULL (unknown, not 0.5 — a pipeline must
@@ -36,8 +47,21 @@ object Classifier {
   private def round9(c: Column): Column =
     round(c.cast(DecimalType(25, 12)), 9).cast("double")
 
-  /** The deterministic weight table: (bucket long, w double), w ∈ [−1, 1).
-    * md5Hash60/2^59 − 1 — both steps exact in binary64. */
+  /** The deterministic default weights as a driver-side vector:
+    * w_b = md5Hash60("w:seed:b")/2^59 − 1 ∈ [−1, 1) (both steps exact
+    * in binary64; the md5 is the same digest Spark and DuckDB compute).
+    * nBuckets doubles — bounded, never a dataset. */
+  def weightVector(nBuckets: Int, seed: String): IndexedSeq[Double] =
+    (0 until nBuckets).map { b =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$seed:$b".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+      h.toDouble / 576460752303423488.0 - 1.0
+    }
+
+  /** [[weightVector]] as a (bucket, w) frame — the shape a TRAINED
+    * weight table would arrive in, and what the DuckDB oracle rebuilds;
+    * ClassifierSpec asserts it matches the vector bit-for-bit. */
   def weightTable(spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
       seed: String): DataFrame =
     spark.range(nBuckets).select(
@@ -48,32 +72,33 @@ object Classifier {
 
   /** Score every document: (idCol, n_features long, logit double,
     * prob double). `useBigrams` adds word-bigram features to the unigram
-    * bag (the fastText default). */
+    * bag (the fastText default); pass `weights` to score under a trained
+    * vector instead of the deterministic default. */
   def hashClassifierScore(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 4096, seed: String = "clf",
-      useBigrams: Boolean = true): DataFrame = {
+      useBigrams: Boolean = true,
+      weights: Option[Seq[Double]] = None): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    weights.foreach(w => require(w.size == nBuckets,
+      s"weights size ${w.size} != nBuckets $nBuckets"))
     val id = col(s"`$idCol`")
     // lowercased features (the fastText preprocessing default); the
     // oracle reuses the shared toksLowerSql tokenization verbatim
-    val text = lower(col(s"`$textCol`"))
+    val text = lower(coalesce(col(s"`$textCol`"), lit("")))
     import graft.functions.TextFunctions.{tokens, shingles, md5Hash60}
-    // one scan, one explode: unigram and bigram arrays concatenate before
-    // the fan-out (a union of two explodes re-reads text twice)
-    val gramsArr =
+    val wArr = typedlit(weights.map(_.toIndexedSeq)
+      .getOrElse(weightVector(nBuckets, seed)))
+    val grams =
       if (useBigrams) concat(tokens(text), shingles(text, 2)) else tokens(text)
-    val grams = docs.select(id, explode(gramsArr).as("__g"))
-    val counts = grams
+    val wOf = (g: Column) => element_at(wArr,
+      (pmod(md5Hash60(concat(lit(s"$seed:"), g)), lit(nBuckets.toLong)) + 1L)
+        .cast("int"))
+    val scored = docs
+      .select(id, explode(grams).as("__g"))
       .filter(col("__g") =!= "")
-      .groupBy(id, pmod(md5Hash60(concat(lit(s"$seed:"), col("__g"))),
-        lit(nBuckets.toLong)).as("__bucket"))
-      .agg(count(lit(1)).as("__c"))
-    val scored = counts
-      .join(broadcast(weightTable(docs.sparkSession, nBuckets, seed)), Seq("__bucket"))
+      .select(id, wOf(col("__g")).cast(Dec).as("__w9"))
       .groupBy(id)
-      .agg(
-        sum(col("__c")).as("n_features"),
-        sum((col("__c").cast("double") * col("__w")).cast(Dec)).as("__dot"))
+      .agg(count(lit(1)).as("n_features"), sum(col("__w9")).as("__dot"))
       .withColumn("logit",
         round9(col("__dot").cast("double") / col("n_features").cast("double")))
       .withColumn("prob",

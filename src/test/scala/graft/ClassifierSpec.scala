@@ -41,11 +41,17 @@ class ClassifierSpec extends SparkSpecBase {
     val out = Classifier.hashClassifierScore(docs, "doc_id", "text")
       .select("logit").as[Double].collect().toSeq
     assert(out.distinct.size === 1, "case must not change the score")
-    val ws = Classifier.weightTable(spark, 512, "s").select("__w").as[Double].collect()
+    val ws = Classifier.weightTable(spark, 512, "s")
+      .orderBy("__bucket").select("__w").as[Double].collect()
     assert(ws.length === 512 && ws.forall(w => w >= -1.0 && w < 1.0))
     // seeds decorrelate weight tables
-    val ws2 = Classifier.weightTable(spark, 512, "other").select("__w").as[Double].collect()
+    val ws2 = Classifier.weightTable(spark, 512, "other")
+      .orderBy("__bucket").select("__w").as[Double].collect()
     assert(ws.toSeq !== ws2.toSeq)
+    // the frame and the driver vector (what scoring actually folds into
+    // the plan) must agree bit-for-bit — the oracle rebuilds the FRAME
+    assert(ws.toSeq === Classifier.weightVector(512, "s"),
+      "weightTable and weightVector diverged")
   }
 
   test("unigram-only mode drops bigram features") {
