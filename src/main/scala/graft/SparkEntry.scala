@@ -4311,5 +4311,41 @@ object SparkEntry {
         minhashPairs(s, dir),
         graft.operators.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8))
     }
+
+    // --- event-rate anomaly flags: hourly counts per event type, robust
+    //     z against the type's own exact median/MAD (the p75 calibration
+    //     machinery — integer order statistics, one IEEE division), flag
+    //     |z| > 3 — the spike/outage monitor every event pipeline runs.
+    //     Hours render as strings (the p91 date-render rule).
+    register("p97_rate_anomaly",
+      """WITH h AS (SELECT event_type,
+        |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, vs[CAST((cnt*500000+999999)//1000000 AS INT)] AS med
+        |  FROM (SELECT event_type, list(n ORDER BY n, hour) AS vs,
+        |          CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY event_type) x),
+        |d AS (SELECT h.*, m.med, abs(n - med) AS dev FROM h JOIN m USING (event_type)),
+        |md AS (SELECT event_type, ds[CAST((cnt*500000+999999)//1000000 AS INT)] AS mad
+        |  FROM (SELECT event_type, list(dev ORDER BY dev, hour) AS ds,
+        |          CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY event_type) x),
+        |z AS (SELECT d.event_type, d.hour, d.n,
+        |    CASE WHEN mad = 0 THEN NULL
+        |         ELSE (n - med)::DOUBLE / mad::DOUBLE END AS z_robust
+        |  FROM d JOIN md USING (event_type))
+        |SELECT event_type, hour, n, z_robust,
+        |  CASE WHEN z_robust IS NULL THEN NULL ELSE abs(z_robust) > 3.0 END
+        |    AS is_anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      val hours = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("string").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Profile.calibrateByGroup(hours, "event_type", "n", "hour")
+        .withColumn("is_anomaly", abs(col("z_robust")) > 3.0)
+        .select(col("event_type"), col("hour"), col("n"),
+          col("z_robust"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("hour"))
+    }
   }
 }
