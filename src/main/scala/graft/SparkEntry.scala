@@ -4347,5 +4347,37 @@ object SparkEntry {
           col("z_robust"), col("is_anomaly"))
         .orderBy(col("event_type"), col("hour"))
     }
+
+    // --- priority sampling (Duffield-Lund-Thorup 2007): per-lang
+    //     EXACTLY-50 weight-biased subsample with Horvitz-Thompson
+    //     estimation weights — priority = w / md5-uniform, the k
+    //     largest win, kept rows carry max(w, tau) with tau the
+    //     (k+1)-th priority. Every step of the DECISION is IEEE-exact
+    //     in both engines (integer weights, exact uniform, one
+    //     division); only the REPORTED doubles round.
+    register("p98_priority_sample",
+      """WITH b AS (SELECT lang, doc_id, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |p AS (SELECT lang, doc_id, n_chars,
+        |    n_chars::DOUBLE /
+        |      (((('0x' || substring(md5('prio::' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+        |        + 0.5) / 1152921504606846976.0) AS priority
+        |  FROM b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY priority DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT lang, MAX(CASE WHEN rn = 51 THEN priority END) AS tau
+        |  FROM r GROUP BY lang)
+        |SELECT r.lang, doc_id, n_chars, round(priority, 6) AS priority,
+        |  round(CASE WHEN tau IS NULL THEN n_chars::DOUBLE
+        |        ELSE GREATEST(n_chars::DOUBLE, tau) END, 6) AS weight_est
+        |FROM r JOIN t USING (lang) WHERE rn <= 50
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.prioritySample(
+          t(s, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
+          "lang", "doc_id", "n_chars", k = 50)
+        .withColumn("priority", round(col("priority"), 6))
+        .withColumn("weight_est", round(col("weight_est"), 6))
+        .orderBy(col("lang"), col("doc_id"))
+    }
   }
 }

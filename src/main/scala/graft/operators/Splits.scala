@@ -266,4 +266,55 @@ object Splits {
         shingleN, minHits)
       .unionByName(hold)
   }
+
+  /** PRIORITY sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums"): per group,
+    * EXACTLY min(k, group size) rows, weight-biased — row i draws the
+    * deterministic md5 uniform u_i ∈ (0,1) and priority q_i = w_i/u_i;
+    * the k largest priorities win, and each kept row carries the
+    * Horvitz–Thompson estimation weight max(w_i, τ) (τ = the (k+1)-th
+    * largest priority), which makes subset-sum estimates over the
+    * sample unbiased — the statistically principled upgrade over
+    * [[sampleByHashWeighted]]'s per-row Bernoulli keep (which only
+    * controls the EXPECTED count). Heavy rows (w ≥ τ·u) are kept with
+    * certainty at their true weight; groups at or under k keep
+    * everything at weight_est = w. Rows with NULL or non-positive
+    * weights are dropped (they carry no sampling mass). Adds
+    * `priority` and `weight_est`.
+    *
+    * Determinism/portability: u = (h + 0.5)/2^60 off the shared 60-bit
+    * md5 — every step IEEE-exact in both engines — and q = w/u is one
+    * division, so the per-group ranking is engine-identical with no
+    * rounding anywhere in the DECISION; only the reported priority is
+    * display-rounded by callers.
+    *
+    * 100 TB shape: one narrow projection (hash, divide) + one
+    * per-group top-k window — a single exchange on the group key; τ
+    * reads off the same window frame (the rank-(k+1) row broadcast
+    * back via a group-max, not a second shuffle). */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = col(s"`$groupCol`")
+    val id = col(s"`$idCol`")
+    val w = col(s"`$weightCol`")
+    val u = (hashValue60(id.cast("string"), s"prio:$salt").cast("double") +
+      lit(0.5)) / lit(graft.operators.Sketch.HashSpace)
+    val q = w.cast("double") / u
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(g)
+    val ranked = df
+      .filter(w.isNotNull && w.cast("double") > 0.0)
+      .withColumn("priority", q)
+      .withColumn("__rn", row_number().over(
+        win.orderBy(col("priority").desc, id)))
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("priority"))).over(win))
+    ranked
+      .filter(col("__rn") <= k)
+      .withColumn("weight_est",
+        when(col("__tau").isNull, w.cast("double"))
+          .otherwise(greatest(w.cast("double"), col("__tau"))))
+      .drop("__rn", "__tau")
+  }
 }

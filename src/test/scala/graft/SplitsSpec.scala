@@ -236,4 +236,46 @@ class SplitsSpec extends SparkSpecBase {
       assigned.filter($"split" === "train").count() -
         assigned.filter($"split" === "train").filter($"doc_id".isin(dupIds.toSeq: _*)).count())
   }
+
+  test("prioritySample: exactly min(k, group), HT weights >= w, heavy row certain") {
+    val rows = (1 to 200).map(i => ("big", i.toLong, (i % 7 + 1).toLong)) ++
+      (1 to 5).map(i => ("small", 1000L + i, 10L)) ++
+      Seq(("big", 999L, 1000000L)) // overwhelming weight: kept w.p. ~1
+    val df = rows.toDF("g", "id", "w")
+    val out = Splits.prioritySample(df, "g", "id", "w", k = 20)
+      .select("g", "id", "w", "priority", "weight_est")
+      .as[(String, Long, Long, Double, Double)].collect()
+    val byG = out.groupBy(_._1)
+    assert(byG("big").length === 20 && byG("small").length === 5)
+    // HT: kept weights never shrink; under-k groups keep true weights
+    assert(out.forall(r => r._5 >= r._3.toDouble))
+    assert(byG("small").forall(r => r._5 === r._3.toDouble))
+    // the 1e6-weight row's priority dwarfs every u in (0,1): certainty
+    assert(byG("big").exists(_._2 === 999L))
+    // kept set = top-k by priority: no dropped row out-prioritizes a kept one
+    val keptIds = byG("big").map(_._2).toSet
+    val minKept = byG("big").map(_._4).min
+    val all = Splits.prioritySample(df, "g", "id", "w", k = 1000)
+      .filter($"g" === "big").select("id", "priority")
+      .as[(Long, Double)].collect()
+    assert(all.filter(r => !keptIds.contains(r._1)).forall(_._2 <= minKept))
+    // null / non-positive weights carry no mass
+    val dirty = Seq(("g", 1L, Some(5L)), ("g", 2L, None),
+      ("g", 3L, Some(0L)), ("g", 4L, Some(-2L))).toDF("g", "id", "w")
+    assert(Splits.prioritySample(dirty, "g", "id", "w", 10)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("prioritySample: HT subset-sum estimate is unbiased across salts") {
+    val rows = (1 to 300).map(i => ("g", i.toLong, (i % 13 + 1).toLong))
+    val trueSum = rows.map(_._3).sum.toDouble
+    val df = rows.toDF("g", "id", "w")
+    val ests = (1 to 25).map { s =>
+      Splits.prioritySample(df, "g", "id", "w", k = 40, salt = s.toString)
+        .agg(sum($"weight_est")).as[Double].head()
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - trueSum) / trueSum < 0.05,
+      s"mean HT estimate $mean far from true sum $trueSum")
+  }
 }
