@@ -4239,7 +4239,7 @@ object SparkEntry {
          |    THEN sg.n_subwords::DOUBLE / wg.n_words::DOUBLE END AS fertility,
          |  CASE WHEN wg.n_words > 0
          |    THEN wg.n_oov::DOUBLE / wg.n_words::DOUBLE END AS oov_rate
-         |FROM sg LEFT JOIN wg ON wg.lang = sg.lang
+         |FROM sg LEFT JOIN wg ON wg.lang IS NOT DISTINCT FROM sg.lang
          |ORDER BY sg.lang""".stripMargin) { (s, dir) =>
       graft.operators.Vocab.fertilityAudit(
           t(s, dir, "documents"), "lang", "text", vocabSize = 200)

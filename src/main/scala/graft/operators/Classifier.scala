@@ -73,7 +73,13 @@ object Classifier {
   /** Score every document: (idCol, n_features long, logit double,
     * prob double). `useBigrams` adds word-bigram features to the unigram
     * bag (the fastText default); pass `weights` to score under a trained
-    * vector instead of the deterministic default. */
+    * vector instead of the deterministic default.
+    *
+    * PRECONDITION: `idCol` must be unique in `docs`. The gram explode
+    * aggregates BY ID, so duplicate ids would pool all copies' grams into
+    * one score, and the output emits ONE row per distinct id (the final
+    * re-join restores zero-feature docs from the distinct id set, not
+    * from the input's row multiplicity). */
   def hashClassifierScore(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 4096, seed: String = "clf",
       useBigrams: Boolean = true,

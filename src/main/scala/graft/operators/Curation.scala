@@ -171,6 +171,10 @@ object Curation {
     * novelty double — n_novel/n_grams, NULL when the doc has no grams).
     * Docs with fewer than n tokens keep their row with n_grams = 0.
     *
+    * PRECONDITION: `idCol` must be unique in `docs`. Gram sets are
+    * collected BY ID, so duplicate ids would pool grams across copies,
+    * and the output emits ONE row per distinct id.
+    *
     * 100 TB shape: grams shuffle as the shared 60-bit md5 hash, never
     * text (the p27 contract); the reference side collapses to DISTINCT
     * hashes before the LEFT ANTI join (its only corpus-sized shuffle);

@@ -1122,7 +1122,7 @@ object Dedup {
     * on an empty set. */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
       windowSize: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
-      keyLen: Int = 12): DataFrame = {
+      keyLen: Int = 12, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
@@ -1136,7 +1136,12 @@ object Dedup {
       .repartitionByRange(col("__key"), col("__id"))
       .withColumn("__pid", spark_partition_id())
     val wp = Window.partitionBy(col("__pid")).orderBy(col("__key"), col("__id"))
-    val ranked0 = parted.withColumn("__rn", row_number().over(wp))
+    // Staged: both the offset table and the rank rows read this frame, and
+    // the offsets MUST be computed over the exact partitioning the row
+    // numbers saw — re-evaluating the range exchange per consumer would
+    // let a non-deterministic re-split desynchronize the two branches.
+    val ranked0 = stager.stage(
+      parted.withColumn("__rn", row_number().over(wp)), "snm_ranked")
     val offsets = ranked0.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(
         Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),

@@ -149,8 +149,18 @@ class StreamsSpec extends SparkSpecBase {
       (1 to 3000).map(i => ("g1", "w" + i))
     val input = MemoryStream[(String, String)](spark)
     val out = Streams.runningHllDistinct(input.toDS(), p = 10)
-    val q = out.writeStream.format("memory").queryName("running_hll")
-      .outputMode("update").start()
+    // Collect (batchId, row) per update so the FINAL emission per key is
+    // unambiguous: est_distinct can decrease while n_nonzero stays flat (a
+    // rho bump in an already-nonzero register), so a lexicographic
+    // max(struct(n_nonzero, est)) over the memory sink could pick a
+    // non-final batch's row.
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Double)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.Streams.KeyHll], id: Long) =>
+        val batch = ds.toDF().select($"key", $"n_nonzero", $"est_distinct")
+          .as[(String, Long, Double)].collect()
+        emitted.synchronized { batch.foreach { case (k, n, e) => emitted += ((id, k, n, e)) } }
+      }.start()
     try {
       input.addData(rows.take(1000): _*)
       q.processAllAvailable()
@@ -158,11 +168,12 @@ class StreamsSpec extends SparkSpecBase {
       q.processAllAvailable()
       input.addData(rows.drop(1000): _*)
       q.processAllAvailable()
-      val streamed = spark.table("running_hll")
-        .groupBy("key").agg(max(struct($"n_nonzero", $"est_distinct")).as("s"))
-        .select($"key", $"s.n_nonzero", $"s.est_distinct")
-        .as[(String, Long, Double)].collect()
-        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      val streamed = emitted.synchronized {
+        emitted.groupBy(_._2).map { case (k, rs) =>
+          val last = rs.maxBy(_._1)
+          k -> ((last._3, last._4))
+        }
+      }
       val batch = graft.operators.Sketch.hllEstimate(
           graft.operators.Sketch.hllSketch(rows.toDF("g", "v"), "v", "g", p = 10),
           "g", p = 10)
