@@ -4379,5 +4379,94 @@ object SparkEntry {
         .withColumn("weight_est", round(col("weight_est"), 6))
         .orderBy(col("lang"), col("doc_id"))
     }
+
+    // --- sentence segmentation: terminator-run split in the Java∩RE2
+    //     regex subset, whitespace-trimmed, empties dropped, 0-based
+    //     array-position indexes (never window ranks). Pure codegen'd
+    //     projection + explode — no shuffle. The synthetic corpus has no
+    //     terminators, so the gate plants them deterministically (plain
+    //     replace, both engines) the way p56 synthesizes URLs — the gate
+    //     then exercises multi-segment docs, not just the trailing
+    //     fragment.
+    register("p99_sentence_segments",
+      """WITH s0 AS (SELECT doc_id,
+        |    replace(replace(COALESCE(text, ''), ' table', ' table.'),
+        |            ' query', ' query!') AS text
+        |  FROM documents),
+        |segs AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+        |      x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), x -> x != '') AS arr
+        |  FROM s0),
+        |ex AS (SELECT doc_id,
+        |    CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS sent_idx,
+        |    unnest(arr) AS sentence
+        |  FROM segs)
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(length(sentence) AS BIGINT) AS n_chars
+        |FROM ex ORDER BY doc_id, sent_idx""".stripMargin) { (s, dir) =>
+      graft.operators.TextAudit.sentenceSegments(
+          t(s, dir, "documents").select(col("doc_id"),
+            replace(replace(coalesce(col("text"), lit("")),
+              lit(" table"), lit(" table.")),
+              lit(" query"), lit(" query!")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }
+
+    // --- Flesch reading ease + Flesch-Kincaid grade (Flesch 1948,
+    //     Kincaid et al. 1975): whitespace words, terminator-run
+    //     sentences (clamped to 1), vowel-group syllables — exact
+    //     integer counts into a FIXED IEEE expression tree written with
+    //     identical association on both engines, so the doubles match
+    //     bit-for-bit with no decimal detour.
+    register("p100_readability",
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '[^\s]+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835::DOUBLE - 1.015::DOUBLE *
+        |      (n_words::DOUBLE / GREATEST(n_sentences, 1)::DOUBLE) -
+        |      84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE) END AS flesch,
+        |  CASE WHEN n_words > 0 THEN
+        |    0.39::DOUBLE * (n_words::DOUBLE / GREATEST(n_sentences, 1)::DOUBLE) +
+        |      11.8::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE) -
+        |      15.59::DOUBLE END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAudit.readability(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- encoding-hygiene audit: U+FFFD replacement chars (counted by
+    //     length difference, regex-free), C0 controls minus \t\n\r plus
+    //     DEL, non-ASCII density. Integer counts, one IEEE division per
+    //     ratio, booleans compared as rendered cells.
+    register("p101_encoding_audit",
+      """WITH c AS (SELECT doc_id,
+        |    CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+        |    CAST(length(COALESCE(text, '')) -
+        |      length(replace(COALESCE(text, ''), chr(65533), '')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '[^\x00-\x7F]')) AS BIGINT)
+        |      AS n_non_ascii
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_replacement, n_control, n_non_ascii,
+        |  n_replacement > 0 AS has_replacement,
+        |  CASE WHEN n_chars > 0 THEN n_control::DOUBLE / n_chars::DOUBLE END
+        |    AS control_ratio,
+        |  CASE WHEN n_chars > 0 THEN n_non_ascii::DOUBLE / n_chars::DOUBLE END
+        |    AS non_ascii_ratio
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAudit.encodingAudit(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus text-audit operators — beyond-reference per SURVEY.md §2.4
+  * (the reference's only text machinery is pandas string accessors on
+  * fetched frames, /root/reference/magictables/magictable.py); these are
+  * the per-document hygiene passes a pretraining pipeline runs before
+  * tokenization: sentence segmentation (chunking / span alignment),
+  * readability scoring (Flesch 1948 / Kincaid 1975 — the classic
+  * easy-vs-technical text signal used for curriculum and quality
+  * stratification), and encoding hygiene (mojibake replacement chars,
+  * C0 control bytes, non-ASCII density — the "was this decoded right"
+  * triage before any content filter).
+  *
+  * All three are narrow per-row projections (regex count + integer
+  * arithmetic + at most one IEEE division per reported ratio) — they
+  * stay inside whole-stage codegen, shuffle nothing, and scale linearly
+  * with the corpus. Every regex is written in the Java∩RE2 subset (the
+  * toksLowerSql convention) so the DuckDB oracles run the same pattern.
+  */
+object TextAudit {
+
+  /** Sentence pattern: a run of non-terminators followed by a terminator
+    * run, or a trailing unterminated run. No lookbehind (RE2 has none);
+    * the Java-vs-RE2 `$`-before-final-newline divergence is absorbed by
+    * the whitespace trim applied to every segment. */
+  private val SentencePat = "[^.!?]*[.!?]+|[^.!?]+$"
+
+  /** Split each document into trimmed, non-empty sentence segments:
+    * (idCol, sent_idx long — 0-based over KEPT segments, sentence,
+    * n_chars long). Documents with no segments (NULL/empty/whitespace
+    * text) emit no rows — chunking consumers want the segment stream,
+    * not placeholder rows (pair with a left join from the corpus to
+    * recover empty docs).
+    *
+    * 100 TB shape: one codegen'd projection + explode per document — no
+    * shuffle at all; segment indexes are array positions, never window
+    * ranks. */
+  def sentenceSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val segs = regexp_extract_all(
+      coalesce(col(s"`$textCol`"), lit("")), lit(SentencePat), lit(0))
+    val kept = filter(
+      transform(segs, x => regexp_replace(x, "^\\s+|\\s+$", "")),
+      x => x =!= "")
+    df.select(id, posexplode(kept).as(Seq("sent_idx", "sentence")))
+      .select(id, col("sent_idx").cast("long").as("sent_idx"), col("sentence"),
+        length(col("sentence")).cast("long").as("n_chars"))
+  }
+
+  /** Flesch reading ease + Flesch-Kincaid grade per document:
+    * (idCol, n_words, n_sentences, n_syllables longs, flesch double,
+    * fk_grade double — both NULL when the doc has no words).
+    *
+    * Counts are the cheap published approximations: words = whitespace
+    * tokens, sentences = terminator runs `[.!?]+` (clamped to >= 1 in
+    * the formulas — an unterminated doc is one sentence), syllables =
+    * lowercase vowel-group runs `[aeiouy]+` (whitespace breaks groups,
+    * so the whole-text count equals the per-word sum). The formulas are
+    * fixed IEEE expression trees over exact integer counts — identical
+    * operation order in the DuckDB oracle, so bit-identical results. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = coalesce(col(s"`$textCol`"), lit(""))
+    val words = size(regexp_extract_all(txt, lit("[^\\s]+"), lit(0))).cast("long")
+    val sents = size(regexp_extract_all(txt, lit("[.!?]+"), lit(0))).cast("long")
+    val sylls = size(regexp_extract_all(lower(txt), lit("[aeiouy]+"), lit(0))).cast("long")
+    val base = df.select(id, words.as("n_words"), sents.as("n_sentences"),
+      sylls.as("n_syllables"))
+    val w = col("n_words").cast("double")
+    val s = greatest(col("n_sentences"), lit(1L)).cast("double")
+    val y = col("n_syllables").cast("double")
+    base
+      .withColumn("flesch", when(col("n_words") > 0L,
+        lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w)))
+      .withColumn("fk_grade", when(col("n_words") > 0L,
+        lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59)))
+  }
+
+  /** Encoding-hygiene audit per document: (idCol, n_chars,
+    * n_replacement — U+FFFD count, the mojibake tripwire, n_control —
+    * C0 controls excluding \t\n\r plus DEL, n_non_ascii longs,
+    * has_replacement boolean, control_ratio, non_ascii_ratio doubles —
+    * ratios NULL on empty text). NULL text audits as empty (0 chars). */
+  def encodingAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = coalesce(col(s"`$textCol`"), lit(""))
+    val n = length(txt).cast("long")
+    val repl = (length(txt) - length(replace(txt, lit("\uFFFD"), lit(""))))
+      .cast("long")
+    val ctrl = size(regexp_extract_all(txt,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit(0))).cast("long")
+    val nonAscii = size(regexp_extract_all(txt, lit("[^\\x00-\\x7F]"), lit(0)))
+      .cast("long")
+    df.select(id, n.as("n_chars"), repl.as("n_replacement"),
+        ctrl.as("n_control"), nonAscii.as("n_non_ascii"))
+      .withColumn("has_replacement", col("n_replacement") > 0L)
+      .withColumn("control_ratio", when(col("n_chars") > 0L,
+        col("n_control").cast("double") / col("n_chars").cast("double")))
+      .withColumn("non_ascii_ratio", when(col("n_chars") > 0L,
+        col("n_non_ascii").cast("double") / col("n_chars").cast("double")))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.TextAudit
+import org.apache.spark.sql.functions._
+
+class TextAuditSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------- sentenceSegments
+
+  test("sentenceSegments: terminator runs split, trailing fragment kept, trim applied") {
+    val df = Seq((1L, "Hello world. Second one!  Third?Unterminated tail")).toDF("id", "text")
+    val got = TextAudit.sentenceSegments(df, "id", "text")
+      .as[(Long, Long, String, Long)].collect().toList
+    assert(got === List(
+      (1L, 0L, "Hello world.", 12L),
+      (1L, 1L, "Second one!", 11L),
+      (1L, 2L, "Third?", 6L),
+      (1L, 3L, "Unterminated tail", 17L)))
+  }
+
+  test("sentenceSegments: ellipses stay one segment; empty/null/whitespace docs emit nothing") {
+    val df = Seq((1L, "Wait... what?"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "   \n\t "), (5L, "...")).toDF("id", "text")
+    val got = TextAudit.sentenceSegments(df, "id", "text")
+      .as[(Long, Long, String, Long)].collect().toList.sortBy(r => (r._1, r._2))
+    assert(got === List(
+      (1L, 0L, "Wait...", 7L),
+      (1L, 1L, "what?", 5L),
+      (5L, 0L, "...", 3L)))
+  }
+
+  test("sentenceSegments: segments reassemble the non-whitespace text (no char lost)") {
+    val docs = testdata("sf0.001", "documents")
+    val joined = TextAudit.sentenceSegments(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(concat_ws("", collect_list(regexp_replace(col("sentence"), "\\s+", ""))).as("rebuilt"))
+      .join(docs.select(col("doc_id"),
+        regexp_replace(coalesce(col("text"), lit("")), "\\s+", "").as("orig")), Seq("doc_id"))
+    assert(joined.filter(col("rebuilt") =!= col("orig")).count() === 0L)
+  }
+
+  // ------------------------------------------------------------ readability
+
+  test("readability: counts and formula match a hand computation") {
+    // 4 words, 2 sentence runs, syllable groups: "the"=1 "cat"=1 "sat"=1 "down"=1
+    val df = Seq((1L, "The cat sat. Down!")).toDF("id", "text")
+    val r = TextAudit.readability(df, "id", "text").head()
+    assert(r.getLong(1) === 4L)   // words
+    assert(r.getLong(2) === 2L)   // sentences
+    assert(r.getLong(3) === 4L)   // syllables: e, a, a, ow
+    val wps = 4.0 / 2.0; val spw = 4.0 / 4.0
+    assert(r.getDouble(4) === 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(r.getDouble(5) === 0.39 * wps + 11.8 * spw - 15.59)
+  }
+
+  test("readability: unterminated text counts one sentence; empty text yields NULL scores") {
+    val df = Seq((1L, "no terminator here"), (2L, "")).toDF("id", "text")
+    val rows = TextAudit.readability(df, "id", "text").orderBy("id").collect()
+    assert(rows(0).getLong(2) === 0L)      // raw terminator-run count
+    assert(!rows(0).isNullAt(4))           // clamped to 1 inside the formula
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(4) && rows(1).isNullAt(5))
+  }
+
+  test("readability: simple text scores easier (higher flesch) than polysyllabic text") {
+    val df = Seq((1L, "The cat sat on the mat. It was fat."),
+      (2L, "Institutional heterogeneity necessitates organizational differentiation strategies.")).toDF("id", "text")
+    val m = TextAudit.readability(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(m(1L) > m(2L))
+  }
+
+  // ---------------------------------------------------------- encodingAudit
+
+  test("encodingAudit: replacement chars, control chars, non-ascii counted; tab/newline exempt") {
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad � decode �"),
+      (3L, "ctl\u0001here\u0002and\u007f but \t\n\r fine"),
+      (4L, "café naïve 中文"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val m = TextAudit.encodingAudit(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(m(1L) === ((0L, 0L, 0L, false)))
+    assert(m(2L) === ((2L, 0L, 2L, true)))  // U+FFFD is itself non-ascii
+    assert(m(3L) === ((0L, 3L, 0L, false)))
+    assert(m(4L) === ((0L, 0L, 4L, false))) // é ï 中 文
+    assert(m(5L) === ((0L, 0L, 0L, false)))
+  }
+
+  test("encodingAudit: ratios are count/len and NULL on empty") {
+    val df = Seq((1L, "a\u0001b\u0002"), (2L, "")).toDF("id", "text")
+    val rows = TextAudit.encodingAudit(df, "id", "text").orderBy("id").collect()
+    assert(rows(0).getDouble(6) === 0.5)
+    assert(rows(1).isNullAt(6) && rows(1).isNullAt(7))
+  }
+}
