@@ -4468,5 +4468,93 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }
+
+    // --- partition-key skew report: the pre-shuffle diagnostic (count
+    //     per key, HHI concentration, top-10 coverage, exact nearest-
+    //     rank p50/p99 of the count distribution read off a count-of-
+    //     counts histogram — never a global sort over keys). Σn² rides
+    //     DECIMAL(38,0); each share is one IEEE division.
+    register("p102_key_skew",
+      """WITH c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(MAX(n) AS BIGINT) AS max_n,
+        |    SUM(CAST(n*n AS DECIMAL(38,0))) AS sumsq FROM c),
+        |h AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY n),
+        |hc AS (SELECT n, SUM(f) OVER (ORDER BY n) AS cum FROM h),
+        |q AS (SELECT
+        |    CAST(MIN(CASE WHEN cum >= (SELECT (n_keys*500000 + 999999)//1000000 FROM a)
+        |      THEN n END) AS BIGINT) AS p50_n,
+        |    CAST(MIN(CASE WHEN cum >= (SELECT (n_keys*990000 + 999999)//1000000 FROM a)
+        |      THEN n END) AS BIGINT) AS p99_n
+        |  FROM hc),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS topn FROM
+        |  (SELECT n FROM c ORDER BY n DESC, k NULLS FIRST LIMIT 10))
+        |SELECT n_rows, n_keys, max_n, p50_n, p99_n,
+        |  max_n::DOUBLE / n_rows::DOUBLE AS max_share,
+        |  topn::DOUBLE / n_rows::DOUBLE AS topk_share,
+        |  sumsq::DOUBLE / (n_rows::DOUBLE * n_rows::DOUBLE) AS hhi
+        |FROM a, q, t""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.keySkew(events(s, dir), "user_id", topK = 10)
+    }
+
+    // --- token-distribution Shannon entropy per source (nats): lexical
+    //     diversity + type-token ratio — exact integer counts, the p86
+    //     ln-through-decimal contract, DECIMAL(25,9) term accumulation,
+    //     one IEEE subtraction/division each.
+    register("p103_token_entropy",
+      s"""WITH toks AS (SELECT source, unnest($toksLowerSql) AS t FROM documents),
+         |c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY source, t),
+         |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         |    CAST(SUM(CAST(c::DOUBLE * ${ln9Sql("c::DOUBLE")} AS DECIMAL(25,9)))
+         |      AS DOUBLE) AS sclnc
+         |  FROM c GROUP BY source)
+         |SELECT source, n_tokens, vocab_size,
+         |  ${ln9Sql("n_tokens::DOUBLE")} - sclnc / n_tokens::DOUBLE AS entropy,
+         |  vocab_size::DOUBLE / n_tokens::DOUBLE AS ttr
+         |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.tokenEntropy(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }
+
+    // --- per-group OLS trend (slope of value against epoch-hour, the
+    //     drift monitor): x recentered to the group min so every integer
+    //     moment stays an exact bigint; Σy and Σdx·y quantize through
+    //     DECIMAL(25,9); numerator/denominator are fixed IEEE trees over
+    //     those exact sums, identical on both engines.
+    register("p104_trend_ols",
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))//3600000000 AS x, value AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type, CAST(MIN(x) AS BIGINT) AS x_min
+        |  FROM b GROUP BY event_type),
+        |d AS (SELECT b.event_type, b.x - m.x_min AS dx, y, m.x_min
+        |  FROM b JOIN m USING (event_type)),
+        |a AS (SELECT event_type, x_min, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(25,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(dx::DOUBLE * y AS DECIMAL(25,9))) AS DOUBLE) AS sxy
+        |  FROM d GROUP BY event_type, x_min)
+        |SELECT event_type, n, x_min,
+        |  CASE WHEN n*sxx - sx*sx != 0 THEN
+        |    (n::DOUBLE * sxy - sx::DOUBLE * sy) / (n*sxx - sx*sx)::DOUBLE END AS slope,
+        |  CASE WHEN n*sxx - sx*sx != 0 THEN
+        |    (sy - ((n::DOUBLE * sxy - sx::DOUBLE * sy) / (n*sxx - sx*sx)::DOUBLE)
+        |      * sx::DOUBLE) / n::DOUBLE
+        |  ELSE sy / n::DOUBLE END AS intercept
+        |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.trendByGroup(
+          events(s, dir)
+            .filter(col("ts").isNotNull)
+            // ts arrives TIMESTAMP_NTZ from Tables.events; the session is
+            // pinned UTC, so the LTZ cast is instant-identity and
+            // unix_micros matches DuckDB's (naive) epoch_us
+            .withColumn("hour_x",
+              expr("unix_micros(cast(ts as timestamp)) div 3600000000")),
+          "event_type", "hour_x", "value")
+        .orderBy(col("event_type"))
+    }
   }
 }

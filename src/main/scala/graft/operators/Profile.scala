@@ -409,4 +409,148 @@ object Profile {
         round(col("__klba").cast("double"), 9).as("kl_ba"),
         round(col("__js").cast("double"), 9).as("js"))
   }
+
+  /** Partition-key skew report — the diagnostic you run on a candidate
+    * shuffle/join key BEFORE committing a partitioning strategy at
+    * scale: is this key safe to hash-shuffle, or does it need salting /
+    * AQE skew handling? One row: (n_rows, n_keys, max_n, p50_n, p99_n
+    * longs; max_share, topk_share, hhi doubles). `hhi` is the
+    * Herfindahl-Hirschman concentration index Σ(n_k/N)² — 1/n_keys for
+    * a uniform key, →1 as one key dominates; `topk_share` is the row
+    * fraction owned by the `topK` hottest keys (the rows AQE skew-join
+    * would have to split). NULL keys count as one key (hash-partitioning
+    * co-locates them like any other value).
+    *
+    * Exactness: Σn², n·N products ride exact integer/decimal paths; each
+    * share is ONE IEEE division (hhi divides the decimal Σn² by N·N
+    * computed in doubles — both casts correctly rounded). p50/p99 are
+    * exact nearest-rank order statistics of the per-key count
+    * distribution, read off a count-of-counts HISTOGRAM with a running
+    * sum — the window orders DISTINCT count values (Zipf-bounded, ≪
+    * n_keys), never the key frame, so no single-reducer sort over keys.
+    * The topK sum is a distributed TakeOrdered (never a global window);
+    * tie order among equal counts cannot change the reported SUM.
+    *
+    * 100 TB shape: one hash shuffle to count keys, then histogram-sized
+    * frames only. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // staged: the per-key count frame feeds totals + histogram + top-k —
+    // unstaged, the corpus-sized count shuffle executes three times
+    val counts = stager.stage(
+      df.groupBy(col(s"`$keyCol`").as("__k")).agg(count(lit(1)).as("__n")),
+      "keyskew_counts")
+    val totals = counts.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__n")).as("max_n"),
+      sum((col("__n") * col("__n")).cast(dec38)).as("__sumsq"))
+    val hist = counts.groupBy(col("__n")).agg(count(lit(1)).as("__f"))
+      .withColumn("__cum", sum(col("__f")).over(
+        Window.orderBy(col("__n")).rowsBetween(Window.unboundedPreceding, 0)))
+    val quants = hist.crossJoin(broadcast(totals.select(col("n_keys").as("__nk"))))
+      .agg(
+        min(when(col("__cum") >=
+          expr("(__nk * 500000L + 999999L) div 1000000L"), col("__n"))).as("p50_n"),
+        min(when(col("__cum") >=
+          expr("(__nk * 990000L + 999999L) div 1000000L"), col("__n"))).as("p99_n"))
+    val top = counts.orderBy(col("__n").desc, col("__k")).limit(topK)
+      .agg(sum(col("__n")).as("__top"))
+    totals.crossJoin(quants).crossJoin(top)
+      .select(col("n_rows"), col("n_keys"), col("max_n"),
+        col("p50_n"), col("p99_n"),
+        when(col("n_rows") > 0L,
+          col("max_n").cast("double") / col("n_rows").cast("double")).as("max_share"),
+        when(col("n_rows") > 0L,
+          col("__top").cast("double") / col("n_rows").cast("double")).as("topk_share"),
+        when(col("n_rows") > 0L, col("__sumsq").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double"))).as("hhi"))
+  }
+
+  /** Token-distribution Shannon entropy per group (nats) — the lexical-
+    * diversity signal behind template/boilerplate detection (a source
+    * whose entropy craters is emitting generated or duplicated text) and
+    * tokenizer-budget planning. Output: (groupCol, n_tokens, vocab_size
+    * longs, entropy double — ln N − Σc·ln c / N, ttr double — type-token
+    * ratio vocab/N). Groups whose docs have no tokens emit no row.
+    *
+    * Exactness: counts are exact integers, each ln rounds through the
+    * 9-dp decimal contract, the Σc·ln c terms accumulate through
+    * DECIMAL(25,9) (order-independent), and the entropy is one IEEE
+    * subtraction of one division — the p86 recipe.
+    *
+    * 100 TB shape: tokens shuffle once to (group, term) counts, then one
+    * tiny group rollup; text never shuffles twice. */
+  def tokenEntropy(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val ln9 = (c: org.apache.spark.sql.Column) =>
+      round(log(c).cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+        .cast("double")
+    val counts = docs
+      .select(g.as("__g"),
+        explode(TextFunctions.tokens(lower(coalesce(col(s"`$textCol`"), lit(""))))).as("__t"))
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum((col("__c").cast("double") * ln9(col("__c").cast("double"))).cast(dec))
+          .as("__sclnc"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("vocab_size"),
+        (ln9(col("n_tokens").cast("double")) -
+          col("__sclnc").cast("double") / col("n_tokens").cast("double")).as("entropy"),
+        (col("vocab_size").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+  }
+
+  /** Per-group ordinary-least-squares trend: slope + intercept of
+    * `yCol` against an integer `xCol` (e.g. epoch hours), the drift
+    * detector behind "is this metric trending?" monitors. x is
+    * RECENTERED per group to x − min(x) before the closed form, so the
+    * integer moment sums n·Σx², (Σx)² stay exact bigints at any
+    * realistic scale (range², not epoch², bounds the magnitude) — the
+    * intercept is therefore the fitted value AT the group's first x
+    * (column `x_min`). Output: (groupCol, n long, x_min long, slope,
+    * intercept doubles — slope NULL and intercept the plain mean (the
+    * flat fit) when the group has one distinct x).
+    *
+    * Exactness: Σdx, Σdx² are exact integers; Σy and Σdx·y accumulate
+    * through DECIMAL(25,9) (each term is ONE IEEE product); numerator
+    * and denominator are fixed IEEE trees over those exact sums,
+    * identical in the oracle. NULL x or y rows are dropped.
+    *
+    * 100 TB shape: one window min (hash shuffle by group) + one
+    * aggregation over the same partitioning — Catalyst reuses the
+    * exchange; nothing but group keys and five moments ever shuffles. */
+  def trendByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`").cast("long")
+    val y = col(s"`$yCol`").cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.as("__x"), y.as("__y"))
+      .withColumn("__xmin", min(col("__x")).over(Window.partitionBy(col("__g"))))
+      .withColumn("__dx", col("__x") - col("__xmin"))
+    base.groupBy(col("__g"), col("__xmin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__dx")).as("__sx"),
+        sum(col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__dx").cast("double") * col("__y")).cast(dec)).as("__sxy"))
+      .withColumn("__den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope", when(col("__den") =!= 0L,
+        (col("n").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+          col("__den").cast("double")))
+      .withColumn("intercept", when(col("slope").isNotNull,
+        (col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+          col("n").cast("double"))
+        .otherwise(col("__sy").cast("double") / col("n").cast("double")))
+      .select(col("__g").as(groupCol), col("n"), col("__xmin").as("x_min"),
+        col("slope"), col("intercept"))
+  }
 }

@@ -236,4 +236,73 @@ class ProfileSpec extends SparkSpecBase {
     assert(ab._1 !== ab._2, "KL is not symmetric on an asymmetric fixture")
     assert(ab._3 > 0.0 && ab._3 < math.log(2.0), "0 < JS < ln 2")
   }
+
+  // --------------------------------------------------------------- keySkew
+
+  test("keySkew: counts, order statistics, shares, and HHI on a hand fixture") {
+    // a x5, b x3, c x1, null x1 -> counts sorted [1,1,3,5]
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", null)).toDF("k")
+    val r = Profile.keySkew(df, "k").head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4L && r.getLong(2) === 5L)
+    assert(r.getLong(3) === 1L, "p50 = ceil(0.5*4)=2nd -> 1")
+    assert(r.getLong(4) === 5L, "p99 = ceil(0.99*4)=4th -> 5")
+    assert(r.getDouble(5) === 0.5)           // max_share
+    assert(r.getDouble(6) === 1.0)           // topK=10 covers everything
+    assert(r.getDouble(7) === 0.36)          // (25+9+1+1)/100
+    val top2 = Profile.keySkew(df, "k", topK = 2).head()
+    assert(top2.getDouble(6) === 0.8)        // 5+3 of 10
+  }
+
+  test("keySkew: a uniform key scores HHI 1/n_keys; a constant key scores 1") {
+    val uniform = (1 to 100).map(i => s"k${i % 20}").toDF("k")
+    val ru = Profile.keySkew(uniform, "k").head()
+    assert(math.abs(ru.getDouble(7) - 1.0 / 20.0) < 1e-12)
+    val constant = Seq.fill(50)("same").toDF("k")
+    val rc = Profile.keySkew(constant, "k").head()
+    assert(rc.getDouble(7) === 1.0 && rc.getDouble(5) === 1.0 && rc.getLong(1) === 1L)
+  }
+
+  // ---------------------------------------------------------- tokenEntropy
+
+  test("tokenEntropy: uniform two-token group = ln 2; single-token group = 0") {
+    val df = Seq(("g1", "a a b b"), ("g2", "x x x")).toDF("src", "text")
+    val m = Profile.tokenEntropy(df, "src", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m("g1")._1 === 4L && m("g1")._2 === 2L)
+    assert(math.abs(m("g1")._3 - math.log(2.0)) < 1e-6)
+    assert(m("g2")._1 === 3L && m("g2")._2 === 1L)
+    assert(math.abs(m("g2")._3) < 1e-9, "single-token entropy ~ 0 (decimal quantization ulp)")
+  }
+
+  test("tokenEntropy: empty-text groups emit no row; ttr = vocab/tokens") {
+    val df = Seq(("g1", "a b c d"), ("g2", ""), ("g3", null.asInstanceOf[String]))
+      .toDF("src", "text")
+    val rows = Profile.tokenEntropy(df, "src", "text").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("g1"))
+    assert(rows.head.getDouble(4) === 1.0)
+  }
+
+  // ---------------------------------------------------------- trendByGroup
+
+  test("trendByGroup: recovers an exact line; recentering makes intercept the value at x_min") {
+    val df = Seq(("g", 100L, 1.0), ("g", 101L, 3.0), ("g", 102L, 5.0)).toDF("grp", "x", "y")
+    val r = Profile.trendByGroup(df, "grp", "x", "y").head()
+    assert(r.getLong(1) === 3L && r.getLong(2) === 100L)
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 1.0)
+  }
+
+  test("trendByGroup: one distinct x yields NULL slope and the mean as intercept; nulls dropped") {
+    val df = Seq(("g", Some(5L), 10.0), ("g", Some(5L), 20.0),
+      ("g", None: Option[Long], 99.0)).toDF("grp", "x", "y")
+    val r = Profile.trendByGroup(df, "grp", "x", "y").head()
+    assert(r.getLong(1) === 2L && r.isNullAt(3) && r.getDouble(4) === 15.0)
+  }
+
+  test("trendByGroup: groups fit independently") {
+    val df = Seq(("up", 0L, 0.0), ("up", 1L, 2.0),
+      ("down", 0L, 10.0), ("down", 1L, 8.0)).toDF("grp", "x", "y")
+    val m = Profile.trendByGroup(df, "grp", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m("up") === 2.0 && m("down") === -2.0)
+  }
 }
