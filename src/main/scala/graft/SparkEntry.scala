@@ -4556,5 +4556,52 @@ object SparkEntry {
           "event_type", "hour_x", "value")
         .orderBy(col("event_type"))
     }
+
+    // --- pre-join cardinality estimate from KMV sketches (Beyer et al.
+    //     2007 multiset synopses): the "how big is orders JOIN customer
+    //     going to be?" planner probe — exact bottom-64 hash sets per
+    //     side, union-bottom-k Jaccard, uniform-multiplicity join-size
+    //     model. Every decision is exact integer/hash work; reported
+    //     doubles are correctly-rounded casts in fixed IEEE trees.
+    register("p105_join_size_est",
+      """WITH ha AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |hb AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |la AS (SELECT list(h ORDER BY h) AS ma, CAST(COUNT(*) AS BIGINT) AS nma
+        |  FROM (SELECT h FROM ha ORDER BY h LIMIT 64)),
+        |lb AS (SELECT list(h ORDER BY h) AS mb, CAST(COUNT(*) AS BIGINT) AS nmb
+        |  FROM (SELECT h FROM hb ORDER BY h LIMIT 64)),
+        |lu AS (SELECT list(h ORDER BY h) AS mu, CAST(COUNT(*) AS BIGINT) AS nmu
+        |  FROM (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        |        ORDER BY h LIMIT 64)),
+        |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_a FROM orders
+        |  WHERE o_custkey IS NOT NULL),
+        |cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_b FROM customer
+        |  WHERE c_custkey IS NOT NULL),
+        |e AS (SELECT rows_a, rows_b,
+        |    CASE WHEN nma < 64 THEN nma::DOUBLE
+        |         ELSE 63.0 * 1152921504606846976.0 / ma[64]::DOUBLE END AS est_distinct_a,
+        |    CASE WHEN nmb < 64 THEN nmb::DOUBLE
+        |         ELSE 63.0 * 1152921504606846976.0 / mb[64]::DOUBLE END AS est_distinct_b,
+        |    CASE WHEN nmu < 64 THEN nmu::DOUBLE
+        |         ELSE 63.0 * 1152921504606846976.0 / mu[64]::DOUBLE END AS est_union,
+        |    CAST(len(list_intersect(list_intersect(mu, ma), mb)) AS BIGINT)
+        |      AS shared_minima,
+        |    nmu
+        |  FROM la, lb, lu, ca, cb),
+        |j AS (SELECT *, shared_minima::DOUBLE / LEAST(64, nmu)::DOUBLE AS est_jaccard
+        |  FROM e),
+        |i AS (SELECT *, est_jaccard * est_union AS est_intersection FROM j)
+        |SELECT rows_a, rows_b, est_distinct_a, est_distinct_b, est_union,
+        |  shared_minima, est_jaccard, est_intersection,
+        |  est_intersection * (rows_a::DOUBLE / est_distinct_a)
+        |    * (rows_b::DOUBLE / est_distinct_b) AS est_join_rows
+        |FROM i""".stripMargin) { (s, dir) =>
+      graft.operators.Sketch.joinSizeEstimate(
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey", k = 64)
+    }
   }
 }

@@ -115,6 +115,69 @@ object Sketch {
       k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, keyCol, groupCol, k), k)
 
+  /** Pre-join cardinality estimate from two KMV sketches (Beyer et al.
+    * 2007, "On synopses for distinct-value estimation under multiset
+    * operations") — the planner-style "how big is this join going to
+    * be?" probe that costs two scans and O(k) state instead of running
+    * the join. One row:
+    *
+    *  - rows_a/rows_b long — exact non-null-key row counts;
+    *  - est_distinct_a/b, est_union double — KMV estimates ((k−1)·2⁶⁰ /
+    *    h_k; exact below k);
+    *  - shared_minima long — union-bottom-k hashes present in BOTH
+    *    sketches; est_jaccard = shared / min(k, |union minima|) (the KMV
+    *    set-operation rule — EXACT when the union has fewer than k
+    *    distinct hashes, because then every sketch is the complete set);
+    *  - est_intersection = est_jaccard · est_union;
+    *  - est_join_rows = est_intersection · (rows_a/D_a) · (rows_b/D_b) —
+    *    the UNIFORM-MULTIPLICITY model (every key appears rows/D times);
+    *    correlated multiplicities (skew concentrated on shared keys) make
+    *    the true size larger — pair with [[Profile.keySkew]] when that
+    *    matters.
+    *
+    * Empty sides emit no row (there is no sketch to merge). All decisions
+    * ride exact integers; every reported double is a correctly-rounded
+    * cast or a fixed IEEE tree, so the DuckDB oracle hash-matches.
+    *
+    * 100 TB shape: each side is one distinct-hash bottom-k (the
+    * [[kmvSketch]] shuffle — swap in [[kmvSketchSharded]] for monster
+    * key sets); everything after operates on ≤k-element arrays in one-row
+    * frames. */
+  def joinSizeEstimate(a: DataFrame, keyColA: String,
+      b: DataFrame, keyColB: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def keyed(df: DataFrame, keyCol: String) = df
+      .select(col(s"`$keyCol`").as("__key"))
+      .filter(col("__key").isNotNull)
+      .withColumn("__g", lit("all"))
+    val ka = keyed(a, keyColA)
+    val kb = keyed(b, keyColB)
+    val sa = kmvSketch(ka, "__key", "__g", k)
+    val sb = kmvSketch(kb, "__key", "__g", k)
+    val ea = kmvEstimate(sa, k).select(col("minima").as("__ma"),
+      col("est_distinct").as("est_distinct_a"))
+    val eb = kmvEstimate(sb, k).select(col("minima").as("__mb"),
+      col("est_distinct").as("est_distinct_b"))
+    val eu = kmvEstimate(kmvMerge(sa, sb, "__g", k), k)
+      .select(col("minima").as("__mu"), col("n_minima").as("__nmu"),
+        col("est_distinct").as("est_union"))
+    val ca = ka.agg(count(lit(1)).as("rows_a"))
+    val cb = kb.agg(count(lit(1)).as("rows_b"))
+    ca.crossJoin(cb).crossJoin(ea).crossJoin(eb).crossJoin(eu)
+      .withColumn("shared_minima",
+        size(array_intersect(array_intersect(col("__mu"), col("__ma")),
+          col("__mb"))).cast("long"))
+      .withColumn("est_jaccard", col("shared_minima").cast("double") /
+        least(lit(k.toLong), col("__nmu")).cast("double"))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+      .withColumn("est_join_rows", col("est_intersection") *
+        (col("rows_a").cast("double") / col("est_distinct_a")) *
+        (col("rows_b").cast("double") / col("est_distinct_b")))
+      .select(col("rows_a"), col("rows_b"), col("est_distinct_a"),
+        col("est_distinct_b"), col("est_union"), col("shared_minima"),
+        col("est_jaccard"), col("est_intersection"), col("est_join_rows"))
+  }
+
   // ------------------------------------------------------------ hyperloglog
 
   /** HyperLogLog register sketch (Flajolet, Fusy, Gandouet & Meunier

@@ -365,4 +365,46 @@ class SketchSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Sketch.hllSketch(withNulls, "key", "g", 3) }
     intercept[IllegalArgumentException] { Sketch.hllSketch(withNulls, "key", "g", 14) }
   }
+
+  // ------------------------------------------------------- joinSizeEstimate
+
+  test("joinSizeEstimate: exact below k — identical key sets give jaccard 1 and the true join size") {
+    // 20 distinct keys on both sides, each 3x on A and 2x on B; k=64 > union
+    val a = (1 to 20).flatMap(i => Seq.fill(3)(s"k$i")).toDF("ka")
+    val b = (1 to 20).flatMap(i => Seq.fill(2)(s"k$i")).toDF("kb")
+    val r = Sketch.joinSizeEstimate(a, "ka", b, "kb", k = 64).head()
+    assert(r.getLong(0) === 60L && r.getLong(1) === 40L)
+    assert(r.getDouble(2) === 20.0 && r.getDouble(3) === 20.0 && r.getDouble(4) === 20.0)
+    assert(r.getLong(5) === 20L && r.getDouble(6) === 1.0)
+    assert(r.getDouble(7) === 20.0)
+    assert(r.getDouble(8) === 120.0, "20 shared keys x 3 x 2 = the exact join size")
+  }
+
+  test("joinSizeEstimate: disjoint key sets give jaccard 0 and zero estimated join rows") {
+    val a = (1 to 10).map(i => s"a$i").toDF("k")
+    val b = (1 to 10).map(i => s"b$i").toDF("k")
+    val r = Sketch.joinSizeEstimate(a, "k", b, "k", k = 64).head()
+    assert(r.getLong(5) === 0L && r.getDouble(6) === 0.0 && r.getDouble(8) === 0.0)
+  }
+
+  test("joinSizeEstimate: at-k estimates land near truth on a half-overlapping key space") {
+    // A = 1..2000, B = 1001..3000 -> union 3000, intersection 1000, J = 1/3
+    val a = (1 to 2000).map(i => s"key$i").toDF("k")
+    val b = (1001 to 3000).map(i => s"key$i").toDF("k")
+    val r = Sketch.joinSizeEstimate(a, "k", b, "k", k = 256).head()
+    assert(math.abs(r.getDouble(2) - 2000.0) / 2000.0 < 0.25)
+    assert(math.abs(r.getDouble(4) - 3000.0) / 3000.0 < 0.25)
+    assert(r.getDouble(6) > 0.15 && r.getDouble(6) < 0.55)
+    // single-multiplicity sides: est_join_rows tracks the intersection
+    assert(math.abs(r.getDouble(8) - 1000.0) / 1000.0 < 0.5)
+  }
+
+  test("joinSizeEstimate: null keys are excluded from rows and sketches; empty side emits no row") {
+    val a = Seq("x", "y", null).toDF("k")
+    val b = Seq("x", null).toDF("k")
+    val r = Sketch.joinSizeEstimate(a, "k", b, "k", k = 8).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L && r.getLong(5) === 1L)
+    val empty = Seq.empty[String].toDF("k")
+    assert(Sketch.joinSizeEstimate(a, "k", empty, "k", k = 8).count() === 0L)
+  }
 }
