@@ -4603,5 +4603,57 @@ object SparkEntry {
       graft.operators.Sketch.joinSizeEstimate(
         t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey", k = 64)
     }
+
+    // --- crawl-frontier URL canonicalization: casefold scheme/host,
+    //     strip fragment + default ports + tracking params, sort the
+    //     surviving query params, empty path -> "/" — then count docs
+    //     per canonical resource. The gate synthesizes two crawl
+    //     variants per resource (p56-style) that must collapse onto one
+    //     canonical row; the oracle replays every rule in DuckDB with
+    //     the same Java∩RE2 pattern.
+    register("p106_url_canonical",
+      """WITH u AS (SELECT CASE WHEN doc_id % 2 = 0 THEN
+        |      'HTTPS://User@WWW.Example.COM:443/item/' || (doc_id % 40)::VARCHAR
+        |        || '?b=2&utm_source=feed&a=1&gclid=xyz#frag'
+        |    ELSE 'https://User@www.example.com/item/' || (doc_id % 40)::VARCHAR
+        |        || '?a=1&b=2' END AS url
+        |  FROM documents),
+        |s AS (SELECT url, regexp_replace(trim(url), '#[\s\S]*', '', 'g') AS u0 FROM u),
+        |p AS (SELECT url,
+        |    lower(regexp_extract(u0,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?', 1)) AS scheme,
+        |    regexp_extract(u0,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?', 2) AS auth,
+        |    lower(regexp_extract(u0,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?', 3)) AS host,
+        |    regexp_extract(u0,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?', 4) AS port,
+        |    regexp_extract(u0,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?', 5) AS path,
+        |    regexp_extract(u0,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?', 6) AS query
+        |  FROM s),
+        |q AS (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x != '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$'))), '&') AS kq
+        |  FROM p),
+        |c AS (SELECT CASE WHEN scheme = '' THEN trim(url) ELSE
+        |    scheme || '://' || CASE WHEN auth = '' THEN '' ELSE auth || '@' END || host
+        |    || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END
+        |    || CASE WHEN path = '' THEN '/' ELSE path END
+        |    || CASE WHEN kq = '' THEN '' ELSE '?' || kq END END AS canonical_url
+        |  FROM q)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs FROM c
+        |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      val url = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://User@WWW.Example.COM:443/item/"), col("doc_id") % 40,
+          lit("?b=2&utm_source=feed&a=1&gclid=xyz#frag")))
+        .otherwise(concat(lit("https://User@www.example.com/item/"), col("doc_id") % 40,
+          lit("?a=1&b=2")))
+      graft.operators.Urls.canonicalCounts(
+          t(s, dir, "documents").select(url.as("url")), "url")
+        .orderBy(col("canonical_url"))
+    }
   }
 }
