@@ -4655,5 +4655,56 @@ object SparkEntry {
           t(s, dir, "documents").select(url.as("url")), "url")
         .orderBy(col("canonical_url"))
     }
+
+    // --- reliability-diagram calibration bins (Niculescu-Mizil &
+    //     Caruana 2005): does a score's value track the label rate?
+    //     Probe score = the p33 length prior (n_chars/1000 clamped to
+    //     1), label = lang='en'. Bin decisions are floor of one IEEE
+    //     product; means ride DECIMAL(25,9); each ratio is one division.
+    register("p107_calibration_curve",
+      """WITH d AS (SELECT LEAST(n_chars::DOUBLE / 1000.0::DOUBLE, 1.0::DOUBLE) AS s,
+        |    (lang = 'en') AS l
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT GREATEST(LEAST(CAST(floor(s * 10) AS BIGINT), 9), 0) AS bin,
+        |    s, l FROM d),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(s AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE
+        |      AS mean_score
+        |  FROM b GROUP BY bin)
+        |SELECT bin, bin::DOUBLE / 10.0::DOUBLE AS bin_lo, n, n_pos, mean_score,
+        |  n_pos::DOUBLE / n::DOUBLE AS frac_pos
+        |FROM g ORDER BY bin""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.calibrationCurve(
+          t(s, dir, "documents")
+            .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+            .select(least(col("n_chars").cast("double") / lit(1000.0), lit(1.0)).as("score"),
+              (col("lang") === "en").as("label")),
+          "score", "label", nBins = 10)
+        .orderBy(col("bin"))
+    }
+
+    // --- rolling exact distinct actors per day (DAU/WAU/stickiness):
+    //     the distinct (day, user) frame explodes onto the <= 7 cover
+    //     days instead of range-joining the raw stream; exact
+    //     count-distinct per cover day; only event-bearing days emit.
+    //     Days render as strings (the p91 rule).
+    register("p108_rolling_distinct",
+      """WITH base AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM base GROUP BY day),
+        |cov AS (SELECT CAST(unnest(generate_series(day::TIMESTAMP,
+        |      day::TIMESTAMP + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS cday, k
+        |  FROM base),
+        |wau AS (SELECT cday, CAST(COUNT(DISTINCT k) AS BIGINT) AS wau
+        |  FROM cov GROUP BY cday)
+        |SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+        |  d.dau::DOUBLE / w.wau::DOUBLE AS stickiness
+        |FROM dau d JOIN wau w ON w.cday = d.day
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.rollingDistinct(
+          events(s, dir), "ts", "user_id", windowDays = 7)
+        .orderBy(col("day"))
+    }
   }
 }

@@ -89,4 +89,38 @@ object Eval {
         when(col("n_approx") > 0L,
           col("n_hit").cast("double") / col("n_approx").cast("double")).as("precision"))
   }
+
+  /** Reliability-diagram calibration bins for a [0,1] score against a
+    * boolean label — the "does prob 0.8 mean 80%?" audit run on every
+    * quality/toxicity classifier before its threshold gates a corpus
+    * (Niculescu-Mizil & Caruana 2005 popularized the diagnostic). Rows
+    * with NULL score or label drop; out-of-range scores clamp into the
+    * edge bins. Output, one row per OBSERVED bin (empty bins are
+    * absent): (bin long — floor(score·nBins) clamped to nBins−1,
+    * bin_lo double — bin/nBins, n, n_pos long, mean_score double —
+    * DECIMAL(25,9)-accumulated, frac_pos double). A well-calibrated
+    * score has mean_score ≈ frac_pos per row.
+    *
+    * 100 TB shape: one map-side-combinable aggregation over ≤ nBins
+    * groups; nothing else shuffles. */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val s = col(s"`$scoreCol`").cast("double")
+    val l = col(s"`$labelCol`")
+    df.filter(s.isNotNull && l.isNotNull)
+      .select(greatest(least(floor(s * nBins).cast("long"),
+          lit(nBins.toLong - 1L)), lit(0L)).as("bin"),
+        s.as("__s"), l.cast("boolean").as("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        (sum(col("__s").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_score"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(nBins.toDouble)).as("bin_lo"),
+        col("n"), col("n_pos"), col("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+  }
 }

@@ -142,4 +142,40 @@ object Sessionize {
         (datediff(col("__w"), col("__c")) / 7).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling exact distinct actors per day — DAU + trailing-window
+    * `windowDays` distinct (WAU for 7) + the DAU/WAU stickiness ratio,
+    * the product-analytics staple that a naive implementation writes as
+    * a per-day range self-join over the event stream. Only days that
+    * HAVE events emit a row (the trailing window still sees earlier
+    * days' actors). Output: (day string 'yyyy-MM-dd', dau, wau long,
+    * stickiness double — one IEEE division).
+    *
+    * 100 TB shape: the stream collapses to DISTINCT (day, actor)
+    * immediately; the window is an EXPLODE of each pair onto the ≤
+    * `windowDays` days it covers (linear ×W blowup of the small
+    * distinct frame — never a range join against the raw stream), then
+    * one exact count-distinct per cover day. The staged pair frame
+    * feeds both the DAU rollup and the explode. */
+  def rollingDistinct(events: DataFrame, tsCol: String, actorCol: String,
+      windowDays: Int = 7,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val pairs = stager.stage(
+      events
+        .filter(col(s"`$tsCol`").isNotNull && col(s"`$actorCol`").isNotNull)
+        .select(to_date(col(s"`$tsCol`")).as("__day"),
+          col(s"`$actorCol`").as("__actor"))
+        .distinct(),
+      s"rolling_distinct_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dau = pairs.groupBy(col("__day")).agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("__cover"), col("__actor"))
+      .groupBy(col("__cover"))
+      .agg(countDistinct(col("__actor")).as("wau"))
+    dau.join(wau, dau("__day") === wau("__cover"))
+      .select(col("__day").cast("string").as("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
 }

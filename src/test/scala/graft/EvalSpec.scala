@@ -61,4 +61,41 @@ class EvalSpec extends SparkSpecBase {
     val b = auc(rows.map { case (s, l) => (-s, l) }).get
     assert(math.abs((a + b) - 1.0) < 1e-15)
   }
+
+  // ------------------------------------------------------- calibrationCurve
+
+  test("calibrationCurve: hand fixture — bins, means, and positive rates") {
+    val df = Seq(
+      (0.05, false), (0.15, true), (0.15, false), (0.95, true), (1.0, true))
+      .toDF("score", "label")
+    val rows = Eval.calibrationCurve(df, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getLong(0)).toList === List(0L, 1L, 9L),
+      "score 1.0 clamps into the top bin")
+    val b1 = rows(1)
+    assert(b1.getLong(2) === 2L && b1.getLong(3) === 1L)
+    assert(b1.getDouble(4) === 0.15 && b1.getDouble(5) === 0.5)
+    val b9 = rows(2)
+    assert(b9.getLong(2) === 2L && b9.getDouble(4) === 0.975 && b9.getDouble(5) === 1.0)
+    assert(rows(0).getDouble(1) === 0.0 && b9.getDouble(1) === 0.9)
+  }
+
+  test("calibrationCurve: nulls drop, out-of-range clamps, a perfectly calibrated score lines up") {
+    val base = Seq((Some(-0.2), Some(false)), (Some(1.7), Some(true)),
+      (None: Option[Double], Some(true)), (Some(0.5), None: Option[Boolean]))
+      .toDF("score", "label")
+    val rows = Eval.calibrationCurve(base, "score", "label").orderBy("bin").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toList === List((0L, 1L), (9L, 1L)))
+    // calibrated synthetic: in bin b, frac_pos == the bin's score
+    val rnd = new scala.util.Random(11)
+    val cal = (0 until 2000).map { _ =>
+      val s = (rnd.nextInt(10) * 2 + 1) / 20.0 // bin midpoints .05,.15,...
+      (s, rnd.nextDouble() < s)
+    }.toDF("score", "label")
+    val curve = Eval.calibrationCurve(cal, "score", "label").collect()
+    curve.foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 0.12,
+        s"bin ${r.getLong(0)}: mean ${r.getDouble(4)} vs frac ${r.getDouble(5)}")
+    }
+  }
 }

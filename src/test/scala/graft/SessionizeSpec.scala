@@ -96,4 +96,33 @@ class SessionizeSpec extends SparkSpecBase {
       ("2024-01-08", 0, 1L), // u3's cohort
       ("2024-01-08", 1, 1L))) // u3 returns the next week
   }
+
+  // -------------------------------------------------------- rollingDistinct
+
+  test("rollingDistinct: trailing window unions distinct actors; same-day repeats count once") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 1L), // u1 twice day 1
+      ("2024-01-01 12:00:00", 2L),
+      ("2024-01-03 09:00:00", 3L),
+      ("2024-01-10 09:00:00", 1L)) // beyond day-3's 7-day window
+      .toDF("ts_s", "user").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Sessionize.rollingDistinct(df, "ts", "user")
+      .orderBy("day").as[(String, Long, Long, Double)].collect().toList
+    assert(got === List(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-03", 1L, 3L, 1.0 / 3.0), // u1,u2 from day 1 still in window
+      ("2024-01-10", 1L, 1L, 1.0)))      // day 3 fell out (window = day..day+6 cover)
+  }
+
+  test("rollingDistinct: windowDays=1 collapses to DAU; null ts/actor rows drop") {
+    val df = Seq(
+      (Some("2024-01-01 10:00:00"), Some(1L)),
+      (Some("2024-01-01 11:00:00"), Some(2L)),
+      (None: Option[String], Some(9L)),
+      (Some("2024-01-01 12:00:00"), None: Option[Long]))
+      .toDF("ts_s", "user").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Sessionize.rollingDistinct(df, "ts", "user", windowDays = 1)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got === List(("2024-01-01", 2L, 2L, 1.0)))
+  }
 }
