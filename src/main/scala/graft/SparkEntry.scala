@@ -4706,5 +4706,47 @@ object SparkEntry {
           events(s, dir), "ts", "user_id", windowDays = 7)
         .orderBy(col("day"))
     }
+
+    // --- greedy k-center coreset selection (Gonzalez 1985; Sener &
+    //     Savarese 2018 for coresets): farthest-point-first traversal
+    //     of the embedding space, k=5 rounds UNROLLED in the oracle
+    //     (the p67 pattern), each round one argmax over the running
+    //     min-distance frame. Squared L2 rides the decimal dot recipe;
+    //     argmax ties break to the smaller id; every CTE is MATERIALIZED
+    //     (chained references re-evaluate exponentially otherwise).
+    val kcD2 = (av: String, bv: String) =>
+      s"list_sum(list_transform(list_zip($av, $bv), " +
+        "x -> CAST((x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE) " +
+        "AS DECIMAL(38,18))))::DOUBLE"
+    val kcRounds = (2 to 5).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id, embedding, dmin FROM (
+         |    SELECT *, ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id) AS rn
+         |    FROM d${r - 1}) x WHERE rn = 1),
+         |d$r AS MATERIALIZED (SELECT d.vec_id, d.embedding,
+         |    LEAST(d.dmin, ${kcD2("d.embedding", "c.embedding")}) AS dmin
+         |  FROM d${r - 1} d, c$r c WHERE d.vec_id != c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    register("p109_kcenter_select",
+      s"""WITH s1 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+         |d1 AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+         |    ${kcD2("e.embedding", "s1.embedding")} AS dmin
+         |  FROM embeddings e, s1 WHERE e.vec_id != s1.vec_id),
+         |$kcRounds
+         |SELECT vec_id, step, round(dist_sq, 9) AS dist_sq FROM (
+         |  SELECT vec_id, 1 AS step, CAST(NULL AS DOUBLE) AS dist_sq FROM s1
+         |  UNION ALL SELECT vec_id, 2, dmin FROM c2
+         |  UNION ALL SELECT vec_id, 3, dmin FROM c3
+         |  UNION ALL SELECT vec_id, 4, dmin FROM c4
+         |  UNION ALL SELECT vec_id, 5, dmin FROM c5) u
+         |ORDER BY step""".stripMargin) { (s, dir) =>
+      // the fold's intermediate decimal re-rounding sits ~1 ulp from
+      // DuckDB's exact list_sum; selection gaps dwarf that, and the
+      // REPORTED distance rounds to 9 dp on both sides (the p67 rule)
+      graft.operators.Similarity.kCenterSelect(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .withColumn("dist_sq", round(col("dist_sq"), 9))
+        .orderBy(col("step"))
+    }
   }
 }

@@ -698,4 +698,91 @@ object Similarity {
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
+
+  /** Exact, order-independent squared L2 distance (the [[dot]] decimal
+    * recipe over per-element differences). */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        (d * d).cast(Dec)
+      }),
+      lit(0).cast(Dec),
+      (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  /** Greedy k-center coreset selection (Gonzalez 1985's 2-approximation
+    * to the k-center objective — the max-min "farthest point first"
+    * traversal): seed with the minimum id, then k−1 times select the
+    * point FARTHEST (squared L2) from everything selected so far. The
+    * data-pruning / diversity-sampling primitive (Sener & Savarese 2018
+    * use exactly this traversal for coreset selection): k documents
+    * that COVER the embedding space, where top-k-by-score would cluster.
+    * The complement of [[mmrTopK]] (which diversifies a relevance
+    * ranking; this diversifies the corpus itself).
+    *
+    * Output: (idCol, step int 1..k in selection order, dist_sq double —
+    * the selected point's max-min distance at selection time; NULL for
+    * the seed). Rows with NULL id/vector are excluded; NaN components
+    * rank last (nanvl guard) so degenerate vectors can never be
+    * "farthest". Fewer than k survivors → fewer rows.
+    *
+    * Determinism: every distance is the order-independent decimal sum,
+    * argmax ties break to the smaller id. Cross-engine caveat: the
+    * fold's intermediate decimal re-rounding can sit ~1 ulp from an
+    * exact-sum engine (DuckDB list_sum), so the p109 gate rounds the
+    * REPORTED distance to 9 dp — selection gaps dwarf the ulp, and the
+    * picked sequence matches the oracle's unrolled rounds exactly.
+    *
+    * 100 TB shape: the greedy is INHERENTLY k sequential rounds; each
+    * round is one narrow map over the survivor frame (update the
+    * running min-distance against ONE broadcast-literal center — never
+    * a k-way cross join) + one distributed TakeOrdered argmax. The
+    * survivor frame stages through the pluggable Stager each round so
+    * the plan stays O(1) deep. Driver state is k vectors. */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val base = df.select(col(s"`$idCol`").as("__id"), col(s"`$vecCol`").as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+    val idType = base.schema("__id").dataType
+    val outSchema = StructType(Seq(
+      StructField(idCol, idType, nullable = true),
+      StructField("step", IntegerType, nullable = false),
+      StructField("dist_sq", DoubleType, nullable = true)))
+    def result(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), outSchema)
+
+    val seed = base.orderBy(col("__id")).limit(1).collect()
+    if (seed.isEmpty) return result(Nil)
+    val seedId = seed(0).get(0)
+    val seedVec = seed(0).getSeq[Float](1)
+    val picked = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
+      org.apache.spark.sql.Row(seedId, 1, null))
+    def litVec(v: Seq[Float]) = typedlit(v.toIndexedSeq)
+    var rem = base.filter(col("__id") =!= lit(seedId))
+      .withColumn("__dmin", distSq(col("__v"), litVec(seedVec)))
+    var step = 2
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val staged = stager.stage(rem, s"kcenter_round_$step")
+      val far = staged
+        .orderBy(nanvl(col("__dmin"), lit(Double.NegativeInfinity)).desc_nulls_last,
+          col("__id"))
+        .limit(1).collect()
+      if (far.isEmpty) exhausted = true
+      else {
+        val fid = far(0).get(0)
+        val fvec = far(0).getSeq[Float](1)
+        picked += org.apache.spark.sql.Row(fid, step, far(0).getDouble(2))
+        rem = staged.filter(col("__id") =!= lit(fid))
+          .withColumn("__dmin",
+            least(col("__dmin"), distSq(col("__v"), litVec(fvec))))
+        step += 1
+      }
+    }
+    result(picked.toSeq)
+  }
 }

@@ -305,4 +305,40 @@ class SimilaritySpec extends SparkSpecBase {
       .select("recall").as[Double].collect()
     assert(self.forall(_ === 1.0))
   }
+
+  // --------------------------------------------------------- kCenterSelect
+
+  test("kCenterSelect: farthest-point-first on a hand line; reported dist is the max-min at pick time") {
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)),
+      (3L, Array(5f, 0f)), (4L, Array(0f, 1f))).toDF("id", "v")
+    val got = Similarity.kCenterSelect(df, "id", "v", k = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toList === List((1L, 1, -1.0), (2L, 2, 100.0), (3L, 3, 25.0), (4L, 4, 1.0)))
+  }
+
+  test("kCenterSelect: max-min distances are non-increasing; ids unique; k caps at n") {
+    val e = testdata("sf0.001", "embeddings")
+    val rows = Similarity.kCenterSelect(e, "vec_id", "embedding", k = 8)
+      .orderBy("step").collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(0)).distinct.length === 8)
+    val dists = rows.drop(1).map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      s"greedy max-min must not increase: ${dists.toList}")
+    // k > n returns all n
+    val tiny = e.limit(3)
+    assert(Similarity.kCenterSelect(tiny, "vec_id", "embedding", k = 10).count() === 3L)
+  }
+
+  test("kCenterSelect: argmax ties break to the smaller id; empty input yields empty output") {
+    // 2 and 3 are equidistant from the seed 1; 2 must win
+    val df = Seq((1L, Array(0f)), (2L, Array(4f)), (3L, Array(-4f))).toDF("id", "v")
+    val got = Similarity.kCenterSelect(df, "id", "v", k = 2)
+      .orderBy("step").collect().map(_.getLong(0)).toList
+    assert(got === List(1L, 2L))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    assert(Similarity.kCenterSelect(empty, "id", "v", k = 3).count() === 0L)
+  }
 }
