@@ -384,7 +384,12 @@ class PlanAuditSpec extends SparkSpecBase {
       // per-token divergence terms — a scalar dim, not a pair blow-up;
       // p96: three 1-row count aggregates cross-join into the single
       // recall/precision report row
-      "p86_corpus_divergence", "p96_lsh_recall")
+      "p86_corpus_divergence", "p96_lsh_recall",
+      // p102: the 1-row n_keys scalar broadcasts into the count-of-counts
+      // histogram, and the report row is a cross-join of 1-row
+      // aggregates; p105: five 1-row sketch/count frames cross-join into
+      // the single estimate row — every BNLJ side is exactly one row
+      "p102_key_skew", "p105_join_size_est")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
