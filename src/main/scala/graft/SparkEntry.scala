@@ -4748,5 +4748,90 @@ object SparkEntry {
         .withColumn("dist_sq", round(col("dist_sq"), 9))
         .orderBy(col("step"))
     }
+
+    // --- embedding-column health report per label: NULL/NaN vectors,
+    //     zero norms, ragged dims, norm distribution — the "did the
+    //     embedding job work" audit. Norms ride the decimal recipe;
+    //     reported doubles round to 9 dp on both sides (the p109 rule:
+    //     the fold's intermediate rounding sits ~1 ulp from list_sum).
+    register("p110_embed_audit",
+      """WITH b AS (SELECT label,
+        |    embedding IS NULL OR
+        |      len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0 AS bad,
+        |    embedding FROM embeddings),
+        |n AS (SELECT label, bad,
+        |    CASE WHEN embedding IS NOT NULL
+        |      THEN CAST(len(embedding) AS BIGINT) END AS dim,
+        |    CASE WHEN NOT bad THEN sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(38,18))))::DOUBLE)
+        |    END AS nrm
+        |  FROM b)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(SUM(CASE WHEN NOT bad AND nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+        |  round(MIN(nrm), 9) AS min_norm, round(MAX(nrm), 9) AS max_norm,
+        |  round(CAST(SUM(CAST(nrm AS DECIMAL(25,9))) AS DOUBLE) /
+        |    SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END)::DOUBLE, 9) AS mean_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.embeddingAudit(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .withColumn("min_norm", round(col("min_norm"), 9))
+        .withColumn("max_norm", round(col("max_norm"), 9))
+        .withColumn("mean_norm", round(col("mean_norm"), 9))
+        .orderBy(col("label"))
+    }
+
+    // --- split-document stitch candidates: A's last 40 chars == B's
+    //     first 40 chars (one equi-join on the boundary span). The gate
+    //     splits each document into overlapping halves (both engines run
+    //     the same substring surgery), so every source doc must yield
+    //     exactly its (2d, 2d+1) pair plus any genuine cross-doc
+    //     boundary collisions — both deterministic.
+    register("p111_stitch_pairs",
+      """WITH src AS (SELECT doc_id, text, length(text) AS L FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 60),
+        |parts AS (
+        |  SELECT doc_id*2 AS id, substring(text, 1, L//2 + 20) AS t FROM src
+        |  UNION ALL
+        |  SELECT doc_id*2 + 1, substring(text, L//2 - 19) FROM src),
+        |e AS (SELECT id, t, substring(t, 1, 40) AS pre,
+        |    substring(t, length(t) - 39, 40) AS suf
+        |  FROM parts WHERE length(t) >= 40)
+        |SELECT a.id AS id_a, b.id AS id_b, a.suf AS boundary
+        |FROM e a JOIN e b ON a.suf = b.pre AND a.id != b.id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 60)
+        .withColumn("L", length(col("text")))
+      val parts = src.select((col("doc_id") * 2).as("id"),
+          expr("substring(text, 1, L div 2 + 20)").as("t"))
+        .unionAll(src.select((col("doc_id") * 2 + 1).as("id"),
+          expr("substring(text, L div 2 - 19)").as("t")))
+      graft.operators.Dedup.boundaryStitchPairs(parts, "id", "t", boundaryLen = 40)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- Unicode NFC normalization audit via the native codegen'd
+    //     NfcNormalize expression vs DuckDB's utf8proc nfc_normalize.
+    //     The ASCII fixture normalizes to itself, so the gate PLANTS a
+    //     decomposed "e + combining acute" suffix on both sides — the
+    //     composition path (2 chars -> 1) is genuinely exercised.
+    register("p112_nfc_audit",
+      """WITH u AS (SELECT doc_id,
+        |    COALESCE(text, '') || ' e' || chr(769) AS raw FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS text_nfc FROM u)
+        |SELECT doc_id, text_nfc,
+        |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(text_nfc) AS BIGINT) AS n_chars_nfc,
+        |  text_nfc != raw AS changed
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAudit.nfcAudit(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(coalesce(col("text"), lit("")), lit(" e\u0301")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -1170,4 +1170,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("__i").cast("double") / col("__u").cast("double"), 9).as("jaccard"))
   }
+
+  /** Split-document stitch candidates: pairs (A, B) where A's LAST
+    * `boundaryLen` characters equal B's FIRST `boundaryLen` characters —
+    * the repair signal for documents a crawler/extractor split mid-page
+    * (truncated fetches, pagination, chunked dumps whose halves overlap
+    * at the cut). Output: (id_a — the suffix side, id_b — the prefix
+    * side, boundary — the shared span). Docs shorter than `boundaryLen`
+    * (or with NULL text) cannot anchor a boundary and drop out;
+    * a.id != b.id (a doc may pair with many candidates — downstream
+    * verification owns disambiguation, e.g. via [[jaccardPairsPrefix]]
+    * on the concatenation).
+    *
+    * 100 TB shape: one equi-join on the boundary span (hash shuffle of
+    * two boundaryLen-char keys per doc — never text bodies); join
+    * fan-out is bounded by per-boundary frequency, and ubiquitous
+    * boundaries (boilerplate footers) are exactly the
+    * [[boilerplateNgrams]] signal to strip FIRST. */
+  def boundaryStitchPairs(df: DataFrame, idCol: String, textCol: String,
+      boundaryLen: Int = 40): DataFrame = {
+    require(boundaryLen >= 1, s"boundaryLen must be >= 1, got $boundaryLen")
+    val id = col(s"`$idCol`")
+    val txt = col(s"`$textCol`")
+    val eligible = df
+      .filter(txt.isNotNull && length(txt) >= boundaryLen)
+    val sufs = eligible.select(id.as("id_a"),
+      substring(txt, -boundaryLen, boundaryLen).as("boundary"))
+    val pres = eligible.select(id.as("id_b"),
+      substring(txt, 1, boundaryLen).as("__pre"))
+    sufs.join(pres, sufs("boundary") === pres("__pre"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("boundary"))
+  }
 }

@@ -699,6 +699,41 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
+  /** Embedding-column health report per group — the "did the embedding
+    * job actually work" audit run before any similarity/dedup consumer:
+    * NULL vectors, NaN/null components, zero vectors (cosine-undefined),
+    * ragged dimensions, and the norm distribution. One row per group:
+    * (groupCol, n_vecs, n_bad — NULL vector or any NaN/null component,
+    * n_zero — healthy but zero-norm, min_dim, max_dim longs — over
+    * non-null vectors, ragged if they differ; min_norm, max_norm,
+    * mean_norm doubles over healthy vectors, NULL when none). Norms ride
+    * the decimal [[normSq]] recipe and the mean accumulates through
+    * DECIMAL(25,9).
+    *
+    * 100 TB shape: one map-side-combinable aggregation; vectors never
+    * shuffle (only per-group counters and norms do). */
+  def embeddingAudit(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val v = col(s"`$vecCol`")
+    df.select(col(s"`$groupCol`").as("__g"), v.as("__v"))
+      .withColumn("__bad",
+        col("__v").isNull || exists(col("__v"), x => x.isNull || isnan(x)))
+      .withColumn("__dim",
+        when(col("__v").isNotNull, size(col("__v")).cast("long")))
+      .withColumn("__norm", when(!col("__bad"), sqrt(normSq(col("__v")))))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__bad"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(!col("__bad") && col("__norm") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"),
+        min(col("__dim")).as("min_dim"), max(col("__dim")).as("max_dim"),
+        min(col("__norm")).as("min_norm"), max(col("__norm")).as("max_norm"),
+        (sum(col("__norm").cast(dec)).cast("double") /
+          sum(when(!col("__bad"), 1L).otherwise(0L)).cast("double"))
+          .as("mean_norm"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Exact, order-independent squared L2 distance (the [[dot]] decimal
     * recipe over per-element differences). */
   def distSq(a: Column, b: Column): Column =

@@ -102,4 +102,26 @@ object TextAudit {
       .withColumn("non_ascii_ratio", when(col("n_chars") > 0L,
         col("n_non_ascii").cast("double") / col("n_chars").cast("double")))
   }
+
+  /** Unicode NFC normalization audit per document: (idCol, text_nfc —
+    * the canonically composed text, n_chars_raw, n_chars_nfc longs,
+    * changed boolean — composition shortened the text). Run BEFORE any
+    * hash-keyed operator: byte-different, render-identical encodings
+    * ("é" composed vs e + combining acute) otherwise split fingerprints,
+    * shingles, and vocabulary counts. NULL text stays NULL (changed
+    * false). Backed by the codegen'd
+    * [[org.apache.spark.sql.graft.NfcNormalize]] expression — one
+    * static call inside WholeStageCodegen, no shuffle. */
+  def nfcAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = col(s"`$textCol`")
+    df.select(id, txt.as("__raw"),
+        org.apache.spark.sql.graft.NfcNormalize.nfc(txt).as("text_nfc"))
+      .withColumn("n_chars_raw", length(col("__raw")).cast("long"))
+      .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
+      .withColumn("changed",
+        coalesce(col("text_nfc") =!= col("__raw"), lit(false)))
+      .select(id, col("text_nfc"), col("n_chars_raw"), col("n_chars_nfc"),
+        col("changed"))
+  }
 }

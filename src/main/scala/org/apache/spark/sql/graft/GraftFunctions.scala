@@ -76,7 +76,10 @@ object GraftFunctions {
     fn("graft_host", 1, graft.operators.Urls.getClass)(cs =>
       asExpr(graft.operators.Urls.extractHost(asCol(cs.head)))),
     fn("graft_domain", 1, graft.operators.Urls.getClass)(cs =>
-      asExpr(graft.operators.Urls.normalizedDomain(asCol(cs.head)))))
+      asExpr(graft.operators.Urls.normalizedDomain(asCol(cs.head)))),
+    fn("graft_nfc", 1, classOf[NfcNormalize])(cs => NfcNormalize(cs.head)),
+    fn("graft_url_canonical", 1, graft.operators.Urls.getClass)(cs =>
+      asExpr(graft.operators.Urls.canonicalizeUrl(asCol(cs.head)))))
 
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>

@@ -434,4 +434,35 @@ class DedupSpec extends SparkSpecBase {
     // (SNM emits id_a as the earlier SORT position, so normalize first)
     assert(gotNorm.subsetOf(exact))
   }
+
+  // ----------------------------------------------------- boundaryStitchPairs
+
+  test("boundaryStitchPairs: suffix==prefix pairs found; short/null docs drop; no self pairs") {
+    val df = Seq(
+      (1L, "AAAA middle one BOUND"),   // ends with BOUND (5)
+      (2L, "BOUND continues here"),    // starts with BOUND
+      (3L, "BOUND also starts"),       // second continuation candidate
+      (4L, "unrelated text"),
+      (5L, "tiny"),                    // < boundaryLen
+      (6L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Dedup.boundaryStitchPairs(df, "id", "text", boundaryLen = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("boundaryStitchPairs: reassembled halves of a real corpus stitch back to their partner") {
+    import org.apache.spark.sql.functions._
+    val docs = testdata("sf0.001", "documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 60)
+    val parts = docs.select((col("doc_id") * 2).as("id"),
+        expr("substring(text, 1, length(text) div 2 + 20)").as("t"))
+      .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+        expr("substring(text, length(text) div 2 - 19)").as("t")))
+    val pairs = Dedup.boundaryStitchPairs(parts, "id", "t", boundaryLen = 40)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(d => (d * 2, d * 2 + 1)).toSet
+    assert(expected.subsetOf(pairs),
+      s"every split doc must pair with its own second half; missing ${expected -- pairs}")
+  }
 }

@@ -151,4 +151,31 @@ class GraftExtensionsSpec extends SparkSpecBase {
         "levenshtein(CAST(NULL AS STRING), 'x', 1) < 0 AS b").head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+
+  test("graft_nfc composes decomposed text in SQL and stays codegen'd") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('café') AS a, graft_nfc('café') AS b, " +
+        "graft_nfc(CAST(NULL AS STRING)) AS n, length(graft_nfc('café')) AS l")
+      .head()
+    assert(r.getString(0) === "café" && r.getString(1) === "café")
+    assert(r.isNullAt(2) && r.getInt(3) === 4)
+    // a literal input constant-folds away entirely (the expression is
+    // foldable); a column input must stay inside whole-stage codegen
+    val exec = spark.range(1)
+      .selectExpr("graft_nfc(cast(id as string)) as v")
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(inCodegen.exists(_.contains("graft_nfc")), exec.toString)
+  }
+
+  test("graft_url_canonical normalizes crawl variants in SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_url_canonical('HTTPS://Ex.COM:443/p?b=2&utm_source=x&a=1#f') AS u")
+      .head()
+    assert(r.getString(0) === "https://ex.com/p?a=1&b=2")
+  }
 }

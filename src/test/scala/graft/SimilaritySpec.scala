@@ -332,6 +332,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.kCenterSelect(tiny, "vec_id", "embedding", k = 10).count() === 3L)
   }
 
+  test("embeddingAudit: bad/zero/ragged vectors counted per group; norm stats over healthy only") {
+    val df = Seq(
+      ("g1", Array(3f, 4f)),                  // norm 5
+      ("g1", Array(0f, 0f)),                  // zero vector
+      ("g1", Array(Float.NaN, 1f)),           // bad: NaN component
+      ("g1", null.asInstanceOf[Array[Float]]),// bad: null vector
+      ("g2", Array(1f, 0f, 0f))).toDF("g", "v")
+    val rows = Similarity.embeddingAudit(df, "g", "v").orderBy("g").collect()
+    val g1 = rows(0)
+    assert(g1.getLong(1) === 4L && g1.getLong(2) === 2L && g1.getLong(3) === 1L)
+    assert(g1.getLong(4) === 2L && g1.getLong(5) === 2L)
+    assert(g1.getDouble(6) === 0.0 && g1.getDouble(7) === 5.0 && g1.getDouble(8) === 2.5)
+    val g2 = rows(1)
+    assert(g2.getLong(4) === 3L && g2.getDouble(8) === 1.0)
+  }
+
+  test("embeddingAudit: an all-bad group reports NULL norm stats, not zeros") {
+    val df = Seq(("g", null.asInstanceOf[Array[Float]])).toDF("g", "v")
+    val r = Similarity.embeddingAudit(df, "g", "v").head()
+    assert(r.getLong(1) === 1L && r.getLong(2) === 1L)
+    assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
+  }
+
   test("kCenterSelect: argmax ties break to the smaller id; empty input yields empty output") {
     // 2 and 3 are equidistant from the seed 1; 2 must win
     val df = Seq((1L, Array(0f)), (2L, Array(4f)), (3L, Array(-4f))).toDF("id", "v")

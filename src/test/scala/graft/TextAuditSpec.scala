@@ -88,6 +88,34 @@ class TextAuditSpec extends SparkSpecBase {
     assert(m(5L) === ((0L, 0L, 0L, false)))
   }
 
+  // --------------------------------------------------------------- nfcAudit
+
+  test("nfcAudit: decomposed sequences compose, composed text passes through, null stays null") {
+    val df = Seq(
+      (1L, "cafe\u0301"),          // cafe + combining acute -> café
+      (2L, "café"),                // already composed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val rows = TextAudit.nfcAudit(df, "id", "text").orderBy("id").collect()
+    assert(rows(0).getString(1) === "café" && rows(0).getLong(2) === 5L &&
+      rows(0).getLong(3) === 4L && rows(0).getBoolean(4))
+    assert(rows(1).getString(1) === "café" && !rows(1).getBoolean(4))
+    assert(rows(2).getString(1) === "plain ascii" && !rows(2).getBoolean(4))
+    assert(rows(3).isNullAt(1) && !rows(3).getBoolean(4))
+  }
+
+  test("nfcAudit: normalization changes hash-keyed identity — the reason to run it first") {
+    import graft.functions.TextFunctions
+    val df = Seq((1L, "résumé"), (2L, "re\u0301sume\u0301")).toDF("id", "text")
+    val rawFps = df.select(TextFunctions.fingerprint(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(rawFps.length === 2, "un-normalized variants fingerprint apart")
+    val nfcFps = TextAudit.nfcAudit(df, "id", "text")
+      .select(TextFunctions.fingerprint(col("text_nfc")))
+      .collect().map(_.getString(0)).distinct
+    assert(nfcFps.length === 1, "NFC merges them")
+  }
+
   test("encodingAudit: ratios are count/len and NULL on empty") {
     val df = Seq((1L, "a\u0001b\u0002"), (2L, "")).toDF("id", "text")
     val rows = TextAudit.encodingAudit(df, "id", "text").orderBy("id").collect()
