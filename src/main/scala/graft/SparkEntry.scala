@@ -4833,5 +4833,68 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }
+
+    // --- Cohen's kappa inter-annotator agreement (Cohen 1960): rater A
+    //     = lang, rater B = lang with a deterministic md5-bucketed 20%
+    //     corruption \u2014 the labeled-data QA gate. Exact integer
+    //     agreement + marginal cross products; po/pe/kappa are one
+    //     fixed IEEE tree.
+    register("p113_cohen_kappa",
+      """WITH r AS (SELECT lang AS a,
+        |    CASE WHEN ('0x' || substring(md5('rater2:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 10 < 2 THEN 'xx' ELSE lang END AS b
+        |  FROM documents),
+        |f AS (SELECT a, b FROM r WHERE a IS NOT NULL AND b IS NOT NULL),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM f),
+        |ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM f GROUP BY a),
+        |mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM f GROUP BY b),
+        |x AS (SELECT COALESCE(SUM(CAST(na*nb AS DECIMAL(38,0))), 0) AS pesum
+        |  FROM ma JOIN mb ON mb.b = ma.a),
+        |c AS (SELECT n, n_agree,
+        |    CASE WHEN n > 0 THEN n_agree::DOUBLE / n::DOUBLE END AS po,
+        |    CASE WHEN n > 0 THEN pesum::DOUBLE / (n::DOUBLE * n::DOUBLE) END AS pe
+        |  FROM t, x)
+        |SELECT n, n_agree, po, pe,
+        |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0::DOUBLE - pe) END AS kappa
+        |FROM c""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.md5Hash60
+      val rated = t(s, dir, "documents").select(col("lang").as("a"),
+        when(md5Hash60(concat(lit("rater2:"), col("doc_id").cast("string")))
+          % 10L < 2L, lit("xx")).otherwise(col("lang")).as("b"))
+      graft.operators.Eval.cohenKappa(rated, "a", "b")
+    }
+
+    // --- temporal leak-safe split per event type (train on the past,
+    //     validate on the near future): exact nearest-rank cut
+    //     timestamps via the integer-micros rule, VALUE-based
+    //     assignment (at-cut ties land on the earlier side). The gate
+    //     reports per-(type, split) volumes.
+    register("p114_temporal_split",
+      """WITH b AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts2, event_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT event_type, ts2,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts2, CAST(event_id AS VARCHAR)) AS rn
+        |  FROM b),
+        |cut AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = (n*800000 + 999999)//1000000 THEN ts2 END) AS t_train,
+        |    MAX(CASE WHEN rn = (n*900000 + 999999)//1000000 THEN ts2 END) AS t_val
+        |  FROM r GROUP BY event_type),
+        |s AS (SELECT b.event_type,
+        |    CASE WHEN ts2 <= t_train THEN 'train'
+        |         WHEN ts2 <= t_val THEN 'val' ELSE 'test' END AS split
+        |  FROM b JOIN cut USING (event_type))
+        |SELECT event_type, split, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM s GROUP BY event_type, split
+        |ORDER BY event_type, split""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.temporalSplitByGroup(
+          events(s, dir), "event_type", "ts", "event_id",
+          trainPct = 0.8, valPct = 0.1)
+        .groupBy(col("event_type"), col("split"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("event_type"), col("split"))
+    }
   }
 }

@@ -90,6 +90,47 @@ object Eval {
           col("n_hit").cast("double") / col("n_approx").cast("double")).as("precision"))
   }
 
+  /** Cohen's kappa inter-annotator agreement (Cohen 1960) over two
+    * categorical label columns — the labeled-data QA gate run before any
+    * human- or model-annotated corpus is trusted: raw agreement p_o
+    * corrected for the agreement p_e two independent annotators with
+    * these marginals would reach by chance. One row: (n, n_agree long,
+    * po, pe, kappa double — (p_o − p_e)/(1 − p_e), NULL when n = 0 or
+    * p_e = 1, i.e. both raters constant). Rows where either label is
+    * NULL drop (unlabeled, not a disagreement).
+    *
+    * Exactness: agreement and the marginal cross products Σ n_a·n_b are
+    * exact integers (DECIMAL(38,0)-accumulated); p_o, p_e, kappa are a
+    * fixed IEEE tree over them.
+    *
+    * 100 TB shape: one pass for totals, two marginal aggregations over
+    * label cardinality, one category-keyed equi-join of the (tiny)
+    * marginal frames; the staged base feeds all three. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = stager.stage(
+      df.filter(col(s"`$aCol`").isNotNull && col(s"`$bCol`").isNotNull)
+        .select(col(s"`$aCol`").cast("string").as("__a"),
+          col(s"`$bCol`").cast("string").as("__b")),
+      s"kappa_base_${java.util.UUID.randomUUID().toString.take(8)}")
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = base.groupBy(col("__a")).agg(count(lit(1)).as("__na"))
+    val mb = base.groupBy(col("__b")).agg(count(lit(1)).as("__nb"))
+    val cross = ma.join(mb, ma("__a") === mb("__b"))
+      .agg(coalesce(sum((col("__na") * col("__nb")).cast(dec38)),
+        lit(0).cast(dec38)).as("__pesum"))
+    tot.crossJoin(cross)
+      .withColumn("po", when(col("n") > 0L,
+        col("n_agree").cast("double") / col("n").cast("double")))
+      .withColumn("pe", when(col("n") > 0L, col("__pesum").cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))))
+      .withColumn("kappa", when(col("pe") < 1.0,
+        (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select(col("n"), col("n_agree"), col("po"), col("pe"), col("kappa"))
+  }
+
   /** Reliability-diagram calibration bins for a [0,1] score against a
     * boolean label — the "does prob 0.8 mean 80%?" audit run on every
     * quality/toxicity classifier before its threshold gates a corpus

@@ -317,4 +317,48 @@ object Splits {
           .otherwise(greatest(w.cast("double"), col("__tau"))))
       .drop("__rn", "__tau")
   }
+
+  /** Temporal train/val/test split per group: train on the past,
+    * validate on the near future, test on the far future — the
+    * leakage-safe protocol for anything with a time axis (forecasting
+    * eval, dedup-drift studies, continual-pretraining ablations), where
+    * a hash split would leak future information into training. Cut
+    * points are EXACT nearest-rank order statistics of the group's time
+    * axis (rank ⌈p·n⌉ via the integer-micros rule, ties broken by
+    * `idCol` for a deterministic rank assignment); assignment is then
+    * VALUE-based (ts <= cut), so rows tied with a cut timestamp all land
+    * on the earlier side — at-cut ties can make the train fraction
+    * exceed ⌈p·n⌉ (the honest behavior: you cannot put half a timestamp
+    * in the future). Rows with NULL ts drop. Adds `splitCol` with
+    * values train/val/test.
+    *
+    * 100 TB shape: one per-group sort window (the exact-order-statistic
+    * cost — the [[Profile.calibrateByGroup]] giant-group caveat applies;
+    * swap in sketch cuts for groups that overwhelm one reducer). */
+  def temporalSplitByGroup(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, trainPct: Double = 0.8, valPct: Double = 0.1,
+      splitCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 1.0,
+      s"need 0 < trainPct, 0 <= valPct, trainPct + valPct < 1; " +
+        s"got ($trainPct, $valPct)")
+    val trainMicro = math.round(trainPct * 1e6)
+    val valMicro = math.round((trainPct + valPct) * 1e6)
+    val g = col(s"`$groupCol`")
+    val ts = col(s"`$tsCol`")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(g)
+    df.filter(ts.isNotNull)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(ts, col(s"`$idCol`").cast("string"))))
+      .withColumn("__cut_train", max(when(col("__rn") ===
+        expr(s"(__n * ${trainMicro}L + 999999L) div 1000000L"), ts)).over(w))
+      .withColumn("__cut_val", max(when(col("__rn") ===
+        expr(s"(__n * ${valMicro}L + 999999L) div 1000000L"), ts)).over(w))
+      .withColumn(splitCol,
+        when(ts <= col("__cut_train"), "train")
+          .when(ts <= col("__cut_val"), "val")
+          .otherwise("test"))
+      .drop("__n", "__rn", "__cut_train", "__cut_val")
+  }
 }

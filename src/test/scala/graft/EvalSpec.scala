@@ -62,6 +62,33 @@ class EvalSpec extends SparkSpecBase {
     assert(math.abs((a + b) - 1.0) < 1e-15)
   }
 
+  // ------------------------------------------------------------- cohenKappa
+
+  test("cohenKappa: hand-computed 2x2 fixture; perfect and chance-level agreement") {
+    // classic fixture: a=yes/no rater counts: both-yes 20, both-no 15,
+    // a-yes-b-no 5, a-no-b-yes 10 -> po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("y", "n")) ++ Seq.fill(10)(("n", "y"))
+    val r = graft.operators.Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getLong(0) === 50L && r.getLong(1) === 35L)
+    assert(r.getDouble(2) === 0.7 && r.getDouble(3) === 0.5)
+    assert(math.abs(r.getDouble(4) - 0.4) < 1e-15)
+    // identical raters: kappa 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(graft.operators.Eval.cohenKappa(perfect, "a", "b").head().getDouble(4) === 1.0)
+  }
+
+  test("cohenKappa: both-constant raters have pe=1 and NULL kappa; null labels drop") {
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val rc = graft.operators.Eval.cohenKappa(const, "a", "b").head()
+    assert(rc.getDouble(3) === 1.0 && rc.isNullAt(4))
+    val withNulls = Seq(
+      (Some("x"), Some("x")), (None: Option[String], Some("y")),
+      (Some("y"), None: Option[String])).toDF("a", "b")
+    val rn = graft.operators.Eval.cohenKappa(withNulls, "a", "b").head()
+    assert(rn.getLong(0) === 1L && rn.getLong(1) === 1L)
+  }
+
   // ------------------------------------------------------- calibrationCurve
 
   test("calibrationCurve: hand fixture — bins, means, and positive rates") {

@@ -278,4 +278,50 @@ class SplitsSpec extends SparkSpecBase {
     assert(math.abs(mean - trueSum) / trueSum < 0.05,
       s"mean HT estimate $mean far from true sum $trueSum")
   }
+
+  // ---------------------------------------------------- temporalSplitByGroup
+
+  test("temporalSplitByGroup: past->train, near future->val, far future->test, per group") {
+    val df = (1 to 10).map(i => ("g", f"2024-01-${i}%02d 00:00:00", i.toLong))
+      .toDF("grp", "ts_s", "id").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Splits.temporalSplitByGroup(df, "grp", "ts", "id", 0.8, 0.1)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((1L to 8L).forall(got(_) === "train"))
+    assert(got(9L) === "val" && got(10L) === "test")
+    // every train ts precedes every val ts precedes every test ts — the leak guarantee
+    val byTs = Splits.temporalSplitByGroup(df, "grp", "ts", "id", 0.8, 0.1)
+      .select(col("ts").cast("long"), col("split")).as[(Long, String)].collect()
+    val maxTrain = byTs.filter(_._2 == "train").map(_._1).max
+    val valTs = byTs.filter(_._2 == "val").map(_._1)
+    assert(valTs.forall(_ > maxTrain) &&
+      byTs.filter(_._2 == "test").map(_._1).forall(t => valTs.forall(_ < t)))
+  }
+
+  test("temporalSplitByGroup: at-cut timestamp ties all land on the earlier side; null ts drops") {
+    val df = Seq(
+      ("g", Some("2024-01-01 00:00:00"), 1L),
+      ("g", Some("2024-01-02 00:00:00"), 2L),
+      ("g", Some("2024-01-02 00:00:00"), 3L), // tied with the train cut
+      ("g", Some("2024-01-03 00:00:00"), 4L),
+      ("g", None: Option[String], 5L))
+      .toDF("grp", "ts_s", "id").withColumn("ts", to_timestamp(col("ts_s")))
+    // n=4, train rank ceil(0.5*4)=2 -> cut = 01-02; BOTH tied rows are train
+    val got = Splits.temporalSplitByGroup(df, "grp", "ts", "id", 0.5, 0.25)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "train", 2L -> "train", 3L -> "train", 4L -> "test"))
+  }
+
+  test("temporalSplitByGroup: groups cut independently; bad fractions rejected") {
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00", 1L), ("a", "2024-06-01 00:00:00", 2L),
+      ("b", "2025-01-01 00:00:00", 3L), ("b", "2025-06-01 00:00:00", 4L))
+      .toDF("grp", "ts_s", "id").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Splits.temporalSplitByGroup(df, "grp", "ts", "id", 0.5, 0.25)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got(1L) === "train" && got(3L) === "train",
+      "each group's own first half is train, regardless of absolute time")
+    intercept[IllegalArgumentException] {
+      Splits.temporalSplitByGroup(df, "grp", "ts", "id", 0.9, 0.2)
+    }
+  }
 }
