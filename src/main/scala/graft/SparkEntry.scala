@@ -4896,5 +4896,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"))
         .orderBy(col("event_type"), col("split"))
     }
+
+    // --- content-defined chunking (Rabin-style rolling hash, LBFS):
+    //     boundary where the trailing-8-codepoint polynomial hash
+    //     (B=257, M=1048573) divides 64. The engine rolls the hash in
+    //     one codegen'd pass (CdcBoundaries); the oracle recomputes each
+    //     position as an explicit 8-term integer sum — congruent mod M
+    //     by construction. Chunks concatenate back to the document.
+    register("p115_cdc_chunks",
+      """WITH b AS (SELECT doc_id, text, length(text) AS L,
+        |    list_filter(range(8, length(text) + 1), i ->
+        |      (ord(substring(text, i-7, 1)) * 318804 +
+        |       ord(substring(text, i-6, 1)) * 123642 +
+        |       ord(substring(text, i-5, 1)) * 718570 +
+        |       ord(substring(text, i-4, 1)) * 406721 +
+        |       ord(substring(text, i-3, 1)) * 197425 +
+        |       ord(substring(text, i-2, 1)) * 66049 +
+        |       ord(substring(text, i-1, 1)) * 257 +
+        |       ord(substring(text, i, 1))) % 1048573 % 64 = 0) AS bnd
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, text,
+        |    list_prepend(1, list_transform(bnd, x -> x + 1)) AS starts,
+        |    list_append(bnd, L) AS ends
+        |  FROM b),
+        |e AS (SELECT doc_id, text,
+        |    CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_idx,
+        |    unnest(starts) AS s, unnest(ends) AS e2
+        |  FROM c),
+        |f AS (SELECT doc_id, chunk_idx, s, e2,
+        |    substring(text, CAST(s AS INT), CAST(e2 - s + 1 AS INT)) AS chunk
+        |  FROM e WHERE s <= e2)
+        |SELECT doc_id, chunk_idx, CAST(s AS BIGINT) AS start_pos,
+        |  CAST(e2 AS BIGINT) AS end_pos, chunk,
+        |  ('0x' || substring(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Packing.cdcChunks(
+          t(s, dir, "documents"), "doc_id", "text", window = 8, divisor = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
   }
 }

@@ -105,4 +105,49 @@ object Packing {
       .withColumn("n_chunk_tokens", size(col("__chunk")))
       .drop("__toks", "__k", "__chunk")
   }
+
+  /** Content-defined chunking (Rabin-style, LBFS — Muthitacharoen et al.
+    * 2001): split each document at positions where the rolling hash of
+    * the trailing `window` codepoints divides `divisor` (average chunk ≈
+    * `divisor` codepoints). Because boundaries are LOCAL content
+    * decisions, an edit shifts only the chunks it touches — chunk-hash
+    * dedup then finds the shared content between near-identical
+    * documents where fixed-width chunking finds nothing (the
+    * storage-dedup upgrade of [[slidingWindows]]; the complement of
+    * [[Dedup.removeDuplicateSpans]]' token-aligned spans).
+    *
+    * Output: (idCol, chunk_idx long — 0-based, start_pos, end_pos long —
+    * 1-based inclusive codepoint positions, chunk, chunk_hash long — the
+    * shared 60-bit md5, the dedup join key). Chunks concatenate back to
+    * the exact document; NULL-text docs emit no rows; docs shorter than
+    * `window` emit one whole-document chunk.
+    *
+    * 100 TB shape: boundary detection is the codegen'd
+    * [[org.apache.spark.sql.graft.CdcBoundaries]] one-pass kernel (O(1)
+    * rolling update per codepoint); chunking is a zip + explode
+    * projection — zero shuffle; downstream dedup joins on chunk_hash
+    * only. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = col(s"`$textCol`")
+    val bnd = org.apache.spark.sql.graft.CdcBoundaries
+      .boundaries(txt, window, divisor)
+    df.filter(txt.isNotNull)
+      .select(id, txt.as("__t"), bnd.as("__bnd"), length(txt).as("__len"))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__bnd"), b => b + 1)))
+      .withColumn("__ends", concat(col("__bnd"), array(col("__len"))))
+      .select(id, col("__t"),
+        posexplode(arrays_zip(col("__starts"), col("__ends")))
+          .as(Seq("chunk_idx", "__se")))
+      .filter(col("__se.__starts") <= col("__se.__ends"))
+      .select(id, col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__se.__starts").cast("long").as("start_pos"),
+        col("__se.__ends").cast("long").as("end_pos"),
+        col("__t").substr(col("__se.__starts"),
+          col("__se.__ends") - col("__se.__starts") + 1).as("chunk"))
+      .withColumn("chunk_hash",
+        graft.functions.TextFunctions.md5Hash60(col("chunk")))
+  }
 }

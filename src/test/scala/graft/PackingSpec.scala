@@ -97,4 +97,49 @@ class PackingSpec extends SparkSpecBase {
     assert(bad === 0L, "bins must be non-decreasing in pack order")
     assert(out.count() === docs.count())
   }
+
+  // -------------------------------------------------------------- cdcChunks
+
+  test("cdcChunks: chunks concatenate back to the document; positions tile it exactly") {
+    val docs = testdata("sf0.001", "documents")
+    val rebuilt = Packing.cdcChunks(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("chunk_idx"), col("chunk"))))
+        .getField("chunk")).as("r"))
+    val joined = rebuilt.join(
+      docs.filter(col("text").isNotNull).select(col("doc_id"), col("text")), Seq("doc_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("r") =!= col("text")).count() === 0L)
+  }
+
+  test("cdcChunks: boundaries are shift-tolerant — a prefix edit preserves the tail chunks") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 30).trim
+    val df = Seq((1L, text), (2L, "INSERTED NEW PREFIX CONTENT " + text)).toDF("id", "text")
+    val byDoc = Packing.cdcChunks(df, "id", "text")
+      .select("id", "chunk_hash").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val shared = byDoc(1L) intersect byDoc(2L)
+    assert(shared.size >= byDoc(1L).size - 2,
+      s"all but the first couple of chunks must survive the prefix edit: " +
+        s"${byDoc(1L).size} original, ${shared.size} shared")
+  }
+
+  test("cdcChunks: short docs are one whole chunk; empty/null emit nothing; guards hold") {
+    val df = Seq((1L, "short"), (2L, ""), (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Packing.cdcChunks(df, "id", "text")
+      .select("id", "chunk", "start_pos", "end_pos")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(got === List((1L, "short", 1L, 5L)))
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.CdcBoundaries.boundaries(col("x"), window = 1)
+    }
+  }
+
+  test("cdcChunks: average chunk length tracks the divisor on real text") {
+    val docs = testdata("sf0.001", "documents").filter(length(col("text")) >= 500)
+    val stats = Packing.cdcChunks(docs, "doc_id", "text", divisor = 64)
+      .agg(avg(length(col("chunk")))).head().getDouble(0)
+    assert(stats > 20 && stats < 300,
+      s"mean chunk length $stats should sit near the 64-codepoint design point")
+  }
 }
