@@ -388,8 +388,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // p102: the 1-row n_keys scalar broadcasts into the count-of-counts
       // histogram, and the report row is a cross-join of 1-row
       // aggregates; p105: five 1-row sketch/count frames cross-join into
-      // the single estimate row — every BNLJ side is exactly one row
-      "p102_key_skew", "p105_join_size_est")
+      // the single estimate row — every BNLJ side is exactly one row;
+      // p113: the 1-row totals and the 1-row marginal cross product
+      // cross-join into the single kappa report row
+      "p102_key_skew", "p105_join_size_est", "p113_cohen_kappa")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
