@@ -4903,18 +4903,23 @@ object SparkEntry {
     //     one codegen'd pass (CdcBoundaries); the oracle recomputes each
     //     position as an explicit 8-term integer sum — congruent mod M
     //     by construction. Chunks concatenate back to the document.
+    // DuckDB replica of the CdcBoundaries rolling hash over column `c`:
+    // per-position explicit 8-term polynomial sum, congruent mod M with
+    // the engine's rolling form (constants = 257^(7-j) mod 1048573)
+    val cdcBndSql = (c: String) =>
+      s"""list_filter(range(8, length($c) + 1), i ->
+         |      (ord(substring($c, i-7, 1)) * 318804 +
+         |       ord(substring($c, i-6, 1)) * 123642 +
+         |       ord(substring($c, i-5, 1)) * 718570 +
+         |       ord(substring($c, i-4, 1)) * 406721 +
+         |       ord(substring($c, i-3, 1)) * 197425 +
+         |       ord(substring($c, i-2, 1)) * 66049 +
+         |       ord(substring($c, i-1, 1)) * 257 +
+         |       ord(substring($c, i, 1))) % 1048573 % 64 = 0)""".stripMargin
     register("p115_cdc_chunks",
-      """WITH b AS (SELECT doc_id, text, length(text) AS L,
-        |    list_filter(range(8, length(text) + 1), i ->
-        |      (ord(substring(text, i-7, 1)) * 318804 +
-        |       ord(substring(text, i-6, 1)) * 123642 +
-        |       ord(substring(text, i-5, 1)) * 718570 +
-        |       ord(substring(text, i-4, 1)) * 406721 +
-        |       ord(substring(text, i-3, 1)) * 197425 +
-        |       ord(substring(text, i-2, 1)) * 66049 +
-        |       ord(substring(text, i-1, 1)) * 257 +
-        |       ord(substring(text, i, 1))) % 1048573 % 64 = 0) AS bnd
-        |  FROM documents WHERE text IS NOT NULL),
+      s"""WITH b AS (SELECT doc_id, text, length(text) AS L,
+         |    ${cdcBndSql("text")} AS bnd
+         |  FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT doc_id, text,
         |    list_prepend(1, list_transform(bnd, x -> x + 1)) AS starts,
         |    list_append(bnd, L) AS ends
@@ -4933,6 +4938,48 @@ object SparkEntry {
       graft.operators.Packing.cdcChunks(
           t(s, dir, "documents"), "doc_id", "text", window = 8, divisor = 64)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+
+    // --- partial-duplicate pairs via shared CDC chunks: the gate carves
+    //     each document into overlapping 70% cuts (40% shared middle) —
+    //     content-defined boundaries make the shared passage produce
+    //     byte-identical interior chunks in both cuts, so every source
+    //     doc must pair its own halves (plus deterministic cross-doc
+    //     collisions); hot chunks capped at 64 docs.
+    register("p116_shared_chunk_pairs",
+      s"""WITH src AS (SELECT doc_id, text, length(text) AS L FROM documents
+         |  WHERE text IS NOT NULL AND length(text) >= 200),
+         |parts AS (
+         |  SELECT doc_id*2 AS id, substring(text, 1, (L*7)//10) AS t FROM src
+         |  UNION ALL
+         |  SELECT doc_id*2 + 1, substring(text, (L*3)//10 + 1) FROM src),
+         |cb AS (SELECT id, t, length(t) AS L, ${cdcBndSql("t")} AS bnd
+         |  FROM parts WHERE t IS NOT NULL),
+         |cc AS (SELECT id, t,
+         |    list_prepend(1, list_transform(bnd, x -> x + 1)) AS starts,
+         |    list_append(bnd, L) AS ends FROM cb),
+         |ce AS (SELECT id, t, unnest(starts) AS s, unnest(ends) AS e2 FROM cc),
+         |chunkh AS (SELECT DISTINCT id,
+         |    ('0x' || substring(md5(substring(t, CAST(s AS INT),
+         |      CAST(e2 - s + 1 AS INT))), 1, 15))::BIGINT AS h
+         |  FROM ce WHERE s <= e2),
+         |cap AS (SELECT h FROM (SELECT h, COUNT(*) AS nd FROM chunkh GROUP BY h) x
+         |  WHERE nd <= 64),
+         |k AS (SELECT id, h FROM chunkh JOIN cap USING (h))
+         |SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.h = b.h AND a.id < b.id
+         |GROUP BY a.id, b.id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 200)
+        .withColumn("L", length(col("text")))
+      val parts = src.select((col("doc_id") * 2).as("id"),
+          expr("substring(text, 1, (L*7) div 10)").as("t"))
+        .unionAll(src.select((col("doc_id") * 2 + 1).as("id"),
+          expr("substring(text, (L*3) div 10 + 1)").as("t")))
+      graft.operators.Dedup.sharedChunkPairs(parts, "id", "t",
+          window = 8, divisor = 64, minShared = 1, maxDocsPerChunk = Some(64))
+        .orderBy(col("id_a"), col("id_b"))
     }
   }
 }

@@ -1202,4 +1202,51 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("boundary"))
   }
+
+  /** PARTIAL-duplicate pairs via shared content-defined chunks: document
+    * pairs sharing at least `minShared` distinct CDC chunk hashes
+    * ([[Packing.cdcChunks]]) — the overlap detector for quotes, syndicated
+    * passages, and concatenated/split crawl artifacts that whole-document
+    * near-dup (MinHash over the FULL shingle set) dilutes below
+    * threshold. Because CDC boundaries are content-local, the shared
+    * passage produces byte-identical interior chunks in both documents
+    * no matter where it sits. Output: (id_a < id_b, n_shared long).
+    *
+    * `maxDocsPerChunk` drops chunk hashes present in more than N
+    * documents before pairing — ubiquitous boilerplate chunks carry no
+    * pairing signal and are exactly the hot keys that would blow up the
+    * join (the [[Profile.sourceOverlap]] cap rationale).
+    *
+    * 100 TB shape: one chunking scan, a distinct over (doc, hash), a
+    * hash-frequency cap, then a self-equi-join on the 60-bit hash —
+    * hashes shuffle, text never does; per-hash fan-out is bounded by
+    * the cap. The staged hash frame feeds the cap count and both join
+    * sides. */
+  def sharedChunkPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64, minShared: Int = 2,
+      maxDocsPerChunk: Option[Int] = Some(64),
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    maxDocsPerChunk.foreach(c => require(c >= 2,
+      s"maxDocsPerChunk must be >= 2, got $c"))
+    val hashes = stager.stage(
+      Packing.cdcChunks(df, idCol, textCol, window, divisor)
+        .select(col(s"`$idCol`"), col("chunk_hash")).distinct(),
+      s"shared_chunks_${java.util.UUID.randomUUID().toString.take(8)}")
+    val kept = maxDocsPerChunk match {
+      case None => hashes
+      case Some(cap) =>
+        val ok = hashes.groupBy(col("chunk_hash"))
+          .agg(count(lit(1)).as("__nd")).filter(col("__nd") <= cap)
+          .select(col("chunk_hash"))
+        hashes.join(ok, Seq("chunk_hash"), "left_semi")
+    }
+    val a = kept.select(col(s"`$idCol`").as("id_a"), col("chunk_hash"))
+    val b = kept.select(col(s"`$idCol`").as("id_b"), col("chunk_hash"))
+    a.join(b, Seq("chunk_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared.toLong)
+  }
 }

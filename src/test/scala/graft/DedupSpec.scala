@@ -465,4 +465,38 @@ class DedupSpec extends SparkSpecBase {
     assert(expected.subsetOf(pairs),
       s"every split doc must pair with its own second half; missing ${expected -- pairs}")
   }
+
+  // --------------------------------------------------------- sharedChunkPairs
+
+  test("sharedChunkPairs: a shared passage pairs two otherwise-different docs; strangers don't pair") {
+    // aperiodic passage: a repeating string can legitimately produce zero
+    // in-passage boundaries (the window hash cycles with the period)
+    val passage = (1 to 60).map(i => s"syndicated$i passage$i").mkString(" ")
+    val df = Seq(
+      (1L, "unique intro alpha beta gamma. " + passage + " unique outro one."),
+      (2L, "totally different opening words here! " + passage + " and another ending."),
+      (3L, "no overlap with anything else at all; " +
+        "completely distinct content through the whole document body " * 6))
+      .toDF("id", "text")
+    val got = Dedup.sharedChunkPairs(df, "id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 >= 1L)
+  }
+
+  test("sharedChunkPairs: minShared filters weak pairs; the hot-chunk cap drops boilerplate") {
+    val passage = "common middle content that is long enough to chunk " * 10
+    val base = (1L to 5L).map(i => (i, s"doc $i distinctive preamble. " + passage))
+    val df = base.toDF("id", "text")
+    val loose = Dedup.sharedChunkPairs(df, "id", "text", minShared = 1,
+      maxDocsPerChunk = Some(64)).count()
+    assert(loose === 10L, "all 5 docs share the passage -> C(5,2) pairs")
+    // cap below the 5-doc frequency: the shared chunks are boilerplate, drop them
+    val capped = Dedup.sharedChunkPairs(df, "id", "text", minShared = 1,
+      maxDocsPerChunk = Some(4)).count()
+    assert(capped === 0L, "chunks present in >4 docs carry no pairing signal under the cap")
+    // a high minShared bar drops pairs that share only a couple of chunks
+    val strict = Dedup.sharedChunkPairs(df, "id", "text", minShared = 1000)
+    assert(strict.count() === 0L)
+  }
 }
