@@ -352,6 +352,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles === 1, s"$shuffles shuffles:\n$plan")
   }
 
+  test("p102: keySkew's corpus pays one count shuffle; histogram/top-k read the staged counts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val events = graft.Tables.events(spark, dir)
+    // stage lazily (Persist) so the audit sees the FULL lineage: the
+    // corpus-sized count aggregation must appear exactly once
+    val out = graft.operators.Profile.keySkew(events, "user_id",
+      stager = graft.operators.Stager.Persist)
+    val plan = out.queryExecution.executedPlan.toString
+    // one scan + one hash-count exchange for the corpus; everything else
+    // (histogram, quantile scalars, top-k) operates on the staged counts
+    assert(!plan.contains("CartesianProduct"), plan)
+    val corpusAggs = "(?s)HashAggregate.*user_id".r.findAllIn(plan).size
+    assert(corpusAggs >= 1, plan)
+    // TakeOrdered (distributed top-k), never a global Sort over keys
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("p108: rollingDistinct explodes the staged distinct frame — no range join, no cartesian") {
+    val events = graft.Tables.events(spark, dir)
+    val out = graft.operators.Sessionize.rollingDistinct(events, "ts", "user_id",
+      stager = graft.operators.Stager.Persist)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    // the day-level join is an equi join
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("plan sweep: no gate query plans a CartesianProduct; nested-loop " +
     "joins only where a tiny broadcast side is the design") {
     // every BNLJ below broadcasts a bounded side: a 1-row scalar aggregate
