@@ -4981,5 +4981,61 @@ object SparkEntry {
           window = 8, divisor = 64, minShared = 1, maxDocsPerChunk = Some(64))
         .orderBy(col("id_a"), col("id_b"))
     }
+
+    // --- first-order event-transition matrix (Markov journey view):
+    //     consecutive per-user steps via one lag window, counts over the
+    //     |types|² pair space, conditional prob = one IEEE division.
+    //     Same-timestamp ties order by event_id on both engines.
+    register("p117_transition_matrix",
+      """WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, event_type, event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |l AS (SELECT event_type AS to_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts2, CAST(event_id AS VARCHAR)) AS from_type
+        |  FROM b),
+        |p AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM l
+        |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM p GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n, p.n::DOUBLE / t.tot::DOUBLE AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.transitionMatrix(
+          events(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }
+
+    // --- exact two-sample Kolmogorov-Smirnov drift statistic (en vs
+    //     non-en document lengths): the sup |F_a - F_b| is LOCATED on
+    //     scaled integers (|cum_a·n_b - cum_b·n_a| in DECIMAL(38,0)) so
+    //     the argmax is FP-free; only the reported ks divides once.
+    register("p118_ks_drift",
+      """WITH va AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |vb AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS na FROM va GROUP BY v),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nb FROM vb GROUP BY v),
+        |u AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(na, 0) AS na,
+        |    COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b
+        |  FROM u),
+        |c AS (SELECT v, SUM(na) OVER (ORDER BY v) AS cna,
+        |    SUM(nb) OVER (ORDER BY v) AS cnb FROM u),
+        |d AS (SELECT v, abs(CAST(cna AS DECIMAL(38,0)) * (SELECT n_b FROM t) -
+        |    CAST(cnb AS DECIMAL(38,0)) * (SELECT n_a FROM t)) AS sd FROM c),
+        |m AS (SELECT MAX(sd) AS msd FROM d),
+        |at2 AS (SELECT MIN(v) AS ks_at FROM d, m WHERE sd = msd)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN msd::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE) END AS ks,
+        |  ks_at
+        |FROM t, m, at2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Profile.ksStatistic(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "n_chars")
+    }
   }
 }

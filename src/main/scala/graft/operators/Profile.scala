@@ -505,6 +505,59 @@ object Profile {
         (col("vocab_size").cast("double") / col("n_tokens").cast("double")).as("ttr"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between the
+    * distributions of `valueCol` in frames `a` and `b` — the
+    * distribution-drift test (did this source's length/quality/score
+    * distribution shift between snapshots?) that mean/variance monitors
+    * miss. One row: (n_a, n_b long, ks double — sup |F_a − F_b|, ks_at —
+    * the smallest value attaining the sup).
+    *
+    * Exactness: the sup is located on SCALED INTEGERS —
+    * |cum_a·n_b − cum_b·n_a| accumulated in DECIMAL(38,0), so the argmax
+    * has no FP anywhere; only the final reported ks divides once. NULL
+    * values drop.
+    *
+    * 100 TB shape: each side collapses to per-distinct-value counts
+    * (map-side combinable), then one full-outer merge and a running-sum
+    * window over the DISTINCT-value frame — bounded by value
+    * cardinality, not row count (same posture as [[keySkew]]'s
+    * histogram; a continuous-unique-value corpus degrades to a
+    * single-reducer window over distinct values and should be binned
+    * first). */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as(out))
+    // staged: the merged count frame feeds the totals, the cumulative
+    // scan, and (via `scaled`) both the max and the argmax — unstaged,
+    // the corpus-sized count shuffles re-run per consumer
+    val merged = stager.stage(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+        .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      s"ks_counts_${java.util.UUID.randomUUID().toString.take(8)}")
+    val totals = merged.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val wcum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val scaled = merged
+      .withColumn("__ca", sum(col("__na")).over(wcum))
+      .withColumn("__cb", sum(col("__nb")).over(wcum))
+      .crossJoin(broadcast(totals))
+      .withColumn("__sd", abs(col("__ca").cast(dec38) * col("__tb") -
+        col("__cb").cast(dec38) * col("__ta")))
+    scaled.agg(max(col("__sd")).as("__msd")).crossJoin(totals)
+      .join(scaled.groupBy(col("__sd").as("__msd"))
+          .agg(min(col("__v")).as("ks_at")),
+        Seq("__msd"))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        when(col("__ta") > 0L && col("__tb") > 0L,
+          col("__msd").cast("double") /
+            (col("__ta").cast("double") * col("__tb").cast("double"))).as("ks"),
+        col("ks_at"))
+  }
+
   /** Per-group ordinary-least-squares trend: slope + intercept of
     * `yCol` against an integer `xCol` (e.g. epoch hours), the drift
     * detector behind "is this metric trending?" monitors. x is

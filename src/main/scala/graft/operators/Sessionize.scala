@@ -178,4 +178,39 @@ object Sessionize {
       .select(col("__day").cast("string").as("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
   }
+
+  /** First-order event-transition matrix: counts and conditional
+    * probabilities of consecutive (from_type → to_type) steps per actor
+    * in time order — the Markov view of user journeys behind "what do
+    * people do after X" analyses and next-event baselines (the
+    * transition complement of [[funnelStages]]' fixed-order view).
+    * Output: (from_type, to_type, n long, prob double — n over the
+    * from_type's outgoing total, one IEEE division). Rows with NULL
+    * actor/ts/type drop; same-timestamp events order by `idCol` (a
+    * deterministic but semantically arbitrary tiebreak — sub-timestamp
+    * ordering is the producer's job).
+    *
+    * 100 TB shape: one per-actor window (hash exchange on the actor) for
+    * the lag, then a map-side-combinable count over the ≤ |types|² pair
+    * space; the outgoing totals re-aggregate the tiny pair frame, never
+    * the stream. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val tp = col(s"`$typeCol`")
+    val w = Window.partitionBy(u).orderBy(ts, col(s"`$idCol`").cast("string"))
+    val pairs = events
+      .filter(u.isNotNull && ts.isNotNull && tp.isNotNull)
+      .withColumn("__prev", lag(tp, 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), tp.as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("prob"))
+  }
 }

@@ -419,8 +419,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // aggregates; p105: five 1-row sketch/count frames cross-join into
       // the single estimate row — every BNLJ side is exactly one row;
       // p113: the 1-row totals and the 1-row marginal cross product
-      // cross-join into the single kappa report row
-      "p102_key_skew", "p105_join_size_est", "p113_cohen_kappa")
+      // cross-join into the single kappa report row; p118: the 1-row
+      // totals/max frames broadcast into the distinct-value scan and the
+      // single KS report row
+      "p102_key_skew", "p105_join_size_est", "p113_cohen_kappa",
+      "p118_ks_drift")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -282,6 +282,36 @@ class ProfileSpec extends SparkSpecBase {
     assert(rows.head.getDouble(4) === 1.0)
   }
 
+  // ----------------------------------------------------------- ksStatistic
+
+  test("ksStatistic: hand fixture sup=1/3 at the smallest attaining value; identity is 0; disjoint is 1") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 4L).toDF("v")
+    val r = Profile.ksStatistic(a, b, "v").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0 / 3.0 && r.getLong(3) === 1L)
+    val same = Profile.ksStatistic(a, a, "v").head()
+    assert(same.getDouble(2) === 0.0)
+    val disjoint = Profile.ksStatistic(
+      Seq(1L, 2L).toDF("v"), Seq(10L, 11L).toDF("v"), "v").head()
+    assert(disjoint.getDouble(2) === 1.0 && disjoint.getLong(3) === 2L)
+  }
+
+  test("ksStatistic: detects a location shift that means/medians of a mixed pair could hide") {
+    val rnd = new scala.util.Random(5)
+    val base = (1 to 500).map(_ => (rnd.nextInt(100) + 1).toLong)
+    val shifted = base.map(_ + 30L)
+    val ks = Profile.ksStatistic(base.toDF("v"), shifted.toDF("v"), "v")
+      .head().getDouble(2)
+    assert(ks > 0.2, s"a 30-unit shift on a 100-wide support must show: $ks")
+    // null values drop; empty side yields NULL ks
+    val withNulls = (base.map(Option(_)) ++ Seq(None: Option[Long])).toDF("v")
+    assert(Profile.ksStatistic(withNulls, shifted.toDF("v"), "v")
+      .head().getLong(0) === 500L)
+    val empty = Seq.empty[Long].toDF("v")
+    assert(Profile.ksStatistic(base.toDF("v"), empty, "v").head().isNullAt(2))
+  }
+
   // ---------------------------------------------------------- trendByGroup
 
   test("trendByGroup: recovers an exact line; recentering makes intercept the value at x_min") {

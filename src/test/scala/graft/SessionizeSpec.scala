@@ -114,6 +114,38 @@ class SessionizeSpec extends SparkSpecBase {
       ("2024-01-10", 1L, 1L, 1.0)))      // day 3 fell out (window = day..day+6 cover)
   }
 
+  test("transitionMatrix: per-user consecutive steps; probabilities condition on from_type") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "A", 1L),
+      (1L, "2024-01-01 10:01:00", "B", 2L),
+      (1L, "2024-01-01 10:02:00", "A", 3L),
+      (1L, "2024-01-01 10:03:00", "C", 4L),
+      (2L, "2024-01-01 09:00:00", "B", 5L),
+      (2L, "2024-01-01 09:05:00", "A", 6L),
+      (3L, "2024-01-01 08:00:00", "Z", 7L)) // single-event user: no pair
+      .toDF("user", "ts_s", "etype", "eid")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Sessionize.transitionMatrix(df, "user", "ts", "etype", "eid")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((2L, 1.0))))
+  }
+
+  test("transitionMatrix: user boundaries never pair; same-ts ties order by id") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "X", 1L),
+      (2L, "2024-01-01 10:00:01", "Y", 2L), // different user right after: no X->Y
+      (3L, "2024-01-01 12:00:00", "P", 3L),
+      (3L, "2024-01-01 12:00:00", "Q", 4L)) // tie: id order P(3) then Q(4)
+      .toDF("user", "ts_s", "etype", "eid")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Sessionize.transitionMatrix(df, "user", "ts", "etype", "eid")
+      .as[(String, String, Long, Double)].collect().toList
+    assert(got === List(("P", "Q", 1L, 1.0)))
+  }
+
   test("rollingDistinct: windowDays=1 collapses to DAU; null ts/actor rows drop") {
     val df = Seq(
       (Some("2024-01-01 10:00:00"), Some(1L)),
