@@ -5037,5 +5037,30 @@ object SparkEntry {
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"), "n_chars")
     }
+
+    // --- accent stripping (NFD + combining-mark removal) via the
+    //     codegen'd StripAccents expression vs DuckDB's utf8proc
+    //     strip_accents. The ASCII fixture passes through the fast
+    //     path, so the gate PLANTS composed Latin diacritics on both
+    //     sides — the decompose-and-strip path is really exercised.
+    register("p119_strip_accents",
+      """WITH u AS (SELECT doc_id,
+        |    COALESCE(text, '') || ' Café naïve ça ü' AS raw FROM documents),
+        |s2 AS (SELECT doc_id, raw, strip_accents(raw) AS text_stripped FROM u)
+        |SELECT doc_id, text_stripped,
+        |  CAST(length(raw) - length(text_stripped) AS BIGINT) AS n_removed,
+        |  text_stripped != raw AS changed
+        |FROM s2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = concat(coalesce(col("text"), lit("")),
+        lit(" Café naïve ça ü"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
+        .withColumn("text_stripped",
+          org.apache.spark.sql.graft.StripAccents.stripAccents(col("__raw")))
+        .withColumn("n_removed",
+          (length(col("__raw")) - length(col("text_stripped"))).cast("long"))
+        .withColumn("changed", col("text_stripped") =!= col("__raw"))
+        .select(col("doc_id"), col("text_stripped"), col("n_removed"), col("changed"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -97,6 +97,32 @@ object Sink {
     * broadcast back), and bucket bits interleave so that rows close in
     * EVERY dimension get close z-values. All Column-level shifts/masks —
     * codegen'd, no UDF. Nulls and zero-range dimensions bucket to 0. */
+  /** Write `df` as a BUCKETED (and optionally per-bucket-sorted) parquet
+    * table: rows are hash-routed into `nBuckets` files per partition by
+    * `bucketCols`, and the bucketing metadata is recorded in the catalog.
+    * The payoff is the 100 TB one: a join or aggregation keyed on the
+    * bucket columns between two tables bucketed the SAME way needs NO
+    * shuffle at all — Spark proves co-partitioning from the metadata and
+    * plans an exchange-free SortMergeJoin (SinkSpec asserts this on the
+    * plan). This is the persisted form of `repartition(key)`: pay the
+    * shuffle once at write time, then every downstream job on the key —
+    * the fact-table pattern for dimension joins run daily at fleet
+    * scale. `sortCols` additionally sorts within each bucket file
+    * (faster merge joins, better parquet encodings — the
+    * [[writeCorpus]] compression argument).
+    *
+    * Bucket counts must match across join sides for the no-shuffle
+    * proof; pick a count that divides your executor parallelism. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   def withZOrder(df: DataFrame, zCols: Seq[String], bits: Int = 12,
       out: String = "__z"): DataFrame = {
     import org.apache.spark.sql.functions._

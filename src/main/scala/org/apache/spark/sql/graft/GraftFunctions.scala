@@ -78,6 +78,7 @@ object GraftFunctions {
     fn("graft_domain", 1, graft.operators.Urls.getClass)(cs =>
       asExpr(graft.operators.Urls.normalizedDomain(asCol(cs.head)))),
     fn("graft_nfc", 1, classOf[NfcNormalize])(cs => NfcNormalize(cs.head)),
+    fn("graft_strip_accents", 1, classOf[StripAccents])(cs => StripAccents(cs.head)),
     fn("graft_url_canonical", 1, graft.operators.Urls.getClass)(cs =>
       asExpr(graft.operators.Urls.canonicalizeUrl(asCol(cs.head)))))
 

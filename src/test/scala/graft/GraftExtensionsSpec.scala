@@ -171,6 +171,28 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(inCodegen.exists(_.contains("graft_nfc")), exec.toString)
   }
 
+  test("graft_strip_accents strips combining marks after NFD; non-decomposable chars survive") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_strip_accents('Café naïve ça ü') AS a, " +
+        "graft_strip_accents('café') AS b, " + // already-decomposed input
+        "graft_strip_accents('Øl østers Ω') AS c, " +
+        "graft_strip_accents('plain') AS d, " +
+        "graft_strip_accents(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) === "Cafe naive ca u")
+    assert(r.getString(1) === "cafe")
+    assert(r.getString(2) === "Øl østers Ω", "no canonical decomposition -> untouched")
+    assert(r.getString(3) === "plain")
+    assert(r.isNullAt(4))
+    // column API agrees
+    import spark.implicits._
+    val viaCol = Seq("résumé").toDF("t")
+      .select(org.apache.spark.sql.graft.StripAccents.stripAccents(
+        org.apache.spark.sql.functions.col("t")))
+      .head().getString(0)
+    assert(viaCol === "resume")
+  }
+
   test("graft_url_canonical normalizes crawl variants in SQL") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val r = spark.sql(

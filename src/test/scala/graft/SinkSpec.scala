@@ -112,4 +112,38 @@ class SinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(zdir).exceptAll(pts).count() === 0)
     assert(pts.exceptAll(spark.read.parquet(zdir)).count() === 0)
   }
+
+  test("writeBucketed: a join on the bucket key between co-bucketed tables plans NO shuffle") {
+    val orders = testdata("sf0.001", "orders")
+    val customer = testdata("sf0.001", "customer")
+    Sink.writeBucketed(orders, "bk_orders", Seq("o_custkey"), 8,
+      sortCols = Seq("o_custkey"))
+    Sink.writeBucketed(customer, "bk_customer", Seq("c_custkey"), 8,
+      sortCols = Seq("c_custkey"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // force the shuffle-join path so the assert is about BUCKETING,
+      // not about the broadcast fallback hiding the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_orders")
+        .join(spark.table("bk_customer"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect() // finalize the (adaptive) plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // the same join from raw parquet DOES shuffle — the baseline that
+      // proves the bucketing metadata is what removed the exchanges
+      val raw = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      raw.collect()
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+      // and the bucketed read is lossless
+      assert(spark.table("bk_orders").count() === orders.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_customer")
+    }
+  }
 }
