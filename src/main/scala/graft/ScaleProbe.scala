@@ -180,6 +180,33 @@ object ScaleProbe {
     val (iR, tiR) = time(incRun(prepR))
     println(f"incremental_dedup 1x-index: $ti1%.1fs $i1 pairs | ${r}x-index: $tiR%.1fs $iR pairs" +
       f" (ratio ${tiR / ti1}%.2fx time, ${iR.toDouble / i1}%.2fx pairs)")
+
+    // ---- boundary stitch pairs: positional overlapping halves of the
+    // edit frame (the char-bijection translate COMMUTES with substring
+    // positions, so each replica's pair structure is exactly replica
+    // 0's), joined on the 40-char suffix==prefix boundary. Every
+    // boundary window on this fixture contains letters, so replicas'
+    // boundary keys live in disjoint alphabet blocks — no cross-replica
+    // pairs. (CDC-based sharedChunkPairs has NO exact-Rx decorrelation:
+    // chunk boundaries are functions of codepoint VALUES, which any
+    // content transform perturbs — its scale shape is the same
+    // hash-equi-join as this leg.) Expected: rows exactly Rx.
+    def stitchFrame(reps: Int): DataFrame = {
+      val f = editFrame(reps).filter(length(col("text")) >= 60)
+        .withColumn("L", length(col("text")))
+      f.select((col("doc_id") * 2).as("id"),
+          expr("substring(text, 1, L div 2 + 20)").as("t"))
+        .unionByName(f.select((col("doc_id") * 2 + 1).as("id"),
+          expr("substring(text, L div 2 - 19)").as("t")))
+    }
+    def stitchRun(reps: Int): Long =
+      graft.operators.Dedup.boundaryStitchPairs(
+        stitchFrame(reps), "id", "t", boundaryLen = 40).count()
+    stitchRun(1)
+    val (b1, tb1) = time(stitchRun(1))
+    val (bR, tbR) = time(stitchRun(r))
+    println(f"boundary_stitch 1x: $tb1%.1fs $b1 pairs | ${r}x: $tbR%.1fs $bR pairs" +
+      f" (ratio ${tbR / tb1}%.2fx time, ${bR.toDouble / b1}%.2fx rows)")
     spark.stop()
   }
 }
