@@ -5062,5 +5062,114 @@ object SparkEntry {
         .select(col("doc_id"), col("text_stripped"), col("n_removed"), col("changed"))
         .orderBy(col("doc_id"))
     }
+
+    // --- Population Stability Index over the source mix (en vs non-en
+    //     slices): exact integer counts, one IEEE division per share
+    //     clamped by GREATEST against the eps literal, each ln through
+    //     the 9-dp decimal contract, DECIMAL(25,9) term accumulation.
+    register("p120_psi_drift",
+      """WITH ka AS (SELECT source AS v FROM documents
+        |  WHERE lang = 'en' AND source IS NOT NULL),
+        |kb AS (SELECT source AS v FROM documents
+        |  WHERE lang != 'en' AND source IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS na FROM ka GROUP BY v),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nb FROM kb GROUP BY v),
+        |u AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(na, 0) AS na,
+        |    COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+        |  FROM u),
+        |s AS (SELECT ta, tb, na, nb,
+        |    GREATEST(na::DOUBLE / ta::DOUBLE, 1e-06) AS p,
+        |    GREATEST(nb::DOUBLE / tb::DOUBLE, 1e-06) AS q
+        |  FROM u CROSS JOIN t)
+        |SELECT ta AS n_a, tb AS n_b, CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  CAST(SUM(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |  CAST(SUM(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(SUM(CAST((p - q) *
+        |    CAST(ROUND(CAST(ln(p / q) AS DECIMAL(25,12)), 9) AS DOUBLE)
+        |    AS DECIMAL(25,9))) AS DOUBLE) END AS psi
+        |FROM s GROUP BY ta, tb""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Drift.psi(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "source")
+    }
+
+    // --- chi-squared independence test lang × source with Cramér's V:
+    //     the FULL marginal grid (zero-observed cells included), each
+    //     cell term a fixed IEEE tree over exact integer casts,
+    //     DECIMAL(25,9) term accumulation, correctly-rounded sqrt.
+    register("p121_chi_square",
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.r, ct.c, COALESCE(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |term AS (SELECT CAST(SUM(CAST(
+        |    (o::DOUBLE * n::DOUBLE - r::DOUBLE * c::DOUBLE) *
+        |    (o::DOUBLE * n::DOUBLE - r::DOUBLE * c::DOUBLE) /
+        |    (r::DOUBLE * c::DOUBLE * n::DOUBLE) AS DECIMAL(25,9)))
+        |    AS DOUBLE) AS x2 FROM grid CROSS JOIN tot),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM rt),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM ct)
+        |SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  CASE WHEN n > 0 AND n_a > 1 AND n_b > 1 THEN x2 END AS chi2,
+        |  CASE WHEN n > 0 AND n_a > 1 AND n_b > 1 THEN
+        |    sqrt(x2 / (n::DOUBLE * LEAST(n_a - 1, n_b - 1)::DOUBLE))
+        |  END AS cramers_v
+        |FROM tot CROSS JOIN na CROSS JOIN nb CROSS JOIN term""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Drift.chiSquare(t(s, dir, "documents"), "lang", "source")
+    }
+
+    // --- Mann–Whitney U rank-sum n_chars en vs non-en (the location-
+    //     drift complement to p118's KS): DOUBLED midranks as exact
+    //     integers, HUGEINT/DECIMAL(38,0) U numerator and tie sum, one
+    //     exact halving, IEEE-only variance with correctly-rounded sqrt.
+    register("p122_mannwhitney_u",
+      """WITH va AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |vb AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS na FROM va GROUP BY v),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nb FROM vb GROUP BY v),
+        |u AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(na, 0) AS na,
+        |    COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |r AS (SELECT na, nb, na + nb AS t,
+        |    COALESCE(SUM(na + nb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM u),
+        |g AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    SUM(CAST(na AS HUGEINT) * (2 * cum + t + 1)) AS r1d,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |  FROM r),
+        |h AS (SELECT n_a, n_b,
+        |    CAST(r1d - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS ua,
+        |    (n_a::DOUBLE * n_b::DOUBLE / 12.0) * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |      - CAST(ties AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+        |      AS varu
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN ua END AS u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN n_a::DOUBLE * n_b::DOUBLE - ua
+        |    END AS u_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varu > 0.0 THEN
+        |    (ua - n_a::DOUBLE * n_b::DOUBLE / 2.0) / sqrt(varu) END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a::DOUBLE * n_b::DOUBLE > 0.0 THEN
+        |    ua / (n_a::DOUBLE * n_b::DOUBLE) * 2.0 - 1.0 END AS rank_biserial
+        |FROM h""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Drift.mannWhitneyU(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "n_chars")
+    }
   }
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-drift and association statistics — the monitoring battery
+  * a training-data pipeline runs between crawl snapshots and across
+  * sources: PSI (the banking-world drift score over categorical mixes),
+  * the chi-squared independence test with Cramér's V (is `lang`
+  * associated with `source`?), and the Mann–Whitney U rank-sum test (did
+  * this score distribution shift? — the non-parametric complement to
+  * [[Profile.ksStatistic]], sensitive to location where KS is sensitive
+  * to shape).
+  *
+  * The reference (magictables) delegates all statistics to Polars
+  * expressions behind its blanket wrapper
+  * (/root/reference/magictables/magictable.py:28-36); these are the
+  * corpus-monitoring statistics a Spark-native engine needs at scale,
+  * implemented with the repo-wide exactness contracts (integer/decimal
+  * accumulation, the 9-dp decimal ln, IEEE-only final arithmetic).
+  */
+object Drift {
+  private val dec38 = DecimalType(38, 0)
+  private val dec25_9 = DecimalType(25, 9)
+
+  /** ln rounded through the 9-dp decimal contract (p86 recipe): JVM and
+    * libm logs differ at 1 ulp; rounding the decimal rendering to 9 dp
+    * makes both engines agree. */
+  private def ln9(c: Column): Column =
+    round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+
+  /** Population Stability Index between the `keyCol` value mixes of
+    * frames `a` and `b` — PSI = Σ_v (p_v − q_v)·ln(p_v/q_v) over the
+    * union of observed values, the standard drift score for categorical
+    * mixes (language mix, source mix, top-level-domain mix). One row:
+    * (n_a, n_b, n_values longs — totals and distinct union values,
+    * n_only_a, n_only_b longs — values seen on one side only, psi
+    * double). Conventional reading: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted. NULL keys drop (count the NULL mix upstream if it
+    * matters); an empty side yields psi NULL.
+    *
+    * Zero cells: a value unseen on one side has share 0 and an infinite
+    * log ratio — both shares clamp to `eps` (share = max(n/N, eps),
+    * standard PSI practice), so one-sided values contribute a large
+    * finite term and the score stays defined.
+    *
+    * Exactness: counts and totals are exact integers; each share is ONE
+    * IEEE division (clamped by GREATEST against the eps literal — no
+    * libm); each ln rounds through the 9-dp decimal contract; terms
+    * quantize to DECIMAL(25,9) and sum order-independently; only the
+    * reported psi casts back to double.
+    *
+    * 100 TB shape: each side collapses to per-value counts (map-side
+    * combinable), one full-outer merge on the value key, then a
+    * values-cardinality aggregate — nothing row-sized ever shuffles
+    * twice. Categorical contract: value cardinality ≪ row count. */
+  def psi(a: DataFrame, b: DataFrame, keyCol: String, eps: Double = 1e-6,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
+    val k = col(s"`$keyCol`")
+    def counts(df: DataFrame, out: String) = df.filter(k.isNotNull)
+      .groupBy(k.as("__v")).agg(count(lit(1)).as(out))
+    // staged: the merged count frame feeds the totals AND the term sum —
+    // unstaged, both corpus-sized count shuffles re-run per consumer
+    val merged = stager.stage(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+        .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      s"psi_counts_${java.util.UUID.randomUUID().toString.take(8)}")
+    val totals = merged.agg(
+      sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val shares = merged.crossJoin(broadcast(totals))
+      .withColumn("__p", greatest(
+        col("__na").cast("double") / col("__ta").cast("double"), lit(eps)))
+      .withColumn("__q", greatest(
+        col("__nb").cast("double") / col("__tb").cast("double"), lit(eps)))
+    shares.agg(
+        coalesce(max(col("__ta")), lit(0L)).as("n_a"),
+        coalesce(max(col("__tb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("n_values"),
+        sum(when(col("__nb") === 0L, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(col("__na") === 0L, 1L).otherwise(0L)).as("n_only_b"),
+        sum(((col("__p") - col("__q")) * ln9(col("__p") / col("__q")))
+          .cast(dec25_9)).as("__psi"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        col("n_only_a"), col("n_only_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__psi").cast("double")).as("psi"))
+  }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, with Cramér's V effect size — the "is language associated
+    * with source?" audit that catches a crawler whose language mix is
+    * collapsing onto a few domains. One row: (n long — rows with both
+    * values present, n_a, n_b longs — distinct values per column, dof
+    * long — (n_a−1)(n_b−1), chi2 double, cramers_v double — √(χ²/(n·
+    * min(n_a−1, n_b−1))), NULL when dof = 0 or n = 0).
+    *
+    * The full n_a × n_b grid is materialized (row-marginal × col-
+    * marginal cross join) so ZERO-observed cells still contribute their
+    * expected-count term — dropping them understates χ², the classic
+    * implementation bug.
+    *
+    * Exactness: observed counts and marginals are exact integers; each
+    * cell term (o·n − r·c)²/(r·c·n) is a fixed IEEE tree over
+    * correctly-rounded integer→double casts (no libm), identical in
+    * both engines; terms quantize to DECIMAL(25,9) and sum order-
+    * independently; √ is IEEE-correctly-rounded on both engines.
+    *
+    * 100 TB shape: one hash shuffle to (a,b) cell counts (map-side
+    * combinable); everything after runs on the cell grid, bounded by
+    * value-cardinality product, never rows. Categorical contract:
+    * n_a·n_b ≪ row count. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+    // staged: the cell frame feeds row totals, col totals, and the grid
+    // join — unstaged, the corpus-sized cell shuffle re-runs per consumer
+    val cells = stager.stage(
+      df.filter(a.isNotNull && b.isNotNull)
+        .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o")),
+      s"chi2_cells_${java.util.UUID.randomUUID().toString.take(8)}")
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val on = col("__o").cast("double") * col("n").cast("double")
+    val rc = col("__r").cast("double") * col("__c").cast("double")
+    val d = on - rc
+    val totN = cells.agg(coalesce(sum(col("__o")), lit(0L)).as("n"))
+    // global aggregates keep the one-row contract even on empty input
+    val chi = grid.crossJoin(broadcast(totN))
+      .agg(sum((d * d / (rc * col("n").cast("double"))).cast(dec25_9))
+        .as("__chi2"))
+    totN
+      .crossJoin(rowT.agg(count(lit(1)).as("n_a")))
+      .crossJoin(colT.agg(count(lit(1)).as("n_b")))
+      .crossJoin(chi)
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"),
+        when(col("n") > 0L && col("n_a") > 1L && col("n_b") > 1L,
+          col("__chi2").cast("double")).as("chi2"),
+        when(col("n") > 0L && col("n_a") > 1L && col("n_b") > 1L,
+          sqrt(col("__chi2").cast("double") / (col("n").cast("double") *
+            least(col("n_a") - 1L, col("n_b") - 1L).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  /** Two-sample Mann–Whitney U rank-sum test between the `valueCol`
+    * distributions of frames `a` and `b` — the non-parametric "did the
+    * median shift?" location test (Mann & Whitney 1947), with the
+    * normal approximation z under the tie-corrected variance. One row:
+    * (n_a, n_b longs, u_a, u_b doubles — U statistics, exact
+    * half-integers, u_a + u_b = n_a·n_b, z double — (u_a − n_a·n_b/2)/σ
+    * with σ² = (n_a·n_b/12)·(n+1 − Σ(t³−t)/(n(n−1))), NULL when either
+    * side is empty or all values tie, rank_biserial double —
+    * u_a/(n_a·n_b)·2 − 1, the common-language effect size). NULL values
+    * drop.
+    *
+    * Exactness: ranks ride DOUBLED (2·cum_before + t + 1 — midranks as
+    * exact integers); ΣU numerators and the tie sum Σ(t³−t) accumulate
+    * in DECIMAL(38,0); u_a is one exact halving; z's variance is a
+    * fixed IEEE tree over exact integer casts with one
+    * correctly-rounded √ — no libm anywhere.
+    *
+    * 100 TB shape: each side collapses to per-distinct-value counts,
+    * one full-outer merge, then a running-sum window over the DISTINCT
+    * value frame — bounded by value cardinality, not rows (the
+    * [[Profile.ksStatistic]] posture; bin continuous-unique values
+    * first). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as(out))
+    // staged: the merged count frame feeds the cumulative rank scan and
+    // the totals — unstaged, both count shuffles re-run per consumer
+    val merged = stager.stage(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+        .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      s"mwu_counts_${java.util.UUID.randomUUID().toString.take(8)}")
+    val wbefore = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = merged
+      .withColumn("__t", col("__na") + col("__nb"))
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wbefore), lit(0L)))
+      .withColumn("__drd", lit(2L) * col("__cb") + col("__t") + 1L)
+    val agg = ranked.agg(
+      sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+      sum((col("__na").cast(dec38) * col("__drd"))).as("__r1d"),
+      sum((col("__t").cast(dec38) * col("__t") * col("__t") -
+        col("__t"))).as("__ties"))
+    val n1 = col("n_a").cast("double")
+    val n2 = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ua = (col("__r1d") - col("n_a").cast(dec38) * (col("n_a") + 1L))
+      .cast("double") / lit(2.0)
+    val varU = (n1 * n2 / lit(12.0)) * ((n + lit(1.0)) -
+      col("__ties").cast("double") / (n * (n - lit(1.0))))
+    agg.select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L, ua).as("u_a"),
+        when(col("n_a") > 0L && col("n_b") > 0L, n1 * n2 - ua).as("u_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L && varU > lit(0.0),
+          (ua - n1 * n2 / lit(2.0)) / sqrt(varU)).as("z"),
+        when(col("n_a") > 0L && col("n_b") > 0L && n1 * n2 > lit(0.0),
+          ua / (n1 * n2) * lit(2.0) - lit(1.0)).as("rank_biserial"))
+  }
+}

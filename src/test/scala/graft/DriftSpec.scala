@@ -1,0 +1,156 @@
+package graft
+
+import graft.operators.Drift
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- PSI -----------------------------------------------------------------
+
+  test("psi: identical mixes score zero") {
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val b = Seq("x", "x", "y", "z").toDF("k")
+    val r = Drift.psi(a, b, "k").head()
+    assert(r.getAs[Long]("n_a") === 4L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Long]("n_values") === 3L)
+    assert(r.getAs[Long]("n_only_a") === 0L)
+    assert(r.getAs[Long]("n_only_b") === 0L)
+    assert(r.getAs[Double]("psi") === 0.0)
+  }
+
+  test("psi: hand-computed two-value shift") {
+    // a: x 80% / y 20%; b: x 50% / y 50%
+    val a = Seq.fill(8)("x").map(Tuple1(_)).toDF("k")
+      .union(Seq.fill(2)("y").map(Tuple1(_)).toDF("k"))
+    val b = Seq.fill(5)("x").map(Tuple1(_)).toDF("k")
+      .union(Seq.fill(5)("y").map(Tuple1(_)).toDF("k"))
+    val got = Drift.psi(a, b, "k").head().getAs[Double]("psi")
+    def t9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def ln9(x: Double) =
+      BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected =
+      (t9((0.8 - 0.5) * ln9(0.8 / 0.5)) + t9((0.2 - 0.5) * ln9(0.2 / 0.5))).toDouble
+    assert(got === expected)
+  }
+
+  test("psi: one-sided values clamp to eps and stay finite") {
+    val a = Seq("x", "x", "x", "w").toDF("k")
+    val b = Seq("x", "x", "v", "v").toDF("k")
+    val r = Drift.psi(a, b, "k").head()
+    assert(r.getAs[Long]("n_only_a") === 1L) // w
+    assert(r.getAs[Long]("n_only_b") === 1L) // v
+    val psi = r.getAs[Double]("psi")
+    assert(!psi.isNaN && !psi.isInfinite && psi > 0.0)
+  }
+
+  test("psi: NULL keys drop; empty side yields NULL psi with zero total") {
+    val a = Seq(Some("x"), None, Some("y")).toDF("k")
+    val b = Seq(Option.empty[String]).toDF("k")
+    val r = Drift.psi(a, b, "k").head()
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 0L)
+    assert(r.isNullAt(r.fieldIndex("psi")))
+  }
+
+  // --- chi-squared ---------------------------------------------------------
+
+  test("chiSquare: perfectly independent 2x2 grid scores zero") {
+    // 10 rows in each of the 4 cells: expected == observed everywhere
+    val rows = for { a <- Seq("p", "q"); b <- Seq("u", "v"); _ <- 1 to 10 }
+      yield (a, b)
+    val r = Drift.chiSquare(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") === 40L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    assert(r.getAs[Double]("cramers_v") === 0.0)
+  }
+
+  test("chiSquare: hand-computed 2x2 with a ZERO-observed cell included") {
+    // cells: (p,u)=8, (p,v)=2, (q,u)=0 <- zero-observed, (q,v)=6; n=16
+    val rows = Seq.fill(8)(("p", "u")) ++ Seq.fill(2)(("p", "v")) ++
+      Seq.fill(6)(("q", "v"))
+    val r = Drift.chiSquare(rows.toDF("a", "b"), "a", "b").head()
+    def term(o: Double, rt: Double, ct: Double, n: Double) = {
+      val d = o * n - rt * ct
+      BigDecimal(d * d / (rt * ct * n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val n = 16.0
+    val expected = (term(8, 10, 8, n) + term(2, 10, 8, n) +
+      term(0, 6, 8, n) + term(6, 6, 8, n)).toDouble
+    assert(r.getAs[Double]("chi2") === expected)
+    assert(r.getAs[Double]("cramers_v") ===
+      math.sqrt(expected / (16.0 * 1.0)))
+    assert(r.getAs[Long]("dof") === 1L)
+  }
+
+  test("chiSquare: single-valued column yields dof 0 and NULL statistics") {
+    val rows = Seq(("p", "u"), ("p", "v"), ("p", "u"))
+    val r = Drift.chiSquare(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("dof") === 0L)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+  }
+
+  test("chiSquare: rows with a NULL on either side drop from n") {
+    val rows = Seq((Some("p"), Some("u")), (None, Some("v")),
+      (Some("q"), None), (Some("q"), Some("v")))
+    val r = Drift.chiSquare(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") === 2L)
+  }
+
+  // --- Mann-Whitney U ------------------------------------------------------
+
+  test("mannWhitneyU: textbook no-tie case") {
+    // a = {1,2,3}, b = {4,5,6}: ranks a = 1,2,3 so U_a = 6 - 6 = 0
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(4L, 5L, 6L).toDF("v")
+    val r = Drift.mannWhitneyU(a, b, "v").head()
+    assert(r.getAs[Double]("u_a") === 0.0)
+    assert(r.getAs[Double]("u_b") === 9.0)
+    assert(r.getAs[Double]("rank_biserial") === -1.0)
+    // z = (0 - 4.5)/sqrt(9*7/12) = -4.5/sqrt(5.25)
+    assert(math.abs(r.getAs[Double]("z") - (-4.5 / math.sqrt(5.25))) < 1e-12)
+  }
+
+  test("mannWhitneyU: midranks and tie correction are exact") {
+    // a = {1,2,2}, b = {2,3}: value 2 has t=3, midrank (2+3+4)/3 = 3
+    // R_a = 1 + 3 + 3 = 7, U_a = 7 - 6 = 1
+    val a = Seq(1L, 2L, 2L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val r = Drift.mannWhitneyU(a, b, "v").head()
+    assert(r.getAs[Double]("u_a") === 1.0)
+    assert(r.getAs[Double]("u_b") === 5.0)
+    // sigma^2 = (6/12) * (6 - 24/20) = 0.5 * 4.8 = 2.4
+    val z = (1.0 - 3.0) / math.sqrt(
+      (3.0 * 2.0 / 12.0) * ((5.0 + 1.0) - 24.0 / (5.0 * 4.0)))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+  }
+
+  test("mannWhitneyU: identical samples give centered U and NULL-safe z") {
+    val a = Seq(5L, 5L, 5L).toDF("v")
+    val b = Seq(5L, 5L, 5L).toDF("v")
+    val r = Drift.mannWhitneyU(a, b, "v").head()
+    assert(r.getAs[Double]("u_a") === 4.5) // n1*n2/2, a half-integer
+    // all values tie -> variance 0 -> z undefined
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("mannWhitneyU: u_a + u_b = n_a * n_b on a mixed fixture") {
+    val a = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).toDF("v")
+    val b = Seq(2L, 7L, 1L, 8L, 2L, 8L).toDF("v")
+    val r = Drift.mannWhitneyU(a, b, "v").head()
+    assert(r.getAs[Double]("u_a") + r.getAs[Double]("u_b") === 48.0)
+  }
+
+  test("mannWhitneyU: empty side yields NULL statistics") {
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq.empty[Long].toDF("v")
+    val r = Drift.mannWhitneyU(a, b, "v").head()
+    assert(r.getAs[Long]("n_b") === 0L)
+    assert(r.isNullAt(r.fieldIndex("u_a")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+}
