@@ -5171,5 +5171,58 @@ object SparkEntry {
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"), "n_chars")
     }
+
+    // --- deterministic k-fold assignment (zero-shuffle md5 contract,
+    //     GroupKFold variant spec-covered)
+    register("p123_kfold_assign",
+      """SELECT doc_id,
+        |  ('0x' || substring(md5('cv1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 5 AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.kFoldAssign(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", 5, "cv1")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- Poisson-bootstrap CI for the per-source mean n_chars: weights
+    //     from the SHARED inverse-CDF threshold ladder (exact Long
+    //     literals interpolated into both engines), DECIMAL(25,9) moment
+    //     sums, nearest-rank CI picks from the sorted resample means.
+    {
+      val th = graft.operators.Splits.poisson1Thresholds60
+      val wCase = th.zipWithIndex
+        .map { case (t, w) => s"WHEN u < ${t} THEN $w" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      register("p124_poisson_bootstrap",
+        s"""WITH base AS (SELECT source AS g, doc_id AS k, n_chars::DOUBLE AS x
+           |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+           |reps AS (SELECT CAST(range AS BIGINT) AS rep FROM range(0, 100)),
+           |e AS (SELECT g, rep, x, $wCase AS w
+           |  FROM (SELECT g, rep, x,
+           |      ('0x' || substring(md5('boot1:' || CAST(rep AS VARCHAR) || ':' ||
+           |        CAST(k AS VARCHAR)), 1, 15))::BIGINT AS u
+           |    FROM base CROSS JOIN reps)),
+           |pr AS (SELECT g, rep, CAST(SUM(w) AS BIGINT) AS sw,
+           |    SUM(CAST(w::DOUBLE * x AS DECIMAL(25,9))) AS swx
+           |  FROM e GROUP BY g, rep),
+           |m AS (SELECT g, CAST(swx AS DOUBLE) / sw::DOUBLE AS m
+           |  FROM pr WHERE sw > 0),
+           |c AS (SELECT g, list_sort(list(m)) AS arr FROM m GROUP BY g),
+           |ci AS (SELECT g, CAST(len(arr) AS BIGINT) AS b_reps,
+           |    arr[GREATEST(1, (len(arr) * 25000 + 999999) // 1000000)] AS ci_lo,
+           |    arr[GREATEST(1, (len(arr) * 975000 + 999999) // 1000000)] AS ci_hi
+           |  FROM c),
+           |o AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE
+           |      AS mean
+           |  FROM base GROUP BY g)
+           |SELECT o.g AS source, n, mean, b_reps, ci_lo, ci_hi
+           |FROM o JOIN ci ON o.g = ci.g ORDER BY source""".stripMargin) {
+        (s, dir) =>
+          graft.operators.Splits.poissonBootstrapMean(
+              t(s, dir, "documents"), "source", "n_chars", "doc_id", "boot1")
+            .orderBy(col("source"))
+      }
+    }
   }
 }

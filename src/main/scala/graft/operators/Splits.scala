@@ -361,4 +361,129 @@ object Splits {
           .otherwise("test"))
       .drop("__n", "__rn", "__cut_train", "__cut_val")
   }
+
+  /** Deterministic k-fold cross-validation assignment: adds `foldCol`
+    * in [0, k) from the (salt, key) hash — the same zero-shuffle
+    * md5 contract as [[assignSplit]], so folds are reproducible across
+    * runs, engines and cluster sizes, and re-salting re-deals them.
+    * With `groupCol` set, the hash keys on the GROUP value instead
+    * (GroupKFold): every row of a group lands in one fold, so
+    * near-duplicate or same-source rows cannot straddle a
+    * train/validation boundary — the fold-level cousin of
+    * [[leakSafeSplit]].
+    *
+    * 100 TB shape: a pure narrow codegen'd map — no shuffle, no state;
+    * fold selection (`fold != i` for train) is a pushed-down filter. */
+  def kFoldAssign(df: DataFrame, keyCol: String, k: Int, salt: String,
+      foldCol: String = "fold", groupCol: Option[String] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val key = groupCol.map(c => col(s"`$c`")).getOrElse(col(s"`$keyCol`"))
+    df.withColumn(foldCol, hashValue60(key, salt) % k)
+  }
+
+  /** Inverse-CDF thresholds for Poisson(1) scaled to the 60-bit hash
+    * space: a uniform u in [0, 2^60) maps to weight w = #{t : u >= t},
+    * i.e. w = k iff thresholds(k-1) <= u < thresholds(k) (w = count
+    * of thresholds at or below u). Computed once in BigDecimal from the
+    * alternating series for e^-1 (50-digit precision), so both the
+    * Spark CASE ladder and the DuckDB oracle interpolate the SAME exact
+    * Long literals. Capped at w = 9: the last bucket carries
+    * P(X ≥ 9 | λ=1) ≈ 1.11e-6 of the space, overweighting the deeper
+    * tail (P(X > 9) ≈ 1.0e-7) by at most 1e-7 — far below bootstrap
+    * noise at any practical nReps. */
+  val poisson1Thresholds60: IndexedSeq[Long] = {
+    import java.math.{BigDecimal => JBD, MathContext}
+    val mc = new MathContext(50)
+    // e^-1 = Σ (-1)^j / j!  (alternating, converges fast)
+    val eInv = (0 to 45).foldLeft((JBD.ZERO, JBD.ONE)) {
+      case ((acc, fact), j) =>
+        val f = if (j == 0) JBD.ONE else fact.multiply(new JBD(j), mc)
+        val term = JBD.ONE.divide(f, mc)
+        (if (j % 2 == 0) acc.add(term, mc) else acc.subtract(term, mc), f)
+    }._1
+    val space = new JBD(HashSpace60)
+    // cdf_k = e^-1 * Σ_{j<=k} 1/j!
+    (0 to 8).scanLeft((JBD.ZERO, JBD.ONE)) { case ((sum, fact), j) =>
+      val f = if (j == 0) JBD.ONE else fact.multiply(new JBD(j), mc)
+      (sum.add(JBD.ONE.divide(f, mc), mc), f)
+    }.tail.map { case (partial, _) =>
+      eInv.multiply(partial, mc).multiply(space, mc)
+        .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+    }.toIndexedSeq
+  }
+
+  /** The Poisson(1) weight of one uniform 60-bit hash value under
+    * [[poisson1Thresholds60]] — the CASE ladder both engines share. */
+  def poisson1Weight(u: Column): Column =
+    poisson1Thresholds60.zipWithIndex.reverse.foldLeft(
+      lit(poisson1Thresholds60.size): Column) { case (other, (t, w)) =>
+      when(u < t, lit(w)).otherwise(other)
+    }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean of
+    * `valueCol` (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012 — the bootstrap that works on a
+    * cluster): each of `nReps` resamples weights every row by an iid
+    * Poisson(1) count derived from the deterministic (salt, rep, key)
+    * hash — no resample materializes, no driver state, and re-runs
+    * reproduce the interval bit-for-bit. Output one row per group:
+    * (groupCol, n long — non-null rows, mean double — the point
+    * estimate, b_reps long — resamples with nonzero weight, ci_lo,
+    * ci_hi doubles — nearest-rank `loMicro`/`hiMicro` quantiles of the
+    * resample means). Rows with NULL group or value drop.
+    *
+    * Exactness: weights are exact small integers from the shared
+    * threshold ladder; each w·x product is ONE IEEE multiply quantized
+    * to DECIMAL(25,9) (order-independent sums, exact for integer-valued
+    * x); each resample mean is one IEEE division; the CI indices are
+    * exact integer nearest-rank picks from the sorted resample-mean
+    * list.
+    *
+    * 100 TB shape: the nReps-fold row expansion aggregates map-side to
+    * (group, rep) partials before any shuffle (one exchange of
+    * group×rep keyed moments); the quantile pick runs on nReps-sized
+    * lists per group. Cost scales linearly in nReps — 100–200 reps is
+    * the standard operating point. */
+  def poissonBootstrapMean(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, salt: String, nReps: Int = 100,
+      loMicro: Long = 25000L, hiMicro: Long = 975000L): DataFrame = {
+    require(nReps >= 2, s"nReps must be >= 2, got $nReps")
+    require(loMicro >= 0L && hiMicro <= 1000000L && loMicro < hiMicro,
+      s"need 0 <= loMicro < hiMicro <= 1e6, got ($loMicro, $hiMicro)")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), col(s"`$idCol`").as("__k"), v.cast("double").as("__x"))
+    val reps = broadcast(
+      df.sparkSession.range(nReps.toLong).select(col("id").as("__rep")))
+    val u = hashValue60(
+      concat(col("__rep").cast("string"), lit(":"), col("__k").cast("string")),
+      salt)
+    val perRep = base.crossJoin(reps)
+      .withColumn("__w", poisson1Weight(u).cast("long"))
+      .groupBy(col("__g"), col("__rep"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum((col("__w").cast("double") * col("__x")).cast(dec)).as("__swx"))
+      .select(col("__g"), when(col("__sw") > 0L,
+        col("__swx").cast("double") / col("__sw").cast("double")).as("__m"))
+    val cis = perRep.filter(col("__m").isNotNull)
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(col("__m"))).as("__arr"))
+      .withColumn("__b", size(col("__arr")).cast("long"))
+      .select(col("__g"), col("__b").as("b_reps"),
+        element_at(col("__arr"), greatest(lit(1L),
+          expr(s"(__b * ${loMicro}L + 999999L) div 1000000L")).cast("int"))
+          .as("ci_lo"),
+        element_at(col("__arr"), greatest(lit(1L),
+          expr(s"(__b * ${hiMicro}L + 999999L) div 1000000L")).cast("int"))
+          .as("ci_hi"))
+    base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__x").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+      .join(cis, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("b_reps"), col("ci_lo"), col("ci_hi"))
+  }
 }

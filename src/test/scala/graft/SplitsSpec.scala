@@ -324,4 +324,66 @@ class SplitsSpec extends SparkSpecBase {
       Splits.temporalSplitByGroup(df, "grp", "ts", "id", 0.9, 0.2)
     }
   }
+
+  test("kFoldAssign: folds in [0,k), deterministic, and re-salting re-deals") {
+    val df = (1L to 200L).toDF("id")
+    val a = Splits.kFoldAssign(df, "id", 5, "s1")
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    assert(a.values.toSet.size === 5, "200 keys should touch all 5 folds")
+    val b = Splits.kFoldAssign(df, "id", 5, "s1")
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(a === b, "same salt -> identical assignment")
+    val c = Splits.kFoldAssign(df, "id", 5, "s2")
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(a !== c, "new salt -> re-dealt folds")
+    intercept[IllegalArgumentException] { Splits.kFoldAssign(df, "id", 1, "s") }
+  }
+
+  test("kFoldAssign: groupCol keeps every row of a group in ONE fold") {
+    val df = (1L to 300L).map(i => (i, s"grp${i % 17}")).toDF("id", "src")
+    val folds = Splits.kFoldAssign(df, "id", 4, "s1", groupCol = Some("src"))
+      .groupBy("src").agg(countDistinct(col("fold")).as("nf"))
+      .select("nf").as[Long].collect()
+    assert(folds.forall(_ === 1L), "a group must never straddle folds")
+  }
+
+  test("poisson1Thresholds60: a valid monotone inverse CDF with mean ~1") {
+    val th = Splits.poisson1Thresholds60
+    assert(th.size === 9)
+    assert(th === th.sorted, "CDF thresholds must be monotone")
+    // cdf_0 = 1/e: the first threshold is floor(2^60/e) — the BigDecimal
+    // value is exact, the double-math reference is good to ulp(2^60) = 256
+    assert(math.abs(th.head - math.floor(math.pow(2.0, 60) / math.E).toLong) <= 256L)
+    // last CDF covers all but P(X >= 9 | λ=1) ≈ 1.11e-6 of the space
+    assert(Splits.HashSpace60 - th.last < (Splits.HashSpace60 / 500000L))
+  }
+
+  test("poissonBootstrapMean: interval brackets the mean and is deterministic") {
+    val df = (1L to 400L).map(i => ("g", i, (i % 50).toDouble)).toDF("src", "id", "x")
+    val r1 = Splits.poissonBootstrapMean(df, "src", "x", "id", "b1", nReps = 60)
+    val row = r1.head()
+    assert(row.getAs[Long]("n") === 400L)
+    assert(row.getAs[Long]("b_reps") === 60L)
+    val (m, lo, hi) = (row.getAs[Double]("mean"),
+      row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+    assert(lo <= m && m <= hi, s"CI [$lo,$hi] must bracket mean $m")
+    assert(hi - lo > 0.0, "resampled means cannot all coincide here")
+    val row2 = Splits.poissonBootstrapMean(df, "src", "x", "id", "b1", nReps = 60).head()
+    assert(row2.getAs[Double]("ci_lo") === lo && row2.getAs[Double]("ci_hi") === hi,
+      "same salt -> bit-identical interval")
+  }
+
+  test("poissonBootstrapMean: NULL group/value rows drop; groups independent") {
+    val df = Seq(
+      (Some("a"), 1L, Some(10.0)), (Some("a"), 2L, Some(20.0)),
+      (Some("a"), 3L, None), (None, 4L, Some(99.0)),
+      (Some("b"), 5L, Some(5.0)), (Some("b"), 6L, Some(5.0))).toDF("src", "id", "x")
+    val out = Splits.poissonBootstrapMean(df, "src", "x", "id", "b1", nReps = 40)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(out === Map("a" -> 2L, "b" -> 2L))
+    val b = Splits.poissonBootstrapMean(df.filter($"src" === "b"), "src", "x", "id", "b1", nReps = 40).head()
+    // constant column: every resample mean is exactly 5 -> degenerate CI
+    assert(b.getAs[Double]("ci_lo") === 5.0 && b.getAs[Double]("ci_hi") === 5.0)
+  }
 }
