@@ -5224,5 +5224,115 @@ object SparkEntry {
             .orderBy(col("source"))
       }
     }
+
+    // --- Krippendorff's alpha over a 3-rater campaign with MISSING
+    //     ratings (rater 3 skips 30% of docs) — the many-rater,
+    //     missing-tolerant agreement statistic kappa can't express.
+    //     Exact pair counts, one IEEE division per item quantized to
+    //     DECIMAL(25,9), HUGEINT/decimal-first N² arithmetic.
+    register("p125_krippendorff_alpha",
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5('rater2:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10 AS h2,
+        |    ('0x' || substring(md5('rater3m:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10 AS h3m,
+        |    ('0x' || substring(md5('rater3f:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10 AS h3f
+        |  FROM documents),
+        |r AS (SELECT doc_id AS i, lang AS c FROM h
+        |  UNION ALL SELECT doc_id, CASE WHEN h2 < 2 THEN 'xx' ELSE lang END FROM h
+        |  UNION ALL SELECT doc_id, CASE WHEN h3m < 3 THEN NULL
+        |    WHEN h3f < 1 THEN 'de' ELSE lang END FROM h),
+        |f AS (SELECT i, c FROM r WHERE i IS NOT NULL AND c IS NOT NULL),
+        |nic AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY i, c),
+        |it AS (SELECT i, CAST(SUM(n) AS BIGINT) AS m,
+        |    SUM(CAST(n * n AS DECIMAL(38,0))) AS ss
+        |  FROM nic GROUP BY i HAVING SUM(n) >= 2),
+        |d1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(CAST(CAST(m * m AS DECIMAL(38,0)) - ss AS DOUBLE) /
+        |      CAST(m - 1 AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE) AS d_o
+        |  FROM it),
+        |p AS (SELECT nic.c, nic.n FROM nic JOIN it ON it.i = nic.i),
+        |lab AS (SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM p GROUP BY c),
+        |d2 AS (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_ratings,
+        |    CAST(COUNT(*) AS BIGINT) AS n_labels,
+        |    COALESCE(SUM(CAST(nc AS HUGEINT) * nc), 0) AS ncss
+        |  FROM lab),
+        |d3 AS (SELECT n_items, n_ratings, n_labels, d_o,
+        |    CASE WHEN n_ratings > 1 THEN
+        |      CAST(CAST(n_ratings AS HUGEINT) * n_ratings -
+        |        CAST(ncss AS HUGEINT) AS DOUBLE) /
+        |        CAST(n_ratings - 1 AS DOUBLE) END AS d_e
+        |  FROM d1 CROSS JOIN d2)
+        |SELECT n_items, n_ratings, n_labels, d_o, d_e,
+        |  CASE WHEN d_e > 0.0 THEN 1.0 - d_o / d_e END AS alpha
+        |FROM d3""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.md5Hash60
+      val d = t(s, dir, "documents")
+      def h(salt: String) =
+        md5Hash60(concat(lit(salt + ":"), col("doc_id").cast("string"))) % 10L
+      val r1 = d.select(col("doc_id").as("item"), col("lang").as("label"))
+      val r2 = d.select(col("doc_id").as("item"),
+        when(h("rater2") < 2L, lit("xx")).otherwise(col("lang")).as("label"))
+      val r3 = d.select(col("doc_id").as("item"),
+        when(h("rater3m") < 3L, lit(null).cast("string"))
+          .when(h("rater3f") < 1L, lit("de"))
+          .otherwise(col("lang")).as("label"))
+      graft.operators.Eval.krippendorffAlpha(
+        r1.unionAll(r2).unionAll(r3), "item", "label")
+    }
+
+    // --- per-doc code-switch audit: sentence segments (p99's planted
+    //     terminators) → per-sentence stopword-vote langid (p02's CASE
+    //     contract, ascending tie-break) → plurality + mix fraction.
+    {
+      val sentToks =
+        """list_filter(string_split_regex(lower(sentence), '\s+'), x -> x != '')"""
+      val langsSorted = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+      def sHits(l: String) =
+        s"len(list_filter($sentToks, t -> t IN (" +
+          graft.functions.TextFunctions.stopwords(l)
+            .map(w => s"'$w'").mkString(", ") + ")))"
+      val g = s"greatest(${langsSorted.map(l => s"h_$l").mkString(", ")})"
+      register("p126_code_switch",
+        s"""WITH s0 AS (SELECT doc_id,
+           |    replace(replace(COALESCE(text, ''), ' table', ' table.'),
+           |            ' query', ' query!') AS text
+           |  FROM documents),
+           |segs AS (SELECT doc_id,
+           |    list_filter(list_transform(
+           |      regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$$'),
+           |      x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')), x -> x != '') AS arr
+           |  FROM s0),
+           |ex AS (SELECT doc_id, unnest(arr) AS sentence FROM segs),
+           |hits AS (SELECT doc_id,
+           |${langsSorted.map(l => s"    ${sHits(l)} AS h_$l").mkString(",\n")}
+           |  FROM ex),
+           |lang AS (SELECT doc_id,
+           |    CASE WHEN $g = 0 THEN 'und'
+           |${langsSorted.map(l => s"         WHEN h_$l = $g THEN '$l'").mkString("\n")}
+           |    END AS l
+           |  FROM hits),
+           |c AS (SELECT doc_id, l, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM lang GROUP BY doc_id, l),
+           |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sentences,
+           |    CAST(COUNT(*) AS BIGINT) AS n_langs, MAX(c) AS n_major
+           |  FROM c GROUP BY doc_id),
+           |maj AS (SELECT c.doc_id, MIN(l) AS major_lang
+           |  FROM c JOIN agg ON agg.doc_id = c.doc_id AND c.c = agg.n_major
+           |  GROUP BY c.doc_id)
+           |SELECT agg.doc_id, n_sentences, n_langs, major_lang, n_major,
+           |  1.0 - n_major::DOUBLE / n_sentences::DOUBLE AS switch_frac
+           |FROM agg JOIN maj ON maj.doc_id = agg.doc_id
+           |ORDER BY agg.doc_id""".stripMargin) { (s, dir) =>
+        graft.operators.TextAudit.codeSwitch(
+            t(s, dir, "documents").select(col("doc_id"),
+              replace(replace(coalesce(col("text"), lit("")),
+                lit(" table"), lit(" table.")),
+                lit(" query"), lit(" query!")).as("text")),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 }

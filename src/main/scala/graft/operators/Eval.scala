@@ -164,4 +164,69 @@ object Eval {
         col("n"), col("n_pos"), col("mean_score"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
   }
+
+  /** Krippendorff's alpha for nominal labels (Krippendorff, "Content
+    * Analysis", 2004) — the inter-annotator agreement statistic that,
+    * unlike [[cohenKappa]], handles ANY number of raters per item and
+    * missing ratings, which is what real labeling campaigns produce.
+    * Input is LONG format: one row per rating (itemCol, labelCol) —
+    * the rater identity is irrelevant to the statistic. Items with
+    * fewer than 2 ratings are unpairable and drop (the standard
+    * treatment); rows with NULL item or label drop. One row:
+    * (n_items, n_ratings, n_labels longs — over pairable items only,
+    * d_o double — Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1), the within-item
+    * disagreement, d_e double — (N² − Σ_c n_c²)/(N − 1), the expected
+    * disagreement, alpha double — 1 − d_o/d_e, NULL when d_e = 0,
+    * i.e. every rating is one label).
+    *
+    * Exactness: all pair counts (m_i² − Σn_ic², N² − Σn_c²) are exact
+    * DECIMAL(38,0) integers; each item's term takes ONE IEEE division
+    * and quantizes to DECIMAL(25,9) for an order-independent sum;
+    * d_e and alpha are a fixed IEEE tree over the exact totals.
+    *
+    * 100 TB shape: one hash shuffle to (item, label) counts (map-side
+    * combinable), one item rollup, one label rollup — frames shrink at
+    * every step; nothing row-sized shuffles twice. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, labelCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec25_9 = org.apache.spark.sql.types.DecimalType(25, 9)
+    val item = col(s"`$itemCol`")
+    val label = col(s"`$labelCol`")
+    // staged: the (item, label) count frame feeds the item terms AND the
+    // label marginals — unstaged, the corpus shuffle re-runs per consumer
+    val counts = stager.stage(
+      df.filter(item.isNotNull && label.isNotNull)
+        .groupBy(item.as("__i"), label.cast("string").as("__c"))
+        .agg(count(lit(1)).as("__n")),
+      s"kripp_counts_${java.util.UUID.randomUUID().toString.take(8)}")
+    val items = counts.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum((col("__n") * col("__n")).cast(dec38)).as("__ss"))
+      .filter(col("__m") >= 2L)
+    val dO = items.agg(
+      count(lit(1)).as("n_items"),
+      // m is a per-item RATER count — m*m rides plain longs (the p113
+      // na*nb pattern); only the corpus-sized n_ratings² below needs
+      // decimal-first arithmetic
+      sum(((((col("__m") * col("__m")).cast(dec38) - col("__ss")).cast("double")) /
+        (col("__m") - 1L).cast("double")).cast(dec25_9)).as("__do"))
+    // label marginals over PAIRABLE items only
+    val pairable = counts.join(items.select(col("__i")), Seq("__i"))
+    val labels = pairable.groupBy(col("__c")).agg(sum(col("__n")).as("__nc"))
+    val dE = labels.agg(
+      coalesce(sum(col("__nc")), lit(0L)).as("n_ratings"),
+      count(lit(1)).as("n_labels"),
+      coalesce(sum((col("__nc").cast(dec38) * col("__nc"))),
+        lit(0).cast(dec38)).as("__ncss"))
+    dO.crossJoin(dE)
+      .withColumn("d_o", col("__do").cast("double"))
+      .withColumn("d_e", when(col("n_ratings") > 1L,
+        (col("n_ratings").cast(dec38) * col("n_ratings") - col("__ncss"))
+          .cast("double") / (col("n_ratings") - 1L).cast("double")))
+      .select(col("n_items"), col("n_ratings"), col("n_labels"),
+        col("d_o"), col("d_e"),
+        when(col("d_e") > 0.0,
+          lit(1.0) - col("d_o") / col("d_e")).as("alpha"))
+  }
 }

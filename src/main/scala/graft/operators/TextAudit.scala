@@ -124,4 +124,44 @@ object TextAudit {
       .select(id, col("text_nfc"), col("n_chars_raw"), col("n_chars_nfc"),
         col("changed"))
   }
+
+  /** Per-document code-switch audit: segment with [[sentenceSegments]],
+    * language-ID each sentence with the stopword-vote heuristic
+    * ([[graft.functions.TextFunctions.langId]]), and report how mixed
+    * the document is — the signal that separates genuinely
+    * multilingual documents (translations, quote-heavy pages,
+    * boilerplate in a second language) from monolingual ones, which a
+    * DOC-level language ID silently averages away. Output, one row per
+    * doc with ≥ 1 sentence: (idCol, n_sentences, n_langs longs —
+    * distinct sentence-level codes, 'und' counts as its own class,
+    * major_lang — the plurality code (ties break to the
+    * lexicographically smallest, matching langId's own tie rule),
+    * n_major long, switch_frac double — 1 − n_major/n_sentences, 0.0
+    * for monolingual docs).
+    *
+    * 100 TB shape: the segment explode is a narrow codegen'd
+    * projection; one hash shuffle to (doc, lang) counts, then the
+    * per-doc window and rollup reuse that partitioning. Sentence-level
+    * stopword votes are noisier than doc-level (short sentences →
+    * 'und'); treat switch_frac as a ranking signal, not a classifier. */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(s"`$idCol`")
+    val sents = sentenceSegments(df, idCol, textCol)
+      .select(id, graft.functions.TextFunctions.langId(col("sentence")).as("__l"))
+    val counts = sents.groupBy(id, col("__l")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(id)
+    counts
+      .withColumn("__max", max(col("__c")).over(w))
+      .withColumn("__maj", min(when(col("__c") === col("__max"), col("__l"))).over(w))
+      .groupBy(id)
+      .agg(sum(col("__c")).as("n_sentences"),
+        count(lit(1)).as("n_langs"),
+        max(col("__maj")).as("major_lang"),
+        max(col("__max")).as("n_major"))
+      .select(id, col("n_sentences"), col("n_langs"), col("major_lang"),
+        col("n_major"),
+        (lit(1.0) - col("n_major").cast("double") /
+          col("n_sentences").cast("double")).as("switch_frac"))
+  }
 }

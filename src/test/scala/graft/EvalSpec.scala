@@ -125,4 +125,44 @@ class EvalSpec extends SparkSpecBase {
         s"bin ${r.getLong(0)}: mean ${r.getDouble(4)} vs frac ${r.getDouble(5)}")
     }
   }
+
+  test("krippendorffAlpha: hand-computed mixed-m fixture with a dropped singleton") {
+    // A: x,x (term 0) | B: x,y (term 2) | C: x,x,y (term (9-5)/2 = 2)
+    // D: single rating -> unpairable, drops entirely
+    val ratings = Seq(
+      ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"),
+      ("C", "x"), ("C", "x"), ("C", "y"),
+      ("D", "x")).toDF("item", "label")
+    val r = Eval.krippendorffAlpha(ratings, "item", "label").head()
+    assert(r.getAs[Long]("n_items") === 3L)
+    assert(r.getAs[Long]("n_ratings") === 7L) // D's rating is not pairable
+    assert(r.getAs[Long]("n_labels") === 2L)
+    assert(r.getAs[Double]("d_o") === 4.0)
+    // d_e = (49 - (25 + 4)) / 6 = 20/6; alpha = 1 - 4/(20/6) = -0.2
+    assert(math.abs(r.getAs[Double]("d_e") - 20.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("alpha") - (-0.2)) < 1e-12)
+  }
+
+  test("krippendorffAlpha: perfect agreement scores 1; one-label data is undefined") {
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("item", "label")
+    val p = Eval.krippendorffAlpha(perfect, "item", "label").head()
+    assert(p.getAs[Double]("d_o") === 0.0)
+    assert(p.getAs[Double]("alpha") === 1.0)
+    val oneLabel = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+      .toDF("item", "label")
+    val o = Eval.krippendorffAlpha(oneLabel, "item", "label").head()
+    assert(o.getAs[Double]("d_e") === 0.0)
+    assert(o.isNullAt(o.fieldIndex("alpha")))
+  }
+
+  test("krippendorffAlpha: NULL ratings are missing data, not a label") {
+    val withNulls = Seq(
+      ("A", Some("x")), ("A", Some("x")), ("A", None),
+      ("B", Some("x")), ("B", Some("y"))).toDF("item", "label")
+    val r = Eval.krippendorffAlpha(withNulls, "item", "label").head()
+    assert(r.getAs[Long]("n_ratings") === 4L)
+    assert(r.getAs[Long]("n_items") === 2L)
+  }
 }

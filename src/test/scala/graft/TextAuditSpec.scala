@@ -122,4 +122,28 @@ class TextAuditSpec extends SparkSpecBase {
     assert(rows(0).getDouble(6) === 0.5)
     assert(rows(1).isNullAt(6) && rows(1).isNullAt(7))
   }
+
+  test("codeSwitch: monolingual, mixed, und, and empty docs") {
+    val df = Seq(
+      (1L, "the cat is on the mat. the dog is in the house."),
+      (2L, "the cat is good. der hund ist die katze. le chat est le chien."),
+      (3L, "xyzzy plugh."),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAudit.codeSwitch(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L), "no-sentence docs emit no row")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_sentences") === 2L)
+    assert(d1.getAs[Long]("n_langs") === 1L)
+    assert(d1.getAs[String]("major_lang") === "en")
+    assert(d1.getAs[Double]("switch_frac") === 0.0)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_sentences") === 3L)
+    assert(d2.getAs[Long]("n_langs") === 3L)
+    // three-way tie at 1 sentence each: plurality breaks to the
+    // lexicographically smallest code, langId's own tie rule
+    assert(d2.getAs[String]("major_lang") === "de")
+    assert(math.abs(d2.getAs[Double]("switch_frac") - 2.0 / 3.0) < 1e-12)
+    assert(out(3L).getAs[String]("major_lang") === "und")
+  }
 }
