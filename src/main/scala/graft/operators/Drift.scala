@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -168,27 +167,23 @@ object Drift {
     * correctly-rounded √ — no libm anywhere.
     *
     * 100 TB shape: each side collapses to per-distinct-value counts,
-    * one full-outer merge, then a running-sum window over the DISTINCT
-    * value frame — bounded by value cardinality, not rows (the
-    * [[Profile.ksStatistic]] posture; bin continuous-unique values
-    * first). */
+    * one full-outer merge, then a [[PrefixSum]] distributed cumulative
+    * scan over the DISTINCT-value frame — range-partitioned with
+    * broadcast offsets, never a single-reducer window (the
+    * [[Profile.ksStatistic]] posture). */
   def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     val v = col(s"`$valueCol`")
     def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
       .groupBy(v.as("__v")).agg(count(lit(1)).as(out))
-    // staged: the merged count frame feeds the cumulative rank scan and
-    // the totals — unstaged, both count shuffles re-run per consumer
-    val merged = stager.stage(
-      counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
-        .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
-          coalesce(col("__nb"), lit(0L)).as("__nb")),
-      s"mwu_counts_${java.util.UUID.randomUUID().toString.take(8)}")
-    val wbefore = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = merged
+    val merged = counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
       .withColumn("__t", col("__na") + col("__nb"))
-      .withColumn("__cb", coalesce(sum(col("__t")).over(wbefore), lit(0L)))
+    // the scan's staged range-partitioned frame serves the one
+    // aggregation pass — the corpus-sized count shuffles run once
+    val ranked = PrefixSum.withRunningSums(merged, "__v", Seq("__t"), stager)
+      .withColumn("__cb", col("cum___t") - col("__t"))
       .withColumn("__drd", lit(2L) * col("__cb") + col("__t") + 1L)
     val agg = ranked.agg(
       sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),

@@ -425,11 +425,13 @@ object Profile {
     * share is ONE IEEE division (hhi divides the decimal Σn² by N·N
     * computed in doubles — both casts correctly rounded). p50/p99 are
     * exact nearest-rank order statistics of the per-key count
-    * distribution, read off a count-of-counts HISTOGRAM with a running
-    * sum — the window orders DISTINCT count values (Zipf-bounded, ≪
-    * n_keys), never the key frame, so no single-reducer sort over keys.
-    * The topK sum is a distributed TakeOrdered (never a global window);
-    * tie order among equal counts cannot change the reported SUM.
+    * distribution, read off a count-of-counts HISTOGRAM whose running
+    * sum is a [[PrefixSum]] distributed scan — range-partitioned over
+    * the DISTINCT count values with broadcast offsets, so even a
+    * pathological corpus where every key count is unique never collapses
+    * onto one reducer. The topK sum is a distributed TakeOrdered (never
+    * a global window); tie order among equal counts cannot change the
+    * reported SUM.
     *
     * 100 TB shape: one hash shuffle to count keys, then histogram-sized
     * frames only. */
@@ -448,9 +450,10 @@ object Profile {
       count(lit(1)).as("n_keys"),
       max(col("__n")).as("max_n"),
       sum((col("__n") * col("__n")).cast(dec38)).as("__sumsq"))
-    val hist = counts.groupBy(col("__n")).agg(count(lit(1)).as("__f"))
-      .withColumn("__cum", sum(col("__f")).over(
-        Window.orderBy(col("__n")).rowsBetween(Window.unboundedPreceding, 0)))
+    val hist = PrefixSum.withRunningSums(
+        counts.groupBy(col("__n")).agg(count(lit(1)).as("__f")),
+        "__n", Seq("__f"), stager)
+      .withColumn("__cum", col("cum___f"))
     val quants = hist.crossJoin(broadcast(totals.select(col("n_keys").as("__nk"))))
       .agg(
         min(when(col("__cum") >=
@@ -518,32 +521,29 @@ object Profile {
     * values drop.
     *
     * 100 TB shape: each side collapses to per-distinct-value counts
-    * (map-side combinable), then one full-outer merge and a running-sum
-    * window over the DISTINCT-value frame — bounded by value
-    * cardinality, not row count (same posture as [[keySkew]]'s
-    * histogram; a continuous-unique-value corpus degrades to a
-    * single-reducer window over distinct values and should be binned
-    * first). */
+    * (map-side combinable), then one full-outer merge and a
+    * [[PrefixSum]] distributed cumulative scan over the DISTINCT-value
+    * frame — range-partitioned with broadcast offsets, so even a
+    * continuous-unique-value corpus never collapses onto one reducer
+    * (same posture as [[keySkew]]'s histogram). */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = col(s"`$valueCol`")
     def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
       .groupBy(v.as("__v")).agg(count(lit(1)).as(out))
-    // staged: the merged count frame feeds the totals, the cumulative
-    // scan, and (via `scaled`) both the max and the argmax — unstaged,
-    // the corpus-sized count shuffles re-run per consumer
-    val merged = stager.stage(
+    // the cumulative scan's staged range-partitioned frame ALSO serves
+    // the totals, the max and the argmax — the corpus-sized count
+    // shuffles run once
+    val cum = PrefixSum.withRunningSums(
       counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
         .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
           coalesce(col("__nb"), lit(0L)).as("__nb")),
-      s"ks_counts_${java.util.UUID.randomUUID().toString.take(8)}")
-    val totals = merged.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
-    val wcum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
-    val scaled = merged
-      .withColumn("__ca", sum(col("__na")).over(wcum))
-      .withColumn("__cb", sum(col("__nb")).over(wcum))
+      "__v", Seq("__na", "__nb"), stager)
+    val totals = cum.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val scaled = cum
+      .withColumn("__ca", col("cum___na"))
+      .withColumn("__cb", col("cum___nb"))
       .crossJoin(broadcast(totals))
       .withColumn("__sd", abs(col("__ca").cast(dec38) * col("__tb") -
         col("__cb").cast(dec38) * col("__ta")))
