@@ -5334,5 +5334,91 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       }
     }
+
+    // --- simplified (centroid-based) silhouette per label cluster: p19's
+    //     decimal-exact centroid sums → UNROUNDED means (a round(x,9)
+    //     post-pass is engine-implementation-defined at the boundary —
+    //     measured 1-ulp skew at sf0.001), DECIMAL(25,12)
+    //     squared-difference terms (order-free, no list-fold reliance),
+    //     exact-decimal min over other centroids, IEEE sqrt,
+    //     DECIMAL(25,9)-accumulated reported means.
+    register("p127_silhouette",
+      """WITH base AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |pp AS (SELECT label AS cl,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS p,
+        |    unnest(embedding) AS cv
+        |  FROM base),
+        |cagg AS (SELECT cl, p,
+        |    CAST(SUM(CAST(CAST(cv AS DOUBLE) AS DECIMAL(25,6))) AS DECIMAL(38,6))
+        |      AS cs,
+        |    COUNT(*) AS cn
+        |  FROM pp GROUP BY cl, p),
+        |cpos AS (SELECT cl, p, CAST(cs AS DOUBLE) / cn AS c FROM cagg),
+        |vpos AS (SELECT vec_id AS id, label AS l,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS p,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM base),
+        |d2 AS (SELECT id, l, cl,
+        |    SUM(CAST((x - c) * (x - c) AS DECIMAL(25,12))) AS d2
+        |  FROM vpos JOIN cpos USING (p) GROUP BY id, l, cl),
+        |per AS (SELECT id, l,
+        |    MAX(CASE WHEN cl = l THEN d2 END) AS a2,
+        |    MIN(CASE WHEN cl != l THEN d2 END) AS b2
+        |  FROM d2 GROUP BY id, l),
+        |sv AS (SELECT id, l,
+        |    sqrt(CAST(a2 AS DOUBLE)) AS a, sqrt(CAST(b2 AS DOUBLE)) AS b,
+        |    CASE WHEN a2 IS NOT NULL AND b2 IS NOT NULL THEN
+        |      CASE WHEN GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) > 0.0
+        |        THEN (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+        |          GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+        |        ELSE 0.0 END END AS s
+        |  FROM per)
+        |SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(a AS DECIMAL(25,9))) AS DOUBLE) / COUNT(a)::DOUBLE
+        |    AS mean_intra,
+        |  CASE WHEN COUNT(s) > 0 THEN
+        |    CAST(SUM(CAST(b AS DECIMAL(25,9))) AS DOUBLE) / COUNT(b)::DOUBLE
+        |    END AS mean_inter,
+        |  CASE WHEN COUNT(s) > 0 THEN
+        |    CAST(SUM(CAST(s AS DECIMAL(25,9))) AS DOUBLE) / COUNT(s)::DOUBLE
+        |    END AS mean_silhouette
+        |FROM sv GROUP BY l ORDER BY label""".stripMargin) { (s, dir) =>
+      graft.operators.Centroids.silhouette(
+          t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+        .orderBy(col("label"))
+    }
+
+    // --- per-source trimmed + winsorized mean n_chars (10% per tail):
+    //     exact integer cut ranks with string-id tiebreak, exact
+    //     boundary order statistics, DECIMAL(25,9) accumulation.
+    register("p128_trimmed_mean",
+      """WITH base AS (SELECT source AS g, n_chars::DOUBLE AS v, doc_id AS id
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT g, v, id,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY v, CAST(id AS VARCHAR)) AS rn
+        |  FROM base),
+        |r2 AS (SELECT *, (n * 100000) // 1000000 AS lo FROM r),
+        |b AS (SELECT *,
+        |    MAX(CASE WHEN rn = lo + 1 THEN v END) OVER (PARTITION BY g) AS vlo,
+        |    MAX(CASE WHEN rn = n - lo THEN v END) OVER (PARTITION BY g) AS vhi
+        |  FROM r2)
+        |SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(lo) AS BIGINT) AS n_tail,
+        |  CAST(SUM(CAST(v AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE
+        |    AS mean,
+        |  CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo
+        |      THEN CAST(v AS DECIMAL(25,9)) END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS trimmed_mean,
+        |  CAST(SUM(CAST(GREATEST(LEAST(v, vhi), vlo) AS DECIMAL(25,9)))
+        |    AS DOUBLE) / COUNT(*)::DOUBLE AS winsorized_mean
+        |FROM b GROUP BY g ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.trimmedMeanByGroup(
+          t(s, dir, "documents"), "source", "n_chars", "doc_id", 100000L)
+        .orderBy(col("source"))
+    }
   }
 }

@@ -61,4 +61,74 @@ object Centroids {
           array_sort(collect_list(struct(col("__c_pos"), col("__c_s")))),
           x => x.getField("__c_s")).as("centroid_sum"))
   }
+
+  /** Simplified (centroid-based) silhouette score per cluster — the
+    * cluster-quality audit for an embedding clustering (IVF cells,
+    * SemDeDup groups, topic labels): for each vector, a = Euclidean
+    * distance to its OWN cluster centroid, b = distance to the NEAREST
+    * other centroid, s = (b − a)/max(a, b) (Rousseeuw 1987's silhouette
+    * with the O(n·k) centroid simplification — the form that scales;
+    * the classic all-pairs silhouette is O(n²) and dies first).
+    * Output, one row per cluster: (labelCol, n_vecs long, mean_intra,
+    * mean_inter, mean_silhouette doubles — mean_silhouette NULL when
+    * only one cluster exists, 0.0-convention for a==b==0 coincident
+    * points). Rows with NULL label or vector drop.
+    *
+    * Exactness: centroids are [[groupCentroids]]' decimal-exact sums
+    * divided ONCE, unrounded — the quotient of an exactly-cast decimal
+    * by a count is correctly rounded identically in any IEEE engine,
+    * whereas a round(x, 9) post-pass is implementation-defined at the
+    * boundary (measured: 1-ulp engine skew at sf0.001) —; every
+    * squared-difference term
+    * quantizes to DECIMAL(25,12) and sums order-independently (no
+    * reliance on either engine's list-fold order); the min over other
+    * centroids compares exact decimals; sqrt is IEEE-correctly-rounded;
+    * reported means are DECIMAL(25,9)-accumulated quotients.
+    *
+    * 100 TB shape: vectors explode once to (id, pos) terms, join the
+    * broadcast (label, pos) centroid frame, and partial-aggregate to
+    * (id, cluster) distances map-side — the shuffle carries
+    * rows × k distance rows, never vector bodies; k (cluster count) is
+    * bounded by the broadcast. */
+  def silhouette(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val dec12 = DecimalType(25, 12)
+    val dec9 = DecimalType(25, 9)
+    val g = col(s"`$labelCol`")
+    val base = df.filter(g.isNotNull && col(s"`$vecCol`").isNotNull)
+    val cpos = groupCentroids(base, labelCol, vecCol)
+      .select(g.as("__cl"), col("n_vecs"),
+        posexplode(col("centroid_sum")).as(Seq("__p", "__cs")))
+      .withColumn("__c", col("__cs").cast("double") / col("n_vecs"))
+      .select(col("__cl"), col("__p").cast("long").as("__p"), col("__c"))
+    val vpos = base.select(col(s"`$idCol`").as("__id"), g.as("__l"),
+        posexplode(col(s"`$vecCol`")).as(Seq("__p", "__x")))
+      .withColumn("__p", col("__p").cast("long"))
+      .withColumn("__x", col("__x").cast("double"))
+    val d2 = vpos.join(broadcast(cpos), Seq("__p"))
+      .groupBy(col("__id"), col("__l"), col("__cl"))
+      .agg(sum(((col("__x") - col("__c")) * (col("__x") - col("__c")))
+        .cast(dec12)).as("__d2"))
+    val perVec = d2.groupBy(col("__id"), col("__l"))
+      .agg(max(when(col("__cl") === col("__l"), col("__d2"))).as("__a2"),
+        min(when(col("__cl") =!= col("__l"), col("__d2"))).as("__b2"))
+      .withColumn("__a", sqrt(col("__a2").cast("double")))
+      .withColumn("__b", sqrt(col("__b2").cast("double")))
+      .withColumn("__s", when(col("__a2").isNotNull && col("__b2").isNotNull,
+        when(greatest(col("__a"), col("__b")) > 0.0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0))))
+    perVec.groupBy(col("__l"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("__a").cast(dec9)).cast("double") /
+          count(col("__a")).cast("double")).as("mean_intra"),
+        when(count(col("__s")) > 0L,
+          sum(col("__b").cast(dec9)).cast("double") /
+            count(col("__b")).cast("double")).as("mean_inter"),
+        when(count(col("__s")) > 0L,
+          sum(col("__s").cast(dec9)).cast("double") /
+            count(col("__s")).cast("double")).as("mean_silhouette"))
+      .select(col("__l").as(labelCol), col("n_vecs"), col("mean_intra"),
+        col("mean_inter"), col("mean_silhouette"))
+  }
 }

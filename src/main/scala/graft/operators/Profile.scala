@@ -606,4 +606,62 @@ object Profile {
       .select(col("__g").as(groupCol), col("n"), col("__xmin").as("x_min"),
         col("slope"), col("intercept"))
   }
+
+  /** Per-group trimmed and winsorized means — the outlier-robust
+    * location estimates between the plain mean and [[robustStats]]'
+    * median: trim drops the `trimMicro`/1e6 fraction off EACH tail
+    * (by exact rank, ties broken by `idCol` so the cut is
+    * deterministic), winsorize clamps those tails to the surviving
+    * boundary values instead. The metric-monitoring workhorse for
+    * heavy-tailed signals (doc lengths, latencies, token counts) where
+    * one crawler burp shouldn't move the dashboard. Output per group:
+    * (groupCol, n long, n_tail long — rows trimmed per tail,
+    * ⌊n·trim⌋, mean, trimmed_mean, winsorized_mean doubles —
+    * trimmed_mean equals mean when the group is too small to trim).
+    * Rows with NULL group or value drop.
+    *
+    * Exactness: cut ranks are exact integer arithmetic; boundary
+    * values are exact order statistics; all three means accumulate
+    * through DECIMAL(25,9) (order-independent, exact for
+    * integer-valued columns) with ONE IEEE division each.
+    *
+    * 100 TB shape: one per-group sort window feeds ranks, boundaries
+    * and all three sums over the same exchange — the
+    * [[calibrateByGroup]] giant-group caveat applies. */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, trimMicro: Long = 50000L): DataFrame = {
+    require(trimMicro >= 0L && trimMicro < 500000L,
+      s"trimMicro must be in [0, 500000), got $trimMicro")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`").cast("double")
+    val w = Window.partitionBy(col("__g"))
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"), col(s"`$idCol`").as("__id"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__v"), col("__id").cast("string"))))
+      .withColumn("__lo", expr(s"(__n * ${trimMicro}L) div 1000000L"))
+      .withColumn("__vlo", max(when(col("__rn") === col("__lo") + 1L,
+        col("__v"))).over(w))
+      .withColumn("__vhi", max(when(col("__rn") === col("__n") - col("__lo"),
+        col("__v"))).over(w))
+    base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__lo")).as("n_tail"),
+        (sum(col("__v").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean"),
+        (sum(when(col("__rn") > col("__lo") &&
+            col("__rn") <= col("__n") - col("__lo"), col("__v")).cast(dec))
+          .cast("double") /
+          sum(when(col("__rn") > col("__lo") &&
+            col("__rn") <= col("__n") - col("__lo"), 1L).otherwise(0L))
+          .cast("double")).as("trimmed_mean"),
+        (sum(greatest(least(col("__v"), col("__vhi")), col("__vlo")).cast(dec))
+          .cast("double") /
+          count(lit(1)).cast("double")).as("winsorized_mean"))
+      .select(col("__g").as(groupCol), col("n"), col("n_tail"),
+        col("mean"), col("trimmed_mean"), col("winsorized_mean"))
+  }
 }

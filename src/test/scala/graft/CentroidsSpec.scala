@@ -90,4 +90,52 @@ class CentroidsSpec extends SparkSpecBase {
     val recall = (exact & refined).size.toDouble / exact.size
     assert(recall >= 0.4, s"refined recall $recall")
   }
+
+  test("silhouette: hand-computed two well-separated clusters") {
+    val df = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(0f, 2f)),
+      (3L, 1, Array(10f, 0f)), (4L, 1, Array(10f, 2f)))
+      .toDF("id", "lab", "vec")
+    val rows = Centroids.silhouette(df, "id", "lab", "vec")
+      .orderBy("lab").collect()
+    // centroids (0,1) and (10,1): every vector has a = 1, b = sqrt(101)
+    val expected = (math.sqrt(101.0) - 1.0) / math.sqrt(101.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === 2L)
+      assert(math.abs(r.getAs[Double]("mean_intra") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - expected) < 1e-9)
+    }
+  }
+
+  test("silhouette: single cluster is undefined; coincident clusters score 0") {
+    val one = Seq((1L, 0, Array(1f, 1f)), (2L, 0, Array(3f, 1f)))
+      .toDF("id", "lab", "vec")
+    val r1 = Centroids.silhouette(one, "id", "lab", "vec").head()
+    assert(r1.isNullAt(r1.fieldIndex("mean_silhouette")))
+    assert(r1.isNullAt(r1.fieldIndex("mean_inter")))
+    val coincident = Seq(
+      (1L, 0, Array(5f, 5f)), (2L, 0, Array(5f, 5f)),
+      (3L, 1, Array(5f, 5f)), (4L, 1, Array(5f, 5f)))
+      .toDF("id", "lab", "vec")
+    val rows = Centroids.silhouette(coincident, "id", "lab", "vec").collect()
+    rows.foreach(r => assert(r.getAs[Double]("mean_silhouette") === 0.0))
+  }
+
+  test("silhouette: tight clusters beat a split-down-the-middle labeling") {
+    val pts = (0 until 20).map { i =>
+      val cluster = i % 2
+      val base = if (cluster == 0) 0f else 20f
+      (i.toLong, cluster, Array(base + (i / 2) * 0.1f, base - (i / 2) * 0.1f))
+    }
+    val good = Centroids.silhouette(pts.toDF("id", "lab", "vec"), "id", "lab", "vec")
+      .agg(avg("mean_silhouette")).as[Double].head()
+    // same points, labels assigned orthogonally to the real structure
+    // (consecutive pairs straddle both real clusters)
+    val badDf = pts.map { case (id, _, v) => (id, ((id / 2) % 2).toInt, v) }
+      .toDF("id", "lab", "vec")
+    val bad = Centroids.silhouette(badDf, "id", "lab", "vec")
+      .agg(avg("mean_silhouette")).as[Double].head()
+    assert(good > 0.9, s"tight clustering should score near 1, got $good")
+    assert(bad < 0.1, s"structure-blind labels should score near/below 0, got $bad")
+  }
 }

@@ -47,6 +47,35 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(row.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("trimmedMeanByGroup: hand-computed 10% trim with an outlier") {
+    val df = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
+      (("g", 10L, 1000.0))).toDF("src", "id", "v")
+    val r = Profile.trimmedMeanByGroup(df, "src", "v", "id", 100000L).head()
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_tail") === 1L)
+    assert(r.getAs[Double]("mean") === 104.5)
+    assert(r.getAs[Double]("trimmed_mean") === 5.5) // mean of 2..9
+    // 1 clamps to 2, 1000 clamps to 9: sum 55
+    assert(r.getAs[Double]("winsorized_mean") === 5.5)
+  }
+
+  test("trimmedMeanByGroup: too-small groups trim nothing; NULLs drop") {
+    val df = Seq(
+      (Some("a"), 1L, Some(10.0)), (Some("a"), 2L, Some(50.0)),
+      (Some("a"), 3L, None), (None, 4L, Some(9.0)),
+      (Some("b"), 5L, Some(7.0))).toDF("src", "id", "v")
+    val out = Profile.trimmedMeanByGroup(df, "src", "v", "id", 100000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a", "b"))
+    val a = out("a")
+    assert(a.getAs[Long]("n") === 2L && a.getAs[Long]("n_tail") === 0L)
+    assert(a.getAs[Double]("trimmed_mean") === 30.0)
+    assert(a.getAs[Double]("winsorized_mean") === 30.0)
+    intercept[IllegalArgumentException] {
+      Profile.trimmedMeanByGroup(df, "src", "v", "id", 500000L)
+    }
+  }
+
   test("null group values profile as their own row") {
     val withNull = docs.union(Seq((6L, null.asInstanceOf[String], "x y z"))
       .toDF("doc_id", "src", "text"))
