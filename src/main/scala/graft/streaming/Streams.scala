@@ -517,6 +517,65 @@ object Streams {
     * schedule timer batches continuously — use only on genuinely unbounded
     * key spaces). The KeyValueGroupedDataset path the reference never had
     * an analogue for — pure beyond-parity. */
+  case class KeyPsi(key: String, n_seen: Long, n_values: Long, psi: Double)
+
+  /** Streaming PSI drift monitor: per key (source, shard, pipeline
+    * stage), maintain the running categorical-value counts as keyed
+    * state and emit each batch the Population Stability Index of the
+    * stream-so-far mix against a static `baseline` mix (the last
+    * accepted snapshot's value counts, broadcast in the closure) — the
+    * live "is this feed drifting off its reference distribution?"
+    * alarm. State is O(distinct values) per key (categorical contract).
+    *
+    * Arithmetic is bit-identical to [[graft.operators.Drift.psi]]: one
+    * IEEE division per share clamped by max(share, eps), ln through the
+    * double→DECIMAL(25,12)→9-dp contract (JVM BigDecimal.valueOf is
+    * exactly Spark's double→decimal cast), per-value terms quantized to
+    * scale 9 and summed exactly — StreamsSpec asserts a stream's final
+    * emission EQUALS the batch operator over the same rows vs the same
+    * baseline. Null values carry no observation; a key with only null
+    * values emits nothing (batch parity). */
+  def runningPsi(events: Dataset[(String, String)], baseline: Map[String, Long],
+      eps: Double = 1e-6): Dataset[KeyPsi] = {
+    require(baseline.nonEmpty && baseline.valuesIterator.forall(_ > 0L),
+      "baseline must be a non-empty positive count mix")
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
+    import events.sparkSession.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val bTotal = baseline.valuesIterator.sum
+    def dec(d: Double, scale: Int): JBD =
+      JBD.valueOf(d).setScale(scale, RM.HALF_UP)
+    // StrictMath, not Math: Catalyst's Log expression evaluates
+    // StrictMath.log, and the Math.log intrinsic may differ by 1 ulp
+    def ln9(x: Double): Double =
+      dec(StrictMath.log(x), 12).setScale(9, RM.HALF_UP).doubleValue
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], KeyPsi](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Map[String, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          var any = state.getOption.isDefined
+          for (r <- rows; v <- Option(r._2)) {
+            any = true
+            counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(counts)
+            val n = counts.valuesIterator.sum
+            val values = counts.keySet ++ baseline.keySet
+            var sum = JBD.ZERO.setScale(9)
+            for (v <- values) {
+              val p = math.max(counts.getOrElse(v, 0L).toDouble / n, eps)
+              val q = math.max(baseline.getOrElse(v, 0L).toDouble / bTotal, eps)
+              sum = sum.add(dec((p - q) * ln9(p / q), 9))
+            }
+            Iterator.single(KeyPsi(key, n, values.size.toLong, sum.doubleValue))
+          }
+      }
+  }
+
   def runningCounts(
       events: Dataset[(String, Long)],
       idleTimeoutMs: Long = 0L): Dataset[KeyCount] = {

@@ -382,6 +382,48 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningPsi's final emission equals the batch Drift.psi vs the same baseline") {
+    val baseline = Map("en" -> 70L, "de" -> 20L, "fr" -> 10L)
+    // key s1 drifts (adds an unseen value), s2 matches the baseline mix
+    val rows =
+      (1 to 40).map(_ => ("s1", "en")) ++ (1 to 35).map(_ => ("s1", "de")) ++
+      (1 to 5).map(_ => ("s1", "zz")) ++
+      (1 to 14).map(_ => ("s2", "en")) ++ (1 to 4).map(_ => ("s2", "de")) ++
+      (1 to 2).map(_ => ("s2", "fr"))
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.runningPsi(input.toDS(), baseline)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Streams.KeyPsi)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streams.KeyPsi], id: Long) =>
+        val batch = ds.collect()
+        emitted.synchronized { batch.foreach(r => emitted += ((id, r))) }
+      }.start()
+    try {
+      input.addData(rows.take(50): _*)
+      q.processAllAvailable()
+      input.addData(("s1", null.asInstanceOf[String]), ("snull", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData(rows.drop(50): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized {
+        emitted.groupBy(_._2.key).map { case (k, rs) => k -> rs.maxBy(_._1)._2 }
+      }
+      assert(!streamed.contains("snull"), "all-null key emits nothing")
+      val baseDf = baseline.toSeq.flatMap { case (v, n) =>
+        Seq.fill(n.toInt)(v) }.toDF("k")
+      for (key <- Seq("s1", "s2")) {
+        val slice = rows.filter(_._1 == key).map(_._2).toDF("k")
+        val b = graft.operators.Drift.psi(slice, baseDf, "k").head()
+        val s = streamed(key)
+        assert(s.n_seen === b.getAs[Long]("n_a"), s"$key n")
+        assert(s.n_values === b.getAs[Long]("n_values"), s"$key values")
+        assert(s.psi === b.getAs[Double]("psi"), s"$key psi")
+      }
+      assert(streamed("s1").psi > streamed("s2").psi,
+        "the drifted slice must score higher")
+    } finally q.stop()
+  }
+
   test("streaming helpers are plain plan rewrites: identical on batch input") {
     // the same windowedAgg call works on a bounded DataFrame (events table)
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
