@@ -5420,5 +5420,85 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", "doc_id", 100000L)
         .orderBy(col("source"))
     }
+
+    // --- Theil's uncertainty coefficient lang × source (asymmetric
+    //     association, both directions): three tokenEntropy-recipe
+    //     entropies over the cell grid, fixed IEEE coefficient trees.
+    register("p129_theils_u",
+      s"""WITH cells AS (SELECT lang AS a, source AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS o FROM documents
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY a),
+         |mb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+         |ea AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS na,
+         |    CAST(COUNT(*) AS BIGINT) AS va,
+         |    CAST(SUM(CAST(c::DOUBLE * ${ln9Sql("c::DOUBLE")} AS DECIMAL(25,9)))
+         |      AS DOUBLE) AS sa FROM ma),
+         |eb AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nb,
+         |    CAST(COUNT(*) AS BIGINT) AS vb,
+         |    CAST(SUM(CAST(c::DOUBLE * ${ln9Sql("c::DOUBLE")} AS DECIMAL(25,9)))
+         |      AS DOUBLE) AS sb FROM mb),
+         |eab AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS nab,
+         |    CAST(SUM(CAST(o::DOUBLE * ${ln9Sql("o::DOUBLE")} AS DECIMAL(25,9)))
+         |      AS DOUBLE) AS sab FROM cells),
+         |h AS (SELECT na AS n, va, vb,
+         |    ${ln9Sql("na::DOUBLE")} - sa / na::DOUBLE AS h_a,
+         |    ${ln9Sql("nb::DOUBLE")} - sb / nb::DOUBLE AS h_b,
+         |    ${ln9Sql("nab::DOUBLE")} - sab / nab::DOUBLE AS h_ab
+         |  FROM ea, eb, eab)
+         |SELECT n, h_a, h_b, h_ab,
+         |  CASE WHEN va > 1 THEN (h_a - (h_ab - h_b)) / h_a END
+         |    AS u_a_given_b,
+         |  CASE WHEN vb > 1 THEN (h_b - (h_ab - h_a)) / h_b END
+         |    AS u_b_given_a
+         |FROM h""".stripMargin) { (s, dir) =>
+      graft.operators.Drift.theilsU(t(s, dir, "documents"), "lang", "source")
+    }
+
+    // --- quantile-shift drift profile n_chars en vs non-en: exact
+    //     nearest-rank picks (integer-micros ranks) off the PrefixSum
+    //     distributed CDF — the "where did it move" complement to p118.
+    {
+      val qs = Seq(100000L, 250000L, 500000L, 750000L, 900000L)
+      val pickCols = qs.map { q =>
+        s"""    MIN(CASE WHEN ta > 0 AND cna >= (ta * $q + 999999) // 1000000
+           |      THEN v END) AS va_$q,
+           |    MIN(CASE WHEN tb > 0 AND cnb >= (tb * $q + 999999) // 1000000
+           |      THEN v END) AS vb_$q""".stripMargin
+      }.mkString(",\n")
+      val unions = qs.map { q =>
+        s"SELECT CAST($q AS BIGINT) AS q_micro, va_$q AS v_a, vb_$q AS v_b, " +
+          s"vb_$q - va_$q AS shift FROM picks"
+      }.mkString("\n|UNION ALL ")
+      register("p130_quantile_shift",
+        s"""WITH va AS (SELECT n_chars::DOUBLE AS v FROM documents
+           |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+           |vb AS (SELECT n_chars::DOUBLE AS v FROM documents
+           |  WHERE lang != 'en' AND n_chars IS NOT NULL),
+           |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS na FROM va GROUP BY v),
+           |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nb FROM vb GROUP BY v),
+           |u AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(na, 0) AS na,
+           |    COALESCE(nb, 0) AS nb
+           |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+           |c AS (SELECT v,
+           |    SUM(na) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cna,
+           |    SUM(nb) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnb
+           |  FROM u),
+           |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+           |    CAST(SUM(nb) AS BIGINT) AS tb FROM u),
+           |picks AS (SELECT
+           |$pickCols
+           |  FROM c CROSS JOIN t)
+           |$unions
+           |ORDER BY q_micro""".stripMargin) { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        graft.operators.Drift.quantileShift(
+            docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") =!= "en"), "n_chars", qs)
+          .orderBy(col("q_micro"))
+      }
+    }
   }
 }

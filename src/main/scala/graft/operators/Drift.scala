@@ -149,6 +149,117 @@ object Drift {
           .as("cramers_v"))
   }
 
+  /** Theil's uncertainty coefficient between two categorical columns —
+    * the ASYMMETRIC "how much does knowing B tell you about A?"
+    * association measure (Theil 1970), the directional complement to
+    * [[chiSquare]]'s symmetric Cramér's V: U(A|B) =
+    * (H(A) − H(A|B)) / H(A) ∈ [0, 1], with H(A|B) = H(A,B) − H(B).
+    * One row: (n long, h_a, h_b, h_ab doubles — marginal and joint
+    * Shannon entropies in nats, u_a_given_b, u_b_given_a doubles —
+    * NULL when the target column is constant (single distinct value:
+    * its entropy is 0 and the ratio is undefined)). Rows with a NULL
+    * on either side drop.
+    *
+    * Exactness: every entropy is the [[Profile.tokenEntropy]] recipe —
+    * ln N − Σ c·ln c / N with exact integer counts, each ln through
+    * the 9-dp decimal contract, DECIMAL(25,9) term accumulation, one
+    * IEEE subtraction/division each; the coefficients are fixed IEEE
+    * trees over the three entropies.
+    *
+    * 100 TB shape: one hash shuffle to (a,b) cell counts (map-side
+    * combinable); marginals and entropies run on the cell grid,
+    * bounded by value-cardinality product. */
+  def theilsU(df: DataFrame, aCol: String, bCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+    def clnc(c: Column): Column =
+      (c.cast("double") * ln9(c.cast("double"))).cast(dec25_9)
+    // staged: the cell frame feeds both marginals and the joint term
+    val cells = stager.stage(
+      df.filter(a.isNotNull && b.isNotNull)
+        .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o")),
+      s"theil_cells_${java.util.UUID.randomUUID().toString.take(8)}")
+    def entropy(counts: DataFrame, cnt: Column): DataFrame = counts.agg(
+      coalesce(sum(cnt), lit(0L)).as("__n"),
+      count(lit(1)).as("__v"),
+      sum(clnc(cnt)).as("__s"))
+    val ea = entropy(cells.groupBy(col("__a")).agg(sum(col("__o")).as("__c")),
+      col("__c")).select(col("__n").as("n"), col("__v").as("__va"),
+      (ln9(col("__n").cast("double")) -
+        col("__s").cast("double") / col("__n").cast("double")).as("h_a"))
+    val eb = entropy(cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c")),
+      col("__c")).select(col("__v").as("__vb"),
+      (ln9(col("__n").cast("double")) -
+        col("__s").cast("double") / col("__n").cast("double")).as("h_b"))
+    val eab = entropy(cells, col("__o")).select(
+      (ln9(col("__n").cast("double")) -
+        col("__s").cast("double") / col("__n").cast("double")).as("h_ab"))
+    // undefined-target guard on value CARDINALITY, not on h > 0 — a
+    // constant column's entropy is analytically 0 but carries ±1-ulp FP
+    // residue from the divided decimal sum, so an h_a > 0 guard flaps
+    ea.crossJoin(eb).crossJoin(eab)
+      .select(col("n"), col("h_a"), col("h_b"), col("h_ab"),
+        when(col("__va") > 1L,
+          (col("h_a") - (col("h_ab") - col("h_b"))) / col("h_a"))
+          .as("u_a_given_b"),
+        when(col("__vb") > 1L,
+          (col("h_b") - (col("h_ab") - col("h_a"))) / col("h_b"))
+          .as("u_b_given_a"))
+  }
+
+  /** Quantile-shift drift profile between the `valueCol` distributions
+    * of frames `a` and `b`: the exact nearest-rank quantile of EACH
+    * side at every requested probability, side by side — the "WHERE
+    * did the distribution move?" diagnostic that complements
+    * [[Profile.ksStatistic]] (one max-gap number) and [[psi]] (one
+    * mix number). Output, one row per probability: (q_micro long,
+    * v_a, v_b doubles — NULL for an empty side, shift double —
+    * v_b − v_a). NULL values drop.
+    *
+    * Exactness: quantiles are exact nearest-rank picks — rank
+    * ⌈q·n⌉ by integer-micros arithmetic against a [[PrefixSum]]
+    * distributed cumulative count, so both the rank and the pick are
+    * FP-free; only the reported shift subtracts once.
+    *
+    * 100 TB shape: per-distinct-value counts, one full-outer merge,
+    * one distributed prefix scan, then a probabilities-sized
+    * aggregate — the [[Profile.ksStatistic]] posture. */
+  def quantileShift(a: DataFrame, b: DataFrame, valueCol: String,
+      qMicros: Seq[Long] = Seq(100000L, 250000L, 500000L, 750000L, 900000L),
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(qMicros.nonEmpty && qMicros.forall(q => q > 0L && q <= 1000000L),
+      s"qMicros must be in (0, 1e6], got $qMicros")
+    require(qMicros.distinct.size == qMicros.size,
+      s"duplicate qMicros: $qMicros")
+    val v = col(s"`$valueCol`").cast("double")
+    def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as(out))
+    val cum = PrefixSum.withRunningSums(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+        .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      "__v", Seq("__na", "__nb"), stager)
+    val totals = cum.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val aggs = qMicros.flatMap { q =>
+      Seq(
+        min(when(col("__ta") > 0L && col("cum___na") >=
+          expr(s"(__ta * ${q}L + 999999L) div 1000000L"), col("__v")))
+          .as(s"__va_$q"),
+        min(when(col("__tb") > 0L && col("cum___nb") >=
+          expr(s"(__tb * ${q}L + 999999L) div 1000000L"), col("__v")))
+          .as(s"__vb_$q"))
+    }
+    val picks = cum.crossJoin(broadcast(totals)).agg(aggs.head, aggs.tail: _*)
+    val rows = qMicros.map { q =>
+      struct(lit(q).as("q_micro"), col(s"__va_$q").as("v_a"),
+        col(s"__vb_$q").as("v_b"))
+    }
+    picks.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.q_micro"), col("__r.v_a"), col("__r.v_b"),
+        (col("__r.v_b") - col("__r.v_a")).as("shift"))
+  }
+
   /** Two-sample Mann–Whitney U rank-sum test between the `valueCol`
     * distributions of frames `a` and `b` — the non-parametric "did the
     * median shift?" location test (Mann & Whitney 1947), with the

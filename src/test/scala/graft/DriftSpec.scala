@@ -101,6 +101,72 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n") === 2L)
   }
 
+  // --- Theil's U -----------------------------------------------------------
+
+  test("theilsU: perfect dependence scores 1 in both directions") {
+    val rows = Seq.fill(5)(("x", "u")) ++ Seq.fill(3)(("y", "v")) ++
+      Seq.fill(2)(("z", "w"))
+    val r = Drift.theilsU(rows.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r.getAs[Double]("u_a_given_b") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("u_b_given_a") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("h_a") - r.getAs[Double]("h_ab")) < 1e-9)
+  }
+
+  test("theilsU: independent columns score ~0; constant target is NULL") {
+    val rows = for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 10 }
+      yield (a, b)
+    val r = Drift.theilsU(rows.toDF("a", "b"), "a", "b").head()
+    // the 9-dp ln quantization leaves ~1e-9 residue per entropy term
+    assert(math.abs(r.getAs[Double]("u_a_given_b")) < 1e-8)
+    assert(math.abs(r.getAs[Double]("u_b_given_a")) < 1e-8)
+    val const = Seq(("x", "u"), ("x", "v"), ("x", "u")).toDF("a", "b")
+    val c = Drift.theilsU(const, "a", "b").head()
+    assert(c.isNullAt(c.fieldIndex("u_a_given_b")), "constant A is undefined")
+    assert(!c.isNullAt(c.fieldIndex("u_b_given_a")))
+  }
+
+  test("theilsU: asymmetry — B determines A but not vice versa") {
+    // b=u -> always a=x; b=v -> always a=x; b=w -> a=y:
+    // knowing b pins a (U(a|b)=1), knowing a=x leaves b ambiguous
+    val rows = Seq(("x", "u"), ("x", "u"), ("x", "v"), ("y", "w"))
+    val r = Drift.theilsU(rows.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r.getAs[Double]("u_a_given_b") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("u_b_given_a") < 0.9)
+  }
+
+  // --- quantile shift ------------------------------------------------------
+
+  test("quantileShift: a constant location shift shows at every quantile") {
+    val a = (1L to 100L).toDF("v")
+    val b = (1L to 100L).map(_ + 10L).toDF("v")
+    val rows = Drift.quantileShift(a, b, "v").orderBy("q_micro").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("shift") === 10.0, s"q ${r.getLong(0)}")
+    }
+    // nearest-rank check: median of 1..100 at rank ceil(50.0) = 50
+    val med = rows.find(_.getLong(0) == 500000L).get
+    assert(med.getAs[Double]("v_a") === 50.0)
+    assert(med.getAs[Double]("v_b") === 60.0)
+  }
+
+  test("quantileShift: empty side yields NULL picks; bad q rejected") {
+    val a = (1L to 10L).toDF("v")
+    val b = Seq.empty[Long].toDF("v")
+    val rows = Drift.quantileShift(a, b, "v").collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("v_a")))
+      assert(r.isNullAt(r.fieldIndex("v_b")))
+      assert(r.isNullAt(r.fieldIndex("shift")))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.quantileShift(a, b, "v", Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.quantileShift(a, b, "v", Seq(100L, 100L))
+    }
+  }
+
   // --- Mann-Whitney U ------------------------------------------------------
 
   test("mannWhitneyU: textbook no-tie case") {

@@ -423,7 +423,19 @@ class PlanAuditSpec extends SparkSpecBase {
       // totals/max frames broadcast into the distinct-value scan and the
       // single KS report row
       "p102_key_skew", "p105_join_size_est", "p113_cohen_kappa",
-      "p118_ks_drift")
+      "p118_ks_drift",
+      // p120: the 1-row (ta, tb) totals broadcast into the per-value
+      // share terms; p121: the 1-row grand-total and the 1-row n_a/n_b
+      // counts cross-join into the grid terms and the single report row;
+      // p124: the 1-row per-group CI frames join the overall stats, and
+      // the broadcast nReps range frame is the deliberate bounded
+      // resample fan-out; p125: the 1-row d_o and d_e aggregates
+      // cross-join into the single alpha report row; p129: three 1-row
+      // entropy aggregates cross-join into the single report row;
+      // p130: the 1-row totals broadcast into the distinct-value CDF
+      // for the nearest-rank picks
+      "p120_psi_drift", "p121_chi_square", "p124_poisson_bootstrap",
+      "p125_krippendorff_alpha", "p129_theils_u", "p130_quantile_shift")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
