@@ -5500,5 +5500,54 @@ object SparkEntry {
           .orderBy(col("q_micro"))
       }
     }
+
+    // --- Unicode script-distribution audit: the fixture text is ASCII,
+    //     so the gate PLANTS per-doc multiscript suffixes (p119's
+    //     planting philosophy) — every class-count regex, the ordered
+    //     argmax and the share are really exercised. Patterns are
+    //     BMP-only explicit ranges shared verbatim by both engines.
+    {
+      val classes = graft.operators.TextAudit.scriptClasses
+      val plantSql = """CASE doc_id % 4
+        | WHEN 0 THEN ' привет мир' WHEN 1 THEN ' 日本語テキスト'
+        | WHEN 2 THEN ' مرحبا بكم' ELSE '' END""".stripMargin.replace("\n", "")
+      val countSql = classes.map { case (n, cls) =>
+        s"    CAST(length(t) - length(regexp_replace(t, '[$cls]', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(",\n")
+      val mainSql = classes.map { case (n, _) =>
+        val geAll = classes.filter(_._1 != n)
+          .map(o => s"n_$n >= n_${o._1}").mkString(" AND ")
+        s"WHEN n_$n > 0 AND $geAll THEN '$n'"
+      }.mkString("CASE ", " ", " ELSE 'none' END")
+      val pickSql = classes.map { case (n, _) =>
+        s"WHEN main_script = '$n' THEN n_$n" }
+        .mkString("CASE ", " ", " END")
+      register("p131_script_profile",
+        s"""WITH s0 AS (SELECT doc_id,
+           |    COALESCE(text, '') || $plantSql AS t FROM documents),
+           |c AS (SELECT doc_id,
+           |$countSql
+           |  FROM s0),
+           |tot AS (SELECT *, ${classes.map(c => s"n_${c._1}").mkString(" + ")}
+           |    AS n_letters FROM c),
+           |m AS (SELECT *, $mainSql AS main_script FROM tot)
+           |SELECT doc_id, ${classes.map(c => s"n_${c._1}").mkString(", ")},
+           |  n_letters, main_script,
+           |  CASE WHEN n_letters > 0 THEN
+           |    ($pickSql)::DOUBLE / n_letters::DOUBLE END AS main_frac
+           |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 4 === 0, " привет мир")
+              .when(col("doc_id") % 4 === 1, " 日本語テキスト")
+              .when(col("doc_id") % 4 === 2, " مرحبا بكم")
+              .otherwise("")).as("text"))
+        graft.operators.TextAudit.scriptProfile(planted, "doc_id", "text")
+          .select(col("doc_id") +:
+            graft.operators.TextAudit.scriptClasses.map(c => col(s"n_${c._1}")) :+
+            col("n_letters") :+ col("main_script") :+ col("main_frac"): _*)
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 }

@@ -144,6 +144,71 @@ object TextAudit {
     * per-doc window and rollup reuse that partitioning. Sentence-level
     * stopword votes are noisier than doc-level (short sentences →
     * 'und'); treat switch_frac as a ranking signal, not a classifier. */
+  /** Script classes for [[scriptProfile]]: name → character-class body
+    * (BMP-only explicit codepoint ranges, so Java and RE2 read the
+    * SAME pattern and UTF-16 length == codepoint length — no \\p{...}
+    * script properties, whose namespaces differ between engines).
+    * Ordered: the profile's argmax tie-breaks by this ascending name
+    * order. "cjk" pools Kana + Han (incl. extension A) + Hangul. */
+  private def range(lo: Int, hi: Int): String = s"${lo.toChar}-${hi.toChar}"
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "arabic" -> (range(0x0600, 0x06FF) + range(0x0750, 0x077F)),
+    "cjk" -> (range(0x3040, 0x30FF) + range(0x3400, 0x4DBF) +
+      range(0x4E00, 0x9FFF) + range(0xAC00, 0xD7AF)),
+    "cyrillic" -> range(0x0400, 0x04FF),
+    "devanagari" -> range(0x0900, 0x097F),
+    "greek" -> range(0x0370, 0x03FF),
+    "hebrew" -> range(0x0590, 0x05FF),
+    "latin" -> ("A-Za-z" + range(0x00C0, 0x00D6) + range(0x00D8, 0x00F6) +
+      range(0x00F8, 0x00FF) + range(0x0100, 0x024F)))
+
+  /** Per-document Unicode script distribution — the multilingual-corpus
+    * triage that language ID alone misses (a "russian" feed full of
+    * Latin mojibake, CJK spam inside an English crawl, mixed-script
+    * spoofing): counts per script class, the dominant script, and its
+    * share. Output: (idCol, n_letters long — total across classes,
+    * n_<class> long per [[scriptClasses]] entry, main_script string —
+    * argmax class, ties to the ascending-name first, 'none' when no
+    * letter matches any class, main_frac double — share of n_letters,
+    * NULL when n_letters = 0). Digits, punctuation and whitespace are
+    * not letters and count nowhere.
+    *
+    * Counts are the alphaChars recipe — length(s) −
+    * length(regexp_replace(s, '[class]', '')) — over BMP-only explicit
+    * ranges, identical in Java and RE2 and equal in UTF-16 and
+    * codepoint units. A narrow codegen'd projection: no shuffle, no
+    * state, linear scan. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = coalesce(col(s"`$textCol`"), lit(""))
+    val counted = scriptClasses.foldLeft(df.select(id, txt.as("__t"))) {
+      case (d, (name, cls)) =>
+        d.withColumn(s"n_$name",
+          (length(col("__t")) -
+            length(regexp_replace(col("__t"), s"[$cls]", ""))).cast("long"))
+    }
+    val total = scriptClasses.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    val best = scriptClasses.reverse.foldLeft(lit("none"): Column) {
+      case (other, (name, _)) =>
+        // ascending-name-first tie-break: earlier classes test first
+        // with >=, so an equal later count cannot displace them
+        when(col(s"n_$name") > 0L && scriptClasses
+          .filter(_._1 != name)
+          .map(o => col(s"n_$name") >= col(s"n_${o._1}"))
+          .reduce(_ && _), lit(name)).otherwise(other)
+    }
+    counted
+      .withColumn("n_letters", total)
+      .withColumn("main_script", best)
+      .withColumn("main_frac", when(col("n_letters") > 0L,
+        scriptClasses.map { case (n, _) =>
+          when(col("main_script") === n, col(s"n_$n")) }
+          .reduce(coalesce(_, _)).cast("double") /
+          col("n_letters").cast("double")))
+      .drop("__t")
+  }
+
   def codeSwitch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(s"`$idCol`")

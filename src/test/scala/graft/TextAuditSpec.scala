@@ -123,6 +123,40 @@ class TextAuditSpec extends SparkSpecBase {
     assert(rows(1).isNullAt(6) && rows(1).isNullAt(7))
   }
 
+  test("scriptProfile: per-script counts, dominant script, and share") {
+    val df = Seq(
+      (1L, "hello world"),                       // pure latin
+      (2L, "привет мир hello"),                  // cyrillic 9 > latin 5
+      (3L, "日本語のテキスト 123 !"),               // cjk only (digits don't count)
+      (4L, "مرحبا"),                             // arabic
+      (5L, "12345 !!!"),                         // no letters at all
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAudit.scriptProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("main_script") === "latin")
+    assert(out(1L).getAs[Long]("n_latin") === 10L)
+    assert(out(1L).getAs[Double]("main_frac") === 1.0)
+    assert(out(2L).getAs[String]("main_script") === "cyrillic")
+    assert(out(2L).getAs[Long]("n_cyrillic") === 9L)
+    assert(out(2L).getAs[Long]("n_latin") === 5L)
+    assert(out(2L).getAs[Double]("main_frac") === 9.0 / 14.0)
+    assert(out(3L).getAs[String]("main_script") === "cjk")
+    assert(out(3L).getAs[Long]("n_cjk") === 8L)
+    assert(out(3L).getAs[Long]("n_letters") === 8L)
+    assert(out(4L).getAs[String]("main_script") === "arabic")
+    assert(out(5L).getAs[String]("main_script") === "none")
+    assert(out(5L).isNullAt(out(5L).fieldIndex("main_frac")))
+    assert(out(6L).getAs[Long]("n_letters") === 0L, "null text is empty")
+  }
+
+  test("scriptProfile: equal counts tie-break to the ascending class name") {
+    val df = Seq((1L, "abcабв")).toDF("doc_id", "text") // 3 latin, 3 cyrillic
+    val r = TextAudit.scriptProfile(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_latin") === 3L && r.getAs[Long]("n_cyrillic") === 3L)
+    assert(r.getAs[String]("main_script") === "cyrillic",
+      "cyrillic < latin in class-name order")
+  }
+
   test("codeSwitch: monolingual, mixed, und, and empty docs") {
     val df = Seq(
       (1L, "the cat is on the mat. the dog is in the house."),
