@@ -67,6 +67,14 @@ object Multimodal {
     *    heuristic in the same way every fast-path prober is — a crafted
     *    comment segment containing FFC0 bytes can fool it, a full parser
     *    drops in via [[MediaDecoder]] when that matters).
+    *  - TIFF (II*\0 little-endian / MM\0* big-endian, the container EXIF
+    *    rides on): walk the FIRST IFD's entries — 2-byte count, 12-byte
+    *    entries (tag u16, type u16, count u32, left-justified value) —
+    *    for ImageWidth (256) / ImageLength (257), SHORT(3) or LONG(4)
+    *    typed. The walk is bounded at 16 entries: TIFF mandates
+    *    ascending tag order and 256/257 sit below nearly every other
+    *    tag, so they land in the first few; exotic files beyond the cap
+    *    return null (MediaDecoder fallback, the house contract).
     */
   def imageDimensions(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def beU32(off: Int) = conv(hex(bin.substr(lit(off), lit(4))), 16, 10).cast("int")
@@ -87,12 +95,42 @@ object Multimodal {
       "^(?:[0-9A-F]{2})*?(FFC[02][0-9A-F]{4}[0-9A-F]{2}[0-9A-F]{4}[0-9A-F]{4})", 1)
     val jH = conv(substring(sof, 11, 4), 16, 10).cast("int")
     val jW = conv(substring(sof, 15, 4), 16, 10).cast("int")
+    val isTiffLE = hex(bin.substr(lit(1), lit(4))) === "49492A00"
+    val isTiffBE = hex(bin.substr(lit(1), lit(4))) === "4D4D002A"
+    def tBe(off: org.apache.spark.sql.Column, len: Int) =
+      conv(hex(bin.substr(off, lit(len))), 16, 10).cast("long")
+    def tLe(off: org.apache.spark.sql.Column, len: Int) = conv(
+      concat((0 until len).reverse.map(i =>
+        hex(bin.substr(off + lit(i), lit(1)))): _*), 16, 10).cast("long")
+    def tU(off: org.apache.spark.sql.Column, len: Int) =
+      when(isTiffLE, tLe(off, len)).otherwise(tBe(off, len))
+    val ifd1 = (tU(lit(5), 4) + 1L).cast("int") // 1-based first-IFD start
+    val tEntries = tU(ifd1, 2)
+    def tEntry(i: Int) = ifd1 + lit(2 + 12 * i)
+    // value is LEFT-JUSTIFIED in the 4-byte field (TIFF 6.0 §2), so a
+    // SHORT reads the first 2 bytes under either byte order
+    def tValue(i: Int) = {
+      val typ = tU(tEntry(i) + lit(2), 2)
+      when(typ === 3L, tU(tEntry(i) + lit(8), 2))
+        .when(typ === 4L, tU(tEntry(i) + lit(8), 4))
+    }
+    def tFind(tag: Int): org.apache.spark.sql.Column =
+      (0 until 16).foldRight(
+        lit(null).cast("long"): org.apache.spark.sql.Column) { (i, rest) =>
+        when(lit(i.toLong) < tEntries && tU(tEntry(i), 2) === tag.toLong,
+          tValue(i)).otherwise(rest)
+      }
+    val tW = tFind(256)
+    val tH = tFind(257)
     when(isPng, struct(lit("png").as("format"),
         beU32(17).as("width"), beU32(21).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
         leU16(7).as("width"), leU16(9).as("height")))
       .when(isJpg && sof =!= "", struct(lit("jpeg").as("format"),
         jW.as("width"), jH.as("height")))
+      .when((isTiffLE || isTiffBE) && tW.isNotNull && tH.isNotNull,
+        struct(lit("tiff").as("format"),
+          tW.cast("int").as("width"), tH.cast("int").as("height")))
       .otherwise(lit(null).cast(
         "struct<format:string,width:int,height:int>"))
   }

@@ -48,6 +48,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(4L) === ((None, None, None)))
   }
 
+  test("imageDimensions parses TIFF IFDs in both byte orders (SHORT and LONG values)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // little-endian: II*\0, IFD at 8; 2 entries: width SHORT 320,
+    // height LONG 240; next-IFD pointer 0
+    val tiffLE = b(0x49, 0x49, 0x2A, 0x00, 0x08, 0x00, 0x00, 0x00,
+      0x02, 0x00,
+      0x00, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x40, 0x01, 0x00, 0x00,
+      0x01, 0x01, 0x04, 0x00, 0x01, 0x00, 0x00, 0x00, 0xF0, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00)
+    // big-endian: MM\0*; SHORT values are LEFT-justified in the field
+    val tiffBE = b(0x4D, 0x4D, 0x00, 0x2A, 0x00, 0x00, 0x00, 0x08,
+      0x00, 0x02,
+      0x01, 0x00, 0x00, 0x03, 0x00, 0x00, 0x00, 0x01, 0x01, 0x40, 0x00, 0x00,
+      0x01, 0x01, 0x00, 0x04, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0xF0,
+      0x00, 0x00, 0x00, 0x00)
+    // IFD with only an Orientation tag (274) — no dimensions -> refuse
+    val tiffNoDims = b(0x49, 0x49, 0x2A, 0x00, 0x08, 0x00, 0x00, 0x00,
+      0x01, 0x00,
+      0x12, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00)
+    val truncated = b(0x49, 0x49, 0x2A, 0x00, 0x08, 0x00)
+    val got = Seq((1L, tiffLE), (2L, tiffBE), (3L, tiffNoDims), (4L, truncated))
+      .toDF("id", "media")
+      .withColumn("dims", Multimodal.imageDimensions(col("media")))
+      .select(col("id"), col("dims.format"), col("dims.width"), col("dims.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) === ((Some("tiff"), Some(320), Some(240))))
+    assert(got(2L) === ((Some("tiff"), Some(320), Some(240))))
+    assert(got(3L) === ((None, None, None)))
+    assert(got(4L) === ((None, None, None)))
+  }
+
   test("imageDimensions: FFC0 straddling a byte boundary is not a SOF (nibble alignment)") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // payload bytes 2F FC 00 hex-encode to '2FFC00...': the unanchored
