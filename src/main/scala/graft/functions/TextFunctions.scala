@@ -195,6 +195,23 @@ object TextFunctions {
           .as("char_entropy"))
   }
 
+  /** DEFLATE compression ratio of the text's UTF-8 bytes — compressed
+    * size / raw size via the native
+    * [[org.apache.spark.sql.graft.DeflateSize]] expression. The
+    * "too compressible" quality filter (RefinedWeb-family pipelines):
+    * templated or machine-generated text lands well below natural
+    * prose (~0.4–0.7 at BEST_SPEED for English), and unlike
+    * [[charEntropy]] the ratio also catches LONG-RANGE repetition.
+    * NULL for NULL text; empty text ratios as NULL (0/0 has no
+    * meaning). A ranking/threshold signal: exact counts are pinned to
+    * the deployment's zlib build (the DeflateSize scaladoc), so gate
+    * it by threshold, never by golden value. */
+  def compressionRatio(text: Column): Column = {
+    val raw = octet_length(text).cast("double")
+    when(raw > 0.0,
+      org.apache.spark.sql.graft.DeflateSize.deflateSize(text).cast("double") / raw)
+  }
+
   /** Language argmax over tokenStats hit columns (same tie-break-ascending
     * semantics as [[langId]]). */
   def langPredFromStats: Column = {

@@ -79,6 +79,7 @@ object GraftFunctions {
       asExpr(graft.operators.Urls.normalizedDomain(asCol(cs.head)))),
     fn("graft_nfc", 1, classOf[NfcNormalize])(cs => NfcNormalize(cs.head)),
     fn("graft_strip_accents", 1, classOf[StripAccents])(cs => StripAccents(cs.head)),
+    fn("graft_deflate_size", 1, classOf[DeflateSize])(cs => DeflateSize(cs.head)),
     fn("graft_url_canonical", 1, graft.operators.Urls.getClass)(cs =>
       asExpr(graft.operators.Urls.canonicalizeUrl(asCol(cs.head)))))
 

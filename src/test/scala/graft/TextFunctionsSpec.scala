@@ -101,4 +101,29 @@ class TextFunctionsSpec extends SparkSpecBase {
       charEntropy(docs, "doc_id", "text", lnRoundDp = 0)
     }
   }
+
+  test("compressionRatio ranks repetitive text below prose; deterministic; SQL fn") {
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "musicians rehearse an entirely different arrangement downtown."
+    val template = ("name=value;" * 40) + ("<tr><td>row</td></tr>" * 30)
+    val df = Seq(
+      (1L, prose), (2L, template), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .withColumn("r", compressionRatio($"text"))
+    val got = df.select($"id", $"r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L).get > 0.5, s"prose should compress poorly: ${got(1L)}")
+    assert(got(2L).get < 0.2, s"templated text should crush: ${got(2L)}")
+    assert(got(3L) === None && got(4L) === None)
+    val again = df.select($"id", $"r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(again === got, "pure function of the bytes")
+    // SQL surface
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = Seq(Tuple1(template)).toDF("t")
+      .selectExpr("graft_deflate_size(t) AS n").as[Long].head()
+    assert(viaSql > 0L && viaSql < template.length)
+  }
 }
