@@ -576,6 +576,64 @@ object Streams {
       }
   }
 
+  case class KeyKs(key: String, n_seen: Long, ks: Double, ks_at: Long)
+
+  /** Streaming exact two-sample Kolmogorov–Smirnov drift monitor: per
+    * key, maintain the running distinct-value counts of a LONG-valued
+    * signal (length, score band, latency bucket) and emit each batch
+    * the exact KS statistic of the stream-so-far distribution against
+    * the static `baseline` value counts — the shape-drift companion to
+    * [[runningPsi]]'s mix drift. State is O(distinct values) per key
+    * (bin continuous-unique signals first, the
+    * [[graft.operators.Profile.ksStatistic]] caveat).
+    *
+    * Arithmetic is bit-identical to the batch operator: the sup is
+    * located on SCALED INTEGERS — |cum_a·n_b − cum_b·n_a| in exact
+    * BigInteger (the state twin of DECIMAL(38,0)) with the smallest
+    * attaining value reported — and only the reported ks divides once
+    * in IEEE doubles. StreamsSpec asserts a stream's final emission
+    * EQUALS `Profile.ksStatistic` over the same rows vs the baseline
+    * rows. Null-valued rows carry no observation. */
+  def runningKs(events: Dataset[(String, java.lang.Long)],
+      baseline: Map[Long, Long]): Dataset[KeyKs] = {
+    require(baseline.nonEmpty && baseline.valuesIterator.forall(_ > 0L),
+      "baseline must be a non-empty positive count histogram")
+    import events.sparkSession.implicits._
+    val bTotal = baseline.valuesIterator.sum
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], KeyKs](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          var any = state.getOption.isDefined
+          for (r <- rows; v <- Option(r._2)) {
+            any = true
+            val k = v.longValue
+            counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(counts)
+            val n = counts.valuesIterator.sum
+            val values = (counts.keySet ++ baseline.keySet).toSeq.sorted
+            val (ta, tb) = (BigInt(n), BigInt(bTotal))
+            var ca = BigInt(0)
+            var cb = BigInt(0)
+            var best = BigInt(-1)
+            var bestAt = 0L
+            for (v <- values) {
+              ca = ca + BigInt(counts.getOrElse(v, 0L))
+              cb = cb + BigInt(baseline.getOrElse(v, 0L))
+              val sd = (ca * tb - cb * ta).abs
+              if (sd > best) { best = sd; bestAt = v } // strict: min value wins ties
+            }
+            val ks = best.toDouble / (ta.toDouble * tb.toDouble)
+            Iterator.single(KeyKs(key, n, ks, bestAt))
+          }
+      }
+  }
+
   def runningCounts(
       events: Dataset[(String, Long)],
       idleTimeoutMs: Long = 0L): Dataset[KeyCount] = {
