@@ -5549,5 +5549,65 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       }
     }
+
+    // --- Pearson correlation value × epoch-hour per event type (the
+    //     strength companion to p104's slope): p104's recentred integer
+    //     x, DECIMAL(25,9)-quantized moments, one correctly-rounded
+    //     sqrt in a fixed IEEE tree.
+    register("p132_corr_by_group",
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))//3600000000 AS x, value AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type, CAST(MIN(x) AS BIGINT) AS x_min
+        |  FROM b GROUP BY event_type),
+        |d AS (SELECT b.event_type, b.x - m.x_min AS dx, y
+        |  FROM b JOIN m USING (event_type)),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(25,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(25,9))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(dx::DOUBLE * y AS DECIMAL(25,9))) AS DOUBLE) AS sxy
+        |  FROM d GROUP BY event_type),
+        |f AS (SELECT event_type, n,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS vx,
+        |    n::DOUBLE * syy - sy * sy AS vy,
+        |    sx, sy, sxy
+        |  FROM a)
+        |SELECT event_type, n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+        |    (n::DOUBLE * sxy - sx::DOUBLE * sy) / sqrt(vx * vy) END AS r
+        |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.corrByGroup(
+          events(s, dir)
+            .filter(col("ts").isNotNull)
+            .withColumn("hour_x",
+              expr("unix_micros(cast(ts as timestamp)) div 3600000000")),
+          "event_type", "hour_x", "value")
+        .orderBy(col("event_type"))
+    }
+
+    // --- per-source Gini coefficient of doc lengths (corpus-inequality
+    //     audit): exact integer ranks with the p128 string-id tiebreak,
+    //     DECIMAL(25,9) rank-weighted sums, fixed IEEE closed form.
+    register("p133_gini_by_group",
+      """WITH base AS (SELECT source AS g, n_chars::DOUBLE AS v, doc_id AS id
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT g, v, CAST(ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY v, CAST(id AS VARCHAR)) AS BIGINT) AS rn FROM base),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(v AS DECIMAL(25,9))) AS s,
+        |    SUM(CAST(rn::DOUBLE * v AS DECIMAL(25,9))) AS rs,
+        |    COALESCE(MIN(v), 0.0) AS mn
+        |  FROM r GROUP BY g)
+        |SELECT g AS source, n, CAST(s AS DOUBLE) AS total,
+        |  CASE WHEN mn < 0.0 THEN NULL
+        |       WHEN CAST(s AS DOUBLE) > 0.0 THEN
+        |    (2.0 * CAST(rs AS DOUBLE) - (n + 1)::DOUBLE * CAST(s AS DOUBLE)) /
+        |      (n::DOUBLE * CAST(s AS DOUBLE)) END AS gini
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.giniByGroup(
+          t(s, dir, "documents"), "source", "n_chars", "doc_id")
+        .orderBy(col("source"))
+    }
   }
 }

@@ -607,6 +607,94 @@ object Profile {
         col("slope"), col("intercept"))
   }
 
+  /** Per-group Pearson correlation between an integer `xCol` and a
+    * numeric `yCol` — the strength companion to [[trendByGroup]]'s
+    * slope (is the drift real or noise-shaped?): r = (n·Σdxdy −
+    * Σdx·Σdy) / √((n·Σdx² − (Σdx)²)·(n·Σdy² − (Σdy)²)) with x
+    * RECENTERED to the group min exactly like trendByGroup (a shift
+    * changes no correlation and keeps the integer moments exact
+    * bigints). Output: (groupCol, n long, r double — NULL when either
+    * variable is constant in the group). Rows with NULL x or y drop.
+    *
+    * Exactness: Σdx, Σdx² exact integers; Σy, Σdx·y, Σy² accumulate
+    * through DECIMAL(25,9) (one IEEE product each, order-independent);
+    * the closed form is a fixed IEEE tree with one correctly-rounded
+    * √ — deterministic cross-engine.
+    *
+    * 100 TB shape: one window min + one aggregation over the same
+    * group partitioning (Catalyst reuses the exchange), five moments
+    * per group on the wire. */
+  def corrByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`").cast("long")
+    val y = col(s"`$yCol`").cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.as("__x"), y.as("__y"))
+      .withColumn("__xmin", min(col("__x")).over(Window.partitionBy(col("__g"))))
+      .withColumn("__dx", col("__x") - col("__xmin"))
+    base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__dx")).as("__sx"),
+        sum(col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__y") * col("__y")).cast(dec)).as("__syy"),
+        sum((col("__dx").cast("double") * col("__y")).cast(dec)).as("__sxy"))
+      .withColumn("__vx", (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double"))
+      .withColumn("__vy", col("n").cast("double") * col("__syy").cast("double") -
+        col("__sy").cast("double") * col("__sy").cast("double"))
+      .select(col("__g").as(groupCol), col("n"),
+        when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          (col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            sqrt(col("__vx") * col("__vy"))).as("r"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative `valueCol` — the
+    * inequality audit for corpus balance (is one domain hogging the
+    * tokens? how concentrated are per-source volumes?): G =
+    * (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort
+    * (ties broken by `idCol` — tie order cannot change the value:
+    * equal x swap equal terms). Output: (groupCol, n long, total
+    * double — Σx, gini double — NULL when Σx = 0). Rows with NULL
+    * group or value drop; a group containing a negative value reports
+    * NULL gini (the statistic is undefined off the non-negative
+    * domain).
+    *
+    * Exactness: ranks are exact integers; i·x and the totals
+    * accumulate through DECIMAL(25,9) (exact for integer-valued x);
+    * the closed form is a fixed IEEE tree over the exact sums.
+    *
+    * 100 TB shape: one per-group sort window (the [[calibrateByGroup]]
+    * giant-group caveat) feeding ranks and sums on one exchange. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`").cast("double")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"), col(s"`$idCol`").as("__id"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__g"))
+        .orderBy(col("__v"), col("__id").cast("string"))).cast("long"))
+    base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__rn").cast("double") * col("__v")).cast(dec)).as("__rs"),
+        coalesce(min(col("__v")), lit(0.0)).as("__min"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__s").cast("double").as("total"),
+        when(col("__min") < 0.0, lit(null).cast("double"))
+          .when(col("__s").cast("double") > 0.0,
+            (lit(2.0) * col("__rs").cast("double") -
+              (col("n") + 1L).cast("double") * col("__s").cast("double")) /
+              (col("n").cast("double") * col("__s").cast("double")))
+          .as("gini"))
+  }
+
   /** Per-group trimmed and winsorized means — the outlier-robust
     * location estimates between the plain mean and [[robustStats]]'
     * median: trim drops the `trimMicro`/1e6 fraction off EACH tail

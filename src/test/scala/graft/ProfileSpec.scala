@@ -47,6 +47,60 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(row.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("corrByGroup: perfect line, anti-line, and constant guards") {
+    val df = Seq(
+      ("up", 0L, 1.0), ("up", 1L, 3.0), ("up", 2L, 5.0),
+      ("down", 0L, 9.0), ("down", 1L, 6.0), ("down", 2L, 3.0),
+      ("flat", 0L, 4.0), ("flat", 1L, 4.0), ("flat", 2L, 4.0),
+      ("onex", 5L, 1.0), ("onex", 5L, 2.0)).toDF("g", "x", "y")
+    val out = Profile.corrByGroup(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("up").getAs[Double]("r") - 1.0) < 1e-12)
+    assert(math.abs(out("down").getAs[Double]("r") + 1.0) < 1e-12)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("r")), "constant y")
+    assert(out("onex").isNullAt(out("onex").fieldIndex("r")), "constant x")
+  }
+
+  test("corrByGroup: hand-computed non-degenerate r") {
+    // x = 0,1,2,3; y = 1,2,2,4 -> r = 0.9
+    val df = Seq(("g", 0L, 1.0), ("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 4.0))
+      .toDF("g", "x", "y")
+    val r = Profile.corrByGroup(df, "g", "x", "y").head().getAs[Double]("r")
+    // n=4, sx=6, sxx=14, sy=9, syy=25, sxy=18
+    // num = 72-54=18; vx = 56-36=20; vy = 100-81=19 -> 18/sqrt(380)
+    assert(math.abs(r - 18.0 / math.sqrt(380.0)) < 1e-12)
+  }
+
+  test("giniByGroup: equality is 0, concentration approaches 1, negatives refuse") {
+    val eq = Seq.tabulate(10)(i => ("e", i.toLong, 7.0)).toDF("g", "id", "v")
+    val r1 = Profile.giniByGroup(eq, "g", "v", "id").head()
+    assert(math.abs(r1.getAs[Double]("gini")) < 1e-12)
+    val conc = (Seq.tabulate(9)(i => ("c", i.toLong, 0.0)) :+ (("c", 9L, 100.0)))
+      .toDF("g", "id", "v")
+    val r2 = Profile.giniByGroup(conc, "g", "v", "id").head()
+    // G = (2*10*100 - 11*100) / (10*100) = 0.9
+    assert(math.abs(r2.getAs[Double]("gini") - 0.9) < 1e-12)
+    val neg = Seq(("n", 1L, -1.0), ("n", 2L, 5.0)).toDF("g", "id", "v")
+    val r3 = Profile.giniByGroup(neg, "g", "v", "id").head()
+    assert(r3.isNullAt(r3.fieldIndex("gini")))
+    val zero = Seq(("z", 1L, 0.0), ("z", 2L, 0.0)).toDF("g", "id", "v")
+    val r4 = Profile.giniByGroup(zero, "g", "v", "id").head()
+    assert(r4.isNullAt(r4.fieldIndex("gini")), "all-zero total is undefined")
+  }
+
+  test("giniByGroup: hand-computed mixed distribution; tie order is value-stable") {
+    // sorted v: 1,2,3,4 -> G = (2*(1+4+9+16) - 5*10)/(4*10) = 10/40 = 0.25
+    val df = Seq(("g", 1L, 3.0), ("g", 2L, 1.0), ("g", 3L, 4.0), ("g", 4L, 2.0))
+      .toDF("g", "id", "v")
+    val r = Profile.giniByGroup(df, "g", "v", "id").head()
+    assert(math.abs(r.getAs[Double]("gini") - 0.25) < 1e-12)
+    // duplicate values with shuffled ids: same gini regardless of tie order
+    val ties1 = Seq(("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 6.0)).toDF("g", "id", "v")
+    val ties2 = Seq(("g", 2L, 2.0), ("g", 1L, 2.0), ("g", 3L, 6.0)).toDF("g", "id", "v")
+    assert(Profile.giniByGroup(ties1, "g", "v", "id").head().getAs[Double]("gini") ===
+      Profile.giniByGroup(ties2, "g", "v", "id").head().getAs[Double]("gini"))
+  }
+
   test("trimmedMeanByGroup: hand-computed 10% trim with an outlier") {
     val df = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
       (("g", 10L, 1000.0))).toDF("src", "id", "v")
