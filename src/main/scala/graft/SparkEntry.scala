@@ -5609,5 +5609,84 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", "doc_id")
         .orderBy(col("source"))
     }
+
+    // --- Spearman rank correlation value × epoch-hour per event type:
+    //     DOUBLED midranks (2·min_rank + t − 1) as exact integers, every
+    //     moment in DECIMAL(38,0)/HUGEINT, one IEEE closed form.
+    register("p134_spearman",
+      """WITH b AS (SELECT event_type AS g,
+        |    epoch_us(CAST(ts AS TIMESTAMP))//3600000000 AS x, value AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT g,
+        |    2 * CAST(RANK() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+        |      + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx,
+        |    2 * CAST(RANK() OVER (PARTITION BY g ORDER BY y) AS BIGINT)
+        |      + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry
+        |  FROM b),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+        |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+        |  FROM r GROUP BY g),
+        |f AS (SELECT g, n,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vy,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num
+        |  FROM a)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0 THEN num / sqrt(vx * vy) END AS rho
+        |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.spearmanByGroup(
+          events(s, dir)
+            .filter(col("ts").isNotNull)
+            .withColumn("hour_x",
+              expr("unix_micros(cast(ts as timestamp)) div 3600000000")),
+          "event_type", "hour_x", "value")
+        .orderBy(col("event_type"))
+    }
+
+    // --- lag-24h autocorrelation of the HOURLY EVENT COUNT per event
+    //     type (rate-seasonality detector): integer ticks keep every
+    //     moment term exact under the DECIMAL(25,9) quantization — a
+    //     mean-valued tick would put full-mantissa quotients on the
+    //     double→decimal cast boundary, where Spark's shortest-repr
+    //     rounding and DuckDB's exact-value rounding can differ
+    //     (measured at sf0.01); integer equi-join on (type, hour+24),
+    //     corrByGroup's IEEE closed form.
+    register("p135_autocorr",
+      """WITH b AS (SELECT event_type AS g,
+        |    epoch_us(CAST(ts AS TIMESTAMP))//3600000000 AS x
+        |  FROM events WHERE ts IS NOT NULL),
+        |h AS (SELECT g, x, CAST(COUNT(*) AS DOUBLE) AS y
+        |  FROM b GROUP BY g, x),
+        |p AS (SELECT h1.g, h1.y AS y1, h2.y AS y2
+        |  FROM h h1 JOIN h h2 ON h2.g = h1.g AND h2.x = h1.x + 24),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(y1 AS DECIMAL(25,9))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(y2 AS DECIMAL(25,9))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(y1 * y1 AS DECIMAL(25,9))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(y2 * y2 AS DECIMAL(25,9))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(y1 * y2 AS DECIMAL(25,9))) AS DOUBLE) AS s12
+        |  FROM p GROUP BY g),
+        |f AS (SELECT g, n_pairs,
+        |    n_pairs::DOUBLE * s11 - s1 * s1 AS v1,
+        |    n_pairs::DOUBLE * s22 - s2 * s2 AS v2,
+        |    n_pairs::DOUBLE * s12 - s1 * s2 AS num
+        |  FROM a)
+        |SELECT g AS event_type, n_pairs,
+        |  CASE WHEN n_pairs >= 2 AND v1 > 0.0 AND v2 > 0.0 THEN
+        |    num / sqrt(v1 * v2) END AS r
+        |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("hour_x",
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        .groupBy(col("event_type"), col("hour_x"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      graft.operators.Profile.autocorrByGroup(
+          hourly, "event_type", "hour_x", "y", 24L)
+        .orderBy(col("event_type"))
+    }
   }
 }

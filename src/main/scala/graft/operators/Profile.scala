@@ -653,6 +653,104 @@ object Profile {
             sqrt(col("__vx") * col("__vy"))).as("r"))
   }
 
+  /** Per-group Spearman rank correlation between two numeric columns —
+    * the monotone-association strength that survives outliers and
+    * nonlinearity (quality-score vs length, score vs recency), i.e.
+    * Pearson over MIDRANKS. Ranks ride DOUBLED as exact integers
+    * (2·min_rank + t − 1 for a tie run of t — the [[Drift.mannWhitneyU]]
+    * trick), so every moment is exact DECIMAL(38,0) arithmetic and only
+    * the closed form divides in IEEE doubles with one correctly-rounded
+    * sqrt. Output: (groupCol, n long, rho double — NULL when either
+    * variable is constant in the group). Rows with NULL values drop.
+    *
+    * 100 TB shape: two per-group sort windows (one exchange each axis;
+    * the [[calibrateByGroup]] giant-group caveat) feeding one moment
+    * aggregation. */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`").cast("double")
+    val y = col(s"`$yCol`").cast("double")
+    def midrank2(v: String, out: String)(d: DataFrame): DataFrame = d
+      .withColumn("__r", rank().over(
+        Window.partitionBy(col("__g")).orderBy(col(v))).cast("long"))
+      .withColumn("__t", count(lit(1)).over(
+        Window.partitionBy(col("__g"), col(v))))
+      .withColumn(out, lit(2L) * col("__r") + col("__t") - 1L)
+      .drop("__r", "__t")
+    val ranked = midrank2("__y", "__ry")(midrank2("__x", "__rx")(
+      df.filter(x.isNotNull && y.isNotNull)
+        .select(g.as("__g"), x.as("__x"), y.as("__y"))))
+    ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec38)).as("__sx"),
+        sum(col("__ry").cast(dec38)).as("__sy"),
+        sum((col("__rx").cast(dec38) * col("__rx"))).as("__sxx"),
+        sum((col("__ry").cast(dec38) * col("__ry"))).as("__syy"),
+        sum((col("__rx").cast(dec38) * col("__ry"))).as("__sxy"))
+      .withColumn("__vx", (col("n").cast(dec38) * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__vy", (col("n").cast(dec38) * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+      .select(col("__g").as(groupCol), col("n"),
+        when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          (col("n").cast(dec38) * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") / sqrt(col("__vx") * col("__vy"))).as("rho"))
+  }
+
+  /** Per-group lag-`lag` autocorrelation of `yCol` along an integer
+    * axis `xCol` (epoch hours, sequence positions) — the seasonality /
+    * persistence detector behind "is this hourly rate periodic?"
+    * monitors: Pearson r between (y at x) and (y at x + lag) over all
+    * axis points where BOTH exist. Distinct x per group expected (one
+    * measurement per tick — aggregate first). Output: (groupCol,
+    * n_pairs long, r double — NULL with fewer than 2 pairs or a
+    * constant side). Rows with NULL x or y drop.
+    *
+    * Exactness: the pair join is an integer equi-join; moments
+    * quantize through DECIMAL(25,9) per term; the closed form is the
+    * [[corrByGroup]] fixed IEEE tree. Cross-engine caveat: feed
+    * integer-valued or raw-stored ticks, not freshly computed
+    * quotients — a full-mantissa double sitting ON a 9-dp rounding
+    * boundary quantizes differently under Spark's shortest-repr
+    * double→decimal cast vs an exact-value cast (the p135 gate
+    * autocorrelates hourly COUNTS for exactly this reason).
+    *
+    * 100 TB shape: one self-equi-join on (group, x+lag) — hash
+    * shuffle of (group, tick) keyed rows, no window at all. */
+  def autocorrByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, lag: Long): DataFrame = {
+    require(lag >= 1L, s"lag must be >= 1, got $lag")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`").cast("long")
+    val y = col(s"`$yCol`").cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.as("__x"), y.as("__y"))
+    val pairs = base.select(col("__g"), (col("__x") + lag).as("__xj"),
+        col("__y").as("__y1"))
+      .join(base.select(col("__g"), col("__x").as("__xj"), col("__y").as("__y2")),
+        Seq("__g", "__xj"))
+    pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__y1").cast(dec)).as("__s1"),
+        sum(col("__y2").cast(dec)).as("__s2"),
+        sum((col("__y1") * col("__y1")).cast(dec)).as("__s11"),
+        sum((col("__y2") * col("__y2")).cast(dec)).as("__s22"),
+        sum((col("__y1") * col("__y2")).cast(dec)).as("__s12"))
+      .withColumn("__v1", col("n_pairs").cast("double") * col("__s11").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double"))
+      .withColumn("__v2", col("n_pairs").cast("double") * col("__s22").cast("double") -
+        col("__s2").cast("double") * col("__s2").cast("double"))
+      .select(col("__g").as(groupCol), col("n_pairs"),
+        when(col("n_pairs") >= 2L && col("__v1") > 0.0 && col("__v2") > 0.0,
+          (col("n_pairs").cast("double") * col("__s12").cast("double") -
+            col("__s1").cast("double") * col("__s2").cast("double")) /
+            sqrt(col("__v1") * col("__v2"))).as("r"))
+  }
+
   /** Per-group Gini coefficient of a non-negative `valueCol` — the
     * inequality audit for corpus balance (is one domain hogging the
     * tokens? how concentrated are per-source volumes?): G =

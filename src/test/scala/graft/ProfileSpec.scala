@@ -101,6 +101,48 @@ class ProfileSpec extends SparkSpecBase {
       Profile.giniByGroup(ties2, "g", "v", "id").head().getAs[Double]("gini"))
   }
 
+  test("spearmanByGroup: monotone-nonlinear is 1, discordant hand-case is 0.6") {
+    val mono = Seq(("m", 1.0, 1.0), ("m", 2.0, 8.0), ("m", 3.0, 27.0),
+      ("m", 4.0, 1000.0)).toDF("g", "x", "y")
+    val r1 = Profile.spearmanByGroup(mono, "g", "x", "y").head()
+    assert(r1.getAs[Double]("rho") === 1.0, "rank-perfect despite nonlinearity")
+    // no-ties textbook: y ranks 2,1,4,3 -> rho = 1 - 6*4/(4*15) = 0.6
+    val disc = Seq(("d", 1.0, 20.0), ("d", 2.0, 10.0), ("d", 3.0, 40.0),
+      ("d", 4.0, 30.0)).toDF("g", "x", "y")
+    val r2 = Profile.spearmanByGroup(disc, "g", "x", "y").head()
+    assert(math.abs(r2.getAs[Double]("rho") - 0.6) < 1e-12)
+  }
+
+  test("spearmanByGroup: midrank ties and constant guards") {
+    val tied = Seq(("t", 1.0, 10.0), ("t", 2.0, 20.0), ("t", 2.0, 20.0),
+      ("t", 3.0, 40.0)).toDF("g", "x", "y")
+    val r = Profile.spearmanByGroup(tied, "g", "x", "y").head()
+    assert(r.getAs[Double]("rho") === 1.0, "identical tie structure is still 1")
+    val const = Seq(("c", 1.0, 5.0), ("c", 2.0, 5.0)).toDF("g", "x", "y")
+    val rc = Profile.spearmanByGroup(const, "g", "x", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
+
+  test("autocorrByGroup: periodic signal scores +1 at the period, -1 at half") {
+    val series = (0L to 9L).map(x => ("s", x, (x % 2).toDouble)).toDF("g", "x", "y")
+    val atPeriod = Profile.autocorrByGroup(series, "g", "x", "y", 2L).head()
+    assert(atPeriod.getAs[Long]("n_pairs") === 8L)
+    assert(atPeriod.getAs[Double]("r") === 1.0)
+    val atHalf = Profile.autocorrByGroup(series, "g", "x", "y", 1L).head()
+    assert(atHalf.getAs[Double]("r") === -1.0)
+    intercept[IllegalArgumentException] {
+      Profile.autocorrByGroup(series, "g", "x", "y", 0L)
+    }
+  }
+
+  test("autocorrByGroup: no overlapping ticks emits no row; constant y is NULL") {
+    val sparse = Seq(("s", 0L, 1.0), ("s", 5L, 2.0)).toDF("g", "x", "y")
+    assert(Profile.autocorrByGroup(sparse, "g", "x", "y", 2L).count() === 0L)
+    val const = (0L to 5L).map(x => ("c", x, 3.0)).toDF("g", "x", "y")
+    val r = Profile.autocorrByGroup(const, "g", "x", "y", 1L).head()
+    assert(r.isNullAt(r.fieldIndex("r")))
+  }
+
   test("trimmedMeanByGroup: hand-computed 10% trim with an outlier") {
     val df = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
       (("g", 10L, 1000.0))).toDF("src", "id", "v")
