@@ -5688,5 +5688,70 @@ object SparkEntry {
           hourly, "event_type", "hour_x", "y", 24L)
         .orderBy(col("event_type"))
     }
+
+    // --- mixture matching: keep the largest subset of three sources
+    //     whose mix is EXACTLY the 50/30/20 recipe — integer-micros
+    //     quotas (T = min_k ⌊n_k·1e6/s_k⌋), smallest-hash-first fill
+    //     (the capPerGroup rank contract).
+    register("p136_match_mixture",
+      """WITH r(key, s) AS (VALUES ('src0', 500000), ('src1', 300000),
+        |    ('src2', 200000)),
+        |base AS (SELECT doc_id, source FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY source),
+        |j AS (SELECT r.key, r.s, COALESCE(c.n, 0) AS n
+        |  FROM r LEFT JOIN c ON c.source = r.key),
+        |t AS (SELECT MIN(n * 1000000 // s) AS t FROM j),
+        |q AS (SELECT key, (SELECT t FROM t) * s // 1000000 AS quota FROM j),
+        |sel AS (SELECT b.doc_id, b.source, ROW_NUMBER() OVER (
+        |    PARTITION BY b.source ORDER BY
+        |      ('0x' || substring(md5('mix1:' || CAST(b.doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT ASC,
+        |      CAST(b.doc_id AS VARCHAR) ASC) AS rn
+        |  FROM base b)
+        |SELECT doc_id, source FROM sel JOIN q ON q.key = sel.source
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Mixture.matchMixture(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source",
+          Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L),
+          "doc_id", "mix1")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- Neyman-optimal labeling-budget allocation across sources
+    //     (largest-remainder integer rounding summing exactly to the
+    //     budget; 0-clamped radicand; strata-sized rank windows).
+    register("p137_neyman_alloc",
+      """WITH m AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(n_chars::DOUBLE AS DECIMAL(25,9))) AS sx,
+        |    SUM(CAST(n_chars::DOUBLE * n_chars::DOUBLE AS DECIMAL(25,9))) AS sxx
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY source),
+        |s AS (SELECT g, n, CASE WHEN n > 1 THEN
+        |    sqrt(GREATEST((n::DOUBLE * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |      (n::DOUBLE * CAST(n - 1 AS DOUBLE)), 0.0))
+        |  ELSE 0.0 END AS sd FROM m),
+        |w AS (SELECT *, CAST(CAST(n AS DOUBLE) * sd AS DECIMAL(25,9)) AS wq
+        |  FROM s),
+        |tot AS (SELECT COALESCE(SUM(wq), 0) AS wtot FROM w),
+        |sc AS (SELECT g, n, sd, CASE WHEN CAST(wtot AS DOUBLE) > 0.0 THEN
+        |    1000.0 * CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) END AS raw
+        |  FROM w CROSS JOIN tot),
+        |f AS (SELECT *, CAST(FLOOR(raw) AS BIGINT) AS base,
+        |    raw - CAST(FLOOR(raw) AS BIGINT)::DOUBLE AS rem FROM sc),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC,
+        |      CAST(g AS VARCHAR) ASC) AS rn,
+        |    1000 - SUM(base) OVER () AS leftover FROM f)
+        |SELECT g AS source, n, sd,
+        |  CASE WHEN raw IS NOT NULL THEN
+        |    base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END END AS alloc
+        |FROM rk ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.neymanAllocation(
+          t(s, dir, "documents"), "source", "n_chars", 1000L)
+        .orderBy(col("source"))
+    }
   }
 }

@@ -101,4 +101,58 @@ object Mixture {
     val top = raw.values.max
     raw.map { case (s, w) => s -> w / top * maxWeight }
   }
+
+  /** Subsample `df` WITHOUT replacement so its `keyCol` mix matches the
+    * `targetMicro` share recipe exactly, keeping as many rows as the
+    * scarcest key allows — "make this crawl's language mix look like
+    * the reference corpus", the downsampling-only dual of
+    * [[sampleMixture]]'s rate re-weighting. Shares are micro-units
+    * (Long, summing to ≤ 1e6; normalization is the caller's business
+    * so both engines see the same integer recipe). Keys absent from
+    * the recipe (or NULL) drop. Quotas are exact integer arithmetic:
+    * T = min_k ⌊n_k·1e6/s_k⌋ (the largest total the scarcest key
+    * supports), quota_k = ⌊T·s_k/1e6⌋ ≤ n_k; within a key the quota
+    * fills with the smallest (salt, id) hashes — [[Splits.capPerGroup]]'s
+    * deterministic rank, so re-runs and re-partitionings keep the SAME
+    * rows. Over a FIXED row population, raising a quota only adds rows
+    * (hash ranks are stable); NEW rows in a key re-deal that key's
+    * uniform sample — smallest-hash-first is a sample, not an append
+    * log.
+    *
+    * 100 TB shape: one count aggregation (broadcast back as a quota
+    * CASE literal — key cardinality is a recipe, bounded), one
+    * per-key hash-rank window ([[Profile.calibrateByGroup]]'s
+    * giant-group caveat), one pushed-down filter. */
+  def matchMixture(
+      df: DataFrame,
+      keyCol: String,
+      targetMicro: Map[String, Long],
+      idCol: String,
+      salt: String): DataFrame = {
+    require(targetMicro.nonEmpty, "matchMixture: empty target recipe")
+    require(targetMicro.valuesIterator.forall(_ > 0L),
+      s"matchMixture: shares must be positive micro-units, got $targetMicro")
+    require(targetMicro.valuesIterator.sum <= 1000000L,
+      s"matchMixture: shares exceed 1e6 micro-units: $targetMicro")
+    val k = col(s"`$keyCol`")
+    val inRecipe = df.filter(k.isInCollection(targetMicro.keys.toSeq))
+    val counts = inRecipe.groupBy(k.as("__k"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the recipe is driver-sized by contract; keys with zero rows force
+    // T = 0 (an absent ingredient means NO total satisfies the recipe)
+    val t = targetMicro.keys.map { key =>
+      counts.getOrElse(key, 0L) * 1000000L / targetMicro(key)
+    }.min
+    val quotas = targetMicro.map { case (key, s) => key -> t * s / 1000000L }
+    val quotaCol = quotas.foldLeft(lit(0L): Column) {
+      case (other, (key, q)) => when(k === key, lit(q)).otherwise(other)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(k)
+      .orderBy(Splits.hashValue60(col(s"`$idCol`"), salt).asc_nulls_last,
+        col(s"`$idCol`").cast("string").asc_nulls_last)
+    inRecipe.withColumn("__mm_rn", row_number().over(w))
+      .filter(col("__mm_rn") <= quotaCol)
+      .drop("__mm_rn")
+  }
 }

@@ -381,6 +381,70 @@ object Splits {
     df.withColumn(foldCol, hashValue60(key, salt) % k)
   }
 
+  /** Neyman-optimal sample allocation (Neyman 1934): split a labeling /
+    * eval / audit `budget` across the strata of `strataCol` in
+    * proportion to n_h·σ_h — the allocation that minimizes the variance
+    * of the stratified estimate of mean(`valueCol`), the principled
+    * answer to "how many docs from each source do we send to review?".
+    * Output, one row per stratum: (strataCol, n long, sd double —
+    * sample standard deviation, NULL-as-0 weight for single-row
+    * strata, alloc long — integer allocation summing EXACTLY to
+    * `budget` via largest-remainder rounding, ties to the ascending
+    * stratum name; NULL when every stratum is constant, i.e. no
+    * variance signal exists). The allocation is UNCAPPED: a tiny
+    * high-variance stratum can be allocated more rows than it has —
+    * clamp downstream if sampling without replacement. Rows with NULL
+    * stratum or value drop.
+    *
+    * Exactness: moments quantize through DECIMAL(25,9) (exact for
+    * integer-valued columns); σ is one fixed IEEE tree with a
+    * 0-clamped radicand (FP residue of a constant stratum) and a
+    * correctly-rounded √; weights re-quantize to DECIMAL(25,9) so
+    * their total is order-independent; floors, remainders and the
+    * remainder rank are deterministic double comparisons.
+    *
+    * 100 TB shape: one moment aggregation; everything after runs on
+    * the strata-count-sized frame (its rank window orders strata,
+    * never data). */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1L, s"budget must be >= 1, got $budget")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$strataCol`")
+    val v = col(s"`$valueCol`").cast("double")
+    import org.apache.spark.sql.expressions.Window
+    val moments = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(dec)).as("__sx"),
+        sum((v * v).cast(dec)).as("__sxx"))
+      .withColumn("__var", greatest(
+        (col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1L).cast("double")),
+        lit(0.0)))
+      .withColumn("sd", when(col("n") > 1L, sqrt(col("__var"))).otherwise(0.0))
+      .withColumn("__wq", (col("n").cast("double") * col("sd")).cast(dec))
+    val total = moments.agg(
+      coalesce(sum(col("__wq")), lit(0).cast(dec)).as("__wtot"))
+    val scored = moments.crossJoin(broadcast(total))
+      .withColumn("__raw", when(col("__wtot").cast("double") > 0.0,
+        lit(budget.toDouble) * col("__wq").cast("double") /
+          col("__wtot").cast("double")))
+      .withColumn("__base", floor(col("__raw")).cast("long"))
+      .withColumn("__rem", col("__raw") - col("__base").cast("double"))
+    // strata-count-sized windows: ordering strata, never data
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__rem").desc, col("__g").cast("string").asc)))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__g").as(strataCol), col("n"), col("sd"),
+        when(col("__raw").isNotNull,
+          col("__base") + when(col("__rn") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Inverse-CDF thresholds for Poisson(1) scaled to the 60-bit hash
     * space: a uniform u in [0, 2^60) maps to weight w = #{t : u >= t},
     * i.e. w = k iff thresholds(k-1) <= u < thresholds(k) (w = count

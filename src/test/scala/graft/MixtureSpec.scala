@@ -90,4 +90,44 @@ class MixtureSpec extends SparkSpecBase {
       Mixture.temperatureWeights(Map("a" -> 10L), tau = 0.0)
     }
   }
+
+  test("matchMixture: the kept subset matches the recipe exactly at the max total") {
+    val df = ((1L to 10L).map(i => (i, "a")) ++ (11L to 20L).map(i => (i, "b")) ++
+      (21L to 24L).map(i => (i, "c")) ++ Seq((99L, "zzz_not_in_recipe")))
+      .toDF("id", "src")
+    val target = Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    val kept = Mixture.matchMixture(df, "src", target, "id", "s1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(10/0.5, 10/0.3, 4/0.2) = 20 -> quotas 10 / 6 / 4
+    assert(kept === Map("a" -> 10L, "b" -> 6L, "c" -> 4L))
+  }
+
+  test("matchMixture: monotone — new data only ADDS rows; missing key empties") {
+    val base = ((1L to 10L).map(i => (i, "a")) ++ (11L to 20L).map(i => (i, "b")) ++
+      (21L to 24L).map(i => (i, "c")))
+    val target = Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    def ids(rows: Seq[(Long, String)]) =
+      Mixture.matchMixture(rows.toDF("id", "src"), "src", target, "id", "s1")
+        .select("id").as[Long].collect().toSet
+    val s0 = ids(base)
+    // growing the non-binding key c leaves every QUOTA unchanged (T is
+    // still bound by a) — c's 4 seats re-deal over 8 candidates, a and
+    // b selections are untouched
+    val grown = base ++ (25L to 28L).map(i => (i, "c"))
+    val s1 = ids(grown)
+    assert(s1.size === s0.size)
+    assert(s1.filter(_ <= 20L) === s0.filter(_ <= 20L),
+      "a/b selections stable when only c grows")
+    // growing the binding key a raises T = 24: quotas 12/7/4 — over the
+    // SAME population plus the new a rows, the old selection only grows
+    val s2 = ids(grown ++ (29L to 30L).map(i => (i, "a")))
+    assert(s1.subsetOf(s2) && s2.size > s1.size)
+    // a recipe key with zero rows supports no total at all
+    val s3 = ids(base.filterNot(_._2 == "c"))
+    assert(s3.isEmpty)
+    intercept[IllegalArgumentException] {
+      Mixture.matchMixture(base.toDF("id", "src"), "src",
+        Map("a" -> 600000L, "b" -> 600000L), "id", "s1")
+    }
+  }
 }

@@ -325,6 +325,35 @@ class SplitsSpec extends SparkSpecBase {
     }
   }
 
+  test("neymanAllocation: hand-computed n·σ split with largest-remainder rounding") {
+    val df = Seq(
+      ("A", 0.0), ("A", 10.0),          // sd = sqrt(50), w = 2*sqrt(50)
+      ("B", 5.0), ("B", 5.0), ("B", 5.0), // constant -> w = 0
+      ("C", 0.0), ("C", 2.0))           // sd = sqrt(2),  w = 2*sqrt(2)
+      .toDF("src", "v")
+    val out = Splits.neymanAllocation(df, "src", "v", 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // raw_A = 10 * sqrt(50)/(sqrt(50)+sqrt(2)) = 25/3, raw_C = 5/3:
+    // bases 8/1, C's remainder .67 > A's .33 -> C takes the leftover seat
+    assert(out("A").getAs[Long]("alloc") === 8L)
+    assert(out("C").getAs[Long]("alloc") === 2L)
+    assert(out("B").getAs[Long]("alloc") === 0L)
+    assert(out.values.map(_.getAs[Long]("alloc")).sum === 10L)
+    assert(out("B").getAs[Double]("sd") === 0.0)
+  }
+
+  test("neymanAllocation: allocations always sum to the budget; all-constant is NULL") {
+    val df = (1L to 300L).map(i => (s"s${i % 7}", (i * i % 97).toDouble))
+      .toDF("src", "v")
+    val allocs = Splits.neymanAllocation(df, "src", "v", 123L)
+      .select("alloc").as[Long].collect()
+    assert(allocs.sum === 123L, "largest-remainder must hit the budget exactly")
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("src", "v")
+    val rows = Splits.neymanAllocation(const, "src", "v", 10L).collect()
+    rows.foreach(r => assert(r.isNullAt(r.fieldIndex("alloc")),
+      "no variance signal -> undefined allocation"))
+  }
+
   test("kFoldAssign: folds in [0,k), deterministic, and re-salting re-deals") {
     val df = (1L to 200L).toDF("id")
     val a = Splits.kFoldAssign(df, "id", 5, "s1")
