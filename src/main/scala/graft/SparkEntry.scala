@@ -5753,5 +5753,91 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", 1000L)
         .orderBy(col("source"))
     }
+
+    // --- pair-overlap anatomy over consecutive-id candidate pairs:
+    //     shared/only shingle counts, jaccard AND both containments —
+    //     the triage layer that separates near-dups from subset
+    //     relationships. Shingle sets only travel for paired ids.
+    register("p138_pair_overlap",
+      s"""WITH t2 AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t2),
+         |f AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS sz
+         |  FROM sh WHERE len(s) > 0),
+         |p AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents),
+         |v AS (SELECT id_a, id_b, fa.sz AS sz_a, fb.sz AS sz_b,
+         |    CAST(len(list_intersect(fa.s, fb.s)) AS BIGINT) AS n_shared
+         |  FROM p JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b)
+         |SELECT id_a, id_b, sz_a, sz_b, n_shared,
+         |  sz_a - n_shared AS n_only_a, sz_b - n_shared AS n_only_b,
+         |  round(n_shared::DOUBLE / (sz_a + sz_b - n_shared)::DOUBLE, 9)
+         |    AS jaccard,
+         |  round(n_shared::DOUBLE / sz_a::DOUBLE, 9) AS containment_a,
+         |  round(n_shared::DOUBLE / sz_b::DOUBLE, 9) AS containment_b
+         |FROM v ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1L).as("id_b"))
+      graft.operators.Dedup.pairOverlapProfile(pairs, docs, "doc_id", "text")
+        .orderBy(col("id_a"))
+    }
+
+    // --- Benford leading-digit audit of lineitem prices: floored
+    //     integer rendering (floor FIRST — double→int casts round in
+    //     DuckDB, truncate in Spark), 9-dp ln expectations.
+    register("p139_benford",
+      s"""WITH b AS (SELECT l_extendedprice AS v FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1.0),
+         |d AS (SELECT CAST(substring(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS BIGINT) AS digit FROM b),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         |t2 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tt FROM c),
+         |g AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+         |j AS (SELECT g.digit, COALESCE(c.n, 0) AS n
+         |  FROM g LEFT JOIN c ON c.digit = g.digit),
+         |e AS (SELECT digit, n,
+         |    CASE WHEN tt > 0 THEN n::DOUBLE / tt::DOUBLE END AS frac,
+         |    (${ln9Sql("digit::DOUBLE + 1.0")} - ${ln9Sql("digit::DOUBLE")}) /
+         |      ${ln9Sql("10.0")} AS expected
+         |  FROM j CROSS JOIN t2)
+         |SELECT digit, n, frac, expected, frac - expected AS deviation
+         |FROM e ORDER BY digit""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.benfordProfile(
+          t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy(col("digit"))
+    }
+
+    // --- per-actor inter-event gap statistics (cadence fingerprint):
+    //     exact microsecond diffs, exact nearest-rank p50/p95 with
+    //     integer-micros ranks, event_id tiebreaks on both orderings.
+    register("p140_gap_stats",
+      """WITH r AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsm FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g0 AS (SELECT user_id, event_id, tsm - lag(tsm) OVER (
+        |    PARTITION BY user_id ORDER BY tsm, event_id) AS gap FROM r),
+        |g1 AS (SELECT * FROM g0 WHERE gap IS NOT NULL),
+        |rk AS (SELECT user_id, gap,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap, event_id)
+        |      AS rn
+        |  FROM g1)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap) AS BIGINT) AS gap_min,
+        |  CAST(MAX(CASE WHEN rn = (n * 500000 + 999999) // 1000000
+        |    THEN gap END) AS BIGINT) AS gap_p50,
+        |  CAST(MAX(CASE WHEN rn = (n * 950000 + 999999) // 1000000
+        |    THEN gap END) AS BIGINT) AS gap_p95,
+        |  CAST(MAX(gap) AS BIGINT) AS gap_max
+        |FROM rk GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.gapStats(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "user_id", "ts_c", "event_id")
+        .orderBy(col("user_id"))
+    }
   }
 }

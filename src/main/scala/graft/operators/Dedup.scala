@@ -1249,4 +1249,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared.toLong)
   }
+
+  /** Explain a set of candidate pairs: per (id_a, id_b), the shingle-set
+    * overlap anatomy — (sz_a, sz_b, n_shared, n_only_a, n_only_b longs,
+    * jaccard double, containment_a, containment_b doubles — shared/szₓ,
+    * i.e. "how much of x lives inside the other"). The triage layer over
+    * every pair generator here (LSH candidates, sorted-neighborhood
+    * windows, CDC chunk matches): jaccard vs containment separates true
+    * near-dups from subset/template relationships before anyone stares
+    * at raw text. Pairs where either side has no shingles (< shingleN
+    * tokens, NULL text) drop — overlap is undefined on an empty set,
+    * the [[sortedNeighborhoodPairs]] convention. Ratios round to 9 dp
+    * (the p69 reporting contract).
+    *
+    * 100 TB shape: two hash equi-joins keyed on pair ids — shingle sets
+    * travel ONLY for ids that appear in `pairs`, never corpus-wide; the
+    * intersect/size arithmetic is per-row codegen. */
+  def pairOverlapProfile(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .select(col(idCol).as("__sid"), col("__shingles").as("__s"),
+        size(col("__shingles")).cast("long").as("__sz"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sets.select(col("__sid").as("id_a"), col("__s").as("__sa"),
+        col("__sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("__sid").as("id_b"), col("__s").as("__sb"),
+        col("__sz").as("sz_b")), Seq("id_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        col("n_shared"),
+        (col("sz_a") - col("n_shared")).as("n_only_a"),
+        (col("sz_b") - col("n_shared")).as("n_only_b"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"), 9)
+          .as("jaccard"),
+        round(col("n_shared").cast("double") / col("sz_a").cast("double"), 9)
+          .as("containment_a"),
+        round(col("n_shared").cast("double") / col("sz_b").cast("double"), 9)
+          .as("containment_b"))
+  }
 }

@@ -793,6 +793,49 @@ object Profile {
           .as("gini"))
   }
 
+  /** Benford leading-digit audit of a positive numeric column — the
+    * naturally-occurring-numbers test (Benford 1938; Nigrini's fraud
+    * workhorse) that flags fabricated or truncated value columns
+    * (prices, counts, durations) whose first-digit mix strays from
+    * log10(1 + 1/d). Rows with NULL values or values < 1 drop (their
+    * leading significant digit lives in the fraction; shift upstream
+    * if they matter). Output, one row per digit 1–9 (absent digits
+    * included with n = 0): (digit long, n long, frac double — n/N,
+    * expected double — (ln(d+1) − ln(d))/ln(10) under the 9-dp ln
+    * contract, deviation double — frac − expected).
+    *
+    * Exactness: the digit is the first character of the FLOORED
+    * value's integer rendering (floor first — a straight double→long
+    * cast rounds in some engines, truncates in others); counts are
+    * exact; each ln rides the 9-dp decimal contract; frac and the
+    * deviation are single IEEE operations.
+    *
+    * 100 TB shape: one map-side-combinable count over ≤ 9 groups
+    * joined to a 9-row literal frame; nothing else shuffles. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(s"`$valueCol`").cast("double")
+    val ln9v = (c: org.apache.spark.sql.Column) =>
+      round(log(c).cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+        .cast("double")
+    // !isnan matters: Spark orders NaN ABOVE every value, so NaN >= 1.0
+    // is true and a NaN row would mint a null digit that inflates N
+    val counts = df.filter(v.isNotNull && !isnan(v) && v >= 1.0)
+      .select(substring(floor(v).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__n"))
+    val digits = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val total = counts.agg(coalesce(sum(col("__n")), lit(0L)).as("__t"))
+    digits.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("__n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        when(col("__t") > 0L,
+          col("n").cast("double") / col("__t").cast("double")).as("frac"),
+        ((ln9v(col("digit").cast("double") + 1.0) -
+          ln9v(col("digit").cast("double"))) / ln9v(lit(10.0))).as("expected"))
+      .withColumn("deviation", col("frac") - col("expected"))
+  }
+
   /** Per-group trimmed and winsorized means — the outlier-robust
     * location estimates between the plain mean and [[robustStats]]'
     * median: trim drops the `trimMicro`/1e6 fraction off EACH tail

@@ -213,4 +213,44 @@ object Sessionize {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("__tot").cast("double")).as("prob"))
   }
+
+  /** Per-actor inter-event gap statistics — the cadence fingerprint
+    * behind bot/automation triage (metronome-regular gaps), engagement
+    * scoring and retention features: consecutive-event time deltas in
+    * exact MICROSECONDS (integer diffs of unix_micros — no FP anywhere),
+    * summarized per actor as (userCol, n_gaps long, gap_min,
+    * gap_p50, gap_p95, gap_max longs — exact nearest-rank order
+    * statistics, ⌈q·n⌉ by integer-micros rank). Actors with fewer than
+    * 2 timestamped events have no gaps and emit no row; NULL timestamps
+    * drop; ties order by `orderCol` so the diff sequence is
+    * deterministic.
+    *
+    * 100 TB shape: one per-user sort window feeds the lag diffs, the
+    * ranks and the aggregate on a single exchange (the
+    * [[Profile.calibrateByGroup]] giant-group caveat). */
+  def gapStats(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String): DataFrame = {
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val w = Window.partitionBy(u)
+      .orderBy(ts.asc_nulls_last, col(s"`$orderCol`").asc_nulls_last)
+    val gaps = df.filter(u.isNotNull && ts.isNotNull)
+      .withColumn("__gap", unix_micros(ts) - unix_micros(lag(ts, 1).over(w)))
+      .filter(col("__gap").isNotNull)
+    val wg = Window.partitionBy(u)
+    gaps
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__rn", row_number().over(
+        wg.orderBy(col("__gap"), col(s"`$orderCol`").asc_nulls_last)))
+      .groupBy(u.as(userCol))
+      .agg(max(col("__n")).as("n_gaps"),
+        min(col("__gap")).as("gap_min"),
+        max(when(col("__rn") ===
+          expr("(__n * 500000L + 999999L) div 1000000L"), col("__gap")))
+          .as("gap_p50"),
+        max(when(col("__rn") ===
+          expr("(__n * 950000L + 999999L) div 1000000L"), col("__gap")))
+          .as("gap_p95"),
+        max(col("__gap")).as("gap_max"))
+  }
 }

@@ -499,4 +499,28 @@ class DedupSpec extends SparkSpecBase {
     val strict = Dedup.sharedChunkPairs(df, "id", "text", minShared = 1000)
     assert(strict.count() === 0L)
   }
+
+  test("pairOverlapProfile: jaccard vs containment separates dup from subset") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),        // exact dup of 1
+      (3L, "alpha beta gamma delta"),                     // strict subset of 1
+      (4L, "one two three four five six"),                // disjoint from 1
+      (5L, "xy")).toDF("doc_id", "text")                  // too short: no shingles
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.pairOverlapProfile(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val dup = out((1L, 2L))
+    assert(dup.getAs[Long]("n_shared") === 4L && dup.getAs[Double]("jaccard") === 1.0)
+    val sub = out((1L, 3L))
+    // doc 3 has 2 shingles, both inside doc 1's 4: containment_b = 1,
+    // jaccard only 0.5 — the subset signature
+    assert(sub.getAs[Double]("containment_b") === 1.0)
+    assert(sub.getAs[Double]("jaccard") === 0.5)
+    assert(sub.getAs[Long]("n_only_b") === 0L && sub.getAs[Long]("n_only_a") === 2L)
+    val dis = out((1L, 4L))
+    assert(dis.getAs[Long]("n_shared") === 0L && dis.getAs[Double]("jaccard") === 0.0)
+    assert(!out.contains((1L, 5L)), "a shingle-less side drops the pair")
+  }
 }

@@ -143,6 +143,24 @@ class ProfileSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("r")))
   }
 
+  test("benfordProfile: digits, expectations, and sub-1/NULL filtering") {
+    val df = (Seq(123.4, 19.0, 1.0, 250.0, 2.5, 0.5, 9000.0) :+
+      Double.NaN).map(Tuple1(_)).toDF("v")
+      .union(Seq(Tuple1(null.asInstanceOf[java.lang.Double])).toDF("v"))
+    val out = Profile.benfordProfile(df, "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === (1L to 9L).toSet, "all nine digits present")
+    // kept values: 123.4, 19, 1, 250, 2.5, 9000 -> digits 1,1,1,2,2,9
+    assert(out(1L).getAs[Long]("n") === 3L)
+    assert(out(2L).getAs[Long]("n") === 2L)
+    assert(out(9L).getAs[Long]("n") === 1L)
+    assert(out(3L).getAs[Long]("n") === 0L)
+    assert(math.abs(out(1L).getAs[Double]("expected") - math.log10(2.0)) < 1e-8)
+    val expSum = (1L to 9L).map(out(_).getAs[Double]("expected")).sum
+    assert(math.abs(expSum - 1.0) < 1e-7, "Benford expectations sum to 1")
+    assert(out(1L).getAs[Double]("frac") === 0.5)
+  }
+
   test("trimmedMeanByGroup: hand-computed 10% trim with an outlier") {
     val df = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
       (("g", 10L, 1000.0))).toDF("src", "id", "v")

@@ -157,4 +157,27 @@ class SessionizeSpec extends SparkSpecBase {
       .as[(String, Long, Long, Double)].collect().toList
     assert(got === List(("2024-01-01", 2L, 2L, 1.0)))
   }
+
+  test("gapStats: exact microsecond gaps with nearest-rank order statistics") {
+    val df = Seq(
+      // user 1: ts at 0s, 1s, 3s, 10s -> gaps 1e6, 2e6, 7e6 micros
+      (1L, 1L, "2024-01-01 00:00:00"), (1L, 2L, "2024-01-01 00:00:01"),
+      (1L, 3L, "2024-01-01 00:00:03"), (1L, 4L, "2024-01-01 00:00:10"),
+      // user 2: a single event -> no gaps, no row
+      (2L, 5L, "2024-01-01 00:00:00"),
+      // user 3: null ts drops -> single real event -> no row
+      (3L, 6L, "2024-01-01 00:00:00"), (3L, 7L, null.asInstanceOf[String]))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Sessionize.gapStats(df, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L))
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_gaps") === 3L)
+    assert(u1.getAs[Long]("gap_min") === 1000000L)
+    // ranks over sorted gaps [1e6, 2e6, 7e6]: p50 -> rank 2, p95 -> rank 3
+    assert(u1.getAs[Long]("gap_p50") === 2000000L)
+    assert(u1.getAs[Long]("gap_p95") === 7000000L)
+    assert(u1.getAs[Long]("gap_max") === 7000000L)
+  }
 }
