@@ -435,7 +435,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // p130: the 1-row totals broadcast into the distinct-value CDF
       // for the nearest-rank picks
       "p120_psi_drift", "p121_chi_square", "p124_poisson_bootstrap",
-      "p125_krippendorff_alpha", "p129_theils_u", "p130_quantile_shift")
+      "p125_krippendorff_alpha", "p129_theils_u", "p130_quantile_shift",
+      // p137: the 1-row weight-total broadcasts into the strata frame;
+      // p139: the 1-row grand total broadcasts into the 9-row digit
+      // frame — scalar dims, not pair blow-ups
+      "p137_neyman_alloc", "p139_benford")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
