@@ -52,19 +52,22 @@ object Similarity {
   private def scoreDesc(score: Column): Column =
     nanvl(score, lit(Double.NegativeInfinity)).desc_nulls_last
 
-  /** Exact, order-independent dot product of two float-array columns. */
+  /** Exact, order-independent dot product of two float-array columns.
+    * Scale-18 per-term quantization with an UNBOUNDED BigDecimal
+    * accumulator ([[org.apache.spark.sql.graft.DecimalVecFold]]) — the
+    * former expression-tree fold re-rounded the running sum to scale 17
+    * each step (Spark decimal + overflows precision 38 and
+    * allowPrecisionLoss trims), leaving the final double ~1 ulp from
+    * DuckDB's exact int128 decimal sum; the native fold is exact like
+    * DuckDB's, so only the documented double→decimal cast-boundary
+    * family remains (ADVICE.md). Codegen'd loop, no per-element Decimal
+    * boxing through interpreted lambdas. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-      lit(0).cast(Dec),
-      (acc, v) => (acc + v).cast(Dec)).cast("double")
+    graft.functions.DecimalVecDot.dot(a, b)
 
-  /** Exact squared L2 norm. */
+  /** Exact squared L2 norm (same exact-fold contract as [[dot]]). */
   def normSq(a: Column): Column =
-    aggregate(
-      transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
-      lit(0).cast(Dec),
-      (acc, v) => (acc + v).cast(Dec)).cast("double")
+    graft.functions.DecimalVecDot.normSq(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
@@ -734,16 +737,10 @@ object Similarity {
       .withColumnRenamed("__g", groupCol)
   }
 
-  /** Exact, order-independent squared L2 distance (the [[dot]] decimal
-    * recipe over per-element differences). */
+  /** Exact, order-independent squared L2 distance (the [[dot]]
+    * exact-fold contract over per-element differences). */
   def distSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        (d * d).cast(Dec)
-      }),
-      lit(0).cast(Dec),
-      (acc, v) => (acc + v).cast(Dec)).cast("double")
+    graft.functions.DecimalVecDot.distSq(a, b)
 
   /** Greedy k-center coreset selection (Gonzalez 1985's 2-approximation
     * to the k-center objective — the max-min "farthest point first"
@@ -819,5 +816,77 @@ object Similarity {
       }
     }
     result(picked.toSeq)
+  }
+
+  /** Mutual nearest-neighbor pairs (reciprocal 1-NN by cosine): i and j
+    * pair iff each is the other's single nearest neighbor — the
+    * highest-precision near-duplicate signal in embedding space
+    * (de Souza et al.'s reciprocal-rank heuristic; MNN is also the
+    * anchor-pair rule in bitext mining). A doc can appear in at most one
+    * MNN pair, so the output is a matching, not a neighborhood graph —
+    * exactly what dedup canonical-selection wants as seeds. Output:
+    * (id_a, id_b — id_a < id_b, cosine double rounded to 9 dp, the p07
+    * reporting rule), ordered consumers' choice. NaN/zero-norm vectors
+    * can never pair ([[bruteForceTopK]]'s nanvl rank rule sinks them).
+    *
+    * 100 TB shape: this EXACT path inherits [[bruteForceTopK]]'s
+    * broadcast-queries contract — run it on a bounded block (the p12
+    * exact-path rule) or feed the candidate pairs from
+    * [[lshTopK]]/[[ivfTopK]] at corpus scale; the MNN join itself is an
+    * equi-join on (query, neighbor) key pairs. */
+  def mutualNearestNeighbors(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val nn = bruteForceTopK(corpus, corpus, idCol, vecCol, k = 1)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"),
+        col("cosine").as("__c"))
+    nn.filter(col("__q") < col("__n"))
+      .join(nn.select(col("__n").as("__q"), col("__q").as("__n")),
+        Seq("__q", "__n"), "left_semi")
+      .select(col("__q").as("id_a"), col("__n").as("id_b"),
+        round(col("__c"), 9).as("cosine"))
+  }
+
+  /** Per-dimension symmetric int8 quantization audit of an embedding
+    * column — the "can we ship these vectors at 4× less storage/bandwidth
+    *?" report every large-scale ANN deployment runs before switching the
+    * index to int8. Per dimension: scale = max|x|/127, code =
+    * clamp(⌊x/scale + 0.5⌋, ±127), and the reconstruction error x −
+    * code·scale. Output per dimension: (dim long, n long, scale double —
+    * NULL for an all-zero dimension (codes are all 0, error 0), mse
+    * double, max_abs_err double). Feed `mse` into the recall gates (p80)
+    * to decide if int8 is safe.
+    *
+    * Exactness: float→double casts are exact; scale is ONE division;
+    * ⌊x/scale + 0.5⌋ is floor over a fixed IEEE tree (floor, not
+    * round() — engines disagree on decimal-string .5 rounding, never on
+    * floor); squared errors accumulate in DECIMAL(25,15); mse is one
+    * final division through the 9-dp contract; max_abs_err is a raw max
+    * of identical doubles.
+    *
+    * 100 TB shape: one posexplode + two map-side-combinable
+    * aggregations to (dim) — the per-dim max joins back by dim (a
+    * broadcast-sized frame: dims ≪ rows); no window, no row-sized
+    * shuffle beyond the explode's dim-keyed combine. */
+  def int8QuantizationError(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(s"`$vecCol`")
+    val vals = df.filter(v.isNotNull)
+      .select(posexplode(v).as(Seq("__dim", "__f")))
+      .select(col("__dim").cast("long").as("__dim"),
+        col("__f").cast("double").as("__v"))
+    val scales = vals.groupBy(col("__dim"))
+      .agg(max(abs(col("__v"))).as("__mx"), count(lit(1)).as("n"))
+      .withColumn("scale", when(col("__mx") > 0.0, col("__mx") / lit(127.0)))
+    val err = vals.join(broadcast(scales), Seq("__dim"))
+      .withColumn("__err", when(col("scale").isNull, lit(0.0)).otherwise(
+        col("__v") - greatest(least(floor(col("__v") / col("scale") + lit(0.5)),
+          lit(127.0)), lit(-127.0)) * col("scale")))
+    err.groupBy(col("__dim").as("dim"))
+      .agg(max(col("n")).as("n"), max(col("scale")).as("scale"),
+        sum((col("__err") * col("__err")).cast(DecimalType(25, 15))).as("__se"),
+        max(abs(col("__err"))).as("max_abs_err"))
+      .select(col("dim"), col("n"), col("scale"),
+        round((col("__se").cast("double") / col("n").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double").as("mse"),
+        col("max_abs_err"))
   }
 }

@@ -155,6 +155,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(maxDiff < 1e-9, s"maxDiff $maxDiff")
   }
 
+  test("DecimalVecFold: exact fold matches a reference BigDecimal sum") {
+    // reference: quantize each product at scale 18 (HALF_UP — the Spark
+    // cast rule), sum exactly, round once to double
+    val e = testdata("sf0.001", "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val df = testdata("sf0.001", "embeddings").limit(50)
+    val got = df.select(col("vec_id"), Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    e.foreach { case (id, v) =>
+      var acc = java.math.BigDecimal.ZERO
+      v.foreach { x =>
+        val t = x.toDouble * x.toDouble
+        acc = acc.add(java.math.BigDecimal.valueOf(t)
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+      }
+      assert(got(id) === acc.doubleValue(), s"vec $id")
+    }
+  }
+
+  test("DecimalVecFold: distSq is exact and symmetric; NaN component yields NULL") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(4.0f, 6.0f)),
+      (2L, Array(Float.NaN, 0.0f), Array(0.0f, 0.0f)))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      Similarity.distSq(col("a"), col("b")).as("d"),
+      Similarity.distSq(col("b"), col("a")).as("dr")).orderBy("id").collect()
+    assert(rows(0).getAs[Double]("d") === 25.0) // 9 + 16
+    assert(rows(0).getAs[Double]("dr") === 25.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("d")))
+  }
+
   test("signSignature buckets are reproducible and dim-correct") {
     val planes = Similarity.planes(8, 4)
     assert(planes.length === 8 && planes.forall(_.length === 4))
@@ -363,5 +395,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === List(1L, 2L))
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     assert(Similarity.kCenterSelect(empty, "id", "v", k = 3).count() === 0L)
+  }
+
+  test("int8QuantizationError: exactly representable dims quantize losslessly") {
+    // dim 0 values are multiples of max/127 = 1.0 -> codes land exactly
+    val df = Seq(
+      (1L, Array(127.0f, 0.3f)),
+      (2L, Array(-64.0f, -0.1f)),
+      (3L, Array(5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.int8QuantizationError(df, "embedding")
+      .orderBy(col("dim")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("scale") === 1.0)
+    assert(rows(0).getAs[Double]("mse") === 0.0)
+    assert(rows(0).getAs[Double]("max_abs_err") === 0.0)
+    // dim 1: scale = 0.3/127; errors bounded by scale/2
+    val d1 = rows(1)
+    assert(d1.getAs[Double]("max_abs_err") <= d1.getAs[Double]("scale") / 2 + 1e-15)
+  }
+
+  test("int8QuantizationError: all-zero dimension reports NULL scale, zero error") {
+    val df = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantizationError(df, "embedding")
+      .orderBy(col("dim")).collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("scale")))
+    assert(r(0).getAs[Double]("mse") === 0.0)
+    assert(r(0).getAs[Long]("n") === 2L)
+  }
+
+  test("int8QuantizationError: codes clamp at ±127 (no overflow past max)") {
+    // negative extreme defines max|x|; positive values quantize within range
+    val df = Seq((1L, Array(-254.0f)), (2L, Array(253.9f))).toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantizationError(df, "embedding").head()
+    assert(r.getAs[Double]("scale") === 2.0)
+    // 253.9f/2 ~ 126.95 -> floor(+0.5) = 127 -> err = 253.9f - 127*2
+    val expected = 254.0 - 253.9f.toDouble
+    assert(math.abs(r.getAs[Double]("max_abs_err") - expected) < 1e-12)
   }
 }
