@@ -316,4 +316,166 @@ object Drift {
         when(col("n_a") > 0L && col("n_b") > 0L && n1 * n2 > lit(0.0),
           ua / (n1 * n2) * lit(2.0) - lit(1.0)).as("rank_biserial"))
   }
+
+  /** 1-D Wasserstein-1 (earth-mover) distance between the INTEGRAL
+    * `valueCol` distributions of frames `a` and `b` — W₁ = ∫|F_a − F_b| dx,
+    * the area between the two empirical CDFs. The drift score that weighs
+    * HOW FAR mass moved: KS ([[Profile.ksStatistic]]) reports only the
+    * single worst CDF gap and [[mannWhitneyU]] only the direction of the
+    * shift; W₁ is the expected transport cost in the value's own units
+    * (chars, tokens, ms). One row: (n_a, n_b, n_values longs, w1 double —
+    * NULL when either side is empty). NULL values drop.
+    *
+    * Exactness: `valueCol` must be integral (cast upstream — a double
+    * grid would put engine-dependent FP subtraction in the segment
+    * widths). Both CDFs are flat between consecutive distinct pooled
+    * values x_i < x_{i+1}, so
+    * W₁ = Σ_i |cumA_i·n_b − cumB_i·n_a| · (x_{i+1} − x_i) / (n_a·n_b):
+    * every summand is a product of exact integers accumulating in
+    * DECIMAL(38,0), and w1 is ONE final IEEE division.
+    *
+    * 100 TB shape: each side collapses to per-distinct-value counts
+    * (map-side combinable), one full-outer merge, one [[PrefixSum]]
+    * distributed cumulative scan (range exchange + broadcast offsets,
+    * never a single-reducer window), and the consecutive-value adjacency
+    * is a rank EQUI-join (rank i ⋈ rank i+1 — the scan already emitted
+    * exact ranks as cum-ones), which shuffles by rank instead of
+    * windowing. The only BNLJs are the two 1-row totals scalars. */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
+      .groupBy(v.cast("long").as("__v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.withRunningSums(merged, "__v",
+        Seq("__one", "__na", "__nb"), stager)
+      .select(col("__v"), col("cum___one").as("__rk"),
+        col("cum___na").as("__ca"), col("cum___nb").as("__cb"))
+    val nxt = ranked.select((col("__rk") - 1L).as("__rk"), col("__v").as("__vn"))
+    val segs = ranked.join(nxt, Seq("__rk"))
+    val tot = merged.agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+      count(lit(1)).as("n_values"))
+    val num = segs.crossJoin(broadcast(tot))
+      .agg(sum(abs(col("__ca").cast(dec38) * col("n_b") -
+          col("__cb").cast(dec38) * col("n_a")) *
+        (col("__vn") - col("__v")).cast(dec38)).as("__num"))
+    tot.crossJoin(broadcast(num)).select(
+      col("n_a"), col("n_b"), col("n_values"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        coalesce(col("__num"), lit(0L).cast(dec38)).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("w1"))
+  }
+
+  /** Quantile normalization: map every distinct value of frame `b` onto
+    * the value at the SAME quantile of frame `a` (nearest-rank — never
+    * interpolated, the p70 contract) — the score-merging step when two
+    * classifiers' quality scores must share one threshold scale, or when
+    * a new crawl's length distribution is force-matched to a reference
+    * before mixture math. For each distinct b-value v with cumulative
+    * count cum_b(v), the target rank is ⌈cum_b(v)·n_a / n_b⌉ (exact
+    * integer arithmetic) and `normalized` is a's value at that rank.
+    * Output per distinct b value: (value, n — b rows at that value,
+    * cum_b, target_rank longs, normalized — a's own value type, NULL
+    * when a is empty). NULL values drop on both sides.
+    *
+    * 100 TB shape: both sides collapse to per-distinct-value counts with
+    * [[PrefixSum]] scans; the rank lookup is [[AsofJoin]] FORWARD
+    * (smallest a-cum ≥ target) over the two DISTINCT-value frames —
+    * the categorical/integral contract: distinct-value cardinality ≪
+    * row count (bin continuous signals first). */
+  def quantileNormalize(a: DataFrame, b: DataFrame, valueCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val v = col(s"`$valueCol`")
+    def cum(df: DataFrame, cname: String) = PrefixSum.withRunningSums(
+      df.filter(v.isNotNull).groupBy(v.as("__v")).agg(count(lit(1)).as("__c")),
+      "__v", Seq("__c"), stager)
+      .select(col("__v"), col("__c"), col("cum___c").as(cname))
+    val ac = cum(a, "__cuma").select(col("__v").as("__av"), col("__cuma"))
+    val bc = cum(b, "__cumb")
+    val na = a.filter(v.isNotNull).agg(count(lit(1)).as("__na"))
+    val nb = b.filter(v.isNotNull).agg(count(lit(1)).as("__nb"))
+    val targets = bc.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("target_rank",
+        expr("(__cumb * __na + __nb - 1) div __nb"))
+      .select(col("__v"), col("__c"), col("__cumb"), col("target_rank"))
+    AsofJoin(
+        targets.withColumn("__k", lit(0)),
+        ac.withColumn("__k", lit(0)),
+        keyCols = Seq("__k"), leftTsCol = "target_rank",
+        rightTsCol = "__cuma", valueCols = Seq("__av"),
+        strategy = "forward")
+      .select(col("__v").as("value"), col("__c").as("n"),
+        col("__cumb").as("cum_b"), col("target_rank"),
+        col("asof___av").as("normalized"))
+  }
+
+  /** Per-group single-changepoint detection over an INTEGRAL series —
+    * the "when did this source's volume shift?" monitor: the split t
+    * minimizing the two-segment sum of squared errors, i.e. the first
+    * step of binary-segmentation changepoint detection (Scott & Knott
+    * 1974). Input rows are one observation each (`orderCol` the series
+    * axis, `valueCol` the integral measurement — counts, not rates).
+    * Per group: (groupCol, n long, t_split — the orderCol value of the
+    * LAST left-segment row, n_left, n_right longs, mean_left,
+    * mean_right, sse_reduction doubles — total-SSE drop vs no split;
+    * groups with n < 2 report NULL split columns). NULL order/value
+    * rows drop.
+    *
+    * Exactness: with L/R the exact segment sums, the split objective
+    * g(t) = (L²·n_R + R²·n_L)/(n_L·n_R) is ONE division of exact
+    * DECIMAL(38,0) integers per candidate — identical cross-engine, so
+    * the argmax (ties → earliest t) is deterministic; means and the
+    * reduction g − T²/n are single divisions / one subtraction of such
+    * values. Bound: |value|·n per group must stay < 10¹⁹ so L² fits
+    * DECIMAL(38,0).
+    *
+    * 100 TB shape: one per-group window pass (prefix sum + position +
+    * totals share a single partition-by-group sort) and one top-1
+    * window — groups parallelize; a group is its own series length,
+    * the per-group-window contract (q07). Bin raw event streams to
+    * per-bucket counts FIRST ([[graft.operators.Sessionize]]) — the
+    * series should be buckets, not rows. */
+  def changepointBinary(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(s"`$groupCol`").isNotNull && col(s"`$orderCol`").isNotNull &&
+        col(s"`$valueCol`").isNotNull)
+      .select(col(s"`$groupCol`").as("__g"), col(s"`$orderCol`").as("__x"),
+        col(s"`$valueCol`").cast("long").as("__y"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val wg = Window.partitionBy(col("__g"))
+    val scanned = base
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("__L",
+        sum(col("__y")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__T", sum(col("__y")).over(wg))
+    val cands = scanned.filter(col("__pos") < col("__n"))
+      .withColumn("__R", col("__T") - col("__L"))
+      .withColumn("__nl", col("__pos"))
+      .withColumn("__nr", col("__n") - col("__pos"))
+      .withColumn("__f",
+        (col("__L").cast(dec38) * col("__L") * col("__nr") +
+         col("__R").cast(dec38) * col("__R") * col("__nl")).cast("double") /
+        (col("__nl") * col("__nr")).cast("double"))
+    val ranked = cands.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__g"))
+        .orderBy(col("__f").desc, col("__pos").asc)))
+      .filter(col("__rk") === 1)
+    val totals = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__Tt"))
+    totals.join(ranked.select(col("__g"), col("__x").as("t_split"),
+        col("__nl").as("n_left"), col("__nr").as("n_right"),
+        (col("__L").cast("double") / col("__nl").cast("double")).as("mean_left"),
+        (col("__R").cast("double") / col("__nr").cast("double")).as("mean_right"),
+        col("__f")), Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("t_split"),
+        col("n_left"), col("n_right"), col("mean_left"), col("mean_right"),
+        (col("__f") - (col("__Tt").cast(dec38) * col("__Tt")).cast("double") /
+          col("n").cast("double")).as("sse_reduction"))
+  }
 }

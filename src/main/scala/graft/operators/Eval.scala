@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Ranking-metric evaluation for corpus filters (beyond-reference per
   * SURVEY.md §2.4): a quality/domain classifier is only trustworthy if
@@ -228,5 +229,297 @@ object Eval {
         col("d_o"), col("d_e"),
         when(col("d_e") > 0.0,
           lit(1.0) - col("d_o") / col("d_e")).as("alpha"))
+  }
+
+  /** Per-group average precision (AP — the area under the
+    * precision–recall curve by the standard step interpolation): the
+    * retrieval/filter metric that, unlike [[aucByGroup]]'s AUC, weighs
+    * the TOP of the ranking where a curation pipeline actually cuts.
+    * AP = (1/n⁺)·Σ_{k: rel_k} P@k with P@k = cumPos_k/k over the ranking
+    * by `scoreCol` DESC. Ties break deterministically by `tieCol` ASC —
+    * AP is order-dependent, so an explicit total order is part of the
+    * metric's definition here (the same contract as q10_topk). Rows with
+    * NULL score or label drop. Output per group: (n long, n_pos long,
+    * avg_precision double — NULL when the group has no positives).
+    *
+    * Exactness: each P@k is ONE IEEE division of exact integers rounded
+    * through the 9-dp decimal contract; relevant terms accumulate in
+    * DECIMAL(25,15) (order-independent); the final mean is one more
+    * division rounded the same way.
+    *
+    * 100 TB shape: one per-group window pass (rank + running positive
+    * count share a single partition-by-group sort exchange) and one
+    * aggregation — groups parallelize across executors; a single group
+    * is bounded by its own row count, the usual per-group-window
+    * contract (q07/q08). */
+  def avgPrecisionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, tieCol: String): DataFrame = {
+    val base = df
+      .filter(col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$groupCol`").as("__g"), col(s"`$scoreCol`").as("__s"),
+        col(s"`$labelCol`").cast("boolean").as("__l"),
+        col(s"`$tieCol`").as("__tb"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__s").desc, col("__tb").asc)
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cp", sum(when(col("__l"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__prec",
+        round((col("__cp").cast("double") / col("__rn").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double"))
+    ranked.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__l"), col("__prec").cast(DecimalType(25, 15))))
+          .as("__sum"))
+      .select(col(s"`$groupCol`"), col("n"), col("n_pos"),
+        when(col("n_pos") > 0L,
+          round((col("__sum").cast("double") / col("n_pos").cast("double"))
+            .cast(DecimalType(25, 12)), 9).cast("double"))
+          .as("avg_precision"))
+  }
+
+  /** Expected Calibration Error (Naeini et al. 2015) over equal-width
+    * score bins — the single-number companion to
+    * [[calibrationCurve]]'s reliability diagram: ECE = Σ_b (n_b/N)·
+    * |acc_b − conf_b|, plus MCE = max_b |acc_b − conf_b|. Scores are
+    * probabilities in [0, 1] (out-of-range values clamp into the edge
+    * bins, the calibrationCurve rule); rows with NULL score or label
+    * drop. One row: (n long, n_bins_used long, ece double, mce double —
+    * both NULL on an empty input).
+    *
+    * Exactness: per-bin conf is decimal-sum/count (IEEE-identical), acc
+    * is one integer division, their gap and the n_b·gap weight are
+    * single IEEE ops on identical doubles; weighted terms accumulate in
+    * DECIMAL(25,15); ECE is one final division rounded through the 9-dp
+    * contract; MCE is a raw max of identical doubles (no decimal
+    * round-trip — max is order-independent).
+    *
+    * 100 TB shape: one map-side-combinable aggregation to ≤ nBins rows,
+    * then a constant-size reduce — no window, no join. */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "expectedCalibrationError: nBins must be positive")
+    val base = df
+      .filter(col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$scoreCol`").cast("double").as("__s"),
+        col(s"`$labelCol`").cast("boolean").as("__l"))
+      .withColumn("__bin", greatest(least(
+        floor(col("__s") * nBins).cast("long"), lit(nBins - 1L)), lit(0L)))
+    val bins = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__np"),
+        sum(col("__s").cast(DecimalType(25, 9))).as("__ss"))
+      .withColumn("__conf", col("__ss").cast("double") / col("__n").cast("double"))
+      .withColumn("__gap",
+        abs(col("__np").cast("double") / col("__n").cast("double") - col("__conf")))
+    bins.agg(sum(col("__n")).as("n"), count(lit(1)).as("n_bins_used"),
+        sum((col("__n").cast("double") * col("__gap"))
+          .cast(DecimalType(25, 15))).as("__wsum"),
+        max(col("__gap")).as("__mce"))
+      .select(col("n"), col("n_bins_used"),
+        when(col("n") > 0L,
+          round((col("__wsum").cast("double") / col("n").cast("double"))
+            .cast(DecimalType(25, 12)), 9).cast("double")).as("ece"),
+        when(col("n") > 0L, col("__mce")).as("mce"))
+  }
+
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    * 2021): from a calibration sample of nonconformity scores, the
+    * finite-sample threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest score —
+    * any test point with score ≤ q̂ is "covered", and exchangeability
+    * guarantees coverage ≥ 1−α. The distribution-free layer a pipeline
+    * puts on top of an uncalibrated quality/classifier score
+    * ([[calibrationCurve]] diagnoses miscalibration; this SIDESTEPS it).
+    * `alphaPermille` is α·1000 (100 = 90% target coverage) so the rank
+    * stays pure integer arithmetic. One row: (n_cal, rank longs, qhat —
+    * the calibration score's own type, n_test, n_covered longs,
+    * coverage double — n_covered/n_test, NULL when the test side is
+    * empty or there is no calibration data). NULL scores drop on both
+    * sides; rank clamps to n_cal (degenerate tiny-n case).
+    *
+    * Exactness: the rank is exact integer arithmetic; q̂ is a SELECTED
+    * raw value (nearest-rank, never interpolated — the p70 contract);
+    * coverage is one integer division.
+    *
+    * 100 TB shape: the calibration side collapses to per-distinct-value
+    * counts and the nearest-rank pick rides a [[PrefixSum]] scan (the
+    * quantileShift posture); the 1-row q̂ then broadcasts into a single
+    * test-side aggregation — no sort of raw rows anywhere. */
+  def conformalCalibration(cal: DataFrame, test: DataFrame, scoreCol: String,
+      alphaPermille: Long = 100L,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(alphaPermille > 0L && alphaPermille < 1000L,
+      s"alphaPermille must be in (0, 1000), got $alphaPermille")
+    val sc = col(s"`$scoreCol`")
+    val calV = cal.filter(sc.isNotNull).select(sc.as("__s"))
+    val counts = calV.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withRunningSums(counts, "__s", Seq("__c"), stager)
+    val nrow = calV.agg(count(lit(1)).as("n_cal"))
+      .withColumn("rank", least(expr(
+        s"((n_cal + 1) * ${1000L - alphaPermille} + 999) div 1000"),
+        col("n_cal")))
+    // the picked row is the one whose cumulative count first reaches the
+    // rank; aggregate to a guaranteed 1-row frame (NULL qhat when the
+    // calibration side is empty)
+    val qhat = cum.crossJoin(broadcast(nrow))
+      .filter(col("cum___c") >= col("rank") &&
+        col("cum___c") - col("__c") < col("rank"))
+      .agg(max(col("__s")).as("qhat"))
+    val cov = test.filter(sc.isNotNull).select(sc.as("__s"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("qhat").isNotNull && col("__s") <= col("qhat"),
+          1L).otherwise(0L)), lit(0L)).as("n_covered"))
+    nrow.crossJoin(broadcast(qhat)).crossJoin(broadcast(cov))
+      .select(col("n_cal"), col("rank"), col("qhat"),
+        col("n_test"), col("n_covered"),
+        when(col("n_test") > 0L && col("qhat").isNotNull,
+          col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
+  /** Fleiss' κ (Fleiss 1971) — chance-corrected agreement for m ≥ 2
+    * raters in long format (one row per rating): the multi-rater
+    * completion of the agreement battery ([[cohenKappa]] fixes m = 2,
+    * [[krippendorffAlpha]] tolerates missing ratings; Fleiss is the
+    * standard fixed-panel statistic). Rows with NULL item or label drop.
+    * One row: (n_items, m, n_categories longs, po, pe, kappa doubles).
+    * Fleiss assumes EVERY item has exactly m ratings: when item rating
+    * counts differ, m/po/pe/kappa are NULL (use Krippendorff for ragged
+    * panels) — the violation is reported, never silently averaged over.
+    * kappa is also NULL when m < 2 or pe = 1 (a single category).
+    *
+    * Exactness: with n_ij the item×category counts, P̄ = (Σᵢⱼ n_ij² −
+    * N·m) / (N·m·(m−1)) and P̄e = (Σⱼ c_j²) / (N·m)² are each ONE
+    * division of exact integers (DECIMAL(38,0) sums) — engine-identical
+    * with no FP accumulation; κ is a fixed IEEE tree over the two.
+    *
+    * 100 TB shape: one (item, label) count aggregation (map-side
+    * combinable), one item-level and one category-level rollup, then
+    * 1-row scalars — no window, no row-sized join. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val f = df.filter(col(s"`$itemCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$itemCol`").as("__i"), col(s"`$labelCol`").as("__l"))
+    val cnt = f.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+    val perItem = cnt.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n").cast(dec38) * col("__n")).as("__s2"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("__m")).as("__mmin"), max(col("__m")).as("__mmax"),
+        sum(col("__s2")).as("__S"))
+    val perCat = cnt.groupBy(col("__l")).agg(sum(col("__n")).as("__c"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__c").cast(dec38) * col("__c")).as("__C2"))
+    val a = perItem.crossJoin(broadcast(perCat))
+    val ok = col("n_items") > 0L && col("__mmin") === col("__mmax") &&
+      col("__mmax") >= 2L
+    val nm = col("n_items").cast("double") * col("__mmax").cast("double")
+    val po = (col("__S") - col("n_items").cast(dec38) * col("__mmax"))
+      .cast("double") /
+      (nm * (col("__mmax") - 1L).cast("double"))
+    val pe = col("__C2").cast("double") / (nm * nm)
+    a.select(col("n_items"),
+      when(ok, col("__mmax")).as("m"), col("n_categories"),
+      when(ok, po).as("po"), when(ok, pe).as("pe"),
+      when(ok && pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Per-group NDCG@k (Järvelin & Kekäläinen 2002, binary relevance) —
+    * the position-discounted third leg of the ranking battery
+    * ([[aucByGroup]] is order-global, [[avgPrecisionByGroup]] weighs the
+    * top; NDCG@k grades exactly the window a curation cut keeps). Ties
+    * break by `tieCol` ASC (the avgPrecision total-order contract).
+    * Output per group: (groupCol, n, n_pos longs, dcg, idcg, ndcg
+    * doubles — NULL when the group has no positives). NULL score/label
+    * rows drop.
+    *
+    * Exactness: the discount 1/log₂(i+1) is computed as
+    * ln9(2)/ln9(i+1) — two 9-dp-contract logs of exact integers and ONE
+    * division, identical cross-engine; gain terms accumulate in
+    * DECIMAL(25,15); dcg/idcg/ndcg round to 9 dp on report. IDCG sums
+    * the same discounts over ranks 1..min(k, n_pos) — the ideal
+    * ranking's positions — using the group's own ranked rows as the
+    * rank series (no generator needed).
+    *
+    * 100 TB shape: one per-group window pass (rank + the positive-count
+    * total share one partition-by-group sort) and one aggregation. */
+  def ndcgByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ndcgByGroup: k must be >= 1, got $k")
+    val ln9 = (c: Column) =>
+      round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+    val base = df
+      .filter(col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$groupCol`").as("__g"), col(s"`$scoreCol`").as("__s"),
+        col(s"`$labelCol`").cast("boolean").as("__l"),
+        col(s"`$tieCol`").as("__tb"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__s").desc, col("__tb").asc)
+    val wg = Window.partitionBy(col("__g"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__np", sum(when(col("__l"), 1L).otherwise(0L)).over(wg))
+      .withColumn("__disc", ln9(lit(2.0)) / ln9((col("__rn") + 1L).cast("double")))
+    val d15 = DecimalType(25, 15)
+    ranked.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("__np")).as("n_pos"),
+        sum(when(col("__l") && col("__rn") <= k,
+          col("__disc").cast(d15))).as("__dcg"),
+        sum(when(col("__rn") <= least(lit(k.toLong), col("__np")),
+          col("__disc").cast(d15))).as("__idcg"))
+      .select(col(s"`$groupCol`"), col("n"), col("n_pos"),
+        when(col("n_pos") > 0L,
+          round(coalesce(col("__dcg"), lit(0).cast(d15)).cast("double"), 9))
+          .as("dcg"),
+        when(col("n_pos") > 0L, round(col("__idcg").cast("double"), 9)).as("idcg"),
+        when(col("n_pos") > 0L,
+          round(coalesce(col("__dcg"), lit(0).cast(d15)).cast("double") /
+            col("__idcg").cast("double"), 9)).as("ndcg"))
+  }
+
+  /** Brier score and logarithmic loss of a probability column against a
+    * boolean label — the two proper scoring rules that complete the
+    * calibration battery ([[calibrationCurve]] diagnoses by bin,
+    * [[expectedCalibrationError]] summarizes the diagram; these score
+    * the raw probabilities directly and are what model-selection
+    * actually minimizes). Probabilities clamp into [eps, 1−eps] (eps =
+    * 1e-6) before the log — the standard guard against infinite loss on
+    * a confidently-wrong 0/1. One row: (n, n_pos longs, brier, logloss
+    * doubles — NULL on empty input). NULL prob/label rows drop.
+    *
+    * Exactness: each Brier term (p−y)² is two IEEE ops on identical
+    * doubles; each logloss term is one 9-dp-contract ln of a clamped
+    * value; both accumulate in DECIMAL(25,15); the two means divide once
+    * and round to 9 dp on report.
+    *
+    * 100 TB shape: one map-side-combinable scalar aggregation. */
+  def brierLogLoss(df: DataFrame, probCol: String, labelCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0 && eps < 0.5, s"brierLogLoss: eps must be in (0, 0.5), got $eps")
+    val ln9 = (c: Column) =>
+      round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+    val d15 = DecimalType(25, 15)
+    val base = df
+      .filter(col(s"`$probCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$probCol`").cast("double").as("__p"),
+        col(s"`$labelCol`").cast("boolean").as("__l"))
+      .withColumn("__pc", greatest(least(col("__p"), lit(1.0 - eps)), lit(eps)))
+      .withColumn("__y", when(col("__l"), lit(1.0)).otherwise(lit(0.0)))
+    base.agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .cast(d15)).as("__bs"),
+        sum(when(col("__l"), -ln9(col("__pc")))
+          .otherwise(-ln9(lit(1.0) - col("__pc"))).cast(d15)).as("__ll"))
+      .select(col("n"), col("n_pos"),
+        when(col("n") > 0L,
+          round(col("__bs").cast("double") / col("n").cast("double"), 9))
+          .as("brier"),
+        when(col("n") > 0L,
+          round(col("__ll").cast("double") / col("n").cast("double"), 9))
+          .as("logloss"))
   }
 }

@@ -219,4 +219,111 @@ class DriftSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("u_a")))
     assert(r.isNullAt(r.fieldIndex("z")))
   }
+
+  // --- Wasserstein-1 ---------------------------------------------------------
+
+  test("wasserstein1: pure shift of equal-size samples is the shift") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(4L, 5L, 6L).toDF("v")
+    val r = Drift.wasserstein1(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("n_values") === 6L)
+    assert(r.getAs[Double]("w1") === 3.0)
+  }
+
+  test("wasserstein1: identical distributions score zero") {
+    val a = Seq(1L, 5L, 5L, 9L).toDF("v")
+    val b = Seq(1L, 5L, 5L, 9L).toDF("v")
+    assert(Drift.wasserstein1(a, b, "v").head().getAs[Double]("w1") === 0.0)
+  }
+
+  test("wasserstein1: two-point unequal masses, hand-computed") {
+    // F_a(0)=3/4, F_b(0)=1/4 over segment [0,10): W1 = (1/2)*10 = 5
+    val a = Seq(0L, 0L, 0L, 10L).toDF("v")
+    val b = Seq(0L, 10L, 10L, 10L).toDF("v")
+    assert(Drift.wasserstein1(a, b, "v").head().getAs[Double]("w1") === 5.0)
+  }
+
+  test("wasserstein1: single shared value gives zero (no segments)") {
+    val a = Seq(7L, 7L).toDF("v")
+    val b = Seq(7L).toDF("v")
+    val r = Drift.wasserstein1(a, b, "v").head()
+    assert(r.getAs[Long]("n_values") === 1L)
+    assert(r.getAs[Double]("w1") === 0.0)
+  }
+
+  test("wasserstein1: empty side yields NULL; NULL values drop") {
+    val a = Seq[Option[Long]](Some(1L), None).toDF("v")
+    val b = Seq.empty[Long].toDF("v")
+    val r = Drift.wasserstein1(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") === 1L)
+    assert(r.getAs[Long]("n_b") === 0L)
+    assert(r.isNullAt(r.fieldIndex("w1")))
+  }
+
+  // --- binary changepoint ------------------------------------------------------
+
+  test("changepointBinary: finds a clean level shift exactly") {
+    // g: 5,5,5 then 20,20,20 -> split after position 3 (x=3)
+    val df = Seq(
+      ("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L),
+      ("g", 4L, 20L), ("g", 5L, 20L), ("g", 6L, 20L)).toDF("grp", "x", "y")
+    val r = Drift.changepointBinary(df, "grp", "x", "y").head()
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("t_split") === 3L)
+    assert(r.getAs[Long]("n_left") === 3L && r.getAs[Long]("n_right") === 3L)
+    assert(r.getAs[Double]("mean_left") === 5.0)
+    assert(r.getAs[Double]("mean_right") === 20.0)
+    // SSE with no split: sum y^2 - T^2/n = (75 + 1200) - 75^2/6 = 337.5;
+    // with the true split both segments are constant -> reduction = 337.5
+    assert(math.abs(r.getAs[Double]("sse_reduction") - 337.5) < 1e-9)
+  }
+
+  test("changepointBinary: constant series reports zero reduction, earliest tie") {
+    val df = (1L to 4L).map(("g", _, 7L)).toDF("grp", "x", "y")
+    val r = Drift.changepointBinary(df, "grp", "x", "y").head()
+    assert(r.getAs[Long]("t_split") === 1L) // all splits tie at 0 -> earliest
+    assert(r.getAs[Double]("sse_reduction") === 0.0)
+  }
+
+  test("changepointBinary: single-point groups report NULL split columns") {
+    val df = Seq(("a", 1L, 5L), ("b", 1L, 3L), ("b", 2L, 9L)).toDF("grp", "x", "y")
+    val rows = Drift.changepointBinary(df, "grp", "x", "y")
+      .orderBy(col("grp")).collect()
+    assert(rows(0).getAs[Long]("n") === 1L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("t_split")))
+    assert(rows(1).getAs[Long]("t_split") === 1L)
+  }
+
+  // --- quantile normalization ----------------------------------------------------
+
+  test("quantileNormalize: maps b's quantiles onto a's values by nearest rank") {
+    // a = 10,20,30,40 (n_a=4); b = 1,2 (n_b=2).
+    // b=1: cum 1 -> rank ceil(4/2)=2 -> 20; b=2: cum 2 -> rank 4 -> 40
+    val a = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val b = Seq(1L, 2L).toDF("v")
+    val m = Drift.quantileNormalize(a, b, "v").collect()
+      .map(r => r.getAs[Long]("value") ->
+        (r.getAs[Long]("target_rank"), r.getAs[Long]("normalized"))).toMap
+    assert(m(1L) === ((2L, 20L)))
+    assert(m(2L) === ((4L, 40L)))
+  }
+
+  test("quantileNormalize: identical distributions map to themselves") {
+    val a = Seq(5L, 7L, 7L, 9L).toDF("v")
+    val b = Seq(5L, 7L, 7L, 9L).toDF("v")
+    val rows = Drift.quantileNormalize(a, b, "v").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("normalized") === r.getAs[Long]("value"))
+    }
+  }
+
+  test("quantileNormalize: empty reference yields NULL normalized values") {
+    val a = Seq.empty[Long].toDF("v")
+    val b = Seq(1L, 2L).toDF("v")
+    val rows = Drift.quantileNormalize(a, b, "v").collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.isNullAt(r.fieldIndex("normalized"))))
+  }
 }

@@ -165,4 +165,174 @@ class EvalSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_ratings") === 4L)
     assert(r.getAs[Long]("n_items") === 2L)
   }
+
+  // --- average precision ------------------------------------------------------
+
+  test("avgPrecisionByGroup: perfect ranking scores 1.0") {
+    val df = Seq(("g", 10L, true, 1L), ("g", 9L, true, 2L), ("g", 1L, false, 3L))
+      .toDF("grp", "score", "label", "id")
+    val r = Eval.avgPrecisionByGroup(df, "grp", "score", "label", "id").head()
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Double]("avg_precision") === 1.0)
+  }
+
+  test("avgPrecisionByGroup: hand-computed interleaved ranking") {
+    // ranking: pos, neg, pos -> AP = (P@1 + P@3)/2 = (1 + 2/3)/2 = 5/6
+    val df = Seq(("g", 10L, true, 1L), ("g", 9L, false, 2L), ("g", 8L, true, 3L))
+      .toDF("grp", "score", "label", "id")
+    val ap = Eval.avgPrecisionByGroup(df, "grp", "score", "label", "id")
+      .head().getAs[Double]("avg_precision")
+    assert(math.abs(ap - 5.0 / 6.0) < 1e-8)
+  }
+
+  test("avgPrecisionByGroup: ties break by tieCol, making AP total-order-exact") {
+    // equal scores: id ASC puts the negative first -> ranking neg, pos
+    // AP = P@2 = 1/2
+    val df = Seq(("g", 5L, false, 1L), ("g", 5L, true, 2L))
+      .toDF("grp", "score", "label", "id")
+    val ap = Eval.avgPrecisionByGroup(df, "grp", "score", "label", "id")
+      .head().getAs[Double]("avg_precision")
+    assert(ap === 0.5)
+  }
+
+  test("avgPrecisionByGroup: group without positives yields NULL; NULLs drop") {
+    val df = Seq(
+      ("a", Some(3L), Some(false), 1L), ("a", Some(2L), Some(false), 2L),
+      ("b", Some(9L), Some(true), 3L), ("b", None, Some(true), 4L),
+      ("b", Some(1L), None, 5L))
+      .toDF("grp", "score", "label", "id")
+    val rows = Eval.avgPrecisionByGroup(df, "grp", "score", "label", "id")
+      .orderBy(col("grp")).collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("avg_precision")))
+    assert(rows(1).getAs[Long]("n") === 1L) // null score + null label dropped
+    assert(rows(1).getAs[Double]("avg_precision") === 1.0)
+  }
+
+  // --- expected calibration error ---------------------------------------------
+
+  test("expectedCalibrationError: perfectly calibrated bin scores zero") {
+    val df = Seq((0.25, true), (0.25, false), (0.25, false), (0.25, false))
+      .toDF("score", "label")
+    val r = Eval.expectedCalibrationError(df, "score", "label").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_bins_used") === 1L)
+    assert(r.getAs[Double]("ece") === 0.0)
+    assert(r.getAs[Double]("mce") === 0.0)
+  }
+
+  test("expectedCalibrationError: hand-computed two-bin miscalibration") {
+    // bin0: conf 0.05, acc 1.0 (gap .95, n=2); bin9: conf 0.95, acc 0 (gap .95)
+    val df = Seq((0.05, true), (0.05, true), (0.95, false))
+      .toDF("score", "label")
+    val r = Eval.expectedCalibrationError(df, "score", "label").head()
+    assert(math.abs(r.getAs[Double]("ece") - 0.95) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mce") - 0.95) < 1e-12)
+  }
+
+  test("expectedCalibrationError: score 1.0 clamps into the top bin") {
+    val df = Seq((1.0, true), (0.95, true)).toDF("score", "label")
+    val r = Eval.expectedCalibrationError(df, "score", "label").head()
+    assert(r.getAs[Long]("n_bins_used") === 1L)
+  }
+
+  test("expectedCalibrationError: empty input reports NULL scores") {
+    val df = Seq.empty[(Double, Boolean)].toDF("score", "label")
+    val r = Eval.expectedCalibrationError(df, "score", "label").head()
+    assert(r.getAs[Long]("n_bins_used") === 0L)
+    assert(r.isNullAt(r.fieldIndex("ece")))
+    assert(r.isNullAt(r.fieldIndex("mce")))
+  }
+
+  // --- split-conformal calibration ---------------------------------------------
+
+  test("conformalCalibration: textbook nearest-rank threshold and coverage") {
+    // n_cal = 9, alpha = 0.1: rank = ceil(10 * 0.9) = 9 -> qhat = max = 90
+    val cal = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L).toDF("s")
+    val test = Seq(5L, 85L, 95L).toDF("s")
+    val r = Eval.conformalCalibration(cal, test, "s", alphaPermille = 100L).head()
+    assert(r.getAs[Long]("n_cal") === 9L)
+    assert(r.getAs[Long]("rank") === 9L)
+    assert(r.getAs[Long]("qhat") === 90L)
+    assert(r.getAs[Long]("n_covered") === 2L)
+    assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("conformalCalibration: rank clamps to n_cal on tiny samples") {
+    // n_cal = 2: ceil(3*0.9) = 3 > 2 -> clamp to 2 -> qhat = 7
+    val cal = Seq(3L, 7L).toDF("s")
+    val test = Seq(6L, 8L).toDF("s")
+    val r = Eval.conformalCalibration(cal, test, "s").head()
+    assert(r.getAs[Long]("rank") === 2L)
+    assert(r.getAs[Long]("qhat") === 7L)
+    assert(r.getAs[Long]("n_covered") === 1L)
+  }
+
+  test("conformalCalibration: duplicate calibration scores pick the right rank value") {
+    // sorted: 1,1,1,5 -> rank ceil(5*0.9)=5 clamp 4 -> qhat 5;
+    // alpha=0.5: rank ceil(5*0.5)=3 -> qhat = 1
+    val cal = Seq(1L, 1L, 1L, 5L).toDF("s")
+    val test = Seq(1L).toDF("s")
+    val r1 = Eval.conformalCalibration(cal, test, "s", alphaPermille = 500L).head()
+    assert(r1.getAs[Long]("rank") === 3L)
+    assert(r1.getAs[Long]("qhat") === 1L)
+  }
+
+  test("conformalCalibration: empty calibration yields NULL qhat and coverage") {
+    val cal = Seq.empty[Long].toDF("s")
+    val test = Seq(1L, 2L).toDF("s")
+    val r = Eval.conformalCalibration(cal, test, "s").head()
+    assert(r.getAs[Long]("n_cal") === 0L)
+    assert(r.isNullAt(r.fieldIndex("qhat")))
+    assert(r.getAs[Long]("n_covered") === 0L)
+    assert(r.isNullAt(r.fieldIndex("coverage")))
+  }
+
+  // --- Fleiss' kappa -------------------------------------------------------------
+
+  test("fleissKappa: Fleiss 1971 textbook values on a hand-built panel") {
+    // 4 items x 3 raters. Item counts per category:
+    // i1: a=3        -> sum n^2 = 9
+    // i2: a=2, b=1   -> 4 + 1 = 5
+    // i3: b=3        -> 9
+    // i4: a=1, b=2   -> 1 + 4 = 5
+    // P_bar = (28 - 12) / (4*3*2) = 16/24 = 2/3
+    // c_a = 6, c_b = 6 -> Pe = (36+36)/144 = 0.5 -> kappa = (2/3-0.5)/0.5 = 1/3
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "b")).toDF("item", "label")
+    val r = Eval.fleissKappa(rows, "item", "label").head()
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("m") === 3L)
+    assert(r.getAs[Long]("n_categories") === 2L)
+    assert(math.abs(r.getAs[Double]("po") - 2.0 / 3.0) < 1e-15)
+    assert(r.getAs[Double]("pe") === 0.5)
+    assert(math.abs(r.getAs[Double]("kappa") - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("fleissKappa: perfect agreement scores 1 with multiple categories") {
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("item", "label")
+    val r = Eval.fleissKappa(rows, "item", "label").head()
+    assert(r.getAs[Double]("po") === 1.0)
+    assert(r.getAs[Double]("kappa") === 1.0)
+  }
+
+  test("fleissKappa: ragged panels report NULL instead of a silent average") {
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("item", "label")
+    val r = Eval.fleissKappa(rows, "item", "label").head()
+    assert(r.getAs[Long]("n_items") === 2L)
+    assert(r.isNullAt(r.fieldIndex("m")))
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("fleissKappa: single category means pe = 1 and NULL kappa") {
+    val rows = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("item", "label")
+    val r = Eval.fleissKappa(rows, "item", "label").head()
+    assert(r.getAs[Double]("pe") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
 }
