@@ -114,4 +114,66 @@ object Classifier {
       .join(scored, Seq(idCol), "left")
       .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
   }
+
+  /** Binary confident joint (Northcutt et al. 2021, "Confident
+    * Learning") — the label-noise estimator a curation pipeline runs on
+    * a weakly-labeled corpus: using per-class mean self-confidence as
+    * the class thresholds, each (given label y, confident prediction ŷ)
+    * cell counts rows where the model is CONFIDENT in ŷ, and the
+    * off-diagonal mass estimates the label-error rate. Per-class
+    * thresholds t₊ = mean p over y=pos rows, t₋ = mean (1−p) over y=neg
+    * rows; a row is confident-positive when p ≥ t₊, confident-negative
+    * when 1−p ≥ t₋; rows confident in BOTH classes resolve to the
+    * larger probability (ties → positive, the argmax convention), rows
+    * confident in neither are excluded (the CL rule). One row:
+    * (n, n_pos, n_neg, c_pp, c_pn, c_np, c_nn longs — c_xy = given x
+    * predicted y, n_confident long, est_noise_rate double — the
+    * off-diagonal share of confident rows, NULL when no row is
+    * confident). NULL prob/label rows drop.
+    *
+    * Exactness: each threshold is decimal-sum/count (one division);
+    * every cell decision is a comparison of identical doubles; the
+    * noise rate is one integer division.
+    *
+    * 100 TB shape: one aggregation for the two thresholds (map-side
+    * combinable), a 1-row broadcast back into a single counting pass —
+    * two corpus scans, no window, no row join. */
+  def confidentJointBinary(df: DataFrame, probCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(s"`$probCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$probCol`").cast("double").as("__p"),
+        col(s"`$labelCol`").cast("boolean").as("__l"))
+    val d9 = DecimalType(25, 9)
+    val th = base.agg(
+      sum(when(col("__l"), col("__p").cast(d9))).as("__sp"),
+      sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("__l"), (lit(1.0) - col("__p")).cast(d9))).as("__sq"),
+      sum(when(!col("__l"), 1L).otherwise(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L,
+          col("__sp").cast("double") / col("n_pos").cast("double")).as("__tp"),
+        when(col("n_neg") > 0L,
+          col("__sq").cast("double") / col("n_neg").cast("double")).as("__tn"))
+    val flagged = base.crossJoin(broadcast(th))
+      .withColumn("__cp", col("__tp").isNotNull && col("__p") >= col("__tp"))
+      .withColumn("__cn", col("__tn").isNotNull &&
+        lit(1.0) - col("__p") >= col("__tn"))
+      .withColumn("__yhat", // NULL = confident in neither
+        when(col("__cp") && (!col("__cn") || col("__p") >= lit(1.0) - col("__p")),
+          lit(true))
+        .when(col("__cn"), lit(false)))
+    flagged.agg(count(lit(1)).as("n"),
+        max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        sum(when(col("__l") && col("__yhat") === true, 1L).otherwise(0L)).as("c_pp"),
+        sum(when(col("__l") && col("__yhat") === false, 1L).otherwise(0L)).as("c_pn"),
+        sum(when(!col("__l") && col("__yhat") === true, 1L).otherwise(0L)).as("c_np"),
+        sum(when(!col("__l") && col("__yhat") === false, 1L).otherwise(0L)).as("c_nn"))
+      .withColumn("n_confident",
+        col("c_pp") + col("c_pn") + col("c_np") + col("c_nn"))
+      .withColumn("est_noise_rate",
+        when(col("n_confident") > 0L,
+          (col("c_pn") + col("c_np")).cast("double") /
+            col("n_confident").cast("double")))
+  }
 }

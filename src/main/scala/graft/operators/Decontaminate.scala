@@ -172,4 +172,63 @@ object Decontaminate {
       .select(col(s"`$idCol`"))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Per-document LONGEST contaminated token span against the benchmark —
+    * the severity layer [[overlapReport]] lacks: 20 scattered shingle
+    * hits are noise, 20 CONSECUTIVE ones are a verbatim benchmark
+    * passage (the signal leak-audits act on, per Brown et al. 2020's
+    * 13-gram span rule). Matched shingle START positions per doc are
+    * grouped into maximal consecutive runs by the islands-and-gaps
+    * identity (pos − rank is constant within a run); a run of r
+    * consecutive shingleN-gram starts covers r + shingleN − 1 tokens.
+    * Output per overlapping doc (inner semantics, like overlapReport):
+    * (idCol, n_hits — matched gram starts, NOT distinct grams, n_runs,
+    * max_run, max_span_tokens longs). Tokenization is the repo
+    * whitespace+lowercase contract.
+    *
+    * 100 TB shape: the positioned gram stream is per-doc windowed
+    * (partitioned by doc — parallel across docs, the shingleRows
+    * contract), hashes to 60-bit before the join, and only HITS — the
+    * rare case at scale — reach the islands window and the two bounded
+    * aggregations. The benchmark side is a distinct hash set sized for
+    * a broadcast (eval sets are small by definition). */
+  def contaminationSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      shingleN: Int = 13): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    import graft.functions.TextFunctions.md5Hash60
+    import org.apache.spark.sql.expressions.Window
+    val id = col(s"`$idCol`")
+    val benchGrams = Dedup
+      .shingleRows(
+        bench.select(monotonically_increasing_id().as("__b"), col(s"`$benchTextCol`")),
+        "__b", benchTextCol, shingleN)
+      .select(md5Hash60(col("shingle")).as("__gh")).distinct()
+    val toks = docs
+      .select(id, posexplode(split(lower(col(s"`$textCol`")), "\\s+"))
+        .as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    val w = Window.partitionBy(id).orderBy(col("__pos"))
+    val leads = (1 until shingleN).map(i => lead(col("__tok"), i).over(w).as(s"__t$i"))
+    val grams = toks
+      .select(id +: col("__tok") +: (row_number().over(w) - 1).cast("long").as("__ix") +: leads: _*)
+      .filter(if (shingleN == 1) lit(true) else col(s"__t${shingleN - 1}").isNotNull)
+      .select(id, col("__ix"),
+        md5Hash60(concat_ws(" ",
+          col("__tok") +: (1 until shingleN).map(i => col(s"__t$i")): _*)).as("__gh"))
+    val hits = grams.join(benchGrams, Seq("__gh"), "left_semi")
+    val wi = Window.partitionBy(id).orderBy(col("__ix"))
+    val runs = hits
+      .withColumn("__grp", col("__ix") - row_number().over(wi))
+      .groupBy(id, col("__grp")).agg(count(lit(1)).as("__run"))
+    runs.groupBy(id).agg(
+      sum(col("__run")).as("n_hits"),
+      count(lit(1)).as("n_runs"),
+      max(col("__run")).as("max_run"),
+      (max(col("__run")) + lit(shingleN - 1).cast("long")).as("max_span_tokens"))
+  }
 }

@@ -39,6 +39,58 @@ object Dedup {
     df.join(groups, Seq(idCol), "left_semi")
   }
 
+  /** Exact-duplicate YIELD CURVE: duplicate rate per ingest-order
+    * quantile bin — the saturation diagnostic behind the "dedup
+    * incrementally or in one batch?" decision: if the marginal
+    * (per-bin) dup rate climbs as the corpus grows, every new crawl
+    * slice repeats more of what is already held, and an incremental
+    * index ([[nearDupPairsAgainstIndex]]) beats recomputing. A doc is a
+    * duplicate iff an EARLIER doc (smaller `idCol`) shares its
+    * normalized-text fingerprint ([[exactGroups]]' key). Output, one
+    * row per non-empty bin: (bin 0-based long, n_docs, n_dups longs,
+    * dup_rate double, cum_docs, cum_dups longs, cum_dup_rate double).
+    * NULL ids drop.
+    *
+    * Exactness: first-occurrence and bin decisions are pure integer
+    * arithmetic (bin = (rank−1)·nBins / n in integer division); the two
+    * rates are single integer divisions.
+    *
+    * 100 TB shape: one fingerprint min-aggregation (the exactGroups
+    * shuffle), ranks via [[PrefixSum]] (range exchange + broadcast
+    * offsets — no single-reducer window over docs), a 1-row total
+    * broadcast for the bin split, and the cumulative pass runs over
+    * ≤ nBins rows. */
+  def dedupYieldCurve(df: DataFrame, idCol: String, textCol: String,
+      nBins: Int = 10, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(nBins >= 1, s"dedupYieldCurve: nBins must be >= 1, got $nBins")
+    val id = col(s"`$idCol`")
+    val fps = df.filter(id.isNotNull)
+      .select(id.as("__id"), TextFunctions.fingerprint(col(s"`$textCol`")).as("__fp"))
+    val first = fps.groupBy(col("__fp")).agg(min(col("__id")).as("__first"))
+    val flagged = fps.join(first, Seq("__fp"))
+      .select(col("__id"), (col("__id") > col("__first")).as("__dup"))
+      .withColumn("__one", lit(1L))
+      .withColumn("__d", when(col("__dup"), 1L).otherwise(0L))
+    val ranked = PrefixSum.withRunningSums(flagged, "__id",
+      Seq("__one", "__d"), stager)
+    val tot = flagged.agg(count(lit(1)).as("__n"))
+    val binned = ranked.crossJoin(broadcast(tot))
+      .withColumn("__bin", expr(s"((cum___one - 1) * $nBins) div __n"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__d")).as("n_dups"))
+    // cumulative pass over <= nBins rows — a bounded frame by contract
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned
+      .withColumn("cum_docs", sum(col("n_docs")).over(wb))
+      .withColumn("cum_dups", sum(col("n_dups")).over(wb))
+      .select(col("bin"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"),
+        col("cum_docs"), col("cum_dups"),
+        (col("cum_dups").cast("double") / col("cum_docs").cast("double"))
+          .as("cum_dup_rate"))
+  }
+
   // ------------------------------------------------------------ MinHash + LSH
 
   /** Word-n-gram shingles as a row stream (id, shingle), WITH duplicates.

@@ -208,4 +208,52 @@ object Graphs {
     }
     lab
   }
+
+  /** Degree assortativity coefficient (Newman 2002) of an UNDIRECTED
+    * edge list — the Pearson correlation of the degrees at the two ends
+    * of every edge: positive = hubs link to hubs (a social-network
+    * shape), negative = hubs link to leaves (the web/near-dup-star
+    * shape — exactly what a boilerplate hub in the similarity graph
+    * produces, making this the one-number audit of [[DupClusters]]'s
+    * pair graph before trusting its components). Input rows are one
+    * edge each (deduped, either orientation); self-loops and NULL
+    * endpoints drop. One row: (n_nodes, n_edges longs, assortativity
+    * double — NULL when degenerate: no edges or zero variance, e.g. a
+    * pure k-regular graph).
+    *
+    * Exactness: degrees are exact integers; over the symmetrized edge
+    * list Σx = Σy and Σx² = Σy², so r = (2M·Σxy − (Σx)²) / (2M·Σx² −
+    * (Σx)²) needs only DECIMAL(38,0) integer sums, one subtraction
+    * pair, and ONE division — no FP accumulation, no sqrt (the
+    * symmetric-Pearson identity makes the two variance factors equal).
+    *
+    * 100 TB shape: one degree aggregation (map-side combinable), two
+    * hash joins of the edge list against the degree table (both keyed —
+    * broadcast when the node set is small, shuffle-hash otherwise), one
+    * scalar aggregate. No window, no cross join. */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val e0 = edges
+      .filter(col(s"`$aCol`").isNotNull && col(s"`$bCol`").isNotNull &&
+        col(s"`$aCol`") =!= col(s"`$bCol`"))
+      .select(col(s"`$aCol`").as("__u"), col(s"`$bCol`").as("__v"))
+    val sym = e0.unionAll(e0.select(col("__v").as("__u"), col("__u").as("__v")))
+    val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__d"))
+    val joined = sym
+      .join(deg, Seq("__u"))
+      .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), Seq("__v"))
+    val a = joined.agg(
+      count(lit(1)).as("__m2"),
+      sum(col("__d").cast(dec38)).as("__sx"),
+      sum(col("__d").cast(dec38) * col("__d")).as("__sxx"),
+      sum(col("__d").cast(dec38) * col("__dv")).as("__sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val num = (col("__m2").cast(dec38) * col("__sxy") - col("__sx") * col("__sx"))
+      .cast("double")
+    val den = (col("__m2").cast(dec38) * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    nodes.crossJoin(broadcast(a)).select(
+      col("n_nodes"), expr("__m2 div 2").as("n_edges"),
+      when(col("__m2") > 0L && den =!= 0.0, num / den).as("assortativity"))
+  }
 }

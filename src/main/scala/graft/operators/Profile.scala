@@ -893,4 +893,121 @@ object Profile {
       .select(col("__g").as(groupCol), col("n"), col("n_tail"),
         col("mean"), col("trimmed_mean"), col("winsorized_mean"))
   }
+
+  /** Heaps'-law vocabulary-growth fit over the corpus in `idCol` order —
+    * V(n) ≈ K·n^β, the companion power law to [[zipfFit]] (p77): β tells
+    * a pipeline how fast NEW vocabulary keeps arriving as the corpus
+    * grows (β ≈ 0.4–0.6 for natural text; β near 1 means the stream is
+    * still mostly-unseen — keep crawling; β near 0 means saturation).
+    * One row: (n_docs, n_points, n_tokens, vocab longs, beta, ln_k
+    * doubles — the log-log OLS slope/intercept over the per-doc prefix
+    * points (x=ln cumulative tokens, y=ln cumulative vocabulary); NULL
+    * when fewer than 2 distinct x values). Tokenization is the repo
+    * whitespace+lowercase contract.
+    *
+    * The cumulative-vocabulary trick: V at prefix d = #{tokens whose
+    * FIRST occurrence doc ≤ d} — one min-per-token aggregation plus one
+    * prefix scan, instead of a quadratic running-distinct.
+    *
+    * Exactness: cumulative token/vocab counts are exact integers; each
+    * ln rides the 9-dp decimal contract; the four OLS sums quantize to
+    * DECIMAL(25,9) (order-independent, the p104 recipe); slope and
+    * intercept are fixed IEEE trees over the decimal-cast sums.
+    *
+    * 100 TB shape: the token stream collapses map-side to per-doc counts
+    * and per-token first-docs; both scans ride [[PrefixSum]] (range
+    * exchange + broadcast offsets — no single-reducer window); the OLS
+    * is ONE aggregation over the per-doc frame. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val id = col(s"`$idCol`")
+    val toks = df
+      .select(id, explode(split(lower(col(s"`$textCol`")), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val perDoc = toks.groupBy(id).agg(count(lit(1)).as("__nt"))
+    val newPerDoc = toks.groupBy(col("__tok")).agg(min(id).as("__fd"))
+      .groupBy(col("__fd").as(idCol)).agg(count(lit(1)).as("__new"))
+    val base = df.select(id)
+      .join(perDoc, Seq(idCol), "left")
+      .join(newPerDoc, Seq(idCol), "left")
+      .select(id, coalesce(col("__nt"), lit(0L)).as("__nt"),
+        coalesce(col("__new"), lit(0L)).as("__new"))
+      .withColumn("__one", lit(1L))
+    val cum = PrefixSum.withRunningSums(base, idCol,
+      Seq("__one", "__nt", "__new"), stager)
+    val ln9 = (c: org.apache.spark.sql.Column) =>
+      round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+    val pointed = cum.select(
+      col("cum___one").as("__rn"), col("cum___nt").as("__ct"),
+      col("cum___new").as("__cv"),
+      when(col("cum___nt") > 0L, ln9(col("cum___nt").cast("double"))).as("__x"),
+      when(col("cum___nt") > 0L, ln9(col("cum___new").cast("double"))).as("__y"))
+    val d9 = DecimalType(25, 9)
+    val a = pointed.agg(
+      max(col("__rn")).as("n_docs"), count(col("__x")).as("n_points"),
+      countDistinct(col("__x")).as("__ndx"),
+      max(col("__ct")).as("n_tokens"), max(col("__cv")).as("vocab"),
+      sum(col("__x").cast(d9)).as("__sx"), sum(col("__y").cast(d9)).as("__sy"),
+      sum((col("__x") * col("__x")).cast(d9)).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(d9)).as("__sxy"))
+    val n = col("n_points").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    // the defined-fit test is DISTINCT x count, not den != 0: with a single
+    // distinct x the exact den is 0 but the 9-dp quantized sums leave
+    // ~1e-10 of noise — a junk slope, not a fit
+    val den = n * sxx - sx * sx
+    val ok = col("__ndx") >= 2L && den =!= 0.0
+    val beta = (n * sxy - sx * sy) / den
+    a.select(col("n_docs"), col("n_points"), col("n_tokens"), col("vocab"),
+      when(ok, beta).as("beta"),
+      when(ok, (sy - beta * sx) / n).as("ln_k"))
+  }
+
+  /** Ecological diversity indices of the `keyCol` mix per group — the
+    * "is this source a monoculture?" report a mixture designer reads
+    * before weighting ([[Mixture]]): Shannon entropy H = −Σ p·ln p
+    * (nats), Simpson concentration D = Σ p² (the probability two random
+    * draws match — 1/D is the effective category count), and Pielou
+    * evenness J = H / ln(richness). Per group: (groupCol, n long — rows
+    * with non-NULL key, richness long — distinct keys, shannon double,
+    * simpson double, evenness double — NULL when richness < 2, where
+    * evenness is undefined). NULL keys drop; groups with no non-NULL
+    * keys are absent (inner semantics).
+    *
+    * Exactness: counts are exact integers; Simpson is ONE division of
+    * exact integers (Σ c² / T² via DECIMAL(38,0)); each Shannon term is
+    * one IEEE division + a 9-dp-contract ln + one product, accumulating
+    * in DECIMAL(25,15); H and J round to 9 dp on report (the p86 rule).
+    *
+    * 100 TB shape: one (group, key) count aggregation (map-side
+    * combinable), one group rollup — categorical contract: key
+    * cardinality per group ≪ row count. */
+  def diversityByGroup(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val ln9 = (c: org.apache.spark.sql.Column) =>
+      round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+    val cnt = df
+      .filter(col(s"`$groupCol`").isNotNull && col(s"`$keyCol`").isNotNull)
+      .groupBy(col(s"`$groupCol`").as("__g"), col(s"`$keyCol`").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__t"), count(lit(1)).as("richness"),
+        sum(col("__c").cast(dec38) * col("__c")).as("__c2"))
+    val terms = cnt.join(tot, Seq("__g"))
+      .withColumn("__p", col("__c").cast("double") / col("__t").cast("double"))
+      .withColumn("__h", (col("__p") * ln9(col("__p"))).cast(DecimalType(25, 15)))
+    terms.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__t")).as("n"), max(col("richness")).as("richness"),
+        sum(col("__h")).as("__hsum"), max(col("__c2")).as("__c2m"))
+      .select(col(s"`$groupCol`"), col("n"), col("richness"),
+        round(-col("__hsum").cast("double"), 9).as("shannon"),
+        (col("__c2m").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("simpson"),
+        when(col("richness") >= 2L,
+          round(-col("__hsum").cast("double") /
+            ln9(col("richness").cast("double")), 9)).as("evenness"))
+  }
 }

@@ -148,4 +148,38 @@ class DecontaminateSpec extends SparkSpecBase {
       trainNaN, "doc_id", "embedding", bench, "embedding", threshold = 0.5)
     assert(r.select("doc_id").as[Long].collect().toSet === Set(2L))
   }
+
+  test("contaminationSpans: consecutive hits merge into one run, scattered stay apart") {
+    // bench passage "a b c d" sits verbatim in doc 1 (grams "a b c" and
+    // "b c d" at consecutive starts -> one run of 2 -> span 4 tokens);
+    // doc 2 contains "a b c" twice, separated -> two runs of 1.
+    val bench = Seq("a b c d").toDF("text")
+    val docs = Seq(
+      (1L, "x a b c d y"),
+      (2L, "a b c x x a b c"),
+      (3L, "clean text here entirely")).toDF("doc_id", "text")
+    val r = Decontaminate.contaminationSpans(docs, "doc_id", "text", bench, "text", shingleN = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Long]("n_runs"),
+         x.getAs[Long]("max_run"), x.getAs[Long]("max_span_tokens"))).toMap
+    assert(r(1L) === ((2L, 1L, 2L, 4L)))
+    assert(r(2L) === ((2L, 2L, 1L, 3L)))
+    assert(!r.contains(3L)) // inner semantics: clean docs absent
+  }
+
+  test("contaminationSpans: a full verbatim copy spans the whole doc") {
+    val bench = Seq("p q r s t").toDF("text")
+    val docs = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val r = Decontaminate.contaminationSpans(docs, "doc_id", "text", bench, "text", shingleN = 3)
+      .head()
+    assert(r.getAs[Long]("max_run") === 3L)
+    assert(r.getAs[Long]("max_span_tokens") === 5L)
+  }
+
+  test("contaminationSpans: tokenization lowercases (repo contract)") {
+    val bench = Seq("Alpha Beta Gamma").toDF("text")
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminationSpans(docs, "doc_id", "text", bench, "text", shingleN = 3)
+      .count() === 1L)
+  }
 }

@@ -523,4 +523,32 @@ class DedupSpec extends SparkSpecBase {
     assert(dis.getAs[Long]("n_shared") === 0L && dis.getAs[Double]("jaccard") === 0.0)
     assert(!out.contains((1L, 5L)), "a shingle-less side drops the pair")
   }
+
+  test("dedupYieldCurve: first occurrences are originals, repeats are dups, bins cumulate") {
+    // ids 1..4 into 2 bins of 2. Texts: A, B, A, B -> bin0 all original,
+    // bin1 all duplicate.
+    val df = Seq((1L, "a a"), (2L, "b b"), (3L, "a a"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupYieldCurve(df, "doc_id", "text", nBins = 2)
+      .orderBy(col("bin")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("bin") === 0L)
+    assert(rows(0).getAs[Long]("n_docs") === 2L)
+    assert(rows(0).getAs[Long]("n_dups") === 0L)
+    assert(rows(0).getAs[Double]("dup_rate") === 0.0)
+    assert(rows(1).getAs[Long]("n_dups") === 2L)
+    assert(rows(1).getAs[Double]("dup_rate") === 1.0)
+    assert(rows(1).getAs[Long]("cum_docs") === 4L)
+    assert(rows(1).getAs[Double]("cum_dup_rate") === 0.5)
+  }
+
+  test("dedupYieldCurve: bin split follows rank, not raw id values") {
+    // sparse non-contiguous ids still split evenly by rank
+    val df = Seq((10L, "x"), (500L, "y"), (501L, "x"), (9000L, "z"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupYieldCurve(df, "doc_id", "text", nBins = 2)
+      .orderBy(col("bin")).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).toSeq === Seq(2L, 2L))
+    assert(rows(1).getAs[Long]("n_dups") === 1L) // 501 repeats 10's text
+  }
 }

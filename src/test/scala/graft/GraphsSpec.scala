@@ -150,4 +150,40 @@ class GraphsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(got === base, "a null-endpoint edge must vanish, not create a node")
   }
+
+  // --- degree assortativity -------------------------------------------------
+
+  test("degreeAssortativity: a star is maximally disassortative (r = -1)") {
+    // hub 0 to leaves 1..4: every edge joins degree 4 to degree 1
+    val edges = (1L to 4L).map((0L, _)).toDF("a", "b")
+    val r = Graphs.degreeAssortativity(edges, "a", "b").head()
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("degreeAssortativity: hand-computed path graph P4 gives r = -1/2") {
+    // 1-2-3-4: degrees 1,2,2,1. Newman 2002's textbook value for P4.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graphs.degreeAssortativity(edges, "a", "b").head()
+    assert(r.getAs[Double]("assortativity") === -0.5)
+  }
+
+  test("degreeAssortativity: regular graphs have zero variance -> NULL") {
+    // triangle: every degree 2 -> no variance -> undefined
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val r = Graphs.degreeAssortativity(edges, "a", "b").head()
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
+  test("degreeAssortativity: self-loops and NULL endpoints drop") {
+    val edges = Seq(
+      (Some(0L), Some(1L)), (Some(0L), Some(2L)), (Some(0L), Some(3L)),
+      (Some(0L), Some(4L)),
+      (Some(7L), Some(7L)), (Some(9L), None)).toDF("a", "b")
+    val r = Graphs.degreeAssortativity(edges, "a", "b").head()
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
 }

@@ -478,4 +478,84 @@ class ProfileSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(m("up") === 2.0 && m("down") === -2.0)
   }
+
+  // --- Heaps'-law fit ---------------------------------------------------------
+
+  test("heapsFit: counts docs, tokens, vocab and first occurrences exactly") {
+    val df = Seq(
+      (1L, "a b a"),    // ct=3, cv=2
+      (2L, ""),         // empty doc still a prefix point (ct stays 3)
+      (3L, "b c"),      // ct=5, cv=3
+      (4L, "c a d"))    // ct=8, cv=4
+      .toDF("doc_id", "text")
+    val r = Profile.heapsFit(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_points") === 4L) // all prefixes have ct > 0
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("vocab") === 4L)
+    assert(!r.isNullAt(r.fieldIndex("beta")))
+  }
+
+  test("heapsFit: pure repetition gives beta 0 (vocab saturates at once)") {
+    // V is constant 1 across all prefixes -> y constant -> slope 0
+    val df = Seq((1L, "z"), (2L, "z z"), (3L, "z z z")).toDF("doc_id", "text")
+    val r = Profile.heapsFit(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("vocab") === 1L)
+    assert(r.getAs[Double]("beta") === 0.0)
+    assert(r.getAs[Double]("ln_k") === 0.0) // ln V = ln 1 = 0
+  }
+
+  test("heapsFit: all-new tokens fit beta 1") {
+    // V(n) = n exactly -> y = x -> slope 1, intercept 0
+    val df = Seq((1L, "t1"), (2L, "t2 t3"), (3L, "t4 t5 t6")).toDF("doc_id", "text")
+    val r = Profile.heapsFit(df, "doc_id", "text").head()
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ln_k")) < 1e-9)
+  }
+
+  test("heapsFit: single distinct x yields NULL fit, counts still exact") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r = Profile.heapsFit(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_points") === 1L)
+    assert(r.isNullAt(r.fieldIndex("beta")))
+    assert(r.isNullAt(r.fieldIndex("ln_k")))
+  }
+
+  // --- diversity indices ------------------------------------------------------
+
+  test("diversityByGroup: uniform mix maximizes evenness, monoculture zeroes it") {
+    val df = Seq(
+      ("even", "en"), ("even", "fr"), ("even", "de"),
+      ("mono", "en"), ("mono", "en"), ("mono", "en")).toDF("src", "lang")
+    val m = Profile.diversityByGroup(df, "src", "lang").collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    // uniform over 3: H = ln 3, J = 1, simpson = 3*(1/9) = 1/3
+    assert(math.abs(m("even").getAs[Double]("shannon") - math.log(3)) < 1e-8)
+    assert(m("even").getAs[Double]("evenness") === 1.0)
+    assert(math.abs(m("even").getAs[Double]("simpson") - 1.0 / 3.0) < 1e-15)
+    // monoculture: H = 0, simpson = 1, evenness undefined (richness 1)
+    assert(m("mono").getAs[Double]("shannon") === 0.0)
+    assert(m("mono").getAs[Double]("simpson") === 1.0)
+    assert(m("mono").isNullAt(m("mono").fieldIndex("evenness")))
+  }
+
+  test("diversityByGroup: hand-computed skewed mix") {
+    // 3 en + 1 fr: simpson = (9 + 1)/16 = 0.625; richness 2
+    val df = (Seq.fill(3)("en") :+ "fr").map(("s", _)).toDF("src", "lang")
+    val r = Profile.diversityByGroup(df, "src", "lang").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("richness") === 2L)
+    assert(r.getAs[Double]("simpson") === 0.625)
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(r.getAs[Double]("shannon") - h) < 1e-8)
+  }
+
+  test("diversityByGroup: NULL keys drop, NULL groups drop") {
+    val df = Seq(
+      (Some("s"), Some("en")), (Some("s"), None), (None, Some("fr")))
+      .toDF("src", "lang")
+    val rows = Profile.diversityByGroup(df, "src", "lang").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("n") === 1L)
+  }
 }
