@@ -634,6 +634,65 @@ object Streams {
       }
   }
 
+  case class KeyW1(key: String, n_seen: Long, n_values: Long, w1: Double)
+
+  /** Streaming exact Wasserstein-1 drift monitor: per key, maintain the
+    * running distinct-value counts of a LONG-valued signal and emit each
+    * batch the exact earth-mover distance of the stream-so-far
+    * distribution against the static `baseline` counts — the
+    * transport-cost companion to [[runningKs]]'s sup gap (KS says "the
+    * CDFs diverge somewhere"; W₁ says how much mass moved how far, in
+    * the signal's own units). State is O(distinct values) per key (bin
+    * continuous signals first, the runningKs caveat).
+    *
+    * Arithmetic is bit-identical to the batch operator
+    * ([[graft.operators.Drift.wasserstein1]]): Σ |cum_a·n_b − cum_b·n_a|
+    * ·Δv accumulates in exact BigInteger and only the reported w1
+    * divides once in IEEE doubles. StreamsSpec asserts a stream's final
+    * emission EQUALS the batch operator over the same rows. Null-valued
+    * rows carry no observation. */
+  def runningWasserstein(events: Dataset[(String, java.lang.Long)],
+      baseline: Map[Long, Long]): Dataset[KeyW1] = {
+    require(baseline.nonEmpty && baseline.valuesIterator.forall(_ > 0L),
+      "baseline must be a non-empty positive count histogram")
+    import events.sparkSession.implicits._
+    val bTotal = baseline.valuesIterator.sum
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], KeyW1](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          var any = state.getOption.isDefined
+          for (r <- rows; v <- Option(r._2)) {
+            any = true
+            val k = v.longValue
+            counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(counts)
+            val n = counts.valuesIterator.sum
+            val values = (counts.keySet ++ baseline.keySet).toSeq.sorted
+            val (ta, tb) = (BigInt(n), BigInt(bTotal))
+            var ca = BigInt(0)
+            var cb = BigInt(0)
+            var num = BigInt(0)
+            var i = 0
+            while (i < values.length) {
+              val v = values(i)
+              ca = ca + BigInt(counts.getOrElse(v, 0L))
+              cb = cb + BigInt(baseline.getOrElse(v, 0L))
+              if (i + 1 < values.length)
+                num = num + (ca * tb - cb * ta).abs * BigInt(values(i + 1) - v)
+              i += 1
+            }
+            val w1 = num.toDouble / (ta.toDouble * tb.toDouble)
+            Iterator.single(KeyW1(key, n, values.size.toLong, w1))
+          }
+      }
+  }
+
   def runningCounts(
       events: Dataset[(String, Long)],
       idleTimeoutMs: Long = 0L): Dataset[KeyCount] = {

@@ -464,6 +464,44 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningWasserstein's final emission equals the batch wasserstein1") {
+    val baseline = Map(10L -> 30L, 20L -> 50L, 30L -> 20L)
+    val rows: Seq[(String, java.lang.Long)] =
+      (1 to 25).map(_ => ("k1", java.lang.Long.valueOf(10L))) ++
+      (1 to 10).map(_ => ("k1", java.lang.Long.valueOf(20L))) ++
+      (1 to 15).map(_ => ("k1", java.lang.Long.valueOf(35L))) ++ // unseen value
+      (1 to 3).map(_ => ("k2", java.lang.Long.valueOf(20L)))
+    val input = MemoryStream[(String, java.lang.Long)](spark)
+    val out = Streams.runningWasserstein(input.toDS(), baseline)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Streams.KeyW1)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streams.KeyW1], id: Long) =>
+        val batch = ds.collect()
+        emitted.synchronized { batch.foreach(r => emitted += ((id, r))) }
+      }.start()
+    try {
+      input.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      input.addData(("k1", null.asInstanceOf[java.lang.Long]))
+      q.processAllAvailable()
+      input.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized {
+        emitted.groupBy(_._2.key).map { case (k, rs) => k -> rs.maxBy(_._1)._2 }
+      }
+      val baseDf = baseline.toSeq.flatMap { case (v, n) =>
+        Seq.fill(n.toInt)(v) }.toDF("v")
+      for (key <- Seq("k1", "k2")) {
+        val slice = rows.filter(_._1 == key).map(_._2.longValue).toDF("v")
+        val b = graft.operators.Drift.wasserstein1(slice, baseDf, "v").head()
+        val s = streamed(key)
+        assert(s.n_seen === b.getAs[Long]("n_a"), s"$key n")
+        assert(s.n_values === b.getAs[Long]("n_values"), s"$key values")
+        assert(s.w1 === b.getAs[Double]("w1"), s"$key w1")
+      }
+    } finally q.stop()
+  }
+
   test("streaming helpers are plain plan rewrites: identical on batch input") {
     // the same windowedAgg call works on a bounded DataFrame (events table)
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
