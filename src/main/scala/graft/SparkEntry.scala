@@ -5839,5 +5839,614 @@ object SparkEntry {
           "user_id", "ts_c", "event_id")
         .orderBy(col("user_id"))
     }
+
+    // --- 1-D Wasserstein-1 (earth-mover) drift between the English and
+    //     non-English length distributions: area between the CDFs over
+    //     integral values — every summand an exact integer product
+    //     accumulated in DECIMAL(38,0), ONE final division.
+    register("p141_wasserstein",
+      """WITH a AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |b AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS na FROM a GROUP BY v),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nb FROM b GROUP BY v),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(na, 0) AS na,
+        |    COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |s AS (SELECT v,
+        |    SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumA,
+        |    SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumB,
+        |    LEAD(v) OVER (ORDER BY v) AS vn
+        |  FROM m),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_values FROM m),
+        |num AS (SELECT COALESCE(SUM(
+        |    abs(CAST(cumA AS HUGEINT) * (SELECT n_b FROM t) -
+        |        CAST(cumB AS HUGEINT) * (SELECT n_a FROM t)) *
+        |    CAST(vn - v AS HUGEINT)), 0) AS num
+        |  FROM s WHERE vn IS NOT NULL)
+        |SELECT n_a, n_b, n_values,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(num AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS w1
+        |FROM t CROSS JOIN num""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      graft.operators.Drift.wasserstein1(
+        docs.filter(col("lang") === "en").select(col("n_chars")),
+        docs.filter(col("lang") =!= "en").select(col("n_chars")),
+        "n_chars")
+    }
+
+    // --- per-source average precision of the length ranking against
+    //     the lang='en' label (the p85 probe, scored at the TOP of the
+    //     ranking where a filter actually cuts); doc_id tiebreak makes
+    //     the order — and hence AP — total and engine-portable.
+    register("p142_avg_precision",
+      """WITH d AS (SELECT source AS g, n_chars AS sc, doc_id AS tb,
+        |    (lang = 'en') AS l
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL),
+        |r AS (SELECT g, l,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY sc DESC, tb ASC) AS rn,
+        |    SUM(CASE WHEN l THEN 1 ELSE 0 END) OVER (PARTITION BY g
+        |      ORDER BY sc DESC, tb ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM d),
+        |p AS (SELECT g, l, CAST(ROUND(CAST(cp::DOUBLE / rn::DOUBLE
+        |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS prec FROM r),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    SUM(CASE WHEN l THEN CAST(prec AS DECIMAL(25,15)) END) AS sm
+        |  FROM p GROUP BY g)
+        |SELECT g AS source, n, n_pos,
+        |  CASE WHEN n_pos > 0 THEN CAST(ROUND(CAST(CAST(sm AS DOUBLE) /
+        |    CAST(n_pos AS DOUBLE) AS DECIMAL(25,12)), 9) AS DOUBLE) END
+        |    AS avg_precision
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.avgPrecisionByGroup(
+          t(s, dir, "documents")
+            .filter(col("source").isNotNull)
+            .withColumn("__lbl", col("lang") === "en"),
+          "source", "n_chars", "__lbl", "doc_id")
+        .orderBy(col("source"))
+    }
+
+    // --- Expected Calibration Error over the p107 probe (length prior
+    //     vs lang='en'): the single-number reliability summary — 10
+    //     equal-width bins, weighted |acc − conf| through DECIMAL(25,15),
+    //     MCE as a raw max of identical doubles.
+    register("p143_ece",
+      """WITH d AS (SELECT LEAST(n_chars::DOUBLE / 1000.0::DOUBLE,
+        |    1.0::DOUBLE) AS s, (lang = 'en') AS l
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT GREATEST(LEAST(CAST(floor(s * 10) AS BIGINT), 9), 0)
+        |    AS bin, s, l FROM d),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CASE WHEN l THEN 1 ELSE 0 END) AS np,
+        |    CAST(SUM(CAST(s AS DECIMAL(25,9))) AS DOUBLE) /
+        |      COUNT(*)::DOUBLE AS conf
+        |  FROM b GROUP BY bin),
+        |g2 AS (SELECT bin, n,
+        |    abs(np::DOUBLE / n::DOUBLE - conf) AS gap FROM g),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+        |    SUM(CAST(n::DOUBLE * gap AS DECIMAL(25,15))) AS wsum,
+        |    MAX(gap) AS mce
+        |  FROM g2)
+        |SELECT n, n_bins_used,
+        |  CASE WHEN n > 0 THEN CAST(ROUND(CAST(CAST(wsum AS DOUBLE) /
+        |    n::DOUBLE AS DECIMAL(25,12)), 9) AS DOUBLE) END AS ece,
+        |  CASE WHEN n > 0 THEN mce END AS mce
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.expectedCalibrationError(
+          t(s, dir, "documents")
+            .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+            .select(least(col("n_chars").cast("double") / lit(1000.0),
+                lit(1.0)).as("score"),
+              (col("lang") === "en").as("label")),
+          "score", "label", nBins = 10)
+    }
+
+    // --- Heaps'-law vocabulary-growth fit (companion to p77's Zipf):
+    //     V(n) = K·n^β over per-doc prefix points in doc_id order —
+    //     first-occurrence trick + PrefixSum scans, 9-dp decimal ln,
+    //     DECIMAL(25,9) OLS sums (the p104 recipe).
+    register("p144_heaps_fit",
+      s"""WITH tk AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+         |  FROM tk GROUP BY doc_id),
+         |fst AS (SELECT tok, MIN(doc_id) AS fd FROM tk GROUP BY tok),
+         |nw AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nnew
+         |  FROM fst GROUP BY fd),
+         |base AS (SELECT d.doc_id, COALESCE(cnt.nt, 0) AS nt,
+         |    COALESCE(nw.nnew, 0) AS nnew
+         |  FROM documents d LEFT JOIN cnt USING (doc_id)
+         |  LEFT JOIN nw USING (doc_id)),
+         |c AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         |    SUM(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS ct,
+         |    SUM(nnew) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cv
+         |  FROM base),
+         |p AS (SELECT rn, ct, cv,
+         |    CASE WHEN ct > 0 THEN ${ln9Sql("ct::DOUBLE")} END AS x,
+         |    CASE WHEN ct > 0 THEN ${ln9Sql("cv::DOUBLE")} END AS y
+         |  FROM c),
+         |a AS (SELECT CAST(MAX(rn) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(x) AS BIGINT) AS n_points,
+         |    CAST(COUNT(DISTINCT x) AS BIGINT) AS ndx,
+         |    CAST(MAX(ct) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(cv) AS BIGINT) AS vocab,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,9))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(25,9))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x*x AS DECIMAL(25,9))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(x*y AS DECIMAL(25,9))) AS DOUBLE) AS sxy
+         |  FROM p),
+         |f AS (SELECT *, n_points::DOUBLE * sxx - sx*sx AS den,
+         |    (n_points::DOUBLE * sxy - sx*sy) AS num FROM a)
+         |SELECT n_docs, n_points, n_tokens, vocab,
+         |  CASE WHEN ndx >= 2 AND den != 0 THEN num/den END AS beta,
+         |  CASE WHEN ndx >= 2 AND den != 0 THEN
+         |    (sy - (num/den)*sx) / n_points::DOUBLE END AS ln_k
+         |FROM f""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.heapsFit(t(s, dir, "documents"), "doc_id", "text")
+    }
+
+    // --- longest contaminated span per doc (Brown et al. 2020 span
+    //     rule over the p24 benchmark probe): islands-and-gaps over
+    //     matched 5-gram start positions; only hits reach the window.
+    register("p145_contamination_span",
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(t)-3),
+         |        i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS g,
+         |    unnest(CASE WHEN len(t) < 5 THEN []::BIGINT[]
+         |      ELSE range(1, len(t)-3) END) AS ix
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+         |h AS (SELECT e.doc_id, e.ix FROM g e JOIN bench b USING (g)
+         |  WHERE e.doc_id % 20 != 0),
+         |i AS (SELECT doc_id, ix,
+         |    ix - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ix) AS grp
+         |  FROM h),
+         |r AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+         |  FROM i GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(MAX(run) AS BIGINT) AS max_run,
+         |  CAST(MAX(run) + 4 AS BIGINT) AS max_span_tokens
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs0 = t(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationSpans(
+          docs0.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs0.filter(col("doc_id") % 20 === 0), "text", shingleN = 5)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- per-dimension int8 quantization audit of the embedding table:
+    //     scale = max|x|/127, floor(x/scale + 0.5) codes (floor, never
+    //     round() — engines disagree on .5 decimal-string rounding),
+    //     DECIMAL(25,15) squared-error accumulation.
+    register("p146_int8_quant",
+      """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    unnest(range(len(embedding))) AS dim
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT dim, MAX(abs(v)) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY dim),
+        |q AS (SELECT e.dim, v, n,
+        |    CASE WHEN mx > 0 THEN mx / 127.0 END AS scale
+        |  FROM e JOIN m USING (dim)),
+        |r AS (SELECT dim, n, scale,
+        |    CASE WHEN scale IS NULL THEN 0.0 ELSE
+        |      v - GREATEST(LEAST(floor(v / scale + 0.5), 127.0), -127.0)
+        |        * scale END AS err
+        |  FROM q),
+        |a AS (SELECT dim, MAX(n) AS n, MAX(scale) AS scale,
+        |    SUM(CAST(err * err AS DECIMAL(25,15))) AS se,
+        |    MAX(abs(err)) AS max_abs_err
+        |  FROM r GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, scale,
+        |  CAST(ROUND(CAST(CAST(se AS DOUBLE) / n::DOUBLE AS DECIMAL(25,12)), 9)
+        |    AS DOUBLE) AS mse,
+        |  max_abs_err
+        |FROM a ORDER BY dim""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.int8QuantizationError(
+          t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim"))
+    }
+
+    // --- split-conformal calibration over the doc-length nonconformity
+    //     score (α = 0.1): integer nearest-rank q̂ from the 20%
+    //     calibration split, coverage on the rest — finite-sample
+    //     distribution-free guarantee, all-integer decisions.
+    register("p147_conformal",
+      """WITH cal AS (SELECT n_chars AS s FROM documents
+        |  WHERE doc_id % 5 = 0 AND n_chars IS NOT NULL),
+        |tst AS (SELECT n_chars AS s FROM documents
+        |  WHERE doc_id % 5 != 0 AND n_chars IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+        |r AS (SELECT n_cal,
+        |    LEAST(((n_cal + 1) * 900 + 999) // 1000, n_cal) AS rank FROM n),
+        |o AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM cal),
+        |q AS (SELECT MAX(CASE WHEN rn = rank THEN s END) AS qhat
+        |  FROM o CROSS JOIN r),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(COALESCE(SUM(CASE WHEN qhat IS NOT NULL AND s <= qhat
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_covered
+        |  FROM tst CROSS JOIN q)
+        |SELECT n_cal, rank, qhat, n_test, n_covered,
+        |  CASE WHEN n_test > 0 AND qhat IS NOT NULL THEN
+        |    n_covered::DOUBLE / n_test::DOUBLE END AS coverage
+        |FROM r CROSS JOIN q CROSS JOIN c""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      graft.operators.Eval.conformalCalibration(
+        docs.filter(col("doc_id") % 5 === 0).select(col("n_chars")),
+        docs.filter(col("doc_id") % 5 =!= 0).select(col("n_chars")),
+        "n_chars", alphaPermille = 100L)
+    }
+
+    // --- Fleiss' κ over a 3-rater panel (the p113 pseudo-rater probe ×3:
+    //     lang + two independently 20%-corrupted copies): P̄ and P̄e are
+    //     each ONE division of exact DECIMAL(38,0) integer sums — no FP
+    //     accumulation anywhere.
+    register("p148_fleiss_kappa",
+      """WITH r AS (SELECT doc_id, lang AS a,
+        |    CASE WHEN ('0x' || substring(md5('rater2:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 10 < 2 THEN 'xx' ELSE lang END AS b,
+        |    CASE WHEN ('0x' || substring(md5('rater3:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 10 < 2 THEN 'yy' ELSE lang END AS c
+        |  FROM documents WHERE lang IS NOT NULL),
+        |long AS (SELECT doc_id AS i, a AS l FROM r
+        |  UNION ALL SELECT doc_id, b FROM r
+        |  UNION ALL SELECT doc_id, c FROM r),
+        |cnt AS (SELECT i, l, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM long GROUP BY i, l),
+        |pi AS (SELECT i, SUM(n) AS m, SUM(n::HUGEINT * n) AS s2
+        |  FROM cnt GROUP BY i),
+        |it AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(MIN(m) AS BIGINT) AS mmin, CAST(MAX(m) AS BIGINT) AS mmax,
+        |    SUM(s2) AS S FROM pi),
+        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    SUM(c2::HUGEINT * c2) AS C2
+        |  FROM (SELECT l, SUM(n) AS c2 FROM cnt GROUP BY l)),
+        |f AS (SELECT n_items, mmin, mmax, n_categories,
+        |    (n_items > 0 AND mmin = mmax AND mmax >= 2) AS ok,
+        |    CAST(S - n_items::HUGEINT * mmax AS DOUBLE) /
+        |      (n_items::DOUBLE * mmax::DOUBLE * (mmax - 1)::DOUBLE) AS po,
+        |    CAST(C2 AS DOUBLE) / ((n_items::DOUBLE * mmax::DOUBLE)
+        |      * (n_items::DOUBLE * mmax::DOUBLE)) AS pe
+        |  FROM it CROSS JOIN ct)
+        |SELECT n_items, CASE WHEN ok THEN mmax END AS m, n_categories,
+        |  CASE WHEN ok THEN po END AS po, CASE WHEN ok THEN pe END AS pe,
+        |  CASE WHEN ok AND pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+        |FROM f""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.md5Hash60
+      val d = t(s, dir, "documents").filter(col("lang").isNotNull)
+      def corrupt(salt: String, tag: String) =
+        when(md5Hash60(concat(lit(s"$salt:"), col("doc_id").cast("string")))
+          % 10L < 2L, lit(tag)).otherwise(col("lang"))
+      val long = d.select(col("doc_id").as("i"), col("lang").as("l"))
+        .unionAll(d.select(col("doc_id").as("i"), corrupt("rater2", "xx").as("l")))
+        .unionAll(d.select(col("doc_id").as("i"), corrupt("rater3", "yy").as("l")))
+      graft.operators.Eval.fleissKappa(long, "i", "l")
+    }
+
+    // --- ecological diversity of the language mix per source (Shannon,
+    //     Simpson, Pielou evenness): Simpson is one exact-integer
+    //     division; Shannon terms ride the 9-dp ln + DECIMAL(25,15)
+    //     contract.
+    register("p149_diversity",
+      s"""WITH cnt AS (SELECT source AS g, lang AS k,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY source, lang),
+         |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t,
+         |    CAST(COUNT(*) AS BIGINT) AS richness,
+         |    SUM(c::HUGEINT * c) AS c2 FROM cnt GROUP BY g),
+         |terms AS (SELECT cnt.g, t, richness, c2,
+         |    CAST(c::DOUBLE / t::DOUBLE *
+         |      ${ln9Sql("c::DOUBLE / t::DOUBLE")} AS DECIMAL(25,15)) AS h
+         |  FROM cnt JOIN tot USING (g)),
+         |a AS (SELECT g, MAX(t) AS n, MAX(richness) AS richness,
+         |    SUM(h) AS hsum, MAX(c2) AS c2m FROM terms GROUP BY g)
+         |SELECT g AS source, n, richness,
+         |  round(-CAST(hsum AS DOUBLE), 9) AS shannon,
+         |  CAST(c2m AS DOUBLE) / (n::DOUBLE * n::DOUBLE) AS simpson,
+         |  CASE WHEN richness >= 2 THEN
+         |    round(-CAST(hsum AS DOUBLE) /
+         |      ${ln9Sql("richness::DOUBLE")}, 9) END AS evenness
+         |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.diversityByGroup(
+          t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"))
+    }
+
+    // --- degree assortativity of the near-dup pair graph (Newman 2002):
+    //     do similarity hubs attach to hubs or to leaves? All-integer
+    //     sums over the symmetrized edge list, ONE division (the
+    //     symmetric-Pearson identity removes the sqrt).
+    register("p150_assortativity",
+      s"""WITH $minhashPairCtes,
+         |e0 AS (SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a != id_b),
+         |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+         |j AS (SELECT da.d AS x, db.d AS y FROM sym
+         |  JOIN deg da ON da.u = sym.u JOIN deg db ON db.u = sym.v),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         |    SUM(x::HUGEINT) AS sx,
+         |    SUM(x::HUGEINT * x) AS sxx,
+         |    SUM(x::HUGEINT * y) AS sxy FROM j),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT n_nodes, m2 // 2 AS n_edges,
+         |  CASE WHEN m2 > 0 AND
+         |      CAST(m2::HUGEINT * sxx - sx * sx AS DOUBLE) != 0.0
+         |    THEN CAST(m2::HUGEINT * sxy - sx * sx AS DOUBLE) /
+         |      CAST(m2::HUGEINT * sxx - sx * sx AS DOUBLE)
+         |  END AS assortativity
+         |FROM nn CROSS JOIN a""".stripMargin) { (s, dir) =>
+      graft.operators.Graphs.degreeAssortativity(
+        minhashPairs(s, dir), "id_a", "id_b")
+    }
+
+    // --- binary confident joint (Northcutt et al. 2021): label-noise
+    //     estimation via per-class mean self-confidence thresholds over
+    //     the p107 probe — every cell decision is a comparison of
+    //     identical doubles, the noise rate one integer division.
+    register("p151_confident_joint",
+      """WITH d AS (SELECT LEAST(n_chars::DOUBLE / 1000.0::DOUBLE,
+        |    1.0::DOUBLE) AS p, (lang = 'en') AS l
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |th AS (SELECT
+        |    CAST(SUM(CASE WHEN l THEN CAST(p AS DECIMAL(25,9)) END)
+        |      AS DOUBLE) AS sp,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN NOT l THEN CAST(1.0 - p AS DECIMAL(25,9)) END)
+        |      AS DOUBLE) AS sq,
+        |    CAST(SUM(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM d),
+        |t2 AS (SELECT n_pos, n_neg,
+        |    CASE WHEN n_pos > 0 THEN sp / n_pos::DOUBLE END AS tp,
+        |    CASE WHEN n_neg > 0 THEN sq / n_neg::DOUBLE END AS tn FROM th),
+        |f AS (SELECT p, l,
+        |    CASE WHEN (tp IS NOT NULL AND p >= tp) AND
+        |        (NOT (tn IS NOT NULL AND 1.0 - p >= tn) OR p >= 1.0 - p)
+        |      THEN TRUE
+        |      WHEN (tn IS NOT NULL AND 1.0 - p >= tn) THEN FALSE END AS yhat
+        |  FROM d CROSS JOIN t2),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l AND yhat = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS c_pp,
+        |    CAST(SUM(CASE WHEN l AND yhat = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS c_pn,
+        |    CAST(SUM(CASE WHEN NOT l AND yhat = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS c_np,
+        |    CAST(SUM(CASE WHEN NOT l AND yhat = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS c_nn
+        |  FROM f)
+        |SELECT n, t2.n_pos, t2.n_neg, c_pp, c_pn, c_np, c_nn,
+        |  c_pp + c_pn + c_np + c_nn AS n_confident,
+        |  CASE WHEN c_pp + c_pn + c_np + c_nn > 0 THEN
+        |    (c_pn + c_np)::DOUBLE / (c_pp + c_pn + c_np + c_nn)::DOUBLE END
+        |    AS est_noise_rate
+        |FROM a CROSS JOIN t2""".stripMargin) { (s, dir) =>
+      graft.operators.Classifier.confidentJointBinary(
+        t(s, dir, "documents")
+          .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+          .select(least(col("n_chars").cast("double") / lit(1000.0),
+              lit(1.0)).as("prob"),
+            (col("lang") === "en").as("label")),
+        "prob", "label")
+    }
+
+    // --- per-source NDCG@10 of the length ranking vs the lang='en'
+    //     label: the position-discounted ranking grade — discounts are
+    //     ln9(2)/ln9(rank+1), gains ride DECIMAL(25,15), the ideal
+    //     ranking reuses the group's own rank series.
+    register("p152_ndcg",
+      s"""WITH d AS (SELECT source AS g, n_chars AS sc, doc_id AS tb,
+         |    (lang = 'en') AS l
+         |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+         |    AND source IS NOT NULL),
+         |r AS (SELECT g, l,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY sc DESC, tb ASC)
+         |      AS BIGINT) AS rn,
+         |    SUM(CASE WHEN l THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS np
+         |  FROM d),
+         |t2 AS (SELECT g, l, rn, np,
+         |    ${ln9Sql("2.0")} / ${ln9Sql("(rn + 1)::DOUBLE")} AS disc FROM r),
+         |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MAX(np) AS BIGINT) AS n_pos,
+         |    SUM(CASE WHEN l AND rn <= 10 THEN CAST(disc AS DECIMAL(25,15)) END)
+         |      AS dcg,
+         |    SUM(CASE WHEN rn <= LEAST(10, np) THEN CAST(disc AS DECIMAL(25,15))
+         |      END) AS idcg
+         |  FROM t2 GROUP BY g)
+         |SELECT g AS source, n, n_pos,
+         |  CASE WHEN n_pos > 0 THEN
+         |    round(CAST(COALESCE(dcg, 0) AS DOUBLE), 9) END AS dcg,
+         |  CASE WHEN n_pos > 0 THEN round(CAST(idcg AS DOUBLE), 9) END AS idcg,
+         |  CASE WHEN n_pos > 0 THEN round(CAST(COALESCE(dcg, 0) AS DOUBLE) /
+         |    CAST(idcg AS DOUBLE), 9) END AS ndcg
+         |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.ndcgByGroup(
+          t(s, dir, "documents")
+            .filter(col("source").isNotNull)
+            .withColumn("__lbl", col("lang") === "en"),
+          "source", "n_chars", "__lbl", "doc_id", k = 10)
+        .orderBy(col("source"))
+    }
+
+    // --- Brier score + log loss over the p107 probe: the two proper
+    //     scoring rules, 1e-6 clamp before the 9-dp ln, DECIMAL(25,15)
+    //     term accumulation.
+    register("p153_brier_logloss",
+      s"""WITH d AS (SELECT LEAST(n_chars::DOUBLE / 1000.0::DOUBLE,
+         |    1.0::DOUBLE) AS p, (lang = 'en') AS l
+         |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         |c AS (SELECT p, l,
+         |    GREATEST(LEAST(p, 1.0 - 0.000001), 0.000001) AS pc,
+         |    CASE WHEN l THEN 1.0 ELSE 0.0 END AS y FROM d),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    SUM(CAST((p - y) * (p - y) AS DECIMAL(25,15))) AS bs,
+         |    SUM(CAST(CASE WHEN l THEN -${ln9Sql("pc")}
+         |      ELSE -${ln9Sql("1.0 - pc")} END AS DECIMAL(25,15))) AS ll
+         |  FROM c)
+         |SELECT n, n_pos,
+         |  CASE WHEN n > 0 THEN round(CAST(bs AS DOUBLE) / n::DOUBLE, 9) END
+         |    AS brier,
+         |  CASE WHEN n > 0 THEN round(CAST(ll AS DOUBLE) / n::DOUBLE, 9) END
+         |    AS logloss
+         |FROM a""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.brierLogLoss(
+        t(s, dir, "documents")
+          .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+          .select(least(col("n_chars").cast("double") / lit(1000.0),
+              lit(1.0)).as("prob"),
+            (col("lang") === "en").as("label")),
+        "prob", "label")
+    }
+
+    // --- mutual nearest-neighbor pairs (reciprocal 1-NN by cosine) on
+    //     the p12 bounded block: the highest-precision embedding
+    //     near-dup seeds — a matching, not a neighborhood graph.
+    register("p154_mutual_nn",
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm
+         |  FROM embeddings WHERE vec_id < 300),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e),
+         |p AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    $dotSql / (qn * e.nrm) AS cosine
+         |  FROM q JOIN e ON e.vec_id != query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |nn AS (SELECT query_id, neighbor_id, cosine FROM r WHERE rank = 1),
+         |m AS (SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.cosine
+         |  FROM nn a JOIN nn b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id)
+         |SELECT id_a, id_b, round(cosine, 9) AS cosine
+         |FROM m ORDER BY id_a""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.mutualNearestNeighbors(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300),
+          "vec_id", "embedding")
+        .orderBy(col("id_a"))
+    }
+
+    // --- binary-segmentation changepoint over hourly event volumes per
+    //     type: the split objective is ONE division of exact HUGEINT/
+    //     DECIMAL(38,0) integers per candidate, so the argmax is
+    //     deterministic cross-engine (ties → earliest hour).
+    register("p155_changepoint",
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, x, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS pos,
+        |    SUM(y) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    SUM(y) OVER (PARTITION BY event_type) AS t
+        |  FROM b),
+        |c AS (SELECT event_type, x, pos, l, t - l AS r, n,
+        |    n - pos AS nr,
+        |    CAST(l::HUGEINT * l * (n - pos) + (t - l)::HUGEINT * (t - l) * pos
+        |      AS DOUBLE) / CAST(pos * (n - pos) AS DOUBLE) AS f
+        |  FROM s WHERE pos < n),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY f DESC, pos ASC) AS rk FROM c),
+        |w AS (SELECT * FROM rk WHERE rk = 1),
+        |t2 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS tt FROM b GROUP BY event_type)
+        |SELECT t2.event_type, t2.n, w.x AS t_split,
+        |  w.pos AS n_left, w.nr AS n_right,
+        |  CAST(w.l AS DOUBLE) / w.pos::DOUBLE AS mean_left,
+        |  CAST(w.r AS DOUBLE) / w.nr::DOUBLE AS mean_right,
+        |  w.f - CAST(tt::HUGEINT * tt AS DOUBLE) / t2.n::DOUBLE
+        |    AS sse_reduction
+        |FROM t2 LEFT JOIN w ON w.event_type = t2.event_type
+        |ORDER BY t2.event_type""".stripMargin) { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .withColumn("hour_x",
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        .groupBy(col("event_type"), col("hour_x"))
+        .agg(count(lit(1)).as("y"))
+      graft.operators.Drift.changepointBinary(
+          hourly, "event_type", "hour_x", "y")
+        .orderBy(col("event_type"))
+    }
+
+    // --- exact-dedup yield curve over ingest order (doc_id deciles):
+    //     does the marginal duplicate rate climb as the corpus grows?
+    //     First-occurrence and bin decisions are pure integer
+    //     arithmetic; the cumulative pass runs over <= 10 rows.
+    register("p156_dedup_yield",
+      s"""WITH f AS (SELECT doc_id,
+         |    md5(array_to_string($toksLowerSql, ' ')) AS fp
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |fst AS (SELECT fp, MIN(doc_id) AS fd FROM f GROUP BY fp),
+         |g AS (SELECT doc_id, (doc_id > fd) AS dup FROM f JOIN fst USING (fp)),
+         |r AS (SELECT doc_id, dup,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM g),
+         |b AS (SELECT ((rn - 1) * 10) // n AS bin,
+         |    CASE WHEN dup THEN 1 ELSE 0 END AS d FROM r),
+         |a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(d) AS BIGINT) AS n_dups FROM b GROUP BY bin),
+         |c AS (SELECT *, CAST(SUM(n_docs) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_docs,
+         |    CAST(SUM(n_dups) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_dups FROM a)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_dups,
+         |  n_dups::DOUBLE / n_docs::DOUBLE AS dup_rate,
+         |  cum_docs, cum_dups,
+         |  cum_dups::DOUBLE / cum_docs::DOUBLE AS cum_dup_rate
+         |FROM c ORDER BY bin""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.dedupYieldCurve(
+          t(s, dir, "documents"), "doc_id", "text", nBins = 10)
+        .orderBy(col("bin"))
+    }
+
+    // --- quantile normalization: map every non-English length onto the
+    //     same quantile of the English distribution (nearest-rank,
+    //     exact integer target ranks; the rank lookup is AsofJoin
+    //     FORWARD over the two distinct-value frames).
+    register("p157_quantile_normalize",
+      """WITH aa AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |bb AS (SELECT n_chars AS v FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM aa GROUP BY v),
+        |sa AS (SELECT v AS av, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cuma FROM ca),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM bb GROUP BY v),
+        |sb AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM cb),
+        |n AS (SELECT (SELECT COUNT(*) FROM aa) AS na,
+        |    (SELECT COUNT(*) FROM bb) AS nb),
+        |tr AS (SELECT v, c, cum,
+        |    CAST((cum * na + nb - 1) // nb AS BIGINT) AS target_rank
+        |  FROM sb CROSS JOIN n)
+        |SELECT v AS value, c AS n, cum AS cum_b, target_rank,
+        |  (SELECT MIN(av) FROM sa WHERE sa.cuma >= tr.target_rank)
+        |    AS normalized
+        |FROM tr ORDER BY value""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      graft.operators.Drift.quantileNormalize(
+          docs.filter(col("lang") === "en").select(col("n_chars")),
+          docs.filter(col("lang") =!= "en").select(col("n_chars")),
+          "n_chars")
+        .orderBy(col("value"))
+    }
   }
 }

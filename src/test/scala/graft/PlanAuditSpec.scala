@@ -439,7 +439,29 @@ class PlanAuditSpec extends SparkSpecBase {
       // p137: the 1-row weight-total broadcasts into the strata frame;
       // p139: the 1-row grand total broadcasts into the 9-row digit
       // frame — scalar dims, not pair blow-ups
-      "p137_neyman_alloc", "p139_benford")
+      "p137_neyman_alloc", "p139_benford",
+      // p141: the 1-row (n_a, n_b, n_values) totals broadcast into the
+      // segment terms and the single report row — scalar dims, not pair
+      // blow-ups
+      "p141_wasserstein",
+      // p147: the 1-row (n_cal, rank) and q̂ scalars broadcast into the
+      // nearest-rank pick, the test-side coverage pass, and the single
+      // report row — every BNLJ side is exactly one row
+      "p147_conformal",
+      // p148: the 1-row item-level and category-level aggregates
+      // cross-join into the single kappa report row; p150: the 1-row
+      // node count and moment sums cross-join into the single
+      // assortativity report row
+      "p148_fleiss_kappa", "p150_assortativity",
+      // p151: the 1-row per-class threshold scalars broadcast into the
+      // counting pass; p154: the exact path IS p07's brute-force
+      // broadcast-queries cross join on the bounded block (LSH/IVF
+      // candidates at corpus scale, per mutualNearestNeighbors' scaladoc)
+      "p151_confident_joint", "p154_mutual_nn",
+      // p156: the 1-row corpus-total scalar broadcasts into the rank
+      // stream for the integer bin split; p157: the two 1-row side
+      // totals broadcast into the distinct-value target-rank frame
+      "p156_dedup_yield", "p157_quantile_normalize")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
