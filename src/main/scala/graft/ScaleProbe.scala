@@ -207,6 +207,25 @@ object ScaleProbe {
     val (bR, tbR) = time(stitchRun(r))
     println(f"boundary_stitch 1x: $tb1%.1fs $b1 pairs | ${r}x: $tbR%.1fs $bR pairs" +
       f" (ratio ${tbR / tb1}%.2fx time, ${bR.toDouble / b1}%.2fx rows)")
+
+    // ---- Heaps'-law fit: the hh frame's per-replica token prefixes make
+    // the vocabularies ORTHOGONAL across replicas, so total vocabulary
+    // (and total tokens) are exactly Rx — a countable invariant even
+    // though the output is a single report row. The heavy terms are the
+    // token-stream count aggregations and two PrefixSum scans; the OLS
+    // itself is O(docs). Expected: vocab and n_tokens exactly Rx, time
+    // well under Rx.
+    def heapsRun(reps: Int): (Long, Long) = {
+      val row = graft.operators.Profile
+        .heapsFit(hhFrame(reps), "doc_id", "text").head()
+      (row.getAs[Long]("vocab"), row.getAs[Long]("n_tokens"))
+    }
+    heapsRun(1)
+    val ((v1, t1tok), th1b) = time(heapsRun(1))
+    val ((vR, tRtok), thRb) = time(heapsRun(r))
+    println(f"heaps_fit 1x: $th1b%.1fs vocab $v1 | ${r}x: $thRb%.1fs vocab $vR" +
+      f" (ratio ${thRb / th1b}%.2fx time, ${vR.toDouble / v1}%.2fx vocab," +
+      f" ${tRtok.toDouble / t1tok}%.2fx tokens)")
     spark.stop()
   }
 }

@@ -6448,5 +6448,149 @@ object SparkEntry {
           "n_chars")
         .orderBy(col("value"))
     }
+
+    // --- isotonic (PAV) calibration over the p107 probe, by the minimax
+    //     identity max_{j<=i} min_{k>=i} avg(y[j..k]) — every interval
+    //     average is one exact-integer division, the pooling is pure
+    //     max/min selection over a <= 10-row bin frame.
+    register("p158_isotonic",
+      """WITH d AS (SELECT LEAST(n_chars::DOUBLE / 1000.0::DOUBLE,
+        |    1.0::DOUBLE) AS s, (lang = 'en') AS l
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT GREATEST(LEAST(CAST(floor(s * 10) AS BIGINT), 9), 0)
+        |    AS bin, l FROM d),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM b GROUP BY bin),
+        |p AS (SELECT bin, n, np,
+        |    CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM g),
+        |iv AS (SELECT j.bin AS jb, kk.bin AS kb,
+        |    (kk.cp - (j.cp - j.np))::DOUBLE /
+        |      (kk.cn - (j.cn - j.n))::DOUBLE AS avgv
+        |  FROM p j JOIN p kk ON kk.bin >= j.bin),
+        |mr AS (SELECT jb, kb, MIN(avgv) OVER (PARTITION BY jb ORDER BY kb
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS minr
+        |  FROM iv),
+        |f AS (SELECT kb AS bin, MAX(minr) AS fitted FROM mr GROUP BY kb)
+        |SELECT g.bin, g.bin::DOUBLE / 10.0::DOUBLE AS bin_lo, g.n,
+        |  g.np AS n_pos, g.np::DOUBLE / g.n::DOUBLE AS rate, f.fitted
+        |FROM g JOIN f USING (bin) ORDER BY bin""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.isotonicCalibration(
+          t(s, dir, "documents")
+            .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+            .select(least(col("n_chars").cast("double") / lit(1000.0),
+                lit(1.0)).as("score"),
+              (col("lang") === "en").as("label")),
+          "score", "label", nBins = 10)
+        .orderBy(col("bin"))
+    }
+
+    // --- k-core peel of the near-dup pair graph (k=2, 4 synchronous
+    //     rounds — idempotent past convergence, the p61 fixed-round
+    //     rule): strips dangling chains, keeps the dense dup
+    //     communities with their in-subgraph degrees.
+    // every peel CTE is MATERIALIZED: e_i references e_{i-1} three times
+    // (directly + through d_i/kk_i), so inlining would re-evaluate the
+    // full minhash pipeline ~3^rounds times (measured: the un-hinted
+    // oracle ran >10 min; materialized, seconds)
+    val kcoreRounds = 4
+    val kcoreCtes = (1 to kcoreRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS dd
+         |  FROM e${i - 1} GROUP BY u),
+         |kk$i AS MATERIALIZED (SELECT u FROM d$i WHERE dd >= 2),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN kk$i a ON a.u = e.u JOIN kk$i b2 ON b2.u = e.v)""".stripMargin
+    }.mkString(",\n")
+    register("p159_kcore",
+      s"""WITH $minhashPairCtes,
+         |e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a != id_b
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs WHERE id_a != id_b)),
+         |$kcoreCtes
+         |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM e$kcoreRounds GROUP BY u ORDER BY id""".stripMargin) { (s, dir) =>
+      graft.operators.Graphs.kCore(
+          minhashPairs(s, dir), "id_a", "id_b", k = 2, rounds = kcoreRounds)
+        .orderBy(col("id"))
+    }
+
+    // --- invisible / bidi-control character audit (Trojan Source
+    //     screen): the ASCII fixture gets per-doc planted payloads
+    //     (zero-width splits, an RLO..PDF sandwich, U+FFFD, raw
+    //     controls — the p131 planting philosophy); classes are raw
+    //     BMP chars shared verbatim by both engines.
+    {
+      val classes = graft.operators.TextAudit.invisibleClasses
+      val plants = Seq(
+        " pa\u200Byl\u200Doad\u2060",
+        " a\u202Ecba\u202C b\u2066x\u2069",
+        " bad\uFFFDtext",
+        " ctl\u0007x\u001B",
+        "")
+      val plantSql = plants.zipWithIndex.init.map { case (p, i) =>
+        s"WHEN $i THEN '$p'" }.mkString("CASE doc_id % 5 ", " ", " ELSE '' END")
+      val countSql = classes.map { case (n, cls) =>
+        s"    CAST(length(t) - length(regexp_replace(t, '[$cls]', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(",\n")
+      register("p160_invisible_audit",
+        s"""WITH s0 AS (SELECT doc_id,
+           |    COALESCE(text, '') || $plantSql AS t FROM documents),
+           |c AS (SELECT doc_id,
+           |$countSql
+           |  FROM s0)
+           |SELECT doc_id, ${classes.map(c => s"n_${c._1}").mkString(", ")},
+           |  ${classes.map(c => s"n_${c._1}").mkString(" + ")} AS n_suspicious,
+           |  (${classes.map(c => s"n_${c._1}").mkString(" + ")}) = 0 AS is_clean
+           |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val plantCol = plants.zipWithIndex.init.foldLeft(lit("")) {
+          case (acc, (p, i)) =>
+            when(col("doc_id") % 5 === i, lit(p)).otherwise(acc)
+        }
+        graft.operators.TextAudit.invisibleAudit(
+            t(s, dir, "documents").select(col("doc_id"),
+              concat(coalesce(col("text"), lit("")), plantCol).as("text")),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }
+    }
+
+    // --- packing-efficiency report per language over the p25 bins:
+    //     context-window waste and oversize rates, single integer
+    //     divisions.
+    register("p161_packing_efficiency",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len($toksLowerSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |b AS (SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+         |    n_tokens, n_tokens > 512 AS oversize FROM c),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oversize,
+         |    CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM b GROUP BY lang)
+         |SELECT lang, n_docs, n_oversize, n_bins, total_tokens,
+         |  n_bins * 512 AS capacity,
+         |  CASE WHEN n_bins * 512 > 0 THEN
+         |    total_tokens::DOUBLE / (n_bins * 512)::DOUBLE END AS fill_rate,
+         |  CASE WHEN n_bins * 512 > 0 THEN GREATEST(0.0, 1.0 -
+         |    total_tokens::DOUBLE / (n_bins * 512)::DOUBLE) END AS waste_rate
+         |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packingEfficiency(
+          docs, "doc_id", "n_tokens", 512L, "lang")
+        .orderBy(col("lang"))
+    }
   }
 }

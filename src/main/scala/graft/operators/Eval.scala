@@ -480,6 +480,65 @@ object Eval {
             col("__idcg").cast("double"), 9)).as("ndcg"))
   }
 
+  /** Isotonic calibration over equal-width score bins (the
+    * pool-adjacent-violators fit, computed by the minimax identity
+    * ŷᵢ = max_{j≤i} min_{k≥i} avg(y[j..k]) — Robertson et al. 1988) —
+    * the non-parametric recalibration map that [[calibrationCurve]]'s
+    * diagnosis feeds: fitted values are monotone in the score and
+    * minimize squared error among all monotone fits. Output per
+    * non-empty bin: (bin long, bin_lo double, n, n_pos longs, rate
+    * double — the raw bin positive rate, fitted double — the isotonic
+    * rate; apply as a lookup table on new scores). NULL score/label
+    * rows drop; out-of-range scores clamp into the edge bins (the
+    * calibrationCurve rule).
+    *
+    * Exactness: every interval average is ONE division of exact
+    * integers (interval sums come from integer prefix sums over the
+    * bin frame); the max-of-min selection compares identical doubles —
+    * no FP accumulation anywhere.
+    *
+    * 100 TB shape: one map-side-combinable aggregation to ≤ nBins
+    * rows; the Θ(nBins²) interval frame, its window, and the final
+    * rollup all run on a BOUNDED frame (nBins ≤ 1000 enforced) — the
+    * deliberate tiny-frame theta join, not a data-sized one. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000,
+      s"isotonicCalibration: nBins must be in [1, 1000], got $nBins")
+    val base = df
+      .filter(col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull)
+      .select(col(s"`$scoreCol`").cast("double").as("__s"),
+        col(s"`$labelCol`").cast("boolean").as("__l"))
+      .withColumn("__bin", greatest(least(
+        floor(col("__s") * nBins).cast("long"), lit(nBins - 1L)), lit(0L)))
+    val bins = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__np"))
+    val wb = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = bins
+      .withColumn("__cn", sum(col("__n")).over(wb))
+      .withColumn("__cp", sum(col("__np")).over(wb))
+    val js = pre.select(col("__bin").as("__jb"),
+      (col("__cn") - col("__n")).as("__cn0"), (col("__cp") - col("__np")).as("__cp0"))
+    val ks = pre.select(col("__bin").as("__kb"),
+      col("__cn").as("__cnk"), col("__cp").as("__cpk"))
+    val iv = js.join(ks, col("__kb") >= col("__jb"))
+      .withColumn("__avg", (col("__cpk") - col("__cp0")).cast("double") /
+        (col("__cnk") - col("__cn0")).cast("double"))
+    val wr = Window.partitionBy(col("__jb")).orderBy(col("__kb"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val fitted = iv.withColumn("__minr", min(col("__avg")).over(wr))
+      .groupBy(col("__kb").as("__bin"))
+      .agg(max(col("__minr")).as("fitted"))
+    bins.join(fitted, Seq("__bin"))
+      .select(col("__bin").as("bin"),
+        (col("__bin").cast("double") / nBins.toDouble).as("bin_lo"),
+        col("__n").as("n"), col("__np").as("n_pos"),
+        (col("__np").cast("double") / col("__n").cast("double")).as("rate"),
+        col("fitted"))
+  }
+
   /** Brier score and logarithmic loss of a probability column against a
     * boolean label — the two proper scoring rules that complete the
     * calibration battery ([[calibrationCurve]] diagnoses by bin,

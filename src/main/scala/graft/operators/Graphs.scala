@@ -209,6 +209,53 @@ object Graphs {
     lab
   }
 
+  /** k-core peel (Seidman 1983) of an UNDIRECTED edge list: `rounds`
+    * synchronous rounds of "drop every node with degree < k, then drop
+    * edges touching dropped nodes" — at convergence the survivors are
+    * exactly the k-core, the standard "dense duplicate community"
+    * extractor over [[DupClusters]]' near-dup pair graph (a 2-core
+    * strips the dangling chains that inflate component sizes; a 3-core
+    * keeps only genuinely clustered boilerplate families). Runs EXACTLY
+    * `rounds` peels — peeling a converged graph is a no-op, so extra
+    * rounds are idempotent and the round count is part of the
+    * deterministic contract (the p61 PageRank rule); size `rounds` ≥
+    * the expected peel depth (ln of the max chain length; 8 covers any
+    * realistic dup graph). Self-loops, NULL endpoints, and duplicate
+    * edges drop. Output: (id, degree long — the node's degree INSIDE
+    * the surviving subgraph), survivors only.
+    *
+    * 100 TB shape: per round, one degree aggregation (map-side
+    * combinable) and two semi-joins keyed on the endpoints; round k−1's
+    * staged edge set is released when round k materializes (the
+    * labelPropagation two-snapshot rule). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"kCore: rounds must be in [1, 64], got $rounds")
+    val e0 = edges
+      .filter(col(s"`$aCol`").isNotNull && col(s"`$bCol`").isNotNull &&
+        col(s"`$aCol`") =!= col(s"`$bCol`"))
+      .select(col(s"`$aCol`").as("u"), col(s"`$bCol`").as("v"))
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var e = stager.stage(sym, s"kcore_${runId}_0")
+    var prevRec: Stager.Recording = null
+    for (i <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k.toLong).select(col("u"))
+      val rec = new Stager.Recording(stager)
+      e = rec.stage(
+        e.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        s"kcore_${runId}_$i")
+      if (stager.eager && prevRec != null) prevRec.release()
+      prevRec = rec
+    }
+    e.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Degree assortativity coefficient (Newman 2002) of an UNDIRECTED
     * edge list — the Pearson correlation of the degrees at the two ends
     * of every edge: positive = hubs link to hubs (a social-network

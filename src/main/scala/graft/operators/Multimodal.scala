@@ -168,6 +168,40 @@ object Multimodal {
         "struct<format:string,channels:int,sample_rate:int,bits_per_sample:int,n_frames:bigint>"))
   }
 
+  /** Real audio metadata from FLAC STREAMINFO — the mandatory first
+    * metadata block every FLAC file starts with, so unlike MP3's
+    * ID3-skip heuristic this is pure fixed-offset byte arithmetic:
+    * "fLaC" magic, block type 0 with the canonical 34-byte length, then
+    * sample rate (20 bits), channels−1 (3), bits-per-sample−1 (5) and
+    * the 36-bit total-sample count packed big-endian at bytes 19–26
+    * (1-indexed). Returns
+    * struct(format='flac', sample_rate int, channels int,
+    * bits_per_sample int, n_samples bigint) or NULL for anything that
+    * is not a canonical FLAC header (the imageDimensions contract:
+    * null falls through to a [[MediaDecoder]]). */
+  def audioMetaFlac(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def u8(off: Int) = conv(hex(bin.substr(lit(off), lit(1))), 16, 10).cast("int")
+    def be(off: Int, len: Int) =
+      conv(hex(bin.substr(lit(off), lit(len))), 16, 10).cast("long")
+    val isFlac = hex(bin.substr(lit(1), lit(4))) === "664C6143" && // "fLaC"
+      u8(5).bitwiseAND(lit(127)) === 0 && // first block is STREAMINFO
+      be(6, 3) === 34L // canonical STREAMINFO length
+    val sampleRate = shiftright(be(19, 3), 4)
+    val channels = shiftright(u8(21), 1).bitwiseAND(lit(7)) + 1
+    val bps = shiftleft(u8(21).bitwiseAND(lit(1)), 4)
+      .bitwiseOR(shiftright(u8(22), 4)) + 1
+    val nSamples = shiftleft(u8(22).bitwiseAND(lit(15)).cast("long"), 32) +
+      be(23, 4)
+    when(isFlac && sampleRate > 0L,
+        struct(lit("flac").as("format"),
+          sampleRate.cast("int").as("sample_rate"),
+          channels.as("channels"),
+          bps.as("bits_per_sample"),
+          nSamples.as("n_samples")))
+      .otherwise(lit(null).cast(
+        "struct<format:string,sample_rate:int,channels:int,bits_per_sample:int,n_samples:bigint>"))
+  }
+
   /** Real video metadata from CANONICAL ISO-BMFF (MP4/MOV) headers — no
     * codec needed: the container's ftyp + moov/mvhd boxes are fixed byte
     * arithmetic once the layout is the faststart one every web encoder

@@ -150,4 +150,34 @@ object Packing {
       .withColumn("chunk_hash",
         graft.functions.TextFunctions.md5Hash60(col("chunk")))
   }
+
+  /** Packing-efficiency report over [[assignBins]]' contiguous bins —
+    * the "how much context window are we wasting?" rollup a training
+    * pipeline reads before changing budget or packing policy. Per
+    * group: (groupCol, n_docs, n_oversize longs — docs alone exceeding
+    * the budget, n_bins, total_tokens, capacity longs — n_bins·budget,
+    * fill_rate double — total_tokens/capacity; can exceed 1.0 exactly
+    * when oversize docs exist, waste_rate double — max(0, 1−fill_rate)).
+    * Rates are single divisions of exact integers.
+    *
+    * 100 TB shape: assignBins' one per-group cumulative window, then a
+    * (group, bin) count collapse and a group rollup — both map-side
+    * combinable. */
+  def packingEfficiency(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, groupCol: String): DataFrame = {
+    val binned = assignBins(df, idCol, tokensCol, budget, Some(groupCol))
+    val g = col(s"`$groupCol`")
+    binned.groupBy(g)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col(s"`$tokensCol`")).as("total_tokens"))
+      .withColumn("capacity", col("n_bins") * budget)
+      .withColumn("fill_rate",
+        when(col("capacity") > 0L,
+          col("total_tokens").cast("double") / col("capacity").cast("double")))
+      .withColumn("waste_rate",
+        when(col("capacity") > 0L,
+          greatest(lit(0.0), lit(1.0) - col("fill_rate"))))
+  }
 }

@@ -229,4 +229,41 @@ object TextAudit {
         (lit(1.0) - col("n_major").cast("double") /
           col("n_sentences").cast("double")).as("switch_frac"))
   }
+
+  /** Invisible-character classes for [[invisibleAudit]] — raw BMP chars
+    * shared verbatim with the oracle (the scriptClasses rule). `control`
+    * starts at U+0001: a NUL inside a SQL literal would truncate the
+    * oracle's pattern. Tab/LF/CR are legitimate text and count nowhere. */
+  val invisibleClasses: Seq[(String, String)] = Seq(
+    "zero_width" -> "\u200B\u200C\u200D\u2060\uFEFF",
+    "bidi" -> ("\u200E\u200F" + range(0x202A, 0x202E) + range(0x2066, 0x2069)),
+    "replacement" -> "\uFFFD",
+    "control" -> (range(0x01, 0x08) + "\u000B\u000C" + range(0x0E, 0x1F) + "\u007F"))
+
+  /** Invisible / bidirectional-control character audit — the text-level
+    * security screen a training pipeline runs before trusting crawled
+    * code or prose: zero-width characters hide payloads inside visually
+    * clean tokens, unterminated bidi controls reorder what reviewers SEE
+    * vs what models READ (the "Trojan Source" attack, Boucher & Anderson
+    * 2021), U+FFFD marks mojibake from a bad transcode, and stray C0/C1
+    * controls mark binary bleed-through. Output per doc: (idCol,
+    * n_zero_width, n_bidi, n_replacement, n_control, n_suspicious longs,
+    * is_clean boolean). Counts are the scriptProfile recipe — length
+    * minus length after class removal, codegen'd regexes, zero shuffles.
+    * NULL text counts as clean-empty. */
+  def invisibleAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val txt = coalesce(col(s"`$textCol`"), lit(""))
+    val counted = invisibleClasses.foldLeft(df.select(id, txt.as("__t"))) {
+      case (d, (name, cls)) =>
+        d.withColumn(s"n_$name",
+          (length(col("__t")) -
+            length(regexp_replace(col("__t"), s"[$cls]", ""))).cast("long"))
+    }
+    val total = invisibleClasses.map { case (n, _) => col(s"n_$n") }.reduce(_ + _)
+    counted
+      .withColumn("n_suspicious", total)
+      .withColumn("is_clean", col("n_suspicious") === 0L)
+      .drop("__t")
+  }
 }

@@ -335,4 +335,45 @@ class EvalSpec extends SparkSpecBase {
     assert(r.getAs[Double]("pe") === 1.0)
     assert(r.isNullAt(r.fieldIndex("kappa")))
   }
+
+  // --- isotonic calibration -------------------------------------------------------
+
+  test("isotonicCalibration: monotone inputs pass through unpooled") {
+    // bin0 rate 0.0, bin5 rate 0.5, bin9 rate 1.0 — already isotonic
+    val df = Seq(
+      (0.05, false), (0.05, false),
+      (0.55, true), (0.55, false),
+      (0.95, true), (0.95, true)).toDF("score", "label")
+    val rows = Eval.isotonicCalibration(df, "score", "label")
+      .orderBy(col("bin")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fitted") === r.getAs[Double]("rate"))
+    }
+  }
+
+  test("isotonicCalibration: a violating pair pools to the weighted mean") {
+    // bin0: 1 pos of 1 (rate 1.0); bin9: 1 pos of 3 (rate 1/3) — violation
+    // pooled fit = 2 pos / 4 = 0.5 on both bins
+    val df = Seq(
+      (0.05, true),
+      (0.95, true), (0.95, false), (0.95, false)).toDF("score", "label")
+    val rows = Eval.isotonicCalibration(df, "score", "label")
+      .orderBy(col("bin")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("rate") === 1.0)
+    assert(rows(0).getAs[Double]("fitted") === 0.5)
+    assert(rows(1).getAs[Double]("fitted") === 0.5)
+  }
+
+  test("isotonicCalibration: fitted values are monotone on a zigzag") {
+    val df = Seq(
+      (0.05, false), (0.05, true),              // 0.5
+      (0.15, false), (0.15, false),             // 0.0
+      (0.25, true), (0.25, true),               // 1.0
+      (0.35, false), (0.35, true)).toDF("score", "label") // 0.5
+    val fitted = Eval.isotonicCalibration(df, "score", "label")
+      .orderBy(col("bin")).collect().map(_.getAs[Double]("fitted"))
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b },
+      fitted.mkString(","))
+  }
 }

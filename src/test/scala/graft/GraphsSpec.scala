@@ -186,4 +186,39 @@ class GraphsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_nodes") === 5L)
     assert(r.getAs[Double]("assortativity") === -1.0)
   }
+
+  // --- k-core ---------------------------------------------------------------
+
+  test("kCore: strips a dangling chain off a triangle, keeps the core") {
+    // triangle 1-2-3 plus chain 3-4-5: 2-core = the triangle, all degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graphs.kCore(edges, "a", "b", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: peeling cascades (a chain vanishes entirely at k=2)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graphs.kCore(edges, "a", "b", k = 2, rounds = 4).count() === 0L)
+    // ...but the whole chain IS a 1-core
+    assert(Graphs.kCore(edges, "a", "b", k = 1, rounds = 4).count() === 4L)
+  }
+
+  test("kCore: extra rounds past convergence are idempotent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val a4 = Graphs.kCore(edges, "a", "b", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    val a8 = Graphs.kCore(edges, "a", "b", k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(a4 === a8)
+  }
+
+  test("kCore: duplicate edges, reversed orientations, and self-loops don't inflate degrees") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("a", "b")
+    val got = Graphs.kCore(edges, "a", "b", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

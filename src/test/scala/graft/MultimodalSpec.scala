@@ -118,6 +118,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(3L) === None)
   }
 
+  test("audioMetaFlac parses STREAMINFO; wrong magic or block type falls through") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 44100 Hz, stereo, 16-bit, 1000 samples:
+    // bytes 19-21: srate(20 bits) | channels-1(3) | bps-1 high bit(1)
+    val streaminfo = b(0x10, 0x00, 0x10, 0x00) ++ // min/max blocksize
+      b(0, 0, 0, 0, 0, 0) ++ // min/max framesize (u24 x2)
+      b(0x0A, 0xC4, 0x42, 0xF0) ++ // packed srate/ch/bps + samples hi
+      b(0x00, 0x00, 0x03, 0xE8) ++ // total samples low 32 = 1000
+      Array.fill[Byte](16)(0) // md5 signature
+    val flac = "fLaC".getBytes("US-ASCII") ++ b(0x00, 0x00, 0x00, 0x22) ++ streaminfo
+    // same bytes but first block marked type 4 (VORBIS_COMMENT): refuse
+    val wrongType = "fLaC".getBytes("US-ASCII") ++ b(0x04, 0x00, 0x00, 0x22) ++ streaminfo
+    // last-block flag set is still STREAMINFO (bit 7 masked off)
+    val lastFlag = "fLaC".getBytes("US-ASCII") ++ b(0x80, 0x00, 0x00, 0x22) ++ streaminfo
+    val junk = "fLaX nope".getBytes("UTF-8")
+    val df = Seq((1L, flac), (2L, wrongType), (3L, lastFlag), (4L, junk))
+      .toDF("id", "media")
+      .withColumn("meta", Multimodal.audioMetaFlac(col("media")))
+    val got = df.select(col("id"), col("meta.format"), col("meta.sample_rate"),
+        col("meta.channels"), col("meta.bits_per_sample"), col("meta.n_samples"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).map(f =>
+        (f, r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got(1L) === Some(("flac", 44100, 2, 16, 1000L)))
+    assert(got(2L) === None)
+    assert(got(3L) === Some(("flac", 44100, 2, 16, 1000L)))
+    assert(got(4L) === None)
+  }
+
   test("videoMeta parses canonical MP4 ftyp+moov/mvhd headers, both versions") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     def be32(v: Long) = b(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,

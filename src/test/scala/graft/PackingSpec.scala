@@ -142,4 +142,25 @@ class PackingSpec extends SparkSpecBase {
     assert(stats > 20 && stats < 300,
       s"mean chunk length $stats should sit near the 64-codepoint design point")
   }
+
+  test("packingEfficiency: fill and waste rates, oversize counted") {
+    // group g: tokens 300, 300, 700 with budget 500.
+    // cum = 300, 600, 1300 -> bins floor((cum-n)/500) = 0, 0, 1 -> 2 bins
+    // capacity 1000, total 1300 -> fill 1.3, waste 0; one oversize doc
+    val df = Seq((1L, "g", 300L), (2L, "g", 300L), (3L, "g", 700L),
+      (4L, "h", 100L)).toDF("id", "grp", "toks")
+    val m = Packing.packingEfficiency(df, "id", "toks", 500L, "grp")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val g = m("g")
+    assert(g.getAs[Long]("n_docs") === 3L)
+    assert(g.getAs[Long]("n_oversize") === 1L)
+    assert(g.getAs[Long]("n_bins") === 2L)
+    assert(g.getAs[Long]("capacity") === 1000L)
+    assert(g.getAs[Double]("fill_rate") === 1.3)
+    assert(g.getAs[Double]("waste_rate") === 0.0)
+    val h = m("h")
+    assert(h.getAs[Long]("n_bins") === 1L)
+    assert(h.getAs[Double]("fill_rate") === 0.2)
+    assert(math.abs(h.getAs[Double]("waste_rate") - 0.8) < 1e-15)
+  }
 }

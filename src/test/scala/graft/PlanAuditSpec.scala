@@ -461,7 +461,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // p156: the 1-row corpus-total scalar broadcasts into the rank
       // stream for the integer bin split; p157: the two 1-row side
       // totals broadcast into the distinct-value target-rank frame
-      "p156_dedup_yield", "p157_quantile_normalize")
+      "p156_dedup_yield", "p157_quantile_normalize",
+      // p158: the deliberate Θ(nBins²) interval theta join runs on the
+      // <= 10-row bin frame — a bounded tiny-frame join by contract
+      "p158_isotonic")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -180,4 +180,25 @@ class TextAuditSpec extends SparkSpecBase {
     assert(math.abs(d2.getAs[Double]("switch_frac") - 2.0 / 3.0) < 1e-12)
     assert(out(3L).getAs[String]("major_lang") === "und")
   }
+
+  test("invisibleAudit counts each class; clean and NULL docs report clean") {
+    val df = Seq(
+      (1L, Some("pa\u200Byl\u200Doad")),          // 2 zero-width
+      (2L, Some("a\u202Ecba\u202C \u2066x\u2069")), // 4 bidi controls
+      (3L, Some("bad\uFFFD\uFFFDtext")),           // 2 replacement chars
+      (4L, Some("ctl\u0007x\u001B\u007F")),        // 3 raw controls
+      (5L, Some("perfectly clean text, tabs\tand\nnewlines are fine")),
+      (6L, None)).toDF("doc_id", "text")
+    val out = TextAudit.invisibleAudit(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_zero_width") === 2L)
+    assert(out(2L).getAs[Long]("n_bidi") === 4L)
+    assert(out(3L).getAs[Long]("n_replacement") === 2L)
+    assert(out(4L).getAs[Long]("n_control") === 3L)
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(!out(i).getAs[Boolean]("is_clean")))
+    Seq(5L, 6L).foreach { i =>
+      assert(out(i).getAs[Long]("n_suspicious") === 0L)
+      assert(out(i).getAs[Boolean]("is_clean"))
+    }
+  }
 }
