@@ -486,4 +486,46 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(shuffles <= 1, s"$q: $shuffles shuffles")
     }
   }
+
+  test("p141: wasserstein adjacency is a rank EQUI-join, never a lead window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars").isNotNull)
+    val out = graft.operators.Drift.wasserstein1(
+      docs.filter(col("lang") === "en").select(col("n_chars")),
+      docs.filter(col("lang") =!= "en").select(col("n_chars")), "n_chars")
+    val plan = out.queryExecution.executedPlan.toString
+    // consecutive-value segments come from joining rank i with rank i+1 —
+    // a key-partitioned shuffle, not a single-reducer lead window
+    assert(plan.contains("__rk"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only windows are PrefixSum's per-__psid local scans (plus its
+    // bounded offsets pass) — never a window ordered over raw values
+    // without a partition on the data-sized frame
+    assert(!plan.contains("lead("), plan)
+  }
+
+  test("p146: int8 audit joins the per-dim scales by BROADCAST, no value shuffle twice") {
+    val out = graft.operators.Similarity.int8QuantizationError(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("p155: changepoint plans per-group windows only — no cross join, no BNLJ") {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .withColumn("hour_x",
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+      .groupBy(col("event_type"), col("hour_x"))
+      .agg(count(lit(1)).as("y"))
+    val out = graft.operators.Drift.changepointBinary(
+      hourly, "event_type", "hour_x", "y")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every window partitions by the group column
+    assert(!plan.contains("windowspecdefinition(hour_x"), plan)
+  }
 }
