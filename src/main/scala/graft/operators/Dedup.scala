@@ -73,7 +73,9 @@ object Dedup {
       .withColumn("__d", when(col("__dup"), 1L).otherwise(0L))
     val ranked = PrefixSum.withRunningSums(flagged, "__id",
       Seq("__one", "__d"), stager)
-    val tot = flagged.agg(count(lit(1)).as("__n"))
+    // total off the STAGED scan (max rank) — aggregating `flagged` again
+    // would re-run the corpus-sized fingerprint join
+    val tot = ranked.agg(coalesce(max(col("cum___one")), lit(0L)).as("__n"))
     val binned = ranked.crossJoin(broadcast(tot))
       .withColumn("__bin", expr(s"((cum___one - 1) * $nBins) div __n"))
       .groupBy(col("__bin").as("bin"))

@@ -356,8 +356,10 @@ object Drift {
         col("cum___na").as("__ca"), col("cum___nb").as("__cb"))
     val nxt = ranked.select((col("__rk") - 1L).as("__rk"), col("__v").as("__vn"))
     val segs = ranked.join(nxt, Seq("__rk"))
-    val tot = merged.agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
-      count(lit(1)).as("n_values"))
+    // totals come off the STAGED scan (last cumulative value = total) —
+    // aggregating `merged` again would re-run both corpus-sized counts
+    val tot = ranked.agg(max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"),
+      coalesce(max(col("__rk")), lit(0L)).as("n_values"))
     val num = segs.crossJoin(broadcast(tot))
       .agg(sum(abs(col("__ca").cast(dec38) * col("n_b") -
           col("__cb").cast(dec38) * col("n_a")) *
@@ -395,8 +397,10 @@ object Drift {
       .select(col("__v"), col("__c"), col("cum___c").as(cname))
     val ac = cum(a, "__cuma").select(col("__v").as("__av"), col("__cuma"))
     val bc = cum(b, "__cumb")
-    val na = a.filter(v.isNotNull).agg(count(lit(1)).as("__na"))
-    val nb = b.filter(v.isNotNull).agg(count(lit(1)).as("__nb"))
+    // totals off the two STAGED scans (max cumulative = side total) —
+    // re-aggregating the raw sides would re-run both corpus counts
+    val na = ac.agg(coalesce(max(col("__cuma")), lit(0L)).as("__na"))
+    val nb = bc.agg(coalesce(max(col("__cumb")), lit(0L)).as("__nb"))
     val targets = bc.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .withColumn("target_rank",
         expr("(__cumb * __na + __nb - 1) div __nb"))

@@ -835,10 +835,14 @@ object Similarity {
     * [[lshTopK]]/[[ivfTopK]] at corpus scale; the MNN join itself is an
     * equi-join on (query, neighbor) key pairs. */
   def mutualNearestNeighbors(corpus: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val nn = bruteForceTopK(corpus, corpus, idCol, vecCol, k = 1)
-      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"),
-        col("cosine").as("__c"))
+      vecCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    // staged: the 1-NN frame feeds BOTH sides of the reciprocity join —
+    // unstaged, the O(n²) brute-force pass would run twice
+    val nn = stager.stage(
+      bruteForceTopK(corpus, corpus, idCol, vecCol, k = 1)
+        .select(col("query_id").as("__q"), col("neighbor_id").as("__n"),
+          col("cosine").as("__c")),
+      s"mnn_${java.util.UUID.randomUUID().toString.take(8)}")
     nn.filter(col("__q") < col("__n"))
       .join(nn.select(col("__n").as("__q"), col("__q").as("__n")),
         Seq("__q", "__n"), "left_semi")

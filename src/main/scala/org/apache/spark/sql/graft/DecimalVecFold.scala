@@ -51,6 +51,11 @@ case class DecimalVecFold(left: Expression, right: Expression,
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // ALWAYS nullable: a NaN/Infinity term yields NULL even when both
+  // inputs are non-null (e.g. literal vectors) — the BinaryExpression
+  // default (children's nullability) would let the optimizer elide
+  // IsNull checks and nullSafeCodeGen pin isNull to a false literal
+  override def nullable: Boolean = true
   override def prettyName: String =
     if (squaredDiff) "decimal_vec_dist_sq" else "decimal_vec_dot"
 
