@@ -6592,5 +6592,77 @@ object SparkEntry {
           docs, "doc_id", "n_tokens", 512L, "lang")
         .orderBy(col("lang"))
     }
+
+    // --- funnel-transition latency (view→click→purchase): rank-chained
+    //     first-event picks, strictly-later-in-time conversion rule,
+    //     exact integer-micros nearest-rank percentiles (the p140
+    //     recipe, user-id tiebreaks).
+    register("p162_funnel_latency",
+      """WITH e AS (SELECT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_type AS ty,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT u, MIN(rn) AS r0, arg_min(tm, rn) AS t0 FROM e
+        |  WHERE ty = 'view' GROUP BY u),
+        |n1 AS (SELECT e.u, MIN(e.rn) AS r1, arg_min(e.tm, e.rn) AS t1,
+        |    MAX(s0.t0) AS t0
+        |  FROM e JOIN s0 ON s0.u = e.u
+        |  WHERE e.ty = 'click' AND e.rn > s0.r0 AND e.tm > s0.t0
+        |  GROUP BY e.u),
+        |n2 AS (SELECT e.u, MIN(e.rn) AS r2, arg_min(e.tm, e.rn) AS t2,
+        |    MAX(n1.t1) AS t1
+        |  FROM e JOIN n1 ON n1.u = e.u
+        |  WHERE e.ty = 'purchase' AND e.rn > n1.r1 AND e.tm > n1.t1
+        |  GROUP BY e.u),
+        |l AS (SELECT u, 'view->click' AS transition, t1 - t0 AS lat FROM n1
+        |  UNION ALL
+        |  SELECT u, 'click->purchase', t2 - t1 FROM n2),
+        |rk AS (SELECT transition, u, lat,
+        |    CAST(COUNT(*) OVER (PARTITION BY transition) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY transition ORDER BY lat, u) AS rk
+        |  FROM l)
+        |SELECT transition, CAST(MAX(n) AS BIGINT) AS n_converted,
+        |  CAST(MIN(lat) AS BIGINT) AS lat_min_us,
+        |  CAST(MAX(CASE WHEN rk = (n * 500000 + 999999) // 1000000
+        |    THEN lat END) AS BIGINT) AS lat_p50_us,
+        |  CAST(MAX(CASE WHEN rk = (n * 900000 + 999999) // 1000000
+        |    THEN lat END) AS BIGINT) AS lat_p90_us,
+        |  CAST(MAX(lat) AS BIGINT) AS lat_max_us
+        |FROM rk GROUP BY transition ORDER BY transition""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.funnelLatency(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "user_id", "ts_c", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("transition"))
+    }
+
+    // --- per-actor burstiness (Fano factor of hourly counts over active
+    //     hours): variance/mean, each ONE division of exact integers —
+    //     the automation fingerprint complementing p140's cadence view.
+    register("p163_burstiness",
+      """WITH h AS (SELECT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    SUM(c::HUGEINT * c) AS sxx FROM h GROUP BY u)
+        |SELECT u AS user_id, n_hours, n_events,
+        |  n_events::DOUBLE / n_hours::DOUBLE AS mean_per_hour,
+        |  (CAST(n_hours::HUGEINT * sxx - n_events::HUGEINT * n_events
+        |      AS DOUBLE) /
+        |    CAST(n_hours::HUGEINT * (n_hours - 1) AS DOUBLE)) /
+        |  (n_events::DOUBLE / n_hours::DOUBLE) AS dispersion
+        |FROM a WHERE n_hours >= 2 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.burstiness(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "user_id", "ts_c", minHours = 2)
+        .orderBy(col("user_id"))
+    }
   }
 }

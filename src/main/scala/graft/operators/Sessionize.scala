@@ -253,4 +253,111 @@ object Sessionize {
           .as("gap_p95"),
         max(col("__gap")).as("gap_max"))
   }
+
+  /** Funnel-transition latency: for each consecutive stage pair in
+    * `stages`, how long users take to move on — the timing companion to
+    * [[funnelStages]]' conversion counts (funnels tell you WHO converts;
+    * this tells you HOW LONG the product has to keep them). Per user, a
+    * transition converts when the first stage-(i+1) event STRICTLY
+    * LATER in time than the user's first qualifying stage-i event
+    * exists (same-microsecond events never count as "after" — a
+    * value-based rule both engines share; the p90 rank chain qualifies
+    * stage i itself, so t_i is funnel-consistent). Per transition:
+    * (transition string "a->b", n_converted long, lat_min_us, lat_p50_us,
+    * lat_p90_us, lat_max_us longs — exact integer micros, nearest-rank
+    * percentiles with user-id tiebreaks, the gapStats recipe).
+    *
+    * 100 TB shape: one per-user window pass for the stage ranks, one
+    * min-aggregation per stage (map-side combinable), keyed joins by
+    * user, and the percentile window runs per TRANSITION over converted
+    * users only. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, s"funnelLatency needs >= 2 stages, got $stages")
+    require(stages.distinct.length == stages.length, "stages must be distinct")
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val w = Window.partitionBy(u)
+      .orderBy(ts.asc_nulls_last, col(s"`$orderCol`").asc_nulls_last)
+    val e = events
+      .filter(u.isNotNull && ts.isNotNull &&
+        col(s"`$typeCol`").isin(stages.map(x => x: Any): _*))
+      .withColumn("__rn", row_number().over(w))
+      .select(u.as("__u"), unix_micros(ts).as("__tm"),
+        col(s"`$typeCol`").as("__ty"), col("__rn"))
+    // first qualifying event per stage, funnel-chained on the rank like
+    // funnelStages: stage i+1 must come after the user's stage-i pick
+    var picks = e.filter(col("__ty") === stages.head)
+      .groupBy(col("__u")).agg(min(struct(col("__rn"), col("__tm"))).as("__p0"))
+      .select(col("__u"), col("__p0.__rn").as("__r0"), col("__p0.__tm").as("__t0"))
+    val lats = stages.indices.tail.map { i =>
+      val nxt = e.filter(col("__ty") === stages(i))
+        .join(picks, Seq("__u"))
+        .filter(col("__rn") > col(s"__r${i - 1}") &&
+          col("__tm") > col(s"__t${i - 1}"))
+        .groupBy(col("__u"), col(s"__t${i - 1}").as("__prev"))
+        .agg(min(struct(col("__rn"), col("__tm"))).as("__p"))
+        .select(col("__u"), col("__p.__rn").as(s"__r$i"),
+          col("__p.__tm").as(s"__t$i"), col("__prev"))
+      val lat = nxt.select(col("__u"),
+        lit(s"${stages(i - 1)}->${stages(i)}").as("transition"),
+        (col(s"__t$i") - col("__prev")).as("__lat"))
+      picks = nxt.select(col("__u"), col(s"__r$i"), col(s"__t$i"))
+      lat
+    }.reduce(_ unionByName _)
+    val wt = Window.partitionBy(col("transition"))
+    lats
+      .withColumn("__n", count(lit(1)).over(wt))
+      .withColumn("__rk", row_number().over(
+        wt.orderBy(col("__lat"), col("__u").asc_nulls_last)))
+      .groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_converted"),
+        min(col("__lat")).as("lat_min_us"),
+        max(when(col("__rk") ===
+          expr("(__n * 500000L + 999999L) div 1000000L"), col("__lat")))
+          .as("lat_p50_us"),
+        max(when(col("__rk") ===
+          expr("(__n * 900000L + 999999L) div 1000000L"), col("__lat")))
+          .as("lat_p90_us"),
+        max(col("__lat")).as("lat_max_us"))
+  }
+
+  /** Per-actor burstiness (index of dispersion / Fano factor of the
+    * actor's per-hour event counts over their ACTIVE hours): the bot /
+    * automation fingerprint that complements [[gapStats]]' cadence view —
+    * a metronome bot scores ≈ 0 (uniform hours), organic humans sit near
+    * 1 (Poisson), and scripted bursts score ≫ 1. Only hours with ≥ 1
+    * event enter (all-zero hours would need the actor's lifespan — a
+    * different, documented choice). Per actor with ≥ `minHours` active
+    * hours: (userCol, n_hours, n_events longs, mean_per_hour, dispersion
+    * doubles — sample variance / mean, each ONE division of exact
+    * integers).
+    *
+    * 100 TB shape: two map-side-combinable aggregations (hour counts,
+    * then actor moments) — no window, no join. */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String,
+      minHours: Int = 2): DataFrame = {
+    require(minHours >= 2, s"burstiness needs minHours >= 2, got $minHours")
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hours = events.filter(u.isNotNull && ts.isNotNull)
+      // integer `div`, never double `/`: a quotient landing on a double
+      // rounding boundary would flip the hour bucket vs the oracle
+      .groupBy(u.as("__u"),
+        expr(s"unix_micros(`$tsCol`) div 3600000000L").as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    hours.groupBy(col("__u").as(userCol))
+      .agg(count(lit(1)).as("n_hours"), sum(col("__c")).as("n_events"),
+        sum(col("__c").cast(dec38) * col("__c")).as("__sxx"))
+      .filter(col("n_hours") >= minHours.toLong)
+      .select(col(s"`$userCol`"), col("n_hours"), col("n_events"),
+        (col("n_events").cast("double") / col("n_hours").cast("double"))
+          .as("mean_per_hour"),
+        (((col("n_hours").cast(dec38) * col("__sxx") -
+            col("n_events").cast(dec38) * col("n_events")).cast("double") /
+          (col("n_hours").cast(dec38) * (col("n_hours") - 1L)).cast("double")) /
+          (col("n_events").cast("double") / col("n_hours").cast("double")))
+          .as("dispersion"))
+  }
 }

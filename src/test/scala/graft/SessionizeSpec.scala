@@ -180,4 +180,56 @@ class SessionizeSpec extends SparkSpecBase {
     assert(u1.getAs[Long]("gap_p95") === 7000000L)
     assert(u1.getAs[Long]("gap_max") === 7000000L)
   }
+
+  test("funnelLatency: chained first-events time the transitions; non-converters drop") {
+    val df = Seq(
+      // u1 completes both: view@0, click@10min, purchase@30min
+      (1L, ts(0), 1L, "view"), (1L, ts(10), 2L, "click"),
+      (1L, ts(30), 3L, "purchase"),
+      // u2 clicks BEFORE viewing: that click can't convert; a later one does
+      (2L, ts(5), 4L, "click"), (2L, ts(6), 5L, "view"), (2L, ts(8), 6L, "click"),
+      // u3 views only
+      (3L, ts(0), 7L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sessionize.funnelLatency(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[String]("transition") -> r).toMap
+    val vc = out("view->click")
+    assert(vc.getAs[Long]("n_converted") === 2L)
+    // u1: 10 min; u2: 2 min -> sorted [2min, 10min]: p50 = rank 1
+    assert(vc.getAs[Long]("lat_min_us") === 2L * 60000000L)
+    assert(vc.getAs[Long]("lat_p50_us") === 2L * 60000000L)
+    assert(vc.getAs[Long]("lat_max_us") === 10L * 60000000L)
+    val cp = out("click->purchase")
+    assert(cp.getAs[Long]("n_converted") === 1L)
+    assert(cp.getAs[Long]("lat_p50_us") === 20L * 60000000L)
+  }
+
+  test("funnelLatency: same-microsecond followers never count as after") {
+    val df = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(0), 2L, "click"), // simultaneous
+      (2L, ts(0), 3L, "view"), (2L, ts(1), 4L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sessionize.funnelLatency(df, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click"))
+    assert(out.count() === 1L)
+    assert(out.head().getAs[Long]("n_converted") === 1L)
+  }
+
+  test("burstiness: a metronome scores 0, a burst scores high, sparse actors drop") {
+    def h(hour: Int, off: Int) =
+      new Timestamp(1700000000000L + hour * 3600000L + off * 1000L)
+    val metronome = (0 until 4).flatMap(hh => Seq((1L, h(hh, 0)), (1L, h(hh, 10))))
+    val bursty = Seq((2L, h(0, 0))) ++ (0 until 9).map(i => (2L, h(3, i))) // 1 + 9
+    val sparse = Seq((3L, h(0, 0)))
+    val df = (metronome ++ bursty ++ sparse).toDF("user_id", "ts")
+    val out = Sessionize.burstiness(df, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_hours") === 4L)
+    assert(out(1L).getAs[Double]("dispersion") === 0.0) // constant 2/hour
+    // u2: counts [1, 9]: mean 5, var = (2*82 - 100)/2 = 32, F = 6.4
+    assert(out(2L).getAs[Double]("mean_per_hour") === 5.0)
+    assert(out(2L).getAs[Double]("dispersion") === 6.4)
+    assert(!out.contains(3L), "single-hour actors have no variance to report")
+  }
 }
