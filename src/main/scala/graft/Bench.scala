@@ -68,6 +68,32 @@ object Bench {
     // queries under load 2.67 read as contention, but only the
     // before/after pair was recorded)
     val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadBefore)
+    // Throwaway rep-0 (round-11 advice): with 200+ queries the first timed
+    // pass used to pay one-time JIT + codegen compilation for every
+    // operator family — driver suite totals read [1262.8, 374.9, 243.6]s,
+    // a 5.2x rep-1/rep-3 skew that made spread_pct meaningless. One
+    // UNTIMED full-suite pass moves all of that out of the measured reps;
+    // its wall time is still recorded (warm_pass_sec) so the artifact
+    // shows where the JIT cost went. Disable with SPARK_GRAFT_BENCH_WARM=0.
+    val warmSec: Double =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "0") -1.0
+      else {
+        val t0 = System.nanoTime()
+        for ((name, fn) <- names) {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          try timeOnce(fn)
+          catch { case e: Throwable => // surfaces again in the timed passes
+            System.err.println(s"[bench] $name warm pass: ${e.getMessage}") }
+          finally {
+            spark.sparkContext.getPersistentRDDs
+              .filter { case (rddId, _) => !before.contains(rddId) }
+              .values.foreach(_.unpersist(blocking = false))
+          }
+        }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
+      }
     for (p <- 0 until reps) {
       for ((name, fn) <- names) {
         // staged intermediates (localCheckpoint / persist) leak per query —
@@ -141,7 +167,7 @@ object Bench {
     val spreadPct =
       if (suiteTotals.isEmpty || median(suiteTotals) == 0.0) -1.0
       else 100.0 * (suiteTotals.max - suiteTotals.min) / median(suiteTotals)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":${suiteTotals.map(r3).mkString("[", ",", "]")},"spread_pct":${r3(spreadPct)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"pass_loads":${passLoads.map(v => r3(v)).mkString("[", ",", "]")},"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"suite_totals":${suiteTotals.map(r3).mkString("[", ",", "]")},"spread_pct":${r3(spreadPct)},"warm_pass_sec":${r3(warmSec)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"pass_loads":${passLoads.map(v => r3(v)).mkString("[", ",", "]")},"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: the same JSON as a file, immune to any stdout
     // capture/line-length limit in whatever harness invoked us

@@ -107,6 +107,26 @@ object ScaleProbe {
     println(f"containment 1x: $tc1%.1fs $c1 pairs | ${r}x: $tcR%.1fs $cR pairs" +
       f" (ratio ${tcR / tc1}%.2fx time, ${cR.toDouble / c1}%.2fx rows)")
 
+    // ---- containment WITH the maxDf cut (round-11 advice: the knob
+    // landed but the probe only measured the uncut path, which reads
+    // super-linear on this fixture BY CONSTRUCTION — a 31-token synthetic
+    // vocabulary makes hot posting lists pathological). The cut at 20% of
+    // the 1x corpus is replica-invariant: each replica's salted shingle
+    // has exactly replica 0's document frequency (orthogonal universes),
+    // so the SAME absolute cut filters every replica identically and
+    // rows stay exactly Rx. This is the knob a 100 TB run would have on.
+    val dfCut = (docs.count() / 5L).max(1L)
+    def cntCutRun(reps: Int): Long =
+      graft.operators.Dedup.containmentPairsPrefix(
+        hhFrame(reps), "doc_id", "text", shingleN = 3, threshold = 0.8,
+        maxDf = Some(dfCut)).count()
+    cntCutRun(1)
+    val (cc1, tcc1) = time(cntCutRun(1))
+    val (ccR, tccR) = time(cntCutRun(r))
+    println(f"containment_maxdf(df<=$dfCut) 1x: $tcc1%.1fs $cc1 pairs |" +
+      f" ${r}x: $tccR%.1fs $ccR pairs" +
+      f" (ratio ${tccR / tcc1}%.2fx time, ${ccR.toDouble / cc1}%.2fx rows)")
+
     // ---- sorted-neighborhood pairs: the token-prefix salt puts every
     // replica's blocking keys in a CONTIGUOUS sort range (keys start
     // with the salt char), so windows stay within replicas except the

@@ -163,12 +163,19 @@ object Classifier {
         when(col("__cp") && (!col("__cn") || col("__p") >= lit(1.0) - col("__p")),
           lit(true))
         .when(col("__cn"), lit(false)))
+    // coalesce: empty input aggregates to NULL sums — report zero counts
+    // (n=0) rather than a row of NULL counters
     flagged.agg(count(lit(1)).as("n"),
-        max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
-        sum(when(col("__l") && col("__yhat") === true, 1L).otherwise(0L)).as("c_pp"),
-        sum(when(col("__l") && col("__yhat") === false, 1L).otherwise(0L)).as("c_pn"),
-        sum(when(!col("__l") && col("__yhat") === true, 1L).otherwise(0L)).as("c_np"),
-        sum(when(!col("__l") && col("__yhat") === false, 1L).otherwise(0L)).as("c_nn"))
+        coalesce(max(col("n_pos")), lit(0L)).as("n_pos"),
+        coalesce(max(col("n_neg")), lit(0L)).as("n_neg"),
+        coalesce(sum(when(col("__l") && col("__yhat") === true, 1L)
+          .otherwise(0L)), lit(0L)).as("c_pp"),
+        coalesce(sum(when(col("__l") && col("__yhat") === false, 1L)
+          .otherwise(0L)), lit(0L)).as("c_pn"),
+        coalesce(sum(when(!col("__l") && col("__yhat") === true, 1L)
+          .otherwise(0L)), lit(0L)).as("c_np"),
+        coalesce(sum(when(!col("__l") && col("__yhat") === false, 1L)
+          .otherwise(0L)), lit(0L)).as("c_nn"))
       .withColumn("n_confident",
         col("c_pp") + col("c_pn") + col("c_np") + col("c_nn"))
       .withColumn("est_noise_rate",

@@ -58,7 +58,79 @@ object PrefixSum {
     }.select(col("__psid") +: sumCols.map(c => col(s"__o_$c")): _*)
     sumCols.foldLeft(local.join(broadcast(offsets), Seq("__psid"))) {
       (d, c) =>
-        d.withColumn(s"cum_$c", col(s"cum_$c") + col(s"__o_$c"))
+        d.withColumn(s"cum_$c",
+          col(s"cum_$c") + col(s"__o_$c").cast(local.schema(s"cum_$c").dataType))
+          .drop(s"__o_$c")
+    }.drop("__psid")
+  }
+
+  /** PER-GROUP variant of [[withRunningSums]]: one INCLUSIVE running-sum
+    * column `cum_<c>` per entry of `sumCols`, computed WITHIN each
+    * `keyCols` group over ascending `orderCols` — without ever
+    * partitioning a window by the group key. `Window.partitionBy(group)`
+    * sorts EVERY row of a group through ONE reducer, which is exactly
+    * wrong when the group key has low cardinality and the groups are
+    * corpus-sized (a funnel's |stages|−1 transitions, a per-source
+    * ranking over a giant source). Here the range exchange is on the
+    * COMPOSITE (keyCols ++ orderCols) sort key, so one giant group
+    * spreads over many contiguous partitions; per-partition running sums
+    * run inside each (partition, group) slice; and the stitch adds a
+    * broadcast offset computed per (partition, group) — an offsets frame
+    * of at most numPartitions + |groups| − 1 rows (each group occupies a
+    * contiguous partition range), whose own per-group window orders a
+    * handful of partition ids, never data.
+    *
+    * Contract (same as [[withRunningSums]]): the composite
+    * (keyCols ++ orderCols) tuples must be DISTINCT and non-null — with
+    * ties the sum at a tied row would depend on nondeterministic
+    * intra-tie order. Callers feed per-distinct-value count frames or
+    * unique-id-tiebroken rows, so this is free.
+    *
+    * 100 TB shape: one range exchange of the data, one broadcast of the
+    * tiny offsets table — the group-key cardinality never appears in any
+    * exchange or window of the data-sized frame. */
+  def withKeyedRunningSums(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], sumCols: Seq[String],
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(keyCols.nonEmpty, "withKeyedRunningSums: keyCols must be non-empty")
+    require(orderCols.nonEmpty, "withKeyedRunningSums: orderCols must be non-empty")
+    require(sumCols.nonEmpty, "withKeyedRunningSums: sumCols must be non-empty")
+    val keys = keyCols.map(c => col(s"`$c`"))
+    val ords = orderCols.map(c => col(s"`$c`"))
+    val parted = stager.stage(
+      df.repartitionByRange((keys ++ ords): _*)
+        .withColumn("__psid", spark_partition_id()),
+      s"prefix_sum_k_${java.util.UUID.randomUUID().toString.take(8)}")
+    val wp = Window.partitionBy(col("__psid") +: keys: _*)
+      .orderBy(ords.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sumCols.foldLeft(parted) { (d, c) =>
+      d.withColumn(s"cum_$c", sum(col(s"`$c`")).over(wp))
+    }
+    // per-(partition, group) totals: ≤ numPartitions + |groups| − 1 rows
+    // (groups are contiguous under the composite range sort); the window
+    // below partitions by group and orders PARTITION IDS, never data
+    val wo = Window.partitionBy(keys: _*).orderBy(col("__psid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumCols.foldLeft(
+      parted.groupBy(col("__psid") +: keys: _*)
+        .agg(sum(col(s"`${sumCols.head}`")).as(s"__t_${sumCols.head}"),
+          sumCols.tail.map(c => sum(col(s"`$c`")).as(s"__t_$c")): _*)) {
+      (d, c) =>
+        d.withColumn(s"__o_$c",
+          coalesce(sum(col(s"__t_$c")).over(wo), lit(0L)))
+    }.select((col("__psid") +: keys) ++ sumCols.map(c => col(s"__o_$c")): _*)
+    sumCols.foldLeft(
+      local.join(broadcast(offsets), "__psid" +: keyCols)) { (d, c) =>
+        // cast the offset DOWN to the local running-sum type before the
+        // add: summing a DECIMAL(25,9) column makes the local cum
+        // DECIMAL(35,9) but the double-summed offset DECIMAL(38,9), and
+        // (35,9)+(38,9) overflows precision 38 — Spark's precision-loss
+        // rule would then silently re-round the stitched sum to scale 8
+        // (caught by the p165 gate: survival factors lost their 9th
+        // decimal). (35,9)+(35,9) → (36,9), exact; long+long unchanged.
+        d.withColumn(s"cum_$c",
+          col(s"cum_$c") + col(s"__o_$c").cast(local.schema(s"cum_$c").dataType))
           .drop(s"__o_$c")
     }.drop("__psid")
   }

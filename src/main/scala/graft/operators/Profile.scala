@@ -161,11 +161,14 @@ object Profile {
     val scored = pairs.join(broadcast(nDocs))
       .withColumn("pmi", round(pmiRaw.cast(DecimalType(25, 12)), pmiRoundDp)
         .cast("double"))
-    import org.apache.spark.sql.expressions.Window
+    // distributed top-k: orderBy().limit() plans TakeOrderedAndProject
+    // (per-partition heaps merged on the driver) — a row_number() over an
+    // UNPARTITIONED window here would sort every qualifying pair
+    // (worst case ~V²/2 rows) through one reducer just to throw away the
+    // rank column (the buildVocab pattern, Vocab.scala)
     scored
-      .withColumn("__rk", row_number().over(Window.orderBy(
-        col("pmi").desc, col("term_a"), col("term_b"))))
-      .filter(col("__rk") <= topK)
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(topK)
       .select(col("term_a"), col("term_b"), col("c_ab"), col("pmi"))
   }
 
@@ -1009,5 +1012,72 @@ object Profile {
         when(col("richness") >= 2L,
           round(-col("__hsum").cast("double") /
             ln9(col("richness").cast("double")), 9)).as("evenness"))
+  }
+
+  /** Distributed EXACT per-group quantiles — nearest-rank order
+    * statistics (the integer-micros rank rule: rank p = ⌈n·p⌉ computed
+    * as (n·pμ + 999999) div 10⁶) over a per-distinct-value count frame,
+    * WITHOUT `Window.partitionBy(group)`: the dataset-card percentile
+    * panel (per-source length/score p25/p50/p90/p99) where the group key
+    * is a handful of sources and each group is corpus-sized — exactly
+    * the shape a per-group rank window serializes through one reducer.
+    *
+    * Mechanics: collapse to (group, value) counts (map-side combinable),
+    * rank by [[PrefixSum.withKeyedRunningSums]] (range exchange on the
+    * composite key — one giant group spreads over many partitions), pick
+    * value v where cum ≥ rank AND cum − count(v) < rank (the unique
+    * distinct value covering the target rank). All arithmetic is exact
+    * integers; the output is an exact order statistic, bit-identical to
+    * a single-node sort.
+    *
+    * Output per group: (groupCol, n, v_min, v_max, q<pct>… — one column
+    * per probability, whole percents only so names are stable). NULL
+    * group/value rows drop.
+    *
+    * 100 TB shape: one count aggregation, one range exchange of the
+    * DISTINCT-value frame (values-cardinality, not row-cardinality), one
+    * broadcast of the per-group target table (|groups| rows — must be
+    * broadcastable, the [[Sessionize.funnelLatency]] totals contract). */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(ps.nonEmpty, "quantilesByGroup: ps must be non-empty")
+    val micros = ps.map { p =>
+      val m = math.round(p * 1e6)
+      require(m >= 10000L && m <= 1000000L && m % 10000L == 0L,
+        s"quantilesByGroup: whole-percent probabilities in [0.01, 1], got $p")
+      m
+    }
+    require(micros.distinct.size == micros.size,
+      s"quantilesByGroup: duplicate probabilities in $ps")
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    // inclusive cum at the group's max value IS n — totals read the
+    // staged frame, never recompute the count aggregation
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("n"),
+        min(col("__v")).as("v_min"), max(col("__v")).as("v_max"))
+    val withT = micros.foldLeft(totals) { (d, m) =>
+      d.withColumn(s"__t$m", expr(s"(n * ${m}L + 999999L) div 1000000L"))
+    }
+    val picks = cum
+      .join(broadcast(withT.select(
+        col("__g") +: micros.map(m => col(s"__t$m")): _*)), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(
+        max(when(col("cum___c") >= col(s"__t${micros.head}") &&
+          col("cum___c") - col("__c") < col(s"__t${micros.head}"), col("__v")))
+          .as(s"q${micros.head / 10000L}"),
+        micros.tail.map { m =>
+          max(when(col("cum___c") >= col(s"__t$m") &&
+            col("cum___c") - col("__c") < col(s"__t$m"), col("__v")))
+            .as(s"q${m / 10000L}")
+        }: _*)
+    totals.join(picks, Seq("__g"))
+      .select(col("__g").as(groupCol) +: col("n") +: col("v_min") +:
+        col("v_max") +: micros.map(m => col(s"q${m / 10000L}")): _*)
   }
 }

@@ -269,8 +269,13 @@ object Sessionize {
     *
     * 100 TB shape: one per-user window pass for the stage ranks, one
     * min-aggregation per stage (map-side combinable), keyed joins by
-    * user, and the percentile window runs per TRANSITION over converted
-    * users only. */
+    * user. The per-transition nearest-rank percentiles ride
+    * [[PrefixSum.withKeyedRunningSums]] — the transition key has
+    * cardinality |stages|−1, so a `Window.partitionBy(transition)` rank
+    * would sort EVERY converted user of a funnel step through one
+    * reducer; the keyed prefix rank range-exchanges on (transition, lat,
+    * user) instead, so one transition's converted users spread over many
+    * partitions and only a numPartitions-row offset table is broadcast. */
   def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
       orderCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.length >= 2, s"funnelLatency needs >= 2 stages, got $stages")
@@ -305,21 +310,33 @@ object Sessionize {
       picks = nxt.select(col("__u"), col(s"__r$i"), col(s"__t$i"))
       lat
     }.reduce(_ unionByName _)
-    val wt = Window.partitionBy(col("transition"))
-    lats
-      .withColumn("__n", count(lit(1)).over(wt))
-      .withColumn("__rk", row_number().over(
-        wt.orderBy(col("__lat"), col("__u").asc_nulls_last)))
-      .groupBy(col("transition"))
+    // per-transition rank WITHOUT Window.partitionBy(transition): the
+    // keyed prefix count of all-ones over (lat, user) IS the
+    // user-tiebroken rank, and the stage is reused by the totals scan
+    val ranked = PrefixSum.withKeyedRunningSums(
+      lats.withColumn("__one", lit(1L)),
+      Seq("transition"), Seq("__lat", "__u"), Seq("__one"))
+    val totals = ranked.groupBy(col("transition"))
       .agg(count(lit(1)).as("n_converted"),
         min(col("__lat")).as("lat_min_us"),
-        max(when(col("__rk") ===
-          expr("(__n * 500000L + 999999L) div 1000000L"), col("__lat")))
-          .as("lat_p50_us"),
-        max(when(col("__rk") ===
-          expr("(__n * 900000L + 999999L) div 1000000L"), col("__lat")))
-          .as("lat_p90_us"),
         max(col("__lat")).as("lat_max_us"))
+      .withColumn("__t50",
+        expr("(n_converted * 500000L + 999999L) div 1000000L"))
+      .withColumn("__t90",
+        expr("(n_converted * 900000L + 999999L) div 1000000L"))
+    val pct = ranked
+      .join(broadcast(totals.select(col("transition"), col("__t50"),
+        col("__t90"))), Seq("transition"))
+      .filter(col("cum___one") === col("__t50") ||
+        col("cum___one") === col("__t90"))
+      .groupBy(col("transition"))
+      .agg(max(when(col("cum___one") === col("__t50"), col("__lat")))
+          .as("lat_p50_us"),
+        max(when(col("cum___one") === col("__t90"), col("__lat")))
+          .as("lat_p90_us"))
+    totals.join(pct, Seq("transition"))
+      .select(col("transition"), col("n_converted"), col("lat_min_us"),
+        col("lat_p50_us"), col("lat_p90_us"), col("lat_max_us"))
   }
 
   /** Per-actor burstiness (index of dispersion / Fano factor of the
@@ -342,10 +359,14 @@ object Sessionize {
     val ts = col(s"`$tsCol`")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val hours = events.filter(u.isNotNull && ts.isNotNull)
-      // integer `div`, never double `/`: a quotient landing on a double
-      // rounding boundary would flip the hour bucket vs the oracle
+      // integer FLOOR division, never double `/` (a quotient landing on a
+      // double rounding boundary would flip the bucket) and never bare
+      // `div` (truncates toward zero, so pre-1970 micros would bucket one
+      // hour later than DuckDB's floor `//`) — subtracting pmod first
+      // makes the dividend exactly divisible, so div IS floor here
       .groupBy(u.as("__u"),
-        expr(s"unix_micros(`$tsCol`) div 3600000000L").as("__h"))
+        expr(s"(unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), " +
+          "3600000000L)) div 3600000000L").as("__h"))
       .agg(count(lit(1)).as("__c"))
     hours.groupBy(col("__u").as(userCol))
       .agg(count(lit(1)).as("n_hours"), sum(col("__c")).as("n_events"),
@@ -359,5 +380,110 @@ object Sessionize {
           (col("n_hours").cast(dec38) * (col("n_hours") - 1L)).cast("double")) /
           (col("n_events").cast("double") / col("n_hours").cast("double")))
           .as("dispersion"))
+  }
+
+  /** Kaplan–Meier survival curve per group (Kaplan & Meier 1958) — the
+    * right-censoring-correct retention/churn estimator: at each distinct
+    * event time t, Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/rᵢ) where dᵢ subjects
+    * experience the event at tᵢ and rᵢ are still at risk. The naive
+    * "fraction retained at day k" over-counts churn because subjects
+    * whose observation window simply ENDED (censored) are not failures;
+    * KM removes them from the risk set without counting them as events.
+    *
+    * Input: ONE ROW PER SUBJECT — (groupCol, durationCol integer time
+    * units, eventCol boolean: true = event observed, false = censored).
+    * Output at each distinct EVENT time per group: (groupCol, t,
+    * n_risk, n_events longs, survival double). NULL rows drop.
+    *
+    * Determinism contract: each factor (rᵢ−dᵢ)/rᵢ is ONE division of
+    * exact integers; its ln rides the 9-dp decimal contract and the
+    * factor ln-sum accumulates in DECIMAL(25,9) (exact, order-free);
+    * survival = round9(exp(lnsum)), the p84 sigmoid rule. A time where
+    * EVERYONE remaining dies (d = r) would need ln 0 — those rows and
+    * everything after report survival 0.0 exactly via a cumulative
+    * zero-factor counter, never a −∞ through the decimal cast.
+    *
+    * 100 TB shape: subjects collapse to a per-(group, time) count frame
+    * immediately (map-side combinable, values-cardinality); the at-risk
+    * counts and the factor ln-sums are TWO chained
+    * [[PrefixSum.withKeyedRunningSums]] scans over that frame — a
+    * cohort's whole timeline never sorts through one reducer, and the
+    * only broadcast is the |groups|-row totals table. */
+  def kaplanMeier(subjects: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = col(s"`$groupCol`")
+    val d = col(s"`$durationCol`")
+    val e = col(s"`$eventCol`")
+    val ln9 = (c: Column) =>
+      round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+    val perT = subjects
+      .filter(g.isNotNull && d.isNotNull && e.isNotNull)
+      .groupBy(g.as("__g"), d.cast("long").as("__t"))
+      .agg(sum(when(e.cast("boolean"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__a"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      perT, Seq("__g"), Seq("__t"), Seq("__a"), stager)
+    val totals = cum.groupBy(col("__g")).agg(max(col("cum___a")).as("__n"))
+    val ev = cum.join(broadcast(totals), Seq("__g"))
+      // at risk at t: everyone minus those who left strictly before t
+      .withColumn("__r", col("__n") - col("cum___a") + col("__a"))
+      .filter(col("__d") > 0L)
+      .withColumn("__ln",
+        when(col("__d") < col("__r"),
+          ln9((col("__r") - col("__d")).cast("double") /
+            col("__r").cast("double")))
+          .otherwise(lit(0.0)).cast(DecimalType(25, 9)))
+      .withColumn("__z", when(col("__d") === col("__r"), 1L).otherwise(0L))
+      .select(col("__g"), col("__t"), col("__r"), col("__d"),
+        col("__ln"), col("__z"))
+    val surv = PrefixSum.withKeyedRunningSums(
+      ev, Seq("__g"), Seq("__t"), Seq("__ln", "__z"), stager)
+    surv.select(col("__g").as(groupCol), col("__t").as("t"),
+      col("__r").as("n_risk"), col("__d").as("n_events"),
+      when(col("cum___z") > 0L, lit(0.0))
+        .otherwise(round(exp(col("cum___ln").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double")).as("survival"))
+  }
+
+  /** Top-k user journeys: the first `pathLen` event types of each user
+    * in (ts, orderCol) order, joined into a ">"-separated path string,
+    * counted across users, top-k by frequency — the "what do users
+    * actually do first" exploration panel that complements
+    * [[funnelStages]]' fixed hypothesis with open-ended discovery and
+    * [[transitionMatrix]]'s one-step view with short sequences.
+    * Output: (path string, n_steps int, n_users long), the k most
+    * common paths (ties broken by path ASC — a total order). NULL
+    * user/ts/type rows drop.
+    *
+    * 100 TB shape: the [[funnelStages]] recipe — ONE per-user
+    * aggregation collects each user's first events (collect_list +
+    * array_sort + slice, no per-user window over the raw stream), one
+    * map-side-combinable path count, and the cut is
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * Path cardinality is bounded by |event types|^pathLen, so the count
+    * frame is tiny regardless of corpus size. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, typeCol: String, pathLen: Int, topK: Int): DataFrame = {
+    require(pathLen >= 1 && pathLen <= 16,
+      s"topPaths: pathLen must be in [1, 16], got $pathLen")
+    require(topK >= 1, s"topPaths: topK must be >= 1, got $topK")
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val paths = events
+      .filter(u.isNotNull && ts.isNotNull && col(s"`$typeCol`").isNotNull)
+      .groupBy(u.as("__u"))
+      .agg(array_sort(collect_list(struct(unix_micros(ts).as("__tm"),
+        col(s"`$orderCol`").as("__o"), col(s"`$typeCol`").as("__ty"))))
+        .as("__evs"))
+      .select(
+        concat_ws(">", transform(slice(col("__evs"), 1, pathLen),
+          _.getField("__ty"))).as("path"),
+        least(size(col("__evs")), lit(pathLen)).as("n_steps"))
+    paths.groupBy(col("path"), col("n_steps"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
   }
 }

@@ -34,9 +34,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * shared exponent range ≤ 2⁵³).
   *
   * NaN/Infinity terms yield NULL (the old path's cast-to-decimal → NULL
-  * fold behavior); mismatched lengths fold the common prefix (zip_with
-  * would null-pad — callers always pass equal-dim vectors, and the
-  * shorter-prefix rule matches [[FloatArrayDot]]).
+  * fold behavior), and so does a NULL ARRAY ELEMENT on either side — the
+  * old `zip_with` fold propagated element nulls through `+` into a NULL
+  * sum, and reading the slot raw would silently treat an undefined value
+  * as a zero term (ADVICE round-11). Mismatched lengths fold the common
+  * prefix (zip_with would null-pad — callers always pass equal-dim
+  * vectors, and the shorter-prefix rule matches [[FloatArrayDot]]).
   *
   * Codegen: a tight generated loop inside WholeStageCodegen (the repo's
   * UDF preference order — native Expression > UDF). BigDecimal.add on a
@@ -66,6 +69,7 @@ case class DecimalVecFold(left: Expression, right: Expression,
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       val t = if (squaredDiff) { val d = xv - yv; d * d } else xv * yv
@@ -90,6 +94,10 @@ case class DecimalVecFold(left: Expression, right: Expression,
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  double $t = $term;

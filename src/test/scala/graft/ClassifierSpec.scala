@@ -62,4 +62,38 @@ class ClassifierSpec extends SparkSpecBase {
       .select("n_features").as[Long].head()
     assert(bi === 5L && un === 3L)
   }
+
+  test("confidentJointBinary: hand-computed joint with a planted label error") {
+    // pos p={0.9,0.5} -> t+=0.7; neg p={0.2,0.4,0.95} -> t-=mean(0.8,0.6,0.05)
+    // confident cells: 0.9->c_pp, 0.5->c_pn (1-p>=t-), 0.95->c_np (planted
+    // error), 0.2/0.4->c_nn; noise = 2/5
+    val df = Seq(
+      (0.9, true), (0.5, true),
+      (0.2, false), (0.4, false), (0.95, false)).toDF("p", "l")
+    val r = graft.operators.Classifier.confidentJointBinary(df, "p", "l").head()
+    assert(r.getAs[Long]("c_pp") === 1L)
+    assert(r.getAs[Long]("c_pn") === 1L)
+    assert(r.getAs[Long]("c_np") === 1L)
+    assert(r.getAs[Long]("c_nn") === 2L)
+    assert(r.getAs[Long]("n_confident") === 5L)
+    assert(r.getAs[Double]("est_noise_rate") === 0.4)
+  }
+
+  test("confidentJointBinary: empty confident set reports NULL noise rate") {
+    val empty = Seq.empty[(Double, Boolean)].toDF("p", "l")
+    val r = graft.operators.Classifier.confidentJointBinary(empty, "p", "l").head()
+    assert(r.getAs[Long]("n") === 0L)
+    assert(r.getAs[Long]("n_confident") === 0L)
+    assert(r.isNullAt(r.fieldIndex("est_noise_rate")))
+  }
+
+  test("confidentJointBinary: single-class input never counts the absent class") {
+    // all-negative labels: t+ undefined (NULL), only confident-negatives
+    val df = Seq((0.1, false), (0.3, false)).toDF("p", "l")
+    val r = graft.operators.Classifier.confidentJointBinary(df, "p", "l").head()
+    assert(r.getAs[Long]("n_pos") === 0L)
+    assert(r.getAs[Long]("c_pp") === 0L && r.getAs[Long]("c_np") === 0L)
+    assert(r.getAs[Long]("c_nn") >= 1L)
+    assert(r.getAs[Double]("est_noise_rate") === 0.0)
+  }
 }

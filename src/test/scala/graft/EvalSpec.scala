@@ -376,4 +376,69 @@ class EvalSpec extends SparkSpecBase {
     assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b },
       fitted.mkString(","))
   }
+
+  test("ndcgByGroup: perfect ranking scores 1.0; no-positives group is NULL") {
+    val df = Seq(
+      // g1: positives ranked on top -> dcg == idcg -> ndcg 1.0
+      ("g1", 3.0, true, 1L), ("g1", 2.0, true, 2L), ("g1", 1.0, false, 3L),
+      // g2: no positives -> dcg/idcg/ndcg NULL
+      ("g2", 3.0, false, 1L), ("g2", 2.0, false, 2L))
+      .toDF("g", "s", "l", "tb")
+    val rows = Eval.ndcgByGroup(df, "g", "s", "l", "tb", k = 3)
+      .orderBy("g").collect()
+    assert(rows(0).getAs[Double]("ndcg") === 1.0)
+    assert(rows(0).getAs[Long]("n_pos") === 2L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("dcg")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("idcg")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("ndcg")))
+  }
+
+  test("ndcgByGroup: hand-computed discounts; worse ranking scores below 1") {
+    // positives at ranks 1 and 3 of 3, k=3:
+    // dcg  = 1 + ln(2)/ln(4), idcg = 1 + ln(2)/ln(3)
+    val df = Seq(
+      ("g", 3.0, true, 1L), ("g", 2.0, false, 2L), ("g", 1.0, true, 3L))
+      .toDF("g", "s", "l", "tb")
+    val r = Eval.ndcgByGroup(df, "g", "s", "l", "tb", k = 3).head()
+    val dcg = 1.0 + math.log(2) / math.log(4)
+    val idcg = 1.0 + math.log(2) / math.log(3)
+    assert(math.abs(r.getAs[Double]("dcg") - dcg) < 1e-6)
+    assert(math.abs(r.getAs[Double]("idcg") - idcg) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ndcg") - dcg / idcg) < 1e-6)
+    assert(r.getAs[Double]("ndcg") < 1.0)
+  }
+
+  test("ndcgByGroup: k cuts the dcg window but idcg still caps at n_pos") {
+    // k=1 with positives at ranks 2,3: dcg counts nothing, ndcg = 0
+    val df = Seq(
+      ("g", 3.0, false, 1L), ("g", 2.0, true, 2L), ("g", 1.0, true, 3L))
+      .toDF("g", "s", "l", "tb")
+    val r = Eval.ndcgByGroup(df, "g", "s", "l", "tb", k = 1).head()
+    assert(r.getAs[Double]("dcg") === 0.0)
+    assert(r.getAs[Double]("idcg") === 1.0) // rank-1 discount only
+    assert(r.getAs[Double]("ndcg") === 0.0)
+  }
+
+  test("brierLogLoss: hand-computed on perfect and mixed predictions") {
+    // perfect 0/1 predictions: brier 0 (unclamped), logloss = -ln(1-eps)
+    // per row = 0.000001 after the 9-dp ln contract
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("p", "l")
+    val r1 = Eval.brierLogLoss(perfect, "p", "l").head()
+    assert(r1.getAs[Long]("n") === 2L && r1.getAs[Long]("n_pos") === 1L)
+    assert(r1.getAs[Double]("brier") === 0.0)
+    assert(r1.getAs[Double]("logloss") === 0.000001)
+    // one row p=0.5 true: brier 0.25, logloss = -ln9(0.5)
+    val mixed = Seq((0.5, true)).toDF("p", "l")
+    val r2 = Eval.brierLogLoss(mixed, "p", "l").head()
+    assert(r2.getAs[Double]("brier") === 0.25)
+    assert(math.abs(r2.getAs[Double]("logloss") - math.log(2)) < 1e-8)
+  }
+
+  test("brierLogLoss: empty input reports n=0 with NULL scores") {
+    val empty = Seq.empty[(Double, Boolean)].toDF("p", "l")
+    val r = Eval.brierLogLoss(empty, "p", "l").head()
+    assert(r.getAs[Long]("n") === 0L)
+    assert(r.isNullAt(r.fieldIndex("brier")))
+    assert(r.isNullAt(r.fieldIndex("logloss")))
+  }
 }

@@ -517,7 +517,7 @@ class PlanAuditSpec extends SparkSpecBase {
     val hourly = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .withColumn("hour_x",
-        expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), 3600000000)) div 3600000000"))
       .groupBy(col("event_type"), col("hour_x"))
       .agg(count(lit(1)).as("y"))
     val out = graft.operators.Drift.changepointBinary(
@@ -527,5 +527,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // every window partitions by the group column
     assert(!plan.contains("windowspecdefinition(hour_x"), plan)
+  }
+
+  test("p51: pmi top-k is TakeOrderedAndProject — no window anywhere in the plan") {
+    val out = graft.operators.Profile.pmiPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      vocabSize = 150, minPairCount = 5, topK = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the rank column is not even in the output; an unpartitioned
+    // row_number window would sort ~V^2/2 pairs through one reducer
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
+  test("p162: funnel percentiles never window over the tiny transition key") {
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .withColumn("ts_c", expr("cast(ts as timestamp)"))
+    val out = graft.operators.Sessionize.funnelLatency(
+      ev, "user_id", "ts_c", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+    val plan = out.queryExecution.executedPlan.toString
+    // keyed-PrefixSum shape: data windows partition by (__psid, transition);
+    // the only transition-first window orders PARTITION IDS over the tiny
+    // offsets frame — never the converted-user latencies
+    assert(!plan.matches("(?s).*windowspecdefinition\\(transition#\\d+, __lat.*"),
+      plan)
+    assert(plan.contains("cum___one"), plan)
   }
 }

@@ -433,4 +433,44 @@ class SimilaritySpec extends SparkSpecBase {
     val expected = 254.0 - 253.9f.toDouble
     assert(math.abs(r.getAs[Double]("max_abs_err") - expected) < 1e-12)
   }
+
+  test("DecimalVecFold: a NULL array element yields NULL, never a silent zero term") {
+    // the old zip_with fold propagated element nulls into a NULL sum;
+    // reading the slot raw would treat an undefined value as a zero term
+    val df = spark.range(1).selectExpr(
+      "array(cast(1.0 as float), cast(null as float), cast(2.0 as float)) as a",
+      "array(cast(3.0 as float), cast(4.0 as float), cast(5.0 as float)) as b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.distSq(col("a"), col("b")).as("s"),
+      Similarity.dot(col("b"), col("b")).as("dense")).head()
+    assert(r.isNullAt(r.fieldIndex("d")), "dot over a null element must be NULL")
+    assert(r.isNullAt(r.fieldIndex("s")), "distSq over a null element must be NULL")
+    assert(r.getAs[Double]("dense") === 50.0)
+  }
+
+  test("mutualNearestNeighbors: reciprocal 1-NN pairs only, one pair per doc") {
+    // a<->b reciprocal; c's NN is b but b's NN is a, so c stays unpaired
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)),
+      ("b", Array(0.95f, 0.31225f)),
+      ("c", Array(0.0f, 1.0f))).toDF("id", "vec")
+    val rows = Similarity.mutualNearestNeighbors(df, "id", "vec").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("id_a") === "a")
+    assert(rows(0).getAs[String]("id_b") === "b")
+    assert(rows(0).getAs[Double]("cosine") > 0.9)
+  }
+
+  test("mutualNearestNeighbors: identical twins pair; empty input yields no rows") {
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)),
+      ("b", Array(1.0f, 0.0f)),
+      ("c", Array(-1.0f, 0.0f)),
+      ("d", Array(-1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.mutualNearestNeighbors(df, "id", "vec")
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "b"), ("c", "d")))
+    val empty = Seq.empty[(String, Array[Float])].toDF("id", "vec")
+    assert(Similarity.mutualNearestNeighbors(empty, "id", "vec").count() === 0L)
+  }
 }
