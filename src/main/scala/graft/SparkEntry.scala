@@ -4552,7 +4552,7 @@ object SparkEntry {
             // pinned UTC, so the LTZ cast is instant-identity and
             // unix_micros matches DuckDB's (naive) epoch_us
             .withColumn("hour_x",
-              expr("unix_micros(cast(ts as timestamp)) div 3600000000")),
+              expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), 3600000000)) div 3600000000")),
           "event_type", "hour_x", "value")
         .orderBy(col("event_type"))
     }
@@ -5581,7 +5581,7 @@ object SparkEntry {
           events(s, dir)
             .filter(col("ts").isNotNull)
             .withColumn("hour_x",
-              expr("unix_micros(cast(ts as timestamp)) div 3600000000")),
+              expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), 3600000000)) div 3600000000")),
           "event_type", "hour_x", "value")
         .orderBy(col("event_type"))
     }
@@ -5641,7 +5641,7 @@ object SparkEntry {
           events(s, dir)
             .filter(col("ts").isNotNull)
             .withColumn("hour_x",
-              expr("unix_micros(cast(ts as timestamp)) div 3600000000")),
+              expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), 3600000000)) div 3600000000")),
           "event_type", "hour_x", "value")
         .orderBy(col("event_type"))
     }
@@ -5681,7 +5681,7 @@ object SparkEntry {
       val hourly = events(s, dir)
         .filter(col("ts").isNotNull)
         .withColumn("hour_x",
-          expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+          expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), 3600000000)) div 3600000000"))
         .groupBy(col("event_type"), col("hour_x"))
         .agg(count(lit(1)).cast("double").as("y"))
       graft.operators.Profile.autocorrByGroup(
@@ -6374,7 +6374,7 @@ object SparkEntry {
       val hourly = events(s, dir)
         .filter(col("ts").isNotNull && col("event_type").isNotNull)
         .withColumn("hour_x",
-          expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+          expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), 3600000000)) div 3600000000"))
         .groupBy(col("event_type"), col("hour_x"))
         .agg(count(lit(1)).as("y"))
       graft.operators.Drift.changepointBinary(
@@ -6663,6 +6663,143 @@ object SparkEntry {
             .withColumn("ts_c", expr("cast(ts as timestamp)")),
           "user_id", "ts_c", minHours = 2)
         .orderBy(col("user_id"))
+    }
+
+    // --- distributed EXACT per-group quantiles (keyed-PrefixSum nearest
+    //     rank over the distinct-value count frame — the dataset-card
+    //     percentile panel without a per-group window's single reducer).
+    register("p164_grouped_quantiles",
+      """WITH cnt AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc FROM cnt),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+        |    MIN(v) AS v_min, MAX(v) AS v_max FROM cnt GROUP BY g)
+        |SELECT t.g AS source, t.n, t.v_min, t.v_max,
+        |  MAX(CASE WHEN cc >= (n * 250000 + 999999) // 1000000
+        |    AND cc - c < (n * 250000 + 999999) // 1000000 THEN v END) AS q25,
+        |  MAX(CASE WHEN cc >= (n * 500000 + 999999) // 1000000
+        |    AND cc - c < (n * 500000 + 999999) // 1000000 THEN v END) AS q50,
+        |  MAX(CASE WHEN cc >= (n * 900000 + 999999) // 1000000
+        |    AND cc - c < (n * 900000 + 999999) // 1000000 THEN v END) AS q90,
+        |  MAX(CASE WHEN cc >= (n * 990000 + 999999) // 1000000
+        |    AND cc - c < (n * 990000 + 999999) // 1000000 THEN v END) AS q99
+        |FROM cum JOIN tot t USING (g)
+        |GROUP BY t.g, t.n, t.v_min, t.v_max ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Profile.quantilesByGroup(
+            t(s, dir, "documents"), "source", "n_chars",
+            Seq(0.25, 0.5, 0.9, 0.99))
+          .orderBy(col("source"))
+    }
+
+    // --- Kaplan–Meier survival per cohort: right-censoring-correct
+    //     retention (subjects = users, duration = first→last activity,
+    //     censored when still active inside the last 7 observed days).
+    //     Survival factors ride the ln9/exp9 decimal contract; the
+    //     at-risk and ln-sum scans are chained keyed PrefixSums.
+    register("p165_kaplan_meier",
+      """WITH ev AS (SELECT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_type AS ty
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |subj0 AS (SELECT u, MIN(tm) AS t0, MAX(tm) AS t1,
+        |    MIN(CASE WHEN ty = 'purchase' THEN tm END) AS tp
+        |  FROM ev GROUP BY u),
+        |subj AS (SELECT u % 3 AS g,
+        |    (COALESCE(tp, t1) - t0) // 1000000 AS d,
+        |    (tp IS NOT NULL) AS e FROM subj0),
+        |perT AS (SELECT g, d AS t,
+        |    CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS a FROM subj GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(a) AS BIGINT) AS n FROM perT GROUP BY g),
+        |cum AS (SELECT g, t, dd, a,
+        |    CAST(SUM(a) OVER (PARTITION BY g ORDER BY t) AS BIGINT) AS ca
+        |  FROM perT),
+        |evt AS (SELECT g, t, (n - ca + a) AS r, dd,
+        |    CASE WHEN dd < (n - ca + a) THEN
+        |      CAST(ROUND(CAST(ln(CAST(n - ca + a - dd AS DOUBLE) /
+        |        CAST(n - ca + a AS DOUBLE)) AS DECIMAL(25,12)), 9) AS DOUBLE)
+        |      ELSE 0.0 END AS lnf,
+        |    CASE WHEN dd = (n - ca + a) THEN 1 ELSE 0 END AS z
+        |  FROM cum JOIN tot USING (g) WHERE dd > 0),
+        |acc AS (SELECT g, t, r, dd,
+        |    SUM(CAST(lnf AS DECIMAL(25,9))) OVER (PARTITION BY g ORDER BY t)
+        |      AS lns,
+        |    SUM(z) OVER (PARTITION BY g ORDER BY t) AS zs FROM evt)
+        |SELECT g AS cohort, t, CAST(r AS BIGINT) AS n_risk, dd AS n_events,
+        |  CASE WHEN zs > 0 THEN 0.0 ELSE
+        |    CAST(ROUND(CAST(exp(CAST(lns AS DOUBLE)) AS DECIMAL(25,12)), 9)
+        |      AS DOUBLE) END AS survival
+        |FROM acc ORDER BY cohort, t""".stripMargin) { (s, dir) =>
+      // time-to-first-purchase survival: converters event at their first
+      // purchase; never-purchasers censor at their last activity (the
+      // fixture's users are all active through the end of the window, so
+      // a churn-horizon construction would have zero events at every SF)
+      val ev = events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("tm"),
+          col("event_type"))
+      val subjects = ev.groupBy(col("user_id"))
+        .agg(min(col("tm")).as("t0"), max(col("tm")).as("t1"),
+          min(when(col("event_type") === "purchase", col("tm"))).as("tp"))
+        .select(expr("user_id % 3").as("cohort"),
+          expr("(coalesce(tp, t1) - t0) div 1000000").as("dur_s"),
+          col("tp").isNotNull.as("converted"))
+      graft.operators.Sessionize.kaplanMeier(
+          subjects, "cohort", "dur_s", "converted")
+        .orderBy(col("cohort"), col("t"))
+    }
+
+    // --- top-k user journeys (first-4-event paths): one per-user
+    //     aggregation + a map-side-combinable path count + a
+    //     TakeOrderedAndProject cut — open-ended discovery next to
+    //     p90's fixed-hypothesis funnel.
+    register("p166_top_paths",
+      """WITH e AS (SELECT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id AS o,
+        |    event_type AS ty,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT u, string_agg(ty, '>' ORDER BY tm, o) AS path,
+        |    CAST(COUNT(*) AS INT) AS n_steps
+        |  FROM e WHERE rn <= 4 GROUP BY u)
+        |SELECT path, n_steps, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.topPaths(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "user_id", "ts_c", "event_id", "event_type",
+          pathLen = 4, topK = 20)
+        .orderBy(col("n_users").desc, col("path"))
+    }
+
+    // --- deterministic curriculum/interleave ordering: keyed-PrefixSum
+    //     per-source rank by (score desc, id) + round-robin source
+    //     interleave — pure integer arithmetic, reproducible everywhere.
+    register("p167_curriculum_order",
+      """WITH base AS (SELECT source, doc_id, n_chars FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |r AS (SELECT source, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_group
+        |  FROM base),
+        |g AS (SELECT source,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS gi
+        |  FROM (SELECT DISTINCT source FROM base)),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+        |SELECT r.source, r.doc_id, r.n_chars, r.rank_in_group,
+        |  (r.rank_in_group - 1) * ng.n + g.gi AS position
+        |FROM r JOIN g USING (source), ng
+        |ORDER BY position""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.curriculumOrder(
+          t(s, dir, "documents"), "source", "doc_id", "n_chars")
+        .orderBy(col("position"))
     }
   }
 }

@@ -438,7 +438,8 @@ object Splits {
       .withColumn("__rn", row_number().over(
         Window.orderBy(col("__rem").desc, col("__g").cast("string").asc)))
       .withColumn("__left", lit(budget) - sum(col("__base")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        Window.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col("__g").as(strataCol), col("n"), col("sd"),
         when(col("__raw").isNotNull,
           col("__base") + when(col("__rn") <= col("__left"), 1L).otherwise(0L))
@@ -549,5 +550,50 @@ object Splits {
       .join(cis, Seq("__g"))
       .select(col("__g").as(groupCol), col("n"), col("mean"),
         col("b_reps"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Deterministic curriculum / interleave ordering: rank every row
+    * within its group by (score DESC, id ASC), then interleave the
+    * groups round-robin — position = (rank−1)·|groups| + group_index —
+    * so a training job reading the output in `position` order sees the
+    * best examples first AND a balanced source mix at every prefix (the
+    * data-ordering step of curriculum learning, Bengio et al. 2009,
+    * composed with source interleaving — pure arithmetic, reproducible
+    * across runs and engines). Output: (groupCol, idCol, scoreCol,
+    * rank_in_group, position longs). NULL group/id/score rows drop
+    * (a NULL score has no place in a curriculum — filter upstream).
+    *
+    * 100 TB shape: the per-group rank is
+    * [[PrefixSum.withKeyedRunningSums]] over (−score, id) — a giant
+    * source never sorts through one reducer (the exact shape
+    * `Window.partitionBy(source)` would serialize) — and the group
+    * index table is a |groups|-row broadcast whose own window orders
+    * GROUP NAMES, never data. The output is a position COLUMN: writing
+    * in that order is the consumer's range-partition-by-position, not a
+    * global sort here. */
+  def curriculumOrder(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val id = col(s"`$idCol`")
+    val s = col(s"`$scoreCol`")
+    val base = df.filter(g.isNotNull && id.isNotNull && s.isNotNull)
+      .select(g.as("__g"), id.as("__id"), s.as("__s"),
+        negate(s.cast("double")).as("__ns"), lit(1L).as("__one"))
+    val ranked = PrefixSum.withKeyedRunningSums(
+      base, Seq("__g"), Seq("__ns", "__id"), Seq("__one"), stager)
+    // group index + count: a |groups|-row frame; the unpartitioned
+    // window orders group NAMES (tiny by contract), never data
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("__g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val gi = base.select(col("__g")).distinct()
+      .withColumn("__ng", count(lit(1)).over(wAll))
+      .withColumn("__gi",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__g"))).cast("long") - 1L)
+    ranked.join(broadcast(gi), Seq("__g"))
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__s").as(scoreCol), col("cum___one").as("rank_in_group"),
+        ((col("cum___one") - 1L) * col("__ng") + col("__gi")).as("position"))
   }
 }

@@ -558,4 +558,28 @@ class ProfileSpec extends SparkSpecBase {
     assert(rows.length === 1)
     assert(rows(0).getAs[Long]("n") === 1L)
   }
+
+  test("quantilesByGroup: exact nearest-rank on 1..100 and on tied values") {
+    val a = (1 to 100).map(i => ("a", i.toLong))
+    val b = Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 2L))
+    val out = Profile.quantilesByGroup((a ++ b).toDF("g", "v"), "g", "v",
+      Seq(0.25, 0.5, 0.9, 0.99)).orderBy("g").collect()
+    val ra = out(0)
+    assert(ra.getAs[Long]("n") === 100L && ra.getAs[Long]("v_min") === 1L)
+    assert(ra.getAs[Long]("q25") === 25L && ra.getAs[Long]("q50") === 50L)
+    assert(ra.getAs[Long]("q90") === 90L && ra.getAs[Long]("q99") === 99L)
+    val rb = out(1) // n=4: q50 rank 2 -> 1, q99 rank 4 -> 2
+    assert(rb.getAs[Long]("q50") === 1L && rb.getAs[Long]("q99") === 2L)
+    assert(rb.getAs[Long]("v_max") === 2L)
+  }
+
+  test("quantilesByGroup: NULLs drop; non-whole-percent probabilities refuse") {
+    val df = Seq(("a", Some(1L)), ("a", None), (null, Some(5L)))
+      .toDF("g", "v")
+    val r = Profile.quantilesByGroup(df, "g", "v", Seq(0.5)).collect()
+    assert(r.length === 1 && r(0).getAs[Long]("n") === 1L)
+    intercept[IllegalArgumentException] {
+      Profile.quantilesByGroup(df, "g", "v", Seq(0.505))
+    }
+  }
 }

@@ -232,4 +232,90 @@ class SessionizeSpec extends SparkSpecBase {
     assert(out(2L).getAs[Double]("dispersion") === 6.4)
     assert(!out.contains(3L), "single-hour actors have no variance to report")
   }
+
+  test("funnelLatency: exact percentiles survive a giant transition spread over partitions") {
+    // 5000 converted users in ONE transition — the keyed PrefixSum rank
+    // must stitch across range partitions (a Window.partitionBy(transition)
+    // would serialize them all into one reducer); coalescing off so the
+    // multi-partition path actually runs at test size
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val n = 5000
+      val rows = (1 to n).flatMap { i =>
+        val base = i.toLong * 10000000000L
+        Seq((s"u$i", base, i.toLong * 2L, "view"),
+          (s"u$i", base + i.toLong * 1000000L, i.toLong * 2L + 1L, "click"))
+      }
+      val df = rows.toDF("user_id", "tm", "event_id", "event_type")
+        .withColumn("ts", expr("timestamp_micros(tm)"))
+      val out = Sessionize.funnelLatency(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click")).head()
+      assert(out.getAs[Long]("n_converted") === n.toLong)
+      assert(out.getAs[Long]("lat_min_us") === 1000000L)
+      assert(out.getAs[Long]("lat_max_us") === n.toLong * 1000000L)
+      // nearest-rank: rank (n*p + 999999) div 1e6 of the sorted latencies
+      assert(out.getAs[Long]("lat_p50_us") === 2500L * 1000000L)
+      assert(out.getAs[Long]("lat_p90_us") === 4500L * 1000000L)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("kaplanMeier: hand-computed survival with censoring") {
+    // durations/events: (1,T),(2,T),(2,F),(3,T),(4,F)
+    // t=1: r=5 d=1 S=0.8; t=2: r=4 d=1 S=0.6; t=3: r=2 d=1 S=0.3
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, false),
+      ("g", 3L, true), ("g", 4L, false)).toDF("g", "d", "e")
+    val rows = Sessionize.kaplanMeier(df, "g", "d", "e")
+      .orderBy("t").collect()
+    assert(rows.map(_.getAs[Long]("t")).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n_risk")).toSeq === Seq(5L, 4L, 2L))
+    val s = rows.map(_.getAs[Double]("survival"))
+    assert(math.abs(s(0) - 0.8) < 1e-6 && math.abs(s(1) - 0.6) < 1e-6 &&
+      math.abs(s(2) - 0.3) < 1e-6, s.mkString(","))
+  }
+
+  test("kaplanMeier: everyone dying at once reports survival exactly 0, not -inf") {
+    val df = Seq(("g", 1L, true), ("g", 1L, true)).toDF("g", "d", "e")
+    val r = Sessionize.kaplanMeier(df, "g", "d", "e").head()
+    assert(r.getAs[Long]("n_risk") === 2L && r.getAs[Long]("n_events") === 2L)
+    assert(r.getAs[Double]("survival") === 0.0)
+    // and survival STAYS 0 after the wipe-out even if later rows exist
+    val df2 = Seq(("g", 1L, true), ("g", 1L, true), ("g", 2L, true))
+      .toDF("g", "d", "e")
+    // impossible input (risk set empty then someone dies later) is the
+    // caller's bug, but the zero-counter must still clamp, never NaN
+    val rows2 = Sessionize.kaplanMeier(df2.limit(2), "g", "d", "e").collect()
+    assert(rows2.forall(_.getAs[Double]("survival") === 0.0))
+  }
+
+  test("kaplanMeier: groups are independent; censored-only groups emit no rows") {
+    val df = Seq(("a", 1L, true), ("b", 1L, false), ("b", 2L, false))
+      .toDF("g", "d", "e")
+    val rows = Sessionize.kaplanMeier(df, "g", "d", "e").collect()
+    assert(rows.length === 1 && rows(0).getAs[String]("g") === "a")
+  }
+
+  test("topPaths: counts first-k journeys, ties break by path") {
+    def ev(u: String, i: Long, ty: String) = (u, i * 1000000L, i, ty)
+    val df = (Seq(ev("u1", 1, "a"), ev("u1", 2, "b"), ev("u1", 3, "c"),
+      ev("u2", 1, "a"), ev("u2", 2, "b"),
+      ev("u3", 1, "b"))).toDF("u", "tm", "eid", "ty")
+      .withColumn("ts", expr("timestamp_micros(tm)"))
+    val rows = Sessionize.topPaths(df, "u", "ts", "eid", "ty",
+      pathLen = 2, topK = 10).collect()
+    val got = rows.map(r => (r.getAs[String]("path"),
+      r.getAs[Int]("n_steps"), r.getAs[Long]("n_users"))).toSeq
+    assert(got === Seq(("a>b", 2, 2L), ("b", 1, 1L)))
+  }
+
+  test("topPaths: topK cuts by (n_users desc, path asc)") {
+    def ev(u: String, i: Long, ty: String) = (u, i * 1000000L, i, ty)
+    val df = Seq(ev("u1", 1, "a"), ev("u2", 1, "b"), ev("u3", 1, "c"))
+      .toDF("u", "tm", "eid", "ty")
+      .withColumn("ts", expr("timestamp_micros(tm)"))
+    val rows = Sessionize.topPaths(df, "u", "ts", "eid", "ty", 3, 2)
+      .collect().map(_.getAs[String]("path")).toSeq
+    assert(rows === Seq("a", "b")) // all count 1, path asc wins
+  }
 }

@@ -415,4 +415,23 @@ class SplitsSpec extends SparkSpecBase {
     // constant column: every resample mean is exactly 5 -> degenerate CI
     assert(b.getAs[Double]("ci_lo") === 5.0 && b.getAs[Double]("ci_hi") === 5.0)
   }
+
+  test("curriculumOrder: per-group rank by score desc and round-robin interleave") {
+    val df = Seq(("x", 1L, 10L), ("x", 2L, 20L), ("y", 3L, 5L))
+      .toDF("src", "id", "score")
+    val rows = Splits.curriculumOrder(df, "src", "id", "score")
+      .orderBy("position").collect()
+    val got = rows.map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("rank_in_group"), r.getAs[Long]("position"))).toSeq
+    // x: id2 (score 20) rank 1, id1 rank 2; y: id3 rank 1; gi x=0 y=1, ng=2
+    assert(got === Seq((2L, 1L, 0L), (3L, 1L, 1L), (1L, 2L, 2L)))
+  }
+
+  test("curriculumOrder: score ties break by id; NULL scores drop") {
+    val df = Seq(("x", 5L, Some(7L)), ("x", 4L, Some(7L)), ("x", 9L, None))
+      .toDF("src", "id", "score")
+    val rows = Splits.curriculumOrder(df, "src", "id", "score")
+      .orderBy("position").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(4L, 5L))
+  }
 }
