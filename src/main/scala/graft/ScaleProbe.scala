@@ -32,10 +32,39 @@ import org.apache.spark.sql.functions._
   * Usage: ScaleProbe <sfDir> [R=8]   (SPARK_GRAFT_CPUS to size local[N]) */
 object ScaleProbe {
 
+  /** Session handle for [[time]]'s per-leg cleanup (set once in main). */
+  private var session: org.apache.spark.sql.SparkSession = _
+
+  /** Time one leg, then RELEASE the staged state it created: every leg
+    * localCheckpoints intermediates (minhash sets, SNM ranks, containment
+    * postings), and without an unpersist the checkpoints ACCUMULATE across
+    * legs — by the containment legs the executor heap is mostly dead stage
+    * blocks and the measurement reads GC, not the operator (measured: the
+    * maxDf leg swung 11 s ↔ 216 s at 8x run-to-run before this). Cleanup is
+    * the Bench per-query DELTA pattern — only RDDs persisted DURING this
+    * leg are released, never pre-existing state: a blanket unpersist kills
+    * the incremental-dedup leg's standing index, whose localCheckpoint
+    * lineage is truncated and cannot recompute
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Cleanup runs OUTSIDE the timed
+    * region. */
   private def time[T](f: => T): (T, Double) = {
+    val before: Set[Int] =
+      if (session == null) Set.empty
+      else session.sparkContext.getPersistentRDDs.keySet.toSet
     val t0 = System.nanoTime()
     val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (session != null) {
+      // BLOCKING: an async unpersist leaves the previous leg's dead blocks
+      // on the heap while the next leg is being timed (measured: the leg
+      // after the 95 s uncut-containment 8x read 77 s for work that takes
+      // ~7 s in isolation — the timer was mostly watching old-gen GC)
+      session.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      System.gc() // off the clock: start the next leg on a settled heap
+    }
+    (r, dt)
   }
 
   private def saltChar(i: Int): String = ('a' + i).toChar.toString
@@ -52,6 +81,7 @@ object ScaleProbe {
       s"replicas must divide 80 (exact integer-micro heavy-hitter cut: " +
         s"80µ/R), got $r — use 2, 4, 5, 8, 10, 16 or 20")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    session = spark
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.read(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
@@ -80,13 +110,13 @@ object ScaleProbe {
         graft.operators.Dedup.shingleRows(hhFrame(reps), "doc_id", "text", 3),
         "shingle", minFraction = frac).count()
 
-    editRun(1) // codegen + stager warm-up, discarded
+    time(editRun(1)) // codegen + stager warm-up, discarded (cleanup after)
     val (e1, te1) = time(editRun(1))
     val (eR, teR) = time(editRun(r))
     println(f"edit_join 1x: $te1%.1fs $e1 pairs | ${r}x: $teR%.1fs $eR pairs" +
       f" (ratio ${teR / te1}%.2fx time, ${eR.toDouble / e1}%.2fx rows)")
 
-    hhRun(1, 0.00008)
+    time(hhRun(1, 0.00008))
     val (h1, th1) = time(hhRun(1, 0.00008))
     val (hR, thR) = time(hhRun(r, 0.00008 / r))
     println(f"heavy_hitters 1x: $th1%.1fs $h1 rows | ${r}x: $thR%.1fs $hR rows" +
@@ -101,7 +131,7 @@ object ScaleProbe {
     def cntRun(reps: Int): Long =
       graft.operators.Dedup.containmentPairsPrefix(
         hhFrame(reps), "doc_id", "text", shingleN = 3, threshold = 0.8).count()
-    cntRun(1)
+    time(cntRun(1))
     val (c1, tc1) = time(cntRun(1))
     val (cR, tcR) = time(cntRun(r))
     println(f"containment 1x: $tc1%.1fs $c1 pairs | ${r}x: $tcR%.1fs $cR pairs" +
@@ -120,7 +150,7 @@ object ScaleProbe {
       graft.operators.Dedup.containmentPairsPrefix(
         hhFrame(reps), "doc_id", "text", shingleN = 3, threshold = 0.8,
         maxDf = Some(dfCut)).count()
-    cntCutRun(1)
+    time(cntCutRun(1))
     val (cc1, tcc1) = time(cntCutRun(1))
     val (ccR, tccR) = time(cntCutRun(r))
     println(f"containment_maxdf(df<=$dfCut) 1x: $tcc1%.1fs $cc1 pairs |" +
@@ -137,7 +167,7 @@ object ScaleProbe {
       graft.operators.Dedup.sortedNeighborhoodPairs(
         hhFrame(reps), "doc_id", "text",
         windowSize = 4, shingleN = 3, threshold = 0.5, keyLen = 12).count()
-    snmRun(1)
+    time(snmRun(1))
     val (s1, ts1) = time(snmRun(1))
     val (sR, tsR) = time(snmRun(r))
     println(f"sorted_neighborhood 1x: $ts1%.1fs $s1 pairs | ${r}x: $tsR%.1fs $sR pairs" +
@@ -155,7 +185,7 @@ object ScaleProbe {
         "doc_id", "k", maxDist = 2)
       graft.operators.DupClusters.dedupByPairs(f, "doc_id", pairs).count()
     }
-    edRun(1)
+    time(edRun(1))
     val (d1, td1) = time(edRun(1))
     val (dR, tdR) = time(edRun(r))
     println(f"edit_dedup 1x: $td1%.1fs $d1 kept | ${r}x: $tdR%.1fs $dR kept" +
@@ -222,7 +252,7 @@ object ScaleProbe {
     def stitchRun(reps: Int): Long =
       graft.operators.Dedup.boundaryStitchPairs(
         stitchFrame(reps), "id", "t", boundaryLen = 40).count()
-    stitchRun(1)
+    time(stitchRun(1))
     val (b1, tb1) = time(stitchRun(1))
     val (bR, tbR) = time(stitchRun(r))
     println(f"boundary_stitch 1x: $tb1%.1fs $b1 pairs | ${r}x: $tbR%.1fs $bR pairs" +
@@ -240,7 +270,7 @@ object ScaleProbe {
         .heapsFit(hhFrame(reps), "doc_id", "text").head()
       (row.getAs[Long]("vocab"), row.getAs[Long]("n_tokens"))
     }
-    heapsRun(1)
+    time(heapsRun(1))
     val ((v1, t1tok), th1b) = time(heapsRun(1))
     val ((vR, tRtok), thRb) = time(heapsRun(r))
     println(f"heaps_fit 1x: $th1b%.1fs vocab $v1 | ${r}x: $thRb%.1fs vocab $vR" +

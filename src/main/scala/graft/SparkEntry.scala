@@ -6801,5 +6801,308 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "doc_id", "n_chars")
         .orderBy(col("position"))
     }
+
+    // --- Benjamini–Hochberg FDR selection per group: the multiple-
+    //     testing control for the drift battery. P-values are the
+    //     deterministic md5-uniform hash (the split-gate contract),
+    //     deflated 100x for one source to plant true signals.
+    register("p168_bh_fdr",
+      """WITH base AS (SELECT source AS g, doc_id AS id,
+        |    (('0x' || substring(md5('fdr:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0) *
+        |    (CASE WHEN source = 'src1' THEN 0.001 ELSE 1.0 END) AS p
+        |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+        |ranked AS (SELECT g, id, p,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY p, id) AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS m
+        |  FROM base WHERE p >= 0 AND p <= 1),
+        |k AS (SELECT g, MAX(rank) AS kk FROM ranked
+        |  WHERE p * CAST(m AS DOUBLE) <= CAST(rank AS DOUBLE) * 0.1 GROUP BY g)
+        |SELECT r.g AS source, r.id AS doc_id, r.p, r.rank, r.m,
+        |  (r.rank <= COALESCE(k.kk, 0)) AS rejected
+        |FROM ranked r LEFT JOIN k USING (g)
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("doc_id").isNotNull)
+        .select(col("source"), col("doc_id"),
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "fdr")
+            .cast("double") / lit(1152921504606846976.0)) *
+            when(col("source") === "src1", 0.001).otherwise(1.0)).as("p"))
+      graft.operators.Eval.bhFdrSelect(docs, "source", "doc_id", "p",
+          alpha = 0.1)
+        .orderBy(col("source"), col("doc_id"))
+    }
+
+    // --- inter-event exponential fit + exact KS per event type: the
+    //     Poisson-arrival audit (memoryless gaps) — n/S MLE, distributed
+    //     gap CDF, exp9 reference curve.
+    register("p169_gap_expfit",
+      """WITH e AS (SELECT event_type AS ty, user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id AS o
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT ty, tm - LAG(tm) OVER (PARTITION BY ty, u
+        |      ORDER BY tm, o) AS gap FROM e),
+        |gg AS (SELECT ty, gap, CAST(COUNT(*) AS BIGINT) AS c FROM g
+        |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT ty, gap, c,
+        |    CAST(SUM(c) OVER (PARTITION BY ty ORDER BY gap) AS BIGINT) AS cc
+        |  FROM gg),
+        |tot AS (SELECT ty, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(gap * c) AS BIGINT) AS s FROM gg GROUP BY ty
+        |  HAVING SUM(c) >= 2 AND SUM(gap * c) > 0),
+        |d AS (SELECT ty, n, s, GREATEST(
+        |    ABS(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) - (1.0 -
+        |      CAST(ROUND(CAST(exp(-(CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) *
+        |        CAST(gap AS DOUBLE)) AS DECIMAL(25,12)), 9) AS DOUBLE))),
+        |    ABS(CAST(cc - c AS DOUBLE) / CAST(n AS DOUBLE) - (1.0 -
+        |      CAST(ROUND(CAST(exp(-(CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) *
+        |        CAST(gap AS DOUBLE)) AS DECIMAL(25,12)), 9) AS DOUBLE)))) AS dd
+        |  FROM cum JOIN tot USING (ty))
+        |SELECT ty AS event_type, MAX(n) AS n_gaps,
+        |  CAST(MAX(s) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_gap_us,
+        |  ROUND(MAX(dd), 9) AS ks_stat
+        |FROM d GROUP BY ty ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.gapExponentialFit(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "user_id", "ts_c", "event_id", "event_type", minGaps = 2L)
+        .orderBy(col("event_type"))
+    }
+
+    // --- hour-of-week seasonality grid per event type: pure epoch
+    //     arithmetic (no calendar calls), one corpus aggregation.
+    register("p170_seasonality",
+      """WITH b AS (SELECT event_type AS ty,
+        |    CAST(((epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      ((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000)
+        |        % 86400000000)) // 86400000000 + 4) % 7 AS INT) AS dow,
+        |    CAST(((epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      ((epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 + 3600000000)
+        |        % 3600000000)) // 3600000000) % 24 AS INT) AS hour
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (SELECT ty, dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT ty, CAST(SUM(n_events) AS BIGINT) AS t,
+        |    MAX(n_events) AS mx FROM grid GROUP BY ty)
+        |SELECT ty AS event_type, dow, hour, n_events,
+        |  CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+        |  (n_events = mx) AS is_peak
+        |FROM grid JOIN tot USING (ty)
+        |ORDER BY event_type, dow, hour""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.seasonality(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "ts_c", "event_type")
+        .orderBy(col("event_type"), col("dow"), col("hour"))
+    }
+
+    // --- pairwise centroid cosine matrix over embedding labels: counts
+    //     cancel, so the cosine runs on p19's EXACT decimal sums.
+    register("p171_centroid_matrix",
+      """WITH per_pos AS (SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(embedding) AS val FROM embeddings),
+        |agg AS (SELECT label, pos,
+        |    CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS sd,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM per_pos GROUP BY label, pos),
+        |pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+        |    SUM(CAST(a.sd * b.sd AS DECIMAL(25,12))) AS dot,
+        |    SUM(CAST(a.sd * a.sd AS DECIMAL(25,12))) AS na2,
+        |    SUM(CAST(b.sd * b.sd AS DECIMAL(25,12))) AS nb2
+        |  FROM agg a JOIN agg b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  CASE WHEN na2 > 0 AND nb2 > 0 THEN
+        |    ROUND(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 9)
+        |  END AS cosine
+        |FROM pairs ORDER BY label_a, label_b""".stripMargin) { (s, dir) =>
+      graft.operators.Centroids.centroidSimilarityMatrix(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label_a"), col("label_b"))
+    }
+
+    // --- precision/recall/F1 curve per source at every distinct
+    //     threshold: the quality-gate-picking table; >=-threshold
+    //     cumulatives from one keyed-PrefixSum ascending scan.
+    register("p172_pr_curve",
+      """WITH base AS (SELECT source AS g, n_chars AS s,
+        |    (lang = 'en') AS l FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |cnt AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT g, s, c, p,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY s) AS BIGINT) AS cc,
+        |    CAST(SUM(p) OVER (PARTITION BY g ORDER BY s) AS BIGINT) AS cp
+        |  FROM cnt),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM cnt GROUP BY g)
+        |SELECT g AS source, s AS threshold,
+        |  n - cc + c AS n_predicted, np - cp + p AS tp,
+        |  CAST(np - cp + p AS DOUBLE) / CAST(n - cc + c AS DOUBLE)
+        |    AS "precision",
+        |  CASE WHEN np > 0 THEN
+        |    CAST(np - cp + p AS DOUBLE) / CAST(np AS DOUBLE) END AS recall,
+        |  CASE WHEN np > 0 AND
+        |      CAST(np - cp + p AS DOUBLE) / CAST(n - cc + c AS DOUBLE) +
+        |      CAST(np - cp + p AS DOUBLE) / CAST(np AS DOUBLE) > 0.0 THEN
+        |    2.0 * (CAST(np - cp + p AS DOUBLE) / CAST(n - cc + c AS DOUBLE)) *
+        |      (CAST(np - cp + p AS DOUBLE) / CAST(np AS DOUBLE)) /
+        |      (CAST(np - cp + p AS DOUBLE) / CAST(n - cc + c AS DOUBLE) +
+        |        CAST(np - cp + p AS DOUBLE) / CAST(np AS DOUBLE)) END AS f1
+        |FROM cum JOIN tot USING (g)
+        |ORDER BY source, threshold""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.prCurveByGroup(
+          t(s, dir, "documents").filter(col("lang").isNotNull)
+            .withColumn("l", col("lang") === "en"),
+          "source", "n_chars", "l")
+        .orderBy(col("source"), col("threshold"))
+    }
+
+    // --- two-sample Cramér–von Mises: integrated squared CDF distance
+    //     (KS sees the worst point; CvM accumulates distributed drift).
+    register("p173_cvm",
+      """WITH ac AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS na
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |bc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT COALESCE(ac.v, bc.v) AS v, COALESCE(na, 0) AS na,
+        |    COALESCE(nb, 0) AS nb FROM ac FULL OUTER JOIN bc ON ac.v = bc.v),
+        |cum AS (SELECT v, na, nb,
+        |    CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |    CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb FROM m),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM m),
+        |terms AS (SELECT ta, tb,
+        |    CAST(CAST(na + nb AS DOUBLE) *
+        |      (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) -
+        |        CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+        |      (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) -
+        |        CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) AS DECIMAL(25,12))
+        |      AS t
+        |  FROM cum, tot)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN
+        |    ROUND(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) /
+        |      (CAST(ta + tb AS DOUBLE) * CAST(ta + tb AS DOUBLE)) *
+        |      CAST(SUM(t) AS DOUBLE), 9) END AS cvm
+        |FROM terms GROUP BY ta, tb""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      graft.operators.Drift.cramerVonMises(
+        docs.filter(col("lang") === "en").select(col("n_chars")),
+        docs.filter(col("lang") =!= "en").select(col("n_chars")), "n_chars")
+    }
+
+    // --- PER-GROUP exact KS: the whole per-source drift panel in one
+    //     job — scaled-integer sup per source via keyed PrefixSum.
+    register("p174_ks_by_group",
+      """WITH ac AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |bc AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT COALESCE(ac.g, bc.g) AS g, COALESCE(ac.v, bc.v) AS v,
+        |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |  FROM ac FULL OUTER JOIN bc ON ac.g = bc.g AND ac.v = bc.v),
+        |cum AS (SELECT g, v, na, nb,
+        |    CAST(SUM(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+        |    CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb
+        |  FROM m),
+        |tot AS (SELECT g, CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM m GROUP BY g),
+        |sc AS (SELECT c.g, c.v, ta, tb,
+        |    ABS(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta) AS sd
+        |  FROM cum c JOIN tot USING (g)),
+        |mx AS (SELECT g, MAX(sd) AS msd FROM sc GROUP BY g)
+        |SELECT sc.g AS source, MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+        |    CAST(MAX(msd) AS DOUBLE) /
+        |      (CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) END AS ks,
+        |  MIN(sc.v) AS ks_at
+        |FROM sc JOIN mx ON sc.g = mx.g AND sc.sd = mx.msd
+        |GROUP BY sc.g ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      graft.operators.Drift.ksByGroup(
+          docs.filter(col("lang") === "en").select(col("source"), col("n_chars")),
+          docs.filter(col("lang") =!= "en").select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("source"))
+    }
+
+    // --- approximate-FD strength source→lang (g3: minimal deletion
+    //     fraction for the dependency to hold) — the schema-discovery /
+    //     backfill-reliability probe; exact integers, one division each.
+    register("p175_fd_strength",
+      """WITH pairs AS (SELECT source AS a, lang AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |pa AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na, MAX(c) AS keep
+        |  FROM pairs GROUP BY a),
+        |agg AS (SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_a_values,
+        |    CAST(COALESCE(SUM(na - keep), 0) AS BIGINT) AS n_violations
+        |  FROM pa)
+        |SELECT n, n_a_values, n_violations,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(n_violations AS DOUBLE) / CAST(n AS DOUBLE) END AS g3_error,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(n - n_violations AS DOUBLE) / CAST(n AS DOUBLE) END
+        |    AS fd_strength
+        |FROM agg""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.fdStrength(
+        t(s, dir, "documents"), "source", "lang")
+    }
+
+    // --- confusion matrix + MCC at a deployment threshold: the planted
+    //     score puts positives in [0.5, 1] noise-free negatives in
+    //     [0, 0.5) via the md5-uniform hash — cells are deterministic.
+    register("p176_confusion_mcc",
+      """WITH base AS (SELECT
+        |    (('0x' || substring(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0) * 0.5 +
+        |    (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END) AS p,
+        |    (lang = 'en') AS l FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT l AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT l AND NOT p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN l AND NOT p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM base)
+        |SELECT n, tp, fp, tn, fn,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy,
+        |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+        |    (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) +
+        |      CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0 END
+        |    AS balanced_accuracy,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        |      AND tn + fn > 0 THEN
+        |    CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+        |        AS DOUBLE) /
+        |      sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) *
+        |        CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END AS mcc
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "conf")
+            .cast("double") / lit(1152921504606846976.0)) * 0.5 +
+            when(col("lang") === "en", 0.5).otherwise(0.0)).as("p"),
+          (col("lang") === "en").as("l"))
+      graft.operators.Eval.confusionAtThreshold(docs, "p", "l", 0.5)
+    }
   }
 }

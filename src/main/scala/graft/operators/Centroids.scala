@@ -131,4 +131,49 @@ object Centroids {
       .select(col("__l").as(labelCol), col("n_vecs"), col("mean_intra"),
         col("mean_inter"), col("mean_silhouette"))
   }
+
+  /** Pairwise cosine similarity between group centroids — the
+    * "which sources/labels are semantically close" matrix that guides
+    * mixture weighting and dedup-across-sources triage. Works on
+    * [[groupCentroids]]' EXACT decimal per-dimension sums: cos(mean_a,
+    * mean_b) = cos(sum_a, sum_b) because the 1/n scalings cancel, so no
+    * division touches the vectors at all. Output per unordered label
+    * pair (label_a < label_b): (label_a, label_b, n_a, n_b longs,
+    * cosine double — 9-dp rounded; NULL when either centroid is
+    * all-zero).
+    *
+    * Exactness: each cross/self term is a product of two
+    * correctly-rounded doubles (one IEEE op), quantized to
+    * DECIMAL(25,12) and summed order-free; the final cosine is
+    * dot / (sqrt(na2)·sqrt(nb2)) — an identical three-op IEEE tree in
+    * the oracle.
+    *
+    * 100 TB shape: vectors collapse to the |labels|·dim centroid-sum
+    * frame in [[groupCentroids]]' one aggregation; the pair join is an
+    * equi-join ON THE DIMENSION INDEX of that tiny frame (fan-out
+    * |labels|² per dimension — grid-sized, never data-sized). */
+  def centroidSimilarityMatrix(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val dec12 = DecimalType(25, 12)
+    val cents = groupCentroids(df, labelCol, vecCol)
+      .select(col(s"`$labelCol`").as("__l"), col("n_vecs"),
+        posexplode(col("centroid_sum")).as(Seq("__pos", "__s")))
+      .select(col("__l"), col("n_vecs"), col("__pos"),
+        col("__s").cast("double").as("__sd"))
+    val a = cents.select(col("__l").as("label_a"), col("n_vecs").as("n_a"),
+      col("__pos"), col("__sd").as("__sa"))
+    val b = cents.select(col("__l").as("label_b"), col("n_vecs").as("n_b"),
+      col("__pos"), col("__sd").as("__sb"))
+    a.join(b, Seq("__pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((col("__sa") * col("__sb")).cast(dec12)).as("__dot"),
+        sum((col("__sa") * col("__sa")).cast(dec12)).as("__na2"),
+        sum((col("__sb") * col("__sb")).cast(dec12)).as("__nb2"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          round(col("__dot").cast("double") /
+            (sqrt(col("__na2").cast("double")) *
+              sqrt(col("__nb2").cast("double"))), 9)).as("cosine"))
+  }
 }

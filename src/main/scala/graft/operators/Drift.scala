@@ -482,4 +482,100 @@ object Drift {
         (col("__f") - (col("__Tt").cast(dec38) * col("__Tt")).cast("double") /
           col("n").cast("double")).as("sse_reduction"))
   }
+
+  /** Two-sample Cramér–von Mises drift statistic: T = (n·m/N²) ·
+    * Σ_x cnt(x)·(F_a(x) − F_b(x))² over the pooled sample — the
+    * INTEGRATED-squared-distance companion to [[Profile.ksStatistic]]'s
+    * sup: KS sees the single worst point, CvM accumulates distributed
+    * shape drift a narrow spike can hide (Anderson 1962's two-sample
+    * form). One row: (n_a, n_b longs, cvm double — NULL when either
+    * side is empty). NULL values drop.
+    *
+    * Determinism contract: each ΔF is two divisions of exact integers;
+    * each pooled-weight term cnt·ΔF² (two more IEEE ops) quantizes to
+    * DECIMAL(25,12) and sums order-free; the final n·m/N² scaling is a
+    * three-op IEEE tree shared verbatim with the oracle; report rounds
+    * to 9 dp.
+    *
+    * 100 TB shape: [[Profile.ksStatistic]]'s exact posture — per-side
+    * distinct-value counts, one full-outer merge, one [[PrefixSum]]
+    * scan, a 1-row totals broadcast, one final aggregation. */
+  def cramerVonMises(a: DataFrame, b: DataFrame, valueCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val dec12 = DecimalType(25, 12)
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as(out))
+    val cum = PrefixSum.withRunningSums(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__v"), "full_outer")
+        .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      "__v", Seq("__na", "__nb"), stager)
+    val totals = cum.agg(sum(col("__na")).as("__ta"),
+      sum(col("__nb")).as("__tb"))
+    val terms = cum.crossJoin(broadcast(totals))
+      .withColumn("__df",
+        col("cum___na").cast("double") / col("__ta").cast("double") -
+          col("cum___nb").cast("double") / col("__tb").cast("double"))
+      .withColumn("__t", ((col("__na") + col("__nb")).cast("double") *
+        col("__df") * col("__df")).cast(dec12))
+    terms.agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(col("__t")).as("__sum"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("n_a").cast("double") * col("n_b").cast("double") /
+            ((col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double")) *
+            col("__sum").cast("double"), 9)).as("cvm"))
+  }
+
+  /** PER-GROUP two-sample exact KS: the whole per-source drift panel in
+    * ONE job — [[Profile.ksStatistic]] compares two frames globally;
+    * at 100 TB the real question is "which SOURCES drifted", and
+    * launching |sources| separate KS jobs rescans the corpus |sources|
+    * times. Same exactness contract as the global op: the sup is
+    * located on scaled integers |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0),
+    * no FP at the argmax), one division on report; `ks_at` is the
+    * smallest value attaining the sup. Output per group present on
+    * either side: (groupCol, n_a, n_b longs, ks double — NULL when a
+    * side is empty, ks_at). NULL groups/values drop.
+    *
+    * 100 TB shape: per-side (group, value) counts (map-side
+    * combinable), one full-outer merge, one
+    * [[PrefixSum.withKeyedRunningSums]] scan — a giant source's value
+    * grid spreads over partitions instead of one reducer — a
+    * |groups|-row totals broadcast, and two grid-sized aggregations
+    * (max, argmax join). */
+  def ksByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df
+      .filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "__na")
+      .join(counts(b, "__nb"), Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      merged, Seq("__g"), Seq("__v"), Seq("__na", "__nb"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___na")).as("__ta"), max(col("cum___nb")).as("__tb"))
+    val scaled = cum.join(broadcast(totals), Seq("__g"))
+      .withColumn("__sd", abs(col("cum___na").cast(dec38) * col("__tb") -
+        col("cum___nb").cast(dec38) * col("__ta")))
+    val sup = scaled.groupBy(col("__g")).agg(max(col("__sd")).as("__msd"))
+    scaled.join(broadcast(sup), Seq("__g"))
+      .filter(col("__sd") === col("__msd"))
+      .groupBy(col("__g"))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        max(col("__msd")).as("__m"), min(col("__v")).as("ks_at"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__m").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"),
+        col("ks_at"))
+  }
 }

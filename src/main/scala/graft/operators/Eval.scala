@@ -581,4 +581,146 @@ object Eval {
           round(col("__ll").cast("double") / col("n").cast("double"), 9))
           .as("logloss"))
   }
+
+  /** Benjamini–Hochberg FDR selection per group (Benjamini & Hochberg
+    * 1995): given many simultaneous test p-values (the drift battery run
+    * per source × metric, a per-template anomaly scan), keep the largest
+    * k with p₍ₖ₎ ≤ k·α/m and reject exactly ranks 1..k — the standard
+    * control that stops a 10 000-test sweep from "alarming" 500 false
+    * positives at α=0.05. Output per input test: (groupCol, idCol, pCol,
+    * rank, m longs, rejected boolean). NULL rows and p outside [0, 1]
+    * drop (visible via m).
+    *
+    * Determinism contract: the step-up comparison is written p·m ≤
+    * rank·α — two IEEE multiplications of identical doubles per side,
+    * no division — and ranks/m are exact integers, so every engine
+    * draws the same cut.
+    *
+    * 100 TB shape: the per-group p-value rank is
+    * [[PrefixSum.withKeyedRunningSums]] over (p, id) — a giant group's
+    * tests never sort through one reducer — and the per-group m and k*
+    * tables are |groups|-row broadcasts; the ranked stage is scanned
+    * twice (candidates, final flag), never recomputed. */
+  def bhFdrSelect(df: DataFrame, groupCol: String, idCol: String,
+      pCol: String, alpha: Double,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"bhFdrSelect: alpha in (0,1), got $alpha")
+    val g = col(s"`$groupCol`")
+    val id = col(s"`$idCol`")
+    val p = col(s"`$pCol`").cast("double")
+    val base = df
+      .filter(g.isNotNull && id.isNotNull && p.isNotNull &&
+        p >= 0.0 && p <= 1.0)
+      .select(g.as("__g"), id.as("__id"), p.as("__p"), lit(1L).as("__one"))
+    val ranked = PrefixSum.withKeyedRunningSums(
+      base, Seq("__g"), Seq("__p", "__id"), Seq("__one"), stager)
+    val totals = ranked.groupBy(col("__g")).agg(max(col("cum___one")).as("m"))
+    val joined = ranked.join(broadcast(totals), Seq("__g"))
+    val kstar = joined
+      .filter(col("__p") * col("m").cast("double") <=
+        col("cum___one").cast("double") * lit(alpha))
+      .groupBy(col("__g")).agg(max(col("cum___one")).as("__k"))
+    joined.join(broadcast(kstar), Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__p").as(pCol), col("cum___one").as("rank"), col("m"),
+        (col("cum___one") <= coalesce(col("__k"), lit(0L))).as("rejected"))
+  }
+
+  /** Precision/recall/F1 curve per group, one point per DISTINCT score
+    * threshold (classify positive at score ≥ t): the full
+    * threshold-picking table behind [[aucByGroup]]'s single number and
+    * [[calibrationCurve]]'s bins — what a curation team actually reads
+    * to set a quality-gate cut. Output per (group, threshold):
+    * (groupCol, threshold, n_predicted, tp longs, precision, recall, f1
+    * doubles — precision is ONE division of exact integers; recall NULL
+    * when the group has no positives; f1 NULL when p+r = 0). NULL
+    * score/label rows drop.
+    *
+    * 100 TB shape: rows collapse to per-(group, score) count/positive
+    * frames (map-side combinable, values-cardinality); the
+    * ≥-threshold cumulative counts are ONE
+    * [[PrefixSum.withKeyedRunningSums]] ascending scan read from the
+    * top (tp = P − cumPos + pos_at), and the only broadcast is the
+    * |groups|-row totals table. No per-group window, no re-sort per
+    * threshold. */
+  def prCurveByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val sc = col(s"`$scoreCol`")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val counts = df
+      .filter(g.isNotNull && sc.isNotNull && lb.isNotNull)
+      .groupBy(g.as("__g"), sc.as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(lb, 1L).otherwise(0L)).as("__p"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__s"), Seq("__c", "__p"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("__n"), max(col("cum___p")).as("__np"))
+    cum.join(broadcast(totals), Seq("__g"))
+      .withColumn("n_predicted", col("__n") - col("cum___c") + col("__c"))
+      .withColumn("tp", col("__np") - col("cum___p") + col("__p"))
+      .select(col("__g").as(groupCol), col("__s").as("threshold"),
+        col("n_predicted"), col("tp"),
+        (col("tp").cast("double") / col("n_predicted").cast("double"))
+          .as("precision"),
+        when(col("__np") > 0L,
+          col("tp").cast("double") / col("__np").cast("double")).as("recall"),
+        when(col("__np") > 0L &&
+          (col("tp").cast("double") / col("n_predicted").cast("double")) +
+            (col("tp").cast("double") / col("__np").cast("double")) > 0.0,
+          lit(2.0) *
+            (col("tp").cast("double") / col("n_predicted").cast("double")) *
+            (col("tp").cast("double") / col("__np").cast("double")) /
+            ((col("tp").cast("double") / col("n_predicted").cast("double")) +
+              (col("tp").cast("double") / col("__np").cast("double"))))
+          .as("f1"))
+  }
+
+  /** Confusion matrix + summary scores at one probability threshold
+    * (predict positive at p ≥ t): tp/fp/tn/fn cells, accuracy, balanced
+    * accuracy, and Matthews correlation — the single-threshold
+    * deployment report [[prCurveByGroup]]'s full curve narrows down to
+    * once a cut is chosen (MCC: Matthews 1975, the one single-number
+    * score that stays honest under class imbalance). One row: (n,
+    * tp, fp, tn, fn longs, accuracy, balanced_accuracy, mcc doubles —
+    * balanced accuracy NULL when a class is absent, MCC NULL when any
+    * marginal is zero). NULL prob/label rows drop.
+    *
+    * Determinism contract: the MCC numerator tp·tn − fp·fn is exact
+    * DECIMAL(38,0) arithmetic cast to double once; the denominator is
+    * sqrt of a four-factor double product (marginals each exact longs)
+    * — an identical IEEE tree in the oracle. Accuracy terms are single
+    * divisions of exact integers.
+    *
+    * 100 TB shape: one map-side-combinable scalar aggregation. */
+  def confusionAtThreshold(df: DataFrame, probCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val p = col(s"`$probCol`").cast("double")
+    val l = col(s"`$labelCol`").cast("boolean")
+    val base = df.filter(p.isNotNull && l.isNotNull)
+      .select(l.as("__l"), (p >= threshold).as("__yhat"))
+    base.agg(count(lit(1)).as("n"),
+        sum(when(col("__l") && col("__yhat"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__l") && col("__yhat"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("__l") && !col("__yhat"), 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__l") && !col("__yhat"), 1L).otherwise(0L)).as("fn"))
+      .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("n") > 0L, (col("tp") + col("tn")).cast("double") /
+          col("n").cast("double")).as("accuracy"),
+        when(col("tp") + col("fn") > 0L && col("tn") + col("fp") > 0L,
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double") +
+            col("tn").cast("double") / (col("tn") + col("fp")).cast("double"))
+            / 2.0).as("balanced_accuracy"),
+        when((col("tp") + col("fp")) > 0L && (col("tp") + col("fn")) > 0L &&
+          (col("tn") + col("fp")) > 0L && (col("tn") + col("fn")) > 0L,
+          (col("tp").cast(dec38) * col("tn") - col("fp").cast(dec38) * col("fn"))
+            .cast("double") /
+            sqrt((col("tp") + col("fp")).cast("double") *
+              (col("tp") + col("fn")).cast("double") *
+              (col("tn") + col("fp")).cast("double") *
+              (col("tn") + col("fn")).cast("double"))).as("mcc"))
+  }
 }

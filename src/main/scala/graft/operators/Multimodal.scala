@@ -122,6 +122,42 @@ object Multimodal {
       }
     val tW = tFind(256)
     val tH = tFind(257)
+    // BMP: "BM", then the DIB header — BITMAPINFOHEADER (size field 40 at
+    // offset 15, the layout every encoder emits by default) carries width
+    // LE s32 @19, height LE s32 @23 (negative = top-down rows -> abs);
+    // the ancient BITMAPCOREHEADER (12) returns null, MediaDecoder path
+    def leU32(off: Int) = conv(
+      concat((0 until 4).reverse.map(i =>
+        hex(bin.substr(lit(off + i), lit(1)))): _*), 16, 10).cast("long")
+    val isBmp = hex(bin.substr(lit(1), lit(2))) === "424D"
+    val bmpInfo = leU32(15) === 40L
+    val bW = leU32(19)
+    val bH = leU32(23)
+    // s32 from the u32 read: values >= 2^31 are negative (top-down)
+    def s32(u: org.apache.spark.sql.Column) =
+      when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+    // WEBP (RIFF): "RIFF....WEBP" then the first chunk decides the flavor.
+    //  - VP8  (lossy): 3-byte frame tag @21, start code 9D012A @24,
+    //    width/height as LE u16 @27/@29 with the top 2 bits scaling hints
+    //  - VP8L (lossless): 0x2F @21, then 14+14 bits packed LE in @22-25,
+    //    stored minus one
+    //  - VP8X (extended): canvas width/height as LE u24 @25/@28, minus one
+    val isWebp = hex(bin.substr(lit(1), lit(4))) === "52494646" &&
+      hex(bin.substr(lit(9), lit(4))) === "57454250"
+    val cc = hex(bin.substr(lit(13), lit(4)))
+    val isVp8 = cc === "56503820" && hex(bin.substr(lit(24), lit(3))) === "9D012A"
+    val isVp8l = cc === "5650384C" && hex(bin.substr(lit(21), lit(1))) === "2F"
+    val isVp8x = cc === "56503858"
+    def leU24(off: Int) = conv(
+      concat((0 until 3).reverse.map(i =>
+        hex(bin.substr(lit(off + i), lit(1)))): _*), 16, 10).cast("long")
+    val lV = leU32(22)
+    val webpW = when(isVp8, leU16(27).cast("long") % 16384L)
+      .when(isVp8l, lV % 16384L + 1L)
+      .when(isVp8x, leU24(25) + 1L)
+    val webpH = when(isVp8, leU16(29).cast("long") % 16384L)
+      .when(isVp8l, shiftright(lV, 14) % 16384L + 1L)
+      .when(isVp8x, leU24(28) + 1L)
     when(isPng, struct(lit("png").as("format"),
         beU32(17).as("width"), beU32(21).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
@@ -131,6 +167,11 @@ object Multimodal {
       .when((isTiffLE || isTiffBE) && tW.isNotNull && tH.isNotNull,
         struct(lit("tiff").as("format"),
           tW.cast("int").as("width"), tH.cast("int").as("height")))
+      .when(isBmp && bmpInfo, struct(lit("bmp").as("format"),
+        s32(bW).cast("int").as("width"),
+        abs(s32(bH)).cast("int").as("height")))
+      .when(isWebp && webpW.isNotNull, struct(lit("webp").as("format"),
+        webpW.cast("int").as("width"), webpH.cast("int").as("height")))
       .otherwise(lit(null).cast(
         "struct<format:string,width:int,height:int>"))
   }

@@ -1080,4 +1080,34 @@ object Profile {
       .select(col("__g").as(groupCol) +: col("n") +: col("v_min") +:
         col("v_max") +: micros.map(m => col(s"q${m / 10000L}")): _*)
   }
+
+  /** Approximate-functional-dependency strength a → b (the g₃ measure,
+    * Kivinen & Mannila 1995): the minimal fraction of rows to DELETE for
+    * "a determines b" to hold exactly — the schema-discovery /
+    * data-quality probe behind "is source→lang reliable enough to
+    * backfill from?". For each a-value keep its plurality b; everything
+    * else is a violation. One row: (n, n_a_values, n_violations longs,
+    * g3_error, fd_strength doubles — each ONE division of exact
+    * integers; NULL on empty input). NULL a/b rows drop.
+    *
+    * 100 TB shape: one (a, b) count aggregation (map-side combinable),
+    * one per-a max over the pair frame, one scalar rollup — pair-
+    * cardinality frames only, no window, no join. */
+  def fdStrength(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+    val pairs = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__c"))
+    pairs.groupBy(col("__a"))
+      .agg(sum(col("__c")).as("__na"), max(col("__c")).as("__keep"))
+      .agg(coalesce(sum(col("__na")), lit(0L)).as("n"),
+        count(lit(1)).as("n_a_values"),
+        coalesce(sum(col("__na") - col("__keep")), lit(0L)).as("n_violations"))
+      .select(col("n"), col("n_a_values"), col("n_violations"),
+        when(col("n") > 0L, col("n_violations").cast("double") /
+          col("n").cast("double")).as("g3_error"),
+        when(col("n") > 0L,
+          (col("n") - col("n_violations")).cast("double") /
+            col("n").cast("double")).as("fd_strength"))
+  }
 }

@@ -486,4 +486,105 @@ object Sessionize {
       .orderBy(col("n_users").desc, col("path"))
       .limit(topK)
   }
+
+  /** Inter-event-time exponential fit + exact KS goodness-of-fit per
+    * event type: is the arrival process Poisson? The gap distribution of
+    * a memoryless source is Exponential(λ); organic traffic roughly is,
+    * schedulers and batch replays are NOT — their KS distance against
+    * the fitted exponential is the drift/automation signal that
+    * complements [[burstiness]]' count-dispersion view with the full
+    * gap-distribution shape. λ is the MLE n/Σgaps (per microsecond).
+    * Per type with ≥ `minGaps` positive-total gaps: (event_type, n_gaps
+    * long, mean_gap_us double — ONE division of exact integers, ks_stat
+    * double — sup over distinct gap values of |F_emp − F_exp|, both
+    * one-sided limits, 9-dp rounded).
+    *
+    * Determinism contract: gaps are exact integer micros; F_emp at g is
+    * cum/n (one division each side of the sup); F_exp(g) = 1 −
+    * exp9(−(n/S)·g) where exp9 rounds the exponential through
+    * DECIMAL(25,12) to 9 dp (the p84 rule) and (n/S)·g is two IEEE ops
+    * on exact integers — every compared double is identical
+    * cross-engine.
+    *
+    * 100 TB shape: one per-(user, type) window pass for the gaps
+    * (user-cardinality keys), one collapse to per-(type, gap) counts
+    * (map-side combinable, values-cardinality), one
+    * [[PrefixSum.withKeyedRunningSums]] CDF scan, a |types|-row
+    * broadcast of (n, S), and a final map-side-combinable max. */
+  def gapExponentialFit(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, typeCol: String, minGaps: Long = 2L,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val ty = col(s"`$typeCol`")
+    val w = Window.partitionBy(ty, u)
+      .orderBy(ts.asc_nulls_last, col(s"`$orderCol`").asc_nulls_last)
+    val gaps = events
+      .filter(u.isNotNull && ts.isNotNull && ty.isNotNull)
+      .withColumn("__gap", unix_micros(ts) - unix_micros(lag(ts, 1).over(w)))
+      .filter(col("__gap").isNotNull)
+      .select(ty.as("__ty"), col("__gap"))
+    val counts = gaps.groupBy(col("__ty"), col("__gap"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__ty"), Seq("__gap"), Seq("__c"), stager)
+    val totals = cum.groupBy(col("__ty"))
+      .agg(max(col("cum___c")).as("__n"),
+        sum(col("__gap") * col("__c")).as("__s"))
+      .filter(col("__n") >= minGaps && col("__s") > 0L)
+    val exp9 = (c: Column) =>
+      round(exp(c).cast(DecimalType(25, 12)), 9).cast("double")
+    cum.join(broadcast(totals), Seq("__ty"))
+      .withColumn("__fexp", lit(1.0) - exp9(
+        -(col("__n").cast("double") / col("__s").cast("double")) *
+          col("__gap").cast("double")))
+      .withColumn("__d", greatest(
+        abs(col("cum___c").cast("double") / col("__n").cast("double") -
+          col("__fexp")),
+        abs((col("cum___c") - col("__c")).cast("double") /
+          col("__n").cast("double") - col("__fexp"))))
+      .groupBy(col("__ty").as(typeCol))
+      .agg(max(col("__n")).as("n_gaps"),
+        (max(col("__s")).cast("double") / max(col("__n")).cast("double"))
+          .as("mean_gap_us"),
+        round(max(col("__d")), 9).as("ks_stat"))
+  }
+
+  /** Hour-of-week seasonality profile per event type: activity share and
+    * peak cell over the (day-of-week × hour-of-day) grid — the traffic
+    * fingerprint that separates human daily/weekly rhythm (strong
+    * diurnal peaks) from scheduled automation (flat or one-cell-spiked
+    * grids) and feeds capacity planning. Day-of-week is pure epoch
+    * arithmetic — (days since 1970-01-01 + 4) mod 7, Sunday = 0 (Jan 1
+    * 1970 was a Thursday = 4) — never an engine/locale calendar call;
+    * both bucketings use the pmod floor-division pattern so pre-1970
+    * timestamps bucket identically cross-engine. Output per non-empty
+    * cell: (event_type, dow int 0–6, hour int 0–23, n_events long,
+    * share double — ONE division by the type total, is_peak boolean —
+    * count equals the type max; ties all flag).
+    *
+    * 100 TB shape: ONE map-side-combinable corpus aggregation to the
+    * ≤ |types|·168-cell grid; totals/maxima are second aggregations of
+    * the grid itself (tiny), broadcast back. */
+  def seasonality(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val ts = col(s"`$tsCol`")
+    val ty = col(s"`$typeCol`")
+    val grid = events.filter(ts.isNotNull && ty.isNotNull)
+      .select(ty.as("__ty"),
+        expr(s"pmod((unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), " +
+          "86400000000L)) div 86400000000L + 4, 7)").cast("int").as("dow"),
+        expr(s"pmod((unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), " +
+          "3600000000L)) div 3600000000L, 24)").cast("int").as("hour"))
+      .groupBy(col("__ty"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = grid.groupBy(col("__ty"))
+      .agg(sum(col("n_events")).as("__tot"), max(col("n_events")).as("__mx"))
+    grid.join(broadcast(totals), Seq("__ty"))
+      .select(col("__ty").as(typeCol), col("dow"), col("hour"),
+        col("n_events"),
+        (col("n_events").cast("double") / col("__tot").cast("double"))
+          .as("share"),
+        (col("n_events") === col("__mx")).as("is_peak"))
+  }
 }

@@ -138,4 +138,26 @@ class CentroidsSpec extends SparkSpecBase {
     assert(good > 0.9, s"tight clustering should score near 1, got $good")
     assert(bad < 0.1, s"structure-blind labels should score near/below 0, got $bad")
   }
+
+  test("centroidSimilarityMatrix: counts cancel — cosine of the mean is cosine of the sum") {
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)), // centroid (1,0), sum (2,0)
+      (1, Seq(0.0f, 2.0f)),                       // (0,2)
+      (2, Seq(3.0f, 4.0f)),                       // (3,4)
+      (3, Seq(0.0f, 0.0f)))                       // zero vector
+      .toDF("label", "vec")
+    val rows = graft.operators.Centroids
+      .centroidSimilarityMatrix(df, "label", "vec")
+      .orderBy("label_a", "label_b").collect()
+    val m = rows.map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+      (if (r.isNullAt(r.fieldIndex("cosine"))) None
+       else Some(r.getAs[Double]("cosine")))).toMap
+    assert(m((0, 1)) === Some(0.0))
+    assert(m((0, 2)) === Some(0.6))
+    assert(m((1, 2)) === Some(0.8))
+    assert(m((0, 3)) === None && m((1, 3)) === None && m((2, 3)) === None)
+    val r01 = rows.find(r => r.getAs[Int]("label_a") === 0 &&
+      r.getAs[Int]("label_b") === 1).get
+    assert(r01.getAs[Long]("n_a") === 2L && r01.getAs[Long]("n_b") === 1L)
+  }
 }

@@ -326,4 +326,52 @@ class DriftSpec extends SparkSpecBase {
     assert(rows.length === 2)
     rows.foreach(r => assert(r.isNullAt(r.fieldIndex("normalized"))))
   }
+
+  test("cramerVonMises: identical samples score 0; hand-computed disjoint pair") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    assert(Drift.cramerVonMises(a, a, "v").head().getAs[Double]("cvm") === 0.0)
+    // a=[1], b=[2]: DF at v=1 is 1, at v=2 is 0; T = (1*1/4)*(1*1) = 0.25
+    val r = Drift.cramerVonMises(Seq(1L).toDF("v"), Seq(2L).toDF("v"), "v").head()
+    assert(r.getAs[Long]("n_a") === 1L && r.getAs[Long]("n_b") === 1L)
+    assert(r.getAs[Double]("cvm") === 0.25)
+  }
+
+  test("cramerVonMises: accumulates distributed drift KS underweights") {
+    import spark.implicits._
+    // small shift everywhere vs one-point spike with same KS-ish sup
+    val base = (1 to 100).map(_.toLong)
+    val shifted = base.map(_ + 1L)
+    val cvmShift = Drift.cramerVonMises(base.toDF("v"), shifted.toDF("v"), "v")
+      .head().getAs[Double]("cvm")
+    assert(cvmShift > 0.0)
+  }
+
+  test("ksByGroup: equals the global ksStatistic run per group") {
+    import spark.implicits._
+    val a = (Seq.fill(30)("g1").zip(1 to 30) ++ Seq.fill(20)("g2").zip(5 to 24))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val b = (Seq.fill(25)("g1").zip(11 to 35) ++ Seq.fill(20)("g2").zip(5 to 24))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val grouped = Drift.ksByGroup(a, b, "g", "v").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("ks"), r.getAs[Long]("ks_at"))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val ref = graft.operators.Profile.ksStatistic(
+        a.filter(col("g") === g).select("v"),
+        b.filter(col("g") === g).select("v"), "v").head()
+      assert(grouped(g)._1 === ref.getAs[Double]("ks"), s"ks $g")
+      assert(grouped(g)._2 === ref.getAs[Long]("ks_at"), s"ks_at $g")
+    }
+    assert(grouped("g2")._1 === 0.0)
+  }
+
+  test("ksByGroup: a group missing one side reports NULL ks") {
+    import spark.implicits._
+    val a = Seq(("only_a", 1L), ("both", 1L)).toDF("g", "v")
+    val b = Seq(("both", 2L)).toDF("g", "v")
+    val rows = Drift.ksByGroup(a, b, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r.isNullAt(r.fieldIndex("ks"))).toMap
+    assert(rows("only_a") === true && rows("both") === false)
+  }
 }

@@ -441,4 +441,76 @@ class EvalSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("brier")))
     assert(r.isNullAt(r.fieldIndex("logloss")))
   }
+
+  test("bhFdrSelect: hand-computed step-up cut") {
+    // alpha=0.25, m=4, thresholds k*0.0625: ranks 1,2 reject, 3,4 survive
+    val df = Seq(("g", 1L, 0.01), ("g", 2L, 0.02), ("g", 3L, 0.2),
+      ("g", 4L, 0.9)).toDF("grp", "id", "p")
+    val rows = Eval.bhFdrSelect(df, "grp", "id", "p", alpha = 0.25)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, false, false))
+    assert(rows.map(_.getAs[Long]("m")).toSet === Set(4L))
+  }
+
+  test("bhFdrSelect: step-up rescues earlier ranks; no-candidate group rejects nothing") {
+    // p=[0.01,0.09,0.12,0.9] alpha=0.2: thresholds 0.05,0.10,0.15,0.20 —
+    // rank 3 (0.12 <= 0.15) passes, so ranks 1..3 ALL reject even though
+    // rank 2's own p (0.09) is below its threshold and rank 4 is not
+    val df = Seq(("a", 1L, 0.01), ("a", 2L, 0.09), ("a", 3L, 0.12),
+      ("a", 4L, 0.9), ("b", 5L, 0.8), ("b", 6L, 0.9)).toDF("grp", "id", "p")
+    val out = Eval.bhFdrSelect(df, "grp", "id", "p", alpha = 0.2)
+    val a = out.filter(col("grp") === "a").orderBy("rank")
+      .collect().map(_.getAs[Boolean]("rejected")).toSeq
+    assert(a === Seq(true, true, true, false))
+    assert(out.filter(col("grp") === "b" && col("rejected")).count() === 0L)
+  }
+
+  test("bhFdrSelect: out-of-range p-values drop and shrink m") {
+    val df = Seq(("g", 1L, 0.01), ("g", 2L, -0.5), ("g", 3L, 1.5))
+      .toDF("grp", "id", "p")
+    val rows = Eval.bhFdrSelect(df, "grp", "id", "p", alpha = 0.1).collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("m") === 1L)
+  }
+
+  test("prCurveByGroup: hand-computed curve; no-positives group reports NULL recall") {
+    val df = Seq(("g", 3L, true), ("g", 2L, false), ("g", 1L, true),
+      ("h", 5L, false)).toDF("grp", "s", "l")
+    val rows = Eval.prCurveByGroup(df, "grp", "s", "l")
+      .orderBy("grp", "threshold").collect()
+    val g = rows.filter(_.getAs[String]("grp") == "g")
+      .map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("n_predicted"),
+        r.getAs[Long]("tp"), r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"))).toSeq
+    assert(g === Seq(
+      (1L, 3L, 2L, 2.0 / 3.0, 1.0, 2.0 * (2.0 / 3.0) * 1.0 / (2.0 / 3.0 + 1.0)),
+      (2L, 2L, 1L, 0.5, 0.5, 2.0 * 0.5 * 0.5 / (0.5 + 0.5)),
+      (3L, 1L, 1L, 1.0, 0.5, 2.0 * 1.0 * 0.5 / (1.0 + 0.5))))
+    val h = rows.find(_.getAs[String]("grp") == "h").get
+    assert(h.isNullAt(h.fieldIndex("recall")) && h.isNullAt(h.fieldIndex("f1")))
+    assert(h.getAs[Double]("precision") === 0.0)
+  }
+
+  test("confusionAtThreshold: hand-computed cells, balanced accuracy and MCC") {
+    // t=0.5: tp=2 (0.9,0.5 true), fn=1 (0.4 true), fp=1 (0.7 false),
+    // tn=2 (0.3,0.1 false)
+    val df = Seq((0.9, true), (0.5, true), (0.4, true),
+      (0.7, false), (0.3, false), (0.1, false)).toDF("p", "l")
+    val r = Eval.confusionAtThreshold(df, "p", "l", 0.5).head()
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn")) === ((2L, 1L, 2L, 1L)))
+    assert(r.getAs[Double]("accuracy") === 4.0 / 6.0)
+    assert(r.getAs[Double]("balanced_accuracy") ===
+      (2.0 / 3.0 + 2.0 / 3.0) / 2.0)
+    val mcc = (2.0 * 2.0 - 1.0 * 1.0) / math.sqrt(3.0 * 3.0 * 3.0 * 3.0)
+    assert(math.abs(r.getAs[Double]("mcc") - mcc) < 1e-15)
+  }
+
+  test("confusionAtThreshold: single-class input reports NULL balanced accuracy and MCC") {
+    val df = Seq((0.9, true), (0.2, true)).toDF("p", "l")
+    val r = Eval.confusionAtThreshold(df, "p", "l", 0.5).head()
+    assert(r.isNullAt(r.fieldIndex("balanced_accuracy")))
+    assert(r.isNullAt(r.fieldIndex("mcc")))
+    assert(r.getAs[Double]("accuracy") === 0.5)
+  }
 }

@@ -222,4 +222,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!plan.contains("Scan ExistingRDD"), plan)
     assert(plan.contains("MapPartitions"), plan)
   }
+
+  test("imageDimensions parses BMP (both row orders) and WEBP (VP8/VP8L/VP8X)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // BITMAPINFOHEADER: "BM", 12 junk bytes, DIB size 40, w 320, h 240
+    val bmp = b(0x42, 0x4D) ++ b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      b(40, 0, 0, 0, 0x40, 1, 0, 0, 0xF0, 0, 0, 0)
+    // top-down BMP: height stored NEGATIVE (-240 = 0xFFFFFF10 LE)
+    val bmpTopDown = b(0x42, 0x4D) ++ b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      b(40, 0, 0, 0, 0x40, 1, 0, 0, 0x10, 0xFF, 0xFF, 0xFF)
+    // ancient BITMAPCOREHEADER (12) -> null, MediaDecoder path
+    val bmpCore = b(0x42, 0x4D) ++ b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      b(12, 0, 0, 0, 0x40, 1, 0xF0, 0)
+    def riff(cc: String, payload: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ b(0, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ cc.getBytes("US-ASCII") ++
+        b(0, 0, 0, 0) ++ payload
+    // VP8X: flags+reserved, canvas w-1=319 u24 LE, h-1=239 u24 LE
+    val vp8x = riff("VP8X", b(0, 0, 0, 0, 0x3F, 1, 0, 0xEF, 0, 0))
+    // VP8L: 0x2F then 319 | 239<<14 = 0x3BC13F as LE u32
+    val vp8l = riff("VP8L", b(0x2F, 0x3F, 0xC1, 0x3B, 0x00))
+    // VP8: 3-byte frame tag, start code 9D 01 2A, w 320 LE u16, h 240
+    val vp8 = riff("VP8 ", b(0, 0, 0, 0x9D, 0x01, 0x2A, 0x40, 1, 0xF0, 0))
+    val df = Seq((1L, bmp), (2L, bmpTopDown), (3L, bmpCore),
+      (4L, vp8x), (5L, vp8l), (6L, vp8)).toDF("id", "media")
+      .withColumn("dims", Multimodal.imageDimensions(col("media")))
+    val got = df.select(col("id"), col("dims.format"), col("dims.width"),
+      col("dims.height")).collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) === ((Some("bmp"), Some(320), Some(240))))
+    assert(got(2L) === ((Some("bmp"), Some(320), Some(240))))
+    assert(got(3L) === ((None, None, None)))
+    assert(got(4L) === ((Some("webp"), Some(320), Some(240))))
+    assert(got(5L) === ((Some("webp"), Some(320), Some(240))))
+    assert(got(6L) === ((Some("webp"), Some(320), Some(240))))
+  }
 }

@@ -554,4 +554,51 @@ class PlanAuditSpec extends SparkSpecBase {
       plan)
     assert(plan.contains("cum___one"), plan)
   }
+
+  test("p164/p167: keyed-prefix ranks never window over the group key on data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.operators.Profile.quantilesByGroup(
+      docs, "source", "n_chars", Seq(0.25, 0.5, 0.9, 0.99))
+    val qp = q.queryExecution.executedPlan.toString
+    // data windows partition by (__psid, __g); only the tiny offsets
+    // frame windows by __g alone — and it orders PARTITION IDS
+    assert(!qp.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), qp)
+    assert(qp.contains("cum___c"), qp)
+    val c = graft.operators.Splits.curriculumOrder(
+      docs, "source", "doc_id", "n_chars")
+    val cp = c.queryExecution.executedPlan.toString
+    assert(!cp.matches("(?s).*windowspecdefinition\\(__g#\\d+, __ns.*"), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
+  test("p165: survival chains two keyed prefix scans, no per-cohort data window") {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tm"), col("event_type"))
+    val subjects = ev.groupBy(col("user_id"))
+      .agg(min(col("tm")).as("t0"), max(col("tm")).as("t1"),
+        min(when(col("event_type") === "purchase", col("tm"))).as("tp"))
+      .select(expr("user_id % 3").as("cohort"),
+        expr("(coalesce(tp, t1) - t0) div 1000000").as("dur_s"),
+        col("tp").isNotNull.as("converted"))
+    val out = graft.operators.Sessionize.kaplanMeier(
+      subjects, "cohort", "dur_s", "converted")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*windowspecdefinition\\(__g#\\d+, __t#.*"), plan)
+    // the first prefix scan (cum___a, at-risk counts) is upstream of the
+    // stage cut, so only the second (ln-sum) is visible in the final plan
+    assert(plan.contains("cum___ln"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p166: the journey cut is TakeOrderedAndProject with no window at all") {
+    val out = graft.operators.Sessionize.topPaths(
+      Tables.events(spark, dir).filter(col("ts").isNotNull)
+        .withColumn("ts_c", expr("cast(ts as timestamp)")),
+      "user_id", "ts_c", "event_id", "event_type", pathLen = 4, topK = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
 }

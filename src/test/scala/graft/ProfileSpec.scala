@@ -582,4 +582,26 @@ class ProfileSpec extends SparkSpecBase {
       Profile.quantilesByGroup(df, "g", "v", Seq(0.505))
     }
   }
+
+  test("fdStrength: g3 error is the minimal deletion fraction") {
+    // a=1 -> {x:3, y:1}; a=2 -> {z:2}: violations = 1, n = 6
+    val df = Seq((1, "x"), (1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z"))
+      .toDF("a", "b")
+    val r = Profile.fdStrength(df, "a", "b").head()
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("n_a_values") === 2L)
+    assert(r.getAs[Long]("n_violations") === 1L)
+    assert(r.getAs[Double]("g3_error") === 1.0 / 6.0)
+    assert(r.getAs[Double]("fd_strength") === 5.0 / 6.0)
+  }
+
+  test("fdStrength: a perfect dependency scores 1.0; empty input is NULL-scored") {
+    val perfect = Seq((1, "x"), (2, "y"), (2, "y")).toDF("a", "b")
+    assert(Profile.fdStrength(perfect, "a", "b").head()
+      .getAs[Double]("fd_strength") === 1.0)
+    val empty = Seq.empty[(Int, String)].toDF("a", "b")
+    val r = Profile.fdStrength(empty, "a", "b").head()
+    assert(r.getAs[Long]("n") === 0L)
+    assert(r.isNullAt(r.fieldIndex("g3_error")))
+  }
 }

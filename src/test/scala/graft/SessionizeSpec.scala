@@ -318,4 +318,64 @@ class SessionizeSpec extends SparkSpecBase {
       .collect().map(_.getAs[String]("path")).toSeq
     assert(rows === Seq("a", "b")) // all count 1, path asc wins
   }
+
+  test("gapExponentialFit: hand-computed KS against the fitted exponential") {
+    // one user, gaps [1s, 1s, 1s]: lambda = 3/3e6 = 1e-6 per us;
+    // F_exp(1e6) = 1 - exp9(-1) = 0.632120559; F_emp jumps 0 -> 1
+    // so ks = 0.632120559 exactly under the exp9 contract
+    val df = (0 to 3).map(i => ("u", i.toLong * 1000000L, i.toLong, "t"))
+      .toDF("u", "tm", "eid", "ty")
+      .withColumn("ts", expr("timestamp_micros(tm)"))
+    val r = Sessionize.gapExponentialFit(df, "u", "ts", "eid", "ty").head()
+    assert(r.getAs[Long]("n_gaps") === 3L)
+    assert(r.getAs[Double]("mean_gap_us") === 1000000.0)
+    assert(r.getAs[Double]("ks_stat") === 0.632120559)
+  }
+
+  test("gapExponentialFit: a perfect exponential-ish spread scores lower than a metronome") {
+    def mk(ty: String, gaps: Seq[Long]) = {
+      var t = 0L
+      ("u", 0L, 0L, ty) +: gaps.zipWithIndex.map { case (g, i) =>
+        t += g; ("u", t, i.toLong + 1L, ty) }
+    }
+    // metronome: all gaps equal; spread: exponential-like mix
+    val rows = (mk("metro", Seq.fill(20)(1000000L)) ++
+      mk("spread", Seq(100000L, 300000L, 700000L, 1500000L, 3000000L,
+        200000L, 500000L, 1000000L, 2500000L, 400000L,
+        800000L, 1200000L, 600000L, 900000L, 1800000L,
+        250000L, 350000L, 2000000L, 450000L, 1400000L)))
+      .toDF("u", "tm", "eid", "ty")
+      .withColumn("ts", expr("timestamp_micros(tm)"))
+    val out = Sessionize.gapExponentialFit(rows, "u", "ts", "eid", "ty")
+      .collect().map(r => r.getAs[String]("ty") -> r.getAs[Double]("ks_stat"))
+      .toMap
+    assert(out("spread") < out("metro"),
+      s"spread ${out("spread")} should fit exponential better than metronome ${out("metro")}")
+  }
+
+  test("gapExponentialFit: types under minGaps or with zero total gap drop") {
+    val df = Seq(("u", 0L, 0L, "once"), ("u", 5L, 1L, "once"),
+      ("v", 0L, 2L, "zero"), ("v", 0L, 3L, "zero"), ("v", 0L, 4L, "zero"))
+      .toDF("u", "tm", "eid", "ty")
+      .withColumn("ts", expr("timestamp_micros(tm)"))
+    // "once" has 1 gap (< minGaps=2); "zero" has 2 gaps but total 0
+    assert(Sessionize.gapExponentialFit(df, "u", "ts", "eid", "ty").count() === 0L)
+  }
+
+  test("seasonality: epoch arithmetic grid — Jan 1 1970 is Thursday hour 0") {
+    val df = Seq(
+      ("a", 0L),                    // Thu (dow 4) hour 0
+      ("a", 3600000000L),           // Thu hour 1
+      ("a", 3600000000L),           // Thu hour 1 again -> peak
+      ("b", 86400000000L * 3L))     // Sun (dow (3+4)%7=0) hour 0
+      .toDF("ty", "tm").withColumn("ts", expr("timestamp_micros(tm)"))
+    val rows = Sessionize.seasonality(df, "ts", "ty")
+      .orderBy("ty", "dow", "hour").collect()
+    val a0 = rows(0); val a1 = rows(1); val b = rows(2)
+    assert(a0.getAs[Int]("dow") === 4 && a0.getAs[Int]("hour") === 0 &&
+      a0.getAs[Long]("n_events") === 1L && !a0.getAs[Boolean]("is_peak"))
+    assert(a1.getAs[Int]("hour") === 1 && a1.getAs[Long]("n_events") === 2L &&
+      a1.getAs[Boolean]("is_peak") && a1.getAs[Double]("share") === 2.0 / 3.0)
+    assert(b.getAs[Int]("dow") === 0 && b.getAs[Boolean]("is_peak"))
+  }
 }
