@@ -7104,5 +7104,261 @@ object SparkEntry {
           (col("lang") === "en").as("l"))
       graft.operators.Eval.confusionAtThreshold(docs, "p", "l", 0.5)
     }
+
+    // --- deterministic global shuffle order: md5-rank permutation via
+    //     the multi-order PrefixSum — reproducible ORDER BY rand().
+    register("p177_det_shuffle",
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_pos
+        |FROM (SELECT doc_id,
+        |    ('0x' || substring(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.deterministicShuffle(
+          t(s, dir, "documents"), "doc_id", "shuf")
+        .orderBy(col("doc_id"))
+    }
+
+    // --- per-source Mann–Whitney U (en vs rest): the grouped location-
+    //     shift panel in one job — doubled midranks per group off the
+    //     keyed PrefixSum.
+    register("p178_mwu_by_group",
+      """WITH ca AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |u AS (SELECT COALESCE(ca.g, cb.g) AS g, COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.v = cb.v),
+        |r AS (SELECT g, na, nb, na + nb AS t,
+        |    COALESCE(SUM(na + nb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM u),
+        |gg AS (SELECT g, CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    SUM(CAST(na AS HUGEINT) * (2 * cum + t + 1)) AS r1d,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |  FROM r GROUP BY g),
+        |h AS (SELECT g, n_a, n_b,
+        |    CAST(r1d - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS ua,
+        |    (n_a::DOUBLE * n_b::DOUBLE / 12.0) * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |      - CAST(ties AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+        |      AS varu
+        |  FROM gg)
+        |SELECT g AS source, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN ua END AS u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN n_a::DOUBLE * n_b::DOUBLE - ua
+        |    END AS u_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varu > 0.0 THEN
+        |    (ua - n_a::DOUBLE * n_b::DOUBLE / 2.0) / sqrt(varu) END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a::DOUBLE * n_b::DOUBLE > 0.0 THEN
+        |    ua / (n_a::DOUBLE * n_b::DOUBLE) * 2.0 - 1.0 END AS rank_biserial
+        |FROM h ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      graft.operators.Drift.mannWhitneyByGroup(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "source", "n_chars")
+        .orderBy(col("source"))
+    }
+
+    // --- per-source Wasserstein-1 (en vs rest): grouped transport cost,
+    //     keyed-PrefixSum CDFs + (group, rank) equi-join adjacency.
+    register("p179_w1_by_group",
+      """WITH ca AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT COALESCE(ca.g, cb.g) AS g, COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.v = cb.v),
+        |s AS (SELECT g, v,
+        |    SUM(na) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+        |    SUM(nb) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB,
+        |    LEAD(v) OVER (PARTITION BY g ORDER BY v) AS vn
+        |  FROM m),
+        |t AS (SELECT g, CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_values FROM m GROUP BY g),
+        |num AS (SELECT s.g, COALESCE(SUM(
+        |    abs(CAST(cumA AS HUGEINT) * t.n_b -
+        |        CAST(cumB AS HUGEINT) * t.n_a) *
+        |    CAST(vn - v AS HUGEINT)), 0) AS num
+        |  FROM s JOIN t ON s.g = t.g WHERE vn IS NOT NULL GROUP BY s.g)
+        |SELECT t.g AS source, n_a, n_b, n_values,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(COALESCE(num.num, 0) AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS w1
+        |FROM t LEFT JOIN num ON t.g = num.g
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      graft.operators.Drift.wasserstein1ByGroup(
+          docs.filter(col("lang") === "en").select(col("source"), col("n_chars")),
+          docs.filter(col("lang") =!= "en").select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("source"))
+    }
+
+    // --- per-source PSI between the even/odd doc-id halves over the
+    //     language mix: "which sources' lang mixes diverge between
+    //     snapshots" in one job.
+    register("p180_psi_by_group",
+      """WITH ca AS (SELECT source AS g, lang AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
+        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT source AS g, lang AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM documents
+        |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |u AS (SELECT COALESCE(ca.g, cb.g) AS g, COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.v = cb.v),
+        |t AS (SELECT g, CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM u GROUP BY g),
+        |s AS (SELECT u.g, ta, tb, na, nb,
+        |    GREATEST(na::DOUBLE / ta::DOUBLE, 1e-06) AS p,
+        |    GREATEST(nb::DOUBLE / tb::DOUBLE, 1e-06) AS q
+        |  FROM u JOIN t ON u.g = t.g)
+        |SELECT g AS source, ta AS n_a, tb AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  CAST(SUM(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |  CAST(SUM(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(SUM(CAST((p - q) *
+        |    CAST(ROUND(CAST(ln(p / q) AS DECIMAL(25,12)), 9) AS DOUBLE)
+        |    AS DECIMAL(25,9))) AS DOUBLE) END AS psi
+        |FROM s GROUP BY g, ta, tb ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+      graft.operators.Drift.psiByGroup(
+          docs.filter(expr("doc_id % 2 = 0")),
+          docs.filter(expr("doc_id % 2 = 1")), "source", "lang")
+        .orderBy(col("source"))
+    }
+
+    // --- exact join-key overlap report (orders.o_custkey vs
+    //     customer.c_custkey): the "can I join these" discovery probe —
+    //     distinct frames only, three 1-row scalars (bnljByDesign).
+    register("p181_key_overlap",
+      """WITH da AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |db AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM da),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM db),
+        |sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM da
+        |  WHERE k IN (SELECT k FROM db))
+        |SELECT n_a, n_b, n_shared,
+        |  CASE WHEN n_a > 0 THEN
+        |    n_shared::DOUBLE / n_a::DOUBLE END AS containment_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    n_shared::DOUBLE / n_b::DOUBLE END AS containment_b,
+        |  CASE WHEN n_a + n_b - n_shared > 0 THEN
+        |    n_shared::DOUBLE / CAST(n_a + n_b - n_shared AS DOUBLE) END
+        |    AS jaccard
+        |FROM na, nb, sh""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.keyOverlap(
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
+    }
+
+    // --- cumulative gains / lift table over the planted p176 score:
+    //     value-atomic deciles (ties never split), one PrefixSum scan.
+    register("p182_gains_table",
+      """WITH base AS (SELECT
+        |    (('0x' || substring(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0) * 0.5 +
+        |    (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END) AS s,
+        |    (lang = 'en') AS l FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM base GROUP BY s),
+        |cum AS (SELECT s, c, p,
+        |    CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cc FROM cnt),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tn,
+        |    CAST(SUM(p) AS BIGINT) AS tp FROM cnt),
+        |bk AS (SELECT CAST(((tn - cc + c) * 10 + tn - 1) // tn AS INT)
+        |      AS bucket, c, p, tn, tp FROM cum, tot),
+        |g AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS n_pos, MAX(tn) AS tn, MAX(tp) AS tp
+        |  FROM bk GROUP BY bucket)
+        |SELECT bucket, n, n_pos,
+        |  CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+        |  CAST(SUM(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+        |  CASE WHEN tp > 0 THEN
+        |    CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) /
+        |      CAST(tp AS DOUBLE) END AS gain,
+        |  CASE WHEN tp > 0 THEN
+        |    (CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) /
+        |      CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE)) /
+        |    (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) END AS lift
+        |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "conf")
+            .cast("double") / lit(1152921504606846976.0)) * 0.5 +
+            when(col("lang") === "en", 0.5).otherwise(0.0)).as("s"),
+          (col("lang") === "en").as("l"))
+      graft.operators.Eval.gainsTable(docs, "s", "l", nBuckets = 10)
+        .orderBy(col("bucket"))
+    }
+
+    // --- KMV-estimated pairwise overlap matrix across languages over
+    //     the n_chars key universe: one corpus scan, O(k) per pair —
+    //     the scale path of p43's exact overlap matrix.
+    register("p183_overlap_matrix",
+      """WITH h AS (SELECT DISTINCT lang AS g,
+        |    ('0x' || substring(md5(CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT g, hh, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hh)
+        |    AS rn FROM h),
+        |sk AS (SELECT g, list_sort(list(hh)) AS minima FROM rk
+        |  WHERE rn <= 64 GROUP BY g),
+        |p AS (SELECT a.g AS g_a, b.g AS g_b, a.minima AS ma, b.minima AS mb,
+        |    list_sort(list_distinct(list_concat(a.minima, b.minima)))[1:64]
+        |      AS un
+        |  FROM sk a JOIN sk b ON a.g < b.g)
+        |SELECT g_a, g_b,
+        |  CAST(len(ma) AS BIGINT) AS n_minima_a,
+        |  CAST(len(mb) AS BIGINT) AS n_minima_b,
+        |  CAST(len(list_intersect(list_intersect(un, ma), mb)) AS BIGINT)
+        |    AS shared_minima,
+        |  CASE WHEN len(ma) < 64 THEN len(ma)::DOUBLE
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(ma[64] AS DOUBLE) END
+        |    AS est_distinct_a,
+        |  CASE WHEN len(mb) < 64 THEN len(mb)::DOUBLE
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(mb[64] AS DOUBLE) END
+        |    AS est_distinct_b,
+        |  CASE WHEN len(un) < 64 THEN len(un)::DOUBLE
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(un[64] AS DOUBLE) END
+        |    AS est_union,
+        |  CAST(len(list_intersect(list_intersect(un, ma), mb)) AS DOUBLE) /
+        |    CAST(LEAST(64, len(un)) AS DOUBLE) AS est_jaccard,
+        |  (CAST(len(list_intersect(list_intersect(un, ma), mb)) AS DOUBLE) /
+        |    CAST(LEAST(64, len(un)) AS DOUBLE)) *
+        |  (CASE WHEN len(un) < 64 THEN len(un)::DOUBLE
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(un[64] AS DOUBLE) END)
+        |    AS est_intersection
+        |FROM p ORDER BY g_a, g_b""".stripMargin) { (s, dir) =>
+      graft.operators.Sketch.overlapMatrixEstimate(
+          t(s, dir, "documents")
+            .filter(col("lang").isNotNull && col("n_chars").isNotNull),
+          "n_chars", "lang", k = 64)
+        .orderBy(col("g_a"), col("g_b"))
+    }
   }
 }

@@ -578,4 +578,146 @@ object Drift {
             (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"),
         col("ks_at"))
   }
+
+  /** PER-GROUP Mann–Whitney U — [[mannWhitneyU]]'s location test for
+    * every source in ONE job (the [[ksByGroup]] rationale: the 100 TB
+    * question is "which sources shifted", and per-source jobs rescan
+    * the corpus |sources| times). Identical exactness: doubled midranks
+    * (2·cum_before + t + 1) as exact integers, DECIMAL(38,0) rank/tie
+    * sums, one halving, a fixed IEEE z tree. Output per group:
+    * (groupCol, n_a, n_b longs, u_a, u_b, z, rank_biserial doubles —
+    * NULL where a side is empty / variance is 0). NULL groups/values
+    * drop.
+    *
+    * 100 TB shape: per-side (group, value) counts, one full-outer
+    * merge, one [[PrefixSum.withKeyedRunningSums]] scan, one grouped
+    * aggregation — no per-group window, no per-group job. */
+  def mannWhitneyByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df
+      .filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "__na")
+      .join(counts(b, "__nb"), Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .withColumn("__t", col("__na") + col("__nb"))
+    val ranked = PrefixSum.withKeyedRunningSums(
+        merged, Seq("__g"), Seq("__v"), Seq("__t"), stager)
+      .withColumn("__cb", col("cum___t") - col("__t"))
+      .withColumn("__drd", lit(2L) * col("__cb") + col("__t") + 1L)
+    val agg = ranked.groupBy(col("__g")).agg(
+      sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+      sum((col("__na").cast(dec38) * col("__drd"))).as("__r1d"),
+      sum((col("__t").cast(dec38) * col("__t") * col("__t") -
+        col("__t"))).as("__ties"))
+    val n1 = col("n_a").cast("double")
+    val n2 = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ua = (col("__r1d") - col("n_a").cast(dec38) * (col("n_a") + 1L))
+      .cast("double") / lit(2.0)
+    val varU = (n1 * n2 / lit(12.0)) * ((n + lit(1.0)) -
+      col("__ties").cast("double") / (n * (n - lit(1.0))))
+    agg.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L, ua).as("u_a"),
+      when(col("n_a") > 0L && col("n_b") > 0L, n1 * n2 - ua).as("u_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L && varU > lit(0.0),
+        (ua - n1 * n2 / lit(2.0)) / sqrt(varU)).as("z"),
+      when(col("n_a") > 0L && col("n_b") > 0L && n1 * n2 > lit(0.0),
+        ua / (n1 * n2) * lit(2.0) - lit(1.0)).as("rank_biserial"))
+  }
+
+  /** PER-GROUP Wasserstein-1 — [[wasserstein1]]'s transport cost for
+    * every source in one job. Same exactness: integral values, flat-CDF
+    * segments, every summand |cumA·n_b − cumB·n_a|·Δx exact in
+    * DECIMAL(38,0), ONE division per group on report. Output per group:
+    * (groupCol, n_a, n_b, n_values longs, w1 double — NULL where a side
+    * is empty). NULL groups/values drop.
+    *
+    * 100 TB shape: per-side (group, value) counts, one full-outer
+    * merge, one [[PrefixSum.withKeyedRunningSums]] scan emitting
+    * per-group ranks, adjacency as a (group, rank) EQUI-join of the
+    * scan with itself shifted by one — never a window — and a
+    * |groups|-row totals broadcast. */
+  def wasserstein1ByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    def counts(df: DataFrame, out: String) = df
+      .filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.cast("long").as("__v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "__na")
+      .join(counts(b, "__nb"), Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.withKeyedRunningSums(merged, Seq("__g"),
+        Seq("__v"), Seq("__one", "__na", "__nb"), stager)
+      .select(col("__g"), col("__v"), col("cum___one").as("__rk"),
+        col("cum___na").as("__ca"), col("cum___nb").as("__cb"))
+    val nxt = ranked.select(col("__g"), (col("__rk") - 1L).as("__rk"),
+      col("__v").as("__vn"))
+    val segs = ranked.join(nxt, Seq("__g", "__rk"))
+    val tot = ranked.groupBy(col("__g")).agg(max(col("__ca")).as("n_a"),
+      max(col("__cb")).as("n_b"), max(col("__rk")).as("n_values"))
+    val num = segs.join(broadcast(tot), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(abs(col("__ca").cast(dec38) * col("n_b") -
+          col("__cb").cast(dec38) * col("n_a")) *
+        (col("__vn") - col("__v")).cast(dec38)).as("__num"))
+    tot.join(num, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_values"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          coalesce(col("__num"), lit(0L).cast(dec38)).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("w1"))
+  }
+
+  /** PER-GROUP PSI over categorical mixes — [[psi]]'s drift score for
+    * every source in one job (e.g. "which sources' language mixes moved
+    * between snapshots"). Same ln9/DECIMAL(25,9) contract. Output per
+    * group: (groupCol, n_a, n_b, n_values, n_only_a, n_only_b longs,
+    * psi double — NULL where a side is empty). NULL groups/keys drop.
+    *
+    * 100 TB shape: per-side (group, key) counts, one full-outer merge,
+    * a |groups|-row totals broadcast, one grouped aggregation —
+    * cell-cardinality frames only. */
+  def psiByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      keyCol: String, eps: Double = 1e-6,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
+    val g = col(s"`$groupCol`")
+    val k = col(s"`$keyCol`")
+    def counts(df: DataFrame, out: String) = df
+      .filter(g.isNotNull && k.isNotNull)
+      .groupBy(g.as("__g"), k.as("__v")).agg(count(lit(1)).as(out))
+    val merged = stager.stage(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__g", "__v"), "full_outer")
+        .select(col("__g"), col("__v"),
+          coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      s"psi_grp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val totals = merged.groupBy(col("__g")).agg(
+      sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val shares = merged.join(broadcast(totals), Seq("__g"))
+      .withColumn("__p", greatest(
+        col("__na").cast("double") / col("__ta").cast("double"), lit(eps)))
+      .withColumn("__q", greatest(
+        col("__nb").cast("double") / col("__tb").cast("double"), lit(eps)))
+    shares.groupBy(col("__g")).agg(
+        max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        count(lit(1)).as("n_values"),
+        sum(when(col("__nb") === 0L, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(col("__na") === 0L, 1L).otherwise(0L)).as("n_only_b"),
+        sum(((col("__p") - col("__q")) * ln9(col("__p") / col("__q")))
+          .cast(dec25_9)).as("__psi"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_values"), col("n_only_a"), col("n_only_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__psi").cast("double")).as("psi"))
+  }
 }

@@ -723,4 +723,53 @@ object Eval {
               (col("tn") + col("fp")).cast("double") *
               (col("tn") + col("fn")).cast("double"))).as("mcc"))
   }
+
+  /** Cumulative gains / lift table over score buckets (the decile gains
+    * chart): rank rows by score DESC, cut into `nBuckets` value-atomic
+    * buckets (tied scores never split — bucket = ⌈cum_desc·nB / n⌉ on
+    * exact integers, so bucket sizes flex at ties instead of the order
+    * going nondeterministic), and report per bucket how much of the
+    * total positive mass the top-k buckets capture. Output per
+    * non-empty bucket: (bucket int 1..nB, n, n_pos, cum_n, cum_pos
+    * longs, gain double — cum_pos/P, lift double —
+    * (cum_pos/cum_n)/(P/N); both NULL when the frame has no positives).
+    * NULL score/label rows drop.
+    *
+    * 100 TB shape: rows collapse to per-distinct-score counts, ONE
+    * [[PrefixSum]] ascending scan gives the descending cumulatives
+    * (n − cum + c), and everything after runs on the ≤nB-row bucket
+    * frame (whose own cumulative window orders nB rows, never data). */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 10,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
+    require(nBuckets >= 2, s"gainsTable: nBuckets must be >= 2, got $nBuckets")
+    val sc = col(s"`$scoreCol`")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val counts = df.filter(sc.isNotNull && lb.isNotNull)
+      .groupBy(sc.as("__s"))
+      .agg(count(lit(1)).as("__c"), sum(when(lb, 1L).otherwise(0L)).as("__p"))
+    val cum = PrefixSum.withRunningSums(counts, "__s", Seq("__c", "__p"), stager)
+    val totals = cum.agg(max(col("cum___c")).as("__n"), max(col("cum___p")).as("__np"))
+    val buckets = cum.crossJoin(broadcast(totals))
+      .withColumn("__cumd", col("__n") - col("cum___c") + col("__c"))
+      .withColumn("bucket", expr(
+        s"(__cumd * ${nBuckets}L + __n - 1L) div __n").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__np")).as("__np"))
+    // the cumulative over buckets orders ≤ nBuckets rows — never data
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    buckets
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("__np") > 0L, col("cum_pos").cast("double") /
+          col("__np").cast("double")).as("gain"),
+        when(col("__np") > 0L,
+          (col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("__np").cast("double") / col("__n").cast("double")))
+          .as("lift"))
+  }
 }

@@ -35,13 +35,22 @@ object PrefixSum {
     * downstream consumers therefore also read the stage, not the
     * original plan. */
   def withRunningSums(df: DataFrame, orderCol: String, sumCols: Seq[String],
-      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+      stager: Stager = Stager.LocalCheckpoint): DataFrame =
+    withRunningSums(df, Seq(orderCol), sumCols, stager)
+
+  /** Multi-column-order variant: the global order is the COMPOSITE
+    * lexicographic (orderCols…) — the tuples must be distinct and
+    * non-null (e.g. a hash with a unique-id tiebreak, the
+    * [[graft.operators.Splits.deterministicShuffle]] caller). */
+  def withRunningSums(df: DataFrame, orderCols: Seq[String],
+      sumCols: Seq[String], stager: Stager): DataFrame = {
+    require(orderCols.nonEmpty, "withRunningSums: orderCols must be non-empty")
     require(sumCols.nonEmpty, "withRunningSums: sumCols must be non-empty")
-    val ord = col(s"`$orderCol`")
+    val ords = orderCols.map(c => col(s"`$c`"))
     val parted = stager.stage(
-      df.repartitionByRange(ord).withColumn("__psid", spark_partition_id()),
+      df.repartitionByRange(ords: _*).withColumn("__psid", spark_partition_id()),
       s"prefix_sum_${java.util.UUID.randomUUID().toString.take(8)}")
-    val wp = Window.partitionBy(col("__psid")).orderBy(ord)
+    val wp = Window.partitionBy(col("__psid")).orderBy(ords.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sumCols.foldLeft(parted) { (d, c) =>
       d.withColumn(s"cum_$c", sum(col(s"`$c`")).over(wp))

@@ -1110,4 +1110,39 @@ object Profile {
           (col("n") - col("n_violations")).cast("double") /
             col("n").cast("double")).as("fd_strength"))
   }
+
+  /** Exact join-key overlap report between two key columns — the
+    * data-discovery probe behind "can I join these two tables, and in
+    * which direction?": containment(a in b) near 1 with low reverse
+    * containment is the foreign-key signature; low Jaccard both ways
+    * means the join is a mistake. One row: (n_a, n_b, n_shared longs —
+    * DISTINCT key counts, containment_a, containment_b, jaccard doubles
+    * — each ONE division of exact integers; NULL where a side is
+    * empty). NULL keys drop. The KMV-estimated sibling for monster key
+    * sets is [[Sketch.overlapMatrixEstimate]] / [[Sketch.joinSizeEstimate]].
+    *
+    * 100 TB shape: two distinct-aggregations (map-side combinable) and
+    * one equi-join of the DISTINCT frames — key-cardinality, never
+    * row-cardinality. */
+  def keyOverlap(a: DataFrame, keyColA: String, b: DataFrame,
+      keyColB: String): DataFrame = {
+    val da = a.filter(col(s"`$keyColA`").isNotNull)
+      .select(col(s"`$keyColA`").cast("string").as("__k")).distinct()
+    val db = b.filter(col(s"`$keyColB`").isNotNull)
+      .select(col(s"`$keyColB`").cast("string").as("__k")).distinct()
+    val na = da.agg(count(lit(1)).as("n_a"))
+    val nb = db.agg(count(lit(1)).as("n_b"))
+    val shared = da.join(db, Seq("__k"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(shared))
+      .select(col("n_a"), col("n_b"), col("n_shared"),
+        when(col("n_a") > 0L, col("n_shared").cast("double") /
+          col("n_a").cast("double")).as("containment_a"),
+        when(col("n_b") > 0L, col("n_shared").cast("double") /
+          col("n_b").cast("double")).as("containment_b"),
+        when(col("n_a") + col("n_b") - col("n_shared") > 0L,
+          col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
 }

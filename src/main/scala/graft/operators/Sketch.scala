@@ -735,4 +735,48 @@ object Sketch {
       .filter(col("__est") > coalesce(col("__d"), lit(0L)))
       .select(col("__grp"), col("__key"))
   }
+
+  /** KMV-estimated pairwise key-overlap matrix across groups — the
+    * scale path of [[Profile.sourceOverlap]]/[[Profile.keyOverlap]]:
+    * one bottom-k sketch per group, then every pair's union/Jaccard/
+    * intersection estimates from O(k) array arithmetic (Beyer et al.
+    * 2007, the [[joinSizeEstimate]] rules applied per pair). Output per
+    * unordered group pair: (g_a, g_b, n_minima_a, n_minima_b,
+    * shared_minima longs, est_distinct_a, est_distinct_b, est_union,
+    * est_jaccard, est_intersection doubles). est_jaccard = shared
+    * union-bottom-k hashes / min(k, |union minima|) — EXACT below k.
+    *
+    * 100 TB shape: the corpus is touched ONCE by the per-group
+    * distinct-hash bottom-k ([[kmvSketch]]; swap [[kmvSketchSharded]]
+    * in for monster groups); the |groups|²/2 pair frame carries only
+    * ≤k-element arrays. */
+  def overlapMatrixEstimate(df: DataFrame, keyCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sk = kmvSketch(df, keyCol, groupCol, k)
+    val a = sk.select(col(s"`$groupCol`").as("g_a"), col("minima").as("__ma"))
+    val b = sk.select(col(s"`$groupCol`").as("g_b"), col("minima").as("__mb"))
+    val pairs = a.crossJoin(b).filter(col("g_a") < col("g_b"))
+      .withColumn("__union",
+        slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k))
+      .withColumn("__shared", size(array_intersect(
+        array_intersect(col("__union"), col("__ma")), col("__mb"))).cast("long"))
+    def est(minima: org.apache.spark.sql.Column) =
+      when(size(minima) < k, size(minima).cast("double"))
+        .otherwise(lit((k - 1).toDouble * HashSpace) /
+          element_at(minima, k).cast("double"))
+    pairs.select(col("g_a"), col("g_b"),
+      size(col("__ma")).cast("long").as("n_minima_a"),
+      size(col("__mb")).cast("long").as("n_minima_b"),
+      col("__shared").as("shared_minima"),
+      est(col("__ma")).as("est_distinct_a"),
+      est(col("__mb")).as("est_distinct_b"),
+      est(col("__union")).as("est_union"),
+      (col("__shared").cast("double") /
+        least(lit(k.toLong), size(col("__union")).cast("long"))
+          .cast("double")).as("est_jaccard"),
+      ((col("__shared").cast("double") /
+        least(lit(k.toLong), size(col("__union")).cast("long"))
+          .cast("double")) * est(col("__union"))).as("est_intersection"))
+  }
 }

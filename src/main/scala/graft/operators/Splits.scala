@@ -596,4 +596,28 @@ object Splits {
         col("__s").as(scoreCol), col("cum___one").as("rank_in_group"),
         ((col("cum___one") - 1L) * col("__ng") + col("__gi")).as("position"))
   }
+
+  /** Deterministic global shuffle order: shuffle_pos = rank of
+    * (md5-hash(salt, id), id) — the reproducible corpus permutation a
+    * training run reads instead of a nondeterministic `ORDER BY rand()`
+    * (re-runs, retries and engine changes all see the SAME order, and
+    * changing the salt re-deals the whole permutation, the
+    * [[assignSplit]] philosophy). The id tiebreak makes the order total
+    * even across 60-bit hash collisions. Output: (idCol, shuffle_pos
+    * long, 0-based, contiguous). NULL ids drop.
+    *
+    * 100 TB shape: the rank is [[PrefixSum.withRunningSums]] over the
+    * composite (hash, id) — a range exchange plus a broadcast offset
+    * table, never `row_number()` over an unpartitioned window (the
+    * single-reducer sort a naive shuffle writes). Writing in
+    * shuffle_pos order is the consumer's range-partition-by-position. */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val id = col(s"`$idCol`")
+    val base = df.filter(id.isNotNull)
+      .select(id.as("__id"), hashValue60(id, salt).as("__h"),
+        lit(1L).as("__one"))
+    PrefixSum.withRunningSums(base, Seq("__h", "__id"), Seq("__one"), stager)
+      .select(col("__id").as(idCol), (col("cum___one") - 1L).as("shuffle_pos"))
+  }
 }

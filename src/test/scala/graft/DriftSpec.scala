@@ -374,4 +374,59 @@ class DriftSpec extends SparkSpecBase {
       .map(r => r.getAs[String]("g") -> r.isNullAt(r.fieldIndex("ks"))).toMap
     assert(rows("only_a") === true && rows("both") === false)
   }
+
+  test("mannWhitneyByGroup equals the global mannWhitneyU per group") {
+    import spark.implicits._
+    val a = (Seq.fill(20)("g1").zip(1 to 20) ++ Seq.fill(15)("g2").zip(1 to 15))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val b = (Seq.fill(20)("g1").zip(6 to 25) ++ Seq.fill(15)("g2").zip(1 to 15))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val grouped = Drift.mannWhitneyByGroup(a, b, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    for (g <- Seq("g1", "g2")) {
+      val ref = Drift.mannWhitneyU(
+        a.filter(col("g") === g).select("v"),
+        b.filter(col("g") === g).select("v"), "v").head()
+      for (c <- Seq("u_a", "u_b", "z", "rank_biserial")) {
+        val (x, y) = (grouped(g), ref)
+        assert(x.isNullAt(x.fieldIndex(c)) === y.isNullAt(y.fieldIndex(c)), s"$g.$c null")
+        if (!x.isNullAt(x.fieldIndex(c)))
+          assert(x.getAs[Double](c) === y.getAs[Double](c), s"$g.$c")
+      }
+    }
+  }
+
+  test("wasserstein1ByGroup equals the global wasserstein1 per group") {
+    import spark.implicits._
+    val a = (Seq.fill(10)("g1").zip(1 to 10) ++ Seq.fill(8)("g2").zip(3 to 10))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val b = (Seq.fill(10)("g1").zip(4 to 13) ++ Seq.fill(8)("g2").zip(3 to 10))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val grouped = Drift.wasserstein1ByGroup(a, b, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("w1")).toMap
+    for (g <- Seq("g1", "g2")) {
+      val ref = Drift.wasserstein1(
+        a.filter(col("g") === g).select("v"),
+        b.filter(col("g") === g).select("v"), "v").head().getAs[Double]("w1")
+      assert(grouped(g) === ref, s"w1 $g")
+    }
+    assert(grouped("g2") === 0.0)
+  }
+
+  test("psiByGroup equals the global psi per group; one-sided group is NULL") {
+    import spark.implicits._
+    val a = (Seq.fill(30)(("g1", "en")) ++ Seq.fill(10)(("g1", "de")) ++
+      Seq.fill(5)(("g2", "fr")) ++ Seq(("solo", "en"))).toDF("g", "k")
+    val b = (Seq.fill(10)(("g1", "en")) ++ Seq.fill(30)(("g1", "de")) ++
+      Seq.fill(5)(("g2", "fr"))).toDF("g", "k")
+    val grouped = Drift.psiByGroup(a, b, "g", "k").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    for (g <- Seq("g1", "g2")) {
+      val ref = Drift.psi(a.filter(col("g") === g).select("k"),
+        b.filter(col("g") === g).select("k"), "k").head()
+      assert(grouped(g).getAs[Double]("psi") === ref.getAs[Double]("psi"), g)
+    }
+    assert(grouped("solo").isNullAt(grouped("solo").fieldIndex("psi")))
+    assert(grouped("g1").getAs[Double]("psi") > grouped("g2").getAs[Double]("psi"))
+  }
 }

@@ -513,4 +513,22 @@ class EvalSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("mcc")))
     assert(r.getAs[Double]("accuracy") === 0.5)
   }
+
+  test("gainsTable: top bucket captures the positive mass; ties never split") {
+    val df = Seq((4.0, true), (3.0, true), (2.0, false), (1.0, false))
+      .toDF("s", "l")
+    val rows = Eval.gainsTable(df, "s", "l", nBuckets = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n"),
+      r.getAs[Long]("n_pos"))).toSeq === Seq((1, 2L, 2L), (2, 2L, 2L - 2L + 0L)))
+    assert(rows(0).getAs[Double]("gain") === 1.0)
+    assert(rows(0).getAs[Double]("lift") === 2.0)
+    assert(rows(1).getAs[Double]("gain") === 1.0)
+    assert(rows(1).getAs[Double]("lift") === 1.0)
+    // all-tied scores collapse into ONE (the last) bucket — value-atomic
+    val tied = Seq.fill(5)((7.0, true)).toDF("s", "l")
+    val t = Eval.gainsTable(tied, "s", "l", nBuckets = 2).collect()
+    assert(t.length === 1 && t(0).getAs[Int]("bucket") === 2 &&
+      t(0).getAs[Long]("n") === 5L)
+  }
 }

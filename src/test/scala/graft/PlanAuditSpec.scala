@@ -408,6 +408,17 @@ class PlanAuditSpec extends SparkSpecBase {
       // scalar shape; p80's exact side IS p07's brute-force baseline
       // (broadcast query set by design)
       "p73_heavy_hitters", "p74_perplexity_prune", "p78_unigram_pieces",
+      // p181: three 1-row scalar frames (distinct counts + shared count)
+      // cross-joined into the single report row; p183: the pair frame is
+      // a |groups|-row sketch crossed with itself — bounded by group
+      // cardinality, carrying only <=k-element minima arrays
+      "p181_key_overlap", "p183_overlap_matrix",
+      // p173: the 1-row pooled-totals scalar broadcasts into the merged
+      // distinct-value frame (the p118/p141 KS/W1 shape)
+      "p173_cvm",
+      // p182: the 1-row (n, P) totals scalar broadcasts into the
+      // distinct-score frame before bucketing (the p141 totals shape)
+      "p182_gains_table",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
       // per-token divergence terms — a scalar dim, not a pair blow-up;

@@ -604,4 +604,20 @@ class ProfileSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n") === 0L)
     assert(r.isNullAt(r.fieldIndex("g3_error")))
   }
+
+  test("keyOverlap: containments and jaccard on hand sets; FK direction reads") {
+    val a = Seq(1, 2, 3, 4, 2, 3).toDF("ka") // distinct {1,2,3,4}
+    val b = Seq(3, 4, 5).toDF("kb")          // distinct {3,4,5}
+    val r = Profile.keyOverlap(a, "ka", b, "kb").head()
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("n_shared") === 2L)
+    assert(r.getAs[Double]("containment_a") === 0.5)
+    assert(r.getAs[Double]("containment_b") === 2.0 / 3.0)
+    assert(r.getAs[Double]("jaccard") === 0.4)
+    // perfect FK: every fact key exists in the dim
+    val fk = Profile.keyOverlap(Seq(1, 1, 2).toDF("k"), "k",
+      Seq(1, 2, 3).toDF("k"), "k").head()
+    assert(fk.getAs[Double]("containment_a") === 1.0)
+    assert(fk.getAs[Double]("containment_b") < 1.0)
+  }
 }

@@ -407,4 +407,32 @@ class SketchSpec extends SparkSpecBase {
     val empty = Seq.empty[String].toDF("k")
     assert(Sketch.joinSizeEstimate(a, "k", empty, "k", k = 8).count() === 0L)
   }
+
+  test("overlapMatrixEstimate: exact below k; disjoint pairs score zero") {
+    val df = (Seq.fill(1)(()).flatMap(_ => Seq(
+      ("x", 1L), ("x", 2L), ("x", 3L),
+      ("y", 2L), ("y", 3L), ("y", 4L),
+      ("z", 9L)))).toDF("g", "k")
+    val rows = Sketch.overlapMatrixEstimate(df, "k", "g", k = 8)
+      .orderBy("g_a", "g_b").collect()
+      .map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) -> r).toMap
+    val xy = rows(("x", "y"))
+    assert(xy.getAs[Long]("shared_minima") === 2L)
+    assert(xy.getAs[Double]("est_union") === 4.0)
+    assert(xy.getAs[Double]("est_jaccard") === 0.5)
+    assert(xy.getAs[Double]("est_intersection") === 2.0)
+    assert(rows(("x", "z")).getAs[Double]("est_jaccard") === 0.0)
+    assert(rows(("y", "z")).getAs[Double]("est_intersection") === 0.0)
+  }
+
+  test("overlapMatrixEstimate agrees with joinSizeEstimate's jaccard on two groups") {
+    val df = ((1 to 300).map(i => ("a", i.toLong)) ++
+      (151 to 450).map(i => ("b", i.toLong))).toDF("g", "k")
+    val m = Sketch.overlapMatrixEstimate(df, "k", "g", k = 64).head()
+    val js = Sketch.joinSizeEstimate(
+      df.filter(col("g") === "a").select(col("k")), "k",
+      df.filter(col("g") === "b").select(col("k")), "k", k = 64).head()
+    assert(m.getAs[Double]("est_jaccard") === js.getAs[Double]("est_jaccard"))
+    assert(m.getAs[Double]("est_union") === js.getAs[Double]("est_union"))
+  }
 }

@@ -434,4 +434,22 @@ class SplitsSpec extends SparkSpecBase {
       .orderBy("position").collect()
     assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(4L, 5L))
   }
+
+  test("deterministicShuffle: contiguous 0-based permutation, stable across runs, salt re-deals") {
+    val df = (1L to 500L).toDF("id").repartition(7)
+    val p1 = Splits.deterministicShuffle(df, "id", "s1")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    // a permutation: every position 0..n-1 exactly once
+    assert(p1.values.toSeq.sorted === (0L until 500L))
+    // deterministic: a second run is identical
+    val p2 = Splits.deterministicShuffle(df, "id", "s1")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(p1 === p2)
+    // a different salt re-deals (at least one id moves)
+    val p3 = Splits.deterministicShuffle(df, "id", "s2")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(p1 !== p3)
+    // and it is genuinely shuffled, not identity-ordered
+    assert((1L to 500L).count(i => p1(i) == i - 1L) < 50)
+  }
 }
