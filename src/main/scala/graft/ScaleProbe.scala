@@ -276,6 +276,40 @@ object ScaleProbe {
     println(f"heaps_fit 1x: $th1b%.1fs vocab $v1 | ${r}x: $thRb%.1fs vocab $vR" +
       f" (ratio ${thRb / th1b}%.2fx time, ${vR.toDouble / v1}%.2fx vocab," +
       f" ${tRtok.toDouble / t1tok}%.2fx tokens)")
+
+    // ---- grouped quantiles (keyed PrefixSum): per-replica group-name
+    // suffixes make groups disjoint, so output rows are exactly Rx and
+    // each replica's value grid is exactly replica 0's. Probes the
+    // withKeyedRunningSums range-exchange at 8x the distinct-value frame.
+    val docsG = Tables.read(spark, sfDir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"))
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+    def gFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      docsG.select(concat(col("source"), lit("_" + i)).as("source"),
+        col("lang"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    def gqRun(reps: Int): Long = graft.operators.Profile.quantilesByGroup(
+      gFrame(reps), "source", "n_chars", Seq(0.5, 0.99)).count()
+    time(gqRun(1))
+    val (gq1, tgq1) = time(gqRun(1))
+    val (gqR, tgqR) = time(gqRun(r))
+    println(f"grouped_quantiles 1x: $tgq1%.1fs $gq1 rows | ${r}x: $tgqR%.1fs $gqR rows" +
+      f" (ratio ${tgqR / tgq1}%.2fx time, ${gqR.toDouble / gq1}%.2fx rows)")
+
+    // ---- grouped KS (keyed PrefixSum + per-group scaled-integer sup):
+    // same decorrelation; rows exactly Rx, per-group ks identical.
+    def ksgRun(reps: Int): Long = {
+      val f = gFrame(reps)
+      graft.operators.Drift.ksByGroup(
+        f.filter(col("lang") === "en").select(col("source"), col("n_chars")),
+        f.filter(col("lang") =!= "en").select(col("source"), col("n_chars")),
+        "source", "n_chars").count()
+    }
+    time(ksgRun(1))
+    val (kg1, tkg1) = time(ksgRun(1))
+    val (kgR, tkgR) = time(ksgRun(r))
+    println(f"grouped_ks 1x: $tkg1%.1fs $kg1 rows | ${r}x: $tkgR%.1fs $kgR rows" +
+      f" (ratio ${tkgR / tkg1}%.2fx time, ${kgR.toDouble / kg1}%.2fx rows)")
     spark.stop()
   }
 }

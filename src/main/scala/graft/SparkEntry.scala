@@ -7360,5 +7360,147 @@ object SparkEntry {
           "n_chars", "lang", k = 64)
         .orderBy(col("g_a"), col("g_b"))
     }
+
+    // --- hash-uniformity one-sample KS: the self-audit that the md5
+    //     split/sample/shuffle contract is uniform over THIS key
+    //     population; exact one-sided-limit sup vs the analytic CDF.
+    register("p184_hash_uniformity",
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (SELECT ('0x' || substring(md5('uni:' || k), 1, 15))::BIGINT
+        |    AS hh FROM ks),
+        |c AS (SELECT hh, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY hh),
+        |cum AS (SELECT hh, c,
+        |    CAST(SUM(c) OVER (ORDER BY hh) AS BIGINT) AS cc FROM c),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+        |SELECT n AS n_keys, ROUND(MAX(GREATEST(
+        |    ABS(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(hh AS DOUBLE) / 1152921504606846976.0),
+        |    ABS(CAST(cc - c AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(hh AS DOUBLE) / 1152921504606846976.0))), 9) AS ks_stat
+        |FROM cum, t GROUP BY n""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.hashUniformityKs(
+        t(s, dir, "documents"), "doc_id", "uni")
+    }
+
+    // --- interpolated Kneser–Ney bigram fluency scoring (d = 0.75):
+    //     continuation-probability smoothing over the p41 pipeline —
+    //     every P term a fixed IEEE tree on exact counts, ln9 contract.
+    register("p185_lm_kn",
+      s"""WITH tok AS (
+         |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $toksLowerSql AS tk FROM documents)),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+         |voc AS (SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt) x
+         |  WHERE rn <= 200),
+         |m AS (SELECT t.doc_id, t.pos,
+         |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+         |  FROM tok t LEFT JOIN voc v USING (tok)),
+         |b2 AS (SELECT * FROM (
+         |    SELECT doc_id, w AS w1,
+         |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM m) x
+         |  WHERE w2 IS NOT NULL),
+         |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM b2 GROUP BY w1, w2),
+         |c1k AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f,
+         |    CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |ctk AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+         |  FROM c12 GROUP BY w2),
+         |nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM c12),
+         |sc AS (SELECT b2.doc_id,
+         |    CAST(ROUND(CAST(ln(GREATEST(
+         |      GREATEST(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0) /
+         |        CAST(c1k.c1 AS DOUBLE) +
+         |      (0.75 * CAST(c1k.n1f AS DOUBLE) / CAST(c1k.c1 AS DOUBLE)) *
+         |        (CAST(ctk.n1r AS DOUBLE) / CAST(nbt.nbt AS DOUBLE)),
+         |      1e-12)) AS DECIMAL(25,12)), 9) AS DOUBLE) AS logp
+         |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1k USING (w1)
+         |    JOIN ctk USING (w2), nbt)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(logp AS DECIMAL(25,9))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS avg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.scoreBigramKNSelf(
+          t(s, dir, "documents"), "doc_id", "text", vocabSize = 200)
+        .orderBy(col("doc_id"))
+    }
+
+    // --- funnel conversion within a window (1 h): the business cut
+    //     between p90's unbounded counts and p162's percentiles.
+    register("p186_funnel_window",
+      """WITH e AS (SELECT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_type AS ty,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT u, MIN(rn) AS r0, arg_min(tm, rn) AS t0 FROM e
+        |  WHERE ty = 'view' GROUP BY u),
+        |n1 AS (SELECT e.u, MIN(e.rn) AS r1, arg_min(e.tm, e.rn) AS t1,
+        |    MAX(s0.t0) AS t0
+        |  FROM e JOIN s0 ON s0.u = e.u
+        |  WHERE e.ty = 'click' AND e.rn > s0.r0 AND e.tm > s0.t0
+        |  GROUP BY e.u),
+        |n2 AS (SELECT e.u, MIN(e.rn) AS r2, arg_min(e.tm, e.rn) AS t2,
+        |    MAX(n1.t1) AS t1
+        |  FROM e JOIN n1 ON n1.u = e.u
+        |  WHERE e.ty = 'purchase' AND e.rn > n1.r1 AND e.tm > n1.t1
+        |  GROUP BY e.u),
+        |r1r AS (SELECT 'view->click' AS transition,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |    CAST(COALESCE(SUM(CASE WHEN t1 - t0 <= 3600000000 THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS n_within FROM n1),
+        |r2r AS (SELECT 'click->purchase' AS transition,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM n1) AS n_source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |    CAST(COALESCE(SUM(CASE WHEN t2 - t1 <= 3600000000 THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS n_within FROM n2),
+        |u AS (SELECT * FROM r1r UNION ALL SELECT * FROM r2r)
+        |SELECT transition, n_source, n_converted, n_within,
+        |  CASE WHEN n_source > 0 THEN
+        |    CAST(n_converted AS DOUBLE) / CAST(n_source AS DOUBLE) END AS cvr,
+        |  CASE WHEN n_source > 0 THEN
+        |    CAST(n_within AS DOUBLE) / CAST(n_source AS DOUBLE) END
+        |    AS cvr_within
+        |FROM u ORDER BY transition""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.funnelConversionWindows(
+          events(s, dir).filter(col("ts").isNotNull)
+            .withColumn("ts_c", expr("cast(ts as timestamp)")),
+          "user_id", "ts_c", "event_id", "event_type",
+          Seq("view", "click", "purchase"), windowSeconds = 3600L)
+        .orderBy(col("transition"))
+    }
+
+    // --- single-scan schema/data profile over string/integer columns
+    //     (canonical-string rendering — identical in any engine).
+    register("p187_schema_profile",
+      """WITH stream AS (
+        |  SELECT 'source' AS c, CAST(source AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |    FROM documents),
+        |cnt AS (SELECT c, v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM stream GROUP BY 1, 2),
+        |st AS (SELECT c, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0) AS BIGINT)
+        |      AS n_null,
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_distinct,
+        |    MIN(v) AS min_value, MAX(v) AS max_value FROM cnt GROUP BY c),
+        |top AS (SELECT c, v AS top_value, n AS top_count FROM (
+        |    SELECT c, v, n, ROW_NUMBER() OVER (PARTITION BY c
+        |      ORDER BY n DESC, v ASC) AS rn FROM cnt WHERE v IS NOT NULL) x
+        |  WHERE rn = 1)
+        |SELECT st.c AS "column", n_rows, n_null, n_distinct, min_value,
+        |  max_value, top_value, top_count
+        |FROM st LEFT JOIN top ON st.c = top.c
+        |ORDER BY "column"""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.schemaProfile(
+          t(s, dir, "documents"), Seq("source", "lang", "doc_id", "n_chars"))
+        .orderBy(col("column"))
+    }
   }
 }

@@ -148,4 +148,84 @@ object LmScore {
       vocabSize: Int = 10000, logRoundDp: Int = 9,
       stager: Stager = Stager.LocalCheckpoint): DataFrame =
     scoreBigram(docs, idCol, textCol, docs, textCol, vocabSize, logRoundDp, stager)
+
+  /** Train on `train` and score `docs` with an INTERPOLATED KNESER–NEY
+    * bigram model (Kneser & Ney 1995; the Chen–Goodman 1999 interpolated
+    * form with a fixed absolute discount d = 0.75) — the standard
+    * upgrade over [[scoreBigram]]'s add-one smoothing, which
+    * over-penalizes seen bigrams in small vocabularies:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1)
+    *            + (d·N1+(w1·)/c(w1)) · (N1+(·w2)/N1+(··))
+    *
+    * where N1+(w1·) counts distinct continuations of w1, N1+(·w2)
+    * distinct left contexts of w2, and N1+(··) distinct bigram types —
+    * the continuation probability ranks words by how many contexts they
+    * follow, not raw frequency (the "San Francisco" correction). Unseen
+    * contexts back off to the continuation probability alone; a
+    * probability of exactly zero (w2 never seen as a continuation)
+    * clamps to `eps` before the log (the psi clamp convention). Output:
+    * (idCol, n_bigrams, avg_logp — per-document mean of 9-dp-contract
+    * ln P, DECIMAL(25,9) sums, one division).
+    *
+    * Determinism: every P term is a fixed IEEE tree over exact integer
+    * casts and the exact literal 0.75 — no libm before the contracted
+    * ln. 100 TB shape: [[scoreBigram]]'s exact posture — the model
+    * frames (bigram table, context sums, continuation counts) all
+    * derive from ONE staged bigram aggregation; scoring is one corpus
+    * scan with broadcast model joins. */
+  def scoreBigramKN(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      vocabSize: Int = 10000, discount: Double = 0.75, eps: Double = 1e-12,
+      logRoundDp: Int = 9,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    require(eps > 0.0 && eps < 1e-3, s"eps must be in (0, 1e-3), got $eps")
+    require(logRoundDp >= 1 && logRoundDp <= 12,
+      s"logRoundDp must be in [1,12], got $logRoundDp")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val vocab = stager.stage(topVocab(train, trainTextCol, vocabSize),
+      s"lmkn_vocab_$runId")
+    val tb = bigramStream(train.select(
+        monotonically_increasing_id().as("__lm_tid"), col(s"`$trainTextCol`")),
+      "__lm_tid", trainTextCol, vocab)
+    val big = stager.stage(
+      tb.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12")),
+      s"lmkn_bigrams_$runId")
+    val ctx = big.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"),
+      count(lit(1)).as("__n1f")) // distinct continuations of w1
+    val cont = big.groupBy(col("__w2")).agg(count(lit(1)).as("__n1r"))
+    val nbt = big.agg(count(lit(1)).as("__nbt")) // distinct bigram types
+    val d = lit(discount)
+    val scored = bigramStream(docs, idCol, textCol, vocab)
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(broadcast(ctx), Seq("__w1"), "left")
+      .join(broadcast(cont), Seq("__w2"), "left")
+      .crossJoin(broadcast(nbt))
+      .withColumn("__pc",
+        coalesce(col("__n1r").cast("double") / col("__nbt").cast("double"),
+          lit(0.0)))
+      .withColumn("__p",
+        when(col("__c1").isNotNull,
+          greatest(coalesce(col("__c12"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col("__c1").cast("double") +
+          (d * col("__n1f").cast("double") / col("__c1").cast("double")) *
+            col("__pc"))
+        .otherwise(col("__pc")))
+      .withColumn("__logp",
+        round(log(greatest(col("__p"), lit(eps))).cast("decimal(25,12)"),
+          logRoundDp).cast("double"))
+    scored.groupBy(col(s"`$idCol`"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__logp").cast("decimal(25,9)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp"))
+  }
+
+  /** Self-scoring Kneser–Ney convenience (train = score corpus). */
+  def scoreBigramKNSelf(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 10000,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame =
+    scoreBigramKN(docs, idCol, textCol, docs, textCol, vocabSize,
+      stager = stager)
 }

@@ -1145,4 +1145,49 @@ object Profile {
             (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Single-scan schema/data-profile report — one row per profiled
+    * column: (column, n_rows, n_null, n_distinct, min_value, max_value,
+    * top_value, top_count) — the dataset-card panel a discovery UI
+    * renders for every table. Values travel as their CANONICAL STRINGS
+    * (cast once, so min/max are lexicographic on that rendering — for
+    * numeric order use the typed operators; strings/integers render
+    * identically in any engine, which is why the gate profiles only
+    * those). top_value is the modal value, ties to the smallest string.
+    *
+    * 100 TB shape: the table is scanned ONCE — columns stack into a
+    * (column, value) stream (a narrow explode, no shuffle), then one
+    * map-side-combinable (column, value) count aggregation; everything
+    * after runs on the value-cardinality frame, with the per-column
+    * top-1 as a WindowGroupLimit-prunable rank (bounded by the profile
+    * column count, never rows). */
+  def schemaProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "schemaProfile: cols must be non-empty")
+    require(cols.forall(df.columns.contains),
+      s"schemaProfile: missing columns ${cols.filterNot(df.columns.contains)}")
+    val stream = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("__col"),
+          col(s"`$c`").cast("string").as("__val"))): _*)).as("__s"))
+      .select(col("__s.__col").as("__col"), col("__s.__val").as("__val"))
+    val counts = stream.groupBy(col("__col"), col("__val"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = counts.groupBy(col("__col"))
+      .agg(sum(col("__c")).as("n_rows"),
+        coalesce(sum(when(col("__val").isNull, col("__c"))), lit(0L))
+          .as("n_null"),
+        count(when(col("__val").isNotNull, lit(1))).as("n_distinct"),
+        min(col("__val")).as("min_value"), max(col("__val")).as("max_value"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__col"))
+      .orderBy(col("__c").desc, col("__val").asc_nulls_last)
+    val top = counts.filter(col("__val").isNotNull)
+      .withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") === 1)
+      .select(col("__col"), col("__val").as("top_value"),
+        col("__c").as("top_count"))
+    stats.join(top, Seq("__col"), "left")
+      .select(col("__col").as("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        col("top_value"), col("top_count"))
+  }
 }

@@ -587,4 +587,69 @@ object Sessionize {
           .as("share"),
         (col("n_events") === col("__mx")).as("is_peak"))
   }
+
+  /** Funnel conversion rates WITH a conversion window: for each
+    * consecutive stage pair, how many stage-i holders convert at all,
+    * and how many convert within `windowSeconds` — the
+    * "did they buy within an hour" business cut that [[funnelStages]]'
+    * unbounded counts and [[funnelLatency]]'s percentiles bracket.
+    * Same rank-chained first-event semantics as funnelLatency (strictly
+    * later in time, rank-qualified). Output per transition:
+    * (transition, n_source, n_converted, n_within longs, cvr,
+    * cvr_within doubles — each ONE division of exact integers; NULL
+    * when n_source = 0 cannot happen since the transition row exists
+    * only when stage i had holders — sources with zero holders emit a
+    * row with zero counts via the stage chain).
+    *
+    * 100 TB shape: the funnelLatency chain verbatim — one per-user
+    * window pass, per-stage min-aggregations, keyed joins — plus k−1
+    * single-row source-count aggregates (map-side combinable) unioned
+    * into the |stages|−1-row report. No percentile machinery at all. */
+  def funnelConversionWindows(events: DataFrame, userCol: String,
+      tsCol: String, orderCol: String, typeCol: String,
+      stages: Seq[String], windowSeconds: Long): DataFrame = {
+    require(stages.length >= 2, s"needs >= 2 stages, got $stages")
+    require(stages.distinct.length == stages.length, "stages must be distinct")
+    require(windowSeconds >= 1L, s"windowSeconds must be >= 1, got $windowSeconds")
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val w = Window.partitionBy(u)
+      .orderBy(ts.asc_nulls_last, col(s"`$orderCol`").asc_nulls_last)
+    val e = events
+      .filter(u.isNotNull && ts.isNotNull &&
+        col(s"`$typeCol`").isin(stages.map(x => x: Any): _*))
+      .withColumn("__rn", row_number().over(w))
+      .select(u.as("__u"), unix_micros(ts).as("__tm"),
+        col(s"`$typeCol`").as("__ty"), col("__rn"))
+    var picks = e.filter(col("__ty") === stages.head)
+      .groupBy(col("__u")).agg(min(struct(col("__rn"), col("__tm"))).as("__p0"))
+      .select(col("__u"), col("__p0.__rn").as("__r0"), col("__p0.__tm").as("__t0"))
+    val winMicros = windowSeconds * 1000000L
+    val rows = stages.indices.tail.map { i =>
+      val lbl = s"${stages(i - 1)}->${stages(i)}"
+      val nSrc = picks.agg(count(lit(1)).as("n_source"))
+        .withColumn("transition", lit(lbl))
+      val nxt = e.filter(col("__ty") === stages(i))
+        .join(picks, Seq("__u"))
+        .filter(col("__rn") > col(s"__r${i - 1}") &&
+          col("__tm") > col(s"__t${i - 1}"))
+        .groupBy(col("__u"), col(s"__t${i - 1}").as("__prev"))
+        .agg(min(struct(col("__rn"), col("__tm"))).as("__p"))
+        .select(col("__u"), col("__p.__rn").as(s"__r$i"),
+          col("__p.__tm").as(s"__t$i"), col("__prev"))
+      val conv = nxt.agg(
+        count(lit(1)).as("n_converted"),
+        coalesce(sum(when(col(s"__t$i") - col("__prev") <= winMicros, 1L)
+          .otherwise(0L)), lit(0L)).as("n_within"))
+        .withColumn("transition", lit(lbl))
+      picks = nxt.select(col("__u"), col(s"__r$i"), col(s"__t$i"))
+      nSrc.join(conv, Seq("transition"))
+    }.reduce(_ unionByName _)
+    rows.select(col("transition"), col("n_source"), col("n_converted"),
+      col("n_within"),
+      when(col("n_source") > 0L, col("n_converted").cast("double") /
+        col("n_source").cast("double")).as("cvr"),
+      when(col("n_source") > 0L, col("n_within").cast("double") /
+        col("n_source").cast("double")).as("cvr_within"))
+  }
 }

@@ -620,4 +620,45 @@ object Splits {
     PrefixSum.withRunningSums(base, Seq("__h", "__id"), Seq("__one"), stager)
       .select(col("__id").as(idCol), (col("cum___one") - 1L).as("shuffle_pos"))
   }
+
+  /** One-sample exact KS of the split hash against U[0, 2⁶⁰) — the
+    * self-audit that the md5 bucketing every split/sample/shuffle here
+    * rides is actually uniform over THIS key population (a pathological
+    * key encoding — constant prefixes hashed after truncation, tiny key
+    * sets — shows up as a big D long before a biased split does).
+    * D = sup over hashes h of |F_emp(h) − h/2⁶⁰|, both one-sided limits.
+    * One row: (n_keys long, ks_stat double — 9-dp rounded, NULL on
+    * empty input). NULL keys drop; duplicate keys count once.
+    *
+    * Determinism: h/2⁶⁰ is one long→double cast (correctly rounded —
+    * both engines round the same 60-bit integer) and one
+    * exact power-of-two division; F_emp terms are single divisions of
+    * exact integers.
+    *
+    * 100 TB shape: distinct keys collapse to per-hash counts, ONE
+    * [[PrefixSum]] scan, one max aggregation — the
+    * [[graft.operators.Profile.ksStatistic]] posture against an
+    * analytic reference instead of a second sample. */
+  def hashUniformityKs(df: DataFrame, keyCol: String, salt: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val k = col(s"`$keyCol`")
+    // distinct KEYS first, hash after: deduping on the hash itself would
+    // silently collapse 60-bit collisions and under-count F_emp there
+    val counts = df.filter(k.isNotNull)
+      .select(k.cast("string").as("__k")).distinct()
+      .select(hashValue60(col("__k"), salt).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withRunningSums(counts, "__h", Seq("__c"), stager)
+    val tot = cum.agg(max(col("cum___c")).as("n_keys"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__fref",
+        col("__h").cast("double") / lit(HashSpace60.toDouble))
+      .withColumn("__d", greatest(
+        abs(col("cum___c").cast("double") / col("n_keys").cast("double") -
+          col("__fref")),
+        abs((col("cum___c") - col("__c")).cast("double") /
+          col("n_keys").cast("double") - col("__fref"))))
+      .agg(max(col("n_keys")).as("n_keys"),
+        round(max(col("__d")), 9).as("ks_stat"))
+  }
 }

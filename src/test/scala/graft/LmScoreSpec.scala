@@ -67,4 +67,42 @@ class LmScoreSpec extends SparkSpecBase {
       LmScore.scoreBigramSelf(docs, "doc_id", "text", logRoundDp = 0)
     }
   }
+
+  test("scoreBigramKN: hand-computed interpolated KN on 'a b a c'") {
+    // bigrams (a,b),(b,a),(a,c); c1(a)=2 n1f(a)=2, c1(b)=1 n1f(b)=1;
+    // n1r: a=1,b=1,c=1; nbt=3; d=0.75
+    // P(b|a) = 0.25/2 + (0.75*2/2)*(1/3) = 0.375
+    // P(a|b) = 0.25/1 + (0.75*1/1)*(1/3) = 0.5
+    // P(c|a) = 0.375; probabilities per context a sum to 1 with P(a|a)=0.25
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = LmScore.scoreBigramKNSelf(docs, "doc_id", "text", vocabSize = 10)
+      .head()
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    val expected = (math.rint(math.log(0.375) * 1e9) / 1e9 * 2 +
+      math.rint(math.log(0.5) * 1e9) / 1e9) / 3.0
+    assert(math.abs(r.getAs[Double]("avg_logp") - expected) < 1e-8,
+      s"got ${r.getAs[Double]("avg_logp")} expected $expected")
+  }
+
+  test("scoreBigramKN: unseen context backs off to continuation; zero clamps to eps") {
+    // train "a b": vocab {a,b}; score "c a": c -> <unk> (unseen context),
+    // continuation a never follows anything in train -> pc=0 -> eps clamp
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val test = Seq((9L, "c a")).toDF("doc_id", "text")
+    val r = LmScore.scoreBigramKN(test, "doc_id", "text", train, "text",
+      vocabSize = 10).head()
+    assert(r.getAs[Long]("n_bigrams") === 1L)
+    // ln(1e-12) rounded to 9 dp
+    assert(r.getAs[Double]("avg_logp") === -27.631021116)
+  }
+
+  test("scoreBigramKN: per-context probabilities sum to 1 over the seen type set") {
+    val docs = Seq((1L, "x y x z x y")).toDF("doc_id", "text")
+    // bigrams: xy, yx, xz, zx, xy -> c1(x)=3 {y:2,z:1}, c1(y)=1 {x}, c1(z)=1 {x}
+    // n1r: y=1, x=2, z=1; nbt=4
+    def p(c12: Double, c1: Double, n1f: Double, n1r: Double) =
+      math.max(c12 - 0.75, 0.0) / c1 + (0.75 * n1f / c1) * (n1r / 4.0)
+    val ctxX = p(2, 3, 2, 1) + p(1, 3, 2, 1) + p(0, 3, 2, 2) // y, z, x
+    assert(math.abs(ctxX - 1.0) < 1e-12, s"context-x mass $ctxX")
+  }
 }

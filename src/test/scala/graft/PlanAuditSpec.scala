@@ -419,6 +419,13 @@ class PlanAuditSpec extends SparkSpecBase {
       // p182: the 1-row (n, P) totals scalar broadcasts into the
       // distinct-score frame before bucketing (the p141 totals shape)
       "p182_gains_table",
+      // p184: the 1-row n_keys total broadcasts into the hash-CDF frame;
+      // p185: the 1-row distinct-bigram-type scalar broadcasts into the
+      // scoring stream (the p41/p74 vocab-size-scalar shape)
+      "p184_hash_uniformity", "p185_lm_kn",
+      // p186: the k-1 single-row source-count scalars join the
+      // single-row conversion aggregates into the |stages|-1-row report
+      "p186_funnel_window",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
       // per-token divergence terms — a scalar dim, not a pair blow-up;
@@ -611,5 +618,17 @@ class PlanAuditSpec extends SparkSpecBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
+  test("p187: the per-column top-1 prunes as WindowGroupLimit before the exchange") {
+    val out = graft.operators.Profile.schemaProfile(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("source", "lang", "doc_id", "n_chars"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the window partitions by the (low-cardinality) column NAME over the
+    // value-count frame — safe only because rank<=1 pushes down as a
+    // per-partition group limit, so the exchange carries ~|cols| rows per
+    // task, never the value frame
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 }

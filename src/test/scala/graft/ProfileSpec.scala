@@ -620,4 +620,35 @@ class ProfileSpec extends SparkSpecBase {
     assert(fk.getAs[Double]("containment_a") === 1.0)
     assert(fk.getAs[Double]("containment_b") < 1.0)
   }
+
+  test("schemaProfile: one row per column with exact null/distinct/top stats") {
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (Some("b"), 2L), (None, 3L))
+      .toDF("s", "k")
+    val rows = Profile.schemaProfile(df, Seq("s", "k"))
+      .orderBy("column").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val s = rows("s")
+    assert(s.getAs[Long]("n_rows") === 4L && s.getAs[Long]("n_null") === 1L)
+    assert(s.getAs[Long]("n_distinct") === 2L)
+    assert(s.getAs[String]("min_value") === "a" &&
+      s.getAs[String]("max_value") === "b")
+    assert(s.getAs[String]("top_value") === "a" &&
+      s.getAs[Long]("top_count") === 2L)
+    val k = rows("k")
+    assert(k.getAs[Long]("n_null") === 0L && k.getAs[Long]("n_distinct") === 3L)
+    // top tie (1:1, 2:2, 3:1) -> 2 wins by count; min/max are STRING order
+    assert(k.getAs[String]("top_value") === "2")
+    assert(k.getAs[String]("min_value") === "1" &&
+      k.getAs[String]("max_value") === "3")
+  }
+
+  test("schemaProfile: all-null column keeps NULL top and n_distinct 0") {
+    val df = Seq((Option.empty[String], 1), (Option.empty[String], 2))
+      .toDF("s", "k")
+    val r = Profile.schemaProfile(df, Seq("s")).head()
+    assert(r.getAs[Long]("n_null") === 2L && r.getAs[Long]("n_distinct") === 0L)
+    assert(r.isNullAt(r.fieldIndex("top_value")))
+    assert(r.isNullAt(r.fieldIndex("min_value")))
+  }
 }

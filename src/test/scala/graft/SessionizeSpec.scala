@@ -378,4 +378,33 @@ class SessionizeSpec extends SparkSpecBase {
       a1.getAs[Boolean]("is_peak") && a1.getAs[Double]("share") === 2.0 / 3.0)
     assert(b.getAs[Int]("dow") === 0 && b.getAs[Boolean]("is_peak"))
   }
+
+  test("funnelConversionWindows: window cuts, rank chaining, and rates") {
+    // u1: view@0, click@30min (within 1h), purchase@3h after click (not)
+    // u2: view@0 only; u3: view@0, click@2h (converted, not within)
+    def ev(u: String, tm: Long, id: Long, ty: String) = (u, tm, id, ty)
+    val h = 3600000000L
+    val df = Seq(
+      ev("u1", 0L, 1L, "view"), ev("u1", h / 2, 2L, "click"),
+      ev("u1", h / 2 + 3L * h, 3L, "purchase"),
+      ev("u2", 0L, 4L, "view"),
+      ev("u3", 0L, 5L, "view"), ev("u3", 2L * h, 6L, "click"))
+      .toDF("u", "tm", "eid", "ty")
+      .withColumn("ts", expr("timestamp_micros(tm)"))
+    val rows = Sessionize.funnelConversionWindows(df, "u", "ts", "eid", "ty",
+      Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .orderBy("transition").collect()
+      .map(r => r.getAs[String]("transition") -> r).toMap
+    val vc = rows("view->click")
+    assert(vc.getAs[Long]("n_source") === 3L)
+    assert(vc.getAs[Long]("n_converted") === 2L)
+    assert(vc.getAs[Long]("n_within") === 1L)
+    assert(vc.getAs[Double]("cvr") === 2.0 / 3.0)
+    assert(vc.getAs[Double]("cvr_within") === 1.0 / 3.0)
+    val cp = rows("click->purchase")
+    assert(cp.getAs[Long]("n_source") === 2L) // u1, u3 hold stage click
+    assert(cp.getAs[Long]("n_converted") === 1L)
+    assert(cp.getAs[Long]("n_within") === 0L) // purchase 3h after click
+    assert(cp.getAs[Double]("cvr_within") === 0.0)
+  }
 }

@@ -452,4 +452,17 @@ class SplitsSpec extends SparkSpecBase {
     // and it is genuinely shuffled, not identity-ordered
     assert((1L to 500L).count(i => p1(i) == i - 1L) < 50)
   }
+
+  test("hashUniformityKs: uniform keys score low; a degenerate population scores high") {
+    val many = (1L to 20000L).toDF("id")
+    val r = Splits.hashUniformityKs(many, "id", "s")
+    val row = r.head()
+    assert(row.getAs[Long]("n_keys") === 20000L)
+    val ks = row.getAs[Double]("ks_stat")
+    // 20k uniform draws: D ~ 1.36/sqrt(n) ≈ 0.0096 at 95%; 0.02 is lax
+    assert(ks > 0.0 && ks < 0.02, s"ks $ks")
+    val one = Seq(42L).toDF("id")
+    assert(Splits.hashUniformityKs(one, "id", "s").head()
+      .getAs[Double]("ks_stat") >= 0.5)
+  }
 }
