@@ -7502,5 +7502,102 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("source", "lang", "doc_id", "n_chars"))
         .orderBy(col("column"))
     }
+
+    // --- ROC curve at every distinct threshold over the planted p176
+    //     score: >=-threshold cumulatives off one PrefixSum scan.
+    register("p188_roc_curve",
+      """WITH base AS (SELECT
+        |    (('0x' || substring(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0) * 0.5 +
+        |    (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END) AS s,
+        |    (lang = 'en') AS l FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM base GROUP BY s),
+        |cum AS (SELECT s, c, p,
+        |    CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cc,
+        |    CAST(SUM(p) OVER (ORDER BY s) AS BIGINT) AS cp FROM cnt),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM cnt)
+        |SELECT s AS threshold, np - cp + p AS tp,
+        |  (n - np) - (cc - cp) + (c - p) AS fp,
+        |  CASE WHEN np > 0 THEN
+        |    CAST(np - cp + p AS DOUBLE) / CAST(np AS DOUBLE) END AS tpr,
+        |  CASE WHEN n - np > 0 THEN
+        |    CAST((n - np) - (cc - cp) + (c - p) AS DOUBLE) /
+        |      CAST(n - np AS DOUBLE) END AS fpr
+        |FROM cum, tot ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "conf")
+            .cast("double") / lit(1152921504606846976.0)) * 0.5 +
+            when(col("lang") === "en", 0.5).otherwise(0.0)).as("sc"),
+          (col("lang") === "en").as("l"))
+      graft.operators.Eval.rocCurve(docs, "sc", "l")
+        .orderBy(col("threshold"))
+    }
+
+    // --- trailing 24h mean of hourly event counts per type: the rolling
+    //     smoother on the p155 hourly grid (grid contract — the only
+    //     corpus shuffle is the hourly aggregation).
+    register("p189_trailing_stats",
+      """WITH hourly AS (SELECT event_type AS ty,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      ((epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 + 3600000000)
+        |        % 3600000000)) // 3600000000 AS hx,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT ty AS event_type, hx AS hour_x, y,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+        |  CAST(SUM(CAST(y AS DECIMAL(25,6))) OVER w AS DOUBLE) /
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS trail_mean
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY ty ORDER BY hx
+        |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_x""".stripMargin) { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(" +
+            "cast(ts as timestamp)), 3600000000)) div 3600000000")
+            .as("hour_x"))
+        .agg(count(lit(1)).as("y"))
+      graft.operators.Drift.trailingStats(
+          hourly, "event_type", "hour_x", "y", window = 24L)
+        .orderBy(col("event_type"), col("hour_x"))
+    }
+
+    // --- per-source MRR ingredients (first-hit rank under the planted
+    //     score): keyed-PrefixSum rank, no bounded-group caveat.
+    register("p190_mrr_by_group",
+      """WITH base AS (SELECT source AS g, doc_id,
+        |    (('0x' || substring(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0) * 0.5 +
+        |    (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END) AS s,
+        |    (lang = 'en') AS l FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |r AS (SELECT g, l,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, doc_id)
+        |      AS rk FROM base)
+        |SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN l THEN rk END) AS BIGINT) AS first_pos_rank,
+        |  CASE WHEN MIN(CASE WHEN l THEN rk END) IS NOT NULL THEN
+        |    1.0 / CAST(MIN(CASE WHEN l THEN rk END) AS DOUBLE) END AS rr
+        |FROM r GROUP BY g ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("doc_id").isNotNull &&
+          col("lang").isNotNull)
+        .select(col("source"), col("doc_id"),
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "conf")
+            .cast("double") / lit(1152921504606846976.0)) * 0.5 +
+            when(col("lang") === "en", 0.5).otherwise(0.0)).as("sc"),
+          (col("lang") === "en").as("l"))
+      graft.operators.Eval.mrrByGroup(docs, "source", "sc", "l", "doc_id")
+        .orderBy(col("source"))
+    }
   }
 }

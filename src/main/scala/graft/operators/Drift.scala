@@ -720,4 +720,34 @@ object Drift {
         when(col("n_a") > 0L && col("n_b") > 0L,
           col("__psi").cast("double")).as("psi"))
   }
+
+  /** Trailing-window statistics over an integer-gridded series per
+    * group — the rolling event-rate smoother behind "is this hour's
+    * count anomalous vs the trailing day": per (group, x), the count of
+    * grid points and decimal-exact mean of `yCol` over x ∈ [x−window+1,
+    * x]. Output: (groupCol, xCol, yCol, trail_n long, trail_mean double
+    * — decimal sum / count, ONE division). NULL rows drop.
+    *
+    * GRID CONTRACT (the [[changepointBinary]] posture): the input must
+    * already be aggregated to one row per (group, x) — hourly/daily
+    * counts, not raw events — so the per-group RANGE window runs over a
+    * time-grid frame bounded by (groups × grid span), never row
+    * cardinality. For raw-event smoothing aggregate first; that
+    * aggregation is the only corpus-sized shuffle. */
+  def trailingStats(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, window: Long): DataFrame = {
+    require(window >= 1L, s"trailingStats: window must be >= 1, got $window")
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`")
+    val y = col(s"`$yCol`")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(g)
+      .orderBy(x.asc)
+      .rangeBetween(-(window - 1L), 0L)
+    df.filter(g.isNotNull && x.isNotNull && y.isNotNull)
+      .select(g.as(groupCol), x.cast("long").as(xCol), y.as(yCol))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_mean",
+        sum(col(s"`$yCol`").cast(DecimalType(25, 6))).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+  }
 }

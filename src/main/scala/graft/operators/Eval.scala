@@ -772,4 +772,66 @@ object Eval {
             (col("__np").cast("double") / col("__n").cast("double")))
           .as("lift"))
   }
+
+  /** ROC curve points at every distinct score threshold (classify
+    * positive at score ≥ t): (threshold, tp, fp longs, tpr, fpr doubles
+    * — single divisions of exact integers; tpr NULL without positives,
+    * fpr NULL without negatives). The visual companion to
+    * [[aucByGroup]]'s exact number and [[prCurveByGroup]]'s
+    * precision view. NULL score/label rows drop.
+    *
+    * 100 TB shape: per-distinct-score counts, ONE [[PrefixSum]]
+    * ascending scan read from the top, a 1-row totals broadcast. */
+  def rocCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
+    val sc = col(s"`$scoreCol`")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val counts = df.filter(sc.isNotNull && lb.isNotNull)
+      .groupBy(sc.as("__s"))
+      .agg(count(lit(1)).as("__c"), sum(when(lb, 1L).otherwise(0L)).as("__p"))
+    val cum = PrefixSum.withRunningSums(counts, "__s", Seq("__c", "__p"), stager)
+    val totals = cum.agg(max(col("cum___c")).as("__n"),
+      max(col("cum___p")).as("__np"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("tp", col("__np") - col("cum___p") + col("__p"))
+      .withColumn("fp", (col("__n") - col("__np")) -
+        (col("cum___c") - col("cum___p")) + (col("__c") - col("__p")))
+      .select(col("__s").as("threshold"), col("tp"), col("fp"),
+        when(col("__np") > 0L,
+          col("tp").cast("double") / col("__np").cast("double")).as("tpr"),
+        when(col("__n") - col("__np") > 0L, col("fp").cast("double") /
+          (col("__n") - col("__np")).cast("double")).as("fpr"))
+  }
+
+  /** Mean-reciprocal-rank ingredients per group: the rank of the FIRST
+    * positive under (score DESC, tieCol ASC) and its reciprocal — the
+    * retrieval metric that grades only how fast the first hit arrives
+    * (Voorhees 1999, the TREC QA measure). Output per group: (groupCol,
+    * n long, first_pos_rank long, rr double — NULL when the group has
+    * no positives); average `rr` over groups downstream for MRR. NULL
+    * score/label rows drop.
+    *
+    * 100 TB shape: the per-group rank is
+    * [[PrefixSum.withKeyedRunningSums]] over (−score, tie) — giant
+    * groups never serialize into one window reducer (aucByGroup's
+    * bounded-query-group caveat removed) — then one grouped min. */
+  def mrrByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, tieCol: String,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val sc = col(s"`$scoreCol`")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val base = df
+      .filter(g.isNotNull && sc.isNotNull && lb.isNotNull)
+      .select(g.as("__g"), negate(sc.cast("double")).as("__ns"),
+        col(s"`$tieCol`").as("__tb"), lb.as("__l"), lit(1L).as("__one"))
+    val ranked = PrefixSum.withKeyedRunningSums(
+      base, Seq("__g"), Seq("__ns", "__tb"), Seq("__one"), stager)
+    ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        min(when(col("__l"), col("cum___one"))).as("first_pos_rank"))
+      .select(col("__g").as(groupCol), col("n"), col("first_pos_rank"),
+        when(col("first_pos_rank").isNotNull,
+          lit(1.0) / col("first_pos_rank").cast("double")).as("rr"))
+  }
 }

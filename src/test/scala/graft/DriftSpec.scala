@@ -429,4 +429,19 @@ class DriftSpec extends SparkSpecBase {
     assert(grouped("solo").isNullAt(grouped("solo").fieldIndex("psi")))
     assert(grouped("g1").getAs[Double]("psi") > grouped("g2").getAs[Double]("psi"))
   }
+
+  test("trailingStats: value-based RANGE window respects grid gaps") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 5L, 30L),
+      ("b", 1L, 100L)).toDF("g", "x", "y")
+    val rows = Drift.trailingStats(df, "g", "x", "y", window = 2L)
+      .orderBy("g", "x").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("x")) ->
+        (r.getAs[Long]("trail_n"), r.getAs[Double]("trail_mean"))).toMap
+    assert(rows(("a", 1L)) === ((1L, 10.0)))
+    assert(rows(("a", 2L)) === ((2L, 15.0)))
+    // x=5 looks back to x>=4: the gap means only itself
+    assert(rows(("a", 5L)) === ((1L, 30.0)))
+    assert(rows(("b", 1L)) === ((1L, 100.0)))
+  }
 }

@@ -531,4 +531,31 @@ class EvalSpec extends SparkSpecBase {
     assert(t.length === 1 && t(0).getAs[Int]("bucket") === 2 &&
       t(0).getAs[Long]("n") === 5L)
   }
+
+  test("rocCurve: hand-computed points; degenerate single-class NULLs the absent rate") {
+    val df = Seq((4.0, true), (3.0, false), (2.0, true)).toDF("s", "l")
+    val rows = Eval.rocCurve(df, "s", "l").orderBy(col("threshold").desc)
+      .collect().map(r => (r.getAs[Double]("threshold"),
+        r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Double]("tpr"), r.getAs[Double]("fpr"))).toSeq
+    assert(rows === Seq(
+      (4.0, 1L, 0L, 0.5, 0.0),
+      (3.0, 1L, 1L, 0.5, 1.0),
+      (2.0, 2L, 1L, 1.0, 1.0)))
+    val onlyPos = Seq((1.0, true)).toDF("s", "l")
+    val r = Eval.rocCurve(onlyPos, "s", "l").head()
+    assert(r.getAs[Double]("tpr") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("fpr")))
+  }
+
+  test("mrrByGroup: reciprocal rank of the first hit; no-positive group is NULL") {
+    val df = Seq(
+      ("g1", 9.0, false, 1L), ("g1", 8.0, true, 2L), ("g1", 7.0, true, 3L),
+      ("g2", 5.0, false, 4L)).toDF("g", "s", "l", "id")
+    val rows = Eval.mrrByGroup(df, "g", "s", "l", "id").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows("g1").getAs[Long]("first_pos_rank") === 2L)
+    assert(rows("g1").getAs[Double]("rr") === 0.5)
+    assert(rows("g2").isNullAt(rows("g2").fieldIndex("rr")))
+  }
 }

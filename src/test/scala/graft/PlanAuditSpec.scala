@@ -426,6 +426,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // p186: the k-1 single-row source-count scalars join the
       // single-row conversion aggregates into the |stages|-1-row report
       "p186_funnel_window",
+      // p188: the 1-row (n, P) totals scalar broadcasts into the
+      // distinct-score frame (the p182 gains shape)
+      "p188_roc_curve",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
       // per-token divergence terms — a scalar dim, not a pair blow-up;
