@@ -16,7 +16,16 @@ import org.apache.spark.sql.types._
   *  - averages are decimal-sum / count (double division, IEEE-identical);
   *  - every query ends in a total ORDER BY (no ties);
   *  - NULL ordering is written explicitly (Spark asc = NULLS FIRST,
-  *    DuckDB default = NULLS LAST).
+  *    DuckDB default = NULLS LAST);
+  *  - cumulative scans ride [[graft.operators.PrefixSum.withRunningSums]]
+  *    and PER-GROUP scans [[graft.operators.PrefixSum.withKeyedRunningSums]]
+  *    (never a window partitioned by a low-cardinality key); adjacency is
+  *    a rank equi-join, top-k is orderBy().limit() (TakeOrderedAndProject);
+  *  - integer bucketing is FLOOR division — (x − pmod(x, d)) div d —
+  *    matching DuckDB's `//` for any sign, never bare `div`;
+  *  - oracle SQL mirrors Spark's IEEE expression TREES exactly
+  *    (left-associative mult/div chains, identical CASE guards, the
+  *    ln9/exp9 decimal-rounding contract around every libm call).
   */
 object SparkEntry {
 

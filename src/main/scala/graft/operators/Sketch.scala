@@ -751,9 +751,13 @@ object Sketch {
     * in for monster groups); the |groups|²/2 pair frame carries only
     * ≤k-element arrays. */
   def overlapMatrixEstimate(df: DataFrame, keyCol: String,
-      groupCol: String, k: Int): DataFrame = {
+      groupCol: String, k: Int, shards: Int = 1): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val sk = kmvSketch(df, keyCol, groupCol, k)
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    // shards > 1: a monster group's distinct-hash bottom-k spreads over
+    // `shards` reducers first (bit-identical result — SketchSpec)
+    val sk = if (shards > 1) kmvSketchSharded(df, keyCol, groupCol, k, shards)
+      else kmvSketch(df, keyCol, groupCol, k)
     val a = sk.select(col(s"`$groupCol`").as("g_a"), col("minima").as("__ma"))
     val b = sk.select(col(s"`$groupCol`").as("g_b"), col("minima").as("__mb"))
     val pairs = a.crossJoin(b).filter(col("g_a") < col("g_b"))

@@ -716,4 +716,63 @@ object Streams {
           }
       }
   }
+
+  case class KeyBurst(key: String, n_hours: Long, n_events: Long,
+    mean_per_hour: Double, dispersion: Double)
+
+  /** Streaming per-actor burstiness over FINALIZED hours — the streaming
+    * twin of [[graft.operators.Sessionize.burstiness]] with O(1) keyed
+    * state per actor: (current hour, its running count, finalized-hour
+    * moments n_hours/Σc/Σc²). An hour finalizes when a LATER hour's
+    * first event arrives; the current (still-open) hour never enters the
+    * emitted moments, so on an IN-ORDER stream every emission equals the
+    * batch operator run over the actor's events in hours strictly before
+    * their latest (the [[runningFunnel]] in-order contract; late rows —
+    * hour below the current one — are dropped and can only
+    * under-report). Emits once an actor has ≥ `minHours` finalized
+    * hours; the Σc² moment rides a BigInteger (the [[runningWasserstein]]
+    * precedent) and the dispersion mirrors the batch decimal tree
+    * bit-for-bit (exact integer products, correctly-rounded doubles,
+    * identical division order). */
+  def runningBurstiness(events: Dataset[(String, Long)],
+      minHours: Long = 2L): Dataset[KeyBurst] = {
+    require(minHours >= 2L, s"minHours must be >= 2, got $minHours")
+    import events.sparkSession.implicits._
+    // state: (curHour, curCount, nFinalizedHours, sumCounts, sumSq bytes)
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Array[Byte]), KeyBurst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long, Long, Long, Array[Byte])]) =>
+          var (curH, curC, nh, s1, s2b) = state.getOption
+            .getOrElse((Long.MinValue, 0L, 0L, 0L, Array.emptyByteArray))
+          var s2 = if (s2b.isEmpty) java.math.BigInteger.ZERO
+            else new java.math.BigInteger(s2b)
+          // batch hour bucket: floor division of epoch micros
+          rows.map(r => Math.floorDiv(r._2, 3600000000L)).toSeq.sorted
+            .foreach { h =>
+              if (h == curH) curC += 1L
+              else if (h > curH) {
+                if (curH != Long.MinValue) { // finalize the closed hour
+                  nh += 1L; s1 += curC
+                  s2 = s2.add(java.math.BigInteger.valueOf(curC)
+                    .multiply(java.math.BigInteger.valueOf(curC)))
+                }
+                curH = h; curC = 1L
+              } // h < curH: late row, dropped (under-report only)
+            }
+          state.update((curH, curC, nh, s1, s2.toByteArray))
+          if (nh >= minHours) {
+            // mirror the batch decimal tree: exact integer products,
+            // correctly-rounded doubles, identical division order
+            val num = java.math.BigInteger.valueOf(nh).multiply(s2)
+              .subtract(java.math.BigInteger.valueOf(s1)
+                .multiply(java.math.BigInteger.valueOf(s1)))
+            val den = (nh * (nh - 1L)).toDouble
+            val mean = s1.toDouble / nh.toDouble
+            val disp = (num.doubleValue() / den) / mean
+            Iterator.single(KeyBurst(key, nh, s1, mean, disp))
+          } else Iterator.empty
+      }
+  }
 }

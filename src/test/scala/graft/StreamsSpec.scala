@@ -510,4 +510,76 @@ class StreamsSpec extends SparkSpecBase {
     assert(out.columns.toSet ===
       Set("window_start", "window_end", "event_type", "n", "sum_value"))
   }
+
+  test("runningBurstiness over finalized hours equals the batch operator (in-order)") {
+    val h = 3600000000L
+    // actor a: hours 0(x3), 1(x1), 2(x2); actor b: hours 0(x1), 1(x1)
+    def ev(u: String, hour: Long, k: Int) =
+      (0 until k).map(i => (u, hour * h + i.toLong * 1000L))
+    val original = ev("a", 0, 3) ++ ev("a", 1, 1) ++ ev("a", 2, 2) ++
+      ev("b", 0, 1) ++ ev("b", 1, 1)
+    // sentinel event in a LATER hour per actor finalizes every real hour
+    val sentinel = Seq(("a", 50L * h), ("b", 50L * h))
+    val input = MemoryStream[(String, Long)](spark)
+    val out = Streams.runningBurstiness(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running_burst")
+      .outputMode("update").start()
+    try {
+      input.addData(original.take(4): _*)
+      q.processAllAvailable()
+      input.addData(original.drop(4): _*)
+      q.processAllAvailable()
+      input.addData(sentinel: _*)
+      q.processAllAvailable()
+      val latest = spark.table("running_burst")
+        .orderBy(col("n_hours").desc) // the final (max-hours) emission per key
+        .groupBy("key").agg(
+          max(col("n_hours")).as("n_hours"),
+          max(col("n_events")).as("n_events"),
+          max(col("dispersion")).as("__dmax"))
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getAs[Long]("n_hours"), r.getAs[Long]("n_events"))).toMap
+      // batch twin over the ORIGINAL events (the sentinel only finalizes)
+      val batchDf = original.toDF("user_id", "tm")
+        .withColumn("ts", expr("timestamp_micros(tm)"))
+      val batch = graft.operators.Sessionize.burstiness(
+        batchDf, "user_id", "ts", minHours = 2)
+        .collect().map(r => r.getAs[String]("user_id") ->
+          (r.getAs[Long]("n_hours"), r.getAs[Long]("n_events"),
+            r.getAs[Double]("dispersion"))).toMap
+      assert(latest("a") === ((batch("a")._1, batch("a")._2)))
+      assert(latest("b") === ((batch("b")._1, batch("b")._2)))
+      // bit-exact dispersion: read the row with the full hour count
+      val streamDisp = spark.table("running_burst")
+        .filter(col("key") === "a" && col("n_hours") === batch("a")._1)
+        .orderBy(col("n_events").desc).limit(1)
+        .collect()(0).getAs[Double]("dispersion")
+      assert(streamDisp === batch("a")._3, "dispersion must mirror the batch decimal tree")
+    } finally q.stop()
+  }
+
+  test("runningBurstiness: late rows drop; below minHours nothing emits") {
+    val h = 3600000000L
+    val input = MemoryStream[(String, Long)](spark)
+    val out = Streams.runningBurstiness(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running_burst2")
+      .outputMode("update").start()
+    try {
+      input.addData(("u", 0L), ("u", h))
+      q.processAllAvailable()
+      // one finalized hour only -> below minHours, no emission
+      assert(spark.table("running_burst2").count() === 0L)
+      input.addData(("u", 0L)) // LATE (hour 0 < current hour 1): dropped
+      q.processAllAvailable()
+      assert(spark.table("running_burst2").count() === 0L)
+      input.addData(("u", 2L * h), ("u", 3L * h))
+      q.processAllAvailable()
+      // hours 0,1,2 finalized with one event each -> dispersion 0
+      val r = spark.table("running_burst2")
+        .orderBy(col("n_hours").desc).limit(1).collect()(0)
+      assert(r.getAs[Long]("n_hours") === 3L)
+      assert(r.getAs[Long]("n_events") === 3L)
+      assert(r.getAs[Double]("dispersion") === 0.0)
+    } finally q.stop()
+  }
 }
