@@ -7608,5 +7608,68 @@ object SparkEntry {
       graft.operators.Eval.mrrByGroup(docs, "source", "sc", "l", "doc_id")
         .orderBy(col("source"))
     }
+
+    // --- per-source chi-squared: lang × even/odd-half association per
+    //     source — the grouped completion of the drift battery.
+    register("p191_chi2_by_group",
+      """WITH cells AS (SELECT source AS g, lang AS a,
+        |    CAST(doc_id % 2 AS VARCHAR) AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL GROUP BY 1, 2, 3),
+        |rt AS (SELECT g, a, CAST(SUM(o) AS BIGINT) AS r FROM cells
+        |  GROUP BY g, a),
+        |ct AS (SELECT g, b, CAST(SUM(o) AS BIGINT) AS c FROM cells
+        |  GROUP BY g, b),
+        |tot AS (SELECT g, CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b FROM cells GROUP BY g),
+        |grid AS (SELECT rt.g, rt.r, ct.c, COALESCE(cells.o, 0) AS o, tot.n
+        |  FROM rt JOIN ct ON rt.g = ct.g
+        |  LEFT JOIN cells ON cells.g = rt.g AND cells.a = rt.a
+        |    AND cells.b = ct.b
+        |  JOIN tot ON tot.g = rt.g),
+        |term AS (SELECT g, CAST(SUM(CAST(
+        |    (o::DOUBLE * n::DOUBLE - r::DOUBLE * c::DOUBLE) *
+        |    (o::DOUBLE * n::DOUBLE - r::DOUBLE * c::DOUBLE) /
+        |    (r::DOUBLE * c::DOUBLE * n::DOUBLE) AS DECIMAL(25,9)))
+        |    AS DOUBLE) AS x2 FROM grid GROUP BY g)
+        |SELECT tot.g AS source, n, n_a, n_b,
+        |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  CASE WHEN n > 0 AND n_a > 1 AND n_b > 1 THEN x2 END AS chi2,
+        |  CASE WHEN n > 0 AND n_a > 1 AND n_b > 1 THEN
+        |    sqrt(x2 / (n::DOUBLE * LEAST(n_a - 1, n_b - 1)::DOUBLE))
+        |  END AS cramers_v
+        |FROM tot LEFT JOIN term ON tot.g = term.g
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Drift.chiSquareByGroup(
+          t(s, dir, "documents")
+            .filter(col("doc_id").isNotNull)
+            .withColumn("half", expr("cast(doc_id % 2 as string)")),
+          "source", "lang", "half")
+        .orderBy(col("source"))
+    }
+
+    // --- value-atomic equal-frequency quartile bins of n_chars per
+    //     source (ties never split — NTILE would split them
+    //     nondeterministically).
+    register("p192_quantile_bins",
+      """WITH cnt AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc
+        |  FROM cnt),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY g),
+        |bins AS (SELECT g, v,
+        |    CAST((cc * 4 + n - 1) // n AS INT) AS bin
+        |  FROM cum JOIN tot USING (g))
+        |SELECT d.source, d.n_chars, b.bin
+        |FROM documents d JOIN bins b
+        |  ON b.g = d.source AND b.v = d.n_chars
+        |ORDER BY d.source, d.n_chars""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.quantileBinsByGroup(
+          t(s, dir, "documents"), "source", "n_chars", nBins = 4)
+        .orderBy(col("source"), col("n_chars"))
+    }
   }
 }

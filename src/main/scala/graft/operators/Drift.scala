@@ -750,4 +750,54 @@ object Drift {
         sum(col(s"`$yCol`").cast(DecimalType(25, 6))).over(w).cast("double") /
           count(lit(1)).over(w).cast("double"))
   }
+
+  /** PER-GROUP chi-squared independence + Cramér's V — the grouped
+    * completion of the drift battery ([[ksByGroup]], [[mannWhitneyByGroup]],
+    * [[wasserstein1ByGroup]], [[psiByGroup]]): "is language associated
+    * with snapshot half, per source" in one job. The FULL per-group
+    * marginal grid is materialized (zero-observed cells contribute their
+    * expected term — the classic bug the global operator also guards).
+    * Output per group: (groupCol, n, n_a, n_b, dof longs, chi2,
+    * cramers_v doubles — NULL when dof = 0 or the group is empty).
+    *
+    * Exactness: the [[chiSquare]] contract verbatim — exact integer
+    * counts/marginals, each cell term a fixed IEEE tree, DECIMAL(25,9)
+    * term sums, correctly-rounded sqrt. 100 TB shape: one (group, a, b)
+    * cell aggregation; marginals/grid/terms run per group on
+    * cell-cardinality frames joined BY GROUP KEY (the grid fan-out is
+    * |a|·|b| per group — the categorical contract). */
+  def chiSquareByGroup(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+    val cells = stager.stage(
+      df.filter(g.isNotNull && a.isNotNull && b.isNotNull)
+        .groupBy(g.as("__g"), a.as("__a"), b.as("__b"))
+        .agg(count(lit(1)).as("__o")),
+      s"chi2g_cells_${java.util.UUID.randomUUID().toString.take(8)}")
+    val rowT = cells.groupBy(col("__g"), col("__a")).agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy(col("__g"), col("__b")).agg(sum(col("__o")).as("__c"))
+    val totN = cells.groupBy(col("__g")).agg(sum(col("__o")).as("n"),
+      countDistinct(col("__a")).as("n_a"), countDistinct(col("__b")).as("n_b"))
+    val grid = rowT.join(colT, Seq("__g"))
+      .join(cells, Seq("__g", "__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .join(broadcast(totN), Seq("__g"))
+    val on = col("__o").cast("double") * col("n").cast("double")
+    val rc = col("__r").cast("double") * col("__c").cast("double")
+    val d = on - rc
+    val chi = grid.groupBy(col("__g"))
+      .agg(sum((d * d / (rc * col("n").cast("double"))).cast(dec25_9))
+        .as("__chi2"))
+    totN.join(chi, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"),
+        when(col("n") > 0L && col("n_a") > 1L && col("n_b") > 1L,
+          col("__chi2").cast("double")).as("chi2"),
+        when(col("n") > 0L && col("n_a") > 1L && col("n_b") > 1L,
+          sqrt(col("__chi2").cast("double") / (col("n").cast("double") *
+            least(col("n_a") - 1L, col("n_b") - 1L).cast("double"))))
+          .as("cramers_v"))
+  }
 }

@@ -1190,4 +1190,41 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"),
         col("top_value"), col("top_count"))
   }
+
+  /** Value-atomic equal-frequency quantile bins per group: every row of
+    * group g gets bin ⌈cum(v)·B / n⌉ where cum(v) is the group's
+    * cumulative count at the row's value — tied values NEVER split
+    * across bins (NTILE splits them nondeterministically, which breaks
+    * cross-engine reproducibility and leaks order-dependence into
+    * downstream features; bin sizes flex at ties instead). The
+    * feature-binning / per-source score-bucketing primitive that
+    * [[quantilesByGroup]]'s cut values feed visually. Output: the
+    * (group, value) pair of every input row + `bin` int 1..B. NULL
+    * group/value rows drop.
+    *
+    * 100 TB shape: the bin table is values-cardinality (one count
+    * aggregation + one [[PrefixSum.withKeyedRunningSums]] scan + a
+    * |groups|-row totals broadcast); rows receive bins by ONE
+    * (group, value) equi-join against that table — row-cardinality
+    * appears exactly twice: the count scan and the final join. */
+  def quantileBinsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, nBins: Int,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(nBins >= 2, s"quantileBinsByGroup: nBins must be >= 2, got $nBins")
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val base = df.filter(g.isNotNull && v.isNotNull)
+    val counts = base.groupBy(g.as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    val totals = cum.groupBy(col("__g")).agg(max(col("cum___c")).as("__n"))
+    val bins = cum.join(broadcast(totals), Seq("__g"))
+      .select(col("__g"), col("__v"),
+        expr(s"(cum___c * ${nBins}L + __n - 1L) div __n").cast("int")
+          .as("bin"))
+    base.select(g.as("__g"), v.as("__v"))
+      .join(bins, Seq("__g", "__v"))
+      .select(col("__g").as(groupCol), col("__v").as(valueCol), col("bin"))
+  }
 }

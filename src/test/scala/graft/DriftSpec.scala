@@ -444,4 +444,21 @@ class DriftSpec extends SparkSpecBase {
     assert(rows(("a", 5L)) === ((1L, 30.0)))
     assert(rows(("b", 1L)) === ((1L, 100.0)))
   }
+
+  test("chiSquareByGroup equals the global chiSquare per group") {
+    import spark.implicits._
+    val df = (Seq.fill(40)(("g1", "en", "x")) ++ Seq.fill(10)(("g1", "en", "y")) ++
+      Seq.fill(10)(("g1", "de", "x")) ++ Seq.fill(40)(("g1", "de", "y")) ++
+      Seq.fill(20)(("g2", "en", "x")) ++ Seq.fill(20)(("g2", "de", "y"))
+      ).toDF("g", "a", "b")
+    val grouped = Drift.chiSquareByGroup(df, "g", "a", "b").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    for (g <- Seq("g1", "g2")) {
+      val ref = Drift.chiSquare(df.filter(col("g") === g), "a", "b").head()
+      assert(grouped(g).getAs[Long]("n") === ref.getAs[Long]("n"), g)
+      assert(grouped(g).getAs[Double]("chi2") === ref.getAs[Double]("chi2"), g)
+      assert(grouped(g).getAs[Double]("cramers_v") ===
+        ref.getAs[Double]("cramers_v"), g)
+    }
+  }
 }

@@ -651,4 +651,21 @@ class ProfileSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("top_value")))
     assert(r.isNullAt(r.fieldIndex("min_value")))
   }
+
+  test("quantileBinsByGroup: value-atomic bins, ties never split") {
+    // g: values 1..8 once each, 4 bins -> 2 per bin
+    val a = (1 to 8).map(i => ("g", i.toLong))
+    // h: value 7 appears 5 times of 6 rows -> its whole block lands in
+    // one bin (ceil(6*4/6)=4), the lone 1 in bin 1
+    val b = Seq(("h", 1L)) ++ Seq.fill(5)(("h", 7L))
+    val rows = graft.operators.Profile.quantileBinsByGroup(
+      (a ++ b).toDF("g", "v"), "g", "v", nBins = 4).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) -> r.getAs[Int]("bin"))
+    val m = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+    (1 to 8).foreach { i =>
+      assert(m(("g", i.toLong)) === Seq((i + 1) / 2), s"value $i") }
+    assert(m(("h", 1L)) === Seq(1))
+    assert(m(("h", 7L)) === Seq(4))
+    assert(rows.count(_._1._1 == "h") === 6, "row-level output keeps duplicates")
+  }
 }
