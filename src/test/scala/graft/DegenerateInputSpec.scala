@@ -147,4 +147,35 @@ class DegenerateInputSpec extends SparkSpecBase {
       emptyDocs.select($"doc_id", $"text"), "doc_id", "text",
       Seq("train" -> 0.9, "test" -> 0.1), "s", "test").count() === 0)
   }
+
+  test("round-12 operators tolerate empty input (operator-level APIs)") {
+    import spark.implicits._
+    val eGV = Seq.empty[(String, Long)].toDF("g", "v")
+    val eGVB = Seq.empty[(String, Long, Boolean)].toDF("g", "v", "l")
+    assert(graft.operators.Profile.quantilesByGroup(
+      eGV, "g", "v", Seq(0.5)).count() === 0L)
+    assert(graft.operators.Profile.quantileBinsByGroup(
+      eGV, "g", "v", nBins = 4).count() === 0L)
+    assert(graft.operators.Sessionize.kaplanMeier(
+      eGVB, "g", "v", "l").count() === 0L)
+    assert(graft.operators.Eval.bhFdrSelect(
+      Seq.empty[(String, Long, Double)].toDF("g", "id", "p"),
+      "g", "id", "p", alpha = 0.1).count() === 0L)
+    assert(graft.operators.Eval.mrrByGroup(
+      Seq.empty[(String, Double, Boolean, Long)].toDF("g", "s", "l", "t"),
+      "g", "s", "l", "t").count() === 0L)
+    assert(graft.operators.Drift.ksByGroup(eGV, eGV, "g", "v").count() === 0L)
+    assert(graft.operators.Drift.chiSquareByGroup(
+      Seq.empty[(String, String, String)].toDF("g", "a", "b"),
+      "g", "a", "b").count() === 0L)
+    assert(graft.operators.Splits.deterministicShuffle(
+      Seq.empty[Long].toDF("id"), "id", "s").count() === 0L)
+    // 1-row-contract reports stay 1-row with NULL scores on empty input
+    val cvm = graft.operators.Drift.cramerVonMises(eGV.select("v"),
+      eGV.select("v"), "v").head()
+    assert(cvm.isNullAt(cvm.fieldIndex("cvm")))
+    val ks = graft.operators.Splits.hashUniformityKs(
+      Seq.empty[Long].toDF("id"), "id", "s").head()
+    assert(ks.isNullAt(ks.fieldIndex("ks_stat")))
+  }
 }
