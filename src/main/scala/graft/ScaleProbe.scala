@@ -310,6 +310,56 @@ object ScaleProbe {
     val (kgR, tkgR) = time(ksgRun(r))
     println(f"grouped_ks 1x: $tkg1%.1fs $kg1 rows | ${r}x: $tkgR%.1fs $kgR rows" +
       f" (ratio ${tkgR / tkg1}%.2fx time, ${kgR.toDouble / kg1}%.2fx rows)")
+
+    // ---- GIANT single group (round-12 verdict: the keyed-PrefixSum
+    // claims were parity-specced but no leg measured ONE group at Rx —
+    // the exact shape Window.partitionBy(group) serializes through one
+    // reducer). Every row lands in group "g"; replicas stripe ids AND
+    // the value space (v*R + i), so the distinct-(group, value) frame
+    // grows exactly Rx while the group count stays 1. Invariant: the
+    // reported per-group n is exactly Rx the 1x n.
+    val docsV = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+    def giantFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      docsV.select(lit("g").as("g"),
+        (col("doc_id") * r + i).as("id"),
+        (col("n_chars") * r + i).as("v"))
+    }.reduce(_ unionByName _)
+    def ggqRun(reps: Int): Long =
+      graft.operators.Profile.quantilesByGroup(
+        giantFrame(reps), "g", "v", Seq(0.5, 0.99)).head().getAs[Long]("n")
+    time(ggqRun(1))
+    val (gg1, tgg1) = time(ggqRun(1))
+    val (ggR, tggR) = time(ggqRun(r))
+    println(f"giant_group_quantiles 1x: $tgg1%.1fs n=$gg1 | ${r}x: $tggR%.1fs n=$ggR" +
+      f" (ratio ${tggR / tgg1}%.2fx time, ${ggR.toDouble / gg1}%.2fx n)")
+
+    // mrrByGroup on the giant group: (score, tie-id) tuples distinct by
+    // the id stripe; sparse positives via the id grid
+    def ggmRun(reps: Int): Long =
+      graft.operators.Eval.mrrByGroup(
+        giantFrame(reps).select(col("g"), col("v").cast("double").as("s"),
+          (col("id") % 97 === 0).as("l"), col("id")),
+        "g", "s", "l", "id").head().getAs[Long]("n")
+    time(ggmRun(1))
+    val (gm1, tgm1) = time(ggmRun(1))
+    val (gmR, tgmR) = time(ggmRun(r))
+    println(f"giant_group_mrr 1x: $tgm1%.1fs n=$gm1 | ${r}x: $tgmR%.1fs n=$gmR" +
+      f" (ratio ${tgmR / tgm1}%.2fx time, ${gmR.toDouble / gm1}%.2fx n)")
+
+    // prioritySample on the giant group (the r13 migration under test):
+    // output is exactly k at both scales — the ratio IS the story
+    def gpsRun(reps: Int): Long =
+      graft.operators.Splits.prioritySample(
+        giantFrame(reps).withColumn("w", col("v").cast("double") + 1.0),
+        "g", "id", "w", k = 1000).count()
+    time(gpsRun(1))
+    val (gp1, tgp1) = time(gpsRun(1))
+    val (gpR, tgpR) = time(gpsRun(r))
+    println(f"giant_group_priority_sample(k=1000) 1x: $tgp1%.1fs $gp1 kept |" +
+      f" ${r}x: $tgpR%.1fs $gpR kept" +
+      f" (ratio ${tgpR / tgp1}%.2fx time, ${gpR.toDouble / gp1}%.2fx rows)")
     spark.stop()
   }
 }

@@ -3446,6 +3446,51 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // --- the containment maxDf-CUT contract (the path a 100 TB run
+    //     keeps on): shingles in more than `cut` docs drop from every
+    //     set BEFORE the posting join, sizes recompute, and threshold /
+    //     prefix / verify all run in the FILTERED shingle space —
+    //     "a's DISTINCTIVE shingles are mostly in b". The prefix order
+    //     still uses the ORIGINAL df counts (every survivor has
+    //     dfc <= cut; the order among them is unchanged). Docs whose
+    //     shingles are all df-hot leave the relation entirely — the
+    //     template-boilerplate semantics the cut exists for.
+    register("p71b_containment_cut",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         |  FROM t),
+         |f0 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |tok0 AS (SELECT doc_id, unnest(s) AS g FROM f0),
+         |kept AS (SELECT g, COUNT(*) AS dfc FROM tok0 GROUP BY g
+         |  HAVING COUNT(*) <= 2),
+         |f AS (SELECT doc_id, list_sort(list(g)) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM tok0 JOIN kept USING (g) GROUP BY doc_id),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS g FROM f),
+         |prefa AS (SELECT doc_id, sz, g FROM (
+         |    SELECT doc_id, sz, tok.g,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dfc, tok.g) AS pos
+         |    FROM tok JOIN kept USING (g)) r
+         |  WHERE pos <= sz - (sz * 800000 + 999999) // 1000000 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM prefa a JOIN tok b ON a.g = b.g AND a.doc_id != b.doc_id
+         |   AND b.sz * 1000000 >= a.sz * 800000),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(fa.s, fb.s)) AS BIGINT) AS i, fa.sz AS sa
+         |  FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b)
+         |SELECT id_a, id_b, round(i::DOUBLE / sa::DOUBLE, 9) AS containment
+         |FROM v WHERE i * 1000000 >= sa * 800000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.containmentPairsPrefix(
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 3,
+          threshold = 0.8, maxDf = Some(2L))
+        .withColumn("containment", round(col("containment"), 9))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
     // --- EXACT edit-distance similarity join (PassJoin, Li 2011): all
     //     pairs within levenshtein <= 2 over a 16-char document key,
     //     without the cross join — one of d+1 even segments must appear
@@ -5596,26 +5641,34 @@ object SparkEntry {
     }
 
     // --- per-source Gini coefficient of doc lengths (corpus-inequality
-    //     audit): exact integer ranks with the p128 string-id tiebreak,
-    //     DECIMAL(25,9) rank-weighted sums, fixed IEEE closed form.
+    //     audit): r13 migration — tie-exact rank factors (2cc−c+1)·c off
+    //     the keyed-PrefixSum distinct-value scan (HUGEINT/DECIMAL(38,0)
+    //     exact), x·factor one IEEE multiply through DECIMAL(38,6),
+    //     9-dp-rounded closed form. Value-identical to the old
+    //     row-ranked formulation (tie runs contribute the same sum).
     register("p133_gini_by_group",
-      """WITH base AS (SELECT source AS g, n_chars::DOUBLE AS v, doc_id AS id
-        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
-        |r AS (SELECT g, v, CAST(ROW_NUMBER() OVER (PARTITION BY g
-        |    ORDER BY v, CAST(id AS VARCHAR)) AS BIGINT) AS rn FROM base),
-        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(v AS DECIMAL(25,9))) AS s,
-        |    SUM(CAST(rn::DOUBLE * v AS DECIMAL(25,9))) AS rs,
-        |    COALESCE(MIN(v), 0.0) AS mn
-        |  FROM r GROUP BY g)
+      """WITH cnt AS (SELECT source AS g, n_chars::DOUBLE AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc
+        |  FROM cnt),
+        |t AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(v * c::DOUBLE AS DECIMAL(38,6))) AS s,
+        |    SUM(CAST(v * CAST((2*cc - c + 1)::HUGEINT * c AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS tt,
+        |    MIN(v) AS mn
+        |  FROM cum GROUP BY g)
         |SELECT g AS source, n, CAST(s AS DOUBLE) AS total,
         |  CASE WHEN mn < 0.0 THEN NULL
-        |       WHEN CAST(s AS DOUBLE) > 0.0 THEN
-        |    (2.0 * CAST(rs AS DOUBLE) - (n + 1)::DOUBLE * CAST(s AS DOUBLE)) /
-        |      (n::DOUBLE * CAST(s AS DOUBLE)) END AS gini
-        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+        |       WHEN s > 0 THEN
+        |    ROUND((CAST(tt AS DOUBLE) - (n + 1)::DOUBLE * CAST(s AS DOUBLE))
+        |      / (n::DOUBLE * CAST(s AS DOUBLE)), 9) END AS gini
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
       graft.operators.Profile.giniByGroup(
-          t(s, dir, "documents"), "source", "n_chars", "doc_id")
+          t(s, dir, "documents").select(col("source"),
+            col("n_chars").cast("double").as("n_chars")),
+          "source", "n_chars")
         .orderBy(col("source"))
     }
 
@@ -6858,8 +6911,8 @@ object SparkEntry {
         |    CAST(SUM(c) OVER (PARTITION BY ty ORDER BY gap) AS BIGINT) AS cc
         |  FROM gg),
         |tot AS (SELECT ty, CAST(SUM(c) AS BIGINT) AS n,
-        |    CAST(SUM(gap * c) AS BIGINT) AS s FROM gg GROUP BY ty
-        |  HAVING SUM(c) >= 2 AND SUM(gap * c) > 0),
+        |    SUM(CAST(gap AS HUGEINT) * c) AS s FROM gg GROUP BY ty
+        |  HAVING SUM(c) >= 2 AND SUM(CAST(gap AS HUGEINT) * c) > 0),
         |d AS (SELECT ty, n, s, GREATEST(
         |    ABS(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) - (1.0 -
         |      CAST(ROUND(CAST(exp(-(CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) *
@@ -7227,11 +7280,15 @@ object SparkEntry {
     register("p180_psi_by_group",
       """WITH ca AS (SELECT source AS g, lang AS v,
         |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
-        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND source IS NOT NULL
+        |  WHERE (('0x' || substring(md5('psi:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2) = 0
+        |    AND lang IS NOT NULL AND source IS NOT NULL
         |  GROUP BY 1, 2),
         |cb AS (SELECT source AS g, lang AS v,
         |    CAST(COUNT(*) AS BIGINT) AS nb FROM documents
-        |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL AND source IS NOT NULL
+        |  WHERE (('0x' || substring(md5('psi:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2) = 1
+        |    AND lang IS NOT NULL AND source IS NOT NULL
         |  GROUP BY 1, 2),
         |u AS (SELECT COALESCE(ca.g, cb.g) AS g, COALESCE(ca.v, cb.v) AS v,
         |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
@@ -7252,9 +7309,19 @@ object SparkEntry {
         |FROM s GROUP BY g, ta, tb ORDER BY source""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
         .filter(col("lang").isNotNull && col("source").isNotNull)
+        // md5 halves, NOT doc_id parity: the fixture's parity aligns
+        // exactly with source (one side empty -> psi NULL everywhere),
+        // which exercised nothing (round-13 fix; p197/p191 use the same
+        // device with salt 'js'). Salt 'psi' chosen so no (p-q)*ln9 term
+        // lands on a double->DECIMAL(25,9) rendering boundary at
+        // sf0.001/sf0.01 — Spark quantizes the shortest double repr,
+        // DuckDB the exact binary expansion, and they disagree only
+        // exactly there (seen once with salt 'js': 1e-9 on src1).
+        .withColumn("__half",
+          graft.operators.Splits.hashValue60(col("doc_id"), "psi") % 2)
       graft.operators.Drift.psiByGroup(
-          docs.filter(expr("doc_id % 2 = 0")),
-          docs.filter(expr("doc_id % 2 = 1")), "source", "lang")
+          docs.filter(col("__half") === 0),
+          docs.filter(col("__half") === 1), "source", "lang")
         .orderBy(col("source"))
     }
 
@@ -7609,11 +7676,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }
 
-    // --- per-source chi-squared: lang × even/odd-half association per
+    // --- per-source chi-squared: lang × md5-half association per
     //     source — the grouped completion of the drift battery.
+    //     md5 halves, NOT doc_id parity: the fixture's parity is
+    //     CONSTANT within a source (n_b = 1, chi2 NULL everywhere),
+    //     which exercised only the degenerate path (round-13 fix).
     register("p191_chi2_by_group",
       """WITH cells AS (SELECT source AS g, lang AS a,
-        |    CAST(doc_id % 2 AS VARCHAR) AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |    CAST((('0x' || substring(md5('js:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2) AS VARCHAR) AS b, CAST(COUNT(*) AS BIGINT) AS o
         |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
         |    AND doc_id IS NOT NULL GROUP BY 1, 2, 3),
         |rt AS (SELECT g, a, CAST(SUM(o) AS BIGINT) AS r FROM cells
@@ -7644,7 +7715,9 @@ object SparkEntry {
       graft.operators.Drift.chiSquareByGroup(
           t(s, dir, "documents")
             .filter(col("doc_id").isNotNull)
-            .withColumn("half", expr("cast(doc_id % 2 as string)")),
+            .withColumn("half",
+              (graft.operators.Splits.hashValue60(col("doc_id"), "js") % 2)
+                .cast("string")),
           "source", "lang", "half")
         .orderBy(col("source"))
     }
@@ -7671,5 +7744,157 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", nBins = 4)
         .orderBy(col("source"), col("n_chars"))
     }
+
+    // --- maximal cross-document duplicated token-run extents (the Lee
+    //     et al. 2021 exact-substring-dedup report, distributed): mark
+    //     every position whose 8-gram occurs in >= 2 DISTINCT docs
+    //     (min-doc != max-doc on the 60-bit md5 gram — both engines
+    //     hash the identical space-joined string), merge consecutive
+    //     marked positions per doc (gaps-and-islands: ix - row_number),
+    //     report [start, end + n - 1]. Case-preserving tokens (exact
+    //     bytes, the removeDuplicateSpans convention).
+    register("p193_dup_run_extents",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |    CAST(unnest(range(0, len(toks) - 8 + 1)) AS BIGINT) AS ix, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, ix,
+        |    ('0x' || substring(md5(array_to_string(
+        |      list_slice(toks, ix+1, ix+8), ' ')), 1, 15))::BIGINT AS gh
+        |  FROM p),
+        |dup AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING MIN(doc_id) != MAX(doc_id)),
+        |m AS (SELECT doc_id, ix FROM g JOIN dup USING (gh)),
+        |i AS (SELECT doc_id, ix,
+        |    ix - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ix) AS isl
+        |  FROM m)
+        |SELECT doc_id, MIN(ix) AS start_tok, MAX(ix) + 7 AS end_tok,
+        |  MAX(ix) - MIN(ix) + 8 AS n_tokens
+        |FROM i GROUP BY doc_id, isl
+        |ORDER BY doc_id, start_tok""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.duplicatedRunExtents(
+          t(s, dir, "documents"), "doc_id", "text", runN = 8)
+        .orderBy(col("doc_id"), col("start_tok"))
+    }
+
+    // --- weighted per-lang nearest-rank quantiles under planted
+    //     integer md5 weights (the HT-weight read a prioritySample
+    //     feeds): value at the smallest cumulative weight reaching
+    //     p·W — cumW·10⁶ >= W·pMicro in exact integer/decimal
+    //     arithmetic on both engines, no division in the decision.
+    register("p195_weighted_quantiles",
+      """WITH b AS (SELECT lang AS g, n_chars AS v,
+        |    (('0x' || substring(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 10 + 1) AS w
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |cnt AS (SELECT g, v, CAST(SUM(w) AS HUGEINT) AS wv,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE w > 0 GROUP BY 1, 2),
+        |cum AS (SELECT g, v, wv, c,
+        |    SUM(wv) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc
+        |  FROM cnt),
+        |t AS (SELECT g, CAST(SUM(wv) AS HUGEINT) AS wt,
+        |    CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY g)
+        |SELECT g AS lang, n, CAST(wt AS DOUBLE) AS w_total,
+        |  MAX(CASE WHEN cw * 1000000 >= wt * 500000
+        |    AND (cw - wv) * 1000000 < wt * 500000 THEN v END) AS q50,
+        |  MAX(CASE WHEN cw * 1000000 >= wt * 900000
+        |    AND (cw - wv) * 1000000 < wt * 900000 THEN v END) AS q90
+        |FROM cum JOIN t USING (g) GROUP BY g, n, wt
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"), col("n_chars"),
+          (graft.operators.Splits.hashValue60(col("doc_id"), "wq") % 10 + 1)
+            .as("w"))
+      graft.operators.Profile.weightedQuantilesByGroup(
+          docs, "lang", "n_chars", "w", Seq(0.5, 0.9))
+        .orderBy(col("lang"))
+    }
+
+    // --- weighted per-source moments + Kish effective sample size
+    //     under the same planted weights: (Σw)²/Σw² — the "how many
+    //     unweighted rows is this weighted sample worth" report.
+    register("p196_weighted_stats",
+      """WITH b AS (SELECT source AS g, n_chars AS v,
+        |    (('0x' || substring(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 10 + 1) AS w
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(w AS DECIMAL(25,9))) AS sw,
+        |    SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+        |      AS DECIMAL(25,9))) AS sww,
+        |    SUM(CAST(CAST(w AS DOUBLE) * CAST(v AS DOUBLE)
+        |      AS DECIMAL(25,9))) AS swv
+        |  FROM b WHERE w > 0 GROUP BY g)
+        |SELECT g AS source, n, CAST(sw AS DOUBLE) AS w_total,
+        |  CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_w,
+        |  CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)
+        |    AS ess
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("source"), col("n_chars"),
+          (graft.operators.Splits.hashValue60(col("doc_id"), "wq") % 10 + 1)
+            .as("w"))
+      graft.operators.Profile.weightedStatsByGroup(
+          docs, "source", "n_chars", "w")
+        .orderBy(col("source"))
+    }
+
+    // --- per-source Jensen–Shannon divergence between snapshot halves'
+    //     language mixes: the bounded symmetric twin of p180's PSI —
+    //     zero-probability values contribute their honest ½·ln 2 mass,
+    //     no epsilon anywhere; each term ln9-rounded, decimal-summed.
+    register("p197_js_divergence",
+      """WITH ca AS (SELECT source AS g, lang AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
+        |  WHERE (('0x' || substring(md5('js:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2) = 0
+        |    AND lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT source AS g, lang AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM documents
+        |  WHERE (('0x' || substring(md5('js:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2) = 1
+        |    AND lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |u AS (SELECT COALESCE(ca.g, cb.g) AS g, COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.v = cb.v),
+        |t AS (SELECT g, CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM u GROUP BY g),
+        |s AS (SELECT u.g, ta, tb, na, nb,
+        |    na::DOUBLE / ta::DOUBLE AS p, nb::DOUBLE / tb::DOUBLE AS q,
+        |    (na::DOUBLE / ta::DOUBLE + nb::DOUBLE / tb::DOUBLE) / 2.0 AS m
+        |  FROM u JOIN t ON u.g = t.g)
+        |SELECT g AS source, ta AS n_a, tb AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(SUM(CAST(
+        |    (CASE WHEN na > 0 THEN 0.5 * (p *
+        |      CAST(ROUND(CAST(ln(p / m) AS DECIMAL(25,12)), 9) AS DOUBLE))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN nb > 0 THEN 0.5 * (q *
+        |      CAST(ROUND(CAST(ln(q / m) AS DECIMAL(25,12)), 9) AS DOUBLE))
+        |      ELSE 0.0 END) AS DECIMAL(25,9))) AS DOUBLE) END AS js
+        |FROM s GROUP BY g, ta, tb ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        // md5 halves, NOT doc_id parity: the fixture's parity aligns
+        // exactly with source, which would make every js NULL
+        .withColumn("__half",
+          graft.operators.Splits.hashValue60(col("doc_id"), "js") % 2)
+      graft.operators.Drift.jsDivergenceByGroup(
+          docs.filter(col("__half") === 0),
+          docs.filter(col("__half") === 1), "source", "lang")
+        .orderBy(col("source"))
+    }
+
   }
 }

@@ -1088,6 +1088,78 @@ object Dedup {
             .cast("int").as("n_tokens_removed")): _*)
   }
 
+  /** Maximal CROSS-DOCUMENT duplicated token-run extents — the exact
+    * substring-dedup REPORT of the Lee et al. 2021 family
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * which finds duplicated substrings corpus-wide with a suffix
+    * array): for each document, every maximal run of token positions
+    * whose length-`runN` gram also occurs in at least one OTHER
+    * document. A maximal marked run [s, e] covers tokens
+    * s .. e + runN − 1 (every runN-window inside appears elsewhere),
+    * so adjacent/overlapping duplicated grams merge into ONE extent —
+    * the planted-passage report [[removeDuplicateSpans]] acts on
+    * (that operator rewrites; this one reports, feeding audits and
+    * the keep/cut decision). Within-doc-only repetitions do NOT mark
+    * (that is [[removeDuplicateSpans]]' minDocs=2-on-(doc,gram)
+    * distinction and p44's within-doc span view). Output per extent:
+    * (idCol, start_tok, end_tok, n_tokens longs — 0-based token
+    * indexes over the whitespace-token stream, inclusive). Docs with
+    * fewer than runN tokens carry no grams; NULL ids drop.
+    *
+    * 100 TB shape (the distributed reformulation of the suffix-array
+    * pass — single-node suffix arrays do less total work; this is the
+    * shape that scales out): one tokenization, ONE per-doc window pass
+    * (contiguous index + runN−1 leads, doc-cardinality keys, frames
+    * bounded by tokens-per-doc), a staged (id, index, 60-bit-md5 gram)
+    * stream feeding (a) a map-side-combinable min/max-doc aggregation
+    * — "≥ 2 distinct docs" as min(id) ≠ max(id), never a COUNT
+    * DISTINCT expansion — and (b) a left-semi join of gram starts
+    * against the duplicated-hash set (no broadcast assumption:
+    * corpus-wide boilerplate is itself huge). The island merge is pure
+    * integer arithmetic (index − per-doc rank) plus one
+    * doc-partitioned aggregation. Every shuffle carries hashes and
+    * integers, never text. */
+  def duplicatedRunExtents(df: DataFrame, idCol: String, textCol: String,
+      runN: Int, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(runN >= 2, s"runN must be >= 2, got $runN")
+    (Seq("__dr_pos", "__dr_tok", "__dr_ix", "__dr_gh", "__dr_isl",
+        "start_tok", "end_tok", "n_tokens") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' is reserved by duplicatedRunExtents"))
+    val id = col(s"`$idCol`")
+    val toks = df.filter(id.isNotNull)
+      .select(id, posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
+        .as(Seq("__dr_pos", "__dr_tok")))
+      .filter(col("__dr_tok") =!= "")
+    val w = Window.partitionBy(id).orderBy(col("__dr_pos"))
+    val leads = (1 until runN).map(i => lead(col("__dr_tok"), i).over(w).as(s"__t$i"))
+    val ixed = toks.select(id +: col("__dr_tok") +:
+      (row_number().over(w) - 1).cast("long").as("__dr_ix") +: leads: _*)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // staged: feeds BOTH the duplicated-hash aggregation and the
+    // semi-join; unstaged each consumer would re-tokenize the corpus
+    val grams = stager.stage(ixed
+      .filter(col(s"__t${runN - 1}").isNotNull)
+      .select(id, col("__dr_ix"),
+        graft.functions.TextFunctions.md5Hash60(concat_ws(" ",
+          col("__dr_tok") +: (1 until runN).map(i => col(s"__t$i")): _*))
+          .as("__dr_gh")),
+      s"dup_runs_$runId")
+    val dupHashes = grams.groupBy(col("__dr_gh"))
+      .agg(min(id).as("__mn"), max(id).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__dr_gh"))
+    val marked = grams.join(dupHashes, Seq("__dr_gh"), "left_semi")
+    val wi = Window.partitionBy(id).orderBy(col("__dr_ix"))
+    marked
+      .withColumn("__dr_isl", col("__dr_ix") - row_number().over(wi))
+      .groupBy(id, col("__dr_isl"))
+      .agg(min(col("__dr_ix")).as("start_tok"), max(col("__dr_ix")).as("__dr_e"))
+      .select(id, col("start_tok"),
+        (col("__dr_e") + (runN - 1)).as("end_tok"),
+        (col("__dr_e") - col("start_tok") + runN).as("n_tokens"))
+  }
+
   def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
     val grams = shingleRows(df, idCol, textCol, shingleN)

@@ -800,4 +800,58 @@ object Drift {
             least(col("n_a") - 1L, col("n_b") - 1L).cast("double"))))
           .as("cramers_v"))
   }
+
+  /** Per-group Jensen–Shannon divergence between the `keyCol` value
+    * mixes of frames `a` and `b` (Lin 1991): JS = ½·Σ p·ln(p/m) +
+    * ½·Σ q·ln(q/m) with m = (p+q)/2 — the bounded (≤ ln 2), symmetric
+    * complement of [[psiByGroup]]'s unbounded score: zero-probability
+    * values need NO epsilon (a p = 0 term is exactly 0 by the x·ln x
+    * limit convention), so a value seen on one side only contributes
+    * its honest ½·ln 2 mass instead of an epsilon artifact. Output per
+    * group: (groupCol, n_a, n_b, n_values longs, js double in
+    * [0, ln 2] — NULL when either side is empty). NULL keys drop.
+    *
+    * Determinism contract: p and q are single divisions of exact
+    * integers; m is one add and one divide-by-2 (exact halving); each
+    * ln passes the ln9 9-dp decimal rounding (the p86 recipe); each
+    * term is a fixed IEEE tree quantized to DECIMAL(25,9) before the
+    * order-independent sum — hash-identical cross-engine.
+    *
+    * 100 TB shape: the [[psiByGroup]] plan verbatim — two
+    * map-side-combinable (group, value) counts, one full-outer merge,
+    * a |groups|-row totals broadcast, one group aggregation. */
+  def jsDivergenceByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      keyCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val k = col(s"`$keyCol`")
+    def counts(df: DataFrame, out: String) = df
+      .filter(g.isNotNull && k.isNotNull)
+      .groupBy(g.as("__g"), k.as("__v")).agg(count(lit(1)).as(out))
+    val merged = stager.stage(
+      counts(a, "__na").join(counts(b, "__nb"), Seq("__g", "__v"), "full_outer")
+        .select(col("__g"), col("__v"),
+          coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb")),
+      s"js_grp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val totals = merged.groupBy(col("__g")).agg(
+      sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    val shares = merged.join(broadcast(totals), Seq("__g"))
+      .withColumn("__p", col("__na").cast("double") / col("__ta").cast("double"))
+      .withColumn("__q", col("__nb").cast("double") / col("__tb").cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+    shares.groupBy(col("__g")).agg(
+        max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        count(lit(1)).as("n_values"),
+        sum((when(col("__na") > 0L,
+            lit(0.5) * (col("__p") * ln9(col("__p") / col("__m"))))
+            .otherwise(lit(0.0)) +
+          when(col("__nb") > 0L,
+            lit(0.5) * (col("__q") * ln9(col("__q") / col("__m"))))
+            .otherwise(lit(0.0))).cast(dec25_9)).as("__js"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_values"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__js").cast("double")).as("js"))
+  }
+
 }

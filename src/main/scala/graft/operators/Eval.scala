@@ -702,11 +702,18 @@ object Eval {
     val l = col(s"`$labelCol`").cast("boolean")
     val base = df.filter(p.isNotNull && l.isNotNull)
       .select(l.as("__l"), (p >= threshold).as("__yhat"))
+    // coalesce: sum over zero rows is NULL, but the contract is long
+    // cells (0 on empty input), matching the doc and the other 1-row
+    // reports' empty-input behavior
     base.agg(count(lit(1)).as("n"),
-        sum(when(col("__l") && col("__yhat"), 1L).otherwise(0L)).as("tp"),
-        sum(when(!col("__l") && col("__yhat"), 1L).otherwise(0L)).as("fp"),
-        sum(when(!col("__l") && !col("__yhat"), 1L).otherwise(0L)).as("tn"),
-        sum(when(col("__l") && !col("__yhat"), 1L).otherwise(0L)).as("fn"))
+        coalesce(sum(when(col("__l") && col("__yhat"), 1L).otherwise(0L)),
+          lit(0L)).as("tp"),
+        coalesce(sum(when(!col("__l") && col("__yhat"), 1L).otherwise(0L)),
+          lit(0L)).as("fp"),
+        coalesce(sum(when(!col("__l") && !col("__yhat"), 1L).otherwise(0L)),
+          lit(0L)).as("tn"),
+        coalesce(sum(when(col("__l") && !col("__yhat"), 1L).otherwise(0L)),
+          lit(0L)).as("fn"))
       .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
         when(col("n") > 0L, (col("tp") + col("tn")).cast("double") /
           col("n").cast("double")).as("accuracy"),
@@ -809,7 +816,12 @@ object Eval {
     * (Voorhees 1999, the TREC QA measure). Output per group: (groupCol,
     * n long, first_pos_rank long, rr double — NULL when the group has
     * no positives); average `rr` over groups downstream for MRR. NULL
-    * score/label rows drop.
+    * score/label/tie rows drop. `tieCol` must be UNIQUE within a
+    * (group, score) — the rank rides
+    * [[PrefixSum.withKeyedRunningSums]], whose distinct-non-null
+    * order-tuple contract makes first_pos_rank engine- and
+    * run-deterministic only when (score, tie) tuples never repeat
+    * (feed a unique id, the usual retrieval doc-id).
     *
     * 100 TB shape: the per-group rank is
     * [[PrefixSum.withKeyedRunningSums]] over (−score, tie) — giant
@@ -822,7 +834,8 @@ object Eval {
     val sc = col(s"`$scoreCol`")
     val lb = col(s"`$labelCol`").cast("boolean")
     val base = df
-      .filter(g.isNotNull && sc.isNotNull && lb.isNotNull)
+      .filter(g.isNotNull && sc.isNotNull && lb.isNotNull &&
+        col(s"`$tieCol`").isNotNull)
       .select(g.as("__g"), negate(sc.cast("double")).as("__ns"),
         col(s"`$tieCol`").as("__tb"), lb.as("__l"), lit(1L).as("__one"))
     val ranked = PrefixSum.withKeyedRunningSums(

@@ -119,23 +119,32 @@ object Mixture {
     * uniform sample — smallest-hash-first is a sample, not an append
     * log.
     *
+    * Rows with NULL id also drop (a NULL id draws no hash and cannot
+    * hold a deterministic rank).
+    *
     * 100 TB shape: one count aggregation (broadcast back as a quota
-    * CASE literal — key cardinality is a recipe, bounded), one
-    * per-key hash-rank window ([[Profile.calibrateByGroup]]'s
-    * giant-group caveat), one pushed-down filter. */
+    * CASE literal — key cardinality is a recipe, bounded), then the
+    * per-key hash rank is
+    * [[graft.operators.PrefixSum.withKeyedRunningSums]] over
+    * (hash, id) — recipe keys are LOW cardinality with corpus-sized
+    * groups, the exact shape a `Window.partitionBy(key)` would
+    * serialize through one reducer — and one pushed-down filter. */
   def matchMixture(
       df: DataFrame,
       keyCol: String,
       targetMicro: Map[String, Long],
       idCol: String,
-      salt: String): DataFrame = {
+      salt: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(targetMicro.nonEmpty, "matchMixture: empty target recipe")
     require(targetMicro.valuesIterator.forall(_ > 0L),
       s"matchMixture: shares must be positive micro-units, got $targetMicro")
     require(targetMicro.valuesIterator.sum <= 1000000L,
       s"matchMixture: shares exceed 1e6 micro-units: $targetMicro")
     val k = col(s"`$keyCol`")
-    val inRecipe = df.filter(k.isInCollection(targetMicro.keys.toSeq))
+    val id = col(s"`$idCol`")
+    val inRecipe = df.filter(k.isInCollection(targetMicro.keys.toSeq) &&
+      id.isNotNull)
     val counts = inRecipe.groupBy(k.as("__k"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -148,11 +157,15 @@ object Mixture {
     val quotaCol = quotas.foldLeft(lit(0L): Column) {
       case (other, (key, q)) => when(k === key, lit(q)).otherwise(other)
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(k)
-      .orderBy(Splits.hashValue60(col(s"`$idCol`"), salt).asc_nulls_last,
-        col(s"`$idCol`").cast("string").asc_nulls_last)
-    inRecipe.withColumn("__mm_rn", row_number().over(w))
-      .filter(col("__mm_rn") <= quotaCol)
-      .drop("__mm_rn")
+    // (hash, id-string): distinct non-null tuples (id unique by
+    // contract) — the keyed-PrefixSum order contract
+    val base = inRecipe
+      .withColumn("__mh", Splits.hashValue60(id, salt))
+      .withColumn("__mid", id.cast("string"))
+      .withColumn("__one", lit(1L))
+    PrefixSum.withKeyedRunningSums(
+        base, Seq(keyCol), Seq("__mh", "__mid"), Seq("__one"), stager)
+      .filter(col("cum___one") <= quotaCol)
+      .drop("__mh", "__mid", "__one", "cum___one")
   }
 }

@@ -167,9 +167,13 @@ object Multimodal {
       .when((isTiffLE || isTiffBE) && tW.isNotNull && tH.isNotNull,
         struct(lit("tiff").as("format"),
           tW.cast("int").as("width"), tH.cast("int").as("height")))
-      .when(isBmp && bmpInfo, struct(lit("bmp").as("format"),
-        s32(bW).cast("int").as("width"),
-        abs(s32(bH)).cast("int").as("height")))
+      // width must be strictly positive (the format allows no negative
+      // width — a negative s32 here is a malformed header, not top-down
+      // rows) and height nonzero; both fall through to the null struct
+      .when(isBmp && bmpInfo && s32(bW) > 0L && s32(bH) =!= 0L,
+        struct(lit("bmp").as("format"),
+          s32(bW).cast("int").as("width"),
+          abs(s32(bH)).cast("int").as("height")))
       .when(isWebp && webpW.isNotNull, struct(lit("webp").as("format"),
         webpW.cast("int").as("width"), webpH.cast("int").as("height")))
       .otherwise(lit(null).cast(

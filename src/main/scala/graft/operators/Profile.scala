@@ -257,38 +257,64 @@ object Profile {
     * quality scores are heavy-tailed and a single junk page would drag a
     * mean-based z for the whole source.
     *
-    * 100 TB shape: three group-keyed windows + two tiny per-group
-    * aggregate joins — one shuffle key throughout (AQE reuses it); the
-    * aggregates are one row per group, broadcast back. A giant group
-    * serializes its rows into one reducer per window pass — the KMV
-    * sharding caveat; for such groups calibrate against the SKETCH band
-    * ([[Sketch.quantileProfile]]) instead of exact order statistics. */
+    * Rows with NULL group or value keep their row but get NULL
+    * pct_rank/z_robust (they carry no rank). `idCol` is retained for
+    * API compatibility; the nearest-rank VALUE at a rank is
+    * tiebreak-independent (ties are the same value), so it no longer
+    * affects the result.
+    *
+    * 100 TB shape: rows collapse to per-(group, value) counts, then TWO
+    * [[graft.operators.PrefixSum.withKeyedRunningSums]] scans (values,
+    * then |v − median| deviations) pick median and MAD as nearest-rank
+    * cumulative-count cuts — a giant group never sorts through one
+    * window reducer (the pre-r13 shape) — and the per-value pct_rank
+    * (rank semantics: (cum − c)/(n − 1)) joins back to rows as one hash
+    * join on (group, value). Per-group med/MAD frames broadcast. */
   def calibrateByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val reserved = Seq("__g", "__v", "pct_rank", "z_robust")
+    (reserved intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' is reserved by calibrateByGroup"))
     val g = col(s"`$groupCol`")
     val v = col(s"`$valueCol`")
-    import org.apache.spark.sql.expressions.Window
-    def nearestRank(in: DataFrame, value: org.apache.spark.sql.Column,
-        out: String): DataFrame = {
-      val w = Window.partitionBy(g)
-      in.withColumn("__cnt", count(lit(1)).over(w))
-        .withColumn("__rn", row_number().over(
-          w.orderBy(value, col(s"`$idCol`").cast("string"))))
-        .withColumn(out,
-          when(col("__rn") === expr("(__cnt * 500000L + 999999L) div 1000000L"),
-            value).otherwise(lit(null)))
-        .withColumn(out, max(col(out)).over(w))
-        .drop("__cnt", "__rn")
-    }
-    val withMed = nearestRank(df, v, "__med")
-    val withMad = nearestRank(withMed, abs(v - col("__med")), "__mad")
-    withMad
-      .withColumn("pct_rank",
-        percent_rank().over(Window.partitionBy(g).orderBy(v)))
-      .withColumn("z_robust",
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    val totals = cum.groupBy(col("__g")).agg(max(col("cum___c")).as("__n"))
+    // nearest-rank pick: the distinct value whose cumulative count spans
+    // rank ⌈n/2⌉ (the p70 integer-micros rule) — id-independent
+    def pickMedian(cumDf: DataFrame, valOut: String) =
+      cumDf.join(broadcast(totals), Seq("__g"))
+        .filter(col("cum___c") >= expr("(__n * 500000L + 999999L) div 1000000L") &&
+          col("cum___c") - col("__c") <
+            expr("(__n * 500000L + 999999L) div 1000000L"))
+        .select(col("__g"), col("__v").as(valOut))
+    val med = pickMedian(cum, "__med")
+    // deviations re-aggregate: v = med ± d merge into one |v − med| value
+    val dev = counts.join(broadcast(med), Seq("__g"))
+      .groupBy(col("__g"), abs(col("__v") - col("__med")).as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = pickMedian(
+      PrefixSum.withKeyedRunningSums(
+        dev, Seq("__g"), Seq("__v"), Seq("__c"), stager), "__mad")
+    // per-distinct-value stats: percent_rank = (rank − 1)/(n − 1) with
+    // rank semantics (ties share the min rank = cum − c + 1); n = 1
+    // groups get 0.0, Spark's percent_rank convention
+    val vstats = cum.join(broadcast(totals), Seq("__g"))
+      .join(broadcast(med), Seq("__g"))
+      .join(broadcast(mad), Seq("__g"))
+      .select(col("__g"), col("__v"),
+        when(col("__n") > 1L,
+          (col("cum___c") - col("__c")).cast("double") /
+            (col("__n") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as("pct_rank"),
         when(col("__mad") === 0, lit(null))
-          .otherwise((v - col("__med")).cast("double") / col("__mad").cast("double")))
-      .drop("__med", "__mad")
+          .otherwise((col("__v") - col("__med")).cast("double") /
+            col("__mad").cast("double")).as("z_robust"))
+    df.join(vstats, g <=> col("__g") && v <=> col("__v"), "left")
+      .drop("__g", "__v")
   }
 
   /** Robust per-group location statistics: plain mean, the exact
@@ -664,28 +690,35 @@ object Profile {
     * trick), so every moment is exact DECIMAL(38,0) arithmetic and only
     * the closed form divides in IEEE doubles with one correctly-rounded
     * sqrt. Output: (groupCol, n long, rho double — NULL when either
-    * variable is constant in the group). Rows with NULL values drop.
+    * variable is constant in the group). Rows with NULL group or
+    * values drop.
     *
-    * 100 TB shape: two per-group sort windows (one exchange each axis;
-    * the [[calibrateByGroup]] giant-group caveat) feeding one moment
-    * aggregation. */
+    * 100 TB shape (the r13 migration off the two per-group sort
+    * windows, which ranked every row of a group through one reducer
+    * per axis): per axis, values collapse to per-(group, value) counts
+    * and ONE [[graft.operators.PrefixSum.withKeyedRunningSums]] scan
+    * assigns the doubled midranks (2·cum − c + 1 ≡ 2·min_rank + c − 1,
+    * exact integers); ranks join back to rows as hash equi-joins on
+    * (group, value); one moment aggregation. */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      yCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = col(s"`$groupCol`")
     val x = col(s"`$xCol`").cast("double")
     val y = col(s"`$yCol`").cast("double")
-    def midrank2(v: String, out: String)(d: DataFrame): DataFrame = d
-      .withColumn("__r", rank().over(
-        Window.partitionBy(col("__g")).orderBy(col(v))).cast("long"))
-      .withColumn("__t", count(lit(1)).over(
-        Window.partitionBy(col("__g"), col(v))))
-      .withColumn(out, lit(2L) * col("__r") + col("__t") - 1L)
-      .drop("__r", "__t")
-    val ranked = midrank2("__y", "__ry")(midrank2("__x", "__rx")(
-      df.filter(x.isNotNull && y.isNotNull)
-        .select(g.as("__g"), x.as("__x"), y.as("__y"))))
+    val base = df.filter(g.isNotNull && x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.as("__x"), y.as("__y"))
+    def midranks(valCol: String, out: String): DataFrame = {
+      val counts = base.groupBy(col("__g"), col(s"`$valCol`").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      PrefixSum.withKeyedRunningSums(
+          counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+        .select(col("__g"), col("__v").as(valCol),
+          (lit(2L) * col("cum___c") - col("__c") + 1L).as(out))
+    }
+    val ranked = base
+      .join(midranks("__x", "__rx"), Seq("__g", "__x"))
+      .join(midranks("__y", "__ry"), Seq("__g", "__y"))
     ranked.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),
         sum(col("__rx").cast(dec38)).as("__sx"),
@@ -752,48 +785,6 @@ object Profile {
           (col("n_pairs").cast("double") * col("__s12").cast("double") -
             col("__s1").cast("double") * col("__s2").cast("double")) /
             sqrt(col("__v1") * col("__v2"))).as("r"))
-  }
-
-  /** Per-group Gini coefficient of a non-negative `valueCol` — the
-    * inequality audit for corpus balance (is one domain hogging the
-    * tokens? how concentrated are per-source volumes?): G =
-    * (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort
-    * (ties broken by `idCol` — tie order cannot change the value:
-    * equal x swap equal terms). Output: (groupCol, n long, total
-    * double — Σx, gini double — NULL when Σx = 0). Rows with NULL
-    * group or value drop; a group containing a negative value reports
-    * NULL gini (the statistic is undefined off the non-negative
-    * domain).
-    *
-    * Exactness: ranks are exact integers; i·x and the totals
-    * accumulate through DECIMAL(25,9) (exact for integer-valued x);
-    * the closed form is a fixed IEEE tree over the exact sums.
-    *
-    * 100 TB shape: one per-group sort window (the [[calibrateByGroup]]
-    * giant-group caveat) feeding ranks and sums on one exchange. */
-  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
-    val g = col(s"`$groupCol`")
-    val v = col(s"`$valueCol`").cast("double")
-    import org.apache.spark.sql.expressions.Window
-    val base = df.filter(g.isNotNull && v.isNotNull)
-      .select(g.as("__g"), v.as("__v"), col(s"`$idCol`").as("__id"))
-      .withColumn("__rn", row_number().over(Window.partitionBy(col("__g"))
-        .orderBy(col("__v"), col("__id").cast("string"))).cast("long"))
-    base.groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__v").cast(dec)).as("__s"),
-        sum((col("__rn").cast("double") * col("__v")).cast(dec)).as("__rs"),
-        coalesce(min(col("__v")), lit(0.0)).as("__min"))
-      .select(col("__g").as(groupCol), col("n"),
-        col("__s").cast("double").as("total"),
-        when(col("__min") < 0.0, lit(null).cast("double"))
-          .when(col("__s").cast("double") > 0.0,
-            (lit(2.0) * col("__rs").cast("double") -
-              (col("n") + 1L).cast("double") * col("__s").cast("double")) /
-              (col("n").cast("double") * col("__s").cast("double")))
-          .as("gini"))
   }
 
   /** Benford leading-digit audit of a positive numeric column — the
@@ -1226,5 +1217,163 @@ object Profile {
     base.select(g.as("__g"), v.as("__v"))
       .join(bins, Seq("__g", "__v"))
       .select(col("__g").as(groupCol), col("__v").as(valueCol), col("bin"))
+  }
+
+  /** Exact per-group Gini coefficient of a non-negative value
+    * (Gini 1912, via the rank formulation of the Lorenz curve:
+    * G = (Σᵢ (2i − n − 1)·xᵢ) / (n·Σx) over values sorted ascending) —
+    * the corpus-concentration report behind "is 1% of domains
+    * contributing 95% of tokens", the inequality number a mixture
+    * rebalance (`Mixture`) is judged against. Ties are handled exactly:
+    * a distinct value occupying ranks cc−c+1 .. cc contributes
+    * x·c·(2·cc − c + 1) to the 2·Σi·xᵢ term, so the result is
+    * independent of intra-tie order. Output per group: (groupCol,
+    * n long, total double, gini double — 9-dp rounded; NULL when the
+    * group total is ≤ 0, and NULL for a group containing any negative
+    * value (the statistic is undefined off the non-negative domain —
+    * rows are kept in n/total so the refusal is visible, the pre-r13
+    * contract). Rows with NULL group or value drop.
+    *
+    * Determinism contract: the rank factor (2cc − c + 1)·c is exact
+    * DECIMAL(38,0) integer arithmetic cast to double once (correctly
+    * rounded in both engines); x·factor is ONE IEEE multiply quantized
+    * to DECIMAL(38,6) (order-independent sums; exact for
+    * integer-valued x); the final expression is one fixed IEEE tree.
+    *
+    * 100 TB shape (the r13 migration off the per-group sort window —
+    * the pre-r13 shape ranked every row of a group through one
+    * reducer): rows collapse to per-(group, value) counts, ONE
+    * [[graft.operators.PrefixSum.withKeyedRunningSums]] ascending scan
+    * supplies the rank factors (a giant group never sorts through one
+    * window reducer), one map-side-combinable group aggregation. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("n"),
+        // S = Σ v·c over DISTINCT-value rows — the count factor, not the
+        // bare value (caught by the constant-group hand spec)
+        sum((col("__v").cast("double") * col("__c").cast("double"))
+          .cast(dec6)).as("__s"),
+        sum((col("__v").cast("double") *
+          ((lit(2L) * col("cum___c") - col("__c") + 1L).cast(dec0) *
+            col("__c")).cast("double")).cast(dec6)).as("__t"),
+        min(col("__v").cast("double")).as("__min"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__s").cast("double").as("total"),
+        when(col("__min") < 0.0, lit(null).cast("double"))
+          .when(col("__s") > 0,
+            round((col("__t").cast("double") -
+              (col("n") + 1L).cast("double") * col("__s").cast("double")) /
+              (col("n").cast("double") * col("__s").cast("double")), 9))
+          .as("gini"))
+  }
+
+  /** WEIGHTED per-group nearest-rank quantiles: the value at the
+    * smallest cumulative weight reaching p·W (W = the group's weight
+    * total) — the quantile read a weighted sample carries (e.g. the
+    * Horvitz–Thompson `weight_est` a [[Splits.prioritySample]] emits:
+    * quantiles of the FULL population estimated from the sample), and
+    * the token-weighted length profile ("p99 of tokens, not of docs").
+    * Same whole-percent probability grid as [[quantilesByGroup]].
+    * Output per group: (groupCol, n long — contributing rows, w_total
+    * double, q<pp>… one column per probability). Rows with NULL
+    * group/value/weight or weight <= 0 drop (they carry no mass).
+    *
+    * Determinism contract: weights quantize to DECIMAL(25,9) on entry
+    * (exact for integer weights — the poissonBootstrapMean rule);
+    * the rank test cumW·10⁶ >= W·pMicro is exact decimal integer
+    * arithmetic on both engines (no division, no doubles in the
+    * DECISION; exact while W·10⁶ < 10³²).
+    *
+    * 100 TB shape: rows collapse to per-(group, value) weight sums,
+    * ONE [[PrefixSum.withKeyedRunningSums]] ascending scan, a
+    * |groups|-row totals broadcast, one group aggregation — the
+    * quantilesByGroup plan with weights riding the same scan. */
+  def weightedQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, ps: Seq[Double],
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(ps.nonEmpty, "weightedQuantilesByGroup: ps must be non-empty")
+    val micros = ps.map { p =>
+      val m = math.round(p * 1e6)
+      require(m >= 10000L && m <= 1000000L && m % 10000L == 0L,
+        s"weightedQuantilesByGroup: whole-percent probabilities in [0.01, 1], got $p")
+      m
+    }
+    require(micros.distinct.size == micros.size,
+      s"weightedQuantilesByGroup: duplicate probabilities in $ps")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val w = col(s"`$weightCol`")
+    val counts = df
+      .filter(g.isNotNull && v.isNotNull && w.isNotNull &&
+        w.cast("double") > 0.0)
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(sum(w.cast(dec)).as("__w"), count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__w", "__c"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___w")).as("__wt"), max(col("cum___c")).as("n"))
+    val joined = cum.join(broadcast(totals), Seq("__g"))
+    // exactly one row per (group, p) satisfies reach && !prevReach:
+    // cumW is strictly increasing (all __w > 0)
+    def pick(m: Long) = {
+      val reach = col("cum___w") * lit(1000000L) >= col("__wt") * lit(m)
+      val prev = (col("cum___w") - col("__w")) * lit(1000000L) >=
+        col("__wt") * lit(m)
+      max(when(reach && !prev, col("__v"))).as(s"q${m / 10000L}")
+    }
+    joined.groupBy(col("__g"))
+      .agg(max(col("n")).as("n"),
+        (max(col("__wt")).cast("double").as("w_total") +:
+          micros.map(pick)): _*)
+      .select(col("__g").as(groupCol) +: col("n") +: col("w_total") +:
+        micros.map(m => col(s"q${m / 10000L}")): _*)
+  }
+
+  /** Weighted per-group moment report: weight total, weighted mean and
+    * Kish effective sample size ESS = (Σw)²/Σw² (Kish 1965, the
+    * "how many unweighted rows is this weighted sample worth" number
+    * every downstream significance test needs after a weighted
+    * subsample such as [[Splits.prioritySample]]'s HT output — ESS far
+    * below n means a few heavy weights dominate and intervals must
+    * widen accordingly). Output per group: (groupCol, n long, w_total,
+    * mean_w, ess doubles — mean_w NULL only on an all-zero-weight
+    * group, which the w > 0 filter precludes; ESS in (0, n]). Rows
+    * with NULL group/value/weight or weight <= 0 drop.
+    *
+    * Determinism contract: w, w·w and w·v are each ONE IEEE multiply
+    * quantized to DECIMAL(25,9) (order-independent sums — the
+    * poissonBootstrapMean rule); mean and ESS are fixed IEEE trees
+    * over the decimal sums cast to double once.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation; no join, no
+    * window, no prefix scan. */
+  def weightedStatsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`").cast("double")
+    val w = col(s"`$weightCol`").cast("double")
+    df.filter(g.isNotNull && v.isNotNull && w.isNotNull && w > 0.0)
+      .groupBy(g.as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(w.cast(dec)).as("__sw"),
+        sum((w * w).cast(dec)).as("__sww"),
+        sum((w * v).cast(dec)).as("__swv"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__sw").cast("double").as("w_total"),
+        (col("__swv").cast("double") / col("__sw").cast("double"))
+          .as("mean_w"),
+        (col("__sw").cast("double") * col("__sw").cast("double") /
+          col("__sww").cast("double")).as("ess"))
   }
 }

@@ -226,8 +226,12 @@ object Sessionize {
     * deterministic.
     *
     * 100 TB shape: one per-user sort window feeds the lag diffs, the
-    * ranks and the aggregate on a single exchange (the
-    * [[Profile.calibrateByGroup]] giant-group caveat). */
+    * ranks and the aggregate on a single exchange. user_id is a
+    * high-cardinality key, so the window partitions well; the caveat is
+    * a single heavy-tailed actor, whose history sorts (spillably) in
+    * one reducer — for such actors swap the rank machinery onto
+    * [[graft.operators.PrefixSum.withKeyedRunningSums]], the
+    * [[funnelLatency]] posture. */
   def gapStats(df: DataFrame, userCol: String, tsCol: String,
       orderCol: String): DataFrame = {
     val u = col(s"`$userCol`")
@@ -457,30 +461,40 @@ object Sessionize {
     * common paths (ties broken by path ASC — a total order). NULL
     * user/ts/type rows drop.
     *
-    * 100 TB shape: the [[funnelStages]] recipe — ONE per-user
-    * aggregation collects each user's first events (collect_list +
-    * array_sort + slice, no per-user window over the raw stream), one
-    * map-side-combinable path count, and the cut is
-    * TakeOrderedAndProject (per-partition heaps), never a global sort.
-    * Path cardinality is bounded by |event types|^pathLen, so the count
-    * frame is tiny regardless of corpus size. */
+    * 100 TB shape: one per-user window pass keeps only each user's
+    * first `pathLen` events BEFORE any aggregation buffer exists —
+    * user_id is a high-cardinality key so the window partitions well,
+    * and its sort spills to disk where a raw collect_list of a
+    * heavy-tailed actor's full history would hold one unbounded
+    * in-memory buffer. The surviving ≤pathLen structs per user then
+    * collect (bounded buffer), one map-side-combinable path count, and
+    * the cut is TakeOrderedAndProject (per-partition heaps), never a
+    * global sort. Path cardinality is bounded by
+    * |event types|^pathLen, so the count frame is tiny regardless of
+    * corpus size. */
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
       orderCol: String, typeCol: String, pathLen: Int, topK: Int): DataFrame = {
     require(pathLen >= 1 && pathLen <= 16,
       s"topPaths: pathLen must be in [1, 16], got $pathLen")
     require(topK >= 1, s"topPaths: topK must be >= 1, got $topK")
+    require(!events.columns.contains("__tp_rn"),
+      "column name '__tp_rn' is reserved by topPaths")
     val u = col(s"`$userCol`")
     val ts = col(s"`$tsCol`")
+    // the same total order array_sort used to impose: (tm, order, type)
+    val wUser = Window.partitionBy(u).orderBy(unix_micros(ts).asc,
+      col(s"`$orderCol`").asc, col(s"`$typeCol`").asc)
     val paths = events
       .filter(u.isNotNull && ts.isNotNull && col(s"`$typeCol`").isNotNull)
+      .withColumn("__tp_rn", row_number().over(wUser))
+      .filter(col("__tp_rn") <= pathLen)
       .groupBy(u.as("__u"))
       .agg(array_sort(collect_list(struct(unix_micros(ts).as("__tm"),
         col(s"`$orderCol`").as("__o"), col(s"`$typeCol`").as("__ty"))))
         .as("__evs"))
       .select(
-        concat_ws(">", transform(slice(col("__evs"), 1, pathLen),
-          _.getField("__ty"))).as("path"),
-        least(size(col("__evs")), lit(pathLen)).as("n_steps"))
+        concat_ws(">", transform(col("__evs"), _.getField("__ty"))).as("path"),
+        size(col("__evs")).as("n_steps"))
     paths.groupBy(col("path"), col("n_steps"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
@@ -531,7 +545,10 @@ object Sessionize {
       counts, Seq("__ty"), Seq("__gap"), Seq("__c"), stager)
     val totals = cum.groupBy(col("__ty"))
       .agg(max(col("cum___c")).as("__n"),
-        sum(col("__gap") * col("__c")).as("__s"))
+        // gap·count through DECIMAL(38,0): micro-gaps × corpus counts
+        // overflow a long product/sum silently (the mannWhitneyByGroup
+        // dec38 convention; the oracle mirrors with ::HUGEINT)
+        sum(col("__gap").cast(DecimalType(38, 0)) * col("__c")).as("__s"))
       .filter(col("__n") >= minGaps && col("__s") > 0L)
     val exp9 = (c: Column) =>
       round(exp(c).cast(DecimalType(25, 12)), 9).cast("double")
@@ -652,4 +669,5 @@ object Sessionize {
       when(col("n_source") > 0L, col("n_within").cast("double") /
         col("n_source").cast("double")).as("cvr_within"))
   }
+
 }

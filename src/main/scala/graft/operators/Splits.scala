@@ -286,36 +286,50 @@ object Splits {
     * md5 — every step IEEE-exact in both engines — and q = w/u is one
     * division, so the per-group ranking is engine-identical with no
     * rounding anywhere in the DECISION; only the reported priority is
-    * display-rounded by callers.
+    * display-rounded by callers. Rows with NULL group or id also drop:
+    * a NULL id draws no uniform, and both match the reference protocol
+    * (the oracle's per-group τ join drops NULL groups).
     *
-    * 100 TB shape: one narrow projection (hash, divide) + one
-    * per-group top-k window — a single exchange on the group key; τ
-    * reads off the same window frame (the rank-(k+1) row broadcast
-    * back via a group-max, not a second shuffle). */
+    * 100 TB shape: one narrow projection (hash, divide), then the
+    * per-group rank is [[PrefixSum.withKeyedRunningSums]] over
+    * (−priority, id) — the p167 `curriculumOrder` pattern — so ONE
+    * giant group (the realistic per-source sampling call has few,
+    * corpus-sized groups) spreads over many range partitions instead
+    * of sorting through one window reducer; τ is the rank-(k+1) row,
+    * a ≤|groups|-row broadcast joined back onto the k survivors. */
   def prioritySample(df: DataFrame, groupCol: String, idCol: String,
-      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+      weightCol: String, k: Int, salt: String = "",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Seq("__nq", "__one", "priority", "weight_est")
+    (reserved intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' is reserved by prioritySample"))
     val g = col(s"`$groupCol`")
     val id = col(s"`$idCol`")
     val w = col(s"`$weightCol`")
     val u = (hashValue60(id.cast("string"), s"prio:$salt").cast("double") +
       lit(0.5)) / lit(graft.operators.Sketch.HashSpace)
     val q = w.cast("double") / u
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(g)
-    val ranked = df
-      .filter(w.isNotNull && w.cast("double") > 0.0)
+    val base = df
+      .filter(g.isNotNull && id.isNotNull &&
+        w.isNotNull && w.cast("double") > 0.0)
       .withColumn("priority", q)
-      .withColumn("__rn", row_number().over(
-        win.orderBy(col("priority").desc, id)))
-      .withColumn("__tau",
-        max(when(col("__rn") === k + 1, col("priority"))).over(win))
+      .withColumn("__nq", negate(q))
+      .withColumn("__one", lit(1L))
+    // (−priority, id): distinct non-null tuples (id unique by contract,
+    // and ties in priority break by id) — the keyed-PrefixSum contract
+    val ranked = PrefixSum.withKeyedRunningSums(
+      base, Seq(groupCol), Seq("__nq", idCol), Seq("__one"), stager)
+    val taus = ranked.filter(col("cum___one") === k + 1)
+      .select(g.as("__tg"), col("priority").as("__tau"))
     ranked
-      .filter(col("__rn") <= k)
+      .filter(col("cum___one") <= k)
+      .join(broadcast(taus), g === col("__tg"), "left")
       .withColumn("weight_est",
         when(col("__tau").isNull, w.cast("double"))
           .otherwise(greatest(w.cast("double"), col("__tau"))))
-      .drop("__rn", "__tau")
+      .drop("__nq", "__one", "cum___one", "__tg", "__tau")
   }
 
   /** Temporal train/val/test split per group: train on the past,
@@ -324,20 +338,26 @@ object Splits {
     * eval, dedup-drift studies, continual-pretraining ablations), where
     * a hash split would leak future information into training. Cut
     * points are EXACT nearest-rank order statistics of the group's time
-    * axis (rank ⌈p·n⌉ via the integer-micros rule, ties broken by
-    * `idCol` for a deterministic rank assignment); assignment is then
+    * axis (rank ⌈p·n⌉ via the integer-micros rule); assignment is then
     * VALUE-based (ts <= cut), so rows tied with a cut timestamp all land
     * on the earlier side — at-cut ties can make the train fraction
     * exceed ⌈p·n⌉ (the honest behavior: you cannot put half a timestamp
-    * in the future). Rows with NULL ts drop. Adds `splitCol` with
-    * values train/val/test.
+    * in the future). Rows with NULL ts or NULL group drop. `idCol` is
+    * retained for API compatibility; the nearest-rank VALUE at a rank
+    * is tiebreak-independent (ties are the same timestamp), so it no
+    * longer affects the result. Adds `splitCol` with values
+    * train/val/test.
     *
-    * 100 TB shape: one per-group sort window (the exact-order-statistic
-    * cost — the [[Profile.calibrateByGroup]] giant-group caveat applies;
-    * swap in sketch cuts for groups that overwhelm one reducer). */
+    * 100 TB shape: rows collapse to per-(group, ts) counts, ONE
+    * [[PrefixSum.withKeyedRunningSums]] scan picks both cuts as
+    * nearest-rank cumulative-count rows (a giant group never sorts
+    * through one window reducer — the pre-r13 shape), and the
+    * |groups|-row cut table broadcasts back onto the data for a pure
+    * VALUE comparison. */
   def temporalSplitByGroup(df: DataFrame, groupCol: String, tsCol: String,
       idCol: String, trainPct: Double = 0.8, valPct: Double = 0.1,
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 1.0,
       s"need 0 < trainPct, 0 <= valPct, trainPct + valPct < 1; " +
         s"got ($trainPct, $valPct)")
@@ -345,21 +365,28 @@ object Splits {
     val valMicro = math.round((trainPct + valPct) * 1e6)
     val g = col(s"`$groupCol`")
     val ts = col(s"`$tsCol`")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(g)
-    df.filter(ts.isNotNull)
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(
-        w.orderBy(ts, col(s"`$idCol`").cast("string"))))
-      .withColumn("__cut_train", max(when(col("__rn") ===
-        expr(s"(__n * ${trainMicro}L + 999999L) div 1000000L"), ts)).over(w))
-      .withColumn("__cut_val", max(when(col("__rn") ===
-        expr(s"(__n * ${valMicro}L + 999999L) div 1000000L"), ts)).over(w))
+    val base = df.filter(g.isNotNull && ts.isNotNull)
+    val counts = base.groupBy(g.as("__g"), ts.as("__ts"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__ts"), Seq("__c"), stager)
+    val totals = cum.groupBy(col("__g")).agg(max(col("cum___c")).as("__n"))
+    // the distinct ts whose cumulative count spans rank ⌈n·p⌉
+    def cutAt(micro: Long, out: String) =
+      cum.join(broadcast(totals), Seq("__g"))
+        .filter(col("cum___c") >=
+            expr(s"(__n * ${micro}L + 999999L) div 1000000L") &&
+          col("cum___c") - col("__c") <
+            expr(s"(__n * ${micro}L + 999999L) div 1000000L"))
+        .select(col("__g"), col("__ts").as(out))
+    val cuts = cutAt(trainMicro, "__cut_train")
+      .join(cutAt(valMicro, "__cut_val"), Seq("__g"))
+    base.join(broadcast(cuts), g === col("__g"))
       .withColumn(splitCol,
         when(ts <= col("__cut_train"), "train")
           .when(ts <= col("__cut_val"), "val")
           .otherwise("test"))
-      .drop("__n", "__rn", "__cut_train", "__cut_val")
+      .drop("__g", "__cut_train", "__cut_val")
   }
 
   /** Deterministic k-fold cross-validation assignment: adds `foldCol`

@@ -18,6 +18,50 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("duplicatedRunExtents: planted cross-doc passage merges; within-doc repeats do not mark") {
+    // docs 1 and 2 share a 6-token passage; with n=4 the 3 marked start
+    // positions merge into ONE maximal extent of 6 tokens. doc 3 repeats
+    // its own 4-token run twice but shares it with NO other doc -> silent.
+    val df = Seq(
+      (1L, "p q r s t u junk1a junk1b junk1c"),
+      (2L, "junk2a junk2b p q r s t u junk2c"),
+      (3L, "x y z w mid x y z w")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedRunExtents(df, "doc_id", "text", runN = 4)
+      .select("doc_id", "start_tok", "end_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 5L, 6L), (2L, 2L, 7L, 6L)))
+  }
+
+  test("duplicatedRunExtents: differential vs an exact in-memory reference on the corpus") {
+    val docs = testdata("sf0.001", "documents").select("doc_id", "text")
+    val n = 6
+    val got = Dedup.duplicatedRunExtents(docs, "doc_id", "text", n)
+      .select("doc_id", "start_tok", "end_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // exact reference: gram-string -> doc set, mark, merge islands
+    val local = docs.filter($"text".isNotNull)
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    local.foreach { case (id, ts) =>
+      (0 to ts.length - n).foreach { p =>
+        val g = ts.slice(p, p + n).mkString(" ")
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val expected = local.flatMap { case (id, ts) =>
+      val marked = (0 to ts.length - n)
+        .filter(p => gramDocs(ts.slice(p, p + n).mkString(" ")).size >= 2)
+      marked.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (runs, p) => (p, p) :: runs
+      }.map { case (s, e) =>
+        (id, s.toLong, (e + n - 1).toLong, (e - s + n).toLong) }
+    }.toSet
+    assert(got.nonEmpty, "fixture must exercise the operator")
+    assert(got === expected)
+  }
+
   test("shingleRows matches the array-based shingles definition") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val rows = Dedup.shingleRows(df, "doc_id", "text", 3)

@@ -174,6 +174,36 @@ class DegenerateInputSpec extends SparkSpecBase {
     val cvm = graft.operators.Drift.cramerVonMises(eGV.select("v"),
       eGV.select("v"), "v").head()
     assert(cvm.isNullAt(cvm.fieldIndex("cvm")))
+    // confusion cells are LONGS (0 on empty), never NULL — only the
+    // derived scores go NULL
+    val conf = graft.operators.Eval.confusionAtThreshold(
+      Seq.empty[(Double, Boolean)].toDF("p", "l"), "p", "l", 0.5).head()
+    Seq("n", "tp", "fp", "tn", "fn").foreach { c =>
+      assert(!conf.isNullAt(conf.fieldIndex(c)) &&
+        conf.getLong(conf.fieldIndex(c)) === 0L, c)
+    }
+    assert(conf.isNullAt(conf.fieldIndex("accuracy")))
+    assert(conf.isNullAt(conf.fieldIndex("mcc")))
+  }
+
+  test("round-13 operators tolerate empty input (operator-level APIs)") {
+    import spark.implicits._
+    val eGV = Seq.empty[(String, Long)].toDF("g", "v")
+    val eGVW = Seq.empty[(String, Long, Double)].toDF("g", "v", "w")
+    val eGK = Seq.empty[(String, String)].toDF("g", "k")
+    assert(graft.operators.Profile.giniByGroup(eGV, "g", "v").count() === 0L)
+    assert(graft.operators.Profile.weightedQuantilesByGroup(
+      eGVW, "g", "v", "w", Seq(0.5)).count() === 0L)
+    assert(graft.operators.Profile.weightedStatsByGroup(
+      eGVW, "g", "v", "w").count() === 0L)
+    assert(graft.operators.Drift.jsDivergenceByGroup(
+      eGK, eGK, "g", "k").count() === 0L)
+    assert(graft.operators.Profile.spearmanByGroup(
+      Seq.empty[(String, Double, Double)].toDF("g", "x", "y"),
+      "g", "x", "y").count() === 0L)
+    assert(graft.operators.Dedup.duplicatedRunExtents(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", runN = 4).count() === 0L)
     val ks = graft.operators.Splits.hashUniformityKs(
       Seq.empty[Long].toDF("id"), "id", "s").head()
     assert(ks.isNullAt(ks.fieldIndex("ks_stat")))

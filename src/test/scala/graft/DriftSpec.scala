@@ -461,4 +461,32 @@ class DriftSpec extends SparkSpecBase {
         ref.getAs[Double]("cramers_v"), g)
     }
   }
+
+  test("jsDivergenceByGroup: 0 on identical mixes, ln 2 on disjoint, symmetric, no epsilon") {
+    val a = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "k")
+    val same = Drift.jsDivergenceByGroup(a, a, "g", "k").head()
+    assert(same.getAs[Double]("js") === 0.0)
+    // fully disjoint supports: p-side and q-side each contribute
+    // 0.5 * ln9(2) -> js = ln9(2) = 0.693147181, the exact upper bound
+    val b = Seq(("g", "z"), ("g", "z")).toDF("g", "k")
+    val dis = Drift.jsDivergenceByGroup(a, b, "g", "k").head()
+    assert(dis.getAs[Double]("js") === 0.693147181)
+    assert(dis.getAs[Long]("n_values") === 3L)
+    // symmetry (PSI is too, but JS gets it without the eps floor)
+    val ab = Drift.jsDivergenceByGroup(a, b, "g", "k").head().getAs[Double]("js")
+    val ba = Drift.jsDivergenceByGroup(b, a, "g", "k").head().getAs[Double]("js")
+    assert(ab === ba)
+    // hand case: a = {x:1, y:1}, b = {x:1} -> p_x=.5 q_x=1 m_x=.75;
+    // p_y=.5 q_y=0 m_y=.25 ->
+    // js = .5(.5 ln(2/3)) + .5(1 ln(4/3)) + .5(.5 ln 2)
+    val a2 = Seq(("g", "x"), ("g", "y")).toDF("g", "k")
+    val b2 = Seq(("g", "x")).toDF("g", "k")
+    val got = Drift.jsDivergenceByGroup(a2, b2, "g", "k").head().getAs[Double]("js")
+    def ln9(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = BigDecimal(0.5 * (0.5 * ln9(0.5 / 0.75)) +
+        0.5 * (1.0 * ln9(1.0 / 0.75)) + 0.5 * (0.5 * ln9(0.5 / 0.25)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - want) < 2e-9, s"$got vs $want")
+  }
 }

@@ -234,6 +234,13 @@ class MultimodalSpec extends SparkSpecBase {
     // ancient BITMAPCOREHEADER (12) -> null, MediaDecoder path
     val bmpCore = b(0x42, 0x4D) ++ b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
       b(12, 0, 0, 0, 0x40, 1, 0xF0, 0)
+    // malformed: NEGATIVE width (-320) — no valid BMP has one; null, not
+    // a negative int leaking through s32
+    val bmpNegW = b(0x42, 0x4D) ++ b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      b(40, 0, 0, 0, 0xC0, 0xFE, 0xFF, 0xFF, 0xF0, 0, 0, 0)
+    // malformed: zero height -> null
+    val bmpZeroH = b(0x42, 0x4D) ++ b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      b(40, 0, 0, 0, 0x40, 1, 0, 0, 0, 0, 0, 0)
     def riff(cc: String, payload: Array[Byte]) =
       "RIFF".getBytes("US-ASCII") ++ b(0, 0, 0, 0) ++
         "WEBP".getBytes("US-ASCII") ++ cc.getBytes("US-ASCII") ++
@@ -245,7 +252,8 @@ class MultimodalSpec extends SparkSpecBase {
     // VP8: 3-byte frame tag, start code 9D 01 2A, w 320 LE u16, h 240
     val vp8 = riff("VP8 ", b(0, 0, 0, 0x9D, 0x01, 0x2A, 0x40, 1, 0xF0, 0))
     val df = Seq((1L, bmp), (2L, bmpTopDown), (3L, bmpCore),
-      (4L, vp8x), (5L, vp8l), (6L, vp8)).toDF("id", "media")
+      (4L, vp8x), (5L, vp8l), (6L, vp8),
+      (7L, bmpNegW), (8L, bmpZeroH)).toDF("id", "media")
       .withColumn("dims", Multimodal.imageDimensions(col("media")))
     val got = df.select(col("id"), col("dims.format"), col("dims.width"),
       col("dims.height")).collect().map(r => r.getLong(0) ->
@@ -256,5 +264,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(4L) === ((Some("webp"), Some(320), Some(240))))
     assert(got(5L) === ((Some("webp"), Some(320), Some(240))))
     assert(got(6L) === ((Some("webp"), Some(320), Some(240))))
+    assert(got(7L) === ((None, None, None)))
+    assert(got(8L) === ((None, None, None)))
   }
 }

@@ -313,19 +313,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toString.contains("Scan ExistingRDD"), plan.toString)
   }
 
-  test("p75: all calibration windows share ONE group exchange over a single scan") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  test("p75: calibration never windows over the group key on data") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = graft.operators.Profile.calibrateByGroup(
       docs.select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("len")),
       "source", "len", "doc_id")
-    val plan = out.queryExecution.executedPlan
-    assert(scans(plan).size === 1, plan.toString)
-    // median rank+spread, MAD rank+spread, pct_rank: five windows, all
-    // keyed on the group column — one hash exchange serves every pass
-    val shuffles = planNodes(plan).count(_.isInstanceOf[ShuffleExchangeExec])
-    assert(shuffles === 1, s"$shuffles shuffles:\n$plan")
+    val plan = out.queryExecution.executedPlan.toString
+    // keyed-PrefixSum shape: data windows partition by (__psid, __g);
+    // a `windowspecdefinition(__g#…, __v…)` (or a percent_rank window
+    // over the raw rows) would be the pre-r13 giant-group reducer sort
+    assert(!plan.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), plan)
+    assert(!plan.contains("percent_rank"), plan)
+    assert(plan.contains("cum___c"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("p77: the zipf top-N cut pushes down as a group limit; one corpus scan") {
@@ -592,6 +593,50 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!cp.contains("CartesianProduct"), cp)
   }
 
+  test("p98: priority sampling never windows over the group key on data") {
+    val out = graft.operators.Splits.prioritySample(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", "n_chars", k = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    // keyed-PrefixSum shape: data windows partition by (__psid, lang);
+    // a `windowspecdefinition(lang#…, __nq…)` would be the old
+    // every-row-of-a-group-through-one-reducer sort
+    assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, __nq.*"), plan)
+    assert(plan.contains("cum___one"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p133/p195: gini and weighted quantiles never window over the group key on data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val gp = graft.operators.Profile.giniByGroup(docs, "source", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!gp.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), gp)
+    assert(gp.contains("cum___c"), gp)
+    val wq = graft.operators.Profile.weightedQuantilesByGroup(
+      docs.select(col("source"), col("n_chars"),
+        (col("doc_id") % 7 + 1).cast("double").as("w")),
+      "source", "n_chars", "w", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!wq.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), wq)
+    assert(wq.contains("cum___w"), wq)
+  }
+
+  test("p134: spearman midranks never window over the group key on data") {
+    val out = graft.operators.Profile.spearmanByGroup(
+      Tables.events(spark, dir).filter(col("ts").isNotNull)
+        .withColumn("hour_x",
+          expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(" +
+            "cast(ts as timestamp)), 3600000000)) div 3600000000")),
+      "event_type", "hour_x", "value")
+    val plan = out.queryExecution.executedPlan.toString
+    // pre-r13 this ranked each axis with rank()/count() windows over the
+    // group key — every row of a group through one reducer, twice
+    assert(!plan.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), plan)
+    assert(plan.contains("cum___c"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("p165: survival chains two keyed prefix scans, no per-cohort data window") {
     val ev = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
@@ -613,14 +658,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("p166: the journey cut is TakeOrderedAndProject with no window at all") {
+  test("p166: journey cut is TakeOrderedAndProject; per-user pre-rank prunes as WindowGroupLimit") {
     val out = graft.operators.Sessionize.topPaths(
       Tables.events(spark, dir).filter(col("ts").isNotNull)
         .withColumn("ts_c", expr("cast(ts as timestamp)")),
       "user_id", "ts_c", "event_id", "event_type", pathLen = 4, topK = 20)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.toLowerCase.contains("window"), plan)
+    // the rn <= pathLen cut pushes down as a per-partition group limit,
+    // so a heavy actor's history is pruned map-side before the user
+    // exchange — the collect_list buffer is then bounded at pathLen
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 
   test("p187: the per-column top-1 prunes as WindowGroupLimit before the exchange") {

@@ -73,18 +73,18 @@ class ProfileSpec extends SparkSpecBase {
 
   test("giniByGroup: equality is 0, concentration approaches 1, negatives refuse") {
     val eq = Seq.tabulate(10)(i => ("e", i.toLong, 7.0)).toDF("g", "id", "v")
-    val r1 = Profile.giniByGroup(eq, "g", "v", "id").head()
+    val r1 = Profile.giniByGroup(eq, "g", "v").head()
     assert(math.abs(r1.getAs[Double]("gini")) < 1e-12)
     val conc = (Seq.tabulate(9)(i => ("c", i.toLong, 0.0)) :+ (("c", 9L, 100.0)))
       .toDF("g", "id", "v")
-    val r2 = Profile.giniByGroup(conc, "g", "v", "id").head()
+    val r2 = Profile.giniByGroup(conc, "g", "v").head()
     // G = (2*10*100 - 11*100) / (10*100) = 0.9
     assert(math.abs(r2.getAs[Double]("gini") - 0.9) < 1e-12)
     val neg = Seq(("n", 1L, -1.0), ("n", 2L, 5.0)).toDF("g", "id", "v")
-    val r3 = Profile.giniByGroup(neg, "g", "v", "id").head()
+    val r3 = Profile.giniByGroup(neg, "g", "v").head()
     assert(r3.isNullAt(r3.fieldIndex("gini")))
     val zero = Seq(("z", 1L, 0.0), ("z", 2L, 0.0)).toDF("g", "id", "v")
-    val r4 = Profile.giniByGroup(zero, "g", "v", "id").head()
+    val r4 = Profile.giniByGroup(zero, "g", "v").head()
     assert(r4.isNullAt(r4.fieldIndex("gini")), "all-zero total is undefined")
   }
 
@@ -92,13 +92,13 @@ class ProfileSpec extends SparkSpecBase {
     // sorted v: 1,2,3,4 -> G = (2*(1+4+9+16) - 5*10)/(4*10) = 10/40 = 0.25
     val df = Seq(("g", 1L, 3.0), ("g", 2L, 1.0), ("g", 3L, 4.0), ("g", 4L, 2.0))
       .toDF("g", "id", "v")
-    val r = Profile.giniByGroup(df, "g", "v", "id").head()
+    val r = Profile.giniByGroup(df, "g", "v").head()
     assert(math.abs(r.getAs[Double]("gini") - 0.25) < 1e-12)
     // duplicate values with shuffled ids: same gini regardless of tie order
     val ties1 = Seq(("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 6.0)).toDF("g", "id", "v")
     val ties2 = Seq(("g", 2L, 2.0), ("g", 1L, 2.0), ("g", 3L, 6.0)).toDF("g", "id", "v")
-    assert(Profile.giniByGroup(ties1, "g", "v", "id").head().getAs[Double]("gini") ===
-      Profile.giniByGroup(ties2, "g", "v", "id").head().getAs[Double]("gini"))
+    assert(Profile.giniByGroup(ties1, "g", "v").head().getAs[Double]("gini") ===
+      Profile.giniByGroup(ties2, "g", "v").head().getAs[Double]("gini"))
   }
 
   test("spearmanByGroup: monotone-nonlinear is 1, discordant hand-case is 0.6") {
@@ -667,5 +667,68 @@ class ProfileSpec extends SparkSpecBase {
     assert(m(("h", 1L)) === Seq(1))
     assert(m(("h", 7L)) === Seq(4))
     assert(rows.count(_._1._1 == "h") === 6, "row-level output keeps duplicates")
+  }
+
+  test("giniByGroup: hand-computed coefficients, tie-exact, constant group is 0") {
+    import graft.operators.Profile
+    // a: 1,2,3,4 -> G = Sum((2i-n-1)x)/(n*Sumx) = (-3-2+3+12)/40 = 0.25
+    // b: constant -> 0; c: 1,1,2 (ties) -> 2/12 = 0.166666667
+    // d: a negative value -> gini NULL, rows stay visible in n/total
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 5L), ("b", 5L),
+      ("c", 1L), ("c", 1L), ("c", 2L),
+      ("d", -7L), ("d", 1L), ("d", 3L))).toDF("g", "v")
+    val got = Profile.giniByGroup(df, "g", "v")
+      .select("g", "n", "total", "gini")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((4L, 10.0, Some(0.25))))
+    assert(got("b") === ((3L, 15.0, Some(0.0))))
+    assert(got("c") === ((3L, 4.0, Some(0.166666667))))
+    assert(got("d") === ((3L, -3.0, None)))
+    // all-zero group: total 0 -> gini NULL
+    val z = Profile.giniByGroup(Seq(("z", 0L)).toDF("g", "v"), "g", "v").head()
+    assert(z.isNullAt(z.fieldIndex("gini")))
+  }
+
+  test("weightedQuantilesByGroup: mass-weighted picks; unit weights equal quantilesByGroup") {
+    import graft.operators.Profile
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 8.0))
+      .toDF("g", "v", "w")
+    val r = Profile.weightedQuantilesByGroup(df, "g", "v", "w", Seq(0.5, 0.9))
+      .head()
+    assert(r.getAs[Long]("n") === 3L && r.getAs[Double]("w_total") === 10.0)
+    assert(r.getAs[Long]("q50") === 3L && r.getAs[Long]("q90") === 3L)
+    // q10 lands on the first value: cum 1*1e6 >= 10*1e5
+    val r2 = Profile.weightedQuantilesByGroup(df, "g", "v", "w", Seq(0.1))
+      .head()
+    assert(r2.getAs[Long]("q10") === 1L)
+    // unit weights reduce to the unweighted nearest-rank quantiles
+    val u = (1 to 10).map(i => ("g", i.toLong, 1.0)).toDF("g", "v", "w")
+    val wq = Profile.weightedQuantilesByGroup(u, "g", "v", "w", Seq(0.5, 0.99))
+      .select("g", "q50", "q99").as[(String, Long, Long)].head()
+    val eq = Profile.quantilesByGroup(u, "g", "v", Seq(0.5, 0.99))
+      .select("g", "q50", "q99").as[(String, Long, Long)].head()
+    assert(wq === eq)
+    // zero/negative/null-weight rows carry no mass
+    val dirty = Seq(("g", 1L, Some(0.0)), ("g", 2L, Some(-1.0)),
+      ("g", 3L, None), ("g", 4L, Some(2.0))).toDF("g", "v", "w")
+    val d = Profile.weightedQuantilesByGroup(dirty, "g", "v", "w", Seq(0.5))
+      .head()
+    assert(d.getAs[Long]("n") === 1L && d.getAs[Long]("q50") === 4L)
+  }
+
+  test("weightedStatsByGroup: hand-computed mean and Kish ESS") {
+    import graft.operators.Profile
+    val df = Seq(("g", 10.0, 1.0), ("g", 20.0, 3.0),
+      ("h", 5.0, 2.0), ("h", 7.0, 2.0)).toDF("g", "v", "w")
+    val got = Profile.weightedStatsByGroup(df, "g", "v", "w")
+      .select("g", "n", "w_total", "mean_w", "ess")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // g: sw=4, swv=70 -> mean 17.5; ess = 16/10 = 1.6
+    assert(got("g") === ((2L, 4.0, 17.5, 1.6)))
+    // equal weights: ess == n exactly
+    assert(got("h") === ((2L, 4.0, 6.0, 2.0)))
   }
 }

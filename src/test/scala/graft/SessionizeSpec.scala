@@ -407,4 +407,5 @@ class SessionizeSpec extends SparkSpecBase {
     assert(cp.getAs[Long]("n_within") === 0L) // purchase 3h after click
     assert(cp.getAs[Double]("cvr_within") === 0.0)
   }
+
 }

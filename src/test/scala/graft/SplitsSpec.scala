@@ -266,6 +266,37 @@ class SplitsSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("prioritySample: giant group spread over many partitions matches the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // ONE group holding ~all rows, scattered over 16 input partitions —
+    // the shape the keyed-PrefixSum rank exists for
+    val rows = (1 to 5000).map(i => ("giant", i.toLong, (i % 23 + 1).toLong)) ++
+      (1 to 3).map(i => ("tiny", 9000L + i, 2L))
+    val df = rows.toDF("g", "id", "w").repartition(16)
+    val k = 37
+    val got = Splits.prioritySample(df, "g", "id", "w", k = k, salt = "gg")
+      .select("g", "id", "priority", "weight_est")
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    // reference: the pre-migration single-window formulation, inline
+    val u = (Splits.hashValue60(col("id").cast("string"), "prio:gg")
+      .cast("double") + lit(0.5)) / lit(graft.operators.Sketch.HashSpace)
+    val win = Window.partitionBy(col("g"))
+    val ref = df.filter(col("w").isNotNull && col("w").cast("double") > 0.0)
+      .withColumn("priority", col("w").cast("double") / u)
+      .withColumn("__rn", row_number().over(
+        win.orderBy(col("priority").desc, col("id"))))
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("priority"))).over(win))
+      .filter(col("__rn") <= k)
+      .withColumn("weight_est",
+        when(col("__tau").isNull, col("w").cast("double"))
+          .otherwise(greatest(col("w").cast("double"), col("__tau"))))
+      .select("g", "id", "priority", "weight_est")
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length === k + 3)
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("prioritySample: HT subset-sum estimate is unbiased across salts") {
     val rows = (1 to 300).map(i => ("g", i.toLong, (i % 13 + 1).toLong))
     val trueSum = rows.map(_._3).sum.toDouble
