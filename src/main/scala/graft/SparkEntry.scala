@@ -7311,7 +7311,7 @@ object SparkEntry {
         .filter(col("lang").isNotNull && col("source").isNotNull)
         // md5 halves, NOT doc_id parity: the fixture's parity aligns
         // exactly with source (one side empty -> psi NULL everywhere),
-        // which exercised nothing (round-13 fix; p197/p191 use the same
+        // which exercised nothing (round-13 fix; p196/p191 use the same
         // device with salt 'js'). Salt 'psi' chosen so no (p-q)*ln9 term
         // lands on a double->DECIMAL(25,9) rendering boundary at
         // sf0.001/sf0.01 — Spark quantizes the shortest double repr,
@@ -7784,7 +7784,7 @@ object SparkEntry {
     //     feeds): value at the smallest cumulative weight reaching
     //     p·W — cumW·10⁶ >= W·pMicro in exact integer/decimal
     //     arithmetic on both engines, no division in the decision.
-    register("p195_weighted_quantiles",
+    register("p194_weighted_quantiles",
       """WITH b AS (SELECT lang AS g, n_chars AS v,
         |    (('0x' || substring(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 10 + 1) AS w
@@ -7819,7 +7819,7 @@ object SparkEntry {
     // --- weighted per-source moments + Kish effective sample size
     //     under the same planted weights: (Σw)²/Σw² — the "how many
     //     unweighted rows is this weighted sample worth" report.
-    register("p196_weighted_stats",
+    register("p195_weighted_stats",
       """WITH b AS (SELECT source AS g, n_chars AS v,
         |    (('0x' || substring(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 10 + 1) AS w
@@ -7852,7 +7852,7 @@ object SparkEntry {
     //     language mixes: the bounded symmetric twin of p180's PSI —
     //     zero-probability values contribute their honest ½·ln 2 mass,
     //     no epsilon anywhere; each term ln9-rounded, decimal-summed.
-    register("p197_js_divergence",
+    register("p196_js_divergence",
       """WITH ca AS (SELECT source AS g, lang AS v,
         |    CAST(COUNT(*) AS BIGINT) AS na FROM documents
         |  WHERE (('0x' || substring(md5('js:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -7896,5 +7896,132 @@ object SparkEntry {
         .orderBy(col("source"))
     }
 
+    // --- Wilson score interval for the per-source English rate: the
+    //     audit-sampling CI that stays inside [0,1] at k=0/k=n. One
+    //     map-side-combinable aggregation; z enters as a shared literal
+    //     and the interval is one identically-associated IEEE tree.
+    register("p197_wilson_interval",
+      """WITH a AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY source),
+        |f AS (SELECT g, n, n_pos,
+        |    n_pos::DOUBLE / n::DOUBLE AS p,
+        |    1.0 + (1.959963985::DOUBLE * 1.959963985::DOUBLE) / n::DOUBLE AS denom
+        |  FROM a)
+        |SELECT g AS source, n, n_pos, p AS rate,
+        |  GREATEST((p + (1.959963985::DOUBLE * 1.959963985::DOUBLE) / (2.0 * n::DOUBLE))
+        |      / denom -
+        |    (1.959963985::DOUBLE * sqrt(p * (1.0 - p) / n::DOUBLE +
+        |      (1.959963985::DOUBLE * 1.959963985::DOUBLE) / (4.0 * n::DOUBLE * n::DOUBLE)))
+        |      / denom, 0.0) AS ci_lo,
+        |  LEAST((p + (1.959963985::DOUBLE * 1.959963985::DOUBLE) / (2.0 * n::DOUBLE))
+        |      / denom +
+        |    (1.959963985::DOUBLE * sqrt(p * (1.0 - p) / n::DOUBLE +
+        |      (1.959963985::DOUBLE * 1.959963985::DOUBLE) / (4.0 * n::DOUBLE * n::DOUBLE)))
+        |      / denom, 1.0) AS ci_hi
+        |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.wilsonIntervalByGroup(
+          t(s, dir, "documents")
+            .filter(col("source").isNotNull && col("lang").isNotNull)
+            .select(col("source"), (col("lang") === "en").as("l")),
+          "source", "l")
+        .orderBy(col("source"))
+    }
+
+    // --- Murphy decomposition of the Brier score per source over a
+    //     half-informative planted forecast (md5 grid + 0.3·label — bins overlap, so REL and RES are both nontrivial):
+    //     BRIER = REL − RES + UNC on the distinct-forecast partition;
+    //     every per-bin term a fixed IEEE tree through DECIMAL(25,9).
+    register("p198_brier_decomposition",
+      """WITH b AS (SELECT source AS g,
+        |    (('0x' || substring(md5('bf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 50)::DOUBLE / 100.0 +
+        |      (CASE WHEN lang = 'en' THEN 0.3 ELSE 0.0 END) AS f,
+        |    (lang = 'en') AS y
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |cells AS (SELECT g, f, CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS yk
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(SUM(nk) AS BIGINT) AS n,
+        |    CAST(SUM(yk) AS BIGINT) AS pos FROM cells GROUP BY g)
+        |SELECT g AS source, n, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+        |  MAX(pos::DOUBLE / n::DOUBLE) AS base_rate,
+        |  CAST(SUM(CAST(nk::DOUBLE * (f - yk::DOUBLE / nk::DOUBLE) *
+        |      (f - yk::DOUBLE / nk::DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)
+        |    / n::DOUBLE AS reliability,
+        |  CAST(SUM(CAST(nk::DOUBLE *
+        |      (yk::DOUBLE / nk::DOUBLE - pos::DOUBLE / n::DOUBLE) *
+        |      (yk::DOUBLE / nk::DOUBLE - pos::DOUBLE / n::DOUBLE)
+        |      AS DECIMAL(25,9))) AS DOUBLE) / n::DOUBLE AS resolution,
+        |  MAX(pos::DOUBLE / n::DOUBLE) *
+        |    (1.0 - MAX(pos::DOUBLE / n::DOUBLE)) AS uncertainty,
+        |  CAST(SUM(CAST(nk::DOUBLE * f * f - 2.0 * f * yk::DOUBLE +
+        |      yk::DOUBLE AS DECIMAL(25,9))) AS DOUBLE) / n::DOUBLE AS brier
+        |FROM cells JOIN t USING (g) GROUP BY g, n
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("source"),
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "bf") % 50)
+            .cast("double") / lit(100.0) +
+            when(col("lang") === "en", 0.3).otherwise(0.0)).as("f"),
+          (col("lang") === "en").as("y"))
+      graft.operators.Eval.brierDecompositionByGroup(docs, "source", "f", "y")
+        .orderBy(col("source"))
+    }
+
+    // --- conditional bigram entropy H(next|prev) per source (Shannon
+    //     1951): the templatedness signal — within-doc bigrams only,
+    //     ln9 terms, DECIMAL(25,9) sums, pair-cardinality frames.
+    register("p199_cond_entropy",
+      s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS toks
+         |  FROM documents WHERE source IS NOT NULL),
+         |bi AS (SELECT source AS g, toks[i] AS a, toks[i + 1] AS b
+         |  FROM (SELECT source, toks,
+         |      unnest(range(1, len(toks))) AS i FROM t
+         |    WHERE len(toks) >= 2)),
+         |p AS (SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bi GROUP BY 1, 2, 3),
+         |ctx AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS ca
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM p GROUP BY g)
+         |SELECT g AS source, n AS n_bigrams,
+         |  CAST(COUNT(DISTINCT a) AS BIGINT) AS n_contexts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  -CAST(SUM(CAST((c::DOUBLE / n::DOUBLE) *
+         |    CAST(ROUND(CAST(ln(c::DOUBLE / ca::DOUBLE) AS DECIMAL(25,12)),
+         |      9) AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE) AS cond_entropy
+         |FROM p JOIN ctx USING (g, a) JOIN tot USING (g)
+         |GROUP BY g, n ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.conditionalEntropy(
+          t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }
+
+    // --- per-source lexical profile: tokens, types, TTR, hapax share —
+    //     the Zipf-tail vitals (organic text carries a fat hapax share;
+    //     templates and ID noise sit at the extremes). One (group,
+    //     token) count aggregation, one rollup.
+    register("p200_lexical_profile",
+      s"""WITH tok AS (SELECT source AS g, unnest($toksLowerSql) AS t
+         |  FROM documents WHERE source IS NOT NULL),
+         |c AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT g AS source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(COUNT(*) AS BIGINT)::DOUBLE /
+         |    CAST(SUM(c) AS BIGINT)::DOUBLE AS ttr,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE /
+         |    CAST(COUNT(*) AS BIGINT)::DOUBLE AS hapax_share
+         |FROM c GROUP BY g ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.lexicalProfile(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }
   }
 }

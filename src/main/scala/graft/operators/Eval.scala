@@ -847,4 +847,103 @@ object Eval {
         when(col("first_pos_rank").isNotNull,
           lit(1.0) / col("first_pos_rank").cast("double")).as("rr"))
   }
+
+  /** Wilson score interval for a per-group binary rate (Wilson 1927 —
+    * the interval that stays inside [0, 1] and behaves at k = 0 / k = n
+    * where the naive normal interval collapses): the "is this source's
+    * defect/positive rate credibly above the threshold" report an
+    * audit-sampling pass ends with. `z` is the normal quantile
+    * (default 1.959963985, the two-sided 95% value — a shared literal,
+    * never an erf call, so both engines agree). Output per group:
+    * (groupCol, n, n_pos longs, rate, ci_lo, ci_hi doubles — lo/hi
+    * clamped to [0, 1]). NULL group/label rows drop.
+    *
+    * Determinism contract: rate is ONE division of exact integers; the
+    * interval is one fixed IEEE tree (z·z computed in-expression, one
+    * correctly-rounded sqrt) written with identical association in the
+    * oracle.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation; no join, no
+    * window. */
+  def wilsonIntervalByGroup(df: DataFrame, groupCol: String,
+      labelCol: String, z: Double = 1.959963985): DataFrame = {
+    require(z > 0.0, s"wilsonIntervalByGroup: z must be > 0, got $z")
+    val g = col(s"`$groupCol`")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val agg = df.filter(g.isNotNull && lb.isNotNull)
+      .groupBy(g.as("__g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(lb, 1L).otherwise(0L)), lit(0L)).as("n_pos"))
+    val nD = col("n").cast("double")
+    val p = col("n_pos").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    agg.select(col("__g").as(groupCol), col("n"), col("n_pos"),
+      p.as("rate"),
+      greatest(center - half, lit(0.0)).as("ci_lo"),
+      least(center + half, lit(1.0)).as("ci_hi"))
+  }
+
+  /** Murphy decomposition of the Brier score per group (Murphy 1973):
+    * BRIER = RELIABILITY − RESOLUTION + UNCERTAINTY over the partition
+    * by DISTINCT forecast value — reliability (calibration error mass:
+    * how far each forecast bin's observed rate sits from the forecast),
+    * resolution (how much the bins separate the base rate — the part
+    * a sharper model earns), uncertainty (ȳ(1−ȳ), the irreducible
+    * floor). The three-number diagnosis behind a flat
+    * [[calibrationCurve]]: is a bad Brier miscalibration or just a
+    * hard problem? Output per group: (groupCol, n long, n_forecasts
+    * long — distinct forecast values, base_rate, reliability,
+    * resolution, uncertainty, brier doubles — brier computed
+    * independently row-wise; REL − RES + UNC reproduces it exactly in
+    * ℝ, to FP residue here — the spec pins the identity at 1e-9).
+    * NULL group/prob/label rows drop.
+    *
+    * Determinism contract: every per-bin term (n_k, y_k exact longs;
+    * f exact input double) is a fixed IEEE tree quantized to
+    * DECIMAL(25,9) before the order-independent sum; each reported
+    * score is ONE division by n.
+    *
+    * 100 TB shape: rows collapse to per-(group, forecast) cells
+    * (map-side combinable, forecast-cardinality), a |groups|-row
+    * totals broadcast, one group aggregation. */
+  def brierDecompositionByGroup(df: DataFrame, groupCol: String,
+      probCol: String, labelCol: String): DataFrame = {
+    val dec = DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val p = col(s"`$probCol`").cast("double")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val cells = df.filter(g.isNotNull && p.isNotNull && lb.isNotNull)
+      .groupBy(g.as("__g"), p.as("__f"))
+      .agg(count(lit(1)).as("__nk"),
+        sum(when(lb, 1L).otherwise(0L)).as("__yk"))
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__nk")).as("n"), sum(col("__yk")).as("__pos"))
+    val nkD = col("__nk").cast("double")
+    val ybark = col("__yk").cast("double") / nkD
+    val ybar = col("__pos").cast("double") / col("n").cast("double")
+    cells.join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_forecasts"),
+        max(ybar).as("base_rate"),
+        sum((nkD * (col("__f") - ybark) * (col("__f") - ybark))
+          .cast(dec)).as("__rel"),
+        sum((nkD * (ybark - ybar) * (ybark - ybar)).cast(dec)).as("__res"),
+        // Σ_rows (f − y)² = Σ_k n_k·f² − 2·f·y_k + y_k, exact per cell
+        sum((nkD * col("__f") * col("__f") -
+          lit(2.0) * col("__f") * col("__yk").cast("double") +
+          col("__yk").cast("double")).cast(dec)).as("__b"))
+      .select(col("__g").as(groupCol), col("n"), col("n_forecasts"),
+        col("base_rate"),
+        (col("__rel").cast("double") / col("n").cast("double"))
+          .as("reliability"),
+        (col("__res").cast("double") / col("n").cast("double"))
+          .as("resolution"),
+        (col("base_rate") * (lit(1.0) - col("base_rate")))
+          .as("uncertainty"),
+        (col("__b").cast("double") / col("n").cast("double")).as("brier"))
+  }
 }

@@ -228,4 +228,59 @@ object LmScore {
       stager: Stager = Stager.LocalCheckpoint): DataFrame =
     scoreBigramKN(docs, idCol, textCol, docs, textCol, vocabSize,
       stager = stager)
+
+  /** Conditional bigram entropy H(next | prev) per group — Shannon's
+    * printed-English measure (Shannon 1951) as a TEMPLATEDNESS signal:
+    * H = −Σ_{a,b} (c(ab)/N)·ln(c(ab)/c(a·)) in nats over each group's
+    * within-document word bigrams (lowercased whitespace tokens, the
+    * shared toks contract; bigrams never span documents). Low H = the
+    * next word is predictable from the previous one — boilerplate,
+    * templates, generated filler; high H tracks organic prose. The
+    * bigram-level complement of [[graft.operators.TextAudit]]'s
+    * per-document signals and the unigram `tokenEntropy`. Output per
+    * group: (groupCol, n_bigrams, n_contexts, n_pairs longs — total
+    * bigrams, distinct first words, distinct (a,b) pairs,
+    * cond_entropy double — NULL only on an empty group, which emits
+    * no row). NULL groups drop; docs with < 2 tokens contribute
+    * nothing.
+    *
+    * Determinism contract: c(ab)/N and c(ab)/c(a·) are single
+    * divisions of exact integers; each ln passes ln9 (the 9-dp
+    * decimal rounding); each term is one multiply quantized to
+    * DECIMAL(25,9) before the order-independent sum.
+    *
+    * 100 TB shape: ONE per-doc window pass builds the bigram stream
+    * ([[graft.operators.Dedup.shingleRows]], doc-cardinality keys),
+    * rows collapse to per-(group, a, b) counts (map-side combinable),
+    * context totals re-aggregate the pair frame, join back on
+    * (group, a) — pair-cardinality frames only — and a |groups|-row
+    * totals broadcast feeds one final group aggregation. */
+  def conditionalEntropy(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val bi = Dedup.shingleRows(docs.filter(g.isNotNull), idCol, textCol, 2,
+        carryCols = Seq(groupCol))
+      .select(g.as("__g"),
+        element_at(split(col("shingle"), " ", 2), 1).as("__a"),
+        element_at(split(col("shingle"), " ", 2), 2).as("__b"))
+    val pairs = bi.groupBy(col("__g"), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ctx = pairs.groupBy(col("__g"), col("__a"))
+      .agg(sum(col("__c")).as("__ca"))
+    val totals = pairs.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"))
+    pairs.join(ctx, Seq("__g", "__a"))
+      .join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_bigrams"),
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("__a")).as("n_contexts"),
+        sum(((col("__c").cast("double") / col("__n").cast("double")) *
+          round(log(col("__c").cast("double") / col("__ca").cast("double"))
+            .cast("decimal(25,12)"), 9).cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 9))).as("__h"))
+      .select(col("__g").as(groupCol), col("n_bigrams"), col("n_contexts"),
+        col("n_pairs"),
+        negate(col("__h").cast("double")).as("cond_entropy"))
+  }
 }

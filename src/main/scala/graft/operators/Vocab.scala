@@ -414,4 +414,40 @@ object Vocab {
           col("n_oov").cast("double") / col("n_words").cast("double"))
           .as("oov_rate"))
   }
+
+  /** Per-group lexical profile: token volume, distinct types,
+    * type–token ratio and hapax-legomena share — the corpus-linguistics
+    * vitals that separate organic text (hapax share ~40–60% by Zipf)
+    * from templated or generated filler (tiny TTR, near-zero hapax) and
+    * from ID-like noise columns (TTR → 1). Per-source, the companion of
+    * [[graft.operators.Profile.heapsFit]]'s growth curve: this is the
+    * point estimate at the corpus you have. Tokens are lowercased
+    * whitespace splits (the shared toks contract). Output per group
+    * with ≥ 1 token: (groupCol, n_tokens, n_types, n_hapax longs, ttr,
+    * hapax_share doubles — each ONE division of exact integers). NULL
+    * groups/texts drop.
+    *
+    * 100 TB shape: ONE map-side-combinable (group, token) count
+    * aggregation, one group rollup — no join, no window; shuffles
+    * carry tokens and counters. */
+  def lexicalProfile(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val counts = docs.filter(g.isNotNull)
+      .select(g.as("__g"),
+        explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+"))
+          .as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+  }
 }

@@ -201,6 +201,17 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(graft.operators.Profile.spearmanByGroup(
       Seq.empty[(String, Double, Double)].toDF("g", "x", "y"),
       "g", "x", "y").count() === 0L)
+    assert(graft.operators.Eval.wilsonIntervalByGroup(
+      Seq.empty[(String, Boolean)].toDF("g", "l"), "g", "l").count() === 0L)
+    assert(graft.operators.Eval.brierDecompositionByGroup(
+      Seq.empty[(String, Double, Boolean)].toDF("g", "f", "y"),
+      "g", "f", "y").count() === 0L)
+    assert(graft.operators.LmScore.conditionalEntropy(
+      Seq.empty[(Long, String, String)].toDF("id", "src", "text"),
+      "id", "text", "src").count() === 0L)
+    assert(graft.operators.Vocab.lexicalProfile(
+      Seq.empty[(String, String)].toDF("src", "text"),
+      "src", "text").count() === 0L)
     assert(graft.operators.Dedup.duplicatedRunExtents(
       Seq.empty[(Long, String)].toDF("doc_id", "text"),
       "doc_id", "text", runN = 4).count() === 0L)

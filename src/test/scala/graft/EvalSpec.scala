@@ -558,4 +558,53 @@ class EvalSpec extends SparkSpecBase {
     assert(rows("g1").getAs[Double]("rr") === 0.5)
     assert(rows("g2").isNullAt(rows("g2").fieldIndex("rr")))
   }
+
+  test("wilsonIntervalByGroup: boundary counts stay in [0,1]; interval brackets the rate") {
+    import graft.operators.Eval
+    val z = 1.959963985
+    val df = (Seq.tabulate(10)(i => ("all", true)) ++
+      Seq.tabulate(10)(i => ("none", false)) ++
+      Seq.tabulate(100)(i => ("mix", i < 20))).toDF("g", "l")
+    val got = Eval.wilsonIntervalByGroup(df, "g", "l")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // k = n: hi pins to 1, lo = 1/(1 + z^2/n) (the Wilson closed form)
+    val all = got("all")
+    assert(all.getAs[Double]("rate") === 1.0)
+    assert(math.abs(all.getAs[Double]("ci_hi") - 1.0) < 1e-12)
+    assert(math.abs(all.getAs[Double]("ci_lo") -
+      1.0 / (1.0 + z * z / 10.0)) < 1e-9)
+    // k = 0 mirrors
+    val none = got("none")
+    assert(none.getAs[Double]("rate") === 0.0)
+    assert(math.abs(none.getAs[Double]("ci_lo")) < 1e-12)
+    assert(math.abs(none.getAs[Double]("ci_hi") -
+      (z * z / 10.0) / (1.0 + z * z / 10.0)) < 1e-9)
+    // interior: the interval brackets the rate and stays in [0, 1]
+    val mix = got("mix")
+    assert(mix.getAs[Long]("n") === 100L && mix.getAs[Long]("n_pos") === 20L)
+    assert(mix.getAs[Double]("ci_lo") > 0.12 &&
+      mix.getAs[Double]("ci_lo") < 0.2)
+    assert(mix.getAs[Double]("ci_hi") > 0.2 &&
+      mix.getAs[Double]("ci_hi") < 0.3)
+  }
+
+  test("brierDecompositionByGroup: hand case; BRIER = REL - RES + UNC") {
+    import graft.operators.Eval
+    // bins: f=.8 (T,T,F), f=.2 (F,F) -> ybar=.4
+    // REL = (3*(.8-2/3)^2 + 2*.04)/5; RES = (3*(2/3-.4)^2 + 2*.16)/5
+    // UNC = .24; BRIER = .8/5 = .16
+    val df = Seq(("g", 0.8, true), ("g", 0.8, true), ("g", 0.8, false),
+      ("g", 0.2, false), ("g", 0.2, false)).toDF("g", "f", "y")
+    val r = Eval.brierDecompositionByGroup(df, "g", "f", "y").head()
+    assert(r.getAs[Long]("n") === 5L && r.getAs[Long]("n_forecasts") === 2L)
+    assert(r.getAs[Double]("base_rate") === 0.4)
+    assert(math.abs(r.getAs[Double]("reliability") - 0.4 / 15.0) < 1e-8)
+    assert(math.abs(r.getAs[Double]("resolution") - 1.6 / 15.0) < 1e-8)
+    assert(r.getAs[Double]("uncertainty") === 0.24)
+    assert(math.abs(r.getAs[Double]("brier") - 0.16) < 1e-8)
+    val identity = r.getAs[Double]("reliability") -
+      r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty")
+    assert(math.abs(identity - r.getAs[Double]("brier")) < 1e-9,
+      "Murphy identity must hold to quantization residue")
+  }
 }

@@ -105,4 +105,25 @@ class LmScoreSpec extends SparkSpecBase {
     val ctxX = p(2, 3, 2, 1) + p(1, 3, 2, 1) + p(0, 3, 2, 2) // y, z, x
     assert(math.abs(ctxX - 1.0) < 1e-12, s"context-x mass $ctxX")
   }
+
+  test("conditionalEntropy: deterministic text is 0; hand-computed split context") {
+    // "a b a b": pairs (a,b)x2, (b,a)x1 -> every context deterministic -> 0
+    val det = Seq((1L, "g", "a b a b")).toDF("id", "src", "text")
+    val r0 = LmScore.conditionalEntropy(det, "id", "text", "src").head()
+    assert(r0.getAs[Long]("n_bigrams") === 3L)
+    assert(r0.getAs[Double]("cond_entropy") === 0.0)
+    // "x y x z": context x splits 50/50 -> H = (2/3)*ln2 with ln9 terms:
+    // 2 * round9((1/3)*(-ln9 2)) = -0.462098120 -> 0.462098120
+    val mix = Seq((1L, "g", "x y x z")).toDF("id", "src", "text")
+    val r1 = LmScore.conditionalEntropy(mix, "id", "text", "src").head()
+    assert(r1.getAs[Long]("n_bigrams") === 3L)
+    assert(r1.getAs[Long]("n_contexts") === 2L)
+    assert(r1.getAs[Long]("n_pairs") === 3L)
+    assert(r1.getAs[Double]("cond_entropy") === 0.462098120)
+    // bigrams never span documents: "p q" + "q r" share no (q,q) bridge
+    val two = Seq((1L, "g", "p q"), (2L, "g", "q r")).toDF("id", "src", "text")
+    val r2 = LmScore.conditionalEntropy(two, "id", "text", "src").head()
+    assert(r2.getAs[Long]("n_bigrams") === 2L)
+    assert(r2.getAs[Double]("cond_entropy") === 0.0)
+  }
 }

@@ -607,7 +607,7 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("p133/p195: gini and weighted quantiles never window over the group key on data") {
+  test("p133/p194: gini and weighted quantiles never window over the group key on data") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val gp = graft.operators.Profile.giniByGroup(docs, "source", "n_chars")
       .queryExecution.executedPlan.toString

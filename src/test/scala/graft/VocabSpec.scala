@@ -189,4 +189,20 @@ class VocabSpec extends SparkSpecBase {
     assert(got("xx") === (("xx", 1L, 0L, 0L, 0L, None, None)))
     assert(got("yy") === (("yy", 1L, 0L, 0L, 0L, None, None)))
   }
+
+  test("lexicalProfile: tokens/types/hapax per group, case-folded, null-safe") {
+    val df = Seq(
+      ("g", "a b a c"), ("g", "b d"),
+      ("h", "A a"), ("h", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], "ignored")).toDF("src", "text")
+    val got = Vocab.lexicalProfile(df, "src", "text")
+      .select("src", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_share")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // g: a2 b2 c1 d1
+    assert(got("g") === (("g", 6L, 4L, 2L, 4.0 / 6.0, 0.5)))
+    // h: "A a" folds to one type with count 2 -> no hapax
+    assert(got("h") === (("h", 2L, 1L, 0L, 0.5, 0.0)))
+    assert(!got.contains(null), "null group drops")
+  }
 }
