@@ -8023,5 +8023,94 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
     }
+
+    // --- AUC with the DeLong CI per source over the planted
+    //     half-informative score: midrank placements off one
+    //     keyed-PrefixSum scan, placement moments through
+    //     DECIMAL(25,9), one mirrored IEEE tree for auc/se/ci.
+    register("p201_auc_delong",
+      """WITH b AS (SELECT source AS g,
+        |    (('0x' || substring(md5('bf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000)::DOUBLE / 1000.0 +
+        |      (CASE WHEN lang = 'en' THEN 0.3 ELSE 0.0 END) AS s,
+        |    (lang = 'en') AS l
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |cnt AS (SELECT g, s,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(SUM(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT g, s, cp, cn,
+        |    CAST(SUM(cp) OVER (PARTITION BY g ORDER BY s) AS BIGINT) AS ccp,
+        |    CAST(SUM(cn) OVER (PARTITION BY g ORDER BY s) AS BIGINT) AS ccn
+        |  FROM cnt),
+        |t AS (SELECT g, CAST(SUM(cp) AS BIGINT) AS n1,
+        |    CAST(SUM(cn) AS BIGINT) AS n0 FROM cnt GROUP BY g),
+        |m AS (SELECT g, n1, n0,
+        |    SUM(CAST(cp::DOUBLE * (((ccn - cn)::DOUBLE + 0.5 * cn::DOUBLE)
+        |      / n0::DOUBLE) AS DECIMAL(25,9))) AS sp,
+        |    SUM(CAST(cp::DOUBLE * (((ccn - cn)::DOUBLE + 0.5 * cn::DOUBLE)
+        |      / n0::DOUBLE) * (((ccn - cn)::DOUBLE + 0.5 * cn::DOUBLE)
+        |      / n0::DOUBLE) AS DECIMAL(25,9))) AS sp2,
+        |    SUM(CAST(cn::DOUBLE * (((n1 - ccp)::DOUBLE + 0.5 * cp::DOUBLE)
+        |      / n1::DOUBLE) AS DECIMAL(25,9))) AS sq,
+        |    SUM(CAST(cn::DOUBLE * (((n1 - ccp)::DOUBLE + 0.5 * cp::DOUBLE)
+        |      / n1::DOUBLE) * (((n1 - ccp)::DOUBLE + 0.5 * cp::DOUBLE)
+        |      / n1::DOUBLE) AS DECIMAL(25,9))) AS sq2
+        |  FROM cum JOIN t USING (g) GROUP BY g, n1, n0),
+        |f AS (SELECT g, n1, n0, CAST(sp AS DOUBLE) / n1::DOUBLE AS auc,
+        |    sp2, sq2 FROM m),
+        |h AS (SELECT g, n1, n0, auc,
+        |    sqrt(GREATEST((CAST(sp2 AS DOUBLE) - n1::DOUBLE * auc * auc)
+        |        / (n1::DOUBLE - 1.0), 0.0) / n1::DOUBLE +
+        |      GREATEST((CAST(sq2 AS DOUBLE) - n0::DOUBLE * auc * auc)
+        |        / (n0::DOUBLE - 1.0), 0.0) / n0::DOUBLE) AS se
+        |  FROM f)
+        |SELECT g AS source, n1 AS n_pos, n0 AS n_neg,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN auc END AS auc,
+        |  CASE WHEN n1 > 1 AND n0 > 1 THEN se END AS se,
+        |  CASE WHEN n1 > 1 AND n0 > 1 THEN
+        |    GREATEST(auc - 1.959963985::DOUBLE * se, 0.0) END AS ci_lo,
+        |  CASE WHEN n1 > 1 AND n0 > 1 THEN
+        |    LEAST(auc + 1.959963985::DOUBLE * se, 1.0) END AS ci_hi
+        |FROM h ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("source"),
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "bf") % 1000)
+            .cast("double") / lit(1000.0) +
+            when(col("lang") === "en", 0.3).otherwise(0.0)).as("sc"),
+          (col("lang") === "en").as("l"))
+      graft.operators.Eval.aucCiByGroup(docs, "source", "sc", "l")
+        .orderBy(col("source"))
+    }
+
+    // --- Hill tail-index of doc length per language (Hill 1975): top
+    //     k+1 order statistics via a WindowGroupLimit-pruned rank, ln9
+    //     logs, DECIMAL(25,9) sum, one IEEE closed form.
+    register("p202_hill_tail",
+      """WITH b AS (SELECT lang AS g, n_chars::DOUBLE AS v,
+        |    CAST(ROUND(CAST(ln(n_chars::DOUBLE) AS DECIMAL(25,12)), 9)
+        |      AS DOUBLE) AS lv
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND n_chars > 0),
+        |tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY g),
+        |r AS (SELECT g, v, lv,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |  FROM b),
+        |rf AS (SELECT g, lv AS ref FROM r WHERE rn = 6),
+        |a AS (SELECT r.g, COUNT(*) AS m,
+        |    SUM(CAST(r.lv - rf.ref AS DECIMAL(25,9))) AS sh
+        |  FROM r JOIN rf ON r.g = rf.g WHERE rn <= 5
+        |  GROUP BY r.g HAVING COUNT(*) = 5),
+        |f AS (SELECT g, CAST(sh AS DOUBLE) / 5.0 AS h FROM a)
+        |SELECT f.g AS lang, tot.n, 5 AS k, h AS h_mean,
+        |  CASE WHEN h > 0.0 THEN 1.0 / h END AS hill_alpha
+        |FROM f JOIN tot ON f.g = tot.g ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.hillTailIndex(
+          t(s, dir, "documents"), "lang", "n_chars", k = 5)
+        .orderBy(col("lang"))
+    }
   }
 }

@@ -247,26 +247,34 @@ object Eval {
     * DECIMAL(25,15) (order-independent); the final mean is one more
     * division rounded the same way.
     *
-    * 100 TB shape: one per-group window pass (rank + running positive
-    * count share a single partition-by-group sort exchange) and one
-    * aggregation — groups parallelize across executors; a single group
-    * is bounded by its own row count, the usual per-group-window
-    * contract (q07/q08). */
+    * NULL group/tie rows also drop ((score, tie) must be distinct
+    * non-null tuples within a group — the
+    * [[PrefixSum.withKeyedRunningSums]] order contract; feed a unique
+    * id as the tiebreak).
+    *
+    * 100 TB shape (the r13 migration off the per-group sort window):
+    * rank and running positive count ride ONE
+    * [[PrefixSum.withKeyedRunningSums]] scan over (−score, tie) — a
+    * giant group (one query with a corpus-sized candidate list) never
+    * sorts through a single reducer — then one aggregation. */
   def avgPrecisionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
-      labelCol: String, tieCol: String): DataFrame = {
+      labelCol: String, tieCol: String,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
     val base = df
-      .filter(col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull)
-      .select(col(s"`$groupCol`").as("__g"), col(s"`$scoreCol`").as("__s"),
+      .filter(col(s"`$groupCol`").isNotNull &&
+        col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull &&
+        col(s"`$tieCol`").isNotNull)
+      .select(col(s"`$groupCol`").as("__g"),
+        negate(col(s"`$scoreCol`").cast("double")).as("__ns"),
+        col(s"`$tieCol`").as("__tb"),
         col(s"`$labelCol`").cast("boolean").as("__l"),
-        col(s"`$tieCol`").as("__tb"))
-    val w = Window.partitionBy(col("__g"))
-      .orderBy(col("__s").desc, col("__tb").asc)
-    val ranked = base
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cp", sum(when(col("__l"), 1L).otherwise(0L))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        lit(1L).as("__one"))
+      .withColumn("__posc", when(col("__l"), 1L).otherwise(0L))
+    val ranked = PrefixSum.withKeyedRunningSums(
+        base, Seq("__g"), Seq("__ns", "__tb"), Seq("__one", "__posc"), stager)
       .withColumn("__prec",
-        round((col("__cp").cast("double") / col("__rn").cast("double"))
+        round((col("cum___posc").cast("double") /
+          col("cum___one").cast("double"))
           .cast(DecimalType(25, 12)), 9).cast("double"))
     ranked.groupBy(col("__g").as(groupCol))
       .agg(count(lit(1)).as("n"),
@@ -444,24 +452,37 @@ object Eval {
     * ranking's positions — using the group's own ranked rows as the
     * rank series (no generator needed).
     *
-    * 100 TB shape: one per-group window pass (rank + the positive-count
-    * total share one partition-by-group sort) and one aggregation. */
+    * NULL group/tie rows also drop (the keyed-PrefixSum order
+    * contract — feed a unique id as the tiebreak).
+    *
+    * 100 TB shape (the r13 migration off the per-group sort window):
+    * rank and the positive-count running sum ride ONE
+    * [[PrefixSum.withKeyedRunningSums]] scan over (−score, tie); the
+    * per-group positive total is a |groups|-row broadcast read from
+    * the same scan — a giant group never sorts through one reducer —
+    * then one aggregation. */
   def ndcgByGroup(df: DataFrame, groupCol: String, scoreCol: String,
-      labelCol: String, tieCol: String, k: Int): DataFrame = {
+      labelCol: String, tieCol: String, k: Int,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"ndcgByGroup: k must be >= 1, got $k")
     val ln9 = (c: Column) =>
       round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
     val base = df
-      .filter(col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull)
-      .select(col(s"`$groupCol`").as("__g"), col(s"`$scoreCol`").as("__s"),
+      .filter(col(s"`$groupCol`").isNotNull &&
+        col(s"`$scoreCol`").isNotNull && col(s"`$labelCol`").isNotNull &&
+        col(s"`$tieCol`").isNotNull)
+      .select(col(s"`$groupCol`").as("__g"),
+        negate(col(s"`$scoreCol`").cast("double")).as("__ns"),
+        col(s"`$tieCol`").as("__tb"),
         col(s"`$labelCol`").cast("boolean").as("__l"),
-        col(s"`$tieCol`").as("__tb"))
-    val w = Window.partitionBy(col("__g"))
-      .orderBy(col("__s").desc, col("__tb").asc)
-    val wg = Window.partitionBy(col("__g"))
-    val ranked = base
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__np", sum(when(col("__l"), 1L).otherwise(0L)).over(wg))
+        lit(1L).as("__one"))
+      .withColumn("__posc", when(col("__l"), 1L).otherwise(0L))
+    val ranked0 = PrefixSum.withKeyedRunningSums(
+      base, Seq("__g"), Seq("__ns", "__tb"), Seq("__one", "__posc"), stager)
+    val totals = ranked0.groupBy(col("__g"))
+      .agg(max(col("cum___posc")).as("__np"))
+    val ranked = ranked0.join(broadcast(totals), Seq("__g"))
+      .withColumn("__rn", col("cum___one"))
       .withColumn("__disc", ln9(lit(2.0)) / ln9((col("__rn") + 1L).cast("double")))
     val d15 = DecimalType(25, 15)
     ranked.groupBy(col("__g").as(groupCol))
@@ -846,6 +867,75 @@ object Eval {
       .select(col("__g").as(groupCol), col("n"), col("first_pos_rank"),
         when(col("first_pos_rank").isNotNull,
           lit(1.0) / col("first_pos_rank").cast("double")).as("rr"))
+  }
+
+  /** AUC with a DeLong confidence interval per group (DeLong, DeLong &
+    * Clarke-Pearson 1988): the standard error every model-comparison
+    * writeup needs next to [[aucByGroup]]'s point estimate. Placements
+    * (per positive: the midrank fraction of negatives below it; per
+    * negative: the fraction of positives above) have mean = AUC and
+    * their two sample variances give SE² = v10/n1 + v01/n0. Output per
+    * group: (groupCol, n_pos, n_neg longs, auc, se, ci_lo, ci_hi
+    * doubles — auc NULL without both classes, se/ci NULL unless both
+    * classes have ≥ 2 rows; ci clamped to [0, 1], z a shared literal).
+    * NULL group/score/label rows drop.
+    *
+    * Determinism contract: placements are fixed IEEE trees over exact
+    * cumulative counts; placement moments quantize to DECIMAL(25,9)
+    * (order-independent sums); auc/v10/v01/se are fixed trees with
+    * variance clamped at 0 against cast residue — all mirrored in the
+    * oracle.
+    *
+    * 100 TB shape: rows collapse to per-(group, score) class counts,
+    * ONE [[PrefixSum.withKeyedRunningSums]] ascending scan supplies
+    * both cumulative class counts (no per-group window — aucByGroup's
+    * bounded-group caveat removed), a |groups|-row totals broadcast,
+    * one moment aggregation. */
+  def aucCiByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, z: Double = 1.959963985,
+      stager: graft.operators.Stager = graft.operators.Stager.LocalCheckpoint): DataFrame = {
+    require(z > 0.0, s"aucCiByGroup: z must be > 0, got $z")
+    val dec = DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val sc = col(s"`$scoreCol`")
+    val lb = col(s"`$labelCol`").cast("boolean")
+    val counts = df.filter(g.isNotNull && sc.isNotNull && lb.isNotNull)
+      .groupBy(g.as("__g"), sc.as("__s"))
+      .agg(sum(when(lb, 1L).otherwise(0L)).as("__cp"),
+        sum(when(!lb, 1L).otherwise(0L)).as("__cn"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__s"), Seq("__cp", "__cn"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___cp")).as("__n1"), max(col("cum___cn")).as("__n0"))
+    val n1D = col("__n1").cast("double")
+    val n0D = col("__n0").cast("double")
+    // midrank placements: positives against negatives and vice versa
+    val pv = ((col("cum___cn") - col("__cn")).cast("double") +
+      lit(0.5) * col("__cn").cast("double")) / n0D
+    val qv = ((col("__n1") - col("cum___cp")).cast("double") +
+      lit(0.5) * col("__cp").cast("double")) / n1D
+    val agg = cum.join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n1")).as("n_pos"), max(col("__n0")).as("n_neg"),
+        sum((col("__cp").cast("double") * pv).cast(dec)).as("__sp"),
+        sum((col("__cp").cast("double") * pv * pv).cast(dec)).as("__sp2"),
+        sum((col("__cn").cast("double") * qv).cast(dec)).as("__sq"),
+        sum((col("__cn").cast("double") * qv * qv).cast(dec)).as("__sq2"))
+    val nP = col("n_pos").cast("double")
+    val nN = col("n_neg").cast("double")
+    val auc = col("__sp").cast("double") / nP
+    val v10 = greatest((col("__sp2").cast("double") - nP * auc * auc) /
+      (nP - lit(1.0)), lit(0.0))
+    val v01 = greatest((col("__sq2").cast("double") - nN * auc * auc) /
+      (nN - lit(1.0)), lit(0.0))
+    val se = sqrt(v10 / nP + v01 / nN)
+    agg.select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L, auc).as("auc"),
+      when(col("n_pos") > 1L && col("n_neg") > 1L, se).as("se"),
+      when(col("n_pos") > 1L && col("n_neg") > 1L,
+        greatest(auc - lit(z) * se, lit(0.0))).as("ci_lo"),
+      when(col("n_pos") > 1L && col("n_neg") > 1L,
+        least(auc + lit(z) * se, lit(1.0))).as("ci_hi"))
   }
 
   /** Wilson score interval for a per-group binary rate (Wilson 1927 —

@@ -337,9 +337,11 @@ object Profile {
     * each mean is ONE IEEE division.
     *
     * 100 TB shape: one per-group sort window (the exact-order-statistic
-    * cost, same giant-group caveat as [[calibrateByGroup]] — swap in
-    * [[Sketch.quantileProfile]] cuts for groups that overwhelm one
-    * reducer) and one final aggregation. */
+    * cost). CAVEAT: a giant group sorts through one reducer; for such
+    * groups either take the cuts from [[quantilesByGroup]] (the keyed-
+    * PrefixSum nearest-rank machinery — exactness preserved) or accept
+    * the [[Sketch.quantileProfile]] sample band. One final
+    * aggregation. */
   def robustStats(df: DataFrame, groupCol: String, valueCol: String,
       loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
     require(loPct >= 0.0 && hiPct <= 1.0 && loPct < hiPct,
@@ -849,8 +851,10 @@ object Profile {
     * integer-valued columns) with ONE IEEE division each.
     *
     * 100 TB shape: one per-group sort window feeds ranks, boundaries
-    * and all three sums over the same exchange — the
-    * [[calibrateByGroup]] giant-group caveat applies. */
+    * and all three sums over the same exchange. CAVEAT: a giant group
+    * sorts through one reducer; swap the cut ranks onto
+    * [[quantilesByGroup]]'s keyed-PrefixSum machinery for such groups
+    * (exactness preserved — same integer-micros rank rule). */
   def trimmedMeanByGroup(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, trimMicro: Long = 50000L): DataFrame = {
     require(trimMicro >= 0L && trimMicro < 500000L,
@@ -1337,6 +1341,62 @@ object Profile {
           micros.map(pick)): _*)
       .select(col("__g").as(groupCol) +: col("n") +: col("w_total") +:
         micros.map(m => col(s"q${m / 10000L}")): _*)
+  }
+
+  /** Hill tail-index estimator per group (Hill 1975): over the top
+    * k + 1 order statistics of a positive value, H = (1/k)·Σᵢ₌₁..ₖ
+    * (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) and α = 1/H — "how heavy is this source's
+    * length/size tail", the value-tail complement of [[zipfFit]]'s
+    * frequency power law (α ≈ 1–2 = very heavy Pareto tail where a
+    * mean is fragile; large α = thin tail). Output per group with at
+    * least k + 1 positive rows: (groupCol, n long — positive rows,
+    * k int, h_mean double, hill_alpha double — NULL when H ≤ 0, i.e.
+    * the top k ties the reference value exactly). Rows with NULL
+    * group/value or value ≤ 0 drop (the estimator lives on logs);
+    * groups under k + 1 positive rows emit no row (no stable tail).
+    *
+    * Determinism contract: each ln passes the 9-dp decimal rounding
+    * (ln9); each DIFFERENCE ln x₍ᵢ₎ − ln x₍ₖ₊₁₎ is one IEEE subtract
+    * quantized to DECIMAL(25,9) before the order-independent sum (so a
+    * fully-tied top yields H = 0 EXACTLY, not an FP residue); H and α
+    * are fixed IEEE trees. Ties at the k/k+1 boundary pick identical
+    * VALUES regardless of intra-tie order, so the estimate is
+    * order-independent.
+    *
+    * 100 TB shape: the rank ≤ k+1 cut pushes down as WindowGroupLimit
+    * (per-partition top-(k+1) heaps BEFORE the group exchange — the
+    * p77 zipf pattern), so the window never sorts a group; the
+    * reference row and totals are group-cardinality broadcasts. */
+  def hillTailIndex(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"hillTailIndex: k must be >= 2, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`").cast("double")
+    val ln9v = round(log(v).cast(
+      org.apache.spark.sql.types.DecimalType(25, 12)), 9).cast("double")
+    val base = df.filter(g.isNotNull && v.isNotNull && v > 0.0)
+      .select(g.as("__g"), v.as("__v"), ln9v.as("__lv"))
+    val totals = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v").desc)
+    val top = base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+    // the (k+1)-th order statistic: an inner join drops groups that
+    // never reach k+1 positive rows (no stable tail estimate)
+    val refs = top.filter(col("__rn") === k + 1)
+      .select(col("__g"), col("__lv").as("__ref"))
+    val agg = top.filter(col("__rn") <= k)
+      .join(broadcast(refs), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__m"),
+        sum((col("__lv") - col("__ref")).cast(dec)).as("__sh"))
+      .filter(col("__m") === k)
+    val h = col("__sh").cast("double") / lit(k.toDouble)
+    agg.join(totals, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), lit(k).as("k"),
+        h.as("h_mean"),
+        when(h > 0.0, lit(1.0) / h).as("hill_alpha"))
   }
 
   /** Weighted per-group moment report: weight total, weighted mean and

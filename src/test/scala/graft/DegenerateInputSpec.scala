@@ -203,6 +203,12 @@ class DegenerateInputSpec extends SparkSpecBase {
       "g", "x", "y").count() === 0L)
     assert(graft.operators.Eval.wilsonIntervalByGroup(
       Seq.empty[(String, Boolean)].toDF("g", "l"), "g", "l").count() === 0L)
+    assert(graft.operators.Eval.aucCiByGroup(
+      Seq.empty[(String, Double, Boolean)].toDF("g", "s", "l"),
+      "g", "s", "l").count() === 0L)
+    assert(graft.operators.Profile.hillTailIndex(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", k = 3)
+      .count() === 0L)
     assert(graft.operators.Eval.brierDecompositionByGroup(
       Seq.empty[(String, Double, Boolean)].toDF("g", "f", "y"),
       "g", "f", "y").count() === 0L)

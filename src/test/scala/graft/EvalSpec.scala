@@ -559,6 +559,33 @@ class EvalSpec extends SparkSpecBase {
     assert(rows("g2").isNullAt(rows("g2").fieldIndex("rr")))
   }
 
+  test("aucCiByGroup: hand-computed DeLong SE; auc agrees with aucByGroup; guards") {
+    import graft.operators.Eval
+    // pos {3,1}, neg {2,0}: placements pos = {1, .5} -> auc .75,
+    // v10 = v01 = .125 -> se = sqrt(.125/2 + .125/2) = sqrt(.125)
+    val df = Seq(("g", 3.0, true), ("g", 1.0, true),
+      ("g", 2.0, false), ("g", 0.0, false)).toDF("g", "s", "l")
+    val r = Eval.aucCiByGroup(df, "g", "s", "l").head()
+    assert(r.getAs[Double]("auc") === 0.75)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(0.125)) < 1e-9)
+    assert(r.getAs[Double]("ci_hi") === 1.0, "ci clamps to [0,1]")
+    assert(r.getAs[Double]("ci_lo") > 0.0 && r.getAs[Double]("ci_lo") < 0.75)
+    // the point estimate matches aucByGroup (midrank tie convention)
+    val big = (1 to 60).map { i =>
+      ("h", (i * 2654435761L % 97).toDouble + (if (i % 3 == 0) 20.0 else 0.0),
+        i % 3 == 0)
+    }.toDF("g", "s", "l")
+    val a1 = Eval.aucCiByGroup(big, "g", "s", "l").head().getAs[Double]("auc")
+    val a2 = Eval.aucByGroup(big, "g", "s", "l").head().getAs[Double]("auc")
+    assert(math.abs(a1 - a2) < 1e-9, s"$a1 vs $a2")
+    // a single-row class: auc defined, se/ci NULL
+    val tiny = Seq(("t", 2.0, true), ("t", 1.0, false), ("t", 0.0, false))
+      .toDF("g", "s", "l")
+    val rt = Eval.aucCiByGroup(tiny, "g", "s", "l").head()
+    assert(rt.getAs[Double]("auc") === 1.0)
+    assert(rt.isNullAt(rt.fieldIndex("se")))
+  }
+
   test("wilsonIntervalByGroup: boundary counts stay in [0,1]; interval brackets the rate") {
     import graft.operators.Eval
     val z = 1.959963985

@@ -622,6 +622,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(wq.contains("cum___w"), wq)
   }
 
+  test("p142/p152: AP and NDCG ranks never window over the group key on data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("l"))
+    val ap = graft.operators.Eval.avgPrecisionByGroup(
+      docs, "source", "n_chars", "l", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!ap.matches("(?s).*windowspecdefinition\\(__g#\\d+, __ns.*"), ap)
+    assert(ap.contains("cum___one"), ap)
+    val nd = graft.operators.Eval.ndcgByGroup(
+      docs, "source", "n_chars", "l", "doc_id", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!nd.matches("(?s).*windowspecdefinition\\(__g#\\d+, __ns.*"), nd)
+    assert(nd.contains("cum___one"), nd)
+  }
+
   test("p134: spearman midranks never window over the group key on data") {
     val out = graft.operators.Profile.spearmanByGroup(
       Tables.events(spark, dir).filter(col("ts").isNotNull)

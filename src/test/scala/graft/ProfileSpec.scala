@@ -718,6 +718,32 @@ class ProfileSpec extends SparkSpecBase {
     assert(d.getAs[Long]("n") === 1L && d.getAs[Long]("q50") === 4L)
   }
 
+  test("hillTailIndex: hand-computed H over top-k logs; tie/short-group guards") {
+    import graft.operators.Profile
+    def l9(x: Double): Double = BigDecimal(math.log(x))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = ((1 to 10).map(i => ("g", i.toLong)) ++
+      (1 to 4).map(_ => ("tie", 7L)) ++
+      (1 to 3).map(i => ("short", i.toLong))).toDF("g", "v")
+    val got = Profile.hillTailIndex(df, "g", "v", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // g: top 3 = 10,9,8 | ref 7; per-term (ln xi - ln ref) quantized 9dp
+    def t9(x: Double): Double = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h = (t9(l9(10) - l9(7)) + t9(l9(9) - l9(7)) + t9(l9(8) - l9(7))) / 3.0
+    val rg = got("g")
+    assert(rg.getAs[Long]("n") === 10L && rg.getAs[Int]("k") === 3)
+    assert(math.abs(rg.getAs[Double]("h_mean") - h) < 1e-12)
+    assert(math.abs(rg.getAs[Double]("hill_alpha") - 1.0 / h) < 1e-9)
+    // all-tied top: H = 0 -> alpha NULL
+    val rt = got("tie")
+    assert(rt.getAs[Double]("h_mean") === 0.0)
+    assert(rt.isNullAt(rt.fieldIndex("hill_alpha")))
+    // fewer than k+1 positive rows: no row at all
+    assert(!got.contains("short"))
+  }
+
   test("weightedStatsByGroup: hand-computed mean and Kish ESS") {
     import graft.operators.Profile
     val df = Seq(("g", 10.0, 1.0), ("g", 20.0, 3.0),
