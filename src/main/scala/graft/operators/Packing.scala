@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
   * still gets exactly one bin assignment (it will overflow its bin — the
   * caller decides whether to truncate or drop; `oversize` marks it).
   *
-  * 100 TB shape: ONE window (cumulative sum) partitioned by `groupCol` —
-  * groups pack independently and in parallel, so the window never sees a
-  * global total order. Pack within natural domains (split, language,
-  * source shard): a single global group would serialize into one
-  * partition and is rejected unless `allowGlobal` is set (the escape
-  * hatch for small corpora, where it is merely a single-task sort).
+  * 100 TB shape (the r13 migration off the cumulative-sum windows):
+  * the per-group running token count rides
+  * [[PrefixSum.withKeyedRunningSums]] — a giant group (per-language
+  * packing over a corpus-sized language) never serializes into one
+  * window reducer — and GLOBAL packing (groupCol = None) rides
+  * [[PrefixSum.withRunningSums]]' range exchange, so it distributes
+  * too; `allowGlobal` is retained for API compatibility but no longer
+  * gates anything (the single-reducer hazard it guarded is gone).
+  * `idCol` values must be DISTINCT and non-null (the prefix-sum order
+  * contract — already the semantic contract here: ties in the packing
+  * order would be nondeterministic); NULL ids and NULL groups drop.
   */
 object Packing {
 
@@ -34,28 +39,31 @@ object Packing {
       budget: Long,
       groupCol: Option[String] = None,
       binCol: String = "bin",
-      allowGlobal: Boolean = false): DataFrame = {
+      allowGlobal: Boolean = false,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    require(groupCol.isDefined || allowGlobal,
-      "global packing serializes into one window partition at scale; pass a " +
-        "groupCol (split/lang/shard) or set allowGlobal=true for small data")
-    (Seq(binCol, "oversize") intersect df.columns).foreach(c =>
-      throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    (Seq(binCol, "oversize", "__pk_t", "cum___pk_t") intersect df.columns)
+      .foreach(c => throw new IllegalArgumentException(
+        s"output column '$c' already exists in the input"))
     val toks = col(s"`$tokensCol`").cast("long")
-    val w = groupCol
-      .map(g => Window.partitionBy(col(s"`$g`")))
-      .getOrElse(Window.partitionBy())
-      .orderBy(col(s"`$idCol`"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df
-      .withColumn("__cum", sum(toks).over(w))
+    val id = col(s"`$idCol`")
+    val base0 = df.filter(id.isNotNull).withColumn("__pk_t", toks)
+    val cum = groupCol match {
+      case Some(g) =>
+        PrefixSum.withKeyedRunningSums(
+          base0.filter(col(s"`$g`").isNotNull),
+          Seq(g), Seq(idCol), Seq("__pk_t"), stager)
+      case None =>
+        PrefixSum.withRunningSums(base0, Seq(idCol), Seq("__pk_t"), stager)
+    }
+    cum
       // exact LONG floor-division (SQL `div`), not a double `/` + cast:
       // double loses exactness past 2^53 cumulative tokens, and engines
       // disagree on double->int conversion (truncate vs round)
-      .withColumn("__before", col("__cum") - toks)
+      .withColumn("__before", col("cum___pk_t") - col("__pk_t"))
       .withColumn(binCol, expr(s"__before div ${budget}L"))
-      .withColumn("oversize", toks > budget)
-      .drop("__cum", "__before")
+      .withColumn("oversize", col("__pk_t") > budget)
+      .drop("cum___pk_t", "__pk_t", "__before")
   }
 
   /** Overlapping fixed-size windows over each document's whitespace-token

@@ -69,14 +69,15 @@ class PackingSpec extends SparkSpecBase {
     assert(got === Seq(("en", 0L), ("en", 1L), ("fr", 0L), ("fr", 1L)))
   }
 
-  test("guard rails: bad budget, global without opt-in, colliding output column") {
+  test("guard rails: bad budget, colliding output column; global needs no opt-in since r13") {
     val df = Seq((1L, 10L)).toDF("doc_id", "n_tokens")
     intercept[IllegalArgumentException] {
       Packing.assignBins(df, "doc_id", "n_tokens", 0L, allowGlobal = true)
     }
-    intercept[IllegalArgumentException] {
-      Packing.assignBins(df, "doc_id", "n_tokens", 100L) // no group, no opt-in
-    }
+    // the r13 distributed global path (range-exchange prefix sum)
+    // removed the single-reducer hazard allowGlobal used to guard
+    assert(Packing.assignBins(df, "doc_id", "n_tokens", 100L)
+      .select("bin").as[Long].head() === 0L)
     val clash = df.withColumn("bin", lit(1))
     intercept[IllegalArgumentException] {
       Packing.assignBins(clash, "doc_id", "n_tokens", 100L, allowGlobal = true)

@@ -622,6 +622,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(wq.contains("cum___w"), wq)
   }
 
+  test("p25: packing's running token count never windows over the group key on data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val out = graft.operators.Packing.assignBins(
+      docs, "doc_id", "n_tokens", 512L, groupCol = Some("lang"))
+    val plan = out.queryExecution.executedPlan.toString
+    // pre-r13 this was sum().over(Window.partitionBy(lang).orderBy(id))
+    // — a corpus-sized language serialized into one reducer
+    assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, doc_id.*"), plan)
+    assert(plan.contains("cum___pk_t"), plan)
+  }
+
   test("p142/p152: AP and NDCG ranks never window over the group key on data") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("source"), col("doc_id"), col("n_chars"),
