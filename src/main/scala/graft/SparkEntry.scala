@@ -8112,5 +8112,55 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", "n_chars", k = 5)
         .orderBy(col("lang"))
     }
+
+    // --- Welch's t + Cohen's d per source (en vs non-en doc lengths):
+    //     the parametric mean-shift panel next to p178's rank test —
+    //     decimal-exact moments, 0-clamped variances, mirrored IEEE
+    //     trees for t / Welch–Satterthwaite df / pooled-SD d.
+    register("p203_welch_t",
+      """WITH ca AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    SUM(CAST(n_chars::DOUBLE AS DECIMAL(25,9))) AS sa,
+        |    SUM(CAST(n_chars::DOUBLE * n_chars::DOUBLE AS DECIMAL(25,9))) AS qa
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+        |    AND source IS NOT NULL GROUP BY source),
+        |cb AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    SUM(CAST(n_chars::DOUBLE AS DECIMAL(25,9))) AS sb,
+        |    SUM(CAST(n_chars::DOUBLE * n_chars::DOUBLE AS DECIMAL(25,9))) AS qb
+        |  FROM documents WHERE lang != 'en' AND n_chars IS NOT NULL
+        |    AND source IS NOT NULL GROUP BY source),
+        |v AS (SELECT g, n_a, n_b,
+        |    CAST(sa AS DOUBLE) / n_a::DOUBLE AS ma,
+        |    CAST(sb AS DOUBLE) / n_b::DOUBLE AS mb,
+        |    GREATEST((n_a::DOUBLE * CAST(qa AS DOUBLE) -
+        |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) /
+        |      (n_a::DOUBLE * (n_a::DOUBLE - 1.0)), 0.0) AS va,
+        |    GREATEST((n_b::DOUBLE * CAST(qb AS DOUBLE) -
+        |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |      (n_b::DOUBLE * (n_b::DOUBLE - 1.0)), 0.0) AS vb
+        |  FROM ca JOIN cb USING (g)),
+        |f AS (SELECT g, n_a, n_b, ma, mb, va, vb,
+        |    va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2,
+        |    ((n_a::DOUBLE - 1.0) * va + (n_b::DOUBLE - 1.0) * vb) /
+        |      (n_a::DOUBLE + n_b::DOUBLE - 2.0) AS pooled
+        |  FROM v)
+        |SELECT g AS source, n_a, n_b, ma AS mean_a, mb AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0 THEN
+        |    (ma - mb) / sqrt(se2) END AS t,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0 THEN
+        |    (se2 * se2) /
+        |      ((va / n_a::DOUBLE) * (va / n_a::DOUBLE) / (n_a::DOUBLE - 1.0) +
+        |       (vb / n_b::DOUBLE) * (vb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0))
+        |    END AS df,
+        |  CASE WHEN n_a + n_b > 2 AND pooled > 0.0 THEN
+        |    (ma - mb) / sqrt(pooled) END AS cohens_d
+        |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+      graft.operators.Drift.welchTByGroup(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "source", "n_chars")
+        .orderBy(col("source"))
+    }
   }
 }

@@ -801,6 +801,60 @@ object Drift {
           .as("cramers_v"))
   }
 
+  /** Welch's unequal-variance t statistic + Cohen's d per group
+    * (Welch 1947; Cohen 1988): the PARAMETRIC mean-shift test and its
+    * effect size, completing the per-group drift battery's location
+    * panel ([[mannWhitneyByGroup]] is the rank twin — Welch answers
+    * "did the MEAN move and by how many pooled SDs", which a product
+    * decision usually wants next to the nonparametric p-value).
+    * Output per group: (groupCol, n_a, n_b longs, mean_a, mean_b,
+    * t, df, cohens_d doubles — t/df NULL unless both sides have ≥ 2
+    * rows and the standard error is positive; cohens_d NULL when the
+    * pooled variance is 0; df is Welch–Satterthwaite). NULL
+    * group/value rows drop.
+    *
+    * Determinism contract: sums and sums-of-squares quantize through
+    * DECIMAL(25,9) (v·v is ONE IEEE multiply — exact for
+    * integer-valued columns); means, variances (0-clamped against FP
+    * residue), t, df and d are fixed IEEE trees mirrored in the
+    * oracle; √ is correctly rounded on both engines.
+    *
+    * 100 TB shape: one map-side-combinable moment aggregation per
+    * side, one group-keyed merge join — no window, no prefix scan. */
+  def welchTByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`").cast("double")
+    def moments(df: DataFrame, suffix: String) = df
+      .filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"))
+      .agg(count(lit(1)).as(s"n_$suffix"),
+        sum(v.cast(dec25_9)).as(s"__s$suffix"),
+        sum((v * v).cast(dec25_9)).as(s"__q$suffix"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"__s$s").cast("double") / nD(s)
+    def vr(s: String) = greatest(
+      (nD(s) * col(s"__q$s").cast("double") -
+        col(s"__s$s").cast("double") * col(s"__s$s").cast("double")) /
+        (nD(s) * (nD(s) - lit(1.0))), lit(0.0))
+    val se2 = vr("a") / nD("a") + vr("b") / nD("b")
+    val tOk = col("n_a") > 1L && col("n_b") > 1L && se2 > 0.0
+    val pooled = ((nD("a") - lit(1.0)) * vr("a") +
+      (nD("b") - lit(1.0)) * vr("b")) /
+      (nD("a") + nD("b") - lit(2.0))
+    moments(a, "a").join(moments(b, "b"), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        when(tOk, (mean("a") - mean("b")) / sqrt(se2)).as("t"),
+        when(tOk,
+          (se2 * se2) /
+            ((vr("a") / nD("a")) * (vr("a") / nD("a")) / (nD("a") - lit(1.0)) +
+             (vr("b") / nD("b")) * (vr("b") / nD("b")) / (nD("b") - lit(1.0))))
+          .as("df"),
+        when(col("n_a") + col("n_b") > 2L && pooled > 0.0,
+          (mean("a") - mean("b")) / sqrt(pooled)).as("cohens_d"))
+  }
+
   /** Per-group Jensen–Shannon divergence between the `keyCol` value
     * mixes of frames `a` and `b` (Lin 1991): JS = ½·Σ p·ln(p/m) +
     * ½·Σ q·ln(q/m) with m = (p+q)/2 — the bounded (≤ ln 2), symmetric

@@ -576,6 +576,68 @@ object Streams {
       }
   }
 
+  case class KeyJs(key: String, n_seen: Long, n_values: Long, js: Double)
+
+  /** Streaming Jensen–Shannon drift monitor: [[runningPsi]]'s bounded,
+    * symmetric, epsilon-free twin — per key, maintain the running
+    * categorical-value counts as keyed state and emit each batch the
+    * JS divergence of the stream-so-far mix against the static
+    * `baseline` mix. Zero-probability values need no epsilon (a 0-mass
+    * term is exactly 0), so a value seen on one side only contributes
+    * its honest ½·ln 2 mass and js stays in [0, ln 2]. State is
+    * O(distinct values) per key (categorical contract).
+    *
+    * Arithmetic is bit-identical to
+    * [[graft.operators.Drift.jsDivergenceByGroup]]: p and q single
+    * IEEE divisions, m = (p+q)/2 one add + one exact halving, each ln
+    * through the double→DECIMAL(25,12)→9-dp contract (StrictMath.log —
+    * Catalyst's Log), the two half-terms summed THEN quantized to
+    * scale 9 per value, decimal-exact total — StreamsSpec asserts a
+    * stream's final emission EQUALS the batch operator over the same
+    * rows vs the same baseline. Null values carry no observation. */
+  def runningJs(events: Dataset[(String, String)],
+      baseline: Map[String, Long]): Dataset[KeyJs] = {
+    require(baseline.nonEmpty && baseline.valuesIterator.forall(_ > 0L),
+      "baseline must be a non-empty positive count mix")
+    import events.sparkSession.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val bTotal = baseline.valuesIterator.sum
+    def dec(d: Double, scale: Int): JBD =
+      JBD.valueOf(d).setScale(scale, RM.HALF_UP)
+    def ln9(x: Double): Double =
+      dec(StrictMath.log(x), 12).setScale(9, RM.HALF_UP).doubleValue
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], KeyJs](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Map[String, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          var any = state.getOption.isDefined
+          for (r <- rows; v <- Option(r._2)) {
+            any = true
+            counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(counts)
+            val n = counts.valuesIterator.sum
+            val values = counts.keySet ++ baseline.keySet
+            var sum = JBD.ZERO.setScale(9)
+            for (v <- values) {
+              val na = counts.getOrElse(v, 0L)
+              val nb = baseline.getOrElse(v, 0L)
+              val p = na.toDouble / n
+              val q = nb.toDouble / bTotal
+              val m = (p + q) / 2.0
+              val termA = if (na > 0L) 0.5 * (p * ln9(p / m)) else 0.0
+              val termB = if (nb > 0L) 0.5 * (q * ln9(q / m)) else 0.0
+              sum = sum.add(dec(termA + termB, 9))
+            }
+            Iterator.single(KeyJs(key, n, values.size.toLong, sum.doubleValue))
+          }
+      }
+  }
+
   case class KeyKs(key: String, n_seen: Long, ks: Double, ks_at: Long)
 
   /** Streaming exact two-sample Kolmogorov–Smirnov drift monitor: per

@@ -209,6 +209,8 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(graft.operators.Profile.hillTailIndex(
       Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", k = 3)
       .count() === 0L)
+    assert(graft.operators.Drift.welchTByGroup(
+      eGV, eGV, "g", "v").count() === 0L)
     assert(graft.operators.Eval.brierDecompositionByGroup(
       Seq.empty[(String, Double, Boolean)].toDF("g", "f", "y"),
       "g", "f", "y").count() === 0L)

@@ -462,6 +462,31 @@ class DriftSpec extends SparkSpecBase {
     }
   }
 
+  test("welchTByGroup: hand-computed t, Welch df and Cohen's d; degenerate guards") {
+    // a = {1,2,3}: mean 2, var 1; b = {4,6}: mean 5, var 2
+    // se2 = 1/3 + 1 = 4/3; t = -3/sqrt(4/3); df = (16/9)/(19/18) = 32/19
+    // pooled = (2*1 + 1*2)/3 = 4/3; d = -3/sqrt(4/3)
+    val a = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("c", 5.0), ("c", 5.0),
+      ("one", 1.0)).toDF("g", "v")
+    val b = Seq(("g", 4.0), ("g", 6.0), ("c", 5.0), ("c", 5.0),
+      ("one", 2.0), ("one", 3.0)).toDF("g", "v")
+    val got = Drift.welchTByGroup(a, b, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rg = got("g")
+    assert(rg.getAs[Long]("n_a") === 3L && rg.getAs[Long]("n_b") === 2L)
+    assert(rg.getAs[Double]("mean_a") === 2.0 && rg.getAs[Double]("mean_b") === 5.0)
+    assert(math.abs(rg.getAs[Double]("t") - (-3.0 / math.sqrt(4.0 / 3.0))) < 1e-9)
+    assert(math.abs(rg.getAs[Double]("df") - 32.0 / 19.0) < 1e-9)
+    assert(math.abs(rg.getAs[Double]("cohens_d") -
+      (-3.0 / math.sqrt(4.0 / 3.0))) < 1e-9)
+    // both sides constant and equal: se2 = 0 -> t NULL, pooled 0 -> d NULL
+    val rc = got("c")
+    assert(rc.isNullAt(rc.fieldIndex("t")) && rc.isNullAt(rc.fieldIndex("cohens_d")))
+    // a 1-row side: t/df NULL (no variance estimate)
+    val r1 = got("one")
+    assert(r1.isNullAt(r1.fieldIndex("t")) && r1.isNullAt(r1.fieldIndex("df")))
+  }
+
   test("jsDivergenceByGroup: 0 on identical mixes, ln 2 on disjoint, symmetric, no epsilon") {
     val a = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "k")
     val same = Drift.jsDivergenceByGroup(a, a, "g", "k").head()

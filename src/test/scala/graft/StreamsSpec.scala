@@ -424,6 +424,46 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningJs's final emission equals the batch jsDivergenceByGroup vs the same baseline") {
+    val baseline = Map("en" -> 70L, "de" -> 20L, "fr" -> 10L)
+    val rows =
+      (1 to 40).map(_ => ("s1", "en")) ++ (1 to 35).map(_ => ("s1", "de")) ++
+      (1 to 5).map(_ => ("s1", "zz")) ++ // a value the baseline never saw
+      (1 to 14).map(_ => ("s2", "en")) ++ (1 to 4).map(_ => ("s2", "de")) ++
+      (1 to 2).map(_ => ("s2", "fr"))
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.runningJs(input.toDS(), baseline)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Streams.KeyJs)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streams.KeyJs], id: Long) =>
+        val batch = ds.collect()
+        emitted.synchronized { batch.foreach(r => emitted += ((id, r))) }
+      }.start()
+    try {
+      input.addData(rows.take(60): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized {
+        emitted.groupBy(_._2.key).map { case (k, rs) => k -> rs.maxBy(_._1)._2 }
+      }
+      val baseDf = baseline.toSeq.flatMap { case (v, n) =>
+        Seq.fill(n.toInt)(("x", v)) }.toDF("g", "k")
+      for (key <- Seq("s1", "s2")) {
+        val slice = rows.filter(_._1 == key).map(r => ("x", r._2)).toDF("g", "k")
+        val b = graft.operators.Drift.jsDivergenceByGroup(
+          slice, baseDf, "g", "k").head()
+        val s = streamed(key)
+        assert(s.n_seen === b.getAs[Long]("n_a"), s"$key n")
+        assert(s.n_values === b.getAs[Long]("n_values"), s"$key values")
+        assert(s.js === b.getAs[Double]("js"), s"$key js")
+      }
+      assert(streamed("s1").js > streamed("s2").js,
+        "the drifted slice must score higher")
+      assert(streamed("s1").js <= math.log(2.0) + 1e-9, "JS is bounded by ln 2")
+    } finally q.stop()
+  }
+
   test("runningKs's final emission equals the batch ksStatistic vs the same baseline") {
     val baseline = Map(10L -> 30L, 20L -> 50L, 30L -> 20L)
     val rows: Seq[(String, java.lang.Long)] =
