@@ -8162,5 +8162,48 @@ object SparkEntry {
           docs.filter(col("lang") =!= "en"), "source", "n_chars")
         .orderBy(col("source"))
     }
+
+    // --- k-anonymity audit over (lang, source) quasi-identifiers
+    //     (Sweeney 2002): the re-identification exposure report — one
+    //     class-cardinality aggregation + one scalar rollup.
+    register("p204_k_anonymity",
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, source)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  MIN(c) AS min_class_size,
+        |  CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below_k,
+        |  CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CASE WHEN SUM(c) > 0 THEN
+        |    CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)::DOUBLE /
+        |      CAST(SUM(c) AS BIGINT)::DOUBLE END AS share_below_k
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.operators.Scrub.kAnonymityProfile(
+        t(s, dir, "documents"), Seq("lang", "source"), k = 5L)
+    }
+
+    // --- l-diversity audit (Machanavajjhala 2007): distinct n_chars
+    //     per (lang, source) class — the homogeneity-attack check a
+    //     k-anonymous class can still fail.
+    register("p205_l_diversity",
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d
+        |  FROM documents GROUP BY lang, source)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  MIN(d) AS min_distinct_sensitive,
+        |  CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below_l,
+        |  CAST(SUM(CASE WHEN d < 3 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_l,
+        |  CASE WHEN SUM(c) > 0 THEN
+        |    CAST(SUM(CASE WHEN d < 3 THEN c ELSE 0 END) AS BIGINT)::DOUBLE /
+        |      CAST(SUM(c) AS BIGINT)::DOUBLE END AS share_below_l
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.operators.Scrub.lDiversityProfile(
+        t(s, dir, "documents"), Seq("lang", "source"), "n_chars", l = 3L)
+    }
   }
 }

@@ -47,4 +47,78 @@ object Scrub {
       case None => df.withColumn(textCol, red)
     }
   }
+
+  /** k-anonymity audit (Sweeney 2002): group rows by the
+    * quasi-identifier combination and report how much of the dataset
+    * sits in equivalence classes smaller than `k` — the re-identification
+    * exposure a governance review asks about BEFORE a dataset ships
+    * (the redaction pass above removes direct identifiers; this audits
+    * the quasi ones it cannot). One row: (n_rows, n_classes,
+    * min_class_size, n_classes_below_k, n_rows_below_k longs,
+    * share_below_k double — ONE division of exact integers; all-zero /
+    * NULL-safe on empty input with NULL share). NULL quasi values form
+    * their own class (both engines group NULLs together) — the honest
+    * reading: "unknown" is itself a bucket an attacker can condition
+    * on.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation to the
+    * class-cardinality frame, one scalar rollup — no window, no
+    * join. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityProfile: quasiCols must be non-empty")
+    require(k >= 2L, s"kAnonymityProfile: k must be >= 2, got $k")
+    val classes = df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__c"))
+    classes.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__c")).as("min_class_size"),
+        coalesce(sum(when(col("__c") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_classes_below_k"),
+        coalesce(sum(when(col("__c") < k, col("__c")).otherwise(0L)), lit(0L))
+          .as("n_rows_below_k"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_classes_below_k"), col("n_rows_below_k"),
+        when(col("n_rows") > 0L,
+          col("n_rows_below_k").cast("double") / col("n_rows").cast("double"))
+          .as("share_below_k"))
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): within each
+    * quasi-identifier class, how many DISTINCT sensitive values exist —
+    * a k-anonymous class whose sensitive attribute is constant still
+    * leaks it (the homogeneity attack k-anonymity misses). One row:
+    * (n_rows, n_classes, min_distinct_sensitive, n_classes_below_l,
+    * n_rows_below_l longs, share_below_l double). Rows with a NULL
+    * sensitive value count toward class sizes but add no diversity
+    * (COUNT DISTINCT ignores NULLs on both engines); NULL quasi values
+    * form their own class, the [[kAnonymityProfile]] rule.
+    *
+    * 100 TB shape: one aggregation to (class, distinct-count) — the
+    * COUNT DISTINCT is per-class (map-side partials on
+    * class-cardinality keys, never a global expansion) — one scalar
+    * rollup. */
+  def lDiversityProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityProfile: quasiCols must be non-empty")
+    require(l >= 2L, s"lDiversityProfile: l must be >= 2, got $l")
+    val classes = df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col(s"`$sensitiveCol`")).as("__d"))
+    classes.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__d")).as("min_distinct_sensitive"),
+        coalesce(sum(when(col("__d") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_classes_below_l"),
+        coalesce(sum(when(col("__d") < l, col("__c")).otherwise(0L)), lit(0L))
+          .as("n_rows_below_l"))
+      .select(col("n_rows"), col("n_classes"),
+        col("min_distinct_sensitive"),
+        col("n_classes_below_l"), col("n_rows_below_l"),
+        when(col("n_rows") > 0L,
+          col("n_rows_below_l").cast("double") / col("n_rows").cast("double"))
+          .as("share_below_l"))
+  }
 }

@@ -39,4 +39,37 @@ class ScrubSpec extends SparkSpecBase {
     val plan = Scrub.redactColumn(docs, "text").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("kAnonymityProfile: hand case; NULL quasi values form their own class") {
+    val df = Seq(Some("x"), Some("x"), Some("x"), Some("y"), None, None)
+      .toDF("q")
+    val r = Scrub.kAnonymityProfile(df, Seq("q"), k = 3L).head()
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("min_class_size") === 1L)
+    assert(r.getAs[Long]("n_classes_below_k") === 2L) // y(1) + null(2)
+    assert(r.getAs[Long]("n_rows_below_k") === 3L)
+    assert(r.getAs[Double]("share_below_k") === 0.5)
+    // empty input keeps the 1-row contract with NULL share
+    val e = Scrub.kAnonymityProfile(
+      Seq.empty[Option[String]].toDF("q"), Seq("q"), k = 3L).head()
+    assert(e.getAs[Long]("n_rows") === 0L)
+    assert(e.isNullAt(e.fieldIndex("share_below_k")))
+  }
+
+  test("lDiversityProfile: homogeneous classes flagged; NULL sensitive adds no diversity") {
+    val df = Seq(
+      ("x", Some(1L)), ("x", Some(1L)), ("x", Some(2L)), // d=2
+      ("y", Some(5L)),                                   // d=1 -> below l=2
+      ("z", Some(1L)), ("z", Some(2L)), ("z", Some(3L)), // d=3
+      ("w", None), ("w", None), ("w", Some(7L))          // d=1 -> below
+    ).toDF("q", "s")
+    val r = Scrub.lDiversityProfile(df, Seq("q"), "s", l = 2L).head()
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_classes") === 4L)
+    assert(r.getAs[Long]("min_distinct_sensitive") === 1L)
+    assert(r.getAs[Long]("n_classes_below_l") === 2L) // y, w
+    assert(r.getAs[Long]("n_rows_below_l") === 4L)
+    assert(r.getAs[Double]("share_below_l") === 0.4)
+  }
 }
