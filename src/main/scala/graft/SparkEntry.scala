@@ -8187,6 +8187,68 @@ object SparkEntry {
     // --- l-diversity audit (Machanavajjhala 2007): distinct n_chars
     //     per (lang, source) class — the homogeneity-attack check a
     //     k-anonymous class can still fail.
+    register("p206_brown_forsythe",
+      """WITH ca AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT source AS g, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        |  WHERE lang != 'en' AND n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cma AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc
+        |  FROM ca),
+        |ta AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM ca GROUP BY g),
+        |meda AS (SELECT cma.g, cma.v::DOUBLE AS med FROM cma JOIN ta USING (g)
+        |  WHERE cc >= (n * 500000 + 999999) // 1000000
+        |    AND cc - c < (n * 500000 + 999999) // 1000000),
+        |ma AS (SELECT ca.g, CAST(SUM(c) AS BIGINT) AS n_a, MAX(med) AS med_a,
+        |    SUM(CAST(c::DOUBLE * abs(v::DOUBLE - med) AS DECIMAL(25,9))) AS sza,
+        |    SUM(CAST(c::DOUBLE * abs(v::DOUBLE - med) * abs(v::DOUBLE - med)
+        |      AS DECIMAL(25,9))) AS qza
+        |  FROM ca JOIN meda ON ca.g = meda.g GROUP BY ca.g),
+        |cmb AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc
+        |  FROM cb),
+        |tb AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cb GROUP BY g),
+        |medb AS (SELECT cmb.g, cmb.v::DOUBLE AS med FROM cmb JOIN tb USING (g)
+        |  WHERE cc >= (n * 500000 + 999999) // 1000000
+        |    AND cc - c < (n * 500000 + 999999) // 1000000),
+        |mb AS (SELECT cb.g, CAST(SUM(c) AS BIGINT) AS n_b, MAX(med) AS med_b,
+        |    SUM(CAST(c::DOUBLE * abs(v::DOUBLE - med) AS DECIMAL(25,9))) AS szb,
+        |    SUM(CAST(c::DOUBLE * abs(v::DOUBLE - med) * abs(v::DOUBLE - med)
+        |      AS DECIMAL(25,9))) AS qzb
+        |  FROM cb JOIN medb ON cb.g = medb.g GROUP BY cb.g),
+        |f AS (SELECT ma.g, n_a, n_b, med_a, med_b,
+        |    CAST(sza AS DOUBLE) / n_a::DOUBLE AS za,
+        |    CAST(szb AS DOUBLE) / n_b::DOUBLE AS zb,
+        |    (CAST(sza AS DOUBLE) + CAST(szb AS DOUBLE)) /
+        |      (n_a::DOUBLE + n_b::DOUBLE) AS zz,
+        |    GREATEST(CAST(qza AS DOUBLE) - n_a::DOUBLE *
+        |      (CAST(sza AS DOUBLE) / n_a::DOUBLE) *
+        |      (CAST(sza AS DOUBLE) / n_a::DOUBLE), 0.0) AS wa,
+        |    GREATEST(CAST(qzb AS DOUBLE) - n_b::DOUBLE *
+        |      (CAST(szb AS DOUBLE) / n_b::DOUBLE) *
+        |      (CAST(szb AS DOUBLE) / n_b::DOUBLE), 0.0) AS wb
+        |  FROM ma JOIN mb ON ma.g = mb.g)
+        |SELECT g AS source, n_a, n_b, med_a, med_b,
+        |  za AS mad_mean_a, zb AS mad_mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND wa + wb > 0.0 THEN
+        |    (n_a::DOUBLE + n_b::DOUBLE - 2.0) *
+        |      (n_a::DOUBLE * (za - zz) * (za - zz) +
+        |       n_b::DOUBLE * (zb - zz) * (zb - zz)) / (wa + wb) END AS bf_stat,
+        |  n_a + n_b - 2 AS dof2
+        |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+      graft.operators.Drift.brownForsytheByGroup(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "source", "n_chars")
+        .orderBy(col("source"))
+    }
+
     register("p205_l_diversity",
       """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c,
         |    CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d

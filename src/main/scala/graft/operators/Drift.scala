@@ -855,6 +855,72 @@ object Drift {
           (mean("a") - mean("b")) / sqrt(pooled)).as("cohens_d"))
   }
 
+  /** Brown–Forsythe variance-shift test per group (Brown & Forsythe
+    * 1974 — Levene's test centered at the MEDIAN, the robust standard):
+    * did the SPREAD of this score move between snapshots, independent
+    * of the mean shift [[welchTByGroup]] measures? z = |x − med_side|
+    * per row; the statistic is the one-way ANOVA F of z over the two
+    * sides, W = (N−2)·SSB/SSW with df (1, N−2). Output per group:
+    * (groupCol, n_a, n_b longs, med_a, med_b, mad_mean_a, mad_mean_b
+    * doubles — the mean absolute deviations being compared, bf_stat
+    * double — NULL when either side has < 2 rows or SSW = 0, dof2
+    * long — N−2). NULL group/value rows drop.
+    *
+    * Determinism contract: medians are exact nearest-rank
+    * distinct-value picks (the integer-micros rule); z is one subtract
+    * + abs on exact inputs; z and z·z quantize to DECIMAL(25,9)
+    * (order-independent sums); means are single divisions; SSB/SSW are
+    * fixed IEEE trees with per-side 0-clamps, mirrored in the oracle.
+    *
+    * 100 TB shape: per side, values collapse to per-(group, value)
+    * counts and ONE [[PrefixSum.withKeyedRunningSums]] scan picks the
+    * median (no per-group sort window); the |groups|-row median tables
+    * broadcast back onto the VALUE-count frames (never raw rows — z
+    * moments aggregate weighted by the counts), then one merge join of
+    * two group-cardinality moment frames. */
+  def brownForsytheByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    def sideMoments(df: DataFrame, suffix: String): DataFrame = {
+      val counts = df.filter(g.isNotNull && v.isNotNull)
+        .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+      val cum = PrefixSum.withKeyedRunningSums(
+        counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+      val totals = cum.groupBy(col("__g")).agg(max(col("cum___c")).as("__n"))
+      val med = cum.join(broadcast(totals), Seq("__g"))
+        .filter(col("cum___c") >= expr("(__n * 500000L + 999999L) div 1000000L") &&
+          col("cum___c") - col("__c") <
+            expr("(__n * 500000L + 999999L) div 1000000L"))
+        .select(col("__g"), col("__v").cast("double").as(s"med_$suffix"))
+      // z moments off the VALUE-count frame, weighted by counts
+      val z = abs(col("__v").cast("double") - col(s"med_$suffix"))
+      counts.join(broadcast(med), Seq("__g"))
+        .groupBy(col("__g"))
+        .agg(sum(col("__c")).as(s"n_$suffix"),
+          max(col(s"med_$suffix")).as(s"med_$suffix"),
+          sum((col("__c").cast("double") * z).cast(dec25_9)).as(s"__sz$suffix"),
+          sum((col("__c").cast("double") * z * z).cast(dec25_9))
+            .as(s"__qz$suffix"))
+    }
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def zbar(s: String) = col(s"__sz$s").cast("double") / nD(s)
+    def ssw(s: String) = greatest(
+      col(s"__qz$s").cast("double") - nD(s) * zbar(s) * zbar(s), lit(0.0))
+    val nTot = nD("a") + nD("b")
+    val zAll = (col("__sza").cast("double") + col("__szb").cast("double")) / nTot
+    val ssb = nD("a") * (zbar("a") - zAll) * (zbar("a") - zAll) +
+      nD("b") * (zbar("b") - zAll) * (zbar("b") - zAll)
+    val sswTot = ssw("a") + ssw("b")
+    sideMoments(a, "a").join(sideMoments(b, "b"), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("med_a"), col("med_b"),
+        zbar("a").as("mad_mean_a"), zbar("b").as("mad_mean_b"),
+        when(col("n_a") > 1L && col("n_b") > 1L && sswTot > 0.0,
+          (nTot - lit(2.0)) * ssb / sswTot).as("bf_stat"),
+        (col("n_a") + col("n_b") - 2L).as("dof2"))
+  }
+
   /** Per-group Jensen–Shannon divergence between the `keyCol` value
     * mixes of frames `a` and `b` (Lin 1991): JS = ½·Σ p·ln(p/m) +
     * ½·Σ q·ln(q/m) with m = (p+q)/2 — the bounded (≤ ln 2), symmetric

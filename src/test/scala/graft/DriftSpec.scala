@@ -487,6 +487,33 @@ class DriftSpec extends SparkSpecBase {
     assert(r1.isNullAt(r1.fieldIndex("t")) && r1.isNullAt(r1.fieldIndex("df")))
   }
 
+  test("brownForsytheByGroup: hand-computed W off median deviations; guards") {
+    // a = {1,2,3,4}: med 2 (rank ceil(2)), z = {1,0,1,2}
+    // b = {10,20,30}: med 20, z = {10,0,10}
+    val a = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L),
+      ("c", 5L), ("c", 5L), ("one", 1L)).toDF("g", "v")
+    val b = Seq(("g", 10L), ("g", 20L), ("g", 30L),
+      ("c", 5L), ("c", 5L), ("one", 2L), ("one", 3L)).toDF("g", "v")
+    val got = Drift.brownForsytheByGroup(a, b, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rg = got("g")
+    assert(rg.getAs[Double]("med_a") === 2.0 && rg.getAs[Double]("med_b") === 20.0)
+    assert(rg.getAs[Double]("mad_mean_a") === 1.0)
+    assert(math.abs(rg.getAs[Double]("mad_mean_b") - 20.0 / 3.0) < 1e-12)
+    assert(rg.getAs[Long]("dof2") === 5L)
+    // replicate the IEEE tree
+    val za = 1.0; val zb = 20.0 / 3.0; val zz = 24.0 / 7.0
+    val wa = 6.0 - 4.0 * za * za; val wb = 200.0 - 3.0 * zb * zb
+    val w = (7.0 - 2.0) * (4.0 * (za - zz) * (za - zz) +
+      3.0 * (zb - zz) * (zb - zz)) / (wa + wb)
+    assert(math.abs(rg.getAs[Double]("bf_stat") - w) < 1e-9, s"$w")
+    // both sides constant: every z = 0 -> SSW 0 -> NULL
+    val rc = got("c")
+    assert(rc.isNullAt(rc.fieldIndex("bf_stat")))
+    // a 1-row side: NULL
+    assert(got("one").isNullAt(got("one").fieldIndex("bf_stat")))
+  }
+
   test("jsDivergenceByGroup: 0 on identical mixes, ln 2 on disjoint, symmetric, no epsilon") {
     val a = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "k")
     val same = Drift.jsDivergenceByGroup(a, a, "g", "k").head()
