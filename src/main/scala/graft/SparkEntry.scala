@@ -3270,6 +3270,79 @@ object SparkEntry {
         .orderBy(col("query_id"), col("mmr_rank"))
     }
 
+    // --- MMR over an INJECTED LSH shortlist (the production retrieval
+    //     path, vs p67's exact-pool audit): candidates come from the p08
+    //     SRP-LSH index (md5-derived planes, 1-flip multi-probe both
+    //     sides — the whole bucket pipeline replays in SQL), relevance
+    //     is the LSH re-rank cosine (plain-double fold, the p08 parity),
+    //     and mmrRerank's greedy + decimal-exact pool-pair sims are the
+    //     p67 machinery verbatim (same lambda, same sel1..sel5 unroll).
+    //     Gates that the candidate-injectable API — not just the brute
+    //     convenience — hash-matches end to end.
+    register("p67b_mmr_lsh_rerank",
+      s"""WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+         |planes AS (
+         |  SELECT p, list(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 0
+         |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+         |  FROM (SELECT p, unnest(range((SELECT dim FROM dims))) AS d FROM range(8) t(p))
+         |  GROUP BY p),
+         |proj AS (
+         |  SELECT e.vec_id, p.p,
+         |    list_sum(list_transform(list_zip(e.embedding, p.pl), x -> x[1]::DOUBLE * x[2])) AS proj
+         |  FROM embeddings e CROSS JOIN planes p),
+         |sigs AS (
+         |  SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         |  FROM proj GROUP BY vec_id),
+         |buckets AS (
+         |  SELECT vec_id, sig AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT vec_id, substring(sig,1,i::INT-1) ||
+         |         (CASE WHEN substring(sig,i::INT,1)='1' THEN '0' ELSE '1' END) ||
+         |         substring(sig,i::INT+1,8-i::INT) AS bucket
+         |  FROM sigs, range(1,9) t(i)),
+         |fnrm AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets qb JOIN buckets cb USING (bucket)
+         |  WHERE qb.vec_id < 25 AND cb.vec_id != qb.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |      / (nq.n * nc.n) AS rel
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+         |            JOIN embeddings ec ON ec.vec_id = neighbor_id
+         |            JOIN fnrm nq ON nq.vec_id = query_id
+         |            JOIN fnrm nc ON nc.vec_id = neighbor_id),
+         |e AS (SELECT vec_id, embedding, $normSql AS dnrm FROM embeddings),
+         |pool AS (SELECT query_id, neighbor_id, e.embedding AS nv, e.dnrm AS nn, rel, rank
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY rel DESC, neighbor_id) AS rank FROM scored) x
+         |  JOIN e ON e.vec_id = x.neighbor_id
+         |  WHERE rank <= 20),
+         |ps AS (SELECT a.query_id, a.rank AS ra, b.rank AS rb,
+         |    list_sum(list_transform(list_zip(a.nv, b.nv),
+         |      x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE
+         |      / (a.nn * b.nn) AS sim
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id),
+         |s1 AS (
+         |  SELECT query_id, neighbor_id, rank, 1 AS step, 0.6::DOUBLE * rel AS score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY 0.6::DOUBLE * rel DESC, rank) AS rn FROM pool) x
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT query_id, neighbor_id, rank, step, score FROM s1),
+         |$mmrRounds
+         |SELECT query_id, neighbor_id, CAST(step AS INT) AS mmr_rank,
+         |  round(score, 9) AS mmr_score
+         |FROM sel5 ORDER BY query_id, mmr_rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val shortlist = graft.operators.Similarity.lshTopK(
+        e, e.filter(col("vec_id") < 25), "vec_id", "embedding", k = 20, nBits = 8)
+      graft.operators.Similarity.mmrRerank(shortlist, e, "vec_id", "embedding",
+          k = 5, lambda = 0.6)
+        .withColumn("mmr_score", round(col("mmr_score"), 9))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }
+
     // --- reciprocal-rank fusion (Cormack et al. 2009): hybrid retrieval
     //     over the shared 0..499 id space — a LEXICAL doc->doc ranking
     //     (tf-idf more-like-this, the p35 pipeline at k=20) fused with a

@@ -164,27 +164,54 @@ object Similarity {
     * Ties keep the relevance-ranked-first candidate, so the output is
     * deterministic. Output (query_id, neighbor_id, mmr_rank, mmr_score).
     *
-    * 100 TB shape: candidate generation is the [[bruteForceTopK]] /
-    * LSH/IVF family (swap in a bucketed generator at scale); the
-    * poolSize² candidate-pair cosines (inherent to MMR's diversity term)
-    * are computed as a CATALYST self-join of the pool — codegen'd
-    * decimal-exact [[dot]]s, identical to the relevance scores and to
-    * the DuckDB oracle — and the greedy, which is inherently sequential
-    * PER QUERY, then runs as a per-partition JVM loop over
-    * (query, poolSize-bounded score-array) groups — the
-    * [[graft.operators.Vocab.bpeEncode]] precedent: state is
-    * O(poolSize²) doubles per group (no vectors ever enter the loop),
-    * groups stream one at a time through a secondary sort (repartition
-    * by query, sort by rank), and as nested Catalyst HOFs the k
-    * dependent argmax rounds would nest the plan k levels deep. */
+    * This is the brute-wired convenience over [[mmrRerank]]: candidate
+    * generation is [[bruteForceTopK]] — an exact |queries|×|corpus|
+    * pass, the AUDIT baseline. At scale, generate the shortlist with a
+    * bucketed index ([[lshTopK]]/[[ivfTopK]]/[[pqTopK]]) and feed it to
+    * [[mmrRerank]] directly; the greedy and its contracts live there. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, lambda: Double = 0.7,
       poolSize: Int = 50): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    mmrRerank(bruteForceTopK(corpus, queries, idCol, vecCol, poolSize),
+      corpus, idCol, vecCol, k, lambda)
+  }
+
+  /** MMR greedy re-rank over an EXTERNAL candidate shortlist — the
+    * candidate-injectable core of [[mmrTopK]]. `candidates` is any
+    * (query_id, neighbor_id, cosine) frame — the [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]] / [[pqTopK]] output shape (extra columns
+    * ignored; any generator rank is recomputed internally as
+    * row_number over (cosine DESC, neighbor_id), so rank conventions
+    * never have to agree). Rows with NULL/NaN relevance drop — an
+    * unscoreable candidate must not poison the greedy's argmax.
+    *
+    * 100 TB shape: the production retrieval pass. Candidates come from
+    * a bucketed generator, so this re-rank touches |candidates| corpus
+    * vectors (ONE equi-join on neighbor_id — never |queries|×|corpus|)
+    * plus the per-query pool² pair cosines (inherent to MMR's diversity
+    * term), computed as a CATALYST self-join of the pool — codegen'd
+    * decimal-exact [[dot]]s, identical to the DuckDB oracle — and the
+    * greedy, which is inherently sequential PER QUERY, runs as a
+    * per-partition JVM loop over (query, pool-bounded score-array)
+    * groups — the [[graft.operators.Vocab.bpeEncode]] precedent: state
+    * is O(pool²) doubles per group (no vectors ever enter the loop),
+    * groups stream one at a time through a secondary sort (repartition
+    * by query, sort by rank), and as nested Catalyst HOFs the k
+    * dependent argmax rounds would nest the plan k levels deep. The
+    * internal rank window partitions by query over pool-bounded
+    * candidate sets — never corpus-sized groups. */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     import org.apache.spark.sql.Row
-    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, poolSize)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val cands = candidates
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+      .withColumn("rank", row_number().over(wr))
     val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
       .withColumn("__nn", sqrt(normSq(col("__nv"))))
     val cv = cands.join(nv, Seq("neighbor_id"))

@@ -321,6 +321,76 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.toSeq === (1 to 5)) // 5 candidates (self excluded)
   }
 
+  test("mmrRerank(bruteForceTopK(...)) is identical to mmrTopK(...)") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f)) }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = corpus.take(4).toDF("vec_id", "embedding")
+    val direct = Similarity.mmrTopK(cdf, qdf, "vec_id", "embedding",
+        k = 5, lambda = 0.6, poolSize = 12)
+      .select("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val injected = Similarity.mmrRerank(
+        Similarity.bruteForceTopK(cdf, qdf, "vec_id", "embedding", k = 12),
+        cdf, "vec_id", "embedding", k = 5, lambda = 0.6)
+      .select("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(injected.toSeq === direct.toSeq,
+      "the injected-candidates path must be bit-identical to the brute convenience")
+  }
+
+  test("mmrRerank on an LSH shortlist: greedy runs over ONLY the injected pool") {
+    val rnd = new scala.util.Random(47)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)) }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = corpus.take(3).toDF("vec_id", "embedding")
+    val shortlist = Similarity.lshTopK(cdf, qdf, "vec_id", "embedding",
+      k = 10, nBits = 4)
+    val pool = shortlist.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val out = Similarity.mmrRerank(shortlist, cdf, "vec_id", "embedding",
+        k = 4, lambda = 0.5)
+      .select("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    for ((q, rows) <- out.groupBy(_._1)) {
+      // every selection came from the injected shortlist — never the corpus
+      assert(rows.map(_._2).toSet.subsetOf(pool(q)),
+        s"query $q selected outside its injected pool")
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks === (1 to ranks.size), s"query $q ranks not contiguous")
+      // per-query greedy vs the driver reference restricted to the shortlist
+      val vecs = corpus.toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) =>
+          BigDecimal(x.toDouble) * BigDecimal(y.toDouble) }.sum.toDouble
+        val na = math.sqrt(a.map(x => BigDecimal(x.toDouble) * BigDecimal(x.toDouble)).sum.toDouble)
+        val nb = math.sqrt(b.map(x => BigDecimal(x.toDouble) * BigDecimal(x.toDouble)).sum.toDouble)
+        dot / (na * nb)
+      }
+      val rel = shortlist.filter(col("query_id") === q)
+        .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+      val ordered = rel.toSeq.sortBy { case (id, c) => (-c, id) }.map(_._1)
+      val expected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (expected.size < 4 && expected.size < ordered.size) {
+        val remaining = ordered.filterNot(expected.contains)
+        // maxBy keeps the FIRST max; ordered is relevance-ranked, so
+        // ties resolve to the earlier pool rank like the engine
+        val best = remaining.maxBy { id =>
+          val div = if (expected.isEmpty) 0.0
+            else expected.map(s => cos(vecs(id), vecs(s))).max
+          0.5 * rel(id) - 0.5 * div
+        }
+        expected += best
+      }
+      assert(rows.sortBy(_._3).map(_._2).toSeq === expected.toSeq,
+        s"query $q greedy selection diverged from the shortlist reference")
+    }
+  }
+
   test("recallAtK: exact hit counting, zero-row approx queries, self-recall 1.0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
