@@ -8340,5 +8340,50 @@ object SparkEntry {
       graft.operators.Scrub.lDiversityProfile(
         t(s, dir, "documents"), Seq("lang", "source"), "n_chars", l = 3L)
     }
+
+    // --- cross-doc duplicated-run REMOVAL, keep-one-copy policy (the
+    //     second half of Lee et al. 2021, over p193's extent machinery):
+    //     a token cuts iff some duplicated 8-gram covering it has its
+    //     corpus-wide MIN doc elsewhere — so every duplicated passage
+    //     survives exactly once (in its min-id doc). The oracle replays
+    //     grams → (min ≠ max) dup set with MIN(doc_id) ownership →
+    //     non-owner cut starts → runN-distance coverage (relative ix
+    //     only, so 0-based on both engines) → string_agg splice. Docs
+    //     losing everything survive with empty text (the p44 contract).
+    register("p207_dup_run_removal",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |    CAST(unnest(range(0, len(toks) - 8 + 1)) AS BIGINT) AS ix, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, ix,
+        |    ('0x' || substring(md5(array_to_string(
+        |      list_slice(toks, ix+1, ix+8), ' ')), 1, 15))::BIGINT AS gh
+        |  FROM p),
+        |dup AS (SELECT gh, MIN(doc_id) AS mn FROM g GROUP BY gh
+        |  HAVING MIN(doc_id) != MAX(doc_id)),
+        |cut AS (SELECT g.doc_id, g.ix FROM g JOIN dup USING (gh)
+        |  WHERE g.doc_id != dup.mn),
+        |tok AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS ix,
+        |    unnest(toks) AS tok FROM t),
+        |kept AS (SELECT k.doc_id, k.ix, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+        |    WHERE c.doc_id = k.doc_id AND c.ix BETWEEN k.ix - 7 AND k.ix)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ix) AS text,
+        |               COUNT(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(r.text, '') AS text,
+        |  CAST(COALESCE(r.nk, 0) AS INT) AS n_tokens_kept,
+        |  CAST(len(t.toks) - COALESCE(r.nk, 0) AS INT) AS n_tokens_removed
+        |FROM t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.removeDuplicatedRuns(
+          t(s, dir, "documents"), "doc_id", "text", runN = 8,
+          policy = "keep_one")
+        .select(col("doc_id"), col("text"),
+          col("n_tokens_kept"), col("n_tokens_removed"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -1160,6 +1160,110 @@ object Dedup {
         (col("__dr_e") - col("start_tok") + runN).as("n_tokens"))
   }
 
+  /** Cross-document duplicated-run REMOVAL — the second half of the Lee
+    * et al. 2021 exact-substring-dedup pipeline (the half a training-data
+    * run actually executes over [[duplicatedRunExtents]]' report): every
+    * token covered by a length-`runN` gram that occurs in ≥ 2 DISTINCT
+    * documents is struck, under one of two policies:
+    *
+    *  - `"drop_all"`: covered tokens are cut from EVERY document —
+    *    semantically identical to [[removeDuplicateSpans]] with
+    *    minDocs = 2 (that operator's "≥2 distinct docs" count is exactly
+    *    this min(id) ≠ max(id) test); DedupSpec pins the identity.
+    *  - `"keep_one"`: per duplicated gram, the MIN-id document holding it
+    *    keeps its copy; only the other holders cut. The decision is
+    *    per-gram-start, so a position in the min-id doc still cuts if a
+    *    DIFFERENT duplicated gram covering it has an earlier min
+    *    elsewhere — deterministic, engine-reproducible, and exactly the
+    *    keep-one-copy contract (one surviving copy of every duplicated
+    *    passage corpus-wide, survivors chosen by document id).
+    *
+    * Output: input columns with `textCol` rewritten (kept tokens
+    * re-joined with single spaces in order — whitespace-normalized) +
+    * n_tokens_kept / n_tokens_removed ints (the [[removeDuplicateSpans]]
+    * contract). Docs shorter than runN tokens pass through
+    * token-normalized; a fully-duplicated non-min doc survives as a row
+    * with empty text. NULL-id rows drop (the [[duplicatedRunExtents]]
+    * contract — an id-less doc cannot participate in min-id ownership).
+    *
+    * 100 TB shape: [[duplicatedRunExtents]]' exact pipeline (one
+    * tokenization window pass, staged (id, ix, 60-bit-md5 gram) stream,
+    * min/max-doc aggregation — never a COUNT DISTINCT expansion, left
+    * join of gram starts against the duplicated-hash set carrying only
+    * (hash, min-id)) plus [[removeDuplicateSpans]]' coverage RANGE frame
+    * (value-based over the token index) and per-doc rebuild. Every
+    * corpus-wide shuffle carries hashes and integers; text bodies move
+    * only in the final doc-partitioned rebuild. */
+  def removeDuplicatedRuns(df: DataFrame, idCol: String, textCol: String,
+      runN: Int, policy: String = "keep_one",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(runN >= 2, s"runN must be >= 2, got $runN")
+    require(policy == "keep_one" || policy == "drop_all",
+      s"policy must be 'keep_one' or 'drop_all', got '$policy'")
+    (Seq("n_tokens_kept", "n_tokens_removed") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    (Seq("__rr_pos", "__rr_tok", "__rr_ix", "__rr_gh", "__rr_mn", "__rr_side",
+        "__rr_text") intersect df.columns).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' is reserved by removeDuplicatedRuns"))
+    val id = col(s"`$idCol`")
+    val others = df.columns.filterNot(c => c == idCol || c == textCol)
+    val base = df.filter(id.isNotNull)
+    // case PRESERVED (exact bytes, the removeDuplicateSpans convention);
+    // the token stream stays unstaged — its two scans are narrow CPU
+    val toks = base.select(id,
+        posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
+          .as(Seq("__rr_pos", "__rr_tok")))
+      .filter(col("__rr_tok") =!= "")
+    val w = Window.partitionBy(id).orderBy(col("__rr_pos"))
+    val leads = (1 until runN).map(i => lead(col("__rr_tok"), i).over(w).as(s"__t$i"))
+    val ixed = toks.select(id +: col("__rr_tok") +:
+      (row_number().over(w) - 1).cast("long").as("__rr_ix") +: leads: _*)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // staged: feeds BOTH the min/max-doc aggregation and the cut join
+    val grams = stager.stage(ixed
+      .filter(col(s"__t${runN - 1}").isNotNull)
+      .select(id, col("__rr_ix"),
+        graft.functions.TextFunctions.md5Hash60(concat_ws(" ",
+          col("__rr_tok") +: (1 until runN).map(i => col(s"__t$i")): _*))
+          .as("__rr_gh")),
+      s"rm_runs_$runId")
+    val dup = grams.groupBy(col("__rr_gh"))
+      .agg(min(id).as("__rr_mn"), max(id).as("__rr_mx"))
+      .filter(col("__rr_mn") =!= col("__rr_mx"))
+      .select(col("__rr_gh"), col("__rr_mn"))
+    val markedStarts = grams.join(dup, Seq("__rr_gh"))
+    val cutStarts = (if (policy == "keep_one")
+        markedStarts.filter(id =!= col("__rr_mn")) else markedStarts)
+      .select(id, col("__rr_ix"), lit(1).as("__rr_side"))
+    val tokIx = toks.select(id,
+      (row_number().over(w) - 1).cast("long").as("__rr_ix"), col("__rr_tok"))
+    val stream = tokIx.withColumn("__rr_side", lit(0))
+      .unionByName(cutStarts.withColumn("__rr_tok", lit(null).cast("string")))
+    // value-based RANGE frame: marker rows share an index with their token
+    // row without distorting the runN distance
+    val wc = Window.partitionBy(id).orderBy(col("__rr_ix"))
+      .rangeBetween(-(runN - 1), 0)
+    val kept = stream
+      .withColumn("__rr_side", max(col("__rr_side")).over(wc))
+      .filter(col("__rr_tok").isNotNull && col("__rr_side") === 0)
+    val rebuilt = kept.groupBy(id)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__rr_ix"), col("__rr_tok")))),
+          x => x.getField("__rr_tok"))).as("__rr_text"),
+        count(lit(1)).cast("int").as("n_tokens_kept"))
+    base.withColumn("__rr_pos", graft.functions.TextFunctions.tokenCount(
+        coalesce(col(s"`$textCol`"), lit(""))))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        (Seq(id) ++ others.map(c => col(s"`$c`")) :+
+          coalesce(col("__rr_text"), lit("")).as(textCol) :+
+          coalesce(col("n_tokens_kept"), lit(0)).as("n_tokens_kept") :+
+          (col("__rr_pos") - coalesce(col("n_tokens_kept"), lit(0)))
+            .cast("int").as("n_tokens_removed")): _*)
+  }
+
   def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
     val grams = shingleRows(df, idCol, textCol, shingleN)

@@ -62,6 +62,88 @@ class DedupSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("removeDuplicatedRuns keep_one: the min-id doc keeps the planted passage, others cut") {
+    val df = Seq(
+      (5L, "p q r s t u tail5a tail5b tail5c"),
+      (2L, "head2a head2b p q r s t u tail2"),
+      (9L, "lead9 p q r s t u"),
+      (7L, "solo doc with nothing shared here at all")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedRuns(df, "doc_id", "text", runN = 4,
+        policy = "keep_one")
+      .select("doc_id", "text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // doc 2 is the min id holding every duplicated 4-gram -> keeps all
+    assert(out(2L) === ((2L, "head2a head2b p q r s t u tail2", 9, 0)))
+    assert(out(5L) === ((5L, "tail5a tail5b tail5c", 3, 6)))
+    assert(out(9L) === ((9L, "lead9", 1, 6)))
+    assert(out(7L) === ((7L, "solo doc with nothing shared here at all", 8, 0)))
+  }
+
+  test("removeDuplicatedRuns keep_one is per-gram: a min-id doc still cuts under a foreign-min gram") {
+    // gram A = "a b c d" lives in docs {1, 3} (min 1); gram B = "b c d e"
+    // lives in docs {2, 3} (min 2). In doc 3 BOTH grams mark for cutting
+    // (doc 3 is min of neither), so its whole span goes; doc 1 keeps its
+    // copy of A, doc 2 keeps its copy of B.
+    val df = Seq(
+      (1L, "a b c d x1 y1 z1 w1"),
+      (2L, "b c d e x2 y2 z2 w2"),
+      (3L, "a b c d e x3 y3 z3")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedRuns(df, "doc_id", "text", runN = 4,
+        policy = "keep_one")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "a b c d x1 y1 z1 w1")
+    assert(out(2L) === "b c d e x2 y2 z2 w2")
+    assert(out(3L) === "x3 y3 z3")
+  }
+
+  test("removeDuplicatedRuns drop_all ≡ removeDuplicateSpans(minDocs=2) on the corpus") {
+    val docs = testdata("sf0.001", "documents").select("doc_id", "text")
+    val viaRuns = Dedup.removeDuplicatedRuns(docs, "doc_id", "text",
+        runN = 5, policy = "drop_all")
+      .select("doc_id", "text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val viaSpans = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        spanN = 5, minDocs = 2)
+      .select("doc_id", "text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(viaRuns.nonEmpty)
+    assert(viaRuns === viaSpans,
+      "drop_all must be the removeDuplicateSpans(minDocs=2) semantics exactly")
+  }
+
+  test("removeDuplicatedRuns keep_one survivor corpus: every duplicated extent survives exactly once") {
+    val docs = testdata("sf0.001", "documents").select("doc_id", "text")
+    val n = 6
+    val out = Dedup.removeDuplicatedRuns(docs, "doc_id", "text", runN = n,
+      policy = "keep_one")
+    // exact reference on the collected corpus
+    val local = docs.filter($"text".isNotNull)
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+    val gramMin = scala.collection.mutable.Map.empty[String, Long]
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    local.foreach { case (id, ts) =>
+      (0 to ts.length - n).foreach { p =>
+        val g = ts.slice(p, p + n).mkString(" ")
+        gramMin(g) = gramMin.get(g).fold(id)(math.min(_, id))
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val expected = local.map { case (id, ts) =>
+      val cut = Array.fill(ts.length)(false)
+      (0 to ts.length - n).foreach { p =>
+        val g = ts.slice(p, p + n).mkString(" ")
+        if (gramDocs(g).size >= 2 && gramMin(g) != id)
+          (p until p + n).foreach(cut(_) = true)
+      }
+      val kept = ts.indices.filterNot(cut).map(ts)
+      (id, kept.mkString(" "), kept.size, ts.length - kept.size)
+    }.toSet
+    val got = out.select("doc_id", "text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(got === expected)
+  }
+
   test("shingleRows matches the array-based shingles definition") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val rows = Dedup.shingleRows(df, "doc_id", "text", 3)
