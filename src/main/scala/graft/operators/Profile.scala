@@ -328,22 +328,26 @@ object Profile {
     *
     * Output: (groupCol, n long, mean, lo_cut, hi_cut, winsor_mean,
     * trimmed_mean double, n_kept long — rows inside the cuts). NULL
-    * values are dropped.
+    * group/value rows drop (the [[quantilesByGroup]] family contract).
     *
     * Exactness: cut ranks use the integer-micros nearest-rank rule
     * (the [[calibrateByGroup]] contract — ⌈p·n⌉ via
-    * (n·pMicro + 999999) div 10⁶, floored at 1); sums accumulate
-    * through DECIMAL(25,6) (order-independent, the q28 contract) and
-    * each mean is ONE IEEE division.
+    * (n·pMicro + 999999) div 10⁶, floored at 1); per-distinct-value
+    * decimal casts times exact integer counts reproduce the per-row
+    * DECIMAL(25,6) sums bit-for-bit (c copies of a quantized value sum
+    * to c·value — order-independent, the q28 contract) and each mean
+    * is ONE IEEE division.
     *
-    * 100 TB shape: one per-group sort window (the exact-order-statistic
-    * cost). CAVEAT: a giant group sorts through one reducer; for such
-    * groups either take the cuts from [[quantilesByGroup]] (the keyed-
-    * PrefixSum nearest-rank machinery — exactness preserved) or accept
-    * the [[Sketch.quantileProfile]] sample band. One final
-    * aggregation. */
+    * 100 TB shape: collapse to (group, value) counts (map-side
+    * combinable), rank by [[PrefixSum.withKeyedRunningSums]] (range
+    * exchange on the composite key — one giant group spreads over many
+    * partitions; never `Window.partitionBy(group)`), pick both cuts by
+    * the cum ≥ rank ∧ cum − count < rank rule, broadcast the |groups|-row
+    * cut table back into ONE aggregation over the distinct-value frame —
+    * the raw rows are never rejoined. */
   def robustStats(df: DataFrame, groupCol: String, valueCol: String,
-      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+      loPct: Double = 0.05, hiPct: Double = 0.95,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(loPct >= 0.0 && hiPct <= 1.0 && loPct < hiPct,
       s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
     val dec = org.apache.spark.sql.types.DecimalType(25, 6)
@@ -351,30 +355,41 @@ object Profile {
     val v = col(s"`$valueCol`")
     val loMicro = math.round(loPct * 1e6)
     val hiMicro = math.round(hiPct * 1e6)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(g)
-    val ranked = df.filter(v.isNotNull)
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(w.orderBy(v)))
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    // inclusive cum at the group's max value IS n (the quantilesByGroup
+    // totals contract); the rank table is |groups| rows — broadcastable
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("__n"))
       .withColumn("__lork", greatest(lit(1L),
         expr(s"(__n * ${loMicro}L + 999999L) div 1000000L")))
       .withColumn("__hirk", greatest(lit(1L),
         expr(s"(__n * ${hiMicro}L + 999999L) div 1000000L")))
-      .withColumn("__lo", max(when(col("__rn") === col("__lork"), v)).over(w))
-      .withColumn("__hi", max(when(col("__rn") === col("__hirk"), v)).over(w))
-    ranked
-      .groupBy(g)
+    val cuts = cum.join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(v.cast(dec)).as("__sum"),
-        max(col("__lo")).as("lo_cut"),
-        max(col("__hi")).as("hi_cut"),
-        sum(greatest(least(v, col("__hi")), col("__lo")).cast(dec)).as("__wsum"),
-        sum(when(v >= col("__lo") && v <= col("__hi"), v.cast(dec))).as("__tsum"),
-        sum(when(v >= col("__lo") && v <= col("__hi"), 1L).otherwise(0L)).as("__tn"))
-      .select(g, col("n"),
+        max(when(col("cum___c") >= col("__lork") &&
+          col("cum___c") - col("__c") < col("__lork"), col("__v"))).as("lo_cut"),
+        max(when(col("cum___c") >= col("__hirk") &&
+          col("cum___c") - col("__c") < col("__hirk"), col("__v"))).as("hi_cut"))
+    cum.join(broadcast(cuts), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(col("__c")).as("n"),
+        sum(col("__v").cast(dec) * col("__c")).as("__sum"),
+        max(col("lo_cut")).as("__locut"),
+        max(col("hi_cut")).as("__hicut"),
+        sum(greatest(least(col("__v"), col("hi_cut")), col("lo_cut")).cast(dec)
+          * col("__c")).as("__wsum"),
+        sum(when(col("__v") >= col("lo_cut") && col("__v") <= col("hi_cut"),
+          col("__v").cast(dec) * col("__c"))).as("__tsum"),
+        sum(when(col("__v") >= col("lo_cut") && col("__v") <= col("hi_cut"),
+          col("__c")).otherwise(0L)).as("__tn"))
+      .select(col("__g").as(groupCol), col("n"),
         (col("__sum").cast("double") / col("n").cast("double")).as("mean"),
-        col("lo_cut"), col("hi_cut"),
+        col("__locut").as("lo_cut"), col("__hicut").as("hi_cut"),
         (col("__wsum").cast("double") / col("n").cast("double")).as("winsor_mean"),
         (col("__tsum").cast("double") / col("__tn").cast("double")).as("trimmed_mean"),
         col("__tn").as("n_kept"))
@@ -848,46 +863,63 @@ object Profile {
     * Exactness: cut ranks are exact integer arithmetic; boundary
     * values are exact order statistics; all three means accumulate
     * through DECIMAL(25,9) (order-independent, exact for
-    * integer-valued columns) with ONE IEEE division each.
+    * integer-valued columns) with ONE IEEE division each. The rank-based
+    * trim is computed on the DISTINCT-value count frame: rows tied at
+    * the cut boundary are interchangeable in every sum (equal values),
+    * so the per-value overlap of the rank interval (cum − c, cum] with
+    * the kept range (lo, n − lo] reproduces the id-tiebroken per-row
+    * trim exactly — `idCol` remains in the signature for source
+    * compatibility and documents that the SET of dropped rows (not just
+    * the sums) was deterministic under the old per-row contract.
     *
-    * 100 TB shape: one per-group sort window feeds ranks, boundaries
-    * and all three sums over the same exchange. CAVEAT: a giant group
-    * sorts through one reducer; swap the cut ranks onto
-    * [[quantilesByGroup]]'s keyed-PrefixSum machinery for such groups
-    * (exactness preserved — same integer-micros rank rule). */
+    * 100 TB shape: collapse to (group, value) counts (map-side
+    * combinable), rank by [[PrefixSum.withKeyedRunningSums]] (range
+    * exchange on the composite key — one giant group spreads over many
+    * partitions; never `Window.partitionBy(group)`), pick both boundary
+    * order statistics by the cum ≥ rank ∧ cum − count < rank rule,
+    * broadcast the |groups|-row boundary table back into ONE aggregation
+    * over the distinct-value frame. */
   def trimmedMeanByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String, trimMicro: Long = 50000L): DataFrame = {
+      idCol: String, trimMicro: Long = 50000L,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(trimMicro >= 0L && trimMicro < 500000L,
       s"trimMicro must be in [0, 500000), got $trimMicro")
-    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(25, 9)
     val g = col(s"`$groupCol`")
     val v = col(s"`$valueCol`").cast("double")
-    val w = Window.partitionBy(col("__g"))
-    val base = df.filter(g.isNotNull && v.isNotNull)
-      .select(g.as("__g"), v.as("__v"), col(s"`$idCol`").as("__id"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(
-        w.orderBy(col("__v"), col("__id").cast("string"))))
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("__n"))
       .withColumn("__lo", expr(s"(__n * ${trimMicro}L) div 1000000L"))
-      .withColumn("__vlo", max(when(col("__rn") === col("__lo") + 1L,
-        col("__v"))).over(w))
-      .withColumn("__vhi", max(when(col("__rn") === col("__n") - col("__lo"),
-        col("__v"))).over(w))
-    base.groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"),
+    // boundary order statistics: value at rank lo + 1 and rank n − lo
+    // (trimMicro < 0.5e6 guarantees lo + 1 <= n − lo, so both exist)
+    val cuts = cum.join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(
+        max(when(col("cum___c") >= col("__lo") + 1L &&
+          col("cum___c") - col("__c") < col("__lo") + 1L, col("__v"))).as("__vlo"),
+        max(when(col("cum___c") >= col("__n") - col("__lo") &&
+          col("cum___c") - col("__c") < col("__n") - col("__lo"), col("__v"))).as("__vhi"))
+    // per-value overlap of the rank interval (cum − c, cum] with the kept
+    // range (lo, n − lo]: equal-valued rows are interchangeable, so this
+    // IS the rank-based trim
+    cum.join(broadcast(totals.join(cuts, Seq("__g"))), Seq("__g"))
+      .withColumn("__ov", greatest(lit(0L),
+        least(col("cum___c"), col("__n") - col("__lo")) -
+          greatest(col("cum___c") - col("__c"), col("__lo"))))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"),
         max(col("__lo")).as("n_tail"),
-        (sum(col("__v").cast(dec)).cast("double") /
-          count(lit(1)).cast("double")).as("mean"),
-        (sum(when(col("__rn") > col("__lo") &&
-            col("__rn") <= col("__n") - col("__lo"), col("__v")).cast(dec))
-          .cast("double") /
-          sum(when(col("__rn") > col("__lo") &&
-            col("__rn") <= col("__n") - col("__lo"), 1L).otherwise(0L))
-          .cast("double")).as("trimmed_mean"),
-        (sum(greatest(least(col("__v"), col("__vhi")), col("__vlo")).cast(dec))
-          .cast("double") /
-          count(lit(1)).cast("double")).as("winsorized_mean"))
+        (sum(col("__v").cast(dec) * col("__c")).cast("double") /
+          sum(col("__c")).cast("double")).as("mean"),
+        (sum(col("__v").cast(dec) * col("__ov")).cast("double") /
+          sum(col("__ov")).cast("double")).as("trimmed_mean"),
+        (sum(greatest(least(col("__v"), col("__vhi")), col("__vlo")).cast(dec)
+            * col("__c")).cast("double") /
+          sum(col("__c")).cast("double")).as("winsorized_mean"))
       .select(col("__g").as(groupCol), col("n"), col("n_tail"),
         col("mean"), col("trimmed_mean"), col("winsorized_mean"))
   }

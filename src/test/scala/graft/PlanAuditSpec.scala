@@ -622,6 +622,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(wq.contains("cum___w"), wq)
   }
 
+  test("p93/p128: robust stats and trimmed means never window over the group key on data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // pre-r14 both computed their cut ranks through
+    // Window.partitionBy(group).orderBy(value) — a corpus-sized group
+    // serialized into one reducer; now both ride keyed PrefixSum
+    val rs = graft.operators.Profile.robustStats(docs, "source", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!rs.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), rs)
+    assert(!rs.matches("(?s).*windowspecdefinition\\(source#\\d+.*"), rs)
+    assert(rs.contains("cum___c"), rs)
+    val tm = graft.operators.Profile.trimmedMeanByGroup(
+        docs, "source", "n_chars", "doc_id", 100000L)
+      .queryExecution.executedPlan.toString
+    assert(!tm.matches("(?s).*windowspecdefinition\\(__g#\\d+, __v.*"), tm)
+    assert(!tm.matches("(?s).*windowspecdefinition\\(source#\\d+.*"), tm)
+    assert(tm.contains("cum___c"), tm)
+  }
+
   test("p25: packing's running token count never windows over the group key on data") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"),
