@@ -360,6 +360,66 @@ object ScaleProbe {
     println(f"giant_group_priority_sample(k=1000) 1x: $tgp1%.1fs $gp1 kept |" +
       f" ${r}x: $tgpR%.1fs $gpR kept" +
       f" (ratio ${tgpR / tgp1}%.2fx time, ${gpR.toDouble / gp1}%.2fx rows)")
+
+    // ---- the remaining r13/r14 keyed-PrefixSum migrations on the giant
+    // group (r13 verdict #5 + the r14 robustStats/trimmedMean moves):
+    // same giantFrame; every output either joins back to rows (rows
+    // exactly Rx) or reports the per-group n (exactly Rx).
+    def gcalRun(reps: Int): Long =
+      graft.operators.Profile.calibrateByGroup(
+        giantFrame(reps), "g", "v", "id").count()
+    time(gcalRun(1))
+    val (gc1, tgc1) = time(gcalRun(1))
+    val (gcR, tgcR) = time(gcalRun(r))
+    println(f"giant_group_calibrate 1x: $tgc1%.1fs $gc1 rows | ${r}x: $tgcR%.1fs $gcR rows" +
+      f" (ratio ${tgcR / tgc1}%.2fx time, ${gcR.toDouble / gc1}%.2fx rows)")
+
+    def gtsRun(reps: Int): Long =
+      graft.operators.Splits.temporalSplitByGroup(
+        giantFrame(reps), "g", "v", "id").count()
+    time(gtsRun(1))
+    val (gt1, tgt1) = time(gtsRun(1))
+    val (gtR, tgtR) = time(gtsRun(r))
+    println(f"giant_group_temporal_split 1x: $tgt1%.1fs $gt1 rows | ${r}x: $tgtR%.1fs $gtR rows" +
+      f" (ratio ${tgtR / tgt1}%.2fx time, ${gtR.toDouble / gt1}%.2fx rows)")
+
+    def gwqRun(reps: Int): Long =
+      graft.operators.Profile.weightedQuantilesByGroup(
+        giantFrame(reps).withColumn("w", col("id") % 10 + 1),
+        "g", "v", "w", Seq(0.5, 0.9)).head().getAs[Long]("n")
+    time(gwqRun(1))
+    val (gw1, tgw1) = time(gwqRun(1))
+    val (gwR, tgwR) = time(gwqRun(r))
+    println(f"giant_group_weighted_quantiles 1x: $tgw1%.1fs n=$gw1 | ${r}x: $tgwR%.1fs n=$gwR" +
+      f" (ratio ${tgwR / tgw1}%.2fx time, ${gwR.toDouble / gw1}%.2fx n)")
+
+    def gabRun(reps: Int): Long =
+      graft.operators.Packing.assignBins(
+        giantFrame(reps).withColumn("n_tokens", col("v") % 400L + 1L),
+        "id", "n_tokens", 512L, groupCol = Some("g")).count()
+    time(gabRun(1))
+    val (ga1, tga1) = time(gabRun(1))
+    val (gaR, tgaR) = time(gabRun(r))
+    println(f"giant_group_assign_bins 1x: $tga1%.1fs $ga1 rows | ${r}x: $tgaR%.1fs $gaR rows" +
+      f" (ratio ${tgaR / tga1}%.2fx time, ${gaR.toDouble / ga1}%.2fx rows)")
+
+    def grsRun(reps: Int): Long =
+      graft.operators.Profile.robustStats(
+        giantFrame(reps), "g", "v").head().getAs[Long]("n")
+    time(grsRun(1))
+    val (gr1, tgr1) = time(grsRun(1))
+    val (grR, tgrR) = time(grsRun(r))
+    println(f"giant_group_robust_stats 1x: $tgr1%.1fs n=$gr1 | ${r}x: $tgrR%.1fs n=$grR" +
+      f" (ratio ${tgrR / tgr1}%.2fx time, ${grR.toDouble / gr1}%.2fx n)")
+
+    def gtmRun(reps: Int): Long =
+      graft.operators.Profile.trimmedMeanByGroup(
+        giantFrame(reps), "g", "v", "id", 100000L).head().getAs[Long]("n")
+    time(gtmRun(1))
+    val (gm1b, tgm1b) = time(gtmRun(1))
+    val (gmRb, tgmRb) = time(gtmRun(r))
+    println(f"giant_group_trimmed_mean 1x: $tgm1b%.1fs n=$gm1b | ${r}x: $tgmRb%.1fs n=$gmRb" +
+      f" (ratio ${tgmRb / tgm1b}%.2fx time, ${gmRb.toDouble / gm1b}%.2fx n)")
     spark.stop()
   }
 }
