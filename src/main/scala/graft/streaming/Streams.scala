@@ -346,6 +346,84 @@ object Streams {
       .select(col("new_id"), col("index_id"), col("jaccard_sim"))
   }
 
+  /** Streaming duplicated-run extent flags at ingest — the streaming twin
+    * of [[graft.operators.Dedup.duplicatedRunExtents]] in the
+    * [[nearDupFlagStream]] posture (p76's standing-index split): new docs
+    * are gram-hashed per row and joined against a STANDING index of every
+    * distinct runN-gram hash in the stored corpus; any hit is
+    * cross-document duplication BY CONSTRUCTION (index doc and new doc
+    * are distinct documents), so matched gram starts merge into maximal
+    * extents exactly like the batch operator. Output per extent:
+    * (new_id, start_tok, end_tok, n_tokens) — the p193 shape.
+    *
+    * Contract: each doc arrives COMPLETE in one stream row (extent
+    * merging is per input row's own gram set); a re-sent doc re-emits
+    * (at-least-once — dropDuplicates on (new_id, start_tok) downstream
+    * for exactly-once). Stream-INTERNAL duplication (two new docs sharing
+    * a passage the index has never seen) is intentionally NOT flagged —
+    * that is the nightly consolidation's business
+    * ([[graft.operators.Dedup.duplicatedRunExtents]] over the merged
+    * corpus, the p76 incremental split). Tokens are case-PRESERVING
+    * exact bytes (the removeDuplicateSpans convention); docs shorter
+    * than runN and NULL-id docs emit nothing.
+    *
+    * 100 TB shape: the index side is one distinct-hash frame (60-bit
+    * hashes only, never text; map-side-combinable distinct); the stream
+    * side is a stateless per-row flatMap + ONE stream-static equi-join
+    * on the hash (no broadcast assumption — a corpus-wide gram set is
+    * itself huge) + a per-doc flatMapGroupsWithState that sees one doc's
+    * token-bounded gram-start list per batch and stores NO state. */
+  def dupRunFlagStream(
+      docs: Dataset[(String, String)], // (doc id, text)
+      indexDf: DataFrame, idCol: String, textCol: String,
+      runN: Int = 8): DataFrame = {
+    require(runN >= 2, s"runN must be >= 2, got $runN")
+    import docs.sparkSession.implicits._
+    val id = col(s"`$idCol`")
+    // standing index: the duplicatedRunExtents gram recipe (one per-doc
+    // window pass, case-preserving), collapsed to distinct hashes
+    val toks = indexDf.filter(id.isNotNull)
+      .select(id, posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
+        .as(Seq("__p", "__t0")))
+      .filter(col("__t0") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("__p"))
+    val leads = (1 until runN).map(i => lead(col("__t0"), i).over(w).as(s"__t$i"))
+    val idxHashes = toks.select(id +: col("__t0") +: leads: _*)
+      .filter(col(s"__t${runN - 1}").isNotNull)
+      .select(graft.functions.TextFunctions.md5Hash60(concat_ws(" ",
+        (0 until runN).map(i => col(s"__t$i")): _*)).as("__gh"))
+      .distinct()
+      .localCheckpoint()
+    val streamGrams = docs.flatMap { case (docId, text) =>
+      val ts = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      if (docId == null || ts.length < runN) Iterator.empty
+      else ts.sliding(runN).zipWithIndex.map { case (g, ix) =>
+        (docId, ix.toLong, h60(g.mkString(" ")))
+      }
+    }.toDF("new_id", "__ix", "__gh")
+    streamGrams.join(idxHashes, Seq("__gh"))
+      .select(col("new_id"), col("__ix"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: String, rows: Iterator[(String, Long)],
+            _: GroupState[Boolean]) =>
+          // stateless island merge: one doc's matched starts, sorted —
+          // bounded by the doc's own token count; no cross-batch state
+          val ixs = rows.map(_._2).toArray.sorted
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          ixs.foreach { ix =>
+            if (runs.nonEmpty && ix == runs.last._2 + 1L)
+              runs(runs.length - 1) = (runs.last._1, ix)
+            else runs += ((ix, ix))
+          }
+          runs.iterator.map { case (s, e) =>
+            (docId, s, e + (runN - 1), e - s + runN) }
+      }
+      .toDF("new_id", "start_tok", "end_tok", "n_tokens")
+  }
+
   case class KeyHeavy(key: String, n_seen: Long, items: Map[String, Long])
 
   /** Streaming heavy hitters: per key, maintain a Misra–Gries summary

@@ -214,6 +214,66 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dupRunFlagStream equals batch duplicatedRunExtents restricted across the split") {
+    val docs = testdata("sf0.001", "documents")
+    val idxDf = docs.filter($"doc_id" % 5 =!= 0)
+    val newRows = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".cast("string"), $"text")
+      .as[(String, String)].collect()
+    val n = 6
+    val input = MemoryStream[(String, String)](spark)
+    val out = Streams.dupRunFlagStream(input.toDS(), idxDf, "doc_id", "text", runN = n)
+    val q = out.writeStream.format("memory").queryName("duprun_flags")
+      .outputMode("append").start()
+    try {
+      input.addData(newRows.take(newRows.length / 2): _*)
+      q.processAllAvailable()
+      // a doc with < runN tokens and a null-id doc emit nothing, crash nothing
+      input.addData(("tiny", "one two"), (null, "a b c d e f g h")) // scalastyle:ignore
+      q.processAllAvailable()
+      input.addData(newRows.drop(newRows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("duprun_flags")
+        .select($"new_id".cast("long"), $"start_tok", $"end_tok", $"n_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // cross-split reference: a stream doc's position marks iff its gram
+      // occurs anywhere in the INDEX corpus (index doc + new doc = 2
+      // distinct docs by construction); islands merge like the batch op
+      val idx = idxDf.filter($"text".isNotNull)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      val idxGrams = scala.collection.mutable.HashSet.empty[String]
+      idx.foreach { case (_, t) =>
+        val ts = t.split("\\s+").filter(_.nonEmpty)
+        (0 to ts.length - n).foreach(p => idxGrams += ts.slice(p, p + n).mkString(" "))
+      }
+      val expected = newRows.filter(_._1 != null).flatMap { case (sid, t) =>
+        val ts = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        val marked = (0 to ts.length - n)
+          .filter(p => idxGrams.contains(ts.slice(p, p + n).mkString(" ")))
+        marked.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (runs, p) => (p, p) :: runs
+        }.map { case (s, e) =>
+          (sid.toLong, s.toLong, (e + n - 1).toLong, (e - s + n).toLong) }
+      }.toSet
+      assert(expected.nonEmpty, "fixture must exercise cross-split dup runs")
+      assert(streamed === expected)
+      // consolidated-batch containment: every streamed extent sits inside
+      // a duplicatedRunExtents extent of that doc over the MERGED corpus
+      // (the batch may be wider — stream-internal dups also mark there)
+      val batch = graft.operators.Dedup
+        .duplicatedRunExtents(docs, "doc_id", "text", runN = n)
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"start_tok", $"end_tok")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+      streamed.foreach { case (d, s, e, _) =>
+        assert(batch.get(d).exists(_.exists { case (bs, be) => bs <= s && e <= be }),
+          s"stream extent ($d,$s,$e) not covered by any consolidated batch extent")
+      }
+    } finally q.stop()
+  }
+
   test("runningHeavyHitters holds the Misra–Gries guarantee at the final emission") {
     // zipf-ish per-key stream: value v_i appears ~120/i times; k=8 forces
     // constant eviction, so the test exercises the decrement path
