@@ -8385,5 +8385,116 @@ object SparkEntry {
           col("n_tokens_kept"), col("n_tokens_removed"))
         .orderBy(col("doc_id"))
     }
+
+    // shared hourly grid for the trend gates (the p189 recipe: floored
+    // epoch-hour index, exact integer arithmetic on both engines)
+    val hourlySql =
+      """SELECT event_type AS g,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      ((epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 + 3600000000)
+        |        % 3600000000)) // 3600000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2""".stripMargin
+    def hourlyGrid(s: SparkSession, dir: String): DataFrame =
+      events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(" +
+            "cast(ts as timestamp)), 3600000000)) div 3600000000")
+            .as("hour_x"))
+        .agg(count(lit(1)).as("y"))
+
+    // --- Mann–Kendall monotone-trend test per event type over the
+    //     hourly count grid: S and both tie terms are exact integer
+    //     sums over the group-bounded grid² pair frame; var_s and the
+    //     continuity-corrected z are fixed IEEE trees.
+    register("p208_mann_kendall",
+      s"""WITH hourly AS ($hourlySql),
+         |sp AS (SELECT a.g,
+         |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+         |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM hourly a JOIN hourly b ON a.g = b.g AND a.x < b.x
+         |  GROUP BY a.g),
+         |tt AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+         |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+         |  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t
+         |        FROM hourly GROUP BY g, y) q
+         |  GROUP BY g),
+         |vs AS (SELECT g, n, tsum,
+         |    CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0 AS v
+         |  FROM tt)
+         |SELECT vs.g AS event_type, vs.n, COALESCE(sp.s, 0) AS s,
+         |  CASE WHEN vs.n >= 2 THEN vs.v END AS var_s,
+         |  CASE WHEN vs.n >= 2 AND vs.v > 0 THEN
+         |    CASE WHEN COALESCE(sp.s, 0) > 0
+         |           THEN CAST(COALESCE(sp.s, 0) - 1 AS DOUBLE) / sqrt(vs.v)
+         |         WHEN COALESCE(sp.s, 0) < 0
+         |           THEN CAST(COALESCE(sp.s, 0) + 1 AS DOUBLE) / sqrt(vs.v)
+         |         ELSE 0.0 END END AS z
+         |FROM vs LEFT JOIN sp USING (g) ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Drift.mannKendallByGroup(
+          hourlyGrid(s, dir), "event_type", "hour_x", "y")
+        .orderBy(col("event_type"))
+    }
+
+    // --- Theil–Sen robust slope + intercept per event type over the
+    //     same grid: medians are LOWER nearest-rank picks over the
+    //     sorted pairwise-slope / residual multisets — the value at a
+    //     sorted position is tie-order-independent, and every slope is
+    //     one IEEE division of exact integers on both engines.
+    register("p209_theil_sen",
+      s"""WITH hourly AS ($hourlySql),
+         |sl AS (SELECT a.g,
+         |    (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE)) /
+         |      (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS sl
+         |  FROM hourly a JOIN hourly b ON a.g = b.g AND a.x < b.x),
+         |sm AS (SELECT g, sl,
+         |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY sl) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS m FROM sl),
+         |spk AS (SELECT g, CAST(m AS BIGINT) AS n_slopes, sl AS slope
+         |  FROM sm WHERE rn = (m + 1) // 2),
+         |rs AS (SELECT h.g, spk.n_slopes, spk.slope,
+         |    CAST(h.y AS DOUBLE) - spk.slope * CAST(h.x AS DOUBLE) AS r
+         |  FROM hourly h JOIN spk ON spk.g = h.g),
+         |rm AS (SELECT g, n_slopes, slope, r,
+         |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS m FROM rs),
+         |ri AS (SELECT g, n_slopes, slope, r AS intercept
+         |  FROM rm WHERE rn = (m + 1) // 2),
+         |c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM hourly GROUP BY g)
+         |SELECT c.g AS event_type, c.n,
+         |  CAST(COALESCE(ri.n_slopes, 0) AS BIGINT) AS n_slopes,
+         |  ri.slope, ri.intercept
+         |FROM c LEFT JOIN ri USING (g) ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Drift.theilSenByGroup(
+          hourlyGrid(s, dir), "event_type", "hour_x", "y")
+        .orderBy(col("event_type"))
+    }
+
+    // --- vocabulary-coverage estimators per language (Good 1953, Chao
+    //     1984): frequency-of-frequency counts are exact integers off
+    //     ONE (lang, token) aggregation; coverage / unseen mass / the
+    //     bias-corrected Chao1 bound are fixed IEEE trees.
+    register("p210_vocab_coverage",
+      s"""WITH toks AS (SELECT lang AS g, unnest($toksLowerSql) AS t
+         |  FROM documents WHERE lang IS NOT NULL),
+         |tc AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY g, t),
+         |agg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM tc GROUP BY g)
+         |SELECT g AS lang, n_tokens, n_types, f1, f2,
+         |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS good_coverage,
+         |  CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass,
+         |  CAST(n_types AS DOUBLE) +
+         |    CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1
+         |FROM agg ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.vocabCoverageByGroup(
+          t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))
+    }
   }
 }

@@ -974,4 +974,131 @@ object Drift {
           col("__js").cast("double")).as("js"))
   }
 
+  /** Per-group Mann–Kendall monotone-trend test (Mann 1945, Kendall
+    * 1975) over a per-(group, x) SERIES — the nonparametric companion to
+    * [[graft.operators.Profile.trendByGroup]]'s OLS slope: "is this
+    * metric trending?" without assuming linearity or normal noise, the
+    * standard first question over a per-type hourly event-rate or a
+    * per-source daily quality score. S = Σ_{x_i < x_j} sign(y_j − y_i);
+    * Var(S) carries the tie correction
+    * (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18 over y-tie group sizes t; the
+    * reported z applies the ±1 continuity correction (z = 0 when S = 0,
+    * NULL when Var = 0 or n < 2). Output: (groupCol, n long, s long,
+    * var_s, z doubles).
+    *
+    * Contract: one y per (group, x) — the [[trailingStats]] grid
+    * contract (feed an aggregated hourly/daily grid, not raw rows; the
+    * caller owns the aggregation so the trend's time unit is explicit).
+    * NULL group/x/y rows drop.
+    *
+    * Exactness: S and both tie terms are exact integer sums (sign is
+    * ±1/0 on exact value comparisons); var_s and z are fixed IEEE trees
+    * over the exact integers.
+    *
+    * 100 TB shape: the pair frame is an equi-join ON THE GROUP of the
+    * grid with itself — group-bounded grid² pairs (a 2-year hourly grid
+    * is 17k rows → 150M integer pairs per group, map-side summed), never
+    * row-cardinality; the tie table is one (group, y) count aggregation.
+    * Raw-row trend questions belong to [[Profile.trendByGroup]] /
+    * [[Profile.spearmanByGroup]], which never build pairs. */
+  def mannKendallByGroup(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`")
+    val y = col(s"`$valueCol`")
+    val base = df.filter(g.isNotNull && x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.as("__x"), y.as("__y"))
+    val a = base.select(col("__g"), col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col("__g"), col("__x").as("__xb"), col("__y").as("__yb"))
+    val s = a.join(b, Seq("__g"))
+      .filter(col("__xa") < col("__xb"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__yb") > col("__ya"), 1L)
+          .when(col("__yb") < col("__ya"), -1L).otherwise(0L)).as("s"))
+    val ties = base.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__nvals"),
+        sum(col("__t")).as("n"),
+        sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
+          .as("__tsum"))
+    ties.join(s, Seq("__g"), "left")
+      .withColumn("__vs",
+        (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          col("__tsum")).cast("double") / lit(18.0))
+      .select(col("__g").as(groupCol), col("n"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        when(col("n") >= 2L, col("__vs")).as("var_s"),
+        when(col("n") >= 2L && col("__vs") > 0.0,
+          when(coalesce(col("s"), lit(0L)) > 0L,
+            (coalesce(col("s"), lit(0L)) - 1L).cast("double") /
+              sqrt(col("__vs")))
+          .when(coalesce(col("s"), lit(0L)) < 0L,
+            (coalesce(col("s"), lit(0L)) + 1L).cast("double") /
+              sqrt(col("__vs")))
+          .otherwise(lit(0.0))).as("z"))
+  }
+
+  /** Per-group Theil–Sen robust slope (Theil 1950, Sen 1968) over a
+    * per-(group, x) series: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i), plus the matching intercept
+    * median(y − slope·x) — the trend line one corrupted hour can't
+    * drag, the robust companion [[mannKendallByGroup]]'s test decides
+    * to act on. Output: (groupCol, n long — series points, n_slopes
+    * long, slope, intercept doubles — NULL when n < 2).
+    *
+    * Determinism: medians are LOWER nearest-rank order statistics
+    * (rank ⌈m/2⌉ of the sorted multiset — the value at a sorted
+    * position is unique regardless of tie order); each slope is ONE
+    * IEEE division of exact inputs, so both engines sort identical
+    * doubles.
+    *
+    * Contract: one y per (group, x), the [[trailingStats]] grid
+    * contract. NULL group/x/y rows drop.
+    *
+    * 100 TB shape: group-bounded grid² pair frame (the
+    * [[mannKendallByGroup]] cost model) and two bounded per-group rank
+    * windows over slopes/residuals — bounded because the GRID is
+    * bounded (17k hourly points → 150M slopes per group at the extreme;
+    * the window is per-group-bounded by contract, not corpus-sized).
+    * Raw-row robust location belongs to [[Profile.robustStats]]. */
+  def theilSenByGroup(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`")
+    val y = col(s"`$valueCol`")
+    val base = df.filter(g.isNotNull && x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.cast("double").as("__x"),
+        y.cast("double").as("__y"))
+    val a = base.select(col("__g"), col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col("__g"), col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(b, Seq("__g"))
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__g"),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__sl"))
+    val wS = Window.partitionBy(col("__g")).orderBy(col("__sl"))
+    val wC = Window.partitionBy(col("__g"))
+    val slope = slopes
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__m", count(lit(1)).over(wC))
+      .filter(col("__rn") === expr("(__m + 1L) div 2L"))
+      .select(col("__g"), col("__m").as("n_slopes"), col("__sl").as("slope"))
+    val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val resid = base.join(broadcast(slope), Seq("__g"))
+      .select(col("__g"), col("n_slopes"), col("slope"),
+        (col("__y") - col("slope") * col("__x")).as("__r"))
+    val wR = Window.partitionBy(col("__g")).orderBy(col("__r"))
+    val picked = resid
+      .withColumn("__rn", row_number().over(wR))
+      .withColumn("__m", count(lit(1)).over(wC))
+      .filter(col("__rn") === expr("(__m + 1L) div 2L"))
+      .select(col("__g"), col("n_slopes"), col("slope"),
+        col("__r").as("intercept"))
+    counts.join(picked, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        coalesce(col("n_slopes"), lit(0L)).as("n_slopes"),
+        col("slope"), col("intercept"))
+  }
+
 }

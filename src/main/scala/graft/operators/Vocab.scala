@@ -450,4 +450,48 @@ object Vocab {
         (col("n_hapax").cast("double") / col("n_types").cast("double"))
           .as("hapax_share"))
   }
+
+  /** Per-group vocabulary-coverage ESTIMATORS — what [[lexicalProfile]]'s
+    * point counts cannot say: how much vocabulary the crawl has NOT seen
+    * yet. From the frequency-of-frequencies f1 (singletons) and f2
+    * (doubletons): Good's sample coverage 1 − f1/N (Good 1953 — the
+    * probability the NEXT token is a known type; its complement f1/N is
+    * the Good–Turing unseen-mass estimate), and the bias-corrected Chao1
+    * lower bound on true richness V + f1(f1−1)/(2(f2+1)) (Chao 1984/87 —
+    * defined at f2 = 0, where the classic f1²/2f2 blows up). The
+    * keep-crawling signal beside [[graft.operators.Profile.heapsFit]]'s
+    * growth exponent: coverage near 1 and chao1 ≈ V says the source is
+    * mined out. Tokens are lowercased whitespace splits (the shared toks
+    * contract). Output per group with ≥ 1 token: (groupCol, n_tokens,
+    * n_types, f1, f2 longs, good_coverage, unseen_mass, chao1 doubles —
+    * each a fixed IEEE tree over exact integers). NULL groups/texts drop.
+    *
+    * 100 TB shape: ONE map-side-combinable (group, token) count
+    * aggregation, one group rollup — no join, no window (the
+    * [[lexicalProfile]] plan exactly; only the rollup arithmetic
+    * differs). */
+  def vocabCoverageByGroup(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val counts = docs.filter(g.isNotNull)
+      .select(g.as("__g"),
+        explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))), "\\s+"))
+          .as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"),
+        (lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("good_coverage"),
+        (col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("unseen_mass"),
+        (col("n_types").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2.0) * (col("f2") + 1L).cast("double"))).as("chao1"))
+  }
 }

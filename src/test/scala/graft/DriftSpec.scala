@@ -541,4 +541,58 @@ class DriftSpec extends SparkSpecBase {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(got - want) < 2e-9, s"$got vs $want")
   }
+
+  test("mannKendallByGroup: hand-computed S, tie correction, continuity-corrected z") {
+    // up: strictly increasing, n=4 -> S = 6, no ties,
+    // var = 4*3*13/18 = 26/3, z = (6-1)/sqrt(26/3)
+    // tie: y = (1, 2, 2, 3) -> S = 5, tie term for t=2: 2*1*9 = 18,
+    // n(n-1)(2n+5) = 156 -> var = (156 - 18)/18 = 23/3, z = 4/sqrt(23/3)
+    // flat: all equal -> S = 0, tie term 4*3*13 = 156 -> var 0 -> z NULL
+    // solo: n = 1 -> var/z NULL
+    val df = Seq(
+      ("up", 0L, 1.0), ("up", 1L, 3.0), ("up", 2L, 4.0), ("up", 3L, 9.0),
+      ("tie", 0L, 1.0), ("tie", 1L, 2.0), ("tie", 2L, 2.0), ("tie", 3L, 3.0),
+      ("flat", 0L, 5.0), ("flat", 1L, 5.0), ("flat", 2L, 5.0), ("flat", 3L, 5.0),
+      ("solo", 0L, 7.0)).toDF("g", "x", "y")
+    val got = Drift.mannKendallByGroup(df, "g", "x", "y")
+      .select("g", "n", "s", "var_s", "z")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("up") === (("up", 4L, 6L, Some(26.0 / 3.0),
+      Some(5.0 / math.sqrt(26.0 / 3.0)))))
+    assert(got("tie") === (("tie", 4L, 5L, Some(138.0 / 18.0),
+      Some(4.0 / math.sqrt(138.0 / 18.0)))))
+    assert(got("flat") === (("flat", 4L, 0L, Some(0.0), None)))
+    assert(got("solo") === (("solo", 1L, 0L, None, None)))
+  }
+
+  test("theilSenByGroup: the median slope shrugs off an outlier point; lower-median rule") {
+    // (0,0),(1,1),(2,2),(3,10): slopes sorted [1,1,1,10/3,4.5,8] ->
+    // lower median (rank 3 of 6) = 1.0; residuals y - 1*x = [0,0,0,7]
+    // -> lower median (rank 2 of 4) = 0.0
+    val df = Seq(
+      ("g", 0L, 0.0), ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 10.0),
+      ("solo", 5L, 3.0)).toDF("g", "x", "y")
+    val got = Drift.theilSenByGroup(df, "g", "x", "y")
+      .select("g", "n", "n_slopes", "slope", "intercept")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") === (("g", 4L, 6L, Some(1.0), Some(0.0))))
+    assert(got("solo") === (("solo", 1L, 0L, None, None)))
+    // differential vs an in-memory reference on a seeded series
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 40).map(i => ("r", i.toLong,
+      0.7 * i + rnd.nextInt(20).toDouble))
+    val r = Drift.theilSenByGroup(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .head()
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if pts(i)._2 < pts(j)._2
+    } yield (pts(j)._3 - pts(i)._3) / (pts(j)._2 - pts(i)._2).toDouble)
+      .sorted
+    val wantSlope = slopes((slopes.size + 1) / 2 - 1)
+    val resid = pts.map(p => p._3 - wantSlope * p._2.toDouble).sorted
+    val wantIcpt = resid((resid.size + 1) / 2 - 1)
+    assert(r.getAs[Double]("slope") === wantSlope)
+    assert(r.getAs[Double]("intercept") === wantIcpt)
+  }
 }

@@ -205,4 +205,22 @@ class VocabSpec extends SparkSpecBase {
     assert(got("h") === (("h", 2L, 1L, 0L, 0.5, 0.0)))
     assert(!got.contains(null), "null group drops")
   }
+
+  test("vocabCoverageByGroup: Good coverage and bias-corrected Chao1, f2=0 well-defined") {
+    val df = Seq(
+      ("g", "a a b c"),            // a:2 b:1 c:1 -> N=4 V=3 f1=2 f2=1
+      ("h", "a b"),                // f1=2 f2=0 -> chao1 = 2 + 2*1/(2*1) = 3
+      ("k", "x x x"),              // no singletons -> coverage 1, chao1 = V
+      (null.asInstanceOf[String], "ignored")).toDF("src", "text")
+    val got = Vocab.vocabCoverageByGroup(df, "src", "text")
+      .select("src", "n_tokens", "n_types", "f1", "f2",
+        "good_coverage", "unseen_mass", "chao1")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") === (("g", 4L, 3L, 2L, 1L, 0.5, 0.5,
+      3.0 + 2.0 / 4.0)))
+    assert(got("h") === (("h", 2L, 2L, 2L, 0L, 0.0, 1.0, 3.0)))
+    assert(got("k") === (("k", 3L, 1L, 0L, 0L, 1.0, 0.0, 1.0)))
+    assert(!got.contains(null), "null group drops")
+  }
 }
