@@ -8496,5 +8496,109 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", "text")
         .orderBy(col("lang"))
     }
+
+    // --- pairwise embedding-dimension covariance + correlation (the
+    //     anisotropy report behind whitening/PCA): element products
+    //     quantize to DECIMAL(38,18) and sum order-independently; cov is
+    //     one IEEE tree over the decimal-cast sums, REPORTED at 9 dp,
+    //     and corr divides the ROUNDED covariances so both engines see
+    //     identical inputs.
+    register("p211_embedding_covariance",
+      """WITH el AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |p AS (SELECT a.i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS sxy,
+        |    SUM(CAST(a.x AS DECIMAL(38,18))) AS sx,
+        |    SUM(CAST(b.x AS DECIMAL(38,18))) AS sy
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |c AS (SELECT i, j, n_vecs,
+        |    CAST(ROUND(CAST((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE
+        |        / n_vecs::DOUBLE) / n_vecs::DOUBLE AS DECIMAL(25,12)), 9)
+        |      AS DOUBLE) AS cov
+        |  FROM p),
+        |d AS (SELECT i AS k, cov AS v FROM c WHERE i = j)
+        |SELECT c.i, c.j, c.n_vecs, c.cov,
+        |  CASE WHEN di.v > 0 AND dj.v > 0 THEN
+        |    CAST(ROUND(CAST(c.cov / sqrt(di.v * dj.v) AS DECIMAL(25,12)), 9)
+        |      AS DOUBLE) END AS corr
+        |FROM c JOIN d di ON di.k = c.i JOIN d dj ON dj.k = c.j
+        |ORDER BY c.i, c.j""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.embeddingCovariance(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("i"), col("j"))
+    }
+
+    // --- per-source classification fairness audit vs reference src0
+    //     (demographic parity, disparate impact, equalized odds): the
+    //     planted classifier is 0.8·md5-uniform + 0.2·(lang=en) >= 0.5
+    //     (exact power-of-2 division + two IEEE ops — deterministic on
+    //     both engines); every rate is one division of exact counts.
+    register("p212_fairness_audit",
+      """WITH base AS (SELECT source AS g, (lang = 'en') AS l,
+        |    (0.8 * (('0x' || substring(md5('fair:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        ::DOUBLE / 1152921504606846976.0)
+        |      + (CASE WHEN lang = 'en' THEN 0.2 ELSE 0.0 END)) >= 0.5 AS p
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS sel,
+        |    CAST(SUM(CASE WHEN l AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN (NOT l) AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM base GROUP BY g),
+        |r AS (SELECT g, n, n_pos,
+        |    n_pos::DOUBLE / n::DOUBLE AS base_rate,
+        |    sel::DOUBLE / n::DOUBLE AS sel_rate,
+        |    CASE WHEN n_pos > 0 THEN tp::DOUBLE / n_pos::DOUBLE END AS tpr,
+        |    CASE WHEN n - n_pos > 0 THEN fp::DOUBLE / (n - n_pos)::DOUBLE END AS fpr
+        |  FROM st),
+        |rf AS (SELECT sel_rate AS rsel, tpr AS rtpr, fpr AS rfpr
+        |  FROM r WHERE g = 'src0')
+        |SELECT r.g AS source, r.n, r.n_pos, r.base_rate, r.sel_rate,
+        |  r.tpr, r.fpr,
+        |  r.sel_rate - rf.rsel AS dp_gap,
+        |  CASE WHEN rf.rsel > 0 THEN r.sel_rate / rf.rsel END AS di_ratio,
+        |  r.tpr - rf.rtpr AS tpr_gap, r.fpr - rf.rfpr AS fpr_gap
+        |FROM r LEFT JOIN rf ON TRUE ORDER BY source""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("source"), (col("lang") === "en").as("l"),
+          ((graft.operators.Splits.hashValue60(col("doc_id"), "fair")
+            .cast("double") / lit(1152921504606846976.0)) * 0.8 +
+            when(col("lang") === "en", 0.2).otherwise(0.0) >= 0.5).as("p"))
+      graft.operators.Eval.fairnessAudit(base, "source", "l", "p", "src0")
+        .orderBy(col("source"))
+    }
+
+    // --- unigram^(3/4) negative-sampling table (Mikolov 2013): the
+    //     3/4 power is sqrt(c·sqrt(c)) — two correctly-rounded IEEE
+    //     sqrts, bit-identical across engines with no transcendental
+    //     contract; 9-dp-quantized weights sum in exact decimal, the
+    //     CDF rides the PrefixSum range exchange, and prob/cum_prob
+    //     round at the report (the p07 decimal→double rule).
+    register("p213_negative_sampling",
+      s"""WITH toks AS (SELECT unnest($toksLowerSql) AS t FROM documents),
+         |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         |w AS (SELECT t, c,
+         |    CAST(ROUND(CAST(sqrt(c::DOUBLE * sqrt(c::DOUBLE))
+         |      AS DECIMAL(25,12)), 9) AS DECIMAL(25,9)) AS w
+         |  FROM tc),
+         |cw AS (SELECT t, c, w,
+         |    SUM(w) OVER (ORDER BY c DESC, t) AS cum,
+         |    SUM(w) OVER () AS tot FROM w)
+         |SELECT t AS term, c AS "count", CAST(w AS DOUBLE) AS weight,
+         |  CAST(ROUND(CAST(w::DOUBLE / tot::DOUBLE AS DECIMAL(25,12)), 9)
+         |    AS DOUBLE) AS prob,
+         |  CAST(ROUND(CAST(cum::DOUBLE / tot::DOUBLE AS DECIMAL(25,12)), 9)
+         |    AS DOUBLE) AS cum_prob
+         |FROM cw ORDER BY term""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.negativeSamplingTable(
+          t(s, dir, "documents"), "text")
+        .orderBy(col("term"))
+    }
   }
 }

@@ -1036,4 +1036,57 @@ object Eval {
           .as("uncertainty"),
         (col("__b").cast("double") / col("n").cast("double")).as("brier"))
   }
+
+  /** Per-group classification fairness audit (Feldman et al. 2015 /
+    * Hardt et al. 2016): selection rate, TPR and FPR per group, plus the
+    * three standard gaps against a REFERENCE group — demographic-parity
+    * gap (sel − ref sel), disparate-impact ratio (sel / ref sel, the
+    * four-fifths-rule number), and the equalized-odds gaps (TPR − ref
+    * TPR, FPR − ref FPR). The governance sibling of
+    * [[graft.operators.Scrub.kAnonymityProfile]]: run it before shipping
+    * any filter/classifier that gates documents by a protected-adjacent
+    * group. Output per group: (groupCol, n, n_pos longs, base_rate,
+    * sel_rate, tpr, fpr, dp_gap, di_ratio, tpr_gap, fpr_gap doubles —
+    * each ONE division/subtraction of exact counts; tpr/fpr NULL where
+    * the group has no positives/negatives, gaps NULL where the reference
+    * rate is NULL, di_ratio NULL where the reference selects nobody).
+    * Rows with NULL group/label/pred drop; groups appear even when the
+    * reference group is absent (gaps NULL — an absent baseline must be
+    * loud, not a silent empty frame).
+    *
+    * 100 TB shape: ONE map-side-combinable count aggregation to |groups|
+    * rows; the reference row broadcasts into a |groups|-row join.
+    * Nothing per-document survives the first aggregation. */
+  def fairnessAudit(df: DataFrame, groupCol: String, labelCol: String,
+      predCol: String, refGroup: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val l = col(s"`$labelCol`")
+    val p = col(s"`$predCol`")
+    val stats = df.filter(g.isNotNull && l.isNotNull && p.isNotNull)
+      .groupBy(g.as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(l, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(p, 1L).otherwise(0L)).as("__sel"),
+        sum(when(l && p, 1L).otherwise(0L)).as("__tp"),
+        sum(when(!l && p, 1L).otherwise(0L)).as("__fp"))
+      .select(col("__g"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("base_rate"),
+        (col("__sel").cast("double") / col("n").cast("double")).as("sel_rate"),
+        when(col("n_pos") > 0L,
+          col("__tp").cast("double") / col("n_pos").cast("double")).as("tpr"),
+        when(col("n") - col("n_pos") > 0L,
+          col("__fp").cast("double") /
+            (col("n") - col("n_pos")).cast("double")).as("fpr"))
+    val ref = stats.filter(col("__g").cast("string") === refGroup)
+      .select(col("sel_rate").as("__rsel"), col("tpr").as("__rtpr"),
+        col("fpr").as("__rfpr"))
+    stats.join(broadcast(ref), lit(true), "left")
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        col("base_rate"), col("sel_rate"), col("tpr"), col("fpr"),
+        (col("sel_rate") - col("__rsel")).as("dp_gap"),
+        when(col("__rsel") > 0.0, col("sel_rate") / col("__rsel"))
+          .as("di_ratio"),
+        (col("tpr") - col("__rtpr")).as("tpr_gap"),
+        (col("fpr") - col("__rfpr")).as("fpr_gap"))
+  }
 }

@@ -920,4 +920,60 @@ object Similarity {
           .cast(DecimalType(25, 12)), 9).cast("double").as("mse"),
         col("max_abs_err"))
   }
+
+  /** Pairwise embedding-dimension covariance + correlation — the
+    * anisotropy report behind whitening/PCA decisions ("all our vectors
+    * point the same way" is the classic contrastive-collapse failure,
+    * and a dominant off-diagonal block says the effective dimension is
+    * far below d): population covariance and Pearson correlation for
+    * every dimension pair i ≤ j. Output: (i, j int, n_vecs long, cov,
+    * corr double — both REPORTED at 9 dp; corr is computed FROM the
+    * 9-dp-rounded covariances so both engines divide identical inputs,
+    * and is NULL when either variance rounds to ≤ 0). NULL id/vector
+    * rows drop; ragged vectors contribute to the cells they have (n_vecs
+    * is per cell — feed [[embeddingAudit]]-healthy vectors for a
+    * constant-n report).
+    *
+    * Exactness: element products are exact in double (float mantissas),
+    * quantized to DECIMAL(38,18) per pair and summed order-independently
+    * (the [[mmrRerank]] pool-sim recipe); cov is one fixed IEEE tree
+    * over the decimal-cast sums, rounded at the report.
+    *
+    * 100 TB shape: one posexplode (n·d rows) and ONE equi-join on the
+    * vector id (n·d(d+1)/2 product rows, map-side-combined into d²
+    * cells) — d is the bounded embedding width (the IVF-PQ m·nCodes
+    * bound: d ≤ a few thousand, so d² cells broadcast trivially and the
+    * join fan-out is d²-bounded per vector, never corpus²). The diag
+    * join is |d| rows, broadcast. */
+  def embeddingCovariance(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dec = DecimalType(38, 18)
+    val el = df.filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"),
+        posexplode(col(s"`$vecCol`")).as(Seq("__i", "__x")))
+      .withColumn("__x", col("__x").cast("double"))
+    val a = el.select(col("__id"), col("__i").as("i"), col("__x").as("__xa"))
+    val b = el.select(col("__id"), col("__i").as("j"), col("__x").as("__xb"))
+    val sums = a.join(b, Seq("__id"))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("__xa") * col("__xb")).cast(dec)).as("__sxy"),
+        sum(col("__xa").cast(dec)).as("__sx"),
+        sum(col("__xb").cast(dec)).as("__sy"))
+    val cov = sums.select(col("i"), col("j"), col("n_vecs"),
+      round(((col("__sxy").cast("double") -
+        col("__sx").cast("double") * col("__sy").cast("double") /
+          col("n_vecs").cast("double")) / col("n_vecs").cast("double"))
+        .cast(DecimalType(25, 12)), 9).cast("double").as("cov"))
+    val diagI = cov.filter(col("i") === col("j"))
+      .select(col("i"), col("cov").as("__vi"))
+    val diagJ = diagI.select(col("i").as("j"), col("__vi").as("__vj"))
+    cov.join(broadcast(diagI), Seq("i"))
+      .join(broadcast(diagJ), Seq("j"))
+      .select(col("i"), col("j"), col("n_vecs"), col("cov"),
+        when(col("__vi") > 0.0 && col("__vj") > 0.0,
+          round((col("cov") / sqrt(col("__vi") * col("__vj")))
+            .cast(DecimalType(25, 12)), 9).cast("double")).as("corr"))
+  }
 }

@@ -494,4 +494,53 @@ object Vocab {
           (col("f1") * (col("f1") - 1L)).cast("double") /
             (lit(2.0) * (col("f2") + 1L).cast("double"))).as("chao1"))
   }
+
+  /** Unigram^(3/4) negative-sampling table (Mikolov et al. 2013,
+    * "Distributed Representations of Words and Phrases"): the smoothed
+    * noise distribution every word2vec/contrastive trainer draws
+    * negatives from — P(term) ∝ count^0.75, flattening Zipf so rare
+    * words are sampled often enough to learn. Output per distinct
+    * token: (term, count long, weight, prob, cum_prob doubles) with
+    * cum_prob the inclusive CDF in (count DESC, term ASC) order — the
+    * inverse-CDF lookup key a sampler binary-searches.
+    *
+    * Exactness: count^(3/4) is computed as sqrt(count · sqrt(count)) —
+    * two IEEE-754 correctly-rounded sqrts and one product, bit-identical
+    * across engines with NO transcendental rounding contract (pow/exp/ln
+    * implementations differ; sqrt may not) — then quantized to 9 dp
+    * through DECIMAL(25,12) so weights sum order-independently in exact
+    * decimal. prob and cum_prob are each ONE division of decimal-cast
+    * exact sums, REPORTED at 9 dp (decimal→double casts can differ 1 ulp
+    * across engines — the p07 rule).
+    *
+    * 100 TB shape: ONE map-side-combinable token count, then the CDF
+    * rides [[PrefixSum.withRunningSums]] (range exchange on the
+    * distinct (−count, term) key + broadcast offsets — never a
+    * single-reducer global window); the totals row broadcasts. */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))),
+        "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(count(lit(1)).as("count"))
+    val w = counts
+      .withColumn("__w", round(
+        sqrt(col("count").cast("double") * sqrt(col("count").cast("double")))
+          .cast(DecimalType(25, 12)), 9).cast(DecimalType(25, 9)))
+      .withColumn("__negc", -col("count"))
+    val cum = PrefixSum.withRunningSums(
+      w, Seq("__negc", "__t"), Seq("__w"), stager)
+    val totals = cum.agg(sum(col("__w")).as("__W"))
+    // alias both sides: totals derives from cum, and Spark's self-join
+    // dedup would otherwise leave `__w` ambiguous in the final select
+    cum.as("__c").crossJoin(broadcast(totals.as("__tt")))
+      .select(col("__c.__t").as("term"), col("__c.count").as("count"),
+        col("__c.__w").cast("double").as("weight"),
+        round((col("__c.__w").cast("double") / col("__tt.__W").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double").as("prob"),
+        round((col("__c.cum___w").cast("double") / col("__tt.__W").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double").as("cum_prob"))
+  }
 }

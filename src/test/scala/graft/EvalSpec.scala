@@ -634,4 +634,32 @@ class EvalSpec extends SparkSpecBase {
     assert(math.abs(identity - r.getAs[Double]("brier")) < 1e-9,
       "Murphy identity must hold to quantization residue")
   }
+
+  test("fairnessAudit: hand-computed rates and gaps; absent reference is loud NULLs") {
+    val df = Seq(
+      ("a", true, true), ("a", true, false), ("a", false, true), ("a", false, false),
+      ("b", true, true), ("b", true, true), ("b", false, false),
+      ("b", false, false), ("b", false, true), ("b", true, false),
+      ("c", false, false), ("c", false, false)).toDF("g", "l", "p")
+    val got = Eval.fairnessAudit(df, "g", "l", "p", "a")
+      .select("g", "n", "n_pos", "base_rate", "sel_rate", "tpr", "fpr",
+        "dp_gap", "di_ratio", "tpr_gap", "fpr_gap")
+      .as[(String, Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 4L, 2L, 0.5, 0.5, Some(0.5), Some(0.5),
+      Some(0.0), Some(1.0), Some(0.0), Some(0.0))))
+    assert(got("b") === (("b", 6L, 3L, 0.5, 0.5, Some(2.0 / 3.0), Some(1.0 / 3.0),
+      Some(0.0), Some(1.0), Some(2.0 / 3.0 - 0.5), Some(1.0 / 3.0 - 0.5))))
+    // c has no positives -> tpr NULL, and so is its gap
+    assert(got("c") === (("c", 2L, 0L, 0.0, 0.0, None, Some(0.0),
+      Some(-0.5), Some(0.0), None, Some(-0.5))))
+    // absent reference: every group still reported, gaps NULL
+    val noref = Eval.fairnessAudit(df, "g", "l", "p", "zz")
+      .select("g", "dp_gap", "di_ratio", "tpr_gap", "fpr_gap")
+      .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(noref.length === 3)
+    assert(noref.forall(r => r._2.isEmpty && r._3.isEmpty && r._4.isEmpty && r._5.isEmpty))
+  }
 }

@@ -391,6 +391,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("embeddingCovariance: hand-computed covariance/correlation; zero variance yields NULL corr") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingCovariance(df, "vec_id", "embedding")
+      .select("i", "j", "n_vecs", "cov", "corr")
+      .as[(Int, Int, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // means 2/3 each; var = 2/3 - 4/9 = 2/9; cov01 = 1/3 - 4/9 = -1/9
+    assert(got((0, 0)) === ((0, 0, 3L, 0.222222222, Some(1.0))))
+    assert(got((1, 1)) === ((1, 1, 3L, 0.222222222, Some(1.0))))
+    assert(got((0, 1)) === ((0, 1, 3L, -0.111111111, Some(-0.5))))
+    assert(got.size === 3, "only i <= j cells")
+    val flat = Similarity.embeddingCovariance(
+        Seq((1L, Array(1f, 2f)), (2L, Array(1f, 3f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select("i", "j", "cov", "corr")
+      .as[(Int, Int, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(flat((0, 0))._3 === 0.0)
+    assert(flat((0, 0))._4 === None, "zero variance -> NULL corr, never NaN")
+    assert(flat((0, 1))._4 === None)
+    assert(flat((1, 1))._4 === Some(1.0))
+  }
+
   test("recallAtK: exact hit counting, zero-row approx queries, self-recall 1.0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")

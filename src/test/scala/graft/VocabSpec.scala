@@ -223,4 +223,27 @@ class VocabSpec extends SparkSpecBase {
     assert(got("k") === (("k", 3L, 1L, 0L, 0L, 1.0, 0.0, 1.0)))
     assert(!got.contains(null), "null group drops")
   }
+
+  test("negativeSamplingTable: c^(3/4) via nested sqrts, CDF in (count desc, term) order") {
+    def w9(c: Long): BigDecimal = BigDecimal(
+        math.sqrt(c.toDouble * math.sqrt(c.toDouble)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r9(x: Double): Double = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(("a a a a b"), ("b c")).toDF("text") // a:4 b:2 c:1
+    val got = Vocab.negativeSamplingTable(df, "text")
+      .select("term", "count", "weight", "prob", "cum_prob")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (wa, wb, wc) = (w9(4L), w9(2L), w9(1L))
+    val tot = (wa + wb + wc).toDouble
+    assert(got("a") === (("a", 4L, wa.toDouble,
+      r9(wa.toDouble / tot), r9(wa.toDouble / tot))))
+    assert(got("b") === (("b", 2L, wb.toDouble,
+      r9(wb.toDouble / tot), r9((wa + wb).toDouble / tot))))
+    assert(got("c") === (("c", 1L, wc.toDouble,
+      r9(wc.toDouble / tot), 1.0)))
+    // the CDF covers the unit interval and is the inverse-CDF lookup key
+    assert(got.values.map(_._4).sum > 0.999 && got.values.map(_._4).sum < 1.001)
+  }
 }
