@@ -8600,5 +8600,104 @@ object SparkEntry {
           t(s, dir, "documents"), "text")
         .orderBy(col("term"))
     }
+
+    // --- word2vec frequent-word subsampling (Mikolov 2013): each token
+    //     OCCURRENCE keeps iff md5-uniform(doc, index) < sqrt(t/f)+t/f.
+    //     The draw key is the contiguous 0-based nonempty-token index
+    //     (the p193 ix convention) so both engines hash identical
+    //     strings; f is one division of exact counts; the keep
+    //     probability is a fixed IEEE tree.
+    register("p214_subsample_frequent",
+      """WITH t0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |tok AS (SELECT doc_id, CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS ix,
+        |    unnest(tk) AS tok FROM t0),
+        |key AS (SELECT doc_id, ix, tok, lower(tok) AS k FROM tok),
+        |freq AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM key GROUP BY k),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+        |kept AS (SELECT doc_id, ix, tok FROM key JOIN freq USING (k), tot
+        |  WHERE (('0x' || substring(md5('subsample:' || CAST(doc_id AS VARCHAR)
+        |        || ':' || CAST(ix AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0)
+        |    < (sqrt(0.001 / (c::DOUBLE / n::DOUBLE))
+        |        + 0.001 / (c::DOUBLE / n::DOUBLE))),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ix) AS text,
+        |    COUNT(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT t0.doc_id, COALESCE(r.text, '') AS text,
+        |  CAST(COALESCE(r.nk, 0) AS INT) AS n_tokens_kept,
+        |  CAST(len(t0.tk) - COALESCE(r.nk, 0) AS INT) AS n_tokens_removed
+        |FROM t0 LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t0.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.subsampleFrequent(
+          t(s, dir, "documents"), "doc_id", "text", t = 0.001)
+        .select(col("doc_id"), col("text"),
+          col("n_tokens_kept"), col("n_tokens_removed"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- Fightin' Words (Monroe et al. 2008): top-50 terms separating
+    //     en from non-en documents by z-scored Dirichlet-prior log-odds.
+    //     Both lns ride the 9-dp decimal contract, so delta/z (and the
+    //     |z| ranking) are bit-identical — the DSIR ranking precedent.
+    register("p215_fightin_words",
+      s"""WITH ta AS (SELECT unnest($toksLowerSql) AS t FROM documents WHERE lang = 'en'),
+         |tb AS (SELECT unnest($toksLowerSql) AS t FROM documents WHERE lang != 'en'),
+         |ca AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ca FROM ta GROUP BY t),
+         |cb AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY t),
+         |m AS (SELECT COALESCE(ca.t, cb.t) AS t, COALESCE(ca, 0) AS ca,
+         |    COALESCE(cb, 0) AS cb FROM ca FULL OUTER JOIN cb USING (t)),
+         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS A,
+         |    CAST(SUM(cb) AS BIGINT) AS B FROM m),
+         |sc AS (SELECT t, ca, cb,
+         |    10.0 * (ca + cb)::DOUBLE / (A + B)::DOUBLE AS aw,
+         |    A::DOUBLE + 10.0 - ca::DOUBLE
+         |      - (10.0 * (ca + cb)::DOUBLE / (A + B)::DOUBLE) AS da,
+         |    B::DOUBLE + 10.0 - cb::DOUBLE
+         |      - (10.0 * (ca + cb)::DOUBLE / (A + B)::DOUBLE) AS db
+         |  FROM m, tot),
+         |zz AS (SELECT t, ca, cb,
+         |    CASE WHEN da > 0 AND db > 0 THEN
+         |      CAST(ROUND(CAST(ln((ca::DOUBLE + aw) / da) AS DECIMAL(25,12)), 9) AS DOUBLE)
+         |      - CAST(ROUND(CAST(ln((cb::DOUBLE + aw) / db) AS DECIMAL(25,12)), 9) AS DOUBLE)
+         |    END AS delta,
+         |    aw FROM sc),
+         |zf AS (SELECT t, ca, cb, delta,
+         |    delta / sqrt(1.0 / (ca::DOUBLE + aw) + 1.0 / (cb::DOUBLE + aw)) AS z
+         |  FROM zz),
+         |top AS (SELECT * FROM zf
+         |  ORDER BY abs(z) DESC NULLS LAST, t LIMIT 50)
+         |SELECT t AS term, ca AS count_a, cb AS count_b, delta, z,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY abs(z) DESC NULLS LAST, t) AS INT) AS rank
+         |FROM top ORDER BY rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Drift.fightinWords(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text",
+          alpha0 = 10.0, k = 50)
+        .orderBy(col("rank"))
+    }
+
+    // --- fixed-width per-source n_chars histogram (8 equal intervals
+    //     over each group's [min, max]): the bin rule and both edges are
+    //     single fixed IEEE trees over exact inputs.
+    register("p216_fixed_width_histogram",
+      """WITH b AS (SELECT source AS g, n_chars::DOUBLE AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |bounds AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM b GROUP BY g),
+        |bins AS (SELECT b.g, CASE WHEN hi > lo THEN
+        |    CAST(LEAST(FLOOR((v - lo) * 8 / (hi - lo)), 7) AS INT)
+        |    ELSE 0 END AS bin, lo, hi
+        |  FROM b JOIN bounds USING (g))
+        |SELECT g AS source, bin,
+        |  lo + CAST(bin AS DOUBLE) * (hi - lo) / 8 AS bin_lo,
+        |  lo + CAST(bin + 1 AS DOUBLE) * (hi - lo) / 8 AS bin_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS "count"
+        |FROM bins GROUP BY g, bin, lo, hi
+        |ORDER BY source, bin""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.fixedWidthHistogramByGroup(
+          t(s, dir, "documents"), "source", "n_chars", nBins = 8)
+        .orderBy(col("source"), col("bin"))
+    }
   }
 }

@@ -974,6 +974,76 @@ object Drift {
           col("__js").cast("double")).as("js"))
   }
 
+  /** "Fightin' Words" corpus comparison (Monroe, Colaresi & Quinn 2008):
+    * the k terms that most distinguish corpus A from corpus B by the
+    * z-scored log-odds ratio under an informative Dirichlet prior drawn
+    * from the POOLED corpus — the statistically honest version of the
+    * "top distinctive keywords" report (raw log-odds overweights rare
+    * terms; PMI overweights hapax; the prior + variance fix both).
+    * Per term w with counts a_w/b_w, totals A/B and prior
+    * α_w = α0·(a_w+b_w)/(A+B):
+    *
+    *   δ_w = ln((a_w+α_w)/(A+α0−a_w−α_w)) − ln((b_w+α_w)/(B+α0−b_w−α_w))
+    *   z_w = δ_w / sqrt(1/(a_w+α_w) + 1/(b_w+α_w))
+    *
+    * Output: top `k` by (|z| DESC, term ASC) — (term, count_a, count_b
+    * longs, delta, z doubles, rank int). z > 0 marks A-side terms.
+    * Tokens are lowercased whitespace splits (the shared toks
+    * contract); a degenerate single-term side (log of a non-positive
+    * odds denominator) reports NULL delta/z and sorts last.
+    *
+    * Exactness: counts and the full-join union are exact; each ln rides
+    * the 9-dp decimal contract (both engines' libm logs differ at
+    * 1 ulp); δ, σ², z are fixed IEEE trees over those — so the |z|
+    * RANKING agrees bit-for-bit, the DSIR-gate precedent.
+    *
+    * 100 TB shape: two map-side-combinable token counts, one full outer
+    * join on the term (the only vocabulary-sized shuffle), one broadcast
+    * totals row, and a TakeOrderedAndProject k-cut — the final
+    * row_number window orders k rows, never the vocabulary. */
+  def fightinWords(a: DataFrame, b: DataFrame, textCol: String,
+      alpha0: Double = 10.0, k: Int = 50,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(alpha0 > 0.0, s"alpha0 must be positive, got $alpha0")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))),
+        "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(count(lit(1)).as(out))
+    val merged = stager.stage(
+      counts(a, "__ca").join(counts(b, "__cb"), Seq("__t"), "full_outer")
+        .select(col("__t"),
+          coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb")),
+      s"fightin_${java.util.UUID.randomUUID().toString.take(8)}")
+    val totals = merged.agg(sum(col("__ca")).as("__A"), sum(col("__cb")).as("__B"))
+    val scored = merged.crossJoin(broadcast(totals))
+      .withColumn("__aw", lit(alpha0) *
+        (col("__ca") + col("__cb")).cast("double") /
+        (col("__A") + col("__B")).cast("double"))
+      .withColumn("__da",
+        col("__A").cast("double") + lit(alpha0) -
+          col("__ca").cast("double") - col("__aw"))
+      .withColumn("__db",
+        col("__B").cast("double") + lit(alpha0) -
+          col("__cb").cast("double") - col("__aw"))
+      .withColumn("delta", when(col("__da") > 0.0 && col("__db") > 0.0,
+        ln9((col("__ca").cast("double") + col("__aw")) / col("__da")) -
+          ln9((col("__cb").cast("double") + col("__aw")) / col("__db"))))
+      .withColumn("z", col("delta") / sqrt(
+        lit(1.0) / (col("__ca").cast("double") + col("__aw")) +
+          lit(1.0) / (col("__cb").cast("double") + col("__aw"))))
+    scored
+      .orderBy(abs(col("z")).desc_nulls_last, col("__t"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("z")).desc_nulls_last, col("__t"))))
+      .select(col("__t").as("term"), col("__ca").as("count_a"),
+        col("__cb").as("count_b"), col("delta"), col("z"), col("rank"))
+  }
+
   /** Per-group Mann–Kendall monotone-trend test (Mann 1945, Kendall
     * 1975) over a per-(group, x) SERIES — the nonparametric companion to
     * [[graft.operators.Profile.trendByGroup]]'s OLS slope: "is this

@@ -1108,6 +1108,49 @@ object Profile {
         col("v_max") +: micros.map(m => col(s"q${m / 10000L}")): _*)
   }
 
+  /** Per-group fixed-WIDTH histogram — the equal-interval companion to
+    * [[quantileBinsByGroup]]'s equal-frequency bins and the log2 length
+    * histogram: nBins uniform intervals over each group's [min, max],
+    * the shape every dataset-card length/score chart draws. Output per
+    * NON-EMPTY (group, bin): (groupCol, bin int 0-based, bin_lo, bin_hi
+    * doubles — the interval edges, count long); a constant-valued group
+    * collapses to bin 0 with bin_lo = bin_hi. Empty bins are omitted
+    * (densify downstream — emitting |groups|·nBins rows for sparse data
+    * is the dashboard's choice, not the engine's). NULL group/value rows
+    * drop.
+    *
+    * Determinism: bin = min(⌊(v − lo)·nBins/(hi − lo)⌋, nBins − 1) with
+    * the multiply-then-divide association fixed — one IEEE tree both
+    * engines evaluate identically; edges lo + bin·(hi − lo)/nBins
+    * likewise.
+    *
+    * 100 TB shape: one min/max aggregation to |groups| rows (broadcast
+    * back), one counting aggregation on (group, bin) — both map-side
+    * combinable; no window, no data-sized join. */
+  def fixedWidthHistogramByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.cast("double").as("__v"))
+    val bounds = base.groupBy(col("__g"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    base.join(broadcast(bounds), Seq("__g"))
+      .withColumn("bin", when(col("__hi") > col("__lo"),
+          least(floor((col("__v") - col("__lo")) * nBins /
+            (col("__hi") - col("__lo"))), lit((nBins - 1).toLong)))
+        .otherwise(lit(0L)).cast("int"))
+      .groupBy(col("__g"), col("bin"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("count"))
+      .select(col("__g").as(groupCol), col("bin"),
+        (col("__lo") + col("bin").cast("double") *
+          (col("__hi") - col("__lo")) / nBins).as("bin_lo"),
+        (col("__lo") + (col("bin") + 1).cast("double") *
+          (col("__hi") - col("__lo")) / nBins).as("bin_hi"),
+        col("count"))
+  }
+
   /** Approximate-functional-dependency strength a → b (the g₃ measure,
     * Kivinen & Mannila 1995): the minimal fraction of rows to DELETE for
     * "a determines b" to hold exactly — the schema-discovery /

@@ -517,6 +517,78 @@ object Vocab {
     * rides [[PrefixSum.withRunningSums]] (range exchange on the
     * distinct (−count, term) key + broadcast offsets — never a
     * single-reducer global window); the totals row broadcasts. */
+  /** Frequent-word subsampling (Mikolov et al. 2013): drop each
+    * OCCURRENCE of a token with corpus frequency ratio f with
+    * probability 1 − (sqrt(t/f) + t/f) — the word2vec pass that deletes
+    * most "the"s while keeping every rare word, shrinking a training
+    * stream 30–50% with no vocabulary loss. The keep draw is a
+    * deterministic md5 uniform per (doc, token-index) (the repo's
+    * seeded-split machinery — reproducible shards, no RNG state), so
+    * the output corpus is a pure function of (input, t, salt).
+    *
+    * Token bytes are CASE-PRESERVING in the rewritten text (the
+    * removeDuplicateSpans convention); frequencies count the LOWERCASED
+    * form (the shared toks contract — "The" and "the" are one frequency
+    * class). Output: input columns with `textCol` rewritten
+    * (whitespace-normalized) + n_tokens_kept / n_tokens_removed ints.
+    * NULL-id rows drop (the draw is keyed on the id); docs whose every
+    * token survives pass through token-normalized.
+    *
+    * Exactness: f is ONE division of exact counts; the keep probability
+    * sqrt(t/f) + t/f is a fixed IEEE tree; u is an exact 60-bit hash
+    * over 2^60 — the comparison u < p is deterministic on both engines.
+    *
+    * 100 TB shape: one (token) count aggregation (map-side combinable),
+    * one token-stream equi-join against the frequency table (NO
+    * broadcast assumption — a web-scale vocabulary is itself large), a
+    * broadcast 1-row total, and the per-doc rebuild aggregation. Token
+    * text enters only the frequency join key and the rebuild — both
+    * unavoidable for a stream rewrite. */
+  def subsampleFrequent(docs: DataFrame, idCol: String, textCol: String,
+      t: Double = 1e-5, salt: String = "subsample"): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t must be in (0,1), got $t")
+    (Seq("n_tokens_kept", "n_tokens_removed") intersect docs.columns).foreach(c =>
+      throw new IllegalArgumentException(s"output column '$c' already exists in the input"))
+    val id = col(s"`$idCol`")
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol)
+    val base = docs.filter(id.isNotNull)
+    val toks = base.select(id,
+        posexplode(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"))
+          .as(Seq("__fs_pos", "__fs_tok")))
+      .filter(col("__fs_tok") =!= "")
+      .withColumn("__fs_ix", row_number().over(
+        Window.partitionBy(id).orderBy(col("__fs_pos"))) - 1)
+      .withColumn("__fs_key", lower(col("__fs_tok")))
+    val freq = toks.groupBy(col("__fs_key")).agg(count(lit(1)).as("__fs_c"))
+    val total = freq.agg(sum(col("__fs_c")).as("__fs_n"))
+    val kept = toks.join(freq, Seq("__fs_key"))
+      .crossJoin(broadcast(total))
+      .withColumn("__fs_f",
+        col("__fs_c").cast("double") / col("__fs_n").cast("double"))
+      .withColumn("__fs_p",
+        sqrt(lit(t) / col("__fs_f")) + lit(t) / col("__fs_f"))
+      .withColumn("__fs_u",
+        Splits.hashValue60(concat(id.cast("string"), lit(":"),
+          col("__fs_ix").cast("string")), salt).cast("double") /
+          lit(1152921504606846976.0))
+      .filter(col("__fs_u") < col("__fs_p"))
+    val rebuilt = kept.groupBy(id)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__fs_ix"), col("__fs_tok")))),
+          x => x.getField("__fs_tok"))).as("__fs_text"),
+        count(lit(1)).cast("int").as("n_tokens_kept"))
+    base.withColumn("__fs_pos", graft.functions.TextFunctions.tokenCount(
+        coalesce(col(s"`$textCol`"), lit(""))))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        (Seq(id) ++ others.map(c => col(s"`$c`")) :+
+          coalesce(col("__fs_text"), lit("")).as(textCol) :+
+          coalesce(col("n_tokens_kept"), lit(0)).as("n_tokens_kept") :+
+          (col("__fs_pos") - coalesce(col("n_tokens_kept"), lit(0)))
+            .cast("int").as("n_tokens_removed")): _*)
+  }
+
   def negativeSamplingTable(docs: DataFrame, textCol: String,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

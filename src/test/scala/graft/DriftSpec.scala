@@ -542,6 +542,34 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(got - want) < 2e-9, s"$got vs $want")
   }
 
+  test("fightinWords: hand-computed Dirichlet log-odds z; A-heavy terms score positive") {
+    def ln9(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Seq("x x x y", "x y").toDF("text")   // x:4 y:2, A=6
+    val b = Seq("y y y z", "y z").toDF("text")   // y:4 z:2, B=6
+    val got = Drift.fightinWords(a, b, "text", alpha0 = 10.0, k = 10)
+      .select("term", "count_a", "count_b", "delta", "z", "rank")
+      .as[(String, Long, Long, Double, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    def ref(ca: Long, cb: Long): (Double, Double) = {
+      val aw = 10.0 * (ca + cb).toDouble / 12.0
+      val da = 6.0 + 10.0 - ca.toDouble - aw
+      val db = 6.0 + 10.0 - cb.toDouble - aw
+      val delta = ln9((ca.toDouble + aw) / da) - ln9((cb.toDouble + aw) / db)
+      (delta, delta / math.sqrt(1.0 / (ca + aw) + 1.0 / (cb + aw)))
+    }
+    for ((term, ca, cb) <- Seq(("x", 4L, 0L), ("y", 2L, 4L), ("z", 0L, 2L))) {
+      val (d, z) = ref(ca, cb)
+      assert(got(term)._4 === d, s"delta($term)")
+      assert(got(term)._5 === z, s"z($term)")
+    }
+    assert(got("x")._5 > 0, "A-exclusive term scores positive")
+    assert(got("z")._5 < 0, "B-exclusive term scores negative")
+    // ranks follow |z| desc with the term tiebreak
+    val byRank = got.values.toSeq.sortBy(_._6).map(r => math.abs(r._5))
+    assert(byRank.zip(byRank.tail).forall { case (p, q) => p >= q })
+  }
+
   test("mannKendallByGroup: hand-computed S, tie correction, continuity-corrected z") {
     // up: strictly increasing, n=4 -> S = 6, no ties,
     // var = 4*3*13/18 = 26/3, z = (6-1)/sqrt(26/3)

@@ -325,6 +325,23 @@ class ProfileSpec extends SparkSpecBase {
     assert(byId(6L)._2 === Some(1.0))
   }
 
+  test("fixedWidthHistogramByGroup: equal intervals, hi clamps into the last bin, constant group") {
+    val df = (0 to 8).map(v => ("g", v.toDouble)) ++ Seq(("c", 5.0), ("c", 5.0))
+    val got = Profile.fixedWidthHistogramByGroup(
+        df.toDF("g", "v"), "g", "v", nBins = 4)
+      .select("g", "bin", "bin_lo", "bin_hi", "count")
+      .as[(String, Int, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // g: [0,8] in 4 bins of width 2 -> 0,1 | 2,3 | 4,5 | 6,7,8 (hi clamps)
+    assert(got(("g", 0)) === (("g", 0, 0.0, 2.0, 2L)))
+    assert(got(("g", 1)) === (("g", 1, 2.0, 4.0, 2L)))
+    assert(got(("g", 2)) === (("g", 2, 4.0, 6.0, 2L)))
+    assert(got(("g", 3)) === (("g", 3, 6.0, 8.0, 3L)))
+    // constant group collapses to bin 0 with lo = hi
+    assert(got(("c", 0)) === (("c", 0, 5.0, 5.0, 2L)))
+    assert(got.size === 5)
+  }
+
   test("robustStats: hand-computed winsorized and trimmed means on 1..20") {
     // n=20, p5 cut rank ceil(1)=1 -> lo=1; p95 rank ceil(19)=19 -> hi=19
     val df = ((1 to 20).map(i => (Some("g"), Some(i.toDouble))) :+

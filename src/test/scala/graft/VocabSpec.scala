@@ -224,6 +224,43 @@ class VocabSpec extends SparkSpecBase {
     assert(!got.contains(null), "null group drops")
   }
 
+  test("subsampleFrequent: md5-deterministic occurrence drops, rare words always survive") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val t = 0.05
+    val rows = Seq(
+      (1L, "the the the cat the the dog the"),
+      (2L, "the the the the bird the the the"),
+      (3L, "unique words only here now"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Vocab.subsampleFrequent(df, "doc_id", "text", t = t)
+      .select("doc_id", "text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // in-memory reference with the same hash and IEEE tree
+    val all = rows.flatMap { case (id, tx) =>
+      tx.split("\\s+").filter(_.nonEmpty).zipWithIndex.map {
+        case (tok, ix) => (id, ix.toLong, tok, tok.toLowerCase) } }
+    val freq = all.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toDouble
+    val expected = rows.map { case (id, tx) =>
+      val toks = tx.split("\\s+").filter(_.nonEmpty)
+      val kept = toks.zipWithIndex.filter { case (tok, ix) =>
+        val f = freq(tok.toLowerCase).toDouble / n
+        val u = h60(s"subsample:$id:$ix").toDouble / 1152921504606846976.0
+        u < math.sqrt(t / f) + t / f
+      }.map(_._1)
+      (id, kept.mkString(" "), kept.length, toks.length - kept.length)
+    }.map(r => r._1 -> r).toMap
+    assert(got === expected)
+    // every singleton has sqrt(t/f) >= 1 here -> doc 3 passes untouched
+    assert(got(3L)._2 === "unique words only here now")
+    // "the" (f = 13/21) genuinely gets thinned at t = 0.05
+    assert(got(1L)._4 + got(2L)._4 > 0, "the frequent word must lose occurrences")
+  }
+
   test("negativeSamplingTable: c^(3/4) via nested sqrts, CDF in (count desc, term) order") {
     def w9(c: Long): BigDecimal = BigDecimal(
         math.sqrt(c.toDouble * math.sqrt(c.toDouble)))
