@@ -430,6 +430,14 @@ class PlanAuditSpec extends SparkSpecBase {
       // p188: the 1-row (n, P) totals scalar broadcasts into the
       // distinct-score frame (the p182 gains shape)
       "p188_roc_curve",
+      // p212: the 1-row reference-group rate frame left-joins every
+      // |groups| row (an empty-or-one-row baseline must NULL the gaps,
+      // not drop the groups); p213/p215: the 1-row weight/count totals
+      // scalar broadcasts into the vocabulary frame (the p86 divergence
+      // shape); p214: the 1-row corpus token total broadcasts into the
+      // token stream for the frequency-ratio division
+      "p212_fairness_audit", "p213_negative_sampling",
+      "p214_subsample_frequent", "p215_fightin_words",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
       // per-token divergence terms — a scalar dim, not a pair blow-up;
