@@ -8699,5 +8699,73 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", nBins = 8)
         .orderBy(col("source"), col("bin"))
     }
+
+    // --- overlapping token-window chunking (the RAG index unit), 64
+    //     tokens advancing by 48: a pure projection on both engines —
+    //     chunk counts, starts and slices are exact integer arithmetic.
+    register("p217_chunk_documents",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t
+        |  WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE 1 + (n - 64 + 48 - 1) // 48 END AS nc FROM d),
+        |x AS (SELECT doc_id, tk, n, CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+        |  FROM c),
+        |s AS (SELECT doc_id, chunk_id, CAST(chunk_id AS BIGINT) * 48 AS st, tk, n
+        |  FROM x)
+        |SELECT doc_id, chunk_id, st AS start_tok,
+        |  LEAST(st + 64, n) - 1 AS end_tok,
+        |  CAST(LEAST(st + 64, n) - st AS INT) AS n_tokens,
+        |  array_to_string(list_slice(tk, st + 1, LEAST(st + 64, n)), ' ') AS text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.chunkDocuments(
+          t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("end_tok"), col("n_tokens"), col("text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }
+
+    // --- skip-gram (center, context, distance) pairs, window 2: the
+    //     word2vec co-occurrence stream; both engines emit the full
+    //     directed-pair multiset (exact integers and token bytes only).
+    register("p218_skipgram_pairs",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS tk
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |tok AS (SELECT doc_id, CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS ix,
+         |    unnest(tk) AS tok FROM t)
+         |SELECT a.doc_id, a.ix AS center_ix, a.tok AS center, b.tok AS context,
+         |  CAST(abs(a.ix - b.ix) AS INT) AS distance
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |  AND abs(a.ix - b.ix) BETWEEN 1 AND 2
+         |ORDER BY a.doc_id, center_ix, distance, context""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.skipGramPairs(
+          t(s, dir, "documents"), "doc_id", "text", window = 2)
+        .orderBy(col("doc_id"), col("center_ix"), col("distance"), col("context"))
+    }
+
+    // --- fastText character-n-gram subword table (Bojanowski 2017),
+    //     n in [3,6] over the bracketed word, 1024 md5 buckets: pure
+    //     string arithmetic over the distinct vocabulary.
+    register("p219_fasttext_subwords",
+      s"""WITH toks AS (SELECT DISTINCT unnest($toksLowerSql) AS word FROM documents),
+         |b AS (SELECT word, '<' || word || '>' AS bw FROM toks),
+         |g1 AS (SELECT word, substring(bw, s::INT, n::INT) AS subword
+         |  FROM b, unnest(range(3, 7)) r(n),
+         |       unnest(range(1, len(bw) - n + 2)) q(s)
+         |  WHERE len(bw) >= n),
+         |u AS (SELECT word, subword FROM g1
+         |      UNION SELECT word, bw AS subword FROM b)
+         |SELECT word, subword,
+         |  ('0x' || substring(md5(subword), 1, 15))::BIGINT % 1024 AS bucket
+         |FROM u ORDER BY word, subword""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.fastTextSubwords(
+          t(s, dir, "documents"), "text", nMin = 3, nMax = 6,
+          nBuckets = 1024L)
+        .orderBy(col("word"), col("subword"))
+    }
   }
 }

@@ -517,6 +517,132 @@ object Vocab {
     * rides [[PrefixSum.withRunningSums]] (range exchange on the
     * distinct (−count, term) key + broadcast offsets — never a
     * single-reducer global window); the totals row broadcasts. */
+  /** Overlapping token-window document chunking — the RAG/context-window
+    * prep pass: split each document into windows of `chunkTokens`
+    * whitespace tokens advancing by stride = chunkTokens − overlapTokens,
+    * the standard retrieval-index unit. Chunks are emitted while the
+    * previous chunk has not reached the end: nChunks = 1 for docs of ≤
+    * chunkTokens tokens, else 1 + ⌈(n − chunkTokens)/stride⌉ — the last
+    * chunk ends exactly at the last token (it may be shorter than
+    * chunkTokens; it is never pure overlap). Output one row per chunk:
+    * (idCol, chunk_id int 0-based, start_tok, end_tok longs — inclusive
+    * 0-based token indexes, n_tokens int, textCol — the chunk's tokens
+    * re-joined with single spaces, case-preserving). Zero-token docs and
+    * NULL ids emit nothing.
+    *
+    * 100 TB shape: a PURE PROJECTION — one split, one explode of the
+    * per-doc chunk-index sequence, one array slice per chunk. No
+    * shuffle, no join, no window: chunking distributes embarrassingly
+    * and stays inside whole-stage codegen. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlapTokens < chunkTokens, got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val id = col(s"`$idCol`")
+    docs.filter(id.isNotNull)
+      .select(id, filter(split(coalesce(col(s"`$textCol`"), lit("")), "\\s+"),
+        t => t =!= "").as("__ck_toks"))
+      .withColumn("__ck_n", size(col("__ck_toks")).cast("long"))
+      .filter(col("__ck_n") > 0L)
+      .withColumn("__ck_nc", when(col("__ck_n") <= chunkTokens, lit(1L))
+        .otherwise(lit(1L) +
+          expr(s"(__ck_n - ${chunkTokens}L + ${stride}L - 1L) div ${stride}L")))
+      .select(id, col("__ck_toks"), col("__ck_n"),
+        posexplode(expr("sequence(0L, __ck_nc - 1L)"))
+          .as(Seq("chunk_id", "__ck_s0")))
+      .withColumn("__ck_s", col("chunk_id").cast("long") * stride)
+      .select(id, col("chunk_id"),
+        col("__ck_s").as("start_tok"),
+        least(col("__ck_s") + chunkTokens, col("__ck_n")).minus(1L).as("end_tok"),
+        (least(col("__ck_s") + chunkTokens, col("__ck_n")) - col("__ck_s"))
+          .cast("int").as("n_tokens"),
+        concat_ws(" ", slice(col("__ck_toks"),
+          (col("__ck_s") + 1L).cast("int"),
+          (least(col("__ck_s") + chunkTokens, col("__ck_n")) - col("__ck_s"))
+            .cast("int"))).as(textCol))
+  }
+
+  /** Skip-gram training pairs (Mikolov et al. 2013): every
+    * (center, context) token pair within `window` positions, both
+    * directions, with the positional distance — the word2vec/GloVe
+    * co-occurrence stream ([[negativeSamplingTable]] supplies the noise
+    * draw, [[subsampleFrequent]] the pre-thinning; together the full
+    * embedding-training data pipeline). Output one row per directed
+    * pair: (idCol, center_ix long — the center's 0-based token index,
+    * center, context strings — lowercased, the training surface,
+    * distance int in [1, window]). Docs shorter than 2 tokens and NULL
+    * ids emit nothing.
+    *
+    * 100 TB shape: ONE per-doc window pass (the duplicatedRunExtents
+    * lead recipe — `window` leads in one Window operator over
+    * doc-bounded frames), then a projection exploding each position's ≤
+    * 2·window pairs. No join — the context arrives by lead, never by
+    * self-join on the token stream. */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val id = col(s"`$idCol`")
+    val toks = docs.filter(id.isNotNull)
+      .select(id, posexplode(split(lower(coalesce(col(s"`$textCol`"), lit(""))),
+        "\\s+")).as(Seq("__sg_pos", "__sg_tok")))
+      .filter(col("__sg_tok") =!= "")
+    val w = Window.partitionBy(id).orderBy(col("__sg_pos"))
+    val leads = (1 to window).map(d => lead(col("__sg_tok"), d).over(w).as(s"__l$d"))
+    val ixed = toks.select(id +: col("__sg_tok") +:
+      (row_number().over(w) - 1).cast("long").as("__sg_ix") +: leads: _*)
+    // each lead d yields BOTH directed pairs (i -> i+d and i+d -> i)
+    val pairs = (1 to window).flatMap { d =>
+      Seq(
+        struct(col("__sg_ix").as("cix"), col("__sg_tok").as("c"),
+          col(s"__l$d").as("x"), lit(d).as("dd")),
+        struct((col("__sg_ix") + d).as("cix"), col(s"__l$d").as("c"),
+          col("__sg_tok").as("x"), lit(d).as("dd")))
+    }
+    ixed.select(id, explode(array(pairs: _*)).as("__p"))
+      .filter(col("__p.c").isNotNull && col("__p.x").isNotNull)
+      .select(id, col("__p.cix").as("center_ix"), col("__p.c").as("center"),
+        col("__p.x").as("context"), col("__p.dd").as("distance"))
+  }
+
+  /** fastText character-n-gram subwords (Bojanowski et al. 2017,
+    * "Enriching Word Vectors with Subword Information"): per DISTINCT
+    * lowercased corpus word, the char n-grams of "<word>" for n in
+    * [nMin, nMax] plus the full bracketed word itself, each hashed to a
+    * bucket — the subword-embedding lookup table that lets a trained
+    * model embed out-of-vocabulary words. Output: (word, subword
+    * strings, bucket long in [0, nBuckets)) — one row per (word,
+    * distinct subword); the full "<word>" row is always present.
+    * Buckets use the shared 60-bit md5 (mod nBuckets), so the table is
+    * reproducible anywhere.
+    *
+    * 100 TB shape: one map-side-combinable distinct over the token
+    * stream (vocabulary-sized, not corpus-sized), then a pure
+    * projection exploding ≤ Σ_n (len+2−n+1) subwords per word. No
+    * join, no window. */
+  def fastTextSubwords(docs: DataFrame, textCol: String, nMin: Int = 3,
+      nMax: Int = 6, nBuckets: Long = 2097152L): DataFrame = {
+    require(nMin >= 1 && nMax >= nMin, s"need 1 <= nMin <= nMax, got ($nMin, $nMax)")
+    require(nBuckets >= 1L, s"nBuckets must be >= 1, got $nBuckets")
+    val words = docs
+      .select(explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))),
+        "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("__b", concat(lit("<"), col("word"), lit(">")))
+    words
+      .select(col("word"), explode(array_distinct(concat(
+        flatten(transform(sequence(lit(nMin), lit(nMax)), n =>
+          when(length(col("__b")) >= n,
+            transform(sequence(lit(1), length(col("__b")) - n + 1),
+              s => col("__b").substr(s, n)))
+            .otherwise(array().cast("array<string>")))),
+        array(col("__b"))))).as("subword"))
+      .select(col("word"), col("subword"),
+        pmod(graft.functions.TextFunctions.md5Hash60(col("subword")),
+          lit(nBuckets)).as("bucket"))
+  }
+
   /** Frequent-word subsampling (Mikolov et al. 2013): drop each
     * OCCURRENCE of a token with corpus frequency ratio f with
     * probability 1 − (sqrt(t/f) + t/f) — the word2vec pass that deletes

@@ -224,6 +224,71 @@ class VocabSpec extends SparkSpecBase {
     assert(!got.contains(null), "null group drops")
   }
 
+  test("chunkDocuments: stride windows cover every token; last chunk never pure overlap") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // n=10, chunk 4, stride 3 -> 3 chunks
+      (2L, "a b c"),                          // n < chunk -> 1 chunk
+      (3L, "x y z w v u q r s"),              // n=9 -> chunks 0-3, 3-6, 6-8
+      (4L, "   "),                            // 0 tokens -> no rows
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Vocab.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "n_tokens", "text")
+      .as[(Long, Int, Long, Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got(1L) === Seq(
+      (1L, 0, 0L, 3L, 4, "t0 t1 t2 t3"),
+      (1L, 1, 3L, 6L, 4, "t3 t4 t5 t6"),
+      (1L, 2, 6L, 9L, 4, "t6 t7 t8 t9")))
+    assert(got(2L) === Seq((2L, 0, 0L, 2L, 3, "a b c")))
+    assert(got(3L).map(c => (c._3, c._4)) === Seq((0L, 3L), (3L, 6L), (6L, 8L)))
+    assert(!got.contains(4L) && !got.contains(5L))
+    // every token index is covered by at least one chunk
+    for ((_, chunks) <- got) {
+      val n = chunks.map(_._4).max + 1
+      val covered = chunks.flatMap(c => c._3 to c._4).toSet
+      assert(covered === (0L until n).toSet)
+    }
+  }
+
+  test("skipGramPairs: full directed pair multiset within the window") {
+    val df = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val w1 = Vocab.skipGramPairs(df, "doc_id", "text", window = 1)
+      .select("center_ix", "center", "context", "distance")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(w1 === Set(
+      (0L, "a", "b", 1), (1L, "b", "a", 1), (1L, "b", "c", 1), (2L, "c", "b", 1)))
+    val w2 = Vocab.skipGramPairs(df, "doc_id", "text", window = 2)
+      .select("center_ix", "center", "context", "distance")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(w2 === w1 ++ Set((0L, "a", "c", 2), (2L, "c", "a", 2)))
+    // tokens lowercase; short docs emit nothing
+    val one = Vocab.skipGramPairs(Seq((1L, "Solo")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 2)
+    assert(one.count() === 0L)
+  }
+
+  test("fastTextSubwords: bracketed n-grams, the whole word always present, stable buckets") {
+    val df = Seq(("cat cat go")).toDF("text")
+    val got = Vocab.fastTextSubwords(df, "text", nMin = 3, nMax = 4,
+        nBuckets = 64L)
+      .select("word", "subword", "bucket")
+      .as[(String, String, Long)].collect()
+    val byWord = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // "<cat>": 3-grams <ca, cat, at>; 4-grams <cat, cat>; plus itself
+    assert(byWord("cat") === Set("<ca", "cat", "at>", "<cat", "cat>", "<cat>"))
+    // "<go>" is shorter than 4: 3-grams only, plus itself
+    assert(byWord("go") === Set("<go", "go>", "<go>"))
+    assert(got.forall(r => r._3 >= 0L && r._3 < 64L))
+    // distinct vocabulary: "cat" appears twice in the corpus, once here
+    assert(got.count(_._1 == "cat") === 6)
+    // buckets are a pure function of the subword bytes
+    val again = Vocab.fastTextSubwords(df, "text", nMin = 3, nMax = 4,
+        nBuckets = 64L).select("word", "subword", "bucket")
+      .as[(String, String, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
   test("subsampleFrequent: md5-deterministic occurrence drops, rare words always survive") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
