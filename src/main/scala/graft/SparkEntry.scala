@@ -8767,5 +8767,72 @@ object SparkEntry {
           nBuckets = 1024L)
         .orderBy(col("word"), col("subword"))
     }
+
+    // --- GloVe co-occurrence matrix over the window-2 skip-gram stream:
+    //     pair counts exact; the 1/d weights quantize to 9 dp and sum in
+    //     exact decimal; only the report cast rounds.
+    register("p220_glove_cooccurrence",
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS tk
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |tok AS (SELECT doc_id, CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS ix,
+         |    unnest(tk) AS tok FROM t),
+         |pr AS (SELECT a.tok AS center, b.tok AS context,
+         |    CAST(abs(a.ix - b.ix) AS INT) AS d
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |    AND abs(a.ix - b.ix) BETWEEN 1 AND 2)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 / d AS DECIMAL(25,12)), 9)
+         |      AS DECIMAL(25,9)))::DOUBLE AS DECIMAL(25,12)), 9) AS DOUBLE)
+         |    AS x_glove
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY center, context""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.cooccurrenceCounts(
+          t(s, dir, "documents"), "doc_id", "text", window = 2)
+        .orderBy(col("center"), col("context"))
+    }
+
+    // --- matryoshka truncation audit at prefix widths 2/4/8: retained
+    //     cosine is the exact norm ratio ‖v[:d]‖/‖v‖ — both norms ride
+    //     the p07 decimal fold; ratios quantize to 9 dp before the mean.
+    register("p221_matryoshka_audit",
+      """WITH e AS (SELECT embedding FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(embedding) >= 8),
+        |n AS (SELECT embedding, sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(38,18))))::DOUBLE) AS fn
+        |  FROM e),
+        |f AS (SELECT embedding, fn FROM n WHERE fn > 0),
+        |r AS (SELECT dd.d AS dim,
+        |    CAST(ROUND(CAST(sqrt(list_sum(list_transform(
+        |        list_slice(embedding, 1, dd.d),
+        |        x -> CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(38,18))))::DOUBLE)
+        |      / fn AS DECIMAL(25,12)), 9) AS DECIMAL(25,9)) AS r
+        |  FROM f, (VALUES (2), (4), (8)) dd(d))
+        |SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(ROUND(CAST(SUM(r)::DOUBLE / COUNT(*)::DOUBLE
+        |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS mean_retained,
+        |  CAST(MIN(r) AS DOUBLE) AS min_retained
+        |FROM r GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.matryoshkaAudit(
+          t(s, dir, "embeddings"), "vec_id", "embedding", Seq(2, 4, 8))
+        .orderBy(col("dim"))
+    }
+
+    // --- per-source plurality language (exact mode): two aggregations
+    //     + a |groups|-row join — ties break to the smallest value.
+    register("p222_mode_by_group",
+      """WITH c AS (SELECT source AS g, lang AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS mc
+        |  FROM c GROUP BY g)
+        |SELECT t.g AS source, t.n, MIN(c.v) AS mode, t.mc AS mode_count,
+        |  t.mc::DOUBLE / t.n::DOUBLE AS mode_share
+        |FROM c JOIN t ON c.g = t.g AND c.c = t.mc
+        |GROUP BY t.g, t.n, t.mc ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.modeByGroup(
+          t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"))
+    }
   }
 }

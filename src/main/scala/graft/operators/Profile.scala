@@ -1108,6 +1108,42 @@ object Profile {
         col("v_max") +: micros.map(m => col(s"q${m / 10000L}")): _*)
   }
 
+  /** Per-group exact mode (plurality value): the most frequent value,
+    * its count and share — the categorical one-number summary beside
+    * [[quantilesByGroup]]'s numeric one (dominant language per source,
+    * dominant event type per user cohort). Ties break to the SMALLEST
+    * value (cast-free on the value's own ordering), so the report is
+    * deterministic. Output: (groupCol, n long, mode — the value's own
+    * type, mode_count long, mode_share double — one division of exact
+    * counts). NULL group/value rows drop.
+    *
+    * 100 TB shape: one (group, value) count aggregation (map-side
+    * combinable), one per-group max over the count frame, one
+    * |groups|-row broadcast join back — no window (the plurality pick
+    * is max-count-then-min-value, two aggregations), no data-sized
+    * join. */
+  def modeByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v")).agg(count(lit(1)).as("__c"))
+    val tops = counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"), max(col("__c")).as("mode_count"))
+    // alias both sides: tops derives from counts and the join would
+    // otherwise be an ambiguous self-join on __g
+    counts.as("__cc").join(broadcast(tops.as("__tt")),
+        col("__cc.__g") === col("__tt.__g") &&
+          col("__cc.__c") === col("__tt.mode_count"))
+      .groupBy(col("__cc.__g").as("__gg"), col("__tt.n").as("n"),
+        col("__tt.mode_count").as("mode_count"))
+      .agg(min(col("__cc.__v")).as("mode"))
+      .select(col("__gg").as(groupCol), col("n"), col("mode"),
+        col("mode_count"),
+        (col("mode_count").cast("double") / col("n").cast("double"))
+          .as("mode_share"))
+  }
+
   /** Per-group fixed-WIDTH histogram — the equal-interval companion to
     * [[quantileBinsByGroup]]'s equal-frequency bins and the log2 length
     * histogram: nBins uniform intervals over each group's [min, max],

@@ -921,6 +921,50 @@ object Similarity {
         col("max_abs_err"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, MRL): for each
+    * candidate prefix width d, how much of each vector survives
+    * truncation — cos(v, v[:d] zero-padded) = ‖v[:d]‖/‖v‖, the exact
+    * retained-similarity of serving a d-dim prefix of a
+    * matryoshka-trained embedding. The report that picks the serving
+    * dimension: mean retained cosine near 1 at d says the index can
+    * shrink dim/d-fold. Output per d: (dim int, n_vecs long,
+    * mean_retained, min_retained doubles — REPORTED at 9 dp). Vectors
+    * with zero full norm or fewer than max(dims) elements drop (ragged
+    * vectors have no well-defined prefix contract — run
+    * [[embeddingAudit]] first).
+    *
+    * Exactness: both norms ride the decimal-exact [[normSq]] recipe
+    * (the p07 norm contract); each ratio is sqrt∘sqrt-free — ONE
+    * division of two IEEE sqrts of exact decimals; the mean quantizes
+    * ratios to 9 dp and sums in exact decimal.
+    *
+    * 100 TB shape: a pure projection per d (slice + two norm folds —
+    * all codegen) and ONE |dims|-cell aggregation; no join, no window,
+    * no shuffle beyond the final |dims|-row combine. */
+  def matryoshkaAudit(df: DataFrame, idCol: String, vecCol: String,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "matryoshkaAudit: dims must be non-empty")
+    require(dims.forall(_ >= 1), s"dims must be >= 1, got $dims")
+    require(dims.distinct.size == dims.size, s"duplicate dims in $dims")
+    val dmax = dims.max
+    val base = df
+      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull &&
+        size(col(s"`$vecCol`")) >= dmax)
+      .select(col(s"`$vecCol`").as("__v"))
+      .withColumn("__fn", sqrt(normSq(col("__v"))))
+      .filter(col("__fn") > 0.0)
+    val perD = dims.map { d =>
+      base.select(lit(d).as("dim"),
+        round((sqrt(normSq(slice(col("__v"), 1, d))) / col("__fn"))
+          .cast(DecimalType(25, 12)), 9).cast(DecimalType(25, 9)).as("__r"))
+    }.reduce(_ unionByName _)
+    perD.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum(col("__r")).cast("double") / count(lit(1)).cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double").as("mean_retained"),
+        min(col("__r")).cast("double").as("min_retained"))
+  }
+
   /** Pairwise embedding-dimension covariance + correlation — the
     * anisotropy report behind whitening/PCA decisions ("all our vectors
     * point the same way" is the classic contrastive-collapse failure,

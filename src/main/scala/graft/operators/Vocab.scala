@@ -606,6 +606,38 @@ object Vocab {
         col("__p.x").as("context"), col("__p.dd").as("distance"))
   }
 
+  /** GloVe co-occurrence counts (Pennington et al. 2014): the X matrix
+    * over [[skipGramPairs]]' directed pair stream — per (center,
+    * context): the raw pair count and the GloVe distance-weighted count
+    * Σ 1/distance (nearer context words count more). The third leg of
+    * the embedding-training data pipeline ([[subsampleFrequent]] thins,
+    * [[negativeSamplingTable]] draws noise, this accumulates the
+    * statistics GloVe factorizes). Output: (center, context strings —
+    * lowercased, n_pairs long, x_glove double). Output is symmetric on
+    * this symmetric window by construction.
+    *
+    * Exactness: each 1/d term is ONE IEEE division of small exact
+    * integers quantized to 9 dp, summed in exact decimal
+    * (order-independent); only the decimal→double report cast remains
+    * (the p07 rule — REPORT rounds at 9 dp).
+    *
+    * 100 TB shape: [[skipGramPairs]]' window pass and projection, then
+    * ONE map-side-combinable (center, context) aggregation — the
+    * pair-vocabulary-sized shuffle any co-occurrence build pays. */
+  def cooccurrenceCounts(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    skipGramPairs(docs, idCol, textCol, window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round((lit(1.0) / col("distance").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast(DecimalType(25, 9)))
+          .as("__x"))
+      .select(col("center"), col("context"), col("n_pairs"),
+        round(col("__x").cast("double")
+          .cast(DecimalType(25, 12)), 9).cast("double").as("x_glove"))
+  }
+
   /** fastText character-n-gram subwords (Bojanowski et al. 2017,
     * "Enriching Word Vectors with Subword Information"): per DISTINCT
     * lowercased corpus word, the char n-grams of "<word>" for n in

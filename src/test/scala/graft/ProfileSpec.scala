@@ -325,6 +325,20 @@ class ProfileSpec extends SparkSpecBase {
     assert(byId(6L)._2 === Some(1.0))
   }
 
+  test("modeByGroup: plurality value, ties break to the smallest value") {
+    val df = Seq(
+      ("g", "en"), ("g", "en"), ("g", "de"),
+      ("t", "b"), ("t", "a"), ("t", "b"), ("t", "a"),   // tie a/b -> a
+      (null.asInstanceOf[String], "x")).toDF("g", "v")
+    val got = Profile.modeByGroup(df, "g", "v")
+      .select("g", "n", "mode", "mode_count", "mode_share")
+      .as[(String, Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") === (("g", 3L, "en", 2L, 2.0 / 3.0)))
+    assert(got("t") === (("t", 4L, "a", 2L, 0.5)))
+    assert(got.size === 2, "null group drops")
+  }
+
   test("fixedWidthHistogramByGroup: equal intervals, hi clamps into the last bin, constant group") {
     val df = (0 to 8).map(v => ("g", v.toDouble)) ++ Seq(("c", 5.0), ("c", 5.0))
     val got = Profile.fixedWidthHistogramByGroup(

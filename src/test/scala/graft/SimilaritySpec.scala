@@ -391,6 +391,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("matryoshkaAudit: retained cosine is the exact prefix-norm ratio") {
+    val df = Seq(
+      (1L, Array(3f, 4f, 0f, 0f)),   // d=2 keeps everything -> 1.0
+      (2L, Array(0f, 0f, 3f, 4f)),   // d=2 keeps nothing -> 0.0
+      (3L, Array(1f, 1f, 1f, 1f)),   // d=2 -> sqrt(2)/2
+      (4L, Array(0f, 0f, 0f, 0f)),   // zero norm -> drops
+      (5L, Array(1f, 2f))).toDF("vec_id", "embedding") // ragged -> drops
+    val got = Similarity.matryoshkaAudit(df, "vec_id", "embedding", Seq(2, 4))
+      .select("dim", "n_vecs", "mean_retained", "min_retained")
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r3 = r9(math.sqrt(2.0) / 2.0)
+    assert(got(2) === ((2, 3L, r9((1.0 + 0.0 + r3) / 3.0), 0.0)))
+    assert(got(4) === ((4, 3L, 1.0, 1.0)), "full width retains everything")
+  }
+
   test("embeddingCovariance: hand-computed covariance/correlation; zero variance yields NULL corr") {
     val df = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))

@@ -268,6 +268,27 @@ class VocabSpec extends SparkSpecBase {
     assert(one.count() === 0L)
   }
 
+  test("cooccurrenceCounts: GloVe 1/d weights over the symmetric window") {
+    val df = Seq((1L, "a b a")).toDF("doc_id", "text")
+    // pairs (w=2): (a0,b,1)x2dir, (b,a2,1)x2dir, (a0,a2,2)x2dir
+    val got = Vocab.cooccurrenceCounts(df, "doc_id", "text", window = 2)
+      .select("center", "context", "n_pairs", "x_glove")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b")) === ((2L, 2.0)))       // two 1/1 terms
+    assert(got(("b", "a")) === ((2L, 2.0)))
+    assert(got(("a", "a")) === ((2L, 1.0)))       // two 1/2 terms
+    assert(got.size === 3)
+    // symmetric window -> symmetric matrix on a bigger corpus
+    val sym = Vocab.cooccurrenceCounts(
+        Seq((1L, "x y z x w"), (2L, "y y x")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 2)
+      .select("center", "context", "n_pairs", "x_glove")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for (((c, x), v) <- sym) assert(sym((x, c)) === v, s"asymmetry at ($c,$x)")
+  }
+
   test("fastTextSubwords: bracketed n-grams, the whole word always present, stable buckets") {
     val df = Seq(("cat cat go")).toDF("text")
     val got = Vocab.fastTextSubwords(df, "text", nMin = 3, nMax = 4,
