@@ -8834,5 +8834,108 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "lang")
         .orderBy(col("source"))
     }
+
+    // --- link prediction over the p05 near-dup pair graph (Liben-Nowell
+    //     2003): non-adjacent 2-hop pairs scored by common neighbors /
+    //     Jaccard / Adamic-Adar — the pairs the pairwise threshold
+    //     missed but the neighborhood vouches for. AA terms are
+    //     1/ln9(deg) quantized to 9 dp and decimal-summed; jaccard is
+    //     one division of exact integers.
+    register("p223_link_prediction",
+      s"""WITH $minhashPairCtes,
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+         |w AS (SELECT a.v AS x, b.v AS y, a.u AS n
+         |  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v),
+         |cn AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common,
+         |    SUM(CAST(ROUND(CAST(1.0 /
+         |        (CAST(ROUND(CAST(ln(dn.d) AS DECIMAL(25,12)), 9) AS DOUBLE))
+         |      AS DECIMAL(25,12)), 9) AS DECIMAL(25,9))) AS aa
+         |  FROM w JOIN deg dn ON dn.u = w.n GROUP BY x, y),
+         |ne AS (SELECT cn.* FROM cn LEFT JOIN pairs p
+         |  ON p.id_a = cn.x AND p.id_b = cn.y WHERE p.id_a IS NULL)
+         |SELECT ne.x AS id_a, ne.y AS id_b, common AS common_neighbors,
+         |  common::DOUBLE / (du.d + dv.d - common)::DOUBLE AS jaccard,
+         |  CAST(ROUND(CAST(aa::DOUBLE AS DECIMAL(25,12)), 9) AS DOUBLE)
+         |    AS adamic_adar
+         |FROM ne JOIN deg du ON du.u = ne.x JOIN deg dv ON dv.u = ne.y
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Graphs.linkPrediction(
+          minhashPairs(s, dir), "id_a", "id_b")
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // --- Lorenz-curve deciles of n_chars per source (the curve behind
+    //     p133's gini): value-atomic cuts at rank ceil(n*k/10); the cut
+    //     pick and pop_share are exact integers, value_share rounds at
+    //     the report.
+    register("p224_lorenz_curve",
+      """WITH b AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |c AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(CAST(v AS DECIMAL(25,6)) * COUNT(*) AS DECIMAL(38,6)) AS sv
+        |  FROM b GROUP BY g, v),
+        |cum AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc,
+        |    SUM(sv) OVER (PARTITION BY g ORDER BY v) AS csv
+        |  FROM c),
+        |tt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(sv) AS tot FROM c GROUP BY g),
+        |pts AS (SELECT cum.g, cum.c, cum.cc, cum.csv, tt.n, tt.tot, k.k,
+        |    (tt.n * k.k + 9) // 10 AS r
+        |  FROM cum JOIN tt USING (g), unnest(range(1, 11)) k(k))
+        |SELECT g AS source, CAST(k AS INT) AS point,
+        |  CAST(r AS BIGINT) AS target_rank, cc AS cum_count,
+        |  cc::DOUBLE / n::DOUBLE AS pop_share,
+        |  CAST(ROUND(CAST(csv::DOUBLE / tot::DOUBLE AS DECIMAL(25,12)), 9)
+        |    AS DOUBLE) AS value_share
+        |FROM pts WHERE cc >= r AND cc - c < r
+        |ORDER BY source, point""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.lorenzCurveByGroup(
+          t(s, dir, "documents"), "source", "n_chars", nPoints = 10)
+        .orderBy(col("source"), col("point"))
+    }
+
+    // --- multi-class report for a planted noisy language-ID classifier
+    //     (pred = true lang for md5-uniform < 0.7, else 'en'): exact
+    //     cell counts; precision/recall/f1 fixed IEEE trees.
+    register("p225_multiclass_report",
+      """WITH base AS (SELECT lang AS l,
+        |    CASE WHEN (('0x' || substring(md5('mc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        ::DOUBLE / 1152921504606846976.0) < 0.7
+        |      THEN lang ELSE 'en' END AS p
+        |  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |cells AS (SELECT l, p, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY l, p),
+        |bt AS (SELECT l AS class, CAST(SUM(c) AS BIGINT) AS n_true
+        |  FROM cells GROUP BY l),
+        |bp AS (SELECT p AS class, CAST(SUM(c) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY p),
+        |tp AS (SELECT l AS class, c AS tp FROM cells WHERE l = p),
+        |j AS (SELECT COALESCE(bt.class, bp.class) AS class,
+        |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+        |  FROM bt FULL OUTER JOIN bp ON bt.class = bp.class),
+        |r AS (SELECT j.class, j.n_true, j.n_pred,
+        |    CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+        |    CASE WHEN j.n_pred > 0
+        |      THEN COALESCE(tp.tp, 0)::DOUBLE / j.n_pred::DOUBLE END AS precision,
+        |    CASE WHEN j.n_true > 0
+        |      THEN COALESCE(tp.tp, 0)::DOUBLE / j.n_true::DOUBLE END AS recall
+        |  FROM j LEFT JOIN tp ON tp.class = j.class)
+        |SELECT class, n_true, n_pred, tp, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0
+        |    THEN 2.0 * precision * recall / (precision + recall) END AS f1
+        |FROM r ORDER BY class""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("doc_id").isNotNull)
+        .select(col("lang").as("l"),
+          when(graft.operators.Splits.hashValue60(col("doc_id"), "mc")
+              .cast("double") / lit(1152921504606846976.0) < 0.7,
+            col("lang")).otherwise(lit("en")).as("p"))
+      graft.operators.Eval.multiclassReport(base, "l", "p")
+        .orderBy(col("class"))
+    }
   }
 }

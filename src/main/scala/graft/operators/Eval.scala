@@ -1037,6 +1037,52 @@ object Eval {
         (col("__b").cast("double") / col("n").cast("double")).as("brier"))
   }
 
+  /** Multi-class classification report: per class, support, predicted
+    * count, true positives, precision, recall and F1 — the standard
+    * sklearn-style table for any categorical labeler (language-ID,
+    * topic routing, quality tiers), over exact (label, pred) cell
+    * counts. Classes are the UNION of observed labels and predictions —
+    * a class the model never predicts still reports (recall with
+    * precision NULL), and an hallucinated class reports (precision with
+    * recall NULL). Output: (class, n_true, n_pred, tp longs, precision,
+    * recall, f1 doubles — each ONE division/fixed tree of exact counts;
+    * precision NULL when n_pred = 0, recall NULL when n_true = 0, f1
+    * NULL when either is NULL or both are 0). NULL label/pred rows drop.
+    *
+    * 100 TB shape: ONE map-side-combinable (label, pred) cell
+    * aggregation — |classes|² cells at most — then class-cardinality
+    * marginal rollups and joins. Nothing per-row survives the first
+    * aggregation. */
+  def multiclassReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val l = col(s"`$labelCol`")
+    val p = col(s"`$predCol`")
+    val cells = df.filter(l.isNotNull && p.isNotNull)
+      .groupBy(l.cast("string").as("__l"), p.cast("string").as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val byTrue = cells.groupBy(col("__l").as("class"))
+      .agg(sum(col("__c")).as("n_true"))
+    val byPred = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__c")).as("n_pred"))
+    val tp = cells.filter(col("__l") === col("__p"))
+      .select(col("__l").as("class"), col("__c").as("tp"))
+    byTrue.join(byPred, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0L,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall", when(col("n_true") > 0L,
+        col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("f1", when(
+        col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0.0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+  }
+
   /** Per-group classification fairness audit (Feldman et al. 2015 /
     * Hardt et al. 2016): selection rate, TPR and FPR per group, plus the
     * three standard gaps against a REFERENCE group — demographic-parity

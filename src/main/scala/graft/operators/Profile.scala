@@ -1108,6 +1108,57 @@ object Profile {
         col("v_max") +: micros.map(m => col(s"q${m / 10000L}")): _*)
   }
 
+  /** Per-group Lorenz-curve points — the inequality CURVE behind
+    * [[giniByGroup]]'s single number: at each of `nPoints` equal
+    * population cuts, the cumulative share of total value held by the
+    * bottom rows (sorted ascending) — the dataset-card artifact behind
+    * "the top 10% of documents hold 60% of the tokens". Points are
+    * VALUE-ATOMIC (the [[quantileBinsByGroup]] convention): the cut
+    * lands on the distinct value covering rank ⌈n·k/nPoints⌉ and
+    * includes that value's whole tie mass, so both engines agree with
+    * no interpolation. Output per (group, point): (groupCol, point int
+    * 1-based, target_rank, cum_count longs, pop_share, value_share
+    * doubles — pop_share one division of exact integers, value_share
+    * REPORTED at 9 dp). Intended for nonnegative values (shares can
+    * exceed 1 transiently otherwise — [[giniByGroup]] NULLs there; the
+    * curve reports what it sees). NULL group/value rows drop.
+    *
+    * 100 TB shape: one (group, value) count aggregation carrying
+    * decimal value mass, ONE [[PrefixSum.withKeyedRunningSums]] scan
+    * (range exchange — never a group window), one |groups|-row
+    * broadcast of totals/targets. */
+  def lorenzCurveByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      nPoints: Int = 10, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(nPoints >= 1, s"nPoints must be >= 1, got $nPoints")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__sv", col("__v").cast(dec) * col("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c", "__sv"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("__n"), max(col("cum___sv")).as("__tot"))
+    // one scan: explode the point grid per distinct value, keep covers
+    cum.join(broadcast(totals), Seq("__g"))
+      .select(col("__g"), col("__c"), col("cum___c"), col("cum___sv"),
+        col("__n"), col("__tot"),
+        explode(sequence(lit(1), lit(nPoints))).as("point"))
+      .withColumn("__r",
+        expr(s"(__n * point + ${nPoints}L - 1L) div ${nPoints}L"))
+      .filter(col("cum___c") >= col("__r") &&
+        col("cum___c") - col("__c") < col("__r"))
+      .select(col("__g").as(groupCol), col("point"),
+        col("__r").as("target_rank"), col("cum___c").as("cum_count"),
+        (col("cum___c").cast("double") / col("__n").cast("double"))
+          .as("pop_share"),
+        round((col("cum___sv").cast("double") / col("__tot").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+          .cast("double").as("value_share"))
+  }
+
   /** Per-group exact mode (plurality value): the most frequent value,
     * its count and share — the categorical one-number summary beside
     * [[quantilesByGroup]]'s numeric one (dominant language per source,

@@ -635,6 +635,26 @@ class EvalSpec extends SparkSpecBase {
       "Murphy identity must hold to quantization residue")
   }
 
+  test("multiclassReport: union classes, never-predicted and hallucinated classes stay loud") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: 3 true, 2 tp
+      ("b", "a"), ("b", "b"),               // b: 2 true, 1 tp
+      ("c", "a"),                           // c never predicted
+      ("a", "z")                            // z never a true label
+    ).toDF("l", "p")
+    val got = Eval.multiclassReport(df, "l", "p")
+      .select("class", "n_true", "n_pred", "tp", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 4L, 4L, 2L, Some(0.5), Some(0.5), Some(0.5))))
+    assert(got("b") === (("b", 2L, 2L, 1L, Some(0.5), Some(0.5), Some(0.5))))
+    assert(got("c") === (("c", 1L, 0L, 0L, None, Some(0.0), None)),
+      "a never-predicted class keeps its recall row")
+    assert(got("z") === (("z", 0L, 1L, 0L, Some(0.0), None, None)),
+      "an hallucinated class keeps its precision row")
+    assert(got.size === 4)
+  }
+
   test("fairnessAudit: hand-computed rates and gaps; absent reference is loud NULLs") {
     val df = Seq(
       ("a", true, true), ("a", true, false), ("a", false, true), ("a", false, false),

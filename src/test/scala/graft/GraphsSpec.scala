@@ -214,6 +214,35 @@ class GraphsSpec extends SparkSpecBase {
     assert(a4 === a8)
   }
 
+  test("linkPrediction: non-adjacent 2-hop pairs only, hand-computed scores") {
+    // path 1-2-3 plus 3-4: candidates (1,3) via 2; (2,4) via 3; (1,4) none
+    // (3 hops). Pair (1,3): common {2}, deg1=1 deg3=2 -> jacc 1/2,
+    // aa = 1/ln(2). Pair (2,4): common {3}, deg2=2 deg4=1 -> jacc 1/2,
+    // aa = 1/ln(2). Edge (1,2) itself never appears.
+    def ln9(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graphs.linkPrediction(edges, "a", "b")
+      .select("id_a", "id_b", "common_neighbors", "jaccard", "adamic_adar")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val aa2 = r9(r9(1.0 / ln9(2.0)))
+    assert(got((1L, 3L)) === ((1L, 3L, 1L, 0.5, aa2)))
+    assert(got((2L, 4L)) === ((2L, 4L, 1L, 0.5, aa2)))
+    assert(got.size === 2, "adjacent and >2-hop pairs never score")
+    // a triangle has no non-adjacent pairs at all
+    val tri = Graphs.linkPrediction(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b")
+    assert(tri.count() === 0L)
+    // hub cut: star center above maxCenterDegree stops vouching
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("a", "b")
+    assert(Graphs.linkPrediction(star, "a", "b").count() === 6L)
+    assert(Graphs.linkPrediction(star, "a", "b",
+      maxCenterDegree = Some(3L)).count() === 0L)
+  }
+
   test("kCore: duplicate edges, reversed orientations, and self-loops don't inflate degrees") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
       .toDF("a", "b")

@@ -325,6 +325,29 @@ class ProfileSpec extends SparkSpecBase {
     assert(byId(6L)._2 === Some(1.0))
   }
 
+  test("lorenzCurveByGroup: value-atomic decile cuts, monotone shares, endpoint exactness") {
+    // g: values 1..4, each once -> n=4, total=10; quartile points land on
+    // each value: shares 1/10, 3/10, 6/10, 10/10
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("t", 5.0), ("t", 5.0)).toDF("g", "v")
+    val got = Profile.lorenzCurveByGroup(df, "g", "v", nPoints = 4)
+      .select("g", "point", "target_rank", "cum_count", "pop_share", "value_share")
+      .as[(String, Int, Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got("g") === Seq(
+      ("g", 1, 1L, 1L, 0.25, 0.1), ("g", 2, 2L, 2L, 0.5, 0.3),
+      ("g", 3, 3L, 3L, 0.75, 0.6), ("g", 4, 4L, 4L, 1.0, 1.0)))
+    // tie mass is value-atomic: both rows of value 5 fold into every cut
+    assert(got("t").map(p => (p._4, p._6)) === Seq(
+      (2L, 1.0), (2L, 1.0), (2L, 1.0), (2L, 1.0)))
+    // shares never decrease and end at exactly 1.0
+    for ((_, pts) <- got) {
+      val vs = pts.map(_._6)
+      assert(vs.zip(vs.tail).forall { case (a, b) => b >= a })
+      assert(vs.last === 1.0)
+    }
+  }
+
   test("modeByGroup: plurality value, ties break to the smallest value") {
     val df = Seq(
       ("g", "en"), ("g", "en"), ("g", "de"),
