@@ -8499,24 +8499,25 @@ object SparkEntry {
 
     // --- pairwise embedding-dimension covariance + correlation (the
     //     anisotropy report behind whitening/PCA): element products
-    //     quantize to DECIMAL(38,18) and sum order-independently; cov is
-    //     one IEEE tree over the decimal-cast sums, REPORTED at 9 dp,
-    //     and corr divides the ROUNDED covariances so both engines see
-    //     identical inputs.
+    //     quantize to 1e-10 fixed-point LONGS (round-half-away on both
+    //     engines) and sum as exact integers; cov is one IEEE tree over
+    //     the long-cast sums, REPORTED at 9 dp, and corr divides the
+    //     ROUNDED covariances so both engines see identical inputs.
     register("p211_embedding_covariance",
       """WITH el AS (SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
         |    unnest(embedding)::DOUBLE AS x
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |p AS (SELECT a.i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-        |    SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS sxy,
-        |    SUM(CAST(a.x AS DECIMAL(38,18))) AS sx,
-        |    SUM(CAST(b.x AS DECIMAL(38,18))) AS sy
+        |    CAST(SUM(CAST(ROUND(a.x * b.x * 1e10) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(SUM(CAST(ROUND(a.x * 1e10) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(ROUND(b.x * 1e10) AS BIGINT)) AS BIGINT) AS sy
         |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY 1, 2),
         |c AS (SELECT i, j, n_vecs,
-        |    CAST(ROUND(CAST((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE
-        |        / n_vecs::DOUBLE) / n_vecs::DOUBLE AS DECIMAL(25,12)), 9)
+        |    CAST(ROUND(CAST((sxy::DOUBLE / 1e10 - (sx::DOUBLE / 1e10)
+        |        * (sy::DOUBLE / 1e10) / n_vecs::DOUBLE)
+        |        / n_vecs::DOUBLE AS DECIMAL(25,12)), 9)
         |      AS DOUBLE) AS cov
         |  FROM p),
         |d AS (SELECT i AS k, cov AS v FROM c WHERE i = j)

@@ -974,6 +974,59 @@ object Drift {
           col("__js").cast("double")).as("js"))
   }
 
+  /** Two-sided CUSUM change detection per group (Page 1954) over a
+    * per-(group, x) series: S⁺ tracks upward shifts, S⁻ downward, each
+    * resetting at zero — the classic "did the metric step-change"
+    * monitor between [[mannKendallByGroup]]'s monotone test and
+    * [[changepointBinary]]'s single split. The reference level is the
+    * group's own mean (rounded to 9 dp so both engines subtract the
+    * same constant); `k` is the slack per step (half the shift you
+    * want to detect), `h` the alarm threshold. Output per (group, x):
+    * (groupCol, x, y as given, cusum_pos, cusum_neg doubles, alarm_pos,
+    * alarm_neg booleans — S > h). NULL group/x/y rows drop.
+    *
+    * Exactness: the max-reset recursion is rewritten as prefix sums —
+    * S⁺_i = P_i − min_{j ≤ i}(0, P_j) with P the running sum of the
+    * per-step deviations — and every deviation QUANTIZES to 9 dp
+    * decimal before the scans, so the running sum, running min and
+    * subtraction are all exact decimal arithmetic (order-robust); only
+    * the report casts to double.
+    *
+    * Contract: one y per (group, x), the [[trailingStats]] grid
+    * contract — the per-group running-sum/min windows are GRID-bounded
+    * (feed an hourly/daily aggregate, never raw rows). */
+  def cusumByGroup(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String, h: Double, k: Double = 0.0): DataFrame = {
+    require(h > 0.0, s"h must be positive, got $h")
+    require(k >= 0.0, s"k must be >= 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dec9 = DecimalType(25, 9)
+    val g = col(s"`$groupCol`")
+    val x = col(s"`$xCol`")
+    val y = col(s"`$valueCol`")
+    val base = df.filter(g.isNotNull && x.isNotNull && y.isNotNull)
+      .select(g.as("__g"), x.as("__x"), y.cast("double").as("__y"))
+    val mu = base.groupBy(col("__g"))
+      .agg(round((sum(col("__y").cast(dec9)).cast("double") /
+        count(lit(1)).cast("double")).cast(DecimalType(25, 12)), 9)
+        .cast("double").as("__mu"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scanned = base.join(broadcast(mu), Seq("__g"))
+      .withColumn("__dp", (col("__y") - col("__mu") - lit(k)).cast(dec9))
+      .withColumn("__dn", (col("__mu") - col("__y") - lit(k)).cast(dec9))
+      .withColumn("__pp", sum(col("__dp")).over(w))
+      .withColumn("__pn", sum(col("__dn")).over(w))
+      .withColumn("__mp", least(lit(0).cast(dec9), min(col("__pp")).over(w)))
+      .withColumn("__mn", least(lit(0).cast(dec9), min(col("__pn")).over(w)))
+    scanned.select(col("__g").as(groupCol), col("__x").as(xCol),
+      col("__y").as(valueCol),
+      (col("__pp") - col("__mp")).cast("double").as("cusum_pos"),
+      (col("__pn") - col("__mn")).cast("double").as("cusum_neg"),
+      ((col("__pp") - col("__mp")).cast("double") > h).as("alarm_pos"),
+      ((col("__pn") - col("__mn")).cast("double") > h).as("alarm_neg"))
+  }
+
   /** "Fightin' Words" corpus comparison (Monroe, Colaresi & Quinn 2008):
     * the k terms that most distinguish corpus A from corpus B by the
     * z-scored log-odds ratio under an informative Dirichlet prior drawn

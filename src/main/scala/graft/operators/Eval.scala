@@ -1083,6 +1083,103 @@ object Eval {
           (col("precision") + col("recall"))))
   }
 
+  /** One-row roll-up of [[multiclassReport]]: accuracy (= micro
+    * precision = micro recall in single-label multiclass), macro
+    * precision/recall/F1 (unweighted class means — an undefined class
+    * metric counts as 0, the sklearn zero_division=0 convention, so a
+    * never-predicted class DRAGS the macro down instead of silently
+    * vanishing) and support-weighted F1. Output: (n, n_classes,
+    * accuracy, macro_precision, macro_recall, macro_f1, weighted_f1 —
+    * accuracy one division of exact counts; the means quantize each
+    * class metric to 9 dp and sum in exact decimal before ONE
+    * division). NULL label/pred rows drop.
+    *
+    * 100 TB shape: [[multiclassReport]]'s cell aggregation, then a
+    * |classes|-row rollup — nothing data-sized past the first
+    * aggregation. */
+  def multiclassSummary(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    def q9(c: Column): Column =
+      round(coalesce(c, lit(0.0)).cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+        .cast(dec)
+    multiclassReport(df, labelCol, predCol)
+      .agg(
+        sum(col("n_true")).as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("tp")).as("__tp"),
+        sum(q9(col("precision"))).as("__sp"),
+        sum(q9(col("recall"))).as("__sr"),
+        sum(q9(col("f1"))).as("__sf"),
+        sum(q9(col("f1")) * col("n_true")).as("__swf"))
+      .select(col("n"), col("n_classes"),
+        (col("__tp").cast("double") / col("n").cast("double")).as("accuracy"),
+        (col("__sp").cast("double") / col("n_classes").cast("double"))
+          .as("macro_precision"),
+        (col("__sr").cast("double") / col("n_classes").cast("double"))
+          .as("macro_recall"),
+        (col("__sf").cast("double") / col("n_classes").cast("double"))
+          .as("macro_f1"),
+        (col("__swf").cast("double") / col("n").cast("double"))
+          .as("weighted_f1"))
+  }
+
+  /** Rank-biased overlap between two top-k rankings per query (Webber,
+    * Moffat & Zobel 2010): RBO@k = (1−p)/(1−p^k) · Σ_{d=1..k} p^{d−1} ·
+    * |A_d ∩ B_d| / d — the top-weighted agreement measure for comparing
+    * two rankers (the ANN index vs the exact baseline, yesterday's model
+    * vs today's) that, unlike recall@k, cares WHERE in the list the
+    * agreement happens. Inputs are two (query_id, neighbor_id, rank)
+    * frames (the [[bruteForceTopK]]/[[lshTopK]] shape, rank 1-based);
+    * ranks beyond k are ignored. This is the truncated-prefix RBO
+    * normalized to [0, 1] at depth k (weights sum to 1 — identical
+    * prefixes score exactly 1). Queries present in either frame report
+    * (absent side → overlap 0). Output: (query_id, n_common long — the
+    * depth-k intersection size, rbo double — REPORTED at 9 dp).
+    *
+    * Exactness: the k weights (1−p)p^{d−1}/((1−p^k)·d) are computed ONCE
+    * on the driver in IEEE doubles and enter the plan as literals — the
+    * oracle embeds the same literals, so no cross-engine pow; each
+    * query's score is a decimal-quantized sum of weight·overlap terms.
+    *
+    * 100 TB shape: one equi-join of the two rank frames on (query,
+    * neighbor) — rank-k-bounded per query — one depth explode (≤ k rows
+    * per match), one map-side-combinable per-query aggregation. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    // driver-side weights: agreement at depth d earns w(d) for EVERY
+    // deeper depth too, so fold the tail sum per match rank:
+    // a pair matched at depth m contributes Σ_{d=m..k} w(d)/d
+    val norm = (1.0 - p) / (1.0 - math.pow(p, k))
+    val wAtDepth = (1 to k).map(d => norm * math.pow(p, d - 1) / d)
+    val tail = (1 to k).map(m => wAtDepth.drop(m - 1).sum)
+    def side(df: DataFrame, r: String) = df
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as(r))
+    val tailExpr = (1 to k).foldLeft(lit(0.0)) { (acc, m) =>
+      when(greatest(col("__ra"), col("__rb")) === m, lit(tail(m - 1)))
+        .otherwise(acc)
+    }
+    val matched = side(a, "__ra").join(side(b, "__rb"),
+        Seq("query_id", "neighbor_id"))
+      .withColumn("__w", round(tailExpr
+        .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9).cast(dec))
+    val queries = a.select(col("query_id")).unionByName(
+      b.select(col("query_id"))).distinct()
+    queries.join(
+        matched.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__s").cast("double"), lit(0.0))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+          .cast("double").as("rbo"))
+  }
+
   /** Per-group classification fairness audit (Feldman et al. 2015 /
     * Hardt et al. 2016): selection rate, TPR and FPR per group, plus the
     * three standard gaps against a REFERENCE group — demographic-parity

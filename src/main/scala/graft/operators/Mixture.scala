@@ -168,4 +168,42 @@ object Mixture {
       .filter(col("cum___one") <= quotaCol)
       .drop("__mh", "__mid", "__one", "cum___one")
   }
+
+  /** Epoch replication — UPSAMPLING to a target mix, the complement of
+    * [[sampleMixture]]'s downsampling: each key's rows repeat
+    * `epochs(key)` times in expectation, the "repeat the high-quality
+    * slice 2.5 epochs" recipe every data-mix paper publishes (integer
+    * part exact per row; the fractional epoch keeps each row once more
+    * iff its seeded md5 uniform < frac — deterministic, reproducible
+    * shards, no RNG state). Keys absent from `epochs` pass through at
+    * 1 epoch. Output: input columns + `copy` (int, 0-based replica
+    * index) — downstream shuffles ([[graft.operators.Splits
+    * .deterministicShuffle]]) should key on (id, copy). Rows with NULL
+    * id or key drop (the draw and the factor lookup need both).
+    *
+    * 100 TB shape: a pure projection — the factor map is a literal
+    * broadcast into a CASE expression, replication is one
+    * explode(sequence(0, reps−1)); no join, no shuffle, no window. */
+  def epochReplicate(df: DataFrame, keyCol: String, idCol: String,
+      epochs: Map[String, Double], salt: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty, "epochReplicate: epochs must be non-empty")
+    epochs.foreach { case (kk, e) =>
+      require(e >= 0.0 && e <= 1000.0,
+        s"epochs must be in [0, 1000], got $kk -> $e") }
+    val key = col(s"`$keyCol`")
+    val id = col(s"`$idCol`")
+    val eCol = epochs.foldLeft(lit(1.0)) { case (acc, (kk, e)) =>
+      when(key.cast("string") === kk, lit(e)).otherwise(acc)
+    }
+    val u = Splits.hashValue60(concat(key.cast("string"), lit(":"),
+      id.cast("string")), salt).cast("double") / lit(1152921504606846976.0)
+    df.filter(key.isNotNull && id.isNotNull)
+      .withColumn("__er_e", eCol)
+      .withColumn("__er_n", floor(col("__er_e")).cast("long") +
+        when(u < col("__er_e") - floor(col("__er_e")), 1L).otherwise(0L))
+      .filter(col("__er_n") > 0L)
+      .select(df.columns.map(c => col(s"`$c`")) :+
+        explode(sequence(lit(0), (col("__er_n") - 1L).cast("int")))
+          .as("copy"): _*)
+  }
 }
