@@ -8938,5 +8938,194 @@ object SparkEntry {
       graft.operators.Eval.multiclassReport(base, "l", "p")
         .orderBy(col("class"))
     }
+
+    // --- two-sided CUSUM per event type over the hourly grid (Page
+    //     1954), k=1 slack, h=10 threshold: the max-reset recursion as
+    //     prefix-sum-minus-running-min, every deviation quantized to
+    //     9-dp decimal so both scans are exact decimal arithmetic.
+    register("p226_cusum",
+      s"""WITH hourly AS ($hourlySql),
+         |mu AS (SELECT g, CAST(ROUND(CAST(CAST(SUM(CAST(y AS DECIMAL(25,9)))
+         |      AS DOUBLE) / COUNT(*)::DOUBLE AS DECIMAL(25,12)), 9) AS DOUBLE)
+         |    AS mu FROM hourly GROUP BY g),
+         |d AS (SELECT h.g, h.x, CAST(h.y AS DOUBLE) AS y,
+         |    CAST(CAST(CAST(h.y AS DOUBLE) - mu - 1.0 AS DECIMAL(25,9))
+         |      * 1000000000 AS BIGINT) AS dp,
+         |    CAST(CAST(mu - CAST(h.y AS DOUBLE) - 1.0 AS DECIMAL(25,9))
+         |      * 1000000000 AS BIGINT) AS dn
+         |  FROM hourly h JOIN mu USING (g)),
+         |sc AS (SELECT g, x, y,
+         |    SUM(dp) OVER w AS pp, SUM(dn) OVER w AS pn FROM d
+         |  WINDOW w AS (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING)),
+         |m AS (SELECT g, x, y,
+         |    pp - LEAST(0, MIN(pp) OVER w2) AS cp,
+         |    pn - LEAST(0, MIN(pn) OVER w2) AS cn
+         |  FROM sc
+         |  WINDOW w2 AS (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING))
+         |SELECT g AS event_type, x AS hour_x, y,
+         |  cp::DOUBLE / 1e9 AS cusum_pos, cn::DOUBLE / 1e9 AS cusum_neg,
+         |  cp::DOUBLE / 1e9 > 10.0 AS alarm_pos,
+         |  cn::DOUBLE / 1e9 > 10.0 AS alarm_neg
+         |FROM m ORDER BY event_type, hour_x""".stripMargin) { (s, dir) =>
+      graft.operators.Drift.cusumByGroup(
+          hourlyGrid(s, dir), "event_type", "hour_x", "y", h = 10.0, k = 1.0)
+        .orderBy(col("event_type"), col("hour_x"))
+    }
+
+    // --- epoch replication to a target mix (en 2.5 epochs, de 0.5,
+    //     others 1.0): integer epochs exact, the fractional epoch keeps
+    //     a row iff its seeded md5 uniform < frac.
+    register("p227_epoch_replicate",
+      """WITH base AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5
+        |              WHEN 'zh' THEN 1.0 ELSE 1.0 END AS e,
+        |    (('0x' || substring(md5('epoch:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      ::DOUBLE / 1152921504606846976.0) AS u
+        |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |n AS (SELECT doc_id, lang, CAST(FLOOR(e) AS BIGINT)
+        |    + CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END AS reps FROM base)
+        |SELECT doc_id, lang, CAST(unnest(range(0, reps)) AS INT) AS copy
+        |FROM n WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      graft.operators.Mixture.epochReplicate(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"))
+            .filter(col("doc_id").isNotNull && col("lang").isNotNull),
+          "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 0.5, "zh" -> 1.0), salt = "epoch")
+        .orderBy(col("doc_id"), col("copy"))
+    }
+
+    // --- macro/micro roll-up of the p225 report: accuracy over exact
+    //     counts; macro means quantize each class metric to 9 dp
+    //     (zero_division=0) and sum in exact decimal.
+    register("p228_multiclass_summary",
+      """WITH base AS (SELECT lang AS l,
+        |    CASE WHEN (('0x' || substring(md5('mc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        ::DOUBLE / 1152921504606846976.0) < 0.7
+        |      THEN lang ELSE 'en' END AS p
+        |  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |cells AS (SELECT l, p, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY l, p),
+        |bt AS (SELECT l AS class, CAST(SUM(c) AS BIGINT) AS n_true
+        |  FROM cells GROUP BY l),
+        |bp AS (SELECT p AS class, CAST(SUM(c) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY p),
+        |tpc AS (SELECT l AS class, c AS tp FROM cells WHERE l = p),
+        |r AS (SELECT COALESCE(bt.class, bp.class) AS class,
+        |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+        |    COALESCE(tpc.tp, 0) AS tp
+        |  FROM bt FULL OUTER JOIN bp ON bt.class = bp.class
+        |  LEFT JOIN tpc ON tpc.class = COALESCE(bt.class, bp.class)),
+        |pr AS (SELECT class, n_true, n_pred, tp,
+        |    CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END AS prec,
+        |    CASE WHEN n_true > 0 THEN tp::DOUBLE / n_true::DOUBLE END AS rec
+        |  FROM r),
+        |f AS (SELECT *, CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+        |      AND prec + rec > 0
+        |    THEN 2.0 * prec * rec / (prec + rec) END AS f1 FROM pr)
+        |SELECT CAST(SUM(n_true) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  SUM(tp)::DOUBLE / SUM(n_true)::DOUBLE AS accuracy,
+        |  CAST(SUM(CAST(ROUND(CAST(COALESCE(prec, 0) AS DECIMAL(25,12)), 9)
+        |    AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE AS macro_precision,
+        |  CAST(SUM(CAST(ROUND(CAST(COALESCE(rec, 0) AS DECIMAL(25,12)), 9)
+        |    AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE AS macro_recall,
+        |  CAST(SUM(CAST(ROUND(CAST(COALESCE(f1, 0) AS DECIMAL(25,12)), 9)
+        |    AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)::DOUBLE AS macro_f1,
+        |  CAST(SUM(CAST(ROUND(CAST(COALESCE(f1, 0) AS DECIMAL(25,12)), 9)
+        |    AS DECIMAL(25,9)) * n_true) AS DOUBLE) / SUM(n_true)::DOUBLE
+        |    AS weighted_f1
+        |FROM f""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("doc_id").isNotNull)
+        .select(col("lang").as("l"),
+          when(graft.operators.Splits.hashValue60(col("doc_id"), "mc")
+              .cast("double") / lit(1152921504606846976.0) < 0.7,
+            col("lang")).otherwise(lit("en")).as("p"))
+      graft.operators.Eval.multiclassSummary(base, "l", "p")
+    }
+
+    // --- rank-biased overlap (Webber 2010) between the exact top-10
+    //     (p07) and the SRP-LSH top-10 (p08) per query: the top-weighted
+    //     ranker-agreement score. The k tail-weight constants are
+    //     computed ONCE in the JVM and embedded as literals in BOTH
+    //     plans, so no cross-engine pow; per-query sums are 9-dp decimal.
+    val rboTail: Seq[Double] = {
+      val (kk, pp) = (10, 0.9)
+      val norm = (1.0 - pp) / (1.0 - math.pow(pp, kk))
+      val w = (1 to kk).map(d => norm * math.pow(pp, d - 1) / d)
+      (1 to kk).map(m => w.drop(m - 1).sum)
+    }
+    val rboCases = (1 to 10).map(m => s"WHEN $m THEN ${rboTail(m - 1)}")
+      .mkString(" ")
+    register("p229_rank_biased_overlap",
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 25),
+         |pbr AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    $dotSql / (qn * e.nrm) AS cosine
+         |  FROM q JOIN e ON e.vec_id != query_id),
+         |pa AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM pbr) x
+         |  WHERE rank <= 10),
+         |dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+         |planes AS (
+         |  SELECT p, list(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 0
+         |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+         |  FROM (SELECT p, unnest(range((SELECT dim FROM dims))) AS d FROM range(8) t(p))
+         |  GROUP BY p),
+         |proj AS (
+         |  SELECT em.vec_id, p.p,
+         |    list_sum(list_transform(list_zip(em.embedding, p.pl), x -> x[1]::DOUBLE * x[2])) AS proj
+         |  FROM embeddings em CROSS JOIN planes p),
+         |sigs AS (
+         |  SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+         |  FROM proj GROUP BY vec_id),
+         |buckets AS (
+         |  SELECT vec_id, sig AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT vec_id, substring(sig,1,i::INT-1) ||
+         |         (CASE WHEN substring(sig,i::INT,1)='1' THEN '0' ELSE '1' END) ||
+         |         substring(sig,i::INT+1,8-i::INT) AS bucket
+         |  FROM sigs, range(1,9) t(i)),
+         |fnrm AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets qb JOIN buckets cb USING (bucket)
+         |  WHERE qb.vec_id < 25 AND cb.vec_id != qb.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |      / (nq.n * nc.n) AS rel
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+         |            JOIN embeddings ec ON ec.vec_id = neighbor_id
+         |            JOIN fnrm nq ON nq.vec_id = query_id
+         |            JOIN fnrm nc ON nc.vec_id = neighbor_id),
+         |pb AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS rank FROM scored) y
+         |  WHERE rank <= 10),
+         |mm AS (SELECT a.query_id, GREATEST(a.rank, b.rank) AS mx
+         |  FROM pa a JOIN pb b ON a.query_id = b.query_id
+         |    AND a.neighbor_id = b.neighbor_id),
+         |ww AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    SUM(CAST(ROUND(CAST((CASE mx $rboCases END) AS DECIMAL(25,12)), 9)
+         |      AS DECIMAL(25,9))) AS s
+         |  FROM mm GROUP BY query_id),
+         |qq AS (SELECT DISTINCT query_id FROM
+         |  (SELECT query_id FROM pa UNION ALL SELECT query_id FROM pb) z)
+         |SELECT qq.query_id, COALESCE(ww.n_common, 0) AS n_common,
+         |  CAST(ROUND(CAST(COALESCE(ww.s::DOUBLE, 0.0) AS DECIMAL(25,12)), 9)
+         |    AS DOUBLE) AS rbo
+         |FROM qq LEFT JOIN ww USING (query_id)
+         |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 25)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        e, qs, "vec_id", "embedding", k = 10)
+      val approx = graft.operators.Similarity.lshTopK(
+        e, qs, "vec_id", "embedding", k = 10, nBits = 8)
+      graft.operators.Eval.rankBiasedOverlap(exact, approx, k = 10, p = 0.9)
+        .orderBy(col("query_id"))
+    }
   }
 }

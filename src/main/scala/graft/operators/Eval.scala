@@ -1111,7 +1111,13 @@ object Eval {
         sum(q9(col("precision"))).as("__sp"),
         sum(q9(col("recall"))).as("__sr"),
         sum(q9(col("f1"))).as("__sf"),
-        sum(q9(col("f1")) * col("n_true")).as("__swf"))
+        // n_true narrows to DECIMAL(10,0) before the multiply: a
+        // DECIMAL(25,9) × BIGINT product overflows precision 38 and
+        // Spark's precision-loss rule would silently re-round the
+        // per-class term to scale 6 (caught by the p228 gate)
+        sum(q9(col("f1")) *
+          col("n_true").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+          .as("__swf"))
       .select(col("n"), col("n_classes"),
         (col("__tp").cast("double") / col("n").cast("double")).as("accuracy"),
         (col("__sp").cast("double") / col("n_classes").cast("double"))

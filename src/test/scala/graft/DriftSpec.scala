@@ -542,6 +542,29 @@ class DriftSpec extends SparkSpecBase {
     assert(math.abs(got - want) < 2e-9, s"$got vs $want")
   }
 
+  test("cusumByGroup: hand-computed reset recursion via prefix sums; level shift alarms") {
+    // y = 0,0,0,5,5,5 -> mu = 2.5, k = 0.5: dp = y - 3 -> P = -3,-6,-9,-7,-5,-3,
+    // runmin = -3..-9 -> S+ = 0,0,0,2,4,6; dn = 2 - y -> Q = 2,4,6,3,0,-3,
+    // min(0, runmin) = 0,0,0,0,0,-3 -> S- = 2,4,6,3,0,0
+    val df = (0 to 5).map(i => ("g", i.toLong, if (i < 3) 0.0 else 5.0))
+      .toDF("g", "x", "y")
+    val got = Drift.cusumByGroup(df, "g", "x", "y", h = 5.0, k = 0.5)
+      .select("x", "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg")
+      .as[(Long, Double, Double, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(0.0, 0.0, 0.0, 2.0, 4.0, 6.0))
+    assert(got.map(_._3).toSeq === Seq(2.0, 4.0, 6.0, 3.0, 0.0, 0.0))
+    assert(got.map(_._4).toSeq === Seq(false, false, false, false, false, true),
+      "the up-shift alarms once S+ crosses h")
+    assert(got.map(_._5).toSeq === Seq(false, false, true, false, false, false),
+      "the pre-shift low stretch alarms S- once it crosses h")
+    // a flat series never alarms and both cusums stay at 0
+    val flat = Drift.cusumByGroup(
+        (0 to 4).map(i => ("f", i.toLong, 3.0)).toDF("g", "x", "y"),
+        "g", "x", "y", h = 1.0, k = 0.0)
+      .select("cusum_pos", "cusum_neg").as[(Double, Double)].collect()
+    assert(flat.forall(r => r._1 === 0.0 && r._2 === 0.0))
+  }
+
   test("fightinWords: hand-computed Dirichlet log-odds z; A-heavy terms score positive") {
     def ln9(x: Double) = BigDecimal(math.log(x))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble

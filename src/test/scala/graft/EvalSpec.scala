@@ -655,6 +655,55 @@ class EvalSpec extends SparkSpecBase {
     assert(got.size === 4)
   }
 
+  test("multiclassSummary: accuracy, zero-division-0 macros, support-weighted f1") {
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "a"), ("b", "b"),
+      ("c", "a"),
+      ("a", "z")).toDF("l", "p")
+    val r = Eval.multiclassSummary(df, "l", "p").head()
+    // classes a/b/c/z: tp 2/1/0/0; n 7
+    assert(r.getAs[Long]("n") === 7L)
+    assert(r.getAs[Long]("n_classes") === 4L)
+    assert(r.getAs[Double]("accuracy") === 3.0 / 7.0)
+    // precisions: a 0.5, b 0.5, c NULL->0, z 0 -> macro = 1.0/4
+    assert(r.getAs[Double]("macro_precision") === 0.25)
+    // recalls: a 0.5, b 0.5, c 0, z NULL->0 -> 0.25
+    assert(r.getAs[Double]("macro_recall") === 0.25)
+    // f1: a 0.5, b 0.5, others 0 -> 0.25
+    assert(r.getAs[Double]("macro_f1") === 0.25)
+    // weighted: (0.5*4 + 0.5*2 + 0 + 0)/7
+    assert(r.getAs[Double]("weighted_f1") === (r9(0.5) * 4 + r9(0.5) * 2) / 7.0)
+  }
+
+  test("rankBiasedOverlap: identical lists score 1, disjoint 0, depth weighting top-heavy") {
+    val a = (1 to 10).map(r => (1L, r.toLong + 100L, r)).toDF("query_id", "neighbor_id", "rank")
+    val idSelf = Eval.rankBiasedOverlap(a, a, k = 10, p = 0.9)
+      .select("n_common", "rbo").as[(Long, Double)].head()
+    assert(idSelf._1 === 10L)
+    assert(math.abs(idSelf._2 - 1.0) < 5e-9, s"identical lists: ${idSelf._2}")
+    val b = (1 to 10).map(r => (1L, r.toLong + 500L, r)).toDF("query_id", "neighbor_id", "rank")
+    val disj = Eval.rankBiasedOverlap(a, b, k = 10, p = 0.9)
+      .select("n_common", "rbo").as[(Long, Double)].head()
+    assert(disj === ((0L, 0.0)))
+    // agreement only at rank 1 beats agreement only at rank 10
+    def swapOne(pos: Int) = (1 to 10).map(r =>
+      (1L, if (r == pos) r.toLong + 100L else r.toLong + 500L, r))
+      .toDF("query_id", "neighbor_id", "rank")
+    val top = Eval.rankBiasedOverlap(a, swapOne(1), k = 10, p = 0.9)
+      .select("rbo").as[Double].head()
+    val bottom = Eval.rankBiasedOverlap(a, swapOne(10), k = 10, p = 0.9)
+      .select("rbo").as[Double].head()
+    assert(top > bottom && bottom > 0.0, s"$top vs $bottom")
+    // queries present only in one frame still report (rbo 0)
+    val onlyA = (1 to 3).map(r => (9L, r.toLong, r)).toDF("query_id", "neighbor_id", "rank")
+    val rows = Eval.rankBiasedOverlap(a.unionByName(onlyA), b, k = 10, p = 0.9)
+      .select("query_id", "rbo").as[(Long, Double)].collect().toMap
+    assert(rows(9L) === 0.0)
+  }
+
   test("fairnessAudit: hand-computed rates and gaps; absent reference is loud NULLs") {
     val df = Seq(
       ("a", true, true), ("a", true, false), ("a", false, true), ("a", false, false),

@@ -130,4 +130,27 @@ class MixtureSpec extends SparkSpecBase {
         Map("a" -> 600000L, "b" -> 600000L), "id", "s1")
     }
   }
+
+  test("epochReplicate: integer epochs exact, fractional epochs seeded, zero drops, absent keys pass") {
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b"
+          else if (i % 4 == 2) "c" else "d")).toDF("id", "k")
+    val out = Mixture.epochReplicate(df, "k", "id",
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0))
+    val got = out.select("k", "id", "copy")
+      .as[(String, Long, Int)].collect()
+    val byKey = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byKey("a") === 100, "2.0 epochs = exactly two copies per row")
+    assert(!byKey.contains("c"), "0.0 epochs drops every row")
+    assert(byKey("d") === 50, "absent key defaults to exactly 1 epoch")
+    // b at 0.5: seeded md5 draw; deterministic and strictly between 0 and 50x2
+    assert(byKey("b") > 0 && byKey("b") < 50)
+    val again = Mixture.epochReplicate(df, "k", "id",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0))
+      .select("k", "id", "copy").as[(String, Long, Int)].collect()
+    assert(again.toSet === got.toSet, "the draw is a pure function of the key/id")
+    // copies are contiguous 0-based per row
+    val copiesA = got.filter(r => r._1 == "a" && r._2 == 4L).map(_._3).sorted
+    assert(copiesA.toSeq === Seq(0, 1))
+  }
 }
