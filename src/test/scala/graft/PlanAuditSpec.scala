@@ -438,6 +438,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // token stream for the frequency-ratio division
       "p212_fairness_audit", "p213_negative_sampling",
       "p214_subsample_frequent", "p215_fightin_words",
+      // p229: the exact side of the RBO comparison IS p07's brute-force
+      // baseline (broadcast query set by design — the p80 recall shape)
+      "p229_rank_biased_overlap",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
       // per-token divergence terms — a scalar dim, not a pair blow-up;
