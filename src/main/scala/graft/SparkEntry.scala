@@ -9127,5 +9127,85 @@ object SparkEntry {
       graft.operators.Eval.rankBiasedOverlap(exact, approx, k = 10, p = 0.9)
         .orderBy(col("query_id"))
     }
+
+    // --- Simple Good–Turing adjusted counts (Good 1953, the Katz
+    //     ingredient): N_c exact off two aggregations; c* and the
+    //     unseen mass are single IEEE trees of exact integers.
+    register("p230_good_turing",
+      s"""WITH toks AS (SELECT unnest($toksLowerSql) AS t FROM documents),
+         |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         |ff AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc FROM tc GROUP BY c),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+         |grid AS (SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS c)
+         |SELECT g.c,
+         |  CASE WHEN g.c > 0 THEN COALESCE(f1.nc, 0) END AS n_c,
+         |  COALESCE(f2.nc, 0) AS n_next,
+         |  CASE WHEN g.c = 0
+         |      THEN COALESCE(f2.nc, 0)::DOUBLE / tot.n::DOUBLE
+         |    WHEN COALESCE(f1.nc, 0) > 0
+         |      THEN (g.c + 1)::DOUBLE * COALESCE(f2.nc, 0)::DOUBLE
+         |        / COALESCE(f1.nc, 0)::DOUBLE
+         |  END AS c_star,
+         |  CASE WHEN g.c > 0 THEN
+         |    (g.c * COALESCE(f1.nc, 0))::DOUBLE / tot.n::DOUBLE END AS p_mass
+         |FROM grid g
+         |LEFT JOIN ff f1 ON f1.c = g.c
+         |LEFT JOIN ff f2 ON f2.c = g.c + 1
+         |CROSS JOIN tot ORDER BY g.c""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.goodTuringCounts(
+          t(s, dir, "documents"), "text", kCutoff = 5)
+        .orderBy(col("c"))
+    }
+
+    // --- quadratic-weighted kappa over planted ordinal ratings (rater
+    //     b echoes a with a +1 bump for 30% of rows, clamped at 4):
+    //     (i−j)²-weighted sums are exact integers/DECIMAL(38,0); kappa
+    //     is one IEEE tree over them.
+    register("p231_weighted_kappa",
+      """WITH base AS (SELECT
+        |    ('0x' || substring(md5('wka:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS a,
+        |    LEAST(4, ('0x' || substring(md5('wka:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5
+        |      + CASE WHEN (('0x' || substring(md5('wkb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          ::DOUBLE / 1152921504606846976.0) < 0.3 THEN 1 ELSE 0 END) AS b
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |vals AS (SELECT DISTINCT v FROM
+        |  (SELECT a AS v FROM base UNION ALL SELECT b FROM base) z),
+        |idx AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS ix
+        |  FROM vals),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY a, b),
+        |ci AS (SELECT ia.ix AS ia, ib.ix AS ib, cells.c
+        |  FROM cells JOIN idx ia ON ia.v = cells.a
+        |             JOIN idx ib ON ib.v = cells.b),
+        |obs AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM((ia - ib) * (ia - ib) * c) AS BIGINT) AS num FROM ci),
+        |ma AS (SELECT ia, CAST(SUM(c) AS BIGINT) AS na FROM ci GROUP BY ia),
+        |mb AS (SELECT ib, CAST(SUM(c) AS BIGINT) AS nb FROM ci GROUP BY ib),
+        |den AS (SELECT SUM(CAST((ia - ib) * (ia - ib) AS DECIMAL(38,0))
+        |    * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))) AS den
+        |  FROM ma CROSS JOIN mb),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories FROM vals)
+        |SELECT obs.n, nc.n_categories,
+        |  CASE WHEN nc.n_categories > 1 THEN obs.num::DOUBLE
+        |    / (obs.n::DOUBLE * ((nc.n_categories - 1)::DOUBLE
+        |        * (nc.n_categories - 1)::DOUBLE)) END AS do_w,
+        |  CASE WHEN nc.n_categories > 1 THEN den.den::DOUBLE
+        |    / (obs.n::DOUBLE * obs.n::DOUBLE * ((nc.n_categories - 1)::DOUBLE
+        |        * (nc.n_categories - 1)::DOUBLE)) END AS de_w,
+        |  CASE WHEN den.den::DOUBLE > 0 THEN
+        |    1.0 - obs.n::DOUBLE * obs.num::DOUBLE / den.den::DOUBLE
+        |  END AS kappa_w
+        |FROM obs CROSS JOIN den CROSS JOIN nc""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(
+          (graft.operators.Splits.hashValue60(col("doc_id"), "wka") % 5).as("a"),
+          least(lit(4L),
+            graft.operators.Splits.hashValue60(col("doc_id"), "wka") % 5 +
+              when(graft.operators.Splits.hashValue60(col("doc_id"), "wkb")
+                .cast("double") / lit(1152921504606846976.0) < 0.3, 1L)
+                .otherwise(0L)).as("b"))
+      graft.operators.Eval.weightedKappa(base, "a", "b", quadratic = true)
+    }
   }
 }

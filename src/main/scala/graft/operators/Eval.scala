@@ -1083,6 +1083,71 @@ object Eval {
           (col("precision") + col("recall"))))
   }
 
+  /** Weighted Cohen's kappa for ORDINAL labels (Cohen 1968) — the
+    * chance-corrected agreement that penalizes a 1-vs-5 disagreement
+    * more than a 1-vs-2: w_ij = ((i−j)/(R−1))² over dense category
+    * indexes (quadratic weights — THE ordinal-rating metric; linear
+    * available via `quadratic = false`). Categories are the sorted
+    * distinct union of both raters' values in the values' OWN type
+    * ordering (ordinal ints sort numerically, never lexically). One
+    * row: (n, n_categories longs, do_w, de_w — weighted observed /
+    * chance disagreement rates, kappa_w = 1 − do_w/de_w doubles; NULL
+    * kappa where chance disagreement is 0 — a single category has no
+    * chance to correct). NULL-rating rows drop.
+    *
+    * Exactness: with integer index distances, Σ (i−j)²·count and
+    * Σ (i−j)²·na_i·nb_j are EXACT integer/decimal sums (marginal
+    * products ride DECIMAL(38,0), the [[cohenKappa]] contract); each
+    * reported rate is one IEEE tree over the exact sums — the /(R−1)²
+    * weight normalization cancels inside kappa and is applied only to
+    * the REPORTED rates.
+    *
+    * 100 TB shape: one (a, b) cell aggregation (|R|² cells), two
+    * |R|-row marginals, a |R|-row index table (the one
+    * category-bounded sort), and |R|²-bounded joins — nothing
+    * row-cardinality past the first aggregation. */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+      quadratic: Boolean = true,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = stager.stage(
+      df.filter(col(s"`$aCol`").isNotNull && col(s"`$bCol`").isNotNull)
+        .select(col(s"`$aCol`").as("__a"), col(s"`$bCol`").as("__b")),
+      s"wkappa_${java.util.UUID.randomUUID().toString.take(8)}")
+    val values = base.select(col("__a").as("__v"))
+      .unionByName(base.select(col("__b").as("__v"))).distinct()
+      .withColumn("__ix", row_number().over(Window.orderBy(col("__v"))) - 1)
+    val cells = base.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(values.select(col("__v").as("__a"), col("__ix").as("__ia"))), Seq("__a"))
+      .join(broadcast(values.select(col("__v").as("__b"), col("__ix").as("__ib"))), Seq("__b"))
+    def d2(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      if (quadratic) (i - j) * (i - j) else abs(i - j)
+    val obs = cells.agg(sum(col("__c")).as("n"),
+      sum(d2(col("__ia"), col("__ib")) * col("__c")).as("__num"))
+    val ma = cells.groupBy(col("__ia")).agg(sum(col("__c")).as("__na"))
+    val mb = cells.groupBy(col("__ib")).agg(sum(col("__c")).as("__nb"))
+    val den = ma.crossJoin(mb)
+      .agg(sum(d2(col("__ia"), col("__ib")).cast(dec38) *
+        col("__na").cast(dec38) * col("__nb").cast(dec38)).as("__den"))
+    val nCats = values.agg(count(lit(1)).as("n_categories"))
+    val wNorm = obs.crossJoin(broadcast(den)).crossJoin(broadcast(nCats))
+      .withColumn("__r1", (col("n_categories") - 1L).cast("double"))
+      .withColumn("__w",
+        if (quadratic) col("__r1") * col("__r1") else col("__r1"))
+    wNorm.select(col("n"), col("n_categories"),
+      when(col("n_categories") > 1L,
+        col("__num").cast("double") /
+          (col("n").cast("double") * col("__w"))).as("do_w"),
+      when(col("n_categories") > 1L,
+        col("__den").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * col("__w")))
+        .as("de_w"),
+      when(col("__den").cast("double") > 0.0,
+        lit(1.0) - col("n").cast("double") * col("__num").cast("double") /
+          col("__den").cast("double")).as("kappa_w"))
+  }
+
   /** One-row roll-up of [[multiclassReport]]: accuracy (= micro
     * precision = micro recall in single-label multiclass), macro
     * precision/recall/F1 (unweighted class means — an undefined class

@@ -255,6 +255,63 @@ object LmScore {
     * context totals re-aggregate the pair frame, join back on
     * (group, a) — pair-cardinality frames only — and a |groups|-row
     * totals broadcast feeds one final group aggregation. */
+  /** Simple Good–Turing adjusted-count table (Good 1953, the Katz-backoff
+    * ingredient): from the unigram frequency-of-frequencies N_c, the
+    * discounted counts c* = (c+1)·N_{c+1}/N_c for c = 1..kCutoff (Katz
+    * applies the discount only below the cutoff — high counts are
+    * reliable as-is) plus the c = 0 row carrying the unseen mass
+    * p0 = N_1/N (the [[graft.operators.Vocab.vocabCoverageByGroup]]
+    * link). Output per c in 0..kCutoff: (c long, n_c long — N_c, the
+    * number of distinct types seen exactly c times (at c = 0: NULL —
+    * unknowable), n_next long — N_{c+1}, c_star double — NULL where
+    * N_c = 0, 0.0 where only N_{c+1} = 0, and p0 at the c = 0 row,
+    * p_mass double — c·N_c/N, the total probability mass the raw counts
+    * assign to this bucket). Tokens are lowercased whitespace splits.
+    *
+    * Exactness: every N_c is an exact integer off two aggregations;
+    * c_star and p_mass are ONE IEEE division/tree of exact integers.
+    *
+    * 100 TB shape: one map-side-combinable token count, one
+    * count-of-counts aggregation (Zipf-bounded output), one broadcast
+    * totals row, one ≤ kCutoff+1-row report — the [[graft.operators
+    * .Profile.keySkew]] histogram shape. */
+  def goodTuringCounts(docs: DataFrame, textCol: String,
+      kCutoff: Int = 5, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(kCutoff >= 1, s"kCutoff must be >= 1, got $kCutoff")
+    // staged: the token-count frame feeds the count-of-counts TWICE
+    // (N_c and the shifted N_{c+1}) and the totals row — unstaged the
+    // corpus tokenization would run three times
+    val counts = stager.stage(docs
+      .select(explode(split(lower(coalesce(col(s"`$textCol`"), lit(""))),
+        "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c")),
+      s"gt_counts_${java.util.UUID.randomUUID().toString.take(8)}")
+    val freqOfFreq = counts.groupBy(col("__c")).agg(count(lit(1)).as("__nc"))
+    val totals = counts.agg(sum(col("__c")).as("__n"))
+    val grid = docs.sparkSession.range(0, kCutoff + 1).select(col("id").as("c"))
+    val nc = freqOfFreq.select(col("__c").as("c"), col("__nc"))
+    val nNext = freqOfFreq.select((col("__c") - 1L).as("c"),
+      col("__nc").as("__nnext"))
+    grid.join(broadcast(nc), Seq("c"), "left")
+      .join(broadcast(nNext), Seq("c"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("c"),
+        when(col("c") > 0L, coalesce(col("__nc"), lit(0L))).as("n_c"),
+        coalesce(col("__nnext"), lit(0L)).as("n_next"),
+        when(col("c") === 0L,
+            coalesce(col("__nnext"), lit(0L)).cast("double") /
+              col("__n").cast("double"))
+          .when(coalesce(col("__nc"), lit(0L)) > 0L,
+            (col("c") + 1L).cast("double") *
+              coalesce(col("__nnext"), lit(0L)).cast("double") /
+              coalesce(col("__nc"), lit(0L)).cast("double"))
+          .as("c_star"),
+        when(col("c") > 0L,
+          (col("c") * coalesce(col("__nc"), lit(0L))).cast("double") /
+            col("__n").cast("double")).as("p_mass"))
+  }
+
   def conditionalEntropy(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
     val g = col(s"`$groupCol`")

@@ -424,6 +424,51 @@ object Streams {
       .toDF("new_id", "start_tok", "end_tok", "n_tokens")
   }
 
+  /** Streaming two-sided CUSUM per key — the ingest-time twin of
+    * [[graft.operators.Drift.cusumByGroup]] with EXPLICIT per-key target
+    * means (a stream cannot know its own mean; production monitors pin
+    * the target from a baseline window — feed the batch op's rounded mu
+    * for bit-parity). State per key is four quantized-long scalars
+    * (running sum and running min for each side — the same
+    * prefix-sum-minus-running-min rewrite, at 1e-9 fixed point exactly
+    * like the batch op's DECIMAL(25,9) terms), so an in-order stream
+    * reproduces the batch output bit-for-bit; out-of-order rows corrupt
+    * the recursion (the caller owns ordering — the runningBurstiness
+    * contract). Keys without a target and NULL-shaped rows emit
+    * nothing. Output per event: (key, x, y, cusum_pos, cusum_neg,
+    * alarm_pos, alarm_neg). */
+  def runningCusum(events: Dataset[(String, Long, Double)],
+      targets: Map[String, Double], h: Double,
+      k: Double = 0.0): DataFrame = {
+    require(h > 0.0, s"h must be positive, got $h")
+    require(k >= 0.0, s"k must be >= 0, got $k")
+    import events.sparkSession.implicits._
+    def q9(x: Double): Long = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000000L)).toLongExact
+    events.filter(_._1 != null).filter(e => targets.contains(e._1))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+            state: GroupState[(Long, Long, Long, Long)]) =>
+          val mu = targets(key)
+          var (pp, mp, pn, mn) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, x, y) =>
+            pp += q9(y - mu - k)
+            pn += q9(mu - y - k)
+            mp = math.min(mp, pp)
+            mn = math.min(mn, pn)
+            val cp = (pp - math.min(0L, mp)) / 1e9
+            val cn = (pn - math.min(0L, mn)) / 1e9
+            (key, x, y, cp, cn, cp > h, cn > h)
+          }
+          state.update((pp, mp, pn, mn))
+          out.iterator
+      }
+      .toDF("key", "x", "y", "cusum_pos", "cusum_neg",
+        "alarm_pos", "alarm_neg")
+  }
+
   case class KeyHeavy(key: String, n_seen: Long, items: Map[String, Long])
 
   /** Streaming heavy hitters: per key, maintain a Misra–Gries summary

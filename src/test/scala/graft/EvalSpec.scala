@@ -655,6 +655,38 @@ class EvalSpec extends SparkSpecBase {
     assert(got.size === 4)
   }
 
+  test("weightedKappa: perfect agreement 1, quadratic beats linear on far misses, numeric ordering") {
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L), (1L, 1L)).toDF("a", "b")
+    val p = Eval.weightedKappa(perfect, "a", "b").head()
+    assert(p.getAs[Double]("kappa_w") === 1.0)
+    assert(p.getAs[Double]("do_w") === 0.0)
+    // hand case: ratings 0..2; one near miss (0 vs 1), one far miss (0 vs 2)
+    // cells: (0,0):2 (0,1):1 (0,2):1 (1,1):1 (2,2):1
+    // quadratic num = 0+1+4+0+0 = 5; marginals a: 0->4,1->1,2->1; b: 0->2,1->2,2->2
+    // den = sum (i-j)^2 na nb = (0,1):1*4*2 + (0,2):4*4*2 + (1,0):1*1*2 +
+    //       (1,2):1*1*2 + (2,0):4*1*2 + (2,1):1*1*2 = 8+32+2+2+8+2 = 54
+    // kappa = 1 - 6*5/54 = 1 - 30/54
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (0L, 2L), (1L, 1L), (2L, 2L))
+      .toDF("a", "b")
+    val q = Eval.weightedKappa(df, "a", "b").head()
+    assert(q.getAs[Long]("n") === 6L)
+    assert(q.getAs[Long]("n_categories") === 3L)
+    assert(q.getAs[Double]("kappa_w") === 1.0 - 6.0 * 5.0 / 54.0)
+    assert(q.getAs[Double]("do_w") === 5.0 / (6.0 * 4.0))
+    // linear weights punish the far miss less severely relative to chance
+    val l = Eval.weightedKappa(df, "a", "b", quadratic = false).head()
+    // linear num = 0+1+2 = 3; den = 1*4*2 + 2*4*2 + 1*1*2 + 1*1*2 + 2*1*2 + 1*1*2 = 8+16+2+2+4+2 = 34
+    assert(l.getAs[Double]("kappa_w") === 1.0 - 6.0 * 3.0 / 34.0)
+    // ordinal values sort numerically: 2 < 10 (lexically "10" < "2")
+    val num = Seq((2L, 2L), (10L, 10L), (2L, 10L)).toDF("a", "b")
+    val r = Eval.weightedKappa(num, "a", "b").head()
+    assert(r.getAs[Long]("n_categories") === 2L)
+    // a single category: chance disagreement 0 -> NULL kappa, never NaN
+    val one = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Eval.weightedKappa(one, "a", "b").head().isNullAt(
+      Eval.weightedKappa(one, "a", "b").head().fieldIndex("kappa_w")))
+  }
+
   test("multiclassSummary: accuracy, zero-division-0 macros, support-weighted f1") {
     def r9(x: Double) = BigDecimal(x)
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -126,4 +126,23 @@ class LmScoreSpec extends SparkSpecBase {
     assert(r2.getAs[Long]("n_bigrams") === 2L)
     assert(r2.getAs[Double]("cond_entropy") === 0.0)
   }
+
+  test("goodTuringCounts: hand-computed N_c table, Katz discounts, unseen mass") {
+    // counts: a:3 b:2 c:2 d:1 e:1 f:1 -> N1=3 N2=2 N3=1, N=10
+    val df = Seq(("a a a b b c"), ("c d e f")).toDF("text")
+    val got = LmScore.goodTuringCounts(df, "text", kCutoff = 4)
+      .select("c", "n_c", "n_next", "c_star", "p_mass")
+      .as[(Long, Option[Long], Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, None, 3L, Some(0.3), None)),
+      "the c=0 row carries the unseen mass N1/N")
+    assert(got(1L) === ((1L, Some(3L), 2L, Some(2.0 * 2.0 / 3.0), Some(0.3))))
+    assert(got(2L) === ((2L, Some(2L), 1L, Some(3.0 * 1.0 / 2.0), Some(0.4))))
+    assert(got(3L) === ((3L, Some(1L), 0L, Some(0.0), Some(0.3))))
+    // an empty frequency class has NULL c_star (0/0 must not become 0)
+    assert(got(4L) === ((4L, Some(0L), 0L, None, Some(0.0))))
+    assert(got.size === 5)
+    // total assigned mass over the observed buckets is exactly 1
+    assert(got.values.flatMap(_._5).sum === 1.0)
+  }
 }

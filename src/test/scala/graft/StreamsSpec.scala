@@ -274,6 +274,42 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runningCusum: an in-order stream reproduces the batch CUSUM bit-for-bit") {
+    val series = (0 to 5).map(i => ("g", i.toLong, if (i < 3) 0.0 else 5.0)) ++
+      (0 to 4).map(i => ("h", i.toLong, i.toDouble * 2))
+    val df = series.toDF("g", "x", "y")
+    // the stream takes explicit targets: feed the batch op's own mu rule
+    // (9-dp-rounded mean) for bit-parity
+    def mu(vals: Seq[Double]): Double = BigDecimal(
+        vals.map(v => BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+          .toDouble / vals.size)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val targets = series.groupBy(_._1).map { case (g, rows) =>
+      g -> mu(rows.map(_._3)) }
+    val batch = graft.operators.Drift.cusumByGroup(df, "g", "x", "y",
+        h = 5.0, k = 0.5)
+      .select("g", "x", "y", "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg")
+      .as[(String, Long, Double, Double, Double, Boolean, Boolean)]
+      .collect().toSet
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val out = Streams.runningCusum(input.toDS(), targets, h = 5.0, k = 0.5)
+    val q = out.writeStream.format("memory").queryName("running_cusum")
+      .outputMode("append").start()
+    try {
+      // split mid-series: state must carry the prefix across batches
+      input.addData(series.take(4): _*)
+      q.processAllAvailable()
+      input.addData(series.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("running_cusum")
+        .select($"key", $"x", $"y", $"cusum_pos", $"cusum_neg",
+          $"alarm_pos", $"alarm_neg")
+        .as[(String, Long, Double, Double, Double, Boolean, Boolean)]
+        .collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("runningHeavyHitters holds the Misra–Gries guarantee at the final emission") {
     // zipf-ish per-key stream: value v_i appears ~120/i times; k=8 forces
     // constant eviction, so the test exercises the decrement path
