@@ -441,6 +441,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // p229: the exact side of the RBO comparison IS p07's brute-force
       // baseline (broadcast query set by design — the p80 recall shape)
       "p229_rank_biased_overlap",
+      // p230: the 1-row corpus-token total broadcasts into the <=k+1-row
+      // report grid; p231: the |R|x|R| marginal grid (category-bounded,
+      // the p121 kappa shape) plus 1-row obs/den/category scalars
+      // cross-joined into the single report row
+      "p230_good_turing", "p231_weighted_kappa",
       "p80_ann_recall",
       // p86: the 1-row (vocab, totals) aggregate broadcasts into the
       // per-token divergence terms — a scalar dim, not a pair blow-up;
