@@ -9207,5 +9207,36 @@ object SparkEntry {
                 .otherwise(0L)).as("b"))
       graft.operators.Eval.weightedKappa(base, "a", "b", quadratic = true)
     }
+
+    // --- Tukey-fence outlier report for n_chars per source: exact
+    //     q25/q75 nearest-rank cuts off the keyed-PrefixSum frame,
+    //     fixed-IEEE fences, exact outlier counts.
+    register("p232_iqr_outliers",
+      """WITH b AS (SELECT source AS g, n_chars::DOUBLE AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT g, v, COUNT(*) OVER (PARTITION BY g) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM b),
+        |kk AS (SELECT g, v, n, rn,
+        |    GREATEST(1, (n * 250000 + 999999) // 1000000) AS r25,
+        |    GREATEST(1, (n * 750000 + 999999) // 1000000) AS r75 FROM r),
+        |c AS (SELECT g, MAX(CASE WHEN rn = r25 THEN v END) AS q25,
+        |    MAX(CASE WHEN rn = r75 THEN v END) AS q75 FROM kk GROUP BY g),
+        |f AS (SELECT g, q25, q75, q75 - q25 AS iqr,
+        |    q25 - 1.5 * (q75 - q25) AS lo, q75 + 1.5 * (q75 - q25) AS hi
+        |  FROM c)
+        |SELECT kk.g AS source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  f.q25, f.q75, f.iqr, f.lo AS lo_fence, f.hi AS hi_fence,
+        |  CAST(SUM(CASE WHEN kk.v < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN kk.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  (SUM(CASE WHEN kk.v < f.lo THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN kk.v > f.hi THEN 1 ELSE 0 END))::DOUBLE
+        |    / COUNT(*)::DOUBLE AS outlier_frac
+        |FROM kk JOIN f USING (g)
+        |GROUP BY kk.g, f.q25, f.q75, f.iqr, f.lo, f.hi
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.iqrOutlierStatsByGroup(
+          t(s, dir, "documents"), "source", "n_chars", k = 1.5)
+        .orderBy(col("source"))
+    }
   }
 }

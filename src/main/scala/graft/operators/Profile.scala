@@ -1108,6 +1108,68 @@ object Profile {
         col("v_max") +: micros.map(m => col(s"q${m / 10000L}")): _*)
   }
 
+  /** Per-group Tukey-fence outlier report (Tukey 1977): exact q25/q75
+    * nearest-rank cuts, the IQR fences q25 − k·IQR / q75 + k·IQR, and
+    * how many rows fall outside — the box-plot numbers every dataset
+    * card prints next to [[robustStats]]' robust means. Output per
+    * group: (groupCol, n long, q25, q75, iqr, lo_fence, hi_fence
+    * doubles, n_low, n_high longs, outlier_frac double — one division
+    * of exact counts). NULL group/value rows drop.
+    *
+    * Exactness: cut ranks use the integer-micros nearest-rank rule at
+    * 250000/750000 µ (the [[robustStats]] contract); the fences are one
+    * fixed IEEE tree over the exact order statistics; outlier counts
+    * are exact integers off strict double comparisons.
+    *
+    * 100 TB shape: the [[robustStats]] plan exactly — (group, value)
+    * counts, ONE keyed-PrefixSum scan, a |groups|-row broadcast fence
+    * table folded back into one aggregation over the distinct-value
+    * frame; never a group window, never a row rejoin. */
+  def iqrOutlierStatsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, k: Double = 1.5,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(k >= 0.0, s"k must be >= 0, got $k")
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .groupBy(g.as("__g"), v.cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.withKeyedRunningSums(
+      counts, Seq("__g"), Seq("__v"), Seq("__c"), stager)
+    val totals = cum.groupBy(col("__g"))
+      .agg(max(col("cum___c")).as("__n"))
+      .withColumn("__r25", greatest(lit(1L),
+        expr("(__n * 250000L + 999999L) div 1000000L")))
+      .withColumn("__r75", greatest(lit(1L),
+        expr("(__n * 750000L + 999999L) div 1000000L")))
+    val cuts = cum.join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(
+        max(when(col("cum___c") >= col("__r25") &&
+          col("cum___c") - col("__c") < col("__r25"), col("__v"))).as("q25"),
+        max(when(col("cum___c") >= col("__r75") &&
+          col("cum___c") - col("__c") < col("__r75"), col("__v"))).as("q75"))
+      .withColumn("iqr", col("q75") - col("q25"))
+      .withColumn("lo_fence", col("q25") - lit(k) * (col("q75") - col("q25")))
+      .withColumn("hi_fence", col("q75") + lit(k) * (col("q75") - col("q25")))
+    cum.join(broadcast(cuts), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"),
+        max(col("q25")).as("__q25"), max(col("q75")).as("__q75"),
+        max(col("iqr")).as("__iqr"),
+        max(col("lo_fence")).as("__lo"), max(col("hi_fence")).as("__hi"),
+        sum(when(col("__v") < col("lo_fence"), col("__c")).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("__v") > col("hi_fence"), col("__c")).otherwise(0L))
+          .as("n_high"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__q25").as("q25"), col("__q75").as("q75"), col("__iqr").as("iqr"),
+        col("__lo").as("lo_fence"), col("__hi").as("hi_fence"),
+        col("n_low"), col("n_high"),
+        ((col("n_low") + col("n_high")).cast("double") / col("n").cast("double"))
+          .as("outlier_frac"))
+  }
+
   /** Per-group Lorenz-curve points — the inequality CURVE behind
     * [[giniByGroup]]'s single number: at each of `nPoints` equal
     * population cuts, the cumulative share of total value held by the

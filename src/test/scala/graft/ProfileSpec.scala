@@ -325,6 +325,21 @@ class ProfileSpec extends SparkSpecBase {
     assert(byId(6L)._2 === Some(1.0))
   }
 
+  test("iqrOutlierStatsByGroup: hand-computed Tukey fences and outlier counts") {
+    // g: 1..8 plus 100 -> n=9, r25 = ceil(2.25)=3 -> q25=3; r75 = ceil(6.75)=7
+    // -> q75=7; iqr=4; fences [-3, 13]; 100 is the single high outlier
+    val df = ((1 to 8).map(v => ("g", v.toDouble)) :+ ("g", 100.0)) ++
+      Seq(("c", 5.0), ("c", 5.0))
+    val got = Profile.iqrOutlierStatsByGroup(df.toDF("g", "v"), "g", "v")
+      .select("g", "n", "q25", "q75", "iqr", "lo_fence", "hi_fence",
+        "n_low", "n_high", "outlier_frac")
+      .as[(String, Long, Double, Double, Double, Double, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") === (("g", 9L, 3.0, 7.0, 4.0, -3.0, 13.0, 0L, 1L, 1.0 / 9.0)))
+    // a constant group has zero IQR and zero outliers
+    assert(got("c") === (("c", 2L, 5.0, 5.0, 0.0, 5.0, 5.0, 0L, 0L, 0.0)))
+  }
+
   test("lorenzCurveByGroup: value-atomic decile cuts, monotone shares, endpoint exactness") {
     // g: values 1..4, each once -> n=4, total=10; quartile points land on
     // each value: shares 1/10, 3/10, 6/10, 10/10
