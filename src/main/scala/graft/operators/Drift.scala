@@ -1141,8 +1141,7 @@ object Drift {
     val ties = base.groupBy(col("__g"), col("__y"))
       .agg(count(lit(1)).as("__t"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).cast("long").as("__nvals"),
-        sum(col("__t")).as("n"),
+      .agg(sum(col("__t")).as("n"),
         sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
           .as("__tsum"))
     ties.join(s, Seq("__g"), "left")

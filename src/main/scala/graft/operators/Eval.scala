@@ -1176,12 +1176,15 @@ object Eval {
         sum(q9(col("precision"))).as("__sp"),
         sum(q9(col("recall"))).as("__sr"),
         sum(q9(col("f1"))).as("__sf"),
-        // n_true narrows to DECIMAL(10,0) before the multiply: a
-        // DECIMAL(25,9) × BIGINT product overflows precision 38 and
-        // Spark's precision-loss rule would silently re-round the
-        // per-class term to scale 6 (caught by the p228 gate)
-        sum(q9(col("f1")) *
-          col("n_true").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+        // f1 ∈ [0,1] so its 9-dp quantization fits DECIMAL(10,9)
+        // losslessly; the product with raw BIGINT n_true is then
+        // (10,9)×(20,0) → DECIMAL(31,9) — inside precision 38 for the
+        // FULL long range, so neither side narrows. (The earlier fix
+        // narrowed n_true to DECIMAL(10,0), which silently NULLed any
+        // class above 1e10 rows under non-ANSI cast — the p228 trap in
+        // a different coat.)
+        sum(q9(col("f1")).cast(org.apache.spark.sql.types.DecimalType(10, 9)) *
+          col("n_true"))
           .as("__swf"))
       .select(col("n"), col("n_classes"),
         (col("__tp").cast("double") / col("n").cast("double")).as("accuracy"),

@@ -52,7 +52,16 @@ object Graphs {
     * containment maxDf posture — a node with 10⁶ neighbors certifies
     * nothing about any single pair). Everything else is degree joins
     * and one anti-join against the edge list — map-side-combinable
-    * aggregations on (pair) keys, no window. */
+    * aggregations on (pair) keys, no window.
+    *
+    * Capped-mode semantics: with `maxCenterDegree` set,
+    * common_neighbors and adamic_adar count only wedges through
+    * UNCAPPED centers, but the jaccard denominator keeps each
+    * endpoint's FULL degree — so capped jaccard is a conservative
+    * LOWER BOUND (truncated intersection / untruncated union), not
+    * the jaccard of any consistent subgraph. This is deliberate: the
+    * full degrees are free (one aggregation, no wedge blow-up) and a
+    * lower bound never promotes a pair the exact score wouldn't. */
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
       maxCenterDegree: Option[Long] = None,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {

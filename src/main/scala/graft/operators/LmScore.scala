@@ -229,32 +229,6 @@ object LmScore {
     scoreBigramKN(docs, idCol, textCol, docs, textCol, vocabSize,
       stager = stager)
 
-  /** Conditional bigram entropy H(next | prev) per group — Shannon's
-    * printed-English measure (Shannon 1951) as a TEMPLATEDNESS signal:
-    * H = −Σ_{a,b} (c(ab)/N)·ln(c(ab)/c(a·)) in nats over each group's
-    * within-document word bigrams (lowercased whitespace tokens, the
-    * shared toks contract; bigrams never span documents). Low H = the
-    * next word is predictable from the previous one — boilerplate,
-    * templates, generated filler; high H tracks organic prose. The
-    * bigram-level complement of [[graft.operators.TextAudit]]'s
-    * per-document signals and the unigram `tokenEntropy`. Output per
-    * group: (groupCol, n_bigrams, n_contexts, n_pairs longs — total
-    * bigrams, distinct first words, distinct (a,b) pairs,
-    * cond_entropy double — NULL only on an empty group, which emits
-    * no row). NULL groups drop; docs with < 2 tokens contribute
-    * nothing.
-    *
-    * Determinism contract: c(ab)/N and c(ab)/c(a·) are single
-    * divisions of exact integers; each ln passes ln9 (the 9-dp
-    * decimal rounding); each term is one multiply quantized to
-    * DECIMAL(25,9) before the order-independent sum.
-    *
-    * 100 TB shape: ONE per-doc window pass builds the bigram stream
-    * ([[graft.operators.Dedup.shingleRows]], doc-cardinality keys),
-    * rows collapse to per-(group, a, b) counts (map-side combinable),
-    * context totals re-aggregate the pair frame, join back on
-    * (group, a) — pair-cardinality frames only — and a |groups|-row
-    * totals broadcast feeds one final group aggregation. */
   /** Simple Good–Turing adjusted-count table (Good 1953, the Katz-backoff
     * ingredient): from the unigram frequency-of-frequencies N_c, the
     * discounted counts c* = (c+1)·N_{c+1}/N_c for c = 1..kCutoff (Katz
@@ -312,6 +286,32 @@ object LmScore {
             col("__n").cast("double")).as("p_mass"))
   }
 
+  /** Conditional bigram entropy H(next | prev) per group — Shannon's
+    * printed-English measure (Shannon 1951) as a TEMPLATEDNESS signal:
+    * H = −Σ_{a,b} (c(ab)/N)·ln(c(ab)/c(a·)) in nats over each group's
+    * within-document word bigrams (lowercased whitespace tokens, the
+    * shared toks contract; bigrams never span documents). Low H = the
+    * next word is predictable from the previous one — boilerplate,
+    * templates, generated filler; high H tracks organic prose. The
+    * bigram-level complement of [[graft.operators.TextAudit]]'s
+    * per-document signals and the unigram `tokenEntropy`. Output per
+    * group: (groupCol, n_bigrams, n_contexts, n_pairs longs — total
+    * bigrams, distinct first words, distinct (a,b) pairs,
+    * cond_entropy double — NULL only on an empty group, which emits
+    * no row). NULL groups drop; docs with < 2 tokens contribute
+    * nothing.
+    *
+    * Determinism contract: c(ab)/N and c(ab)/c(a·) are single
+    * divisions of exact integers; each ln passes ln9 (the 9-dp
+    * decimal rounding); each term is one multiply quantized to
+    * DECIMAL(25,9) before the order-independent sum.
+    *
+    * 100 TB shape: ONE per-doc window pass builds the bigram stream
+    * ([[graft.operators.Dedup.shingleRows]], doc-cardinality keys),
+    * rows collapse to per-(group, a, b) counts (map-side combinable),
+    * context totals re-aggregate the pair frame, join back on
+    * (group, a) — pair-cardinality frames only — and a |groups|-row
+    * totals broadcast feeds one final group aggregation. */
   def conditionalEntropy(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
     val g = col(s"`$groupCol`")

@@ -495,28 +495,6 @@ object Vocab {
             (lit(2.0) * (col("f2") + 1L).cast("double"))).as("chao1"))
   }
 
-  /** Unigram^(3/4) negative-sampling table (Mikolov et al. 2013,
-    * "Distributed Representations of Words and Phrases"): the smoothed
-    * noise distribution every word2vec/contrastive trainer draws
-    * negatives from — P(term) ∝ count^0.75, flattening Zipf so rare
-    * words are sampled often enough to learn. Output per distinct
-    * token: (term, count long, weight, prob, cum_prob doubles) with
-    * cum_prob the inclusive CDF in (count DESC, term ASC) order — the
-    * inverse-CDF lookup key a sampler binary-searches.
-    *
-    * Exactness: count^(3/4) is computed as sqrt(count · sqrt(count)) —
-    * two IEEE-754 correctly-rounded sqrts and one product, bit-identical
-    * across engines with NO transcendental rounding contract (pow/exp/ln
-    * implementations differ; sqrt may not) — then quantized to 9 dp
-    * through DECIMAL(25,12) so weights sum order-independently in exact
-    * decimal. prob and cum_prob are each ONE division of decimal-cast
-    * exact sums, REPORTED at 9 dp (decimal→double casts can differ 1 ulp
-    * across engines — the p07 rule).
-    *
-    * 100 TB shape: ONE map-side-combinable token count, then the CDF
-    * rides [[PrefixSum.withRunningSums]] (range exchange on the
-    * distinct (−count, term) key + broadcast offsets — never a
-    * single-reducer global window); the totals row broadcasts. */
   /** Overlapping token-window document chunking — the RAG/context-window
     * prep pass: split each document into windows of `chunkTokens`
     * whitespace tokens advancing by stride = chunkTokens − overlapTokens,
@@ -747,6 +725,28 @@ object Vocab {
             .cast("int").as("n_tokens_removed")): _*)
   }
 
+  /** Unigram^(3/4) negative-sampling table (Mikolov et al. 2013,
+    * "Distributed Representations of Words and Phrases"): the smoothed
+    * noise distribution every word2vec/contrastive trainer draws
+    * negatives from — P(term) ∝ count^0.75, flattening Zipf so rare
+    * words are sampled often enough to learn. Output per distinct
+    * token: (term, count long, weight, prob, cum_prob doubles) with
+    * cum_prob the inclusive CDF in (count DESC, term ASC) order — the
+    * inverse-CDF lookup key a sampler binary-searches.
+    *
+    * Exactness: count^(3/4) is computed as sqrt(count · sqrt(count)) —
+    * two IEEE-754 correctly-rounded sqrts and one product, bit-identical
+    * across engines with NO transcendental rounding contract (pow/exp/ln
+    * implementations differ; sqrt may not) — then quantized to 9 dp
+    * through DECIMAL(25,12) so weights sum order-independently in exact
+    * decimal. prob and cum_prob are each ONE division of decimal-cast
+    * exact sums, REPORTED at 9 dp (decimal→double casts can differ 1 ulp
+    * across engines — the p07 rule).
+    *
+    * 100 TB shape: ONE map-side-combinable token count, then the CDF
+    * rides [[PrefixSum.withRunningSums]] (range exchange on the
+    * distinct (−count, term) key + broadcast offsets — never a
+    * single-reducer global window); the totals row broadcasts. */
   def negativeSamplingTable(docs: DataFrame, textCol: String,
       stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
