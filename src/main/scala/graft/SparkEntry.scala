@@ -9238,5 +9238,155 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", k = 1.5)
         .orderBy(col("source"))
     }
+
+    // --- the COMPOSED end-to-end pretraining pipeline (round-14 verdict
+    //     #2): quality gate -> exact dedup -> near-dup drop (the p11
+    //     funnel) -> benchmark decontamination (p24's % 20 bench split,
+    //     5-grams) -> temperature mixture at tau=2 derived from the
+    //     DECONTAMINATED counts (p89) -> leak-safe 0.8/0.1/0.1 split
+    //     (p81) -> contiguous 512-token packing per (split, lang) (p25).
+    //     Every stage is individually oracled; THIS gate catches the
+    //     inter-stage contract drift (column names, staging semantics,
+    //     survivor-frame shapes) that 281 per-operator gates cannot. The
+    //     oracle is the stages' own WITH chains composed verbatim.
+    register("p233_full_pipeline",
+      s"""WITH stats AS (
+         |  SELECT doc_id,
+         |    len($toksSql)::DOUBLE AS n_tok,
+         |    length(text)::DOUBLE AS n_char,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         |    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS n_punct,
+         |    ${hitsSql("en")} AS h_en
+         |  FROM documents),
+         |kept AS (SELECT doc_id FROM stats
+         |  WHERE least(n_tok / 200.0, 1.0) * 0.4
+         |    + (CASE WHEN n_char = 0 THEN 0.0 ELSE n_alpha / n_char END) * 0.3
+         |    + (CASE WHEN n_tok = 0 THEN 0.0 ELSE h_en / n_tok END) * 0.2
+         |    + (1.0 - least((CASE WHEN n_char = 0 THEN 0.0 ELSE n_punct / n_char END) * 5.0, 1.0)) * 0.1
+         |    >= 0.45),
+         |kd AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+         |fp AS (SELECT doc_id, md5(array_to_string($toksLowerSql, ' ')) AS f FROM kd),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |cd AS (SELECT kd.* FROM kd JOIN canon USING (doc_id)),
+         |t2 AS (SELECT doc_id, $toksLowerSql AS toks FROM cd),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks)-1),
+         |              i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS shingles
+         |  FROM t2),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |h AS (SELECT doc_id, md5(s) AS m FROM ex),
+         |sig AS (SELECT doc_id,
+         |${mhSeeds.map(i => s"  min(('0x' || substring(m, 1, 14))::BIGINT + $i * ('0x' || substring(m, 17, 14))::BIGINT) AS h$i").mkString(",\n")}
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |${mhSeeds.map(i => s"  SELECT doc_id, $i AS band, md5(h$i::VARCHAR) AS bucket FROM sig").mkString("\n  UNION ALL\n")}
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN shf sa2 ON sa2.doc_id = id_a JOIN shf sb2 ON sb2.doc_id = id_b
+         |  WHERE len(list_intersect(sa2.shingles, sb2.shingles))::DOUBLE
+         |      / (len(sa2.shingles) + len(sb2.shingles) - len(list_intersect(sa2.shingles, sb2.shingles)))::DOUBLE >= 0.8),
+         |surv AS (SELECT cd.* FROM cd
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+         |tr0 AS (SELECT * FROM surv WHERE doc_id % 20 != 0),
+         |bt AS (SELECT $toksLowerSql AS t FROM documents WHERE doc_id % 20 = 0),
+         |bsh AS (SELECT DISTINCT unnest(
+         |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-3),
+         |              i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS g
+         |  FROM bt),
+         |dt AS (SELECT doc_id, $toksLowerSql AS t FROM tr0),
+         |dsh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-3),
+         |              i -> array_to_string(list_slice(t, i, i+4), ' ')) END)) AS g
+         |  FROM dt),
+         |contam AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh USING (g)),
+         |decon AS (SELECT * FROM tr0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |mc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM decon GROUP BY lang),
+         |mtot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM mc),
+         |wr AS (SELECT lang, pow(n::DOUBLE / nt::DOUBLE, -0.5::DOUBLE) AS wraw
+         |  FROM mc CROSS JOIN mtot),
+         |wn AS (SELECT lang, round(wraw / mx * 1.0::DOUBLE, 9) AS mw
+         |  FROM wr CROSS JOIN (SELECT MAX(wraw) AS mx FROM wr) m),
+         |mixed AS (SELECT d.* FROM decon d JOIN wn ON wn.lang = d.lang
+         |  WHERE ('0x' || substring(md5('p233mix:0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |          % 1000000
+         |        < CAST(round(mw * 1000000) AS BIGINT)),
+         |sa AS (SELECT doc_id, lang, text,
+         |    CASE WHEN bucket < 800000 THEN 'train'
+         |         WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, lang, text,
+         |          ('0x' || substring(md5('p233f:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |            % 1000000 AS bucket
+         |        FROM mixed)),
+         |stoks AS (SELECT doc_id, split, $toksLowerSql AS t FROM sa),
+         |ssh AS (SELECT doc_id, split, list_distinct(
+         |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-3),
+         |              i -> array_to_string(list_slice(t, i, i+4), ' ')) END) AS sgs
+         |  FROM stoks),
+         |sex AS (SELECT doc_id, split, unnest(sgs) AS g FROM ssh),
+         |sbench AS (SELECT DISTINCT g FROM sex WHERE split = 'test'),
+         |leak AS (SELECT DISTINCT e.doc_id FROM sex e JOIN sbench b USING (g)
+         |  WHERE e.split != 'test'),
+         |fin AS (SELECT doc_id, lang, text, split FROM sa
+         |  WHERE split = 'test' OR doc_id NOT IN (SELECT doc_id FROM leak)),
+         |pt AS (SELECT doc_id, lang, split,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM fin),
+         |pc AS (SELECT doc_id, lang, split, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pt)
+         |SELECT doc_id, lang, split, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+         |  n_tokens > 512 AS oversize
+         |FROM pc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{Curation, Decontaminate, Mixture, Packing, Splits, Stager}
+      val docs = t(s, dir, "documents")
+      // stages 1-3: the curation funnel with its gate-default knobs
+      val curated = Curation.curate(docs, "doc_id", "text")
+      // stage 4: decontaminate vs the held-out benchmark slice. The bench
+      // docs themselves leave the training corpus (they are eval data),
+      // then any training doc sharing a 5-gram with the bench drops.
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val decon = Stager.LocalCheckpoint.stage(
+        Decontaminate.removeContaminated(
+          curated.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          bench, "text", shingleN = 5),
+        s"p233_decon_${java.util.UUID.randomUUID().toString.take(8)}")
+      // stage 5: temperature mixture, weights DERIVED from the
+      // decontaminated counts (bounded lang map; the p89 9-dp pow rule)
+      val counts = decon.groupBy(col("lang")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w =
+        if (counts.isEmpty) Map.empty[String, Double]
+        else Mixture.temperatureWeights(counts, tau = 2.0)
+          .map { case (k, v) =>
+            k -> BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      // maxWeight = 1.0 -> pure downsampling, so mix_rep is identically 0
+      // and doc_id stays unique for the split/pack stages
+      val mixed = Mixture.sampleMixture(decon, "lang", "doc_id", w,
+        salt = "p233mix", defaultWeight = 0.0).drop("mix_rep")
+      // stage 6: leak-safe split (train/val/test, test held out, 5-grams)
+      val splitDf = Splits.leakSafeSplit(mixed, "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "p233f", holdout = "test", shingleN = 5)
+      // stage 7: contiguous 512-token packing per (split, lang)
+      val packed = Packing.assignBins(
+        splitDf
+          .withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .withColumn("__grp", concat_ws(":", col("split"), col("lang"))),
+        "doc_id", "n_tokens", 512L, groupCol = Some("__grp"))
+      packed.select(col("doc_id"), col("lang"), col("split"),
+          col("n_tokens"), col("bin"), col("oversize"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

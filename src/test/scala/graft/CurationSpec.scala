@@ -115,6 +115,85 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("composed pipeline stage contracts: curate -> decontaminate -> mixture -> split -> pack") {
+    // The p233 gate pins end-to-end VALUES against the DuckDB oracle; this
+    // case pins the INTER-STAGE contracts — the column-set and row-subset
+    // invariants each stage hands the next — so a refactor that changes a
+    // stage's output shape fails here even if its own gate stays green.
+    import graft.operators.{Decontaminate, Mixture, Packing, Splits, Stager}
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val corpus = testdata("sf0.001", "documents")
+    val inCols = corpus.columns.toSeq
+
+    val curated = Curation.curate(corpus, "doc_id", "text")
+    assert(curated.columns.toSeq === inCols,
+      "curate must return the input row shape unchanged")
+    val curatedIds = curated.select("doc_id").as[Long].collect().toSet
+    val allIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(curatedIds.subsetOf(allIds) && curatedIds.nonEmpty)
+
+    val bench = corpus.filter(col("doc_id") % 20 === 0)
+    val decon = Stager.LocalCheckpoint.stage(
+      Decontaminate.removeContaminated(
+        curated.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        bench, "text", shingleN = 5),
+      "curation_spec_decon")
+    assert(decon.columns.toSeq === inCols,
+      "removeContaminated must pass the row shape through")
+    val deconIds = decon.select("doc_id").as[Long].collect().toSet
+    assert(deconIds.subsetOf(curatedIds))
+    assert(deconIds.forall(_ % 20 != 0), "bench docs must have left the corpus")
+    // the decontamination promise itself: zero 5-gram overlap remains
+    assert(Decontaminate.overlapReport(decon, "doc_id", "text",
+      bench, "text", shingleN = 5).isEmpty)
+
+    val counts = decon.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val w = Mixture.temperatureWeights(counts, tau = 2.0)
+    assert(w.values.max === 1.0 && w.values.forall(v => v > 0 && v <= 1.0),
+      "maxWeight=1 mixture must be pure downsampling")
+    val mixed = Mixture.sampleMixture(decon, "lang", "doc_id", w,
+      salt = "p233mix", defaultWeight = 0.0)
+    assert(mixed.columns.toSeq === inCols :+ "mix_rep",
+      "sampleMixture must append exactly mix_rep")
+    assert(mixed.filter(col("mix_rep") =!= 0).isEmpty,
+      "weights <= 1 must never emit a second copy")
+    val mixedIds = mixed.select("doc_id").as[Long].collect().toSet
+    assert(mixedIds.subsetOf(deconIds))
+
+    val splitDf = Splits.leakSafeSplit(mixed.drop("mix_rep"), "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt = "p233f", holdout = "test", shingleN = 5)
+    assert(splitDf.columns.toSet === inCols.toSet + "split",
+      "leakSafeSplit must append exactly split")
+    // the leak-safety promise: no surviving non-test doc shares a 5-gram
+    // with the test split
+    assert(Decontaminate.overlapReport(
+      splitDf.filter(col("split") =!= "test"), "doc_id", "text",
+      splitDf.filter(col("split") === "test"), "text", shingleN = 5).isEmpty)
+
+    val packed = Packing.assignBins(
+      splitDf
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .withColumn("__grp", concat_ws(":", col("split"), col("lang"))),
+      "doc_id", "n_tokens", 512L, groupCol = Some("__grp"))
+    assert(packed.columns.toSet ===
+      inCols.toSet ++ Set("split", "n_tokens", "__grp", "bin", "oversize"))
+    // bin math replays exactly: bin = floor(cumulative-before / 512) in
+    // doc_id order within each (split, lang) group
+    val rows = packed.select("__grp", "doc_id", "n_tokens", "bin")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.map(_._2).toSet.subsetOf(mixedIds))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_._2).foreach { case (_, _, n, bin) =>
+        assert(bin === cum / 512L); cum += n
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ngramNovelty: covered docs score 0, fresh docs 1, partial in between") {
     import spark.implicits._
     val ref = Seq(
