@@ -982,47 +982,40 @@ object Similarity {
     * QUANTIZED to 1e-10 fixed-point LONGS (round-half-away on both
     * engines) and summed as exact integers — order-independent, and ~8×
     * faster than a decimal-typed aggregation (measured: three
-    * DECIMAL(38,18) sums cost 15 s at sf0.1; the long path runs the
-    * whole operator in ~2 s). The quantization bias on each cov cell is
-    * ≤ 5e-11 — two decades under the 9-dp report grain. Overflow bound:
-    * a cell sums n products ≤ max|x·y|·1e10 each, so n·max|x·y| must
-    * stay under 9.2e8 (e.g. 9e8 unit-normalized vectors per cell); past
-    * that, salt the sum into buckets and combine bucket totals in
+    * DECIMAL(38,18) sums cost 15 s at sf0.1; the long path ran the
+    * whole operator in ~7.5 s). The quantization bias on each cov cell
+    * is ≤ 5e-11 — two decades under the 9-dp report grain. Overflow
+    * bound: a cell sums n products ≤ max|x·y|·1e10 each, so n·max|x·y|
+    * must stay under 9.2e8 (e.g. 9e8 unit-normalized vectors per cell);
+    * past that, salt the sum into buckets and combine bucket totals in
     * decimal (the Σc²-rides-BigInteger posture).
     *
-    * 100 TB shape: a PURE PROJECTION — each vector emits its own
-    * d(d+1)/2 (i, j, xi, xj) tuples from the array (nested
-    * transform/sequence, whole-stage codegen; NO self-join, no id
-    * shuffle), map-side-combined into d² cells — d is the bounded
-    * embedding width (the IVF-PQ m·nCodes bound), so the only shuffle
-    * is the d²-row combine. The diag join is |d| rows, broadcast.
-    * (The first draft joined the exploded stream with itself on the
-    * vector id — value-identical but 2 corpus scans + an n·d sort-merge
-    * join; measured 14.2 s vs this shape at sf0.1.) The d²-row cov
-    * frame is STAGED before the diagonal joins — unstaged, the corpus
-    * pipeline would execute three times (main + both diag broadcast
-    * sides). */
+    * 100 TB shape: ONE aggregation pass — each vector folds its
+    * d(d+1)/2 cells into the packed-triangle long-array accumulator
+    * ([[org.apache.spark.sql.graft.CovTriangleAgg]]); partials combine
+    * element-wise, so only |partitions| buffers (not n·d² tuples)
+    * shuffle, and the d²-row cell frame explodes from the single final
+    * buffer. d is the bounded embedding width (the IVF-PQ m·nCodes
+    * bound). Measured lineage of this shape at sf0.1 (2000 × d=64 =
+    * 4.16M cells): exploded-tuple self-join on vec_id 14.2 s →
+    * decimal-sum explode 15 s → long-sum explode + hash-agg 7.5 s
+    * (per-cell struct alloc + hash probe dominate) → this packed
+    * aggregate 0.63 s min-of-3. The diag join is |d| rows, broadcast. The d²-row
+    * cov frame is STAGED before the diagonal joins — unstaged, the
+    * corpus pipeline would execute three times (main + both diag
+    * broadcast sides). */
   def embeddingCovariance(df: DataFrame, idCol: String,
       vecCol: String, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     val q = 1e10
-    val v = col("__v")
-    val pairsCol = flatten(transform(
-      sequence(lit(0), size(v) - 1), i =>
-        transform(sequence(i, size(v) - 1), j =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"),
-            element_at(v, i + 1).cast("double").as("xa"),
-            element_at(v, j + 1).cast("double").as("xb")))))
     val sums = df
       .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
       .select(col(s"`$vecCol`").as("__v"))
-      .select(explode(pairsCol).as("__p"))
-      .select(col("__p.i").as("i"), col("__p.j").as("j"),
-        col("__p.xa").as("__xa"), col("__p.xb").as("__xb"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(round(col("__xa") * col("__xb") * q).cast("long")).as("__sxy"),
-        sum(round(col("__xa") * q).cast("long")).as("__sx"),
-        sum(round(col("__xb") * q).cast("long")).as("__sy"))
+      .agg(org.apache.spark.sql.graft.CovTriangleAgg.cells(col("__v")).as("__cells"))
+      .select(explode(col("__cells")).as("__c"))
+      .select(col("__c.i").as("i"), col("__c.j").as("j"),
+        col("__c.n_vecs").as("n_vecs"),
+        col("__c.sxy").as("__sxy"), col("__c.sx").as("__sx"),
+        col("__c.sy").as("__sy"))
     val cov = stager.stage(
       sums.select(col("i"), col("j"), col("n_vecs"),
         round(((col("__sxy").cast("double") / q -

@@ -433,6 +433,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(flat((1, 1))._4 === Some(1.0))
   }
 
+  test("embeddingCovariance: ragged vectors fill prefix cells; NULL elements count n but skip sums") {
+    // ragged: vec 2 has only dim 0, so cells (0,1)/(1,1) see n_vecs = 1
+    val ragged = Seq(
+      (1L, Array(1f, 2f)), (2L, Array(3f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingCovariance(ragged, "vec_id", "embedding")
+      .select("i", "j", "n_vecs", "cov")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((0, 0))._3 === 2L)
+    assert(got((0, 1))._3 === 1L, "short vector contributes only cells it has")
+    assert(got((1, 1))._3 === 1L)
+    assert(got((1, 1))._4 === 0.0, "single-vector cell: zero variance")
+    // NULL element: the cell still counts the vector (old count(lit(1))
+    // semantics) but every sum touching the NULL side skips its term —
+    // here dim 1 of vec 2 is NULL, so cell (1,1) sees n=2 with only
+    // vec 1's contribution: mean-of-sums math over n=2
+    val withNull = Seq(
+      (1L, Array[java.lang.Float](1f, 2f)),
+      (2L, Array[java.lang.Float](1f, null)))
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.embeddingCovariance(withNull, "vec_id", "embedding")
+      .select("i", "j", "n_vecs", "cov")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(nn((1, 1))._3 === 2L, "NULL element still counts toward n_vecs")
+    // only vec 1 contributes terms: sxy = 4e10, sx = sy = 2e10 over n=2
+    // -> cov = (4 - 2*2/2)/2 = 1.0 (the old null-skipping-sum semantics)
+    assert(nn((1, 1))._4 === 1.0)
+    assert(nn((0, 0)) === ((0, 0, 2L, 0.0)), "identical dim-0 values: zero variance")
+  }
+
   test("recallAtK: exact hit counting, zero-row approx queries, self-recall 1.0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
