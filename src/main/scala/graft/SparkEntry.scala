@@ -9388,5 +9388,69 @@ object SparkEntry {
           col("n_tokens"), col("bin"), col("oversize"))
         .orderBy(col("doc_id"))
     }
+
+    // --- greedy longest-match-first WordPiece (the BERT production
+    //     tokenizer) over a corpus-trained positional piece vocabulary.
+    //     Greedy's match at a position is a pure function of (word, pos),
+    //     so the oracle precomputes the per-position longest-match STEP
+    //     table and replays each distinct word's segmentation as a
+    //     recursive-CTE walk (the p63/p78/p79 replay precedent); a word
+    //     stranded mid-walk (or > 100 chars) collapses to [UNK].
+    register("p234_wordpiece",
+      s"""WITH RECURSIVE w AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+         |    toks[CAST(i AS INT)] AS t
+         |  FROM (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |       unnest(range(1, len(toks) + 1)) AS a(i)),
+         |vw AS (SELECT unnest($toksLowerSql) AS t FROM documents),
+         |vp AS (SELECT (CASE WHEN i = 1 THEN '' ELSE '##' END)
+         |    || substr(t, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |  FROM vw,
+         |    unnest(range(1, length(t) + 1)) AS a(i),
+         |    unnest(range(1, least(4, length(t) - i + 1) + 1)) AS b(l)),
+         |vocab AS (SELECT piece FROM (
+         |  SELECT piece, COUNT(*) AS n FROM vp GROUP BY piece
+         |  ORDER BY n DESC, piece LIMIT 300)),
+         |ml AS (SELECT MAX(length(piece)) AS m FROM vocab),
+         |wd AS (SELECT DISTINCT t FROM w),
+         |pos AS (SELECT t, CAST(i AS INT) AS p
+         |  FROM wd, unnest(range(1, length(t) + 1)) AS a(i)),
+         |step AS (SELECT t, p, MAX(l) AS l FROM (
+         |    SELECT pos.t, pos.p, CAST(c.l AS INT) AS l,
+         |      CASE WHEN pos.p = 1 THEN substr(pos.t, pos.p, CAST(c.l AS INT))
+         |           ELSE '##' || substr(pos.t, pos.p, CAST(c.l AS INT)) END AS cand
+         |    FROM pos, ml,
+         |      unnest(range(1, least(ml.m, length(pos.t) - pos.p + 1) + 1)) AS c(l))
+         |  JOIN vocab v ON v.piece = cand
+         |  GROUP BY 1, 2),
+         |walk(t, p, n, acc) AS (
+         |  SELECT t, 1, 0, '' FROM wd WHERE length(t) <= 100
+         |  UNION ALL
+         |  SELECT walk.t, walk.p + s.l, walk.n + 1,
+         |    (CASE WHEN walk.acc = '' THEN '' ELSE walk.acc || ' ' END)
+         |      || (CASE WHEN walk.p = 1 THEN substr(walk.t, walk.p, s.l)
+         |               ELSE '##' || substr(walk.t, walk.p, s.l) END)
+         |  FROM walk JOIN step s ON s.t = walk.t AND s.p = walk.p),
+         |done AS (SELECT t, n, acc FROM walk WHERE p = length(t) + 1),
+         |wres AS (SELECT wd.t, COALESCE(d.acc, '[UNK]') AS ws,
+         |    COALESCE(d.n, 1) AS np,
+         |    CASE WHEN d.t IS NULL THEN 1 ELSE 0 END AS nu
+         |  FROM wd LEFT JOIN done d USING (t)),
+         |agg AS (SELECT w.doc_id,
+         |    string_agg(r.ws, ' ' ORDER BY w.wpos) AS pieces_str,
+         |    CAST(SUM(r.np) AS INT) AS n_pieces,
+         |    CAST(SUM(r.nu) AS INT) AS n_unk
+         |  FROM w JOIN wres r ON r.t = w.t GROUP BY w.doc_id)
+         |SELECT d.doc_id, COALESCE(a.pieces_str, '') AS pieces_str,
+         |  COALESCE(a.n_pieces, 0) AS n_pieces, COALESCE(a.n_unk, 0) AS n_unk
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Vocab.wordpiecePieces(docs, "text",
+        maxPieceLen = 4, topV = 300)
+      graft.operators.Vocab.wordpieceEncode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), concat_ws(" ", col("pieces")).as("pieces_str"),
+          col("n_pieces"), col("n_unk"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

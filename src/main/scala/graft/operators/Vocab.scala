@@ -365,6 +365,114 @@ object Vocab {
     }(enc)
   }
 
+  /** Positional piece vocabulary for the WORDPIECE tokenizer (the BERT
+    * production tokenizer, Wu et al. 2016): count every within-word
+    * character n-gram (1..maxPieceLen chars) SPLIT BY POSITION — a piece
+    * starting at a word's first character keeps its surface form, a
+    * mid-word piece carries the `##` continuation prefix — and keep the
+    * top-V by (count desc, piece). Unlike [[unigramPieces]]' positionless
+    * table, the position split is what lets the greedy encoder know
+    * whether a match may START a word; and unlike that builder, single
+    * characters are NOT force-included — a word that greedy-strands
+    * becomes `[UNK]`, the real WordPiece behavior. Output: (piece, n).
+    *
+    * 100 TB shape: one token stream scan fanned out ×(len·maxPieceLen)
+    * substring rows (bounded constant per token), one map-side-combinable
+    * count, a vocabulary-sized TakeOrderedAndProject cut. */
+  def wordpiecePieces(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topV: Int = 300): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    graft.functions.TextFunctions.termStream(docs, Nil, textCol)
+      .select(col("__term"), explode(sequence(lit(1), length(col("__term")))).as("__i"))
+      .select(col("__term"), col("__i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("__term")) - col("__i") + 1))).as("__l"))
+      .select(concat(
+        when(col("__i") === 1, lit("")).otherwise(lit("##")),
+        expr("substring(__term, __i, __l)")).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(topV)
+  }
+
+  /** Greedy longest-match-first WordPiece encoding (the BERT tokenizer's
+    * word loop): per word, repeatedly take the LONGEST vocabulary piece
+    * matching at the current position — surface form at position 0,
+    * `##`-prefixed beyond it — and emit `[UNK]` for the WHOLE word when
+    * no piece matches at some reached position or the word exceeds
+    * `maxWordLen` characters. Greedy is deterministic by construction
+    * (the match set at a position is a pure function of (word, pos)), so
+    * both engines walk identical segmentations. `pieces` is any (piece)
+    * table using the `##` convention — [[wordpiecePieces]] output or an
+    * externally trained vocab. Output: (idCol, pieces array<string>,
+    * n_pieces int, n_unk int — words that collapsed to `[UNK]`). NULL
+    * text encodes as zero words.
+    *
+    * 100 TB shape: the piece table is vocabulary-sized and broadcasts
+    * as a length-bucketed hash set; the encode is one narrow
+    * mapPartitions pass, no shuffle (the [[unigramEncode]] posture). */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame, unkToken: String = "[UNK]",
+      maxWordLen: Int = 100): DataFrame = {
+    import org.apache.spark.sql.Row
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
+    val spark = docs.sparkSession
+    val table: Set[String] = pieces.select(col("piece"))
+      .collect() // bounded: the piece vocabulary
+      .map(_.getString(0)).toSet
+    require(table.nonEmpty, "piece table is empty")
+    // longest CONSUMED chars over both forms bounds the backward scan
+    val maxLen = table.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    val bc = spark.sparkContext.broadcast(table)
+    def encodeWord(w: String, t: Set[String]): Option[Seq[String]] = {
+      if (w.length > maxWordLen) return None
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var p = 0
+      while (p < w.length) {
+        var l = math.min(maxLen, w.length - p)
+        var hit: String = null
+        while (l >= 1 && hit == null) {
+          val cand =
+            if (p == 0) w.substring(0, l) else "##" + w.substring(p, p + l)
+          if (t.contains(cand)) hit = cand else l -= 1
+        }
+        if (hit == null) return None
+        out += hit
+        p += l
+      }
+      Some(out.toSeq)
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      docs.schema(idCol),
+      org.apache.spark.sql.types.StructField("pieces",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_unk",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(s"`$idCol`"), col(s"`$textCol`")).mapPartitions { it =>
+      val t = bc.value
+      it.map { row =>
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        // Locale.ROOT lower: the termStream contract that built the table
+        val words = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        var unk = 0
+        val subs = words.flatMap { w =>
+          encodeWord(w, t) match {
+            case Some(ps) => ps
+            case None => unk += 1; Seq(unkToken)
+          }
+        }.toSeq
+        Row(row.get(0), subs, subs.size, unk)
+      }
+    }(enc)
+  }
+
   /** Tokenizer fertility & OOV audit per group — the health report run
     * before committing a tokenizer to a corpus mix: fertility
     * (subword-per-word ratio; a tokenizer mismatched to a language

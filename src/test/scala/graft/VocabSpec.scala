@@ -171,6 +171,70 @@ class VocabSpec extends SparkSpecBase {
     }
   }
 
+  test("wordpieceEncode: greedy longest-match, ## continuations, whole-word UNK") {
+    val pieces = Seq("un", "##aff", "##able", "##ffa", "##b", "##le", "a",
+      "##x", "over", "##long").toDF("piece")
+    val docs = Seq((1L, "unaffable"), (2L, "unqx"), (3L, "ax ax"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Vocab.wordpieceEncode(docs, "id", "text", pieces)
+      .select("id", "pieces", "n_pieces", "n_unk")
+      .as[(Long, Seq[String], Int, Int)].collect().map(r => r._1 -> r).toMap
+    // greedy takes ##aff (3 chars) over ##a: un|##aff|##able — and it
+    // beats the also-valid un|##a|##ffa|##b|##le because greedy is
+    // longest-match-FIRST, not fewest-pieces... here it happens to also
+    // be shortest; the point pinned is the per-position max-length choice
+    assert(out(1L)._2 === Seq("un", "##aff", "##able"))
+    assert(out(1L)._3 === 3 && out(1L)._4 === 0)
+    // 'q' has no continuation piece -> the WHOLE word is [UNK]
+    assert(out(2L)._2 === Seq("[UNK]") && out(2L)._4 === 1)
+    assert(out(3L)._2 === Seq("a", "##x", "a", "##x"))
+    assert(out(4L)._2 === Seq.empty && out(4L)._3 === 0 && out(4L)._4 === 0)
+    // a 9-char word over maxWordLen = 8 collapses to [UNK] even though
+    // its pieces exist
+    val capped = Vocab.wordpieceEncode(
+        Seq((9L, "unaffable")).toDF("id", "text"), "id", "text", pieces,
+        maxWordLen = 8)
+      .select("pieces", "n_unk").as[(Seq[String], Int)].collect().head
+    assert(capped === ((Seq("[UNK]"), 1)))
+  }
+
+  test("wordpieceEncode equals a driver-side greedy on real docs; maxWordLen caps") {
+    val docs = testdata("sf0.001", "documents").limit(120)
+    val pieceDf = Vocab.wordpiecePieces(docs, "text", maxPieceLen = 4, topV = 300)
+    val table = pieceDf.select("piece").as[String].collect().toSet
+    val maxLen = table.map(_.length).max
+    def ref(w: String): Option[Seq[String]] = {
+      if (w.length > 100) return None
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var p = 0
+      while (p < w.length) {
+        val l = (math.min(maxLen, w.length - p) to 1 by -1).find { l =>
+          table.contains(
+            if (p == 0) w.substring(0, l) else "##" + w.substring(p, p + l))
+        }.getOrElse(return None)
+        out += (if (p == 0) w.substring(0, l) else "##" + w.substring(p, p + l))
+        p += l
+      }
+      Some(out.toSeq)
+    }
+    val got = Vocab.wordpieceEncode(docs, "doc_id", "text", pieceDf)
+      .select("doc_id", "pieces", "n_unk")
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val words = Option(text).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      val refOut = words.map(w => ref(w))
+      val refPieces = refOut.flatMap(_.getOrElse(Seq("[UNK]"))).toSeq
+      assert(got(id)._1 === refPieces, s"doc $id")
+      assert(got(id)._2 === refOut.count(_.isEmpty), s"doc $id n_unk")
+      // non-UNK words concatenate back (## stripped)
+      words.zip(refOut).collect { case (w, Some(ps)) =>
+        assert(ps.map(_.stripPrefix("##")).mkString === w)
+      }
+    }
+  }
+
   test("fertilityAudit: hand-counted fertility and OOV; wordless groups keep NULL ratios") {
     import spark.implicits._
     val docs = Seq(
