@@ -420,6 +420,41 @@ object ScaleProbe {
     val (gmRb, tgmRb) = time(gtmRun(r))
     println(f"giant_group_trimmed_mean 1x: $tgm1b%.1fs n=$gm1b | ${r}x: $tgmRb%.1fs n=$gmRb" +
       f" (ratio ${tgmRb / tgm1b}%.2fx time, ${gmRb.toDouble / gm1b}%.2fx n)")
+
+    // ---- giant HUB linkPrediction (round-14 verdict #5): wedge fan-out
+    // is QUADRATIC in hub degree, and the maxCenterDegree cap is the knob
+    // a 100 TB call relies on — this leg measures both sides. Graph per
+    // replica stripe: 500 spokes on ONE shared hub (node 0, so hub degree
+    // grows Rx -> hub wedges R^2: C(500R, 2) candidate pairs) plus a
+    // disjoint 20k-node chain (the linear background). UNCAPPED, time and
+    // rows must blow up ~R^2 BY CONSTRUCTION (that run documents the
+    // hazard); capped at 64 the hub stops being a wedge center at BOTH
+    // scales, so rows are exactly Rx the chain candidates and time must
+    // stay near-linear.
+    def hubEdges(reps: Int): DataFrame = (0 until reps).map { i =>
+      val base = 1000000L * (i + 1)
+      val spokes = spark.range(0, 500)
+        .select((col("id") + base).as("a"), lit(0L).as("b"))
+      val chain = spark.range(0, 20000)
+        .select((col("id") + base + 1000L).as("a"),
+          (col("id") + base + 1001L).as("b"))
+      spokes.unionByName(chain)
+    }.reduce(_ unionByName _)
+    def hubRun(reps: Int, cap: Option[Long]): Long =
+      graft.operators.Graphs.linkPrediction(hubEdges(reps), "a", "b",
+        maxCenterDegree = cap).count()
+    time(hubRun(1, Some(64L)))
+    val (hc1, thc1) = time(hubRun(1, Some(64L)))
+    val (hcR, thcR) = time(hubRun(r, Some(64L)))
+    println(f"giant_hub_linkpred_capped(64) 1x: $thc1%.1fs $hc1 pairs |" +
+      f" ${r}x: $thcR%.1fs $hcR pairs" +
+      f" (ratio ${thcR / thc1}%.2fx time, ${hcR.toDouble / hc1}%.2fx rows)")
+    val (hu1, thu1) = time(hubRun(1, None))
+    val (huR, thuR) = time(hubRun(r, None))
+    println(f"giant_hub_linkpred_uncapped 1x: $thu1%.1fs $hu1 pairs |" +
+      f" ${r}x: $thuR%.1fs $huR pairs" +
+      f" (ratio ${thuR / thu1}%.2fx time, ${huR.toDouble / hu1}%.2fx rows — " +
+      "the R^2 wedge blow-up the cap exists to stop)")
     spark.stop()
   }
 }

@@ -421,10 +421,9 @@ object Vocab {
     val table: Set[String] = pieces.select(col("piece"))
       .collect() // bounded: the piece vocabulary
       .map(_.getString(0)).toSet
-    require(table.nonEmpty, "piece table is empty")
-    // longest CONSUMED chars over both forms bounds the backward scan
-    val maxLen = table.iterator
-      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    // an EMPTY vocabulary is a valid degenerate (empty training corpus):
+    // greedy strands at position 0 of every word, so everything is [UNK]
+    val maxLen = if (table.isEmpty) 0 else table.iterator.map(_.length).max
     val bc = spark.sparkContext.broadcast(table)
     def encodeWord(w: String, t: Set[String]): Option[Seq[String]] = {
       if (w.length > maxWordLen) return None

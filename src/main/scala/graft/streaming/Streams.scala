@@ -107,6 +107,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 
+  /** Streaming corpus-mixture sampling — the recipe step at ingest. The
+    * batch operator's keep decision is a PURE function of (salt, rep,
+    * key) with driver-held weights ([[graft.operators.Mixture
+    * .sampleMixture]]'s codegen'd CASE + md5 filter): no state, no
+    * watermark, no shuffle, so the identical operator applies to an
+    * unbounded stream unchanged and a stream's output row set equals the
+    * batch run over the same rows REGARDLESS of micro-batch boundaries
+    * (StreamsSpec pins that identity across a mid-stream split). This
+    * twin exists so callers reach the streaming contract by name;
+    * epoch-repeat weights (> 1) fan out via the same stateless explode.
+    *
+    * 100 TB shape: identical to batch — one narrow codegen'd pass. */
+  def sampleMixtureStream(
+      docs: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      salt: String = "",
+      defaultWeight: Double = 1.0,
+      repCol: String = "mix_rep"): DataFrame =
+    graft.operators.Mixture.sampleMixture(
+      docs, sourceCol, keyCol, weights, salt, defaultWeight, repCol)
+
   // ------------------------------------------------------------ custom state
 
   case class KeyCount(key: String, total: Long)

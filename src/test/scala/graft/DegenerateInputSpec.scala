@@ -227,4 +227,30 @@ class DegenerateInputSpec extends SparkSpecBase {
       Seq.empty[Long].toDF("id"), "id", "s").head()
     assert(ks.isNullAt(ks.fieldIndex("ks_stat")))
   }
+
+  test("ByGroup family drops NULL-group rows (the r14 robustStats migration contract)") {
+    import spark.implicits._
+    // Before r14, Profile.robustStats passed NULL-group rows through; the
+    // keyed-PrefixSum migration silently changed that to the ByGroup
+    // family contract (NULL groups drop). This case makes the behavior a
+    // TESTED contract rather than an accident: the NULL-group rows must
+    // vanish, and the non-NULL group's stats must be computed as if the
+    // NULL rows never existed.
+    val df = Seq(
+      (Option("g"), 1L, 1L), (Option("g"), 2L, 2L), (Option("g"), 3L, 3L),
+      (Option.empty[String], 100L, 4L), (Option.empty[String], 200L, 5L))
+      .toDF("g", "v", "id")
+    val rs = graft.operators.Profile.robustStats(df, "g", "v").collect()
+    assert(rs.length === 1, "NULL-group rows emit no output row")
+    assert(rs.head.getString(0) === "g")
+    assert(rs.head.getAs[Long]("n") === 3L, "NULL rows don't pollute the kept group")
+    assert(graft.operators.Profile.robustStats(
+      df.filter($"g".isNull), "g", "v").count() === 0L,
+      "an all-NULL-group frame yields an empty report")
+    // the same contract on the operators that share the keyed machinery
+    assert(graft.operators.Profile.trimmedMeanByGroup(df, "g", "v", "id", 100000L)
+      .collect().map(_.getString(0)).toSeq === Seq("g"))
+    assert(graft.operators.Profile.iqrOutlierStatsByGroup(df, "g", "v")
+      .collect().map(_.getString(0)).toSeq === Seq("g"))
+  }
 }

@@ -214,6 +214,42 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sampleMixtureStream equals the batch mixture regardless of micro-batch splits") {
+    val events = testdata("sf0.001", "events")
+      .select($"event_id".cast("long").as("event_id"), $"event_type")
+      .filter($"event_id".isNotNull && $"event_type".isNotNull)
+    val w = Map("view" -> 0.35, "click" -> 1.0, "purchase" -> 2.5)
+    val rows = events.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val out = Streams.sampleMixtureStream(
+      input.toDS().toDF("event_id", "event_type"),
+      "event_type", "event_id", w, salt = "mixtw", defaultWeight = 0.0)
+    val q = out.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      // three arbitrary micro-batches: the decision must not see the split
+      input.addData(rows.take(rows.length / 3): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(rows.length / 3, 2 * rows.length / 3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2 * rows.length / 3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream")
+        .select($"event_id", $"event_type", $"mix_rep")
+        .as[(Long, String, Int)].collect().toSet
+      val batch = graft.operators.Mixture.sampleMixture(
+          events, "event_type", "event_id", w,
+          salt = "mixtw", defaultWeight = 0.0)
+        .select($"event_id", $"event_type", $"mix_rep")
+        .as[(Long, String, Int)].collect().toSet
+      assert(streamed === batch)
+      // the epoch-repeat path is exercised: weight 2.5 emits reps {0, 1}
+      // for every purchase plus a ~50% third copy
+      assert(batch.exists(_._3 >= 1), "repeat fan-out must appear in the mix")
+      assert(batch.nonEmpty && batch.size < rows.length * 3)
+    } finally q.stop()
+  }
+
   test("dupRunFlagStream equals batch duplicatedRunExtents restricted across the split") {
     val docs = testdata("sf0.001", "documents")
     val idxDf = docs.filter($"doc_id" % 5 =!= 0)
