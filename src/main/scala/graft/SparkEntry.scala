@@ -9452,5 +9452,90 @@ object SparkEntry {
           col("n_pieces"), col("n_unk"))
         .orderBy(col("doc_id"))
     }
+
+    // --- Benford first-digit audit of n_chars per source (provenance
+    //     smell test: synthesized/truncated numeric columns break
+    //     log10(1+1/d)). The 9 expected probabilities are 9-dp DRIVER
+    //     literals embedded in both engines (the RBO-weights rule); the
+    //     digit comes from the long's decimal STRING, never floor(log10).
+    val bp = graft.operators.Profile.benfordProbs
+      .map(v => BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString)
+    register("p235_benford",
+      s"""WITH b AS (SELECT source AS g,
+         |    CAST(substr(CAST(abs(CAST(n_chars AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS d,
+         |    CAST(n_chars AS BIGINT) AS v
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars != 0),
+         |c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         |${(1 to 9).map(d => s"    CAST(SUM(CASE WHEN d = $d THEN 1 ELSE 0 END) AS BIGINT) AS d$d").mkString(",\n")}
+         |  FROM b GROUP BY g)
+         |SELECT g AS source, n,
+         |${(1 to 9).map(d => s"  d$d").mkString(",\n")},
+         |  CAST(${(1 to 9).map(d =>
+               s"CAST((d$d::DOUBLE - n::DOUBLE * ${bp(d - 1)}) * (d$d::DOUBLE - n::DOUBLE * ${bp(d - 1)}) / (n::DOUBLE * ${bp(d - 1)}) AS DECIMAL(25,9))")
+             .mkString("\n    + ")} AS DOUBLE) AS chi2,
+         |  CAST(${(1 to 9).map(d =>
+               s"CAST(abs(d$d::DOUBLE / n::DOUBLE - ${bp(d - 1)}) AS DECIMAL(25,9))")
+             .mkString("\n    + ")} AS DOUBLE) / 9.0 AS mad
+         |FROM c ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Profile.benfordByGroup(
+          t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))
+    }
+
+    // --- sentence BLEU over (odd doc, preceding even doc) text pairs —
+    //     clipped n-gram precisions, brevity penalty, unsmoothed geo
+    //     mean. Pure projection on both engines: grams/clipping are
+    //     per-row list expressions, ln/exp ride the 9-dp decimal rule,
+    //     and the ln sum is a FIXED left-associated IEEE tree.
+    {
+      val lnN = (n: Int) =>
+        s"CAST(ROUND(CAST(ln(p$n) AS DECIMAL(25,12)), 9) AS DOUBLE)"
+      def gramsSql(src: String, n: Int) =
+        s"""CASE WHEN len($src) >= $n THEN list_transform(range(1, len($src) - $n + 2),
+           |      i -> array_to_string(list_slice($src, i, i + $n - 1), ' '))
+           |    ELSE []::VARCHAR[] END""".stripMargin
+      register("p236_bleu",
+        s"""WITH cand AS (SELECT doc_id, $toksLowerSql AS ct FROM documents
+           |  WHERE doc_id % 2 = 1),
+           |refs AS (SELECT doc_id + 1 AS doc_id, $toksLowerSql AS rt FROM documents),
+           |pr AS (SELECT doc_id, ct, rt FROM cand JOIN refs USING (doc_id)),
+           |g AS (SELECT doc_id, ct, rt,
+           |${(1 to 4).map(n => s"  ${gramsSql("ct", n)} AS cg$n,\n  ${gramsSql("rt", n)} AS rg$n").mkString(",\n")}
+           |  FROM pr),
+           |c AS (SELECT doc_id, len(ct) AS cl, len(rt) AS rl,
+           |${(1 to 4).map(n =>
+               s"""  COALESCE(list_sum(list_transform(list_distinct(cg$n),
+                  |    x -> least(len(list_filter(cg$n, y -> y = x)),
+                  |               len(list_filter(rg$n, y -> y = x))))), 0) AS clip$n,
+                  |  len(cg$n) AS tot$n""".stripMargin).mkString(",\n")}
+           |  FROM g),
+           |p AS (SELECT doc_id, cl, rl,
+           |${(1 to 4).map(n =>
+               s"  CASE WHEN tot$n > 0 THEN clip$n::DOUBLE / tot$n::DOUBLE END AS p$n").mkString(",\n")},
+           |  CASE WHEN cl = 0 THEN NULL WHEN cl >= rl THEN 1.0
+           |       ELSE CAST(ROUND(CAST(exp(1.0 - rl::DOUBLE / cl::DOUBLE)
+           |         AS DECIMAL(25,12)), 9) AS DOUBLE) END AS bp
+           |  FROM c)
+           |SELECT doc_id, CAST(cl AS INT) AS cand_len, CAST(rl AS INT) AS ref_len,
+           |  p1, p2, p3, p4, bp,
+           |  CASE WHEN cl = 0 THEN NULL
+           |       WHEN ${(1 to 4).map(n => s"p$n IS NULL OR p$n = 0").mkString(" OR ")} THEN 0.0
+           |       ELSE CAST(ROUND(CAST(bp * CAST(ROUND(CAST(
+           |         exp((${(1 to 4).map(lnN).mkString(" + ")}) / 4.0)
+           |         AS DECIMAL(25,12)), 9) AS DOUBLE) AS DECIMAL(25,12)), 9) AS DOUBLE)
+           |  END AS bleu
+           |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val cand = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text").as("cand"))
+        val refs = d.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("ref"))
+        graft.operators.Eval.bleuPairs(
+            cand.join(refs, Seq("doc_id")), "doc_id", "cand", "ref")
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 }

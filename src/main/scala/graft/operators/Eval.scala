@@ -1306,4 +1306,88 @@ object Eval {
         (col("tpr") - col("__rtpr")).as("tpr_gap"),
         (col("fpr") - col("__rfpr")).as("fpr_gap"))
   }
+
+  /** Sentence-level BLEU per (candidate, reference) text pair (Papineni
+    * et al. 2002): modified n-gram precisions p_n for n = 1..maxN
+    * (candidate gram counts CLIPPED by the reference's — the rule that
+    * stops "the the the" scoring 1.0), brevity penalty
+    * BP = min(1, e^(1 - ref_len/cand_len)), and
+    * BLEU = BP * exp(mean ln p_n) — the pairwise text-overlap metric for
+    * paraphrase mining, translation QA, and near-dup adjudication where
+    * Jaccard's set view ignores repetition. Unsmoothed: any zero p_n
+    * zeroes BLEU (the original contract; smoothing conventions vary by
+    * toolkit and would un-pin the oracle). Tokens are the repo
+    * lowercase-whitespace contract. Output per row: (idCol, cand_len,
+    * ref_len ints, p1..p{maxN} doubles — NULL where the candidate has no
+    * n-gram of that order, bp double — NULL on an empty candidate, bleu
+    * double at 9 dp — 0.0 when any order's precision is 0 or undefined,
+    * NULL on an empty candidate). NULL texts read as empty.
+    *
+    * Exactness: each p_n is ONE division of exact integer counts; the
+    * ln/exp steps ride the shared 9-dp decimal-rounding contract (ln9 of
+    * each p_n, a FIXED left-associated IEEE sum, one exp quantized to
+    * 9 dp; BP's exponent is one IEEE tree of exact integer casts), so
+    * both engines multiply identical doubles.
+    *
+    * 100 TB shape: a PURE PROJECTION — grams, clipping, and the score
+    * are per-row higher-order-function expressions inside whole-stage
+    * codegen (the clipping loop is O(distinct-grams * len) per row, a
+    * per-document constant); NO shuffle, NO join, no gram explode. */
+  def bleuPairs(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
+    def toks(c: String): Column =
+      filter(split(lower(coalesce(col(s"`$c`"), lit(""))), "\\s+"),
+        t => t =!= "")
+    def grams(c: Column, n: Int): Column =
+      when(size(c) >= n,
+        transform(sequence(lit(0), size(c) - n),
+          i => concat_ws(" ", slice(c, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def ln9(c: Column): Column =
+      round(log(c).cast(DecimalType(25, 12)), 9).cast("double")
+    def exp9(c: Column): Column =
+      round(exp(c).cast(DecimalType(25, 12)), 9).cast("double")
+    val base = df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`"), toks(candCol).as("__ct"), toks(refCol).as("__rt"))
+    val withGrams = (1 to maxN).foldLeft(base) { (acc, n) =>
+      acc.withColumn(s"__cg$n", grams(col("__ct"), n))
+        .withColumn(s"__rg$n", grams(col("__rt"), n))
+    }
+    val withP = (1 to maxN).foldLeft(withGrams) { (acc, n) =>
+      val cg = col(s"__cg$n")
+      val rg = col(s"__rg$n")
+      val clipped = aggregate(array_distinct(cg), lit(0),
+        (a, g) => a + least(size(filter(cg, x => x === g)),
+          size(filter(rg, x => x === g))))
+      acc.withColumn(s"__clip$n", clipped)
+        .withColumn(s"p$n",
+          when(size(cg) > 0, col(s"__clip$n").cast("double") /
+            size(cg).cast("double")))
+    }
+    val candLen = size(col("__ct"))
+    val refLen = size(col("__rt"))
+    val bp = when(candLen === 0, lit(null).cast("double"))
+      .when(candLen >= refLen, lit(1.0))
+      .otherwise(exp9(lit(1.0) -
+        refLen.cast("double") / candLen.cast("double")))
+    val anyZero = (1 to maxN)
+      .map(n => col(s"p$n").isNull || col(s"p$n") === 0.0)
+      .reduce(_ || _)
+    // fixed left-associated IEEE sum of the 9-dp lns - identical in both
+    // engines because every operand is already quantized
+    val lnMean = (1 to maxN).map(n => ln9(col(s"p$n")))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    val bleu = when(candLen === 0, lit(null).cast("double"))
+      .when(anyZero, lit(0.0))
+      .otherwise(round((col("__bp") * exp9(lnMean))
+        .cast(DecimalType(25, 12)), 9).cast("double"))
+    withP.withColumn("__bp", bp)
+      .select((col(s"`$idCol`") +:
+        candLen.cast("int").as("cand_len") +:
+        refLen.cast("int").as("ref_len") +:
+        (1 to maxN).map(n => col(s"p$n")) :+
+        col("__bp").as("bp") :+
+        bleu.as("bleu")): _*)
+  }
 }

@@ -237,6 +237,70 @@ object Profile {
           .as("zipf_intercept"))
   }
 
+  /** Benford first-digit audit per group (Benford 1938; Nigrini's
+    * fraud-audit staple): the leading-digit distribution of a naturally
+    * occurring positive quantity follows P(d) = log10(1 + 1/d); a source
+    * whose counts/sizes/durations DON'T is synthesized, truncated, or
+    * template-generated — a data-provenance smell the location/scale
+    * drift panel can't see (two corpora can share mean and variance
+    * while one has hand-picked round numbers). Per group over an
+    * INTEGER-valued column: the 9 leading-digit counts, χ² against the
+    * Benford expectation, and the mean absolute deviation of observed
+    * digit frequencies (Nigrini's MAD, his conformity thresholds are on
+    * this scale). Output: (groupCol, n long, d1..d9 longs, chi2, mad
+    * double — both NULL on an empty group, which emits no row anyway).
+    * NULL group/value rows and ZERO values drop (zero has no leading
+    * digit); negatives audit by |v|.
+    *
+    * Exactness: the leading digit comes from the LONG's decimal string
+    * (never floor(log10) — IEEE log10 of exact powers of ten sits 1 ulp
+    * under the integer and misclassifies 1000 as leading-digit 9);
+    * P(d) enters both engines as the SAME 9-dp driver literals (the RBO
+    * weights rule); each χ²/MAD term is a fixed IEEE tree over exact
+    * counts and those literals, quantized to DECIMAL(25,9) and summed
+    * order-independently.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation over (group) —
+    * the digit is a codegen'd string slice, the 9 conditional sums ride
+    * the same shuffle, and everything after runs on |groups| rows. */
+  def benfordByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`").cast("long")
+    // 9-dp quantized Benford probabilities, shared verbatim with oracles
+    val p = Profile.benfordProbs
+    val digit = substring(abs(v).cast("string"), 1, 1).cast("int")
+    val base = df.filter(g.isNotNull && v.isNotNull && v =!= 0L)
+      .select(g.as("__g"), digit.as("__d"))
+    val counts = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        (1 to 9).map(d =>
+          sum(when(col("__d") === d, 1L).otherwise(0L)).as(s"d$d")): _*)
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    val nD = col("n").cast("double")
+    val chiTerms = (1 to 9).map { d =>
+      val e = nD * lit(p(d - 1))
+      ((col(s"d$d").cast("double") - e) * (col(s"d$d").cast("double") - e) / e)
+        .cast(dec)
+    }.reduce(_ + _)
+    val madTerms = (1 to 9).map { d =>
+      abs(col(s"d$d").cast("double") / nD - lit(p(d - 1))).cast(dec)
+    }.reduce(_ + _)
+    counts.select(
+      (col("__g").as(groupCol) +: col("n") +:
+        (1 to 9).map(d => col(s"d$d")) :+
+        chiTerms.cast("double").as("chi2") :+
+        (madTerms.cast("double") / lit(9.0)).as("mad")): _*)
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, quantized to 9 dp on the driver —
+    * embedded as identical literals in the plan AND the DuckDB oracle
+    * (the cross-engine transcendental rule: never let two libms race). */
+  private[graft] val benfordProbs: IndexedSeq[Double] = (1 to 9).map { d =>
+    BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Per-group score calibration: make scores COMPARABLE across
     * heterogeneous sources before mixing them in one pipeline (an
     * absolute quality cut keeps whole easy sources and drops whole hard

@@ -763,4 +763,43 @@ class EvalSpec extends SparkSpecBase {
     assert(noref.length === 3)
     assert(noref.forall(r => r._2.isEmpty && r._3.isEmpty && r._4.isEmpty && r._5.isEmpty))
   }
+
+  test("bleuPairs: clipping stops repetition, BP penalizes short candidates, zero p_n zeroes") {
+    import graft.operators.Eval
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"), // identical
+      (2L, "the the the the", "the cat"),   // clipped unigrams: min(4, 1)=1
+      (3L, "the cat", "the cat sat on the mat"), // short candidate: BP < 1
+      (4L, "completely different words here", "the cat sat on the mat"),
+      (5L, "", "the cat"))
+      .toDF("id", "cand", "ref")
+    val out = Eval.bleuPairs(df, "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // identical pair: all precisions 1, bp 1, bleu exactly 1
+    assert(out(1L).getAs[Double]("p1") === 1.0)
+    assert(out(1L).getAs[Double]("p4") === 1.0)
+    assert(out(1L).getAs[Double]("bp") === 1.0)
+    assert(out(1L).getAs[Double]("bleu") === 1.0)
+    // "the the the the" vs "the cat": p1 = min(4 occurrences, 1 in ref)/4
+    assert(out(2L).getAs[Double]("p1") === 0.25)
+    // "the the" bigram never appears in ref -> p2 = 0 -> bleu 0
+    assert(out(2L).getAs[Double]("p2") === 0.0)
+    assert(out(2L).getAs[Double]("bleu") === 0.0)
+    // short candidate: cand_len 2 < ref_len 6 -> bp = exp(1 - 3) quantized
+    val bp3 = BigDecimal(math.exp(-2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(3L).getAs[Double]("bp") - bp3) < 1e-12)
+    // cand has only 1 bigram ("the cat") which IS in ref -> p2 = 1; but
+    // only 2 tokens -> no 3-grams -> p3 NULL -> bleu 0 (unsmoothed)
+    assert(out(3L).getAs[Double]("p2") === 1.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("p3")))
+    assert(out(3L).getAs[Double]("bleu") === 0.0)
+    // disjoint: p1 = 0 -> bleu 0
+    assert(out(4L).getAs[Double]("p1") === 0.0)
+    assert(out(4L).getAs[Double]("bleu") === 0.0)
+    // empty candidate: bp and bleu NULL
+    assert(out(5L).isNullAt(out(5L).fieldIndex("bp")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("bleu")))
+    assert(out(5L).getAs[Int]("cand_len") === 0)
+  }
 }

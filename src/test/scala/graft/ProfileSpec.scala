@@ -826,4 +826,36 @@ class ProfileSpec extends SparkSpecBase {
     // equal weights: ess == n exactly
     assert(got("h") === ((2L, 4.0, 6.0, 2.0)))
   }
+
+  test("benfordByGroup: string-sliced digits (1000 is a 1), zeros drop, hand chi2/mad") {
+    import graft.operators.Profile
+    val df = Seq(
+      // the floor(log10) trap values: every power of ten is digit 1
+      ("g", 1000L), ("g", 10L), ("g", 1L),
+      ("g", -2000L), // negatives audit by |v|: digit 2
+      ("g", 0L), // zero drops
+      ("h", 999L), ("h", 9L))
+      .toDF("g", "v")
+      .unionByName(Seq((null.asInstanceOf[String], 5L)).toDF("g", "v"))
+    val got = Profile.benfordByGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size === 2, "NULL groups drop")
+    val rg = got("g")
+    assert(rg.getAs[Long]("n") === 4L, "zero contributed no digit")
+    assert(rg.getAs[Long]("d1") === 3L && rg.getAs[Long]("d2") === 1L)
+    assert((3 to 9).forall(d => rg.getAs[Long](s"d$d") === 0L))
+    // hand chi2 with the operator's own 9-dp literals
+    val p = Profile.benfordProbs
+    def q9(x: Double): Double = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val obs = Array(3L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val chi = (0 until 9).map { i =>
+      val e = 4.0 * p(i); q9((obs(i) - e) * (obs(i) - e) / e)
+    }.sum
+    val mad = (0 until 9).map(i => q9(math.abs(obs(i) / 4.0 - p(i)))).sum / 9.0
+    assert(math.abs(rg.getAs[Double]("chi2") - chi) < 1e-9)
+    assert(math.abs(rg.getAs[Double]("mad") - mad) < 1e-12)
+    val rh = got("h")
+    assert(rh.getAs[Long]("d9") === 2L && rh.getAs[Long]("n") === 2L)
+  }
 }
