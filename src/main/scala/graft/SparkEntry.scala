@@ -9537,5 +9537,81 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       }
     }
+
+    // --- Wang & Isola contrastive-embedding health: alignment over
+    //     positive pairs (consecutive vec_ids) and uniformity over
+    //     deterministic md5-bucket pairs, both on unit-normalized
+    //     vectors with the exact-decimal distance fold.
+    val unitNvSql =
+      """list_transform(embedding, x -> (x::DOUBLE / nrm)::REAL)"""
+    val nrmSql =
+      """sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(38,18))))::DOUBLE)""".stripMargin
+    val d2Sql =
+      """list_sum(list_transform(list_zip(va, vb),
+        |      x -> CAST((x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)
+        |        AS DECIMAL(38,18))))::DOUBLE""".stripMargin
+    register("p237_embed_alignment",
+      s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |u AS (SELECT vec_id, $unitNvSql AS nv FROM e WHERE nrm > 0),
+         |pr AS (SELECT a.nv AS va, b.nv AS vb
+         |  FROM u a JOIN u b ON a.vec_id % 2 = 1 AND b.vec_id = a.vec_id - 1),
+         |d AS (SELECT CAST(ROUND(CAST($d2Sql AS DECIMAL(25,12)), 9)
+         |    AS DECIMAL(25,9)) AS d2 FROM pr)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(ROUND(CAST(SUM(d2)::DOUBLE / COUNT(*)::DOUBLE
+         |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS alignment
+         |FROM d WHERE d2 IS NOT NULL""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val pairs = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id_a"), (col("vec_id") - 1).as("id_b"))
+      graft.operators.Similarity.embeddingAlignment(
+        pairs, "id_a", "id_b", e, "vec_id", "embedding")
+    }
+    register("p238_embed_uniformity",
+      s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |u AS (SELECT vec_id, $unitNvSql AS nv,
+         |    ('0x' || substring(md5('unif:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 32 AS bk
+         |  FROM e WHERE nrm > 0),
+         |pr AS (SELECT a.nv AS va, b.nv AS vb
+         |  FROM u a JOIN u b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         |d AS (SELECT CAST(ROUND(CAST(exp(-2.0 * ($d2Sql))
+         |    AS DECIMAL(25,12)), 9) AS DECIMAL(25,9)) AS e2 FROM pr)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(ROUND(CAST(ln(SUM(e2)::DOUBLE / COUNT(*)::DOUBLE)
+         |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS uniformity
+         |FROM d WHERE e2 IS NOT NULL""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.embeddingUniformity(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nBuckets = 32)
+    }
+
+    // --- Aho-Corasick blocklist screen: total + distinct pattern hits
+    //     per doc in one pass, OVERLAPPING occurrences counted (the AC
+    //     dictionary-suffix chain: "he" fires inside every "the"). The
+    //     oracle brute-forces each pattern's overlapping occurrence
+    //     count with a position scan.
+    {
+      val blk = Seq("the", "he", "and", "data", "lorem ipsum")
+      val occ = (p: String) =>
+        s"COALESCE(len(list_filter(range(1, length(t) - ${p.length} + 2), " +
+          s"i -> substr(t, CAST(i AS INT), ${p.length}) = '${p.replace("'", "''")}')), 0)"
+      register("p239_blocklist_hits",
+        s"""WITH b AS (SELECT doc_id, lower(text) AS t FROM documents
+           |  WHERE doc_id IS NOT NULL),
+           |c AS (SELECT doc_id,
+           |${blk.zipWithIndex.map { case (p, i) => s"  ${occ(p)} AS o$i" }.mkString(",\n")}
+           |  FROM b)
+           |SELECT doc_id,
+           |  CAST(${blk.indices.map(i => s"o$i").mkString(" + ")} AS BIGINT) AS n_hits,
+           |  CAST(${blk.indices.map(i => s"CASE WHEN o$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS INT) AS n_patterns
+           |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.operators.Scrub.blocklistHits(
+            t(s, dir, "documents"), "doc_id", "text", blk)
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 }

@@ -121,4 +121,35 @@ object Scrub {
           col("n_rows_below_l").cast("double") / col("n_rows").cast("double"))
           .as("share_below_l"))
   }
+
+  /** Multi-pattern blocklist counting — the badwords/keyword screen over
+    * a corpus: per document, the total number of substring occurrences
+    * of ANY pattern (overlapping included) and how many DISTINCT
+    * patterns appear, in ONE text pass via the Aho-Corasick automaton
+    * ([[org.apache.spark.sql.graft.MultiPatternCount]]). The one-pass
+    * property is the point at scale: a 10k-entry blocklist via
+    * per-pattern regexes is 10k corpus scans; the automaton is one.
+    * `caseInsensitive` (default) lowercases both sides (Locale.ROOT —
+    * the termStream rule). Output: (idCol, n_hits long, n_patterns
+    * int); NULL text counts as zero hits; NULL ids drop.
+    *
+    * 100 TB shape: a pure narrow pass — the automaton rides the
+    * serialized expression (a recipe, not data), no shuffle, no join. */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], caseInsensitive: Boolean = true): DataFrame = {
+    val pats0 =
+      if (caseInsensitive) patterns.map(_.toLowerCase(java.util.Locale.ROOT))
+      else patterns
+    require(pats0.distinct.size == pats0.size,
+      s"patterns collide after case folding: ${pats0.diff(pats0.distinct).distinct}")
+    val id = col(s"`$idCol`")
+    val t0 = col(s"`$textCol`")
+    val txt = if (caseInsensitive) lower(t0) else t0
+    df.filter(id.isNotNull)
+      .select(id,
+        org.apache.spark.sql.graft.MultiPatternCount.of(txt, pats0).as("__m"))
+      .select(id,
+        coalesce(col("__m.n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("__m.n_patterns"), lit(0)).as("n_patterns"))
+  }
 }

@@ -1033,4 +1033,101 @@ object Similarity {
           round((col("cov") / sqrt(col("__vi") * col("__vj")))
             .cast(DecimalType(25, 12)), 9).cast("double")).as("corr"))
   }
+
+  /** L2-normalize a float-vector column back to FLOATS: v / ‖v‖ with the
+    * exact-decimal norm ([[normSq]]) and a round-to-nearest-float cast
+    * per element — every step correctly rounded and identical across
+    * engines (DuckDB: `(x::DOUBLE / nrm)::REAL`). Shared by the
+    * alignment/uniformity pair so both metrics live on the unit sphere
+    * (the Wang & Isola formulation). */
+  private def unitFloat(v: Column): Column = {
+    val nrm = sqrt(normSq(v))
+    transform(v, x => (x.cast("double") / nrm).cast("float"))
+  }
+
+  /** Embedding ALIGNMENT (Wang & Isola 2020, "Understanding Contrastive
+    * Representation Learning"): E ‖x − y‖² over POSITIVE pairs of
+    * unit-normalized embeddings — low alignment says semantically-linked
+    * items embed close; rising alignment across checkpoints is the
+    * first sign of a drifting encoder. The pair frame is CALLER-supplied
+    * (near-dup pairs, label pairs, click pairs — whatever "positive"
+    * means in the pipeline), so the operator composes with every pair
+    * generator in [[Dedup]]. Output ONE row: (n_pairs long, alignment
+    * double — NULL when no pair survives). Pairs whose side is missing,
+    * NULL, or zero-norm drop.
+    *
+    * Exactness: each d² is the exact-decimal fold over normalized
+    * FLOATS ([[org.apache.spark.sql.graft.DecimalVecFold]]), quantized
+    * to 9 dp and summed in exact decimal; ONE final division.
+    *
+    * 100 TB shape: two equi-joins of the pair list against the
+    * embedding table (pair-cardinality, hash-partitioned), one
+    * map-side-combinable global aggregation. No pair enumeration here —
+    * the caller's pair generator owns that cost. */
+  def embeddingAlignment(pairs: DataFrame, idACol: String, idBCol: String,
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = emb
+      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
+      .filter(normSq(col(s"`$vecCol`")) > 0.0)
+      .select(col(s"`$idCol`").as("__id"),
+        unitFloat(col(s"`$vecCol`")).as("__nv"))
+    val joined = pairs
+      .select(col(s"`$idACol`").as("__a"), col(s"`$idBCol`").as("__b"))
+      .join(e.select(col("__id").as("__a"), col("__nv").as("__va")), Seq("__a"))
+      .join(e.select(col("__id").as("__b"), col("__nv").as("__vb")), Seq("__b"))
+    val d2 = org.apache.spark.sql.graft.DecimalVecFold
+      .distSq(col("__va"), col("__vb"))
+    joined
+      .select(round(d2.cast(DecimalType(25, 12)), 9)
+        .cast(DecimalType(25, 9)).as("__d2"))
+      .filter(col("__d2").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("__d2")).cast("double") / count(lit(1)).cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double").as("alignment"))
+  }
+
+  /** Embedding UNIFORMITY (Wang & Isola 2020):
+    * ln E exp(−t·‖x − y‖²) over pairs of unit-normalized embeddings —
+    * the "are we using the whole sphere" metric (contrastive collapse
+    * drives it toward 0; a well-spread encoder sits strongly negative).
+    * The iid pair expectation is estimated over DETERMINISTIC
+    * md5-bucket pairs: ids hash into `nBuckets` buckets, all a < b
+    * pairs WITHIN a bucket enter the estimate — the hash is
+    * content-blind, so bucket-mates are an unbiased iid sample, and
+    * re-runs/engines see the identical pair set. Output ONE row:
+    * (n_pairs long, uniformity double — NULL when no bucket holds two
+    * vectors). NULL/zero-norm vectors drop.
+    *
+    * Exactness: d² as in [[embeddingAlignment]]; each exp(−t·d²) rides
+    * the 9-dp decimal exp contract, sums in exact decimal, ONE division
+    * and one 9-dp ln.
+    *
+    * 100 TB shape: the pair space is the bucketed self-equi-join —
+    * Σ_b size(b)² pairs, bounded by choosing nBuckets ∝ n so bucket
+    * occupancy stays constant (pairs then grow LINEARLY in n); never
+    * the all-pairs square. One shuffle on the bucket key, one global
+    * aggregation. */
+  def embeddingUniformity(df: DataFrame, idCol: String, vecCol: String,
+      nBuckets: Int, t: Double = 2.0, salt: String = "unif"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(t > 0 && !t.isNaN && !t.isInfinity, s"t must be finite and > 0, got $t")
+    val e = df
+      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
+      .filter(normSq(col(s"`$vecCol`")) > 0.0)
+      .select(col(s"`$idCol`").as("__id"),
+        unitFloat(col(s"`$vecCol`")).as("__nv"),
+        Splits.hashBucket(col(s"`$idCol`").cast("string"), salt, nBuckets)
+          .as("__bk"))
+    val a = e.select(col("__bk"), col("__id").as("__a"), col("__nv").as("__va"))
+    val b = e.select(col("__bk"), col("__id").as("__b"), col("__nv").as("__vb"))
+    val d2 = org.apache.spark.sql.graft.DecimalVecFold
+      .distSq(col("__va"), col("__vb"))
+    a.join(b, Seq("__bk")).filter(col("__a") < col("__b"))
+      .select(round(exp(lit(-t) * d2).cast(DecimalType(25, 12)), 9)
+        .cast(DecimalType(25, 9)).as("__e"))
+      .filter(col("__e").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(log(sum(col("__e")).cast("double") / count(lit(1)).cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast("double").as("uniformity"))
+  }
 }

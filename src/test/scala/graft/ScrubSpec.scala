@@ -72,4 +72,30 @@ class ScrubSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_rows_below_l") === 4L)
     assert(r.getAs[Double]("share_below_l") === 0.4)
   }
+
+  test("blocklistHits: AC counts overlaps and suffix-chain hits in one pass") {
+    import graft.operators.Scrub
+    val docs = Seq(
+      (1L, "The cat and THE hat"),    // case-folded: "the" x2, "he" x2, "and" x1
+      (2L, "aaa"),                     // overlapping "aa" twice
+      (3L, "lorem ipsum dolor"),       // the multi-word pattern
+      (4L, null.asInstanceOf[String]), // NULL text -> zero hits
+      (5L, "xyz"))                     // nothing
+      .toDF("id", "text")
+    val out = Scrub.blocklistHits(docs, "id", "text",
+        Seq("the", "he", "and", "aa", "lorem ipsum"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "the cat and the hat": "the" at 0 and 12 (each also ends "he"),
+    // "and" at 8; note "and" contains no "he"/"the"
+    assert(out(1L) === ((5L, 3)))
+    // "aaa": "aa" at 0 and 1 - overlapping occurrences both count
+    assert(out(2L) === ((2L, 1)))
+    assert(out(3L) === ((1L, 1)))
+    assert(out(4L) === ((0L, 0)))
+    assert(out(5L) === ((0L, 0)))
+    // guard: case-folding collisions are rejected, not silently merged
+    intercept[IllegalArgumentException] {
+      Scrub.blocklistHits(docs, "id", "text", Seq("The", "the"))
+    }
+  }
 }

@@ -465,6 +465,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(nn((0, 0)) === ((0, 0, 2L, 0.0)), "identical dim-0 values: zero variance")
   }
 
+  test("embeddingAlignment/Uniformity: hand geometry on the unit sphere") {
+    // alignment: identical pair -> d2 = 0; orthogonal unit pair -> d2 = 2
+    val emb = Seq(
+      (0L, Array(3f, 0f)), (1L, Array(5f, 0f)),   // same direction: d2 = 0
+      (2L, Array(0f, 2f)), (3L, Array(7f, 0f)),   // orthogonal: d2 = 2
+      (4L, Array(0f, 0f)))                         // zero norm: drops
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L), (2L, 3L), (2L, 4L)) // the zero-norm pair drops
+      .toDF("id_a", "id_b")
+    val al = Similarity.embeddingAlignment(
+        pairs, "id_a", "id_b", emb, "vec_id", "embedding")
+      .as[(Long, Double)].head()
+    assert(al === ((2L, 1.0)), "mean of {0, 2} over the two surviving pairs")
+    // uniformity: all vectors identical -> every pair term exp(0) = 1 ->
+    // ln(mean) = 0 exactly, regardless of bucketing
+    val same = Seq.tabulate(6)(i => (i.toLong, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val un = Similarity.embeddingUniformity(same, "vec_id", "embedding",
+      nBuckets = 2).as[(Long, Double)].head()
+    assert(un._1 > 0L && un._2 === 0.0)
+    // nBuckets = 1 pairs everything: C(6,2) = 15 pairs
+    val all = Similarity.embeddingUniformity(same, "vec_id", "embedding",
+      nBuckets = 1).as[(Long, Double)].head()
+    assert(all === ((15L, 0.0)))
+    // orthogonal spread: pair terms exp(-4) -> uniformity = ln9(exp9(-4))
+    val ortho = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val uo = Similarity.embeddingUniformity(ortho, "vec_id", "embedding",
+      nBuckets = 1).as[(Long, Double)].head()
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(uo._1 === 1L && uo._2 === q9(math.log(q9(math.exp(-4.0)))))
+  }
+
   test("recallAtK: exact hit counting, zero-row approx queries, self-recall 1.0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
