@@ -9613,5 +9613,76 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       }
     }
+
+    // --- ROUGE-1/2 precision/recall/F1 over the p236 pairing — the
+    //     recall-oriented overlap complement of BLEU; divisions of exact
+    //     integer counts, F1 a fixed IEEE tree, no transcendentals.
+    {
+      def gramsSql(src: String, n: Int) =
+        s"""CASE WHEN len($src) >= $n THEN list_transform(range(1, len($src) - $n + 2),
+           |      i -> array_to_string(list_slice($src, i, i + $n - 1), ' '))
+           |    ELSE []::VARCHAR[] END""".stripMargin
+      register("p240_rouge_n",
+        s"""WITH cand AS (SELECT doc_id, $toksLowerSql AS ct FROM documents
+           |  WHERE doc_id % 2 = 1),
+           |refs AS (SELECT doc_id + 1 AS doc_id, $toksLowerSql AS rt FROM documents),
+           |pr AS (SELECT doc_id, ct, rt FROM cand JOIN refs USING (doc_id)),
+           |g AS (SELECT doc_id, ct, rt,
+           |${(1 to 2).map(n => s"  ${gramsSql("ct", n)} AS cg$n,\n  ${gramsSql("rt", n)} AS rg$n").mkString(",\n")}
+           |  FROM pr),
+           |c AS (SELECT doc_id, len(ct) AS cl, len(rt) AS rl,
+           |${(1 to 2).map(n =>
+               s"""  COALESCE(list_sum(list_transform(list_distinct(cg$n),
+                  |    x -> least(len(list_filter(cg$n, y -> y = x)),
+                  |               len(list_filter(rg$n, y -> y = x))))), 0) AS clip$n,
+                  |  len(cg$n) AS ct$n, len(rg$n) AS rt$n""".stripMargin).mkString(",\n")}
+           |  FROM g),
+           |p AS (SELECT doc_id, cl, rl,
+           |${(1 to 2).map(n =>
+               s"""  CASE WHEN ct$n > 0 THEN clip$n::DOUBLE / ct$n::DOUBLE END AS rouge${n}_p,
+                  |  CASE WHEN rt$n > 0 THEN clip$n::DOUBLE / rt$n::DOUBLE END AS rouge${n}_r""".stripMargin).mkString(",\n")}
+           |  FROM c)
+           |SELECT doc_id, CAST(cl AS INT) AS cand_len, CAST(rl AS INT) AS ref_len,
+           |${(1 to 2).map(n =>
+               s"""  rouge${n}_p, rouge${n}_r,
+                  |  CASE WHEN rouge${n}_p IS NULL OR rouge${n}_r IS NULL THEN NULL
+                  |       WHEN rouge${n}_p + rouge${n}_r = 0 THEN 0.0
+                  |       ELSE 2.0 * rouge${n}_p * rouge${n}_r / (rouge${n}_p + rouge${n}_r)
+                  |  END AS rouge${n}_f""".stripMargin).mkString(",\n")}
+           |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val cand = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text").as("cand"))
+        val refs = d.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("ref"))
+        graft.operators.Eval.rougeNPairs(
+            cand.join(refs, Seq("doc_id")), "doc_id", "cand", "ref", maxN = 2)
+          .orderBy(col("doc_id"))
+      }
+    }
+
+    // --- distinct-n diversity per source: grams hash to the shared
+    //     60-bit md5 before the distinct count on BOTH engines, so
+    //     distinctness is hash-distinctness (the p27 rule).
+    register("p241_distinct_ngrams",
+      s"""WITH t AS (SELECT source AS g, $toksLowerSql AS toks FROM documents
+         |  WHERE source IS NOT NULL),
+         |${(1 to 3).map(n =>
+             s"""e$n AS (SELECT g,
+                |    ('0x' || substring(md5(gr), 1, 15))::BIGINT AS h
+                |  FROM (SELECT g, unnest(
+                |    CASE WHEN len(toks) >= $n THEN list_transform(range(1, len(toks) - $n + 2),
+                |          i -> array_to_string(list_slice(toks, i, i + $n - 1), ' '))
+                |        ELSE []::VARCHAR[] END) AS gr FROM t)),
+                |a$n AS (SELECT g, $n AS n, CAST(COUNT(*) AS BIGINT) AS n_total,
+                |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct FROM e$n GROUP BY g)""".stripMargin).mkString(",\n")}
+         |SELECT g AS source, CAST(n AS INT) AS n, n_total, n_distinct,
+         |  n_distinct::DOUBLE / n_total::DOUBLE AS distinct_ratio
+         |FROM (${(1 to 3).map(n => s"SELECT * FROM a$n").mkString(" UNION ALL ")})
+         |ORDER BY source, n""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.distinctNgramsByGroup(
+          t(s, dir, "documents"), "source", "doc_id", "text", maxN = 3)
+        .orderBy(col("source"), col("n"))
+    }
   }
 }

@@ -1390,4 +1390,107 @@ object Eval {
         col("__bp").as("bp") :+
         bleu.as("bleu")): _*)
   }
+
+  /** ROUGE-N per (candidate, reference) text pair (Lin 2004): clipped
+    * n-gram precision/recall/F1 for n = 1..maxN — the recall-oriented
+    * summary/overlap complement of [[bleuPairs]] (BLEU asks "is what I
+    * said supported"; ROUGE recall asks "did I cover the reference").
+    * Same clipping rule, same lowercase-whitespace tokens. Output per
+    * row: (idCol, cand_len, ref_len ints, then per n: rouge{n}_p,
+    * rouge{n}_r, rouge{n}_f doubles — p NULL where the candidate has no
+    * n-gram, r NULL where the reference has none, f NULL where either
+    * is NULL and 0.0 where p + r = 0). NULL texts read as empty.
+    *
+    * Exactness: each p/r is ONE division of exact integer counts; F1 is
+    * one IEEE tree of those two doubles — no transcendentals anywhere.
+    *
+    * 100 TB shape: a pure projection, like [[bleuPairs]]. */
+  def rougeNPairs(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
+    def toks(c: String): Column =
+      filter(split(lower(coalesce(col(s"`$c`"), lit(""))), "\\s+"),
+        t => t =!= "")
+    def grams(c: Column, n: Int): Column =
+      when(size(c) >= n,
+        transform(sequence(lit(0), size(c) - n),
+          i => concat_ws(" ", slice(c, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val base = df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`"), toks(candCol).as("__ct"), toks(refCol).as("__rt"))
+    val withP = (1 to maxN).foldLeft(base) { (acc, n) =>
+      val cg = grams(col("__ct"), n)
+      val rg = grams(col("__rt"), n)
+      val acc2 = acc.withColumn(s"__cg$n", cg).withColumn(s"__rg$n", rg)
+      val cgc = col(s"__cg$n"); val rgc = col(s"__rg$n")
+      val clipped = aggregate(array_distinct(cgc), lit(0),
+        (a, g) => a + least(size(filter(cgc, x => x === g)),
+          size(filter(rgc, x => x === g))))
+      val p = when(size(cgc) > 0,
+        clipped.cast("double") / size(cgc).cast("double"))
+      val r = when(size(rgc) > 0,
+        clipped.cast("double") / size(rgc).cast("double"))
+      acc2.withColumn(s"rouge${n}_p", p)
+        .withColumn(s"rouge${n}_r", r)
+        .withColumn(s"rouge${n}_f",
+          when(col(s"rouge${n}_p").isNull || col(s"rouge${n}_r").isNull,
+            lit(null).cast("double"))
+          .when(col(s"rouge${n}_p") + col(s"rouge${n}_r") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col(s"rouge${n}_p") * col(s"rouge${n}_r") /
+            (col(s"rouge${n}_p") + col(s"rouge${n}_r"))))
+    }
+    withP.select((col(s"`$idCol`") +:
+      size(col("__ct")).cast("int").as("cand_len") +:
+      size(col("__rt")).cast("int").as("ref_len") +:
+      (1 to maxN).flatMap(n => Seq(
+        col(s"rouge${n}_p"), col(s"rouge${n}_r"), col(s"rouge${n}_f")))): _*)
+  }
+
+  /** ROUGE-L per (candidate, reference) text pair (Lin 2004): the
+    * longest-common-subsequence F-measure — in-order agreement without
+    * contiguity, the summary-eval metric n-gram overlap can't fake with
+    * shuffled phrases. LCS length via the bounded DP expression
+    * ([[org.apache.spark.sql.graft.LcsLength]] — BOTH sides truncate to
+    * `maxTokens` first; the quadratic per-pair cost must be a bounded
+    * constant at scale). Output: (idCol, cand_len, ref_len, lcs_len
+    * ints, rouge_l_p, rouge_l_r, rouge_l_f doubles — p/r NULL on an
+    * empty side, f NULL where either is NULL, 0.0 where p + r = 0).
+    * cand_len/ref_len are the TRUNCATED lengths (the lengths the DP and
+    * the ratios actually use). NULL texts read as empty.
+    *
+    * Not oracle-gated: LCS is a sequential DP (each cell needs the
+    * same-row predecessor), inexpressible in set-oriented SQL without
+    * cell-level recursion — VocabSpec-style driver differential pins it
+    * instead (the streaming-twin precedent for non-oracle-able rows).
+    *
+    * 100 TB shape: a pure projection; maxTokens² per-row constant. */
+  def rougeLPairs(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 512): DataFrame = {
+    def toks(c: String): Column =
+      filter(split(lower(coalesce(col(s"`$c`"), lit(""))), "\\s+"),
+        t => t =!= "")
+    val base = df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`"),
+        slice(toks(candCol), 1, maxTokens).as("__ct"),
+        slice(toks(refCol), 1, maxTokens).as("__rt"))
+    val lcs = org.apache.spark.sql.graft.LcsLength
+      .of(col("__ct"), col("__rt"), maxTokens)
+    val withL = base.withColumn("__lcs", lcs)
+      .withColumn("rouge_l_p",
+        when(size(col("__ct")) > 0,
+          col("__lcs").cast("double") / size(col("__ct")).cast("double")))
+      .withColumn("rouge_l_r",
+        when(size(col("__rt")) > 0,
+          col("__lcs").cast("double") / size(col("__rt")).cast("double")))
+    withL.select(col(s"`$idCol`"),
+      size(col("__ct")).cast("int").as("cand_len"),
+      size(col("__rt")).cast("int").as("ref_len"),
+      col("__lcs").as("lcs_len"),
+      col("rouge_l_p"), col("rouge_l_r"),
+      when(col("rouge_l_p").isNull || col("rouge_l_r").isNull,
+        lit(null).cast("double"))
+        .when(col("rouge_l_p") + col("rouge_l_r") === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * col("rouge_l_p") * col("rouge_l_r") /
+          (col("rouge_l_p") + col("rouge_l_r"))).as("rouge_l_f"))
+  }
 }

@@ -880,4 +880,40 @@ object Vocab {
         round((col("__c.cum___w").cast("double") / col("__tt.__W").cast("double"))
           .cast(DecimalType(25, 12)), 9).cast("double").as("cum_prob"))
   }
+
+  /** Distinct-n generation-diversity report per group (Li et al. 2016,
+    * "A Diversity-Promoting Objective"): for n = 1..maxN, the group's
+    * total within-document word n-grams, the DISTINCT n-gram count, and
+    * distinct-n = distinct/total — the corpus-level repetitiveness
+    * metric ([[graft.operators.Repetition]] scores one document; this
+    * scores a SOURCE: a generator caught in a loop floods its group
+    * with the same few n-grams and distinct-n collapses). Tokens are
+    * the lowercase-whitespace contract; n-grams never span documents.
+    * Output per (group, n): (groupCol, n int, n_total, n_distinct
+    * longs, distinct_ratio double — one exact-integer division). NULL
+    * groups drop; docs shorter than n contribute nothing at that n.
+    *
+    * 100 TB shape: per n one [[graft.operators.Dedup.shingleRows]]
+    * window pass (doc-partitioned); grams shuffle as the shared 60-bit
+    * md5 hash, never text (the p27 rule — distinctness is
+    * hash-distinctness, identical in the oracle); two
+    * map-side-combinable aggregations per n. */
+  def distinctNgramsByGroup(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
+    val g = col(s"`$groupCol`")
+    (1 to maxN).map { n =>
+      Dedup.shingleRows(docs.filter(g.isNotNull), idCol, textCol, n,
+          carryCols = Seq(groupCol))
+        .select(g.as("__g"),
+          graft.functions.TextFunctions.md5Hash60(col("shingle")).as("__h"))
+        .groupBy(col("__g"), col("__h")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("__g"))
+        .agg(sum(col("__c")).as("n_total"), count(lit(1)).as("n_distinct"))
+        .select(col("__g").as(groupCol), lit(n).as("n"),
+          col("n_total"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_total").cast("double"))
+            .as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
 }

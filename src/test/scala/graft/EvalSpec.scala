@@ -802,4 +802,78 @@ class EvalSpec extends SparkSpecBase {
     assert(out(5L).isNullAt(out(5L).fieldIndex("bleu")))
     assert(out(5L).getAs[Int]("cand_len") === 0)
   }
+
+  test("rougeNPairs: clipped P/R/F on hand pairs") {
+    import graft.operators.Eval
+    val df = Seq(
+      (1L, "the cat sat", "the cat sat"),
+      (2L, "the the cat", "the cat mat x"),  // clip: "the"x2 clipped to 1, "cat" 1
+      (3L, "", "the cat"))
+      .toDF("id", "cand", "ref")
+    val out = Eval.rougeNPairs(df, "id", "cand", "ref", maxN = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("rouge1_f") === 1.0)
+    assert(out(1L).getAs[Double]("rouge2_f") === 1.0)
+    // pair 2 unigrams: clip = min(2,1)["the"] + min(1,1)["cat"] = 2;
+    // p = 2/3, r = 2/4
+    assert(out(2L).getAs[Double]("rouge1_p") === 2.0 / 3.0)
+    assert(out(2L).getAs[Double]("rouge1_r") === 0.5)
+    val p = 2.0 / 3.0; val r = 0.5
+    assert(math.abs(out(2L).getAs[Double]("rouge1_f") - 2 * p * r / (p + r)) < 1e-15)
+    // pair 2 bigrams: cand {"the the", "the cat"}, ref has "the cat" -> clip 1
+    assert(out(2L).getAs[Double]("rouge2_p") === 0.5)
+    // empty candidate: precision NULL -> f NULL; recall 0
+    assert(out(3L).isNullAt(out(3L).fieldIndex("rouge1_p")))
+    assert(out(3L).getAs[Double]("rouge1_r") === 0.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("rouge1_f")))
+  }
+
+  test("rougeLPairs equals a driver-side LCS on real docs; truncation caps") {
+    import graft.operators.Eval
+    // hand case first: LCS("a b c d", "a x b d") = {a, b, d} = 3
+    val hand = Eval.rougeLPairs(
+        Seq((1L, "a b c d", "a x b d")).toDF("id", "cand", "ref"),
+        "id", "cand", "ref")
+      .select("lcs_len", "rouge_l_p", "rouge_l_r", "rouge_l_f")
+      .as[(Int, Double, Double, Double)].head()
+    assert(hand === ((3, 0.75, 0.75, 0.75)))
+    // truncation: maxTokens = 2 sees only "a b" vs "a x" -> LCS 1
+    val trunc = Eval.rougeLPairs(
+        Seq((1L, "a b c d", "a x b d")).toDF("id", "cand", "ref"),
+        "id", "cand", "ref", maxTokens = 2)
+      .select("cand_len", "ref_len", "lcs_len").as[(Int, Int, Int)].head()
+    assert(trunc === ((2, 2, 1)))
+    // driver differential over real near-dup-bearing pairs
+    val d = testdata("sf0.001", "documents").limit(200)
+    val cand = d.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text".as("cand"))
+    val refs = d.select(($"doc_id" + 1).as("doc_id"), $"text".as("ref"))
+    val pairs = cand.join(refs, Seq("doc_id"))
+    val got = Eval.rougeLPairs(pairs, "doc_id", "cand", "ref")
+      .select("doc_id", "lcs_len").as[(Long, Int)].collect().toMap
+    def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.fill(b.length + 1)(0)
+      var prevDiag = 0
+      for (i <- a.indices) {
+        prevDiag = 0
+        for (j <- b.indices) {
+          val tmp = dp(j + 1)
+          dp(j + 1) =
+            if (a(i) == b(j)) prevDiag + 1
+            else math.max(dp(j + 1), dp(j))
+          prevDiag = tmp
+        }
+      }
+      dp(b.length)
+    }
+    val raw = pairs.select("doc_id", "cand", "ref")
+      .as[(Long, String, String)].collect()
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, c, r) =>
+      def tk(s: String) = Option(s).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).take(512).toSeq
+      assert(got(id) === lcsRef(tk(c), tk(r)), s"pair $id")
+    }
+  }
 }

@@ -433,4 +433,25 @@ class VocabSpec extends SparkSpecBase {
     // the CDF covers the unit interval and is the inverse-CDF lookup key
     assert(got.values.map(_._4).sum > 0.999 && got.values.map(_._4).sum < 1.001)
   }
+
+  test("distinctNgramsByGroup: repetition collapses distinct-n; grams never span docs") {
+    val docs = Seq(
+      (1L, "g", "a a a a"),   // 4 unigrams / 1 distinct; 3 bigrams / 1 distinct
+      (2L, "h", "a b c"),     // 3/3; 2/2
+      (3L, "h", "c a"),       // +2 unigrams (a,c seen), +1 bigram "c a" (new)
+      (4L, null.asInstanceOf[String], "x y z"))
+      .toDF("doc_id", "src", "text")
+    val out = Vocab.distinctNgramsByGroup(docs, "src", "doc_id", "text", maxN = 2)
+      .select("src", "n", "n_total", "n_distinct", "distinct_ratio")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size === 4, "NULL groups drop")
+    assert(out(("g", 1)) === ((4L, 1L, 0.25)))
+    assert(out(("g", 2)) === ((3L, 1L, 1.0 / 3.0)))
+    // h unigrams: a b c | c a -> 5 total, 3 distinct
+    assert(out(("h", 1)) === ((5L, 3L, 0.6)))
+    // h bigrams: "a b", "b c" | "c a" - doc 3's "c a" never fuses with
+    // doc 2's tail (grams don't span docs) -> 3 total, 3 distinct
+    assert(out(("h", 2)) === ((3L, 3L, 1.0)))
+  }
 }
