@@ -9684,5 +9684,88 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "doc_id", "text", maxN = 3)
         .orderBy(col("source"), col("n"))
     }
+
+    // --- Fellegi-Sunter EM record linkage over (odd doc, preceding doc)
+    //     candidate pairs with three agreement fields (lang, source,
+    //     |n_chars| within 100). The oracle UNROLLS the 10 EM iterations
+    //     as generated CTE stages: per-pattern posteriors are 9-dp
+    //     DECIMAL(12,9), the Sum w*n / Sum (1-w)*n accumulations run in
+    //     exact decimal (order-free), each new parameter is one IEEE
+    //     division, clamped to [1e-9, 1-1e-9], rounded to 9 dp.
+    {
+      val emIters = 10
+      val k = 3
+      def pm(e: String, pre: String) = (1 to k)
+        .map(f => s"(CASE WHEN a$f THEN $e.$pre$f ELSE 1.0 - $e.$pre$f END)")
+        .mkString(" * ")
+      def wExpr(e: String) =
+        s"""CAST(ROUND($e.p * (${pm(e, "m")}) /
+           |      ($e.p * (${pm(e, "m")}) + (1.0 - $e.p) * (${pm(e, "u")})), 9)
+           |    AS DECIMAL(12,9))""".stripMargin
+      val emStages = (1 to emIters).map { i =>
+        s"""w$i AS (SELECT pat.*, ${(1 to k).map(f => s"e.m$f AS pm$f, e.u$f AS pu$f").mkString(", ")},
+           |    ${wExpr("e")} AS w
+           |  FROM pat CROSS JOIN e${i - 1} e),
+           |e$i AS (SELECT
+           |    CAST(ROUND(LEAST(GREATEST(
+           |      CAST(SUM(w * n) AS DOUBLE) / CAST(SUM(CAST(n AS DECIMAL(25,9))) AS DOUBLE),
+           |      1e-9), 0.999999999), 9) AS DOUBLE) AS p,
+           |${(1 to k).map(f =>
+               s"""    CASE WHEN SUM(w * n) = 0 THEN MAX(pm$f) ELSE
+                  |      CAST(ROUND(LEAST(GREATEST(
+                  |        CAST(SUM((CASE WHEN a$f THEN w END) * n) AS DOUBLE) / CAST(SUM(w * n) AS DOUBLE),
+                  |        1e-9), 0.999999999), 9) AS DOUBLE) END AS m$f,
+                  |    CASE WHEN SUM((1 - w) * n) = 0 THEN MAX(pu$f) ELSE
+                  |      CAST(ROUND(LEAST(GREATEST(
+                  |        CAST(SUM((CASE WHEN a$f THEN (1 - w) END) * n) AS DOUBLE) / CAST(SUM((1 - w) * n) AS DOUBLE),
+                  |        1e-9), 0.999999999), 9) AS DOUBLE) END AS u$f""".stripMargin).mkString(",\n")}
+           |  FROM w$i)""".stripMargin
+      }.mkString(",\n")
+      register("p242_fellegi_sunter",
+        s"""WITH a AS (SELECT doc_id, lang AS la, source AS sa, n_chars AS ca
+           |  FROM documents WHERE doc_id % 2 = 1),
+           |b AS (SELECT doc_id + 1 AS doc_id, lang AS lb, source AS sb, n_chars AS cb
+           |  FROM documents),
+           |prs AS (SELECT a.doc_id, (la = lb) AS a1, (sa = sb) AS a2,
+           |    (abs(ca - cb) < 100) AS a3
+           |  FROM a JOIN b USING (doc_id)
+           |  WHERE la IS NOT NULL AND lb IS NOT NULL AND sa IS NOT NULL
+           |    AND sb IS NOT NULL AND ca IS NOT NULL AND cb IS NOT NULL),
+           |pat AS (SELECT a1, a2, a3, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM prs GROUP BY 1, 2, 3),
+           |e0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+           |  ${(1 to k).map(f => s"CAST(0.9 AS DOUBLE) AS m$f, CAST(0.1 AS DOUBLE) AS u$f").mkString(", ")}),
+           |$emStages,
+           |fin AS (SELECT * FROM e$emIters),
+           |wt AS (SELECT
+           |${(1 to k).map(f =>
+               s"""  CAST(ROUND(ln(m$f / u$f) / ln(2.0), 9) AS DOUBLE) AS wa$f,
+                  |  CAST(ROUND(ln((1.0 - m$f) / (1.0 - u$f)) / ln(2.0), 9) AS DOUBLE) AS wd$f""".stripMargin).mkString(",\n")}
+           |  FROM fin)
+           |SELECT prs.doc_id, a1, a2, a3,
+           |  ${(1 to k).map(f => s"(CASE WHEN a$f THEN wa$f ELSE wd$f END)").mkString(" + ")} AS match_weight,
+           |  CAST(${wExpr("fin")} AS DOUBLE) AS posterior
+           |FROM prs CROSS JOIN wt CROSS JOIN fin
+           |ORDER BY prs.doc_id""".stripMargin) { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val a = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang").as("la"),
+            col("source").as("sa"), col("n_chars").as("ca"))
+        val b = d.select((col("doc_id") + 1).as("doc_id"),
+          col("lang").as("lb"), col("source").as("sb"),
+          col("n_chars").as("cb"))
+        val prs = a.join(b, Seq("doc_id"))
+          .filter(col("la").isNotNull && col("lb").isNotNull &&
+            col("sa").isNotNull && col("sb").isNotNull &&
+            col("ca").isNotNull && col("cb").isNotNull)
+          .select(col("doc_id"),
+            (col("la") === col("lb")).as("a1"),
+            (col("sa") === col("sb")).as("a2"),
+            (abs(col("ca") - col("cb")) < 100).as("a3"))
+        graft.operators.Linkage.fellegiSunter(prs, Seq("a1", "a2", "a3"),
+            emIters = emIters)
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 }
