@@ -9767,5 +9767,125 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       }
     }
+
+    // --- leave-one-out target encoding (lang -> mean n_chars, m = 20):
+    //     exact decimal category sums, LOO subtraction, prior shrinkage;
+    //     NULL-category and NULL-target rows take the non-LOO smoothed
+    //     forms. One aggregation + one join back.
+    register("p243_target_encode",
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |    CAST(ROUND(CAST(n_chars AS DECIMAL(25,12)), 9) AS DECIMAL(25,9)) AS y
+        |  FROM documents),
+        |st AS (SELECT lang AS c, SUM(y) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b WHERE lang IS NOT NULL AND y IS NOT NULL GROUP BY lang),
+        |pr AS (SELECT CAST(ROUND(CAST(SUM(y)::DOUBLE / COUNT(*)::DOUBLE
+        |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS prior
+        |  FROM b WHERE y IS NOT NULL)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(ROUND(CAST(
+        |    CASE WHEN st.n IS NOT NULL AND y IS NOT NULL THEN
+        |      (st.s::DOUBLE - y::DOUBLE + 20.0 * prior) / ((st.n - 1)::DOUBLE + 20.0)
+        |    WHEN st.n IS NOT NULL THEN
+        |      (st.s::DOUBLE + 20.0 * prior) / (st.n::DOUBLE + 20.0)
+        |    ELSE prior END AS DECIMAL(25,12)), 9) AS DOUBLE) AS te
+        |FROM b LEFT JOIN st ON st.c = b.lang CROSS JOIN pr
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Classifier.targetEncodeLoo(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", smoothing = 20.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("te"))
+        .orderBy(col("doc_id"))
+    }
+
+    // --- Burrows' Delta stylometric distance between sources over the
+    //     corpus top-30 words: z-scored relative frequencies on the
+    //     FULL group x word grid (zero cells included), population
+    //     stddev, mean |z_a - z_b| per source pair.
+    register("p244_burrows_delta",
+      s"""WITH tok AS (SELECT source AS g, unnest($toksLowerSql) AS w
+         |  FROM documents WHERE source IS NOT NULL),
+         |cnt AS (SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY g, w),
+         |top AS (SELECT w FROM (
+         |  SELECT w, SUM(c) AS t FROM cnt GROUP BY w ORDER BY t DESC, w LIMIT 30)),
+         |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY g),
+         |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM tot),
+         |grid AS (SELECT tot.g, top.w, tot.n, COALESCE(cnt.c, 0) AS c
+         |  FROM tot CROSS JOIN top
+         |  LEFT JOIN cnt ON cnt.g = tot.g AND cnt.w = top.w),
+         |fv AS (SELECT g, w, CAST(ROUND(CAST(c::DOUBLE / n::DOUBLE
+         |    AS DECIMAL(25,12)), 9) AS DECIMAL(25,9)) AS f FROM grid),
+         |ws AS (SELECT w, SUM(f) AS sf,
+         |    SUM(CAST(ROUND(CAST(f::DOUBLE * f::DOUBLE AS DECIMAL(25,12)), 9)
+         |      AS DECIMAL(25,9))) AS sff
+         |  FROM fv GROUP BY w),
+         |wstat AS (SELECT w, mean, var FROM (
+         |  SELECT w, sf::DOUBLE / k::DOUBLE AS mean,
+         |    sff::DOUBLE / k::DOUBLE - (sf::DOUBLE / k::DOUBLE) * (sf::DOUBLE / k::DOUBLE) AS var
+         |  FROM ws CROSS JOIN ng) WHERE var > 0),
+         |z AS (SELECT fv.g, fv.w, (f::DOUBLE - mean) / sqrt(var) AS z
+         |  FROM fv JOIN wstat USING (w))
+         |SELECT za.g AS g_a, zb.g AS g_b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(ROUND(CAST(
+         |    SUM(CAST(ROUND(CAST(abs(za.z - zb.z) AS DECIMAL(25,12)), 9)
+         |      AS DECIMAL(25,9)))::DOUBLE / COUNT(*)::DOUBLE
+         |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS delta
+         |FROM z za JOIN z zb ON za.w = zb.w AND za.g < zb.g
+         |GROUP BY za.g, zb.g ORDER BY g_a, g_b""".stripMargin) { (s, dir) =>
+      graft.operators.Drift.burrowsDelta(
+          t(s, dir, "documents"), "source", "text", topN = 30)
+        .orderBy(col("g_a"), col("g_b"))
+    }
+
+    // --- Kendall tau-b between two per-lang rankings of the same docs
+    //     (a quality ranking with REAL TIES via RANK() on n_chars vs an
+    //     md5 ranking): tie-corrected pair counting on the aligned
+    //     top-20 lists; intersection-only semantics exercised because
+    //     the two top-20 sets differ.
+    register("p245_kendall_tau",
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        |ra AS (SELECT lang, doc_id, r AS rank FROM (
+        |  SELECT lang, doc_id,
+        |    RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS r FROM d)
+        |  WHERE r <= 20),
+        |rb AS (SELECT lang, doc_id, r AS rank FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('rk:' || CAST(doc_id AS VARCHAR)), doc_id) AS r FROM d)
+        |  WHERE r <= 20),
+        |j AS (SELECT ra.lang, ra.doc_id, ra.rank AS rka, rb.rank AS rkb
+        |  FROM ra JOIN rb USING (lang, doc_id)),
+        |p AS (SELECT l.lang,
+        |    CAST(SUM(CASE WHEN (l.rka - r.rka) * (l.rkb - r.rkb) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+        |    CAST(SUM(CASE WHEN (l.rka - r.rka) * (l.rkb - r.rkb) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |    CAST(SUM(CASE WHEN l.rka = r.rka THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN l.rkb = r.rkb THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(COUNT(*) AS BIGINT) AS n0
+        |  FROM j l JOIN j r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        |  GROUP BY l.lang),
+        |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY lang)
+        |SELECT c.lang, c.n,
+        |  COALESCE(p.n_conc, 0) AS n_conc, COALESCE(p.n_disc, 0) AS n_disc,
+        |  CASE WHEN p.n0 IS NOT NULL AND p.n0 > p.t1 AND p.n0 > p.t2 THEN
+        |    CAST(ROUND(CAST((p.n_conc - p.n_disc)::DOUBLE /
+        |      sqrt((p.n0 - p.t1)::DOUBLE * (p.n0 - p.t2)::DOUBLE)
+        |      AS DECIMAL(25,12)), 9) AS DOUBLE) END AS tau_b
+        |FROM c LEFT JOIN p USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+      val ra = d.select(col("lang"), col("doc_id"),
+          rank().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"))).as("rank"))
+        .filter(col("rank") <= 20)
+      val rb = d.select(col("lang"), col("doc_id"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(md5(concat(lit("rk:"), col("doc_id").cast("string"))),
+              col("doc_id"))).as("rank"))
+        .filter(col("rank") <= 20)
+      graft.operators.Eval.kendallTauB(ra, rb, "lang", "doc_id", "rank")
+        .orderBy(col("lang"))
+    }
   }
 }

@@ -1223,4 +1223,78 @@ object Drift {
         col("slope"), col("intercept"))
   }
 
+  /** Burrows' Delta stylometric distance between groups (Burrows 2002;
+    * Evert et al. 2017): over the corpus's `topN` most frequent words,
+    * z-score each group's RELATIVE word frequency against the across-
+    * group distribution, then Delta(a, b) = mean |z_a − z_b| — the
+    * classic authorship/provenance distance that catches "these two
+    * sources are the same generator wearing different hats" when
+    * document-level near-dup misses it (style lives in function-word
+    * RATES, not shared strings). Output one row per unordered group
+    * pair (g_a < g_b): (g_a, g_b, n_terms long — words with nonzero
+    * across-group variance, delta double, 9 dp). Groups with zero
+    * tokens drop; words whose frequency is CONSTANT across groups
+    * carry no signal and leave the mean's denominator.
+    *
+    * Exactness: relative frequencies are single divisions of exact
+    * counts quantized to 9 dp; the per-word mean/stddev ride exact
+    * decimal sums over the FULL group×word grid (zero cells included —
+    * dropping them inflates rare-word variance, the classic bug);
+    * stddev is population (÷|G|), one IEEE sqrt; each |z_a − z_b|
+    * quantizes to 9 dp before the order-free decimal sum.
+    *
+    * 100 TB shape: one token-count aggregation (map-side), a topN
+    * TakeOrderedAndProject, then EVERYTHING runs on the |G|·topN grid
+    * and the |G|²·topN pair frame — bounded by group cardinality and
+    * the word budget, never corpus-sized. */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+      topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val g = col(s"`$groupCol`")
+    val counts = graft.functions.TextFunctions
+      .termStream(docs.filter(g.isNotNull), Seq(g), textCol)
+      .groupBy(g.as("__g"), col("__term"))
+      .agg(count(lit(1)).as("__c"))
+    val top = counts.groupBy(col("__term"))
+      .agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__term"))
+      .limit(topN)
+      .select(col("__term"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    // FULL grid: every (group, top word) cell, zero counts included
+    val grid = totals.crossJoin(broadcast(top))
+      .join(counts, Seq("__g", "__term"), "left")
+      .withColumn("__f", round(
+        (coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__n").cast("double")).cast(DecimalType(25, 12)), 9)
+        .cast(dec25_9))
+    val nGroups = totals.count() // bounded: group cardinality (0 is fine:
+    // every downstream frame is then empty with the right schema)
+    val wordStats = grid.groupBy(col("__term"))
+      .agg(sum(col("__f")).as("__sf"),
+        // f^2 in DOUBLE then 9-dp quantized: a decimal x decimal product
+        // at (25,9) overflows precision 38 and the two engines re-round
+        // DIFFERENTLY (the p228 class)
+        sum(round((col("__f").cast("double") * col("__f").cast("double"))
+          .cast(DecimalType(25, 12)), 9).cast(dec25_9)).as("__sff"))
+      .withColumn("__mean", col("__sf").cast("double") / lit(nGroups.toDouble))
+      .withColumn("__var",
+        col("__sff").cast("double") / lit(nGroups.toDouble) -
+          col("__mean") * col("__mean"))
+      .filter(col("__var") > 0.0)
+      .select(col("__term"), col("__mean"), sqrt(col("__var")).as("__sd"))
+    val z = grid.join(broadcast(wordStats), Seq("__term"))
+      .select(col("__g"), col("__term"),
+        ((col("__f").cast("double") - col("__mean")) / col("__sd")).as("__z"))
+    val za = z.select(col("__g").as("g_a"), col("__term"), col("__z").as("__za"))
+    val zb = z.select(col("__g").as("g_b"), col("__term"), col("__z").as("__zb"))
+    za.join(zb, Seq("__term"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        round((sum(round(abs(col("__za") - col("__zb"))
+            .cast(DecimalType(25, 12)), 9).cast(dec25_9)).cast("double") /
+          count(lit(1)).cast("double")).cast(DecimalType(25, 12)), 9)
+          .cast("double").as("delta"))
+  }
 }

@@ -1493,4 +1493,60 @@ object Eval {
         .otherwise(lit(2.0) * col("rouge_l_p") * col("rouge_l_r") /
           (col("rouge_l_p") + col("rouge_l_r"))).as("rouge_l_f"))
   }
+
+  /** Kendall τ-b rank agreement per query between two rankings of the
+    * same items (Kendall 1945, the tie-corrected form) — the
+    * whole-permutation companion to [[rankBiasedOverlap]] (RBO weights
+    * the top; τ-b counts every pairwise inversion equally): over items
+    * present in BOTH rankings, τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+    * with C/D the concordant/discordant pair counts and n₁/n₂ the
+    * within-ranking tie-pair corrections. Output per query: (queryCol,
+    * n long — common items, n_conc, n_disc longs, tau_b double 9 dp —
+    * NULL when a ranking is constant or n < 2). NULL query/item/rank
+    * rows drop.
+    *
+    * Exactness: every count is an exact integer off the pair frame;
+    * τ_b is one IEEE tree (two subtractions, a product, a sqrt, a
+    * division) over exact-integer casts — no transcendentals.
+    *
+    * 100 TB shape: one equi-join aligns the rankings (rank-list
+    * cardinality), then the pair frame is an equi-join ON THE QUERY of
+    * the aligned list with itself — rank-list-bounded k² pairs per
+    * query (the mannKendall grid posture), map-side-combined into one
+    * row per query. Rank lists are bounded by contract (top-k
+    * rankings), never corpus-sized. */
+  def kendallTauB(a: DataFrame, b: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String): DataFrame = {
+    val q = col(s"`$queryCol`")
+    val it = col(s"`$itemCol`")
+    val r = col(s"`$rankCol`")
+    def clean(df: DataFrame, out: String): DataFrame = df
+      .filter(q.isNotNull && it.isNotNull && r.isNotNull)
+      .select(q.as("__q"), it.as("__i"), r.cast("long").as(out))
+    val joined = clean(a, "__ra").join(clean(b, "__rb"), Seq("__q", "__i"))
+    val l = joined.select(col("__q"), col("__i").as("__il"),
+      col("__ra").as("__ral"), col("__rb").as("__rbl"))
+    val rgt = joined.select(col("__q"), col("__i").as("__ir"),
+      col("__ra").as("__rar"), col("__rb").as("__rbr"))
+    val pairs = l.join(rgt, Seq("__q")).filter(col("__il") < col("__ir"))
+    val da = col("__ral") - col("__rar")
+    val db = col("__rbl") - col("__rbr")
+    val perQ = pairs.groupBy(col("__q")).agg(
+      sum(when(da * db > 0L, 1L).otherwise(0L)).as("n_conc"),
+      sum(when(da * db < 0L, 1L).otherwise(0L)).as("n_disc"),
+      sum(when(da === 0L, 1L).otherwise(0L)).as("__t1"),
+      sum(when(db === 0L, 1L).otherwise(0L)).as("__t2"),
+      count(lit(1)).as("__n0"))
+    val counts = joined.groupBy(col("__q")).agg(count(lit(1)).as("n"))
+    counts.join(perQ, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n"),
+        coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+        coalesce(col("n_disc"), lit(0L)).as("n_disc"),
+        when(col("__n0").isNotNull &&
+            col("__n0") > col("__t1") && col("__n0") > col("__t2"),
+          round(((col("n_conc") - col("n_disc")).cast("double") /
+            sqrt((col("__n0") - col("__t1")).cast("double") *
+              (col("__n0") - col("__t2")).cast("double")))
+            .cast(DecimalType(25, 12)), 9).cast("double")).as("tau_b"))
+  }
 }

@@ -96,4 +96,33 @@ class ClassifierSpec extends SparkSpecBase {
     assert(r.getAs[Long]("c_nn") >= 1L)
     assert(r.getAs[Double]("est_noise_rate") === 0.0)
   }
+
+  test("targetEncodeLoo: LOO subtraction, prior shrinkage, NULL paths") {
+    import graft.operators.Classifier
+    val df = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, Option("a"), Option(20.0)),
+      (3L, Option("a"), Option(30.0)),
+      (4L, Option("b"), Option(100.0)),          // singleton: LOO -> prior
+      (5L, Option("a"), Option.empty[Double]),   // NULL target: non-LOO mean
+      (6L, Option.empty[String], Option(50.0)))  // NULL category: prior
+      .toDF("id", "cat", "y")
+    val out = Classifier.targetEncodeLoo(df, "cat", "y", smoothing = 2.0)
+      .select("id", "te").as[(Long, Double)].collect().toMap
+    // prior = mean(10,20,30,100,50) = 42; cat a: sum 60, n 3
+    val prior = 42.0
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === q9((60.0 - 10.0 + 2.0 * prior) / (2.0 + 2.0)))
+    assert(out(2L) === q9((60.0 - 20.0 + 2.0 * prior) / 4.0))
+    // singleton b: (100 - 100 + 2*42) / (0 + 2) = 42 = prior exactly
+    assert(out(4L) === prior)
+    // NULL target in a: (60 + 2*42) / (3 + 2)
+    assert(out(5L) === q9((60.0 + 2.0 * prior) / 5.0))
+    // NULL category: prior
+    assert(out(6L) === prior)
+    intercept[IllegalArgumentException] {
+      Classifier.targetEncodeLoo(df.withColumnRenamed("y", "te"), "cat", "te")
+    }
+  }
 }

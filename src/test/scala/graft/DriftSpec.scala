@@ -646,4 +646,26 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Double]("slope") === wantSlope)
     assert(r.getAs[Double]("intercept") === wantIcpt)
   }
+
+  test("burrowsDelta: constant words carry no signal; symmetric planted styles") {
+    import graft.operators.Drift
+    // three "sources": x and y share style (same relative rates), z differs
+    val docs = Seq(
+      ("x", "aa aa aa bb"), ("x", "aa aa aa bb"),
+      ("y", "aa aa aa bb"),
+      ("z", "bb bb bb aa"))
+      .toDF("src", "text")
+    val out = Drift.burrowsDelta(docs, "src", "text", topN = 10)
+      .select("g_a", "g_b", "n_terms", "delta")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size === 3, "all unordered pairs of 3 groups")
+    // x and y have IDENTICAL rates -> identical z -> delta exactly 0
+    assert(out(("x", "y"))._2 === 0.0)
+    // both words vary across groups -> n_terms = 2 everywhere
+    assert(out.values.forall(_._1 === 2L))
+    // z is equidistant from x and y (same profiles) and far from both
+    assert(out(("x", "z"))._2 === out(("y", "z"))._2)
+    assert(out(("x", "z"))._2 > 1.0)
+  }
 }

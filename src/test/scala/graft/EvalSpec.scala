@@ -876,4 +876,28 @@ class EvalSpec extends SparkSpecBase {
       assert(got(id) === lcsRef(tk(c), tk(r)), s"pair $id")
     }
   }
+
+  test("kendallTauB: hand pairs with ties; intersection-only alignment") {
+    import graft.operators.Eval
+    // ranking a: 1,2,2,4 (tie)  ranking b: reversed order
+    val a = Seq(("q", 10L, 1L), ("q", 11L, 2L), ("q", 12L, 2L), ("q", 13L, 4L),
+      ("q", 99L, 5L)) // 99 absent from b: must not count
+      .toDF("query", "item", "rank")
+    val b = Seq(("q", 10L, 4L), ("q", 11L, 3L), ("q", 12L, 2L), ("q", 13L, 1L))
+      .toDF("query", "item", "rank")
+    val out = Eval.kendallTauB(a, b, "query", "item", "rank")
+      .select("query", "n", "n_conc", "n_disc", "tau_b")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    // common items 10..13: pairs (6): all reversed except the (11,12)
+    // tie in a; C = 0, D = 5, t1 = 1, t2 = 0, n0 = 6
+    assert(out._2 === 4L && out._3 === 0L && out._4 === 5L)
+    val expected = BigDecimal(-5.0 / math.sqrt(5.0 * 6.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._5.contains(expected))
+    // constant ranking: every pair is a tie in b -> tau NULL
+    val const = b.withColumn("rank", org.apache.spark.sql.functions.lit(1L))
+    val nul = Eval.kendallTauB(a, const, "query", "item", "rank")
+      .select("tau_b").collect().head
+    assert(nul.isNullAt(0))
+  }
 }
