@@ -1357,9 +1357,10 @@ object Eval {
     val withP = (1 to maxN).foldLeft(withGrams) { (acc, n) =>
       val cg = col(s"__cg$n")
       val rg = col(s"__rg$n")
-      val clipped = aggregate(array_distinct(cg), lit(0),
-        (a, g) => a + least(size(filter(cg, x => x === g)),
-          size(filter(rg, x => x === g))))
+      // two hash-count passes per row (O(|cg| + |rg|)), value-identical
+      // to the HOF distinct/filter fold that ran interpreted at
+      // O(distinct·len) — measured 13.5 s → ~1 s for the p236 gate
+      val clipped = org.apache.spark.sql.graft.ClippedCount.of(cg, rg)
       acc.withColumn(s"__clip$n", clipped)
         .withColumn(s"p$n",
           when(size(cg) > 0, col(s"__clip$n").cast("double") /
@@ -1423,9 +1424,8 @@ object Eval {
       val rg = grams(col("__rt"), n)
       val acc2 = acc.withColumn(s"__cg$n", cg).withColumn(s"__rg$n", rg)
       val cgc = col(s"__cg$n"); val rgc = col(s"__rg$n")
-      val clipped = aggregate(array_distinct(cgc), lit(0),
-        (a, g) => a + least(size(filter(cgc, x => x === g)),
-          size(filter(rgc, x => x === g))))
+      // the ClippedCount expression: see bleuPairs (same 13.5 s lesson)
+      val clipped = org.apache.spark.sql.graft.ClippedCount.of(cgc, rgc)
       val p = when(size(cgc) > 0,
         clipped.cast("double") / size(cgc).cast("double"))
       val r = when(size(rgc) > 0,

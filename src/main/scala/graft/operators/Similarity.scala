@@ -1034,15 +1034,30 @@ object Similarity {
             .cast(DecimalType(25, 12)), 9).cast("double")).as("corr"))
   }
 
-  /** L2-normalize a float-vector column back to FLOATS: v / ‖v‖ with the
-    * exact-decimal norm ([[normSq]]) and a round-to-nearest-float cast
-    * per element — every step correctly rounded and identical across
-    * engines (DuckDB: `(x::DOUBLE / nrm)::REAL`). Shared by the
+  /** L2-normalized float vectors as a STAGED (id, __nv) frame: v / ‖v‖
+    * with the exact-decimal norm ([[normSq]]) and a round-to-nearest-
+    * float cast per element — every step correctly rounded and identical
+    * across engines (DuckDB: `(x::DOUBLE / nrm)::REAL`). Shared by the
     * alignment/uniformity pair so both metrics live on the unit sphere
-    * (the Wang & Isola formulation). */
-  private def unitFloat(v: Column): Column = {
-    val nrm = sqrt(normSq(v))
-    transform(v, x => (x.cast("double") / nrm).cast("float"))
+    * (the Wang & Isola formulation).
+    *
+    * Why a STAGE sits between the norm and the transform: inlining
+    * `sqrt(normSq(v))` into the transform lambda re-runs the decimal
+    * fold PER ELEMENT (d× per row — CollapseProject folds the alias
+    * into the lambda body), and the self-join consumers would re-run
+    * the whole normalization per branch. Measured: the p238 gate read
+    * 14.3 s inlined, ~1 s staged. */
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String,
+      stager: Stager, tag: String): DataFrame = {
+    val withNrm = stager.stage(
+      df.filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
+        .select(col(s"`$idCol`").as("__id"), col(s"`$vecCol`").as("__v"))
+        .withColumn("__nrm", sqrt(normSq(col("__v"))))
+        .filter(col("__nrm") > 0.0),
+      s"unit_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    withNrm.select(col("__id"),
+      transform(col("__v"),
+        x => (x.cast("double") / col("__nrm")).cast("float")).as("__nv"))
   }
 
   /** Embedding ALIGNMENT (Wang & Isola 2020, "Understanding Contrastive
@@ -1065,12 +1080,9 @@ object Similarity {
     * map-side-combinable global aggregation. No pair enumeration here —
     * the caller's pair generator owns that cost. */
   def embeddingAlignment(pairs: DataFrame, idACol: String, idBCol: String,
-      emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val e = emb
-      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
-      .filter(normSq(col(s"`$vecCol`")) > 0.0)
-      .select(col(s"`$idCol`").as("__id"),
-        unitFloat(col(s"`$vecCol`")).as("__nv"))
+      emb: DataFrame, idCol: String, vecCol: String,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    val e = unitVectors(emb, idCol, vecCol, stager, "align")
     val joined = pairs
       .select(col(s"`$idACol`").as("__a"), col(s"`$idBCol`").as("__b"))
       .join(e.select(col("__id").as("__a"), col("__nv").as("__va")), Seq("__a"))
@@ -1108,16 +1120,13 @@ object Similarity {
     * the all-pairs square. One shuffle on the bucket key, one global
     * aggregation. */
   def embeddingUniformity(df: DataFrame, idCol: String, vecCol: String,
-      nBuckets: Int, t: Double = 2.0, salt: String = "unif"): DataFrame = {
+      nBuckets: Int, t: Double = 2.0, salt: String = "unif",
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(t > 0 && !t.isNaN && !t.isInfinity, s"t must be finite and > 0, got $t")
-    val e = df
-      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
-      .filter(normSq(col(s"`$vecCol`")) > 0.0)
-      .select(col(s"`$idCol`").as("__id"),
-        unitFloat(col(s"`$vecCol`")).as("__nv"),
-        Splits.hashBucket(col(s"`$idCol`").cast("string"), salt, nBuckets)
-          .as("__bk"))
+    val e = unitVectors(df, idCol, vecCol, stager, "unif")
+      .withColumn("__bk",
+        Splits.hashBucket(col("__id").cast("string"), salt, nBuckets))
     val a = e.select(col("__bk"), col("__id").as("__a"), col("__nv").as("__va"))
     val b = e.select(col("__bk"), col("__id").as("__b"), col("__nv").as("__vb"))
     val d2 = org.apache.spark.sql.graft.DecimalVecFold
