@@ -9887,5 +9887,54 @@ object SparkEntry {
       graft.operators.Eval.kendallTauB(ra, rb, "lang", "doc_id", "rank")
         .orderBy(col("lang"))
     }
+
+    // --- margin-based mining score (Artetxe & Schwenk) over the
+    //     (odd, odd-1) embedding pairs, neighborhoods = brute top-5
+    //     (the candidate-injectable audit path; LSH shortlists are the
+    //     scale path, the p67b rule).
+    register("p246_margin_score",
+      s"""WITH e2 AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND $normSql > 0),
+         |pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM e2 a JOIN e2 b ON a.vec_id % 2 = 1 AND b.vec_id = a.vec_id - 1),
+         |p AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(q.embedding, e.embedding),
+         |      x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE
+         |      / (q.nrm * e.nrm) AS cosine
+         |  FROM e2 q JOIN e2 e ON e.vec_id != q.vec_id),
+         |r AS (SELECT query_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |av AS (SELECT query_id,
+         |    CAST(SUM(CAST(ROUND(CAST(cosine AS DECIMAL(25,12)), 9)
+         |      AS DECIMAL(25,9))) AS DOUBLE) / (2.0 * COUNT(*)::DOUBLE) AS avgc
+         |  FROM r WHERE rank <= 5 GROUP BY query_id),
+         |pc AS (SELECT pr.ida, pr.idb,
+         |    CAST(ROUND(CAST(
+         |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+         |        x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE
+         |        / (ea.nrm * eb.nrm)
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS cosine
+         |  FROM pr JOIN e2 ea ON ea.vec_id = pr.ida
+         |          JOIN e2 eb ON eb.vec_id = pr.idb)
+         |SELECT pc.ida AS id_a, pc.idb AS id_b, pc.cosine,
+         |  CASE WHEN aa.avgc IS NOT NULL AND ab.avgc IS NOT NULL
+         |        AND aa.avgc + ab.avgc != 0 THEN
+         |    CAST(ROUND(CAST(pc.cosine / (aa.avgc + ab.avgc)
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) END AS margin
+         |FROM pc LEFT JOIN av aa ON aa.query_id = pc.ida
+         |        LEFT JOIN av ab ON ab.query_id = pc.idb
+         |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val pairs = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id_a"), (col("vec_id") - 1).as("id_b"))
+      val nbrA = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 5)
+      val nbrB = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 5)
+      Similarity.marginScore(pairs, "id_a", "id_b", e, "vec_id", "embedding",
+          nbrA, nbrB)
+        .orderBy(col("id_a"))
+    }
   }
 }

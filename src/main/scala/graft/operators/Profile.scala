@@ -237,20 +237,19 @@ object Profile {
           .as("zipf_intercept"))
   }
 
-  /** Benford first-digit audit per group (Benford 1938; Nigrini's
-    * fraud-audit staple): the leading-digit distribution of a naturally
-    * occurring positive quantity follows P(d) = log10(1 + 1/d); a source
-    * whose counts/sizes/durations DON'T is synthesized, truncated, or
-    * template-generated — a data-provenance smell the location/scale
-    * drift panel can't see (two corpora can share mean and variance
-    * while one has hand-picked round numbers). Per group over an
-    * INTEGER-valued column: the 9 leading-digit counts, χ² against the
-    * Benford expectation, and the mean absolute deviation of observed
-    * digit frequencies (Nigrini's MAD, his conformity thresholds are on
-    * this scale). Output: (groupCol, n long, d1..d9 longs, chi2, mad
-    * double — both NULL on an empty group, which emits no row anyway).
-    * NULL group/value rows and ZERO values drop (zero has no leading
-    * digit); negatives audit by |v|.
+  /** Benford first-digit audit PER GROUP — the grouped roll-up
+    * companion of [[benfordProfile]] (which emits the corpus-level
+    * per-digit table): one row per group with the 9 leading-digit
+    * counts, χ² against P(d) = log10(1 + 1/d), and the mean absolute
+    * deviation of observed digit frequencies (Nigrini's MAD — his
+    * conformity thresholds are on this scale). The per-SOURCE shape is
+    * what a provenance audit acts on: a single synthesized or truncated
+    * source hides inside a corpus-level profile but lights up its own
+    * χ² row. Works on an INTEGER-valued column. Output: (groupCol,
+    * n long, d1..d9 longs, chi2, mad double). NULL group/value rows and
+    * ZERO values drop (zero has no leading digit); negatives audit by
+    * |v| (benfordProfile instead drops v < 1 — fractional leading
+    * digits belong there).
     *
     * Exactness: the leading digit comes from the LONG's decimal string
     * (never floor(log10) — IEEE log10 of exact powers of ten sits 1 ulp

@@ -1060,6 +1060,67 @@ object Similarity {
         x => (x.cast("double") / col("__nrm")).cast("float")).as("__nv"))
   }
 
+  /** Margin-based mining score (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining"): for each candidate pair (x, y),
+    * cos(x, y) / (Σ_{z∈NN(x)} cos(x, z)/(2·|NN(x)|) +
+    * Σ_{z∈NN(y)} cos(y, z)/(2·|NN(y)|)) — the RATIO margin that divides
+    * a pair's raw cosine by how crowded each side's neighborhood is,
+    * the fix for hubness (a vector that is close to EVERYTHING should
+    * not mine pairs on raw cosine). The neighborhood frames are
+    * CALLER-INJECTED (query_id, neighbor_id, cosine — the
+    * [[bruteForceTopK]] shape), the p67b candidate-injection rule: feed
+    * the brute frames for the audit path, [[lshTopK]]/IVF shortlists at
+    * scale. Output: (idACol, idBCol, cosine double — the pair cosine at
+    * 9 dp, margin double 9 dp — NULL when either side has no
+    * neighbors). Pairs with a missing/zero-norm embedding drop.
+    *
+    * Exactness: the pair cosine rides the exact-decimal [[dot]]/
+    * [[normSq]] recipe reported at 9 dp; each neighborhood cosine
+    * quantizes to 9 dp before an exact-decimal sum; the denominator and
+    * margin are a fixed IEEE tree of those 9-dp quantities.
+    *
+    * 100 TB shape: two |pairs|-cardinality equi-joins for the pair
+    * cosine, two map-side-combinable per-query aggregations over the
+    * (already bounded) neighbor frames, two broadcast-or-hash joins
+    * back. The expensive part — neighborhood construction — is the
+    * caller's index choice, not this operator. */
+  def marginScore(pairs: DataFrame, idACol: String, idBCol: String,
+      emb: DataFrame, idCol: String, vecCol: String,
+      nbrA: DataFrame, nbrB: DataFrame): DataFrame = {
+    def q9(c: Column): Column =
+      round(c.cast(DecimalType(25, 12)), 9).cast(DecimalType(25, 9))
+    def nbrAvg(nbr: DataFrame, out: String): DataFrame = nbr
+      .filter(col("query_id").isNotNull && col("cosine").isNotNull)
+      .groupBy(col("query_id"))
+      .agg((sum(q9(col("cosine"))).cast("double") /
+        (lit(2.0) * count(lit(1)).cast("double"))).as(out))
+    val e = emb
+      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"), col(s"`$vecCol`").as("__v"))
+      .withColumn("__n", sqrt(normSq(col("__v"))))
+      .filter(col("__n") > 0.0)
+    val joined = pairs
+      .select(col(s"`$idACol`").as("__a"), col(s"`$idBCol`").as("__b"))
+      .join(e.select(col("__id").as("__a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("__a"))
+      .join(e.select(col("__id").as("__b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("__b"))
+      .withColumn("__cos",
+        round((dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .cast(DecimalType(25, 12)), 9).cast("double"))
+    joined
+      .join(nbrAvg(nbrA, "__avga").withColumnRenamed("query_id", "__a"),
+        Seq("__a"), "left")
+      .join(nbrAvg(nbrB, "__avgb").withColumnRenamed("query_id", "__b"),
+        Seq("__b"), "left")
+      .select(col("__a").as(idACol), col("__b").as(idBCol),
+        col("__cos").as("cosine"),
+        when(col("__avga").isNotNull && col("__avgb").isNotNull &&
+            col("__avga") + col("__avgb") =!= 0.0,
+          round((col("__cos") / (col("__avga") + col("__avgb")))
+            .cast(DecimalType(25, 12)), 9).cast("double")).as("margin"))
+  }
+
   /** Embedding ALIGNMENT (Wang & Isola 2020, "Understanding Contrastive
     * Representation Learning"): E ‖x − y‖² over POSITIVE pairs of
     * unit-normalized embeddings — low alignment says semantically-linked

@@ -502,7 +502,16 @@ class PlanAuditSpec extends SparkSpecBase {
       "p156_dedup_yield", "p157_quantile_normalize",
       // p158: the deliberate Θ(nBins²) interval theta join runs on the
       // <= 10-row bin frame — a bounded tiny-frame join by contract
-      "p158_isotonic")
+      "p158_isotonic",
+      // p243: the 1-row global-prior scalar broadcasts into the encode
+      // pass (the q24 global-avg shape); p244: the topN-word frame
+      // (<= topN rows by construction) broadcasts into the group-totals
+      // frame to build the FULL group x word grid — zero cells are the
+      // point, so the cross join IS the contract; p246: the brute-force
+      // neighborhood frames are p07's broadcast-queries cross join by
+      // design (candidate-injectable — LSH shortlists at scale, the
+      // p67b rule)
+      "p243_target_encode", "p244_burrows_delta", "p246_margin_score")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -465,6 +465,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(nn((0, 0)) === ((0, 0, 2L, 0.0)), "identical dim-0 values: zero variance")
   }
 
+  test("marginScore: hand ratio, hubness discount, NULL on missing neighborhoods") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),  // the pair: cosine 1
+      (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // injected neighborhoods: side 1 is crowded (avg cos 0.9), side 2
+    // sparse (avg cos 0.1) -> denom = 0.9/2 + 0.1/2 = 0.5 -> margin 2.0
+    val nbrA = Seq((1L, 10L, 0.8), (1L, 11L, 1.0))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val nbrB = Seq((2L, 10L, 0.1)).toDF("query_id", "neighbor_id", "cosine")
+    val out = Similarity.marginScore(pairs, "id_a", "id_b",
+        emb, "vec_id", "embedding", nbrA, nbrB)
+      .select("cosine", "margin").as[(Double, Double)].head()
+    assert(out._1 === 1.0)
+    assert(out._2 === 2.0, "cos / (0.9/2 + 0.1/2)")
+    // a side with NO neighborhood rows -> margin NULL, cosine kept
+    val out2 = Similarity.marginScore(pairs, "id_a", "id_b",
+        emb, "vec_id", "embedding", nbrA,
+        nbrB.filter($"query_id" === -1L))
+      .select("cosine", "margin").collect().head
+    assert(out2.getDouble(0) === 1.0 && out2.isNullAt(1))
+  }
+
   test("embeddingAlignment/Uniformity: hand geometry on the unit sphere") {
     // alignment: identical pair -> d2 = 0; orthogonal unit pair -> d2 = 2
     val emb = Seq(
