@@ -130,6 +130,22 @@ object Streams {
     graft.operators.Mixture.sampleMixture(
       docs, sourceCol, keyCol, weights, salt, defaultWeight, repCol)
 
+  /** Streaming blocklist screen — the badwords/keyword filter at ingest.
+    * [[graft.operators.Scrub.blocklistHits]]'s Aho–Corasick pass is a
+    * pure per-row expression (the automaton rides the serialized
+    * expression; no state, no watermark, no shuffle), so the identical
+    * operator applies to an unbounded stream and a stream's output row
+    * set equals the batch run over the same rows regardless of
+    * micro-batch boundaries (StreamsSpec pins the identity). */
+  def blocklistHitsStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String],
+      caseInsensitive: Boolean = true): DataFrame =
+    graft.operators.Scrub.blocklistHits(
+      docs, idCol, textCol, patterns, caseInsensitive)
+
   // ------------------------------------------------------------ custom state
 
   case class KeyCount(key: String, total: Long)

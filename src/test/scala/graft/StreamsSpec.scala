@@ -214,6 +214,30 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("blocklistHitsStream equals the batch AC screen across micro-batch splits") {
+    val docs = testdata("sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"doc_id".isNotNull)
+    val blk = Seq("the", "he", "and", "lorem ipsum")
+    val rows = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val out = Streams.blocklistHitsStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", blk)
+    val q = out.writeStream.format("memory").queryName("blk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("blk_stream")
+        .as[(Long, Long, Int)].collect().toSet
+      val batch = graft.operators.Scrub.blocklistHits(docs, "doc_id", "text", blk)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(batch.exists(_._2 > 0), "fixture must contain blocklist hits")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sampleMixtureStream equals the batch mixture regardless of micro-batch splits") {
     val events = testdata("sf0.001", "events")
       .select($"event_id".cast("long").as("event_id"), $"event_type")
