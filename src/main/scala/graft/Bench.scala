@@ -239,5 +239,14 @@ object Bench {
     // tail cannot
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_last.json: ${e.getMessage}") }
+    // FINAL compact summary (<1500 chars), printed LAST: the driver keeps
+    // only the last 2000 stdout chars and the full line above truncates
+    // mid-object there ("parsed": null in 15 straight round artifacts).
+    // This line carries what round-over-round comparison needs — totals,
+    // spread, failure list, the 5 slowest medians — and flags that its
+    // "queries" map is the top-5 cut, with bench_last.json the full detail.
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"reps":$reps,"suite_totals":${vec(suiteTotals)},"spread_pct":${r3(spreadPct)},"spread_pct_clean":${r3(spreadClean)},"rep_gc_sec":${vec(repGcSec)},"rep_loads":${vec(repLoads)},"warm_pass_sec":${r3(if (doWarm) warmSecTotal else -1.0)},"n_failed":${failed.size},"failed":$failedJson,"queries":$top5,"queries_top5_only":true,"full_detail":"bench_last.json"}""")
   }
 }

@@ -455,6 +455,97 @@ object ScaleProbe {
       f" ${r}x: $thuR%.1fs $huR pairs" +
       f" (ratio ${thuR / thu1}%.2fx time, ${huR.toDouble / hu1}%.2fx rows — " +
       "the R^2 wedge blow-up the cap exists to stop)")
+
+    // ---- embedding uniformity (p238): the pair space is the bucketed
+    // self-equi-join, Σ_b size(b)² — the documented posture is
+    // nBuckets ∝ n so occupancy stays constant and pairs grow LINEARLY.
+    // Replicas stripe vec_ids (the pair set is a pure function of the
+    // id-hash buckets, so identical vectors across replicas change
+    // nothing); n_pairs is hash-occupancy random, ~Rx in expectation,
+    // so the invariant here is the ORDER (≈Rx pairs, near-linear time),
+    // not an exact count.
+    val emb = Tables.read(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    def embFrame(reps: Int, bound: Long): DataFrame = (0 until reps).map { i =>
+      emb.filter(col("vec_id") < bound)
+        .select((col("vec_id") * r + i).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val nEmb = emb.count()
+    val bk1 = math.max(1L, nEmb / 16L).toInt
+    def unifRun(reps: Int, buckets: Int, bound: Long): Long =
+      graft.operators.Similarity.embeddingUniformity(
+        embFrame(reps, bound), "vec_id", "embedding", nBuckets = buckets)
+        .head().getAs[Long]("n_pairs")
+    time(unifRun(1, bk1, Long.MaxValue))
+    val (u1, tu1) = time(unifRun(1, bk1, Long.MaxValue))
+    val (uR, tuR) = time(unifRun(r, bk1 * r, Long.MaxValue))
+    println(f"uniformity_buckets(n/16) 1x: $tu1%.1fs $u1 pairs | ${r}x: $tuR%.1fs $uR pairs" +
+      f" (ratio ${tuR / tu1}%.2fx time, ${uR.toDouble / u1}%.2fx pairs)")
+    // the GIANT-bucket hazard: nBuckets FIXED at 1 while n grows Rx —
+    // pairs are exactly C(n,2), so rows/time blow up ~R^2 BY CONSTRUCTION
+    // (documents why the bucket count must track n); bounded base so the
+    // quadratic demonstration stays seconds, the capped-hub convention
+    val unifBound = 250L
+    val (g1p, tg1p) = time(unifRun(1, 1, unifBound))
+    val (gRp, tgRp) = time(unifRun(r, 1, unifBound))
+    println(f"uniformity_giant_bucket 1x: $tg1p%.1fs $g1p pairs | ${r}x: $tgRp%.1fs $gRp pairs" +
+      f" (ratio ${tgRp / tg1p}%.2fx time, ${gRp.toDouble / g1p}%.2fx pairs — " +
+      "the C(n,2) blow-up nBuckets ∝ n exists to stop)")
+
+    // ---- Fellegi–Sunter linkage (p242): the corpus collapses to <= 2^k
+    // pattern counts in ONE aggregation; EM is a driver recipe over that
+    // bounded table. Two claims probed: (a) pair-corpus growth at fixed
+    // k is near-linear with rows exactly Rx (scores join back onto every
+    // input row); (b) growing k 3 -> 12 multiplies the DRIVER table 512x
+    // but the corpus side stays one aggregation — time must grow far
+    // under 512x, rows exactly 1x. Agreement bits are deterministic
+    // hash bits, so every replica stripe carries the same pattern mix.
+    def linkFrame(reps: Int, k: Int): DataFrame = {
+      val n = 500000L
+      spark.range(0L, n * reps).select(
+        (col("id") +:
+          (0 until k).map(i =>
+            (xxhash64(col("id"), lit(i)).bitwiseAND(lit(1L)) === 0L)
+              .as(s"f$i"))): _*)
+    }
+    def linkRun(reps: Int, k: Int): Long =
+      graft.operators.Linkage.fellegiSunter(
+        linkFrame(reps, k), (0 until k).map(i => s"f$i")).count()
+    time(linkRun(1, 3))
+    val (l1, tl1) = time(linkRun(1, 3))
+    val (lR, tlR) = time(linkRun(r, 3))
+    println(f"linkage_em(k=3) 1x: $tl1%.1fs $l1 rows | ${r}x: $tlR%.1fs $lR rows" +
+      f" (ratio ${tlR / tl1}%.2fx time, ${lR.toDouble / l1}%.2fx rows)")
+    val (lk1, tlk1) = time(linkRun(1, 12))
+    println(f"linkage_em(k=12, 1x): $tlk1%.1fs $lk1 rows" +
+      f" (vs k=3 1x: ${tlk1 / tl1}%.2fx time for 512x the pattern table — " +
+      "driver-side EM, corpus side unchanged)")
+
+    // ---- margin mining score (p246): neighborhoods are caller-injected
+    // (the p67b rule), so the operator's own cost is the pair-cosine
+    // equi-joins plus per-query aggregations over the neighbor frames.
+    // Replicas stripe ALL ids (pairs, neighbors, embeddings); vectors
+    // repeat, so each replica's margins are exactly replica 0's.
+    // Expected: rows exactly Rx, near-linear time.
+    def marginRun(reps: Int): Long = {
+      val e = embFrame(reps, Long.MaxValue)
+      val qs = e.filter(col("vec_id") % (2L * r) >= r.toLong) // odd pre-stripe ids
+        .select(col("vec_id").as("id_a"), (col("vec_id") - r).as("id_b"))
+      def nbr(side: String) = qs.select(col(side).as("query_id"))
+        .select(col("query_id"),
+          explode(sequence(lit(1), lit(5))).as("__j"))
+        .select(col("query_id"), (col("query_id") + col("__j")).as("neighbor_id"),
+          (lit(0.5) + col("__j") * 0.01).as("cosine"))
+      graft.operators.Similarity.marginScore(
+        qs, "id_a", "id_b", e, "vec_id", "embedding",
+        nbr("id_a"), nbr("id_b")).count()
+    }
+    time(marginRun(1))
+    val (m1, tm1) = time(marginRun(1))
+    val (mR, tmR) = time(marginRun(r))
+    println(f"margin_score 1x: $tm1%.1fs $m1 rows | ${r}x: $tmR%.1fs $mR rows" +
+      f" (ratio ${tmR / tm1}%.2fx time, ${mR.toDouble / m1}%.2fx rows)")
     spark.stop()
   }
 }

@@ -87,6 +87,24 @@ object SparkEntry {
       s.read.parquet(out.toString)
     })
 
+  private val setsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** ONE materialized shingle-set frame shared by the three prefix-filter
+    * similarity gates (p69/p71/p71b) — a production near-dup DAG builds
+    * it once for all passes; rebuilding the corpus-sized tokenize +
+    * collect_set + sort per gate was the r15 suite's dominant GC source
+    * (p71 alone: 5.7 s of one rep's 10.4 s GC). Same session-keyed temp-
+    * parquet pattern as [[minhashPairs]]. */
+  private def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    setsCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
+      val sets = graft.operators.Dedup.prefixShingleSets(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
+      val out = java.nio.file.Files.createTempDirectory("graft_sets_cache")
+      out.toFile.deleteOnExit()
+      sets.write.mode("overwrite").parquet(out.toString)
+      s.read.parquet(out.toString)
+    })
+
   private def register(name: String, oracle: String)(q: Q): Unit =
     registry.put(name, (q, Some(oracle)))
 
@@ -748,6 +766,46 @@ object SparkEntry {
         "count per o_orderstatus where o_orderpriority = 1-URGENT by o_orderstatus asc",
         t(s, dir, "orders").columns.toSeq)
       compiled.apply(t(s, dir, "orders"))
+    }
+
+    // --- C3: NL window class, grouped top-k — "top 2 per <group> by
+    //     <col>" compiles to row_number() over (partition, total order)
+    //     kept as `rank`; the oracle pins the SAME window order (primary
+    //     desc + every remaining column asc, the compiled tie-break) and
+    //     the SAME final collation.
+    register("c3_transform_window",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey, o_custkey, o_orderdate,
+        |      o_orderpriority) AS rank
+        |  FROM orders) x
+        |WHERE rank <= 2
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      val compiled = NlCompiler.compile(
+        "top 2 per o_orderstatus by o_totalprice desc showing o_orderkey, o_orderstatus, o_totalprice and rank",
+        t(s, dir, "orders").columns.toSeq)
+      // the compiled sort tie-breaks on EVERY remaining column; re-order
+      // to the oracle's simpler (primary, key) collation for the compare
+      compiled.apply(t(s, dir, "orders"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }
+
+    // --- C3: NL window class, running total — "running total of <col>
+    //     per <group> by <order>" compiles to a ROWS-framed prefix sum.
+    //     The summed column is a LONG so the prefix sums are exact in any
+    //     association; the window order is the unique doc_id plus the
+    //     compiled all-columns tie-break (never reached — doc_id is
+    //     unique, so the oracle's doc_id-only order is the same order).
+    register("c3_transform_running",
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val compiled = NlCompiler.compile(
+        "running total of n_chars per lang by doc_id asc showing doc_id, lang, n_chars and running_n_chars",
+        t(s, dir, "documents").columns.toSeq)
+      compiled.apply(t(s, dir, "documents")).orderBy(col("doc_id"))
     }
 
     // --- NL-over-the-graph (reference README.md:250-277, the WIP
@@ -3446,7 +3504,8 @@ object SparkEntry {
          |FROM v WHERE i * 1000000 >= (sa + sb - i) * 800000
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       graft.operators.Dedup.jaccardPairsPrefix(
-          t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8)
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8,
+          preSets = Some(docShingleSets(s, dir)))
         .withColumn("jaccard_sim", round(col("jaccard_sim"), 9))
         .orderBy(col("id_a"), col("id_b"))
     }
@@ -3514,7 +3573,8 @@ object SparkEntry {
          |FROM v WHERE i * 1000000 >= sa * 800000
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       graft.operators.Dedup.containmentPairsPrefix(
-          t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8)
+          t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8,
+          preSets = Some(docShingleSets(s, dir)))
         .withColumn("containment", round(col("containment"), 9))
         .orderBy(col("id_a"), col("id_b"))
     }
@@ -3559,7 +3619,8 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       graft.operators.Dedup.containmentPairsPrefix(
           t(s, dir, "documents"), "doc_id", "text", shingleN = 3,
-          threshold = 0.8, maxDf = Some(2L))
+          threshold = 0.8, maxDf = Some(2L),
+          preSets = Some(docShingleSets(s, dir)))
         .withColumn("containment", round(col("containment"), 9))
         .orderBy(col("id_a"), col("id_b"))
     }
@@ -9466,7 +9527,8 @@ object SparkEntry {
          |    CAST(substr(CAST(abs(CAST(n_chars AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS d,
          |    CAST(n_chars AS BIGINT) AS v
          |  FROM documents
-         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars != 0),
+         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars != 0
+         |    AND CAST(n_chars AS BIGINT) != -9223372036854775808),
          |c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
          |${(1 to 9).map(d => s"    CAST(SUM(CASE WHEN d = $d THEN 1 ELSE 0 END) AS BIGINT) AS d$d").mkString(",\n")}
          |  FROM b GROUP BY g)
@@ -9902,7 +9964,8 @@ object SparkEntry {
          |    list_sum(list_transform(list_zip(q.embedding, e.embedding),
          |      x -> CAST(x[1]::DOUBLE * x[2]::DOUBLE AS DECIMAL(38,18))))::DOUBLE
          |      / (q.nrm * e.nrm) AS cosine
-         |  FROM e2 q JOIN e2 e ON e.vec_id != q.vec_id),
+         |  FROM e2 q JOIN e2 e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < 200),
          |r AS (SELECT query_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
@@ -9942,6 +10005,71 @@ object SparkEntry {
       Similarity.marginScore(pairs, "id_a", "id_b", e, "vec_id", "embedding",
           nbrA, nbrB)
         .orderBy(col("id_a"))
+    }
+
+    // --- ROUGE-L LCS F-measure over the p240 pairing, promoted from a
+    //     driver differential to a full oracle gate: the LCS DP is a
+    //     bounded sequential recurrence, so the oracle replays it as a
+    //     recursive-CTE CELL walk (the p234 WordPiece precedent) — state
+    //     (i, j, prev DP row, current row prefix), one cell per step,
+    //     dp[i][j+1] = prev[j+1]+1 on match else max(prev[j+2], cur[j+1]).
+    //     The pair set is BOUNDED (doc_id < 200) and both sides truncate
+    //     to 32 tokens — the walk is pairs x m x (n+1) recursion rows, the
+    //     brute-audit query-set convention (p07/p80/p246).
+    {
+      val lcsToks = """list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x != '')"""
+      register("p247_rouge_l",
+        s"""WITH RECURSIVE
+           |cand AS (SELECT doc_id, list_slice($lcsToks, 1, 32) AS ct
+           |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200),
+           |refs AS (SELECT doc_id + 1 AS doc_id, list_slice($lcsToks, 1, 32) AS rt
+           |  FROM documents),
+           |pr AS (SELECT doc_id, ct, rt,
+           |    CAST(len(ct) AS INT) AS m, CAST(len(rt) AS INT) AS n
+           |  FROM cand JOIN refs USING (doc_id)),
+           |walk(doc_id, i, j, prev, cur) AS (
+           |  SELECT doc_id, 1, 0,
+           |    list_transform(range(0, n + 1), x -> CAST(0 AS BIGINT)),
+           |    [CAST(0 AS BIGINT)]
+           |  FROM pr WHERE m >= 1 AND n >= 1
+           |  UNION ALL
+           |  SELECT w.doc_id,
+           |    CASE WHEN w.j < p.n THEN w.i ELSE w.i + 1 END,
+           |    CASE WHEN w.j < p.n THEN w.j + 1 ELSE 0 END,
+           |    CASE WHEN w.j < p.n THEN w.prev ELSE w.cur END,
+           |    CASE WHEN w.j < p.n THEN list_append(w.cur,
+           |        CASE WHEN p.ct[w.i] = p.rt[w.j + 1] THEN w.prev[w.j + 1] + 1
+           |             ELSE greatest(w.prev[w.j + 2], w.cur[w.j + 1]) END)
+           |      ELSE [CAST(0 AS BIGINT)] END
+           |  FROM walk w JOIN pr p USING (doc_id)
+           |  WHERE NOT (w.i = p.m AND w.j = p.n)),
+           |done AS (SELECT w.doc_id, CAST(w.cur[p.n + 1] AS INT) AS lcs
+           |  FROM walk w JOIN pr p USING (doc_id)
+           |  WHERE w.i = p.m AND w.j = p.n),
+           |res AS (SELECT p.doc_id, p.m, p.n,
+           |    CASE WHEN p.m = 0 OR p.n = 0 THEN 0 ELSE d.lcs END AS lcs
+           |  FROM pr p LEFT JOIN done d USING (doc_id)),
+           |sc AS (SELECT doc_id, m, n, lcs,
+           |    CASE WHEN m > 0 THEN lcs::DOUBLE / m::DOUBLE END AS rouge_l_p,
+           |    CASE WHEN n > 0 THEN lcs::DOUBLE / n::DOUBLE END AS rouge_l_r
+           |  FROM res)
+           |SELECT doc_id, m AS cand_len, n AS ref_len, lcs AS lcs_len,
+           |  rouge_l_p, rouge_l_r,
+           |  CASE WHEN rouge_l_p IS NULL OR rouge_l_r IS NULL THEN NULL
+           |       WHEN rouge_l_p + rouge_l_r = 0 THEN 0.0
+           |       ELSE 2.0 * rouge_l_p * rouge_l_r / (rouge_l_p + rouge_l_r)
+           |  END AS rouge_l_f
+           |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val cand = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 200)
+          .select(col("doc_id"), col("text").as("cand"))
+        val refs = d.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("ref"))
+        graft.operators.Eval.rougeLPairs(
+            cand.join(refs, Seq("doc_id")), "doc_id", "cand", "ref",
+            maxTokens = 32)
+          .orderBy(col("doc_id"))
+      }
     }
   }
 }

@@ -47,6 +47,19 @@ object PromptBudget {
   *                                    pre-aggregation, every other clause
   *                                    compiles against the aggregated
   *                                    schema (count -> "n", else "<fn>_<col>")
+  *   top <k> per|within each|for each <g1[, g2]>
+  *                                 -> grouped top-k: row_number() over
+  *                                    (partition by g, order by the sort
+  *                                    clause, desc default) kept as `rank`,
+  *                                    cut to rank <= k
+  *   rank by <col...> per <g...>   -> same window, `rank` column only (no
+  *                                    cut)
+  *   running|cumulative total|sum [of] <col> [per <g1[, g2]>]
+  *                                 -> running_<col>: windowed prefix sum
+  *                                    ordered by the sort clause (ASC
+  *                                    default — chronological), explicit
+  *                                    ROWS unbounded-preceding..current
+  *                                    frame
   */
 object NlCompiler {
 
@@ -62,7 +75,7 @@ object NlCompiler {
   // "top" as a group column — resolve() drops it silently and replaceAllIn
   // then strips the keyword, destroying the following clause
   private val grammarKeyword =
-    "(?:top|first|head|show|showing|select|return|returning|where|parse|convert|by|unique|distinct|join|on)"
+    "(?:top|first|head|show|showing|select|return|returning|where|parse|convert|by|unique|distinct|join|on|per|within|for|each|running|cumulative)"
   private val aggRx =
     ("""(?i)\b(count|sum|total|avg|average|mean|min|max)\s+(?:of\s+)?(?:((?!""" + grammarKeyword +
       """\b)[a-z0-9_\.]+)\s+)?(?:per|grouped\s+by|group\s+by)\s+((?!""" + grammarKeyword +
@@ -84,6 +97,24 @@ object NlCompiler {
     }
   private val dateRx =
     """(?i)\b(?:parse|convert)\s+([a-z0-9_\.]+)\s+(?:as|to)\s+(?:a\s+)?(?:date(?:time)?|timestamp)""".r
+  private val topKRx = """(?i)\b(?:top|first|head)\s+(\d+)\b""".r
+  /** `per|within each|for each <g1[, g2]>` — the window partition clause of
+    * the grouped top-k / rank / running-total classes. */
+  private val perRx =
+    ("""(?i)\b(?:per|within\s+each|for\s+each)\s+((?!""" + grammarKeyword +
+      """\b)[a-z0-9_\.]+(?:\s*(?:,|\band\b)\s*(?!""" + grammarKeyword +
+      """\b)[a-z0-9_\.]+)*)""").r
+  /** `running|cumulative total|sum of <col>` — windowed cumulative sum;
+    * MUST be checked before aggRx (whose own `total ... per` pattern is a
+    * strict suffix of this one and would compile a groupBy instead). */
+  private val runningRx =
+    ("""(?i)\b(?:running|cumulative)\s+(?:total|sum)\s+(?:of\s+)?((?!""" +
+      grammarKeyword + """\b)[a-z0-9_\.]+)""").r
+  /** `rank by ...` — the rank-only window verb; group(1) keeps the `by` so
+    * stripping the verb leaves the sort clause intact ("$1" replacement). */
+  private val rankVerbRx = """(?i)\brank(?:ed)?(\s+by)\b""".r
+  private val uniqueRx =
+    """(?i)\b(?:unique|distinct|dedup(?:licated?)?)\s+(?:by\s+)?([a-z0-9_\.]+)""".r
 
   /** Deterministic-order tie-break sorts on at most this many remaining
     * columns; wider schemas collapse the tail into a single xxhash64 sort
@@ -106,6 +137,57 @@ object NlCompiler {
     ("(?i)\\bby\\s+(" + sortPhrase + "(?:\\s+" + sortDir + ")?" +
       "(?:\\s*(?:,|\\band\\b)\\s*" + sortPhrase + "(?:\\s+" + sortDir + ")?)*)").r
   private val sortSegRx = ("""(?i)^(.*?)(?:\s+(""" + sortDir + """))?$""").r
+
+  /** Parse the sort clause into (resolvedCol, explicit direction) pairs —
+    * direction stays raw (None when unspecified) so each caller applies
+    * its own default: the sort/top-k paths default DESC ("top 5 by price"
+    * means highest-first), the running-total path defaults ASC ("running
+    * total by date" means chronological). */
+  private def parseSortKeys(search: String, resolve: String => Option[String],
+      warn: String => Unit): Seq[(String, Option[String])] =
+    sortClauseRx.findFirstMatchIn(search).toSeq.flatMap { m =>
+      m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
+        .map(_.trim).filter(_.nonEmpty).flatMap { seg =>
+          val sm = sortSegRx.findFirstMatchIn(seg).get
+          resolve(sm.group(1)) match {
+            case Some(c) => Some((c, Option(sm.group(2)).map(_.toLowerCase)))
+            case None =>
+              warn(s"sort column '${sm.group(1).trim}' did not resolve")
+              None
+          }
+        }
+    }
+
+  /** Deterministic TOTAL order: the resolved sort keys, then every
+    * remaining column ascending as the tie-break (pandas keep='first'
+    * depends on input order, which has no distributed equivalent). On
+    * schemas wider than [[MaxTieBreakCols]] the tail collapses into one
+    * xxhash64 so the sort key stays bounded WITHOUT surrendering the
+    * total order — only a 64-bit collision (or fully identical rows,
+    * which are interchangeable) leaves a tie. MapType columns are not
+    * hashable in Spark and drop from the hash tail. */
+  private def totalOrder(df0: DataFrame,
+      sortKeys: Seq[(String, Boolean)]): Seq[Column] = {
+    def cref(name: String): Column = col(s"`${name.replace("`", "``")}`")
+    val primary = sortKeys.map { case (c, asc) => if (asc) cref(c).asc else cref(c).desc }
+    val named = sortKeys.map(_._1).toSet
+    val rest = df0.columns.toSeq.filterNot(named)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val tieBreak =
+      if (rest.size <= MaxTieBreakCols) rest.map(cref(_).asc)
+      else {
+        val tail = rest.drop(MaxTieBreakCols - 1)
+          .filter(c => hashable(df0.schema(c).dataType))
+        rest.take(MaxTieBreakCols - 1).map(cref(_).asc) ++
+          (if (tail.isEmpty) Nil else Seq(xxhash64(tail.map(cref): _*).asc))
+      }
+    primary ++ tieBreak
+  }
 
   def compile(query: String, columns: Seq[String]): Compiled = {
     val q = " " + query.trim + " "
@@ -140,6 +222,80 @@ object NlCompiler {
           }
           if (hits.size == 1) hits.headOption else None
         }
+    }
+
+    def cref(name: String): Column = col(s"`${name.replace("`", "``")}`")
+
+    /** Shared by the window branches: groups of the per-clause (resolved,
+      * with no-silent-drop warnings), pre-window filters and date parses
+      * (INPUT-schema clauses, applied before the window — the agg-branch
+      * convention), and the query remainder with all of those stripped. */
+    def perGroups(): (Seq[String], Seq[String]) =
+      perRx.findFirstMatchIn(q) match {
+        case Some(pm) =>
+          val toks = pm.group(1).split("""(?i)\s*(?:,|\band\b)\s*""").toSeq
+          val resolved = toks.map(g => g -> resolve(g))
+          (resolved.flatMap(_._2),
+            resolved.collect { case (tok, None) => s"group column '$tok' did not resolve" })
+        case None => (Nil, Nil)
+      }
+    def preClauses(): (Seq[(String, String, String)], Seq[String]) = (
+      filterRx.findAllMatchIn(q).toSeq.flatMap { fm =>
+        resolve(fm.group(1)).map { c =>
+          val (op, v) = filterOpValue(fm); (c, op, v)
+        }
+      },
+      dateRx.findAllMatchIn(q).toSeq.flatMap(dm => resolve(dm.group(1))))
+    def stripPre(s: String): String =
+      dateRx.replaceSomeIn(
+        filterRx.replaceSomeIn(s,
+          fm => if (resolve(fm.group(1)).isDefined) Some(" ") else None),
+        dm => if (resolve(dm.group(1)).isDefined) Some(" ") else None)
+
+    // ---- running / cumulative total: a window, not a groupBy -------------
+    // Checked BEFORE aggRx: "running total of x per g" contains the agg
+    // grammar "total of x per g" as a suffix and would otherwise compile to
+    // a groupBy sum. Order comes from the query's sort clause (ASC default
+    // here — "running total by date" means chronological); the sort clause
+    // stays in the remainder so the OUTPUT is also ordered by it.
+    val runM = runningRx.findFirstMatchIn(q)
+    if (runM.isDefined) {
+      val m = runM.get
+      val valCol = resolve(m.group(1)).getOrElse(throw new IllegalArgumentException(
+        s"running-total column '${m.group(1)}' did not resolve"))
+      val outName = s"running_$valCol"
+      require(!columns.exists(_.equalsIgnoreCase(outName)),
+        s"input already has a '$outName' column")
+      val warnB = scala.collection.mutable.ArrayBuffer.empty[String]
+      val (groupCols, groupWarnings) = perGroups()
+      val orderKeys = parseSortKeys(uniqueRx.replaceAllIn(lower, " "),
+          resolve, warnB += _)
+        .map { case (c, dir) => (c, !dir.exists(_.startsWith("desc"))) }
+      require(orderKeys.nonEmpty,
+        s"running total needs an order: add 'by <col> [asc|desc]' in: $query")
+      val (preFilters, preDates) = preClauses()
+      val rest = runningRx.replaceAllIn(perRx.replaceAllIn(stripPre(q), " "), " ")
+      val post = compile(rest, columns :+ outName)
+      val describe = (s"runningSum=$valCol->$outName" +
+        s":per=${groupCols.mkString("|")}" +
+        s":order=${orderKeys.map { case (c, a) => s"$c:${if (a) "asc" else "desc"}" }.mkString("|")}" +
+        preDates.map(c => s";toTimestamp=$c").mkString +
+        preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
+        (if (post.describe.nonEmpty) ";" + post.describe else ""))
+      return Compiled(describe, { df0 =>
+        val dated = preDates.foldLeft(df0)((d, c) =>
+          d.withColumn(c, try_to_timestamp(cref(c))))
+        val filtered = preFilters.foldLeft(dated) { case (d, (c, op, v)) =>
+          d.filter(comparison(cref(c), op, v))
+        }
+        // explicit ROWS frame: the default RANGE frame sums whole peer
+        // groups at once; with the total order they coincide, but ROWS
+        // states the sequential-prefix intent (and is what the oracle pins)
+        val w = Window.partitionBy(groupCols.map(cref): _*)
+          .orderBy(totalOrder(filtered, orderKeys): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        post.apply(filtered.withColumn(outName, sum(cref(valCol)).over(w)))
+      }, groupWarnings ++ warnB.toSeq ++ post.warnings)
     }
 
     // ---- aggregation clause: handled by recursion ------------------------
@@ -209,11 +365,54 @@ object NlCompiler {
       }, groupWarnings ++ post.warnings)
     }
 
-    // ---- parse clauses ----------------------------------------------------
-    val topK = """(?i)\b(?:top|first|head)\s+(\d+)\b""".r
-      .findFirstMatchIn(lower).map(_.group(1).toInt)
+    // ---- grouped top-k / rank-within-group: a window, not a limit --------
+    // "top 3 per brand by price" / "rank by score per lang": row_number()
+    // over (partition groups, order by sort keys DESC-default + total-order
+    // tie-break), kept as a `rank` column; `top <k>` also cuts rank <= k,
+    // the bare rank verb keeps every row. The sort clause stays in the
+    // remainder (global output order); filters/date parses are pre-window.
+    val topPerM = topKRx.findFirstMatchIn(q)
+    val rankM = rankVerbRx.findFirstMatchIn(q)
+    if ((topPerM.isDefined || rankM.isDefined) &&
+        perRx.findFirstMatchIn(q).isDefined) {
+      require(!columns.exists(_.equalsIgnoreCase("rank")),
+        "input already has a 'rank' column")
+      val warnB = scala.collection.mutable.ArrayBuffer.empty[String]
+      val (groupCols, groupWarnings) = perGroups()
+      require(groupCols.nonEmpty,
+        s"no resolvable grouping column after per/within each in: $query")
+      val orderKeys = parseSortKeys(uniqueRx.replaceAllIn(lower, " "),
+          resolve, warnB += _)
+        .map { case (c, dir) => (c, dir.exists(_.startsWith("asc"))) }
+      require(orderKeys.nonEmpty,
+        s"grouped top-k/rank needs an order: add 'by <col> [asc|desc]' in: $query")
+      val k = topPerM.map(_.group(1).toInt)
+      val (preFilters, preDates) = preClauses()
+      val rest = rankVerbRx.replaceAllIn(
+        topKRx.replaceAllIn(perRx.replaceAllIn(stripPre(q), " "), " "), "$1")
+      val post = compile(rest, columns :+ "rank")
+      val describe = (s"topPerGroup=${k.map(_.toString).getOrElse("*")}" +
+        s":per=${groupCols.mkString("|")}" +
+        s":order=${orderKeys.map { case (c, a) => s"$c:${if (a) "asc" else "desc"}" }.mkString("|")}" +
+        preDates.map(c => s";toTimestamp=$c").mkString +
+        preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
+        (if (post.describe.nonEmpty) ";" + post.describe else ""))
+      return Compiled(describe, { df0 =>
+        val dated = preDates.foldLeft(df0)((d, c) =>
+          d.withColumn(c, try_to_timestamp(cref(c))))
+        val filtered = preFilters.foldLeft(dated) { case (d, (c, op, v)) =>
+          d.filter(comparison(cref(c), op, v))
+        }
+        val w = Window.partitionBy(groupCols.map(cref): _*)
+          .orderBy(totalOrder(filtered, orderKeys): _*)
+        val ranked = filtered.withColumn("rank", row_number().over(w))
+        post.apply(k.map(kk => ranked.filter(col("rank") <= kk)).getOrElse(ranked))
+      }, groupWarnings ++ warnB.toSeq ++ post.warnings)
+    }
 
-    val uniqueRx = """(?i)\b(?:unique|distinct|dedup(?:licated?)?)\s+(?:by\s+)?([a-z0-9_\.]+)""".r
+    // ---- parse clauses ----------------------------------------------------
+    val topK = topKRx.findFirstMatchIn(lower).map(_.group(1).toInt)
+
     val uniqueBy = uniqueRx.findFirstMatchIn(lower).flatMap(m => resolve(m.group(1)))
 
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -224,22 +423,10 @@ object NlCompiler {
     // swallow silently kills the sort (review regression: "by price top 5"
     // used to limit unsorted rows).
     val sortSearch = uniqueRx.replaceAllIn(lower, " ")
+    // desc default: "top 5 by price" means highest-first
     val sortKeys: Seq[(String, Boolean)] =
-      sortClauseRx.findFirstMatchIn(sortSearch).toSeq.flatMap { m =>
-        m.group(1).split("""\s*(?:,|\band\b)\s*""").toSeq
-          .map(_.trim).filter(_.nonEmpty).flatMap { seg =>
-            val sm = sortSegRx.findFirstMatchIn(seg).get
-            resolve(sm.group(1)) match {
-              case Some(c) =>
-                // desc default: "top 5 by price" means highest-first
-                val asc = Option(sm.group(2)).exists(_.toLowerCase.startsWith("asc"))
-                Some((c, asc))
-              case None =>
-                warnings += s"sort column '${sm.group(1).trim}' did not resolve"
-                None
-            }
-          }
-      }
+      parseSortKeys(sortSearch, resolve, warnings += _)
+        .map { case (c, dir) => (c, dir.exists(_.startsWith("asc"))) }
 
     // filler words between the verb and the first column ("show me the id")
     // are skipped so plain-English phrasing neither breaks the clause nor
@@ -281,9 +468,6 @@ object NlCompiler {
       }
 
     // ---- assemble plan ----------------------------------------------------
-    // resolved names may contain dots (flattened key.subKey columns) —
-    // always reference them backticked so col() doesn't parse a struct path
-    def cref(name: String): Column = col(s"`${name.replace("`", "``")}`")
     val fn: DataFrame => DataFrame = { df0 =>
       var df = df0
       dateParse.foreach { c =>
@@ -296,36 +480,7 @@ object NlCompiler {
       }
       val ordered =
         if (sortKeys.nonEmpty) {
-          val primary = sortKeys.map { case (c, asc) => if (asc) cref(c).asc else cref(c).desc }
-          // pandas keep='first' depends on input order, which has no
-          // distributed equivalent; pin a DETERMINISTIC total order by
-          // tie-breaking on remaining columns ascending. On schemas wider
-          // than MaxTieBreakCols the tail columns collapse into one
-          // xxhash64 so the sort key stays bounded WITHOUT surrendering
-          // the total order (two rows equal on the leading columns but
-          // different in the tail still order deterministically; only a
-          // 64-bit hash collision — or fully identical rows, which are
-          // interchangeable — leaves a tie).
-          val named = sortKeys.map(_._1).toSet
-          val rest = df0.columns.toSeq.filterNot(named)
-          // MapType (anywhere in a type) is not hashable in Spark without a
-          // legacy flag — such tail columns are dropped from the hash, as
-          // the pre-hash design dropped everything past the cap
-          def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-            case _: org.apache.spark.sql.types.MapType => false
-            case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
-            case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-            case _ => true
-          }
-          val tieBreak =
-            if (rest.size <= MaxTieBreakCols) rest.map(cref(_).asc)
-            else {
-              val tail = rest.drop(MaxTieBreakCols - 1)
-                .filter(c => hashable(df0.schema(c).dataType))
-              rest.take(MaxTieBreakCols - 1).map(cref(_).asc) ++
-                (if (tail.isEmpty) Nil else Seq(xxhash64(tail.map(cref): _*).asc))
-            }
-          val ord = primary ++ tieBreak
+          val ord = totalOrder(df0, sortKeys)
           uniqueBy match {
             case Some(u) =>
               // drop_duplicates(subset=u, keep='first' after sort) — Spark's

@@ -194,7 +194,12 @@ object Classifier {
     * Rows with a NULL category, and rows whose own target is NULL,
     * receive the smoothed mean WITHOUT the LOO subtraction (a value
     * that never entered the sums can't leak). Adds `outCol` (double,
-    * 9 dp). The target is quantized to 9 dp before any sum.
+    * 9 dp). The target is quantized to 9 dp before any sum, which
+    * bounds its magnitude: |y| must be < 1e13 (DECIMAL(25,12)'s
+    * integral capacity) and non-NaN/non-infinite — values past the
+    * bound would silently cast to NULL under non-ANSI semantics and
+    * take the NULL-target branch, so the encode RAISES on them
+    * instead (a target that large is a data bug, not a feature).
     *
     * Exactness: per-category sums are exact decimal over the 9-dp
     * target; the prior and every encode are fixed IEEE trees of
@@ -213,9 +218,18 @@ object Classifier {
       .foreach(c => throw new IllegalArgumentException(
         s"column name '$c' is reserved by targetEncodeLoo"))
     val cat = col(s"`$catCol`")
-    val y9 = round(col(s"`$targetCol`").cast(DecimalType(25, 12)), 9)
-      .cast(Dec)
-    val base = df.withColumn("__te_y", y9)
+    val yRaw = col(s"`$targetCol`")
+    val y9 = round(yRaw.cast(DecimalType(25, 12)), 9).cast(Dec)
+    // |y| >= 1e13 (or NaN/inf) overflows the DECIMAL(25,12) quantization
+    // to NULL under non-ANSI semantics and would silently take the
+    // NULL-target branch — fail loudly instead (docstring contract)
+    val base = df.withColumn("__te_y",
+      when(yRaw.isNotNull && y9.isNull,
+        raise_error(concat(
+          lit(s"targetEncodeLoo: target '$targetCol' out of DECIMAL(25,12) " +
+            "range (|y| must be < 1e13 and finite), got "),
+          yRaw.cast("string"))).cast(Dec))
+        .otherwise(y9))
     val stats = base.filter(cat.isNotNull && col("__te_y").isNotNull)
       .groupBy(cat.as("__te_cat"))
       .agg(sum(col("__te_y")).as("__te_sum"), count(lit(1)).as("__te_n"))

@@ -132,6 +132,21 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__shingles"))
 
+  /** The shingle-set frame the prefix-filter joins consume — (idCol,
+    * __shingles sorted asc, __sz long), empty sets dropped. Build it ONCE
+    * and pass it to [[jaccardPairsPrefix]]/[[containmentPairsPrefix]] via
+    * `preSets` when several similarity passes run over the same corpus
+    * (a production near-dup DAG runs Jaccard + containment + the cut
+    * variant off one materialization; rebuilding the corpus-sized
+    * tokenize/collect_set/sort per pass is pure duplicated allocation —
+    * measured as the dominant GC contributor in the r15 suite). The
+    * CALLER owns staging/persistence of this frame. */
+  def prefixShingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    shingleSets(df, idCol, textCol, shingleN)
+      .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
+        size(col("__shingles")).cast("long").as("__sz"))
+
   /** Winnowing fingerprints for a whole corpus via the codegen'd shingle
     * stream: the k lexicographically smallest md5 shingle digests per doc
     * (duplicates included), ascending, '|'-joined — value-identical to
@@ -479,18 +494,19 @@ object Dedup {
     * silently break exactness, which is this operator's contract. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+      stager: Stager = Stager.LocalCheckpoint,
+      preSets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold (prefix length diverges at 0)")
     val tMicro = math.round(threshold * 1e6)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     // sorted arrays: array_intersect streams them either way, and sorted
-    // output keeps the verify stage deterministic for the oracle
-    val sets = stager.stage(
-      shingleSets(df, idCol, textCol, shingleN)
-        .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
-          size(col("__shingles")).cast("long").as("__sz")),
-      s"prefix_sets_$runId")
+    // output keeps the verify stage deterministic for the oracle.
+    // preSets: a caller-staged [[prefixShingleSets]] frame shared across
+    // similarity passes — skips this pass's own corpus-sized build+stage.
+    val sets = preSets.getOrElse(stager.stage(
+      prefixShingleSets(df, idCol, textCol, shingleN),
+      s"prefix_sets_$runId"))
     val tok = sets.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g"))
     val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
     val ranked = tok.join(dfreq, "__g")
@@ -557,17 +573,16 @@ object Dedup {
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None,
-      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+      stager: Stager = Stager.LocalCheckpoint,
+      preSets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     require(maxDf.forall(_ >= 1L), s"maxDf must be >= 1, got $maxDf")
     val tMicro = math.round(threshold * 1e6)
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    val sets0 = stager.stage(
-      shingleSets(df, idCol, textCol, shingleN)
-        .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
-          size(col("__shingles")).cast("long").as("__sz")),
-      s"containment_sets_$runId")
+    val sets0 = preSets.getOrElse(stager.stage(
+      prefixShingleSets(df, idCol, textCol, shingleN),
+      s"containment_sets_$runId"))
     val tok0 = sets0.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__g"))
     val dfreq = tok0.groupBy(col("__g")).agg(count(lit(1)).as("__dfc"))
     val (sets, tok) = maxDf match {

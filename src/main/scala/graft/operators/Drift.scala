@@ -1243,18 +1243,24 @@ object Drift {
     * stddev is population (÷|G|), one IEEE sqrt; each |z_a − z_b|
     * quantizes to 9 dp before the order-free decimal sum.
     *
-    * 100 TB shape: one token-count aggregation (map-side), a topN
-    * TakeOrderedAndProject, then EVERYTHING runs on the |G|·topN grid
-    * and the |G|²·topN pair frame — bounded by group cardinality and
-    * the word budget, never corpus-sized. */
+    * 100 TB shape: ONE token-count aggregation (map-side) — the
+    * group×term count frame is STAGED through `stager` before the five
+    * consumers fan out (topN, per-group totals, the grid join), because
+    * without staging Catalyst re-executes the corpus-sized termStream
+    * scan once per consumer (the embeddingCovariance staging rationale).
+    * After the stage, EVERYTHING runs on the |G|·topN grid and the
+    * |G|²·topN pair frame — bounded by group cardinality and the word
+    * budget, never corpus-sized. */
   def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
-      topN: Int = 50): DataFrame = {
+      topN: Int = 50, stager: Stager = Stager.LocalCheckpoint): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val g = col(s"`$groupCol`")
-    val counts = graft.functions.TextFunctions
-      .termStream(docs.filter(g.isNotNull), Seq(g), textCol)
-      .groupBy(g.as("__g"), col("__term"))
-      .agg(count(lit(1)).as("__c"))
+    val counts = stager.stage(
+      graft.functions.TextFunctions
+        .termStream(docs.filter(g.isNotNull), Seq(g), textCol)
+        .groupBy(g.as("__g"), col("__term"))
+        .agg(count(lit(1)).as("__c")),
+      "burrows_counts")
     val top = counts.groupBy(col("__term"))
       .agg(sum(col("__c")).as("__tot"))
       .orderBy(col("__tot").desc, col("__term"))

@@ -1458,10 +1458,11 @@ object Eval {
     * cand_len/ref_len are the TRUNCATED lengths (the lengths the DP and
     * the ratios actually use). NULL texts read as empty.
     *
-    * Not oracle-gated: LCS is a sequential DP (each cell needs the
-    * same-row predecessor), inexpressible in set-oriented SQL without
-    * cell-level recursion — VocabSpec-style driver differential pins it
-    * instead (the streaming-twin precedent for non-oracle-able rows).
+    * Oracle-gated (p247): the sequential DP replays in DuckDB as a
+    * recursive-CTE CELL walk over (i, j, previous row, current prefix)
+    * — the p234 WordPiece bounded-recursion precedent — on a bounded
+    * pair set; the EvalSpec driver differential still pins the
+    * expression itself on adversarial token sequences.
     *
     * 100 TB shape: a pure projection; maxTokens² per-row constant. */
   def rougeLPairs(df: DataFrame, idCol: String, candCol: String,

@@ -249,7 +249,12 @@ object Profile {
     * n long, d1..d9 longs, chi2, mad double). NULL group/value rows and
     * ZERO values drop (zero has no leading digit); negatives audit by
     * |v| (benfordProfile instead drops v < 1 — fractional leading
-    * digits belong there).
+    * digits belong there). Long.MinValue also drops: |MIN_LONG|
+    * overflows back to itself in two's complement, so its "digit"
+    * would parse NULL and the row would count toward n while landing
+    * in no d1..d9 bucket (and DuckDB's ANSI abs() errors on it) —
+    * filtering it keeps both engines aligned and the buckets summing
+    * to n.
     *
     * Exactness: the leading digit comes from the LONG's decimal string
     * (never floor(log10) — IEEE log10 of exact powers of ten sits 1 ulp
@@ -269,7 +274,8 @@ object Profile {
     // 9-dp quantized Benford probabilities, shared verbatim with oracles
     val p = Profile.benfordProbs
     val digit = substring(abs(v).cast("string"), 1, 1).cast("int")
-    val base = df.filter(g.isNotNull && v.isNotNull && v =!= 0L)
+    val base = df.filter(g.isNotNull && v.isNotNull && v =!= 0L &&
+        v =!= Long.MinValue)
       .select(g.as("__g"), digit.as("__d"))
     val counts = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),

@@ -73,9 +73,9 @@ case class CovTriangleAgg(
     val d = arr.numElements()
     if (d == 0) return buf
     buf.grow(d * (d + 1) / 2)
-    // hoisted per-element quantization; Long.MinValue marks a NULL slot
-    // (an impossible q value: |q(x)| for a finite float stays far under
-    // 2^63, and the NaN/Inf cases map to 0/saturate like Spark's cast)
+    // hoisted per-element quantization: rx holds each element's q value
+    // and the parallel nul array tracks NULL slots (a NULL element's rx
+    // entry stays 0 and is never read — every consumer checks nul first)
     val rx = new Array[Long](d)
     val nul = new Array[Boolean](d)
     var e = 0

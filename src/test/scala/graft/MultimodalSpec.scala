@@ -223,6 +223,158 @@ class MultimodalSpec extends SparkSpecBase {
     assert(plan.contains("MapPartitions"), plan)
   }
 
+  // --- real pixel/sample decode (round 16) ------------------------------
+
+  /** Real encoded fixture: solid-rgb image via BufferedImage + the JDK's
+    * own ImageIO writer — the same codec path production payloads take. */
+  private def encodeImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: decoded dims equal header-parsed dims on every real fixture") {
+    val fmts = Seq("png", "jpg", "bmp", "gif", "tiff")
+    val rows = fmts.zipWithIndex.map { case (f, i) =>
+      (i.toLong, f, encodeImage(f, 320, 240, 0x50A0C0)) }
+    val df = rows.toDF("id", "fmt", "media")
+    val out = Multimodal.imagePixelStats(df, "media")
+      .withColumn("hdr", Multimodal.imageDimensions(col("media")))
+      .select(col("fmt"), col("pixel_stats.width"), col("pixel_stats.height"),
+        col("hdr.width").as("hw"), col("hdr.height").as("hh"))
+      .collect()
+    assert(out.length === fmts.length)
+    out.foreach { r =>
+      val fmt = r.getString(0)
+      assert(r.getInt(1) === 320, s"$fmt decoded width")
+      assert(r.getInt(2) === 240, s"$fmt decoded height")
+      // the cross-check: byte-arithmetic header parse == real pixel decode
+      assert(!r.isNullAt(3) && r.getInt(3) === 320, s"$fmt header width")
+      assert(!r.isNullAt(4) && r.getInt(4) === 240, s"$fmt header height")
+    }
+  }
+
+  test("ImageIoDecoder: exact channel means and luma histogram on lossless fixtures") {
+    val dec = new Multimodal.ImageIoDecoder(8)
+    // solid rgb(200,100,50): luma = (299*200+587*100+114*50)/1000 = 124 -> bin 3
+    for (fmt <- Seq("png", "bmp")) {
+      val f = dec.decode(encodeImage(fmt, 4, 2, (200 << 16) | (100 << 8) | 50))
+      assert(f != null, fmt)
+      assert(f.length === 13)
+      assert((f(0), f(1)) === ((4f, 2f)), fmt)
+      assert((f(2), f(3), f(4)) === ((200f, 100f, 50f)), fmt)
+      assert(f.drop(5).toSeq === Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f), fmt)
+    }
+    // half black / half white: means 127.5, luma bins 0 and 7 at 0.5 each
+    val two = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    two.setRGB(0, 0, 0x000000); two.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(two, "png", bos)
+    val g = dec.decode(bos.toByteArray)
+    assert((g(2), g(3), g(4)) === ((127.5f, 127.5f, 127.5f)))
+    assert(g.drop(5).toSeq === Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    // undecodable bytes -> null (the fall-through contract)
+    assert(dec.decode("not an image".getBytes("UTF-8")) == null)
+    assert(dec.decode(Array.emptyByteArray) == null)
+  }
+
+  test("imagePixelStats / decodeFeatures: null struct for junk, single Dataset plan") {
+    val png = encodeImage("png", 3, 3, 0x010203)
+    val df = Seq((1L, png), (2L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+    val out = Multimodal.imagePixelStats(df, "media")
+    val got = out.select(col("id"), col("pixel_stats")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val s = got(1L).get
+    assert((s.getInt(0), s.getInt(1)) === ((3, 3)))
+    assert((s.getDouble(2), s.getDouble(3), s.getDouble(4)) === ((1.0, 2.0, 3.0)))
+    assert(got(2L) === None)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    // decodeFeatures with the real decoder: junk -> null features column
+    val feats = Multimodal.decodeFeatures(df, "media", new Multimodal.ImageIoDecoder(8))
+    val fm = feats.select(col("id"), col("features")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fm(1L).isDefined && fm(2L).isEmpty)
+  }
+
+  /** Canonical 44-byte-header PCM WAV with the given samples. */
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+      samples16: Seq[Int]): Array[Byte] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le16(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF)
+    def le32(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF)
+    val bytesPerSample = bits / 8
+    val data = samples16.flatMap(s =>
+      if (bits == 16) le16(s & 0xFFFF).toSeq else Seq((s & 0xFF).toByte)).toArray
+    val blockAlign = channels * bytesPerSample
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  test("wavSampleStats: exact RMS/peak/clip on hand-built 16-bit and 8-bit PCM") {
+    // 16-bit mono @8000 Hz: [0, 16384, -16384, 32767, -32768, 0, 0, 0]
+    val s16 = Seq(0, 16384, -16384, 32767, -32768, 0, 0, 0)
+    val full = 32767.0 / 32768.0
+    val rms16 = math.sqrt((0.25 + 0.25 + full * full + 1.0) / 8)
+    // 8-bit mono: [128, 255, 0, 128] -> norms [0, 127/128, -1, 0]
+    val s8 = Seq(128, 255, 0, 128)
+    val n8 = 127.0 / 128.0
+    val rms8 = math.sqrt((n8 * n8 + 1.0) / 4)
+    val df = Seq(
+      (1L, wavBytes(8000, 1, 16, s16)),
+      (2L, wavBytes(8000, 1, 8, s8)),
+      (3L, "junk junk junk junk junk junk junk junk junk".getBytes("UTF-8"))
+    ).toDF("id", "media")
+    val got = Multimodal.wavSampleStats(df, "media")
+      .select(col("id"), col("audio_stats")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val a = got(1L).get
+    assert(a.getLong(0) === 8L)
+    assert(a.getDouble(1) === 8.0 / 8000)
+    assert(a.getDouble(2) === rms16)
+    assert(a.getDouble(3) === 1.0)
+    assert(a.getDouble(4) === 0.25) // 32767 and -32768: 2 of 8 pinned
+    val c = got(2L).get
+    assert(c.getLong(0) === 4L)
+    assert(c.getDouble(1) === 4.0 / 8000)
+    assert(c.getDouble(2) === rms8)
+    assert(c.getDouble(3) === 1.0)
+    assert(c.getDouble(4) === 0.5) // 255 and 0: 2 of 4 pinned
+    assert(got(3L) === None)
+  }
+
+  test("wavSampleStats: stereo frames, float-PCM refusal, truncated data chunk") {
+    // stereo: 2 frames of 2 samples each; n_frames = 2, rms over ALL 4 samples
+    val st = Multimodal.decodeWavStats(wavBytes(44100, 2, 16, Seq(16384, -16384, 0, 32767)))
+    assert(st.getLong(0) === 2L)
+    assert(st.getDouble(1) === 2.0 / 44100)
+    val full = 32767.0 / 32768.0
+    assert(st.getDouble(2) === math.sqrt((0.25 + 0.25 + full * full) / 4))
+    // format code 3 (IEEE float) is not integer PCM: refuse
+    val floatFmt = wavBytes(8000, 1, 16, Seq(0, 0))
+    floatFmt(20) = 3
+    assert(Multimodal.decodeWavStats(floatFmt) == null)
+    // header declares 100 data bytes but only 4 are present: decode what
+    // exists (2 samples), never read past the payload
+    val decl = wavBytes(8000, 1, 16, Seq(16384, -16384))
+    val lied = decl.clone(); lied(40) = 100
+    val t = Multimodal.decodeWavStats(lied)
+    assert(t.getLong(0) === 2L && t.getDouble(3) === 0.5)
+    // empty data chunk: zero frames, all-zero stats (not null - it IS canonical)
+    val empty = Multimodal.decodeWavStats(wavBytes(8000, 1, 16, Seq()))
+    assert(empty != null, "44-byte canonical header with empty data must decode")
+    assert(empty.getLong(0) === 0L && empty.getDouble(2) === 0.0)
+  }
+
   test("imageDimensions parses BMP (both row orders) and WEBP (VP8/VP8L/VP8X)") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // BITMAPINFOHEADER: "BM", 12 junk bytes, DIB size 40, w 320, h 240

@@ -80,6 +80,77 @@ class NlCompilerSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped top-k: 'top 1 per grp by score' windows, keeps rank, cuts") {
+    val c = NlCompiler.compile(
+      "top 1 per grp by score desc showing id, grp and rank", df.columns.toSeq)
+    assert(c.describe.startsWith("topPerGroup=1:per=grp:order=score:desc"))
+    val out = c.apply(df).orderBy("grp")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(out === Seq((2, "a", 1), (4, "b", 1)))
+  }
+
+  test("grouped top-k: within-each phrasing, k=2, filters run pre-window") {
+    // the id=4 row is filtered BEFORE ranking, so grp b ranks only 3
+    val c = NlCompiler.compile(
+      "top 2 within each grp by score desc where score < 35 showing id and rank",
+      df.columns.toSeq)
+    val out = c.apply(df).orderBy("id").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((1, 2), (2, 1), (3, 1)))
+  }
+
+  test("rank verb: 'rank by score per grp' keeps every row, no cut") {
+    val c = NlCompiler.compile("rank by score asc per grp showing id and rank",
+      df.columns.toSeq)
+    assert(c.describe.startsWith("topPerGroup=*:per=grp:order=score:asc"))
+    val out = c.apply(df).orderBy("id").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((1, 1), (2, 2), (3, 1), (4, 2)))
+  }
+
+  test("plain 'top k' without a per clause is still a global limit") {
+    val c = NlCompiler.compile("top 2 by score desc showing id", df.columns.toSeq)
+    assert(c.describe.startsWith("limit=2"))
+    assert(c.apply(df).as[Int].collect().toSeq === Seq(4, 2))
+  }
+
+  test("running total: per-group prefix sum, ASC-default order, exact longs") {
+    val d = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L), (4L, "a", 1L))
+      .toDF("id", "grp", "v")
+    val c = NlCompiler.compile(
+      "running total of v per grp by id showing id, grp and running_v",
+      d.columns.toSeq)
+    assert(c.describe.startsWith("runningSum=v->running_v:per=grp:order=id:asc"))
+    val out = c.apply(d).orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "a", 15L), (3L, "b", 7L), (4L, "a", 16L)))
+  }
+
+  test("running total: ungrouped cumulative sum; explicit desc respected") {
+    val d = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("id", "v")
+    val c = NlCompiler.compile("cumulative sum of v by id desc showing id and running_v",
+      d.columns.toSeq)
+    val out = c.apply(d).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 22L), (2L, 12L), (3L, 7L)))
+  }
+
+  test("running total without an order clause fails loudly, never silently") {
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("running total of score per grp", df.columns.toSeq)
+    }
+    // and it is NOT mistaken for the agg grammar's "total ... per ..."
+    val agg = NlCompiler.compile("total of score per grp", df.columns.toSeq)
+    assert(agg.describe.startsWith("groupAgg=total:score->sum_score"))
+  }
+
+  test("window branches refuse a schema that already has the output column") {
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("top 1 per grp by score",
+        df.columns.toSeq :+ "rank")
+    }
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("running total of score per grp by id",
+        df.columns.toSeq :+ "running_score")
+    }
+  }
+
   private def orders = Seq(
     (100, 1, 10.0), (101, 1, 30.0), (102, 2, 20.0), (103, 9, 99.0)
   ).toDF("order_id", "cust_id", "total")
