@@ -2390,6 +2390,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // --- min-k% prob membership audit (Shi 2023) over the p41 self-
+    //     trained bigram model: per doc, the mean of its ⌈20%⌉ LEAST
+    //     probable bigram logps — the memorization/contamination flag a
+    //     whole-doc mean dilutes. Cut index in integer micros (the p69
+    //     rule); tied logps make the bottom-m VALUE multiset order-free.
+    register("p248_min_k_prob",
+      s"""WITH tok AS (
+         |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $toksLowerSql AS tk FROM documents)),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+         |voc AS (SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt) x
+         |  WHERE rn <= 200),
+         |m AS (SELECT t.doc_id, t.pos,
+         |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+         |  FROM tok t LEFT JOIN voc v USING (tok)),
+         |b2 AS (SELECT * FROM (
+         |    SELECT doc_id, w AS w1,
+         |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM m) x
+         |  WHERE w2 IS NOT NULL),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY w1),
+         |vt AS (SELECT COUNT(DISTINCT t) AS v FROM
+         |  (SELECT w1 AS t FROM b2 UNION ALL SELECT w2 FROM b2)),
+         |sc AS (SELECT b2.doc_id,
+         |    CAST(ROUND(CAST(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + vt.v)::DOUBLE)
+         |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS logp
+         |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vt),
+         |r AS (SELECT doc_id, logp,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY logp) AS rn,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n FROM sc)
+         |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_mink,
+         |  CAST(SUM(CAST(logp AS DECIMAL(25,9))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS min_k_logp
+         |FROM r WHERE rn <= (n * 200000 + 999999) // 1000000
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.minKProbAuditSelf(
+          t(s, dir, "documents"), "doc_id", "text",
+          kPercent = 20.0, vocabSize = 200, logRoundDp = 9)
+        .orderBy(col("doc_id"))
+    }
+
     // --- per-source corpus profile (the curation "report card"): doc and
     //     token volume, exact-dup rate, mean quality per source. Quality
     //     is the p02 formula verbatim; its per-doc doubles sum through

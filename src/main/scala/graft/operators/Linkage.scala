@@ -42,7 +42,7 @@ object Linkage {
     * the intended semantics). */
   def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String],
       emIters: Int = 10, initM: Double = 0.9, initU: Double = 0.1,
-      initP: Double = 0.1): DataFrame = {
+      initP: Double = 0.1, caseApplyMaxPatterns: Int = 64): DataFrame = {
     require(agreeCols.nonEmpty && agreeCols.size <= 16,
       s"need 1..16 agreement columns, got ${agreeCols.size}")
     require(emIters >= 1 && emIters <= 100,
@@ -124,17 +124,42 @@ object Linkage {
       }
       r9(p * pm / (p * pm + (1.0 - p) * pu))
     }
-    // codegen'd field-order weight sum + a chained CASE for the posterior
-    // (k literals and <= 2^k branches — recipe-sized, no join needed)
+    // codegen'd field-order weight sum; the posterior applies as a
+    // chained CASE while the pattern table is small (fully codegen'd, no
+    // join — the k <= 6 common case) and as a <= 2^k-row BROADCAST join
+    // beyond that: a when-chain nests one level PER PATTERN, and at
+    // k = 12 the 4096-deep expression tree overflowed the analyzer stack
+    // (caught by the ScaleProbe linkage leg) — exactly the shape the
+    // docstring's broadcast-apply contract exists for. Both paths emit
+    // the identical 9-dp literals.
     val weight = (0 until k).map { f =>
       when(agree(f), lit(wAgree(f))).otherwise(lit(wDis(f)))
     }.reduce(_ + _)
-    val posterior = pats.foldLeft(lit(null).cast("double")) {
-      case (other, (g, _)) =>
-        val cond = (0 until k).map(f => agree(f) === lit(g(f))).reduce(_ && _)
-        when(cond, lit(postOf(g))).otherwise(other)
+    val weighted = base.withColumn("match_weight", weight)
+    if (pats.length <= caseApplyMaxPatterns) {
+      val posterior = pats.foldLeft(lit(null).cast("double")) {
+        case (other, (g, _)) =>
+          val cond = (0 until k).map(f => agree(f) === lit(g(f))).reduce(_ && _)
+          when(cond, lit(postOf(g))).otherwise(other)
+      }
+      weighted.withColumn("posterior", posterior)
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        agreeCols.map(c => StructField(c, BooleanType, nullable = false)) :+
+          StructField("posterior", DoubleType, nullable = false))
+      val postDf = pairs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(pats.map { case (g, _) =>
+          Row.fromSeq(g.toSeq :+ postOf(g)) }: _*),
+        schema)
+      // every base row's pattern is in pats by construction (the counts
+      // came from base), so the left join never manufactures a null.
+      // Re-select to the CASE path's column order (input + the two added
+      // columns) — a using-join would otherwise move the key columns first.
+      weighted.join(broadcast(postDf), agreeCols, "left")
+        .select((base.columns.toSeq.map(c => col(s"`$c`")) :+
+          col("match_weight") :+ col("posterior")): _*)
     }
-    base.withColumn("match_weight", weight)
-      .withColumn("posterior", posterior)
   }
 }

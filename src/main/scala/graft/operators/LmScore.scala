@@ -88,7 +88,20 @@ object LmScore {
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
       vocabSize: Int = 10000, logRoundDp: Int = 9,
-      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+      stager: Stager = Stager.LocalCheckpoint): DataFrame =
+    bigramLogps(docs, idCol, textCol, train, trainTextCol,
+      vocabSize, logRoundDp, stager)
+      .groupBy(col(s"`$idCol`"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__logp").cast("decimal(25,9)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp"))
+
+  /** The per-bigram scoring stream shared by [[scoreBigram]] and
+    * [[minKProbAudit]]: (idCol, __logp) — one row per scored-document
+    * bigram carrying its 9-dp-contract add-one log-probability. */
+  private def bigramLogps(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      vocabSize: Int, logRoundDp: Int, stager: Stager): DataFrame = {
     require(logRoundDp >= 1 && logRoundDp <= 12,
       s"logRoundDp must be in [1,12], got $logRoundDp")
     val reserved = Seq("__w1", "__w2", "__c12", "__c1", "__v", "__logp",
@@ -126,7 +139,7 @@ object LmScore {
       .union(big.select(col("__w2").as("__t")))
       .agg(countDistinct(col("__t")).as("__v"))
 
-    val scored = bigramStream(docs, idCol, textCol, vocab)
+    bigramStream(docs, idCol, textCol, vocab)
       .join(big, Seq("__w1", "__w2"), "left")
       .join(broadcast(ctx), Seq("__w1"), "left")
       .crossJoin(broadcast(vTypes))
@@ -136,11 +149,63 @@ object LmScore {
               (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
             .cast("decimal(25,12)"),
           logRoundDp).cast("double"))
-    scored.groupBy(col(s"`$idCol`"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("__logp").cast("decimal(25,9)")).cast("double") /
-          count(lit(1)).cast("double")).as("avg_logp"))
+      .select(col(s"`$idCol`"), col("__logp"))
   }
+
+  /** Min-k% prob membership audit (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the
+    * mean log-probability of its ⌈k%⌉ LEAST-probable bigrams under the
+    * [[scoreBigram]] model. The signal: a genuinely novel document has
+    * some low-probability outlier tokens, while a document the model has
+    * effectively memorized (a duplicate, a benchmark leak, templated
+    * boilerplate) is well-modeled even in its WORST k% — so a high
+    * min-k score flags membership/contamination where the overall mean
+    * ([[scoreBigram]]'s avg_logp) gets diluted by the easy majority.
+    * Output: (idCol, n_bigrams long, n_mink long — ⌈k%·n⌉, min_k_logp
+    * double). Documents with < 2 tokens have no bigrams and are absent
+    * (the scoreBigram convention). kPercent = 100 reproduces avg_logp
+    * exactly.
+    *
+    * Exactness: the per-bigram logps are [[scoreBigram]]'s 9-dp
+    * contracted values; the cut ⌈k%·n⌉ is integer-micros arithmetic
+    * ((n·kµ + 999999) div 1e6 with kµ = round(k·1e4)); the bottom-m
+    * VALUE multiset is deterministic regardless of tie order (tied
+    * logps are equal by definition), summed in DECIMAL(25,9), one IEEE
+    * division.
+    *
+    * 100 TB shape: [[scoreBigram]]'s scoring stream (broadcast model
+    * joins) plus ONE document-keyed window — partitions are
+    * document-sized by construction, never corpus-sized — and a
+    * map-side-combinable final aggregation. */
+  def minKProbAudit(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String, kPercent: Double = 20.0,
+      vocabSize: Int = 10000, logRoundDp: Int = 9,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(kPercent > 0.0 && kPercent <= 100.0,
+      s"kPercent must be in (0, 100], got $kPercent")
+    val kMicro = math.round(kPercent * 1e4) // percent -> fraction micros
+    val lp = bigramLogps(docs, idCol, textCol, train, trainTextCol,
+      vocabSize, logRoundDp, stager)
+    val byDoc = Window.partitionBy(col(s"`$idCol`"))
+    lp.withColumn("__rn", row_number().over(byDoc.orderBy(col("__logp"))))
+      .withColumn("__nb", count(lit(1)).over(byDoc))
+      .filter(col("__rn") <=
+        expr(s"(__nb * ${kMicro}L + 999999L) div 1000000L"))
+      .groupBy(col(s"`$idCol`"))
+      .agg(max(col("__nb")).as("n_bigrams"),
+        count(lit(1)).as("n_mink"),
+        (sum(col("__logp").cast("decimal(25,9)")).cast("double") /
+          count(lit(1)).cast("double")).as("min_k_logp"))
+  }
+
+  /** Self-audit convenience: the corpus audited against its own model —
+    * the "which of my documents does my own LM know suspiciously well"
+    * pass (intra-corpus duplication / template detection). */
+  def minKProbAuditSelf(docs: DataFrame, idCol: String, textCol: String,
+      kPercent: Double = 20.0, vocabSize: Int = 10000, logRoundDp: Int = 9,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame =
+    minKProbAudit(docs, idCol, textCol, docs, textCol, kPercent,
+      vocabSize, logRoundDp, stager)
 
   /** Self-scoring convenience: train and score on the same corpus (the
     * common "rank my own corpus by fluency" pass). */

@@ -469,6 +469,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** Corruption/consistency screen for image payloads: the byte-arithmetic
+    * header parse ([[imageDimensions]]) CROSS-CHECKED against the real
+    * pixel decode ([[ImageIoDecoder]]) per row. Appends `outCol:
+    * struct<status:string, header_format:string, header_w:int,
+    * header_h:int, decoded_w:int, decoded_h:int>` where status is
+    *
+    *  - 'ok'            — both paths ran and agree on dimensions;
+    *  - 'dims_mismatch' — both ran and DISAGREE (a lying or spliced
+    *                      container — the alarm value a curation run
+    *                      quarantines);
+    *  - 'header_only'   — the signature parsed but the decode failed
+    *                      (truncated payload, or a format the JVM has no
+    *                      reader for, e.g. WEBP);
+    *  - 'decode_only'   — no known signature yet ImageIO decoded it
+    *                      (formats outside the header parser's set, e.g.
+    *                      WBMP);
+    *  - 'undecodable'   — neither path recognizes the bytes.
+    *
+    * 100 TB shape: [[imagePixelStats]]'s partition-batched decode pass
+    * plus codegen'd header expressions — one corpus scan, no shuffle;
+    * group the statuses downstream for the corpus report. */
+  def imageDecodeAudit(df: DataFrame, binCol: String,
+      outCol: String = "decode_audit"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
+    val withPix = imagePixelStats(df, binCol, lumaBins = 1, outCol = "__mm_pix")
+    val bin = col(s"`${binCol.replace("`", "``")}`")
+    val hdr = imageDimensions(bin)
+    val pix = col("__mm_pix")
+    withPix
+      .withColumn("__mm_hdr", hdr)
+      .withColumn(outCol, struct(
+        when(col("__mm_hdr").isNull && pix.isNull, lit("undecodable"))
+          .when(col("__mm_hdr").isNull, lit("decode_only"))
+          .when(pix.isNull, lit("header_only"))
+          .when(col("__mm_hdr.width") === pix.getField("width") &&
+            col("__mm_hdr.height") === pix.getField("height"), lit("ok"))
+          .otherwise(lit("dims_mismatch")).as("status"),
+        col("__mm_hdr.format").as("header_format"),
+        col("__mm_hdr.width").as("header_w"),
+        col("__mm_hdr.height").as("header_h"),
+        pix.getField("width").as("decoded_w"),
+        pix.getField("height").as("decoded_h")))
+      .drop("__mm_pix", "__mm_hdr")
+  }
+
   /** REAL WAV/PCM sample decode — pure byte arithmetic over the canonical
     * RIFF layout [[audioMeta]] already validates (16-byte PCM "fmt " chunk,
     * "data" directly after; format code 1 = integer PCM, 8- or 16-bit).

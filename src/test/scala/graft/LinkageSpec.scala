@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Linkage
+import org.apache.spark.sql.functions._
 
 /** Fellegi–Sunter EM linkage (operators/Linkage.scala); end-to-end
   * values are oracle-gated by p242 — this spec covers the learning
@@ -51,6 +52,30 @@ class LinkageSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Linkage.fellegiSunter(pairs, Seq.empty)
     }
+  }
+
+  test("broadcast-join posterior apply is value-identical to the CASE chain " +
+      "and survives wide pattern tables (ScaleProbe k=12 stack-overflow regression)") {
+    // 7 agreement fields from deterministic hash bits -> 128 observed
+    // patterns: above the 64-pattern default (so production input this
+    // wide takes the join path) yet still within the when-chain's stack
+    // budget, so BOTH paths can run on identical input for the parity
+    // check. (k = 10 -> ~1024 patterns already overflows the chain —
+    // re-confirmed while writing this test; that is the join path's job.)
+    val k = 7
+    val base = spark.range(0L, 2000L).select(
+      (col("id") +: (0 until k).map(i =>
+        (xxhash64(col("id"), lit(i)).bitwiseAND(lit(1L)) === 0L).as(s"f$i"))): _*)
+    val cols = (0 until k).map(i => s"f$i")
+    val viaCase = Linkage.fellegiSunter(base, cols,
+      caseApplyMaxPatterns = Int.MaxValue)
+    val viaJoin = Linkage.fellegiSunter(base, cols, caseApplyMaxPatterns = 0)
+    assert(viaCase.columns.toSeq === viaJoin.columns.toSeq)
+    val a = viaCase.select("id", "match_weight", "posterior")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val b = viaJoin.select("id", "match_weight", "posterior")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.length === 2000 && a.toSeq === b.toSeq)
   }
 
   test("degenerate single-pattern input stays clamped and finite") {

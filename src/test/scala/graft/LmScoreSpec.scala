@@ -127,6 +127,39 @@ class LmScoreSpec extends SparkSpecBase {
     assert(r2.getAs[Double]("cond_entropy") === 0.0)
   }
 
+  test("minKProbAudit: k=100% reproduces avg_logp; k=20% takes ceil(0.2n) worst") {
+    val docs = Seq(
+      (1L, "a b a b a b c d e f"), // 9 bigrams, varied probabilities
+      (2L, "a b a b a b a b a b"), // 9 bigrams, all high-probability
+      (3L, "x")                    // < 2 tokens: absent
+    ).toDF("doc_id", "text")
+    val full = LmScore.scoreBigramSelf(docs, "doc_id", "text", vocabSize = 50)
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val all = LmScore.minKProbAuditSelf(docs, "doc_id", "text",
+        kPercent = 100.0, vocabSize = 50)
+      .select("doc_id", "n_bigrams", "n_mink", "min_k_logp")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // k=100: selection is every bigram -> identical to the plain mean
+    assert(all.keySet === Set(1L, 2L))
+    for (id <- Seq(1L, 2L)) {
+      assert(all(id)._2 === full(id)._2 && all(id)._3 === full(id)._2)
+      assert(all(id)._4 === full(id)._3)
+    }
+    val k20 = LmScore.minKProbAuditSelf(docs, "doc_id", "text",
+        kPercent = 20.0, vocabSize = 50)
+      .select("doc_id", "n_bigrams", "n_mink", "min_k_logp")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // ceil(0.2 * 9) = 2 worst bigrams per doc
+    assert(k20(1L)._3 === 2L && k20(2L)._3 === 2L)
+    // the worst-k mean can never exceed the full mean
+    assert(k20(1L)._4 <= full(1L)._3 && k20(2L)._4 <= full(2L)._3)
+    // the memorization signal: doc 2's WORST bigrams are still the high-
+    // probability "a b"/"b a" loop, doc 1's worst are its one-off tail —
+    // min-k separates them harder than the diluted full mean does
+    assert(k20(2L)._4 > k20(1L)._4)
+  }
+
   test("goodTuringCounts: hand-computed N_c table, Katz discounts, unseen mass") {
     // counts: a:3 b:2 c:2 d:1 e:1 f:1 -> N1=3 N2=2 N3=1, N=10
     val df = Seq(("a a a b b c"), ("c d e f")).toDF("text")

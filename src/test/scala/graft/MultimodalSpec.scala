@@ -303,6 +303,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(fm(1L).isDefined && fm(2L).isEmpty)
   }
 
+  test("imageDecodeAudit: ok / header_only / decode_only / undecodable statuses") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = encodeImage("png", 5, 4, 0x334455)                  // both agree
+    val truncatedPng = png.take(30)                               // header parses, decode fails
+    // minimal WEBP VP8X header: signature parses, but the JVM has no reader
+    val webp = "RIFF".getBytes("US-ASCII") ++ b(0, 0, 0, 0) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+      b(0, 0, 0, 0) ++ b(0, 0, 0, 0, 0x3F, 1, 0, 0xEF, 0, 0)
+    val wbmp = {                                                  // ImageIO-only format
+      val img = new java.awt.image.BufferedImage(
+        6, 2, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "wbmp", bos), "no wbmp writer")
+      bos.toByteArray
+    }
+    val junk = "definitely not pixels".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, truncatedPng), (3L, webp), (4L, wbmp), (5L, junk))
+      .toDF("id", "media")
+    val got = Multimodal.imageDecodeAudit(df, "media")
+      .select(col("id"), col("decode_audit.status"), col("decode_audit.header_format"),
+        col("decode_audit.decoded_w"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.get(3))))).toMap
+    assert(got(1L) === (("ok", Some("png"), Some(5))))
+    assert(got(2L) === (("header_only", Some("png"), None)))
+    assert(got(3L) === (("header_only", Some("webp"), None)))
+    assert(got(4L) === (("decode_only", None, Some(6))))
+    assert(got(5L) === (("undecodable", None, None)))
+  }
+
   /** Canonical 44-byte-header PCM WAV with the given samples. */
   private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
       samples16: Seq[Int]): Array[Byte] = {
