@@ -9719,6 +9719,42 @@ object SparkEntry {
       }
     }
 
+    // --- Luhn-validated payment-card candidates (ISO 7812 mod-10): the
+    //     checksum cut over greedy digit-run candidates. The corpus text
+    //     carries no digits, so the gate synthesizes runs DETERMINISTICALLY
+    //     from doc_id in both engines (md5-digit remainders of variable
+    //     length + one known-valid Visa test number per row) — exercising
+    //     length bounds, greedy splits, and both checksum outcomes.
+    register("p249_luhn_scan",
+      s"""WITH synth AS (SELECT doc_id,
+         |    'ref ' || regexp_replace(md5('cc:' || CAST(doc_id AS VARCHAR)),
+         |      '[a-f]', '', 'g') || ' pay 4111-1111-1111-1111 ok' AS text
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |    '(?:\\d[ -]?){12,18}\\d')) AS cand FROM synth),
+         |d AS (SELECT doc_id, regexp_replace(cand, '[ -]', '', 'g') AS digits FROM c),
+         |f AS (SELECT doc_id, digits, CAST(length(digits) AS INT) AS n_digits
+         |  FROM d WHERE length(digits) BETWEEN 13 AND 19),
+         |v AS (SELECT doc_id, digits, n_digits,
+         |    list_sum(list_transform(range(1, n_digits + 1), i ->
+         |      CASE WHEN (n_digits - i) % 2 = 0
+         |             THEN CAST(digits[CAST(i AS INT)] AS INT)
+         |           WHEN CAST(digits[CAST(i AS INT)] AS INT) * 2 > 9
+         |             THEN CAST(digits[CAST(i AS INT)] AS INT) * 2 - 9
+         |           ELSE CAST(digits[CAST(i AS INT)] AS INT) * 2 END)) % 10 = 0
+         |      AS luhn_valid
+         |  FROM f)
+         |SELECT doc_id, digits, n_digits, luhn_valid FROM v
+         |ORDER BY doc_id, digits""".stripMargin) { (s, dir) =>
+      val synth = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat(lit("ref "),
+          regexp_replace(md5(concat(lit("cc:"), col("doc_id").cast("string"))),
+            "[a-f]", ""),
+          lit(" pay 4111-1111-1111-1111 ok")).as("text"))
+      graft.operators.Scrub.luhnCardCandidates(synth, "doc_id", "text")
+        .orderBy(col("doc_id"), col("digits"))
+    }
+
     // --- ROUGE-1/2 precision/recall/F1 over the p236 pairing — the
     //     recall-oriented overlap complement of BLEU; divisions of exact
     //     integer counts, F1 a fixed IEEE tree, no transcendentals.

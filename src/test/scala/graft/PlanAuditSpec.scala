@@ -511,7 +511,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // neighborhood frames are p07's broadcast-queries cross join by
       // design (candidate-injectable — LSH shortlists at scale, the
       // p67b rule)
-      "p243_target_encode", "p244_burrows_delta", "p246_margin_score")
+      "p243_target_encode", "p244_burrows_delta", "p246_margin_score",
+      // p248: the 1-row mapped-type-count scalar broadcasts into the
+      // scoring stream (the p41 add-one denominator shape)
+      "p248_min_k_prob")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
@@ -753,5 +756,24 @@ class PlanAuditSpec extends SparkSpecBase {
     // per-partition group limit, so the exchange carries ~|cols| rows per
     // task, never the value frame
     assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("c3 window gate: the NL grouped top-k's rank cut prunes as WindowGroupLimit") {
+    val df = SparkEntry.queries("c3_transform_window")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // 'top 2 per o_orderstatus' partitions on a LOW-cardinality key (3
+    // statuses) — viable at 100 TB only because the rank <= k filter
+    // pushes down as a per-partition group limit, pruning each map task
+    // to k rows per group BEFORE the status exchange
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("p248: min-k scoring joins the bounded LM model frames by broadcast") {
+    val df = SparkEntry.queries("p248_min_k_prob")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the context table and type count are <= vocab-sized: they must ride
+    // broadcast joins onto the scoring stream, never a corpus-side shuffle
+    // (the suite's global sweep separately rules out CartesianProduct)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }

@@ -98,4 +98,24 @@ class ScrubSpec extends SparkSpecBase {
       Scrub.blocklistHits(docs, "id", "text", Seq("The", "the"))
     }
   }
+
+  test("luhnCardCandidates: checksum, separators, length bounds, greedy extraction") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),     // Visa test number: valid
+      (2L, "ref 4111-1111-1111-1112"),         // checksum off by one: invalid
+      (3L, "short 123456789012 run"),          // 12 digits: below minDigits
+      (4L, "long 1234567890123456789012 run"), // 22 digits: greedy 19, leftover 3 too short
+      (5L, "amex 378282246310005 ok"),         // 15-digit Amex test number: valid
+      (6L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = Scrub.luhnCardCandidates(df, "doc_id", "text")
+      .select("doc_id", "digits", "n_digits", "luhn_valid")
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "4111111111111111", 16, true),
+      (2L, "4111111111111112", 16, false),
+      // hand-run Luhn over the 19-digit greedy cut sums to 94: invalid
+      (4L, "1234567890123456789", 19, false),
+      (5L, "378282246310005", 15, true)))
+  }
 }
