@@ -9755,6 +9755,142 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("digits"))
     }
 
+    // --- chat-transcript structure (the SFT-data battery): turn parsing
+    //     + the strict alternation audit. The corpus text carries no
+    //     role tags, so the gates synthesize five transcript shapes
+    //     DETERMINISTICALLY from (doc_id % 5, text substrings) on both
+    //     engines — clean-with-system, clean-no-system, repeated role,
+    //     assistant-first, and an untagged line + empty assistant turn.
+    {
+      val chatRx = """^(?i)\s*(system|user|assistant)\s*:\s*"""
+      val synthSql =
+        s"""SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+           |    WHEN 0 THEN 'system: be concise' || chr(10) ||
+           |      'user: ' || substr(text, 1, 30) || chr(10) ||
+           |      'assistant: ' || substr(text, 31, 15)
+           |    WHEN 1 THEN 'user: ' || substr(text, 1, 30) || chr(10) ||
+           |      'assistant: ' || substr(text, 31, 15) || chr(10) ||
+           |      'user: again please' || chr(10) ||
+           |      'Assistant : ' || substr(text, 1, 30)
+           |    WHEN 2 THEN 'user: ' || substr(text, 1, 30) || chr(10) ||
+           |      'user: ' || substr(text, 31, 15) || chr(10) || 'assistant: ok'
+           |    WHEN 3 THEN 'assistant: ' || substr(text, 1, 30) || chr(10) ||
+           |      'user: ' || substr(text, 31, 15)
+           |    ELSE 'user: ' || substr(text, 1, 30) || chr(10) ||
+           |      substr(text, 31, 15) || chr(10) || 'assistant:'
+           |  END AS text
+           |FROM documents WHERE doc_id IS NOT NULL""".stripMargin
+      val turnsSql =
+        s"""l AS (SELECT doc_id, ln, line FROM (
+           |    SELECT doc_id, generate_subscripts(ls, 1) AS ln, unnest(ls) AS line
+           |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth))
+           |  WHERE trim(line) != ''),
+           |t AS (SELECT doc_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ln) - 1 AS INT)
+           |      AS turn_idx,
+           |    CASE WHEN regexp_extract(line, '$chatRx', 1) = '' THEN NULL
+           |         ELSE lower(regexp_extract(line, '$chatRx', 1)) END AS role,
+           |    CASE WHEN regexp_extract(line, '$chatRx', 1) = '' THEN line
+           |         ELSE regexp_replace(line, '$chatRx', '') END AS content
+           |  FROM l)""".stripMargin
+      def synthDf(s: SparkSession, dir: String) = {
+        val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val a = substring(col("text"), 1, 30)
+        val b = substring(col("text"), 31, 15)
+        d.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(lit("system: be concise\nuser: "),
+              a, lit("\nassistant: "), b))
+            .when(col("doc_id") % 5 === 1, concat(lit("user: "), a,
+              lit("\nassistant: "), b, lit("\nuser: again please\nAssistant : "), a))
+            .when(col("doc_id") % 5 === 2, concat(lit("user: "), a,
+              lit("\nuser: "), b, lit("\nassistant: ok")))
+            .when(col("doc_id") % 5 === 3, concat(lit("assistant: "), a,
+              lit("\nuser: "), b))
+            .otherwise(concat(lit("user: "), a, lit("\n"), b, lit("\nassistant:")))
+            .as("text"))
+      }
+      register("p250_chat_turns",
+        s"""WITH synth AS ($synthSql),
+           |$turnsSql
+           |SELECT doc_id, turn_idx, role, content,
+           |  CAST(length(content) AS INT) AS n_chars
+           |FROM t ORDER BY doc_id, turn_idx""".stripMargin) { (s, dir) =>
+        graft.operators.Chat.parseChatTurns(synthDf(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id"), col("turn_idx"))
+      }
+      register("p252_chat_tokens",
+        s"""WITH synth AS ($synthSql),
+           |$turnsSql,
+           |k AS (SELECT doc_id, role,
+           |    CAST(len(list_filter(string_split_regex(content, '\\s+'),
+           |      x -> x != '')) AS BIGINT) AS nt
+           |  FROM t),
+           |g AS (SELECT doc_id,
+           |    CAST(SUM(CASE WHEN role IN ('system', 'user') THEN nt ELSE 0 END)
+           |      AS BIGINT) AS prompt_tokens,
+           |    CAST(SUM(CASE WHEN role = 'assistant' THEN nt ELSE 0 END)
+           |      AS BIGINT) AS response_tokens,
+           |    CAST(SUM(CASE WHEN role IS NULL THEN nt ELSE 0 END) AS BIGINT)
+           |      AS unparsed_tokens
+           |  FROM k GROUP BY doc_id)
+           |SELECT doc_id, prompt_tokens, response_tokens, unparsed_tokens,
+           |  CASE WHEN prompt_tokens + response_tokens > 0 THEN
+           |    CAST(ROUND(CAST(response_tokens::DOUBLE /
+           |      (prompt_tokens + response_tokens)::DOUBLE AS DECIMAL(25,12)), 9)
+           |      AS DOUBLE) END AS response_ratio
+           |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.operators.Chat.chatTokenStats(synthDf(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }
+      register("p253_chat_render",
+        s"""WITH synth AS ($synthSql),
+           |$turnsSql
+           |SELECT doc_id,
+           |  string_agg('<|' || COALESCE(role, 'unparsed') || '|>' || content
+           |      || '<|end|>', '' ORDER BY turn_idx) AS rendered,
+           |  CAST(COUNT(*) AS INT) AS n_rendered_turns
+           |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.operators.Chat.renderTemplate(synthDf(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }
+      register("p251_chat_audit",
+        s"""WITH synth AS ($synthSql),
+           |$turnsSql,
+           |f AS (SELECT t.*, CAST(length(content) AS INT) AS n_chars,
+           |    lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS prev
+           |  FROM t),
+           |v AS (SELECT doc_id, role, n_chars, turn_idx,
+           |    (role IS NULL
+           |     OR (prev IS NULL AND role = 'assistant')
+           |     OR (prev IS NOT NULL AND role = 'system')
+           |     OR (prev = 'system' AND role = 'assistant')
+           |     OR (prev = role)) AS viol
+           |  FROM f),
+           |g AS (SELECT doc_id,
+           |    CAST(COUNT(*) AS INT) AS n_turns,
+           |    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT) AS n_user,
+           |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INT)
+           |      AS n_assistant,
+           |    CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS INT)
+           |      AS n_system,
+           |    CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS INT)
+           |      AS n_unparsed,
+           |    CAST(SUM(CASE WHEN role IS NOT NULL AND n_chars = 0 THEN 1 ELSE 0 END)
+           |      AS INT) AS n_empty,
+           |    arg_min(role, turn_idx) FILTER (WHERE role IS NOT NULL) AS first_role,
+           |    arg_max(role, turn_idx) FILTER (WHERE role IS NOT NULL) AS last_role,
+           |    (SUM(CASE WHEN viol THEN 1 ELSE 0 END) = 0 AND
+           |     SUM(CASE WHEN role IS NOT NULL THEN 1 ELSE 0 END) > 0)
+           |      AS alternation_ok
+           |  FROM v GROUP BY doc_id)
+           |SELECT g.*, COALESCE(last_role = 'assistant', false)
+           |  AS ends_with_assistant
+           |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.operators.Chat.chatAudit(synthDf(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }
+    }
+
     // --- ROUGE-1/2 precision/recall/F1 over the p236 pairing — the
     //     recall-oriented overlap complement of BLEU; divisions of exact
     //     integer counts, F1 a fixed IEEE tree, no transcendentals.
