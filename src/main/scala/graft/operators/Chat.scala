@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -11,19 +11,39 @@ import org.apache.spark.sql.expressions.Window
   * run — two user turns in a row, a transcript that ends on the user,
   * empty assistant turns, untagged continuation lines — are exactly the
   * cheap-to-check invariants a 100 TB ingest should screen BEFORE
-  * tokenization. Everything here is line arithmetic: one split/explode
-  * per doc plus doc-keyed windows (partitions are transcript-sized by
-  * construction), so the pass is engine-portable and oracle-checked.
+  * tokenization.
   *
   * Line format contract: turns are newline-separated; a turn line starts
   * with a role tag `system:` / `user:` / `assistant:` (case-insensitive,
   * optional spaces around the colon); any other non-empty line is an
   * UNPARSED line (continuation text in the wild — counted, never
   * silently merged). Empty lines drop.
-  */
+  *
+  * Shape: [[parseChatTurns]] explodes (its OUTPUT is turn rows); the
+  * audit / token-split / render passes are pure PER-ROW projections over
+  * the line array (higher-order functions on `split(text, '\n')`) — one
+  * transcript is one row, so no explode, no window, ZERO shuffle, and
+  * every one of them runs unchanged on an unbounded stream (stateless
+  * projection, the Streams.scala composability contract). */
 object Chat {
 
   private val roleRx = "^(?i)\\s*(system|user|assistant)\\s*:\\s*"
+
+  /** Non-empty lines of the transcript, in order. */
+  private def keptLines(textCol: String): Column =
+    filter(split(col(s"`${textCol.replace("`", "``")}`"), "\n"),
+      l => trim(l) =!= "")
+
+  /** Lowercased role tag of one line, NULL for an unparsed line. */
+  private def roleOf(l: Column): Column = {
+    val r = regexp_extract(l, roleRx, 1)
+    when(r === "", lit(null)).otherwise(lower(r))
+  }
+
+  /** The line with its role tag stripped (unparsed lines pass through). */
+  private def contentOf(l: Column): Column =
+    when(regexp_extract(l, roleRx, 1) === "", l)
+      .otherwise(regexp_replace(l, roleRx, ""))
 
   /** One row per transcript line: (idCol, turn_idx int — 0-based over
     * the KEPT (non-empty) lines, role string lowercased or NULL for an
@@ -43,67 +63,66 @@ object Chat {
     val w = Window.partitionBy(id).orderBy(col("__ln"))
     lines
       .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
-      .withColumn("role",
-        when(regexp_extract(col("__line"), roleRx, 1) === "", lit(null))
-          .otherwise(lower(regexp_extract(col("__line"), roleRx, 1))))
-      .withColumn("content",
-        when(col("role").isNull, col("__line"))
-          .otherwise(regexp_replace(col("__line"), roleRx, "")))
+      .withColumn("role", roleOf(col("__line")))
+      .withColumn("content", contentOf(col("__line")))
       .withColumn("n_chars", length(col("content")).cast("int"))
       .select(id, col("turn_idx"), col("role"), col("content"), col("n_chars"))
   }
 
-  /** Per-transcript structure audit over [[parseChatTurns]]'s contract.
-    * One row per doc: (idCol, n_turns, n_user, n_assistant, n_system,
-    * n_unparsed, n_empty ints — role turns with zero content chars,
-    * first_role, last_role strings — NULL when the transcript has no
-    * role turns, alternation_ok, ends_with_assistant booleans).
+  /** Per-transcript structure audit. One row per doc: (idCol, n_turns,
+    * n_user, n_assistant, n_system, n_unparsed, n_empty ints — role
+    * turns with zero content chars, first_role, last_role strings —
+    * NULL when the transcript has no role turns, alternation_ok,
+    * ends_with_assistant booleans).
     *
     * `alternation_ok` is the strict tuning contract: at most ONE system
     * turn and only in first position; the first non-system role is
     * `user`; consecutive turns never repeat a role; system never
     * reappears mid-transcript. Transcripts with unparsed lines fail it
     * (an untagged line is a turn of unknown attribution). A transcript
-    * with zero role turns reports alternation_ok = false, roles NULL.
+    * with zero role turns reports alternation_ok = false, roles NULL;
+    * a doc with no kept lines at all is PRESENT with all-zero counts
+    * (screens never silently drop rows).
     *
-    * 100 TB shape: the parse explode, one doc-keyed lag window, one
-    * hash aggregation to a row per doc. */
+    * 100 TB shape: a pure per-row projection — the role array and the
+    * adjacent-pair violation scan are higher-order functions over the
+    * line array (one transcript = one row), zero shuffle; `get()` is
+    * the 0-based null-safe index so the i = 0 predecessor reads as
+    * NULL, exactly the lag() semantics the first implementation had. */
   def chatAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(s"`$idCol`")
-    val turns = parseChatTurns(df, idCol, textCol)
-    val w = Window.partitionBy(id).orderBy(col("turn_idx"))
-    val flagged = turns
-      .withColumn("__prev", lag(col("role"), 1).over(w))
-      // a violation at THIS turn, given the previous one:
-      //  - unparsed line anywhere
-      //  - first turn must be system or user
-      //  - system may not follow anything (only lead runs of system)
-      //  - first non-system turn must be user (covers system->assistant)
-      //  - two consecutive turns with the same role
-      .withColumn("__viol",
-        col("role").isNull ||
-          (col("__prev").isNull && col("role") === "assistant") ||
-          (col("__prev").isNotNull && col("role") === "system") ||
-          (col("__prev") === "system" && col("role") === "assistant") ||
-          (col("__prev") === col("role")))
-    flagged.groupBy(id)
-      .agg(
-        count(lit(1)).cast("int").as("n_turns"),
-        sum(when(col("role") === "user", 1).otherwise(0)).cast("int").as("n_user"),
-        sum(when(col("role") === "assistant", 1).otherwise(0)).cast("int")
-          .as("n_assistant"),
-        sum(when(col("role") === "system", 1).otherwise(0)).cast("int")
-          .as("n_system"),
-        sum(when(col("role").isNull, 1).otherwise(0)).cast("int").as("n_unparsed"),
-        sum(when(col("role").isNotNull && col("n_chars") === 0, 1).otherwise(0))
-          .cast("int").as("n_empty"),
-        min(when(col("role").isNotNull,
-          struct(col("turn_idx"), col("role")))).getField("role").as("first_role"),
-        max(when(col("role").isNotNull,
-          struct(col("turn_idx"), col("role")))).getField("role").as("last_role"),
-        (sum(when(col("__viol"), 1).otherwise(0)) === 0 &&
-          sum(when(col("role").isNotNull, 1).otherwise(0)) > 0)
-          .as("alternation_ok"))
+    val base = df.filter(id.isNotNull && col(s"`$textCol`").isNotNull)
+      .withColumn("__lines", keptLines(textCol))
+      .withColumn("__roles", transform(col("__lines"), l => roleOf(l)))
+    val roles = col("__roles")
+    val rolesNN = filter(roles, r => r.isNotNull)
+    // a violation at turn i, given predecessor role p = roles[i-1]
+    // (NULL at i = 0 and after an unparsed line — the lag() contract):
+    //  - unparsed line anywhere
+    //  - first turn must be system or user
+    //  - system may not follow anything (only lead)
+    //  - first non-system turn must be user (covers system->assistant)
+    //  - two consecutive turns with the same role
+    val viols = filter(transform(roles, (r, i) => {
+      val p = get(roles, i - 1)
+      r.isNull ||
+        (p.isNull && r === "assistant") ||
+        (p.isNotNull && r === "system") ||
+        (p === "system" && r === "assistant") ||
+        (p === r)
+    }), v => v)
+    base.select(
+        id,
+        size(col("__lines")).as("n_turns"),
+        size(filter(roles, r => r === "user")).as("n_user"),
+        size(filter(roles, r => r === "assistant")).as("n_assistant"),
+        size(filter(roles, r => r === "system")).as("n_system"),
+        size(filter(roles, r => r.isNull)).as("n_unparsed"),
+        size(filter(col("__lines"),
+          l => roleOf(l).isNotNull && length(contentOf(l)) === 0)).as("n_empty"),
+        get(rolesNN, lit(0)).as("first_role"),
+        get(rolesNN, size(rolesNN) - 1).as("last_role"),
+        (size(viols) === 0 && size(rolesNN) > 0).as("alternation_ok"))
       .withColumn("ends_with_assistant",
         coalesce(col("last_role") === "assistant", lit(false)))
   }
@@ -120,21 +139,22 @@ object Chat {
     * response_ratio double 9 dp — response/(prompt+response), NULL when
     * both are zero).
     *
-    * 100 TB shape: the parse explode + one hash aggregation — no
-    * windows, map-side combinable. */
+    * 100 TB shape: a pure per-row projection — three higher-order folds
+    * over the line array, zero shuffle, stream-safe. */
   def chatTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(s"`$idCol`")
-    val nTok = graft.functions.TextFunctions.tokenCount(col("content")).cast("long")
-    parseChatTurns(df, idCol, textCol)
-      .withColumn("__t", nTok)
-      .groupBy(id)
-      .agg(
-        sum(when(col("role").isin("system", "user"), col("__t")).otherwise(0L))
-          .as("prompt_tokens"),
-        sum(when(col("role") === "assistant", col("__t")).otherwise(0L))
-          .as("response_tokens"),
-        sum(when(col("role").isNull, col("__t")).otherwise(0L))
-          .as("unparsed_tokens"))
+    def tokSum(cond: Column => Column): Column =
+      aggregate(
+        transform(keptLines(textCol), l =>
+          when(cond(roleOf(l)),
+            graft.functions.TextFunctions.tokenCount(contentOf(l)).cast("long"))
+            .otherwise(0L)),
+        lit(0L), (a, b) => a + b)
+    df.filter(id.isNotNull && col(s"`$textCol`").isNotNull)
+      .select(id,
+        tokSum(r => r.isin("system", "user")).as("prompt_tokens"),
+        tokSum(r => r === "assistant").as("response_tokens"),
+        tokSum(r => r.isNull).as("unparsed_tokens"))
       .withColumn("response_ratio",
         when(col("prompt_tokens") + col("response_tokens") > 0L,
           round((col("response_tokens").cast("double") /
@@ -143,28 +163,25 @@ object Chat {
             .cast("double")))
   }
 
-  /** Render parsed transcripts back to ONE training string per doc with
-    * explicit special-token delimiters — the template step every SFT
-    * tokenizer pipeline runs before packing:
-    * `<|role|>content<|end|>` per role turn, in turn order, no
-    * separator between turns. Unparsed lines render as
-    * `<|unparsed|>content<|end|>` so nothing is silently dropped and
-    * the defect stays visible downstream. Output: (idCol, rendered
-    * string, n_rendered_turns int).
+  /** Render transcripts to ONE training string per doc with explicit
+    * special-token delimiters — the template step every SFT tokenizer
+    * pipeline runs before packing: `<|role|>content<|end|>` per role
+    * turn, in line order, no separator between turns. Unparsed lines
+    * render as `<|unparsed|>content<|end|>` so nothing is silently
+    * dropped and the defect stays visible downstream. Output: (idCol,
+    * rendered string, n_rendered_turns int).
     *
-    * 100 TB shape: the parse explode + one ORDER-pinned string
-    * aggregation per doc (array_sort on the (turn_idx, piece) struct →
-    * concat — deterministic regardless of partial-aggregation order). */
+    * 100 TB shape: a pure per-row projection (transform + concat over
+    * the line array, order inherited from the array), zero shuffle,
+    * stream-safe. */
   def renderTemplate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(s"`$idCol`")
-    parseChatTurns(df, idCol, textCol)
-      .withColumn("__piece",
-        concat(lit("<|"), coalesce(col("role"), lit("unparsed")), lit("|>"),
-          col("content"), lit("<|end|>")))
-      .groupBy(id)
-      .agg(
-        concat_ws("", array_sort(collect_list(struct(col("turn_idx"), col("__piece"))))
-          .getField("__piece")).as("rendered"),
-        count(lit(1)).cast("int").as("n_rendered_turns"))
+    val lines = keptLines(textCol)
+    df.filter(id.isNotNull && col(s"`$textCol`").isNotNull)
+      .select(id,
+        concat_ws("", transform(lines, l =>
+          concat(lit("<|"), coalesce(roleOf(l), lit("unparsed")), lit("|>"),
+            contentOf(l), lit("<|end|>")))).as("rendered"),
+        size(lines).cast("int").as("n_rendered_turns"))
   }
 }

@@ -146,6 +146,16 @@ object Streams {
     graft.operators.Scrub.blocklistHits(
       docs, idCol, textCol, patterns, caseInsensitive)
 
+  /** Streaming chat-structure screen — the SFT-ingest twin of
+    * [[graft.operators.Chat.chatAudit]]. The audit is a pure per-row
+    * projection (higher-order functions over the transcript's own line
+    * array — one transcript is one row, no window, no state), so the
+    * identical operator applies to an unbounded stream and output rows
+    * are independent of micro-batch boundaries (StreamsSpec pins the
+    * stream ≡ batch identity). */
+  def chatAuditStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Chat.chatAudit(docs, idCol, textCol)
+
   // ------------------------------------------------------------ custom state
 
   case class KeyCount(key: String, total: Long)

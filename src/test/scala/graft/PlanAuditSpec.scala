@@ -758,6 +758,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("chat audit battery: audit/token-split/render plan as pure projections — zero exchanges, zero windows") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val outs = Seq(
+      graft.operators.Chat.chatAudit(docs, "doc_id", "text"),
+      graft.operators.Chat.chatTokenStats(docs, "doc_id", "text"),
+      graft.operators.Chat.renderTemplate(docs, "doc_id", "text"))
+    for (out <- outs) {
+      val plan = out.queryExecution.executedPlan.toString
+      // one transcript = one row: the screens must stay per-row
+      // projections (HOFs over the line array), never explode + window
+      // + re-aggregate — the difference between zero shuffles and two
+      // corpus shuffles at 100 TB (and what makes chatAuditStream legal)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Window"), plan)
+    }
+  }
+
   test("c3 window gate: the NL grouped top-k's rank cut prunes as WindowGroupLimit") {
     val df = SparkEntry.queries("c3_transform_window")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

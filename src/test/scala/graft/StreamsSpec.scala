@@ -238,6 +238,44 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chatAuditStream equals the batch chat audit across micro-batch splits") {
+    // synthesize role-tagged transcripts (the fixture text has none):
+    // shapes vary by doc_id so both valid and violating transcripts flow
+    val docs = testdata("sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"doc_id".isNotNull)
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat(lit("user: "), substring($"text", 1, 20),
+            lit("\nassistant: "), substring($"text", 21, 20)))
+          .when($"doc_id" % 3 === 1,
+            concat(lit("user: a\nuser: b\nassistant: "), substring($"text", 1, 10)))
+          .otherwise(concat(lit("assistant: "), substring($"text", 1, 10)))
+          .as("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val out = Streams.chatAuditStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("chat_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chat_stream")
+        .select("doc_id", "n_turns", "n_user", "alternation_ok",
+          "ends_with_assistant")
+        .as[(Long, Int, Int, Boolean, Boolean)].collect().toSet
+      val batch = graft.operators.Chat.chatAudit(docs, "doc_id", "text")
+        .select("doc_id", "n_turns", "n_user", "alternation_ok",
+          "ends_with_assistant")
+        .as[(Long, Int, Int, Boolean, Boolean)].collect().toSet
+      assert(batch.exists(_._4) && batch.exists(!_._4),
+        "fixture must contain both clean and violating transcripts")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sampleMixtureStream equals the batch mixture regardless of micro-batch splits") {
     val events = testdata("sf0.001", "events")
       .select($"event_id".cast("long").as("event_id"), $"event_type")
