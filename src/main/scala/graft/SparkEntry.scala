@@ -9853,6 +9853,85 @@ object SparkEntry {
         graft.operators.Chat.renderTemplate(synthDf(s, dir), "doc_id", "text")
           .orderBy(col("doc_id"))
       }
+      // --- composed SFT pipeline (the p233 inter-stage-contract pattern
+      //     for the chat battery): parse → structure audit (keep
+      //     alternation_ok) → token-budget screen (response_ratio >= 0.2,
+      //     9-dp on both engines) → template render → 512-token packing
+      //     per shard. Every stage handoff is pinned by the one oracle.
+      register("p254_sft_pipeline",
+        s"""WITH synth AS ($synthSql),
+           |$turnsSql,
+           |f AS (SELECT t.*,
+           |    lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS prev
+           |  FROM t),
+           |v AS (SELECT doc_id, role, content, turn_idx,
+           |    (role IS NULL
+           |     OR (prev IS NULL AND role = 'assistant')
+           |     OR (prev IS NOT NULL AND role = 'system')
+           |     OR (prev = 'system' AND role = 'assistant')
+           |     OR (prev = role)) AS viol
+           |  FROM f),
+           |alt AS (SELECT doc_id FROM v GROUP BY doc_id
+           |  HAVING SUM(CASE WHEN viol THEN 1 ELSE 0 END) = 0
+           |     AND SUM(CASE WHEN role IS NOT NULL THEN 1 ELSE 0 END) > 0),
+           |k AS (SELECT v.doc_id, role,
+           |    CAST(len(list_filter(string_split_regex(content, '\\s+'),
+           |      x -> x != '')) AS BIGINT) AS nt
+           |  FROM v JOIN alt USING (doc_id)),
+           |g AS (SELECT doc_id,
+           |    CAST(SUM(CASE WHEN role IN ('system', 'user') THEN nt ELSE 0 END)
+           |      AS BIGINT) AS pt,
+           |    CAST(SUM(CASE WHEN role = 'assistant' THEN nt ELSE 0 END)
+           |      AS BIGINT) AS rt,
+           |    CAST(SUM(CASE WHEN role IS NULL THEN nt ELSE 0 END) AS BIGINT) AS ut
+           |  FROM k GROUP BY doc_id),
+           |s2 AS (SELECT doc_id, pt + rt + ut AS n_tokens,
+           |    CAST(ROUND(CAST(rt::DOUBLE / (pt + rt)::DOUBLE
+           |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS response_ratio
+           |  FROM g WHERE pt + rt > 0
+           |    AND CAST(ROUND(CAST(rt::DOUBLE / (pt + rt)::DOUBLE
+           |      AS DECIMAL(25,12)), 9) AS DOUBLE) >= 0.2),
+           |r AS (SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_rendered_turns,
+           |    CAST(length(string_agg('<|' || COALESCE(role, 'unparsed') || '|>'
+           |        || content || '<|end|>', '' ORDER BY turn_idx)) AS INT)
+           |      AS n_rendered_chars
+           |  FROM t JOIN s2 USING (doc_id) GROUP BY t.doc_id),
+           |pk AS (SELECT s2.doc_id, CAST(s2.doc_id % 4 AS INT) AS shard,
+           |    s2.n_tokens, s2.response_ratio, r.n_rendered_turns,
+           |    r.n_rendered_chars
+           |  FROM s2 JOIN r USING (doc_id)),
+           |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pk)
+           |SELECT doc_id, shard, n_tokens, response_ratio, n_rendered_turns,
+           |  n_rendered_chars, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           |  n_tokens > 512 AS oversize
+           |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        import graft.operators.{Chat, Packing}
+        val synth = synthDf(s, dir)
+        // stage 2: structure screen — only alternation-clean transcripts
+        val keep = synth.join(
+          Chat.chatAudit(synth, "doc_id", "text")
+            .filter(col("alternation_ok")).select("doc_id"),
+          Seq("doc_id"))
+        // stage 3: token-budget screen on the survivors
+        val stats = Chat.chatTokenStats(keep, "doc_id", "text")
+          .filter(col("response_ratio") >= 0.2)
+          .select(col("doc_id"), col("response_ratio"),
+            (col("prompt_tokens") + col("response_tokens") +
+              col("unparsed_tokens")).as("n_tokens"))
+        val kept2 = keep.join(stats, Seq("doc_id"))
+        // stage 4: render; stage 5: pack per shard
+        val full = kept2
+          .join(Chat.renderTemplate(kept2, "doc_id", "text"), Seq("doc_id"))
+          .withColumn("shard", (col("doc_id") % 4).cast("int"))
+        Packing.assignBins(full, "doc_id", "n_tokens", 512L,
+            groupCol = Some("shard"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            col("response_ratio"), col("n_rendered_turns"),
+            length(col("rendered")).cast("int").as("n_rendered_chars"),
+            col("bin"), col("oversize"))
+          .orderBy(col("doc_id"))
+      }
       register("p251_chat_audit",
         s"""WITH synth AS ($synthSql),
            |$turnsSql,
