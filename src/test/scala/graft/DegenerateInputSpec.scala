@@ -228,6 +228,45 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(ks.isNullAt(ks.fieldIndex("ks_stat")))
   }
 
+  test("round-16 operators tolerate empty/degenerate input (operator-level APIs)") {
+    import spark.implicits._
+    val emptyDocs = spark.read.parquet(s"$emptyDir/documents.parquet")
+    // chat battery: empty corpus -> empty typed frames
+    assert(graft.operators.Chat.parseChatTurns(emptyDocs, "doc_id", "text")
+      .count() === 0L)
+    assert(graft.operators.Chat.chatAudit(emptyDocs, "doc_id", "text")
+      .count() === 0L)
+    assert(graft.operators.Chat.chatTokenStats(emptyDocs, "doc_id", "text")
+      .count() === 0L)
+    assert(graft.operators.Chat.renderTemplate(emptyDocs, "doc_id", "text")
+      .count() === 0L)
+    // a whitespace-only transcript: zero kept lines, all-zero row (present)
+    val ws = Seq((1L, " \n  \n")).toDF("doc_id", "text")
+    val a = graft.operators.Chat.chatAudit(ws, "doc_id", "text").head()
+    assert(a.getAs[Int]("n_turns") === 0 && !a.getAs[Boolean]("alternation_ok"))
+    assert(graft.operators.Chat.renderTemplate(ws, "doc_id", "text")
+      .head().getAs[String]("rendered") === "")
+    // min-k audit: empty corpus and a no-bigram corpus both yield nothing
+    assert(graft.operators.LmScore.minKProbAuditSelf(emptyDocs, "doc_id", "text")
+      .count() === 0L)
+    assert(graft.operators.LmScore.minKProbAuditSelf(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count() === 0L)
+    // luhn: empty corpus, null text, digit-free text
+    assert(graft.operators.Scrub.luhnCardCandidates(emptyDocs, "doc_id", "text")
+      .count() === 0L)
+    assert(graft.operators.Scrub.luhnCardCandidates(
+      Seq((1L, Option.empty[String]), (2L, Option("no digits")))
+        .toDF("doc_id", "text"), "doc_id", "text").count() === 0L)
+    // image/audio decode: empty corpus and junk bytes
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media")
+    assert(graft.operators.Multimodal.imagePixelStats(junk, "media")
+      .head().isNullAt(2))
+    assert(graft.operators.Multimodal.wavSampleStats(junk, "media")
+      .head().isNullAt(2))
+    assert(graft.operators.Multimodal.imageDecodeAudit(junk, "media")
+      .head().getStruct(2).getString(0) === "undecodable")
+  }
+
   test("ByGroup family drops NULL-group rows (the r14 robustStats migration contract)") {
     import spark.implicits._
     // Before r14, Profile.robustStats passed NULL-group rows through; the
