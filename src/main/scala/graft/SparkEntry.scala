@@ -9970,6 +9970,87 @@ object SparkEntry {
       }
     }
 
+    // --- preference-pair (DPO/RLHF) audits over the p240 pairing
+    //     (chosen = odd doc, rejected = preceding even doc; doc_id % 10
+    //     = 1 forces IDENTICAL pairs so the no-signal flag is exercised):
+    //     per-pair structure + the corpus length-bias roll-up.
+    {
+      def tokSql(c: String) =
+        s"""CAST(len(list_filter(string_split_regex(COALESCE($c, ''), '\\s+'),
+           |  x -> x != '')) AS BIGINT)""".stripMargin
+      val prefBase =
+        s"""cand AS (SELECT doc_id, text AS chosen FROM documents
+           |  WHERE doc_id % 2 = 1),
+           |refs AS (SELECT doc_id + 1 AS doc_id, text AS rejected FROM documents),
+           |pr AS (SELECT doc_id, chosen,
+           |    CASE WHEN doc_id % 10 = 1 THEN chosen ELSE rejected END AS rejected
+           |  FROM cand JOIN refs USING (doc_id)),
+           |a AS (SELECT doc_id,
+           |    ${tokSql("chosen")} AS chosen_tokens,
+           |    ${tokSql("rejected")} AS rejected_tokens,
+           |    trim(COALESCE(chosen, '')) = trim(COALESCE(rejected, ''))
+           |      AS identical
+           |  FROM pr),
+           |b AS (SELECT doc_id, chosen_tokens, rejected_tokens, identical,
+           |    chosen_tokens = 0 AS chosen_empty,
+           |    rejected_tokens = 0 AS rejected_empty,
+           |    CASE WHEN rejected_tokens > 0 THEN
+           |      CAST(ROUND(CAST(chosen_tokens::DOUBLE / rejected_tokens::DOUBLE
+           |        AS DECIMAL(25,12)), 9) AS DOUBLE) END AS len_ratio
+           |  FROM a)""".stripMargin
+      def prefPairs(s: SparkSession, dir: String) = {
+        val d = t(s, dir, "documents")
+        val cand = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text").as("chosen"))
+        val rej = d.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("rejected"))
+        cand.join(rej, Seq("doc_id"))
+          .withColumn("rejected",
+            when(col("doc_id") % 10 === 1, col("chosen"))
+              .otherwise(col("rejected")))
+      }
+      register("p255_pref_audit",
+        s"""WITH $prefBase
+           |SELECT doc_id, chosen_tokens, rejected_tokens, identical,
+           |  chosen_empty, rejected_empty, len_ratio
+           |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.operators.Chat.preferencePairAudit(
+            prefPairs(s, dir), "doc_id", "chosen", "rejected")
+          .orderBy(col("doc_id"))
+      }
+      register("p256_pref_bias",
+        s"""WITH $prefBase,
+           |g AS (SELECT
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(CASE WHEN identical THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_identical,
+           |    CAST(SUM(CASE WHEN NOT identical
+           |      AND chosen_tokens > rejected_tokens THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_chosen_longer,
+           |    CAST(SUM(CASE WHEN NOT identical
+           |      AND chosen_tokens < rejected_tokens THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_rejected_longer,
+           |    CAST(SUM(CASE WHEN NOT identical
+           |      AND chosen_tokens = rejected_tokens THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_ties,
+           |    SUM(CAST(len_ratio AS DECIMAL(25,9))) AS sr,
+           |    CAST(COUNT(len_ratio) AS BIGINT) AS nr
+           |  FROM b)
+           |SELECT n_pairs, n_identical, n_chosen_longer, n_rejected_longer,
+           |  n_ties,
+           |  CASE WHEN n_chosen_longer + n_rejected_longer + n_ties > 0 THEN
+           |    CAST(ROUND(CAST(n_chosen_longer::DOUBLE /
+           |      (n_chosen_longer + n_rejected_longer + n_ties)::DOUBLE
+           |      AS DECIMAL(25,12)), 9) AS DOUBLE) END AS frac_chosen_longer,
+           |  CASE WHEN nr > 0 THEN
+           |    CAST(ROUND(CAST(sr::DOUBLE / nr::DOUBLE AS DECIMAL(25,12)), 9)
+           |      AS DOUBLE) END AS mean_len_ratio
+           |FROM g""".stripMargin) { (s, dir) =>
+        graft.operators.Chat.preferenceLengthBias(
+            prefPairs(s, dir), "doc_id", "chosen", "rejected")
+      }
+    }
+
     // --- ROUGE-1/2 precision/recall/F1 over the p236 pairing — the
     //     recall-oriented overlap complement of BLEU; divisions of exact
     //     integer counts, F1 a fixed IEEE tree, no transcendentals.

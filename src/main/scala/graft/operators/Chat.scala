@@ -163,6 +163,87 @@ object Chat {
             .cast("double")))
   }
 
+  /** Preference-pair audit (DPO/RLHF data): per (chosen, rejected)
+    * response pair, the structural signals preference-data curation
+    * screens on — IDENTICAL pairs (a no-signal row that silently
+    * shrinks the effective dataset), empty sides, and the length gap
+    * (reward models notoriously learn "longer is better"; a corpus
+    * where chosen is longer in 90% of pairs bakes that bias in before
+    * training starts). One row per pair: (idCol, chosen_tokens,
+    * rejected_tokens longs — whitespace tokens, the TextFunctions
+    * contract, len_ratio double 9 dp — chosen/rejected tokens, NULL
+    * when rejected has zero tokens, identical boolean — exact string
+    * equality after trim, chosen_empty, rejected_empty booleans).
+    * NULL sides read as empty.
+    *
+    * 100 TB shape: a pure per-row projection — zero shuffle,
+    * stream-safe. */
+  def preferencePairAudit(df: DataFrame, idCol: String,
+      chosenCol: String, rejectedCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val ch = coalesce(col(s"`$chosenCol`"), lit(""))
+    val rj = coalesce(col(s"`$rejectedCol`"), lit(""))
+    val chT = graft.functions.TextFunctions.tokenCount(ch).cast("long")
+    val rjT = graft.functions.TextFunctions.tokenCount(rj).cast("long")
+    df.filter(id.isNotNull)
+      .select(id,
+        chT.as("chosen_tokens"),
+        rjT.as("rejected_tokens"),
+        (trim(ch) === trim(rj)).as("identical"),
+        (chT === 0L).as("chosen_empty"),
+        (rjT === 0L).as("rejected_empty"))
+      .withColumn("len_ratio",
+        when(col("rejected_tokens") > 0L,
+          round((col("chosen_tokens").cast("double") /
+            col("rejected_tokens").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+            .cast("double")))
+  }
+
+  /** Corpus-level length-bias roll-up of [[preferencePairAudit]]: ONE
+    * row — (n_pairs, n_identical, n_chosen_longer, n_rejected_longer,
+    * n_ties longs, frac_chosen_longer double 9 dp — over non-identical
+    * pairs, NULL when there are none, mean_len_ratio double 9 dp — the
+    * decimal mean of the defined 9-dp ratios, NULL when none). A
+    * healthy preference corpus sits near 0.5 frac_chosen_longer; a
+    * skewed one is a length-bias warning BEFORE any reward model sees
+    * it.
+    *
+    * 100 TB shape: one map-side-combinable scalar aggregation over the
+    * per-pair projection. */
+  def preferenceLengthBias(df: DataFrame, idCol: String,
+      chosenCol: String, rejectedCol: String): DataFrame = {
+    val a = preferencePairAudit(df, idCol, chosenCol, rejectedCol)
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    a.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("identical"), 1L).otherwise(0L)).as("n_identical"),
+        sum(when(!col("identical") &&
+          col("chosen_tokens") > col("rejected_tokens"), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(!col("identical") &&
+          col("chosen_tokens") < col("rejected_tokens"), 1L).otherwise(0L))
+          .as("n_rejected_longer"),
+        sum(when(!col("identical") &&
+          col("chosen_tokens") === col("rejected_tokens"), 1L).otherwise(0L))
+          .as("n_ties"),
+        sum(col("len_ratio").cast(dec)).as("__sr"),
+        count(col("len_ratio")).as("__nr"))
+      .withColumn("frac_chosen_longer",
+        when(col("n_chosen_longer") + col("n_rejected_longer") + col("n_ties") > 0L,
+          round((col("n_chosen_longer").cast("double") /
+            (col("n_chosen_longer") + col("n_rejected_longer") + col("n_ties"))
+              .cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+            .cast("double")))
+      .withColumn("mean_len_ratio",
+        when(col("__nr") > 0L,
+          round((col("__sr").cast("double") / col("__nr").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+            .cast("double")))
+      .drop("__sr", "__nr")
+  }
+
   /** Render transcripts to ONE training string per doc with explicit
     * special-token delimiters — the template step every SFT tokenizer
     * pipeline runs before packing: `<|role|>content<|end|>` per role

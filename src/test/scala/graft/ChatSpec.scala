@@ -82,6 +82,42 @@ class ChatSpec extends SparkSpecBase {
       "<|user|>q<|end|><|unparsed|>raw<|end|><|assistant|>a<|end|>", 3)))
   }
 
+  test("preferencePairAudit: lengths, ratio, identical/empty flags") {
+    val df = Seq(
+      (1L, "one two three", "one two"),
+      (2L, " same text ", "same text"), // identical after trim
+      (3L, "a b", ""),                  // rejected empty -> ratio NULL
+      (4L, null.asInstanceOf[String], "x y z")
+    ).toDF("id", "chosen", "rejected")
+    val got = Chat.preferencePairAudit(df, "id", "chosen", "rejected")
+      .select("id", "chosen_tokens", "rejected_tokens", "identical",
+        "chosen_empty", "rejected_empty", "len_ratio")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, false, false, false, Some(1.5))))
+    assert(got(2L) === ((2L, 2L, 2L, true, false, false, Some(1.0))))
+    assert(got(3L) === ((3L, 2L, 0L, false, false, true, None)))
+    assert(got(4L) === ((4L, 0L, 3L, false, true, false, Some(0.0))))
+  }
+
+  test("preferenceLengthBias: the corpus length-bias roll-up") {
+    val df = Seq(
+      (1L, "one two three", "one two"),
+      (2L, " same text ", "same text"),
+      (3L, "a b", ""),
+      (4L, null.asInstanceOf[String], "x y z")
+    ).toDF("id", "chosen", "rejected")
+    val r = Chat.preferenceLengthBias(df, "id", "chosen", "rejected").head()
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Long]("n_identical") === 1L)
+    assert(r.getAs[Long]("n_chosen_longer") === 2L)  // ids 1 and 3
+    assert(r.getAs[Long]("n_rejected_longer") === 1L) // id 4
+    assert(r.getAs[Long]("n_ties") === 0L)
+    assert(r.getAs[Double]("frac_chosen_longer") === 0.666666667)
+    // defined ratios {1.5, 1.0, 0.0} -> mean 0.833333333
+    assert(r.getAs[Double]("mean_len_ratio") === 0.833333333)
+  }
+
   test("chatAudit: counts, roles, empties; a transcript with no role turns") {
     val df = Seq(
       (1L, "system: s\nuser: hello\nassistant:"),
