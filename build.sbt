@@ -34,3 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
 )
+// The bench/verify harness tail-parses stdout for ONE compact JSON line.
+// sbt's default LoggedOutput prefixes every forked-run line with "[info] "
+// and appends "[success] Total time: ..." after the run — both defeat a
+// last-line JSON parse. StdoutOutput forwards the forked JVM's stdout
+// verbatim; showSuccess drops the trailing banner, so the compact JSON
+// emitted by graft.Bench/graft.Verify IS the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
