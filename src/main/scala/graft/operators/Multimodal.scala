@@ -344,19 +344,49 @@ object Multimodal {
     * `[width, height, mean_r, mean_g, mean_b] ++ lumaHist(lumaBins)` where
     * the histogram buckets BT.601 integer luma `(299r+587g+114b)/1000`
     * into `lumaBins` equal slices of 0..255, each normalized by the pixel
-    * count. Pixels are pulled ROW-BY-ROW (`getRGB` into a reused
-    * width-sized buffer), so memory stays O(width) per image regardless of
-    * payload size — the property that matters when a 100 TB corpus hides
-    * the odd 100-megapixel scan. Undecodable / truncated payloads return
-    * null (the [[imageDimensions]] fall-through contract). */
-  final class ImageIoDecoder(val lumaBins: Int = 8) extends MediaDecoder {
+    * count.
+    *
+    * Decompression-bomb guard: the reader's HEADER dimensions
+    * (`ImageReader.getWidth/getHeight`, no raster decode) are checked
+    * against `maxPixels` BEFORE `read()` — a small hostile payload
+    * declaring 100k x 100k returns null instead of allocating an
+    * O(w*h) raster and OOMing the executor. Within the bound, the
+    * decoded BufferedImage is necessarily O(w*h) <= O(maxPixels); the
+    * row-by-row `getRGB` into a reused width-sized buffer keeps the
+    * TRAVERSAL overhead at O(width) on top of that raster (it avoids a
+    * second full-image int[] copy, it does not make the decode itself
+    * sub-linear). Input is wrapped in a MemoryCacheImageInputStream, so
+    * no per-decode executor temp file regardless of the JVM-global
+    * `ImageIO.setUseCache` state. Undecodable / truncated / over-bound
+    * payloads return null (the [[imageDimensions]] fall-through
+    * contract). */
+  final class ImageIoDecoder(val lumaBins: Int = 8,
+      val maxPixels: Long = ImageIoDecoder.DefaultMaxPixels) extends MediaDecoder {
     require(lumaBins > 0, s"lumaBins must be positive, got $lumaBins")
+    require(maxPixels > 0, s"maxPixels must be positive, got $maxPixels")
     val dim: Int = 5 + lumaBins
     def decode(bytes: Array[Byte]): Array[Float] = {
       if (bytes == null || bytes.isEmpty) return null
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case scala.util.control.NonFatal(_) => null }
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                // header-only dimension probe — no raster allocation yet
+                val hw = reader.getWidth(0).toLong
+                val hh = reader.getHeight(0).toLong
+                if (hw <= 0 || hh <= 0 || hw * hh > maxPixels) null
+                else reader.read(0)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return null
       val w = img.getWidth
       val h = img.getHeight
@@ -394,6 +424,13 @@ object Multimodal {
     }
   }
 
+  object ImageIoDecoder {
+    /** Default decompression-bomb bound: 2^24 pixels (~16.8 MP) — a
+      * 64 MiB ARGB raster, large enough for any sane web image while
+      * keeping 32 concurrent decodes under ~2 GiB of raster memory. */
+    val DefaultMaxPixels: Long = 1L << 24
+  }
+
   /** STUB decoder for codecs the JDK does not ship (video frames, lossy
     * audio samples): deterministic features from byte statistics — bucket
     * sums of the payload bytes, normalized. Stands in for "decode, pool". */
@@ -420,6 +457,8 @@ object Multimodal {
     * barrier that re-analyzes the frame from scratch. */
   def decodeFeatures(df: DataFrame, binCol: String, decoder: MediaDecoder,
       outCol: String = "features"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false)))
     val binIdx = df.schema.fieldIndex(binCol)
@@ -444,7 +483,10 @@ object Multimodal {
     * and this decode must agree on width/height for every canonical file —
     * MultimodalSpec pins that cross-check on real encoded fixtures. */
   def imagePixelStats(df: DataFrame, binCol: String, lumaBins: Int = 8,
-      outCol: String = "pixel_stats"): DataFrame = {
+      outCol: String = "pixel_stats",
+      maxPixels: Long = ImageIoDecoder.DefaultMaxPixels): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
     val statsType = StructType(Seq(
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
@@ -456,7 +498,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, statsType))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val decoder = new ImageIoDecoder(lumaBins)
+    val decoder = new ImageIoDecoder(lumaBins, maxPixels)
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
@@ -480,8 +522,9 @@ object Multimodal {
     *                      container — the alarm value a curation run
     *                      quarantines);
     *  - 'header_only'   — the signature parsed but the decode failed
-    *                      (truncated payload, or a format the JVM has no
-    *                      reader for, e.g. WEBP);
+    *                      (truncated payload, a format the JVM has no
+    *                      reader for, e.g. WEBP, or declared dimensions
+    *                      past the decoder's decompression-bomb bound);
     *  - 'decode_only'   — no known signature yet ImageIO decoded it
     *                      (formats outside the header parser's set, e.g.
     *                      WBMP);
@@ -494,6 +537,9 @@ object Multimodal {
       outCol: String = "decode_audit"): DataFrame = {
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists in the input")
+    (Seq("__mm_pix", "__mm_hdr") intersect df.columns.toSeq)
+      .foreach(c => throw new IllegalArgumentException(
+        s"column name '$c' is reserved by imageDecodeAudit"))
     val withPix = imagePixelStats(df, binCol, lumaBins = 1, outCol = "__mm_pix")
     val bin = col(s"`${binCol.replace("`", "``")}`")
     val hdr = imageDimensions(bin)
@@ -524,13 +570,19 @@ object Multimodal {
     * (s-128)/128 unsigned — the WAV spec's two integer encodings), `rms`
     * is the root-mean-square over ALL channels interleaved, `peak` is
     * max |s|, and `clip_rate` is the fraction of samples pinned at a
-    * digital rail (16-bit: 32767 / -32768; 8-bit: 0 / 255). Non-canonical
-    * layouts, non-PCM format codes, and truncated data chunks return a
-    * null struct — the same fall-through contract as every header parser
-    * here. Runs in [[decodeFeatures]]'s partition-batched Dataset path:
-    * one sequential pass per payload, O(1) extra memory per row. */
+    * digital rail (16-bit: 32767 / -32768; 8-bit: 0 / 255). A header
+    * shorter than 44 bytes, a non-canonical layout, or a non-PCM format
+    * code returns a null struct — the same fall-through contract as
+    * every header parser here; a data chunk DECLARING more bytes than
+    * the payload carries (a truncated file) is clamped to the bytes
+    * present and stats cover the partial payload (truncation loses
+    * samples, it does not invalidate the ones on disk). Runs in
+    * [[decodeFeatures]]'s partition-batched Dataset path: one
+    * sequential pass per payload, O(1) extra memory per row. */
   def wavSampleStats(df: DataFrame, binCol: String,
       outCol: String = "audio_stats"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
     val statsType = StructType(Seq(
       StructField("n_frames", LongType, nullable = false),
       StructField("duration_s", DoubleType, nullable = false),
@@ -549,7 +601,9 @@ object Multimodal {
   }
 
   /** Single-pass PCM decode for [[wavSampleStats]]; null on anything
-    * non-canonical. Package-private for direct spec coverage. */
+    * non-canonical, over-declared data lengths clamped to the bytes
+    * present (see [[wavSampleStats]]). Package-private for direct spec
+    * coverage. */
   private[graft] def decodeWavStats(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.length < 44) return null
     def u8(i: Int): Int = bytes(i) & 0xff

@@ -283,6 +283,54 @@ class MultimodalSpec extends SparkSpecBase {
     assert(dec.decode(Array.emptyByteArray) == null)
   }
 
+  test("ImageIoDecoder: decompression-bomb guard rejects huge declared dims pre-decode") {
+    // real 8x8 PNG, IHDR width/height patched to 100k x 100k: the header
+    // pre-screen must return null WITHOUT attempting the O(w*h) raster
+    // allocation (r16 advice, medium). IHDR layout: bytes 16..19 width,
+    // 20..23 height, big-endian.
+    val png = encodeImage("png", 8, 8, 0x336699).clone()
+    def putBE(off: Int, v: Int): Unit = {
+      png(off) = (v >>> 24).toByte; png(off + 1) = (v >>> 16).toByte
+      png(off + 2) = (v >>> 8).toByte; png(off + 3) = v.toByte
+    }
+    putBE(16, 100000); putBE(20, 100000)
+    val dec = new Multimodal.ImageIoDecoder(8)
+    assert(dec.decode(png) == null, "10-gigapixel claim must be rejected")
+    // a genuine image within the bound still decodes under the same guard
+    assert(dec.decode(encodeImage("png", 8, 8, 0x336699)) != null)
+    // an explicit tiny bound rejects even an honest image above it
+    val tiny = new Multimodal.ImageIoDecoder(8, maxPixels = 16L)
+    assert(tiny.decode(encodeImage("png", 8, 8, 0x336699)) == null)
+    assert(tiny.decode(encodeImage("png", 4, 4, 0x336699)) != null)
+    // audit classifies the bomb as header_only (signature parsed, decode refused)
+    val df = Seq((1L, png)).toDF("id", "media")
+    val audit = Multimodal.imageDecodeAudit(df, "media")
+      .select(col("decode_audit.status"), col("decode_audit.header_w")).collect()
+    assert(audit.head.getString(0) === "header_only")
+    assert(audit.head.getInt(1) === 100000)
+  }
+
+  test("decode operators refuse existing output columns and reserved names") {
+    val png = encodeImage("png", 2, 2, 0x010203)
+    val df = Seq((1L, png)).toDF("id", "media")
+    intercept[IllegalArgumentException] {
+      Multimodal.imagePixelStats(df.withColumn("pixel_stats", lit(1)), "media")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavSampleStats(df.withColumn("audio_stats", lit(1)), "media")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeFeatures(df.withColumn("features", lit(1)), "media",
+        new Multimodal.FakeDecoder(4))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDecodeAudit(df.withColumn("__mm_pix", lit(1)), "media")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDecodeAudit(df.withColumn("__mm_hdr", lit(1)), "media")
+    }
+  }
+
   test("imagePixelStats / decodeFeatures: null struct for junk, single Dataset plan") {
     val png = encodeImage("png", 3, 3, 0x010203)
     val df = Seq((1L, png), (2L, "junk".getBytes("UTF-8"))).toDF("id", "media")
