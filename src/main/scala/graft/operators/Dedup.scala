@@ -147,6 +147,30 @@ object Dedup {
       .select(col(idCol), sort_array(col("__shingles")).as("__shingles"),
         size(col("__shingles")).cast("long").as("__sz"))
 
+  /** Structural check on a caller-supplied `preSets` frame: it must have
+    * exactly the (idCol, __shingles: array<string>, __sz: long) schema
+    * [[prefixShingleSets]] produces. A frame with extra/missing columns or
+    * wrong types fails LOUDLY here instead of silently producing wrong
+    * similarity values downstream (the exactness contract). What a schema
+    * check CANNOT see — the caller must guarantee it — is that the frame
+    * came from [[prefixShingleSets]] with the SAME shingleN the pass
+    * expects: unsorted arrays or a different gram order make the prefix
+    * filter silently drop true pairs. */
+  private def requirePreSetsShape(preSets: DataFrame, idCol: String,
+      caller: String): Unit = {
+    val sch = preSets.schema
+    require(sch.fieldNames.toSeq == Seq(idCol, "__shingles", "__sz"),
+      s"$caller preSets must have exactly columns ($idCol, __shingles, __sz) " +
+        s"— the prefixShingleSets shape — got (${sch.fieldNames.mkString(", ")})")
+    val shT = sch("__shingles").dataType
+    require(shT.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      shT.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.StringType,
+      s"$caller preSets.__shingles must be array<string>, got ${shT.simpleString}")
+    require(sch("__sz").dataType == org.apache.spark.sql.types.LongType,
+      s"$caller preSets.__sz must be bigint, got ${sch("__sz").dataType.simpleString}")
+  }
+
   /** Winnowing fingerprints for a whole corpus via the codegen'd shingle
     * stream: the k lexicographically smallest md5 shingle digests per doc
     * (duplicates included), ascending, '|'-joined — value-identical to
@@ -503,7 +527,10 @@ object Dedup {
     // sorted arrays: array_intersect streams them either way, and sorted
     // output keeps the verify stage deterministic for the oracle.
     // preSets: a caller-staged [[prefixShingleSets]] frame shared across
-    // similarity passes — skips this pass's own corpus-sized build+stage.
+    // similarity passes — skips this pass's own corpus-sized build+stage
+    // (shingleN and stager are then unused; it must have been built with
+    // the SAME shingleN — requirePreSetsShape rejects the wrong shape).
+    preSets.foreach(requirePreSetsShape(_, idCol, "jaccardPairsPrefix"))
     val sets = preSets.getOrElse(stager.stage(
       prefixShingleSets(df, idCol, textCol, shingleN),
       s"prefix_sets_$runId"))
@@ -580,6 +607,7 @@ object Dedup {
     require(maxDf.forall(_ >= 1L), s"maxDf must be >= 1, got $maxDf")
     val tMicro = math.round(threshold * 1e6)
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    preSets.foreach(requirePreSetsShape(_, idCol, "containmentPairsPrefix"))
     val sets0 = preSets.getOrElse(stager.stage(
       prefixShingleSets(df, idCol, textCol, shingleN),
       s"containment_sets_$runId"))

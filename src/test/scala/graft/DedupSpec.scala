@@ -417,6 +417,38 @@ class DedupSpec extends SparkSpecBase {
       "Jaccard must NOT see the subset pair — that's the whole point of containment")
   }
 
+  test("preSets frames with the wrong shape are rejected loudly (r16 advice)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val good = Dedup.prefixShingleSets(docs, "doc_id", "text", 3)
+    // the genuine prefixShingleSets frame passes and matches the no-preSets run
+    val withPre = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3,
+      preSets = Some(good)).collect().toSet
+    val without = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3)
+      .collect().toSet
+    assert(withPre === without)
+    // missing __sz
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3,
+        preSets = Some(good.drop("__sz")))
+    }
+    // wrong id column name
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.3,
+        preSets = Some(good.withColumnRenamed("doc_id", "id")))
+    }
+    // wrong __sz type (int instead of long)
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3,
+        preSets = Some(good.withColumn("__sz", col("__sz").cast("int"))))
+    }
+    // wrong element type for __shingles
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.3,
+        preSets = Some(good.withColumn("__shingles",
+          expr("transform(__shingles, x -> length(x))"))))
+    }
+  }
+
   test("containment maxDf cuts template-hot shingles and switches to the filtered-space contract") {
     val docs = testdata("sf0.001", "documents")
     // a cut above every df is a no-op: bit-identical to the exact default
