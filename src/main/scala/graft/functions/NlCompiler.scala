@@ -110,6 +110,13 @@ object NlCompiler {
   private val runningRx =
     ("""(?i)\b(?:running|cumulative)\s+(?:total|sum)\s+(?:of\s+)?((?!""" +
       grammarKeyword + """\b)[a-z0-9_\.]+)""").r
+  /** `share|percent of <col> per <groups>` — per-group share of the
+    * grand total; percent verbs scale by 100. */
+  private val shareRx =
+    ("""(?i)\b(share|percent(?:age)?|pct|fraction|proportion)\s+of\s+((?!""" +
+      grammarKeyword + """\b)[a-z0-9_\.]+)\s+(?:per|grouped\s+by|group\s+by)\s+((?!""" +
+      grammarKeyword + """\b)[a-z0-9_\.]+(?:\s*(?:,|and)\s*(?!""" + grammarKeyword +
+      """\b)[a-z0-9_\.]+)*)""").r
   /** `rank by ...` — the rank-only window verb; group(1) keeps the `by` so
     * stripping the verb leaves the sort clause intact ("$1" replacement). */
   private val rankVerbRx = """(?i)\brank(?:ed)?(\s+by)\b""".r
@@ -189,7 +196,18 @@ object NlCompiler {
     primary ++ tieBreak
   }
 
-  def compile(query: String, columns: Seq[String]): Compiled = {
+  def compile(query: String, columns: Seq[String]): Compiled =
+    compileWith(query, columns, ascDefault = false)
+
+  /** [[compile]] with the sort-direction default made explicit: the
+    * top-level default is DESC ("top 5 by price" means highest-first),
+    * but the running-total branch recurses on its remainder with
+    * ascDefault = true so a direction-free "running total of x by date"
+    * both ACCUMULATES chronologically (the window's ASC default) and
+    * EMITS rows in that same order — one resolved default per query,
+    * never two. */
+  private def compileWith(query: String, columns: Seq[String],
+      ascDefault: Boolean): Compiled = {
     val q = " " + query.trim + " "
     val lower = q.toLowerCase
     val steps = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -275,7 +293,7 @@ object NlCompiler {
         s"running total needs an order: add 'by <col> [asc|desc]' in: $query")
       val (preFilters, preDates) = preClauses()
       val rest = runningRx.replaceAllIn(perRx.replaceAllIn(stripPre(q), " "), " ")
-      val post = compile(rest, columns :+ outName)
+      val post = compileWith(rest, columns :+ outName, ascDefault = true)
       val describe = (s"runningSum=$valCol->$outName" +
         s":per=${groupCols.mkString("|")}" +
         s":order=${orderKeys.map { case (c, a) => s"$c:${if (a) "asc" else "desc"}" }.mkString("|")}" +
@@ -296,6 +314,60 @@ object NlCompiler {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         post.apply(filtered.withColumn(outName, sum(cref(valCol)).over(w)))
       }, groupWarnings ++ warnB.toSeq ++ post.warnings)
+    }
+
+    // ---- share-of-total: one agg + one broadcast total join --------------
+    // "share of revenue per region": groupBy(g).agg(sum -> sum_<col>), the
+    // grand total re-aggregated from the |groups|-sized frame (exact for
+    // decimal inputs — same values, just re-summed) and broadcast back as
+    // a 1-row cross join. Checked before aggRx: the share verbs are not
+    // agg verbs, but a query holding both ("share of x per g top 3")
+    // must resolve to the share class with the rest compiling post-agg.
+    val shareM = shareRx.findFirstMatchIn(q)
+    if (shareM.isDefined) {
+      val m = shareM.get
+      val verb = m.group(1).toLowerCase
+      val isPercent = verb.startsWith("percent") || verb == "pct"
+      val valCol = resolve(m.group(2)).getOrElse(throw new IllegalArgumentException(
+        s"share-of column '${m.group(2)}' did not resolve"))
+      val groupToks = m.group(3).split("""(?i)\s*(?:,|\band\b)\s*""").toSeq
+      val groupResolved = groupToks.map(g => g -> resolve(g))
+      val groupCols = groupResolved.flatMap(_._2)
+      val groupWarnings = groupResolved.collect {
+        case (tok, None) => s"group column '$tok' did not resolve"
+      }
+      require(groupCols.nonEmpty,
+        s"no resolvable grouping column in: ${m.group(3)}")
+      val sumName = s"sum_$valCol"
+      val outName = if (isPercent) s"percent_$valCol" else s"share_$valCol"
+      Seq(sumName, outName).foreach(n =>
+        require(!columns.exists(_.equalsIgnoreCase(n)),
+          s"input already has a '$n' column"))
+      val (preFilters, preDates) = preClauses()
+      val rest = shareRx.replaceAllIn(stripPre(q), " ")
+      val post = compileWith(rest, groupCols ++ Seq(sumName, outName), ascDefault)
+      val describe = (s"shareOf=$valCol->$outName:by=${groupCols.mkString("|")}" +
+        preDates.map(c => s";toTimestamp=$c").mkString +
+        preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
+        (if (post.describe.nonEmpty) ";" + post.describe else ""))
+      return Compiled(describe, { df0 =>
+        val dated = preDates.foldLeft(df0)((d, c) =>
+          d.withColumn(c, try_to_timestamp(cref(c))))
+        val filtered = preFilters.foldLeft(dated) { case (d, (c, op, v)) =>
+          d.filter(comparison(cref(c), op, v))
+        }
+        val grp = filtered.groupBy(groupCols.map(cref): _*)
+          .agg(sum(cref(valCol)).as(sumName))
+        val total = grp.agg(sum(cref(sumName)).as("__tot"))
+        val frac = cref(sumName).cast("double") / col("__tot").cast("double")
+        val out = round(
+          (if (isPercent) frac * lit(100.0) else frac)
+            .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
+          .cast("double")
+        post.apply(grp.crossJoin(broadcast(total))
+          .withColumn(outName, out)
+          .drop("__tot"))
+      }, groupWarnings ++ post.warnings)
     }
 
     // ---- aggregation clause: handled by recursion ------------------------
@@ -351,7 +423,7 @@ object NlCompiler {
             fm => if (resolve(fm.group(1)).isDefined) Some(" ") else None),
           dm => if (resolve(dm.group(1)).isDefined) Some(" ") else None),
         " ")
-      val post = compile(rest, groupCols :+ outName)
+      val post = compileWith(rest, groupCols :+ outName, ascDefault)
       val describe = (s"groupAgg=$fn:${valCol.getOrElse("*")}->$outName:by=${groupCols.mkString("|")}" +
         preDates.map(c => s";toTimestamp=$c").mkString +
         preFilters.map { case (c, op, v) => s";filter=$c$op$v" }.mkString +
@@ -390,7 +462,7 @@ object NlCompiler {
       val (preFilters, preDates) = preClauses()
       val rest = rankVerbRx.replaceAllIn(
         topKRx.replaceAllIn(perRx.replaceAllIn(stripPre(q), " "), " "), "$1")
-      val post = compile(rest, columns :+ "rank")
+      val post = compileWith(rest, columns :+ "rank", ascDefault)
       val describe = (s"topPerGroup=${k.map(_.toString).getOrElse("*")}" +
         s":per=${groupCols.mkString("|")}" +
         s":order=${orderKeys.map { case (c, a) => s"$c:${if (a) "asc" else "desc"}" }.mkString("|")}" +
@@ -423,10 +495,11 @@ object NlCompiler {
     // swallow silently kills the sort (review regression: "by price top 5"
     // used to limit unsorted rows).
     val sortSearch = uniqueRx.replaceAllIn(lower, " ")
-    // desc default: "top 5 by price" means highest-first
+    // top-level default is DESC ("top 5 by price" means highest-first);
+    // a running-total remainder recompiles with ascDefault = true
     val sortKeys: Seq[(String, Boolean)] =
       parseSortKeys(sortSearch, resolve, warnings += _)
-        .map { case (c, dir) => (c, dir.exists(_.startsWith("asc"))) }
+        .map { case (c, dir) => (c, dir.map(_.startsWith("asc")).getOrElse(ascDefault)) }
 
     // filler words between the verb and the first column ("show me the id")
     // are skipped so plain-English phrasing neither breaks the clause nor

@@ -131,6 +131,22 @@ class NlCompilerSpec extends SparkSpecBase {
     assert(out === Seq((1L, 22L), (2L, 12L), (3L, 7L)))
   }
 
+  test("running total with NO direction: output order matches the ASC accumulation") {
+    // r16 advice regression: the remainder used to recompile through the
+    // base path's DESC default, so a direction-free query accumulated
+    // chronologically yet EMITTED rows newest-first. The remainder now
+    // recompiles with the window's ASC default — one order, both places.
+    val d = Seq((3L, 7L), (1L, 10L), (2L, 5L)).toDF("id", "v")
+    val c = NlCompiler.compile("running total of v by id showing id and running_v",
+      d.columns.toSeq)
+    assert(c.describe.contains("order=id:asc"))
+    assert(c.describe.contains("orderBy=id:asc"),
+      s"remainder sort must inherit the ASC default, got: ${c.describe}")
+    // NO re-sort after apply: the emitted order itself is the assertion
+    val out = c.apply(d).as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 15L), (3L, 22L)))
+  }
+
   test("running total without an order clause fails loudly, never silently") {
     intercept[IllegalArgumentException] {
       NlCompiler.compile("running total of score per grp", df.columns.toSeq)
@@ -138,6 +154,58 @@ class NlCompilerSpec extends SparkSpecBase {
     // and it is NOT mistaken for the agg grammar's "total ... per ..."
     val agg = NlCompiler.compile("total of score per grp", df.columns.toSeq)
     assert(agg.describe.startsWith("groupAgg=total:score->sum_score"))
+  }
+
+  test("share-of-total: one agg + broadcast total; percent verbs scale by 100") {
+    val d = Seq(("a", 10L), ("a", 30L), ("b", 40L), ("c", 20L))
+      .toDF("grp", "v")
+    val c = NlCompiler.compile("share of v per grp by grp asc", d.columns.toSeq)
+    assert(c.describe.startsWith("shareOf=v->share_v:by=grp"))
+    assert(c.warnings.isEmpty)
+    val out = c.apply(d).as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 40L, 0.4), ("b", 40L, 0.4), ("c", 20L, 0.2)))
+    // the total rides a broadcast, never a second shuffle of the groups
+    val plan = c.apply(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val pc = NlCompiler.compile("percentage of v per grp by grp asc",
+      d.columns.toSeq)
+    assert(pc.describe.startsWith("shareOf=v->percent_v:by=grp"))
+    val pout = pc.apply(d).as[(String, Long, Double)].collect().toSeq
+    assert(pout.map(_._3) === Seq(40.0, 40.0, 20.0))
+    // pre-agg filter and post-agg clauses compose around the share
+    val f = NlCompiler.compile(
+      "share of v per grp where v > 15 by share_v desc top 1 showing grp and share_v",
+      d.columns.toSeq)
+    val fout = f.apply(d).as[(String, Double)].collect().toSeq
+    assert(fout === Seq(("b", 0.444444444)))
+  }
+
+  test("share-of-total refusals: unresolvable columns and collisions fail loudly") {
+    val d = Seq(("a", 10L)).toDF("grp", "v")
+    // value column typo: hard error (the whole clause is meaningless)
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("share of vv per grp", d.columns.toSeq)
+    }
+    // no resolvable group: hard error, not a silent global share
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("share of v per nope", d.columns.toSeq)
+    }
+    // partially-resolved group list surfaces a warning (no silent drop)
+    val w = NlCompiler.compile("share of v per grp and nope", d.columns.toSeq)
+    assert(w.warnings.exists(_.contains("'nope'")))
+    // output-name collisions refuse
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("share of v per grp",
+        d.columns.toSeq :+ "share_v")
+    }
+    intercept[IllegalArgumentException] {
+      NlCompiler.compile("share of v per grp",
+        d.columns.toSeq :+ "sum_v")
+    }
+    // without a per clause the share grammar must NOT fire
+    val c = NlCompiler.compile("share of v", d.columns.toSeq)
+    assert(!c.describe.contains("shareOf"))
   }
 
   test("window branches refuse a schema that already has the output column") {
