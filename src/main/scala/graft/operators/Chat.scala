@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Chat-transcript structure operators (beyond-reference, SURVEY.md §2.4):
   * the SFT/RLHF-era counterpart of the pre-training text battery. Fine-
@@ -51,22 +50,22 @@ object Chat {
     * stripped, n_chars int). Order within a transcript is the line
     * order (turn_idx is dense over kept lines).
     *
-    * 100 TB shape: one split + posexplode per doc, a per-doc window for
-    * the dense index — transcript-bounded partitions, no corpus-wide
-    * state. */
+    * 100 TB shape: the line array is filtered to kept lines BEFORE
+    * posexplode, so the explode ordinal IS the dense turn index — one
+    * split + filter + posexplode per doc, a pure per-row projection with
+    * ZERO shuffle (no window, no per-doc repartition; the first version
+    * derived the dense index with row_number() over a per-doc window,
+    * a full shuffle of every line row for a value the ordinal already
+    * carries). PlanAuditSpec pins the no-Window/no-Exchange plan. */
   def parseChatTurns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(s"`$idCol`")
-    val lines = df
-      .filter(id.isNotNull && col(s"`$textCol`").isNotNull)
-      .select(id, posexplode(split(col(s"`$textCol`"), "\n")).as(Seq("__ln", "__line")))
-      .filter(trim(col("__line")) =!= "")
-    val w = Window.partitionBy(id).orderBy(col("__ln"))
-    lines
-      .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
-      .withColumn("role", roleOf(col("__line")))
-      .withColumn("content", contentOf(col("__line")))
-      .withColumn("n_chars", length(col("content")).cast("int"))
-      .select(id, col("turn_idx"), col("role"), col("content"), col("n_chars"))
+    df.filter(id.isNotNull && col(s"`$textCol`").isNotNull)
+      .select(id, posexplode(keptLines(textCol)).as(Seq("__ti", "__line")))
+      .select(id,
+        col("__ti").cast("int").as("turn_idx"),
+        roleOf(col("__line")).as("role"),
+        contentOf(col("__line")).as("content"),
+        length(contentOf(col("__line"))).cast("int").as("n_chars"))
   }
 
   /** Per-transcript structure audit. One row per doc: (idCol, n_turns,

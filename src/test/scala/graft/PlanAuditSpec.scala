@@ -514,7 +514,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "p243_target_encode", "p244_burrows_delta", "p246_margin_score",
       // p248: the 1-row mapped-type-count scalar broadcasts into the
       // scoring stream (the p41 add-one denominator shape)
-      "p248_min_k_prob")
+      "p248_min_k_prob",
+      // c3 share class: the grand total is a 1-row broadcast cross join
+      // back onto the |groups|-sized frame — the operator's whole design
+      // (one agg + one broadcast, never a second corpus scan); p258: the
+      // 1-row pair-count and roll-up frames broadcast onto the survivor
+      // rows the same way
+      "c3_transform_share", "p258_dpo_pipeline")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
@@ -774,6 +780,20 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(!plan.contains("Exchange"), plan)
       assert(!plan.contains("Window"), plan)
     }
+  }
+
+  test("parseChatTurns: kept-line filter before posexplode makes the dense index shuffle-free") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.operators.Chat.parseChatTurns(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    // the explode ordinal over the pre-filtered line array IS turn_idx —
+    // the r16 version recovered density with row_number() over a per-doc
+    // window, shuffling every line row of the corpus for a value the
+    // ordinal already carried (r16 verdict #4)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
   }
 
   test("c3 window gate: the NL grouped top-k's rank cut prunes as WindowGroupLimit") {
