@@ -115,6 +115,162 @@ object Classifier {
       .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
   }
 
+  /** Full-batch logistic-regression TRAINING over the exact hashed
+    * unigram+bigram feature map [[hashClassifierScore]] scores with (the
+    * fastText training recipe, Joulin et al. 2016, reduced to plain
+    * batch gradient descent so every round is an oracle-replayable
+    * dataflow): per doc d the feature vector is x_b = c_b / n (the
+    * count-weighted mean convention the scorer uses — logit = w·x), the
+    * model has no intercept (also the scorer's convention), and round k
+    * applies w ← w − lr·∇/N with ∇_b = Σ_d (σ(w·x_d) − y_d)·x_{d,b}.
+    * Labels must be exactly 0 or 1 (anything else raises — a mangled
+    * label column is a data bug, not a class); rows with NULL id/label
+    * and docs with zero features are excluded from training. Returns
+    * the full weight table (bucket int, weight double) — nBuckets rows;
+    * [[weightsOf]] collapses it to the vector `hashClassifierScore
+    * (weights = ...)` consumes, which is the whole point: train here,
+    * score with the SAME feature map, no re-plumbing.
+    *
+    * Determinism / oracle contract (the repo's 9-dp convention): the
+    * per-doc dot is an EXACT decimal sum (c_b × weight-as-DECIMAL(25,9),
+    * order-independent), logit/σ round through 9-dp exactly like the
+    * scorer, the per-doc gradient scale g_d = round9((p_d − y_d)/n_d)
+    * re-enters as DECIMAL(25,9) so ∇_b = Σ c_b·g_d is again an exact
+    * decimal sum, and the weight update w − (lr·∇_b)/N is one fixed
+    * IEEE tree re-rounded to 9 dp. Fixed `iters`, no early stop, no
+    * randomness — two runs (or two engines) produce bit-identical
+    * weight tables; gate p257 replays all rounds as DuckDB CTE stages.
+    *
+    * 100 TB shape: ONE corpus scan builds the staged per-doc compacted
+    * feature frame (doc, y, n, bucket[], count[]) — the explode
+    * collapses through a map-side-combinable (doc, bucket) count first,
+    * so the stage holds one row per doc with bounded arrays. Each round
+    * is then a pure projection (the decimal dot under the CURRENT
+    * weights, folded in as an nBuckets-sized array literal — no weight
+    * join) followed by ONE map-side-combinable aggregation over
+    * (bucket, grad) pairs — partial sums collapse to ≤ nBuckets rows
+    * per partition BEFORE the shuffle, and the driver holds only the
+    * nBuckets-sized gradient/weight vectors (the [[Vocab.bpeMerges]]
+    * bounded-driver-data pattern: iters × nBuckets rows total, never a
+    * dataset). The dot's array fold is a Catalyst HOF (interpreted, not
+    * codegen) — the price of avoiding a per-round corpus-sized
+    * weight-table join + per-doc re-aggregation, and it touches each
+    * (bucket, count) pair exactly once per round. */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, nBuckets: Int = 4096, seed: String = "clf",
+      useBigrams: Boolean = true, iters: Int = 8, lr: Double = 0.5,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1,1000], got $iters")
+    require(lr > 0 && !lr.isNaN && !lr.isInfinity,
+      s"lr must be finite and > 0, got $lr")
+    val spark = docs.sparkSession
+    val id = col(s"`$idCol`")
+    val text = lower(coalesce(col(s"`$textCol`"), lit("")))
+    val yRaw = col(s"`$labelCol`")
+    val y01 = yRaw.cast("double")
+    import graft.functions.TextFunctions.{tokens, shingles, md5Hash60}
+    val grams =
+      if (useBigrams) concat(tokens(text), shingles(text, 2)) else tokens(text)
+    val occ = docs
+      .filter(id.isNotNull && yRaw.isNotNull)
+      .select(id,
+        when(y01 === 0.0 || y01 === 1.0, y01)
+          .otherwise(raise_error(concat(
+            lit(s"trainLogistic: label '$labelCol' must be 0 or 1, got "),
+            yRaw.cast("string"))).cast("double")).as("__y"),
+        explode(grams).as("__g"))
+      .filter(col("__g") =!= "")
+      .select(id, col("__y"),
+        pmod(md5Hash60(concat(lit(s"$seed:"), col("__g"))), lit(nBuckets.toLong))
+          .cast("int").as("__b"))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // per-doc compacted features: one row per doc, sorted parallel
+    // bucket/count arrays (y is constant per id — the idCol-unique
+    // precondition shared with hashClassifierScore)
+    val rec = new Stager.Recording(stager)
+    val docFeat = rec.stage(
+      occ.groupBy(id, col("__b"))
+        .agg(first(col("__y")).as("__y"), count(lit(1)).as("__c"))
+        .groupBy(id)
+        .agg(first(col("__y")).as("__y"), sum(col("__c")).as("__n"),
+          array_sort(collect_list(struct(col("__b"), col("__c")))).as("__bc"))
+        .select(id, col("__y"), col("__n"),
+          transform(col("__bc"), x => x.getField("__b")).as("__bs"),
+          transform(col("__bc"), x => x.getField("__c")).as("__cs")),
+      s"clf_train_feat_$runId")
+    val nDocs = docFeat.count()
+    // driver-side round9 replaying the engine's double->DECIMAL(25,12)
+    // cast (shortest-string, HALF_UP) + ROUND(..., 9) + cast back
+    def round9d(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val w = Array.fill(nBuckets)(0.0)
+    var it = 0
+    while (it < iters && nDocs > 0L) {
+      val wArr = typedlit(w.toIndexedSeq)
+      val dot = aggregate(
+        zip_with(col("__bs"), col("__cs"),
+          (b, c) => element_at(wArr, b + 1).cast(Dec) *
+            c.cast(DecimalType(10, 0))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 9)),
+        // re-pin the merge type: decimal + widens precision past 38 and
+        // would silently drop to scale 8; the cast is exact (|dot| is
+        // bounded by n·max|w|, nowhere near 1e29)
+        (acc, x) => (acc + x).cast(DecimalType(38, 9)))
+      val logit = round9(col("__dot").cast("double") / col("__n").cast("double"))
+      val p = round9(lit(1.0) / (lit(1.0) + round9(exp(-logit))))
+      val g9 = round9((p - col("__y")) / col("__n").cast("double"))
+      val gradRows = docFeat
+        .withColumn("__dot", dot)
+        .withColumn("__g9", g9)
+        .select(explode(zip_with(col("__bs"), col("__cs"),
+          (b, c) => struct(b.as("__b"),
+            (c.cast(DecimalType(10, 0)) * col("__g9").cast(Dec)).as("__gc"))))
+          .as("__e"))
+        .groupBy(col("__e.__b").as("__b"))
+        .agg(sum(col("__e.__gc")).as("__grad"))
+        .collect() // bounded: at most nBuckets rows per round
+      val grad = new Array[Double](nBuckets)
+      gradRows.foreach { r =>
+        if (!r.isNullAt(1)) grad(r.getInt(0)) = r.getDecimal(1).doubleValue()
+      }
+      val nD = nDocs.toDouble
+      var b = 0
+      while (b < nBuckets) {
+        w(b) = round9d(w(b) - (lr * grad(b)) / nD)
+        b += 1
+      }
+      it += 1
+    }
+    if (stager.eager) rec.release()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      w.zipWithIndex.map { case (wt, b) =>
+        org.apache.spark.sql.Row(b, wt) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Collapse a [[trainLogistic]] weight table to the dense vector
+    * [[hashClassifierScore]]'s `weights` parameter consumes (bounded
+    * collect: nBuckets rows — model-sized, never a dataset). */
+  def weightsOf(trained: DataFrame, nBuckets: Int): IndexedSeq[Double] = {
+    val arr = new Array[Double](nBuckets)
+    trained.select(col("bucket"), col("weight")).collect().foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < nBuckets,
+        s"bucket $b out of range for nBuckets=$nBuckets")
+      arr(b) = r.getDouble(1)
+    }
+    arr.toIndexedSeq
+  }
+
   /** Binary confident joint (Northcutt et al. 2021, "Confident
     * Learning") — the label-noise estimator a curation pipeline runs on
     * a weakly-labeled corpus: using per-class mean self-confidence as

@@ -63,6 +63,80 @@ class ClassifierSpec extends SparkSpecBase {
     assert(bi === 5L && un === 3L)
   }
 
+  test("trainLogistic: trained weights separate a planted quality/garbage mix") {
+    // two disjoint planted vocabularies; a few shared filler words so the
+    // separation must come from the DISCRIMINATIVE features, not from
+    // every token being class-pure
+    val good = (0 until 30).map(i =>
+      (i.toLong, s"excellent thorough informative well written article the of $i", 1))
+    val bad = (30 until 60).map(i =>
+      (i.toLong, s"spamspam clickbait garbage junk buy cheap now the of $i", 0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "label")
+    val nB = 512
+    val trained = Classifier.trainLogistic(docs, "doc_id", "text", "label",
+      nBuckets = nB, iters = 12, lr = 1.0)
+    assert(trained.count() === nB.toLong)
+    // score THROUGH hashClassifierScore with the trained vector — the
+    // train/score feature maps must be the same map
+    val w = Classifier.weightsOf(trained, nB)
+    val scored = Classifier.hashClassifierScore(docs, "doc_id", "text",
+        nBuckets = nB, weights = Some(w))
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), col("prob")).as[(Int, Double)].collect()
+    val goodProbs = scored.filter(_._1 == 1).map(_._2)
+    val badProbs = scored.filter(_._1 == 0).map(_._2)
+    assert(goodProbs.length === 30 && badProbs.length === 30)
+    assert(goodProbs.min > badProbs.max,
+      s"planted mix must separate fully: min(good)=${goodProbs.min} " +
+        s"max(bad)=${badProbs.max}")
+    assert(goodProbs.min > 0.5 && badProbs.max < 0.5,
+      "decision boundary must sit between the classes")
+  }
+
+  test("trainLogistic: deterministic across runs; gradient actually descends") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) s"alpha beta gamma $i" else s"omega psi chi $i",
+        i % 2)).toDF("doc_id", "text", "label")
+    val a = Classifier.trainLogistic(docs, "doc_id", "text", "label",
+      nBuckets = 64, iters = 5).orderBy("bucket")
+      .as[(Int, Double)].collect().toSeq
+    val b = Classifier.trainLogistic(docs, "doc_id", "text", "label",
+      nBuckets = 64, iters = 5).orderBy("bucket")
+      .as[(Int, Double)].collect().toSeq
+    assert(a === b, "two runs must produce bit-identical weight tables")
+    assert(a.exists(_._2 != 0.0), "training must move some weight")
+    // more rounds separate at least as well on the training mix
+    def sep(iters: Int): Double = {
+      val t = Classifier.trainLogistic(docs, "doc_id", "text", "label",
+        nBuckets = 64, iters = iters)
+      val w = Classifier.weightsOf(t, 64)
+      val s = Classifier.hashClassifierScore(docs, "doc_id", "text",
+          nBuckets = 64, weights = Some(w))
+        .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .select(col("label"), col("prob")).as[(Int, Double)].collect()
+      s.filter(_._1 == 1).map(_._2).min - s.filter(_._1 == 0).map(_._2).max
+    }
+    assert(sep(8) > sep(1), "more gradient rounds must widen the margin")
+  }
+
+  test("trainLogistic: label validation and degenerate inputs") {
+    // a label outside {0, 1} raises (data bug, not a class)
+    val mangled = Seq((1L, "a b", 2)).toDF("doc_id", "text", "label")
+    val e = intercept[Exception] {
+      Classifier.trainLogistic(mangled, "doc_id", "text", "label", nBuckets = 8)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("must be 0 or 1"), msgs)
+    // NULL labels/ids and zero-feature docs are excluded, not crashed on;
+    // an effectively-empty training set returns the all-zero model
+    val empty = Seq((1L, "", Some(1)), (2L, "x y", None), (3L, null: String, Some(0)))
+      .toDF("doc_id", "text", "label")
+    val t = Classifier.trainLogistic(empty, "doc_id", "text", "label", nBuckets = 8)
+    assert(t.select("weight").as[Double].collect().forall(_ == 0.0))
+    assert(t.count() === 8L)
+  }
+
   test("confidentJointBinary: hand-computed joint with a planted label error") {
     // pos p={0.9,0.5} -> t+=0.7; neg p={0.2,0.4,0.95} -> t-=mean(0.8,0.6,0.05)
     // confident cells: 0.9->c_pp, 0.5->c_pn (1-p>=t-), 0.95->c_np (planted
