@@ -110,20 +110,77 @@ object Vocab {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
-    val spark = docs.sparkSession
-    val runId = java.util.UUID.randomUUID().toString.take(8)
     // one corpus scan: word counts, then chars + </w> on the last
     // split("") can emit a trailing "" under limit -1 semantics — filter
     // it so the end-of-word marker fuses onto the REAL last character
     val chars = filter(split(col("__term"), ""), s => s =!= lit(""))
-    val words0 = graft.functions.TextFunctions.termStream(docs, Nil, textCol)
+    bpeMergeLoop(docs.sparkSession,
+      cappedWordCounts(docs, textCol, maxWords)
+        .select(col("__n"),
+          transform(chars,
+            (s, i) => when(i === size(chars) - 1,
+              concat(s, lit(EndOfWord))).otherwise(s)).as("__syms")),
+      numMerges, minPairCount, stager)
+  }
+
+  /** BYTE-level BPE merge training (the GPT-2 tokenizer family, Radford
+    * et al. 2019: merges learned over the UTF-8 byte inventory, so ANY
+    * string — any script, emoji, binary-ish junk — tokenizes with zero
+    * OOV and a 256-symbol base alphabet). Same contract and machinery as
+    * [[bpeMerges]] — the ONLY difference is the initial symbolization:
+    * each word becomes its UTF-8 bytes rendered as fixed-width
+    * uppercase-hex pairs (the engine-portable analogue of GPT-2's
+    * bytes→unicode remap; "é" is `C3 A9`, so a learned merge `C3A9` IS
+    * the multi-byte character), with [[EndOfWord]] fused onto the final
+    * byte. Merged symbols concatenate hex strings, so any merge row is
+    * decodable back to bytes by peeling 2-hex-digit chunks.
+    *
+    * 100 TB shape: identical to [[bpeMerges]] — one capped word-count
+    * scan, then vocab-sized merge rounds with 1-row driver argmaxes; the
+    * byte split is `hex()` + fixed-stride substrings, all codegen'd. */
+  def bpeMergesBytes(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L,
+      maxWords: Int = 1000000,
+      stager: Stager = Stager.LocalCheckpoint): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    bpeMergeLoop(docs.sparkSession,
+      cappedWordCounts(docs, textCol, maxWords)
+        .select(col("__n"), byteSyms(col("__term")).as("__syms")),
+      numMerges, minPairCount, stager)
+  }
+
+  /** UTF-8 bytes of a string as uppercase 2-hex-digit symbols, EndOfWord
+    * fused onto the last byte. `hex()` of a string hashes nothing — it is
+    * the raw byte spelling, and `octet_length` counts the same bytes. */
+  private def byteSyms(term: Column): Column = {
+    val hx = hex(term)
+    val n = octet_length(term)
+    transform(sequence(lit(1), n), i =>
+      when(i === n,
+        concat(substring(hx, (i - 1) * 2 + 1, lit(2)), lit(EndOfWord)))
+        .otherwise(substring(hx, (i - 1) * 2 + 1, lit(2))))
+  }
+
+  /** The shared one-scan (word, count) head both BPE flavors train on:
+    * top-`maxWords` terms by (count DESC, term) — TakeOrderedAndProject,
+    * never a global sort. */
+  private def cappedWordCounts(docs: DataFrame, textCol: String,
+      maxWords: Int): DataFrame =
+    graft.functions.TextFunctions.termStream(docs, Nil, textCol)
       .groupBy(col("__term")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__term"))
       .limit(maxWords)
-      .select(col("__n"),
-        transform(chars,
-          (s, i) => when(i === size(chars) - 1,
-            concat(s, lit(EndOfWord))).otherwise(s)).as("__syms"))
+
+  /** The BPE merge loop shared by the char- and byte-level trainers:
+    * `words0` is (__n long, __syms array<string>); per round one
+    * pair-count aggregation, a 1-row driver argmax, one HOF rewrite —
+    * see [[bpeMerges]] for the full 100 TB-shape rationale. */
+  private def bpeMergeLoop(spark: org.apache.spark.sql.SparkSession,
+      words0: DataFrame, numMerges: Int, minPairCount: Long,
+      stager: Stager): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     var words = stager.stage(words0, s"bpe_words_${runId}_init")
     var prevRec: Stager.Recording = null
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
@@ -246,6 +303,58 @@ object Vocab {
         // the merge/piece tables (default-locale lowercase diverges under tr_TR)
         val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         val subs = words.flatMap(w => encodeWord(w, ranks)).toSeq
+        Row(row.get(0), subs, subs.size)
+      }
+    }(enc)
+  }
+
+  /** Encode each document's words as BYTE-level BPE subword sequences
+    * under a [[bpeMergesBytes]] table — subwords are concatenated
+    * uppercase-hex byte pairs (+ [[EndOfWord]] on word-final symbols),
+    * the same spelling the trainer emits. Output: (idCol, subwords
+    * array<string>, n_subwords int). Same broadcast-ranks mapPartitions
+    * shape as [[bpeEncode]] (and the same zero-OOV property: every
+    * byte is in the base alphabet, so any string encodes). */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = docs.sparkSession
+    val rankOf: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank"))
+      .collect() // bounded: the merge table (numMerges rows)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val bc = spark.sparkContext.broadcast(rankOf)
+    val eow = EndOfWord
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      docs.schema(idCol),
+      org.apache.spark.sql.types.StructField("subwords",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("n_subwords",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(s"`$idCol`"), col(s"`$textCol`")).mapPartitions { it =>
+      val ranks = bc.value
+      it.map { row =>
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val words = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        val subs = words.flatMap { w =>
+          var syms = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X".intern())
+            .toVector: Vector[String]
+          if (syms.nonEmpty) syms = syms.init :+ (syms.last + eow)
+          var done = false
+          while (!done && syms.size >= 2) {
+            val cand = syms.indices.dropRight(1)
+              .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(rk => (rk, i)))
+            if (cand.isEmpty) done = true
+            else {
+              val (_, i) = cand.minBy { case (rk, j) => (rk, j) }
+              syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+            }
+          }
+          syms
+        }.toSeq
         Row(row.get(0), subs, subs.size)
       }
     }(enc)

@@ -119,6 +119,104 @@ class VocabSpec extends SparkSpecBase {
     assert(none._2.take(3) === Seq("l", "o", "w" + Vocab.EndOfWord))
   }
 
+  /** Driver-side reference BYTE-level BPE trainer: identical to [[refBpe]]
+    * but on uppercase-hex UTF-8 byte symbols — an independent walk of the
+    * same textbook algorithm for the multilingual differential. */
+  private def refBpeBytes(texts: Seq[String], numMerges: Int,
+      minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val wordCounts = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      .filter(_.nonEmpty)
+      .foreach(w => wordCounts(w) = wordCounts.getOrElse(w, 0L) + 1L)
+    var words = wordCounts.toSeq.map { case (w, n) =>
+      val bs = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toVector
+      (bs.init :+ (bs.last + Vocab.EndOfWord), n)
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      val best = pairCounts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          out += ((rank, l, r, c))
+          words = words.map { case (syms, n) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+                acc += (l + r); i += 2
+              } else { acc += syms(i); i += 1 }
+            }
+            (acc.toVector, n)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMergesBytes equals the driver reference on multilingual fixtures") {
+    // multi-byte UTF-8 throughout: Latin-1 accents (2 bytes), CJK (3
+    // bytes), emoji (4 bytes) — the inputs where char-level and
+    // byte-level BPE genuinely diverge
+    val texts = Seq(
+      "héllo héllo héllo naïve naïve", "héllo naïve café café",
+      "中文 中文 中文 分词", "中文 分词 分词",
+      "😀😀 😀😀 rocket 🚀 rocket")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    for (k <- Seq(4, 12, 60)) {
+      val got = Vocab.bpeMergesBytes(df, "text", numMerges = k)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      assert(got === refBpeBytes(texts, k, minPairCount = 2L), s"numMerges=$k")
+    }
+    // a learned merge spelling is pure hex (+ optional </w>): decodable
+    val all = Vocab.bpeMergesBytes(df, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect()
+    all.foreach { case (_, l, r, _) =>
+      Seq(l, r).foreach { s =>
+        val hexPart = s.stripSuffix(Vocab.EndOfWord)
+        assert(hexPart.nonEmpty && hexPart.length % 2 == 0 &&
+          hexPart.forall(c => c.isDigit || ('A' to 'F').contains(c)), s)
+      }
+    }
+  }
+
+  test("bpeEncodeBytes: zero OOV on any script; hex subwords decode back to the words") {
+    val texts = Seq("héllo 中文 🚀", "naïve café x")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val merges = Vocab.bpeMergesBytes(df, "text", numMerges = 20)
+    val enc = Vocab.bpeEncodeBytes(df, "id", "text", merges)
+      .orderBy("id").as[(Int, Seq[String], Int)].collect().toSeq
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    enc.zip(texts).foreach { case ((_, subs, n), text) =>
+      assert(n === subs.size && subs.nonEmpty)
+      val rebuilt = subs.mkString("")
+        .split(java.util.regex.Pattern.quote(Vocab.EndOfWord))
+        .filter(_.nonEmpty)
+        .map(hx => new String(unhex(hx), "UTF-8")).toSeq
+      assert(rebuilt === text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).toSeq, subs.toString)
+    }
+    // merges trained elsewhere still encode unseen multi-byte input
+    // (no OOV by construction — every byte is in the base alphabet)
+    val other = Seq((0, "совершенно 新しい 🌍")).toDF("id", "text")
+    val enc2 = Vocab.bpeEncodeBytes(other, "id", "text", merges)
+      .as[(Int, Seq[String], Int)].collect().head
+    val rebuilt2 = enc2._2.mkString("")
+      .split(java.util.regex.Pattern.quote(Vocab.EndOfWord))
+      .filter(_.nonEmpty).map(hx => new String(unhex(hx), "UTF-8")).toSeq
+    assert(rebuilt2 === Seq("совершенно", "新しい", "🌍"))
+  }
+
   test("unigramEncode: Viterbi picks the max-logp segmentation; ties go to the longer head") {
     val pieces = Seq(("ab", -1.0), ("a", -2.0), ("b", -2.0), ("c", -3.0),
       ("xy", -2.0), ("x", -1.0), ("y", -1.0)).toDF("piece", "logp")
