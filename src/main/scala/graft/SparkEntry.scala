@@ -808,6 +808,27 @@ object SparkEntry {
       compiled.apply(t(s, dir, "documents")).orderBy(col("doc_id"))
     }
 
+    // --- C3: NL share-of-total class (r16 verdict #8) — "share of
+    //     revenue per region" compiles to ONE group aggregation plus a
+    //     1-row broadcast total (re-summed from the group sums — exact
+    //     for decimal inputs) cross-joined back. The oracle replays the
+    //     same two-level sum, so the decimal sums match exactly and the
+    //     9-dp share division is the shared contract.
+    register("c3_transform_share",
+      """WITH g AS (SELECT o_orderpriority, SUM(o_totalprice) AS sum_o_totalprice
+        |  FROM orders GROUP BY o_orderpriority),
+        |t AS (SELECT SUM(sum_o_totalprice) AS tot FROM g)
+        |SELECT g.o_orderpriority, g.sum_o_totalprice,
+        |  CAST(ROUND(CAST(g.sum_o_totalprice::DOUBLE / t.tot::DOUBLE
+        |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS share_o_totalprice
+        |FROM g CROSS JOIN t
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val compiled = NlCompiler.compile(
+        "share of o_totalprice per o_orderpriority by o_orderpriority asc",
+        t(s, dir, "orders").columns.toSeq)
+      compiled.apply(t(s, dir, "orders"))
+    }
+
     // --- NL-over-the-graph (reference README.md:250-277, the WIP
     //     "Unified Data Graph and Natural Language Querying"): embeddings
     //     route the plain-English query to the right registered table,
@@ -3161,6 +3182,30 @@ object SparkEntry {
          |       CAST(cnt AS BIGINT) AS pair_count
          |FROM ($bpeMergeRows) ORDER BY rank""".stripMargin) { (s, dir) =>
       graft.operators.Vocab.bpeMerges(t(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy(col("rank"))
+    }
+
+    // --- BYTE-level BPE (GPT-2 family, r16 verdict #3): the SAME 16
+    //     unrolled merge rounds as p63 — only w0 differs, spelling each
+    //     word as its uppercase-hex UTF-8 bytes (substr strides over
+    //     hex(encode(w)), </w> fused on the final byte). Merge counts
+    //     stay integer-exact, so argmax/tiebreaks replay bitwise.
+    register("p259_bpe_bytes",
+      s"""WITH RECURSIVE
+         |terms AS (SELECT unnest($toksLowerSql) AS w FROM documents),
+         |wc AS (SELECT w, COUNT(*) AS n FROM terms GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT n,
+         |         list_transform(range(1, octet_length(encode(w)) + 1),
+         |           i -> CASE WHEN i = octet_length(encode(w))
+         |                THEN substr(hex(encode(w)), 2*i - 1, 2) || '</w>'
+         |                ELSE substr(hex(encode(w)), 2*i - 1, 2) END) AS syms
+         |       FROM wc),
+         |$bpeRounds
+         |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+         |       CAST(cnt AS BIGINT) AS pair_count
+         |FROM ($bpeMergeRows) ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.operators.Vocab.bpeMergesBytes(t(s, dir, "documents"), "text",
+          numMerges = 16)
         .orderBy(col("rank"))
     }
 
@@ -10048,6 +10093,185 @@ object SparkEntry {
            |FROM g""".stripMargin) { (s, dir) =>
         graft.operators.Chat.preferenceLengthBias(
             prefPairs(s, dir), "doc_id", "chosen", "rejected")
+      }
+    }
+
+    // --- composed DPO pipeline (r16 verdict #5 — the p233/p254
+    //     inter-stage-contract pattern for the preference path): pair
+    //     audit → drop identical / empty-side pairs → length-bias
+    //     roll-up on the SURVIVORS → chat-template render of both sides
+    //     (prompt + chosen, prompt + rejected). The fixture forces a
+    //     real funnel: doc_id%10==1 pairs are identical, %10==3 empties
+    //     chosen, %10==5 empties rejected — every drop class fires. One
+    //     oracle pins every handoff plus the roll-up broadcast back onto
+    //     the per-pair rows.
+    {
+      val rx = """^(?i)\s*(system|user|assistant)\s*:\s*"""
+      def tokSql(c: String) =
+        s"""CAST(len(list_filter(string_split_regex(COALESCE($c, ''), '\\s+'),
+           |  x -> x != '')) AS BIGINT)""".stripMargin
+      register("p258_dpo_pipeline",
+        s"""WITH src AS (SELECT doc_id, replace(text, chr(10), ' ') AS flat
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |cand AS (SELECT doc_id, substring(flat, 1, 40) AS prompt,
+           |    flat AS chosen
+           |  FROM src WHERE doc_id % 2 = 1),
+           |refs AS (SELECT doc_id + 1 AS doc_id, flat AS rejected FROM src),
+           |pr AS (SELECT doc_id, prompt,
+           |    CASE WHEN doc_id % 10 = 3 THEN '' ELSE chosen END AS chosen,
+           |    CASE WHEN doc_id % 10 = 1 THEN chosen
+           |         WHEN doc_id % 10 = 5 THEN ''
+           |         ELSE rejected END AS rejected
+           |  FROM cand JOIN refs USING (doc_id)),
+           |a AS (SELECT doc_id, prompt, chosen, rejected,
+           |    ${tokSql("chosen")} AS chosen_tokens,
+           |    ${tokSql("rejected")} AS rejected_tokens,
+           |    trim(COALESCE(chosen, '')) = trim(COALESCE(rejected, ''))
+           |      AS identical
+           |  FROM pr),
+           |surv AS (SELECT doc_id, prompt, chosen, rejected, chosen_tokens,
+           |    rejected_tokens,
+           |    CASE WHEN rejected_tokens > 0 THEN
+           |      CAST(ROUND(CAST(chosen_tokens::DOUBLE / rejected_tokens::DOUBLE
+           |        AS DECIMAL(25,12)), 9) AS DOUBLE) END AS len_ratio
+           |  FROM a
+           |  WHERE NOT identical AND chosen_tokens > 0 AND rejected_tokens > 0),
+           |nin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_in FROM a),
+           |roll AS (SELECT
+           |    CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           |    CAST(ROUND(CAST(
+           |      SUM(CASE WHEN chosen_tokens > rejected_tokens THEN 1 ELSE 0
+           |        END)::DOUBLE / COUNT(*)::DOUBLE
+           |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS frac_chosen_longer,
+           |    CAST(ROUND(CAST(
+           |      SUM(CAST(len_ratio AS DECIMAL(25,9)))::DOUBLE /
+           |        COUNT(len_ratio)::DOUBLE
+           |      AS DECIMAL(25,12)), 9) AS DOUBLE) AS mean_len_ratio
+           |  FROM surv),
+           |ren AS (SELECT doc_id,
+           |    '<|user|>' || regexp_replace('user: ' || prompt, '$rx', '')
+           |      || '<|end|><|assistant|>'
+           |      || regexp_replace('assistant: ' || chosen, '$rx', '')
+           |      || '<|end|>' AS rendered_chosen,
+           |    '<|user|>' || regexp_replace('user: ' || prompt, '$rx', '')
+           |      || '<|end|><|assistant|>'
+           |      || regexp_replace('assistant: ' || rejected, '$rx', '')
+           |      || '<|end|>' AS rendered_rejected
+           |  FROM surv)
+           |SELECT s.doc_id, s.chosen_tokens, s.rejected_tokens, s.len_ratio,
+           |  r.rendered_chosen, r.rendered_rejected,
+           |  nin.n_pairs_in, roll.n_survivors, roll.frac_chosen_longer,
+           |  roll.mean_len_ratio
+           |FROM surv s JOIN ren r USING (doc_id)
+           |CROSS JOIN nin CROSS JOIN roll
+           |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+        import graft.operators.Chat
+        val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val flat = regexp_replace(col("text"), "\n", " ")
+        val cand = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), substring(flat, 1, 40).as("prompt"),
+            flat.as("chosen"))
+        val rej = d.select((col("doc_id") + 1).as("doc_id"), flat.as("rejected"))
+        val pairs = cand.join(rej, Seq("doc_id"))
+          .select(col("doc_id"), col("prompt"),
+            when(col("doc_id") % 10 === 3, lit("")).otherwise(col("chosen"))
+              .as("chosen"),
+            when(col("doc_id") % 10 === 1, col("chosen"))
+              .when(col("doc_id") % 10 === 5, lit(""))
+              .otherwise(col("rejected")).as("rejected"))
+        // stage 1+2: audit, then the drop screen (identical / empty sides)
+        val audit = Chat.preferencePairAudit(pairs, "doc_id", "chosen", "rejected")
+        val surv = audit
+          .filter(!col("identical") && !col("chosen_empty") &&
+            !col("rejected_empty"))
+          .select(col("doc_id"), col("chosen_tokens"), col("rejected_tokens"),
+            col("len_ratio"))
+        val survPairs = pairs.join(surv.select("doc_id"), Seq("doc_id"))
+        // stage 3: corpus roll-up on the survivors only
+        val bias = Chat.preferenceLengthBias(survPairs, "doc_id",
+            "chosen", "rejected")
+          .select(col("n_pairs").as("n_survivors"), col("frac_chosen_longer"),
+            col("mean_len_ratio"))
+        val nIn = audit.agg(count(lit(1)).as("n_pairs_in"))
+        // stage 4: chat-template render of both sides off the same prompt
+        def render(side: String, out: String) =
+          Chat.renderTemplate(
+            survPairs.select(col("doc_id"),
+              concat(lit("user: "), col("prompt"), lit("\nassistant: "),
+                col(side)).as("text")),
+            "doc_id", "text")
+            .select(col("doc_id"), col("rendered").as(out))
+        surv
+          .join(render("chosen", "rendered_chosen"), Seq("doc_id"))
+          .join(render("rejected", "rendered_rejected"), Seq("doc_id"))
+          .crossJoin(broadcast(nIn)).crossJoin(broadcast(bias))
+          .select(col("doc_id"), col("chosen_tokens"), col("rejected_tokens"),
+            col("len_ratio"), col("rendered_chosen"), col("rendered_rejected"),
+            col("n_pairs_in"), col("n_survivors"), col("frac_chosen_longer"),
+            col("mean_len_ratio"))
+          .orderBy(col("doc_id"))
+      }
+    }
+
+    // --- trained quality classifier (r16 verdict #1): full-batch logistic
+    //     GD over the p84 hashed unigram+bigram feature map, fixed 3
+    //     rounds at lr=0.5, label = doc_id % 2 (a deterministic planted
+    //     split — the gate pins the TRAINING dataflow, ClassifierSpec
+    //     pins that training separates a real quality/garbage mix). The
+    //     gradient rounds UNROLL into CTE stages exactly like p63's merge
+    //     rounds: per round one per-doc decimal dot under w_{k-1}, the
+    //     9-dp sigmoid/residual, one (bucket, grad) decimal aggregation,
+    //     and the re-rounded weight update — every arithmetic step is the
+    //     repo's decimal/9-dp contract, so the 64-row weight tables match
+    //     bitwise.
+    {
+      val nB = 64
+      val trainRounds = (1 to 3).map { k =>
+        s"""d$k AS (SELECT o.doc_id, SUM(CAST(w.w AS DECIMAL(25,9))) AS dot
+           |  FROM occ o JOIN w${k - 1} w USING (bucket) GROUP BY o.doc_id),
+           |g$k AS MATERIALIZED (
+           |  SELECT l.doc_id,
+           |    CAST(ROUND(CAST((CAST(ROUND(CAST(1.0 / (1.0 +
+           |        CAST(ROUND(CAST(exp(-CAST(ROUND(CAST(d.dot::DOUBLE / l.n::DOUBLE
+           |          AS DECIMAL(25,12)), 9) AS DOUBLE)) AS DECIMAL(25,12)), 9)
+           |          AS DOUBLE)) AS DECIMAL(25,12)), 9) AS DOUBLE) - l.y)
+           |      / l.n::DOUBLE AS DECIMAL(25,12)), 9) AS DOUBLE) AS g9
+           |  FROM lab l JOIN d$k d USING (doc_id)),
+           |r$k AS (SELECT o.bucket, SUM(CAST(g.g9 AS DECIMAL(25,9))) AS grad
+           |  FROM occ o JOIN g$k g USING (doc_id) GROUP BY o.bucket),
+           |w$k AS MATERIALIZED (
+           |  SELECT w.bucket,
+           |    CAST(ROUND(CAST(w.w - (0.5 * COALESCE(r.grad, 0)::DOUBLE)
+           |        / nd.nd::DOUBLE AS DECIMAL(25,12)), 9) AS DOUBLE) AS w
+           |  FROM w${k - 1} w LEFT JOIN r$k r USING (bucket) CROSS JOIN nd)"""
+          .stripMargin
+      }.mkString(",\n")
+      register("p257_train_logistic",
+        s"""WITH u AS (SELECT doc_id, unnest($toksLowerSql) AS g FROM documents
+           |  WHERE doc_id IS NOT NULL),
+           |t2 AS (SELECT doc_id, $toksLowerSql AS tk FROM documents
+           |  WHERE doc_id IS NOT NULL),
+           |b2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+           |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+           |    END) AS g FROM t2),
+           |gr AS (SELECT * FROM u UNION ALL SELECT * FROM b2),
+           |occ AS MATERIALIZED (SELECT doc_id,
+           |    (('0x' || substring(md5('clf:' || g), 1, 15))::BIGINT) % $nB AS bucket
+           |  FROM gr WHERE g != ''),
+           |lab AS MATERIALIZED (SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM occ GROUP BY doc_id),
+           |nd AS (SELECT COUNT(*) AS nd FROM lab),
+           |w0 AS (SELECT CAST(b AS INT) AS bucket, 0.0::DOUBLE AS w
+           |  FROM range($nB) t(b)),
+           |$trainRounds
+           |SELECT bucket, w AS weight FROM w3 ORDER BY bucket""".stripMargin) {
+        (s, dir) =>
+          val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+            .withColumn("label", (col("doc_id") % 2).cast("double"))
+          graft.operators.Classifier.trainLogistic(docs, "doc_id", "text",
+              "label", nBuckets = nB, iters = 3, lr = 0.5)
+            .orderBy(col("bucket"))
       }
     }
 
