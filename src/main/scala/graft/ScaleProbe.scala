@@ -546,6 +546,64 @@ object ScaleProbe {
     val (mR, tmR) = time(marginRun(r))
     println(f"margin_score 1x: $tm1%.1fs $m1 rows | ${r}x: $tmR%.1fs $mR rows" +
       f" (ratio ${tmR / tm1}%.2fx time, ${mR.toDouble / m1}%.2fx rows)")
+
+    // ---- chat structure audit (p251): a pure per-row HOF projection —
+    // the probe checks the zero-shuffle claim's consequence at Rx (time
+    // ~Rx, rows exactly Rx). Transcripts synthesized per doc (the p250
+    // fixture shape); replicas stripe doc ids, text can repeat verbatim —
+    // a per-row projection has no cross-row structure to decorrelate.
+    def chatFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      docs.select((col("doc_id") * r + i).as("doc_id"),
+        concat(lit("user: "), substring(col("text"), 1, 30),
+          lit("\nassistant: "), substring(col("text"), 31, 15)).as("text"))
+    }.reduce(_ unionByName _)
+    def chatRun(reps: Int): Long =
+      graft.operators.Chat.chatAudit(chatFrame(reps), "doc_id", "text").count()
+    time(chatRun(1))
+    val (ca1, tca1) = time(chatRun(1))
+    val (caR, tcaR) = time(chatRun(r))
+    println(f"chat_audit 1x: $tca1%.1fs $ca1 rows | ${r}x: $tcaR%.1fs $caR rows" +
+      f" (ratio ${tcaR / tca1}%.2fx time, ${caR.toDouble / ca1}%.2fx rows)")
+
+    // ---- min-k% membership audit (p248): scoring stream + document-
+    // keyed window + one final aggregation. The hhFrame's per-replica
+    // token prefixes make the bigram model universes orthogonal, so each
+    // replica's per-doc min-k logp is exactly replica 0's; vocabSize is
+    // uncapped here because a global top-N cut tie-breaks on the SALTED
+    // token string at the boundary count, which is not replica-symmetric
+    // (the model tables grow Rx with the corpus — at 100 TB the cap is
+    // the knob that bounds them; its cut path is hash-gated by p248).
+    // Expected: rows exactly Rx.
+    def minkRun(reps: Int): Long =
+      graft.operators.LmScore.minKProbAuditSelf(
+        hhFrame(reps), "doc_id", "text", kPercent = 20.0,
+        vocabSize = Int.MaxValue).count()
+    time(minkRun(1))
+    val (mk1, tmk1) = time(minkRun(1))
+    val (mkR, tmkR) = time(minkRun(r))
+    println(f"min_k_prob 1x: $tmk1%.1fs $mk1 rows | ${r}x: $tmkR%.1fs $mkR rows" +
+      f" (ratio ${tmkR / tmk1}%.2fx time, ${mkR.toDouble / mk1}%.2fx rows)")
+
+    // ---- preference length-bias roll-up (p256): a per-pair projection
+    // into ONE map-side-combinable scalar aggregation — output is always
+    // one row, so the Rx invariant lives in n_pairs (exactly Rx) and the
+    // time ratio (~linear: the reduce tree carries a handful of counters
+    // per partition regardless of corpus size).
+    def prefFrame(reps: Int): DataFrame = (0 until reps).map { i =>
+      docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") * r + i).as("doc_id"),
+          substring(col("text"), 1, 60).as("chosen"),
+          substring(col("text"), 20, 60).as("rejected"))
+    }.reduce(_ unionByName _)
+    def prefRun(reps: Int): Long =
+      graft.operators.Chat.preferenceLengthBias(prefFrame(reps),
+          "doc_id", "chosen", "rejected")
+        .collect()(0).getLong(0) // n_pairs
+    time(prefRun(1))
+    val (pb1, tpb1) = time(prefRun(1))
+    val (pbR, tpbR) = time(prefRun(r))
+    println(f"pref_bias 1x: $tpb1%.1fs $pb1 pairs | ${r}x: $tpbR%.1fs $pbR pairs" +
+      f" (ratio ${tpbR / tpb1}%.2fx time, ${pbR.toDouble / pb1}%.2fx pairs)")
     spark.stop()
   }
 }
