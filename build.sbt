@@ -42,3 +42,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // emitted by graft.Bench/graft.Verify IS the final stdout line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by another setting —
+// exclude it from the unused-key lint so every build isn't a [warn] wall
+Global / excludeLintKeys += showSuccess
