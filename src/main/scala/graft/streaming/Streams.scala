@@ -156,6 +156,20 @@ object Streams {
   def chatAuditStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Chat.chatAudit(docs, idCol, textCol)
 
+  /** Streaming preference-pair screen — the DPO-ingest twin of
+    * [[graft.operators.Chat.preferencePairAudit]]: identical/empty-side
+    * flags and the token length gap per arriving pair. A pure per-row
+    * projection (no window, no state, no shuffle), so the identical
+    * operator applies to an unbounded stream and output rows are
+    * independent of micro-batch boundaries (StreamsSpec pins the
+    * stream ≡ batch identity). The corpus-level roll-up
+    * ([[graft.operators.Chat.preferenceLengthBias]]) is deliberately
+    * NOT wrapped: a global aggregate on a stream needs an output-mode /
+    * state decision the caller must own. */
+  def preferencePairAuditStream(pairs: DataFrame, idCol: String,
+      chosenCol: String, rejectedCol: String): DataFrame =
+    graft.operators.Chat.preferencePairAudit(pairs, idCol, chosenCol, rejectedCol)
+
   // ------------------------------------------------------------ custom state
 
   case class KeyCount(key: String, total: Long)

@@ -276,6 +276,45 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("preferencePairAuditStream equals the batch pair audit across micro-batch splits") {
+    // pairs with every structural class: identical (%10==1), empty
+    // chosen (%10==3), empty rejected (%10==5), plain length gaps
+    val docs = testdata("sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"doc_id".isNotNull && $"doc_id" % 2 === 1)
+      .select($"doc_id",
+        when($"doc_id" % 10 === 3, lit("")).otherwise(substring($"text", 1, 60))
+          .as("chosen"),
+        when($"doc_id" % 10 === 1, substring($"text", 1, 60))
+          .when($"doc_id" % 10 === 5, lit(""))
+          .otherwise(substring($"text", 20, 60)).as("rejected"))
+    val rows = docs.as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String)](spark)
+    val out = Streams.preferencePairAuditStream(
+      input.toDS().toDF("doc_id", "chosen", "rejected"),
+      "doc_id", "chosen", "rejected")
+    val q = out.writeStream.format("memory").queryName("pref_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "chosen_tokens", "rejected_tokens",
+        "identical", "chosen_empty", "rejected_empty", "len_ratio")
+      val streamed = spark.table("pref_stream").select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Boolean, Boolean, Boolean, Option[Double])]
+        .collect().toSet
+      val batch = graft.operators.Chat
+        .preferencePairAudit(docs, "doc_id", "chosen", "rejected")
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Boolean, Boolean, Boolean, Option[Double])]
+        .collect().toSet
+      assert(batch.exists(_._4) && batch.exists(_._5) && batch.exists(_._6),
+        "fixture must exercise identical and both empty-side classes")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sampleMixtureStream equals the batch mixture regardless of micro-batch splits") {
     val events = testdata("sf0.001", "events")
       .select($"event_id".cast("long").as("event_id"), $"event_type")
