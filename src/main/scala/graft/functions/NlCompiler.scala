@@ -356,17 +356,35 @@ object NlCompiler {
         val filtered = preFilters.foldLeft(dated) { case (d, (c, op, v)) =>
           d.filter(comparison(cref(c), op, v))
         }
+        // FLOATING value columns sum through the repo's exact-decimal
+        // contract (DECIMAL(25,6) accumulator, double result — the q01
+        // dsum rule): a raw double SUM is addition-order-dependent,
+        // which surfaced the moment the input scan stopped being a
+        // single task (r17 fan-out) — shares must not depend on
+        // partitioning. Integer/decimal columns keep the plain sum
+        // (already exact and order-independent, and the sum column
+        // keeps its natural type).
+        val isFloating = filtered.schema(valCol).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        val vexpr =
+          if (isFloating) cref(valCol).cast(org.apache.spark.sql.types.DecimalType(25, 6))
+          else cref(valCol)
         val grp = filtered.groupBy(groupCols.map(cref): _*)
-          .agg(sum(cref(valCol)).as(sumName))
-        val total = grp.agg(sum(cref(sumName)).as("__tot"))
-        val frac = cref(sumName).cast("double") / col("__tot").cast("double")
+          .agg(sum(vexpr).as("__dsum"))
+        val total = grp.agg(sum(col("__dsum")).as("__tot"))
+        val frac = col("__dsum").cast("double") / col("__tot").cast("double")
         val out = round(
           (if (isPercent) frac * lit(100.0) else frac)
             .cast(org.apache.spark.sql.types.DecimalType(25, 12)), 9)
           .cast("double")
         post.apply(grp.crossJoin(broadcast(total))
+          .withColumn(sumName,
+            if (isFloating) col("__dsum").cast("double") else col("__dsum"))
           .withColumn(outName, out)
-          .drop("__tot"))
+          .drop("__tot", "__dsum"))
       }, groupWarnings ++ post.warnings)
     }
 
