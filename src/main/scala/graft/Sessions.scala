@@ -28,6 +28,16 @@ object Sessions {
       // rejects by default; read those as long and convert (Tables.events).
       // Harmless for MICROS-typed fixtures — kept so the engine reads both.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The JVM-global generated-class cache defaults to 100 entries; this
+      // engine's registry holds 300+ distinct query shapes with several
+      // codegen units each, so every bench/verify pass THRASHED the cache
+      // and re-compiled (janino + C2) nearly every operator on every rep —
+      // measured r17: full-suite bench 274.6 s -> 202.6 s (-26%) from this
+      // line alone, no query slower. Static conf: the first session in the
+      // JVM pins it. Sized to hold the whole registry's codegen with slack;
+      // generated classes are small (metaspace-bounded), and a production
+      // deployment running a many-operator DAG wants the same headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
   }
 }

@@ -99,20 +99,32 @@ object Classifier {
     val wOf = (g: Column) => element_at(wArr,
       (pmod(md5Hash60(concat(lit(s"$seed:"), g)), lit(nBuckets.toLong)) + 1L)
         .cast("int"))
-    val scored = docs
-      .select(id, explode(grams).as("__g"))
-      .filter(col("__g") =!= "")
+    // explode_outer over the PRE-filtered gram array keeps zero-feature
+    // docs as one null-gram row, so the aggregation itself emits every
+    // distinct id — n_features = count of non-null weights (0 for the
+    // null row), logit/prob NULL via the null sum. The former shape
+    // re-attached zero-feature docs with docs.select(id).distinct() +
+    // left join: one extra hash aggregation and one extra join of the
+    // full id set per scoring pass, removed r17 (guide §2.4 — the
+    // explode ordinal row already carries the information). Values are
+    // identical; the p84 oracle (documents LEFT JOIN scores) re-verified
+    // at sf0.001 + sf0.01.
+    // NULL ids carry no features (the oracle's LEFT JOIN USING(doc_id)
+    // never matches a NULL key, and the former distinct()+join shape
+    // collapsed all NULL-id rows to one zero-feature row — this keeps
+    // exactly that: one NULL-id output row, n_features 0, NULL scores)
+    docs
+      .select(id, explode_outer(
+        when(id.isNull, array().cast("array<string>"))
+          .otherwise(filter(grams, g => g =!= ""))).as("__g"))
       .select(id, wOf(col("__g")).cast(Dec).as("__w9"))
       .groupBy(id)
-      .agg(count(lit(1)).as("n_features"), sum(col("__w9")).as("__dot"))
+      .agg(count(col("__w9")).as("n_features"), sum(col("__w9")).as("__dot"))
       .withColumn("logit",
         round9(col("__dot").cast("double") / col("n_features").cast("double")))
       .withColumn("prob",
         round9(lit(1.0) / (lit(1.0) + round9(exp(-col("logit"))))))
       .select(id, col("n_features"), col("logit"), col("prob"))
-    docs.select(id).distinct()
-      .join(scored, Seq(idCol), "left")
-      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
   }
 
   /** Full-batch logistic-regression TRAINING over the exact hashed
