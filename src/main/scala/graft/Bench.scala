@@ -46,6 +46,24 @@ object Bench {
     def heapUsedMb(): Double =
       java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed / 1e6
+    // Cumulative JIT compilation milliseconds (all compiler threads) and
+    // current JIT code-cache occupancy: a 96-query pass generates more
+    // compiled code than the default 240 MB ReservedCodeCacheSize holds,
+    // so the sweeper flushes each query's nmethods before its next rep and
+    // reps 1-2 re-run at interpreter/C1 speed (measured r17: chunk-2 rep
+    // sums 124/150/90 s — the rep-3 drop is the flush storm finally
+    // settling, not data work). These two series make that attributable
+    // from the artifact alone, like gc_sec for GC.
+    def jitMillis(): Long = {
+      val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (cb != null && cb.isCompilationTimeMonitoringSupported)
+        cb.getTotalCompilationTime else -1L
+    }
+    def codeCacheMb(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum / 1e6
+    }
 
     // samples(name) = one timing per suite pass (absent where that pass
     // failed); gcSamples/heapSamples parallel it (gc delta sec, heap-used
@@ -65,8 +83,24 @@ object Bench {
     // per-(chunk, rep) bracketing loads → per-rep max across chunks, so the
     // judge can discount a polluted rep mechanically (round-12 advice)
     val chunkRepLoads = Array.fill(chunks.size, reps)(-1.0)
+    // per-(chunk, rep) JIT-compile seconds and end-of-rep code-cache MB;
+    // reported per rep index (sum / max over chunks)
+    val chunkRepJit = Array.fill(chunks.size, reps)(0.0)
+    val chunkRepCodeCache = Array.fill(chunks.size, reps)(-1.0)
     var warmSecTotal = 0.0
-    val doWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    // Warm-pass COUNT (was boolean). One untimed pass absorbs first-use
+    // codegen + janino, but tiered JIT keeps compiling through the first
+    // TWO executions of each generated method — measured (rep_jit_sec,
+    // this round): 68 s of JIT in timed rep 1 and 37 s in rep 2 after a
+    // single warm pass, settling to 12 s by rep 3. That is one-time
+    // compilation cost, exactly what the warm pass exists to exclude
+    // (round-11 advice); a second untimed pass moves it out of the timed
+    // region. 0 disables warming entirely.
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") match {
+      case "0" => 0
+      case s => try math.max(s.toInt, 0) catch { case _: Throwable => 1 }
+    }
+    val doWarm = warmPasses > 0
 
     for ((chunk, ci) <- chunks.zipWithIndex) {
       val spark = Sessions.local(cpus)
@@ -103,7 +137,7 @@ object Bench {
       // UNTIMED pass over THIS chunk's queries moves that out of the
       // measured reps; wall time recorded (warm_pass_sec, summed over
       // chunks). Disable with SPARK_GRAFT_BENCH_WARM=0.
-      if (doWarm) {
+      for (_ <- 0 until warmPasses) {
         val t0 = System.nanoTime()
         for ((name, fn) <- chunk) {
           val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -125,6 +159,7 @@ object Bench {
       // each query's samples (round-6 verdict #4).
       for (p <- 0 until reps) {
         val repLoadStart = loadAvg()
+        val jit0 = jitMillis()
         for ((name, fn) <- chunk) {
           // staged intermediates (localCheckpoint / persist) leak per
           // query — accumulation squeezes the unified memory manager until
@@ -153,6 +188,8 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         chunkRepLoads(ci)(p) = math.max(repLoadStart, loadAvg())
+        chunkRepJit(ci)(p) = (jitMillis() - jit0) / 1e3
+        chunkRepCodeCache(ci)(p) = codeCacheMb()
       }
       spark.stop()
     }
@@ -174,6 +211,8 @@ object Bench {
     val repGcSec = (0 until reps).map { p =>
       names.collect { case (n, _) if !failed.contains(n) && gcSamples(n).size > p => gcSamples(n)(p) }.sum
     }
+    val repJitSec = (0 until reps).map(p => chunks.indices.map(ci => chunkRepJit(ci)(p)).sum)
+    val repCodeCacheMb = (0 until reps).map(p => chunks.indices.map(ci => chunkRepCodeCache(ci)(p)).max)
     // Millisecond precision keeps the artifact line SHORT: round 7's
     // full-precision doubles pushed the one-line JSON past ~9.5k chars
     // and the driver recorded "parsed": null — timer noise alone is
@@ -231,7 +270,7 @@ object Bench {
     val spreadClean =
       if (cleanTotals.size < 2 || median(cleanTotals) == 0.0) -1.0
       else 100.0 * (cleanTotals.max - cleanTotals.min) / median(cleanTotals)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"heap_mb_end":$heapJson,"suite_totals":${vec(suiteTotals)},"spread_pct":${r3(spreadPct)},"spread_pct_clean":${r3(spreadClean)},"clean_reps":${cleanReps.size},"load_cap":${r3(loadCap)},"rep_loads":${vec(repLoads)},"rep_gc_sec":${vec(repGcSec)},"top_gc":$topGc,"chunk":${if (chunkSize <= 0) names.size else chunkSize},"n_sessions":${chunks.size},"warm_pass_sec":${r3(if (doWarm) warmSecTotal else -1.0)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"heap_mb_end":$heapJson,"suite_totals":${vec(suiteTotals)},"spread_pct":${r3(spreadPct)},"spread_pct_clean":${r3(spreadClean)},"clean_reps":${cleanReps.size},"load_cap":${r3(loadCap)},"rep_loads":${vec(repLoads)},"rep_gc_sec":${vec(repGcSec)},"rep_jit_sec":${vec(repJitSec)},"rep_codecache_mb":${vec(repCodeCacheMb)},"top_gc":$topGc,"chunk":${if (chunkSize <= 0) names.size else chunkSize},"n_sessions":${chunks.size},"warm_pass_sec":${r3(if (doWarm) warmSecTotal else -1.0)},"load_1m_before":$loadBefore,"load_1m_after":$loadAfter,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: the same JSON as a file, immune to any stdout
     // capture/line-length limit in whatever harness invoked us — this file
@@ -247,6 +286,6 @@ object Bench {
     // "queries" map is the top-5 cut, with bench_last.json the full detail.
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"reps":$reps,"suite_totals":${vec(suiteTotals)},"spread_pct":${r3(spreadPct)},"spread_pct_clean":${r3(spreadClean)},"rep_gc_sec":${vec(repGcSec)},"rep_loads":${vec(repLoads)},"warm_pass_sec":${r3(if (doWarm) warmSecTotal else -1.0)},"n_failed":${failed.size},"failed":$failedJson,"queries":$top5,"queries_top5_only":true,"full_detail":"bench_last.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"reps":$reps,"suite_totals":${vec(suiteTotals)},"spread_pct":${r3(spreadPct)},"spread_pct_clean":${r3(spreadClean)},"rep_gc_sec":${vec(repGcSec)},"rep_jit_sec":${vec(repJitSec)},"rep_codecache_mb":${vec(repCodeCacheMb)},"rep_loads":${vec(repLoads)},"warm_pass_sec":${r3(if (doWarm) warmSecTotal else -1.0)},"n_failed":${failed.size},"failed":$failedJson,"queries":$top5,"queries_top5_only":true,"full_detail":"bench_last.json"}""")
   }
 }

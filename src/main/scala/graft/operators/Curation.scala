@@ -10,10 +10,13 @@ import graft.functions.TextFunctions._
   *   quality gate -> exact dedup (keep min id per fingerprint) ->
   *   MinHash-LSH near-dup drop (higher id of each verified pair)
   *
-  * Shuffle economics: stage 1 is the single-scan carryCols shape (doc-level
-  * char counts ride the token stream — one scan, one agg shuffle); stage 2
-  * shuffles (fingerprint, id) pairs only; stage 3 inherits the capped
-  * banded-LSH pipeline from [[Dedup.nearDupPairsMinhash]]. The survivor
+  * Shuffle economics: stages 1+2 share ONE raw-corpus scan — the doc-level
+  * char counts AND the exact-dedup fingerprint all ride the token stream as
+  * carryCols of one map-side-combinable aggregation, the keep/canonical
+  * decisions happen on the resulting small (id, fp) frame, and a single
+  * semi-join re-attaches the surviving ids to the payload rows; stage 3
+  * inherits the capped banded-LSH pipeline from
+  * [[Dedup.nearDupPairsMinhash]]. The survivor
   * frame after exact dedup feeds three consumers (signatures, candidate
   * shingle sets, final anti-join), so it is materialized through the
   * pluggable [[Stager]] — on a cluster pass `Stager.Parquet(graph)` for a
@@ -129,29 +132,41 @@ object Curation {
 
   private def curateImpl(df: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame = {
-    require(!df.columns.exists(Set("__n_char", "__n_alpha", "__n_punct").contains),
-      "__n_char/__n_alpha/__n_punct are reserved helper names in curate")
+    require(!df.columns.exists(Set("__n_char", "__n_alpha", "__n_punct", "__fp").contains),
+      "__n_char/__n_alpha/__n_punct/__fp are reserved helper names in curate")
     val id = col(idCol)
     // per-call-unique stage names: with Stager.Parquet two curate calls
     // sharing a TableGraph must not clobber each other's staged parquet
     // (the Dedup runId convention)
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    // stage 1: quality filter — doc-level char counts ride the token stream
+    // stages 1+2 FUSED over one corpus scan (guide §1.2 order-1: remove
+    // passes): the exact-dedup fingerprint rides the SAME token-stream
+    // aggregation as the quality stats (a carryCol — doc-level, so it
+    // only widens the per-doc partial-agg rows, never the exploded token
+    // stream: tokenStats' map-side combine collapses tokens before the
+    // exchange). The unfused shape scanned the raw corpus twice more
+    // (once to fingerprint the quality survivors, once for their
+    // payload semi-join); at 100 TB those are two full-corpus passes for
+    // values already computable in pass one.
     val withChars = df.select(id,
       length(col(textCol)).cast("double").as("__n_char"),
       alphaChars(col(textCol)).cast("double").as("__n_alpha"),
       punctChars(col(textCol)).cast("double").as("__n_punct"),
+      fingerprint(col(textCol)).as("__fp"),
       col(textCol))
     val stats = tokenStats(withChars, idCol, textCol,
-      carryCols = Seq("__n_char", "__n_alpha", "__n_punct"))
-    val kept = stats.filter(qualityScore(cfg) >= cfg.minQuality).select(idCol)
-    val keptDocs = df.join(kept, Seq(idCol), "left_semi")
-    // stage 2: exact dedup (keep the min-id row per fingerprint). The
-    // survivor frame feeds three consumers downstream — stage it here
-    // (unstaged, each consumer rescans the quality+dedup subtree from the
-    // source: 12 scans in the funnel plan at gate scale)
+      carryCols = Seq("__n_char", "__n_alpha", "__n_punct", "__fp"))
+    // quality filter -> exact dedup (keep the min-id row per fingerprint),
+    // both decided on the small (id, fp) frame; ONE payload semi-join
+    // attaches the surviving ids back to the raw rows. The survivor frame
+    // feeds three consumers downstream — stage it here (unstaged, each
+    // consumer rescans the quality+dedup subtree from the source: 12
+    // scans in the funnel plan at gate scale)
+    val canonIds = stats.filter(qualityScore(cfg) >= cfg.minQuality)
+      .groupBy(col("__fp")).agg(min(id).as(idCol))
+      .select(id)
     val canonDocs = cfg.stager.stage(
-      Dedup.exactDedup(keptDocs, idCol, textCol), s"curation_canon_$runId")
+      df.join(canonIds, Seq(idCol), "left_semi"), s"curation_canon_$runId")
     // stage 3: minhash near-dup drop (higher id of each verified pair)
     val drop = Dedup.nearDupPairsMinhash(canonDocs, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold,
@@ -177,7 +192,11 @@ object Curation {
     *
     * 100 TB shape: grams shuffle as the shared 60-bit md5 hash, never
     * text (the p27 contract); the reference side collapses to DISTINCT
-    * hashes before the LEFT ANTI join (its only corpus-sized shuffle);
+    * hashes before the membership join (its only corpus-sized shuffle);
+    * the doc gram stream is computed ONCE and consumed by ONE
+    * aggregation — total and novel counts come out of the same pass
+    * over the membership-marked stream (the unfused shape recomputed
+    * the scan+shingle+distinct subtree twice and aggregated it twice);
     * the division is one IEEE op of exact integers. */
   def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, ngramN: Int = 3): DataFrame = {
@@ -192,12 +211,15 @@ object Curation {
           col(s"`$textCol`")),
         "__ref_id", textCol, ngramN)
       .select(md5Hash60(col("shingle")).as("__g")).distinct()
-    val novel = grams.join(refGrams, Seq("__g"), "left_anti")
-      .groupBy(id).agg(count(lit(1)).as("__novel"))
-    val total = grams.groupBy(id).agg(count(lit(1)).as("n_grams"))
+    // LEFT membership join (ref side distinct => no row multiplication),
+    // then ONE per-doc aggregation emits both counts
+    val per = grams
+      .join(refGrams.withColumn("__hit", lit(1)), Seq("__g"), "left")
+      .groupBy(id).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("__novel"))
     docs.select(id).distinct()
-      .join(total, Seq(idCol), "left")
-      .join(novel, Seq(idCol), "left")
+      .join(per, Seq(idCol), "left")
       .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
       .withColumn("n_novel",
         when(col("n_grams") > 0L, coalesce(col("__novel"), lit(0L))))

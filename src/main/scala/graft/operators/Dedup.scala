@@ -1312,13 +1312,25 @@ object Dedup {
     val grams = shingleRows(df, idCol, textCol, shingleN)
       .select(col(idCol), graft.functions.TextFunctions.md5Hash60(col("shingle")).as("__g"))
       .distinct()
-    val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__ndocs"))
-    grams.join(freq, "__g")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    // n_dup_grams = n_grams − n_unique_grams, and a gram with __ndocs == 1
+    // is OWNED by its single doc (min id == that doc's id) — so the
+    // corpus-sized join of the gram stream back against the per-gram doc
+    // counts is unnecessary: the per-gram aggregation carries min(id),
+    // unique grams roll up to their owner, and the only join left is
+    // id-keyed over per-doc aggregates (null-safe, so an all-NULL-id
+    // group keeps the exact semantics of the joined shape).
+    val uniq = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ndocs"), min(col(idCol)).as("__owner"))
+      .filter(col("__ndocs") === 1L)
+      .groupBy(col("__owner"))
+      .agg(count(lit(1)).as("__n_uniq"))
+    val tot = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    tot.join(uniq, tot(idCol) <=> uniq("__owner"), "left")
+      .withColumn("n_dup_grams",
+        col("n_grams") - coalesce(col("__n_uniq"), lit(0L)))
       .withColumn("dup_frac",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+      .select(tot(idCol), col("n_grams"), col("n_dup_grams"), col("dup_frac"))
   }
 
   /** Corpus-level boilerplate detector: the k most widespread word-n-grams
