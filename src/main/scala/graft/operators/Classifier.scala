@@ -201,6 +201,15 @@ object Classifier {
     // bucket/count arrays (y is constant per id — the idCol-unique
     // precondition shared with hashClassifierScore)
     val rec = new Stager.Recording(stager)
+    // The staged frame is read `iters` times by the round jobs, whose
+    // per-row work (interpreted decimal HOF dot) is compute-dense per
+    // byte — exactly the case where AQE's byte-based partition coalescing
+    // under-parallelizes (it shrank this frame to ONE partition at gate
+    // scale, serializing every gradient round on one core; measured 250-
+    // 430 ms single-task round stages). Pin the staged layout to
+    // defaultParallelism: scale-adaptive, and the one extra exchange of
+    // the compacted model-input frame is paid once, not per round.
+    val par = spark.sparkContext.defaultParallelism
     val docFeat = rec.stage(
       occ.groupBy(id, col("__b"))
         .agg(first(col("__y")).as("__y"), count(lit(1)).as("__c"))
@@ -209,7 +218,8 @@ object Classifier {
           array_sort(collect_list(struct(col("__b"), col("__c")))).as("__bc"))
         .select(id, col("__y"), col("__n"),
           transform(col("__bc"), x => x.getField("__b")).as("__bs"),
-          transform(col("__bc"), x => x.getField("__c")).as("__cs")),
+          transform(col("__bc"), x => x.getField("__c")).as("__cs"))
+        .repartition(par),
       s"clf_train_feat_$runId")
     val nDocs = docFeat.count()
     // driver-side round9 replaying the engine's double->DECIMAL(25,12)

@@ -173,15 +173,54 @@ object Vocab {
       .orderBy(col("__n").desc, col("__term"))
       .limit(maxWords)
 
+  /** Word inventories at or below this row count run the merge loop on
+    * the driver (see [[bpeMergeLoop]]): 2^16 words x ~12 symbol strings
+    * is a few MB — the bounded-driver-data class (model-sized, never a
+    * dataset; the [[Classifier.trainLogistic]] gradient-vector rule).
+    * System-property override exists so VocabSpec can force the
+    * distributed path on a small fixture and assert the two paths emit
+    * identical merge tables. */
+  private def localMergeMaxWords: Long =
+    sys.props.get("graft.bpe.localMaxWords").map(_.toLong).getOrElse(1L << 16)
+
+  /** Unsigned-UTF-8-byte string comparison — EXACTLY Spark's UTF8String
+    * binary ordering, which the distributed loop's orderBy(l, r) uses for
+    * the argmax tie-break. Java String.compareTo differs for
+    * supplementary characters (UTF-16 surrogates sort below U+E000), so
+    * the local loop must NOT use the natural ordering. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   /** The BPE merge loop shared by the char- and byte-level trainers:
     * `words0` is (__n long, __syms array<string>); per round one
     * pair-count aggregation, a 1-row driver argmax, one HOF rewrite —
-    * see [[bpeMerges]] for the full 100 TB-shape rationale. */
+    * see [[bpeMerges]] for the full 100 TB-shape rationale.
+    *
+    * When the staged word inventory holds <= [[LocalMergeMaxWords]] rows
+    * it is collected ONCE and the rounds run on the driver — the merge
+    * frame is already model-sized (capped by maxWords upstream), and at
+    * that size every distributed round is pure job overhead (measured
+    * r17: 16 rounds = 49 stages whose LARGEST stage was 163 ms, ~3.1 s
+    * of scheduling around ~0.5 s of work). The local loop replays the
+    * identical algorithm — same Long pair counts, same
+    * (count DESC, left ASC, right ASC) argmax under UTF8 binary order,
+    * same left-to-right non-overlapping fold — so the merge table is
+    * bit-identical on either path (VocabSpec pins local ≡ distributed);
+    * production trainers (HuggingFace, SentencePiece) hold exactly this
+    * capped inventory in memory. Above the cutoff the distributed
+    * rounds run as before. */
   private def bpeMergeLoop(spark: org.apache.spark.sql.SparkSession,
       words0: DataFrame, numMerges: Int, minPairCount: Long,
       stager: Stager): DataFrame = {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     var words = stager.stage(words0, s"bpe_words_${runId}_init")
+    if (words.count() <= localMergeMaxWords)
+      return bpeMergeLoopLocal(spark,
+        words.collect().map(r =>
+          (r.getLong(0), r.getSeq[String](1).toArray)),
+        numMerges, minPairCount)
     var prevRec: Stager.Recording = null
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var rank = 0
@@ -233,9 +272,14 @@ object Vocab {
         case _ => exhausted = true
       }
     }
+    mergesToDf(spark, merges.toSeq)
+  }
+
+  private def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
-      merges.toSeq.map { case (rk, l, r, c) =>
+      merges.map { case (rk, l, r, c) =>
         org.apache.spark.sql.Row(rk, l, r, c) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("rank",
@@ -246,6 +290,62 @@ object Vocab {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("pair_count",
           org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Driver-side merge rounds over the collected (count, symbols) array —
+    * value-identical to the distributed loop by construction (same
+    * counts, same argmax order, same fold; see [[bpeMergeLoop]]). */
+  private def bpeMergeLoopLocal(spark: org.apache.spark.sql.SparkSession,
+      words0: Array[(Long, Array[String])], numMerges: Int,
+      minPairCount: Long): DataFrame = {
+    var words = words0
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (n, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      // argmax by (count DESC, left ASC, right ASC) under UTF8 binary
+      // order — the distributed orderBy's exact comparator
+      var best: ((String, String), Long) = null
+      cnt.foreach { kv =>
+        if (best == null || kv._2 > best._2 ||
+          (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+            (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+          best = kv
+      }
+      if (best == null || best._2 < minPairCount) exhausted = true
+      else {
+        val ((l, r), c) = best
+        merges += ((rank, l, r, c))
+        val lr = l + r
+        words = words.map { case (n, syms) =>
+          if (syms.length < 2) (n, syms)
+          else {
+            // left-to-right non-overlapping merge with one pending symbol
+            // of state — the distributed fold, verbatim
+            val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var pend: String = null
+            syms.foreach { s =>
+              if (pend == null) pend = s
+              else if (pend == l && s == r) { acc += lr; pend = null }
+              else { acc += pend; pend = s }
+            }
+            if (pend != null) acc += pend
+            (n, acc.toArray)
+          }
+        }
+        rank += 1
+      }
+    }
+    mergesToDf(spark, merges.toSeq)
   }
 
   /** Encode each document's words as BPE subword sequences under a

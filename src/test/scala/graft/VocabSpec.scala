@@ -97,6 +97,33 @@ class VocabSpec extends SparkSpecBase {
     }
   }
 
+  test("bpe merge loop: driver-local path emits the merge table the " +
+    "distributed rounds emit (char AND byte level, unicode included)") {
+    // under the local cutoff the loop runs on the driver; forcing the
+    // cutoff to 0 runs the distributed rounds — the two must be
+    // bit-identical including tie-breaks on non-ASCII symbols
+    val texts = Seq(
+      "низкий низкий низкий ниже", "café café cafétéria",
+      "newest newest 新しい 新しい 新しい", "déjà vu déjà vu",
+      "aa ab aa ab ba", "😀x 😀x 😀y")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    for (k <- Seq(5, 24)) {
+      val local = Vocab.bpeMerges(df, "text", numMerges = k)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      val localB = Vocab.bpeMergesBytes(df, "text", numMerges = k)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      System.setProperty("graft.bpe.localMaxWords", "0")
+      try {
+        val dist = Vocab.bpeMerges(df, "text", numMerges = k)
+          .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+        val distB = Vocab.bpeMergesBytes(df, "text", numMerges = k)
+          .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+        assert(local === dist, s"char-level, numMerges=$k")
+        assert(localB === distB, s"byte-level, numMerges=$k")
+      } finally System.clearProperty("graft.bpe.localMaxWords")
+    }
+  }
+
   test("bpeEncode applies merges lowest-rank-first; concatenated subwords " +
     "rebuild the words; no merges means character + </w> sequences") {
     val texts = Seq("low lower newest", "unseen")
