@@ -88,15 +88,19 @@ object Bench {
     val chunkRepJit = Array.fill(chunks.size, reps)(0.0)
     val chunkRepCodeCache = Array.fill(chunks.size, reps)(-1.0)
     var warmSecTotal = 0.0
-    // Warm-pass COUNT (was boolean). One untimed pass absorbs first-use
-    // codegen + janino, but tiered JIT keeps compiling through the first
-    // TWO executions of each generated method — measured (rep_jit_sec,
-    // this round): 68 s of JIT in timed rep 1 and 37 s in rep 2 after a
-    // single warm pass, settling to 12 s by rep 3. That is one-time
-    // compilation cost, exactly what the warm pass exists to exclude
-    // (round-11 advice); a second untimed pass moves it out of the timed
-    // region. 0 disables warming entirely.
-    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") match {
+    // Warm-pass COUNT (was boolean; default now 2). One untimed pass
+    // absorbs first-use codegen + janino, but tiered JIT keeps compiling
+    // through the first TWO executions of each generated method —
+    // measured (rep_jit_sec, this round): 68 s of JIT in timed rep 1 and
+    // 37 s in rep 2 after a single warm pass, settling to 12 s by rep 3,
+    // with the full-suite reps decaying monotonically (374/359/281 s)
+    // exactly as that compilation drains. That is one-time compilation
+    // cost, which the warm pass exists to exclude (round-11 advice); a
+    // second untimed pass moves it out of the timed region. The TIMED
+    // methodology (same queries, same noop sink, same reps, same chunking)
+    // is unchanged; only untimed warm wall-clock grows, and rep_jit_sec in
+    // the artifact shows the residual per rep. 0 disables warming.
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2") match {
       case "0" => 0
       case s => try math.max(s.toInt, 0) catch { case _: Throwable => 1 }
     }
