@@ -10630,14 +10630,21 @@ object SparkEntry {
       // 71 s in the suite for zero extra oracle signal
       val pairs = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 200)
         .select(col("vec_id").as("id_a"), (col("vec_id") - 1).as("id_b"))
-      val nbrA = Similarity.bruteForceTopK(e,
-        e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 200),
-        "vec_id", "embedding", 5)
-      val nbrB = Similarity.bruteForceTopK(e,
-        e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
-        "vec_id", "embedding", 5)
+      // ONE brute pass over the joint query set (vec_id < 200, both
+      // parities — exactly the oracle's `q.vec_id < 200` set), staged so
+      // the A-side and B-side neighborhood averages read the same
+      // materialized 5x|queries|-row frame instead of each re-running the
+      // corpus x queries scoring pass (guide §1.2 order-1: the former
+      // shape ran bruteForceTopK TWICE, one per parity — same total pair
+      // count but double the corpus prep, windows, and stage barriers).
+      // marginScore joins each side by its own ids, so per-side values
+      // are untouched; re-verified vs the unchanged oracle at both SFs.
+      val nbrAll = graft.operators.Stager.LocalCheckpoint.stage(
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 200),
+          "vec_id", "embedding", 5),
+        s"p246_nbr_${java.util.UUID.randomUUID().toString.take(8)}")
       Similarity.marginScore(pairs, "id_a", "id_b", e, "vec_id", "embedding",
-          nbrA, nbrB)
+          nbrAll, nbrAll)
         .orderBy(col("id_a"))
     }
 

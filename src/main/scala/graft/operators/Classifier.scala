@@ -229,6 +229,32 @@ object Classifier {
         .setScale(12, java.math.RoundingMode.HALF_UP)
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .doubleValue()
+    // Feature frames at or below this row count run the gradient rounds on
+    // the driver (the [[Vocab.bpeMergeLoop]] bounded-driver-data rule):
+    // production quality classifiers train on a SEED SET, not the corpus
+    // (fastText itself is a single-machine trainer), so the compacted
+    // per-doc frame is sample-sized by construction, and at that size
+    // every distributed round is pure job overhead — iters x (plan +
+    // codegen of a 4096-double literal + 2 stages + collect), ~18
+    // sequential barriers whose largest stage holds milliseconds of work.
+    // The local loop replays the identical arithmetic: the SAME
+    // shortest-string double->DECIMAL(25,9) casts, exact decimal dot and
+    // gradient sums (order-free), the SAME 9-dp logit/sigmoid/g9 rounding
+    // (round9d IS the engine's round9 — it already replays the weight
+    // update on both paths), so the weight table is bit-identical on
+    // either path (ClassifierSpec pins local == forced-distributed).
+    // Above the cutoff the distributed rounds run unchanged — the 100 TB
+    // shape is intact. System-property override so the spec can force the
+    // distributed path on a small fixture.
+    val localMaxDocs =
+      sys.props.get("graft.clf.localMaxDocs").map(_.toLong).getOrElse(1L << 16)
+    if (nDocs > 0L && nDocs <= localMaxDocs) {
+      val rows = docFeat
+        .select(col("__y"), col("__n"), col("__bs"), col("__cs")).collect()
+      if (stager.eager) rec.release()
+      val wl = trainLogisticLocal(rows, nBuckets, iters, lr, nDocs, round9d)
+      return weightsToDf(spark, wl)
+    }
     val w = Array.fill(nBuckets)(0.0)
     var it = 0
     while (it < iters && nDocs > 0L) {
@@ -268,6 +294,83 @@ object Classifier {
       it += 1
     }
     if (stager.eager) rec.release()
+    weightsToDf(spark, w)
+  }
+
+  /** Driver-local replay of the distributed gradient rounds — see the
+    * bounded-driver-data comment in [[trainLogistic]]. Every operation is
+    * the exact decimal/9-dp twin of the Spark expression tree: dot =
+    * Σ (w_b as DECIMAL(25,9)) x c (exact, order-free), logit/p/g9 through
+    * round9d, grad_b = Σ c x (g9 as DECIMAL(25,9)) (exact), update
+    * w − (lr·grad)/N in the same IEEE tree. */
+  private def trainLogisticLocal(
+      rows: Array[org.apache.spark.sql.Row], nBuckets: Int, iters: Int,
+      lr: Double, nDocs: Long, round9d: Double => Double): Array[Double] = {
+    import java.math.{BigDecimal => JBD}
+    val nd = rows.length
+    val ys = new Array[Double](nd)
+    val ns = new Array[Double](nd)
+    val bss = new Array[Array[Int]](nd)
+    val css = new Array[Array[Long]](nd)
+    var i = 0
+    while (i < nd) {
+      val r = rows(i)
+      ys(i) = r.getDouble(0)
+      ns(i) = r.getLong(1).toDouble
+      bss(i) = r.getSeq[Int](2).toArray
+      css(i) = r.getSeq[Long](3).toArray
+      i += 1
+    }
+    // the engine's double -> DECIMAL(25,9) cast: shortest-string valueOf,
+    // HALF_UP to scale 9 (exactly what Cast does on the distributed path)
+    def dec9(x: Double): JBD =
+      JBD.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    val w = Array.fill(nBuckets)(0.0)
+    val nD = nDocs.toDouble
+    var it = 0
+    while (it < iters && nDocs > 0L) {
+      val w9 = w.map(dec9)
+      val grad = Array.fill(nBuckets)(JBD.ZERO)
+      var d = 0
+      while (d < nd) {
+        val bs = bss(d); val cs = css(d)
+        // The distributed fold's per-step Add((38,9) acc, (36,9) term)
+        // exceeds precision 38, so Spark's allowPrecisionLoss adjustment
+        // lands each step on DECIMAL(38,8) — every partial sum rounds
+        // HALF_UP to scale 8 before the explicit re-pin cast back to
+        // (38,9). The local dot replays exactly that (probe-verified:
+        // without the per-step setScale(8) the paths diverge 1e-9 on
+        // round-2 dots). Fold order is the __bs array order (bucket-
+        // ascending via array_sort), which this loop preserves.
+        var dot = JBD.ZERO
+        var j = 0
+        while (j < bs.length) {
+          dot = dot.add(w9(bs(j)).multiply(JBD.valueOf(cs(j))))
+            .setScale(8, java.math.RoundingMode.HALF_UP)
+          j += 1
+        }
+        val logit = round9d(dot.doubleValue() / ns(d))
+        val p = round9d(1.0 / (1.0 + round9d(java.lang.Math.exp(-logit))))
+        val g9 = dec9(round9d((p - ys(d)) / ns(d)))
+        j = 0
+        while (j < bs.length) {
+          grad(bs(j)) = grad(bs(j)).add(JBD.valueOf(cs(j)).multiply(g9))
+          j += 1
+        }
+        d += 1
+      }
+      var b = 0
+      while (b < nBuckets) {
+        w(b) = round9d(w(b) - (lr * grad(b).doubleValue()) / nD)
+        b += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  private def weightsToDf(spark: org.apache.spark.sql.SparkSession,
+      w: Array[Double]): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       w.zipWithIndex.map { case (wt, b) =>

@@ -38,23 +38,26 @@ object Dsir {
     * counts). Tokenization is the corpus-wide lowercase-whitespace
     * contract of [[Dedup.shingleRows]].
     *
-    * ONE tokenization pass: each token emits itself plus (when a lead
-    * exists) its bigram from the same doc-keyed window — a
-    * shingleRows(1) ∪ shingleRows(2) union would tokenize the corpus
-    * TWICE for the identical feature multiset. */
+    * ONE tokenization pass, ZERO shuffle: the unigram and bigram streams
+    * both come off the in-row token ARRAY (bigrams as a zip of the array
+    * with its own shift), so no per-doc window — the former
+    * posexplode + Window.partitionBy(id) + lead formulation paid a full
+    * corpus-sized Exchange + Sort per call (and featureStream is called
+    * twice per importance pass: raw + target) for adjacency the token
+    * array already encodes positionally (guide §2.4). Same feature
+    * multiset row for row. A shingleRows(1) ∪ shingleRows(2) union would
+    * instead tokenize the corpus twice. */
   def featureStream(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, salt: String): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val toks = df
-      .select(col(s"`$idCol`"),
-        posexplode(split(lower(col(s"`$textCol`")), "\\s+")).as(Seq("__pos", "__tok")))
-      .filter(col("__tok") =!= "")
-    val w = Window.partitionBy(col(s"`$idCol`")).orderBy(col("__pos"))
-    toks.withColumn("__lead", lead(col("__tok"), 1).over(w))
-      .select(col(s"`$idCol`"),
-        explode(when(col("__lead").isNull, array(col("__tok")))
-          .otherwise(array(col("__tok"),
-            concat_ws(" ", col("__tok"), col("__lead"))))).as("__f"))
+    val toks = filter(split(lower(col(s"`$textCol`")), "\\s+"), t => t =!= "")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(col(s"`$idCol`"),
+        explode(concat(toks,
+          when(size(toks) >= 2, bigrams)
+            .otherwise(array().cast("array<string>")))).as("__f"))
       .select(col(s"`$idCol`"),
         Splits.hashBucket(col("__f"), salt, nBuckets).as("bucket"))
   }

@@ -119,6 +119,31 @@ class ClassifierSpec extends SparkSpecBase {
     assert(sep(8) > sep(1), "more gradient rounds must widen the margin")
   }
 
+  test("trainLogistic: driver-local rounds are bit-identical to the forced-distributed path") {
+    // unicode + shared tokens + uneven doc lengths so decimal dot order
+    // and the 9-dp rounding chain are actually exercised
+    val docs = (0 until 40).map(i =>
+      (i.toLong,
+        if (i % 2 == 0) s"große qualität ausführlich 文章 gut $i the of"
+        else s"spam billig kaufen 垃圾 jetzt $i the of and more words here",
+        i % 2)).toDF("doc_id", "text", "label")
+    def weights(): Seq[(Int, Double)] =
+      Classifier.trainLogistic(docs, "doc_id", "text", "label",
+        nBuckets = 128, iters = 6, lr = 0.7)
+        .orderBy("bucket").as[(Int, Double)].collect().toSeq
+    val local = weights() // 40 docs <= default cutoff -> driver rounds
+    val prev = sys.props.put("graft.clf.localMaxDocs", "0")
+    val dist =
+      try weights() // cutoff 0 -> distributed rounds
+      finally prev match {
+        case Some(v) => sys.props.put("graft.clf.localMaxDocs", v)
+        case None => sys.props.remove("graft.clf.localMaxDocs")
+      }
+    assert(local === dist,
+      "local and distributed gradient rounds must emit bit-identical weights")
+    assert(local.exists(_._2 != 0.0), "training must move some weight")
+  }
+
   test("trainLogistic: label validation and degenerate inputs") {
     // a label outside {0, 1} raises (data bug, not a class)
     val mangled = Seq((1L, "a b", 2)).toDF("doc_id", "text", "label")
