@@ -53,7 +53,10 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
+    // Tables.read passes the memoized schema explicitly — repeated schema
+    // inference was ~70 ms of driver time per read, per rep (see the
+    // schemaCache note in [[Tables]])
+    val df = Tables.read(spark, dir, name)
     val w = fanoutWidth(spark, path)
     if (w > 0) df.repartition(w) else df
   }

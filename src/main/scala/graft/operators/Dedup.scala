@@ -254,9 +254,10 @@ object Dedup {
     */
   def cappedBucketPairs(buckets: DataFrame, bucketCols: Seq[String],
       idCol: String, payloadCols: Seq[String], maxBucket: Int,
-      hotBucketReps: Int = 3): DataFrame = {
+      hotBucketReps: Int = 3, spreadBlocks: Int = 1): DataFrame = {
     require(hotBucketReps >= 1, "need at least one hot-bucket representative")
-    val reserved = Seq("__cbp_n", "__cbp_rk")
+    require(spreadBlocks >= 1, "spreadBlocks must be >= 1")
+    val reserved = Seq("__cbp_n", "__cbp_rk", "__cbp_blk")
     require((bucketCols ++ payloadCols :+ idCol).forall(!reserved.contains(_)),
       s"column names ${reserved.mkString(", ")} are reserved by cappedBucketPairs")
     val w = Window.partitionBy(bucketCols.map(col): _*)
@@ -271,13 +272,47 @@ object Dedup {
     def side(suffix: String)(df: DataFrame): DataFrame =
       df.select(bucketCols.map(col) ++
         (col(idCol).as(s"id_$suffix") +: payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    // spreadBlocks > 1 decomposes each bucket's pair space over
+    // spreadBlocks deterministic id-blocks: the B side carries its block,
+    // the A side replicates once per target block, and the join keys on
+    // (bucket, block) — |buckets| x spreadBlocks reduce keys instead of
+    // |buckets|. For a FEW-BUCKET pair space (semDedup's nClusters cells)
+    // the plain join lands every quadratic dot on <= |buckets| tasks and
+    // AQE's byte-based coalescing then merges those near-empty-byte,
+    // compute-dense partitions into ONE (measured p64: a 994 ms
+    // single-task pair stage on 32 idle cores — the finding-7 byte-vs-
+    // compute mismatch on the join path). The pair SET is unchanged:
+    // every (a, b) pair is emitted exactly once, under b's block. Callers
+    // with bucket counts >= the core count keep the default 1 — blocking
+    // there only multiplies the A-side shuffle (the r17 experiment that
+    // regressed p05/p13 when applied unconditionally).
+    def pairJoin(a: DataFrame, b: DataFrame): DataFrame =
+      if (spreadBlocks <= 1)
+        a.join(b, bucketCols).filter(col("id_a") < col("id_b"))
+      else {
+        // Two mechanisms, one per join strategy the planner may pick:
+        // the (bucket, block) key spreads a sort-merge/shuffled-hash join
+        // over |buckets| x spreadBlocks reducers, and the round-robin
+        // repartition of the replicated probe side spreads a BROADCAST
+        // hash join (which otherwise inherits the occupancy window's
+        // byte-coalesced single partition — the probe stage, not the join
+        // keys, is its only parallelism). Both are no-ops for the pair
+        // SET; the repartition is a few-MB exchange of the already-small
+        // spread-eligible side.
+        val blocks = array((0 until spreadBlocks).map(lit): _*)
+        val par = a.sparkSession.sparkContext.defaultParallelism
+        a.withColumn("__cbp_blk", explode(blocks))
+          .repartition(par)
+          .join(b.withColumn("__cbp_blk",
+            pmod(hash(col("id_b")), lit(spreadBlocks))),
+            bucketCols :+ "__cbp_blk")
+          .filter(col("id_a") < col("id_b"))
+      }
     val small = ann.filter(col("__cbp_n") <= maxBucket)
-    val pairsSmall = side("a")(small).join(side("b")(small), bucketCols)
-      .filter(col("id_a") < col("id_b"))
+    val pairsSmall = pairJoin(side("a")(small), side("b")(small))
     val big = ann.filter(col("__cbp_n") > maxBucket)
-    val pairsBig = side("a")(big.filter(col("__cbp_rk") <= hotBucketReps))
-      .join(side("b")(big), bucketCols)
-      .filter(col("id_a") < col("id_b"))
+    val pairsBig = pairJoin(
+      side("a")(big.filter(col("__cbp_rk") <= hotBucketReps)), side("b")(big))
     val outCols = ("id_a" +: payloadCols.map(_ + "_a")) ++ ("id_b" +: payloadCols.map(_ + "_b"))
     pairsSmall.select(outCols.map(col): _*)
       .unionByName(pairsBig.select(outCols.map(col): _*))
@@ -998,8 +1033,14 @@ object Dedup {
     // three consumers (both pair-join sides + the final kept join) would
     // each rerun the nClusters-wide scored argmax — stage the assignment
     val assigned = stager.stage(assignment.get, s"semdedup_assign_$runId")
+    // nClusters join keys bound the pair join's parallelism; spread the
+    // per-cluster pair space over enough id-blocks to occupy the cores
+    // (scale-adaptive: production nClusters >= parallelism -> spread 1,
+    // no replication; see the spreadBlocks note in cappedBucketPairs)
+    val spread = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism / math.max(nClusters, 1))
     val pairs = cappedBucketPairs(assigned, Seq("__cluster"), idCol,
-        Seq("__v", "__n", "__csim"), maxCluster)
+        Seq("__v", "__n", "__csim"), maxCluster, spreadBlocks = spread)
       .withColumn("__cos",
         FloatArrayDot.dot(col("__v_a"), col("__v_b")) / (col("__n_a") * col("__n_b")))
       .filter(col("__cos") >= eps)
