@@ -165,8 +165,14 @@ object Curation {
     val canonIds = stats.filter(qualityScore(cfg) >= cfg.minQuality)
       .groupBy(col("__fp")).agg(min(id).as(idCol))
       .select(id)
-    val canonDocs = cfg.stager.stage(
+    // the staged survivor frame byte-coalesces to 1-2 partitions at small
+    // scale, and every downstream consumer (the minhash re-shingle most of
+    // all) inherits that width for its per-row work — spread it once here
+    // (metadata-only guard; no-op when the checkpoint is already wide)
+    val canonStaged = cfg.stager.stage(
       df.join(canonIds, Seq(idCol), "left_semi"), s"curation_canon_$runId")
+    val canonDocs =
+      if (cfg.stager.eager) Dedup.spreadStaged(canonStaged) else canonStaged
     // stage 3: minhash near-dup drop (higher id of each verified pair)
     val drop = Dedup.nearDupPairsMinhash(canonDocs, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold,

@@ -109,6 +109,17 @@ object Dedup {
     // carryCols: extra doc-level columns riding the stream (functionally
     // dependent on idCol — e.g. the doc's source for overlap matrices);
     // the window still partitions by idCol alone.
+    //
+    // Shape note (r18): an array-HOF reformulation (grams via
+    // transform/element_at off the in-row token array — zero shuffle) was
+    // built and MEASURED REVERTED: Catalyst array lambdas evaluate
+    // interpreted, ~3x the per-row cost of this codegen'd window+lead
+    // path, and with no exchange the gram work inherits the input's
+    // partitioning — inside the staged curation funnel that meant an
+    // 11.5 s single-task stage (p233 4.5 s -> 25 s). The window's
+    // exchange both keeps the hot loop in whole-stage codegen and spreads
+    // the gram work; at 100 TB the shuffle carries (id, pos, token)
+    // triples once per consumer, the audited cost of the family.
     val carry = carryCols.map(c => col(s"`$c`"))
     val toks = df
       .select(col(idCol) +: carry :+
@@ -385,15 +396,45 @@ object Dedup {
     // docs. AQE broadcasts the semi-join when candIds is small (the staged
     // cands frame has exact size stats); degenerate corpora fall back to a
     // shuffle join rather than OOMing a forced broadcast.
-    val candSets = shingleRows(
-        df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__shingles"))
+    // staged: BOTH verify sides (sa, sb) read the candidate shingle sets —
+    // unstaged, the semi-join + re-shingle + collect_set pass computed
+    // TWICE (two broadcast branches in the final plan, plan-verified).
+    // The semi-join output is re-spread round-robin BEFORE the shingle
+    // work: candidate docs are the small by-product of banding (scale-safe
+    // to re-exchange), and when `df` arrives as a byte-coalesced staged
+    // frame (the curation funnel's canonical-survivor checkpoint) the
+    // whole re-shingle otherwise lands on its 1-2 partitions — measured
+    // 11 s single-task checkpoint inside p11 without the spread.
+    val candSets = stager.stage(
+      shingleRows(
+          df.join(candIds, Seq(idCol), "left_semi")
+            .repartition(df.sparkSession.sparkContext.defaultParallelism),
+          idCol, textCol, shingleN)
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__shingles")),
+      s"minhash_candsets_$runId")
     val sa = candSets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
     val sb = candSets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
-    cands.join(sa, "id_a").join(sb, "id_b")
+    // spread the verify probe: the staged cands frame often holds fewer
+    // partitions than cores (byte-coalesced), and the per-pair
+    // array_intersect otherwise runs single-task (see spreadStaged)
+    spreadStaged(cands).join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard_sim") >= threshold)
       .select("id_a", "id_b", "jaccard_sim")
+  }
+
+  /** Round-robin fan-out of a STAGED (already materialized) frame whose
+    * partition count came out below the core count — the byte-coalesced
+    * checkpoint feeding a compute-dense verify pass (per-pair
+    * array_intersect, cosine folds) otherwise runs that pass on the
+    * checkpoint's 1-2 partitions while the rest of the machine idles
+    * (the finding-7 byte-vs-compute mismatch, here on the staged-read
+    * path). getNumPartitions on a materialized frame is metadata — no
+    * job — so the guard is free, and at scale a checkpoint already holds
+    * >= parallelism partitions and this is a no-op. */
+  def spreadStaged(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** MinHash-LSH near-duplicate pairs, signature-ESTIMATED: candidates from
@@ -472,7 +513,9 @@ object Dedup {
           idCol, textCol, shingleN)
         .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(out))
         .withColumnRenamed(idCol, side)
-    cands
+    // spread the verify probe off the byte-coalesced staged cands frame
+    // (see spreadStaged)
+    spreadStaged(cands)
       .join(candSets(newDf, "new_id", "__sa"), "new_id")
       .join(candSets(indexDf, "index_id", "__sb"), "index_id")
       .withColumn("jaccard_sim", jaccard(col("__sa"), col("__sb")))

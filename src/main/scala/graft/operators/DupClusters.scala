@@ -117,6 +117,61 @@ object DupClusters {
         .select(greatest(a, b).as("u"), least(a, b).as("v"))
         .distinct(),
       s"cc_edges_${runId}_0")
+    // Edge sets at or below this count run union-find on the driver (the
+    // bounded-driver-data rule of Vocab.bpeMergeLoop /
+    // Classifier.trainLogistic): a near-dup pair graph is the SMALL
+    // by-product of dedup — each distributed star round costs
+    // 5+ stages (sym union, two grouped joins, stage, signature), and at
+    // sample scale the whole loop is scheduling around microseconds of
+    // work. Union-find with min-root unions computes the identical fixed
+    // point (components labeled by their minimum member — order-free), so
+    // the output frame is bit-identical; restricted to integral id types,
+    // where driver ordering provably equals Spark's (strings would need
+    // UTF8-binary care, and every gate graph is integer-keyed). The edge
+    // count is the convergence signature already in hand — the gate is
+    // free. Above the cutoff (or for non-integral ids) the star rounds
+    // run unchanged. System property so a spec can force the distributed
+    // path on a small fixture.
+    val ccLocalMax =
+      sys.props.get("graft.cc.localMaxEdges").map(_.toLong).getOrElse(1L << 16)
+    val idType = edges.schema("u").dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId && sig._1 <= ccLocalMax) {
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (stager.eager) prevRec.release()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keys.toSeq.sorted
+        .map(n => org.apache.spark.sql.Row(n, find(n)))
+      val spark = pairs.sparkSession
+      return spark.createDataFrame(out.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {

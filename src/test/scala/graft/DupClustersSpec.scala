@@ -29,6 +29,23 @@ class DupClustersSpec extends SparkSpecBase {
     assert(got === (0L to 63L).map(i => (i, 0L)).toSet)
   }
 
+  test("driver-local union-find is identical to the forced-distributed star rounds") {
+    // chain + triangle + stars + singletons, shuffled edge orientations
+    val pairs = Seq((5L, 1L), (1L, 9L), (9L, 13L), (2L, 40L), (40L, 2L),
+      (100L, 3L), (3L, 7L), (7L, 100L), (50L, 60L), (61L, 60L), (62L, 60L))
+    def run() = cc(pairs)
+    val local = run() // 11 edges <= default cutoff -> driver union-find
+    val prev = sys.props.put("graft.cc.localMaxEdges", "0")
+    val dist =
+      try run() // cutoff 0 -> distributed star rounds
+      finally prev match {
+        case Some(v) => sys.props.put("graft.cc.localMaxEdges", v)
+        case None => sys.props.remove("graft.cc.localMaxEdges")
+      }
+    assert(local === dist,
+      "local and distributed connected components must assign identically")
+  }
+
   test("self-pairs, nulls and duplicate/reversed edges are tolerated") {
     val pairs = Seq(
       (Some(1L), Some(1L)),   // self-loop: dropped (1 has no real edge)
