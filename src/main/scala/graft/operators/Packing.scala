@@ -47,7 +47,13 @@ object Packing {
         s"output column '$c' already exists in the input"))
     val toks = col(s"`$tokensCol`").cast("long")
     val id = col(s"`$idCol`")
-    val base0 = df.filter(id.isNotNull).withColumn("__pk_t", toks)
+    // packing sits at the TAIL of composed funnels (curate -> decon ->
+    // split -> pack), where the input plan is a long broadcast-join chain
+    // — stage it once so the range exchange's bounds sampling does not
+    // re-run the whole chain (PrefixSum.stagedInput rationale)
+    val base0 = PrefixSum.stagedInput(
+      df.filter(id.isNotNull).withColumn("__pk_t", toks),
+      stage = true, stager)
     val cum = groupCol match {
       case Some(g) =>
         PrefixSum.withKeyedRunningSums(

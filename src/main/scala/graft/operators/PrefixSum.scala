@@ -38,6 +38,21 @@ object PrefixSum {
       stager: Stager = Stager.LocalCheckpoint): DataFrame =
     withRunningSums(df, Seq(orderCol), sumCols, stager)
 
+  /** Stage `df` before the range exchange when its plan is expensive:
+    * RangePartitioning SAMPLES its child to pick bounds, so the child's
+    * post-exchange work runs TWICE (once for bounds, once for the real
+    * shuffle) — for a prefix-sum fed by a long broadcast-join chain (the
+    * packing step at the tail of a composed funnel) that re-runs the
+    * whole chain. One checkpoint of the narrow input buys both passes.
+    * Opt-in: for the family's typical input (an already-aggregated
+    * per-distinct-value count frame) the extra staging job costs more
+    * than the re-sampled aggregate. */
+  private[operators] def stagedInput(df: DataFrame, stage: Boolean,
+      stager: Stager): DataFrame =
+    if (stage) stager.stage(df,
+      s"prefix_sum_in_${java.util.UUID.randomUUID().toString.take(8)}")
+    else df
+
   /** Multi-column-order variant: the global order is the COMPOSITE
     * lexicographic (orderCols…) — the tuples must be distinct and
     * non-null (e.g. a hash with a unique-id tiebreak, the
